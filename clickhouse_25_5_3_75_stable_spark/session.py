@@ -1,0 +1,65 @@
+"""SparkSession bootstrap tuned for the engine.
+
+Reference lifecycle (SURVEY §3): parse→analyze→plan→pipeline→execute
+(/root/reference/src/Interpreters/executeQuery.cpp:963). All of that is
+Catalyst/Tungsten in Spark; the session config below is the knob layer:
+
+- AQE on: runtime re-plan ≈ the reference's JoinSwitcher / two-level
+  agg fallbacks (src/Interpreters/JoinSwitcher.h:16, Aggregator.h:118).
+- UTC session TZ: oracle (DuckDB) comparisons are TZ-naive.
+- Arrow enabled: Pandas-UDF operators (ASOF join, funnel, dedup) ride
+  Arrow batches ≈ the reference's block-at-a-time Chunk flow
+  (src/Processors/Chunk.h:59).
+- shuffle.partitions defaults to cores locally; on a real cluster this
+  is AQE-coalesced from an intentionally high initial number.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "clickhouse_25_5_3_75_stable_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine's SparkSession.
+
+    Defaults target local[$SPARK_GRAFT_CPUS]; at cluster scale pass
+    ``master=None`` with an external cluster manager and a higher
+    ``shuffle_partitions`` (AQE coalesces the excess).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if cpus.isdigit() else 32
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
+        .config("spark.ui.enabled", "false")
+        # Parquet pushdown parity with the reference's PREWHERE / skip
+        # indexes (src/Storages/MergeTree/MergeTreeWhereOptimizer.h:26).
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        # 128 MB split target — analogous to mark-granularity scan
+        # parallelism (src/Storages/MergeTree/MergeTreeSettings.cpp:66).
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

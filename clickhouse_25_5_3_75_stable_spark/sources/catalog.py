@@ -1,0 +1,51 @@
+"""Parquet catalog over the test star schema.
+
+The reference's table abstraction is IStorage + StorageMergeTree
+(/root/reference/src/Storages/IStorage.h,
+src/Storages/StorageMergeTree.h:27): immutable sorted parts, partition
+pruning, PK-range scans. Spark equivalent: parquet (or Delta/Iceberg)
+tables — min/max row-group stats + partition dirs give the same
+pruning; `spark.read.parquet` is the ReadFromMergeTree analogue
+(src/Processors/QueryPlan/ReadFromMergeTree.h:62).
+
+At 100 TB the layout contract is: partition by a coarse time/tenant
+key, sort-within-files by the query's PK analogue so min/max pruning
+fires, and size files ~128-512 MB. Locally we read the driver's single
+parquet files as-is.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimensions small enough to broadcast at any realistic scale factor —
+# the DirectKeyValueJoin / dictionary analogue
+# (/root/reference/src/Interpreters/DirectJoin.h:19).
+BROADCAST_TABLES = frozenset({"region", "nation"})
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
+    """Register each table as a temp view so SQL-path queries run."""
+    for name in names:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
