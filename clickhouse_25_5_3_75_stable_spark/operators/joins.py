@@ -1,0 +1,125 @@
+"""Join kinds/strictness Spark lacks natively (SURVEY §2.3).
+
+Reference join taxonomy: kinds Inner/Left/Right/Full/Cross/Paste,
+strictness All/Any/Semi/Anti/Asof
+(/root/reference/src/Core/Joins.h:12-21,44-53). Inner/outer/cross/
+semi/anti map 1:1 onto `DataFrame.join(how=...)`; this module supplies
+the remaining three as DataFrame compositions (no RDDs, no Python-row
+UDFs — everything stays in Tungsten).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+
+def any_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    how: str = "left",
+    right_order: Sequence[Column | str] = (),
+) -> DataFrame:
+    """ANY-strictness join: at most one right row per key, no row
+    multiplication (/root/reference/src/Core/Joins.h:46-48).
+
+    The reference picks the first build-table match (insertion order —
+    nondeterministic under parallel build); we require an explicit
+    ``right_order`` so results are deterministic and oracle-checkable.
+    Scale: the dedup is one extra shuffle of the right side on the join
+    key — strictly cheaper than the join it feeds.
+    """
+    if not right_order:
+        raise ValueError("right_order required for deterministic ANY join")
+    w = W.partitionBy(*on).orderBy(*right_order)
+    deduped = (
+        right.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+    )
+    return left.join(deduped, on=list(on), how=how)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    right_values: Sequence[str],
+    strict: bool = False,
+    how: str = "left",
+) -> DataFrame:
+    """ASOF JOIN (backward): for each left row, the latest right row
+    with ``right_ts <= left_ts`` (``<`` when ``strict``) per ``by`` key.
+
+    Reference: ASOF strictness in HashJoin
+    (/root/reference/src/Interpreters/HashJoin/HashJoin.h:53,67) keeps a
+    sorted per-key vector and binary-searches. Spark-first design: no
+    per-key search structure — union both sides, one window sort per
+    ``by`` key, carry the last non-null right payload forward:
+
+        union(left ∪ right) → window(partitionBy=by, orderBy=ts,side)
+        → last(payload, ignoreNulls) → keep left rows
+
+    One shuffle on ``by`` (same as any join on that key), no crossjoin,
+    no Python. Skew note: a hot ``by`` key serializes within its
+    partition — at 100 TB pre-split hot keys by coarse time bucket.
+
+    Ties: right rows at the same timestamp are ordered by their payload
+    struct so the winner is deterministic.
+    """
+    side = F.lit(0) if strict else F.lit(2)  # non-strict: right sorts before equal-ts left
+    payload = F.struct(*[F.col(c) for c in right_values]).alias("__rv")
+    r = right.select(
+        *[F.col(c) for c in by],
+        F.col(right_ts).alias("__ts"),
+        payload,
+        side.alias("__side"),
+    )
+    l = left.select(
+        "*",
+        F.col(left_ts).alias("__ts"),
+        F.lit(None).cast(r.schema["__rv"].dataType).alias("__rv"),
+        F.lit(1).alias("__side"),
+    )
+    u = l.unionByName(r, allowMissingColumns=True)
+    # Within equal (__ts, __side) right rows, order by payload for determinism.
+    w = (
+        W.partitionBy(*by)
+        .orderBy(F.col("__ts"), F.col("__side").desc(), F.col("__rv"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    matched = u.withColumn("__match", F.last("__rv", ignorenulls=True).over(w))
+    out = matched.filter(F.col("__side") == 1).drop("__ts", "__rv", "__side")
+    for c in right_values:
+        out = out.withColumn(c, F.col(f"__match.{c}"))
+    out = out.drop("__match")
+    if how == "inner":
+        out = out.filter(F.col(right_values[0]).isNotNull())
+    return out
+
+
+def paste_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_order: Sequence[Column | str],
+    right_order: Sequence[Column | str],
+) -> DataFrame:
+    """PASTE JOIN: positional zip of two relations
+    (/root/reference/src/Interpreters/PasteJoin.h:20).
+
+    The reference zips blocks by arrival order (nondeterministic under
+    parallelism); we require explicit total orders on both sides.
+    Implementation: row_number over an un-partitioned window + equi-join
+    on position. The global window is a single-task sort — acceptable
+    because PASTE is inherently order-coupled; at scale, range-partition
+    both sides on the order key first and zip per range.
+    """
+    lw = F.row_number().over(W.orderBy(*left_order)).alias("__pos")
+    rw = F.row_number().over(W.orderBy(*right_order)).alias("__pos")
+    lnum = left.select("*", lw)
+    rnum = right.select("*", rw)
+    return lnum.join(rnum, "__pos", "inner").drop("__pos")

@@ -224,3 +224,607 @@ def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
         .orderBy(F.desc("revenue"), "n_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 join strictness: SEMI / ANTI / ANY / ASOF / PASTE / theta.
+# ---------------------------------------------------------------------------
+
+from clickhouse_25_5_3_75_stable_spark.operators.joins import (  # noqa: E402
+    any_join,
+    asof_join,
+    paste_join,
+)
+from clickhouse_25_5_3_75_stable_spark.operators.limits import (  # noqa: E402
+    distinct_on,
+    limit_by,
+    limit_with_ties,
+)
+from clickhouse_25_5_3_75_stable_spark.operators.totals import with_totals  # noqa: E402
+from clickhouse_25_5_3_75_stable_spark.sources.catalog import register_views  # noqa: E402
+
+
+def _sql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
+    """SQL-path query: register the catalog as temp views, run Spark SQL."""
+    register_views(spark, sf_dir)
+    return spark.sql(query)
+
+
+@register(
+    "join_semi_customers_with_orders",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    ORDER BY c_custkey
+    """,
+    tags=("join", "semi"),
+)
+def join_semi_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI (/root/reference/src/Core/Joins.h:50) -> how='left_semi'."""
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "join_anti_customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    ORDER BY c_custkey
+    """,
+    tags=("join", "anti"),
+)
+def join_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI (/root/reference/src/Core/Joins.h:52) -> how='left_anti'."""
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "join_any_first_lineitem_per_order",
+    oracle="""
+    SELECT o.o_orderkey AS orderkey, o.o_orderpriority, f.l_partkey, f.l_quantity
+    FROM orders o
+    LEFT JOIN (
+        SELECT l_orderkey, l_partkey, l_quantity,
+               row_number() OVER (PARTITION BY l_orderkey
+                                  ORDER BY l_linenumber, l_partkey, l_quantity) AS rn
+        FROM lineitem
+    ) f ON f.l_orderkey = o.o_orderkey AND f.rn = 1
+    ORDER BY orderkey
+    """,
+    tags=("join", "any"),
+)
+def join_any_first_lineitem_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANY LEFT JOIN (/root/reference/src/Core/Joins.h:46): no row
+    multiplication; right side deduped to its first lineitem."""
+    orders = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("orderkey"), "o_orderpriority"
+    )
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("orderkey"), "l_partkey", "l_quantity", "l_linenumber"
+    )
+    return (
+        # (orderkey, linenumber) is not unique in the synthetic data, so
+        # the ANY pick needs the full tiebreak for cross-engine determinism.
+        any_join(
+            orders,
+            li,
+            on=["orderkey"],
+            how="left",
+            right_order=["l_linenumber", "l_partkey", "l_quantity"],
+        )
+        .select("orderkey", "o_orderpriority", "l_partkey", "l_quantity")
+        .orderBy("orderkey")
+    )
+
+
+@register(
+    "join_asof_click_last_view",
+    oracle="""
+    SELECT c.event_id,
+           CAST(c.ts AS TIMESTAMP) AS click_ts,
+           (SELECT max(CAST(v.ts AS TIMESTAMP)) FROM events v
+             WHERE v.event_type = 'view' AND v.user_id = c.user_id
+               AND CAST(v.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP)) AS last_view_ts
+    FROM events c WHERE c.event_type = 'click'
+    ORDER BY c.event_id
+    """,
+    bucket="heavy",
+    tags=("join", "asof"),
+)
+def join_asof_click_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASOF JOIN (/root/reference/src/Interpreters/HashJoin/HashJoin.h:53):
+    for each click, the latest view at-or-before it per user."""
+    ev = t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("ts").alias("view_ts")
+    )
+    joined = asof_join(
+        clicks,
+        views,
+        by=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_values=["view_ts"],
+        strict=False,
+        how="left",
+    )
+    return joined.select(
+        "event_id",
+        F.col("ts").alias("click_ts"),
+        F.col("view_ts").alias("last_view_ts"),
+    ).orderBy("event_id")
+
+
+@register(
+    "join_paste_supplier_customer_rank",
+    oracle="""
+    SELECT s.s_name, s.s_acctbal, c.c_name, c.c_acctbal
+    FROM (SELECT s_name, s_acctbal,
+                 row_number() OVER (ORDER BY s_acctbal DESC, s_suppkey) AS pos
+          FROM supplier) s
+    JOIN (SELECT c_name, c_acctbal,
+                 row_number() OVER (ORDER BY c_acctbal DESC, c_custkey) AS pos
+          FROM customer) c USING (pos)
+    ORDER BY s.s_name
+    """,
+    tags=("join", "paste"),
+)
+def join_paste_supplier_customer_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PASTE JOIN (/root/reference/src/Interpreters/PasteJoin.h:20):
+    zip k-th richest supplier with k-th richest customer."""
+    supp = t(spark, sf_dir, "supplier").select("s_name", "s_acctbal", "s_suppkey")
+    cust = t(spark, sf_dir, "customer").select("c_name", "c_acctbal", "c_custkey")
+    return (
+        paste_join(
+            supp,
+            cust,
+            left_order=[F.desc("s_acctbal"), F.col("s_suppkey")],
+            right_order=[F.desc("c_acctbal"), F.col("c_custkey")],
+        )
+        .select("s_name", "s_acctbal", "c_name", "c_acctbal")
+        .orderBy("s_name")
+    )
+
+
+@register(
+    "join_theta_supplier_pairs",
+    oracle="""
+    SELECT a.s_nationkey, count(*) AS n_pairs
+    FROM supplier a JOIN supplier b
+      ON a.s_nationkey = b.s_nationkey AND a.s_acctbal > b.s_acctbal
+    GROUP BY a.s_nationkey
+    ORDER BY a.s_nationkey
+    """,
+    tags=("join", "theta"),
+)
+def join_theta_supplier_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta join: equi key + residual inequality — the reference's
+    hash join with ON-condition residuals
+    (/root/reference/src/Interpreters/HashJoin/HashJoin.h:138)."""
+    a = t(spark, sf_dir, "supplier").alias("a")
+    b = t(spark, sf_dir, "supplier").alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.s_nationkey") == F.col("b.s_nationkey"))
+            & (F.col("a.s_acctbal") > F.col("b.s_acctbal")),
+        )
+        .groupBy(F.col("a.s_nationkey").alias("s_nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("s_nationkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 aggregation variants: ROLLUP / CUBE / GROUPING SETS / WITH TOTALS.
+# Reference: RollupStep/CubeStep
+# (/root/reference/src/Processors/QueryPlan/RollupStep.h:13, CubeStep.h:13),
+# TotalsHavingStep (TotalsHavingStep.h:12).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_rollup_flag_status",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag) AS g_flag, GROUPING(l_linestatus) AS g_status,
+           {dsum_sql('l_quantity', 'sum_qty')}, COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+    tags=("agg", "rollup"),
+)
+def agg_rollup_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").alias("g_flag"),
+            F.grouping("l_linestatus").alias("g_status"),
+            dsum("l_quantity", "sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select("l_returnflag", "l_linestatus", "g_flag", "g_status", "sum_qty", "n")
+        .orderBy(F.asc_nulls_first("l_returnflag"), F.asc_nulls_first("l_linestatus"))
+    )
+
+
+@register(
+    "agg_cube_flag_status",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag) AS g_flag, GROUPING(l_linestatus) AS g_status,
+           {dsum_sql('l_extendedprice', 'sum_price')}
+    FROM lineitem
+    GROUP BY CUBE(l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+    tags=("agg", "cube"),
+)
+def agg_cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").alias("g_flag"),
+            F.grouping("l_linestatus").alias("g_status"),
+            dsum("l_extendedprice", "sum_price"),
+        )
+        .select("l_returnflag", "l_linestatus", "g_flag", "g_status", "sum_price")
+        .orderBy(F.asc_nulls_first("l_returnflag"), F.asc_nulls_first("l_linestatus"))
+    )
+
+
+@register(
+    "agg_grouping_sets_priority_status",
+    oracle=f"""
+    SELECT o_orderpriority, o_orderstatus,
+           COUNT(*) AS n, {dsum_sql('o_totalprice', 'sum_price')}
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+    ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST
+    """,
+    tags=("agg", "grouping_sets"),
+)
+def agg_grouping_sets_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS via the SQL path (parser parity with the
+    reference's ParserSelectQuery.cpp:259)."""
+    return _sql(
+        spark,
+        sf_dir,
+        f"""
+        SELECT o_orderpriority, o_orderstatus,
+               COUNT(*) AS n, {dsum_sql('o_totalprice', 'sum_price')}
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST
+        """,
+    )
+
+
+@register(
+    "agg_with_totals_priority",
+    oracle=f"""
+    SELECT o_orderpriority, COUNT(*) AS n, {dsum_sql('o_totalprice', 'sum_price')},
+           GROUPING(o_orderpriority) > 0 AS is_total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority), ())
+    ORDER BY o_orderpriority NULLS FIRST
+    """,
+    tags=("agg", "totals"),
+)
+def agg_with_totals_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    return with_totals(
+        orders,
+        ["o_orderpriority"],
+        [F.count(F.lit(1)).alias("n"), dsum("o_totalprice", "sum_price")],
+    ).orderBy(F.asc_nulls_first("o_orderpriority"))
+
+
+# ---------------------------------------------------------------------------
+# §2.6 LIMIT BY / DISTINCT ON / WITH TIES.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "limit_by_top2_orders_per_priority",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey, o_totalprice
+    FROM orders
+    QUALIFY row_number() OVER (
+        PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) <= 2
+    ORDER BY o_orderpriority, o_orderkey
+    """,
+    tags=("limit_by",),
+)
+def limit_by_top2_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIMIT 2 BY o_orderpriority
+    (/root/reference/src/Processors/QueryPlan/LimitByStep.h:8)."""
+    orders = t(spark, sf_dir, "orders")
+    return (
+        limit_by(
+            orders, 2, by=["o_orderpriority"], order=[F.desc("o_totalprice"), F.col("o_orderkey")]
+        )
+        .select("o_orderpriority", "o_orderkey", "o_totalprice")
+        .orderBy("o_orderpriority", "o_orderkey")
+    )
+
+
+@register(
+    "distinct_on_latest_order_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS orderdate
+    FROM orders
+    QUALIFY row_number() OVER (
+        PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+    ORDER BY o_custkey
+    """,
+    tags=("distinct_on",),
+)
+def distinct_on_latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT ON (o_custkey) ... ORDER BY o_orderdate DESC
+    (/root/reference/src/Parsers/ParserSelectQuery.cpp:135)."""
+    orders = t(spark, sf_dir, "orders")
+    return (
+        distinct_on(
+            orders, on=["o_custkey"], order=[F.desc("o_orderdate"), F.desc("o_orderkey")]
+        )
+        .select("o_custkey", "o_orderkey", F.col("o_orderdate").cast("date").alias("orderdate"))
+        .orderBy("o_custkey")
+    )
+
+
+@register(
+    "limit_with_ties_quantity",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem
+    QUALIFY rank() OVER (ORDER BY l_quantity DESC) <= 10
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    tags=("limit", "ties"),
+)
+def limit_with_ties_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIMIT 10 WITH TIES
+    (/root/reference/src/Parsers/ParserSelectQuery.cpp:336-384)."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity")
+    return limit_with_ties(li, 10, order=[F.desc("l_quantity")]).orderBy(
+        "l_orderkey", "l_linenumber"
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.7 set operations.
+# Reference: UnionStep / IntersectOrExceptStep
+# (/root/reference/src/Processors/QueryPlan/IntersectOrExceptStep.h:9).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "setop_intersect_nations",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    ORDER BY nationkey
+    """,
+    tags=("setop",),
+)
+def setop_intersect_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    supp = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return cust.intersect(supp).orderBy("nationkey")
+
+
+@register(
+    "setop_except_nations",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey FROM supplier
+    ORDER BY nationkey
+    """,
+    tags=("setop",),
+)
+def setop_except_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    supp = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return cust.subtract(supp).orderBy("nationkey")
+
+
+@register(
+    "setop_union_distinct_event_types",
+    oracle="""
+    SELECT event_type FROM events WHERE value > 50
+    UNION
+    SELECT event_type FROM events WHERE user_id % 2 = 0
+    ORDER BY event_type
+    """,
+    tags=("setop", "union"),
+)
+def setop_union_distinct_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    a = ev.filter(F.col("value") > 50).select("event_type")
+    b = ev.filter(F.col("user_id") % 2 == 0).select("event_type")
+    return a.union(b).distinct().orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# §2.5 window functions.
+# Reference executor: WindowTransform
+# (/root/reference/src/Processors/Transforms/WindowTransform.cpp).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_running_revenue_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS running_rev
+    FROM orders
+    ORDER BY o_custkey, o_orderkey
+    """,
+    bucket="heavy",
+    tags=("window",),
+)
+def window_running_revenue_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed aggregate (WindowTransform aggregate path); decimal
+    accumulation keeps the running sum bitwise-stable cross-engine."""
+    orders = t(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.sum(F.col("o_totalprice").cast("decimal(25,6)")).over(w).cast("double").alias(
+                "running_rev"
+            ),
+        )
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+@register(
+    "window_ranks_quantity",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           rank()       OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS rk,
+           dense_rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS drk,
+           percent_rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS prk,
+           ntile(4) OVER (PARTITION BY l_returnflag
+                          ORDER BY l_quantity, l_orderkey, l_linenumber) AS nt
+    FROM lineitem
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    bucket="heavy",
+    tags=("window", "rank"),
+)
+def window_ranks_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank/dense_rank/percent_rank/ntile
+    (/root/reference/src/Processors/Transforms/WindowTransform.cpp:1495,
+    1513,2169,2023)."""
+    li = t(spark, sf_dir, "lineitem")
+    w = W.partitionBy("l_returnflag").orderBy("l_quantity")
+    wu = W.partitionBy("l_returnflag").orderBy("l_quantity", "l_orderkey", "l_linenumber")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.rank().over(w).alias("rk"),
+        F.dense_rank().over(w).alias("drk"),
+        F.percent_rank().over(w).alias("prk"),
+        F.ntile(4).over(wu).alias("nt"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+@register(
+    "window_lag_lead_events",
+    oracle="""
+    SELECT event_id,
+           lag(value)  OVER w AS prev_value,
+           lead(value) OVER w AS next_value,
+           first_value(value) OVER w AS first_val,
+           nth_value(value, 2) OVER w AS second_val
+    FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS uts, value FROM events)
+    WINDOW w AS (PARTITION BY user_id ORDER BY uts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ORDER BY event_id
+    """,
+    tags=("window", "lag"),
+)
+def window_lag_lead_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead/first/nth_value
+    (/root/reference/src/Processors/Transforms/WindowTransform.cpp:2269,
+    2422). Reference lag/lead are in-frame; Spark's are whole-partition —
+    equivalent under the default frame used here."""
+    ev = t(spark, sf_dir, "events")
+    wo = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = wo.rowsBetween(W.unboundedPreceding, W.currentRow)
+    return ev.select(
+        "event_id",
+        F.lag("value").over(wo).alias("prev_value"),
+        F.lead("value").over(wo).alias("next_value"),
+        F.first("value").over(wf).alias("first_val"),
+        F.nth_value("value", 2).over(wf).alias("second_val"),
+    ).orderBy("event_id")
+
+
+@register(
+    "qualify_top3_events_per_user",
+    oracle="""
+    SELECT user_id, event_id, value
+    FROM events
+    QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) <= 3
+    ORDER BY user_id, event_id
+    """,
+    tags=("window", "qualify"),
+)
+def qualify_top3_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALIFY rewrite (/root/reference/src/Parsers/ParserSelectQuery.cpp:298):
+    window column + filter, since Spark has no QUALIFY clause."""
+    ev = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.desc("value"), F.col("event_id"))
+    return (
+        ev.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 3)
+        .select("user_id", "event_id", "value")
+        .orderBy("user_id", "event_id")
+    )
+
+
+@register(
+    "with_fill_daily_orders",
+    oracle="""
+    WITH days AS (
+        SELECT CAST(d AS DATE) AS day
+        FROM generate_series(DATE '1996-01-01', DATE '1996-01-31', INTERVAL 1 DAY) AS s(d)
+    ), counts AS (
+        SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n_orders
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1996-02-01 00:00:00'
+        GROUP BY 1
+    )
+    SELECT day, COALESCE(n_orders, 0) AS n_orders
+    FROM days LEFT JOIN counts USING (day)
+    ORDER BY day
+    """,
+    tags=("with_fill",),
+)
+def with_fill_daily_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY day WITH FILL
+    (/root/reference/src/Processors/QueryPlan/FillingStep.h:9)."""
+    from clickhouse_25_5_3_75_stable_spark.operators.fill import with_fill_dates
+
+    orders = t(spark, sf_dir, "orders")
+    counts = (
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-02-01").cast("timestamp"))
+        )
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    return with_fill_dates(
+        spark, counts, "day", "1996-01-01", "1996-01-31", fill_zero=["n_orders"]
+    ).orderBy("day")
