@@ -828,3 +828,334 @@ def with_fill_daily_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_fill_dates(
         spark, counts, "day", "1996-01-01", "1996-01-31", fill_zero=["n_orders"]
     ).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# §2.8 scalar function dialect — one query per family, each driving the
+# ClickHouse-name registry (functions/dialect.py) against a DuckDB oracle.
+# ---------------------------------------------------------------------------
+
+from clickhouse_25_5_3_75_stable_spark.functions.dialect import ch  # noqa: E402
+
+
+@register(
+    "func_datetime_family",
+    oracle="""
+    SELECT event_id,
+           year(uts) AS y, month(uts) AS mo, day(uts) AS d,
+           hour(uts) AS h, minute(uts) AS mi, second(uts) AS s,
+           isodow(uts) AS dow,
+           CAST(date_trunc('month', uts) AS DATE) AS start_month,
+           CAST(date_trunc('day', uts) AS TIMESTAMP) AS start_day,
+           CAST(strftime(uts, '%Y%m') AS INT) AS yyyymm,
+           date_diff('day', DATE '2024-01-01', CAST(uts AS DATE)) AS days_since,
+           CAST(uts + INTERVAL 3 DAY AS DATE) AS plus3d
+    FROM (SELECT event_id, CAST(ts AS TIMESTAMP) AS uts FROM events)
+    ORDER BY event_id
+    """,
+    tags=("functions", "datetime"),
+)
+def func_datetime_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time family (/root/reference/src/Functions/toYear.cpp,
+    DateTimeTransforms.h, date_trunc.cpp, addDays.cpp, dateDiff.cpp).
+    toDayOfWeek is ClickHouse ISO (Mon=1..Sun=7)."""
+    ev = t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        ch("toYear", F.col("ts")).alias("y"),
+        ch("toMonth", F.col("ts")).alias("mo"),
+        ch("toDayOfMonth", F.col("ts")).alias("d"),
+        ch("toHour", F.col("ts")).alias("h"),
+        ch("toMinute", F.col("ts")).alias("mi"),
+        ch("toSecond", F.col("ts")).alias("s"),
+        ch("toDayOfWeek", F.col("ts")).alias("dow"),
+        ch("toStartOfMonth", F.col("ts")).alias("start_month"),
+        ch("toStartOfDay", F.col("ts")).alias("start_day"),
+        ch("toYYYYMM", F.col("ts")).alias("yyyymm"),
+        ch("dateDiff", "day", F.lit("2024-01-01").cast("date"), F.col("ts")).alias("days_since"),
+        ch("addDays", F.col("ts"), 3).alias("plus3d"),
+    ).orderBy("event_id")
+
+
+@register(
+    "func_string_family",
+    oracle="""
+    SELECT c_custkey,
+           length(c_name) AS len,
+           lower(c_name) AS lo, upper(c_name) AS up,
+           substring(c_name, 1, 8) AS sub8,
+           concat(c_name, '|', c_mktsegment) AS joined,
+           instr(c_name, '#') AS pos_hash,
+           starts_with(c_name, 'Customer') AS is_cust,
+           reverse(c_name) AS rev,
+           repeat(c_mktsegment, 2) AS seg2,
+           lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded,
+           levenshtein(c_mktsegment, 'BUILDING') AS lev,
+           replace(c_name, 'Customer', 'C') AS replaced,
+           string_split(c_name, '#')[2] AS after_hash
+    FROM customer
+    ORDER BY c_custkey
+    """,
+    tags=("functions", "string"),
+)
+def func_string_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String family (/root/reference/src/Functions/substring.cpp,
+    concat.cpp, position.cpp, FunctionsStringDistance.cpp)."""
+    c = t(spark, sf_dir, "customer")
+    name = F.col("c_name")
+    return c.select(
+        "c_custkey",
+        ch("length", name).alias("len"),
+        ch("lower", name).alias("lo"),
+        ch("upper", name).alias("up"),
+        ch("substring", name, 1, 8).alias("sub8"),
+        ch("concat", name, F.lit("|"), F.col("c_mktsegment")).alias("joined"),
+        ch("position", name, "#").alias("pos_hash"),
+        ch("startsWith", name, F.lit("Customer")).alias("is_cust"),
+        ch("reverse", name).alias("rev"),
+        ch("repeat", F.col("c_mktsegment"), 2).alias("seg2"),
+        ch("leftPad", F.col("c_custkey").cast("string"), 10, "0").alias("padded"),
+        ch("levenshteinDistance", F.col("c_mktsegment"), F.lit("BUILDING")).alias("lev"),
+        ch("replaceAll", name, F.lit("Customer"), F.lit("C")).alias("replaced"),
+        F.element_at(ch("splitByChar", "#", name), 2).alias("after_hash"),
+    ).orderBy("c_custkey")
+
+
+@register(
+    "func_math_family",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           exp(l_discount) AS e_disc,
+           sqrt(l_quantity) AS sq,
+           pow(l_quantity, 2) AS qty2,
+           abs(l_discount - 0.05) AS centered,
+           sign(l_discount - 0.05) AS sgn,
+           CAST(floor(l_extendedprice) AS BIGINT) AS flr,
+           CAST(ceil(l_extendedprice) AS BIGINT) AS cl,
+           round(l_extendedprice, 2) AS rnd2,
+           CAST(floor(l_orderkey / 7) AS BIGINT) AS idiv,
+           l_orderkey % 7 AS md,
+           l_orderkey & 255 AS band, l_orderkey | 16 AS bor,
+           xor(l_orderkey, 255) AS bxor,
+           greatest(l_quantity, 25.0) AS gr, least(l_quantity, 25.0) AS ls
+    FROM lineitem
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    bucket="heavy",
+    tags=("functions", "math"),
+)
+def func_math_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math family — IEEE-exact cross-engine (/root/reference/src/Functions/
+    exp.cpp, sqrt.cpp, pow.cpp, abs.cpp, FunctionsRound.h, bit ops)."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        ch("exp", F.col("l_discount")).alias("e_disc"),
+        # ln/cbrt omitted from the oracle gate: JVM vs libm differ in
+        # the last ulp (they stay in the dialect registry + unit tests).
+        ch("sqrt", F.col("l_quantity")).alias("sq"),
+        ch("pow", F.col("l_quantity"), F.lit(2.0)).alias("qty2"),
+        ch("abs", F.col("l_discount") - 0.05).alias("centered"),
+        ch("sign", F.col("l_discount") - 0.05).alias("sgn"),
+        ch("floor", F.col("l_extendedprice")).alias("flr"),
+        ch("ceil", F.col("l_extendedprice")).alias("cl"),
+        ch("round", F.col("l_extendedprice"), 2).alias("rnd2"),
+        ch("intDiv", F.col("l_orderkey"), F.lit(7)).alias("idiv"),
+        ch("modulo", F.col("l_orderkey"), F.lit(7)).alias("md"),
+        ch("bitAnd", F.col("l_orderkey"), F.lit(255)).alias("band"),
+        ch("bitOr", F.col("l_orderkey"), F.lit(16)).alias("bor"),
+        ch("bitXor", F.col("l_orderkey"), F.lit(255)).alias("bxor"),
+        ch("greatest", F.col("l_quantity"), F.lit(25.0)).alias("gr"),
+        ch("least", F.col("l_quantity"), F.lit(25.0)).alias("ls"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+@register(
+    "func_json_family",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int,
+           json_extract_string(props, '$.k') IS NOT NULL AS has_k,
+           json_extract_string(props, '$.missing') AS missing
+    FROM events
+    ORDER BY event_id
+    """,
+    tags=("functions", "json"),
+)
+def func_json_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON family (/root/reference/src/Functions/FunctionsJSON.cpp):
+    JSONExtract*/JSONHas over the events.props JSON text column."""
+    ev = t(spark, sf_dir, "events")
+    p = F.col("props")
+    return ev.select(
+        "event_id",
+        ch("JSONExtractString", p, "k").alias("k_str"),
+        ch("JSONExtractInt", p, "k").alias("k_int"),
+        ch("JSONHas", p, "k").alias("has_k"),
+        ch("JSONExtractString", p, "missing").alias("missing"),
+    ).orderBy("event_id")
+
+
+@register(
+    "func_hash_encoding_family",
+    oracle="""
+    SELECT c_custkey,
+           md5(c_name) AS md5_hex,
+           sha256(c_name) AS sha256_hex,
+           to_base64(c_name::BLOB) AS b64,
+           hex(c_name) AS hx,
+           length(md5(c_name)) AS md5_len
+    FROM customer
+    ORDER BY c_custkey
+    """,
+    tags=("functions", "hash"),
+)
+def func_hash_encoding_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Digest + encoding family (/root/reference/src/Functions/
+    FunctionsHashing.h, base64Encode.cpp, hex.cpp). md5/sha256/base64/hex
+    are byte-identical to the reference; the 64-bit hash family
+    (cityHash64 et al.) is capability-mapped to xxhash64 (values differ,
+    so it is exercised in unit tests, not the oracle gate)."""
+    c = t(spark, sf_dir, "customer")
+    name = F.col("c_name")
+    return c.select(
+        "c_custkey",
+        ch("MD5", name).alias("md5_hex"),
+        ch("SHA256", name).alias("sha256_hex"),
+        ch("base64Encode", name).alias("b64"),
+        ch("hex", name).alias("hx"),
+        F.length(ch("MD5", name)).alias("md5_len"),
+    ).orderBy("c_custkey")
+
+
+@register(
+    "func_conditional_null_family",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_quantity < 10 THEN 'low'
+                WHEN l_quantity < 30 THEN 'mid'
+                ELSE 'high' END AS qty_bucket,
+           CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS is_return,
+           nullif(l_returnflag, 'N') AS flag_or_null,
+           coalesce(nullif(l_returnflag, 'N'), 'none') AS flag_coalesced,
+           nullif(l_returnflag, 'N') IS NULL AS was_n
+    FROM lineitem
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    tags=("functions", "conditional"),
+)
+def func_conditional_null_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditionals + null handling (/root/reference/src/Functions/if.cpp,
+    multiIf.cpp, nullIf.cpp, coalesce.cpp)."""
+    li = t(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    flag = F.col("l_returnflag")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        ch("multiIf", q < 10, F.lit("low"), q < 30, F.lit("mid"), F.lit("high")).alias(
+            "qty_bucket"
+        ),
+        ch("if", flag == "R", F.lit(1), F.lit(0)).alias("is_return"),
+        ch("nullIf", flag, F.lit("N")).alias("flag_or_null"),
+        ch("coalesce", ch("nullIf", flag, F.lit("N")), F.lit("none")).alias("flag_coalesced"),
+        ch("isNull", ch("nullIf", flag, F.lit("N"))).alias("was_n"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+@register(
+    "func_url_family",
+    oracle="""
+    WITH urls AS (
+        SELECT doc_id,
+               'https://www.' || source || '.example.com/docs/' || doc_id
+                 || '?lang=' || lang || '&q=1#top' AS url
+        FROM documents
+    )
+    SELECT doc_id,
+           'https' AS proto,
+           regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+           regexp_extract(url, '^[a-z]+://[^/?#]+(/[^?#]*)', 1) AS pth,
+           regexp_extract(url, '\\?([^#]*)', 1) AS qs,
+           regexp_extract(url, '#(.*)$', 1) AS frag,
+           regexp_extract(url, '[?&]lang=([^&#]*)', 1) AS lang_param,
+           regexp_replace(regexp_extract(url, '^[a-z]+://([^/?#]+)', 1),
+                          '^www\\.', '') AS no_www,
+           'com' AS tld
+    FROM urls
+    ORDER BY doc_id
+    """,
+    tags=("functions", "url"),
+)
+def func_url_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL family (/root/reference/src/Functions/URL/): protocol, domain,
+    path, queryString, fragment, extractURLParameter, cutWWW,
+    topLevelDomain — over synthesized URLs."""
+    docs = t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://www."),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+        F.lit("&q=1#top"),
+    )
+    d = docs.select("doc_id", url.alias("url"))
+    u = F.col("url")
+    return d.select(
+        "doc_id",
+        ch("protocol", u).alias("proto"),
+        ch("domain", u).alias("host"),
+        ch("path", u).alias("pth"),
+        ch("queryString", u).alias("qs"),
+        ch("fragment", u).alias("frag"),
+        ch("extractURLParameter", u, "lang").alias("lang_param"),
+        ch("cutWWW", u).alias("no_www"),
+        ch("topLevelDomain", u).alias("tld"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "func_array_family",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+    SELECT doc_id,
+           len(l) AS n_tokens,
+           len(list_distinct(l)) AS n_uniq,
+           list_contains(l, 'data') AS has_data,
+           l[1] AS first_token,
+           array_to_string(list_sort(list_distinct(l[1:5])), ',') AS sorted_first5,
+           list_aggregate(list_transform(l, x -> length(x)), 'sum') AS sum_len,
+           list_aggregate(list_filter(l, x -> length(x) > 4),
+                          'count') AS n_long
+    FROM toks
+    ORDER BY doc_id
+    """,
+    tags=("functions", "array"),
+)
+def func_array_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array family incl. HOFs (/root/reference/src/Functions/array/:
+    arrayMap.cpp, arrayFilter, arrayDistinct, arraySort, arraySlice...)
+    — all native Spark HOFs, zero Python."""
+    docs = t(spark, sf_dir, "documents")
+    d = docs.select("doc_id", ch("splitByChar", " ", F.col("text")).alias("l"))
+    arr = F.col("l")
+    return d.select(
+        "doc_id",
+        F.size(arr).cast("bigint").alias("n_tokens"),
+        ch("arrayUniq", arr).alias("n_uniq"),
+        ch("has", arr, "data").alias("has_data"),
+        ch("arrayElement", arr, 1).alias("first_token"),
+        ch("arrayStringConcat", ch("arraySort", ch("arrayDistinct", ch("arraySlice", arr, 1, 5))), ",").alias(
+            "sorted_first5"
+        ),
+        F.aggregate(
+            F.transform(arr, lambda x: F.length(x).cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("sum_len"),
+        F.size(ch("arrayFilter", lambda x: F.length(x) > 4, arr)).cast("bigint").alias("n_long"),
+    ).orderBy("doc_id")
