@@ -1,0 +1,152 @@
+"""ClickHouse aggregate-function dialect (SURVEY §2.4).
+
+Reference: ~150 aggregate names + combinators registered in
+/root/reference/src/AggregateFunctions/registerAggregateFunctions.cpp
+(:117-218). This module maps them onto Spark aggregate expressions.
+Combinators (-If, -Distinct, -Array) are exposed as higher-order
+helpers (`agg_if`, ...), matching the reference's combinator factory
+(registerAggregateFunctions.cpp:207-218) without string magic.
+
+Determinism note: the `d*` variants in statistics.py are the oracle-
+exact versions (decimal accumulation); the natives registered here
+(F.var_samp, F.skewness, ...) are the production fast path.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from clickhouse_25_5_3_75_stable_spark.functions.numeric import davg, dsum
+
+CH_AGGREGATES: dict[str, Callable[..., Column]] = {}
+
+
+def _reg(*names: str):
+    def deco(fn: Callable[..., Column]):
+        for n in names:
+            CH_AGGREGATES[n.lower()] = fn
+        return fn
+
+    return deco
+
+
+def ch_agg(name: str, *args) -> Column:
+    try:
+        fn = CH_AGGREGATES[name.lower()]
+    except KeyError:
+        raise KeyError(f"ClickHouse aggregate {name!r} not implemented") from None
+    return fn(*args)
+
+
+def supported_aggregates() -> list[str]:
+    return sorted(CH_AGGREGATES)
+
+
+def _c(x) -> Column:
+    return x if isinstance(x, Column) else F.col(x)
+
+
+# --- standard (registerAggregateFunctions.cpp:117-119,149-153,161-162) ----
+_reg("count")(lambda c=None: F.count(_c(c)) if c is not None else F.count(F.lit(1)))
+_reg("sum")(lambda c: F.sum(_c(c)))
+_reg("sumExact")(lambda c: dsum(_c(c)))
+_reg("avg")(lambda c: F.avg(_c(c)))
+_reg("avgExact")(lambda c: davg(_c(c)))
+_reg("min")(lambda c: F.min(_c(c)))
+_reg("max")(lambda c: F.max(_c(c)))
+_reg("any")(lambda c: F.first(_c(c), ignorenulls=True))
+_reg("anyLast")(lambda c: F.last(_c(c), ignorenulls=True))
+_reg("argMin")(lambda c, by: F.min_by(_c(c), _c(by)))
+_reg("argMax")(lambda c, by: F.max_by(_c(c), _c(by)))
+_reg("avgWeighted")(
+    lambda x, w: F.sum((_c(x) * _c(w)).cast("decimal(25,6)")).cast("double")
+    / F.sum(_c(w).cast("decimal(25,6)")).cast("double")
+)
+_reg("sumCount")(lambda c: F.struct(dsum(_c(c)).alias("sum"), F.count(_c(c)).alias("count")))
+
+# --- approximate / distinct (:129-145,164-166) ----------------------------
+_reg("uniq", "uniqCombined", "uniqCombined64", "uniqHLL12")(
+    lambda c: F.approx_count_distinct(_c(c))
+)
+_reg("uniqExact")(lambda c: F.count_distinct(_c(c)))
+_reg("quantileExact", "medianExact")(lambda c, q=0.5: F.percentile(_c(c), F.lit(q)))
+_reg(
+    "quantile",
+    "median",
+    "quantileTiming",
+    "quantileTDigest",
+    "quantileBFloat16",
+    "quantileDD",
+    "quantileGK",
+)(lambda c, q=0.5: F.percentile_approx(_c(c), F.lit(q), F.lit(10000)))
+_reg("quantilesExact")(lambda c, *qs: F.percentile(_c(c), F.array(*[F.lit(q) for q in qs])))
+
+# --- statistics natives (:154-160); oracle-exact versions in statistics.py
+_reg("varSamp")(lambda c: F.var_samp(_c(c)))
+_reg("varPop")(lambda c: F.var_pop(_c(c)))
+_reg("stddevSamp")(lambda c: F.stddev_samp(_c(c)))
+_reg("stddevPop")(lambda c: F.stddev_pop(_c(c)))
+_reg("covarSamp")(lambda a, b: F.covar_samp(_c(a), _c(b)))
+_reg("covarPop")(lambda a, b: F.covar_pop(_c(a), _c(b)))
+_reg("corr")(lambda a, b: F.corr(_c(a), _c(b)))
+_reg("skewSamp", "skewPop")(lambda c: F.skewness(_c(c)))
+_reg("kurtSamp", "kurtPop")(lambda c: F.kurtosis(_c(c)))
+
+# --- arrays / containers (:123-128,163,173,180) ---------------------------
+_reg("groupArray")(lambda c: F.collect_list(_c(c)))
+_reg("groupArraySorted")(lambda c: F.array_sort(F.collect_list(_c(c))))
+_reg("groupUniqArray")(lambda c: F.collect_set(_c(c)))
+_reg("groupConcat")(lambda c, sep=",": F.array_join(F.array_sort(F.collect_list(_c(c))), sep))
+_reg("groupBitAnd")(lambda c: F.bit_and(_c(c)))
+_reg("groupBitOr")(lambda c: F.bit_or(_c(c)))
+_reg("groupBitXor")(lambda c: F.bit_xor(_c(c)))
+_reg("boolAnd", "groupBoolAnd")(lambda c: F.bool_and(_c(c)))
+_reg("boolOr", "groupBoolOr")(lambda c: F.bool_or(_c(c)))
+
+
+# --- combinators (registerAggregateFunctions.cpp:207-218) -----------------
+def agg_if(agg: Callable[[Column], Column], col: Column | str, cond: Column) -> Column:
+    """-If combinator: aggregate only rows where cond holds."""
+    return agg(F.when(cond, _c(col)))
+
+
+def count_if(cond: Column) -> Column:
+    return F.count(F.when(cond, F.lit(1)))
+
+
+def sum_if(col: Column | str, cond: Column) -> Column:
+    """sumIf with exact decimal accumulation (oracle-stable)."""
+    return F.sum(F.when(cond, _c(col)).cast("decimal(25,6)")).cast("double")
+
+
+def avg_if(col: Column | str, cond: Column) -> Column:
+    guarded = F.when(cond, _c(col))
+    return F.sum(guarded.cast("decimal(25,6)")).cast("double") / F.count(guarded).cast("double")
+
+
+_reg("countIf")(count_if)
+_reg("sumIf")(sum_if)
+_reg("avgIf")(avg_if)
+_reg("minIf")(lambda c, cond: F.min(F.when(cond, _c(c))))
+_reg("maxIf")(lambda c, cond: F.max(F.when(cond, _c(c))))
+_reg("uniqExactIf")(lambda c, cond: F.count_distinct(F.when(cond, _c(c))))
+_reg("sumDistinct")(lambda c: F.sum_distinct(_c(c)))
+
+
+# --- other (:120-122,148,169-199) -----------------------------------------
+def delta_sum(col: Column) -> Column:
+    """deltaSum needs an ordering → implemented as a window composition;
+    see queries.agg_delta_sum (reference AggregateFunctionDeltaSum.h
+    sums positive deltas of consecutive values)."""
+    raise NotImplementedError("use window composition: sum(greatest(x - lag(x), 0))")
+
+
+def entropy(count_col: Column) -> Column:
+    """Shannon entropy from per-value counts; compose over a counted
+    subquery (reference AggregateFunctionEntropy.h)."""
+    n = F.sum(count_col)
+    plogp = F.sum(count_col * F.log(count_col))
+    return F.log(n) - plogp / n

@@ -18,6 +18,12 @@ sum is exact (order-independent), and decimal->double is IEEE-defined —
 so both engines emit bitwise-identical doubles. At 100 TB scale decimal
 aggregation is still a single-pass partial/final hash agg; cost is ~2x
 a raw double sum, paid only where oracle-exactness matters.
+
+Decimal->double caveat: the JVM converts via BigDecimal.doubleValue()
+(correctly rounded), while DuckDB divides the int128 payload by 10^scale
+in double (two roundings -> occasionally 1 ulp off). The oracle SQL
+therefore routes the final cast through VARCHAR — exact digits, then a
+correctly-rounded strtod — which matches the JVM bitwise.
 """
 
 from __future__ import annotations
@@ -44,14 +50,19 @@ def davg(col: Column | str, alias: str | None = None) -> Column:
     return out.alias(alias) if alias else out
 
 
+def dec_to_double_sql(expr: str) -> str:
+    """Decimal->double in DuckDB, bitwise-matching the JVM (via VARCHAR)."""
+    return f"CAST(CAST(({expr}) AS STRING) AS DOUBLE)"
+
+
 def dsum_sql(expr: str, alias: str) -> str:
     """DuckDB-side spelling of :func:`dsum` (identical semantics)."""
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(25,6))) AS DOUBLE) AS {alias}"
+    return f"{dec_to_double_sql(f'SUM(CAST({expr} AS DECIMAL(25,6)))')} AS {alias}"
 
 
 def davg_sql(expr: str, alias: str) -> str:
     """DuckDB-side spelling of :func:`davg`."""
     return (
-        f"CAST(SUM(CAST({expr} AS DECIMAL(25,6))) AS DOUBLE)"
+        f"{dec_to_double_sql(f'SUM(CAST({expr} AS DECIMAL(25,6)))')}"
         f" / CAST(COUNT({expr}) AS DOUBLE) AS {alias}"
     )

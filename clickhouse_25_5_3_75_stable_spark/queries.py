@@ -675,9 +675,9 @@ def setop_union_distinct_event_types(spark: SparkSession, sf_dir: str) -> DataFr
     "window_running_revenue_per_customer",
     oracle="""
     SELECT o_custkey, o_orderkey,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) OVER (
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) OVER (
                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS STRING) AS DOUBLE)
              AS running_rev
     FROM orders
     ORDER BY o_custkey, o_orderkey
@@ -1159,3 +1159,244 @@ def func_array_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sum_len"),
         F.size(ch("arrayFilter", lambda x: F.length(x) > 4, arr)).cast("bigint").alias("n_long"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# §2.4 aggregate-function families (statistics, quantiles, uniq/-If
+# combinators, group arrays, argMin/argMax, deltaSum).
+# ---------------------------------------------------------------------------
+
+from clickhouse_25_5_3_75_stable_spark.functions.aggregates import (  # noqa: E402
+    avg_if,
+    count_if,
+    sum_if,
+)
+from clickhouse_25_5_3_75_stable_spark.functions.statistics import (  # noqa: E402
+    dcorr,
+    dcorr_sql,
+    dcovar_samp,
+    dcovar_samp_sql,
+    dlinreg_slope,
+    dlinreg_slope_sql,
+    dstddev_samp,
+    dstddev_samp_sql,
+    dvar_pop,
+    dvar_pop_sql,
+    dvar_samp,
+    dvar_samp_sql,
+)
+
+
+@register(
+    "agg_stats_family",
+    oracle=f"""
+    SELECT l_returnflag,
+           {dvar_samp_sql('l_quantity', 'var_s')},
+           {dvar_pop_sql('l_quantity', 'var_p')},
+           {dstddev_samp_sql('l_quantity', 'std_s')},
+           {dcovar_samp_sql('l_quantity', 'l_extendedprice', 'cov_s')},
+           {dcorr_sql('l_quantity', 'l_extendedprice', 'r')},
+           {dlinreg_slope_sql('l_quantity', 'l_extendedprice', 'slope')}
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("agg", "stats"),
+)
+def agg_stats_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistics family (/root/reference/src/AggregateFunctions/
+    registerAggregateFunctions.cpp:154-160) — deterministic decimal-
+    moment implementations (functions/statistics.py) so both engines
+    agree bitwise; F.var_samp et al. remain the production natives."""
+    li = t(spark, sf_dir, "lineitem")
+    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            dvar_samp(q, "var_s"),
+            dvar_pop(q, "var_p"),
+            dstddev_samp(q, "std_s"),
+            dcovar_samp(q, p, "cov_s"),
+            dcorr(q, p, "r"),
+            dlinreg_slope(q, p, "slope"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "agg_quantiles_exact",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.25) AS q25,
+           quantile_cont(l_quantity, 0.5)  AS q50,
+           quantile_cont(l_quantity, 0.75) AS q75,
+           quantile_cont(l_quantity, 0.9)  AS q90,
+           min(l_quantity) AS qmin, max(l_quantity) AS qmax
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("agg", "quantile"),
+)
+def agg_quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """quantileExact family (/root/reference/src/AggregateFunctions/
+    registerAggregateFunctions.cpp:129-145): exact interpolated
+    percentiles. The approx family (quantileTDigest et al.) maps to
+    percentile_approx (sketch-based, engine-specific -> unit tests)."""
+    li = t(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile(q, F.lit(0.25)).alias("q25"),
+            F.percentile(q, F.lit(0.5)).alias("q50"),
+            F.percentile(q, F.lit(0.75)).alias("q75"),
+            F.percentile(q, F.lit(0.9)).alias("q90"),
+            F.min(q).alias("qmin"),
+            F.max(q).alias("qmax"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "agg_uniq_and_if_combinators",
+    oracle=f"""
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS uniq_cust,
+           COUNT(*) AS n,
+           COUNT(CASE WHEN o_totalprice > 100000 THEN 1 END) AS n_big,
+           {dsum_sql("CASE WHEN o_orderstatus = 'F' THEN o_totalprice END", "sum_f")},
+           CAST(CAST(SUM(CAST(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END
+                         AS DECIMAL(25,6))) AS STRING) AS DOUBLE)
+             / CAST(COUNT(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END) AS DOUBLE)
+             AS avg_o,
+           min(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END) AS min_f,
+           arg_max(o_custkey, o_orderkey) AS last_cust
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("agg", "combinators"),
+)
+def agg_uniq_and_if_combinators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """uniqExact + -If combinators + argMax
+    (/root/reference/src/AggregateFunctions/registerAggregateFunctions.cpp:
+    164-166 uniq*, :207-218 combinators, :161-162 argMin/argMax).
+    argMax keyed by the unique o_orderkey for cross-engine determinism."""
+    orders = t(spark, sf_dir, "orders")
+    price, status = F.col("o_totalprice"), F.col("o_orderstatus")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.count_distinct(F.col("o_custkey")).alias("uniq_cust"),
+            F.count(F.lit(1)).alias("n"),
+            count_if(price > 100000).alias("n_big"),
+            sum_if(price, status == "F").alias("sum_f"),
+            avg_if(price, status == "O").alias("avg_o"),
+            F.min(F.when(status == "F", price)).alias("min_f"),
+            F.max_by(F.col("o_custkey"), F.col("o_orderkey")).alias("last_cust"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "agg_group_arrays",
+    oracle="""
+    SELECT user_id,
+           array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types,
+           len(list(DISTINCT event_type)) AS n_types,
+           arg_min(event_id, event_id) AS first_event,
+           arg_max(event_id, event_id) AS last_event,
+           array_to_string(list_transform(list_sort(list(event_id)), x -> CAST(x AS VARCHAR)), ',') AS all_events
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    tags=("agg", "group_array"),
+)
+def agg_group_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupArray / groupUniqArray / groupArraySorted
+    (/root/reference/src/AggregateFunctions/registerAggregateFunctions.cpp:
+    123-128) — emitted as sorted joined strings so the value-hash is
+    order-insensitive."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias("types"),
+            F.size(F.collect_set("event_type")).cast("bigint").alias("n_types"),
+            F.min("event_id").alias("first_event"),
+            F.max("event_id").alias("last_event"),
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list("event_id")), lambda x: x.cast("string")),
+                ",",
+            ).alias("all_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "agg_delta_sum_per_user",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, value,
+               lag(value) OVER (PARTITION BY user_id
+                                ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev
+        FROM events
+    )
+    SELECT user_id,
+           CAST(CAST(SUM(CAST(greatest(value - prev, 0.0) AS DECIMAL(25,6))) AS STRING) AS DOUBLE)
+             AS delta_sum
+    FROM ordered WHERE prev IS NOT NULL
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    tags=("agg", "delta_sum"),
+)
+def agg_delta_sum_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """deltaSum (/root/reference/src/AggregateFunctions/
+    AggregateFunctionDeltaSum.h): sum of positive deltas of consecutive
+    values in time order — window lag + exact sum."""
+    ev = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    with_prev = ev.withColumn("prev", F.lag("value").over(w)).filter(F.col("prev").isNotNull())
+    delta = F.greatest(F.col("value") - F.col("prev"), F.lit(0.0))
+    return (
+        with_prev.groupBy("user_id")
+        .agg(F.sum(delta.cast("decimal(25,6)")).cast("double").alias("delta_sum"))
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "agg_sum_map_props",
+    oracle="""
+    SELECT event_type,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS sum_value,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY event_type, k_bucket
+    ORDER BY event_type, k_bucket
+    """,
+    tags=("agg", "sum_map"),
+)
+def agg_sum_map_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sumMap semantics (/root/reference/src/AggregateFunctions/
+    AggregateFunctionSumMap.h): per-key sums of a keyed value — the
+    scale-correct Spark shape is explode/extract + two-key groupBy
+    (map-side combinable), not a map-typed accumulator."""
+    ev = t(spark, sf_dir, "events")
+    k_bucket = (F.get_json_object("props", "$.k").cast("bigint") % 10).alias("k_bucket")
+    return (
+        ev.groupBy("event_type", k_bucket)
+        .agg(
+            F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias("sum_value"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type", "k_bucket")
+    )
