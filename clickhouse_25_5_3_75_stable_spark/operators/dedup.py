@@ -1,0 +1,196 @@
+"""Deduplication operators for LLM-data pipelines (BASELINE.json
+north-star; reference near-dup surface: ngramMinHash*/wordShingleMinHash*/
+ngramSimHash* at /root/reference/src/Functions/FunctionsStringHash.cpp:587-632).
+
+Four tiers, all native Spark expressions (no Python in the hot path):
+
+- exact:      md5(text) groupBy — one shuffle on the digest.
+- minhash:    k salted-hash minima over word shingles -> signature;
+              LSH banding -> candidate pairs with one equi-join shuffle
+              on (band_id, band_key). THE scale path: at 100 TB the
+              band join moves O(n·bands) small rows, never O(n²).
+- simhash:    48-bit sign-aggregated token-hash fingerprint; near-dups
+              have small hamming distance.
+- jaccard:    exact n-gram Jaccard on shingle-blocked pairs — complete
+              (no false negatives for J > 0) but the blocking join can
+              multiply rows; use at audit scale or behind minhash.
+
+Portability: hashes derive from md5 (text.portable_hash64) so DuckDB
+reproduces every value — see that module's docstring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from clickhouse_25_5_3_75_stable_spark.operators.text import (
+    portable_hash64,
+    portable_hash64_sql,
+    tokens,
+    tokens_sql,
+    word_shingles,
+    word_shingles_sql,
+)
+
+# --------------------------------------------------------------------------
+# MinHash signatures + LSH banding
+# --------------------------------------------------------------------------
+
+
+def minhash_signature(col: Column, num_hashes: int = 8) -> Column:
+    """Array of `num_hashes` minima of salted portable hashes over the
+    doc's word shingles. Salting (hash of "j:shingle") replaces the
+    classic (a*h+b) mod p family — same independence, no 64-bit
+    overflow, and bit-identical in any engine with md5."""
+    sh = word_shingles(col)
+
+    def salted_min(j: int) -> Column:
+        # NB: the lambda must stay unary — PySpark reads a second
+        # parameter as "element index" and would bind it over j.
+        salt = F.lit(f"{j}:")
+        return F.array_min(F.transform(sh, lambda x: portable_hash64(F.concat(salt, x))))
+
+    return F.array(*[salted_min(j) for j in range(num_hashes)])
+
+
+def minhash_signature_sql(expr: str, num_hashes: int = 8) -> str:
+    sh = word_shingles_sql(expr)
+    mins = []
+    for j in range(num_hashes):
+        salted = portable_hash64_sql(f"'{j}:' || x")
+        mins.append(f"list_min(list_transform({sh}, x -> {salted}))")
+    return "[" + ", ".join(mins) + "]"
+
+
+def lsh_band_keys(sig: Column, bands: int, rows_per_band: int) -> Column:
+    """Array of (band_id, band_key) structs: band_key is the md5 of the
+    joined signature slice — docs agreeing on any full band collide."""
+    entries = []
+    for b in range(bands):
+        sl = F.slice(sig, b * rows_per_band + 1, rows_per_band)
+        key = F.md5(F.concat_ws(",", F.transform(sl, lambda x: x.cast("string"))))
+        entries.append(F.struct(F.lit(b).alias("band"), key.alias("key")))
+    return F.array(*entries)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) sharing >= 1 LSH band.
+
+    One explode + one equi-join shuffle on (band, key); at 1000
+    executors this is the shape that survives — the exact-Jaccard
+    verify join afterwards only touches candidates."""
+    rows_per_band = num_hashes // bands
+    sig = docs.select(
+        F.col(id_col).alias("doc"),
+        minhash_signature(F.col(text_col), num_hashes).alias("sig"),
+    )
+    banded = sig.select(
+        "doc", F.explode(lsh_band_keys(F.col("sig"), bands, rows_per_band)).alias("bk")
+    ).select("doc", "bk.band", "bk.key")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .distinct()
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact n-gram / shingle Jaccard via shingle blocking
+# --------------------------------------------------------------------------
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """All pairs with shingle-Jaccard >= threshold. Complete for J > 0:
+    blocking on shared shingles cannot miss an overlapping pair. The
+    explode join is O(sum shingle-frequency²) — fine where shingles are
+    near-unique; put minhash banding in front when they are not."""
+    sh = docs.select(
+        F.col(id_col).alias("doc"),
+        word_shingles(F.col(text_col), shingle_k).alias("shingles"),
+    ).withColumn("n_sh", F.size("shingles"))
+    exploded = sh.select("doc", "n_sh", F.explode("shingles").alias("shingle"))
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    shared = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(
+            F.col("a.doc").alias("id_a"),
+            F.col("b.doc").alias("id_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    jac = F.col("n_shared").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_shared")
+    ).cast("double")
+    return shared.select("id_a", "id_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash (48-bit, sign-aggregated token hashes)
+# --------------------------------------------------------------------------
+
+SIMHASH_BITS = 48
+
+
+def simhash(col: Column, bits: int = SIMHASH_BITS) -> Column:
+    """48-bit simhash over whitespace tokens (with multiplicity).
+    Bit i is set when Σ_tokens (2·bit_i(h64(token)) − 1) > 0.
+    Pure expression — wide but single-pass, no explode."""
+    hashes = F.transform(tokens(col), lambda x: portable_hash64(x))
+
+    def bit_vote(i: int) -> Column:
+        # unary+acc lambda only — see salted_min note on PySpark arity
+        return F.aggregate(
+            hashes,
+            F.lit(0).cast("bigint"),
+            lambda acc, h: acc + (F.shiftright(h, i).bitwiseAND(F.lit(1)) * 2 - 1).cast("bigint"),
+        )
+
+    out = F.lit(0).cast("bigint")
+    for i in range(bits):
+        out = out + F.when(bit_vote(i) > 0, F.lit(1 << i).cast("bigint")).otherwise(F.lit(0))
+    return out
+
+
+def simhash_sql(expr: str, bits: int = SIMHASH_BITS) -> str:
+    toks = tokens_sql(expr)
+    h = portable_hash64_sql("x")
+    hashes = f"list_transform({toks}, x -> {h})"
+    terms = []
+    for i in range(bits):
+        vote = (
+            f"list_aggregate(list_transform({hashes},"
+            f" h -> ((h >> {i}) & 1) * 2 - 1), 'sum')"
+        )
+        terms.append(f"CASE WHEN {vote} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END")
+    return "(" + " + ".join(terms) + ")"
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two int64 fingerprints (popcount of
+    xor via bit_count)."""
+    return F.bit_count(a.bitwiseXOR(b))

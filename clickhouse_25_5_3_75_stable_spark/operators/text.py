@@ -1,0 +1,279 @@
+"""Text-analysis operators for LLM-data pipelines (SURVEY §2.8
+"Text/LLM-pipeline ops"; BASELINE.json north-star).
+
+Reference surface: tokens/ngrams (/root/reference/src/Functions/tokens.cpp,
+ngrams.cpp), language detection
+(/root/reference/src/Functions/FunctionsLanguageClassification.cpp),
+string hashes for near-dup
+(/root/reference/src/Functions/FunctionsStringHash.cpp:587-632).
+
+Everything here is native Spark column expressions (JVM-side, inside
+whole-stage codegen) — no Python UDFs in the hot path. The one
+engine-portability trick: a 60-bit integer hash derived from md5
+(`portable_hash64`), which DuckDB reproduces bit-for-bit, so every
+hash-derived operator (minhash, simhash, fingerprints) is
+oracle-checkable. At 100 TB the md5 is ~2× slower than xxhash64; the
+registry also exposes `fast_hash64` (xxhash64) as the production
+default — same operator shape, engine-specific values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# --------------------------------------------------------------------------
+# Hash primitives
+# --------------------------------------------------------------------------
+
+
+def portable_hash64(col: Column) -> Column:
+    """60-bit integer hash from the md5 hex prefix; identical in any
+    engine with md5 (DuckDB spelling:
+    ``('0x' || substr(md5(x),1,15))::BIGINT``)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def portable_hash64_sql(expr: str) -> str:
+    """DuckDB spelling of :func:`portable_hash64`."""
+    return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+def fast_hash64(col: Column) -> Column:
+    """Production 64-bit hash (xxhash64, JVM-native); values are
+    engine-specific — use for real runs, portable_hash64 for oracles."""
+    return F.xxhash64(col)
+
+
+# --------------------------------------------------------------------------
+# Tokenization (reference: tokens.cpp — splits on non-alphanumeric)
+# --------------------------------------------------------------------------
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens, empties dropped."""
+    return F.filter(F.split(col, r"\s+"), lambda x: x != "")
+
+
+def tokens_sql(expr: str) -> str:
+    return f"list_filter(regexp_split_to_array({expr}, '\\s+'), x -> x <> '')"
+
+
+def word_shingles(col: Column, k: int = 3) -> Column:
+    """Distinct k-token shingles (space-joined strings).
+
+    Reference: wordShingleMinHash*
+    (/root/reference/src/Functions/FunctionsStringHash.cpp:587-632)
+    hashes word shingles exactly like this before min-hashing.
+    """
+    toks = tokens(col)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
+    return F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        )
+    )
+
+
+def word_shingles_sql(expr: str, k: int = 3) -> str:
+    toks = tokens_sql(expr)
+    return (
+        f"list_distinct(list_transform("
+        f"range(1, greatest(len({toks}) - {k - 1}, 0) + 1),"
+        f" i -> array_to_string(list_slice({toks}, i, i + {k - 1}), ' ')))"
+    )
+
+
+def char_ngrams(col: Column, n: int = 4) -> Column:
+    """Distinct character n-grams (reference: ngrams.cpp)."""
+    s = F.lower(col)
+    idx = F.sequence(F.lit(1), F.greatest(F.length(s) - (n - 1), F.lit(0)))
+    return F.array_distinct(F.transform(idx, lambda i: F.substring(s, i, F.lit(n))))
+
+
+def char_ngrams_sql(expr: str, n: int = 4) -> str:
+    return (
+        f"list_distinct(list_transform("
+        f"range(1, greatest(length(lower({expr})) - {n - 1}, 0) + 1),"
+        f" i -> substr(lower({expr}), i, {n})))"
+    )
+
+
+# --------------------------------------------------------------------------
+# Language ID (reference: FunctionsLanguageClassification.cpp uses
+# compact n-gram language models; here a stopword-ratio heuristic — the
+# same operator shape: text -> scored langs -> argmax)
+# --------------------------------------------------------------------------
+
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
+    "fr": ("le", "la", "de", "et", "un", "une", "est", "que", "pour", "dans"),
+    "es": ("el", "la", "de", "y", "un", "una", "es", "que", "por", "con"),
+    "de": ("der", "die", "das", "und", "ein", "eine", "ist", "zu", "für", "mit"),
+    "zh": ("的", "是", "了", "在", "和", "有", "我", "不", "这", "他"),
+}
+
+
+def _stopword_hits(toks: Column, words: tuple[str, ...]) -> Column:
+    wl = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda x: F.array_contains(wl, x))).cast("bigint")
+
+
+def lang_scores(col: Column) -> list[Column]:
+    """One stopword-hit count column per language, aliased score_<lang>."""
+    toks = tokens(F.lower(col))
+    return [_stopword_hits(toks, ws).alias(f"score_{lang}") for lang, ws in STOPWORDS.items()]
+
+
+def lang_id(col: Column) -> Column:
+    """argmax over language scores; ties break by language order, 'und'
+    when no stopword hits at all."""
+    toks = tokens(F.lower(col))
+    scores = [(lang, _stopword_hits(toks, ws)) for lang, ws in STOPWORDS.items()]
+    best_score = F.greatest(*[s for _, s in scores])
+    pick = F.lit("und")
+    # reverse order so earlier languages win ties
+    for lang, s in reversed(scores):
+        pick = F.when(s == best_score, F.lit(lang)).otherwise(pick)
+    return F.when(best_score > 0, pick).otherwise(F.lit("und"))
+
+
+def lang_id_sql(expr: str) -> str:
+    toks = f"list_filter(regexp_split_to_array(lower({expr}), '\\s+'), x -> x <> '')"
+    score = {
+        lang: f"len(list_filter({toks}, x -> list_contains({list(ws)!r}, x)))"
+        for lang, ws in STOPWORDS.items()
+    }
+    best = "greatest(" + ", ".join(score.values()) + ")"
+    pick = "'und'"
+    for lang, s in reversed(list(score.items())):
+        pick = f"CASE WHEN {s} = {best} THEN '{lang}' ELSE {pick} END"
+    return f"CASE WHEN {best} > 0 THEN {pick} ELSE 'und' END"
+
+
+# --------------------------------------------------------------------------
+# Quality scoring — length/punct/stopword ratios, the standard
+# pre-training corpus filters (C4/Gopher-style heuristics).
+# --------------------------------------------------------------------------
+
+
+def quality_features(col: Column) -> dict[str, Column]:
+    """Deterministic per-doc quality features; combine downstream."""
+    toks = tokens(col)
+    n_tok = F.size(toks).cast("bigint")
+    n_chars = F.length(col).cast("bigint")
+    mean_tok_len = F.when(
+        n_tok > 0,
+        (
+            F.aggregate(
+                toks, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x).cast("bigint")
+            ).cast("double")
+            / n_tok.cast("double")
+        ),
+    ).otherwise(F.lit(0.0))
+    stop_hits = _stopword_hits(F.transform(toks, F.lower), STOPWORDS["en"])
+    stop_ratio = F.when(n_tok > 0, stop_hits.cast("double") / n_tok.cast("double")).otherwise(
+        F.lit(0.0)
+    )
+    alnum = F.length(F.regexp_replace(col, r"[^a-zA-Z0-9 ]", "")).cast("bigint")
+    punct_ratio = F.when(
+        n_chars > 0, (n_chars - alnum).cast("double") / n_chars.cast("double")
+    ).otherwise(F.lit(0.0))
+    uniq_ratio = F.when(
+        n_tok > 0, F.size(F.array_distinct(toks)).cast("double") / n_tok.cast("double")
+    ).otherwise(F.lit(0.0))
+    return {
+        "n_tokens": n_tok,
+        "n_chars": n_chars,
+        "mean_token_len": mean_tok_len,
+        "stopword_ratio": stop_ratio,
+        "punct_ratio": punct_ratio,
+        "uniq_token_ratio": uniq_ratio,
+    }
+
+
+def quality_features_sql(expr: str) -> dict[str, str]:
+    toks = tokens_sql(expr)
+    n_tok = f"CAST(len({toks}) AS BIGINT)"
+    n_chars = f"CAST(length({expr}) AS BIGINT)"
+    sum_len = f"list_aggregate(list_transform({toks}, x -> CAST(length(x) AS BIGINT)), 'sum')"
+    stop = (
+        f"len(list_filter(list_transform({toks}, x -> lower(x)),"
+        f" x -> list_contains({list(STOPWORDS['en'])!r}, x)))"
+    )
+    alnum = f"CAST(length(regexp_replace({expr}, '[^a-zA-Z0-9 ]', '', 'g')) AS BIGINT)"
+    uniq = f"len(list_distinct({toks}))"
+    return {
+        "n_tokens": n_tok,
+        "n_chars": n_chars,
+        "mean_token_len": (
+            f"CASE WHEN {n_tok} > 0 THEN CAST({sum_len} AS DOUBLE) / CAST({n_tok} AS DOUBLE)"
+            f" ELSE 0.0 END"
+        ),
+        "stopword_ratio": (
+            f"CASE WHEN {n_tok} > 0 THEN CAST({stop} AS DOUBLE) / CAST({n_tok} AS DOUBLE)"
+            f" ELSE 0.0 END"
+        ),
+        "punct_ratio": (
+            f"CASE WHEN {n_chars} > 0 THEN CAST({n_chars} - {alnum} AS DOUBLE)"
+            f" / CAST({n_chars} AS DOUBLE) ELSE 0.0 END"
+        ),
+        "uniq_token_ratio": (
+            f"CASE WHEN {n_tok} > 0 THEN CAST({uniq} AS DOUBLE) / CAST({n_tok} AS DOUBLE)"
+            f" ELSE 0.0 END"
+        ),
+    }
+
+
+# --------------------------------------------------------------------------
+# Token counting — whitespace + a BPE-ish regex segmentation (letters /
+# digits / single punctuation), the usual cheap token estimator.
+# --------------------------------------------------------------------------
+
+_BPE_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+
+def token_counts(col: Column) -> dict[str, Column]:
+    return {
+        "ws_tokens": F.size(tokens(col)).cast("bigint"),
+        "bpeish_tokens": F.regexp_count(col, F.lit(_BPE_RE)).cast("bigint"),
+    }
+
+
+def token_counts_sql(expr: str) -> dict[str, str]:
+    return {
+        "ws_tokens": f"CAST(len({tokens_sql(expr)}) AS BIGINT)",
+        "bpeish_tokens": f"CAST(len(regexp_extract_all({expr}, '{_BPE_RE}')) AS BIGINT)",
+    }
+
+
+# --------------------------------------------------------------------------
+# Document fingerprint — polynomial rolling hash over token hashes
+# (order-sensitive, unlike minhash). 40-bit modulus keeps the
+# fold arithmetic inside int64 in both engines.
+# --------------------------------------------------------------------------
+
+_FP_MOD = 1 << 40
+
+
+def doc_fingerprint(col: Column) -> Column:
+    toks = tokens(col)
+    hashes = F.transform(toks, lambda x: portable_hash64(x))
+    return F.aggregate(
+        hashes,
+        F.lit(0).cast("bigint"),
+        lambda acc, h: (acc * 31 + h) % F.lit(_FP_MOD).cast("bigint"),
+    )
+
+
+def doc_fingerprint_sql(expr: str) -> str:
+    toks = tokens_sql(expr)
+    h = portable_hash64_sql("x")
+    # DuckDB list_reduce has no init accumulator -> prepend a zero.
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT),"
+        f" list_transform({toks}, x -> {h})),"
+        f" (acc, h) -> (acc * 31 + h) % {_FP_MOD})"
+    )

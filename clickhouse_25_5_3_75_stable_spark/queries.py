@@ -1400,3 +1400,11 @@ def agg_sum_map_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "k_bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# LLM-data-pipeline registry entries (dedup / similarity / text) —
+# registered on import; defined in queries_pipeline.py.
+# ---------------------------------------------------------------------------
+
+from clickhouse_25_5_3_75_stable_spark import queries_pipeline as _queries_pipeline  # noqa: E402,F401

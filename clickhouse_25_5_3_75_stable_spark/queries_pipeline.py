@@ -1,0 +1,289 @@
+"""Registry entries for the LLM-data-pipeline operators (BASELINE.json
+north-star: dedup, similarity search, text analysis) over the
+`documents` and `embeddings` tables.
+
+Imported by queries.py for its side effect of filling REGISTRY.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clickhouse_25_5_3_75_stable_spark.operators import dedup as D
+from clickhouse_25_5_3_75_stable_spark.operators import similarity as S
+from clickhouse_25_5_3_75_stable_spark.operators import text as T
+from clickhouse_25_5_3_75_stable_spark.queries import register, t
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+_QF_SQL = T.quality_features_sql("text")
+_TC_SQL = T.token_counts_sql("text")
+
+
+@register(
+    "text_quality_scores",
+    oracle=f"""
+    SELECT doc_id,
+           {_QF_SQL['n_tokens']} AS n_tokens,
+           {_QF_SQL['n_chars']} AS n_chars,
+           {_QF_SQL['mean_token_len']} AS mean_token_len,
+           {_QF_SQL['stopword_ratio']} AS stopword_ratio,
+           {_QF_SQL['punct_ratio']} AS punct_ratio,
+           {_QF_SQL['uniq_token_ratio']} AS uniq_token_ratio
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("text", "quality"),
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher-style quality features per document — all native
+    expressions (operators/text.py), single scan, no shuffle."""
+    docs = t(spark, sf_dir, "documents")
+    feats = T.quality_features(F.col("text"))
+    return docs.select(
+        "doc_id", *[c.alias(name) for name, c in feats.items()]
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_lang_id_counts",
+    oracle=f"""
+    SELECT lang, {T.lang_id_sql('text')} AS lang_pred, COUNT(*) AS n
+    FROM documents
+    GROUP BY lang, lang_pred
+    ORDER BY lang, lang_pred
+    """,
+    tags=("text", "lang_id"),
+)
+def text_lang_id_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-heuristic language ID (reference
+    FunctionsLanguageClassification.cpp) cross-tabbed against the
+    labeled lang column."""
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", T.lang_id(F.col("text")).alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "lang_pred")
+    )
+
+
+@register(
+    "text_token_counts",
+    oracle=f"""
+    SELECT doc_id,
+           {_TC_SQL['ws_tokens']} AS ws_tokens,
+           {_TC_SQL['bpeish_tokens']} AS bpeish_tokens,
+           {T.doc_fingerprint_sql('text')} AS fingerprint
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("text", "tokens", "fingerprint"),
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace + BPE-ish regex) and the rolling-hash
+    document fingerprint (reference tokens.cpp / FunctionsStringHash.cpp)."""
+    docs = t(spark, sf_dir, "documents")
+    tc = T.token_counts(F.col("text"))
+    return docs.select(
+        "doc_id",
+        tc["ws_tokens"].alias("ws_tokens"),
+        tc["bpeish_tokens"].alias("bpeish_tokens"),
+        T.doc_fingerprint(F.col("text")).alias("fingerprint"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact_groups",
+    oracle="""
+    SELECT md5(text) AS text_hash, COUNT(*) AS n_copies,
+           min(doc_id) AS keeper
+    FROM documents
+    GROUP BY md5(text)
+    ORDER BY text_hash
+    """,
+    tags=("dedup", "exact"),
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one shuffle on the content digest; keeper = min id.
+    At 100 TB: hash shuffle on md5 is uniform by construction — no skew."""
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5("text").alias("text_hash"))
+        .agg(F.count(F.lit(1)).alias("n_copies"), F.min("doc_id").alias("keeper"))
+        .orderBy("text_hash")
+    )
+
+
+@register(
+    "dedup_minhash_signatures",
+    oracle=f"""
+    SELECT doc_id, {D.minhash_signature_sql('text', 8)} AS sig
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("dedup", "minhash"),
+)
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-hash minhash signature over 3-token shingles (reference
+    wordShingleMinHash, FunctionsStringHash.cpp:587-632)."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", D.minhash_signature(F.col("text"), 8).alias("sig")
+    ).orderBy("doc_id")
+
+
+def _lsh_bands_sql(num_hashes: int, bands: int) -> list[str]:
+    rows = num_hashes // bands
+    sig = D.minhash_signature_sql("text", num_hashes)
+    out = []
+    for b in range(bands):
+        sl = f"list_slice({sig}, {b * rows + 1}, {b * rows + rows})"
+        out.append(f"md5(array_to_string({sl}, ','))")
+    return out
+
+
+@register(
+    "dedup_minhash_lsh_pairs",
+    oracle=f"""
+    WITH banded AS (
+        SELECT doc_id, band, key FROM (
+            SELECT doc_id,
+                   unnest(range(0, 4)) AS band,
+                   unnest([{', '.join(_lsh_bands_sql(8, 4))}]) AS key
+            FROM documents)
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    ORDER BY id_a, id_b
+    """,
+    bucket="heavy",
+    tags=("dedup", "minhash", "lsh"),
+)
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs: 8 hashes, 4 bands of 2. The band
+    equi-join is the 100 TB shape — O(n·bands) rows shuffled, never
+    O(n²)."""
+    docs = t(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=8, bands=4).orderBy(
+        "id_a", "id_b"
+    )
+
+
+@register(
+    "dedup_jaccard_pairs",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, {D.word_shingles_sql('text')} AS ss FROM documents
+    ), ex AS (
+        SELECT doc_id, len(ss) AS n, unnest(ss) AS s FROM sh
+    ), pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS n_a, b.n AS n_b,
+               COUNT(*) AS n_shared
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT id_a, id_b,
+           CAST(n_shared AS DOUBLE) / CAST(n_a + n_b - n_shared AS DOUBLE) AS jaccard
+    FROM pairs
+    WHERE CAST(n_shared AS DOUBLE) / CAST(n_a + n_b - n_shared AS DOUBLE) >= 0.05
+    ORDER BY id_a, id_b
+    """,
+    bucket="heavy",
+    tags=("dedup", "jaccard"),
+)
+def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shingle-Jaccard near-dup pairs (J >= 0.05) via shared-
+    shingle blocking — complete, the audit-grade dedup tier."""
+    docs = t(spark, sf_dir, "documents")
+    return D.jaccard_pairs(docs, "doc_id", "text", threshold=0.05).orderBy("id_a", "id_b")
+
+
+@register(
+    "dedup_simhash_fingerprints",
+    oracle=f"""
+    SELECT doc_id, {D.simhash_sql('text')} AS simhash
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("dedup", "simhash"),
+)
+def dedup_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """48-bit simhash per doc (reference ngramSimHash family);
+    near-dups = small hamming distance between fingerprints."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.select("doc_id", D.simhash(F.col("text")).alias("simhash")).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Embedding similarity
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_near_dup_pairs",
+    oracle=f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {S.cosine_similarity_sql('a.embedding', 'b.embedding')} AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {S.cosine_similarity_sql('a.embedding', 'b.embedding')} >= 0.4
+    ORDER BY id_a, id_b
+    """,
+    bucket="heavy",
+    tags=("similarity", "near_dup"),
+)
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup audit (O(n²) exact at test scale; the
+    scale path blocks by LSH bucket first — operators/similarity.py)."""
+    emb = t(spark, sf_dir, "embeddings")
+    return S.cosine_pairs(emb, threshold=0.4).orderBy("id_a", "id_b")
+
+
+@register(
+    "similarity_topk_bruteforce",
+    oracle=f"""
+    SELECT b.vec_id,
+           {S.cosine_similarity_sql('b.embedding', 'q.embedding')} AS cosine
+    FROM embeddings b CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+    WHERE b.vec_id <> 0
+    ORDER BY cosine DESC, b.vec_id
+    LIMIT 10
+    """,
+    tags=("similarity", "topk"),
+)
+def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 neighbours of vec 0: broadcast query vector +
+    TakeOrderedAndProject (no global sort). The ANN variant
+    (similarity_lsh_ann) buckets first."""
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0)
+    return S.cosine_topk(emb.filter(F.col("vec_id") != 0), q, k=10)
+
+
+# fixed random hyperplanes (seedless determinism: literals checked in)
+_PLANES = [
+    [((i * 2654435761 + d * 40503) % 1000 - 500) / 500.0 for d in range(64)]
+    for i in range(6)
+]
+
+
+@register(
+    "similarity_lsh_ann",
+    oracle=None,  # ANN: recall-checked against brute force in tests, not SQL
+    tags=("similarity", "ann", "lsh"),
+)
+def similarity_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH ANN top-10 for vec 0 — scores only the
+    query's bucket (≈ n/2^6 of the data); sublinear at 100 TB."""
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0)
+    return S.lsh_topk(emb.filter(F.col("vec_id") != 0), q, _PLANES, k=10)
