@@ -1408,3 +1408,4 @@ def agg_sum_map_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 from clickhouse_25_5_3_75_stable_spark import queries_pipeline as _queries_pipeline  # noqa: E402,F401
+from clickhouse_25_5_3_75_stable_spark import queries_behavioral as _queries_behavioral  # noqa: E402,F401
