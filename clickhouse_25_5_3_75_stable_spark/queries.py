@@ -1409,3 +1409,5 @@ def agg_sum_map_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from clickhouse_25_5_3_75_stable_spark import queries_pipeline as _queries_pipeline  # noqa: E402,F401
 from clickhouse_25_5_3_75_stable_spark import queries_behavioral as _queries_behavioral  # noqa: E402,F401
+from clickhouse_25_5_3_75_stable_spark import queries_multimodal as _queries_multimodal  # noqa: E402,F401
+from clickhouse_25_5_3_75_stable_spark import queries_streaming as _queries_streaming  # noqa: E402,F401

@@ -1,0 +1,107 @@
+"""Structured Streaming tests: the window_view builder must produce the
+same results under readStream (file source, availableNow trigger) as in
+batch, and session windows must equal a lag-gap SQL formulation."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from clickhouse_25_5_3_75_stable_spark.functions.numeric import dsum
+from clickhouse_25_5_3_75_stable_spark.sources.catalog import load_table
+from clickhouse_25_5_3_75_stable_spark.streaming.windows import window_view
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture()
+def events_stream_dir(spark):
+    """Events parquet re-written into two files (micro-batches)."""
+    d = tempfile.mkdtemp(prefix="stream_src_")
+    ev = load_table(spark, SF_SMOKE, "events")
+    ev.filter(F.col("event_id") % 2 == 0).write.mode("append").parquet(d)
+    ev.filter(F.col("event_id") % 2 == 1).write.mode("append").parquet(d)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_window_view_streaming_matches_batch(spark, events_stream_dir):
+    ev_batch = load_table(spark, SF_SMOKE, "events")
+    schema = ev_batch.schema
+    stream = spark.readStream.schema(schema).parquet(events_stream_dir)
+    assert stream.isStreaming
+
+    aggs = [F.count(F.lit(1)).alias("n"), dsum("value", "sum_value")]
+    q = (
+        window_view(
+            stream, ts="ts", size="1 hour", agg_exprs=aggs, group_cols=["event_type"],
+            watermark="1 hour",
+        )
+        .writeStream.format("memory")
+        .queryName("wv_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["window_start"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM wv_test").collect()
+    }
+    want = {
+        (r["window_start"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in window_view(
+            ev_batch, ts="ts", size="1 hour", agg_exprs=aggs, group_cols=["event_type"]
+        ).collect()
+    }
+    assert got == want
+
+
+def test_watermark_is_applied_to_streaming_plan(spark, events_stream_dir):
+    schema = load_table(spark, SF_SMOKE, "events").schema
+    stream = spark.readStream.schema(schema).parquet(events_stream_dir)
+    out = window_view(
+        stream, ts="ts", size="1 hour", agg_exprs=[F.count(F.lit(1)).alias("n")],
+        watermark="15 minutes",
+    )
+    # watermark must be in the logical plan (bounds state store growth)
+    assert "EventTimeWatermark" in out._jdf.queryExecution().logical().toString()
+
+
+def test_session_window_equals_lag_gap_formulation(spark):
+    """session_window(gap) boundaries == the classic lag-gap cumulative
+    session id computed with plain window functions."""
+    ev = load_table(spark, SF_SMOKE, "events")
+    sw = (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("s"),
+            "n",
+        )
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = ev.withColumn("prev_ts", F.lag("ts").over(w)).withColumn(
+        "new_session",
+        (
+            F.col("prev_ts").isNull()
+            | ((F.unix_micros("ts") - F.unix_micros("prev_ts")) >= 30 * 60 * 1_000_000)
+        ).cast("int"),
+    )
+    wc = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    sessions = (
+        lagged.withColumn("sid", F.sum("new_session").over(wc))
+        .groupBy("user_id", "sid")
+        .agg(F.min("ts").alias("s"), F.count(F.lit(1)).alias("n"))
+        .select("user_id", "s", "n")
+    )
+    got = sorted(tuple(r) for r in sw.collect())
+    want = sorted(tuple(r) for r in sessions.collect())
+    assert got == want
