@@ -1411,3 +1411,5 @@ from clickhouse_25_5_3_75_stable_spark import queries_pipeline as _queries_pipel
 from clickhouse_25_5_3_75_stable_spark import queries_behavioral as _queries_behavioral  # noqa: E402,F401
 from clickhouse_25_5_3_75_stable_spark import queries_multimodal as _queries_multimodal  # noqa: E402,F401
 from clickhouse_25_5_3_75_stable_spark import queries_streaming as _queries_streaming  # noqa: E402,F401
+from clickhouse_25_5_3_75_stable_spark import queries_mergetree as _queries_mergetree  # noqa: E402,F401
+from clickhouse_25_5_3_75_stable_spark import queries_tpch as _queries_tpch  # noqa: E402,F401
