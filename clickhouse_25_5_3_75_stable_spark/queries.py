@@ -1414,3 +1414,4 @@ from clickhouse_25_5_3_75_stable_spark import queries_streaming as _queries_stre
 from clickhouse_25_5_3_75_stable_spark import queries_mergetree as _queries_mergetree  # noqa: E402,F401
 from clickhouse_25_5_3_75_stable_spark import queries_tpch as _queries_tpch  # noqa: E402,F401
 from clickhouse_25_5_3_75_stable_spark import queries_window_extras as _queries_window_extras  # noqa: E402,F401
+from clickhouse_25_5_3_75_stable_spark import queries_states as _queries_states  # noqa: E402,F401

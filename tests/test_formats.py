@@ -1,0 +1,64 @@
+"""Format round-trips (SURVEY §2.1 formats): parquet / ORC / CSV /
+JSON write+read must preserve the data (the reference's ~40 input
+formats map onto spark.read.*; these are the big four)."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def sample(spark):
+    return (
+        spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+        .limit(500)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+    )
+
+
+def _roundtrip(df, fmt: str, **read_opts):
+    d = tempfile.mkdtemp(prefix=f"fmt_{fmt}_")
+    try:
+        writer = df.write.mode("overwrite").format(fmt)
+        if fmt == "csv":
+            writer = writer.option("header", "true")
+        writer.save(d)
+        spark = df.sparkSession
+        reader = spark.read.format(fmt)
+        for k, v in read_opts.items():
+            reader = reader.option(k, v)
+        if fmt in ("csv", "json"):
+            back = reader.schema(df.schema).load(d)
+        else:
+            back = reader.load(d)
+        return sorted(tuple(r) for r in back.collect())
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_parquet_roundtrip(sample):
+    want = sorted(tuple(r) for r in sample.collect())
+    assert _roundtrip(sample, "parquet") == want
+
+
+def test_orc_roundtrip(sample):
+    want = sorted(tuple(r) for r in sample.collect())
+    assert _roundtrip(sample, "orc") == want
+
+
+def test_csv_roundtrip(sample):
+    want = sorted(tuple(r) for r in sample.collect())
+    got = _roundtrip(sample, "csv", header="true", timestampFormat="yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+    assert got == want
+
+
+def test_json_roundtrip(sample):
+    want = sorted(tuple(r) for r in sample.collect())
+    got = _roundtrip(sample, "json", timestampFormat="yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+    assert got == want

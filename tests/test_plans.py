@@ -1,0 +1,68 @@
+"""Physical-plan shape assertions — the 100 TB sanity checks
+(SURVEY §4): filters reach the parquet scan, projections prune columns,
+small dims broadcast, aggregations are two-phase (map-side partials).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from clickhouse_25_5_3_75_stable_spark.queries import REGISTRY
+from tests.conftest import SF_SMOKE
+
+
+def _plan(spark, name: str, mode: str = "formatted") -> str:
+    df = REGISTRY[name].fn(spark, SF_SMOKE)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_q6_filters_pushed_to_parquet_scan(spark):
+    plan = _plan(spark, "q6_revenue_forecast")
+    assert "PushedFilters: [" in plan
+    # the range predicates must reach the reader, not sit in a Filter only
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "l_shipdate" in pushed and "l_discount" in pushed and "l_quantity" in pushed
+
+
+def test_q6_reads_only_needed_columns(spark):
+    plan = _plan(spark, "q6_revenue_forecast")
+    read = plan.split("ReadSchema:", 1)[1].splitlines()[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity", "l_extendedprice"):
+        assert col in read
+    for col in ("l_orderkey", "l_comment", "l_returnflag", "l_partkey"):
+        assert col not in read
+
+
+def test_q5_broadcasts_dimensions(spark):
+    plan = _plan(spark, "q5_regional_revenue", mode="simple")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q1_aggregation_is_two_phase(spark):
+    """Map-side partial aggregation: the shuffle carries |groups| rows
+    per task, not the scan — the scale-critical property."""
+    plan = _plan(spark, "q1_pricing_summary", mode="formatted")
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_" in plan.lower() or "Partial" in plan
+
+
+def test_q3_topk_uses_take_ordered(spark):
+    """ORDER BY + LIMIT must compile to TakeOrderedAndProject, never a
+    global sort of the full aggregate output."""
+    plan = _plan(spark, "q3_shipping_priority", mode="simple")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_similarity_topk_no_global_sort(spark):
+    plan = _plan(spark, "similarity_topk_bruteforce", mode="simple")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_dict_get_is_broadcast_join(spark):
+    plan = _plan(spark, "dict_get_nation_region", mode="simple")
+    assert "BroadcastHashJoin" in plan
