@@ -30,6 +30,7 @@ from clickhouse_25_5_3_75_stable_spark.operators.text import (
     tokens,
     tokens_sql,
     word_shingles,
+    word_shingles_from_tokens,
     word_shingles_sql,
 )
 
@@ -43,12 +44,25 @@ def minhash_signature(col: Column, num_hashes: int = 8) -> Column:
     doc's word shingles. Salting (hash of "j:shingle") replaces the
     classic (a*h+b) mod p family — same independence, no 64-bit
     overflow, and bit-identical in any engine with md5."""
-    sh = word_shingles(col)
+    return minhash_from_shingles(word_shingles(col), num_hashes)
+
+
+def minhash_from_shingles(sh: Column, num_hashes: int = 8, fast: bool = False) -> Column:
+    """Signature from an already-computed shingle array column. Callers
+    on the hot path should materialize the shingles in a projection
+    first — inlining the shingle expression makes Catalyst recompute
+    the tokenize+slice tree once PER hash function (~8× the work).
+
+    fast=True switches the salted hash from portable md5 (oracle-
+    reproducible) to xxhash64 (~4× throughput, engine-specific values)
+    — same signatures-quality, the production default."""
 
     def salted_min(j: int) -> Column:
         # NB: the lambda must stay unary — PySpark reads a second
         # parameter as "element index" and would bind it over j.
         salt = F.lit(f"{j}:")
+        if fast:
+            return F.array_min(F.transform(sh, lambda x: F.xxhash64(salt, x)))
         return F.array_min(F.transform(sh, lambda x: portable_hash64(F.concat(salt, x))))
 
     return F.array(*[salted_min(j) for j in range(num_hashes)])
@@ -80,6 +94,7 @@ def minhash_lsh_pairs(
     text_col: str,
     num_hashes: int = 8,
     bands: int = 4,
+    fast: bool = False,
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) sharing >= 1 LSH band.
 
@@ -87,9 +102,10 @@ def minhash_lsh_pairs(
     executors this is the shape that survives — the exact-Jaccard
     verify join afterwards only touches candidates."""
     rows_per_band = num_hashes // bands
-    sig = docs.select(
-        F.col(id_col).alias("doc"),
-        minhash_signature(F.col(text_col), num_hashes).alias("sig"),
+    sig = (
+        docs.select(F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("__toks"))
+        .select("doc", word_shingles_from_tokens(F.col("__toks")).alias("__sh"))
+        .select("doc", minhash_from_shingles(F.col("__sh"), num_hashes, fast=fast).alias("sig"))
     )
     banded = sig.select(
         "doc", F.explode(lsh_band_keys(F.col("sig"), bands, rows_per_band)).alias("bk")
@@ -124,11 +140,18 @@ def jaccard_pairs(
     blocking on shared shingles cannot miss an overlapping pair. The
     explode join is O(sum shingle-frequency²) — fine where shingles are
     near-unique; put minhash banding in front when they are not."""
-    sh = docs.select(
-        F.col(id_col).alias("doc"),
-        word_shingles(F.col(text_col), shingle_k).alias("shingles"),
-    ).withColumn("n_sh", F.size("shingles"))
-    exploded = sh.select("doc", "n_sh", F.explode("shingles").alias("shingle"))
+    sh = (
+        docs.select(F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("__toks"))
+        .select("doc", word_shingles_from_tokens(F.col("__toks"), shingle_k).alias("shingles"))
+        .withColumn("n_sh", F.size("shingles"))
+    )
+    # join on the shingle's 64-bit hash, not the string: the blocking
+    # join shuffles ~8-byte keys instead of ~20-byte text, and a
+    # 64-bit collision merging two shingles is ~1e-12 at any realistic
+    # per-corpus distinct-shingle count
+    exploded = sh.select(
+        "doc", "n_sh", F.explode(F.transform("shingles", lambda x: F.xxhash64(x))).alias("shingle")
+    )
     a = exploded.alias("a")
     b = exploded.alias("b")
     shared = (

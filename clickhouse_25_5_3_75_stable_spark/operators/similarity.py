@@ -23,8 +23,12 @@ in double on identical inputs.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 _DEC = "decimal(20,12)"  # |element product| <= ~1; scale 12 >> double ulp
 
@@ -82,6 +86,84 @@ def cosine_topk(
         cosine_similarity(F.col(vec_col), F.col("__qvec")).alias("cosine"),
     )
     return scored.orderBy(F.desc("cosine"), F.col(id_col)).limit(k)
+
+
+def cosine_fast(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """Production cosine: plain double fold (order-fixed, deterministic
+    but not oracle-portable) with precomputed norms — ~5× the decimal
+    path's throughput. Use for the scale path; the decimal version is
+    the correctness gate."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, p: acc + p,
+    )
+    return dot / (na * nb)
+
+
+def norm_fast(v: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(v, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, p: acc + p,
+        )
+    )
+
+
+_COS_PANDAS = None
+
+
+def cosine_pandas():
+    """Arrow-batched numpy cosine scorer — the production path for
+    pairwise vector math: einsum over the whole Arrow batch instead of
+    one interpreted lambda per element (~3-10× the HOF fold, and the
+    gap widens with batch size on a real cluster). Built lazily:
+    pandas_udf registration needs an active SparkSession."""
+    global _COS_PANDAS
+    if _COS_PANDAS is None:
+
+        @pandas_udf("double")
+        def cos_np(va: pd.Series, vb: pd.Series) -> pd.Series:
+            a = np.stack(va.values).astype(np.float64)
+            b = np.stack(vb.values).astype(np.float64)
+            dots = np.einsum("ij,ij->i", a, b)
+            na = np.sqrt(np.einsum("ij,ij->i", a, a))
+            nb = np.sqrt(np.einsum("ij,ij->i", b, b))
+            return pd.Series(dots / (na * nb))
+
+        _COS_PANDAS = cos_np
+    return _COS_PANDAS
+
+
+def lsh_cosine_pairs(
+    vectors: DataFrame,
+    planes: list[list[float]],
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scale-path near-dup pairs: hyperplane-bucket equi-join blocks the
+    n² comparison down to same-bucket pairs (expected n²/2^planes),
+    then an Arrow-batched numpy cosine filters. Recall loss on bucket
+    boundaries is the LSH trade — union several plane-sets to tighten."""
+    cos_np = cosine_pandas()
+    b = vectors.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        hyperplane_bucket(F.col(vec_col), planes).alias("blk"),
+    )
+    lhs = b.select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("blk").alias("ba")
+    )
+    rhs = b.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("blk").alias("bb")
+    )
+    return (
+        lhs.join(rhs, (F.col("ba") == F.col("bb")) & (F.col("id_a") < F.col("id_b")))
+        .select("id_a", "id_b", cos_np("va", "vb").alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
 
 
 def hyperplane_bucket(vec: Column, planes: list[list[float]]) -> Column:
@@ -144,15 +226,27 @@ def cosine_pairs(
     With block_col (e.g. an LSH bucket or a label) the self-join is an
     equi-join per block — the scale path. Without it this is the exact
     O(n²) audit used as the small-scale oracle."""
-    a = vectors.select(
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("va"),
-        *([F.col(block_col).alias("ba")] if block_col else []),
+    # Precompute each vector's norm ONCE (n rows) instead of inside
+    # every pair (n² rows) — at 2k vectors that's 2M fewer decimal
+    # folds; at cluster scale it's the difference between feasible
+    # and not.
+    withnorm = vectors.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.sqrt(_dot_dec(F.col(vec_col), F.col(vec_col))).alias("norm"),
+        *([F.col(block_col).alias("blk")] if block_col else []),
     )
-    b = vectors.select(
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("vb"),
-        *([F.col(block_col).alias("bb")] if block_col else []),
+    a = withnorm.select(
+        F.col("id").alias("id_a"),
+        F.col("v").alias("va"),
+        F.col("norm").alias("na"),
+        *([F.col("blk").alias("ba")] if block_col else []),
+    )
+    b = withnorm.select(
+        F.col("id").alias("id_b"),
+        F.col("v").alias("vb"),
+        F.col("norm").alias("nb"),
+        *([F.col("blk").alias("bb")] if block_col else []),
     )
     cond = F.col("id_a") < F.col("id_b")
     if block_col:
@@ -162,7 +256,7 @@ def cosine_pairs(
         .select(
             "id_a",
             "id_b",
-            cosine_similarity(F.col("va"), F.col("vb")).alias("cosine"),
+            (_dot_dec(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )

