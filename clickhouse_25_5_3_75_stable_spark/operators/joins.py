@@ -51,9 +51,13 @@ def asof_join(
     right_values: Sequence[str],
     strict: bool = False,
     how: str = "left",
+    direction: str = "backward",
 ) -> DataFrame:
-    """ASOF JOIN (backward): for each left row, the latest right row
-    with ``right_ts <= left_ts`` (``<`` when ``strict``) per ``by`` key.
+    """ASOF JOIN: for each left row, the nearest right row per ``by``
+    key — backward (default): latest with ``right_ts <= left_ts``;
+    forward: earliest with ``right_ts >= left_ts`` (strict drops
+    equality). The reference supports all four inequalities
+    (/root/reference/src/Core/Joins.h:78).
 
     Reference: ASOF strictness in HashJoin
     (/root/reference/src/Interpreters/HashJoin/HashJoin.h:53,67) keeps a
@@ -71,6 +75,8 @@ def asof_join(
     Ties: right rows at the same timestamp are ordered by their payload
     struct so the winner is deterministic.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     side = F.lit(0) if strict else F.lit(2)  # non-strict: right sorts before equal-ts left
     payload = F.struct(*[F.col(c) for c in right_values]).alias("__rv")
     r = right.select(
@@ -86,10 +92,12 @@ def asof_join(
         F.lit(1).alias("__side"),
     )
     u = l.unionByName(r, allowMissingColumns=True)
-    # Within equal (__ts, __side) right rows, order by payload for determinism.
+    # Within equal (__ts, __side) right rows, order by payload for
+    # determinism. Forward direction = the same sweep over reversed time.
+    ts_ord = F.col("__ts") if direction == "backward" else F.col("__ts").desc()
     w = (
         W.partitionBy(*by)
-        .orderBy(F.col("__ts"), F.col("__side").desc(), F.col("__rv"))
+        .orderBy(ts_ord, F.col("__side").desc(), F.col("__rv"))
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     matched = u.withColumn("__match", F.last("__rv", ignorenulls=True).over(w))

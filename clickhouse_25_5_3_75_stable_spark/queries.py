@@ -1415,3 +1415,4 @@ from clickhouse_25_5_3_75_stable_spark import queries_mergetree as _queries_merg
 from clickhouse_25_5_3_75_stable_spark import queries_tpch as _queries_tpch  # noqa: E402,F401
 from clickhouse_25_5_3_75_stable_spark import queries_window_extras as _queries_window_extras  # noqa: E402,F401
 from clickhouse_25_5_3_75_stable_spark import queries_states as _queries_states  # noqa: E402,F401
+from clickhouse_25_5_3_75_stable_spark import queries_misc as _queries_misc  # noqa: E402,F401

@@ -1,0 +1,213 @@
+"""Registry entries: forward ASOF join, WITH FILL + INTERPOLATE,
+second array-function family (cumulative/positional ops), map/struct
+family. Imported by queries.py for its side effects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clickhouse_25_5_3_75_stable_spark.operators.fill import with_fill_dates
+from clickhouse_25_5_3_75_stable_spark.operators.joins import asof_join
+from clickhouse_25_5_3_75_stable_spark.queries import register, t
+
+
+@register(
+    "join_asof_forward_next_purchase",
+    oracle="""
+    SELECT c.event_id,
+           (SELECT min(CAST(p.ts AS TIMESTAMP)) FROM events p
+             WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+               AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)) AS next_purchase_ts
+    FROM events c WHERE c.event_type = 'click'
+    ORDER BY c.event_id
+    """,
+    tags=("join", "asof", "forward"),
+)
+def join_asof_forward_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward ASOF: each click's next purchase at-or-after it per user
+    (reference ASOF >= inequality, src/Core/Joins.h:78)."""
+    ev = t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("ts").alias("purchase_ts")
+    )
+    joined = asof_join(
+        clicks,
+        purchases,
+        by=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_values=["purchase_ts"],
+        strict=False,
+        how="left",
+        direction="forward",
+    )
+    return joined.select(
+        "event_id", F.col("purchase_ts").alias("next_purchase_ts")
+    ).orderBy("event_id")
+
+
+@register(
+    "with_fill_interpolate_daily_max",
+    oracle="""
+    WITH days AS (
+        SELECT CAST(d AS DATE) AS day
+        FROM generate_series(DATE '1996-01-01', DATE '1996-03-31', INTERVAL 1 DAY) AS s(d)
+    ), daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               COUNT(*) AS n_orders, max(o_totalprice) AS max_price
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY 1
+    )
+    SELECT day, COALESCE(n_orders, 0) AS n_orders,
+           last_value(max_price IGNORE NULLS) OVER (
+               ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS max_price_filled
+    FROM days LEFT JOIN daily USING (day)
+    ORDER BY day
+    """,
+    tags=("with_fill", "interpolate"),
+)
+def with_fill_interpolate_daily_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH FILL + INTERPOLATE (reference FillingStep.h:9-10 +
+    ParserSelectQuery.cpp:311): dense daily axis, zero-fill counts,
+    forward-fill the running max price across gap days."""
+    orders = t(spark, sf_dir, "orders")
+    daily = (
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.max("o_totalprice").alias("max_price"))
+    )
+    filled = with_fill_dates(
+        spark,
+        daily,
+        "day",
+        "1996-01-01",
+        "1996-03-31",
+        fill_zero=["n_orders"],
+        fill_forward=["max_price"],
+    )
+    return filled.select(
+        "day", "n_orders", F.col("max_price").alias("max_price_filled")
+    ).orderBy("day")
+
+
+@register(
+    "func_array_positional_family",
+    oracle="""
+    WITH t AS (
+        SELECT user_id,
+               list_transform(list_sort(list(CAST(value AS DECIMAL(18,4)))),
+                              x -> CAST(x AS DOUBLE)) AS vals
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           len(vals) AS n,
+           vals[1] AS first_v,
+           vals[len(vals)] AS last_v,
+           list_transform(list_slice(vals, 1, 5), x -> CAST(x AS STRING)) AS first5,
+           CAST(CAST(list_aggregate(list_transform(vals, x -> CAST(x AS DECIMAL(18,4))),
+                'sum') AS STRING) AS DOUBLE) AS total,
+           list_transform(
+               list_transform(range(1, least(len(vals), 5) + 1),
+                   i -> CAST(list_aggregate(list_transform(list_slice(vals, 1, i),
+                        x -> CAST(x AS DECIMAL(18,4))), 'sum') AS DECIMAL(25,4))),
+               x -> CAST(x AS STRING)) AS cumsum5,
+           list_transform(
+               list_transform(range(2, least(len(vals), 5) + 1),
+                   i -> CAST(CAST(vals[i] AS DECIMAL(18,4))
+                        - CAST(vals[i-1] AS DECIMAL(18,4)) AS DECIMAL(25,4))),
+               x -> CAST(x AS STRING)) AS diff4
+    FROM t
+    ORDER BY user_id
+    """,
+    tags=("functions", "array", "cumulative"),
+)
+def func_array_positional_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array positional/cumulative family (reference src/Functions/array/:
+    arrayCumSum, arrayDifference, arraySlice, arrayElement) — decimal
+    strings keep the per-element arithmetic engine-portable."""
+    ev = t(spark, sf_dir, "events")
+    base = ev.groupBy("user_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.col("value").cast("decimal(18,4)"))),
+            lambda x: x.cast("double"),
+        ).alias("vals")
+    )
+    vals = F.col("vals")
+    dec = lambda c: c.cast("decimal(18,4)")  # noqa: E731
+    cum_idx = F.sequence(F.lit(1), F.least(F.size(vals), F.lit(5)))
+    diff_idx = F.sequence(F.lit(2), F.least(F.size(vals), F.lit(5)))
+    return base.select(
+        "user_id",
+        F.size(vals).cast("bigint").alias("n"),
+        F.element_at(vals, 1).alias("first_v"),
+        F.element_at(vals, -1).alias("last_v"),
+        F.transform(F.slice(vals, 1, 5), lambda x: x.cast("string")).alias("first5"),
+        F.aggregate(
+            vals,
+            F.lit(0).cast("decimal(30,4)"),
+            lambda acc, x: (acc + dec(x)).cast("decimal(30,4)"),
+        ).cast("double").alias("total"),
+        F.transform(
+            cum_idx,
+            lambda i: F.aggregate(
+                F.slice(vals, 1, i),
+                F.lit(0).cast("decimal(25,4)"),
+                lambda acc, x: (acc + dec(x)).cast("decimal(25,4)"),
+            ).cast("string"),
+        ).alias("cumsum5"),
+        F.transform(
+            diff_idx,
+            lambda i: (dec(F.element_at(vals, i)) - dec(F.element_at(vals, i - 1)))
+            .cast("decimal(25,4)")
+            .cast("string"),
+        ).alias("diff4"),
+    ).orderBy("user_id")
+
+
+@register(
+    "func_map_struct_family",
+    oracle="""
+    SELECT event_id,
+           CAST(map_keys(m) AS VARCHAR[]) AS ks,
+           CAST(map_values(m) AS BIGINT[]) AS vs,
+           m['k'][1]::BIGINT AS k_val,
+           list_contains(map_keys(m), 'k') AS has_k,
+           cardinality(m) AS n_entries,
+           s.a AS struct_a, s.b AS struct_b
+    FROM (
+        SELECT event_id,
+               MAP(['k', 'twice'],
+                   [CAST(json_extract_string(props, '$.k') AS BIGINT),
+                    CAST(json_extract_string(props, '$.k') AS BIGINT) * 2]) AS m,
+               {'a': user_id, 'b': event_type} AS s
+        FROM events)
+    ORDER BY event_id
+    """,
+    tags=("functions", "map", "tuple"),
+)
+def func_map_struct_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map + Tuple(struct) family (reference src/Functions/map.cpp,
+    tuple.cpp): construction, key/value extraction, membership."""
+    ev = t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    m = F.create_map(F.lit("k"), k, F.lit("twice"), k * 2)
+    s = F.struct(F.col("user_id").alias("a"), F.col("event_type").alias("b"))
+    return ev.select(
+        "event_id",
+        F.map_keys(m).alias("ks"),
+        F.map_values(m).alias("vs"),
+        F.element_at(m, "k").alias("k_val"),
+        F.array_contains(F.map_keys(m), "k").alias("has_k"),
+        F.size(m).cast("bigint").alias("n_entries"),
+        s["a"].alias("struct_a"),
+        s["b"].alias("struct_b"),
+    ).orderBy("event_id")
