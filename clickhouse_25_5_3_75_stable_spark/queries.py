@@ -1413,6 +1413,7 @@ from clickhouse_25_5_3_75_stable_spark import queries_multimodal as _queries_mul
 from clickhouse_25_5_3_75_stable_spark import queries_streaming as _queries_streaming  # noqa: E402,F401
 from clickhouse_25_5_3_75_stable_spark import queries_mergetree as _queries_mergetree  # noqa: E402,F401
 from clickhouse_25_5_3_75_stable_spark import queries_tpch as _queries_tpch  # noqa: E402,F401
+from clickhouse_25_5_3_75_stable_spark import queries_tpch2 as _queries_tpch2  # noqa: E402,F401
 from clickhouse_25_5_3_75_stable_spark import queries_window_extras as _queries_window_extras  # noqa: E402,F401
 from clickhouse_25_5_3_75_stable_spark import queries_states as _queries_states  # noqa: E402,F401
 from clickhouse_25_5_3_75_stable_spark import queries_misc as _queries_misc  # noqa: E402,F401

@@ -1,0 +1,355 @@
+"""TPC-H breadth, part 2: q8/q9/q11/q12/q14/q15/q19/q20 shapes adapted
+to the driver's slimmed star schema (no partsupp; lineitem lacks
+shipmode/commitdate/receiptdate — lateness is derived from
+o_orderdate -> l_shipdate instead). Exercises conditional-aggregate
+ratios, scalar subqueries vs global aggregates, disjunctive
+multi-range predicates, and HAVING-vs-scalar-subquery decorrelation
+(reference: /root/reference/src/Planner/PlannerCorrelatedSubqueries.cpp:114).
+Imported by queries.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from clickhouse_25_5_3_75_stable_spark.functions.numeric import (
+    davg_sql,
+    dec_to_double_sql,
+    dsum,
+    dsum_sql,
+)
+from clickhouse_25_5_3_75_stable_spark.queries import _sql, register, t
+
+
+@register(
+    "q8_market_share",
+    oracle=f"""
+    WITH volumes AS (
+        SELECT year(o_orderdate) AS o_year,
+               l_extendedprice * (1 - l_discount) AS volume,
+               n2.n_name AS supp_nation
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN part     ON l_partkey = p_partkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region   ON n1.n_regionkey = r_regionkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE r_name = 'ASIA'
+          AND p_type = 'ECONOMY'
+          AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    )
+    SELECT o_year,
+           {dsum_sql("CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END", "nation_volume")},
+           {dsum_sql("volume", "total_volume")},
+           CAST(CAST(SUM(CAST(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END
+                     AS DECIMAL(25,6))) AS STRING) AS DOUBLE)
+             / CAST(CAST(SUM(CAST(volume AS DECIMAL(25,6))) AS STRING) AS DOUBLE)
+             AS mkt_share
+    FROM volumes
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+    tags=("tpch", "agg", "ratio"),
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 shape (national market share): conditional-sum ratio over a
+    7-way star join — all dims broadcast, facts shuffle once on the
+    order key."""
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    part = t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    cust = t(spark, sf_dir, "customer")
+    supp = t(spark, sf_dir, "supplier")
+    n1 = t(spark, sf_dir, "nation").alias("n1")
+    n2 = t(spark, sf_dir, "nation").alias("n2")
+    region = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    nation_vol = F.when(F.col("n2.n_name") == "NATION_3", volume).otherwise(F.lit(0.0))
+    vols = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), cust.c_nationkey == F.col("n1.n_nationkey"))
+        .join(F.broadcast(region), F.col("n1.n_regionkey") == region.r_regionkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n2), supp.s_nationkey == F.col("n2.n_nationkey"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            volume.alias("volume"),
+            nation_vol.alias("nation_vol"),
+        )
+    )
+    return (
+        vols.groupBy("o_year")
+        .agg(
+            dsum("nation_vol", "nation_volume"),
+            dsum("volume", "total_volume"),
+            (dsum("nation_vol") / dsum("volume")).alias("mkt_share"),
+        )
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "q9_product_profit",
+    oracle=f"""
+    SELECT n_name AS nation, year(o_orderdate) AS o_year,
+           {dsum_sql('l_extendedprice * (1 - l_discount)', 'profit')}
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN part     ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%gear%'
+    GROUP BY n_name, year(o_orderdate)
+    ORDER BY nation, o_year DESC
+    """,
+    bucket="heavy",
+    tags=("tpch", "agg", "like"),
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 shape (product-type profit by nation/year; supplycost term
+    dropped with partsupp): LIKE-filtered part dim broadcast."""
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    part = t(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
+    supp = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+@register(
+    "q11_important_stock",
+    oracle=f"""
+    WITH part_value AS (
+        SELECT l_partkey, {dsum_sql('l_extendedprice * (1 - l_discount)', 'value')}
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT l_partkey, value FROM part_value
+    WHERE value > (SELECT {dsum_sql('l_extendedprice * (1 - l_discount)', 'x')}
+                   FROM lineitem) * 0.001
+    ORDER BY value DESC, l_partkey
+    """,
+    tags=("tpch", "scalar_subquery"),
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 shape (important stock, partsupp replaced by lineitem value):
+    per-key agg filtered against a global-aggregate scalar — the scalar
+    side is a 1-row broadcast, so no second shuffle of the fact."""
+    li = t(spark, sf_dir, "lineitem")
+    value = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_part = li.groupBy("l_partkey").agg(dsum(value, "value"))
+    total = li.agg(dsum(value, "total"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("value") > F.col("total") * 0.001)
+        .select("l_partkey", "value")
+        .orderBy(F.desc("value"), "l_partkey")
+    )
+
+
+@register(
+    "q12_shipping_delay",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
+                                     CAST(l_shipdate AS DATE)) > 60 THEN 1 END) AS late_count,
+           COUNT(CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
+                                     CAST(l_shipdate AS DATE)) <= 60 THEN 1 END) AS ontime_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("tpch", "agg", "conditional"),
+)
+def q12_shipping_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shape (shipmode/commitdate absent -> order-to-ship delay
+    buckets per priority): conditional counts, fact-fact join."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    orders = t(spark, sf_dir, "orders")
+    delay = F.datediff(F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.when(delay > 60, F.lit(1))).alias("late_count"),
+            F.count(F.when(delay <= 60, F.lit(1))).alias("ontime_count"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q14_promo_revenue",
+    oracle="""
+    SELECT 100.0 * CAST(CAST(SUM(CAST(CASE WHEN p_type IN ('ECONOMY', 'SMALL')
+                         THEN l_extendedprice * (1 - l_discount) ELSE 0 END
+                     AS DECIMAL(25,6))) AS STRING) AS DOUBLE)
+             / CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                     AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS promo_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'
+    """,
+    tags=("tpch", "ratio"),
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 shape (promotion-revenue percentage) — global conditional
+    ratio; part dim broadcast, single partial/final agg, no shuffle of
+    the filtered fact."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    part = t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").isin("ECONOMY", "SMALL"), rev).otherwise(F.lit(0.0))
+    return li.join(F.broadcast(part), li.l_partkey == part.p_partkey).agg(
+        (F.lit(100.0) * dsum(promo) / dsum(rev)).alias("promo_revenue")
+    )
+
+
+@register(
+    "q15_top_supplier",
+    oracle=f"""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               {dsum_sql('l_extendedprice * (1 - l_discount)', 'total_revenue')}
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+    tags=("tpch", "scalar_subquery"),
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 shape (top supplier by quarterly revenue): the CREATE VIEW +
+    scalar-max of the original becomes a reused aggregate joined against
+    its own 1-row max (broadcast both ways)."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "total_revenue")
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("max_rev"))
+    supp = t(spark, sf_dir, "supplier")
+    return (
+        revenue.join(F.broadcast(max_rev))
+        .filter(F.col("total_revenue") == F.col("max_rev"))
+        .join(F.broadcast(supp), F.col("supplier_no") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q19_discounted_revenue",
+    oracle=f"""
+    SELECT {dsum_sql('l_extendedprice * (1 - l_discount)', 'revenue')}
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11
+           AND p_size BETWEEN 1 AND 5)
+       OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20
+           AND p_size BETWEEN 1 AND 10)
+       OR (p_brand = 'Brand#34' AND l_quantity BETWEEN 20 AND 30
+           AND p_size BETWEEN 1 AND 15)
+    """,
+    tags=("tpch", "disjunctive"),
+)
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 shape (disjunctive multi-range predicate over a join) —
+    Catalyst pushes the common join key and keeps the OR residual on
+    the joined rows; part stays broadcast."""
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part")
+    q, brand, size = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    cond = (
+        ((brand == "Brand#12") & q.between(1, 11) & size.between(1, 5))
+        | ((brand == "Brand#23") & q.between(10, 20) & size.between(1, 10))
+        | ((brand == "Brand#34") & q.between(20, 30) & size.between(1, 15))
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(cond)
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+    )
+
+
+@register(
+    "q20_potential_promotion",
+    oracle=f"""
+    SELECT s_name, s_acctbal
+    FROM supplier
+    WHERE s_suppkey IN (
+        SELECT l_suppkey
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_name LIKE 'red%'
+          AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY l_suppkey
+        HAVING {dec_to_double_sql("SUM(CAST(l_quantity AS DECIMAL(25,6)))")} > (
+            SELECT 0.5 * {dec_to_double_sql("SUM(CAST(q2 AS DECIMAL(25,6)))")}
+                       / CAST(COUNT(q2) AS DOUBLE) FROM (
+                SELECT l_suppkey, {dsum_sql('l_quantity', 'q2')}
+                FROM lineitem JOIN part ON p_partkey = l_partkey
+                WHERE p_name LIKE 'red%'
+                  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+                GROUP BY l_suppkey))
+    )
+    ORDER BY s_name
+    """,
+    tags=("tpch", "in_subquery"),
+)
+def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 shape (partsupp availqty replaced by shipped quantity):
+    IN-subquery with HAVING vs a scalar average-of-aggregates — the SQL
+    path lets Catalyst decorrelate into semi-joins."""
+    return _sql(
+        spark,
+        sf_dir,
+        f"""
+        WITH red AS (
+            SELECT l_suppkey, {dsum_sql('l_quantity', 'q')}
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE p_name LIKE 'red%'
+              AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+            GROUP BY l_suppkey
+        )
+        SELECT s_name, s_acctbal
+        FROM supplier
+        WHERE s_suppkey IN (
+            SELECT l_suppkey FROM red
+            WHERE q > (SELECT 0.5 * {davg_sql('q', 'x')} FROM red))
+        ORDER BY s_name
+        """,
+    )
