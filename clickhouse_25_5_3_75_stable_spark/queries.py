@@ -1417,3 +1417,4 @@ from clickhouse_25_5_3_75_stable_spark import queries_tpch2 as _queries_tpch2  #
 from clickhouse_25_5_3_75_stable_spark import queries_window_extras as _queries_window_extras  # noqa: E402,F401
 from clickhouse_25_5_3_75_stable_spark import queries_states as _queries_states  # noqa: E402,F401
 from clickhouse_25_5_3_75_stable_spark import queries_misc as _queries_misc  # noqa: E402,F401
+from clickhouse_25_5_3_75_stable_spark import queries_agg_extras as _queries_agg_extras  # noqa: E402,F401
