@@ -530,3 +530,147 @@ def _ipv4_string_to_num(a) -> Column:
         + F.element_at(parts, 3).cast("bigint") * 256
         + F.element_at(parts, 4).cast("bigint")
     )
+
+
+# --- multi-pattern search (src/Functions/multiMatchAny.cpp — hyperscan;
+# src/Functions/MultiSearchImpl.h). Spark shape: OR-chain of contains/
+# rlike — stays codegen'd; the hyperscan-class perf gap is noted in
+# SURVEY §2.8.
+@_reg("multiSearchAny")
+def _multi_search_any(haystack, needles) -> Column:
+    h = _c(haystack)
+    out = F.lit(False)
+    for n in needles:
+        out = out | (F.instr(h, n) > 0)
+    return out
+
+
+@_reg("multiSearchAnyCaseInsensitive")
+def _multi_search_any_ci(haystack, needles) -> Column:
+    h = F.lower(_c(haystack))
+    out = F.lit(False)
+    for n in needles:
+        out = out | (F.instr(h, n.lower()) > 0)
+    return out
+
+
+@_reg("multiMatchAny")
+def _multi_match_any(haystack, patterns) -> Column:
+    h = _c(haystack)
+    out = F.lit(False)
+    for p in patterns:
+        out = out | h.rlike(p)
+    return out
+
+
+@_reg("multiSearchFirstIndex")
+def _multi_search_first_index(haystack, needles) -> Column:
+    # index (1-based) of the first needle found scanning left-to-right
+    # over positions; 0 when none match (reference semantics).
+    h = _c(haystack)
+    out = F.lit(0)
+    for i in range(len(needles) - 1, -1, -1):
+        out = F.when(F.instr(h, needles[i]) > 0, F.lit(i + 1)).otherwise(out)
+    return out
+
+
+@_reg("hasToken")
+def _has_token(haystack, token) -> Column:
+    # token = sequence of non-separator chars bounded by separators
+    # (src/Functions/hasToken.cpp); \b works for alnum tokens.
+    import re as _re
+
+    return _c(haystack).rlike(r"\b" + _re.escape(token) + r"\b")
+
+
+@_reg("countMatches")
+def _count_matches(haystack, pattern) -> Column:
+    return F.regexp_count(_c(haystack), F.lit(pattern))
+
+
+# --- CIDR membership (src/Functions/isIPAddressContainedIn.cpp)
+@_reg("isIPAddressInRange")
+def _is_ip_in_range(ip, cidr: str) -> Column:
+    net, bits = cidr.split("/")
+    bits = int(bits)
+    mask = (0xFFFFFFFF << (32 - bits)) & 0xFFFFFFFF if bits else 0
+    net_parts = [int(x) for x in net.split(".")]
+    net_num = (net_parts[0] << 24) + (net_parts[1] << 16) + (net_parts[2] << 8) + net_parts[3]
+    ip_num = _ipv4_string_to_num(ip)
+    return ip_num.bitwiseAND(F.lit(mask)) == F.lit(net_num & mask)
+
+
+# --- Snowflake IDs (src/Functions/snowflakeIDToDateTime.cpp).
+# Epoch 1288834974657 ms is the public Twitter-snowflake epoch used by
+# the reference's default.
+_SNOWFLAKE_EPOCH_MS = 1288834974657
+
+
+@_reg("snowflakeIDToDateTime")
+def _snowflake_to_dt(id_) -> Column:
+    ms = F.shiftright(_c(id_).cast("bigint"), 22) + F.lit(_SNOWFLAKE_EPOCH_MS)
+    return F.timestamp_millis(ms)
+
+
+@_reg("dateTimeToSnowflakeID")
+def _dt_to_snowflake(ts) -> Column:
+    ms = F.unix_millis(_c(ts).cast("timestamp")) - F.lit(_SNOWFLAKE_EPOCH_MS)
+    return F.shiftleft(ms, 22)
+
+
+# --- human-readable formatting (src/Functions/formatReadable*.cpp).
+# Floor at 2 decimals before printing so both engines format the same
+# exact double.
+@_reg("formatReadableSize")
+def _format_readable_size(x) -> Column:
+    b = _c(x).cast("double")
+    kib, mib, gib = 1024.0, 1048576.0, 1073741824.0
+    fl = lambda v: F.floor(v * 100) / 100  # noqa: E731
+    return (
+        F.when(b >= gib, F.format_string("%.2f GiB", fl(b / gib)))
+        .when(b >= mib, F.format_string("%.2f MiB", fl(b / mib)))
+        .when(b >= kib, F.format_string("%.2f KiB", fl(b / kib)))
+        .otherwise(F.format_string("%.2f B", fl(b)))
+    )
+
+
+@_reg("formatReadableQuantity")
+def _format_readable_quantity(x) -> Column:
+    v = _c(x).cast("double")
+    fl = lambda q: F.floor(q * 100) / 100  # noqa: E731
+    return (
+        F.when(v >= 1e9, F.format_string("%.2f billion", fl(v / 1e9)))
+        .when(v >= 1e6, F.format_string("%.2f million", fl(v / 1e6)))
+        .when(v >= 1e3, F.format_string("%.2f thousand", fl(v / 1e3)))
+        .otherwise(F.format_string("%.2f", fl(v)))
+    )
+
+
+# --- geo (src/Functions/greatCircleDistance.cpp, PolygonUtils.h).
+@_reg("greatCircleDistance")
+def _great_circle_distance(lon1, lat1, lon2, lat2) -> Column:
+    # haversine on the mean-Earth radius 6371 km
+    r = 6371000.0
+    la1, la2 = F.radians(_c(lat1)), F.radians(_c(lat2))
+    dla = F.radians(_c(lat2) - _c(lat1)) / 2
+    dlo = F.radians(_c(lon2) - _c(lon1)) / 2
+    a = F.sin(dla) * F.sin(dla) + F.cos(la1) * F.cos(la2) * F.sin(dlo) * F.sin(dlo)
+    return F.lit(2 * r) * F.asin(F.sqrt(a))
+
+
+@_reg("pointInPolygon")
+def _point_in_polygon(x, y, vertices) -> Column:
+    # Convex polygon containment: the point is inside iff every edge
+    # cross-product has the same sign (multiplication + comparison only
+    # — exact, unlike the haversine path).
+    px, py = _c(x), _c(y)
+    n = len(vertices)
+    inside = F.lit(True)
+    for i in range(n):
+        x1, y1 = vertices[i]
+        x2, y2 = vertices[(i + 1) % n]
+        cross = (F.lit(x2) - F.lit(x1)) * (py - F.lit(y1)) - (F.lit(y2) - F.lit(y1)) * (
+            px - F.lit(x1)
+        )
+        inside = inside & (cross >= 0)
+    return inside

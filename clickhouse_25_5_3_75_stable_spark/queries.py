@@ -1418,3 +1418,4 @@ from clickhouse_25_5_3_75_stable_spark import queries_window_extras as _queries_
 from clickhouse_25_5_3_75_stable_spark import queries_states as _queries_states  # noqa: E402,F401
 from clickhouse_25_5_3_75_stable_spark import queries_misc as _queries_misc  # noqa: E402,F401
 from clickhouse_25_5_3_75_stable_spark import queries_agg_extras as _queries_agg_extras  # noqa: E402,F401
+from clickhouse_25_5_3_75_stable_spark import queries_func_extras as _queries_func_extras  # noqa: E402,F401
