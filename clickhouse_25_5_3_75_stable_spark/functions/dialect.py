@@ -674,3 +674,173 @@ def _point_in_polygon(x, y, vertices) -> Column:
         )
         inside = inside & (cross >= 0)
     return inside
+
+
+# ---------------------------------------------------------------------------
+# Vector / array distances (src/Functions/array/arrayDistance.cpp:58,702,
+# arrayDotProduct.cpp, arrayNorm.cpp). Sums accumulate per-element
+# products in DECIMAL so they are order-independent and bitwise-equal
+# to the DuckDB oracle (same argument as operators/similarity.py);
+# Linf uses max — order-free already.
+# ---------------------------------------------------------------------------
+
+_VDEC = "decimal(20,12)"
+_VACC = "decimal(25,12)"
+
+
+def _dec_list_sum(prods) -> Column:
+    return F.aggregate(
+        prods, F.lit(0).cast(_VACC), lambda acc, p: (acc + p).cast(_VACC)
+    ).cast("double")
+
+
+@_reg("dotProduct", "arrayDotProduct", "scalarProduct")
+def _dot_product(a, b) -> Column:
+    prods = F.zip_with(_c(a), _c(b), lambda x, y: (x.cast("double") * y.cast("double")).cast(_VDEC))
+    return _dec_list_sum(prods)
+
+
+@_reg("L1Distance", "distanceL1")
+def _l1_distance(a, b) -> Column:
+    diffs = F.zip_with(
+        _c(a), _c(b), lambda x, y: F.abs(x.cast("double") - y.cast("double")).cast(_VDEC)
+    )
+    return _dec_list_sum(diffs)
+
+
+@_reg("L2SquaredDistance")
+def _l2_squared_distance(a, b) -> Column:
+    d2 = F.zip_with(
+        _c(a),
+        _c(b),
+        lambda x, y: ((x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))).cast(_VDEC),
+    )
+    return _dec_list_sum(d2)
+
+
+@_reg("L2Distance", "distanceL2")
+def _l2_distance(a, b) -> Column:
+    return F.sqrt(_l2_squared_distance(a, b))
+
+
+@_reg("LinfDistance")
+def _linf_distance(a, b) -> Column:
+    return F.array_max(F.zip_with(_c(a), _c(b), lambda x, y: F.abs(x.cast("double") - y.cast("double"))))
+
+
+@_reg("L1Norm")
+def _l1_norm(a) -> Column:
+    return _dec_list_sum(F.transform(_c(a), lambda x: F.abs(x.cast("double")).cast(_VDEC)))
+
+
+@_reg("L2Norm")
+def _l2_norm(a) -> Column:
+    return F.sqrt(
+        _dec_list_sum(
+            F.transform(_c(a), lambda x: (x.cast("double") * x.cast("double")).cast(_VDEC))
+        )
+    )
+
+
+@_reg("LinfNorm")
+def _linf_norm(a) -> Column:
+    return F.array_max(F.transform(_c(a), lambda x: F.abs(x.cast("double"))))
+
+
+@_reg("cosineDistance")
+def _cosine_distance(a, b) -> Column:
+    return F.lit(1.0) - _dot_product(a, b) / (F.sqrt(_dot_product(a, a)) * F.sqrt(_dot_product(b, b)))
+
+
+# ---------------------------------------------------------------------------
+# Bitmap functions (src/Functions/FunctionsBitmap.h; aggregate
+# groupBitmap* at src/AggregateFunctions/AggregateFunctionGroupBitmap.cpp).
+# The reference stores RoaringBitmaps; the Spark-native model is a
+# SORTED DISTINCT ARRAY of the member integers — same set algebra,
+# deterministic serialization (so results hash stably), and the set
+# ops stay JVM-side (array_intersect/union/except). At 100 TB the
+# per-group arrays are bounded by the distinct-id count per group, and
+# cardinality-only pipelines should prefer approx_count_distinct.
+# ---------------------------------------------------------------------------
+
+
+@_reg("bitmapBuild")
+def _bitmap_build(arr) -> Column:
+    return F.array_sort(F.array_distinct(_c(arr)))
+
+
+@_reg("bitmapToArray")
+def _bitmap_to_array(bm) -> Column:
+    return _c(bm)
+
+
+@_reg("bitmapCardinality")
+def _bitmap_cardinality(bm) -> Column:
+    return F.size(_c(bm))
+
+
+@_reg("bitmapAnd")
+def _bitmap_and(a, b) -> Column:
+    return F.array_sort(F.array_intersect(_c(a), _c(b)))
+
+
+@_reg("bitmapOr")
+def _bitmap_or(a, b) -> Column:
+    return F.array_sort(F.array_union(_c(a), _c(b)))
+
+
+@_reg("bitmapXor")
+def _bitmap_xor(a, b) -> Column:
+    return F.array_sort(
+        F.array_union(F.array_except(_c(a), _c(b)), F.array_except(_c(b), _c(a)))
+    )
+
+
+@_reg("bitmapAndnot")
+def _bitmap_andnot(a, b) -> Column:
+    return F.array_sort(F.array_except(_c(a), _c(b)))
+
+
+@_reg("bitmapAndCardinality")
+def _bitmap_and_cardinality(a, b) -> Column:
+    return F.size(F.array_intersect(_c(a), _c(b)))
+
+
+@_reg("bitmapOrCardinality")
+def _bitmap_or_cardinality(a, b) -> Column:
+    return F.size(F.array_union(_c(a), _c(b)))
+
+
+@_reg("bitmapXorCardinality")
+def _bitmap_xor_cardinality(a, b) -> Column:
+    return F.size(_bitmap_xor(a, b))
+
+
+@_reg("bitmapAndnotCardinality")
+def _bitmap_andnot_cardinality(a, b) -> Column:
+    return F.size(F.array_except(_c(a), _c(b)))
+
+
+@_reg("bitmapContains")
+def _bitmap_contains(bm, v) -> Column:
+    return F.array_contains(_c(bm), v)
+
+
+@_reg("bitmapHasAny")
+def _bitmap_has_any(a, b) -> Column:
+    return F.arrays_overlap(_c(a), _c(b))
+
+
+@_reg("bitmapHasAll")
+def _bitmap_has_all(a, b) -> Column:
+    return F.size(F.array_except(_c(b), _c(a))) == 0
+
+
+@_reg("bitmapMin")
+def _bitmap_min(bm) -> Column:
+    return F.array_min(_c(bm))
+
+
+@_reg("bitmapMax")
+def _bitmap_max(bm) -> Column:
+    return F.array_max(_c(bm))

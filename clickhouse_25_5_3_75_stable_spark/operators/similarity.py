@@ -50,9 +50,14 @@ def _dot_dec(a: Column, b: Column) -> Column:
 def dot_dec_sql(a: str, b: str) -> str:
     """DuckDB spelling of :func:`_dot_dec` (STRING-routed final cast —
     see functions/numeric.py)."""
+    # The element cast routes through VARCHAR: products of float32
+    # values are dyadic doubles that can land on exact .5e-12 decimal
+    # midpoints, where DuckDB's binary double->decimal cast rounds
+    # half-even but the JVM rounds the shortest string repr HALF_UP.
     prods = (
         f"list_transform(range(1, len({a}) + 1),"
-        f" i -> CAST(CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) AS DECIMAL(20,12)))"
+        f" i -> CAST(CAST(CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)"
+        f" AS VARCHAR) AS DECIMAL(20,12)))"
     )
     return f"CAST(CAST(list_aggregate({prods}, 'sum') AS STRING) AS DOUBLE)"
 

@@ -1419,3 +1419,4 @@ from clickhouse_25_5_3_75_stable_spark import queries_states as _queries_states 
 from clickhouse_25_5_3_75_stable_spark import queries_misc as _queries_misc  # noqa: E402,F401
 from clickhouse_25_5_3_75_stable_spark import queries_agg_extras as _queries_agg_extras  # noqa: E402,F401
 from clickhouse_25_5_3_75_stable_spark import queries_func_extras as _queries_func_extras  # noqa: E402,F401
+from clickhouse_25_5_3_75_stable_spark import queries_vector_bitmap as _queries_vector_bitmap  # noqa: E402,F401
