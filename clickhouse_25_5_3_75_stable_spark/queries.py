@@ -1420,3 +1420,4 @@ from clickhouse_25_5_3_75_stable_spark import queries_misc as _queries_misc  # n
 from clickhouse_25_5_3_75_stable_spark import queries_agg_extras as _queries_agg_extras  # noqa: E402,F401
 from clickhouse_25_5_3_75_stable_spark import queries_func_extras as _queries_func_extras  # noqa: E402,F401
 from clickhouse_25_5_3_75_stable_spark import queries_vector_bitmap as _queries_vector_bitmap  # noqa: E402,F401
+from clickhouse_25_5_3_75_stable_spark import queries_agg_extras2 as _queries_agg_extras2  # noqa: E402,F401
