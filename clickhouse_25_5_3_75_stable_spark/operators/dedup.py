@@ -153,7 +153,12 @@ def jaccard_pairs(
         "doc", "n_sh", F.explode(F.transform("shingles", lambda x: F.xxhash64(x))).alias("shingle")
     )
     a = exploded.alias("a")
-    b = exploded.alias("b")
+    # shuffle_hash (not broadcast): both sides then exchange on the
+    # shingle key with canonically-identical children, so ReuseExchange
+    # computes the tokenize+shingle+hash pipeline ONCE — and a shuffle
+    # equi-join on the blocking key is the only join shape that still
+    # works when the corpus no longer fits in a broadcast.
+    b = exploded.alias("b").hint("shuffle_hash")
     shared = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
         .groupBy(

@@ -161,9 +161,13 @@ def lsh_cosine_pairs(
     lhs = b.select(
         F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("blk").alias("ba")
     )
+    # shuffle_hash: both sides exchange on the bucket key with
+    # identical children -> ReuseExchange evaluates the 6-plane bucket
+    # expression once; broadcast would recompute it per side (and dies
+    # at corpus scale anyway).
     rhs = b.select(
         F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("blk").alias("bb")
-    )
+    ).hint("shuffle_hash")
     return (
         lhs.join(rhs, (F.col("ba") == F.col("bb")) & (F.col("id_a") < F.col("id_b")))
         .select("id_a", "id_b", cos_np("va", "vb").alias("cosine"))
