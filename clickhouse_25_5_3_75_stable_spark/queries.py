@@ -1421,3 +1421,6 @@ from clickhouse_25_5_3_75_stable_spark import queries_agg_extras as _queries_agg
 from clickhouse_25_5_3_75_stable_spark import queries_func_extras as _queries_func_extras  # noqa: E402,F401
 from clickhouse_25_5_3_75_stable_spark import queries_vector_bitmap as _queries_vector_bitmap  # noqa: E402,F401
 from clickhouse_25_5_3_75_stable_spark import queries_agg_extras2 as _queries_agg_extras2  # noqa: E402,F401
+from clickhouse_25_5_3_75_stable_spark import queries_agg_extras3 as _queries_agg_extras3  # noqa: E402,F401
+from clickhouse_25_5_3_75_stable_spark import queries_func_extras2 as _queries_func_extras2  # noqa: E402,F401
+from clickhouse_25_5_3_75_stable_spark import queries_chsql as _queries_chsql  # noqa: E402,F401
