@@ -844,3 +844,189 @@ def _bitmap_min(bm) -> Column:
 @_reg("bitmapMax")
 def _bitmap_max(bm) -> Column:
     return F.array_max(_c(bm))
+
+
+# ---------------------------------------------------------------------------
+# String distance / similarity (SURVEY §2.8; reference
+# src/Functions/FunctionsStringDistance.cpp: levenshteinDistance,
+# jaroSimilarity, jaroWinklerSimilarity, ngramDistance,
+# stringJaccardIndex). levenshteinDistance/editDistance are registered
+# above as F.levenshtein; the set-based measures below stay native
+# (array HOFs); Jaro* needs imperative matching -> pandas UDF in
+# operators/text.py is the slow path, these natives cover the rest.
+# ---------------------------------------------------------------------------
+
+
+def _char_set(s) -> Column:
+    # split on empty pattern yields chars (Spark drops the trailing "")
+    return F.array_distinct(F.filter(F.split(_c(s), ""), lambda x: x != ""))
+
+
+@_reg("stringJaccardIndex")
+def _string_jaccard(a, b) -> Column:
+    sa, sb = _char_set(a), _char_set(b)
+    inter = F.size(F.array_intersect(sa, sb))
+    union = F.size(F.array_union(sa, sb))
+    return F.when(union == 0, F.lit(1.0)).otherwise(
+        inter.cast("double") / union.cast("double")
+    )
+
+
+def _ngram_set(s, n: int) -> Column:
+    c = _c(s)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(c) - (n - 1), F.lit(0))),
+            lambda i: F.substring(c, i, F.lit(n)),
+        )
+    )
+
+
+@_reg("ngramDistance")
+def _ngram_distance(a, b, n: int = 4) -> Column:
+    """Distinct-n-gram symmetric-difference distance in [0,1]
+    (reference FunctionsStringHash.cpp uses hashed 4-gram multisets;
+    this is the distinct-set formulation)."""
+    ga, gb = _ngram_set(a, n), _ngram_set(b, n)
+    tot = F.size(ga) + F.size(gb)
+    inter = F.size(F.array_intersect(ga, gb))
+    return F.when(tot == 0, F.lit(0.0)).otherwise(
+        1.0 - 2.0 * inter.cast("double") / tot.cast("double")
+    )
+
+
+@_reg("ngramSimilarity")
+def _ngram_similarity(a, b, n: int = 4) -> Column:
+    return 1.0 - _ngram_distance(a, b, n)
+
+
+# ---------------------------------------------------------------------------
+# Array enumerate / fold / resize (reference src/Functions/array/
+# arrayEnumerateDense.cpp, arrayEnumerateUniq.cpp, arrayFold.cpp,
+# arrayReduce.cpp, arrayResize.cpp, arrayWithConstant.cpp)
+# ---------------------------------------------------------------------------
+
+
+@_reg("arrayEnumerateDense")
+def _array_enumerate_dense(arr) -> Column:
+    a = _c(arr)
+    return F.transform(a, lambda x: F.array_position(F.array_distinct(a), x))
+
+
+@_reg("arrayEnumerateUniq")
+def _array_enumerate_uniq(arr) -> Column:
+    a = _c(arr)
+    return F.transform(
+        a,
+        lambda x, i: F.size(F.filter(F.slice(a, 1, i + 1), lambda y: y == x)),
+    )
+
+
+@_reg("arrayFold")
+def _array_fold(fn, arr, init) -> Column:
+    return F.aggregate(_c(arr), _c(init), fn)
+
+
+@_reg("arrayReduce")
+def _array_reduce(agg_name: str, arr) -> Column:
+    a = _c(arr)
+    name = agg_name.lower()
+    table = {
+        "sum": lambda: F.aggregate(a, F.lit(0).cast("double"), lambda acc, x: acc + x),
+        "min": lambda: F.array_min(a),
+        "max": lambda: F.array_max(a),
+        "count": lambda: F.size(a),
+        "avg": lambda: F.aggregate(a, F.lit(0).cast("double"), lambda acc, x: acc + x)
+        / F.size(a),
+    }
+    if name not in table:
+        raise KeyError(f"arrayReduce: unsupported aggregate {agg_name!r}")
+    return table[name]()
+
+
+@_reg("arrayResize")
+def _array_resize(arr, n, fill=None) -> Column:
+    a, nn = _c(arr), _c(n)
+    pad = F.lit(0) if fill is None else _c(fill)
+    return F.slice(
+        F.concat(a, F.array_repeat(pad, F.greatest(nn - F.size(a), F.lit(0)))),
+        F.lit(1),
+        nn,
+    )
+
+
+@_reg("arrayWithConstant")
+def _array_with_constant(n, x) -> Column:
+    return F.array_repeat(_c(x), _c(n))
+
+
+# ---------------------------------------------------------------------------
+# Bit inspection + byteSwap + bar (reference src/Functions/bitTest.cpp,
+# bitTestAll.cpp, bitTestAny.cpp, byteSwap.cpp, bar.cpp)
+# ---------------------------------------------------------------------------
+
+
+@_reg("bitTest")
+def _bit_test(x, n) -> Column:
+    return F.shiftright(_c(x).cast("bigint"), n).bitwiseAND(F.lit(1))
+
+
+@_reg("bitTestAll")
+def _bit_test_all(x, *ns) -> Column:
+    out = F.lit(1)
+    for n in ns:
+        out = out.bitwiseAND(_bit_test(x, n))
+    return out
+
+
+@_reg("bitTestAny")
+def _bit_test_any(x, *ns) -> Column:
+    out = F.lit(0)
+    for n in ns:
+        out = out.bitwiseOR(_bit_test(x, n))
+    return out
+
+
+@_reg("byteSwap")
+def _byte_swap32(x) -> Column:
+    """byteSwap for 32-bit values (reference src/Functions/byteSwap.cpp);
+    wider widths compose the same shifts."""
+    v = _c(x).cast("bigint").bitwiseAND(F.lit(0xFFFFFFFF))
+    return (
+        F.shiftleft(v.bitwiseAND(F.lit(0xFF)), 24)
+        .bitwiseOR(F.shiftleft(F.shiftrightunsigned(v, 8).bitwiseAND(F.lit(0xFF)), 16))
+        .bitwiseOR(F.shiftleft(F.shiftrightunsigned(v, 16).bitwiseAND(F.lit(0xFF)), 8))
+        .bitwiseOR(F.shiftrightunsigned(v, 24).bitwiseAND(F.lit(0xFF)))
+    )
+
+
+@_reg("bar")
+def _bar(x, lo, hi, width=80) -> Column:
+    """Full-block bar chart string (reference src/Functions/bar.cpp
+    draws eighth-blocks; this renders whole blocks)."""
+    frac = (_c(x) - _c(lo)).cast("double") / (_c(hi) - _c(lo)).cast("double")
+    n = F.greatest(
+        F.least(F.floor(frac * width).cast("int"), F.lit(int(width))), F.lit(0)
+    )
+    return F.repeat(F.lit("█"), n)
+
+
+# ---------------------------------------------------------------------------
+# URL extras (reference src/Functions/URL/: cutQueryString.cpp,
+# cutFragment.cpp, cutQueryStringAndFragment.cpp, netloc.cpp,
+# queryStringAndFragment.cpp, encodeURLComponent.cpp)
+# ---------------------------------------------------------------------------
+
+_reg("cutQueryString")(lambda u: F.substring_index(_c(u), "?", 1))
+_reg("cutFragment")(lambda u: F.substring_index(_c(u), "#", 1))
+_reg("cutQueryStringAndFragment")(
+    lambda u: F.substring_index(F.substring_index(_c(u), "#", 1), "?", 1)
+)
+_reg("queryStringAndFragment")(
+    lambda u: F.regexp_extract(_c(u), r"[?#](.*)$", 1)
+)
+_reg("netloc")(
+    lambda u: F.regexp_extract(_c(u), r"^(?:[a-zA-Z][a-zA-Z0-9+.-]*:)?//([^/?#]*)", 1)
+)
+_reg("encodeURLFormComponent")(lambda s: F.url_encode(_c(s)))
+_reg("decodeURLFormComponent")(lambda s: F.url_decode(_c(s)))

@@ -19,8 +19,11 @@ default — same operator shape, engine-specific values.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType
 
 # --------------------------------------------------------------------------
 # Hash primitives
@@ -286,4 +289,77 @@ def doc_fingerprint_sql(expr: str) -> str:
         f"list_reduce(list_prepend(CAST(0 AS BIGINT),"
         f" list_transform({toks}, x -> {h})),"
         f" (acc, h) -> (acc * 31 + h) % {_FP_MOD})"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Jaro / Jaro-Winkler similarity (reference
+# src/Functions/FunctionsStringDistance.cpp jaroSimilarity /
+# jaroWinklerSimilarity). Inherently imperative (match-window walk), so
+# this is the documented pandas-UDF slow path — Arrow-batched, never
+# row-at-a-time Python. Standard algorithm: match window
+# max(|a|,|b|)/2 - 1, transpositions halved, Winkler prefix boost
+# p=0.1 over threshold 0.7.
+# ---------------------------------------------------------------------------
+
+
+def _jaro_py(s1: str, s2: str) -> float:
+    if s1 == s2:
+        return 1.0
+    l1, l2 = len(s1), len(s2)
+    if l1 == 0 or l2 == 0:
+        return 0.0
+    window = max(l1, l2) // 2 - 1
+    if window < 0:
+        window = 0
+    m1 = [False] * l1
+    m2 = [False] * l2
+    matches = 0
+    for i, c in enumerate(s1):
+        lo = max(0, i - window)
+        hi = min(l2, i + window + 1)
+        for j in range(lo, hi):
+            if not m2[j] and s2[j] == c:
+                m1[i] = True
+                m2[j] = True
+                matches += 1
+                break
+    if matches == 0:
+        return 0.0
+    t = 0
+    k = 0
+    for i in range(l1):
+        if m1[i]:
+            while not m2[k]:
+                k += 1
+            if s1[i] != s2[k]:
+                t += 1
+            k += 1
+    t //= 2
+    return (matches / l1 + matches / l2 + (matches - t) / matches) / 3.0
+
+
+def _jaro_winkler_py(s1: str, s2: str, p: float = 0.1, threshold: float = 0.7) -> float:
+    j = _jaro_py(s1, s2)
+    if j <= threshold:
+        return j
+    prefix = 0
+    for a, b in zip(s1[:4], s2[:4]):
+        if a != b:
+            break
+        prefix += 1
+    return j + prefix * p * (1.0 - j)
+
+
+@pandas_udf(DoubleType())
+def jaro_similarity(a: pd.Series, b: pd.Series) -> pd.Series:
+    return pd.Series(
+        [_jaro_py(x or "", y or "") for x, y in zip(a, b)], dtype="float64"
+    )
+
+
+@pandas_udf(DoubleType())
+def jaro_winkler_similarity(a: pd.Series, b: pd.Series) -> pd.Series:
+    return pd.Series(
+        [_jaro_winkler_py(x or "", y or "") for x, y in zip(a, b)], dtype="float64"
     )

@@ -1,0 +1,227 @@
+"""Scalar-function breadth, part 2 (SURVEY §2.8): string distance /
+similarity (reference src/Functions/FunctionsStringDistance.cpp),
+array enumerate/fold/resize (src/Functions/array/arrayEnumerateDense
+.cpp, arrayEnumerateUniq.cpp, arrayFold.cpp, arrayReduce.cpp,
+arrayResize.cpp, arrayWithConstant.cpp), bit inspection + byteSwap +
+bar (src/Functions/bitTest*.cpp, byteSwap.cpp, bar.cpp), and URL-
+mutation extras (src/Functions/URL/cut*.cpp, netloc.cpp).
+
+Everything except Jaro runs JVM-side through the dialect registry;
+Jaro/Jaro-Winkler are the documented Arrow-batched pandas-UDF slow
+path (operators/text.py) checked against DuckDB's native
+jaro_similarity / jaro_winkler_similarity. Imported by queries.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clickhouse_25_5_3_75_stable_spark.functions.dialect import ch
+from clickhouse_25_5_3_75_stable_spark.operators.text import (
+    jaro_similarity,
+    jaro_winkler_similarity,
+)
+from clickhouse_25_5_3_75_stable_spark.queries import register, t
+
+_V6 = "CAST(CAST(CAST({x} AS VARCHAR) AS DECIMAL(25,6)) AS DOUBLE)"
+
+
+def _v6(c) -> F.Column:
+    """JVM-equivalent of the oracle's VARCHAR-routed 6dp rounding."""
+    return c.cast("decimal(25,6)").cast("double")
+
+
+@register(
+    "func_stringdist_family",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT a.doc_id,
+               left(a.text, 24) AS s1, left(b.text, 24) AS s2
+        FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+    ), grams AS (
+        SELECT doc_id, s1, s2,
+               list_distinct(list_transform(
+                   range(1, greatest(length(s1) - 3, 0) + 1),
+                   i -> substr(s1, CAST(i AS INTEGER), 4))) AS g1,
+               list_distinct(list_transform(
+                   range(1, greatest(length(s2) - 3, 0) + 1),
+                   i -> substr(s2, CAST(i AS INTEGER), 4))) AS g2
+        FROM pairs
+    )
+    SELECT doc_id,
+           levenshtein(s1, s2) AS lev,
+           {_V6.format(x='jaro_similarity(s1, s2)')} AS jaro,
+           {_V6.format(x='jaro_winkler_similarity(s1, s2)')} AS jaro_winkler,
+           {_V6.format(x='jaccard(s1, s2)')} AS char_jaccard,
+           {_V6.format(x='''CASE WHEN len(g1) + len(g2) = 0 THEN 0.0
+               ELSE 1.0 - 2.0 * CAST(len(list_intersect(g1, g2)) AS DOUBLE)
+                    / CAST(len(g1) + len(g2) AS DOUBLE) END''')} AS ngram_dist
+    FROM grams
+    ORDER BY doc_id
+    """,
+    tags=("functions", "stringdist"),
+)
+def func_stringdist_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String distances on consecutive-doc pairs: levenshteinDistance,
+    jaroSimilarity, jaroWinklerSimilarity (pandas UDF), char-set
+    Jaccard, distinct-4-gram distance. Self-join on doc_id+1 stays a
+    co-partitioned merge join on the sorted key."""
+    docs = t(spark, sf_dir, "documents")
+    a = docs.select("doc_id", F.expr("left(text, 24)").alias("s1"))
+    b = docs.select(
+        (F.col("doc_id") - 1).alias("doc_id"), F.expr("left(text, 24)").alias("s2")
+    )
+    pairs = a.join(b, "doc_id")
+    s1, s2 = F.col("s1"), F.col("s2")
+    return pairs.select(
+        "doc_id",
+        F.levenshtein(s1, s2).alias("lev"),
+        _v6(jaro_similarity(s1, s2)).alias("jaro"),
+        _v6(jaro_winkler_similarity(s1, s2)).alias("jaro_winkler"),
+        _v6(ch("stringJaccardIndex", s1, s2)).alias("char_jaccard"),
+        _v6(ch("ngramDistance", s1, s2)).alias("ngram_dist"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "func_array_enumerate_family",
+    oracle="""
+    WITH arrs AS (
+        SELECT event_id,
+               [user_id % 5, event_id % 5, user_id % 3, CAST(2 AS BIGINT),
+                event_id % 3] AS l
+        FROM events WHERE event_id % 37 = 0
+    )
+    SELECT event_id,
+           list_transform(l, (x, i) ->
+               len(list_filter(l[1:i], y -> y = x))) AS enum_uniq,
+           list_transform(l, x ->
+               len(list_distinct(l[1:list_position(l, x)]))) AS enum_dense,
+           list_reduce(l, (a, b) -> a + b) AS folded_sum,
+           list_aggregate(l, 'max') AS reduced_max,
+           (l || [CAST(0 AS BIGINT), 0, 0])[1:7] AS resized7,
+           list_transform(range(3), i -> event_id % 7) AS const3
+    FROM arrs
+    ORDER BY event_id
+    """,
+    tags=("functions", "array_enumerate"),
+)
+def func_array_enumerate_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """arrayEnumerateUniq / arrayEnumerateDense / arrayFold /
+    arrayReduce / arrayResize / arrayWithConstant over synthesized
+    integer arrays (reference src/Functions/array/). All JVM-side
+    array HOFs — no shuffle beyond the scan."""
+    ev = t(spark, sf_dir, "events").filter(F.col("event_id") % 37 == 0)
+    arr = F.array(
+        F.col("user_id") % 5,
+        F.col("event_id") % 5,
+        F.col("user_id") % 3,
+        F.lit(2).cast("bigint"),
+        F.col("event_id") % 3,
+    )
+    d = ev.select("event_id", arr.alias("l"))
+    lcol = F.col("l")
+    return d.select(
+        "event_id",
+        ch("arrayEnumerateUniq", lcol).alias("enum_uniq"),
+        ch("arrayEnumerateDense", lcol).alias("enum_dense"),
+        ch("arrayFold", lambda acc, x: acc + x, lcol, F.lit(0).cast("bigint")).alias(
+            "folded_sum"
+        ),
+        ch("arrayReduce", "max", lcol).alias("reduced_max"),
+        ch("arrayResize", lcol, F.lit(7), F.lit(0).cast("bigint")).alias("resized7"),
+        ch("arrayWithConstant", F.lit(3), F.col("event_id") % 7).alias("const3"),
+    ).orderBy("event_id")
+
+
+@register(
+    "func_bit_bar_family",
+    oracle="""
+    SELECT o_orderkey,
+           (o_custkey >> 3) & 1 AS bit3,
+           CASE WHEN ((o_custkey >> 1) & 1) = 1 AND ((o_custkey >> 2) & 1) = 1
+                THEN 1 ELSE 0 END AS bits12_all,
+           CASE WHEN ((o_custkey >> 1) & 1) = 1 OR ((o_custkey >> 2) & 1) = 1
+                THEN 1 ELSE 0 END AS bits12_any,
+           ((o_custkey & 255) << 24) | (((o_custkey >> 8) & 255) << 16)
+             | (((o_custkey >> 16) & 255) << 8)
+             | ((o_custkey >> 24) & 255) AS swapped32,
+           repeat('█', CAST(greatest(least(
+               floor((o_totalprice - 0.0) / (600000.0 - 0.0) * 20), 20.0), 0.0)
+               AS INTEGER)) AS price_bar
+    FROM orders
+    WHERE o_orderkey % 41 = 0
+    ORDER BY o_orderkey
+    """,
+    tags=("functions", "bit"),
+)
+def func_bit_bar_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bitTest / bitTestAll / bitTestAny / byteSwap(32) / bar
+    (reference src/Functions/bitTest*.cpp, byteSwap.cpp, bar.cpp)."""
+    od = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 41 == 0)
+    ck = F.col("o_custkey")
+    return od.select(
+        "o_orderkey",
+        ch("bitTest", ck, 3).alias("bit3"),
+        ch("bitTestAll", ck, 1, 2).alias("bits12_all"),
+        ch("bitTestAny", ck, 1, 2).alias("bits12_any"),
+        ch("byteSwap", ck).alias("swapped32"),
+        ch("bar", F.col("o_totalprice"), 0.0, 600000.0, 20).alias("price_bar"),
+    ).orderBy("o_orderkey")
+
+
+@register(
+    "func_url_cut_family",
+    oracle="""
+    WITH urls AS (
+        SELECT doc_id,
+               'https://user:pw@www.' || source || '.example.com:8443/docs/'
+                 || doc_id || '?lang=' || lang || '&q=1#sec' AS url
+        FROM documents WHERE doc_id % 29 = 0
+    )
+    SELECT doc_id,
+           regexp_replace(url, '\\?[^#]*', '') AS no_qs_keep_frag,
+           regexp_extract(url, '^([^#]*)', 1) AS no_frag,
+           regexp_extract(url, '^([^?#]*)', 1) AS bare,
+           regexp_extract(url, '[?#](.*)$', 1) AS qs_and_frag,
+           regexp_extract(url, '^(?:[a-zA-Z][a-zA-Z0-9+.-]*:)?//([^/?#]*)', 1)
+             AS net_loc
+    FROM urls
+    ORDER BY doc_id
+    """,
+    tags=("functions", "url"),
+)
+def func_url_cut_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL mutation family: cutQueryString, cutFragment,
+    cutQueryStringAndFragment, queryStringAndFragment, netloc
+    (reference src/Functions/URL/). netloc keeps user:pw@host:port,
+    matching netloc.cpp."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 29 == 0)
+    url = F.concat(
+        F.lit("https://user:pw@www."),
+        F.col("source"),
+        F.lit(".example.com:8443/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+        F.lit("&q=1#sec"),
+    )
+    d = docs.select("doc_id", url.alias("url"))
+    u = F.col("url")
+    # cutQueryString drops '?...' but keeps '#fragment' in the reference:
+    # compose from the pieces to honor that exactly.
+    no_qs = F.concat(
+        ch("cutQueryStringAndFragment", u),
+        F.when(u.contains("#"), F.concat(F.lit("#"), ch("fragment", u))).otherwise(
+            F.lit("")
+        ),
+    )
+    return d.select(
+        "doc_id",
+        no_qs.alias("no_qs_keep_frag"),
+        ch("cutFragment", u).alias("no_frag"),
+        ch("cutQueryStringAndFragment", u).alias("bare"),
+        ch("queryStringAndFragment", u).alias("qs_and_frag"),
+        ch("netloc", u).alias("net_loc"),
+    ).orderBy("doc_id")
