@@ -1,0 +1,95 @@
+"""Driver-contract queries that run through the ClickHouse-SQL shim
+(chsql.py) — proving the SQL front door end-to-end: the query text is
+ClickHouse dialect (PREWHERE, LIMIT..BY, QUALIFY, countIf, toYear,
+multiIf, FORMAT suffix — reference
+/root/reference/src/Parsers/ParserSelectQuery.cpp), executed by Spark
+after transpilation, hash-checked against a hand-written ANSI oracle.
+Imported by queries.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from clickhouse_25_5_3_75_stable_spark.chsql import ch_sql
+from clickhouse_25_5_3_75_stable_spark.queries import register
+
+
+@register(
+    "chsql_prewhere_yearly",
+    oracle="""
+    SELECT EXTRACT(year FROM o_orderdate) AS y,
+           COUNT(*) AS n,
+           SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS nf,
+           MIN(CASE WHEN o_orderkey > 0 THEN o_orderkey END) AS min_key,
+           MAX(o_orderkey) AS max_key
+    FROM orders
+    WHERE o_totalprice > 1000 AND o_orderkey % 2 = 0
+    GROUP BY y
+    ORDER BY y
+    """,
+    tags=("chsql", "prewhere"),
+)
+def chsql_prewhere_yearly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PREWHERE + countIf + toYear + FORMAT suffix, in ClickHouse SQL
+    text. The shim folds PREWHERE into WHERE — Spark's parquet
+    pushdown then gives the same early-filter behavior the reference's
+    MergeTreeWhereOptimizer provides."""
+    return ch_sql(
+        spark,
+        """
+        SELECT toYear(o_orderdate) AS y,
+               count() AS n,
+               countIf(o_orderstatus == 'F') AS nf,
+               minIf(o_orderkey, o_orderkey > 0) AS min_key,
+               max(o_orderkey) AS max_key
+        FROM orders
+        PREWHERE o_totalprice > 1000
+        WHERE o_orderkey % 2 = 0
+        GROUP BY y
+        ORDER BY y
+        FORMAT TabSeparated
+        """,
+        sf_dir,
+    )
+
+
+@register(
+    "chsql_limit_by_buckets",
+    oracle="""
+    WITH b AS (
+        SELECT o_orderkey,
+               CASE WHEN o_totalprice < 50000 THEN 'low'
+                    WHEN o_totalprice < 200000 THEN 'mid'
+                    ELSE 'high' END AS bucket,
+               o_totalprice
+        FROM orders
+    ), ranked AS (
+        SELECT o_orderkey, bucket, o_totalprice,
+               row_number() OVER (PARTITION BY bucket
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM b
+    )
+    SELECT o_orderkey, bucket, o_totalprice
+    FROM ranked WHERE rn <= 3
+    ORDER BY o_totalprice DESC, o_orderkey
+    """,
+    tags=("chsql", "limit_by"),
+)
+def chsql_limit_by_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIMIT 3 BY bucket + multiIf, in ClickHouse SQL text — the shim
+    rewrites to a row_number window over the price buckets (reference
+    LimitByStep.h:8 semantics: top-n rows per distinct key set)."""
+    return ch_sql(
+        spark,
+        """
+        SELECT o_orderkey,
+               multiIf(o_totalprice < 50000, 'low',
+                       o_totalprice < 200000, 'mid', 'high') AS bucket,
+               o_totalprice
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 3 BY bucket
+        """,
+        sf_dir,
+    )

@@ -1,0 +1,101 @@
+"""ClickHouse-SQL shim (chsql.py): translation unit tests + execution
+smoke vs DataFrame equivalents at the smoke SF."""
+
+from __future__ import annotations
+
+import pytest
+
+from clickhouse_25_5_3_75_stable_spark.chsql import ChSqlError, ch_sql, ch_sql_to_spark
+from tests.conftest import SF_SMOKE
+
+
+def test_prewhere_merges_into_where():
+    out = ch_sql_to_spark(
+        "SELECT x FROM t PREWHERE a > 1 WHERE b < 2"
+    )
+    assert "PREWHERE" not in out.upper()
+    assert "WHERE (a > 1) AND (b < 2)" in out
+
+
+def test_prewhere_without_where():
+    out = ch_sql_to_spark("SELECT x FROM t PREWHERE a > 1")
+    assert "WHERE a > 1" in out
+
+
+def test_format_and_settings_stripped():
+    out = ch_sql_to_spark(
+        "SELECT 1 FROM t SETTINGS max_threads = 4 FORMAT JSONEachRow"
+    )
+    assert "FORMAT" not in out.upper() and "SETTINGS" not in out.upper()
+
+
+def _flat(s: str) -> str:
+    return (
+        s.replace(" (", "(")
+        .replace("( ", "(")
+        .replace(" )", ")")
+        .replace(", ", ",")
+        .replace(" ,", ",")
+    )
+
+
+def test_cast_family():
+    out = _flat(ch_sql_to_spark("SELECT toInt64(a), toFloat64OrNull(b), toStringOrZero(c)"))
+    assert "CAST(a AS BIGINT)" in out
+    assert "try_cast" in out
+
+
+def test_count_if_and_zero_arg_count():
+    out = _flat(ch_sql_to_spark("SELECT count(), countIf(a > 1) FROM t"))
+    assert "count(*)" in out
+    assert "CASE WHEN a > 1 THEN 1 END" in out
+
+
+def test_quantile_parametric():
+    flat = _flat(ch_sql_to_spark("SELECT quantile(0.9)(x) FROM t"))
+    assert "percentile_approx(x,0.9)" in flat
+
+
+def test_refused_function_raises():
+    with pytest.raises(ChSqlError):
+        ch_sql_to_spark("SELECT topK(5)(x) FROM t")
+
+
+def test_multiif_becomes_case():
+    out = ch_sql_to_spark("SELECT multiIf(a, 1, b, 2, 3)")
+    assert "CASE WHEN a THEN 1 WHEN b THEN 2 ELSE 3 END" in out
+
+
+def test_execution_matches_dataframe(spark):
+    got = ch_sql(
+        spark,
+        """
+        SELECT toYear(o_orderdate) AS y, count() AS n
+        FROM orders PREWHERE o_totalprice > 1000
+        GROUP BY y ORDER BY y
+        """,
+        SF_SMOKE,
+    ).collect()
+    want = spark.sql(
+        """
+        SELECT year(o_orderdate) AS y, count(*) AS n
+        FROM orders WHERE o_totalprice > 1000
+        GROUP BY y ORDER BY y
+        """
+    ).collect()
+    assert got == want
+
+
+def test_limit_by_execution(spark):
+    rows = ch_sql(
+        spark,
+        """
+        SELECT o_custkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC LIMIT 2 BY o_custkey
+        """,
+        SF_SMOKE,
+    ).collect()
+    from collections import Counter
+
+    per_key = Counter(r.o_custkey for r in rows)
+    assert per_key and max(per_key.values()) <= 2
