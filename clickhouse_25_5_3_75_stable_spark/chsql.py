@@ -564,6 +564,72 @@ def _regex_quote(sep_toks: list[str]) -> list[str]:
 
 
 # ---------------------------------------------------------------------------
+# SQL-lambda user functions (reference
+# src/Functions/UserDefined/UserDefinedSQLFunctionFactory.h:18 —
+# `CREATE FUNCTION name AS (args) -> expr`). The reference stores the
+# lambda and inlines it during analysis; this shim does the same as a
+# translation-time macro registry — calls expand to the parenthesized
+# body with arguments substituted, BEFORE the dialect passes run, so
+# the body may itself use ClickHouse functions.
+# ---------------------------------------------------------------------------
+
+_SQL_FUNCTIONS: dict[str, tuple[list[str], list[str]]] = {}
+
+
+def _parse_create_function(toks: list[str]) -> bool:
+    """CREATE FUNCTION name AS (p1, p2) -> body — register and return
+    True; False when the statement is not a CREATE FUNCTION."""
+    if len(toks) < 6 or toks[0].upper() != "CREATE" or toks[1].upper() != "FUNCTION":
+        return False
+    name = toks[2].lower()
+    if toks[3].upper() != "AS":
+        raise ChSqlError("CREATE FUNCTION: expected AS")
+    i = 4
+    params: list[str] = []
+    if toks[i] == "(":
+        close = _call_end(toks, i)
+        params = [a[0] for a in _split_args(toks, i, close) if a]
+        i = close + 1
+    else:  # single bare parameter
+        params = [toks[i]]
+        i += 1
+    if toks[i] != "->":
+        raise ChSqlError("CREATE FUNCTION: expected ->")
+    body = toks[i + 1 :]
+    _SQL_FUNCTIONS[name] = (params, body)
+    return True
+
+
+def _expand_sql_functions(toks: list[str], depth: int = 0) -> list[str]:
+    if depth > 16:
+        raise ChSqlError("SQL function expansion too deep (recursive macro?)")
+    out: list[str] = []
+    i = 0
+    changed = False
+    while i < len(toks):
+        tk = toks[i]
+        if _match_call(toks, i) and tk.lower() in _SQL_FUNCTIONS:
+            params, body = _SQL_FUNCTIONS[tk.lower()]
+            close_i = _call_end(toks, i + 1)
+            args = _split_args(toks, i + 1, close_i)
+            if len(args) != len(params):
+                raise ChSqlError(
+                    f"{tk}: expects {len(params)} argument(s), got {len(args)}"
+                )
+            sub = {p.lower(): ["("] + a + [")"] for p, a in zip(params, args)}
+            out.append("(")
+            for b in body:
+                out += sub.get(b.lower(), [b])
+            out.append(")")
+            i = close_i + 1
+            changed = True
+            continue
+        out.append(tk)
+        i += 1
+    return _expand_sql_functions(out, depth + 1) if changed else out
+
+
+# ---------------------------------------------------------------------------
 # Entry points
 # ---------------------------------------------------------------------------
 
@@ -571,6 +637,9 @@ def _regex_quote(sep_toks: list[str]) -> list[str]:
 def ch_sql_to_spark(sql: str) -> str:
     """Translate a ClickHouse-dialect SELECT into Spark SQL text."""
     toks = _tokenize(sql)
+    if _parse_create_function(toks):
+        return "SELECT 'OK' AS created"
+    toks = _expand_sql_functions(toks)
     toks = _strip_suffix_clauses(toks)
     toks = _rewrite_prewhere(toks)
     toks = _rewrite_limit_by(toks)

@@ -99,3 +99,22 @@ def test_limit_by_execution(spark):
 
     per_key = Counter(r.o_custkey for r in rows)
     assert per_key and max(per_key.values()) <= 2
+
+
+def test_create_function_macro_expansion():
+    ch_sql_to_spark("CREATE FUNCTION plus_one AS (x) -> x + 1")
+    flat = _flat(ch_sql_to_spark("SELECT plus_one(a * 2) FROM t"))
+    assert "((a * 2) + 1)" in flat.replace("(  ", "(")
+
+
+def test_create_function_uses_ch_dialect_in_body():
+    ch_sql_to_spark("CREATE FUNCTION order_year AS (d) -> toYear(d)")
+    flat = _flat(ch_sql_to_spark("SELECT order_year(o_orderdate) FROM orders"))
+    assert "year((o_orderdate))" in flat
+
+
+def test_create_function_nested_macros():
+    ch_sql_to_spark("CREATE FUNCTION inc AS (x) -> x + 1")
+    ch_sql_to_spark("CREATE FUNCTION inc2 AS (x) -> inc(inc(x))")
+    flat = _flat(ch_sql_to_spark("SELECT inc2(7)"))
+    assert flat.count("+ 1") == 2
