@@ -38,9 +38,11 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     # JVM/codegen warm-up on the smallest SF so measured times are the
-    # steady-state plan cost, not first-query JIT + classloading.
-    warm = REGISTRY[HEADLINE[0]].fn(spark, "/root/testdata/sf0.001")
-    warm.count()
+    # steady-state plan cost, not first-query JIT + classloading; the
+    # second warm query spins up the Python/Arrow workers so
+    # pandas-UDF operators measure compute, not daemon fork cost.
+    REGISTRY[HEADLINE[0]].fn(spark, "/root/testdata/sf0.001").count()
+    REGISTRY["embedding_near_dup_lsh"].fn(spark, "/root/testdata/sf0.001").count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

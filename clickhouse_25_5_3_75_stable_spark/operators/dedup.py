@@ -111,7 +111,12 @@ def minhash_lsh_pairs(
         "doc", F.explode(lsh_band_keys(F.col("sig"), bands, rows_per_band)).alias("bk")
     ).select("doc", "bk.band", "bk.key")
     a = banded.alias("a")
-    b = banded.alias("b")
+    # shuffle_hash (not broadcast): both sides exchange on the band key
+    # with canonically-identical children, so ReuseExchange computes
+    # the tokenize->shingle->minhash pipeline ONCE; a broadcast would
+    # re-evaluate it for the build side (and can't hold the corpus at
+    # scale anyway).
+    b = banded.alias("b").hint("shuffle_hash")
     return (
         a.join(
             b,

@@ -148,30 +148,44 @@ def lsh_cosine_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Scale-path near-dup pairs: hyperplane-bucket equi-join blocks the
-    n² comparison down to same-bucket pairs (expected n²/2^planes),
-    then an Arrow-batched numpy cosine filters. Recall loss on bucket
-    boundaries is the LSH trade — union several plane-sets to tighten."""
-    cos_np = cosine_pandas()
+    """Scale-path near-dup pairs: hyperplane buckets block the n²
+    comparison, then ONE applyInPandas per bucket scores all its pairs
+    with a single numpy Gram matmul. Each vector crosses the shuffle
+    once (grouped by bucket) instead of once per candidate pair — at
+    334k pairs × 64 dims the pair-join formulation ships ~300 MB of
+    duplicated vectors through Arrow; this ships the 2k originals.
+    Recall loss on bucket boundaries is the LSH trade — union several
+    plane-sets to tighten. Skew note: a pathological bucket holding m
+    vectors costs O(m²) in one task; at corpus scale cap bucket width
+    by appending extra plane bits for oversized buckets (the standard
+    LSH re-split) before this operator."""
     b = vectors.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         hyperplane_bucket(F.col(vec_col), planes).alias("blk"),
     )
-    lhs = b.select(
-        F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("blk").alias("ba")
-    )
-    # shuffle_hash: both sides exchange on the bucket key with
-    # identical children -> ReuseExchange evaluates the 6-plane bucket
-    # expression once; broadcast would recompute it per side (and dies
-    # at corpus scale anyway).
-    rhs = b.select(
-        F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("blk").alias("bb")
-    ).hint("shuffle_hash")
-    return (
-        lhs.join(rhs, (F.col("ba") == F.col("bb")) & (F.col("id_a") < F.col("id_b")))
-        .select("id_a", "id_b", cos_np("va", "vb").alias("cosine"))
-        .filter(F.col("cosine") >= threshold)
+
+    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
+            )
+        ids = pdf["id"].to_numpy()
+        m = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+        norms = np.sqrt(np.einsum("ij,ij->i", m, m))
+        gram = m @ m.T
+        cos = gram / np.outer(norms, norms)
+        iu, ju = np.triu_indices(n, k=1)
+        keep = cos[iu, ju] >= threshold
+        ia, ib = ids[iu[keep]], ids[ju[keep]]
+        lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
+        return pd.DataFrame(
+            {"id_a": lo, "id_b": hi, "cosine": cos[iu, ju][keep]}
+        )
+
+    return b.groupBy("blk").applyInPandas(
+        bucket_pairs, "id_a long, id_b long, cosine double"
     )
 
 
