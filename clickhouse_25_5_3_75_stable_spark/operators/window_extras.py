@@ -34,7 +34,8 @@ def non_negative_derivative(
     """nonNegativeDerivative: max(0, Δvalue/Δseconds) per step."""
     w = Window.partitionBy(*(partition or [])).orderBy(*order)
     dv = value - F.lag(value).over(w)
-    dt = (F.unix_micros(ts) - F.unix_micros(F.lag(ts).over(w))).cast("double") / 1e6
+    tsc = ts.cast("timestamp")  # NTZ-safe under UTC session tz
+    dt = (F.unix_micros(tsc) - F.unix_micros(F.lag(tsc).over(w))).cast("double") / 1e6
     return F.when(dt > 0, F.greatest(dv / dt, F.lit(0.0))).otherwise(F.lit(None))
 
 

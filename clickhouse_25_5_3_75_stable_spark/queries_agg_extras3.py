@@ -203,7 +203,7 @@ def agg_exp_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL cast mis-rounds deep-underflow doubles (9e-26 -> 0.000001)
     while the JVM truncates them to zero."""
     ev = t(spark, sf_dir, "events")
-    tu = F.unix_micros(F.col("ts"))
+    tu = F.unix_micros(F.col("ts").cast("timestamp"))
     base = ev.select("event_type", "value", tu.alias("tu"))
     # ln2 / 3.6e9 us, literal-matched with the oracle text
     lam = 1.92541e-10

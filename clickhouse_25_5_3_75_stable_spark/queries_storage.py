@@ -1,0 +1,178 @@
+"""Registry entries: SAMPLE clause, mutations (ALTER UPDATE/DELETE),
+aggregate-projection routing, system.* introspection. Imported by
+queries.py for its side effects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clickhouse_25_5_3_75_stable_spark.functions.numeric import dsum, dsum_sql
+from clickhouse_25_5_3_75_stable_spark.operators.mutations import (
+    apply_row_mask,
+    lightweight_delete,
+    mutate_delete,
+    mutate_update,
+)
+from clickhouse_25_5_3_75_stable_spark.operators.projections import (
+    build_aggregate_projection,
+    route_to_projection,
+)
+from clickhouse_25_5_3_75_stable_spark.operators.sampling import sample_by_key
+from clickhouse_25_5_3_75_stable_spark.queries import register, t
+from clickhouse_25_5_3_75_stable_spark.sources.system_tables import system_columns
+
+
+@register(
+    "sample_deterministic_tenth",
+    oracle=f"""
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           {dsum_sql('l_extendedprice * (1 - l_discount)', 'revenue')}
+    FROM lineitem
+    WHERE l_orderkey % 10 = 3
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("sample", "scan"),
+)
+def sample_deterministic_tenth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAMPLE 1/10 OFFSET 3/10 on the order key (reference
+    MergeTreeDataSelectExecutor::getSampling,
+    src/Storages/MergeTree/MergeTreeDataSelectExecutor.cpp:206).
+    ``hashed=False`` keeps the slice ANSI-expressible for the oracle;
+    production sampling uses the hashed ring (same operator)."""
+    li = sample_by_key(t(spark, sf_dir, "lineitem"), "l_orderkey", 1, 10, offset=3, hashed=False)
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "mutation_update_delete_orders",
+    oracle=f"""
+    WITH updated AS (
+        SELECT o_orderstatus,
+               CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice * 1.1
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders
+    )
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           {dsum_sql('o_totalprice', 'total')}
+    FROM updated
+    WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 50000)
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=("mutation", "update", "delete"),
+)
+def mutation_update_delete_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALTER TABLE UPDATE + DELETE as copy-on-write rewrites (reference
+    src/Interpreters/MutationsInterpreter.h): +10% price for urgent
+    orders, drop cheap finished orders, then aggregate the mutated
+    table."""
+    orders = t(spark, sf_dir, "orders")
+    mutated = mutate_update(
+        orders,
+        F.col("o_orderpriority") == "1-URGENT",
+        {"o_totalprice": F.col("o_totalprice") * 1.1},
+    )
+    mutated = mutate_delete(
+        mutated, (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") < 50000)
+    )
+    return (
+        mutated.groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", "total"))
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "mutation_lightweight_delete",
+    oracle="""
+    SELECT COUNT(*) AS n_live, CAST(MIN(o_totalprice) AS DOUBLE) AS min_price
+    FROM orders
+    WHERE NOT (o_orderpriority = '5-LOW' AND o_orderstatus = 'O')
+    """,
+    tags=("mutation", "lightweight_delete"),
+)
+def mutation_lightweight_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lightweight DELETE via the hidden ``_row_exists`` mask column
+    (reference MutationsInterpreter.cpp mask-column path): mark, then
+    filter at read time."""
+    orders = t(spark, sf_dir, "orders")
+    masked = lightweight_delete(
+        orders, (F.col("o_orderpriority") == "5-LOW") & (F.col("o_orderstatus") == "O")
+    )
+    live = apply_row_mask(masked)
+    return live.agg(
+        F.count(F.lit(1)).alias("n_live"),
+        F.min("o_totalprice").cast("double").alias("min_price"),
+    )
+
+
+@register(
+    "projection_reaggregate_returnflag",
+    oracle=f"""
+    SELECT l_returnflag,
+           COUNT(*) AS count_rows,
+           {dsum_sql('l_quantity', 'sum_l_quantity')},
+           CAST(MIN(l_shipdate) AS DATE) AS min_l_shipdate,
+           CAST(MAX(l_shipdate) AS DATE) AS max_l_shipdate
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("projection", "preagg"),
+)
+def projection_reaggregate_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate-projection routing (reference
+    optimizeUseAggregateProjection.cpp): build partial states on
+    (returnflag, linestatus), answer the coarser GROUP BY returnflag by
+    merging states — never re-touching the fact table."""
+    li = t(spark, sf_dir, "lineitem").withColumn(
+        "l_shipdate", F.col("l_shipdate").cast("date")
+    )
+    proj = build_aggregate_projection(
+        li,
+        keys=["l_returnflag", "l_linestatus"],
+        sum_cols=["l_quantity"],
+        minmax_cols=["l_shipdate"],
+    )
+    routed = route_to_projection(
+        proj, keys=["l_returnflag"], sum_cols=["l_quantity"], minmax_cols=["l_shipdate"]
+    )
+    return routed.select(
+        "l_returnflag",
+        "count_rows",
+        "sum_l_quantity",
+        "min_l_shipdate",
+        "max_l_shipdate",
+    ).orderBy("l_returnflag")
+
+
+@register(
+    "system_columns_introspection",
+    oracle="""
+    SELECT table_name, column_name, CAST(ordinal_position AS INT) AS pos
+    FROM information_schema.columns
+    WHERE table_name IN ('region','nation','customer','supplier','part',
+                         'orders','lineitem','events','documents','embeddings')
+    ORDER BY table_name, pos
+    """,
+    tags=("system", "introspection"),
+)
+def system_columns_introspection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """system.columns (reference src/Storages/System/
+    StorageSystemColumns.cpp) — catalog metadata from parquet footers,
+    cross-checked against the oracle's information_schema."""
+    return system_columns(spark, sf_dir).select("table_name", "column_name", "pos").orderBy(
+        "table_name", "pos"
+    )
