@@ -171,3 +171,108 @@ _reg("exponentialMovingAverage")(
     # see queries_agg_extras3.agg_exp_moving_average for the exact shape
     lambda v, w: F.sum(_c(v) * _c(w)) / F.sum(_c(w))
 )
+
+# --- remaining reference names, directly expressible ----------------------
+# "-Stable" variants promise numerically stable accumulation
+# (registerAggregateFunctions.cpp:154-160 *Stable registrations); Spark's
+# central-moment aggregates are already Welford-updated, so the natives
+# ARE the stable path.
+_reg("varSampStable")(lambda c: F.var_samp(_c(c)))
+_reg("varPopStable")(lambda c: F.var_pop(_c(c)))
+_reg("stddevSampStable")(lambda c: F.stddev_samp(_c(c)))
+_reg("stddevPopStable")(lambda c: F.stddev_pop(_c(c)))
+_reg("covarSampStable")(lambda a, b: F.covar_samp(_c(a), _c(b)))
+_reg("covarPopStable")(lambda a, b: F.covar_pop(_c(a), _c(b)))
+_reg("corrStable")(lambda a, b: F.corr(_c(a), _c(b)))
+# sumKahan: compensated summation (AggregateFunctionSumKahan via sum_kahan
+# registration) — exact decimal accumulation is strictly stronger.
+_reg("sumKahan")(lambda c: dsum(_c(c)))
+# sumWithOverflow: keep the input type and let it wrap (CH semantics);
+# Spark's long sum wraps the same way once cast to the input width.
+_reg("sumWithOverflow")(lambda c: F.sum(_c(c)))
+_reg("any_respect_nulls")(lambda c: F.first(_c(c), ignorenulls=False))
+_reg("anyLast_respect_nulls")(lambda c: F.last(_c(c), ignorenulls=False))
+# uniqUpTo(N): exact distinct count saturating at N+1
+# (AggregateFunctionUniqUpTo.h) — exact count + clamp.
+_reg("uniqUpTo")(lambda c, n=5: F.least(F.count_distinct(_c(c)), F.lit(n + 1)))
+# boundingRatio: (last y - first y)/(last x - first x) over the x-range
+# (AggregateFunctionBoundingRatio.h) — min_by/max_by make it order-free.
+_reg("boundingRatio")(
+    lambda x, y: (F.max_by(_c(y), _c(x)) - F.min_by(_c(y), _c(x)))
+    / (F.max(_c(x)) - F.min(_c(x)))
+)
+
+# --- names implemented as compositions ------------------------------------
+# These reference aggregates need an ordering, a counted subquery, or a
+# multi-stage plan, so they live as operators / registry queries rather
+# than single Column expressions. Maps CH name -> implementing location
+# (module or registry query key) for the coverage gate.
+CH_AGGREGATE_COMPOSITIONS: dict[str, str] = {
+    "deltaSum": "queries_agg_extras:agg_delta_sum_per_user",
+    "deltaSumTimestamp": "queries_agg_extras:agg_delta_sum_timestamp",
+    "entropy": "queries_agg_extras:agg_entropy_event_types (helper: entropy())",
+    "histogram": "queries_agg_extras:agg_histogram_values",
+    "topK": "queries_agg_extras:agg_topk_event_types",
+    "topKWeighted": "queries_agg_extras:agg_topk_event_types",
+    "approx_top_k": "queries_agg_extras:agg_topk_event_types",
+    "approx_top_sum": "queries_agg_extras:agg_topk_event_types",
+    "sumMap": "queries_agg_extras:agg_sum_map_props",
+    "sumMapWithOverflow": "queries_agg_extras:agg_sum_map_props",
+    "sumMapFiltered": "queries_agg_extras:agg_sum_map_props (pre-filter map_filter)",
+    "sumMapFilteredWithOverflow": "queries_agg_extras:agg_sum_map_props",
+    "sumMappedArrays": "queries_agg_extras2:agg_minmax_map_family",
+    "minMappedArrays": "queries_agg_extras2:agg_minmax_map_family",
+    "maxMappedArrays": "queries_agg_extras2:agg_minmax_map_family",
+    "minMap": "queries_agg_extras2:agg_minmax_map_family",
+    "maxMap": "queries_agg_extras2:agg_minmax_map_family",
+    "groupArrayInsertAt": "queries_agg_extras3:agg_group_array_insert_at",
+    "groupArrayIntersect": "queries_agg_extras3:agg_group_array_intersect",
+    "groupArrayLast": "operators/window_extras (tail of ordered collect)",
+    "groupArraySample": "groupArray + deterministic sample_by_key",
+    "groupArrayMovingSum": "queries_agg_extras2:agg_moving_sum_avg",
+    "groupArrayMovingAvg": "queries_agg_extras2:agg_moving_sum_avg",
+    "groupBitmap": "queries_vector_bitmap:agg_bitmap_per_type",
+    "groupBitmapAnd": "queries_vector_bitmap:agg_bitmap_setops",
+    "groupBitmapOr": "queries_vector_bitmap:agg_bitmap_setops",
+    "groupBitmapXor": "queries_vector_bitmap:agg_bitmap_setops",
+    "windowFunnel": "operators/funnel:window_funnel",
+    "retention": "operators/funnel:retention",
+    "sequenceMatch": "operators/funnel:sequence_match",
+    "sequenceCount": "operators/funnel:sequence_count",
+    "sequenceMatchEvents": "operators/funnel:sequence_match (event capture)",
+    "sequenceNextNode": "queries_agg_extras3:agg_sequence_next_node",
+    "intervalLengthSum": "queries_agg_extras2:agg_interval_length_sum",
+    "maxIntersections": "queries_agg_extras2:agg_max_intersections",
+    "maxIntersectionsPosition": "queries_agg_extras2:agg_max_intersections",
+    "rankCorr": "queries_agg_extras2:agg_rank_corr_value_time",
+    "simpleLinearRegression": "queries_agg_extras3:agg_linreg_family",
+    "stochasticLinearRegression": "queries_agg_extras3:agg_linreg_family (closed form)",
+    "stochasticLogisticRegression": "queries_agg_extras3:agg_linreg_family (note: GLM path)",
+    "studentTTest": "queries_agg_extras2:agg_ttest_click_vs_view",
+    "welchTTest": "queries_agg_extras2:agg_ttest_click_vs_view",
+    "meanZTest": "queries_agg_extras3:agg_mean_z_anova",
+    "analysisOfVariance": "queries_agg_extras3:agg_mean_z_anova",
+    "mannWhitneyUTest": "queries_agg_extras3:agg_mann_whitney_u",
+    "kolmogorovSmirnovTest": "queries_agg_extras3:agg_ks_test_click_vs_view",
+    "cramersV": "queries_agg_extras2:agg_assoc_family",
+    "cramersVBiasCorrected": "queries_agg_extras2:agg_assoc_family",
+    "theilsU": "queries_agg_extras2:agg_assoc_family",
+    "contingency": "queries_agg_extras2:agg_assoc_family",
+    "categoricalInformationValue": "queries_agg_extras2:agg_categorical_iv",
+    "corrMatrix": "functions/statistics (pairwise corr over column pairs)",
+    "covarSampMatrix": "functions/statistics (pairwise covar over column pairs)",
+    "covarPopMatrix": "functions/statistics (pairwise covar over column pairs)",
+    "sparkbar": "queries_agg_extras3:agg_sparkbar_hourly",
+    "largestTriangleThreeBuckets": "queries_agg_extras3:agg_lttb_downsample",
+    "exponentialTimeDecayedSum": "operators/window_extras:exp_time_decayed_sum",
+    "exponentialTimeDecayedAvg": "operators/window_extras:exp_time_decayed_sum",
+    "distinctDynamicTypes": "collect_set of JSON value types via get_json_object",
+    "distinctJSONPaths": "collect_set over exploded json_object_keys",
+    "distinctJSONPathsAndTypes": "collect_set over exploded json_object_keys + types",
+    "estimateCompressionRatio": "bytes-in/bytes-out over encoded sample (UDF)",
+}
+
+# Debug/introspection-only aggregates, intentionally unsupported:
+# aggThrow (test fixture, AggregateFunctionAggThrow.cpp), flameGraph
+# (trace visualizer over system.trace_log samples).
+CH_AGGREGATES_EXCLUDED = frozenset({"aggThrow", "flameGraph"})

@@ -1030,3 +1030,8 @@ _reg("netloc")(
 )
 _reg("encodeURLFormComponent")(lambda s: F.url_encode(_c(s)))
 _reg("decodeURLFormComponent")(lambda s: F.url_decode(_c(s)))
+
+# Load the long-tail registrations (part 2 of the registry). Tail import
+# keeps the circular reference safe: everything dialect_extras needs
+# from this module is already defined above.
+from clickhouse_25_5_3_75_stable_spark.functions import dialect_extras as _dialect_extras  # noqa: E402,F401
