@@ -1,0 +1,116 @@
+"""Unit tests: SAMPLE, mutations, aggregate projections, system tables
+(operator level, tiny DataFrames — SURVEY §5 strategy (a))."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from clickhouse_25_5_3_75_stable_spark.operators.mutations import (
+    apply_row_mask,
+    lightweight_delete,
+    mutate_delete,
+    mutate_update,
+)
+from clickhouse_25_5_3_75_stable_spark.operators.projections import (
+    build_aggregate_projection,
+    route_to_projection,
+)
+from clickhouse_25_5_3_75_stable_spark.operators.sampling import sample_by_key, sample_fraction
+
+
+def _df(spark):
+    return spark.createDataFrame(
+        [(i, chr(ord("a") + i % 3), float(i * 10)) for i in range(30)],
+        "k bigint, g string, v double",
+    )
+
+
+def test_sample_by_key_deterministic_and_disjoint(spark):
+    df = _df(spark)
+    s1 = sample_by_key(df, "k", 1, 3, offset=0, hashed=False)
+    s2 = sample_by_key(df, "k", 1, 3, offset=1, hashed=False)
+    s3 = sample_by_key(df, "k", 1, 3, offset=2, hashed=False)
+    a, b, c = (sorted(r.k for r in s.collect()) for s in (s1, s2, s3))
+    assert sorted(a + b + c) == list(range(30))  # slices partition the table
+    assert a == sorted(r.k for r in sample_by_key(df, "k", 1, 3, hashed=False).collect())
+
+
+def test_sample_by_key_hashed_stable(spark):
+    df = _df(spark)
+    r1 = sorted(r.k for r in sample_by_key(df, "k", 1, 2).collect())
+    r2 = sorted(r.k for r in sample_by_key(df, "k", 1, 2).collect())
+    assert r1 == r2 and 0 < len(r1) < 30
+
+
+def test_sample_wraparound_ring(spark):
+    df = _df(spark)
+    s = sample_by_key(df, "k", 2, 3, offset=2, hashed=False)  # wraps: buckets {2, 0}
+    ks = sorted(r.k for r in s.collect())
+    assert ks == sorted(k for k in range(30) if k % 3 in (2, 0))
+
+
+def test_sample_fraction_bounds(spark):
+    df = _df(spark)
+    assert sample_fraction(df, "k", 1.0).count() == 30
+
+
+def test_mutate_update_and_delete(spark):
+    df = _df(spark)
+    up = mutate_update(df, F.col("g") == "a", {"v": F.col("v") + 1000})
+    rows = {r.k: r.v for r in up.collect()}
+    assert rows[0] == 1000.0 and rows[1] == 10.0
+    de = mutate_delete(up, F.col("v") >= 1000)
+    assert de.count() == 20 and de.filter(F.col("g") == "a").count() == 0
+
+
+def test_mutate_update_unknown_column(spark):
+    import pytest
+
+    with pytest.raises(KeyError):
+        mutate_update(_df(spark), F.lit(True), {"nope": F.lit(1)})
+
+
+def test_lightweight_delete_mask(spark):
+    df = _df(spark)
+    masked = lightweight_delete(df, F.col("k") < 10)
+    assert masked.filter(F.col("_row_exists")).count() == 20
+    # second mark composes with the first
+    masked = lightweight_delete(masked, F.col("k") >= 25)
+    live = apply_row_mask(masked)
+    assert live.count() == 15 and "_row_exists" not in live.columns
+
+
+def test_projection_routing_matches_direct(spark):
+    df = _df(spark)
+    proj = build_aggregate_projection(df, keys=["g", "k"], sum_cols=["v"], minmax_cols=["v"])
+    routed = route_to_projection(proj, keys=["g"], sum_cols=["v"], avg_cols=["v"], minmax_cols=["v"])
+    direct = df.groupBy("g").agg(
+        F.count(F.lit(1)).alias("count_rows"),
+        F.sum(F.col("v").cast("decimal(25,6)")).cast("double").alias("sum_v"),
+        F.avg("v").alias("avg_v"),
+        F.min("v").alias("min_v"),
+        F.max("v").alias("max_v"),
+    )
+    got = {r.g: r for r in routed.collect()}
+    want = {r.g: r for r in direct.collect()}
+    assert set(got) == set(want)
+    for g in want:
+        assert got[g].count_rows == want[g].count_rows
+        assert abs(got[g].sum_v - want[g].sum_v) < 1e-9
+        assert abs(got[g].avg_v - want[g].avg_v) < 1e-9
+        assert got[g].min_v == want[g].min_v and got[g].max_v == want[g].max_v
+
+
+def test_system_tables(spark):
+    from clickhouse_25_5_3_75_stable_spark.sources.system_tables import (
+        system_columns,
+        system_one,
+        system_tables,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    cols = system_columns(spark, sf)
+    assert cols.filter(F.col("table_name") == "region").count() == 2
+    tabs = {r.table_name: r.n_columns for r in system_tables(spark, sf).collect()}
+    assert tabs["lineitem"] >= 10 and len(tabs) == 10
+    assert system_one(spark).collect()[0].dummy == 0
