@@ -1265,3 +1265,49 @@ for _b in _VARIANT_BASES:
         CH_FUNCTIONS.setdefault(f"{_b}{_suffix}".lower(), _impl)
     CH_FUNCTIONS.setdefault(f"{_b}CaseInsensitive".lower(), _ci_wrap(_impl))
     CH_FUNCTIONS.setdefault(f"{_b}CaseInsensitiveUTF8".lower(), _ci_wrap(_impl))
+
+# ---------------------------------------------------------------------------
+# arrayAUC family (src/Functions/array/arrayAUC.cpp): exact pairwise
+# form — AUC = (#(pos>neg) + 0.5·#(pos==neg)) / (P·N). Nested HOFs keep
+# it JVM-side; O(n²) per row is fine for per-group score arrays.
+# ---------------------------------------------------------------------------
+
+
+def _array_auc(scores, labels) -> Column:
+    pairs = F.zip_with(_c(scores), _c(labels), lambda s, l: F.struct(s.alias("s"), l.alias("l")))
+    pos = F.filter(pairs, lambda p: p["l"] > 0)
+    neg = F.filter(pairs, lambda p: p["l"] <= 0)
+    wins = F.aggregate(
+        pos,
+        F.lit(0.0),
+        lambda acc, p: acc
+        + F.aggregate(
+            neg,
+            F.lit(0.0),
+            lambda a2, n: a2
+            + F.when(p["s"] > n["s"], 1.0).when(p["s"] == n["s"], 0.5).otherwise(0.0),
+        ),
+    )
+    return wins / (F.size(pos) * F.size(neg)).cast("double")
+
+
+_reg("arrayAUC")(_array_auc)
+_reg("arrayNormalizedGini")(lambda s, l: F.lit(2.0) * _array_auc(s, l) - 1.0)
+_reg("arrayFill")(
+    # forward-fill: keep x where fn(x) holds, else carry the last kept
+    # value; leading non-matching elements stay as-is (CH semantics).
+    # Init: an empty array of the element type (slice of a 1-elt array).
+    lambda fn, arr: F.aggregate(
+        _c(arr),
+        F.slice(F.array(F.get(_c(arr), 0)), 1, 0),
+        lambda acc, x: F.concat(
+            acc,
+            F.array(F.when(fn(x) | (F.size(acc) == 0), x).otherwise(F.element_at(acc, -1))),
+        ),
+    )
+)
+_reg("arrayReverseFill")(
+    lambda fn, arr: F.reverse(CH_FUNCTIONS["arrayfill"](fn, F.reverse(_c(arr))))
+)
+for _n in ("arrayAUC", "arrayNormalizedGini", "arrayFill", "arrayReverseFill"):
+    CH_FUNCTION_COMPOSITIONS.pop(_n, None)

@@ -283,3 +283,92 @@ def cosine_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the k-means-coarse-quantizer classic the
+# reference pairs with HNSW as its vector-index alternatives
+# (MergeTreeIndexVectorSimilarity.h). Spark realization: centroid
+# assignment is one JVM-side argmin per row; probing turns the scan
+# into a partition-pruned subset.
+# ---------------------------------------------------------------------------
+
+
+def ivf_centroids(
+    vectors: DataFrame, nlist: int, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> list[list[float]]:
+    """Deterministic coarse quantizer: the nlist dataset vectors with
+    the smallest xxhash64(id) — a seedless uniform sample, so every
+    run and every node agrees without a training pass. (A Lloyd
+    refinement step is one extra groupBy-average job if recall needs
+    it.) Driver-side size is nlist rows — broadcast-class."""
+    rows = (
+        vectors.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
+        .orderBy(F.xxhash64(F.col("i")), F.col("i"))
+        .limit(nlist)
+        .collect()
+    )
+    return [[float(x) for x in r.v] for r in rows]
+
+
+def _l2sq_to_lit(vec: Column, cent: list[float]) -> Column:
+    arr = F.array(*[F.lit(float(v)) for v in cent])
+    return F.aggregate(
+        F.zip_with(vec, arr, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def ivf_assign(vec: Column, centroids: list[list[float]]) -> Column:
+    """Index of the nearest centroid (L2): array of (dist, idx) structs,
+    array_min picks lexicographically — pure codegen, no UDF."""
+    pairs = F.array(
+        *[
+            F.struct(_l2sq_to_lit(vec, c).alias("d"), F.lit(i).alias("i"))
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return F.array_min(pairs)["i"]
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    query: DataFrame,
+    centroids: list[list[float]],
+    nprobe: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN top-k: score only vectors assigned to the query's nprobe
+    nearest centroids. Work fraction ≈ nprobe/nlist of a full scan;
+    with nprobe == nlist this is EXACTLY brute force (the oracle-able
+    configuration). At scale, persist the assignment as a partition
+    column so probing becomes partition pruning on the parquet scan."""
+    assigned = vectors.withColumn("__list", ivf_assign(F.col(vec_col), centroids))
+    qq = F.broadcast(
+        query.select(
+            F.col(vec_col).alias("__qvec"),
+            F.array(
+                *[
+                    F.struct(_l2sq_to_lit(F.col(vec_col), c).alias("d"), F.lit(i).alias("i"))
+                    for i, c in enumerate(centroids)
+                ]
+            ).alias("__dists"),
+        ).select(
+            "__qvec",
+            F.transform(
+                F.slice(F.array_sort("__dists"), 1, nprobe), lambda s: s["i"]
+            ).alias("__probes"),
+        )
+    )
+    return (
+        assigned.join(qq, F.array_contains(F.col("__probes"), F.col("__list")))
+        .select(
+            F.col(id_col),
+            cosine_similarity(F.col(vec_col), F.col("__qvec")).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k)
+    )

@@ -327,3 +327,40 @@ def similarity_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") == 0)
     return S.lsh_topk(emb.filter(F.col("vec_id") != 0), q, _PLANES, k=10)
+
+
+@register(
+    "similarity_ivf_exact",
+    oracle=f"""
+    SELECT b.vec_id,
+           {S.cosine_similarity_sql('b.embedding', 'q.embedding')} AS cosine
+    FROM embeddings b CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+    WHERE b.vec_id <> 0
+    ORDER BY cosine DESC, b.vec_id
+    LIMIT 10
+    """,
+    tags=("similarity", "ann", "ivf"),
+)
+def similarity_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF plumbing at nprobe == nlist — provably identical to brute
+    force, so the oracle gates the whole assign/probe/score pipeline
+    (reference vector-index route: SURVEY §4.2 useVectorSearch)."""
+    emb = t(spark, sf_dir, "embeddings")
+    cents = S.ivf_centroids(emb, nlist=8)
+    q = emb.filter(F.col("vec_id") == 0)
+    return S.ivf_topk(emb.filter(F.col("vec_id") != 0), q, cents, nprobe=8, k=10)
+
+
+@register(
+    "similarity_ivf_ann",
+    oracle=None,  # ANN: recall-checked vs brute force in tests/test_pipeline.py
+    tags=("similarity", "ann", "ivf"),
+)
+def similarity_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-10 for vec 0 at nprobe 4/8 — scores ≈half the
+    data; at cluster scale the assignment is a partition column and
+    probing is partition pruning."""
+    emb = t(spark, sf_dir, "embeddings")
+    cents = S.ivf_centroids(emb, nlist=8)
+    q = emb.filter(F.col("vec_id") == 0)
+    return S.ivf_topk(emb.filter(F.col("vec_id") != 0), q, cents, nprobe=4, k=10)

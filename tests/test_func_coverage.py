@@ -109,3 +109,24 @@ def test_extras_execute(spark):
     assert row["brl"] == 4
     assert dict(row["mps"]) == {1: 10, 2: 0, 3: 0, 4: 40}
     assert row["ptd"] == 5400.0
+
+
+def test_array_auc_and_fill(spark):
+    from pyspark.sql import functions as F
+
+    row = spark.range(1).select(
+        ch("arrayAUC",
+           F.array(F.lit(0.1), F.lit(0.4), F.lit(0.35), F.lit(0.8)),
+           F.array(F.lit(0), F.lit(0), F.lit(1), F.lit(1))).alias("auc"),
+        ch("arrayNormalizedGini",
+           F.array(F.lit(0.1), F.lit(0.4), F.lit(0.35), F.lit(0.8)),
+           F.array(F.lit(0), F.lit(0), F.lit(1), F.lit(1))).alias("gini"),
+        ch("arrayFill", lambda x: x > 0,
+           F.array(F.lit(1), F.lit(0), F.lit(0), F.lit(5), F.lit(0))).alias("ff"),
+        ch("arrayReverseFill", lambda x: x > 0,
+           F.array(F.lit(0), F.lit(3), F.lit(0), F.lit(5), F.lit(0))).alias("rf"),
+    ).first()
+    assert row.auc == 0.75  # canonical sklearn example
+    assert abs(row.gini - 0.5) < 1e-12
+    assert row.ff == [1, 1, 1, 5, 5]
+    assert row.rf == [3, 3, 5, 5, 0]

@@ -111,3 +111,26 @@ def test_lsh_cosine_pairs_subset_of_exact_with_matching_scores(spark):
     assert set(lsh) <= set(exact)
     for k, v in lsh.items():
         assert abs(v - exact[k]) < 1e-9
+
+
+def test_ivf_exact_matches_bruteforce(spark):
+    """nprobe == nlist must reproduce brute-force top-k exactly."""
+    from clickhouse_25_5_3_75_stable_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    exact = REGISTRY["similarity_topk_bruteforce"].fn(spark, sf).collect()
+    ivf = REGISTRY["similarity_ivf_exact"].fn(spark, sf).collect()
+    assert [(r.vec_id, round(r.cosine, 9)) for r in exact] == [
+        (r.vec_id, round(r.cosine, 9)) for r in ivf
+    ]
+
+
+def test_ivf_ann_recall(spark):
+    """nprobe 4/8 keeps recall@10 >= 0.6 on the test embeddings
+    (deterministic for the fixed hash-sampled centroids; measured 0.7)."""
+    from clickhouse_25_5_3_75_stable_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    exact = {r.vec_id for r in REGISTRY["similarity_topk_bruteforce"].fn(spark, sf).collect()}
+    ann = {r.vec_id for r in REGISTRY["similarity_ivf_ann"].fn(spark, sf).collect()}
+    assert len(ann & exact) / len(exact) >= 0.6
