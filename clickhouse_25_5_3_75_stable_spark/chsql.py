@@ -634,6 +634,107 @@ def _expand_sql_functions(toks: list[str], depth: int = 0) -> list[str]:
 # ---------------------------------------------------------------------------
 
 
+def _rewrite_array_join(toks: list[str]) -> list[str]:
+    """``[LEFT] ARRAY JOIN expr [AS alias]`` → ``LATERAL VIEW
+    [OUTER] explode(expr) _aj AS alias`` (reference ArrayJoinStep.h:11;
+    LEFT keeps rows with empty arrays — explode_outer semantics)."""
+    out: list[str] = []
+    i = 0
+    while i < len(toks):
+        is_left = (
+            toks[i].upper() == "LEFT"
+            and i + 2 < len(toks)
+            and toks[i + 1].upper() == "ARRAY"
+            and toks[i + 2].upper() == "JOIN"
+        )
+        is_plain = (
+            toks[i].upper() == "ARRAY" and i + 1 < len(toks) and toks[i + 1].upper() == "JOIN"
+        )
+        if not (is_left or is_plain):
+            out.append(toks[i])
+            i += 1
+            continue
+        i += 3 if is_left else 2
+        # expression runs until AS / next clause keyword at depth 0
+        expr: list[str] = []
+        depth = 0
+        stops = {"WHERE", "PREWHERE", "GROUP", "ORDER", "LIMIT", "QUALIFY",
+                 "HAVING", "SETTINGS", "FORMAT", "LEFT", "INNER", "JOIN", "ARRAY"}
+        while i < len(toks):
+            tk = toks[i]
+            if tk == "(":
+                depth += 1
+            elif tk == ")":
+                depth -= 1
+            if depth == 0 and (tk.upper() == "AS" or tk.upper() in stops):
+                break
+            expr.append(tk)
+            i += 1
+        alias = None
+        if i < len(toks) and toks[i].upper() == "AS":
+            alias = toks[i + 1]
+            i += 2
+        if alias is None:
+            # bare `ARRAY JOIN arr` re-binds the column name itself
+            alias = expr[-1]
+        fn = "explode_outer" if is_left else "explode"
+        out += ["LATERAL", "VIEW", "OUTER" if is_left else "", fn, "("] + expr + [")", "_aj", "AS", alias]
+        out = [t for t in out if t != ""]
+    return out
+
+
+def _rewrite_date_preimage(toks: list[str]) -> list[str]:
+    """``toYear(col) = 1996`` → ``col >= '1996-01-01' AND col <
+    '1997-01-01'`` (reference OptimizeDateOrDateTimeConverterWithPreimage
+    pass, src/Analyzer/Passes/OptimizeDateOrDateTimeConverterWithPreimagePass.cpp).
+    Catalyst has no such rule, and the function form defeats parquet
+    min/max pruning and partition pruning; the range form pushes down.
+    Handles =, <, <=, >, >= against integer literals for toYear and
+    toYYYYMM."""
+    out: list[str] = []
+    i = 0
+    while i < len(toks):
+        fn = toks[i].lower() if i < len(toks) else ""
+        if fn in ("toyear", "toyyyymm") and i + 1 < len(toks) and toks[i + 1] == "(":
+            close = _call_end(toks, i + 1)
+            # only simple single-token column args; anything else passes through
+            args = toks[i + 2 : close]
+            op = toks[close + 1] if close + 1 < len(toks) else ""
+            lit = toks[close + 2] if close + 2 < len(toks) else ""
+            if len(args) == 1 and op in ("=", "<", "<=", ">", ">=") and lit.isdigit():
+                col = args[0]
+                v = int(lit)
+                if fn == "toyear":
+                    lo, hi = f"'{v:04d}-01-01'", f"'{v + 1:04d}-01-01'"
+                else:  # toYYYYMM: v = yyyymm
+                    y, m = divmod(v, 100)
+                    ny, nm = (y + 1, 1) if m == 12 else (y, m + 1)
+                    lo, hi = f"'{y:04d}-{m:02d}-01'", f"'{ny:04d}-{nm:02d}-01'"
+                if op == "=":
+                    repl = ["(", col, ">=", lo, "AND", col, "<", hi, ")"]
+                elif op == "<":
+                    repl = [col, "<", lo]
+                elif op == "<=":
+                    repl = [col, "<", hi]
+                elif op == ">":
+                    repl = [col, ">=", hi]
+                else:  # >=
+                    repl = [col, ">=", lo]
+                out += repl
+                i = close + 3
+                continue
+        out.append(toks[i])
+        i += 1
+    return out
+
+
+def _strip_modifiers(toks: list[str]) -> list[str]:
+    """Drop GLOBAL (shuffle/broadcast is Catalyst's call) and FINAL
+    (merge-time folding is exposed via operators/mergetree.py views;
+    on plain parquet views the un-folded read is the table itself)."""
+    return [t for t in toks if t.upper() not in ("GLOBAL", "FINAL")]
+
+
 def ch_sql_to_spark(sql: str) -> str:
     """Translate a ClickHouse-dialect SELECT into Spark SQL text."""
     toks = _tokenize(sql)
@@ -641,9 +742,12 @@ def ch_sql_to_spark(sql: str) -> str:
         return "SELECT 'OK' AS created"
     toks = _expand_sql_functions(toks)
     toks = _strip_suffix_clauses(toks)
+    toks = _strip_modifiers(toks)
     toks = _rewrite_prewhere(toks)
     toks = _rewrite_limit_by(toks)
     toks = _rewrite_qualify(toks)
+    toks = _rewrite_array_join(toks)
+    toks = _rewrite_date_preimage(toks)
     toks = _rewrite_functions(toks)
     # cosmetic join
     out = []

@@ -53,10 +53,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # own), and is a no-op for non-NANOS columns.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        # Only convert when the conf actually took effect (LongType nanos);
-        # under some session configs the reader already yields a timestamp.
-        if dict(df.dtypes).get("ts") == "bigint":
+        # Normalize ts to TIMESTAMP (with-tz) whichever way the reader
+        # surfaced it: LongType nanos when the legacy conf took effect,
+        # TIMESTAMP_NTZ otherwise. Under the engine's UTC session tz the
+        # NTZ->TZ cast is wall-clock-identity, and event-time operators
+        # (withWatermark, session_window) require the TZ type.
+        dt = dict(df.dtypes).get("ts")
+        if dt == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif dt == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(path)
 

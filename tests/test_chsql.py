@@ -118,3 +118,57 @@ def test_create_function_nested_macros():
     ch_sql_to_spark("CREATE FUNCTION inc2 AS (x) -> inc(inc(x))")
     flat = _flat(ch_sql_to_spark("SELECT inc2(7)"))
     assert flat.count("+ 1") == 2
+
+
+def test_array_join_rewrite(spark):
+    out = ch_sql_to_spark("SELECT x FROM t ARRAY JOIN arr AS x WHERE x > 1")
+    assert "LATERAL VIEW explode" in out and "AS x" in out and "ARRAY" not in out.upper().replace("LATERAL","")
+    out2 = ch_sql_to_spark("SELECT x FROM t LEFT ARRAY JOIN arr AS x")
+    assert "LATERAL VIEW OUTER explode_outer" in out2
+
+
+def test_array_join_executes(spark):
+    spark.createDataFrame([(1, [10, 20]), (2, [])], "id int, arr array<int>").createOrReplaceTempView(
+        "aj_t"
+    )
+    rows = spark.sql(ch_sql_to_spark("SELECT id, v FROM aj_t ARRAY JOIN arr AS v")).collect()
+    assert sorted((r.id, r.v) for r in rows) == [(1, 10), (1, 20)]
+    rows = spark.sql(ch_sql_to_spark("SELECT id, v FROM aj_t LEFT ARRAY JOIN arr AS v")).collect()
+    assert sorted([(r.id, r.v) for r in rows], key=str) == sorted(
+        [(1, 10), (1, 20), (2, None)], key=str
+    )
+
+
+def test_global_and_final_stripped(spark):
+    out = ch_sql_to_spark("SELECT a FROM t FINAL WHERE a GLOBAL IN (SELECT a FROM u)")
+    assert "FINAL" not in out.upper() and "GLOBAL" not in out.upper()
+
+
+def test_date_preimage_rewrite_pushes_down(spark):
+    """toYear(col)=N must become a sargable range so the parquet scan
+    gets PushedFilters (reference OptimizeDateOrDateTimeConverterWith-
+    PreimagePass)."""
+    out = ch_sql_to_spark("SELECT count(*) AS n FROM orders WHERE toYear(o_orderdate) = 1996")
+    assert ">=" in out and "<" in out and "toYear".lower() not in out.lower()
+    from clickhouse_25_5_3_75_stable_spark.chsql import ch_sql
+
+    df = ch_sql(spark, "SELECT count(*) AS n FROM orders WHERE toYear(o_orderdate) = 1996",
+                sf_dir="/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "IsNotNull(o_orderdate)" in plan
+    # and the rewrite preserves semantics
+    n = df.first().n
+    want = spark.sql(
+        "SELECT count(*) AS n FROM orders "
+        "WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01'"
+    ).first().n
+    assert n == want
+
+
+def test_date_preimage_yyyymm_and_inequalities(spark):
+    out = ch_sql_to_spark("SELECT 1 FROM t WHERE toYYYYMM(d) = 199612")
+    assert "'1996-12-01'" in out and "'1997-01-01'" in out
+    out2 = ch_sql_to_spark("SELECT 1 FROM t WHERE toYear(d) >= 1995")
+    assert "d >= '1995-01-01'" in out2
+    out3 = ch_sql_to_spark("SELECT 1 FROM t WHERE toYear(d) <= 1995")
+    assert "d < '1996-01-01'" in out3

@@ -62,3 +62,49 @@ def test_json_roundtrip(sample):
     want = sorted(tuple(r) for r in sample.collect())
     got = _roundtrip(sample, "json", timestampFormat="yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
     assert got == want
+
+
+def test_avro_roundtrip_if_available(sample, spark):
+    """Avro needs the spark-avro package (reference format list:
+    src/Formats/registerFormats.cpp Avro entries); skip when absent."""
+    import pytest
+
+    want = sorted(tuple(r) for r in sample.collect())
+    try:
+        got = _roundtrip(sample, "avro")
+    except Exception as e:  # noqa: BLE001
+        pytest.skip(f"spark-avro not on classpath: {type(e).__name__}")
+    assert got == want
+
+
+def test_text_lines_roundtrip(spark):
+    """LineAsString / TSVRaw analogue: text source preserves raw lines."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    d = tempfile.mkdtemp(prefix="fmt_text_")
+    try:
+        df = spark.range(5).select(F.concat(F.lit("line-"), F.col("id")).alias("value"))
+        df.write.mode("overwrite").text(d)
+        back = spark.read.text(d)
+        assert sorted(r.value for r in back.collect()) == [f"line-{i}" for i in range(5)]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_binaryfile_read(spark):
+    """binaryFile source — the opaque-blob path multimodal columns use."""
+    import os
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="fmt_bin_")
+    try:
+        with open(os.path.join(d, "a.bin"), "wb") as f:
+            f.write(b"\x00\x01\x02payload")
+        row = spark.read.format("binaryFile").load(d).select("content", "length").first()
+        assert bytes(row.content) == b"\x00\x01\x02payload" and row.length == 10
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -90,7 +90,13 @@ def test_session_window_equals_lag_gap_formulation(spark):
         "new_session",
         (
             F.col("prev_ts").isNull()
-            | ((F.unix_micros("ts") - F.unix_micros("prev_ts")) >= 30 * 60 * 1_000_000)
+            | (
+                (
+                    F.unix_micros(F.col("ts").cast("timestamp"))
+                    - F.unix_micros(F.col("prev_ts").cast("timestamp"))
+                )
+                >= 30 * 60 * 1_000_000
+            )
         ).cast("int"),
     )
     wc = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
