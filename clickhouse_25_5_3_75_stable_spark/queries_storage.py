@@ -176,3 +176,46 @@ def system_columns_introspection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return system_columns(spark, sf_dir).select("table_name", "column_name", "pos").orderBy(
         "table_name", "pos"
     )
+
+
+@register(
+    "dict_range_price_tiers",
+    oracle="""
+    SELECT o_orderpriority,
+           CASE WHEN o_totalprice >= 0 AND o_totalprice < 50000 THEN 'low'
+                WHEN o_totalprice >= 50000 AND o_totalprice < 150000 THEN 'mid'
+                WHEN o_totalprice >= 150000 THEN 'high' END AS tier,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY o_orderpriority, tier
+    ORDER BY o_orderpriority, tier
+    """,
+    tags=("dictionary", "range_hashed"),
+)
+def dict_range_price_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """range_hashed dictionary lookup (reference RangeHashedDictionary,
+    registerDictionaries.cpp:38): price-band tiers per priority via a
+    broadcast range join; oracle expresses the same bands as CASE."""
+    from clickhouse_25_5_3_75_stable_spark.operators.dictionary import RangeDictionary
+
+    orders = t(spark, sf_dir, "orders")
+    prios = orders.select("o_orderpriority").distinct()
+    bands = spark.createDataFrame(
+        [(0.0, 50000.0, "low"), (50000.0, 150000.0, "mid"), (150000.0, 1e12, "high")],
+        "lo double, hi double, tier string",
+    )
+    rates = prios.crossJoin(bands).select(
+        F.col("o_orderpriority").alias("prio"), "lo", "hi", "tier"
+    )
+    d = RangeDictionary(rates, key="prio", range_start="lo", range_end="hi")
+    looked = d.dict_get(
+        orders.select("o_orderkey", "o_orderpriority", "o_totalprice"),
+        F.col("o_orderpriority"),
+        F.col("o_totalprice"),
+        {"tier": "tier"},
+    )
+    return (
+        looked.groupBy("o_orderpriority", "tier")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("o_orderpriority", "tier")
+    )

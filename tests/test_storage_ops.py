@@ -114,3 +114,29 @@ def test_system_tables(spark):
     tabs = {r.table_name: r.n_columns for r in system_tables(spark, sf).collect()}
     assert tabs["lineitem"] >= 10 and len(tabs) == 10
     assert system_one(spark).collect()[0].dummy == 0
+
+
+def test_range_dictionary_lookup(spark):
+    from clickhouse_25_5_3_75_stable_spark.operators.dictionary import RangeDictionary
+
+    rates = spark.createDataFrame(
+        [
+            (1, 0, 10, "cheap"),
+            (1, 10, 100, "mid"),
+            (1, 5, 100, "overlap-late"),  # overlaps [5,100): latest start wins in [10,100)
+            (2, 0, 50, "flat"),
+        ],
+        "k int, lo int, hi int, tier string",
+    )
+    facts = spark.createDataFrame(
+        [(1, 3), (1, 20), (1, 7), (2, 49), (2, 50), (3, 1)], "k int, p int"
+    )
+    d = RangeDictionary(rates, key="k", range_start="lo", range_end="hi")
+    out = d.dict_get(facts, F.col("k"), F.col("p"), {"tier": "tier"})
+    got = {(r.k, r.p): r.tier for r in out.collect()}
+    assert got[(1, 3)] == "cheap"
+    assert got[(1, 20)] == "mid"  # overlap [5,100) vs [10,100): latest start (10) wins
+    assert got[(1, 7)] == "overlap-late"  # [0,10) vs [5,100): latest start (5) wins
+    assert got[(2, 49)] == "flat"
+    assert got[(2, 50)] is None  # hi exclusive
+    assert got[(3, 1)] is None  # unknown key

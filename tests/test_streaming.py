@@ -111,3 +111,80 @@ def test_session_window_equals_lag_gap_formulation(spark):
     got = sorted(tuple(r) for r in sw.collect())
     want = sorted(tuple(r) for r in sessions.collect())
     assert got == want
+
+
+def test_stateful_counts_stream(spark, events_stream_dir):
+    """applyInPandasWithState running counts: final per-user totals must
+    equal the batch groupBy count."""
+    from clickhouse_25_5_3_75_stable_spark.streaming.stateful import stateful_counts
+
+    ev_batch = load_table(spark, SF_SMOKE, "events")
+    schema = ev_batch.schema
+    stream = spark.readStream.schema(schema).parquet(events_stream_dir)
+    out = stateful_counts(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("stateful_counts_t")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "SELECT user_id, max(n_events) AS n FROM stateful_counts_t GROUP BY user_id"
+    ).collect()
+    got = {r.user_id: r.n for r in rows}
+    want = {
+        r.user_id: r.n
+        for r in ev_batch.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == want
+
+
+def test_sessionize_closed_sessions_match_batch(spark, events_stream_dir):
+    """Custom stateful sessionization: sessions closed by a later event
+    (gap >= 30 min within the data) must match the batch lag-gap
+    formulation; the trailing open session per user stays in state."""
+    from clickhouse_25_5_3_75_stable_spark.streaming.stateful import sessionize
+
+    ev_batch = load_table(spark, SF_SMOKE, "events")
+    schema = ev_batch.schema
+    stream = spark.readStream.schema(schema).parquet(events_stream_dir)
+    q = (
+        sessionize(stream)
+        .writeStream.format("memory")
+        .queryName("sessions_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r.session_start, r.n_events)
+        for r in spark.sql("SELECT * FROM sessions_t").collect()
+    }
+    # batch truth: lag-gap sessions, drop each user's LAST session (open)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = ev_batch.withColumn("prev_ts", F.lag("ts").over(w)).withColumn(
+        "new_session",
+        (
+            F.col("prev_ts").isNull()
+            | (
+                (
+                    F.unix_micros(F.col("ts").cast("timestamp"))
+                    - F.unix_micros(F.col("prev_ts").cast("timestamp"))
+                )
+                >= 30 * 60 * 1_000_000
+            )
+        ).cast("int"),
+    )
+    wc = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    sess = (
+        lagged.withColumn("sid", F.sum("new_session").over(wc))
+        .groupBy("user_id", "sid")
+        .agg(F.min("ts").alias("session_start"), F.count(F.lit(1)).alias("n_events"))
+    )
+    last_sid = sess.groupBy("user_id").agg(F.max("sid").alias("max_sid"))
+    closed = sess.join(last_sid, "user_id").filter(F.col("sid") < F.col("max_sid"))
+    want = {(r.user_id, r.session_start, r.n_events) for r in closed.collect()}
+    assert got == want
