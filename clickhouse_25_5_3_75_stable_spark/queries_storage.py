@@ -219,3 +219,31 @@ def dict_range_price_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("o_orderpriority", "tier")
     )
+
+
+@register(
+    "json_variant_typed_paths",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+           CAST(json_extract(props, '$.k') IS NOT NULL AS BOOLEAN) AS has_k,
+           CAST(json_keys(props) AS VARCHAR[]) AS paths
+    FROM events
+    ORDER BY event_id
+    """,
+    tags=("json", "variant"),
+)
+def json_variant_typed_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON/Object('json')/Variant surface (reference TypeId.h:48-49,53,
+    ColumnObject.h:17): semi-structured props parsed into Spark 4
+    VariantType, typed path extraction + path introspection — the
+    Variant column model SURVEY §1.2 maps the reference's Dynamic/JSON
+    types onto."""
+    ev = t(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    return ev.select(
+        "event_id",
+        F.try_variant_get(v, "$.k", "bigint").alias("k"),
+        F.try_variant_get(v, "$.k", "bigint").isNotNull().alias("has_k"),
+        F.json_object_keys(F.col("props")).alias("paths"),
+    ).orderBy("event_id")

@@ -77,3 +77,31 @@ def generate_random(
 def values(spark: SparkSession, rows: list[tuple], schema: str) -> DataFrame:
     """VALUES table function: inline literal rows."""
     return spark.createDataFrame(rows, schema=schema)
+
+
+def merge(spark: SparkSession, sf_dir: str, table_regex: str) -> DataFrame:
+    """merge('db', 'regex') table function (reference
+    src/TableFunctions/TableFunctionMerge.cpp; StorageMerge at
+    src/Storages/registerStorages.cpp:19): UNION ALL of every catalog
+    table whose name matches, by-name column resolution, with a
+    ``_table`` virtual column naming the source."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from clickhouse_25_5_3_75_stable_spark.sources.catalog import TABLES, load_table
+
+    matched = [n for n in TABLES if re.fullmatch(table_regex, n)]
+    if not matched:
+        raise ValueError(f"merge(): no catalog table matches {table_regex!r}")
+    out = None
+    for n in matched:
+        df = load_table(spark, sf_dir, n).withColumn("_table", F.lit(n))
+        out = df if out is None else out.unionByName(df, allowMissingColumns=True)
+    return out
+
+
+def view(df: DataFrame, name: str) -> DataFrame:
+    """view() — register and return (reference TableFunctionView)."""
+    df.createOrReplaceTempView(name)
+    return df

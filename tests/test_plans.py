@@ -66,3 +66,47 @@ def test_similarity_topk_no_global_sort(spark):
 def test_dict_get_is_broadcast_join(spark):
     plan = _plan(spark, "dict_get_nation_region", mode="simple")
     assert "BroadcastHashJoin" in plan
+
+
+def _exec_plan(spark, name: str) -> str:
+    df = REGISTRY[name].fn(spark, SF_SMOKE)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_sample_filter_applied_at_scan(spark):
+    """SAMPLE is a pure row-local predicate — it must sit directly on
+    the file scan (DataFilters), never behind a shuffle."""
+    plan = _exec_plan(spark, "sample_deterministic_tenth")
+    assert "pmod(l_orderkey" in plan  # the ring predicate exists
+    # the Filter node is immediately above the scan: between them only
+    # whitespace/indent (no Exchange)
+    filter_to_scan = plan.split("Filter")[-1].split("FileScan")[0]
+    assert "Exchange" not in filter_to_scan
+
+
+def test_range_dictionary_is_broadcast(spark):
+    plan = _plan(spark, "dict_range_price_tiers")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_projection_router_never_rescans_fact(spark):
+    """The projection query re-aggregates partial states; the fact
+    table must be scanned exactly once."""
+    plan = _exec_plan(spark, "projection_reaggregate_returnflag")
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_mutation_stays_scan_filter_project(spark):
+    """UPDATE+DELETE lower to scan→filter→project→agg — one scan, no
+    join: the copy-on-write SELECT the reference's MutationsInterpreter
+    generates, expressed declaratively."""
+    plan = _exec_plan(spark, "mutation_update_delete_orders")
+    assert "Join" not in plan
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_ivf_probe_is_broadcast_no_shuffle_of_vectors(spark):
+    """IVF: the probe set broadcasts; the vector table must not
+    shuffle before scoring."""
+    plan = _plan(spark, "similarity_ivf_ann")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan

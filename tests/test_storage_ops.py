@@ -140,3 +140,56 @@ def test_range_dictionary_lookup(spark):
     assert got[(2, 49)] == "flat"
     assert got[(2, 50)] is None  # hi exclusive
     assert got[(3, 1)] is None  # unknown key
+
+
+def test_salted_agg_exact(spark):
+    from clickhouse_25_5_3_75_stable_spark.operators.skew import salted_agg
+
+    # skewed: key 'hot' holds 80% of rows
+    df = spark.createDataFrame(
+        [("hot" if i % 10 < 8 else f"cold{i % 10}", float(i)) for i in range(1000)],
+        "g string, v double",
+    )
+    got = {
+        r.g: (r.count_rows, r.sum_v, r.min_v, r.max_v)
+        for r in salted_agg(df, ["g"], sum_cols=["v"], minmax_cols=["v"], salt=8).collect()
+    }
+    want = {
+        r.g: (r.n, r.s, r.mn, r.mx)
+        for r in df.groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("v").cast("decimal(25,6)")).cast("double").alias("s"),
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_salted_join_matches_plain(spark):
+    from clickhouse_25_5_3_75_stable_spark.operators.skew import salted_join
+
+    facts = spark.createDataFrame(
+        [(1 if i % 10 < 9 else 2, i) for i in range(500)], "k int, x int"
+    )
+    dim = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k int, name string")
+    got = sorted((r.k, r.x, r.name) for r in salted_join(facts, dim, "k", salt=4).collect())
+    want = sorted((r.k, r.x, r.name) for r in facts.join(dim, "k").collect())
+    assert got == want
+
+
+def test_merge_table_function(spark):
+    from clickhouse_25_5_3_75_stable_spark.sources.table_functions import merge
+
+    sf = "/root/testdata/sf0.001"
+    out = merge(spark, sf, "region|nation")
+    assert out.filter(F.col("_table") == "region").count() == 5
+    assert out.filter(F.col("_table") == "nation").count() == 25
+    # by-name union keeps both schemas' columns (missing -> null)
+    assert "r_name" in out.columns and "n_name" in out.columns
+    import pytest
+
+    with pytest.raises(ValueError):
+        merge(spark, sf, "nope.*")
