@@ -81,3 +81,19 @@ def window_view(
         *[F.col(c) for c in (group_cols or [])],
         *[F.col(c) for c in out.columns if c != "window" and c not in (group_cols or [])],
     )
+
+
+def live_view(agg_stream: DataFrame, name: str, trigger_available_now: bool = True):
+    """LIVE VIEW analogue (reference StorageLiveView,
+    /root/reference/src/Storages/LiveView/StorageLiveView.h:47): a
+    continuously re-evaluated query result. Spark realization: the
+    aggregated stream writes to an in-memory sink in ``complete``
+    output mode — every trigger replaces the full result, exactly the
+    LIVE VIEW refresh contract; readers ``spark.sql(f"SELECT * FROM
+    {name}")`` for the current snapshot (the WATCH-query surface).
+
+    Returns the StreamingQuery handle (caller stops it)."""
+    writer = agg_stream.writeStream.format("memory").queryName(name).outputMode("complete")
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

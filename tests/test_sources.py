@@ -77,3 +77,31 @@ def test_layout_partition_pruning_and_rowgroup_stats(spark):
         assert back.count() == orders.count()
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_column_kinds_insert_and_read(spark):
+    """DEFAULT fills absent/null, MATERIALIZED always recomputes,
+    EPHEMERAL feeds defaults then vanishes, ALIAS projects at read
+    (reference src/Storages/ColumnDefault.h kinds)."""
+    from clickhouse_25_5_3_75_stable_spark.sources.columns_description import TableSchema
+
+    schema = TableSchema(
+        defaults={"city": F.upper(F.col("raw_city"))},
+        materialized={"name_len": F.length(F.col("name"))},
+        aliases={"shout": F.concat(F.col("name"), F.lit("!"))},
+        ephemeral=("raw_city",),
+    )
+    incoming = spark.createDataFrame(
+        [("ada", None, "paris"), ("bob", "Oslo", "ignored")],
+        "name string, city string, raw_city string",
+    )
+    stored = schema.apply_insert(incoming)
+    assert "raw_city" not in stored.columns
+    rows = {r.name: (r.city, r.name_len) for r in stored.collect()}
+    assert rows["ada"] == ("PARIS", 3)  # default filled from ephemeral
+    assert rows["bob"] == ("Oslo", 3)  # provided value kept
+    read = schema.reading_view(stored)
+    assert {r.name: r.shout for r in read.collect()}["ada"] == "ada!"
+    # MATERIALIZED is not insertable; EPHEMERAL is
+    cols = schema.insertable_columns(stored.columns)
+    assert "name_len" not in cols and "raw_city" in cols

@@ -193,3 +193,23 @@ def test_merge_table_function(spark):
 
     with pytest.raises(ValueError):
         merge(spark, sf, "nope.*")
+
+
+def test_query_result_cache(spark):
+    from clickhouse_25_5_3_75_stable_spark.operators.result_cache import QueryResultCache
+
+    cache = QueryResultCache(max_entries=2)
+    df = _df(spark)
+    a = cache.get_or_cache(df.groupBy("g").count())
+    # same semantic plan, new object -> same entry
+    b = cache.get_or_cache(df.groupBy("g").count())
+    assert a is b and len(cache) == 1
+    assert a.storageLevel.useMemory
+    # different plan -> new entry; third evicts the oldest (FIFO)
+    cache.get_or_cache(df.groupBy("k").count())
+    cache.get_or_cache(df.select("v"))
+    assert len(cache) == 2
+    assert cache.evict(df.select("v"))
+    assert not cache.evict(df.select("v"))
+    cache.clear()
+    assert len(cache) == 0

@@ -188,3 +188,21 @@ def test_sessionize_closed_sessions_match_batch(spark, events_stream_dir):
     closed = sess.join(last_sid, "user_id").filter(F.col("sid") < F.col("max_sid"))
     want = {(r.user_id, r.session_start, r.n_events) for r in closed.collect()}
     assert got == want
+
+
+def test_live_view_snapshot(spark, events_stream_dir):
+    """LIVE VIEW: complete-mode memory sink equals the batch aggregate
+    after the stream drains."""
+    from clickhouse_25_5_3_75_stable_spark.streaming.windows import live_view
+
+    ev_batch = load_table(spark, SF_SMOKE, "events")
+    stream = spark.readStream.schema(ev_batch.schema).parquet(events_stream_dir)
+    agg = stream.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    q = live_view(agg, "lv_counts")
+    q.awaitTermination(120)
+    got = {r.event_type: r.n for r in spark.sql("SELECT * FROM lv_counts").collect()}
+    want = {
+        r.event_type: r.n
+        for r in ev_batch.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == want
