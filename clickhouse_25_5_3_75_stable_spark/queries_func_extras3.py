@@ -64,3 +64,43 @@ def func_extras3_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         ch("arrayProduct", arr).alias("arr_prod"),
         ch("arrayRotateLeft", rot_in, F.lit(1)).alias("rot"),
     ).orderBy("o_orderkey")
+
+
+@register(
+    "func_map_extras_family",
+    oracle="""
+    SELECT event_id,
+           list_sort([event_type, 'k']) AS sorted_keys,
+           event_type LIKE 'c%' AS has_c_key,
+           list_sort(list_filter([event_type, 'k'], x -> x LIKE '%e%')) AS e_keys,
+           list_transform(range(1, CAST(event_id % 4 AS BIGINT) + 3),
+               i -> CASE WHEN i = 1 THEN CAST(event_id % 100 AS BIGINT)
+                         WHEN i = CAST(event_id % 4 AS BIGINT) + 2
+                              THEN CAST(event_id % 100 AS BIGINT) * 2
+                         ELSE 0 END) AS dense_vals
+    FROM events
+    ORDER BY event_id
+    """,
+    tags=("functions", "map"),
+)
+def func_map_extras_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-extras family (reference FunctionsMapMiscellaneous.cpp:
+    mapSort, mapContainsKeyLike, mapExtractKeyLike, mapPopulateSeries)
+    — oracle replicates the *values* with list expressions, proving the
+    map semantics without requiring DuckDB map support."""
+    ev = t(spark, sf_dir, "events")
+    k = (F.col("event_id") % 100).cast("bigint")
+    m = F.create_map(F.col("event_type"), k, F.lit("k"), k * 2)
+    hi = (F.col("event_id") % 4).cast("bigint") + 2
+    m2 = F.map_from_arrays(F.array(F.lit(1).cast("bigint"), hi), F.array(k, k * 2))
+    dense = F.transform(
+        F.sequence(F.lit(1).cast("bigint"), hi),
+        lambda i: F.coalesce(F.element_at(m2, i), F.lit(0).cast("bigint")),
+    )
+    return ev.select(
+        "event_id",
+        F.map_keys(ch("mapSort", m)).alias("sorted_keys"),
+        ch("mapContainsKeyLike", m, "c%").alias("has_c_key"),
+        F.array_sort(F.map_keys(ch("mapExtractKeyLike", m, "%e%"))).alias("e_keys"),
+        dense.alias("dense_vals"),
+    ).orderBy("event_id")
