@@ -25,7 +25,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: spec.fn for name, spec in REGISTRY.items()}
+    return {name: spec.fn for name, spec in REGISTRY.items() if spec.driver}
 
 
 def oracle_sql() -> dict[str, str]:

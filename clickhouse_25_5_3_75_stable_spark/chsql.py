@@ -635,9 +635,20 @@ def _expand_sql_functions(toks: list[str], depth: int = 0) -> list[str]:
 
 
 def _rewrite_array_join(toks: list[str]) -> list[str]:
-    """``[LEFT] ARRAY JOIN expr [AS alias]`` → ``LATERAL VIEW
-    [OUTER] explode(expr) _aj AS alias`` (reference ArrayJoinStep.h:11;
-    LEFT keeps rows with empty arrays — explode_outer semantics)."""
+    """``[LEFT] ARRAY JOIN e1 [AS a1], e2 [AS a2], ...`` → LATERAL
+    VIEWs (reference ArrayJoinStep.h:11; LEFT keeps rows with empty
+    arrays — explode_outer semantics).
+
+    Multi-array form iterates the arrays IN LOCKSTEP (ClickHouse zips,
+    it does not cross-product), so the first array posexplodes and
+    every further array is indexed by the shared position:
+
+        LATERAL VIEW [OUTER] posexplode(e1) _aj0 AS __aj_pos, a1
+        LATERAL VIEW [OUTER] explode(array(e2[__aj_pos])) _aj1 AS a2
+
+    A bare single-token item re-binds its own column name; an
+    expression-valued item without AS is an error (the old code
+    derived the alias from the last token, yielding ``)``)."""
     out: list[str] = []
     i = 0
     while i < len(toks):
@@ -655,31 +666,62 @@ def _rewrite_array_join(toks: list[str]) -> list[str]:
             i += 1
             continue
         i += 3 if is_left else 2
-        # expression runs until AS / next clause keyword at depth 0
-        expr: list[str] = []
-        depth = 0
+        # collect items: comma-separated [expr, alias] pairs at depth 0
         stops = {"WHERE", "PREWHERE", "GROUP", "ORDER", "LIMIT", "QUALIFY",
                  "HAVING", "SETTINGS", "FORMAT", "LEFT", "INNER", "JOIN", "ARRAY"}
+        items: list[tuple[list[str], str | None]] = []
+        expr: list[str] = []
+        alias: str | None = None
+        depth = 0
         while i < len(toks):
             tk = toks[i]
             if tk == "(":
                 depth += 1
             elif tk == ")":
                 depth -= 1
-            if depth == 0 and (tk.upper() == "AS" or tk.upper() in stops):
+            if depth == 0 and tk.upper() in stops:
                 break
+            if depth == 0 and tk == ",":
+                items.append((expr, alias))
+                expr, alias = [], None
+                i += 1
+                continue
+            if depth == 0 and tk.upper() == "AS":
+                alias = toks[i + 1]
+                i += 2
+                continue
             expr.append(tk)
             i += 1
-        alias = None
-        if i < len(toks) and toks[i].upper() == "AS":
-            alias = toks[i + 1]
-            i += 2
-        if alias is None:
-            # bare `ARRAY JOIN arr` re-binds the column name itself
-            alias = expr[-1]
-        fn = "explode_outer" if is_left else "explode"
-        out += ["LATERAL", "VIEW", "OUTER" if is_left else "", fn, "("] + expr + [")", "_aj", "AS", alias]
-        out = [t for t in out if t != ""]
+        items.append((expr, alias))
+        resolved: list[tuple[list[str], str]] = []
+        for expr, alias in items:
+            if alias is None:
+                if len(expr) == 1 and (expr[0][:1].isalpha() or expr[0][:1] == "_"):
+                    alias = expr[0]  # bare column re-binds its own name
+                else:
+                    raise ChSqlError(
+                        "ARRAY JOIN with an expression requires an explicit "
+                        f"AS alias: {' '.join(expr)}"
+                    )
+            resolved.append((expr, alias))
+        outer = ["OUTER"] if is_left else []
+        if len(resolved) == 1:
+            fn = "explode_outer" if is_left else "explode"
+            e, a = resolved[0]
+            out += ["LATERAL", "VIEW", *outer, fn, "("] + e + [")", "_aj", "AS", a]
+        else:
+            e0, a0 = resolved[0]
+            out += (
+                ["LATERAL", "VIEW", *outer, "posexplode", "("]
+                + e0
+                + [")", "_aj0", "AS", "__aj_pos", ",", a0]
+            )
+            for k, (e, a) in enumerate(resolved[1:], start=1):
+                out += (
+                    ["LATERAL", "VIEW", *outer, "explode", "(", "array", "(", "("]
+                    + e
+                    + [")", "[", "__aj_pos", "]", ")", ")", f"_aj{k}", "AS", a]
+                )
     return out
 
 
@@ -728,11 +770,53 @@ def _rewrite_date_preimage(toks: list[str]) -> list[str]:
     return out
 
 
+_GLOBAL_FOLLOWERS = {
+    "IN", "NOT", "JOIN", "LEFT", "RIGHT", "INNER", "FULL", "CROSS",
+    "ANY", "ALL", "SEMI", "ANTI", "ASOF",
+}
+
+_KEYWORDISH = {
+    "SELECT", "FROM", "WHERE", "PREWHERE", "GROUP", "BY", "ORDER", "HAVING",
+    "QUALIFY", "LIMIT", "OFFSET", "AS", "ON", "USING", "AND", "OR", "NOT",
+    "JOIN", "LEFT", "RIGHT", "INNER", "FULL", "CROSS", "UNION", "ALL",
+    "DISTINCT", "WITH", ",", "(", ")", "=", "<", ">", "<=", ">=", "<>", "!=",
+    "+", "-", "*", "/", ".",
+}
+
+
 def _strip_modifiers(toks: list[str]) -> list[str]:
     """Drop GLOBAL (shuffle/broadcast is Catalyst's call) and FINAL
     (merge-time folding is exposed via operators/mergetree.py views;
-    on plain parquet views the un-folded read is the table itself)."""
-    return [t for t in toks if t.upper() not in ("GLOBAL", "FINAL")]
+    on plain parquet views the un-folded read is the table itself).
+
+    Context-sensitive: a bare token spelled ``final`` or ``global``
+    can be a column name or alias — FINAL is stripped only when it
+    directly follows a table reference (identifier or closing paren),
+    GLOBAL only when immediately followed by IN / NOT / a join
+    keyword."""
+    out: list[str] = []
+    i = 0
+    while i < len(toks):
+        tk = toks[i]
+        up = tk.upper()
+        if up == "GLOBAL":
+            nxt = toks[i + 1].upper() if i + 1 < len(toks) else ""
+            if nxt in _GLOBAL_FOLLOWERS:
+                i += 1
+                continue
+        elif up == "FINAL":
+            prev = out[-1] if out else ""
+            prev_is_ref = prev == ")" or (
+                prev not in _KEYWORDISH
+                and prev.upper() not in _KEYWORDISH
+                and (prev[:1].isalpha() or prev[:1] == "_")
+            )
+            if prev_is_ref:
+                i += 1
+                continue
+        out.append(tk)
+        i += 1
+    return out
 
 
 def ch_sql_to_spark(sql: str) -> str:

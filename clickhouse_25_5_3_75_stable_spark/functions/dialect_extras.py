@@ -472,16 +472,27 @@ def _mk_try_cast(sql_type: str):
     return lambda c: _c(c).try_cast(sql_type)
 
 
+# CH "zero" per type — spelled as castable literals. INT literals do
+# not cast to DATE/TIMESTAMP in Spark (AnalysisException), so the
+# date/timestamp zeros are epoch strings (cast STRING -> DATE is fine).
+_ZERO_LITERALS = {"timestamp": "1970-01-01 00:00:00", "date": "1970-01-01"}
+
+
 def _mk_cast_or_zero(sql_type: str):
-    zero = {"timestamp": "1970-01-01 00:00:00"}.get(sql_type, 0)
+    zero = _ZERO_LITERALS.get(sql_type, 0)
     return lambda c: F.coalesce(_c(c).try_cast(sql_type), F.lit(zero).cast(sql_type))
 
 
 def _mk_cast_or_default(sql_type: str):
-    return lambda c, d=None: F.coalesce(
-        _c(c).try_cast(sql_type),
-        (F.lit(d) if d is not None else F.lit(0)).cast(sql_type),
-    )
+    def fn(c, d=None):
+        if d is not None:
+            fallback = F.lit(d).cast(sql_type)
+        else:
+            # no explicit default -> CH falls back to the type's zero
+            fallback = F.lit(_ZERO_LITERALS.get(sql_type, 0)).cast(sql_type)
+        return F.coalesce(_c(c).try_cast(sql_type), fallback)
+
+    return fn
 
 
 for _ch_t, _sp_t in _CAST_TARGETS.items():

@@ -192,21 +192,43 @@ SIMHASH_BITS = 48
 def simhash(col: Column, bits: int = SIMHASH_BITS) -> Column:
     """48-bit simhash over whitespace tokens (with multiplicity).
     Bit i is set when Σ_tokens (2·bit_i(h64(token)) − 1) > 0.
-    Pure expression — wide but single-pass, no explode."""
+
+    ONE fold carrying a `bits`-counter array — each token's hash is
+    rendered to its 64-char two's-complement binary string once and all
+    bit votes update in the same pass (the earlier form ran one full
+    array fold PER BIT: 48 passes over the token hashes and a codegen
+    tree 48× this size, risking the 64KB method-limit fallback)."""
     hashes = F.transform(tokens(col), lambda x: portable_hash64(x))
+    idx = F.sequence(F.lit(0), F.lit(bits - 1))
 
-    def bit_vote(i: int) -> Column:
-        # unary+acc lambda only — see salted_min note on PySpark arity
-        return F.aggregate(
-            hashes,
-            F.lit(0).cast("bigint"),
-            lambda acc, h: acc + (F.shiftright(h, i).bitwiseAND(F.lit(1)) * 2 - 1).cast("bigint"),
+    def step(acc: Column, h: Column) -> Column:
+        # lpad(bin(h)) = full 64-bit two's complement; bit i (LSB-first)
+        # is the char at 1-based position 64-i — identical to (h>>i)&1
+        # for negative hashes too (arithmetic shift == sign extension).
+        b = F.lpad(F.bin(h), 64, "0")
+        votes = F.transform(
+            idx,
+            lambda i: b.substr(F.lit(64) - i, F.lit(1)).cast("bigint") * 2 - 1,
         )
+        return F.zip_with(acc, votes, lambda a, v: a + v)
 
-    out = F.lit(0).cast("bigint")
-    for i in range(bits):
-        out = out + F.when(bit_vote(i) > 0, F.lit(1 << i).cast("bigint")).otherwise(F.lit(0))
-    return out
+    votes = F.aggregate(
+        hashes,
+        F.transform(idx, lambda i: F.lit(0).cast("bigint")),
+        step,
+    )
+    # finalize inside the same expression tree, referencing `votes`
+    # exactly ONCE (48 element_at reads could re-evaluate the fold if
+    # subexpression elimination doesn't fire on interpreted HOFs);
+    # 2^i via pow is exact in double for i < 53
+    terms = F.zip_with(
+        votes,
+        idx,
+        lambda v, i: F.when(v > 0, F.pow(F.lit(2.0), i.cast("double")).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        ),
+    )
+    return F.aggregate(terms, F.lit(0).cast("bigint"), lambda acc, x: acc + x)
 
 
 def simhash_sql(expr: str, bits: int = SIMHASH_BITS) -> str:

@@ -102,7 +102,15 @@ class RangeDictionary:
         )
         if self.broadcast:
             lookup = F.broadcast(lookup)
-        tagged = facts.withColumn("__rd_point", point_expr).withColumn("__rd_fact_key", key_expr)
+        # Tag every fact with a unique row id BEFORE the join: the
+        # overlap-dedup window must partition on row identity, not on
+        # the fact's column values — otherwise two identical input rows
+        # collapse to one (dictGet is strictly row-preserving).
+        tagged = (
+            facts.withColumn("__rd_rowid", F.monotonically_increasing_id())
+            .withColumn("__rd_point", point_expr)
+            .withColumn("__rd_fact_key", key_expr)
+        )
         joined = tagged.join(
             lookup,
             (F.col("__rd_fact_key") == F.col("__rd_key"))
@@ -113,13 +121,19 @@ class RangeDictionary:
         # overlapping intervals: keep the match with the latest start
         from pyspark.sql.window import Window
 
-        w = Window.partitionBy(*[F.col(c) for c in facts.columns], "__rd_point").orderBy(
-            F.desc_nulls_last("__rd_lo")
-        )
+        w = Window.partitionBy("__rd_rowid").orderBy(F.desc_nulls_last("__rd_lo"))
         deduped = (
             joined.withColumn("__rd_rn", F.row_number().over(w))
             .filter(F.col("__rd_rn") == 1)
-            .drop("__rd_rn", "__rd_key", "__rd_lo", "__rd_hi", "__rd_point", "__rd_fact_key")
+            .drop(
+                "__rd_rn",
+                "__rd_rowid",
+                "__rd_key",
+                "__rd_lo",
+                "__rd_hi",
+                "__rd_point",
+                "__rd_fact_key",
+            )
         )
         out = deduped
         for o in attrs:

@@ -110,6 +110,37 @@ def asof_join(
     return out
 
 
+def _global_positions(df: DataFrame, order: Sequence[Column | str]) -> DataFrame:
+    """Deterministic 1-based global rank by `order` WITHOUT a
+    single-task global sort: range-partition on the order key, rank
+    within each (ordered) partition, then shift each partition by the
+    cumulative count of the partitions before it. The per-partition
+    counts are one tiny aggregate (|partitions| rows — driver-safe);
+    correctness does not depend on where the sampled range boundaries
+    land because range partitions are themselves ordered."""
+    spark = df.sparkSession
+    n_parts = max(int(spark.conf.get("spark.sql.shuffle.partitions", "200")), 1)
+    ranged = df.repartitionByRange(n_parts, *order).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    counts = sorted(
+        (r["__pid"], r["cnt"])
+        for r in ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    )
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid, cnt in counts:
+        offsets[pid] = acc
+        acc += cnt
+    off_expr = F.create_map(
+        *[F.lit(x) for pid, off in offsets.items() for x in (pid, off)]
+    )
+    lw = F.row_number().over(W.partitionBy("__pid").orderBy(*order))
+    return ranged.withColumn(
+        "__pos", (lw + F.coalesce(off_expr[F.col("__pid")], F.lit(0))).cast("bigint")
+    ).drop("__pid")
+
+
 def paste_join(
     left: DataFrame,
     right: DataFrame,
@@ -121,13 +152,11 @@ def paste_join(
 
     The reference zips blocks by arrival order (nondeterministic under
     parallelism); we require explicit total orders on both sides.
-    Implementation: row_number over an un-partitioned window + equi-join
-    on position. The global window is a single-task sort — acceptable
-    because PASTE is inherently order-coupled; at scale, range-partition
-    both sides on the order key first and zip per range.
-    """
-    lw = F.row_number().over(W.orderBy(*left_order)).alias("__pos")
-    rw = F.row_number().over(W.orderBy(*right_order)).alias("__pos")
-    lnum = left.select("*", lw)
-    rnum = right.select("*", rw)
+    Implementation: range-partitioned global rank on each side (see
+    :func:`_global_positions` — per-partition windows plus cumulative
+    offsets, NO un-partitioned window / single-task sort) and an
+    equi-join on position. At 1000 executors both rank computations and
+    the zip join stay fully parallel."""
+    lnum = _global_positions(left, left_order)
+    rnum = _global_positions(right, right_order)
     return lnum.join(rnum, "__pos", "inner").drop("__pos")

@@ -141,12 +141,57 @@ def cosine_pandas():
     return _COS_PANDAS
 
 
+def capped_buckets(
+    vectors: DataFrame,
+    planes: list[list[float]],
+    extra_planes: list[list[float]] | None,
+    bucket_cap: int | None,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hyperplane bucket id with the standard LSH re-split: any bucket
+    wider than `bucket_cap` gets one more plane bit appended (string
+    key `blk_bit` so split buckets can never collide with intact
+    ones), repeated once per extra plane. Bounds the per-task pair
+    count of the downstream O(m²) scorer at ~cap² instead of
+    one-hot-bucket²; rows whose bucket is still oversized after all
+    extra bits (e.g. exact-duplicate vectors) remain together — the
+    cap is best-effort by construction. Each round is one window
+    count over the bucket key — a bounded number of shuffles, all
+    fully parallel."""
+    from pyspark.sql.window import Window
+
+    out = vectors.withColumn(
+        "blk", hyperplane_bucket(F.col(vec_col), planes).cast("string")
+    )
+    if not bucket_cap or not extra_planes:
+        return out
+    for plane in extra_planes:
+        w = Window.partitionBy("blk")
+        arr = F.array(*[F.lit(float(v)) for v in plane])
+        dot = F.aggregate(
+            F.zip_with(F.col(vec_col), arr, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bit = F.when(dot > 0, F.lit("1")).otherwise(F.lit("0"))
+        out = out.withColumn(
+            "blk",
+            F.when(
+                F.count(F.lit(1)).over(w) > bucket_cap,
+                F.concat(F.col("blk"), F.lit("_"), bit),
+            ).otherwise(F.col("blk")),
+        )
+    return out
+
+
 def lsh_cosine_pairs(
     vectors: DataFrame,
     planes: list[list[float]],
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    bucket_cap: int | None = None,
+    extra_planes: list[list[float]] | None = None,
 ) -> DataFrame:
     """Scale-path near-dup pairs: hyperplane buckets block the n²
     comparison, then ONE applyInPandas per bucket scores all its pairs
@@ -156,13 +201,11 @@ def lsh_cosine_pairs(
     duplicated vectors through Arrow; this ships the 2k originals.
     Recall loss on bucket boundaries is the LSH trade — union several
     plane-sets to tighten. Skew note: a pathological bucket holding m
-    vectors costs O(m²) in one task; at corpus scale cap bucket width
-    by appending extra plane bits for oversized buckets (the standard
-    LSH re-split) before this operator."""
-    b = vectors.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        hyperplane_bucket(F.col(vec_col), planes).alias("blk"),
+    vectors costs O(m²) in one task; pass bucket_cap + extra_planes to
+    engage the standard LSH re-split (:func:`capped_buckets`), which
+    appends plane bits to oversized buckets until they fit the cap."""
+    b = capped_buckets(vectors, planes, extra_planes, bucket_cap, vec_col).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "blk"
     )
 
     def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -189,6 +232,23 @@ def lsh_cosine_pairs(
     )
 
 
+def lsh_cosine_pairs_exact(
+    vectors: DataFrame,
+    planes: list[list[float]],
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Oracle-portable LSH near-dup pairs: hyperplane-bucket blocking +
+    the DECIMAL cosine path — same candidate set as
+    :func:`lsh_cosine_pairs` but every output value reproduces bitwise
+    in DuckDB (the numpy Gram variant is faster per-bucket; this one is
+    the correctness tier and still carries the bucketed equi-join shape
+    that survives 100 TB)."""
+    b = vectors.withColumn("__blk", hyperplane_bucket(F.col(vec_col), planes))
+    return cosine_pairs(b, threshold, id_col=id_col, vec_col=vec_col, block_col="__blk")
+
+
 def hyperplane_bucket(vec: Column, planes: list[list[float]]) -> Column:
     """Random-hyperplane LSH bucket id: bit p = sign(vec · plane_p).
     Planes are fixed literals → deterministic, no training pass."""
@@ -205,6 +265,33 @@ def hyperplane_bucket(vec: Column, planes: list[list[float]]) -> Column:
     for b in bits[1:]:
         out = out + b
     return out.cast("int")
+
+
+def hyperplane_bucket_sql(vec: str, planes: list[list[float]]) -> str:
+    """DuckDB spelling of :func:`hyperplane_bucket`. The dot product is
+    a seedless ``list_reduce`` left fold — the exact summation order of
+    Spark's ``F.aggregate`` (0.0 + p1 == p1 in IEEE), so the sign bits
+    agree bitwise across engines."""
+    terms = []
+    for p, plane in enumerate(planes):
+        lits = ", ".join(repr(float(v)) for v in plane)
+        arr = f"([{lits}]::DOUBLE[])"
+        dot = (
+            f"list_reduce(list_transform(range(1, {len(plane) + 1}),"
+            f" i -> CAST({vec}[i] AS DOUBLE) * {arr}[i]), (a, b) -> a + b)"
+        )
+        terms.append(f"CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END")
+    return "(" + " + ".join(terms) + ")"
+
+
+def l2sq_sql(a: str, b: str) -> str:
+    """DuckDB spelling of the Spark L2² fold in :func:`_l2sq_to_lit`
+    (same element order, seedless left fold → bitwise-equal doubles)."""
+    diff = f"(CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))"
+    return (
+        f"list_reduce(list_transform(range(1, len({a}) + 1),"
+        f" i -> {diff} * {diff}), (a, b) -> a + b)"
+    )
 
 
 def lsh_topk(
@@ -298,13 +385,14 @@ def ivf_centroids(
     vectors: DataFrame, nlist: int, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> list[list[float]]:
     """Deterministic coarse quantizer: the nlist dataset vectors with
-    the smallest xxhash64(id) — a seedless uniform sample, so every
-    run and every node agrees without a training pass. (A Lloyd
+    the smallest md5(id) — a seedless uniform sample, so every run,
+    every node, AND the DuckDB oracle agree without a training pass
+    (md5 hex is portable where xxhash64 is engine-specific). (A Lloyd
     refinement step is one extra groupBy-average job if recall needs
     it.) Driver-side size is nlist rows — broadcast-class."""
     rows = (
         vectors.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
-        .orderBy(F.xxhash64(F.col("i")), F.col("i"))
+        .orderBy(F.md5(F.col("i").cast("string")), F.col("i"))
         .limit(nlist)
         .collect()
     )

@@ -75,7 +75,16 @@ def salted_join(
     salt value) and scatter the fact side uniformly across them, so a
     hot key's rows land on S reducers instead of one. Dimension cost is
     S× its size — use when the dim is small-ish but past the broadcast
-    threshold and one fact key dominates."""
+    threshold and one fact key dominates.
+
+    Only ``inner`` and ``left`` are sound with this shape: a right or
+    full outer join would emit each unmatched dim row once PER SALT
+    copy (salt duplicate null-extended rows)."""
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how in ('inner', 'left'), got {how!r}: "
+            "outer joins would duplicate unmatched dimension rows per salt copy"
+        )
     dim_rep = dim.crossJoin(
         F.broadcast(
             dim.sparkSession.range(salt).select(F.col("id").cast("int").alias("__salt"))

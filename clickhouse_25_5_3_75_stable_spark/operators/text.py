@@ -351,15 +351,108 @@ def _jaro_winkler_py(s1: str, s2: str, p: float = 0.1, threshold: float = 0.7) -
     return j + prefix * p * (1.0 - j)
 
 
+_JARO_VEC_MAX_LEN = 64
+
+
+def _jaro_batch_np(a_list: list[str], b_list: list[str]):
+    """Batch-vectorized Jaro over an Arrow batch: strings become a
+    (n, L) uint32 code matrix and the greedy match-window walk runs as
+    ~L·(2w+1) numpy column ops across ALL rows at once — no per-row
+    Python loop. Returns (jaro, matches_gt_0 mask, prefix_len) so the
+    Winkler boost reuses the same pass. Used when the batch's longest
+    string is <= _JARO_VEC_MAX_LEN (the L² column-op count is the
+    trade); longer strings take the per-row fallback."""
+    import numpy as np
+
+    n = len(a_list)
+    la = np.array([len(s) for s in a_list], dtype=np.int64)
+    lb = np.array([len(s) for s in b_list], dtype=np.int64)
+    L = int(max(1, la.max(initial=0), lb.max(initial=0)))
+    A = np.zeros((n, L), dtype=np.uint32)
+    B = np.zeros((n, L), dtype=np.uint32)
+    for i, s in enumerate(a_list):
+        if s:
+            A[i, : len(s)] = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+    for i, s in enumerate(b_list):
+        if s:
+            B[i, : len(s)] = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+
+    w = np.maximum(np.maximum(la, lb) // 2 - 1, 0)
+    wmax = int(w.max(initial=0))
+    matchedA = np.zeros((n, L), dtype=bool)
+    matchedB = np.zeros((n, L), dtype=bool)
+    for i in range(L):
+        active = i < la
+        if not active.any():
+            break
+        found = np.zeros(n, dtype=bool)
+        lo = np.maximum(i - w, 0)
+        hi = np.minimum(lb, i + w + 1)
+        for j in range(max(0, i - wmax), min(L, i + wmax + 1)):
+            cand = (
+                active
+                & ~found
+                & (j >= lo)
+                & (j < hi)
+                & ~matchedB[:, j]
+                & (A[:, i] == B[:, j])
+            )
+            if cand.any():
+                matchedB[:, j] |= cand
+                matchedA[:, i] |= cand
+                found |= cand
+    matches = matchedA.sum(axis=1)
+
+    # transpositions: compress matched chars of each side in order,
+    # compare position-wise (cumsum scatter — still no per-row loop)
+    idxA = np.cumsum(matchedA, axis=1) - 1
+    idxB = np.cumsum(matchedB, axis=1) - 1
+    outA = np.zeros((n, L), dtype=np.uint32)
+    outB = np.zeros((n, L), dtype=np.uint32)
+    rA, cA = np.nonzero(matchedA)
+    outA[rA, idxA[rA, cA]] = A[rA, cA]
+    rB, cB = np.nonzero(matchedB)
+    outB[rB, idxB[rB, cB]] = B[rB, cB]
+    mcols = np.arange(L)[None, :] < matches[:, None]
+    t = ((outA != outB) & mcols).sum(axis=1) // 2
+
+    m = matches.astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        jaro = (m / la + m / lb + (m - t) / m) / 3.0
+    jaro = np.where(matches > 0, jaro, 0.0)
+    eq = np.array([x == y for x, y in zip(a_list, b_list)])
+    jaro = np.where(eq, 1.0, jaro)
+
+    # common prefix (<=4) for Winkler
+    k4 = min(4, L)
+    peq = (A[:, :k4] == B[:, :k4]) & (
+        np.arange(k4)[None, :] < np.minimum(la, lb)[:, None]
+    )
+    prefix = np.cumprod(peq, axis=1).sum(axis=1) if k4 else np.zeros(n, dtype=np.int64)
+    return jaro, prefix
+
+
+def _jaro_series(a: pd.Series, b: pd.Series, winkler: bool) -> pd.Series:
+    import numpy as np
+
+    a_list = ["" if x is None else x for x in a]
+    b_list = ["" if x is None else x for x in b]
+    maxlen = max((len(s) for s in a_list + b_list), default=0)
+    if maxlen <= _JARO_VEC_MAX_LEN:
+        jaro, prefix = _jaro_batch_np(a_list, b_list)
+        if winkler:
+            boost = jaro > 0.7
+            jaro = np.where(boost, jaro + prefix * 0.1 * (1.0 - jaro), jaro)
+        return pd.Series(jaro, dtype="float64")
+    fn = _jaro_winkler_py if winkler else _jaro_py
+    return pd.Series([fn(x, y) for x, y in zip(a_list, b_list)], dtype="float64")
+
+
 @pandas_udf(DoubleType())
 def jaro_similarity(a: pd.Series, b: pd.Series) -> pd.Series:
-    return pd.Series(
-        [_jaro_py(x or "", y or "") for x, y in zip(a, b)], dtype="float64"
-    )
+    return _jaro_series(a, b, winkler=False)
 
 
 @pandas_udf(DoubleType())
 def jaro_winkler_similarity(a: pd.Series, b: pd.Series) -> pd.Series:
-    return pd.Series(
-        [_jaro_winkler_py(x or "", y or "") for x, y in zip(a, b)], dtype="float64"
-    )
+    return _jaro_series(a, b, winkler=True)

@@ -38,14 +38,25 @@ class QuerySpec:
     # rough cost bucket for bench selection: "light" | "heavy"
     bucket: str = "light"
     tags: tuple[str, ...] = field(default_factory=tuple)
+    # driver=False: engine-specific output (xxhash64 values, HLL sketch
+    # estimates) that no cross-engine oracle can reproduce — still
+    # benched and pytest-covered, but excluded from the driver's
+    # oracle gate where it could only ever show as a red row.
+    driver: bool = True
 
 
 REGISTRY: dict[str, QuerySpec] = {}
 
 
-def register(name: str, oracle: str | None = None, bucket: str = "light", tags: tuple[str, ...] = ()):
+def register(
+    name: str,
+    oracle: str | None = None,
+    bucket: str = "light",
+    tags: tuple[str, ...] = (),
+    driver: bool = True,
+):
     def deco(fn: QueryFn) -> QueryFn:
-        REGISTRY[name] = QuerySpec(fn=fn, oracle=oracle, bucket=bucket, tags=tags)
+        REGISTRY[name] = QuerySpec(fn=fn, oracle=oracle, bucket=bucket, tags=tags, driver=driver)
         return fn
 
     return deco
@@ -53,6 +64,39 @@ def register(name: str, oracle: str | None = None, bucket: str = "light", tags: 
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
+
+
+def arr_csv(col):
+    """CSV-join an array column to a scalar string. Every driver-gated
+    query output must be scalar: the driver's canonicalizer sorts raw
+    pandas cells and dies on list values (`unhashable type: 'list'`).
+    Element stringification is an explicit cast so Spark and DuckDB
+    agree (ints/strings/booleans are safe; cast doubles to DECIMAL
+    before calling — double→string shortest-repr differs by engine)."""
+    return F.concat_ws(",", F.transform(col, lambda x: x.cast("string")))
+
+
+def arr_csv_sql(expr: str) -> str:
+    """DuckDB spelling of :func:`arr_csv`."""
+    return f"COALESCE(array_to_string(list_transform({expr}, x -> CAST(x AS VARCHAR)), ','), '')"
+
+
+def arr_csv_dec(col, scale: int = 6):
+    """CSV-join a DOUBLE array via DECIMAL(25,scale): decimal→string
+    formats identically in Spark and DuckDB (fixed scale, trailing
+    zeros), where double→string shortest-repr does not."""
+    return F.concat_ws(
+        ",", F.transform(col, lambda x: x.cast(f"decimal(25,{scale})").cast("string"))
+    )
+
+
+def arr_csv_dec_sql(expr: str, scale: int = 6) -> str:
+    """DuckDB spelling of :func:`arr_csv_dec`. The double→decimal cast
+    routes through VARCHAR so DuckDB rounds the shortest string repr
+    HALF_UP exactly like the JVM (see operators/similarity.py
+    dot_dec_sql for the midpoint argument)."""
+    elem = f"CAST(CAST(CAST(x AS VARCHAR) AS DECIMAL(25,{scale})) AS VARCHAR)"
+    return f"COALESCE(array_to_string(list_transform({expr}, x -> {elem}), ','), '')"
 
 
 # ---------------------------------------------------------------------------
@@ -1127,7 +1171,7 @@ def func_url_family(spark: SparkSession, sf_dir: str) -> DataFrame:
            len(list_distinct(l)) AS n_uniq,
            list_contains(l, 'data') AS has_data,
            l[1] AS first_token,
-           array_to_string(list_sort(list_distinct(l[1:5])), ',') AS sorted_first5,
+           COALESCE(array_to_string(list_sort(list_distinct(l[1:5])), ','), '') AS sorted_first5,
            list_aggregate(list_transform(l, x -> length(x)), 'sum') AS sum_len,
            list_aggregate(list_filter(l, x -> length(x) > 4),
                           'count') AS n_long
@@ -1306,11 +1350,11 @@ def agg_uniq_and_if_combinators(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_group_arrays",
     oracle="""
     SELECT user_id,
-           array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types,
+           COALESCE(array_to_string(list_sort(list(DISTINCT event_type)), ','), '') AS types,
            len(list(DISTINCT event_type)) AS n_types,
            arg_min(event_id, event_id) AS first_event,
            arg_max(event_id, event_id) AS last_event,
-           array_to_string(list_transform(list_sort(list(event_id)), x -> CAST(x AS VARCHAR)), ',') AS all_events
+           COALESCE(array_to_string(list_transform(list_sort(list(event_id)), x -> CAST(x AS VARCHAR)), ','), '') AS all_events
     FROM events
     GROUP BY user_id
     ORDER BY user_id

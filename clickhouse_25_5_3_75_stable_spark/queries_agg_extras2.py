@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from clickhouse_25_5_3_75_stable_spark.functions.numeric import dsum
-from clickhouse_25_5_3_75_stable_spark.queries import register, t
+from clickhouse_25_5_3_75_stable_spark.queries import arr_csv, arr_csv_dec, register, t
 
 _DEC6 = "decimal(25,6)"
 
@@ -228,7 +228,7 @@ def agg_minmax_map_family(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     WHERE p.event_type = days.event_type)
     )
     SELECT event_type,
-           list_sort(list(user_id)) AS everyday_users,
+           COALESCE(array_to_string(list_sort(list(user_id)), ','), '') AS everyday_users,
            COUNT(*) AS n_everyday
     FROM everyday
     GROUP BY event_type
@@ -256,7 +256,7 @@ def agg_group_array_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         everyday.groupBy("event_type")
         .agg(
-            F.array_sort(F.collect_list("user_id")).alias("everyday_users"),
+            arr_csv(F.array_sort(F.collect_list("user_id"))).alias("everyday_users"),
             F.count(F.lit(1)).alias("n_everyday"),
         )
         .orderBy("event_type")

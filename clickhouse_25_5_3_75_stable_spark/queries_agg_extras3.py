@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from clickhouse_25_5_3_75_stable_spark.functions.numeric import dsum
-from clickhouse_25_5_3_75_stable_spark.queries import register, t
+from clickhouse_25_5_3_75_stable_spark.queries import arr_csv, arr_csv_dec, register, t
 
 _DEC6 = "decimal(25,6)"
 
@@ -649,7 +649,7 @@ def agg_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM per_hour, generate_series(0, 23) AS gs(g)
     )
     SELECT grid.event_type,
-           list(COALESCE(per_hour.c, 0) ORDER BY grid.h) AS hourly_counts
+           COALESCE(array_to_string(list(COALESCE(per_hour.c, 0) ORDER BY grid.h), ','), '') AS hourly_counts
     FROM grid LEFT JOIN per_hour
       ON grid.event_type = per_hour.event_type AND grid.h = per_hour.h
     GROUP BY grid.event_type
@@ -672,9 +672,11 @@ def agg_group_array_insert_at(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.map_from_entries(F.collect_list(F.struct("h", "c"))).alias("m"))
         .select(
             "event_type",
-            F.transform(
-                F.sequence(F.lit(0), F.lit(23)),
-                lambda i: F.coalesce(F.col("m")[i.cast("bigint")], F.lit(0)),
+            arr_csv(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(23)),
+                    lambda i: F.coalesce(F.col("m")[i.cast("bigint")], F.lit(0)),
+                )
             ).alias("hourly_counts"),
         )
         .orderBy("event_type")
@@ -702,7 +704,10 @@ def agg_group_array_insert_at(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(CAST(SUM(v) AS STRING) AS DOUBLE) / COUNT(*) AS m
         FROM exploded GROUP BY label, pos
     )
-    SELECT label, list(m ORDER BY pos) AS centroid, COUNT(*) AS dim
+    SELECT label,
+           COALESCE(array_to_string(list_transform(list(m ORDER BY pos),
+               x -> CAST(CAST(CAST(x AS VARCHAR) AS DECIMAL(25,6)) AS VARCHAR)), ','), '') AS centroid,
+           COUNT(*) AS dim
     FROM per_pos
     GROUP BY label
     ORDER BY label
@@ -726,8 +731,10 @@ def agg_foreach_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         per_pos.groupBy("label")
         .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+            arr_csv_dec(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+                )
             ).alias("centroid"),
             F.count(F.lit(1)).alias("dim"),
         )
@@ -756,8 +763,9 @@ def agg_foreach_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM bucketed, generate_series(0, 3) AS gs(g)
     )
     SELECT grid.event_type,
-           list(COALESCE(bucketed.c, 0) ORDER BY grid.rb) AS count_resample,
-           list(COALESCE(bucketed.s, 0.0) ORDER BY grid.rb) AS sum_resample
+           COALESCE(array_to_string(list(COALESCE(bucketed.c, 0) ORDER BY grid.rb), ','), '') AS count_resample,
+           COALESCE(array_to_string(list_transform(list(COALESCE(bucketed.s, 0.0) ORDER BY grid.rb),
+               x -> CAST(CAST(CAST(x AS VARCHAR) AS DECIMAL(25,6)) AS VARCHAR)), ','), '') AS sum_resample
     FROM grid LEFT JOIN bucketed
       ON grid.event_type = bucketed.event_type AND grid.rb = bucketed.rb
     GROUP BY grid.event_type
@@ -786,12 +794,12 @@ def agg_resample_combinator(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "event_type",
-            F.transform(grid, lambda i: F.coalesce(F.col("mc")[i.cast("bigint")], F.lit(0))).alias(
-                "count_resample"
-            ),
-            F.transform(grid, lambda i: F.coalesce(F.col("ms")[i.cast("bigint")], F.lit(0.0))).alias(
-                "sum_resample"
-            ),
+            arr_csv(
+                F.transform(grid, lambda i: F.coalesce(F.col("mc")[i.cast("bigint")], F.lit(0)))
+            ).alias("count_resample"),
+            arr_csv_dec(
+                F.transform(grid, lambda i: F.coalesce(F.col("ms")[i.cast("bigint")], F.lit(0.0)))
+            ).alias("sum_resample"),
         )
         .orderBy("event_type")
     )

@@ -93,8 +93,27 @@ def sequence_match_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFram
 
 @register(
     "sequence_count_view_click",
-    oracle=None,  # greedy non-overlap count has no clean SQL restatement;
-    # unit-tested on hand-built streams in tests/test_behavioral.py
+    # closed form of the greedy non-overlap automaton for the 2-step
+    # pattern: a match completes exactly on each 'click' whose previous
+    # view/click event (in (tu, id) order) is a 'view' — the machine is
+    # in state 1 iff the last relevant event was a view. (A list_reduce
+    # restatement of the packed-state fold is NOT usable: DuckDB 1.0's
+    # list_reduce miscomputes over grouped variable-length lists.)
+    oracle="""
+    WITH vc AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                   ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS prev
+        FROM events WHERE event_type IN ('view', 'click')
+    ), agg AS (
+        SELECT user_id,
+               COUNT(*) FILTER (WHERE event_type = 'click' AND prev = 'view') AS n
+        FROM vc GROUP BY user_id
+    )
+    SELECT u.user_id, CAST(COALESCE(a.n, 0) AS BIGINT) AS n_matches
+    FROM (SELECT DISTINCT user_id FROM events) u LEFT JOIN agg a USING (user_id)
+    ORDER BY user_id
+    """,
     tags=("behavioral", "sequence"),
 )
 def sequence_count_view_click(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -22,7 +22,7 @@ from clickhouse_25_5_3_75_stable_spark.operators.text import (
     jaro_similarity,
     jaro_winkler_similarity,
 )
-from clickhouse_25_5_3_75_stable_spark.queries import register, t
+from clickhouse_25_5_3_75_stable_spark.queries import arr_csv, arr_csv_dec, register, t
 
 _V6 = "CAST(CAST(CAST({x} AS VARCHAR) AS DECIMAL(25,6)) AS DOUBLE)"
 
@@ -94,14 +94,14 @@ def func_stringdist_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events WHERE event_id % 37 = 0
     )
     SELECT event_id,
-           list_transform(l, (x, i) ->
-               len(list_filter(l[1:i], y -> y = x))) AS enum_uniq,
-           list_transform(l, x ->
-               len(list_distinct(l[1:list_position(l, x)]))) AS enum_dense,
+           COALESCE(array_to_string(list_transform(l, (x, i) ->
+               len(list_filter(l[1:i], y -> y = x))), ','), '') AS enum_uniq,
+           COALESCE(array_to_string(list_transform(l, x ->
+               len(list_distinct(l[1:list_position(l, x)]))), ','), '') AS enum_dense,
            list_reduce(l, (a, b) -> a + b) AS folded_sum,
            list_aggregate(l, 'max') AS reduced_max,
-           (l || [CAST(0 AS BIGINT), 0, 0])[1:7] AS resized7,
-           list_transform(range(3), i -> event_id % 7) AS const3
+           COALESCE(array_to_string((l || [CAST(0 AS BIGINT), 0, 0])[1:7], ','), '') AS resized7,
+           COALESCE(array_to_string(list_transform(range(3), i -> event_id % 7), ','), '') AS const3
     FROM arrs
     ORDER BY event_id
     """,
@@ -124,14 +124,14 @@ def func_array_enumerate_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     lcol = F.col("l")
     return d.select(
         "event_id",
-        ch("arrayEnumerateUniq", lcol).alias("enum_uniq"),
-        ch("arrayEnumerateDense", lcol).alias("enum_dense"),
+        arr_csv(ch("arrayEnumerateUniq", lcol)).alias("enum_uniq"),
+        arr_csv(ch("arrayEnumerateDense", lcol)).alias("enum_dense"),
         ch("arrayFold", lambda acc, x: acc + x, lcol, F.lit(0).cast("bigint")).alias(
             "folded_sum"
         ),
         ch("arrayReduce", "max", lcol).alias("reduced_max"),
-        ch("arrayResize", lcol, F.lit(7), F.lit(0).cast("bigint")).alias("resized7"),
-        ch("arrayWithConstant", F.lit(3), F.col("event_id") % 7).alias("const3"),
+        arr_csv(ch("arrayResize", lcol, F.lit(7), F.lit(0).cast("bigint"))).alias("resized7"),
+        arr_csv(ch("arrayWithConstant", F.lit(3), F.col("event_id") % 7)).alias("const3"),
     ).orderBy("event_id")
 
 

@@ -8,7 +8,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from clickhouse_25_5_3_75_stable_spark.functions.dialect import ch
-from clickhouse_25_5_3_75_stable_spark.queries import register, t
+from clickhouse_25_5_3_75_stable_spark.queries import arr_csv, arr_csv_dec, register, t
 
 
 @register(
@@ -28,8 +28,8 @@ from clickhouse_25_5_3_75_stable_spark.queries import register, t
            CAST(list_aggregate([CAST(o_orderkey % 5 + 1 AS DOUBLE),
                                 CAST(o_custkey % 3 + 1 AS DOUBLE)], 'product')
                 AS DOUBLE) AS arr_prod,
-           list_concat(list_slice([o_orderkey, o_custkey, 7], 2, 3),
-                       list_slice([o_orderkey, o_custkey, 7], 1, 1)) AS rot
+           COALESCE(array_to_string(list_concat(list_slice([o_orderkey, o_custkey, 7], 2, 3),
+                       list_slice([o_orderkey, o_custkey, 7], 1, 1)), ','), '') AS rot
     FROM orders
     ORDER BY o_orderkey
     """,
@@ -62,7 +62,7 @@ def func_extras3_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         # round-trip: build the dotted quad, parse it back to the number
         ch("INET_ATON", ch("INET_NTOA", ip)).alias("ipnum"),
         ch("arrayProduct", arr).alias("arr_prod"),
-        ch("arrayRotateLeft", rot_in, F.lit(1)).alias("rot"),
+        arr_csv(ch("arrayRotateLeft", rot_in, F.lit(1))).alias("rot"),
     ).orderBy("o_orderkey")
 
 
@@ -70,14 +70,14 @@ def func_extras3_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     "func_map_extras_family",
     oracle="""
     SELECT event_id,
-           list_sort([event_type, 'k']) AS sorted_keys,
+           COALESCE(array_to_string(list_sort([event_type, 'k']), ','), '') AS sorted_keys,
            event_type LIKE 'c%' AS has_c_key,
-           list_sort(list_filter([event_type, 'k'], x -> x LIKE '%e%')) AS e_keys,
-           list_transform(range(1, CAST(event_id % 4 AS BIGINT) + 3),
+           COALESCE(array_to_string(list_sort(list_filter([event_type, 'k'], x -> x LIKE '%e%')), ','), '') AS e_keys,
+           COALESCE(array_to_string(list_transform(range(1, CAST(event_id % 4 AS BIGINT) + 3),
                i -> CASE WHEN i = 1 THEN CAST(event_id % 100 AS BIGINT)
                          WHEN i = CAST(event_id % 4 AS BIGINT) + 2
                               THEN CAST(event_id % 100 AS BIGINT) * 2
-                         ELSE 0 END) AS dense_vals
+                         ELSE 0 END), ','), '') AS dense_vals
     FROM events
     ORDER BY event_id
     """,
@@ -99,8 +99,8 @@ def func_map_extras_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ev.select(
         "event_id",
-        F.map_keys(ch("mapSort", m)).alias("sorted_keys"),
+        arr_csv(F.map_keys(ch("mapSort", m))).alias("sorted_keys"),
         ch("mapContainsKeyLike", m, "c%").alias("has_c_key"),
-        F.array_sort(F.map_keys(ch("mapExtractKeyLike", m, "%e%"))).alias("e_keys"),
-        dense.alias("dense_vals"),
+        arr_csv(F.array_sort(F.map_keys(ch("mapExtractKeyLike", m, "%e%")))).alias("e_keys"),
+        arr_csv(dense).alias("dense_vals"),
     ).orderBy("event_id")

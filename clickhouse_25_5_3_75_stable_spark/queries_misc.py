@@ -177,8 +177,8 @@ def func_array_positional_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     "func_map_struct_family",
     oracle="""
     SELECT event_id,
-           CAST(map_keys(m) AS VARCHAR[]) AS ks,
-           CAST(map_values(m) AS BIGINT[]) AS vs,
+           array_to_string(map_keys(m), ',') AS ks,
+           array_to_string(CAST(map_values(m) AS BIGINT[]), ',') AS vs,
            m['k'][1]::BIGINT AS k_val,
            list_contains(map_keys(m), 'k') AS has_k,
            cardinality(m) AS n_entries,
@@ -201,10 +201,12 @@ def func_map_struct_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = F.get_json_object("props", "$.k").cast("bigint")
     m = F.create_map(F.lit("k"), k, F.lit("twice"), k * 2)
     s = F.struct(F.col("user_id").alias("a"), F.col("event_type").alias("b"))
+    from clickhouse_25_5_3_75_stable_spark.queries import arr_csv
+
     return ev.select(
         "event_id",
-        F.map_keys(m).alias("ks"),
-        F.map_values(m).alias("vs"),
+        arr_csv(F.map_keys(m)).alias("ks"),
+        arr_csv(F.map_values(m)).alias("vs"),
         F.element_at(m, "k").alias("k_val"),
         F.array_contains(F.map_keys(m), "k").alias("has_k"),
         F.size(m).cast("bigint").alias("n_entries"),

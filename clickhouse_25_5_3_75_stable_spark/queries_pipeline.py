@@ -126,7 +126,7 @@ def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_minhash_signatures",
     oracle=f"""
-    SELECT doc_id, {D.minhash_signature_sql('text', 8)} AS sig
+    SELECT doc_id, COALESCE(array_to_string({D.minhash_signature_sql('text', 8)}, ','), '') AS sig
     FROM documents
     ORDER BY doc_id
     """,
@@ -136,7 +136,9 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """8-hash minhash signature over 3-token shingles (reference
     wordShingleMinHash, FunctionsStringHash.cpp:587-632). Shingles
     materialize in their own projection so the tokenize tree runs once,
-    not once per hash function."""
+    not once per hash function. Output is the CSV-joined signature —
+    scalar column, because the driver's canonicalizer sorts raw cells
+    and cannot hash array values."""
     docs = t(spark, sf_dir, "documents")
     from clickhouse_25_5_3_75_stable_spark.operators.text import (
         tokens,
@@ -146,7 +148,10 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select("doc_id", tokens(F.col("text")).alias("__toks"))
     sh = toks.select("doc_id", word_shingles_from_tokens(F.col("__toks")).alias("__sh"))
     return sh.select(
-        "doc_id", D.minhash_from_shingles(F.col("__sh"), 8).alias("sig")
+        "doc_id",
+        F.concat_ws(
+            ",", F.transform(D.minhash_from_shingles(F.col("__sh"), 8), lambda x: x.cast("string"))
+        ).alias("sig"),
     ).orderBy("doc_id")
 
 
@@ -156,7 +161,7 @@ def _lsh_bands_sql(num_hashes: int, bands: int) -> list[str]:
     out = []
     for b in range(bands):
         sl = f"list_slice({sig}, {b * rows + 1}, {b * rows + rows})"
-        out.append(f"md5(array_to_string({sl}, ','))")
+        out.append(f"md5(COALESCE(array_to_string({sl}, ','), ''))")
     return out
 
 
@@ -194,6 +199,7 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # quality is unit-tested (finds the J>=0.8 pairs) in test_pipeline
     bucket="heavy",
     tags=("dedup", "minhash", "lsh", "fast"),
+    driver=False,  # no cross-engine oracle can exist for xxhash64 values
 )
 def dedup_minhash_lsh_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production minhash-LSH: same banding, xxhash64 salted hashes
@@ -300,25 +306,64 @@ _PLANES = [
     for i in range(6)
 ]
 
+_BKT = S.hyperplane_bucket_sql("embedding", _PLANES)
+
 
 @register(
     "embedding_near_dup_lsh",
-    oracle=None,  # LSH candidates ⊆ exact pairs; subset/score parity is
-    # unit-tested against embedding_near_dup_pairs in tests/test_pipeline.py
-    bucket="heavy",
+    oracle=f"""
+    WITH bk AS (
+        SELECT vec_id, embedding, {_BKT} AS blk FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {S.cosine_similarity_sql('a.embedding', 'b.embedding')} AS cosine
+    FROM bk a JOIN bk b ON a.blk = b.blk AND a.vec_id < b.vec_id
+    WHERE {S.cosine_similarity_sql('a.embedding', 'b.embedding')} >= 0.4
+    ORDER BY id_a, id_b
+    """,
     tags=("similarity", "near_dup", "lsh"),
 )
 def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-path near-dup: hyperplane-bucket blocking (expected
-    n²/2^6 pairs scored) + fast double cosine — this is the shape that
-    survives 100 TB; the O(n²) audit above is its oracle at test SF."""
+    n²/2^6 pairs scored), decimal-exact cosine — bucketed equi-join
+    shape that survives 100 TB. The per-bucket numpy Gram variant
+    (embedding_near_dup_lsh_fast) is the throughput path; this one is
+    bitwise oracle-reproducible."""
+    emb = t(spark, sf_dir, "embeddings")
+    return S.lsh_cosine_pairs_exact(emb, _PLANES, threshold=0.4).orderBy("id_a", "id_b")
+
+
+@register(
+    "embedding_near_dup_lsh_fast",
+    oracle=None,  # numpy einsum cosine: summation order differs from any
+    # SQL fold; pair-set parity vs embedding_near_dup_lsh is unit-tested
+    bucket="heavy",
+    tags=("similarity", "near_dup", "lsh", "fast"),
+    driver=False,
+)
+def embedding_near_dup_lsh_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Throughput variant: ONE applyInPandas per bucket scores all its
+    pairs with a single numpy Gram matmul — each vector crosses the
+    shuffle once instead of once per candidate pair."""
     emb = t(spark, sf_dir, "embeddings")
     return S.lsh_cosine_pairs(emb, _PLANES, threshold=0.4).orderBy("id_a", "id_b")
 
 
 @register(
     "similarity_lsh_ann",
-    oracle=None,  # ANN: recall-checked against brute force in tests, not SQL
+    oracle=f"""
+    WITH bk AS (
+        SELECT vec_id, embedding, {_BKT} AS blk FROM embeddings
+    ), q AS (
+        SELECT embedding AS qvec, blk AS qblk FROM bk WHERE vec_id = 0
+    )
+    SELECT b.vec_id,
+           {S.cosine_similarity_sql('b.embedding', 'q.qvec')} AS cosine
+    FROM bk b, q
+    WHERE b.vec_id <> 0 AND b.blk = q.qblk
+    ORDER BY cosine DESC, b.vec_id
+    LIMIT 10
+    """,
     tags=("similarity", "ann", "lsh"),
 )
 def similarity_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -351,9 +396,39 @@ def similarity_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(emb.filter(F.col("vec_id") != 0), q, cents, nprobe=8, k=10)
 
 
+_CENTS_RN = "row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)"
+
+
 @register(
     "similarity_ivf_ann",
-    oracle=None,  # ANN: recall-checked vs brute force in tests/test_pipeline.py
+    oracle=f"""
+    WITH cents AS (
+        SELECT embedding AS cvec, {_CENTS_RN} - 1 AS ci
+        FROM embeddings
+        QUALIFY {_CENTS_RN} <= 8
+    ), q AS (
+        SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0
+    ), probes AS (
+        SELECT c.ci FROM cents c, q
+        ORDER BY {S.l2sq_sql('q.qvec', 'c.cvec')}, c.ci
+        LIMIT 4
+    ), ad AS (
+        SELECT e.vec_id, c.ci,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {S.l2sq_sql('e.embedding', 'c.cvec')}, c.ci
+               ) AS rnk
+        FROM embeddings e, cents c WHERE e.vec_id <> 0
+    ), cand AS (
+        SELECT vec_id FROM ad
+        WHERE rnk = 1 AND ci IN (SELECT ci FROM probes)
+    )
+    SELECT e.vec_id,
+           {S.cosine_similarity_sql('e.embedding', 'q.qvec')} AS cosine
+    FROM embeddings e JOIN cand USING (vec_id), q
+    ORDER BY cosine DESC, e.vec_id
+    LIMIT 10
+    """,
     tags=("similarity", "ann", "ivf"),
 )
 def similarity_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:

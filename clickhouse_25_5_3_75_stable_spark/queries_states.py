@@ -90,6 +90,7 @@ def state_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=None,  # sketch estimates are engine-specific; accuracy is
     # asserted against exact counts in tests/test_states.py
     tags=("state_merge", "uniq", "hll"),
+    driver=False,  # HLL estimate values cannot match any other engine
 )
 def state_uniq_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """uniqState/uniqMerge via Datasketches HLL: binary sketch states

@@ -20,7 +20,7 @@ from clickhouse_25_5_3_75_stable_spark.operators.projections import (
     route_to_projection,
 )
 from clickhouse_25_5_3_75_stable_spark.operators.sampling import sample_by_key
-from clickhouse_25_5_3_75_stable_spark.queries import register, t
+from clickhouse_25_5_3_75_stable_spark.queries import arr_csv, arr_csv_dec, register, t
 from clickhouse_25_5_3_75_stable_spark.sources.system_tables import system_columns
 
 
@@ -227,7 +227,7 @@ def dict_range_price_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id,
            CAST(json_extract(props, '$.k') AS BIGINT) AS k,
            CAST(json_extract(props, '$.k') IS NOT NULL AS BOOLEAN) AS has_k,
-           CAST(json_keys(props) AS VARCHAR[]) AS paths
+           COALESCE(array_to_string(json_keys(props), ','), '') AS paths
     FROM events
     ORDER BY event_id
     """,
@@ -245,5 +245,5 @@ def json_variant_typed_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.try_variant_get(v, "$.k", "bigint").alias("k"),
         F.try_variant_get(v, "$.k", "bigint").isNotNull().alias("has_k"),
-        F.json_object_keys(F.col("props")).alias("paths"),
+        arr_csv(F.json_object_keys(F.col("props"))).alias("paths"),
     ).orderBy("event_id")

@@ -79,8 +79,33 @@ def window_hop_30min(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "window_session_user_gaps",
-    oracle=None,  # session windows are stateful/iterative (no closed-form
-    # SQL); equivalence with a window-lag SQL formulation is unit-tested
+    # gaps-and-islands restatement: a new session starts when the event
+    # is >= gap after the previous one (Spark merges session windows
+    # only while they strictly overlap: [t, t+gap) ∩ next ≠ ∅);
+    # session_end = last event + gap, matching session_window's end
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS tts, value FROM events
+    ), f AS (
+        SELECT user_id, tts, value,
+               CASE WHEN tts < lag(tts) OVER w + INTERVAL 30 MINUTE
+                    THEN 0 ELSE 1 END AS ns
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tts)
+    ), g AS (
+        SELECT user_id, tts, value,
+               SUM(ns) OVER (PARTITION BY user_id ORDER BY tts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+        FROM f
+    )
+    SELECT min(tts) AS session_start,
+           max(tts) + INTERVAL 30 MINUTE AS session_end,
+           user_id,
+           COUNT(*) AS n_events,
+           {dsum_sql('value', 'sum_value')}
+    FROM g
+    GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """,
     tags=("streaming", "session"),
 )
 def window_session_user_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -98,3 +123,81 @@ def window_session_user_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "sum_value",
     ).orderBy("user_id", "session_start")
+
+
+@register(
+    "matview_insert_cascade",
+    # the MV chain must reproduce the direct query over the source:
+    # hourly partial states merged to (event_type, day) rollups
+    oracle=f"""
+    SELECT event_type,
+           CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+           COUNT(*) AS n, {dsum_sql('value', 'sum_value')}
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY event_type, day
+    """,
+    tags=("streaming", "matview"),
+)
+def matview_insert_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view cascade (reference
+    buildPushingToViewsChain.cpp): events inserted in three blocks
+    through a streaming source trigger an hourly partial-state MV,
+    which cascades into a daily rollup MV; reading the daily target
+    with a final merge must equal the direct query over all events —
+    proving maintenance is incremental AND exact however inserts are
+    batched."""
+    import shutil
+    import tempfile
+
+    from clickhouse_25_5_3_75_stable_spark.streaming.matview import (
+        MatView,
+        attach_views,
+        merge_counts,
+        merge_dsum,
+        partial_count,
+        partial_dsum,
+        read_final,
+    )
+
+    ev = t(spark, sf_dir, "events")
+    base = tempfile.mkdtemp(prefix="matview_q_")
+    try:
+        src = f"{base}/src"
+        # three separate inserts (parquet files) = three micro-batches
+        for i in range(3):
+            ev.filter(F.col("event_id") % 3 == i).write.mode("append").parquet(src)
+
+        hourly = MatView(
+            name="mv_hourly",
+            select=lambda block: block.groupBy(
+                "event_type", F.date_trunc("hour", "ts").alias("hour")
+            ).agg(partial_count("cnt"), partial_dsum("value", "sval")),
+            target=f"{base}/mv_hourly",
+        )
+        daily = MatView(
+            name="mv_daily",
+            select=lambda block: block.groupBy(
+                "event_type", F.date_trunc("day", "hour").alias("day")
+            ).agg(
+                F.sum("cnt").alias("cnt"), F.sum("sval").cast("decimal(25,6)").alias("sval")
+            ),
+            target=f"{base}/mv_daily",
+        )
+        hourly.children.append(daily)
+
+        stream = spark.readStream.schema(ev.schema).parquet(src)
+        q = attach_views(stream, [hourly], checkpoint_dir=f"{base}/ckpt")
+        q.awaitTermination(300)
+
+        out = read_final(
+            spark,
+            daily,
+            keys=["event_type", "day"],
+            merge_exprs=[merge_counts("cnt", "n"), merge_dsum("sval", "sum_value")],
+        ).orderBy("event_type", "day")
+        # materialize before the temp dir disappears
+        final = spark.createDataFrame(out.collect(), out.schema)
+        return final
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from clickhouse_25_5_3_75_stable_spark.functions.dialect import ch
-from clickhouse_25_5_3_75_stable_spark.queries import register, t
+from clickhouse_25_5_3_75_stable_spark.queries import arr_csv, register, t
 
 # --- DuckDB spellings of the decimal-fold distance math (mirrors the
 # Spark side exactly; STRING-routed final cast per functions/numeric.py)
@@ -109,7 +109,7 @@ def func_vector_distance_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_bitmap_per_type",
     oracle="""
     SELECT event_type,
-           list_sort(list(DISTINCT user_id)) AS user_bitmap,
+           COALESCE(array_to_string(list_sort(list(DISTINCT user_id)), ','), '') AS user_bitmap,
            COUNT(DISTINCT user_id) AS card,
            MIN(user_id) AS bm_min,
            MAX(user_id) AS bm_max
@@ -127,13 +127,13 @@ def agg_bitmap_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     bm = F.array_sort(F.collect_set("user_id"))
     return (
         ev.groupBy("event_type")
-        .agg(bm.alias("user_bitmap"))
+        .agg(bm.alias("__bm"))
         .select(
             "event_type",
-            "user_bitmap",
-            ch("bitmapCardinality", F.col("user_bitmap")).alias("card"),
-            ch("bitmapMin", F.col("user_bitmap")).alias("bm_min"),
-            ch("bitmapMax", F.col("user_bitmap")).alias("bm_max"),
+            arr_csv(F.col("__bm")).alias("user_bitmap"),
+            ch("bitmapCardinality", F.col("__bm")).alias("card"),
+            ch("bitmapMin", F.col("__bm")).alias("bm_min"),
+            ch("bitmapMax", F.col("__bm")).alias("bm_max"),
         )
         .orderBy("event_type")
     )
@@ -151,12 +151,12 @@ def agg_bitmap_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     c AS (SELECT bm FROM b WHERE event_type = 'click'),
     p AS (SELECT bm FROM b WHERE event_type = 'purchase')
     SELECT
-        list_sort(list_intersect(c.bm, p.bm)) AS bm_and,
+        COALESCE(array_to_string(list_sort(list_intersect(c.bm, p.bm)), ','), '') AS bm_and,
         len(list_intersect(c.bm, p.bm)) AS card_and,
         len(list_distinct(list_concat(c.bm, p.bm))) AS card_or,
         len(list_filter(c.bm, x -> NOT list_contains(p.bm, x)))
           + len(list_filter(p.bm, x -> NOT list_contains(c.bm, x))) AS card_xor,
-        list_sort(list_filter(c.bm, x -> NOT list_contains(p.bm, x))) AS bm_andnot,
+        COALESCE(array_to_string(list_sort(list_filter(c.bm, x -> NOT list_contains(p.bm, x))), ','), '') AS bm_andnot,
         list_has_any(c.bm, p.bm) AS has_any,
         len(list_filter(p.bm, x -> NOT list_contains(c.bm, x))) = 0 AS has_all,
         list_contains(c.bm, 7) AS contains_7
@@ -178,11 +178,11 @@ def agg_bitmap_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c, p = F.col("c"), F.col("p")
     return click.crossJoin(purch).select(
-        ch("bitmapAnd", c, p).alias("bm_and"),
+        arr_csv(ch("bitmapAnd", c, p)).alias("bm_and"),
         ch("bitmapAndCardinality", c, p).alias("card_and"),
         ch("bitmapOrCardinality", c, p).alias("card_or"),
         ch("bitmapXorCardinality", c, p).alias("card_xor"),
-        ch("bitmapAndnot", c, p).alias("bm_andnot"),
+        arr_csv(ch("bitmapAndnot", c, p)).alias("bm_andnot"),
         ch("bitmapHasAny", c, p).alias("has_any"),
         ch("bitmapHasAll", c, p).alias("has_all"),
         ch("bitmapContains", c, F.lit(7)).alias("contains_7"),

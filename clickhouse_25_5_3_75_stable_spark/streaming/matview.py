@@ -1,0 +1,131 @@
+"""Incremental materialized views — the reference's insert-trigger
+cascade (/root/reference/src/Processors/Transforms/
+buildPushingToViewsChain.cpp, src/Storages/StorageMaterializedView.h:14).
+
+Reference semantics being matched:
+
+- an INSERT into the source table pushes ONLY the inserted block
+  through each dependent view's SELECT, appending the result to the
+  view's target table (incremental, never a full refresh);
+- targets are ordinary tables — a view over an aggregation stores
+  PARTIAL states per inserted block, and reading the view re-merges
+  them (the SummingMergeTree / -State/-Merge pattern);
+- views cascade: a second view whose source is the first view's
+  target sees exactly the blocks the first view just produced.
+
+Spark mapping: the insert stream is a Structured Streaming read of the
+source table directory; ``foreachBatch`` is the insert trigger — each
+micro-batch is "the inserted block". Inside the batch we run every
+view's transform on the block and append to its parquet target, then
+recursively push the view's OUTPUT block to its children. Exactly-once
+comes from the checkpoint + idempotent parquet append per epoch being
+Spark's standard contract for foreachBatch sinks.
+
+Scale notes: the per-batch view transform is a plain narrow/partial-agg
+plan over the block — no history is re-read, so maintenance cost is
+O(insert size), not O(table size), the property that makes MVs usable
+at 100 TB. Partial-state targets keep DECIMAL accumulators so the
+final merge is bitwise-exact regardless of how inserts were batched
+(functions/numeric.py convention).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_DEC = "decimal(25,6)"
+
+
+@dataclass
+class MatView:
+    """One CREATE MATERIALIZED VIEW: a transform over inserted blocks
+    and a parquet target path; children cascade off this view's
+    per-block output (reference buildPushingToViewsChain recursion)."""
+
+    name: str
+    select: Callable[[DataFrame], DataFrame]
+    target: str
+    children: list["MatView"] = field(default_factory=list)
+
+
+def _push_block(block: DataFrame, views: list[MatView]) -> None:
+    for v in views:
+        out = v.select(block)
+        if v.children:
+            out = out.persist()
+        out.write.mode("append").parquet(v.target)
+        if v.children:
+            _push_block(out, v.children)
+            out.unpersist()
+
+
+def attach_views(
+    source_stream: DataFrame,
+    views: list[MatView],
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Wire the insert-trigger chain onto a streaming source and start
+    it. Returns the StreamingQuery; with available_now the query drains
+    existing inserts and stops (CH's synchronous insert push)."""
+
+    def process(batch: DataFrame, epoch_id: int) -> None:
+        batch = batch.persist()
+        try:
+            _push_block(batch, views)
+        finally:
+            batch.unpersist()
+
+    writer = source_stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def populate(spark: SparkSession, source: DataFrame, views: list[MatView]) -> None:
+    """CREATE ... POPULATE backfill: push the whole existing table as
+    one block (reference StorageMaterializedView populate mode)."""
+    _push_block(source, views)
+
+
+# ---------------------------------------------------------------------------
+# Partial-state helpers for aggregating targets
+# ---------------------------------------------------------------------------
+
+
+def partial_count(alias: str = "cnt"):
+    """Per-block COUNT partial; merge with SUM."""
+    return F.count(F.lit(1)).alias(alias)
+
+
+def partial_dsum(col, alias: str):
+    """Per-block decimal SUM partial — stays DECIMAL in the target so
+    any regrouping of inserts merges to the identical value."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(_DEC)).alias(alias)
+
+
+def merge_counts(col: str, alias: str | None = None):
+    return F.sum(col).alias(alias or col)
+
+
+def merge_dsum(col: str, alias: str | None = None):
+    """Merge decimal partials and emit the convention double."""
+    return F.sum(col).cast("double").alias(alias or col)
+
+
+def read_final(
+    spark: SparkSession,
+    view: MatView,
+    keys: list[str],
+    merge_exprs: list,
+) -> DataFrame:
+    """Query a partial-state target with finalization (the -Merge /
+    FINAL read): one re-aggregation over the stored partials."""
+    return spark.read.parquet(view.target).groupBy(*keys).agg(*merge_exprs)

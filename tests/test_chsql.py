@@ -172,3 +172,39 @@ def test_date_preimage_yyyymm_and_inequalities(spark):
     assert "d >= '1995-01-01'" in out2
     out3 = ch_sql_to_spark("SELECT 1 FROM t WHERE toYear(d) <= 1995")
     assert "d < '1996-01-01'" in out3
+
+
+def test_final_global_as_identifiers_survive(spark):
+    # bare column named `final` / alias named `global` must NOT be stripped
+    out = ch_sql_to_spark("SELECT final FROM t")
+    assert "final" in out.split()
+    out2 = ch_sql_to_spark("SELECT a AS global FROM t")
+    assert "global" in out2.split()
+    # table FINAL and GLOBAL IN still stripped
+    out3 = ch_sql_to_spark("SELECT a FROM t FINAL WHERE a GLOBAL IN (SELECT a FROM u)")
+    assert "FINAL" not in out3.upper() and "GLOBAL" not in out3.upper()
+    out4 = ch_sql_to_spark("SELECT a FROM t GLOBAL LEFT JOIN u ON t.a = u.a")
+    assert "GLOBAL" not in out4.upper()
+
+
+def test_array_join_multi_lockstep(spark):
+    """ClickHouse multi-ARRAY JOIN zips the arrays (parallel iteration),
+    it does not cross-product."""
+    spark.createDataFrame(
+        [(1, [10, 20], ["x", "y"])], "id int, a array<int>, b array<string>"
+    ).createOrReplaceTempView("aj_multi")
+    sql = ch_sql_to_spark("SELECT id, va, vb FROM aj_multi ARRAY JOIN a AS va, b AS vb")
+    rows = spark.sql(sql).collect()
+    assert sorted((r.id, r.va, r.vb) for r in rows) == [(1, 10, "x"), (1, 20, "y")]
+
+
+def test_array_join_expression_requires_alias():
+    import pytest
+
+    from clickhouse_25_5_3_75_stable_spark.chsql import ChSqlError
+
+    with pytest.raises(ChSqlError, match="explicit"):
+        ch_sql_to_spark("SELECT v FROM t ARRAY JOIN splitByChar(',', s)")
+    # with an alias it translates
+    out = ch_sql_to_spark("SELECT v FROM t ARRAY JOIN splitByChar(',', s) AS v")
+    assert "LATERAL VIEW" in out and "AS v" in out

@@ -110,3 +110,26 @@ def test_registry_size():
 def test_unknown_function_raises():
     with pytest.raises(KeyError):
         ch("definitelyNotAFunction", F.lit(1))
+
+
+def test_todate_orzero_ordefault_execute(spark):
+    """toDateOrZero/toDate32OrZero/OrDefault were registered but raised
+    AnalysisException (INT->DATE cast); the zero map now uses epoch
+    strings for date/timestamp targets."""
+    import datetime
+
+    from clickhouse_25_5_3_75_stable_spark.functions.dialect_extras import CH_FUNCTIONS
+
+    df = spark.createDataFrame([("2020-01-02",), ("garbage",)], ["s"])
+    for name in ("todateorzero", "todate32orzero", "todateordefault", "todate32ordefault"):
+        vals = [r.v for r in df.select(CH_FUNCTIONS[name](F.col("s")).alias("v")).collect()]
+        assert datetime.date(2020, 1, 2) in vals
+        assert datetime.date(1970, 1, 1) in vals, name
+    # explicit default on the OrDefault path
+    vals = [
+        r.v
+        for r in df.select(
+            CH_FUNCTIONS["todateordefault"](F.col("s"), "1999-12-31").alias("v")
+        ).collect()
+    ]
+    assert datetime.date(1999, 12, 31) in vals

@@ -134,3 +134,61 @@ def test_ivf_ann_recall(spark):
     exact = {r.vec_id for r in REGISTRY["similarity_topk_bruteforce"].fn(spark, sf).collect()}
     ann = {r.vec_id for r in REGISTRY["similarity_ivf_ann"].fn(spark, sf).collect()}
     assert len(ann & exact) / len(exact) >= 0.6
+
+
+def test_lsh_bucket_resplit_caps_pathological_bucket(spark):
+    """A hot bucket (all vectors near one direction) must be split by
+    the extra-plane re-split so no single task scores O(m²) pairs."""
+    import numpy as np
+
+    from clickhouse_25_5_3_75_stable_spark.operators.similarity import (
+        capped_buckets,
+        lsh_cosine_pairs,
+    )
+
+    rng = np.random.RandomState(7)
+    dim = 8
+    # 200 vectors: strong +e1 component (same sign on main planes that
+    # weight dim 0 heavily), noise elsewhere -> one hot bucket
+    vecs = [
+        (i, [10.0] + [float(x) for x in rng.randn(dim - 1)]) for i in range(200)
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    main = [[1.0] + [0.0] * (dim - 1)]  # everyone lands in bucket 1
+    extra = [
+        [0.0] * (d + 1) + [1.0] + [0.0] * (dim - d - 2) for d in range(dim - 1)
+    ]  # split on noise dims
+
+    uncapped = capped_buckets(df, main, None, None)
+    assert uncapped.groupBy("blk").count().agg(F.max("count")).collect()[0][0] == 200
+
+    capped = capped_buckets(df, main, extra, bucket_cap=40)
+    widths = [r["count"] for r in capped.groupBy("blk").count().collect()]
+    assert max(widths) <= 40
+    assert sum(widths) == 200  # no rows lost
+
+    # end-to-end: the capped scorer still returns pairs, all valid
+    pairs = lsh_cosine_pairs(
+        df, main, threshold=0.99, bucket_cap=40, extra_planes=extra
+    ).collect()
+    assert all(r.id_a < r.id_b for r in pairs)
+
+
+def test_lsh_resplit_no_cross_bucket_collisions(spark):
+    """String bucket keys: a split bucket '3_1' can never collide with
+    an intact bucket — and rows in small buckets keep their key."""
+    from clickhouse_25_5_3_75_stable_spark.operators.similarity import capped_buckets
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 1.0]), (1, [1.0, -1.0]), (2, [-1.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    planes = [[1.0, 0.0]]
+    extra = [[0.0, 1.0]]
+    out = capped_buckets(df, planes, extra, bucket_cap=1)
+    blks = {r.vec_id: r.blk for r in out.collect()}
+    # vectors 0,1 share main bucket (x>0) of width 2 > cap -> split on y
+    assert blks[0] != blks[1]
+    assert blks[0].startswith("1_") and blks[1].startswith("1_")
+    # vector 2 alone in its bucket: intact key, no underscore suffix
+    assert blks[2] == "0"

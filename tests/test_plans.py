@@ -110,3 +110,19 @@ def test_ivf_probe_is_broadcast_no_shuffle_of_vectors(spark):
     shuffle before scoring."""
     plan = _plan(spark, "similarity_ivf_ann")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_paste_join_has_no_global_single_partition_sort(spark):
+    """paste_join must rank via range-partitioned per-partition windows
+    — an un-partitioned row_number window would plan an Exchange
+    SinglePartition (one task sorts everything)."""
+    from clickhouse_25_5_3_75_stable_spark.operators.joins import paste_join
+
+    a = spark.range(0, 1000).withColumnRenamed("id", "a")
+    b = spark.range(0, 1000).withColumnRenamed("id", "b")
+    out = paste_join(a, b, ["a"], ["b"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan
+    # and it still zips correctly
+    rows = out.orderBy("a").limit(3).collect()
+    assert [(r.a, r.b) for r in rows] == [(0, 0), (1, 1), (2, 2)]

@@ -213,3 +213,31 @@ def test_query_result_cache(spark):
     assert not cache.evict(df.select("v"))
     cache.clear()
     assert len(cache) == 0
+
+
+def test_range_dictionary_preserves_duplicate_facts(spark):
+    """dictGet is strictly row-preserving: two identical fact rows must
+    produce two output rows (the overlap-dedup window partitions on a
+    per-row id, not on the fact's column values)."""
+    from clickhouse_25_5_3_75_stable_spark.operators.dictionary import RangeDictionary
+
+    rates = spark.createDataFrame([(1, 0, 10, "cheap")], "k int, lo int, hi int, tier string")
+    facts = spark.createDataFrame([(1, 3), (1, 3)], "k int, p int")  # identical rows
+    d = RangeDictionary(rates, key="k", range_start="lo", range_end="hi")
+    out = d.dict_get(facts, F.col("k"), F.col("p"), {"tier": "tier"}).collect()
+    assert len(out) == 2
+    assert all(r.tier == "cheap" for r in out)
+
+
+def test_salted_join_rejects_outer(spark):
+    import pytest
+
+    from clickhouse_25_5_3_75_stable_spark.operators.skew import salted_join
+
+    facts = spark.createDataFrame([(1, "a")], "k int, v string")
+    dim = spark.createDataFrame([(1, "x"), (2, "y")], "k int, d string")
+    with pytest.raises(ValueError, match="salted_join supports"):
+        salted_join(facts, dim, "k", salt=4, how="right")
+    # left works and does not duplicate
+    out = salted_join(facts, dim, "k", salt=4, how="left").collect()
+    assert len(out) == 1

@@ -206,3 +206,97 @@ def test_live_view_snapshot(spark, events_stream_dir):
         for r in ev_batch.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert got == want
+
+
+def test_matview_cascade_incremental_and_exact(spark, tmp_path):
+    """Insert-trigger MV cascade (reference buildPushingToViewsChain):
+    two inserts stream through an hourly partial-state MV cascading to
+    a daily MV; the merged read must equal the direct batch query, and
+    the hourly target must contain PER-BLOCK partials (i.e. maintenance
+    was incremental — more rows than distinct groups)."""
+    from clickhouse_25_5_3_75_stable_spark.streaming.matview import (
+        MatView,
+        attach_views,
+        merge_counts,
+        merge_dsum,
+        partial_count,
+        partial_dsum,
+        read_final,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    src = str(tmp_path / "src")
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode("append").parquet(src)
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+
+    hourly = MatView(
+        name="mv_hourly",
+        select=lambda b: b.groupBy(
+            "event_type", F.date_trunc("hour", "ts").alias("hour")
+        ).agg(partial_count("cnt"), partial_dsum("value", "sval")),
+        target=str(tmp_path / "mv_hourly"),
+    )
+    daily = MatView(
+        name="mv_daily",
+        select=lambda b: b.groupBy(
+            "event_type", F.date_trunc("day", "hour").alias("day")
+        ).agg(F.sum("cnt").alias("cnt"), F.sum("sval").cast("decimal(25,6)").alias("sval")),
+        target=str(tmp_path / "mv_daily"),
+    )
+    hourly.children.append(daily)
+
+    # one file per micro-batch => each insert is its own trigger block
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = attach_views(stream, [hourly], checkpoint_dir=str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+
+    got = {
+        (r.event_type, r.day): (r.n, r.sum_value)
+        for r in read_final(
+            spark, daily, ["event_type", "day"],
+            [merge_counts("cnt", "n"), merge_dsum("sval", "sum_value")],
+        ).collect()
+    }
+    want = {
+        (r.event_type, r.day): (r.n, r.sum_value)
+        for r in ev.groupBy(
+            "event_type", F.date_trunc("day", "ts").alias("day")
+        ).agg(F.count(F.lit(1)).alias("n"), dsum("value", "sum_value")).collect()
+    }
+    assert got == want
+
+    # incrementality: hourly target holds one partial row per (block,
+    # group) — strictly more rows than the distinct group count when
+    # the groups span both inserts
+    stored = spark.read.parquet(hourly.target)
+    n_groups = stored.select("event_type", "hour").distinct().count()
+    assert stored.count() > n_groups
+
+
+def test_matview_populate_backfill(spark, tmp_path):
+    """POPULATE pushes the whole existing table as one block."""
+    from clickhouse_25_5_3_75_stable_spark.streaming.matview import (
+        MatView,
+        merge_counts,
+        partial_count,
+        populate,
+        read_final,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    mv = MatView(
+        name="mv_types",
+        select=lambda b: b.groupBy("event_type").agg(partial_count("cnt")),
+        target=str(tmp_path / "mv_types"),
+    )
+    populate(spark, ev, [mv])
+    got = {
+        r.event_type: r.n
+        for r in read_final(spark, mv, ["event_type"], [merge_counts("cnt", "n")]).collect()
+    }
+    want = {r.event_type: r.n for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got == want
