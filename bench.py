@@ -56,17 +56,44 @@ def main() -> None:
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total_wall",
-                "value": round(sum(timings.values()), 4),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_val,
-            }
-        )
-    )
+
+    # ratchet: diff against the previous run at the same SF and flag
+    # >1.5x per-query regressions (history in BENCH_HISTORY.jsonl;
+    # warnings to stderr so stdout stays the single JSON line)
+    hist_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_HISTORY.jsonl")
+    prev = None
+    if os.path.exists(hist_path):
+        with open(hist_path) as fh:
+            for line in fh:
+                try:
+                    rec = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                if rec.get("sf") == sf_val:
+                    prev = rec
+    regressions: dict[str, float] = {}
+    if prev:
+        for name, t_now in timings.items():
+            t_prev = prev.get("queries", {}).get(name)
+            if t_prev and t_prev > 0.5 and t_now > 1.5 * t_prev:
+                regressions[name] = round(t_now / t_prev, 2)
+                print(
+                    f"REGRESSION {name}: {t_prev:.2f}s -> {t_now:.2f}s"
+                    f" ({t_now / t_prev:.2f}x)",
+                    file=sys.stderr,
+                )
+
+    result = {
+        "metric": "headline_total_wall",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+        "regressions": regressions,
+    }
+    with open(hist_path, "a") as fh:
+        fh.write(json.dumps({"sf": sf_val, "queries": timings}) + "\n")
+    print(json.dumps(result))
     spark.stop()
 
 

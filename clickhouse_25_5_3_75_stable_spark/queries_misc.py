@@ -112,19 +112,20 @@ def with_fill_interpolate_daily_max(spark: SparkSession, sf_dir: str) -> DataFra
            len(vals) AS n,
            vals[1] AS first_v,
            vals[len(vals)] AS last_v,
-           list_transform(list_slice(vals, 1, 5), x -> CAST(x AS STRING)) AS first5,
+           COALESCE(array_to_string(list_transform(list_slice(vals, 1, 5),
+               x -> CAST(x AS STRING)), ','), '') AS first5,
            CAST(CAST(list_aggregate(list_transform(vals, x -> CAST(x AS DECIMAL(18,4))),
                 'sum') AS STRING) AS DOUBLE) AS total,
-           list_transform(
+           COALESCE(array_to_string(list_transform(
                list_transform(range(1, least(len(vals), 5) + 1),
                    i -> CAST(list_aggregate(list_transform(list_slice(vals, 1, i),
                         x -> CAST(x AS DECIMAL(18,4))), 'sum') AS DECIMAL(25,4))),
-               x -> CAST(x AS STRING)) AS cumsum5,
-           list_transform(
+               x -> CAST(x AS STRING)), ','), '') AS cumsum5,
+           COALESCE(array_to_string(list_transform(
                list_transform(range(2, least(len(vals), 5) + 1),
                    i -> CAST(CAST(vals[i] AS DECIMAL(18,4))
                         - CAST(vals[i-1] AS DECIMAL(18,4)) AS DECIMAL(25,4))),
-               x -> CAST(x AS STRING)) AS diff4
+               x -> CAST(x AS STRING)), ','), '') AS diff4
     FROM t
     ORDER BY user_id
     """,
@@ -150,25 +151,33 @@ def func_array_positional_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(vals).cast("bigint").alias("n"),
         F.element_at(vals, 1).alias("first_v"),
         F.element_at(vals, -1).alias("last_v"),
-        F.transform(F.slice(vals, 1, 5), lambda x: x.cast("string")).alias("first5"),
+        F.concat_ws(",", F.transform(F.slice(vals, 1, 5), lambda x: x.cast("string"))).alias(
+            "first5"
+        ),
         F.aggregate(
             vals,
             F.lit(0).cast("decimal(30,4)"),
             lambda acc, x: (acc + dec(x)).cast("decimal(30,4)"),
         ).cast("double").alias("total"),
-        F.transform(
-            cum_idx,
-            lambda i: F.aggregate(
-                F.slice(vals, 1, i),
-                F.lit(0).cast("decimal(25,4)"),
-                lambda acc, x: (acc + dec(x)).cast("decimal(25,4)"),
-            ).cast("string"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                cum_idx,
+                lambda i: F.aggregate(
+                    F.slice(vals, 1, i),
+                    F.lit(0).cast("decimal(25,4)"),
+                    lambda acc, x: (acc + dec(x)).cast("decimal(25,4)"),
+                ).cast("string"),
+            ),
         ).alias("cumsum5"),
-        F.transform(
-            diff_idx,
-            lambda i: (dec(F.element_at(vals, i)) - dec(F.element_at(vals, i - 1)))
-            .cast("decimal(25,4)")
-            .cast("string"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                diff_idx,
+                lambda i: (dec(F.element_at(vals, i)) - dec(F.element_at(vals, i - 1)))
+                .cast("decimal(25,4)")
+                .cast("string"),
+            ),
         ).alias("diff4"),
     ).orderBy("user_id")
 
@@ -213,3 +222,40 @@ def func_map_struct_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         s["a"].alias("struct_a"),
         s["b"].alias("struct_b"),
     ).orderBy("event_id")
+
+
+@register(
+    "type_uint64_beyond_int64",
+    oracle="""
+    SELECT o_orderpriority,
+           MAX(CAST(o_orderkey AS DECIMAL(20,0)) + 9223372036854775807) AS max_u64,
+           MIN(CAST(o_orderkey AS DECIMAL(20,0)) + 9223372036854775807) AS min_u64,
+           CAST(SUM(CAST(o_orderkey AS DECIMAL(20,0)) + 9223372036854775807)
+                AS DECIMAL(38,0)) AS sum_u64,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("types", "uint64"),
+)
+def type_uint64_beyond_int64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UInt64 correctness mode (SURVEY §1.2, functions/typemap.py):
+    values pushed past Int64 max ride DECIMAL(20,0) so aggregation
+    cannot wrap negative — every output here exceeds 2^63-1, which a
+    bigint mapping would corrupt. Reference domain:
+    src/DataTypes/DataTypesNumber.h UInt64."""
+    from clickhouse_25_5_3_75_stable_spark.functions.typemap import uint64_col
+
+    od = t(spark, sf_dir, "orders")
+    u = uint64_col("o_orderkey") + F.lit(9223372036854775807).cast("decimal(20,0)")
+    return (
+        od.groupBy("o_orderpriority")
+        .agg(
+            F.max(u).alias("max_u64"),
+            F.min(u).alias("min_u64"),
+            F.sum(u).cast("decimal(38,0)").alias("sum_u64"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -1,0 +1,165 @@
+"""Federated / external database tables (SURVEY §2.1).
+
+Reference: the external-DB storage engines — MySQL, PostgreSQL,
+MongoDB, Redis, SQLite, generic ODBC/JDBC — registered at
+/root/reference/src/Storages/registerStorages.cpp:60-103, plus the
+matching table functions (mysql()/postgresql()/sqlite()/mongodb()).
+A ClickHouse external table streams the remote rows through the local
+pipeline, pushing WHERE fragments down to the remote server
+(src/Storages/StorageMySQL.cpp transformQueryForExternalDatabase).
+
+Spark mapping:
+
+- the production path is ``spark.read.format("jdbc")`` — Spark's JDBC
+  source already does predicate/column pushdown and, with
+  partitionColumn/lowerBound/upperBound/numPartitions, issues one
+  range query per task so a big remote table lands as a parallel
+  scan, not a single-connection trickle. :func:`jdbc_options`
+  constructs exactly those options from the engine spec.
+- this sandbox ships no JDBC driver jars, so :func:`read_external`
+  falls back to a PYTHON BRIDGE (sqlite3 / DuckDB → Arrow →
+  createDataFrame) when the JVM driver class is absent. The bridge is
+  driver-side and therefore dimension-tier only (like the reference's
+  external dictionaries); it honors the same pushdown fragment so the
+  remote does the filtering either way.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+# CH engine name -> (JDBC url template, driver class)
+_JDBC_DRIVERS = {
+    "mysql": ("jdbc:mysql://{host}:{port}/{database}", "com.mysql.cj.jdbc.Driver"),
+    "postgresql": ("jdbc:postgresql://{host}:{port}/{database}", "org.postgresql.Driver"),
+    "sqlite": ("jdbc:sqlite:{database}", "org.sqlite.JDBC"),
+    "clickhouse": (
+        "jdbc:clickhouse://{host}:{port}/{database}",
+        "com.clickhouse.jdbc.ClickHouseDriver",
+    ),
+}
+
+
+@dataclass
+class ExternalEngine:
+    """One CREATE TABLE ... ENGINE = MySQL(...)/PostgreSQL(...)/
+    SQLite(...) declaration (registerStorages.cpp:60-103)."""
+
+    kind: str  # mysql | postgresql | sqlite | clickhouse | jdbc
+    table: str
+    database: str = ""
+    host: str = "localhost"
+    port: int = 0
+    user: str = ""
+    password: str = ""
+    url: str = ""  # explicit JDBC url for kind="jdbc"
+    options: dict[str, str] = field(default_factory=dict)
+
+
+def jdbc_options(
+    spec: ExternalEngine,
+    predicate: str | None = None,
+    partition_column: str | None = None,
+    lower_bound=None,
+    upper_bound=None,
+    num_partitions: int | None = None,
+) -> dict[str, str]:
+    """Spark JDBC option map for an engine spec — the scale path.
+    `predicate` becomes a remote-side WHERE via a dbtable subquery
+    (the reference's transformQueryForExternalDatabase); the partition
+    quad turns the read into numPartitions parallel range scans."""
+    if spec.kind == "jdbc":
+        url, driver = spec.url, spec.options.get("driver", "")
+    elif spec.kind in _JDBC_DRIVERS:
+        tmpl, driver = _JDBC_DRIVERS[spec.kind]
+        url = tmpl.format(host=spec.host, port=spec.port, database=spec.database)
+    else:
+        # no JDBC route (duckdb / mongodb / redis) -> bridge-only kind
+        url, driver = "", ""
+    dbtable = spec.table
+    if predicate:
+        dbtable = f"(SELECT * FROM {spec.table} WHERE {predicate}) AS __pushed"
+    opts = {"url": url, "dbtable": dbtable}
+    if driver:
+        opts["driver"] = driver
+    if spec.user:
+        opts["user"] = spec.user
+    if spec.password:
+        opts["password"] = spec.password
+    if partition_column is not None:
+        opts.update(
+            {
+                "partitionColumn": partition_column,
+                "lowerBound": str(lower_bound),
+                "upperBound": str(upper_bound),
+                "numPartitions": str(num_partitions or 8),
+            }
+        )
+    opts.update(spec.options)
+    return opts
+
+
+def _jvm_driver_available(spark: SparkSession, driver: str) -> bool:
+    if not driver:
+        return False
+    try:
+        spark._jvm.java.lang.Class.forName(driver)
+        return True
+    except Exception:
+        return False
+
+
+def _bridge_rows(spec: ExternalEngine, predicate: str | None):
+    """Driver-side bridge for engines with a Python client in the
+    sandbox: sqlite3 (stdlib) and DuckDB. Returns (columns, rows)."""
+    sql = f"SELECT * FROM {spec.table}"
+    if predicate:
+        sql += f" WHERE {predicate}"
+    if spec.kind == "sqlite":
+        import sqlite3
+
+        con = sqlite3.connect(spec.database)
+        try:
+            cur = con.execute(sql)
+            cols = [d[0] for d in cur.description]
+            return cols, cur.fetchall()
+        finally:
+            con.close()
+    if spec.kind == "duckdb":
+        import duckdb
+
+        con = duckdb.connect(spec.database)
+        try:
+            res = con.execute(sql)
+            cols = [d[0] for d in res.description]
+            return cols, res.fetchall()
+        finally:
+            con.close()
+    raise NotImplementedError(
+        f"no JDBC driver on the classpath and no Python bridge for {spec.kind!r}; "
+        "add the JDBC jar via spark.jars to use the scale path"
+    )
+
+
+def read_external(
+    spark: SparkSession,
+    spec: ExternalEngine,
+    predicate: str | None = None,
+    partition_column: str | None = None,
+    lower_bound=None,
+    upper_bound=None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Read an external table. Uses the JVM JDBC source when its driver
+    class is loadable (parallel, pushdown — the 100 TB path); otherwise
+    the Python bridge (driver-side, dimension-tier). The predicate is
+    executed REMOTELY in both paths."""
+    opts = jdbc_options(
+        spec, predicate, partition_column, lower_bound, upper_bound, num_partitions
+    )
+    if _jvm_driver_available(spark, opts.get("driver", "")):
+        return spark.read.format("jdbc").options(**opts).load()
+    cols, rows = _bridge_rows(spec, predicate)
+    return spark.createDataFrame([tuple(r) for r in rows], schema=cols)

@@ -133,3 +133,39 @@ def test_todate_orzero_ordefault_execute(spark):
         ).collect()
     ]
     assert datetime.date(1999, 12, 31) in vals
+
+
+def test_ch_type_map_modes():
+    from clickhouse_25_5_3_75_stable_spark.functions.typemap import ch_type_to_spark
+
+    assert ch_type_to_spark("UInt64", "fast") == "bigint"
+    assert ch_type_to_spark("UInt64", "exact") == "decimal(20,0)"
+    assert ch_type_to_spark("UInt32") == "bigint"
+    assert ch_type_to_spark("Int256") == "decimal(38,0)"
+    assert ch_type_to_spark("Nullable(UInt64)") == "decimal(20,0)"
+    assert ch_type_to_spark("LowCardinality(String)") == "string"
+    assert ch_type_to_spark("Array(Nullable(UInt16))") == "array<int>"
+    assert ch_type_to_spark("Map(String, UInt64)") == "map<string,decimal(20,0)>"
+    assert ch_type_to_spark("Tuple(a UInt8, b String)") == "struct<a:smallint,b:string>"
+    assert ch_type_to_spark("Tuple(UInt8, String)") == "struct<_1:smallint,_2:string>"
+    assert ch_type_to_spark("Decimal(38, 10)") == "decimal(38,10)"
+    assert ch_type_to_spark("Decimal64(4)") == "decimal(18,4)"
+    assert ch_type_to_spark("DateTime64(3)") == "timestamp"
+    assert ch_type_to_spark("DateTime('UTC')") == "timestamp"
+    assert ch_type_to_spark("FixedString(16)") == "string"
+    assert ch_type_to_spark("Enum8('a' = 1)") == "string"
+    import pytest
+
+    with pytest.raises(ValueError):
+        ch_type_to_spark("NoSuchType")
+
+
+def test_uint64_mode_holds_beyond_int64(spark):
+    from clickhouse_25_5_3_75_stable_spark.functions.typemap import (
+        INT64_MAX,
+        uint64_col,
+    )
+
+    df = spark.createDataFrame([(INT64_MAX,), (1,)], "v long")
+    total = df.agg(F.sum(uint64_col("v") + F.lit(1).cast("decimal(20,0)"))).collect()[0][0]
+    assert int(total) == INT64_MAX + 1 + 2  # no wrap
