@@ -172,3 +172,30 @@ def test_external_jdbc_options_scale_path():
     assert opts["driver"] == "org.postgresql.Driver"
     assert "WHERE o_orderdate >= '1996-01-01'" in opts["dbtable"]
     assert opts["numPartitions"] == "32" and opts["partitionColumn"] == "o_orderkey"
+
+
+def test_lake_format_detection_and_errors(spark, tmp_path):
+    """Data-lake connectors (registerStorages.cpp:39-47): capability
+    probe + actionable error when the jar is absent; raw-parquet
+    fallback reads an append-only Delta-layout directory."""
+    import pytest
+
+    from clickhouse_25_5_3_75_stable_spark.sources.datalake import (
+        available_lake_formats,
+        read_lake,
+        read_lake_fallback,
+    )
+
+    avail = available_lake_formats(spark)
+    assert set(avail) == {"delta", "iceberg", "hudi"}
+    for fmt, ok in avail.items():
+        if not ok:
+            with pytest.raises(RuntimeError, match="connector jar"):
+                read_lake(spark, fmt, "/tmp/nowhere")
+    with pytest.raises(ValueError):
+        read_lake(spark, "paimon", "/tmp/x")
+    # append-only delta-layout dir == parquet + _delta_log
+    d = tmp_path / "dl"
+    spark.range(5).write.parquet(str(d))
+    (d / "_delta_log").mkdir()
+    assert read_lake_fallback(spark, str(d)).count() == 5

@@ -300,3 +300,41 @@ def test_matview_populate_backfill(spark, tmp_path):
     }
     want = {r.event_type: r.n for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert got == want
+
+
+def test_kafka_shim_schema_and_query_shape(spark):
+    """StorageKafka surface: without a broker, the rate-source shim must
+    produce the exact Kafka record schema and support the standard
+    parse-value-then-aggregate query shape."""
+    from clickhouse_25_5_3_75_stable_spark.streaming.kafka_shim import (
+        kafka_stream,
+        parse_json_value,
+    )
+
+    stream = kafka_stream(spark, topic="events_topic", rows_per_second=500)
+    assert stream.isStreaming
+    got = {f.name: f.dataType.simpleString() for f in stream.schema.fields}
+    assert got["key"] == "binary" and got["value"] == "binary"
+    assert got["topic"] == "string" and got["offset"] == "bigint"
+    parsed = parse_json_value(stream, "k long, v long")
+    agg = parsed.groupBy("partition").count()
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("kafka_shim_t")
+        .outputMode("complete")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + 60
+        n = 0
+        while time.time() < deadline:
+            n = spark.sql("SELECT count(*) c FROM kafka_shim_t").collect()[0].c
+            if n > 0:
+                break
+            time.sleep(1)
+        assert n > 0
+    finally:
+        q.stop()
