@@ -259,3 +259,42 @@ def type_uint64_beyond_int64(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "orderby_collation_ci",
+    # lower(x) pre-key reproduces UNICODE_CI order for ASCII data; the
+    # raw value breaks ties identically in both engines
+    oracle="""
+    WITH mixed AS (
+        SELECT CASE WHEN n_nationkey % 2 = 0 THEN upper(n_name)
+                    ELSE lower(n_name) END AS name
+        FROM nation
+    )
+    SELECT name,
+           row_number() OVER (ORDER BY lower(name), name) AS ci_rank
+    FROM mixed
+    ORDER BY ci_rank
+    """,
+    tags=("orderby", "collation"),
+)
+def orderby_collation_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY ... COLLATE (reference src/Columns/Collator.h) via
+    Spark 4 native UNICODE_CI collation — case-insensitive rank over
+    mixed-case nation names, JVM-side, no UDF. 25 rows: the window is
+    demo-scale; a full sort would be orderBy(collate(...)), which
+    range-partitions like any global sort."""
+    from pyspark.sql.window import Window as W2
+
+    from clickhouse_25_5_3_75_stable_spark.operators.collation import collate
+
+    na = t(spark, sf_dir, "nation")
+    mixed = na.select(
+        F.when(F.col("n_nationkey") % 2 == 0, F.upper("n_name"))
+        .otherwise(F.lower("n_name"))
+        .alias("name")
+    )
+    w = W2.orderBy(collate("name", "ci"), F.col("name"))
+    return mixed.select(
+        "name", F.row_number().over(w).alias("ci_rank")
+    ).orderBy("ci_rank")

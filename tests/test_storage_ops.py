@@ -241,3 +241,79 @@ def test_salted_join_rejects_outer(spark):
     # left works and does not duplicate
     out = salted_join(facts, dim, "k", salt=4, how="left").collect()
     assert len(out) == 1
+
+
+def test_special_engines_memory_set_join_buffer_null(spark, tmp_path):
+    """Memory/Set/Join/Buffer/Null engine analogues
+    (registerStorages.cpp; StorageMemory/Set/Buffer/Null.h)."""
+    from clickhouse_25_5_3_75_stable_spark.sources.engines import (
+        BufferTable,
+        JoinTable,
+        MemoryTable,
+        NullTable,
+        SetTable,
+    )
+
+    # Memory
+    mem = MemoryTable(spark, "mem_t", spark.range(5).withColumnRenamed("id", "k"))
+    assert spark.sql("SELECT count(*) c FROM mem_t").collect()[0].c == 5
+    mem.drop()
+
+    # Set: IN / NOT IN via broadcast semi joins
+    facts = spark.createDataFrame([(1,), (2,), (3,), (4,)], "k int")
+    st = SetTable(spark.createDataFrame([(2,), (4,), (4,)], "k int"), "k")
+    assert sorted(r.k for r in st.filter_in(facts, F.col("k")).collect()) == [2, 4]
+    assert sorted(r.k for r in st.filter_in(facts, F.col("k"), negate=True).collect()) == [1, 3]
+    plan = st.filter_in(facts, F.col("k"))._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+    # Join: joinGet broadcast lookup
+    jt = JoinTable(spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"), "k")
+    got = {r.k: r.v_out for r in jt.join_get(facts, "v", F.col("k"), "v_out").collect()}
+    assert got == {1: "a", 2: "b", 3: None, 4: None}
+
+    # Buffer: below threshold stays pending, flush lands parquet,
+    # reads always see both tiers
+    target = str(tmp_path / "buf_target")
+    buf = BufferTable(spark, target, max_rows=100)
+    buf.insert(spark.range(3).withColumnRenamed("id", "k"))
+    assert buf.read().count() == 3  # unflushed but visible
+    buf.insert(spark.range(200).withColumnRenamed("id", "k"))  # crosses threshold
+    assert spark.read.parquet(target).count() == 203
+    assert buf.read().count() == 203
+
+    # Null: write succeeds, nothing stored anywhere to read
+    NullTable.write(spark.range(10))
+
+
+def test_system_functions_and_settings(spark):
+    from clickhouse_25_5_3_75_stable_spark.sources.system_tables import (
+        system_functions,
+        system_settings,
+    )
+
+    fns = system_functions(spark)
+    names = {r.name for r in fns.collect()}
+    assert "todateorzero" in names or "toDateOrZero" in names
+    excl = fns.filter(F.col("origin") == "excluded")
+    assert excl.count() > 0
+    assert excl.filter(F.col("exclusion_reason").isNull()).count() == 0
+    st = system_settings(spark)
+    assert st.filter(F.col("name") == "spark.app.name").count() == 1
+
+
+def test_system_parts_over_mergetree_layout(spark, tmp_path):
+    from clickhouse_25_5_3_75_stable_spark.sources.catalog import load_table
+    from clickhouse_25_5_3_75_stable_spark.sources.layout import write_mergetree_layout
+    from clickhouse_25_5_3_75_stable_spark.sources.system_tables import system_parts
+    from tests.conftest import SF_SMOKE
+
+    ev = load_table(spark, SF_SMOKE, "events").limit(500)
+    out = str(tmp_path / "mt")
+    write_mergetree_layout(
+        ev.withColumn("d", F.col("ts").cast("date")), out, partition_by=["d"],
+        order_by=["user_id"],
+    )
+    parts = system_parts(spark, out)
+    assert parts.count() > 0
+    assert parts.agg(F.sum("n_files")).collect()[0][0] > 0
