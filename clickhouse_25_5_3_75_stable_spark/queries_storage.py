@@ -247,3 +247,63 @@ def json_variant_typed_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_variant_get(v, "$.k", "bigint").isNotNull().alias("has_k"),
         arr_csv(F.json_object_keys(F.col("props"))).alias("paths"),
     ).orderBy("event_id")
+
+
+@register(
+    "engine_join_get_nation",
+    oracle="""
+    SELECT n.n_name AS nation, COUNT(*) AS n_customers
+    FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY 1
+    ORDER BY nation
+    """,
+    tags=("engine", "join", "joinGet"),
+)
+def engine_join_get_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENGINE=Join + joinGet (reference StorageJoin /
+    FunctionJoinGet.h): the nation build side is cached once and probed
+    as a broadcast lookup — no shuffle of the customer side."""
+    from clickhouse_25_5_3_75_stable_spark.sources.engines import JoinTable
+
+    cust = t(spark, sf_dir, "customer")
+    jt = JoinTable(t(spark, sf_dir, "nation"), "n_nationkey")
+    looked = jt.join_get(cust, "n_name", F.col("c_nationkey"), "nation")
+    return (
+        looked.groupBy("nation").agg(F.count(F.lit(1)).alias("n_customers")).orderBy("nation")
+    )
+
+
+@register(
+    "engine_set_in_1996_buyers",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n
+    FROM customer
+    WHERE c_custkey IN (
+        SELECT o_custkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00')
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    tags=("engine", "set", "in"),
+)
+def engine_set_in_1996_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENGINE=Set (reference StorageSet.h:79): the 1996-buyer key set
+    is built once; membership plans as a broadcast LEFT SEMI join."""
+    from clickhouse_25_5_3_75_stable_spark.sources.engines import SetTable
+
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    buyers = SetTable(
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        ),
+        "o_custkey",
+    )
+    return (
+        buyers.filter_in(cust, F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("c_mktsegment")
+    )

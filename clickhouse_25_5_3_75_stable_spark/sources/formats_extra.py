@@ -1,0 +1,94 @@
+"""Format long tail beyond the core parquet/orc/csv/json/avro/text set
+(SURVEY §2.1; reference registry /root/reference/src/Formats/
+registerFormats.cpp:26-105 — ~40 named formats).
+
+Mapping policy: a reference format is either (a) a native Spark source
+(XML here — Spark 4 built-in — covering the reference's XML output
+format), (b) a thin shim over binaryFile + executor-side decode when a
+Python codec exists (Arrow IPC / ArrowStream via pyarrow, Npy via
+numpy, RowBinary/Native in sources/rowbinary.py), or (c) a documented
+exclusion (Protobuf/CapnProto need their schema compilers + jars;
+MsgPack lib absent — see FORMAT_EXCLUSIONS, gated in
+tests/test_formats.py).
+
+Parallelism note: Arrow IPC *files* carry a footer with record-batch
+offsets, but the shim decodes per FILE (binaryFile hands whole files);
+dump many files for scale — same contract as RowBinary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+FORMAT_EXCLUSIONS = {
+    "Protobuf": "needs spark-protobuf jar + compiled descriptors (absent)",
+    "ProtobufSingle": "needs spark-protobuf jar + compiled descriptors (absent)",
+    "CapnProto": "capnp runtime not in the container",
+    "MsgPack": "msgpack python/jvm lib not in the container",
+    "MySQLDump": "SQL-dialect dump parsing out of scope; use external.py JDBC",
+    "ODBCDriver2": "wire protocol, not a file format",
+}
+
+
+def write_xml(df: DataFrame, path: str, row_tag: str = "row") -> None:
+    """Reference XML output format → Spark 4 native XML source."""
+    df.write.format("xml").option("rowTag", row_tag).mode("overwrite").save(path)
+
+
+def read_xml(spark: SparkSession, path: str, row_tag: str = "row") -> DataFrame:
+    return spark.read.format("xml").option("rowTag", row_tag).load(path)
+
+
+def write_arrow_file(df: DataFrame, path: str) -> None:
+    """Arrow / ArrowStream formats (registerFormats.cpp Arrow): one IPC
+    file from a (driver-collected) DataFrame — export-shim tier; big
+    exports should stay parquet."""
+    import pyarrow as pa
+    import pyarrow.ipc as ipc
+
+    table = pa.Table.from_pandas(df.toPandas())
+    with pa.OSFile(path, "wb") as f, ipc.new_file(f, table.schema) as w:
+        w.write_table(table)
+
+
+def read_arrow(spark: SparkSession, path_glob: str) -> DataFrame:
+    """Directory/glob of Arrow IPC files → DataFrame; decode happens in
+    executors via mapInPandas (one task per file)."""
+    files = spark.read.format("binaryFile").load(path_glob).select("content")
+
+    # schema from the first file (footer read only)
+    first = files.limit(1).collect()[0]["content"]
+    import pyarrow as pa
+    import pyarrow.ipc as ipc
+
+    rdr = ipc.open_file(pa.BufferReader(bytes(first)))
+    sample = rdr.read_all().to_pandas()
+    sdf_schema = spark.createDataFrame(sample).schema
+
+    def decode(it):
+        for pdf in it:
+            for buf in pdf["content"]:
+                r = ipc.open_file(pa.BufferReader(bytes(buf)))
+                yield r.read_all().to_pandas()
+
+    return files.mapInPandas(decode, sdf_schema)
+
+
+def write_npy(df: DataFrame, column: str, path: str) -> None:
+    """Npy format (registerFormats.cpp:104 registerInputFormatNpy): one
+    numeric column → .npy (driver-side export shim)."""
+    import numpy as np
+
+    arr = df.select(column).toPandas()[column].to_numpy()
+    if arr.dtype == object:
+        arr = arr.astype(np.float64)
+    np.save(path, arr)
+
+
+def read_npy(spark: SparkSession, path: str, column: str = "value") -> DataFrame:
+    """.npy → single-column DataFrame (driver decode: npy is one dense
+    tensor, there is nothing to parallelize about its header)."""
+    import numpy as np
+
+    arr = np.load(path)
+    return spark.createDataFrame([(v.item(),) for v in arr], f"{column} double" if arr.dtype.kind == "f" else f"{column} long")

@@ -186,3 +186,52 @@ def test_protobuf_gated_exclusion(spark):
         jar_ok = False
     # either way is a documented state; the shim exists when the jar does
     assert jar_ok in (True, False)
+
+
+def test_xml_roundtrip(spark, tmp_path):
+    """XML format via Spark 4's built-in source (registerFormats XML)."""
+    from clickhouse_25_5_3_75_stable_spark.sources.formats_extra import (
+        read_xml,
+        write_xml,
+    )
+
+    df = spark.range(5).selectExpr("id", "concat('name_', id) AS name")
+    p = str(tmp_path / "x")
+    write_xml(df, p)
+    got = sorted((r.id, r.name) for r in read_xml(spark, p).collect())
+    assert got == [(i, f"name_{i}") for i in range(5)]
+
+
+def test_arrow_ipc_roundtrip(spark, tmp_path):
+    from clickhouse_25_5_3_75_stable_spark.sources.formats_extra import (
+        read_arrow,
+        write_arrow_file,
+    )
+
+    df = spark.range(10).selectExpr("id", "id * 2.5 AS v")
+    f = str(tmp_path / "part0.arrow")
+    write_arrow_file(df, f)
+    got = sorted((r.id, r.v) for r in read_arrow(spark, str(tmp_path)).collect())
+    assert got == [(i, i * 2.5) for i in range(10)]
+
+
+def test_npy_roundtrip(spark, tmp_path):
+    from clickhouse_25_5_3_75_stable_spark.sources.formats_extra import (
+        read_npy,
+        write_npy,
+    )
+
+    df = spark.range(6).selectExpr("id * 1.5 AS v")
+    f = str(tmp_path / "t.npy")
+    write_npy(df, "v", f)
+    got = sorted(r.value for r in read_npy(spark, f).collect())
+    assert got == [i * 1.5 for i in range(6)]
+
+
+def test_format_exclusions_documented():
+    from clickhouse_25_5_3_75_stable_spark.sources.formats_extra import (
+        FORMAT_EXCLUSIONS,
+    )
+
+    assert "Protobuf" in FORMAT_EXCLUSIONS
+    assert all(isinstance(v, str) and v for v in FORMAT_EXCLUSIONS.values())
