@@ -129,3 +129,39 @@ def read_final(
     """Query a partial-state target with finalization (the -Merge /
     FINAL read): one re-aggregation over the stored partials."""
     return spark.read.parquet(view.target).groupBy(*keys).agg(*merge_exprs)
+
+
+# ---------------------------------------------------------------------------
+# Refreshable materialized views (reference: REFRESHABLE MATERIALIZED
+# VIEW, src/Storages/MaterializedView/RefreshTask.h — periodic FULL
+# re-execution into the target, vs the insert-trigger incremental path
+# above)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class RefreshableMatView:
+    """CREATE MATERIALIZED VIEW ... REFRESH EVERY <interval>: the query
+    re-runs in full and atomically replaces the target (the reference
+    swaps the inner table; parquet overwrite-by-directory is the same
+    atomicity contract at the consumer level)."""
+
+    name: str
+    query: Callable[[SparkSession], DataFrame]
+    target: str
+
+    def refresh(self, spark: SparkSession) -> None:
+        """One refresh cycle: full re-execution, staged write, swap.
+        Scheduling (EVERY interval) belongs to the caller's scheduler —
+        cron, Airflow, or a Structured Streaming rate trigger."""
+        import os
+        import shutil
+
+        staging = self.target + "__staging"
+        self.query(spark).write.mode("overwrite").parquet(staging)
+        if os.path.exists(self.target):
+            shutil.rmtree(self.target)
+        os.rename(staging, self.target)
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.target)

@@ -338,3 +338,24 @@ def test_kafka_shim_schema_and_query_shape(spark):
         assert n > 0
     finally:
         q.stop()
+
+
+def test_refreshable_matview_full_refresh(spark, tmp_path):
+    """REFRESHABLE MV (RefreshTask.h): refresh() re-runs the full query
+    and atomically replaces the target; a second refresh reflects new
+    source data, never appends."""
+    from clickhouse_25_5_3_75_stable_spark.streaming.matview import RefreshableMatView
+
+    src = str(tmp_path / "src")
+    spark.range(10).write.mode("overwrite").parquet(src)
+    mv = RefreshableMatView(
+        name="mv_cnt",
+        query=lambda s: s.read.parquet(src).agg(F.count(F.lit(1)).alias("n")),
+        target=str(tmp_path / "mv_cnt"),
+    )
+    mv.refresh(spark)
+    assert mv.read(spark).collect()[0].n == 10
+    spark.range(25).write.mode("overwrite").parquet(src)
+    mv.refresh(spark)
+    rows = mv.read(spark).collect()
+    assert len(rows) == 1 and rows[0].n == 25
