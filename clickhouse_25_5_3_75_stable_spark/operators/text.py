@@ -456,3 +456,99 @@ def jaro_similarity(a: pd.Series, b: pd.Series) -> pd.Series:
 @pandas_udf(DoubleType())
 def jaro_winkler_similarity(a: pd.Series, b: pd.Series) -> pd.Series:
     return _jaro_series(a, b, winkler=True)
+
+
+# --------------------------------------------------------------------------
+# PII redaction (training-data scrubbing; pattern tier of the reference's
+# string-replace surface, src/Functions/ReplaceRegexpImpl.h — the regexes
+# below avoid backrefs/lookahead so Java (Spark) and RE2 (DuckDB) agree)
+# --------------------------------------------------------------------------
+
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9][0-9()\s.-]{7,}[0-9]",
+    "ipv4": r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b",
+}
+
+
+def redact_pii(col: Column) -> Column:
+    """Replace emails, phone-number runs, and IPv4s with typed tags —
+    single pass of chained regexp_replace, pure codegen."""
+    out = F.regexp_replace(col, PII_PATTERNS["email"], "<EMAIL>")
+    out = F.regexp_replace(out, PII_PATTERNS["phone"], "<PHONE>")
+    return F.regexp_replace(out, PII_PATTERNS["ipv4"], "<IP>")
+
+
+def redact_pii_sql(expr: str) -> str:
+    e = PII_PATTERNS["email"].replace("'", "''")
+    p = PII_PATTERNS["phone"].replace("'", "''")
+    i = PII_PATTERNS["ipv4"].replace("'", "''")
+    return (
+        f"regexp_replace(regexp_replace(regexp_replace({expr}, "
+        f"'{e}', '<EMAIL>', 'g'), '{p}', '<PHONE>', 'g'), '{i}', '<IP>', 'g')"
+    )
+
+
+def pii_counts(col: Column) -> dict[str, Column]:
+    return {
+        f"n_{name}": F.regexp_count(col, F.lit(pat)).cast("bigint")
+        for name, pat in PII_PATTERNS.items()
+    }
+
+
+def pii_counts_sql(expr: str) -> dict[str, str]:
+    return {
+        f"n_{name}": f"CAST(len(regexp_extract_all({expr}, '{pat}')) AS BIGINT)"
+        for name, pat in PII_PATTERNS.items()
+    }
+
+
+# --------------------------------------------------------------------------
+# Repetition metrics (Gopher-style quality: duplicated-shingle fraction,
+# most-common-token fraction)
+# --------------------------------------------------------------------------
+
+
+def repetition_metrics(col: Column) -> dict[str, Column]:
+    """dup_shingle_frac = 1 - distinct/total 3-shingles; top_token_frac
+    = occurrences of the most common token / n_tokens. Per-row
+    expressions only (top-token is O(distinct·n) per row — fine at
+    document sizes; corpus-level stats belong in a groupBy)."""
+    toks = tokens(col)
+    sh = word_shingles_from_tokens(toks)
+    n_sh = F.size(sh)
+    dup_frac = F.when(
+        n_sh > 0,
+        1.0 - F.size(F.array_distinct(sh)).cast("double") / n_sh.cast("double"),
+    ).otherwise(F.lit(0.0))
+    n_t = F.size(toks)
+    top_cnt = F.array_max(
+        F.transform(
+            F.array_distinct(toks), lambda d: F.size(F.filter(toks, lambda x: x == d))
+        )
+    )
+    top_frac = F.when(
+        n_t > 0, top_cnt.cast("double") / n_t.cast("double")
+    ).otherwise(F.lit(0.0))
+    return {
+        "n_tokens": n_t.cast("bigint"),
+        "dup_shingle_frac": dup_frac,
+        "top_token_frac": top_frac,
+    }
+
+
+def repetition_metrics_sql(expr: str) -> dict[str, str]:
+    toks = tokens_sql(expr)
+    sh = word_shingles_sql(expr)
+    return {
+        "n_tokens": f"CAST(len({toks}) AS BIGINT)",
+        "dup_shingle_frac": (
+            f"CASE WHEN len({sh}) > 0 THEN 1.0 - CAST(len(list_distinct({sh})) AS DOUBLE)"
+            f" / CAST(len({sh}) AS DOUBLE) ELSE 0.0 END"
+        ),
+        "top_token_frac": (
+            f"CASE WHEN len({toks}) > 0 THEN CAST(list_max(list_transform("
+            f"list_distinct({toks}), d -> len(list_filter({toks}, x -> x = d))))"
+            f" AS DOUBLE) / CAST(len({toks}) AS DOUBLE) ELSE 0.0 END"
+        ),
+    }

@@ -439,3 +439,79 @@ def similarity_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = S.ivf_centroids(emb, nlist=8)
     q = emb.filter(F.col("vec_id") == 0)
     return S.ivf_topk(emb.filter(F.col("vec_id") != 0), q, cents, nprobe=4, k=10)
+
+
+_PII_SQL = T.pii_counts_sql("t")
+
+
+@register(
+    "text_pii_redaction",
+    oracle=f"""
+    WITH injected AS (
+        SELECT doc_id,
+               text || ' reach-' || doc_id || '@example.com or 555-12' || doc_id
+                    || '34 at 10.0.' || (doc_id % 250) || '.7' AS t
+        FROM documents
+    )
+    SELECT doc_id,
+           md5({T.redact_pii_sql('t')}) AS redacted_md5,
+           {_PII_SQL['n_email']} AS n_email,
+           {_PII_SQL['n_phone']} AS n_phone,
+           {_PII_SQL['n_ipv4']} AS n_ipv4
+    FROM injected
+    ORDER BY doc_id
+    """,
+    tags=("text", "pii", "redaction"),
+)
+def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data PII scrubbing: typed email/phone/IP redaction +
+    per-class counts, all chained regexp_replace/regexp_count inside
+    codegen (patterns chosen so Java and RE2 agree). PII is injected
+    deterministically so every row exercises every pattern."""
+    docs = t(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" reach-"), F.col("doc_id").cast("string"), F.lit("@example.com or 555-12"),
+            F.col("doc_id").cast("string"), F.lit("34 at 10.0."),
+            (F.col("doc_id") % 250).cast("string"), F.lit(".7"),
+        ).alias("t"),
+    )
+    counts = T.pii_counts(F.col("t"))
+    return injected.select(
+        "doc_id",
+        F.md5(T.redact_pii(F.col("t"))).alias("redacted_md5"),
+        counts["n_email"].alias("n_email"),
+        counts["n_phone"].alias("n_phone"),
+        counts["n_ipv4"].alias("n_ipv4"),
+    ).orderBy("doc_id")
+
+
+_REP_SQL = T.repetition_metrics_sql("text")
+
+
+@register(
+    "text_repetition_metrics",
+    oracle=f"""
+    SELECT doc_id,
+           {_REP_SQL['n_tokens']} AS n_tokens,
+           {_REP_SQL['dup_shingle_frac']} AS dup_shingle_frac,
+           {_REP_SQL['top_token_frac']} AS top_token_frac
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("text", "quality", "repetition"),
+)
+def text_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters: duplicated-shingle fraction and
+    most-common-token fraction per document — per-row array
+    expressions, single scan, no shuffle."""
+    docs = t(spark, sf_dir, "documents")
+    m = T.repetition_metrics(F.col("text"))
+    return docs.select(
+        "doc_id",
+        m["n_tokens"].alias("n_tokens"),
+        m["dup_shingle_frac"].alias("dup_shingle_frac"),
+        m["top_token_frac"].alias("top_token_frac"),
+    ).orderBy("doc_id")
