@@ -126,3 +126,29 @@ def test_paste_join_has_no_global_single_partition_sort(spark):
     # and it still zips correctly
     rows = out.orderBy("a").limit(3).collect()
     assert [(r.a, r.b) for r in rows] == [(0, 0), (1, 1), (2, 2)]
+
+
+def test_cobucketed_join_has_no_shuffle(spark, tmp_path):
+    """Two tables bucketed identically on the join key must
+    sort-merge-join with NO Exchange on either side — the layout that
+    deletes both fact-side shuffles at 100 TB."""
+    from clickhouse_25_5_3_75_stable_spark.sources.bucketing import (
+        cobucketed_join,
+        write_bucketed,
+    )
+
+    a = spark.range(0, 10000).selectExpr("id AS k", "id * 2 AS va")
+    b = spark.range(0, 10000).selectExpr("id AS k", "id * 3 AS vb")
+    try:
+        write_bucketed(a, "bkt_a", 8, ["k"], ["k"])
+        write_bucketed(b, "bkt_b", 8, ["k"], ["k"])
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = cobucketed_join(spark, "bkt_a", "bkt_b", ["k"])
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan
+        assert joined.count() == 10000
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS bkt_a")
+        spark.sql("DROP TABLE IF EXISTS bkt_b")
