@@ -340,6 +340,40 @@ def _rewrite_qualify(toks: list[str]) -> list[str]:
     )
 
 
+def _rewrite_collate(toks: list[str]) -> list[str]:
+    """``expr COLLATE 'locale'`` (reference ParserSelectQuery ORDER BY
+    collation, src/Columns/Collator.h) → ``collate(expr, 'UNICODE_CI')``
+    — Spark 4's native collation. Any locale maps to case-insensitive
+    root-ICU order, the dominant use of the clause; the expr is the
+    single token (or parenthesized group) before COLLATE."""
+    out: list[str] = []
+    i = 0
+    while i < len(toks):
+        if toks[i].upper() == "COLLATE" and out and i + 1 < len(toks):
+            # pull back the preceding expr: a ")"-terminated group or one token
+            if out[-1] == ")":
+                depth = 0
+                j = len(out) - 1
+                while j >= 0:
+                    if out[j] == ")":
+                        depth += 1
+                    elif out[j] == "(":
+                        depth -= 1
+                        if depth == 0:
+                            break
+                    j -= 1
+                expr = out[j:]
+                del out[j:]
+            else:
+                expr = [out.pop()]
+            out += ["collate", "("] + expr + [",", "'UNICODE_CI'", ")"]
+            i += 2  # skip COLLATE and its locale literal
+            continue
+        out.append(toks[i])
+        i += 1
+    return out
+
+
 def _rewrite_limit_by(toks: list[str]) -> list[str]:
     """LIMIT n BY c1, c2 → row_number() wrap (reference
     src/Processors/QueryPlan/LimitByStep.h:8). Requires a top-level
@@ -829,6 +863,7 @@ def ch_sql_to_spark(sql: str) -> str:
     toks = _strip_modifiers(toks)
     toks = _rewrite_prewhere(toks)
     toks = _rewrite_limit_by(toks)
+    toks = _rewrite_collate(toks)
     toks = _rewrite_qualify(toks)
     toks = _rewrite_array_join(toks)
     toks = _rewrite_date_preimage(toks)

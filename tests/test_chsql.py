@@ -208,3 +208,13 @@ def test_array_join_expression_requires_alias():
     # with an alias it translates
     out = ch_sql_to_spark("SELECT v FROM t ARRAY JOIN splitByChar(',', s) AS v")
     assert "LATERAL VIEW" in out and "AS v" in out
+
+
+def test_collate_rewrite_executes(spark):
+    spark.createDataFrame(
+        [("b",), ("A",), ("a",), ("B",)], ["s"]
+    ).createOrReplaceTempView("col_t")
+    sql = ch_sql_to_spark("SELECT s FROM col_t ORDER BY s COLLATE 'en', s")
+    assert "collate" in sql and "'UNICODE_CI'" in sql
+    rows = [r.s for r in spark.sql(sql).collect()]
+    assert rows == ["A", "a", "B", "b"]
