@@ -105,3 +105,33 @@ def view(df: DataFrame, name: str) -> DataFrame:
     """view() — register and return (reference TableFunctionView)."""
     df.createOrReplaceTempView(name)
     return df
+
+
+def zeros(spark: SparkSession, n: int) -> DataFrame:
+    """zeros(n) (reference src/TableFunctions/registerTableFunctions.cpp
+    zeros): n rows of a single UInt8 zero column — the cheapest row
+    generator (used for benchmarks and cross-join row multiplication)."""
+    return spark.range(n).select(F.lit(0).cast("tinyint").alias("zero"))
+
+
+def format_table(spark: SparkSession, fmt: str, data: str, schema: str | None = None) -> DataFrame:
+    """format('JSONEachRow'|'CSV'|'TSV', 'inline data') (reference
+    src/TableFunctions/TableFunctionFormat.cpp): parse an inline
+    literal as a table. Driver-side by construction (the literal lives
+    in the query text), parallelism is irrelevant at literal sizes."""
+    fmt_l = fmt.lower()
+    lines = [ln for ln in data.splitlines() if ln.strip()]
+    if fmt_l in ("jsoneachrow", "json"):
+        df = spark.read.json(spark.sparkContext.parallelize(lines), schema=schema)
+        return df
+    if fmt_l in ("csv", "csvwithnames", "tsv", "tsvwithnames"):
+        sep = "\t" if fmt_l.startswith("tsv") else ","
+        header = fmt_l.endswith("withnames")
+        rdd = spark.sparkContext.parallelize(lines)
+        reader = spark.read.option("header", header).option("sep", sep)
+        if schema:
+            reader = reader.schema(schema)
+        else:
+            reader = reader.option("inferSchema", True)
+        return reader.csv(rdd)
+    raise ValueError(f"format_table: unsupported inline format {fmt!r}")

@@ -199,3 +199,17 @@ def test_lake_format_detection_and_errors(spark, tmp_path):
     spark.range(5).write.parquet(str(d))
     (d / "_delta_log").mkdir()
     assert read_lake_fallback(spark, str(d)).count() == 5
+
+
+def test_zeros_and_format_table(spark):
+    from clickhouse_25_5_3_75_stable_spark.sources.table_functions import (
+        format_table,
+        zeros,
+    )
+
+    z = zeros(spark, 5)
+    assert z.columns == ["zero"] and z.agg(F.sum("zero")).collect()[0][0] == 0
+    j = format_table(spark, "JSONEachRow", '{"a": 1, "b": "x"}\n{"a": 2, "b": "y"}')
+    assert sorted((r.a, r.b) for r in j.collect()) == [(1, "x"), (2, "y")]
+    c = format_table(spark, "CSVWithNames", "k,v\n1,one\n2,two", schema="k int, v string")
+    assert sorted((r.k, r.v) for r in c.collect()) == [(1, "one"), (2, "two")]
