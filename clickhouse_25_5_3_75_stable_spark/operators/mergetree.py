@@ -80,3 +80,54 @@ def compact(df: DataFrame, path: str, partition_by: list[str] | None = None) -> 
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def versioned_collapsing_final(
+    df: DataFrame, key: list[str], sign: str, version: str
+) -> DataFrame:
+    """VersionedCollapsingMergeTree FINAL (reference
+    registerStorageMergeTree.cpp:929, VersionedCollapsingTransform):
+    a (-1, v) row cancels exactly one (+1, v) row with the SAME
+    version; FINAL returns the +1 rows whose (key, version) pair nets
+    positive. One groupBy on (key, version) — map-side combinable."""
+    net = df.groupBy(*key, version).agg(F.sum(F.col(sign)).alias("__net"))
+    alive = net.filter(F.col("__net") > 0).drop("__net")
+    return df.filter(F.col(sign) > 0).join(alive, [*key, version], "left_semi")
+
+
+def graphite_rollup(
+    df: DataFrame,
+    path_col: str,
+    time_col: str,
+    value_col: str,
+    rules: list[tuple[int, int]],
+    now_expr: Column,
+    agg: str = "avg",
+) -> DataFrame:
+    """GraphiteMergeTree rollup (reference registerStorageMergeTree
+    .cpp:930, src/Processors/Merges/Algorithms/GraphiteRollupSortedAlgorithm
+    .h): points older than each rule's age collapse into that rule's
+    precision bucket. rules = [(min_age_seconds, precision_seconds)],
+    checked in order — first matching age wins; unmatched points keep
+    raw precision. One groupBy over (path, bucket): the rollup is a
+    plain partial/final hash agg at any scale."""
+    ts = F.col(time_col).cast("timestamp")
+    epoch = F.unix_timestamp(ts)
+    age = F.unix_timestamp(now_expr) - epoch
+    precision = F.lit(1).cast("bigint")
+    # build first-match-wins from the last rule outward
+    for min_age, prec in reversed(rules):
+        precision = F.when(age >= min_age, F.lit(prec).cast("bigint")).otherwise(precision)
+    bucket = F.to_timestamp(F.from_unixtime((epoch / precision).cast("bigint") * precision))
+    val = F.col(value_col).cast("decimal(25,6)")
+    agg_col = {
+        "avg": (F.sum(val).cast("string").cast("double") / F.count(val)).alias("value"),
+        "sum": F.sum(val).cast("double").alias("value"),
+        "max": F.max(F.col(value_col)).alias("value"),
+        "min": F.min(F.col(value_col)).alias("value"),
+    }[agg]
+    return (
+        df.withColumn("__bucket", bucket)
+        .groupBy(F.col(path_col).alias("path"), F.col("__bucket").alias("bucket"))
+        .agg(agg_col, F.count(F.lit(1)).alias("n_points"))
+    )

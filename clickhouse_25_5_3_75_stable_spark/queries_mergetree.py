@@ -132,3 +132,95 @@ def mergetree_aggregating_final(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "mergetree_versioned_collapsing_final",
+    # sign = +1 for even event_id, -1 for odd; version = user_id % 7:
+    # a (key, version) survives iff its net sign is positive, and FINAL
+    # returns its +1 rows
+    oracle="""
+    WITH signed AS (
+        SELECT event_type, user_id % 7 AS ver,
+               CASE WHEN event_id % 2 = 0 THEN 1 ELSE -1 END AS sign,
+               event_id
+        FROM events
+    ), net AS (
+        SELECT event_type, ver FROM signed
+        GROUP BY event_type, ver HAVING SUM(sign) > 0
+    )
+    SELECT s.event_type, s.ver, COUNT(*) AS n_rows, MAX(s.event_id) AS max_id
+    FROM signed s JOIN net USING (event_type, ver)
+    WHERE s.sign > 0
+    GROUP BY s.event_type, s.ver
+    ORDER BY s.event_type, s.ver
+    """,
+    tags=("mergetree", "versioned_collapsing"),
+)
+def mergetree_versioned_collapsing_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VersionedCollapsingMergeTree FINAL (reference
+    registerStorageMergeTree.cpp:929): synthesized sign/version over
+    events; surviving +1 rows aggregated per (key, version)."""
+    from clickhouse_25_5_3_75_stable_spark.operators.mergetree import (
+        versioned_collapsing_final,
+    )
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("user_id") % 7).alias("ver"),
+        F.when(F.col("event_id") % 2 == 0, F.lit(1)).otherwise(F.lit(-1)).alias("sign"),
+        "event_id",
+    )
+    fin = versioned_collapsing_final(ev, ["event_type"], sign="sign", version="ver")
+    return (
+        fin.groupBy("event_type", "ver")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.max("event_id").alias("max_id"))
+        .orderBy("event_type", "ver")
+    )
+
+
+@register(
+    "mergetree_graphite_rollup",
+    # rules: points >= 3 days old roll to 1-day buckets, >= 1 day to
+    # 6h buckets, fresher keep 1h buckets; 'now' anchors to max(ts)
+    oracle="""
+    WITH anchor AS (
+        SELECT CAST(floor(epoch(max(CAST(ts AS TIMESTAMP)))) AS BIGINT) AS now_e FROM events
+    ), pts AS (
+        SELECT event_type AS path,
+               CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS e, value,
+               CASE WHEN (SELECT now_e FROM anchor) - CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) >= 259200 THEN 86400
+                    WHEN (SELECT now_e FROM anchor) - CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) >= 86400 THEN 21600
+                    ELSE 3600 END AS prec
+        FROM events
+    )
+    SELECT path,
+           CAST(to_timestamp(CAST(e // prec AS BIGINT) * prec) AS TIMESTAMP) AS bucket,
+           CAST(CAST(SUM(CAST(CAST(value AS VARCHAR) AS DECIMAL(25,6))) AS STRING) AS DOUBLE)
+             / COUNT(value) AS value,
+           COUNT(*) AS n_points
+    FROM pts
+    GROUP BY 1, 2
+    ORDER BY path, bucket
+    """,
+    tags=("mergetree", "graphite"),
+)
+def mergetree_graphite_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GraphiteMergeTree age-based rollup (reference
+    registerStorageMergeTree.cpp:930, GraphiteRollupSortedAlgorithm.h):
+    retention rules pick per-point precision, one hash agg per
+    (path, bucket)."""
+    from clickhouse_25_5_3_75_stable_spark.operators.mergetree import graphite_rollup
+
+    ev = t(spark, sf_dir, "events")
+    now = ev.agg(F.max(F.col("ts").cast("timestamp"))).collect()[0][0]
+    out = graphite_rollup(
+        ev,
+        path_col="event_type",
+        time_col="ts",
+        value_col="value",
+        rules=[(259200, 86400), (86400, 21600), (0, 3600)],
+        now_expr=F.lit(now).cast("timestamp"),
+        agg="avg",
+    )
+    return out.orderBy("path", "bucket")
