@@ -92,3 +92,35 @@ def read_npy(spark: SparkSession, path: str, column: str = "value") -> DataFrame
 
     arr = np.load(path)
     return spark.createDataFrame([(v.item(),) for v in arr], f"{column} double" if arr.dtype.kind == "f" else f"{column} long")
+
+
+def read_regexp(
+    spark: SparkSession,
+    path: str,
+    pattern: str,
+    columns: list[tuple[str, str]],
+) -> DataFrame:
+    """Regexp input format (registerFormats.cpp Regexp): each line is
+    matched against `pattern`; capture group i becomes column i, cast
+    to the declared type. Fully distributed (text source + JVM regex
+    in codegen); non-matching lines drop, like the reference's
+    format_regexp_skip_unmatched=1."""
+    from pyspark.sql import functions as F
+
+    lines = spark.read.text(path)
+    matched = lines.filter(F.col("value").rlike(pattern))
+    return matched.select(
+        *[
+            F.regexp_extract("value", pattern, i + 1).cast(typ).alias(name)
+            for i, (name, typ) in enumerate(columns)
+        ]
+    )
+
+
+def read_values(spark: SparkSession, values_literal: str, columns: list[str]) -> DataFrame:
+    """Values input format (registerFormats.cpp Values): the INSERT
+    literal '(1, ''a''), (2, ''b'')' parsed by Spark SQL's own VALUES
+    clause — full expression support, exactly the reference's
+    behavior of evaluating expressions inside VALUES."""
+    cols = ", ".join(columns)
+    return spark.sql(f"SELECT * FROM VALUES {values_literal} AS t({cols})")

@@ -235,3 +235,30 @@ def test_format_exclusions_documented():
 
     assert "Protobuf" in FORMAT_EXCLUSIONS
     assert all(isinstance(v, str) and v for v in FORMAT_EXCLUSIONS.values())
+
+
+def test_regexp_format(spark, tmp_path):
+    p = tmp_path / "log.txt"
+    p.write_text(
+        "2024-01-01 GET /a 200\ngarbage line\n2024-01-02 POST /b 404\n"
+    )
+    from clickhouse_25_5_3_75_stable_spark.sources.formats_extra import read_regexp
+
+    df = read_regexp(
+        spark,
+        str(p),
+        r"^(\S+) (GET|POST) (\S+) (\d+)$",
+        [("day", "date"), ("method", "string"), ("path", "string"), ("code", "int")],
+    )
+    rows = sorted((str(r.day), r.method, r.path, r.code) for r in df.collect())
+    assert rows == [
+        ("2024-01-01", "GET", "/a", 200),
+        ("2024-01-02", "POST", "/b", 404),
+    ]
+
+
+def test_values_format(spark):
+    from clickhouse_25_5_3_75_stable_spark.sources.formats_extra import read_values
+
+    df = read_values(spark, "(1, 'a', 1 + 1), (2, 'b', 10 * 2)", ["k", "s", "expr"])
+    assert sorted(tuple(r) for r in df.collect()) == [(1, "a", 2), (2, "b", 20)]
