@@ -249,3 +249,74 @@ def hamming64(a: Column, b: Column) -> Column:
     """Hamming distance between two int64 fingerprints (popcount of
     xor via bit_count)."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+# --------------------------------------------------------------------------
+# Near-dup clusters: connected components over candidate pairs, and the
+# keeper per cluster — the final step of a dedup pipeline (keep one doc
+# per near-dup component, drop the rest).
+# --------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """(node, component) for every node in `pairs`, component = min node
+    id reachable. Min-label propagation entirely in DataFrame ops: each
+    round joins labels across edges and keeps the elementwise min —
+    O(diameter) rounds of one shuffle each. (At 100 TB swap the
+    propagation step for the alternating large-star/small-star rounds
+    of Kiveris et al. — same join/groupBy shape, O(log n) rounds; the
+    simple step ships first because near-dup components are shallow:
+    almost all are pairs/triangles.) Convergence is checked with a
+    count per round; lineage is cut with localCheckpoint every 5
+    rounds so the plan cannot snowball."""
+    F_ = F
+    sym = pairs.select(
+        F_.col(a_col).alias("src"), F_.col(b_col).alias("dst")
+    ).union(pairs.select(F_.col(b_col).alias("src"), F_.col(a_col).alias("dst")))
+    sym = sym.distinct().persist()
+    labels = (
+        sym.select(F_.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F_.col("node"))
+    )
+    for i in range(max_iter):
+        neigh_min = (
+            sym.join(labels, sym.dst == labels.node)
+            .groupBy("src")
+            .agg(F_.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neigh_min, labels.node == neigh_min.src, "left")
+            .select(
+                "node",
+                F_.least(F_.col("label"), F_.coalesce(F_.col("nmin"), F_.col("label"))).alias(
+                    "label"
+                ),
+            )
+        )
+        if i % 5 == 4:
+            new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F_.col("n.label") != F_.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels.select("node", F_.col("label").alias("component"))
+
+
+def dedup_keepers(pairs: DataFrame, a_col: str = "id_a", b_col: str = "id_b") -> DataFrame:
+    """(doc_id, keeper): keeper = smallest doc id in the doc's near-dup
+    component; docs with keeper != doc_id are the drop set."""
+    comp = connected_components(pairs, a_col, b_col)
+    return comp.select(F.col("node").alias("doc_id"), F.col("component").alias("keeper"))

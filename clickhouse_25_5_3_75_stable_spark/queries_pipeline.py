@@ -515,3 +515,46 @@ def text_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         m["dup_shingle_frac"].alias("dup_shingle_frac"),
         m["top_token_frac"].alias("top_token_frac"),
     ).orderBy("doc_id")
+
+
+@register(
+    "dedup_minhash_clusters",
+    # components via transitive closure (recursive CTE) over the same
+    # md5-minhash LSH candidate pairs; keeper = min doc id reachable
+    oracle=f"""
+    WITH RECURSIVE banded AS (
+        SELECT doc_id, band, key FROM (
+            SELECT doc_id,
+                   unnest(range(0, 4)) AS band,
+                   unnest([{', '.join(_lsh_bands_sql(8, 4))}]) AS key
+            FROM documents)
+    ), pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    ), edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b AS src, id_a AS dst FROM pairs
+    ), reach AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        WHERE r.src <> e.dst
+    )
+    SELECT src AS doc_id, least(src, min(dst)) AS keeper
+    FROM reach
+    GROUP BY src
+    ORDER BY doc_id
+    """,
+    tags=("dedup", "minhash", "clusters"),
+)
+def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's last step: near-dup candidate pairs →
+    connected components → per-doc cluster keeper (min doc id). The
+    component labels come from pure DataFrame min-label propagation
+    (operators/dedup.py connected_components) — O(diameter) shuffle
+    rounds, no driver-side graph."""
+    docs = t(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=8, bands=4)
+    return D.dedup_keepers(pairs).orderBy("doc_id")
