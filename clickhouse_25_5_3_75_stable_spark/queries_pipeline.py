@@ -558,3 +558,85 @@ def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     pairs = D.minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=8, bands=4)
     return D.dedup_keepers(pairs).orderBy("doc_id")
+
+
+@register(
+    "text_vocab_top20",
+    oracle=f"""
+    WITH toks AS (
+        SELECT unnest({T.tokens_sql('lower(text)')}) AS tok FROM documents
+    )
+    SELECT tok, COUNT(*) AS n
+    FROM toks
+    GROUP BY tok
+    ORDER BY n DESC, tok
+    LIMIT 20
+    """,
+    tags=("text", "vocab"),
+)
+def text_vocab_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary stats: global top-20 tokens. explode → one
+    map-side-combinable count shuffle → TakeOrdered; at 100 TB the
+    shuffle carries |vocab| rows per partition, not |tokens|."""
+    from clickhouse_25_5_3_75_stable_spark.operators.text import tokens
+
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens(F.lower(F.col("text")))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.col("tok"))
+        .limit(20)
+    )
+
+
+@register(
+    "embedding_int8_quantize",
+    # symmetric per-vector int8: scale = 127/max|x|, q_i = floor(x_i *
+    # scale + 0.5) (round-half-toward-+inf — identical in both engines
+    # on identical doubles); max|x| via list_max of abs
+    oracle="""
+    WITH prep AS (
+        SELECT vec_id,
+               list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS amax
+        FROM embeddings
+    )
+    SELECT e.vec_id,
+           CAST(CAST(CAST(127.0 / p.amax AS VARCHAR) AS DECIMAL(25,9)) AS VARCHAR) AS scale,
+           COALESCE(array_to_string(list_transform(e.embedding,
+               x -> CAST(CAST(floor(CAST(x AS DOUBLE) * (127.0 / p.amax) + 0.5)
+                    AS BIGINT) AS VARCHAR)), ','), '') AS q8,
+           CAST(list_max(list_transform(e.embedding,
+               x -> abs(CAST(x AS DOUBLE)
+                    - floor(CAST(x AS DOUBLE) * (127.0 / p.amax) + 0.5)
+                      / (127.0 / p.amax)))) AS DECIMAL(18,9)) AS max_err
+    FROM embeddings e JOIN prep p USING (vec_id)
+    ORDER BY e.vec_id
+    """,
+    tags=("similarity", "quantize"),
+)
+def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage quantization for 100 TB embedding columns: symmetric
+    per-vector int8 (4× smaller than float32, 8× than float64) with
+    the per-vector scale and the max reconstruction error — all JVM
+    array expressions, one scan."""
+    emb = t(spark, sf_dir, "embeddings")
+    x = F.col("embedding")
+    amax = F.array_max(F.transform(x, lambda v: F.abs(v.cast("double"))))
+    scale = F.lit(127.0) / amax
+    q = F.transform(x, lambda v: F.floor(v.cast("double") * scale + F.lit(0.5)).cast("bigint"))
+    err = F.array_max(
+        F.transform(
+            x,
+            lambda v: F.abs(
+                v.cast("double")
+                - F.floor(v.cast("double") * scale + F.lit(0.5)) / scale
+            ),
+        )
+    )
+    return emb.select(
+        "vec_id",
+        scale.cast("string").cast("decimal(25,9)").cast("string").alias("scale"),
+        F.concat_ws(",", F.transform(q, lambda v: v.cast("string"))).alias("q8"),
+        err.cast("decimal(18,9)").alias("max_err"),
+    ).orderBy("vec_id")
