@@ -307,3 +307,77 @@ def engine_set_in_1996_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("c_mktsegment")
     )
+
+
+@register(
+    "ttl_row_and_column_expiry",
+    # anchor 'now' at max(ts): rows older than 3 days expire; the
+    # value column additionally nulls out after 1 day
+    oracle="""
+    WITH anchor AS (SELECT max(CAST(ts AS TIMESTAMP)) AS now_ts FROM events)
+    SELECT event_id,
+           CASE WHEN CAST(ts AS TIMESTAMP) >= (SELECT now_ts FROM anchor) - INTERVAL 1 DAY
+                THEN value END AS value,
+           event_type
+    FROM events
+    WHERE CAST(ts AS TIMESTAMP) >= (SELECT now_ts FROM anchor) - INTERVAL 3 DAY
+    ORDER BY event_id
+    """,
+    tags=("ttl", "mergetree"),
+)
+def ttl_row_and_column_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MergeTree TTL (reference TTLDescription.h): row TTL deletes
+    events older than 3 days, column TTL nulls `value` after 1 day —
+    both as sargable filters/CASE, parquet-prunable."""
+    from clickhouse_25_5_3_75_stable_spark.operators.ttl import (
+        apply_column_ttl,
+        apply_row_ttl,
+    )
+
+    ev = t(spark, sf_dir, "events")
+    now = ev.agg(F.max(F.col("ts").cast("timestamp"))).collect()[0][0]
+    now_c = F.lit(now).cast("timestamp")
+    rows = apply_row_ttl(ev, "ts", "3 DAY", now_c)
+    out = apply_column_ttl(rows, "ts", {"value": "1 DAY"}, now_c)
+    return out.select("event_id", "value", "event_type").orderBy("event_id")
+
+
+@register(
+    "ttl_rollup_group_by",
+    oracle=f"""
+    WITH anchor AS (SELECT max(CAST(ts AS TIMESTAMP)) AS now_ts FROM events),
+    expired AS (
+        SELECT event_type,
+               CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS bucket,
+               COUNT(*) AS n, {dsum_sql('value', 'sum_value')}
+        FROM events
+        WHERE CAST(ts AS TIMESTAMP) < (SELECT now_ts FROM anchor) - INTERVAL 2 DAY
+        GROUP BY 1, 2
+    )
+    SELECT event_type, bucket, n, sum_value FROM expired
+    ORDER BY event_type, bucket
+    """,
+    tags=("ttl", "rollup"),
+)
+def ttl_rollup_group_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TTL ... GROUP BY (reference TTLAggregationAlgorithm.h): events
+    past a 2-day TTL collapse into per-(type, day) aggregates — the
+    merge-time rollup that keeps old data queryable at a coarser
+    grain."""
+    from clickhouse_25_5_3_75_stable_spark.functions.numeric import dsum
+    from clickhouse_25_5_3_75_stable_spark.operators.ttl import apply_ttl_rollup
+
+    ev = t(spark, sf_dir, "events")
+    now = ev.agg(F.max(F.col("ts").cast("timestamp"))).collect()[0][0]
+    _, expired = apply_ttl_rollup(
+        ev,
+        "ts",
+        "2 DAY",
+        F.lit(now).cast("timestamp"),
+        group_by=["event_type"],
+        aggs=[F.count(F.lit(1)).alias("n"), dsum("value", "sum_value")],
+        bucket="1 day",
+    )
+    return expired.select(
+        "event_type", F.col("__bucket").alias("bucket"), "n", "sum_value"
+    ).orderBy("event_type", "bucket")
