@@ -97,3 +97,25 @@ def live_view(agg_stream: DataFrame, name: str, trigger_available_now: bool = Tr
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def watch(spark, name: str, limit: int = 8, poll_s: float = 0.5, timeout_s: float = 60.0):
+    """WATCH query (reference src/Interpreters/InterpreterWatchQuery.h:
+    block until the live view updates, emit the new result, repeat —
+    with LIMIT n update-cycles). Generator over the memory-sink
+    snapshots of :func:`live_view`: yields (version, rows) each time
+    the snapshot content changes, up to `limit` versions or
+    `timeout_s`."""
+    import time
+
+    last = None
+    version = 0
+    deadline = time.time() + timeout_s
+    while version < limit and time.time() < deadline:
+        rows = tuple(sorted(map(tuple, spark.sql(f"SELECT * FROM {name}").collect()), key=str))
+        if rows != last and rows:
+            version += 1
+            last = rows
+            yield version, rows
+        else:
+            time.sleep(poll_s)

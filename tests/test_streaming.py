@@ -359,3 +359,24 @@ def test_refreshable_matview_full_refresh(spark, tmp_path):
     mv.refresh(spark)
     rows = mv.read(spark).collect()
     assert len(rows) == 1 and rows[0].n == 25
+
+
+def test_watch_yields_live_view_updates(spark):
+    """WATCH (InterpreterWatchQuery.h): consecutive versions of a live
+    view over a growing stream; later versions see more data."""
+    from clickhouse_25_5_3_75_stable_spark.streaming.kafka_shim import kafka_stream
+    from clickhouse_25_5_3_75_stable_spark.streaming.windows import live_view, watch
+
+    stream = kafka_stream(spark, topic="watch_t", rows_per_second=200)
+    agg = stream.groupBy("topic").count()
+    q = live_view(agg, "watch_lv", trigger_available_now=False)
+    try:
+        seen = list(watch(spark, "watch_lv", limit=2, timeout_s=90))
+        assert len(seen) == 2
+        (v1, r1), (v2, r2) = seen
+        assert v1 == 1 and v2 == 2
+        n1 = r1[0][-1]
+        n2 = r2[0][-1]
+        assert n2 > n1  # the view advanced between versions
+    finally:
+        q.stop()
