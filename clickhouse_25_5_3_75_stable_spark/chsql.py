@@ -885,3 +885,32 @@ def ch_sql(spark, sql: str, sf_dir: str | None = None):
 
         register_views(spark, sf_dir)
     return spark.sql(ch_sql_to_spark(sql))
+
+
+def ch_explain(spark, sql: str, mode: str = "PLAN") -> str:
+    """EXPLAIN surface (reference src/Interpreters/
+    InterpreterExplainQuery.h: EXPLAIN AST/SYNTAX/PLAN/PIPELINE/
+    ESTIMATE): translate the ClickHouse SELECT and return Spark's
+    corresponding explanation text.
+
+    Mapping: AST/SYNTAX → the transpiled SQL + parsed logical plan;
+    PLAN → optimized logical plan; PIPELINE → physical plan
+    (formatted, the executor pipeline); ESTIMATE → plan with stats
+    (cost mode)."""
+    spark_sql = ch_sql_to_spark(sql)
+    df = spark.sql(spark_sql)
+    qe = df._jdf.queryExecution()
+    m = mode.strip().upper()
+    if m in ("AST", "SYNTAX"):
+        return spark_sql + "\n" + qe.logical().toString()
+    if m == "PLAN":
+        return qe.optimizedPlan().toString()
+    if m == "PIPELINE":
+        return qe.explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+    if m == "ESTIMATE":
+        return qe.explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("cost")
+        )
+    raise ChSqlError(f"EXPLAIN mode {mode!r} not supported")

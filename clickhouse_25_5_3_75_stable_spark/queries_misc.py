@@ -298,3 +298,36 @@ def orderby_collation_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixed.select(
         "name", F.row_number().over(w).alias("ci_rank")
     ).orderBy("ci_rank")
+
+
+@register(
+    "type_int128_decimal38",
+    # Int128-domain arithmetic rides DECIMAL(38,0): products near 10^28
+    # are far beyond both Int64 and UInt64
+    oracle="""
+    SELECT o_orderpriority,
+           MAX(CAST(o_orderkey AS DECIMAL(38,0)) * CAST(o_custkey AS DECIMAL(38,0))
+               * 1000000000000 + 170141183460469231731687303715884105) AS max_i128,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("types", "int128"),
+)
+def type_int128_decimal38(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int128/Int256 mapping (SURVEY §1.2, functions/typemap.py →
+    DECIMAL(38,0)): arithmetic on values around 10^35 — beyond any
+    64-bit domain — stays exact through the aggregate."""
+    od = t(spark, sf_dir, "orders")
+    v = (
+        F.col("o_orderkey").cast("decimal(38,0)")
+        * F.col("o_custkey").cast("decimal(38,0)")
+        * F.lit(1000000000000).cast("decimal(38,0)")
+        + F.lit("170141183460469231731687303715884105").cast("decimal(38,0)")
+    )
+    return (
+        od.groupBy("o_orderpriority")
+        .agg(F.max(v).alias("max_i128"), F.count(F.lit(1)).alias("n"))
+        .orderBy("o_orderpriority")
+    )

@@ -218,3 +218,15 @@ def test_collate_rewrite_executes(spark):
     assert "collate" in sql and "'UNICODE_CI'" in sql
     rows = [r.s for r in spark.sql(sql).collect()]
     assert rows == ["A", "a", "B", "b"]
+
+
+def test_ch_explain_modes(spark):
+    from clickhouse_25_5_3_75_stable_spark.chsql import ch_explain
+
+    spark.range(10).selectExpr("id AS k", "id * 2 AS v").createOrReplaceTempView("ex_t")
+    sql = "SELECT k, sum(v) FROM ex_t WHERE k > 2 GROUP BY k"
+    assert "Aggregate" in ch_explain(spark, sql, "PLAN")
+    pipe = ch_explain(spark, sql, "PIPELINE")
+    assert "HashAggregate" in pipe
+    assert "SELECT" in ch_explain(spark, sql, "SYNTAX")
+    assert "Statistics" in ch_explain(spark, sql, "ESTIMATE")
