@@ -152,3 +152,88 @@ def frame_sample(df: DataFrame, n_frames: int) -> DataFrame:
             F.md5(frame_bytes).alias("frame_md5"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# resize (image-style) and resample (audio-style): the remaining two
+# pipeline verbs. Same contract as decode_media — Arrow-batched numpy
+# plumbing is real, only the codec interpretation of the bytes is the
+# deterministic 'fake' stand-in.
+# --------------------------------------------------------------------------
+
+RESIZE_SCHEMA = "media_id long, out_w int, out_h int, grid_md5 string, grid_mean double"
+
+
+def resize_media(df: DataFrame, out_w: int, out_h: int, codec: str = "fake") -> DataFrame:
+    """Nearest-neighbor resize of each payload interpreted as a square
+    byte image: index-map the source bytes onto an (out_h, out_w) grid
+    in one numpy gather per blob. Swapping in a real image decode
+    changes `_decode_one` only — the batch shape, schema, and the
+    gather math are what a PIL-backed resize would also use."""
+
+    def do_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = np.frombuffer(_decode_one(bytes(payload), codec), dtype=np.uint8)
+                side = max(int(np.sqrt(raw.size)), 1)
+                img = raw[: side * side].reshape(side, side)
+                yi = (np.arange(out_h) * side // out_h).clip(0, side - 1)
+                xi = (np.arange(out_w) * side // out_w).clip(0, side - 1)
+                grid = img[np.ix_(yi, xi)]
+                rows.append(
+                    (
+                        mid,
+                        out_w,
+                        out_h,
+                        hashlib.md5(grid.tobytes()).hexdigest(),
+                        float(grid.mean()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "out_w", "out_h", "grid_md5", "grid_mean"]
+            )
+
+    return df.select("media_id", "payload").mapInPandas(do_resize, schema=RESIZE_SCHEMA)
+
+
+RESAMPLE_SCHEMA = "media_id long, rate int, n_samples int, wave_md5 string, rms double"
+
+
+def audio_resample(df: DataFrame, target_rate: int, codec: str = "fake") -> DataFrame:
+    """Resample each payload interpreted as a 1-D waveform of bytes:
+    window-mean down to `target_rate` samples per blob (librosa-style
+    rate conversion shape — vectorized reshape+mean per blob)."""
+
+    def do_resample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = np.frombuffer(_decode_one(bytes(payload), codec), dtype=np.uint8)
+                n = max(min(target_rate, raw.size), 1)
+                win = max(raw.size // n, 1)
+                trimmed = raw[: n * win].reshape(n, win).astype(np.float64)
+                wave = trimmed.mean(axis=1)
+                q = np.floor(wave + 0.5).astype(np.int64)
+                rows.append(
+                    (
+                        mid,
+                        target_rate,
+                        int(wave.size),
+                        hashlib.md5(q.tobytes()).hexdigest(),
+                        float(np.sqrt((wave**2).mean())) if wave.size else 0.0,
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "rate", "n_samples", "wave_md5", "rms"]
+            )
+
+    return df.select("media_id", "payload").mapInPandas(do_resample, schema=RESAMPLE_SCHEMA)

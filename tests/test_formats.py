@@ -262,3 +262,35 @@ def test_values_format(spark):
 
     df = read_values(spark, "(1, 'a', 1 + 1), (2, 'b', 10 * 2)", ["k", "s", "expr"])
     assert sorted(tuple(r) for r in df.collect()) == [(1, "a", 2), (2, "b", 20)]
+
+
+def test_multimodal_resize_and_resample(spark):
+    """resize/resample plumbing: deterministic outputs, fixed grid
+    shapes, and the real-codec path raises at the decode site."""
+    import pytest
+
+    from clickhouse_25_5_3_75_stable_spark.operators.multimodal import (
+        attach_payload,
+        audio_resample,
+        resize_media,
+    )
+    from clickhouse_25_5_3_75_stable_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(20)
+    media = attach_payload(docs, "doc_id", "text", "image")
+
+    rs = resize_media(media, out_w=8, out_h=8).collect()
+    assert len(rs) == 20
+    assert all(r.out_w == 8 and r.out_h == 8 for r in rs)
+    assert all(0.0 <= r.grid_mean <= 255.0 for r in rs)
+    # determinism: re-run hashes identical
+    rs2 = {r.media_id: r.grid_md5 for r in resize_media(media, 8, 8).collect()}
+    assert {r.media_id: r.grid_md5 for r in rs} == rs2
+
+    ar = audio_resample(media, target_rate=16).collect()
+    assert len(ar) == 20
+    assert all(r.n_samples <= 16 and r.rms >= 0.0 for r in ar)
+
+    with pytest.raises(Exception, match="codec"):
+        resize_media(media, 4, 4, codec="jpeg").collect()
