@@ -306,6 +306,13 @@ _PLANES = [
     for i in range(6)
 ]
 
+# extra planes for the oversized-bucket re-split (different constants —
+# independent of the main set)
+_EXTRA_PLANES = [
+    [((i * 40503 + d * 2654435761 + 77) % 1000 - 500) / 500.0 for d in range(64)]
+    for i in range(4)
+]
+
 _BKT = S.hyperplane_bucket_sql("embedding", _PLANES)
 
 
@@ -344,7 +351,13 @@ def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_near_dup_lsh_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Throughput variant: ONE applyInPandas per bucket scores all its
     pairs with a single numpy Gram matmul — each vector crosses the
-    shuffle once instead of once per candidate pair."""
+    shuffle once instead of once per candidate pair. Bucket-width note:
+    this data's hottest bucket holds 557/2000 vectors — 155k pairs, one
+    cheap numpy call — so the re-split stays OFF here. At corpus scale
+    pass bucket_cap≈50k + _EXTRA_PLANES (similarity.capped_buckets,
+    unit-tested with a pathological bucket): splitting trades recall
+    inside hot buckets for a bound on per-task work, so size the cap to
+    executor capability, not to the median bucket."""
     emb = t(spark, sf_dir, "embeddings")
     return S.lsh_cosine_pairs(emb, _PLANES, threshold=0.4).orderBy("id_a", "id_b")
 
