@@ -192,3 +192,36 @@ def test_lsh_resplit_no_cross_bucket_collisions(spark):
     assert blks[0].startswith("1_") and blks[1].startswith("1_")
     # vector 2 alone in its bucket: intact key, no underscore suffix
     assert blks[2] == "0"
+
+
+def test_jaro_vectorized_matches_reference_fuzz():
+    """Batch-vectorized Jaro/Winkler must equal the per-row reference
+    implementation on random strings (including equal pairs, empties,
+    and the >0.7 Winkler boost region)."""
+    import random
+
+    import numpy as np
+
+    from clickhouse_25_5_3_75_stable_spark.operators.text import (
+        _jaro_batch_np,
+        _jaro_py,
+        _jaro_winkler_py,
+    )
+
+    rng = random.Random(1234)
+    pairs = []
+    for _ in range(2000):
+        l1, l2 = rng.randint(0, 28), rng.randint(0, 28)
+        s1 = "".join(rng.choice("abcdef ") for _ in range(l1))
+        s2 = "".join(rng.choice("abcdef ") for _ in range(l2))
+        if rng.random() < 0.15:
+            s2 = s1
+        pairs.append((s1, s2))
+    a = [p[0] for p in pairs]
+    b = [p[1] for p in pairs]
+    jaro, prefix = _jaro_batch_np(a, b)
+    ref = np.array([_jaro_py(x, y) for x, y in pairs])
+    assert np.abs(jaro - ref).max() < 1e-12
+    jw = np.where(jaro > 0.7, jaro + prefix * 0.1 * (1.0 - jaro), jaro)
+    refw = np.array([_jaro_winkler_py(x, y) for x, y in pairs])
+    assert np.abs(jw - refw).max() < 1e-12
