@@ -135,6 +135,8 @@ _RENAMES = {
     "concatwithseparator": "concat_ws",
     "splitbychar": "splitbychar__",
     "splitbystring": "splitbystring__",
+    "range": "range__",
+    "arrayenumerate": "arrayenumerate__",
 }
 
 # CAST targets for the to<Type>[OrNull|OrZero] conversion family
@@ -577,6 +579,21 @@ def _rewrite_functions(toks: list[str]) -> list[str]:
             # CH arg order is (sep, s); Spark split(s, regex) — escape sep
             sep = args[0]
             out += ["split", "(", *args[1], ",", *_regex_quote(sep), ")"]
+        elif new == "range__":
+            # CH range(n) = [0..n-1]; range(a, b[, step]) end-exclusive
+            # → Spark sequence() is end-INCLUSIVE, so subtract one step
+            if len(args) == 1:
+                out += ["sequence", "(", "0", ",", "(", *args[0], ")", "-", "1", ")"]
+            elif len(args) == 2:
+                out += ["sequence", "(", *args[0], ",", "(", *args[1], ")", "-", "1", ")"]
+            else:
+                out += [
+                    "sequence", "(", *args[0], ",",
+                    "(", *args[1], ")", "-", "(", *args[2], ")", ",", *args[2], ")",
+                ]
+        elif new == "arrayenumerate__":
+            # arrayEnumerate(arr) = [1..len(arr)]
+            out += ["sequence", "(", "1", ",", "size", "(", *args[0], ")", ")"]
         elif new.endswith("__nocover"):
             raise ChSqlError(f"{tk}: not translatable 1:1")
         else:

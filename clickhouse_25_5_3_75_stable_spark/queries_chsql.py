@@ -93,3 +93,38 @@ def chsql_limit_by_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         sf_dir,
     )
+
+
+@register(
+    "chsql_multi_array_join_collate",
+    # lockstep multi-ARRAY JOIN: token i of the name pairs with index
+    # i; final order is case-insensitive on the token
+    oracle="""
+    WITH toks AS (
+        SELECT n_nationkey,
+               unnest(string_split(n_name, ' ')) AS tok,
+               generate_subscripts(string_split(n_name, ' '), 1) AS idx
+        FROM nation
+    )
+    SELECT n_nationkey, tok, CAST(idx - 1 AS BIGINT) AS idx
+    FROM toks
+    ORDER BY lower(tok), tok, n_nationkey
+    """,
+    tags=("chsql", "array_join", "collate"),
+)
+def chsql_multi_array_join_collate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-array ARRAY JOIN (lockstep zip, reference
+    ArrayJoinStep.h) + ORDER BY ... COLLATE, all in ClickHouse SQL
+    text through the shim: tokens of each nation name joined with
+    their positions, ordered case-insensitively."""
+    return ch_sql(
+        spark,
+        """
+        SELECT n_nationkey, tok, idx1 - 1 AS idx
+        FROM nation
+        ARRAY JOIN splitByChar(' ', n_name) AS tok,
+                   arrayEnumerate(splitByChar(' ', n_name)) AS idx1
+        ORDER BY tok COLLATE 'en', tok, n_nationkey
+        """,
+        sf_dir,
+    )
