@@ -1,0 +1,94 @@
+"""clickhouse-local-style embedded entry point (SURVEY §3 entry point
+C: /root/reference/programs/local/ — run SQL over local files with no
+server).
+
+    python -m clickhouse_25_5_3_75_stable_spark \
+        --data /root/testdata/sf0.001 \
+        "SELECT toYear(o_orderdate) AS y, count() FROM orders GROUP BY y FORMAT CSV"
+
+The statement is ClickHouse dialect (chsql shim); every parquet table
+in --data registers under its file stem. FORMAT suffix picks the
+output serialization (TabSeparated default, CSV[WithNames], JSONEachRow,
+Pretty), mirroring the reference's FORMAT clause behavior for the
+supported subset.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _detect_format(sql: str) -> tuple[str, str]:
+    """Pull a trailing FORMAT <name>; chsql strips it for execution."""
+    toks = sql.strip().rstrip(";").split()
+    if len(toks) >= 2 and toks[-2].upper() == "FORMAT":
+        return " ".join(toks), toks[-1]
+    return sql, "TabSeparated"
+
+
+def _emit(rows, cols, fmt: str, out) -> None:
+    f = fmt.lower()
+    if f in ("csv", "csvwithnames"):
+        import csv
+
+        w = csv.writer(out)
+        if f == "csvwithnames":
+            w.writerow(cols)
+        for r in rows:
+            w.writerow(list(r))
+    elif f in ("jsoneachrow", "json"):
+        for r in rows:
+            out.write(json.dumps(dict(zip(cols, [getattr(v, "isoformat", lambda: v)() if hasattr(v, "isoformat") else v for v in r])), default=str) + "\n")
+    elif f in ("pretty", "prettycompact"):
+        widths = [max(len(str(c)), *(len(str(r[i])) for r in rows)) if rows else len(str(c)) for i, c in enumerate(cols)]
+        out.write(" | ".join(str(c).ljust(w) for c, w in zip(cols, widths)) + "\n")
+        out.write("-+-".join("-" * w for w in widths) + "\n")
+        for r in rows:
+            out.write(" | ".join(str(v).ljust(w) for v, w in zip(r, widths)) + "\n")
+    else:  # TabSeparated / TSV
+        for r in rows:
+            out.write("\t".join("" if v is None else str(v) for v in r) + "\n")
+
+
+def run_local(sql: str, data_dir: str, spark=None, out=sys.stdout) -> int:
+    from clickhouse_25_5_3_75_stable_spark.chsql import ch_sql_to_spark
+
+    own_session = spark is None
+    if own_session:
+        from clickhouse_25_5_3_75_stable_spark.session import get_spark
+
+        spark = get_spark(app_name="ch-local")
+        spark.sparkContext.setLogLevel("ERROR")
+    try:
+        for f in sorted(os.listdir(data_dir)):
+            if f.endswith(".parquet"):
+                name = f[: -len(".parquet")]
+                spark.read.parquet(os.path.join(data_dir, f)).createOrReplaceTempView(name)
+        sql, fmt = _detect_format(sql)
+        spark_sql = ch_sql_to_spark(sql)
+        df = spark.sql(spark_sql)
+        rows = [tuple(r) for r in df.collect()]
+        _emit(rows, df.columns, fmt, out)
+        return 0
+    finally:
+        if own_session:
+            spark.stop()
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="clickhouse_25_5_3_75_stable_spark")
+    ap.add_argument("sql", help="ClickHouse-dialect SELECT (FORMAT suffix honored)")
+    ap.add_argument(
+        "--data",
+        default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"),
+        help="directory of <table>.parquet files to register",
+    )
+    args = ap.parse_args(argv)
+    return run_local(args.sql, args.data)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -230,3 +230,41 @@ def test_ch_explain_modes(spark):
     assert "HashAggregate" in pipe
     assert "SELECT" in ch_explain(spark, sql, "SYNTAX")
     assert "Statistics" in ch_explain(spark, sql, "ESTIMATE")
+
+
+def test_local_entrypoint_formats(spark):
+    """clickhouse-local analogue (SURVEY §3 entry point C): CH-dialect
+    SQL over a parquet dir, FORMAT suffix selects serialization."""
+    import io
+
+    from clickhouse_25_5_3_75_stable_spark.__main__ import run_local
+    from tests.conftest import SF_SMOKE
+
+    out = io.StringIO()
+    rc = run_local(
+        "SELECT r_name, count() AS n FROM region GROUP BY r_name "
+        "ORDER BY r_name FORMAT CSVWithNames",
+        SF_SMOKE,
+        spark=spark,
+        out=out,
+    )
+    assert rc == 0
+    lines = out.getvalue().strip().splitlines()
+    assert lines[0] == "r_name,n"
+    assert len(lines) == 6  # 5 regions + header
+
+    out2 = io.StringIO()
+    run_local(
+        "SELECT n_name FROM nation ORDER BY n_name LIMIT 2 FORMAT JSONEachRow",
+        SF_SMOKE,
+        spark=spark,
+        out=out2,
+    )
+    import json as _json
+
+    recs = [_json.loads(line) for line in out2.getvalue().strip().splitlines()]
+    assert len(recs) == 2 and "n_name" in recs[0]
+
+    out3 = io.StringIO()
+    run_local("SELECT 1 AS x FORMAT Pretty", SF_SMOKE, spark=spark, out=out3)
+    assert "x" in out3.getvalue()
