@@ -1,0 +1,86 @@
+"""HTTP query interface (SURVEY §3 entry point B: the reference's
+HTTP endpoint, /root/reference/src/Server/HTTPHandler.h — `GET/POST
+/?query=...`, result in the FORMAT the query requests, `/ping` health
+check).
+
+Embedded stdlib server wrapping the same chsql → Spark path as the
+CLI entry point: one SparkSession serves all requests (the reference's
+server model); concurrency is Spark's scheduler — the HTTP layer is a
+thin translator. For production fronting you'd put this behind a real
+ASGI server, but the protocol surface (query param, POST body, ping,
+FORMAT) is what a migrating client needs."""
+
+from __future__ import annotations
+
+import threading
+import urllib.parse
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+
+def make_server(spark, data_dir: str, port: int = 0) -> ThreadingHTTPServer:
+    """Build (not start) the HTTP server; port 0 picks a free port."""
+    import io
+
+    from clickhouse_25_5_3_75_stable_spark.__main__ import run_local
+
+    lock = threading.Lock()
+
+    class Handler(BaseHTTPRequestHandler):
+        def _run(self, query: str) -> None:
+            out = io.StringIO()
+            try:
+                # one query at a time per session (the reference
+                # serializes per connection; Spark jobs parallelize
+                # internally)
+                with lock:
+                    run_local(query, data_dir, spark=spark, out=out)
+                body = out.getvalue().encode("utf-8")
+                self.send_response(200)
+                self.send_header("Content-Type", "text/plain; charset=utf-8")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            except Exception as e:  # noqa: BLE001 — error surface is the contract
+                body = f"Code: 62. {type(e).__name__}: {e}\n".encode()
+                self.send_response(400)
+                self.send_header("Content-Type", "text/plain; charset=utf-8")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+        def do_GET(self):  # noqa: N802 (stdlib naming)
+            parsed = urllib.parse.urlparse(self.path)
+            if parsed.path == "/ping":
+                self.send_response(200)
+                self.send_header("Content-Length", "3")
+                self.end_headers()
+                self.wfile.write(b"Ok\n")
+                return
+            qs = urllib.parse.parse_qs(parsed.query)
+            query = (qs.get("query") or [""])[0]
+            if not query:
+                self.send_response(400)
+                self.end_headers()
+                return
+            self._run(query)
+
+        def do_POST(self):  # noqa: N802
+            length = int(self.headers.get("Content-Length", "0"))
+            body = self.rfile.read(length).decode("utf-8")
+            parsed = urllib.parse.urlparse(self.path)
+            qs = urllib.parse.parse_qs(parsed.query)
+            query = (qs.get("query") or [body])[0] or body
+            self._run(query)
+
+        def log_message(self, *a):  # silence request logging
+            pass
+
+    return ThreadingHTTPServer(("127.0.0.1", port), Handler)
+
+
+def serve_in_thread(spark, data_dir: str, port: int = 0):
+    """Start the server on a daemon thread; returns (server, port)."""
+    srv = make_server(spark, data_dir, port)
+    th = threading.Thread(target=srv.serve_forever, daemon=True)
+    th.start()
+    return srv, srv.server_address[1]

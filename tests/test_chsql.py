@@ -268,3 +268,35 @@ def test_local_entrypoint_formats(spark):
     out3 = io.StringIO()
     run_local("SELECT 1 AS x FORMAT Pretty", SF_SMOKE, spark=spark, out=out3)
     assert "x" in out3.getvalue()
+
+
+def test_http_interface(spark):
+    """HTTP entry point (SURVEY §3 B): /ping, GET ?query=, POST body,
+    FORMAT honored, errors surface with 400."""
+    import urllib.parse
+    import urllib.request
+
+    from clickhouse_25_5_3_75_stable_spark.http_server import serve_in_thread
+    from tests.conftest import SF_SMOKE
+
+    srv, port = serve_in_thread(spark, SF_SMOKE)
+    try:
+        base = f"http://127.0.0.1:{port}"
+        assert urllib.request.urlopen(f"{base}/ping").read() == b"Ok\n"
+        q = urllib.parse.quote("SELECT count() AS n FROM nation FORMAT CSVWithNames")
+        body = urllib.request.urlopen(f"{base}/?query={q}").read().decode()
+        assert body.splitlines() == ["n", "25"]
+        # POST with the query as body
+        req = urllib.request.Request(
+            f"{base}/", data=b"SELECT 1 AS one FORMAT JSONEachRow", method="POST"
+        )
+        assert b'"one": 1' in urllib.request.urlopen(req).read()
+        # bad query -> 400 with CH-style error prefix
+        qbad = urllib.parse.quote("SELECT nosuchcol FROM nation")
+        try:
+            urllib.request.urlopen(f"{base}/?query={qbad}")
+            raise AssertionError("expected HTTPError")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400 and b"Code: 62" in e.read()
+    finally:
+        srv.shutdown()
