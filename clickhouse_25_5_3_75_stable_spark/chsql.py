@@ -342,6 +342,51 @@ def _rewrite_qualify(toks: list[str]) -> list[str]:
     )
 
 
+def _rewrite_with_totals(toks: list[str]) -> list[str]:
+    """``GROUP BY k1, k2 WITH TOTALS`` → ``GROUP BY GROUPING SETS
+    ((k1, k2), ())`` (reference TotalsHavingStep.h:12: the totals row
+    is the grand aggregate over all rows — exactly the empty grouping
+    set; its key columns come back NULL, matching the reference's
+    totals row representation here)."""
+    out: list[str] = []
+    i = 0
+    while i < len(toks):
+        if (
+            toks[i].upper() == "GROUP"
+            and i + 1 < len(toks)
+            and toks[i + 1].upper() == "BY"
+        ):
+            # collect the key list up to WITH TOTALS / next clause
+            j = i + 2
+            depth = 0
+            keys: list[str] = []
+            stops = {"HAVING", "ORDER", "LIMIT", "OFFSET", "FORMAT",
+                     "SETTINGS", "UNION", "QUALIFY", "WINDOW", "INTERSECT", "EXCEPT"}
+            totals_at = -1
+            while j < len(toks):
+                tk = toks[j]
+                if tk == "(":
+                    depth += 1
+                elif tk == ")":
+                    if depth == 0:
+                        break
+                    depth -= 1
+                if depth == 0 and tk.upper() == "WITH" and j + 1 < len(toks) and toks[j + 1].upper() == "TOTALS":
+                    totals_at = j
+                    break
+                if depth == 0 and tk.upper() in stops:
+                    break
+                keys.append(tk)
+                j += 1
+            if totals_at >= 0:
+                out += ["GROUP", "BY", "GROUPING", "SETS", "(", "("] + keys + [")", ",", "(", ")", ")"]
+                i = totals_at + 2
+                continue
+        out.append(toks[i])
+        i += 1
+    return out
+
+
 def _rewrite_collate(toks: list[str]) -> list[str]:
     """``expr COLLATE 'locale'`` (reference ParserSelectQuery ORDER BY
     collation, src/Columns/Collator.h) → ``collate(expr, 'UNICODE_CI')``
@@ -880,6 +925,7 @@ def ch_sql_to_spark(sql: str) -> str:
     toks = _strip_modifiers(toks)
     toks = _rewrite_prewhere(toks)
     toks = _rewrite_limit_by(toks)
+    toks = _rewrite_with_totals(toks)
     toks = _rewrite_collate(toks)
     toks = _rewrite_qualify(toks)
     toks = _rewrite_array_join(toks)

@@ -300,3 +300,13 @@ def test_http_interface(spark):
             assert e.code == 400 and b"Code: 62" in e.read()
     finally:
         srv.shutdown()
+
+
+def test_with_totals_rewrite(spark):
+    spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 10)], "k string, v int"
+    ).createOrReplaceTempView("tot_t")
+    sql = ch_sql_to_spark("SELECT k, sum(v) AS s FROM tot_t GROUP BY k WITH TOTALS")
+    assert "GROUPING SETS" in sql.upper()
+    rows = {r.k: r.s for r in spark.sql(sql).collect()}
+    assert rows == {"a": 3, "b": 10, None: 13}  # NULL key = totals row
