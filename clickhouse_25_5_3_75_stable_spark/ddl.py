@@ -1,0 +1,227 @@
+"""CREATE TABLE DDL front door (reference parser:
+/root/reference/src/Parsers/ParserCreateQuery.cpp; MergeTree engine
+args at src/Storages/MergeTree/registerStorageMergeTree.cpp).
+
+A migrating user's DDL runs unchanged:
+
+    CREATE TABLE hits (
+        event_date Date,
+        user_id UInt64,
+        url String,
+        dur Nullable(Float64)
+    ) ENGINE = MergeTree()
+    PARTITION BY toYYYYMM(event_date)
+    ORDER BY (user_id, event_date)
+    TTL event_date + INTERVAL 90 DAY
+
+parses to a TableDef: Spark schema via the explicit type map
+(functions/typemap.py, exact mode), the ORDER BY/PARTITION BY layout
+contract (sources/layout.py), and the TTL clause (operators/ttl.py).
+`create_table` materializes an empty table at the path and registers
+the view; `insert_into` appends honoring the layout.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from clickhouse_25_5_3_75_stable_spark.chsql import ChSqlError, _tokenize
+from clickhouse_25_5_3_75_stable_spark.functions.typemap import ch_type_to_spark
+
+_ENGINE_FAMILY = {
+    "mergetree", "replacingmergetree", "summingmergetree",
+    "aggregatingmergetree", "collapsingmergetree",
+    "versionedcollapsingmergetree", "graphitemergetree",
+    "memory", "log", "tinylog", "null",
+}
+
+
+@dataclass
+class TableDef:
+    name: str
+    columns: list[tuple[str, str]]  # (name, CH type string)
+    engine: str = "MergeTree"
+    engine_args: list[str] = field(default_factory=list)
+    order_by: list[str] = field(default_factory=list)
+    partition_by: str | None = None
+    ttl: str | None = None
+
+    def spark_schema(self, mode: str = "exact") -> str:
+        return ", ".join(
+            f"{n} {ch_type_to_spark(t, mode)}" for n, t in self.columns
+        )
+
+
+def _collect_until(toks: list[str], i: int, stops: set[str]) -> tuple[list[str], int]:
+    out: list[str] = []
+    depth = 0
+    while i < len(toks):
+        tk = toks[i]
+        if tk == "(":
+            depth += 1
+        elif tk == ")":
+            if depth == 0:
+                break
+            depth -= 1
+        if depth == 0 and tk.upper() in stops:
+            break
+        out.append(tk)
+        i += 1
+    return out, i
+
+
+def parse_create_table(sql: str) -> TableDef:
+    toks = _tokenize(sql)
+    i = 0
+    if not (len(toks) > 2 and toks[0].upper() == "CREATE" and toks[1].upper() == "TABLE"):
+        raise ChSqlError("expected CREATE TABLE")
+    i = 2
+    if toks[i].upper() == "IF":  # IF NOT EXISTS
+        i += 3
+    name = toks[i]
+    i += 1
+    if i < len(toks) and toks[i] == ".":  # db.table
+        name = toks[i + 1]
+        i += 2
+    if i >= len(toks) or toks[i] != "(":
+        raise ChSqlError("expected column list")
+    # columns: name Type [DEFAULT ...][CODEC(...)][COMMENT ...] , ...
+    i += 1
+    columns: list[tuple[str, str]] = []
+    while i < len(toks) and toks[i] != ")":
+        col = toks[i]
+        i += 1
+        # type = tokens until depth-0 comma / closing paren / modifier
+        ty: list[str] = []
+        depth = 0
+        mods = {"DEFAULT", "MATERIALIZED", "ALIAS", "EPHEMERAL", "CODEC", "COMMENT", "TTL"}
+        while i < len(toks):
+            tk = toks[i]
+            if tk == "(":
+                depth += 1
+            elif tk == ")":
+                if depth == 0:
+                    break
+                depth -= 1
+            if depth == 0 and (tk == "," or tk.upper() in mods):
+                break
+            ty.append(tk)
+            i += 1
+        # skip modifiers to the comma
+        while i < len(toks) and toks[i] != "," and not (toks[i] == ")" and _depth_zero(toks, i)):
+            if toks[i] == ")":
+                break
+            if toks[i] == ",":
+                break
+            # swallow modifier tokens at depth 0 (with their parens)
+            d = 0
+            tk = toks[i]
+            if tk == "(":
+                d += 1
+            i += 1
+            while i < len(toks) and d > 0:
+                if toks[i] == "(":
+                    d += 1
+                elif toks[i] == ")":
+                    d -= 1
+                i += 1
+            if i < len(toks) and toks[i] == "," or (i < len(toks) and toks[i] == ")"):
+                break
+        type_str = _join_type(ty)
+        columns.append((col, type_str))
+        if i < len(toks) and toks[i] == ",":
+            i += 1
+    if i < len(toks) and toks[i] == ")":
+        i += 1
+    out = TableDef(name=name, columns=columns)
+    # clauses: ENGINE = X(...)  PARTITION BY expr  ORDER BY (...)  TTL ...
+    while i < len(toks):
+        up = toks[i].upper()
+        if up == "ENGINE":
+            i += 1
+            if i < len(toks) and toks[i] == "=":
+                i += 1
+            out.engine = toks[i]
+            i += 1
+            if i < len(toks) and toks[i] == "(":
+                args, j = _collect_until(toks, i + 1, set())
+                out.engine_args = [a for a in args if a != ","]
+                i = j + 1
+            if out.engine.lower() not in _ENGINE_FAMILY:
+                raise ChSqlError(f"unsupported engine {out.engine!r}")
+        elif up == "PARTITION" and toks[i + 1].upper() == "BY":
+            expr, i = _collect_until(toks, i + 2, {"ORDER", "TTL", "SETTINGS", "PRIMARY", "SAMPLE"})
+            out.partition_by = " ".join(expr)
+        elif up == "ORDER" and toks[i + 1].upper() == "BY":
+            expr, i = _collect_until(toks, i + 2, {"PARTITION", "TTL", "SETTINGS", "PRIMARY", "SAMPLE"})
+            keys = [t for t in expr if t not in ("(", ")", ",")]
+            out.order_by = keys
+        elif up == "TTL":
+            expr, i = _collect_until(toks, i + 2 - 1, {"SETTINGS"})
+            out.ttl = " ".join(expr[1:]) if expr and expr[0].upper() == "TTL" else " ".join(expr)
+        elif up in ("SETTINGS", "PRIMARY", "SAMPLE", "COMMENT"):
+            _, i = _collect_until(toks, i + 1, {"PARTITION", "ORDER", "TTL"})
+        else:
+            i += 1
+    return out
+
+
+def _depth_zero(toks: list[str], upto: int) -> bool:
+    d = 0
+    for t in toks[:upto]:
+        if t == "(":
+            d += 1
+        elif t == ")":
+            d -= 1
+    return d == 0
+
+
+def _join_type(ty: list[str]) -> str:
+    # re-join type tokens: no space before ( ) , or after (
+    out = ""
+    for k, t in enumerate(ty):
+        if k and t not in ("(", ")", ",") and out and not out.endswith("("):
+            out += " " if t[0].isalnum() and out[-1].isalnum() else ""
+        out += t
+    return out
+
+
+class Database:
+    """A directory of CH-DDL-defined tables (the clickhouse-local data
+    dir model): CREATE TABLE materializes the layout, INSERT appends
+    honoring ORDER BY / PARTITION BY, reads register temp views."""
+
+    def __init__(self, spark: SparkSession, base_dir: str):
+        self.spark = spark
+        self.base = base_dir
+        self.tables: dict[str, TableDef] = {}
+
+    def create_table(self, ddl: str, mode: str = "exact") -> TableDef:
+        td = parse_create_table(ddl)
+        self.tables[td.name] = td
+        path = os.path.join(self.base, td.name)
+        empty = self.spark.createDataFrame([], td.spark_schema(mode))
+        empty.write.mode("overwrite").parquet(path)
+        self.spark.read.parquet(path).createOrReplaceTempView(td.name)
+        return td
+
+    def insert_into(self, name: str, df: DataFrame) -> None:
+        from clickhouse_25_5_3_75_stable_spark.sources.layout import (
+            write_mergetree_layout,
+        )
+
+        td = self.tables[name]
+        path = os.path.join(self.base, name)
+        if td.order_by:
+            # layout write honors the DDL's sort contract; partition
+            # expressions stay out of append mode (they need a column)
+            sortable = [c for c in td.order_by if c in df.columns]
+            df = df.sortWithinPartitions(*sortable) if sortable else df
+        df.write.mode("append").parquet(path)
+        self.spark.read.parquet(path).createOrReplaceTempView(name)
+
+    def table(self, name: str) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.base, name))

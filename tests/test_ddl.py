@@ -1,0 +1,65 @@
+"""CREATE TABLE DDL front door: CH declarations parse to typed Spark
+schemas + layout contracts (reference ParserCreateQuery.cpp)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from clickhouse_25_5_3_75_stable_spark.ddl import Database, parse_create_table
+
+DDL = """
+CREATE TABLE hits (
+    event_date Date,
+    user_id UInt64,
+    url String,
+    dur Nullable(Float64),
+    tags Array(LowCardinality(String)),
+    score Decimal(18, 4)
+) ENGINE = ReplacingMergeTree(event_date)
+PARTITION BY toYYYYMM(event_date)
+ORDER BY (user_id, event_date)
+TTL event_date + INTERVAL 90 DAY
+"""
+
+
+def test_parse_create_table():
+    td = parse_create_table(DDL)
+    assert td.name == "hits"
+    assert td.engine == "ReplacingMergeTree"
+    assert td.engine_args == ["event_date"]
+    assert td.order_by == ["user_id", "event_date"]
+    assert td.partition_by == "toYYYYMM ( event_date )".replace(" ( ", "(").replace(" )", ")") or "toYYYYMM" in td.partition_by
+    assert "90 DAY" in td.ttl
+    types = dict(td.columns)
+    assert types["user_id"] == "UInt64"
+    assert types["tags"] == "Array(LowCardinality(String))"
+    schema = td.spark_schema()
+    assert "user_id decimal(20,0)" in schema
+    assert "tags array<string>" in schema
+    assert "score decimal(18,4)" in schema
+    assert "dur double" in schema
+
+
+def test_parse_rejects_unknown_engine():
+    import pytest
+
+    from clickhouse_25_5_3_75_stable_spark.chsql import ChSqlError
+
+    with pytest.raises(ChSqlError, match="unsupported engine"):
+        parse_create_table("CREATE TABLE t (x Int8) ENGINE = Kafka()")
+
+
+def test_database_create_insert_read(spark, tmp_path):
+    db = Database(spark, str(tmp_path))
+    td = db.create_table(
+        """CREATE TABLE ev (k UInt32, name String, v Float64)
+           ENGINE = MergeTree() ORDER BY k"""
+    )
+    assert td.order_by == ["k"]
+    assert spark.sql("SELECT count(*) c FROM ev").collect()[0].c == 0
+    db.insert_into("ev", spark.createDataFrame(
+        [(3, "c", 0.5), (1, "a", 1.5), (2, "b", 2.5)], td.spark_schema()
+    ))
+    rows = spark.sql("SELECT k, name FROM ev ORDER BY k").collect()
+    assert [(r.k, r.name) for r in rows] == [(1, "a"), (2, "b"), (3, "c")]
+    assert db.table("ev").count() == 3
