@@ -22,10 +22,10 @@ import sys
 
 
 def _detect_format(sql: str) -> tuple[str, str]:
-    """Pull a trailing FORMAT <name>; chsql strips it for execution."""
+    """Split off a trailing FORMAT <name>."""
     toks = sql.strip().rstrip(";").split()
     if len(toks) >= 2 and toks[-2].upper() == "FORMAT":
-        return " ".join(toks), toks[-1]
+        return " ".join(toks[:-2]), toks[-1]
     return sql, "TabSeparated"
 
 
@@ -53,7 +53,27 @@ def _emit(rows, cols, fmt: str, out) -> None:
             out.write("\t".join("" if v is None else str(v) for v in r) + "\n")
 
 
+def _register_dir(spark, data_dir: str) -> list[str]:
+    names = []
+    for f in sorted(os.listdir(data_dir)):
+        path = os.path.join(data_dir, f)
+        if f.endswith(".parquet"):
+            name = f[: -len(".parquet")]
+        elif os.path.isdir(path) and any(
+            p.endswith(".parquet") for p in os.listdir(path)
+        ):
+            name = f  # DDL-created table directory
+        else:
+            continue
+        spark.read.parquet(path).createOrReplaceTempView(name)
+        names.append(name)
+    return names
+
+
 def run_local(sql: str, data_dir: str, spark=None, out=sys.stdout) -> int:
+    """Execute one statement: SELECT (CH dialect), CREATE TABLE
+    (ddl.py), INSERT INTO ... VALUES/SELECT, SHOW TABLES, DESCRIBE —
+    the clickhouse-local statement surface."""
     from clickhouse_25_5_3_75_stable_spark.chsql import ch_sql_to_spark
 
     own_session = spark is None
@@ -63,11 +83,56 @@ def run_local(sql: str, data_dir: str, spark=None, out=sys.stdout) -> int:
         spark = get_spark(app_name="ch-local")
         spark.sparkContext.setLogLevel("ERROR")
     try:
-        for f in sorted(os.listdir(data_dir)):
-            if f.endswith(".parquet"):
-                name = f[: -len(".parquet")]
-                spark.read.parquet(os.path.join(data_dir, f)).createOrReplaceTempView(name)
+        names = _register_dir(spark, data_dir)
         sql, fmt = _detect_format(sql)
+        head = sql.strip().split(None, 2)
+        kw = head[0].upper() if head else ""
+
+        if kw == "SHOW" and len(head) > 1 and head[1].upper().startswith("TABLE"):
+            _emit([(n,) for n in sorted(names)], ["name"], fmt, out)
+            return 0
+        if kw in ("DESCRIBE", "DESC"):
+            tname = head[-1].rstrip(";")
+            df = spark.table(tname)
+            rows = [(f.name, f.dataType.simpleString()) for f in df.schema.fields]
+            _emit(rows, ["name", "type"], fmt, out)
+            return 0
+        if kw == "CREATE":
+            from clickhouse_25_5_3_75_stable_spark.ddl import Database
+
+            db = Database(spark, data_dir)
+            td = db.create_table(sql)
+            _emit([(td.name, "Ok")], ["table", "status"], fmt, out)
+            return 0
+        if kw == "INSERT":
+            # INSERT INTO <t> VALUES (...) | INSERT INTO <t> SELECT ...
+            import re as _re
+
+            m = _re.match(r"INSERT\s+INTO\s+(\w+)\s+(VALUES|SELECT)\s*(.*)", sql,
+                          _re.IGNORECASE | _re.DOTALL)
+            if not m:
+                raise ValueError("unsupported INSERT shape")
+            tname, mode_kw, rest = m.group(1), m.group(2).upper(), m.group(3)
+            target = spark.table(tname)
+            if mode_kw == "VALUES":
+                cols = ", ".join(target.columns)
+                df = spark.sql(f"SELECT * FROM VALUES {rest} AS t({cols})")
+            else:
+                df = spark.sql(ch_sql_to_spark("SELECT " + rest))
+            path = os.path.join(data_dir, tname)
+            if not os.path.isdir(path):
+                raise ValueError(
+                    f"{tname}: INSERT targets DDL-created table dirs, "
+                    f"not single-file source parquet"
+                )
+            for c, f_ in zip(df.columns, target.schema.fields):
+                df = df.withColumnRenamed(c, f_.name)
+            df = spark.createDataFrame(df.rdd, target.schema) if df.schema != target.schema else df
+            df.write.mode("append").parquet(path)
+            spark.read.parquet(path).createOrReplaceTempView(tname)
+            _emit([(tname, "Ok")], ["table", "status"], fmt, out)
+            return 0
+
         spark_sql = ch_sql_to_spark(sql)
         df = spark.sql(spark_sql)
         rows = [tuple(r) for r in df.collect()]

@@ -63,3 +63,27 @@ def test_database_create_insert_read(spark, tmp_path):
     rows = spark.sql("SELECT k, name FROM ev ORDER BY k").collect()
     assert [(r.k, r.name) for r in rows] == [(1, "a"), (2, "b"), (3, "c")]
     assert db.table("ev").count() == 3
+
+
+def test_local_statement_surface(spark, tmp_path):
+    """clickhouse-local statement routing: CREATE / INSERT VALUES /
+    INSERT SELECT / SELECT / SHOW TABLES / DESCRIBE."""
+    import io
+
+    from clickhouse_25_5_3_75_stable_spark.__main__ import run_local
+
+    d = str(tmp_path)
+
+    def run(sql):
+        out = io.StringIO()
+        assert run_local(sql, d, spark=spark, out=out) == 0
+        return out.getvalue()
+
+    run("CREATE TABLE kv (k UInt32, name String) ENGINE = MergeTree() ORDER BY k")
+    assert "kv" in run("SHOW TABLES")
+    desc = run("DESCRIBE kv FORMAT CSVWithNames")
+    assert "k,bigint" in desc and "name,string" in desc
+    run("INSERT INTO kv VALUES (1, 'one'), (2, 'two')")
+    run("INSERT INTO kv SELECT 3, upper('three')")
+    body = run("SELECT k, name FROM kv ORDER BY k FORMAT CSV")
+    assert body.strip().splitlines() == ["1,one", "2,two", "3,THREE"]
