@@ -113,3 +113,68 @@ def exp_time_decayed_sum(
     return exploded.select(
         *partition, F.col("p.id").alias(ev_id), F.col("p.s").alias(out)
     )
+
+
+def exp_time_decayed_family(
+    df: DataFrame,
+    value: str,
+    ts: str,
+    decay_seconds: float,
+    partition: list[str],
+    ev_id: str,
+) -> DataFrame:
+    """exponentialTimeDecayed{Sum,Count,Max,Avg} in ONE per-key fold
+    (reference WindowTransform.cpp:1617,1714,1789,1874):
+
+        sum_i   = Σ_{j≤i} v_j·exp(−Δ/L)      (acc·decay + v)
+        count_i = Σ_{j≤i} exp(−Δ/L)          (acc·decay + 1)
+        max_i   = max_{j≤i} v_j·exp(−Δ/L)    (max(acc·decay, v))
+        avg_i   = sum_i / count_i
+
+    Same O(n) recurrence / one-shuffle contract as
+    :func:`exp_time_decayed_sum`."""
+    item = F.struct(
+        F.unix_micros(F.col(ts).cast("timestamp")).alias("tu"),
+        F.col(ev_id).cast("bigint").alias("id"),
+        F.col(value).cast("double").alias("v"),
+    )
+    stream = F.array_sort(F.collect_list(item))
+    empty_out = F.expr(
+        "CAST(array() AS array<struct<id: bigint, s: double, c: double, m: double>>)"
+    )
+    init = F.named_struct(
+        F.lit("prev_tu"), F.lit(None).cast("bigint"),
+        F.lit("s"), F.lit(0.0),
+        F.lit("c"), F.lit(0.0),
+        # -inf, not 0: an all-negative stream must not let the empty
+        # seed win the max (−inf·decay stays −inf; first step picks v)
+        F.lit("m"), F.lit(float("-inf")),
+        F.lit("out"), empty_out,
+    )
+
+    def step(acc: Column, ev: Column) -> Column:
+        decay = F.when(acc["prev_tu"].isNull(), F.lit(1.0)).otherwise(
+            F.exp(-(ev["tu"] - acc["prev_tu"]).cast("double") / F.lit(decay_seconds * 1e6))
+        )
+        s = acc["s"] * decay + ev["v"]
+        c = acc["c"] * decay + F.lit(1.0)
+        m = F.greatest(acc["m"] * decay, ev["v"])
+        entry = F.struct(ev["id"].alias("id"), s.alias("s"), c.alias("c"), m.alias("m"))
+        return F.named_struct(
+            F.lit("prev_tu"), ev["tu"],
+            F.lit("s"), s,
+            F.lit("c"), c,
+            F.lit("m"), m,
+            F.lit("out"), F.concat(acc["out"], F.array(entry)),
+        )
+
+    per_key = df.groupBy(*partition).agg(F.aggregate(stream, init, step)["out"].alias("__o"))
+    ex = per_key.select(*partition, F.explode("__o").alias("p"))
+    return ex.select(
+        *partition,
+        F.col("p.id").alias(ev_id),
+        F.col("p.s").alias("decayed_sum"),
+        F.col("p.c").alias("decayed_count"),
+        F.col("p.m").alias("decayed_max"),
+        (F.col("p.s") / F.col("p.c")).alias("decayed_avg"),
+    )

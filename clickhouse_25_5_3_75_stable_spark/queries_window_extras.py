@@ -267,3 +267,49 @@ def agg_entropy_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(ent.cast("decimal(18,9)").cast("double").alias("entropy"))
         .orderBy("user_id")
     )
+
+
+@register(
+    "window_exp_time_decayed_family",
+    # direct O(n²) restatement per row; max over v_j*exp(-Δ/L); all
+    # rounded at 6 decimals (recurrence vs direct + libm ULPs)
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, event_id, value, epoch_us(CAST(ts AS TIMESTAMP)) AS tu
+        FROM events WHERE user_id % 10 = 3
+    )
+    SELECT a.user_id, a.event_id,
+           CAST(CAST(SUM(b.value * exp(-CAST(a.tu - b.tu AS DOUBLE) / 3600e6))
+                AS DECIMAL(20,6)) AS DOUBLE) AS decayed_sum,
+           CAST(CAST(SUM(exp(-CAST(a.tu - b.tu AS DOUBLE) / 3600e6))
+                AS DECIMAL(20,6)) AS DOUBLE) AS decayed_count,
+           CAST(CAST(MAX(b.value * exp(-CAST(a.tu - b.tu AS DOUBLE) / 3600e6))
+                AS DECIMAL(20,6)) AS DOUBLE) AS decayed_max,
+           CAST(CAST(SUM(b.value * exp(-CAST(a.tu - b.tu AS DOUBLE) / 3600e6))
+                / SUM(exp(-CAST(a.tu - b.tu AS DOUBLE) / 3600e6))
+                AS DECIMAL(20,6)) AS DOUBLE) AS decayed_avg
+    FROM ev a JOIN ev b
+      ON a.user_id = b.user_id
+     AND (b.tu < a.tu OR (b.tu = a.tu AND b.event_id <= a.event_id))
+    GROUP BY a.user_id, a.event_id
+    ORDER BY a.user_id, a.event_id
+    """,
+    tags=("window", "exp_decay"),
+)
+def window_exp_time_decayed_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full exponentialTimeDecayed{Sum,Count,Max,Avg} family
+    (WindowTransform.cpp:1617-1874) from ONE per-key O(n) fold."""
+    from clickhouse_25_5_3_75_stable_spark.operators.window_extras import (
+        exp_time_decayed_family,
+    )
+
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id") % 10 == 3)
+    out = exp_time_decayed_family(
+        ev, value="value", ts="ts", decay_seconds=3600.0,
+        partition=["user_id"], ev_id="event_id",
+    )
+    r6 = lambda c: F.col(c).cast("decimal(20,6)").cast("double").alias(c)  # noqa: E731
+    return out.select(
+        "user_id", "event_id",
+        r6("decayed_sum"), r6("decayed_count"), r6("decayed_max"), r6("decayed_avg"),
+    ).orderBy("user_id", "event_id")
