@@ -46,3 +46,38 @@ def with_fill_dates(
         for c in fill_forward:
             out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
     return out
+
+
+def fill_linear(
+    df: DataFrame,
+    axis_col: str,
+    cols: Sequence[str],
+    partition: Sequence[str] = (),
+) -> DataFrame:
+    """Linear INTERPOLATE between the surrounding real points
+    (reference FillingStep INTERPOLATE with an expression): for a
+    filled row at axis x between known points (x0,v0) and (x1,v1),
+    v = v0 + (v1−v0)·(x−x0)/(x1−x0); rows past the last known point
+    keep the previous value (forward fill), before the first stay
+    NULL. One pair of window passes per column — same shuffle contract
+    as forward fill."""
+    part = [F.col(c) for c in partition]
+    wb = W.partitionBy(*part).orderBy(axis_col).rowsBetween(W.unboundedPreceding, W.currentRow)
+    wf = W.partitionBy(*part).orderBy(axis_col).rowsBetween(W.currentRow, W.unboundedFollowing)
+    out = df
+    axis_num = F.col(axis_col).cast("timestamp").cast("double")
+    for c in cols:
+        known_axis = F.when(F.col(c).isNotNull(), axis_num)
+        prev_v = F.last(c, ignorenulls=True).over(wb)
+        prev_x = F.last(known_axis, ignorenulls=True).over(wb)
+        next_v = F.first(c, ignorenulls=True).over(wf)
+        next_x = F.first(known_axis, ignorenulls=True).over(wf)
+        frac = (axis_num - prev_x) / (next_x - prev_x)
+        interp = F.when(F.col(c).isNotNull(), F.col(c)).otherwise(
+            F.when(
+                prev_v.isNotNull() & next_v.isNotNull() & (next_x != prev_x),
+                prev_v + (next_v - prev_v) * frac,
+            ).otherwise(prev_v)
+        )
+        out = out.withColumn(c, interp)
+    return out

@@ -331,3 +331,75 @@ def type_int128_decimal38(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max(v).alias("max_i128"), F.count(F.lit(1)).alias("n"))
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "with_fill_linear_interpolate",
+    # linear interpolation between surrounding daily averages; rounded
+    # at 6dp (division order identical in both engines, but keep the
+    # repo convention for window-vs-window float math)
+    oracle="""
+    WITH days AS (
+        SELECT CAST(d AS DATE) AS day
+        FROM generate_series(DATE '1996-01-01', DATE '1996-03-31', INTERVAL 1 DAY) AS s(d)
+    ), daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(CAST(avg(o_totalprice) AS DECIMAL(20,6)) AS DOUBLE) AS avg_price
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+          AND o_orderkey % 5 = 0
+        GROUP BY 1
+    ), joined AS (
+        SELECT days.day, daily.avg_price,
+               epoch(CAST(days.day AS TIMESTAMP)) AS x
+        FROM days LEFT JOIN daily USING (day)
+    ), ctx AS (
+        SELECT day, avg_price, x,
+           last_value(avg_price IGNORE NULLS) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+           last_value(CASE WHEN avg_price IS NOT NULL THEN x END IGNORE NULLS)
+               OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS px,
+           first_value(avg_price IGNORE NULLS) OVER (ORDER BY day
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+           first_value(CASE WHEN avg_price IS NOT NULL THEN x END IGNORE NULLS)
+               OVER (ORDER BY day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nx
+        FROM joined
+    )
+    SELECT day,
+           CAST(CAST(
+             CASE WHEN avg_price IS NOT NULL THEN avg_price
+                  WHEN pv IS NOT NULL AND nv IS NOT NULL AND nx <> px
+                       THEN pv + (nv - pv) * (x - px) / (nx - px)
+                  ELSE pv END
+           AS DECIMAL(20,6)) AS DOUBLE) AS avg_price_interp
+    FROM ctx
+    ORDER BY day
+    """,
+    tags=("with_fill", "interpolate", "linear"),
+)
+def with_fill_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH FILL + linear INTERPOLATE (reference FillingStep.h:9-10):
+    sparse daily averages densified to every day with straight-line
+    interpolation between known points."""
+    from clickhouse_25_5_3_75_stable_spark.operators.fill import (
+        fill_linear,
+        with_fill_dates,
+    )
+
+    orders = t(spark, sf_dir, "orders")
+    daily = (
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+            & (F.col("o_orderkey") % 5 == 0)
+        )
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(F.avg("o_totalprice").cast("decimal(20,6)").cast("double").alias("avg_price"))
+    )
+    dense = with_fill_dates(spark, daily, "day", "1996-01-01", "1996-03-31")
+    out = fill_linear(dense, "day", ["avg_price"])
+    return out.select(
+        "day",
+        F.col("avg_price").cast("decimal(20,6)").cast("double").alias("avg_price_interp"),
+    ).orderBy("day")
