@@ -97,6 +97,31 @@ def run_local(sql: str, data_dir: str, spark=None, out=sys.stdout) -> int:
             rows = [(f.name, f.dataType.simpleString()) for f in df.schema.fields]
             _emit(rows, ["name", "type"], fmt, out)
             return 0
+        if kw == "DROP":
+            from clickhouse_25_5_3_75_stable_spark.ddl import drop_table
+
+            tname = head[-1].rstrip(";")
+            drop_table(spark, data_dir, tname)
+            _emit([(tname, "Ok")], ["table", "status"], fmt, out)
+            return 0
+        if kw == "TRUNCATE":
+            from clickhouse_25_5_3_75_stable_spark.ddl import truncate_table
+
+            tname = head[-1].rstrip(";")
+            truncate_table(spark, data_dir, tname)
+            _emit([(tname, "Ok")], ["table", "status"], fmt, out)
+            return 0
+        if kw == "RENAME":
+            from clickhouse_25_5_3_75_stable_spark.ddl import rename_table
+
+            import re as _re
+
+            m = _re.match(r"RENAME\s+TABLE\s+(\w+)\s+TO\s+(\w+)", sql, _re.IGNORECASE)
+            if not m:
+                raise ValueError("unsupported RENAME shape")
+            rename_table(spark, data_dir, m.group(1), m.group(2))
+            _emit([(m.group(2), "Ok")], ["table", "status"], fmt, out)
+            return 0
         if kw == "CREATE":
             from clickhouse_25_5_3_75_stable_spark.ddl import Database
 

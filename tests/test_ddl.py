@@ -87,3 +87,25 @@ def test_local_statement_surface(spark, tmp_path):
     run("INSERT INTO kv SELECT 3, upper('three')")
     body = run("SELECT k, name FROM kv ORDER BY k FORMAT CSV")
     assert body.strip().splitlines() == ["1,one", "2,two", "3,THREE"]
+
+
+def test_drop_truncate_rename(spark, tmp_path):
+    import io
+
+    from clickhouse_25_5_3_75_stable_spark.__main__ import run_local
+
+    d = str(tmp_path)
+
+    def run(sql):
+        out = io.StringIO()
+        assert run_local(sql, d, spark=spark, out=out) == 0
+        return out.getvalue()
+
+    run("CREATE TABLE t1 (k UInt32) ENGINE = MergeTree() ORDER BY k")
+    run("INSERT INTO t1 VALUES (1), (2)")
+    run("RENAME TABLE t1 TO t2")
+    assert run("SELECT count() AS c FROM t2 FORMAT CSV").strip() == "2"
+    run("TRUNCATE TABLE t2")
+    assert run("SELECT count() AS c FROM t2 FORMAT CSV").strip() == "0"
+    run("DROP TABLE t2")
+    assert "t2" not in run("SHOW TABLES")
