@@ -60,8 +60,9 @@ def apply_ttl_rollup(
 ) -> DataFrame:
     """TTL ... GROUP BY (TTLAggregationAlgorithm): rows past the TTL
     collapse into per-(group, time-bucket) aggregates; fresh rows pass
-    through untouched. Returns the union view — the reference's
-    merge-time result. Expired side is one hash agg; fresh side is a
+    through untouched. Returns (fresh, expired) — the caller unions or
+    stores them separately (the reference's merge writes both back to
+    the same part). Expired side is one hash agg; fresh side is a
     filter: both map-side-efficient at any scale."""
     ts = F.col(ts_col).cast("timestamp")
     cut = _cutoff(now, interval)
