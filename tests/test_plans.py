@@ -152,3 +152,22 @@ def test_cobucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS bkt_a")
         spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
+def test_bucketed_aggregation_has_no_exchange(spark, tmp_path):
+    """Aggregation-in-order analogue (reference AggregatingInOrder-
+    Transform/optimizeReadInOrder): grouping by a bucketed table's
+    bucket key plans with NO Exchange — the scan already satisfies the
+    required distribution."""
+    from clickhouse_25_5_3_75_stable_spark.sources.bucketing import write_bucketed
+
+    df = spark.range(0, 20000).selectExpr("id % 100 AS k", "id AS v")
+    try:
+        write_bucketed(df, "bkt_agg", 8, ["k"])
+        agg = spark.table("bkt_agg").groupBy("k").sum("v")
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "HashAggregate" in plan
+        assert "Exchange hashpartitioning" not in plan
+        assert agg.count() == 100
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_agg")
