@@ -109,3 +109,24 @@ def test_drop_truncate_rename(spark, tmp_path):
     assert run("SELECT count() AS c FROM t2 FORMAT CSV").strip() == "0"
     run("DROP TABLE t2")
     assert "t2" not in run("SHOW TABLES")
+
+
+def test_parse_modifiers_and_nested_types():
+    """DEFAULT/CODEC/COMMENT modifiers are skipped; nested Tuple/Map
+    types with internal commas parse structurally."""
+    td = parse_create_table(
+        """
+        CREATE TABLE t (
+            a UInt8 DEFAULT 7,
+            b String CODEC(ZSTD(3)),
+            c Tuple(x UInt8, y String),
+            d DateTime DEFAULT now() COMMENT 'ts col',
+            e Map(String, Array(UInt32))
+        ) ENGINE = MergeTree() ORDER BY a
+        """
+    )
+    types = dict(td.columns)
+    assert types["a"] == "UInt8" and types["b"] == "String" and types["d"] == "DateTime"
+    schema = td.spark_schema()
+    assert "c struct<x:smallint,y:string>" in schema
+    assert "e map<string,array<bigint>>" in schema
