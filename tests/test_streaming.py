@@ -380,3 +380,45 @@ def test_watch_yields_live_view_updates(spark):
         assert n2 > n1  # the view advanced between versions
     finally:
         q.stop()
+
+
+def test_matview_restart_is_incremental_not_duplicating(spark, tmp_path):
+    """Restarting the MV stream with the same checkpoint must process
+    ONLY new inserts — totals stay exactly equal to the batch query
+    (the foreachBatch + checkpoint exactly-once contract)."""
+    from clickhouse_25_5_3_75_stable_spark.streaming.matview import (
+        MatView,
+        attach_views,
+        merge_counts,
+        partial_count,
+        read_final,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    src = str(tmp_path / "src")
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode("append").parquet(src)
+
+    mv = MatView(
+        name="mv_rt",
+        select=lambda b: b.groupBy("event_type").agg(partial_count("cnt")),
+        target=str(tmp_path / "mv_rt"),
+    )
+    stream = lambda: spark.readStream.schema(ev.schema).parquet(src)  # noqa: E731
+    ckpt = str(tmp_path / "ckpt")
+
+    q = attach_views(stream(), [mv], checkpoint_dir=ckpt)
+    q.awaitTermination(120)
+    # second insert lands; RESTART from the same checkpoint
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+    q2 = attach_views(stream(), [mv], checkpoint_dir=ckpt)
+    q2.awaitTermination(120)
+
+    got = {
+        r.event_type: r.n
+        for r in read_final(spark, mv, ["event_type"], [merge_counts("cnt", "n")]).collect()
+    }
+    want = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == want  # no double-counted first insert
