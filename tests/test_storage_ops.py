@@ -317,3 +317,26 @@ def test_system_parts_over_mergetree_layout(spark, tmp_path):
     parts = system_parts(spark, out)
     assert parts.count() > 0
     assert parts.agg(F.sum("n_files")).collect()[0][0] > 0
+
+
+def test_ttl_rollup_partitions_fresh_and_expired(spark):
+    """TTL GROUP BY splits the table at the cutoff: fresh rows pass
+    through untouched; expired rows collapse; counts reconcile."""
+    from clickhouse_25_5_3_75_stable_spark.operators.ttl import apply_ttl_rollup
+    from clickhouse_25_5_3_75_stable_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    now = ev.agg(F.max(F.col("ts").cast("timestamp"))).collect()[0][0]
+    fresh, expired = apply_ttl_rollup(
+        ev, "ts", "2 DAY", F.lit(now).cast("timestamp"),
+        group_by=["event_type"],
+        aggs=[F.count(F.lit(1)).alias("n")],
+    )
+    n_total = ev.count()
+    n_fresh = fresh.count()
+    n_expired_rows = expired.agg(F.sum("n")).collect()[0][0] or 0
+    assert n_fresh + n_expired_rows == n_total
+    assert n_fresh > 0 and n_expired_rows > 0  # cutoff splits the data
+    # rollup really compresses: fewer stored rows than expired inputs
+    assert expired.count() < n_expired_rows
