@@ -57,13 +57,29 @@ def minhash_from_shingles(sh: Column, num_hashes: int = 8, fast: bool = False) -
     reproducible) to xxhash64 (~4× throughput, engine-specific values)
     — same signatures-quality, the production default."""
 
+    if fast:
+        return minhash_from_hashes(F.transform(sh, lambda x: F.xxhash64(x)), num_hashes)
+
     def salted_min(j: int) -> Column:
         # NB: the lambda must stay unary — PySpark reads a second
         # parameter as "element index" and would bind it over j.
         salt = F.lit(f"{j}:")
-        if fast:
-            return F.array_min(F.transform(sh, lambda x: F.xxhash64(salt, x)))
         return F.array_min(F.transform(sh, lambda x: portable_hash64(F.concat(salt, x))))
+
+    return F.array(*[salted_min(j) for j in range(num_hashes)])
+
+
+def minhash_from_hashes(hs: Column, num_hashes: int = 8) -> Column:
+    """Fast signature from PRE-HASHED shingles: each shingle string is
+    xxhash64'd ONCE, then the k salted variants derive from the 8-byte
+    integer (xxhash64(h, j) — fixed-width input, no string re-walk).
+    Cuts the string-hash work k-fold vs salting the text per hash
+    function; independence comes from xxhash64's avalanche on the
+    (h, j) pair. Callers on the hot path should materialize `hs` in
+    its own projection."""
+
+    def salted_min(j: int) -> Column:
+        return F.array_min(F.transform(hs, lambda h: F.xxhash64(h, F.lit(j))))
 
     return F.array(*[salted_min(j) for j in range(num_hashes)])
 
@@ -102,11 +118,20 @@ def minhash_lsh_pairs(
     executors this is the shape that survives — the exact-Jaccard
     verify join afterwards only touches candidates."""
     rows_per_band = num_hashes // bands
-    sig = (
-        docs.select(F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("__toks"))
-        .select("doc", word_shingles_from_tokens(F.col("__toks")).alias("__sh"))
-        .select("doc", minhash_from_shingles(F.col("__sh"), num_hashes, fast=fast).alias("sig"))
-    )
+    shingled = docs.select(
+        F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("__toks")
+    ).select("doc", word_shingles_from_tokens(F.col("__toks")).alias("__sh"))
+    if fast:
+        # materialize the per-shingle hash ONCE (its own projection —
+        # expressions inside transform lambdas are not CSE'd across
+        # the k salted folds)
+        sig = shingled.select(
+            "doc", F.transform(F.col("__sh"), lambda x: F.xxhash64(x)).alias("__hs")
+        ).select("doc", minhash_from_hashes(F.col("__hs"), num_hashes).alias("sig"))
+    else:
+        sig = shingled.select(
+            "doc", minhash_from_shingles(F.col("__sh"), num_hashes).alias("sig")
+        )
     banded = sig.select(
         "doc", F.explode(lsh_band_keys(F.col("sig"), bands, rows_per_band)).alias("bk")
     ).select("doc", "bk.band", "bk.key")
