@@ -213,3 +213,26 @@ def test_zeros_and_format_table(spark):
     assert sorted((r.a, r.b) for r in j.collect()) == [(1, "x"), (2, "y")]
     c = format_table(spark, "CSVWithNames", "k,v\n1,one\n2,two", schema="k int, v string")
     assert sorted((r.k, r.v) for r in c.collect()) == [(1, "one"), (2, "two")]
+
+
+def test_object_store_uri_and_conf(spark, tmp_path):
+    from clickhouse_25_5_3_75_stable_spark.sources.object_store import (
+        normalize_uri,
+        object_store_conf,
+        read_uri,
+    )
+
+    assert normalize_uri("s3://bucket/key/*.parquet") == "s3a://bucket/key/*.parquet"
+    assert normalize_uri("wasb://c@a.blob/x") == "wasbs://c@a.blob/x"
+    assert normalize_uri("/tmp/x").startswith("file:///")
+    conf = object_store_conf("s3", endpoint="http://minio:9000")
+    assert conf["spark.hadoop.fs.s3a.endpoint"] == "http://minio:9000"
+    assert conf["spark.hadoop.fs.s3a.path.style.access"] == "true"
+    import pytest
+
+    with pytest.raises(ValueError):
+        object_store_conf("ftp")
+    # same code path via file:// (Hadoop FileSystem)
+    p = str(tmp_path / "t")
+    spark.range(4).write.parquet(p)
+    assert read_uri(spark, p).count() == 4
