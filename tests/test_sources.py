@@ -236,3 +236,26 @@ def test_object_store_uri_and_conf(spark, tmp_path):
     p = str(tmp_path / "t")
     spark.range(4).write.parquet(p)
     assert read_uri(spark, p).count() == 4
+
+
+def test_parquet_index_mergetree_index_analogue(spark):
+    """mergeTreeIndex() analogue: row-group min/max stats from parquet
+    footers, no data scan; pruning predicate marks skippable groups."""
+    from clickhouse_25_5_3_75_stable_spark.sources.parquet_index import (
+        parquet_index,
+        prunable_row_groups,
+    )
+    from tests.conftest import SF_SMOKE
+
+    idx = parquet_index(spark, SF_SMOKE + "/lineitem.parquet")
+    assert idx.count() > 0
+    cols = {r.column for r in idx.select("column").distinct().collect()}
+    assert "l_orderkey" in cols and "l_shipdate" in cols
+    ok = idx.filter(
+        (F.col("column") == "l_orderkey") & F.col("min_value").isNotNull()
+    ).collect()
+    assert all(int(r.min_value) <= int(r.max_value) for r in ok)
+    pr = prunable_row_groups(
+        spark, SF_SMOKE + "/lineitem.parquet", "l_orderkey", "-10", "-1"
+    ).collect()
+    assert all(r.skipped for r in pr)  # negative key range hits nothing
