@@ -422,3 +422,22 @@ def test_matview_restart_is_incremental_not_duplicating(spark, tmp_path):
         for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert got == want  # no double-counted first insert
+
+
+def test_file_log_stream_each_file_once(spark, tmp_path):
+    """FileLog/S3Queue engine: files consumed exactly once, batch size
+    honored via maxFilesPerTrigger."""
+    from clickhouse_25_5_3_75_stable_spark.streaming.filelog import file_log_stream
+
+    src = str(tmp_path / "drop")
+    ev = load_table(spark, SF_SMOKE, "events").limit(100)
+    ev.coalesce(1).write.mode("append").parquet(src)
+    ev.coalesce(1).write.mode("append").parquet(src)
+    stream = file_log_stream(spark, src, ev.schema, files_per_batch=1)
+    q = (
+        stream.groupBy().count()
+        .writeStream.format("memory").queryName("flog_t")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    assert spark.sql("SELECT * FROM flog_t").collect()[0]["count"] == 200
