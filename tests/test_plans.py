@@ -171,3 +171,22 @@ def test_bucketed_aggregation_has_no_exchange(spark, tmp_path):
         assert agg.count() == 100
     finally:
         spark.sql("DROP TABLE IF EXISTS bkt_agg")
+
+
+def test_dynamic_partition_pruning_on_layout(spark, tmp_path):
+    """The reference's CreateSetAndFilterOnTheFlyStep / partition-key
+    pruning analogue: joining a MergeTree-layout (partitioned) fact
+    with a filtered dim must plan dynamic partition pruning — the scan
+    reads only the dim's surviving partitions."""
+    facts = spark.range(0, 100000).selectExpr("id", "id % 50 AS part_key", "id * 2 AS v")
+    d = str(tmp_path / "facts")
+    facts.write.partitionBy("part_key").mode("overwrite").parquet(d)
+    dim = (
+        spark.range(0, 50)
+        .selectExpr("id AS part_key", "concat('n', id) AS name")
+        .filter("part_key < 3")
+    )
+    j = spark.read.parquet(d).join(dim, "part_key")
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+    assert j.count() == 6000
