@@ -123,6 +123,23 @@ def run_local(sql: str, data_dir: str, spark=None, out=sys.stdout) -> int:
             _emit([(m.group(2), "Ok")], ["table", "status"], fmt, out)
             return 0
         if kw == "CREATE":
+            import re as _re
+
+            mv = _re.match(
+                r"CREATE\s+(MATERIALIZED\s+)?VIEW\s+(\w+)\s+AS\s+(.*)",
+                sql, _re.IGNORECASE | _re.DOTALL,
+            )
+            if mv:
+                vname, body = mv.group(2), mv.group(3)
+                vdf = spark.sql(ch_sql_to_spark(body))
+                if mv.group(1):  # MATERIALIZED: persist the result
+                    path = os.path.join(data_dir, vname)
+                    vdf.write.mode("overwrite").parquet(path)
+                    spark.read.parquet(path).createOrReplaceTempView(vname)
+                else:
+                    vdf.createOrReplaceTempView(vname)
+                _emit([(vname, "Ok")], ["table", "status"], fmt, out)
+                return 0
             from clickhouse_25_5_3_75_stable_spark.ddl import Database
 
             db = Database(spark, data_dir)

@@ -130,3 +130,29 @@ def test_parse_modifiers_and_nested_types():
     schema = td.spark_schema()
     assert "c struct<x:smallint,y:string>" in schema
     assert "e map<string,array<bigint>>" in schema
+
+
+def test_create_view_and_materialized_view(spark, tmp_path):
+    import io
+
+    from clickhouse_25_5_3_75_stable_spark.__main__ import run_local
+
+    d = str(tmp_path)
+
+    def run(sql):
+        out = io.StringIO()
+        assert run_local(sql, d, spark=spark, out=out) == 0
+        return out.getvalue()
+
+    run("CREATE TABLE base (k UInt32, v Float64) ENGINE = MergeTree() ORDER BY k")
+    run("INSERT INTO base VALUES (1, 1.5), (2, 2.5), (2, 3.5)")
+    run("CREATE VIEW v_sum AS SELECT k, sum(v) AS s FROM base GROUP BY k")
+    assert run("SELECT k, s FROM v_sum ORDER BY k FORMAT CSV").strip().splitlines() == [
+        "1,1.5", "2,6.0",
+    ]
+    run("CREATE MATERIALIZED VIEW mv_sum AS SELECT k, count() AS n FROM base GROUP BY k")
+    # materialized: stored on disk, survives as a table directory
+    import os
+
+    assert os.path.isdir(os.path.join(d, "mv_sum"))
+    assert "mv_sum" in run("SHOW TABLES")
