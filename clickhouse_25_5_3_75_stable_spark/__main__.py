@@ -167,9 +167,14 @@ def run_local(sql: str, data_dir: str, spark=None, out=sys.stdout) -> int:
                     f"{tname}: INSERT targets DDL-created table dirs, "
                     f"not single-file source parquet"
                 )
-            for c, f_ in zip(df.columns, target.schema.fields):
-                df = df.withColumnRenamed(c, f_.name)
-            df = spark.createDataFrame(df.rdd, target.schema) if df.schema != target.schema else df
+            from pyspark.sql import functions as F
+
+            df = df.select(
+                *[
+                    F.col(c).cast(f_.dataType).alias(f_.name)
+                    for c, f_ in zip(df.columns, target.schema.fields)
+                ]
+            )
             df.write.mode("append").parquet(path)
             spark.read.parquet(path).createOrReplaceTempView(tname)
             _emit([(tname, "Ok")], ["table", "status"], fmt, out)
