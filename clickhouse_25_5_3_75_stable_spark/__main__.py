@@ -111,6 +111,15 @@ def run_local(sql: str, data_dir: str, spark=None, out=sys.stdout) -> int:
             truncate_table(spark, data_dir, tname)
             _emit([(tname, "Ok")], ["table", "status"], fmt, out)
             return 0
+        if kw == "OPTIMIZE":
+            from clickhouse_25_5_3_75_stable_spark.ddl import optimize_table
+
+            parts = sql.strip().rstrip(";").split()
+            tname = parts[2] if len(parts) > 2 else parts[-1]
+            final = parts[-1].upper() == "FINAL"
+            optimize_table(spark, data_dir, tname, final=final)
+            _emit([(tname, "Ok")], ["table", "status"], fmt, out)
+            return 0
         if kw == "RENAME":
             from clickhouse_25_5_3_75_stable_spark.ddl import rename_table
 

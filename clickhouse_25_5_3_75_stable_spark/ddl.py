@@ -205,6 +205,7 @@ class Database:
         path = os.path.join(self.base, td.name)
         empty = self.spark.createDataFrame([], td.spark_schema(mode))
         empty.write.mode("overwrite").parquet(path)
+        save_table_def(self.base, td)
         self.spark.read.parquet(path).createOrReplaceTempView(td.name)
         return td
 
@@ -243,18 +244,104 @@ def drop_table(spark: SparkSession, base_dir: str, name: str) -> None:
 
 
 def truncate_table(spark: SparkSession, base_dir: str, name: str) -> None:
-    """TRUNCATE TABLE: keep schema, drop all rows."""
+    """TRUNCATE TABLE: keep schema (and DDL metadata), drop all rows."""
     path = os.path.join(base_dir, name)
     schema = spark.read.parquet(path).schema
+    td = load_table_def(base_dir, name)
     spark.createDataFrame([], schema).write.mode("overwrite").parquet(path)
+    if td is not None:
+        td.name = name  # stay correct after RENAME
+        save_table_def(base_dir, td)
     spark.read.parquet(path).createOrReplaceTempView(name)
 
 
 def rename_table(spark: SparkSession, base_dir: str, old: str, new: str) -> None:
     """RENAME TABLE a TO b (atomic at the directory level)."""
     os.rename(os.path.join(base_dir, old), os.path.join(base_dir, new))
+    td = load_table_def(base_dir, new)
+    if td is not None:
+        td.name = new
+        save_table_def(base_dir, td)
     try:
         spark.catalog.dropTempView(old)
     except Exception:
         pass
     spark.read.parquet(os.path.join(base_dir, new)).createOrReplaceTempView(new)
+
+
+_DDL_META = "_ddl.json"
+
+
+def save_table_def(base_dir: str, td: TableDef) -> None:
+    import json
+
+    meta = {
+        "name": td.name, "columns": td.columns, "engine": td.engine,
+        "engine_args": td.engine_args, "order_by": td.order_by,
+        "partition_by": td.partition_by, "ttl": td.ttl,
+    }
+    with open(os.path.join(base_dir, td.name, _DDL_META), "w") as fh:
+        json.dump(meta, fh)
+
+
+def load_table_def(base_dir: str, name: str) -> TableDef | None:
+    import json
+
+    path = os.path.join(base_dir, name, _DDL_META)
+    if not os.path.exists(path):
+        return None
+    with open(path) as fh:
+        m = json.load(fh)
+    return TableDef(
+        name=m["name"], columns=[tuple(c) for c in m["columns"]],
+        engine=m["engine"], engine_args=m["engine_args"],
+        order_by=m["order_by"], partition_by=m["partition_by"], ttl=m["ttl"],
+    )
+
+
+def optimize_table(spark: SparkSession, base_dir: str, name: str, final: bool = True) -> None:
+    """OPTIMIZE TABLE [FINAL] (reference InterpreterOptimizeQuery →
+    merge with engine folding): Replacing folds to the latest version
+    per ORDER BY key, Summing sums numeric columns per key, others
+    compact files. The rewrite stages then swaps (same atomicity
+    contract as RefreshableMatView)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from clickhouse_25_5_3_75_stable_spark.operators.mergetree import (
+        replacing_final,
+        summing_final,
+    )
+
+    td = load_table_def(base_dir, name)
+    path = os.path.join(base_dir, name)
+    df = spark.read.parquet(path)
+    out = df
+    if final and td is not None and td.order_by:
+        eng = td.engine.lower()
+        if eng == "replacingmergetree":
+            version = td.engine_args[0] if td.engine_args else td.order_by[-1]
+            out = replacing_final(df, td.order_by, version=version, tiebreak=[])
+        elif eng == "summingmergetree":
+            num = [
+                f.name for f in df.schema.fields
+                if f.name not in td.order_by
+                and isinstance(f.dataType, (T.NumericType,))
+            ]
+            out = summing_final(
+                df, td.order_by, [F.sum(c).alias(c) for c in num]
+            )
+    staging = path + "__optimizing"
+    out.write.mode("overwrite").parquet(staging)
+    meta_src = os.path.join(path, _DDL_META)
+    meta_tmp = None
+    if os.path.exists(meta_src):
+        meta_tmp = staging + ".meta"
+        shutil.copy(meta_src, meta_tmp)
+    shutil.rmtree(path)
+    os.rename(staging, path)
+    if meta_tmp:
+        shutil.move(meta_tmp, os.path.join(path, _DDL_META))
+    spark.read.parquet(path).createOrReplaceTempView(name)

@@ -156,3 +156,31 @@ def test_create_view_and_materialized_view(spark, tmp_path):
 
     assert os.path.isdir(os.path.join(d, "mv_sum"))
     assert "mv_sum" in run("SHOW TABLES")
+
+
+def test_optimize_final_replacing_and_summing(spark, tmp_path):
+    """OPTIMIZE TABLE FINAL applies the engine's merge folding:
+    Replacing keeps the latest version per key, Summing folds sums."""
+    import io
+
+    from clickhouse_25_5_3_75_stable_spark.__main__ import run_local
+
+    d = str(tmp_path)
+
+    def run(sql):
+        out = io.StringIO()
+        assert run_local(sql, d, spark=spark, out=out) == 0
+        return out.getvalue()
+
+    run("CREATE TABLE r (k UInt32, ver UInt32, v Float64) "
+        "ENGINE = ReplacingMergeTree(ver) ORDER BY k")
+    run("INSERT INTO r VALUES (1, 1, 10.0), (1, 2, 20.0), (2, 1, 5.0)")
+    run("OPTIMIZE TABLE r FINAL")
+    rows = run("SELECT k, ver, v FROM r ORDER BY k FORMAT CSV").strip().splitlines()
+    assert rows == ["1,2,20.0", "2,1,5.0"]  # latest version per key survived
+
+    run("CREATE TABLE s (k UInt32, v Float64) ENGINE = SummingMergeTree() ORDER BY k")
+    run("INSERT INTO s VALUES (1, 1.5), (1, 2.5), (2, 4.0)")
+    run("OPTIMIZE TABLE s FINAL")
+    rows = run("SELECT k, v FROM s ORDER BY k FORMAT CSV").strip().splitlines()
+    assert rows == ["1,4.0", "2,4.0"]
