@@ -184,6 +184,13 @@ def run_local(sql: str, data_dir: str, spark=None, out=sys.stdout) -> int:
                     for c, f_ in zip(df.columns, target.schema.fields)
                 ]
             )
+            from clickhouse_25_5_3_75_stable_spark.ddl import load_table_def
+
+            td = load_table_def(data_dir, tname)
+            if td is not None and td.order_by:
+                sortable = [c for c in td.order_by if c in df.columns]
+                if sortable:
+                    df = df.sortWithinPartitions(*sortable)
             df.write.mode("append").parquet(path)
             spark.read.parquet(path).createOrReplaceTempView(tname)
             _emit([(tname, "Ok")], ["table", "status"], fmt, out)
