@@ -70,6 +70,19 @@ def _register_dir(spark, data_dir: str) -> list[str]:
     return names
 
 
+_QUERY_LOG: list[tuple] = []  # (statement_kind, query, duration_s, result_rows)
+
+
+def _log_query(spark, kind: str, sql: str, dur: float, rows: int) -> None:
+    """system.query_log analogue (reference
+    src/Interpreters/QueryLog.h): per-statement audit rows, exposed as
+    the `query_log` view for the next statement to query."""
+    _QUERY_LOG.append((kind, sql[:500], round(dur, 4), rows))
+    spark.createDataFrame(
+        _QUERY_LOG, "kind string, query string, duration_s double, result_rows long"
+    ).createOrReplaceTempView("query_log")
+
+
 def run_local(sql: str, data_dir: str, spark=None, out=sys.stdout) -> int:
     """Execute one statement: SELECT (CH dialect), CREATE TABLE
     (ddl.py), INSERT INTO ... VALUES/SELECT, SHOW TABLES, DESCRIBE —
@@ -196,10 +209,14 @@ def run_local(sql: str, data_dir: str, spark=None, out=sys.stdout) -> int:
             _emit([(tname, "Ok")], ["table", "status"], fmt, out)
             return 0
 
+        import time as _time
+
+        t0 = _time.perf_counter()
         spark_sql = ch_sql_to_spark(sql)
         df = spark.sql(spark_sql)
         rows = [tuple(r) for r in df.collect()]
         _emit(rows, df.columns, fmt, out)
+        _log_query(spark, "select", sql, _time.perf_counter() - t0, len(rows))
         return 0
     finally:
         if own_session:

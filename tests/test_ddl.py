@@ -184,3 +184,25 @@ def test_optimize_final_replacing_and_summing(spark, tmp_path):
     run("OPTIMIZE TABLE s FINAL")
     rows = run("SELECT k, v FROM s ORDER BY k FORMAT CSV").strip().splitlines()
     assert rows == ["1,4.0", "2,4.0"]
+
+
+def test_query_log(spark, tmp_path):
+    """system.query_log analogue: executed SELECTs appear in the
+    query_log view with durations and row counts."""
+    import io
+
+    from clickhouse_25_5_3_75_stable_spark.__main__ import run_local
+
+    d = str(tmp_path)
+
+    def run(sql):
+        out = io.StringIO()
+        assert run_local(sql, d, spark=spark, out=out) == 0
+        return out.getvalue()
+
+    run("SELECT 1 AS x")
+    run("SELECT 2 AS y")
+    body = run("SELECT kind, result_rows FROM query_log ORDER BY query FORMAT CSV")
+    lines = body.strip().splitlines()
+    assert any(line == "select,1" for line in lines)
+    assert len(lines) >= 2
