@@ -54,3 +54,53 @@ def read_table(spark: SparkSession, path: str) -> DataFrame:
     """Read a layout-written table; partition columns come back as
     directory-derived columns, pruned by any equality/range filter."""
     return spark.read.parquet(path)
+
+
+# ---------------------------------------------------------------------------
+# Partition manipulation (reference ALTER TABLE ... DETACH/ATTACH/DROP
+# PARTITION, src/Storages/MergeTree/MergeTreeData.cpp partition ops;
+# detached parts live under _detached/ until re-attached)
+# ---------------------------------------------------------------------------
+
+
+def _partition_dir(path: str, partition_by: str, value) -> str:
+    import os
+
+    return os.path.join(path, f"{partition_by}={value}")
+
+
+def detach_partition(path: str, partition_by: str, value) -> str:
+    """Move a partition directory to _detached/ (underscore prefix: ignored by scans) — instantly invisible to
+    scans (directory listing), zero data rewrite. Returns the detached
+    location."""
+    import os
+    import shutil
+
+    src = _partition_dir(path, partition_by, value)
+    if not os.path.isdir(src):
+        raise FileNotFoundError(f"no partition {partition_by}={value} under {path}")
+    det = os.path.join(path, "_detached")
+    os.makedirs(det, exist_ok=True)
+    dst = os.path.join(det, f"{partition_by}={value}")
+    shutil.move(src, dst)
+    return dst
+
+
+def attach_partition(path: str, partition_by: str, value) -> None:
+    """Re-attach a previously detached partition (move back)."""
+    import os
+    import shutil
+
+    src = os.path.join(path, "_detached", f"{partition_by}={value}")
+    if not os.path.isdir(src):
+        raise FileNotFoundError(f"no detached partition {partition_by}={value}")
+    shutil.move(src, _partition_dir(path, partition_by, value))
+
+
+def drop_partition(path: str, partition_by: str, value) -> None:
+    """DROP PARTITION: remove the directory — the O(1) bulk delete that
+    makes partition-by-time retention practical at 100 TB (vs a
+    rewrite-everything DELETE)."""
+    import shutil
+
+    shutil.rmtree(_partition_dir(path, partition_by, value))

@@ -340,3 +340,30 @@ def test_ttl_rollup_partitions_fresh_and_expired(spark):
     assert n_fresh > 0 and n_expired_rows > 0  # cutoff splits the data
     # rollup really compresses: fewer stored rows than expired inputs
     assert expired.count() < n_expired_rows
+
+
+def test_partition_detach_attach_drop(spark, tmp_path):
+    """ALTER TABLE partition ops on the MergeTree layout: detach hides,
+    attach restores, drop removes — all O(1) directory moves."""
+    from clickhouse_25_5_3_75_stable_spark.sources.layout import (
+        attach_partition,
+        detach_partition,
+        drop_partition,
+        write_mergetree_layout,
+    )
+
+    df = spark.range(0, 300).selectExpr("id", "id % 3 AS p")
+    path = str(tmp_path / "t")
+    write_mergetree_layout(df, path, order_by=["id"], partition_by=["p"])
+    assert spark.read.parquet(path).count() == 300
+
+    detach_partition(path, "p", 1)
+    assert spark.read.parquet(path).count() == 200  # p=1 invisible
+    attach_partition(path, "p", 1)
+    assert spark.read.parquet(path).count() == 300  # restored
+    drop_partition(path, "p", 2)
+    assert spark.read.parquet(path).count() == 200  # p=2 gone for good
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        detach_partition(path, "p", 99)
