@@ -345,3 +345,48 @@ def optimize_table(spark: SparkSession, base_dir: str, name: str, final: bool = 
     if meta_tmp:
         shutil.move(meta_tmp, os.path.join(path, _DDL_META))
     spark.read.parquet(path).createOrReplaceTempView(name)
+
+
+def alter_add_column(
+    spark: SparkSession, base_dir: str, name: str, col: str, ch_type: str,
+    default=None,
+) -> None:
+    """ALTER TABLE ADD COLUMN (reference InterpreterAlterQuery /
+    MergeTree metadata-only ALTER): no data rewrite — existing parquet
+    files simply lack the column; reads fill NULL (or the declared
+    default) via schema merge, exactly the reference's behavior of
+    materializing the default at read until a merge writes it."""
+    td = load_table_def(base_dir, name)
+    if td is None:
+        raise ValueError(f"{name}: not a DDL-managed table")
+    td.columns.append((col, ch_type))
+    save_table_def(base_dir, td)
+    _reregister_evolved(spark, base_dir, td, defaults={col: default} if default is not None else {})
+
+
+def alter_drop_column(spark: SparkSession, base_dir: str, name: str, col: str) -> None:
+    """ALTER TABLE DROP COLUMN: metadata-only — the column vanishes
+    from reads immediately; bytes reclaim at the next OPTIMIZE
+    rewrite (same lazy contract as the reference)."""
+    td = load_table_def(base_dir, name)
+    if td is None:
+        raise ValueError(f"{name}: not a DDL-managed table")
+    td.columns = [(n, t) for n, t in td.columns if n != col]
+    save_table_def(base_dir, td)
+    _reregister_evolved(spark, base_dir, td, defaults={})
+
+
+def _reregister_evolved(spark, base_dir: str, td: TableDef, defaults: dict) -> None:
+    from pyspark.sql import functions as F
+
+    path = os.path.join(base_dir, td.name)
+    raw = spark.read.option("mergeSchema", "true").parquet(path)
+    cols = []
+    for n, t in td.columns:
+        spark_t = ch_type_to_spark(t)
+        if n in raw.columns:
+            cols.append(F.col(n).cast(spark_t).alias(n))
+        else:
+            fill = F.lit(defaults.get(n)).cast(spark_t)
+            cols.append(fill.alias(n))
+    raw.select(*cols).createOrReplaceTempView(td.name)

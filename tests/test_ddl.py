@@ -206,3 +206,30 @@ def test_query_log(spark, tmp_path):
     lines = body.strip().splitlines()
     assert any(line == "select,1" for line in lines)
     assert len(lines) >= 2
+
+
+def test_alter_add_drop_column(spark, tmp_path):
+    """Metadata-only schema evolution: ADD COLUMN fills old rows with
+    the default at read; DROP COLUMN hides immediately."""
+    import io
+
+    from clickhouse_25_5_3_75_stable_spark.__main__ import run_local
+    from clickhouse_25_5_3_75_stable_spark.ddl import (
+        alter_add_column,
+        alter_drop_column,
+    )
+
+    d = str(tmp_path)
+
+    def run(sql):
+        out = io.StringIO()
+        assert run_local(sql, d, spark=spark, out=out) == 0
+        return out.getvalue()
+
+    run("CREATE TABLE t (k UInt32, v Float64) ENGINE = MergeTree() ORDER BY k")
+    run("INSERT INTO t VALUES (1, 1.5)")
+    alter_add_column(spark, d, "t", "tag", "String", default="none")
+    got = spark.sql("SELECT k, v, tag FROM t").collect()
+    assert [(r.k, r.v, r.tag) for r in got] == [(1, 1.5, "none")]
+    alter_drop_column(spark, d, "t", "v")
+    assert spark.table("t").columns == ["k", "tag"]
