@@ -60,3 +60,42 @@ def sample_fraction(df: DataFrame, key: str | Column, fraction: float) -> DataFr
     """``SAMPLE 0.1``-style relative sampling on a key (deterministic)."""
     denom = 1_000_000
     return sample_by_key(df, key, max(1, int(round(fraction * denom))), denom)
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    key: str | Column,
+    rates: dict,
+    default_rate: float = 0.0,
+    denominator: int = 10_000,
+) -> DataFrame:
+    """Deterministic per-stratum sampling — the corpus-mixture op of a
+    training-data pipeline (hit a target language/source/quality mix).
+    Each stratum keeps the fraction of its hash ring given by
+    rates[stratum]; the hash derives from md5 (text.portable_hash64)
+    so the SAME rows are kept in any engine/run — reproducible corpus
+    cuts, no RNG. One scan, no shuffle."""
+    from clickhouse_25_5_3_75_stable_spark.operators.text import portable_hash64
+
+    c = F.col(key) if isinstance(key, str) else key
+    bucket = F.pmod(portable_hash64(c.cast("string")), F.lit(denominator))
+    rate = F.lit(float(default_rate))
+    for stratum, r in sorted(rates.items()):
+        rate = F.when(F.col(stratum_col) == stratum, F.lit(float(r))).otherwise(rate)
+    return df.filter(bucket < (rate * denominator).cast("bigint"))
+
+
+def stratified_sample_sql(
+    stratum_col: str, key_expr: str, rates: dict, default_rate: float = 0.0,
+    denominator: int = 10_000,
+) -> str:
+    """DuckDB predicate mirroring :func:`stratified_sample`."""
+    from clickhouse_25_5_3_75_stable_spark.operators.text import portable_hash64_sql
+
+    h = portable_hash64_sql(f"CAST({key_expr} AS VARCHAR)")
+    cases = " ".join(
+        f"WHEN {stratum_col} = '{s}' THEN {float(r)!r}" for s, r in sorted(rates.items())
+    )
+    rate = f"(CASE {cases} ELSE {float(default_rate)!r} END)"
+    return f"(({h} % {denominator} + {denominator}) % {denominator}) < CAST({rate} * {denominator} AS BIGINT)"

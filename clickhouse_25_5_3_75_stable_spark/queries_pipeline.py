@@ -653,3 +653,36 @@ def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(",", F.transform(q, lambda v: v.cast("string"))).alias("q8"),
         err.cast("decimal(18,9)").alias("max_err"),
     ).orderBy("vec_id")
+
+
+from clickhouse_25_5_3_75_stable_spark.operators.sampling import (  # noqa: E402
+    stratified_sample,
+    stratified_sample_sql,
+)
+
+_MIX_RATES = {"en": 0.5, "fr": 0.2, "de": 0.1}
+
+
+@register(
+    "corpus_stratified_mixture",
+    oracle=f"""
+    SELECT lang, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
+    FROM documents
+    WHERE {stratified_sample_sql('lang', 'doc_id', _MIX_RATES)}
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    tags=("sampling", "corpus", "stratified"),
+)
+def corpus_stratified_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-mixture curation: deterministic per-language sampling
+    rates (en 50%, fr 20%, de 10%, others dropped) via the portable
+    md5 hash ring — identical corpus cut on any engine, any cluster;
+    one scan, no shuffle, no RNG."""
+    docs = t(spark, sf_dir, "documents")
+    kept = stratified_sample(docs, "lang", "doc_id", _MIX_RATES)
+    return (
+        kept.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("first_doc"))
+        .orderBy("lang")
+    )
