@@ -345,3 +345,72 @@ def dedup_keepers(pairs: DataFrame, a_col: str = "id_a", b_col: str = "id_b") ->
     component; docs with keeper != doc_id are the drop set."""
     comp = connected_components(pairs, a_col, b_col)
     return comp.select(F.col("node").alias("doc_id"), F.col("component").alias("keeper"))
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iter: int = 30,
+    return_rounds: bool = False,
+):
+    """Star-contraction connected components (the fused large/small-
+    star relink of Kiveris et al., "Connected Components in MapReduce
+    and Beyond"): every round, EVERY neighbor of u (and u itself)
+    re-links to m = min(Γ(u) ∪ {u}). Distances to the component
+    minimum roughly halve per round — O(log n) rounds on ANY graph
+    shape vs the simple min-propagation's O(diameter); use this when
+    components can be long chains (redirect graphs, citation chains);
+    shallow near-dup clusters do fine with
+    :func:`connected_components`. Each round is one join + two
+    groupBys over the canonical pair set; fixpoint = every pair is
+    (component-min, member)."""
+    # state = canonical undirected pair set (a < b)
+    state = (
+        pairs.select(
+            F.least(F.col(a_col), F.col(b_col)).alias("a"),
+            F.greatest(F.col(a_col), F.col(b_col)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .persist()
+    )
+    rounds = 0
+    for _ in range(max_iter):
+        rounds += 1
+        sym = state.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+            state.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+        # m(u) = min over Γ(u) ∪ {u}; u appears in sym by construction
+        m = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        with_m = sym.join(m, "u")
+        # large-star: larger neighbors re-link to m; small-star:
+        # smaller neighbors and u itself link to m — emitted pairs are
+        # (m, x) with m < x, already canonical
+        relinked = with_m.select(F.col("m").alias("a"), F.col("v").alias("b")).union(
+            m.select(F.col("m").alias("a"), F.col("u").alias("b"))
+        )
+        new_state = (
+            relinked.filter(F.col("a") != F.col("b")).distinct()
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_state.exceptAll(state).limit(1).count()
+            + state.exceptAll(new_state).limit(1).count()
+        )
+        state.unpersist()
+        state = new_state.persist()
+        if changed == 0:
+            break
+    # converged: every pair is (root, member)
+    labels = state.groupBy("b").agg(F.min("a").alias("component")).select(
+        F.col("b").alias("node"), "component"
+    )
+    all_nodes = pairs.select(F.col(a_col).alias("node")).union(
+        pairs.select(F.col(b_col).alias("node"))
+    ).distinct()
+    out = all_nodes.join(labels, "node", "left").select(
+        "node", F.coalesce("component", F.col("node")).alias("component")
+    )
+    state.unpersist()
+    return (out, rounds) if return_rounds else out

@@ -225,3 +225,31 @@ def test_jaro_vectorized_matches_reference_fuzz():
     jw = np.where(jaro > 0.7, jaro + prefix * 0.1 * (1.0 - jaro), jaro)
     refw = np.array([_jaro_winkler_py(x, y) for x, y in pairs])
     assert np.abs(jw - refw).max() < 1e-12
+
+
+def test_connected_components_star_matches_simple(spark):
+    """large-star/small-star components equal the simple propagation on
+    a mixed graph, and converge in O(log n) rounds on a long chain
+    where simple propagation needs O(n)."""
+    import random
+
+    from clickhouse_25_5_3_75_stable_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(5)
+    # mixed graph: triangles + random pairs + one 60-node chain
+    edges = [(i, i + 1) for i in range(100, 160)]  # chain
+    edges += [(0, 1), (1, 2), (2, 0), (10, 11), (20, 21), (21, 22)]
+    edges += [(rng.randint(300, 340), rng.randint(300, 340)) for _ in range(30)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges], "id_a long, id_b long"
+    ).distinct()
+
+    simple = {r.node: r.component for r in connected_components(df, max_iter=100).collect()}
+    star, rounds = connected_components_star(df, return_rounds=True)
+    star_m = {r.node: r.component for r in star.collect()}
+    assert star_m == simple
+    assert rounds <= 10  # 60-chain: log-rounds, not 60
