@@ -179,6 +179,44 @@ def system_columns_introspection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "system_parts_columns_stats",
+    oracle="""
+    SELECT path_in_schema AS column,
+           CAST(SUM(num_values) AS BIGINT) AS num_values,
+           CAST(SUM(stats_null_count) AS BIGINT) AS null_count
+    FROM parquet_metadata('/root/testdata/sf0.01/nation.parquet')
+    GROUP BY path_in_schema
+    ORDER BY path_in_schema
+    """,
+    tags=("system", "introspection", "parts"),
+)
+def system_parts_columns_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """system.parts_columns (reference src/Storages/System/
+    StorageSystemPartsColumns.cpp): per-column value/null counts from
+    parquet footers only — the per-part statistics MergeTree exposes —
+    cross-checked against DuckDB's independent footer reader. Metadata
+    path is O(parts), never scans data."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    meta = pq.read_metadata(os.path.join(sf_dir, "nation.parquet"))
+    acc: dict[str, list[int]] = {}
+    for rg in range(meta.num_row_groups):
+        g = meta.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            ent = acc.setdefault(col.path_in_schema, [0, 0])
+            ent[0] += int(col.num_values)
+            st = col.statistics
+            ent[1] += int(st.null_count) if st and st.null_count is not None else 0
+    rows = [(k, v[0], v[1]) for k, v in sorted(acc.items())]
+    return spark.createDataFrame(
+        rows, "column string, num_values long, null_count long"
+    ).orderBy("column")
+
+
+@register(
     "dict_range_price_tiers",
     oracle="""
     SELECT o_orderpriority,

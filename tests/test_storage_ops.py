@@ -367,3 +367,73 @@ def test_partition_detach_attach_drop(spark, tmp_path):
 
     with pytest.raises(FileNotFoundError):
         detach_partition(path, "p", 99)
+
+
+def test_system_tables_wide_surface(spark, tmp_path):
+    """The round-3 system.* batch: each table materializes with its
+    declared schema and plausible contents (reference exposes 208
+    system tables — src/Storages/System/)."""
+    from clickhouse_25_5_3_75_stable_spark.sources.layout import (
+        detach_partition,
+        write_mergetree_layout,
+    )
+    from clickhouse_25_5_3_75_stable_spark.sources.system_tables import (
+        system_aggregate_function_combinators,
+        system_build_options,
+        system_clusters,
+        system_collations,
+        system_data_type_families,
+        system_databases,
+        system_detached_parts,
+        system_disks,
+        system_formats,
+        system_parts_columns,
+        system_processes,
+        system_table_functions,
+        system_time_zones,
+    )
+
+    assert "default" in {r.name for r in system_databases(spark).collect()}
+
+    fams = {r.name: r.spark_type for r in system_data_type_families(spark).collect()}
+    assert fams["UInt64"] and fams["Array"] == "array<bigint>"
+
+    fmts = {r.name: r for r in system_formats(spark).collect()}
+    assert fmts["Parquet"].is_input == 1 and fmts["Pretty"].is_input == 0
+    assert fmts["Protobuf"].exclusion_reason  # documented exclusion
+
+    tf_names = {r.name for r in system_table_functions(spark).collect()}
+    assert {"numbers", "generate_series", "values", "merge", "view"} <= tf_names
+
+    combs = {r.name for r in system_aggregate_function_combinators(spark).collect()}
+    assert {"-If", "-State", "-Merge", "-Resample"} <= combs
+
+    colls = {r.name: r.resolves_to for r in system_collations(spark).collect()}
+    assert colls["ci"] == "UNICODE_CI" and "UTF8_BINARY" in colls
+
+    tz = system_time_zones(spark)
+    assert tz.filter(F.col("time_zone") == "UTC").count() == 1
+
+    # detached_parts reflects a real DETACH on a layout
+    df = spark.range(0, 60).selectExpr("id", "id % 2 AS p")
+    path = str(tmp_path / "layout")
+    write_mergetree_layout(df, path, order_by=["id"], partition_by=["p"])
+    assert system_detached_parts(spark, path).count() == 0
+    detach_partition(path, "p", 1)
+    det = system_detached_parts(spark, path).collect()
+    assert len(det) == 1 and det[0].partition == "p=1" and det[0].bytes_on_disk > 0
+
+    # parts_columns reads footer stats, never data
+    pc = system_parts_columns(spark, path).collect()
+    assert any(r.column == "id" and r.null_count == 0 for r in pc)
+
+    disks = system_disks(spark).collect()
+    assert disks[0].total_space > disks[0].free_space > 0
+
+    cl = system_clusters(spark).collect()
+    assert len(cl) >= 1 and cl[0].cluster == "default"
+
+    opts = {r.name: r.value for r in system_build_options(spark).collect()}
+    assert opts["SPARK_VERSION"].startswith("4.")
+
+    assert system_processes(spark).columns == ["job_id", "status", "n_stages"]
