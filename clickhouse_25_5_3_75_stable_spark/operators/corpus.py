@@ -1,0 +1,293 @@
+"""Corpus-level training-data operators: test-set contamination
+detection, TF-IDF / BM25 term scoring, and token-budget shard packing.
+
+These are the steps an LLM data pipeline runs between raw ingestion and
+tokenization: decontaminate the training split against held-out eval
+sets (n-gram overlap, the standard published recipe), score/select
+documents (TF-IDF, BM25), and pack documents into fixed-token-budget
+training shards.
+
+Reference anchors: the n-gram machinery mirrors ClickHouse's
+wordShingle* family (/root/reference/src/Functions/
+FunctionsStringHash.cpp:587-632) and the set-overlap shape of
+ngramSearch (/root/reference/src/Functions/FunctionsStringSimilarity.cpp);
+scoring/packing have no single reference operator — they compose the
+same GROUP BY / window primitives the reference executes.
+
+Scale design (100 TB):
+- Contamination: the eval set is orders of magnitude smaller than the
+  training corpus. Its distinct shingle hashes are built once and
+  auto-broadcast when small; the train side streams through one
+  explode + hash-equi-join + per-doc count — no train-side distinct of
+  the full corpus shingle universe is ever materialized.
+- TF-IDF: two inherent shuffles (doc-term counts, term doc-frequency);
+  both are partial-aggregated map-side. The doc-frequency table is
+  vocabulary-sized (≪ corpus) and broadcast back.
+- BM25: the query is a literal array — filtering to query terms FIRST
+  (before any shuffle) cuts the exploded stream to |q| terms per doc.
+- Shard packing: a distributed two-phase prefix sum (per-bucket
+  partials -> bounded driver collect of bucket offsets -> broadcast
+  back), NOT a single-task global window. The collect is O(n_buckets)
+  rows, never O(rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from clickhouse_25_5_3_75_stable_spark.operators.text import (
+    portable_hash64,
+    tokens,
+    word_shingles_from_tokens,
+)
+
+# --------------------------------------------------------------------------
+# Test-set contamination (decontamination pass)
+# --------------------------------------------------------------------------
+
+
+def contamination_report(
+    train: DataFrame,
+    test: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    broadcast_test: bool = True,
+) -> DataFrame:
+    """Per-train-document contamination against a held-out set: the
+    number of distinct k-token shingles of the train doc that also
+    appear anywhere in the test corpus, plus the train doc's total
+    distinct shingle count. Downstream filters on
+    ``n_contaminated / n_shingles`` (or on any-hit).
+
+    Shingles compare by portable 64-bit hash — 8-byte join keys, never
+    strings, so the shuffle (if the test side is too big to broadcast)
+    moves minimal bytes."""
+    test_sh = (
+        test.select(
+            F.explode(
+                word_shingles_from_tokens(tokens(F.col(text_col)), k)
+            ).alias("sh")
+        )
+        .select(portable_hash64(F.col("sh")).alias("sh_hash"))
+        .distinct()
+    )
+    if broadcast_test:
+        test_sh = F.broadcast(test_sh)
+
+    train_sh = train.select(
+        F.col(id_col),
+        F.explode(word_shingles_from_tokens(tokens(F.col(text_col)), k)).alias("sh"),
+    ).select(F.col(id_col), portable_hash64(F.col("sh")).alias("sh_hash"))
+
+    hits = (
+        train_sh.join(test_sh, "sh_hash", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    totals = train_sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    return totals.join(hits, id_col, "left").select(
+        id_col,
+        "n_shingles",
+        F.coalesce(F.col("n_contaminated"), F.lit(0)).alias("n_contaminated"),
+    )
+
+
+# --------------------------------------------------------------------------
+# TF-IDF
+# --------------------------------------------------------------------------
+
+
+def doc_term_freq(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc, term, tf) from whitespace tokens — the base relation for
+    every scoring scheme below. One explode + one partial-aggregated
+    groupBy."""
+    return (
+        df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def tfidf_scores(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """TF-IDF per (doc, term): ``tf * ln(N / df)`` (raw-count tf,
+    plain idf). N and df are exact counts, so the only float op is the
+    final ln — round before any cross-engine hash compare."""
+    tf = doc_term_freq(df, id_col, text_col)
+    n_docs = df.agg(F.count_distinct(F.col(id_col)).alias("n"))
+    dfreq = tf.groupBy("term").agg(F.count_distinct(F.col(id_col)).alias("df"))
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            "term",
+            "tf",
+            "df",
+            (F.col("tf") * F.log(F.col("n").cast("double") / F.col("df"))).alias(
+                "score"
+            ),
+        )
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    top_k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k TF-IDF terms per document, ties broken by term text —
+    fully deterministic. Window partitions by doc (parallel)."""
+    scored = tfidf_scores(df, id_col, text_col)
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(id_col, "rank", "term", "tf", "df", "score")
+    )
+
+
+# --------------------------------------------------------------------------
+# BM25
+# --------------------------------------------------------------------------
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 of a literal query against every document.
+
+    ``score(D) = Σ_q idf(q) · tf(q,D)·(k1+1) / (tf + k1·(1−b+b·|D|/avgdl))``
+    with ``idf = ln(1 + (N−df+0.5)/(df+0.5))``.
+
+    The exploded stream is filtered to the query's terms BEFORE the
+    doc-term aggregation, so the shuffle carries ≤|q| rows per doc
+    regardless of vocabulary size. avgdl is computed as exact
+    token-count sum / N (one scalar row, broadcast)."""
+    toks = df.select(
+        F.col(id_col),
+        tokens(F.col(text_col)).alias("__toks"),
+    ).select(
+        F.col(id_col),
+        F.size(F.col("__toks")).alias("dl"),
+        F.col("__toks"),
+    )
+    stats = toks.agg(
+        F.sum("dl").alias("sum_dl"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    q = [t for t in query_terms]
+    tf = (
+        toks.select(F.col(id_col), F.col("dl"), F.explode("__toks").alias("term"))
+        .filter(F.col("term").isin(q))
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count_distinct(F.col(id_col)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col(id_col),
+            "term",
+            (
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                )
+                * (F.col("tf") * (F.lit(k1) + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (
+                        F.lit(1.0)
+                        - F.lit(b)
+                        + F.lit(b)
+                        * F.col("dl").cast("double")
+                        * F.col("n_docs").cast("double")
+                        / F.col("sum_dl").cast("double")
+                    )
+                )
+            ).alias("term_score"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.sum("term_score").alias("bm25"),
+        F.count(F.lit(1)).alias("n_query_terms_hit"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Token-budget shard packing (distributed prefix sum)
+# --------------------------------------------------------------------------
+
+
+def pack_token_shards(
+    df: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    weight_col: str = "n_tokens",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Assign each document a training-shard id so shards fill
+    sequentially (in ``id_col`` order) to ~``budget`` weight:
+    ``shard_id = floor(exclusive_prefix_sum(weight) / budget)``.
+
+    The prefix sum is the textbook two-phase distributed form: docs
+    land in ``n_buckets`` contiguous ranges (ntile over the id order is
+    avoided — bucket = dense id ranges via range-partitioned ranks is
+    itself a prefix problem, so buckets come from a plain global sort's
+    partition boundaries): per-bucket totals are collected to the
+    driver (n_buckets rows — bounded), turned into bucket base offsets,
+    broadcast back, and each bucket computes its intra-bucket cumsum
+    independently. No single-task global window anywhere."""
+    spark = df.sparkSession
+    # contiguous buckets in id order: range-partition by id, tag with
+    # the partition id (sorted ranges => partition ids are ordered)
+    ranged = df.select(id_col, weight_col).repartitionByRange(
+        n_buckets, F.col(id_col)
+    )
+    tagged = ranged.withColumn("__bucket", F.spark_partition_id())
+    per_bucket = (
+        tagged.groupBy("__bucket").agg(F.sum(weight_col).alias("__total"))
+    ).collect()  # bounded: n_buckets rows
+    per_bucket.sort(key=lambda r: r["__bucket"])
+    offsets, running = {}, 0
+    for r in per_bucket:
+        offsets[r["__bucket"]] = running
+        running += r["__total"]
+    off_df = F.broadcast(
+        spark.createDataFrame(
+            [(b, o) for b, o in offsets.items()], "__bucket int, __offset long"
+        )
+    )
+    w = Window.partitionBy("__bucket").orderBy(id_col)
+    return (
+        tagged.join(off_df, "__bucket")
+        .withColumn(
+            "__cum_excl",
+            F.col("__offset")
+            + F.coalesce(
+                F.sum(weight_col).over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select(
+            id_col,
+            F.col(weight_col),
+            F.floor(F.col("__cum_excl") / F.lit(budget)).alias("shard_id"),
+        )
+    )

@@ -1470,3 +1470,4 @@ from clickhouse_25_5_3_75_stable_spark import queries_func_extras2 as _queries_f
 from clickhouse_25_5_3_75_stable_spark import queries_chsql as _queries_chsql  # noqa: E402,F401
 from clickhouse_25_5_3_75_stable_spark import queries_storage as _queries_storage  # noqa: E402,F401
 from clickhouse_25_5_3_75_stable_spark import queries_func_extras3 as _queries_func_extras3  # noqa: E402,F401
+from clickhouse_25_5_3_75_stable_spark import queries_corpus as _queries_corpus  # noqa: E402,F401

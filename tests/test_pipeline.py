@@ -253,3 +253,71 @@ def test_connected_components_star_matches_simple(spark):
     star_m = {r.node: r.component for r in star.collect()}
     assert star_m == simple
     assert rounds <= 10  # 60-chain: log-rounds, not 60
+
+
+def test_contamination_report_semantics(spark):
+    from clickhouse_25_5_3_75_stable_spark.operators.corpus import (
+        contamination_report,
+    )
+
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps high"),      # shares "the quick brown"
+            (2, "totally disjoint words only here now"),
+            (3, "quick brown fox runs away fast"),      # shares "quick brown fox"
+        ],
+        "doc_id long, text string",
+    )
+    test = spark.createDataFrame(
+        [(100, "the quick brown fox sat")], "doc_id long, text string"
+    )
+    rep = {r.doc_id: r for r in contamination_report(train, test, k=3).collect()}
+    assert rep[1].n_contaminated == 2  # "the quick brown", "quick brown fox"
+    assert rep[2].n_contaminated == 0
+    assert rep[3].n_contaminated == 1  # "quick brown fox"
+    assert rep[1].n_shingles == 4
+
+
+def test_pack_token_shards_budget_and_order(spark):
+    from clickhouse_25_5_3_75_stable_spark.operators.corpus import pack_token_shards
+
+    df = spark.createDataFrame(
+        [(i, 10) for i in range(100)], "doc_id long, n_tokens long"
+    )
+    out = pack_token_shards(df, budget=100, n_buckets=7).collect()
+    by_doc = {r.doc_id: r.shard_id for r in out}
+    # 10 tokens/doc, 100/shard -> exactly 10 docs per shard, in order
+    assert by_doc[0] == 0 and by_doc[9] == 0 and by_doc[10] == 1
+    assert by_doc[99] == 9
+    # shard ids are monotone in doc order (sequential fill)
+    ordered = [by_doc[i] for i in range(100)]
+    assert ordered == sorted(ordered)
+
+
+def test_bm25_prefers_rarer_terms(spark):
+    from clickhouse_25_5_3_75_stable_spark.operators.corpus import bm25_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common common common rare"),
+            (2, "common common common common"),
+            (3, "common other words here"),
+        ],
+        "doc_id long, text string",
+    )
+    scores = {r.doc_id: r.bm25 for r in bm25_scores(docs, ["rare"]).collect()}
+    assert set(scores) == {1} and scores[1] > 0  # only doc 1 hits 'rare'
+
+
+def test_tfidf_zero_for_ubiquitous_terms(spark):
+    from clickhouse_25_5_3_75_stable_spark.operators.corpus import tfidf_scores
+
+    docs = spark.createDataFrame(
+        [(1, "apple banana"), (2, "apple cherry"), (3, "apple date")],
+        "doc_id long, text string",
+    )
+    rows = tfidf_scores(docs).collect()
+    apple = [r for r in rows if r.term == "apple"]
+    assert all(abs(r.score) < 1e-12 for r in apple)  # idf = ln(3/3) = 0
+    banana = [r for r in rows if r.term == "banana"]
+    assert banana[0].score > 0
