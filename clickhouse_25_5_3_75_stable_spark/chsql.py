@@ -112,7 +112,7 @@ _RENAMES = {
     "empty": "empty__",
     "notempty": "notempty__",
     "ifnull": "ifnull",
-    "assumenotnull": "assert_true__nocover",  # refuse below
+    "assumenotnull": "identity__",  # type assertion — no-op on Spark
     "intdiv": "div__",
     "modulo": "pmod__nocover",
     "plus": "plus__nocover",
@@ -137,6 +137,99 @@ _RENAMES = {
     "splitbystring": "splitbystring__",
     "range": "range__",
     "arrayenumerate": "arrayenumerate__",
+    # round-3 widening: array / string / agg / date names that died at
+    # Spark analysis as UNRESOLVED_ROUTINE despite having exact Spark
+    # equivalents
+    "has": "array_contains",
+    "hasany": "arrays_overlap",
+    "hasall": "hasall__",
+    "indexof": "array_position",
+    "countequal": "countequal__",
+    "arraydistinct": "array_distinct",
+    "arrayreverse": "reverse",
+    "arrayflatten": "flatten",
+    "arrayzip": "arrays_zip",
+    "arrayconcat": "concat",
+    "arrayslice": "arrayslice__",
+    "arraypushback": "array_append",
+    "arraypushfront": "array_prepend",
+    "arraypopback": "arraypopback__",
+    "arraypopfront": "arraypopfront__",
+    "arraystringconcat": "arraystringconcat__",
+    "arrayuniq": "arrayuniq__",
+    "arrayintersect": "array_intersect",
+    "arraysort": "arraysort__",
+    "arrayreversesort": "arrayreversesort__",
+    "arraymin": "array_min",
+    "arraymax": "array_max",
+    "extractall": "extractall__",
+    "extract": "extract__",
+    "replaceall": "replace",
+    "replaceregexpall": "regexp_replace",
+    "lowerutf8": "lower",
+    "upperutf8": "upper",
+    "substringutf8": "substring",
+    "positionutf8": "locate",
+    "trimboth": "trim",
+    "trimleft": "ltrim",
+    "trimright": "rtrim",
+    "leftpad": "lpad",
+    "rightpad": "rpad",
+    "uniqexact": "uniqexact__",
+    "anyheavy": "mode",
+    "stddevpop": "stddev_pop",
+    "stddevsamp": "stddev_samp",
+    "varpop": "var_pop",
+    "varsamp": "var_samp",
+    "covarpop": "covar_pop",
+    "covarsamp": "covar_samp",
+    "groupbitand": "bit_and",
+    "groupbitor": "bit_or",
+    "groupbitxor": "bit_xor",
+    "log": "ln",
+    "exp2": "exp2__",
+    "exp10": "exp10__",
+    "intexp2": "exp2__",
+    "intexp10": "exp10__",
+    "cbrt": "cbrt",
+    "tolowcardinality": "identity__",
+    "tonullable": "identity__",
+    "materialize": "identity__",
+    "isnull": "isnull__",
+    "isnotnull": "isnotnull__",
+    "toyyyymm": "toyyyymm__",
+    "toyyyymmdd": "toyyyymmdd__",
+    "todayofweek": "todayofweek__",
+    "adddays": "date_add",
+    "subtractdays": "date_sub",
+    "addmonths": "add_months",
+    "addweeks": "addweeks__",
+    "addhours": "addhours__",
+    "addminutes": "addminutes__",
+    "addseconds": "addseconds__",
+    "addyears": "addyears__",
+    "subtracthours": "subtracthours__",
+    "subtractminutes": "subtractminutes__",
+    "subtractseconds": "subtractseconds__",
+    "tuple": "tuple__",
+    "tupleelement": "tupleelement__",
+    "tostartofinterval": "tostartofinterval__",
+    "tostartoffiveminutes": "tostartoffiveminutes__",
+    "tostartoftenminutes": "tostartoftenminutes__",
+    "tostartoffifteenminutes": "tostartoffifteenminutes__",
+}
+
+# Lambda-first higher-order functions: CH puts the lambda FIRST
+# (arrayMap(x -> ..., arr)), Spark puts it LAST (transform(arr, f)).
+# Two array args map to zip_with.
+_HOF_SWAP = {
+    "arraymap": "transform",
+    "arrayfilter": "filter",
+    "arrayexists": "exists",
+    "arrayall": "forall",
+    "arraycount": "arraycount__",
+    "arrayfirst": "arrayfirst__",
+    "arrayfirstindex": "arrayfirstindex__",
 }
 
 # CAST targets for the to<Type>[OrNull|OrZero] conversion family
@@ -190,8 +283,13 @@ _REFUSED = {
     "sequencecount",
     "windowfunnel",
     "retention",
-    "assumenotnull",
     "dictget",
+    # map-merging aggregates need an explode+groupBy reshape, not a
+    # scalar SQL call — operators/ has the DataFrame form
+    "summap",
+    "minmap",
+    "maxmap",
+    "untuple",
 }
 
 
@@ -475,6 +573,69 @@ def _rewrite_limit_by(toks: list[str]) -> list[str]:
 # ---------------------------------------------------------------------------
 
 
+_EXTRACT_UNITS = {
+    "YEAR", "QUARTER", "MONTH", "WEEK", "DAY", "HOUR", "MINUTE", "SECOND",
+    "DAYOFWEEK", "DOW", "DAYOFYEAR", "DOY", "EPOCH",
+}
+
+# add<Unit>/subtract<Unit> → timestampadd(UNIT, ±n, ts)
+_TIMESTAMPADD = {
+    "addyears__": ("YEAR", 1),
+    "addweeks__": ("WEEK", 1),
+    "addhours__": ("HOUR", 1),
+    "addminutes__": ("MINUTE", 1),
+    "addseconds__": ("SECOND", 1),
+    "subtracthours__": ("HOUR", -1),
+    "subtractminutes__": ("MINUTE", -1),
+    "subtractseconds__": ("SECOND", -1),
+}
+
+_INTERVAL_SECONDS = {
+    "SECOND": 1, "SECONDS": 1,
+    "MINUTE": 60, "MINUTES": 60,
+    "HOUR": 3600, "HOURS": 3600,
+    "DAY": 86400, "DAYS": 86400,
+    "WEEK": 604800, "WEEKS": 604800,
+}
+
+
+def _regex_group_idx(pat_toks: list[str]) -> str:
+    """CH extract/extractAll return capture group 1 when the pattern
+    has one, else the whole match. Decidable only for literal
+    patterns; non-literals default to the whole match (group 0)."""
+    if len(pat_toks) == 1 and pat_toks[0].startswith("'"):
+        body = pat_toks[0][1:-1]
+        # an unescaped '(' not starting a non-capturing group
+        has_group = re.search(r"(?<!\\)\((?!\?)", body) is not None
+        return "1" if has_group else "0"
+    return "0"
+
+
+def _interval_floor(ts: list[str], interval: list[str], fn: str) -> list[str]:
+    """toStartOfInterval(ts, INTERVAL n unit) → epoch-floor formula
+    (second-precision, matching the reference's DateTime semantics).
+    Calendar units (MONTH/YEAR) are date_trunc-only and refused for
+    n != 1."""
+    iv = [t for t in interval if t.upper() != "INTERVAL"]
+    if len(iv) != 2 or not iv[0].isdigit():
+        raise ChSqlError(f"{fn}: expected INTERVAL <n> <unit>")
+    n, unit = int(iv[0]), iv[1].upper()
+    if unit in ("MONTH", "MONTHS", "QUARTER", "YEAR", "YEARS"):
+        if n != 1:
+            raise ChSqlError(f"{fn}: calendar intervals support n=1 only")
+        u = {"MONTH": "month", "MONTHS": "month", "QUARTER": "quarter",
+             "YEAR": "year", "YEARS": "year"}[unit]
+        return ["date_trunc", "(", f"'{u}'", ",", *ts, ")"]
+    if unit not in _INTERVAL_SECONDS:
+        raise ChSqlError(f"{fn}: unsupported interval unit {unit}")
+    s = n * _INTERVAL_SECONDS[unit]
+    return [
+        "timestamp_seconds", "(",
+        "CAST", "(", "floor", "(", "unix_timestamp", "(", *ts, ")", "/",
+        str(s), ")", "AS", "BIGINT", ")", "*", str(s), ")",
+    ]
+
+
 def _match_call(toks: list[str], i: int) -> bool:
     return (
         i + 1 < len(toks)
@@ -591,6 +752,48 @@ def _rewrite_functions(toks: list[str]) -> list[str]:
             i = close_i + 1
             continue
 
+        # lambda-first HOFs: CH arrayMap(f, a[, b]) → Spark
+        # transform(a, f) / zip_with(a, b, f)
+        if low in _HOF_SWAP or low == "arraysum":
+            has_lambda = bool(args) and "->" in args[0]
+            if low == "arraysum":
+                # arraySum([f,] arr) → aggregate over DOUBLE (the one
+                # deliberate type widening in the shim, documented)
+                arr = args[1] if has_lambda else args[0]
+                if has_lambda:
+                    # aggregate(transform(arr, f), 0D, (s,x)->s+x)
+                    out += ["aggregate", "(", "transform", "(", *arr, ",", *args[0],
+                            ")", ",", "CAST", "(", "0", "AS", "DOUBLE", ")", ",",
+                            "(", "s", ",", "x", ")", "->", "s", "+", "x", ")"]
+                else:
+                    out += ["aggregate", "(", *arr, ",",
+                            "CAST", "(", "0", "AS", "DOUBLE", ")", ",",
+                            "(", "s", ",", "x", ")", "->", "s", "+", "x", ")"]
+                i = close_i + 1
+                continue
+            if not has_lambda:
+                raise ChSqlError(f"{tk}: expected a lambda as the first argument")
+            spark_name = _HOF_SWAP[low]
+            if spark_name == "arraycount__":
+                out += ["size", "(", "filter", "(", *args[1], ",", *args[0], ")", ")"]
+            elif spark_name == "arrayfirst__":
+                # NULL when nothing matches (CH returns the type's
+                # default value; NULL is the Spark-idiomatic analogue)
+                out += ["get", "(", "filter", "(", *args[1], ",", *args[0], ")",
+                        ",", "0", ")"]
+            elif spark_name == "arrayfirstindex__":
+                # 1-based index of the first match, 0 when none (exact
+                # CH semantics via array_position over the bool map)
+                out += ["CAST", "(", "coalesce", "(", "array_position", "(",
+                        "transform", "(", *args[1], ",", *args[0], ")", ",",
+                        "true", ")", ",", "0", ")", "AS", "INT", ")"]
+            elif len(args) == 3:
+                out += ["zip_with", "(", *args[1], ",", *args[2], ",", *args[0], ")"]
+            else:
+                out += [spark_name, "(", *args[1], ",", *args[0], ")"]
+            i = close_i + 1
+            continue
+
         new = _RENAMES.get(low)
         if new is None:
             out += [tk, "("]
@@ -639,6 +842,114 @@ def _rewrite_functions(toks: list[str]) -> list[str]:
         elif new == "arrayenumerate__":
             # arrayEnumerate(arr) = [1..len(arr)]
             out += ["sequence", "(", "1", ",", "size", "(", *args[0], ")", ")"]
+        elif new == "identity__":  # type-annotation no-ops
+            out += ["(", *args[0], ")"]
+        elif new == "isnull__":
+            out += ["(", "(", *args[0], ")", "IS", "NULL", ")"]
+        elif new == "isnotnull__":
+            out += ["(", "(", *args[0], ")", "IS", "NOT", "NULL", ")"]
+        elif new == "hasall__":  # hasAll(a, b): every elem of b in a
+            out += ["(", "size", "(", "array_except", "(", *args[1], ",",
+                    *args[0], ")", ")", "=", "0", ")"]
+        elif new == "countequal__":  # countEqual(a, v)
+            out += ["size", "(", "filter", "(", *args[0], ",",
+                    "x", "->", "x", "=", "(", *args[1], ")", ")", ")"]
+        elif new == "arrayuniq__":
+            out += ["size", "(", "array_distinct", "(", *args[0], ")", ")"]
+        elif new == "arrayslice__":  # same 1-based semantics as slice
+            out += ["slice", "("]
+            for k, a in enumerate(args):
+                if k:
+                    out.append(",")
+                out += a
+            out.append(")")
+        elif new == "arraypopback__":
+            out += ["slice", "(", *args[0], ",", "1", ",",
+                    "greatest", "(", "size", "(", *args[0], ")", "-", "1", ",",
+                    "0", ")", ")"]
+        elif new == "arraypopfront__":
+            out += ["slice", "(", *args[0], ",", "2", ",",
+                    "greatest", "(", "size", "(", *args[0], ")", "-", "1", ",",
+                    "0", ")", ")"]
+        elif new == "arraystringconcat__":
+            sep = args[1] if len(args) > 1 else ["''"]
+            out += ["array_join", "(", *args[0], ",", *sep, ")"]
+        elif new in ("arraysort__", "arrayreversesort__"):
+            if "->" in args[0]:
+                raise ChSqlError(
+                    f"{tk}: lambda keys need the DataFrame builder "
+                    "(sort by transform + arrays_zip)"
+                )
+            out += ["sort_array", "(", *args[0]]
+            out += [",", "false", ")"] if new == "arrayreversesort__" else [")"]
+        elif new == "extract__":
+            # standard SQL EXTRACT(unit FROM x) must pass through
+            if any(a and a[0].upper() in _EXTRACT_UNITS for a in args[:1]) and any(
+                t.upper() == "FROM" for t in args[0]
+            ):
+                out += ["extract", "("]
+                for k, a in enumerate(args):
+                    if k:
+                        out.append(",")
+                    out += a
+                out.append(")")
+            else:  # CH extract(haystack, pattern): first regex match
+                out += ["regexp_extract", "(", *args[0], ",", *args[1], ",",
+                        _regex_group_idx(args[1]), ")"]
+        elif new == "extractall__":
+            out += ["regexp_extract_all", "(", *args[0], ",", *args[1], ",",
+                    _regex_group_idx(args[1]), ")"]
+        elif new == "uniqexact__":
+            out += ["count", "(", "DISTINCT"]
+            for k, a in enumerate(args):
+                if k:
+                    out.append(",")
+                out += a
+            out.append(")")
+        elif new == "exp2__":
+            out += ["power", "(", "2", ",", *args[0], ")"]
+        elif new == "exp10__":
+            out += ["power", "(", "10", ",", *args[0], ")"]
+        elif new == "toyyyymm__":
+            out += ["CAST", "(", "date_format", "(", *args[0], ",", "'yyyyMM'",
+                    ")", "AS", "INT", ")"]
+        elif new == "toyyyymmdd__":
+            out += ["CAST", "(", "date_format", "(", *args[0], ",", "'yyyyMMdd'",
+                    ")", "AS", "INT", ")"]
+        elif new == "todayofweek__":
+            # CH: Monday=1..Sunday=7; Spark dayofweek: Sunday=1
+            out += ["(", "(", "(", "dayofweek", "(", *args[0], ")", "+", "5",
+                    ")", "%", "7", ")", "+", "1", ")"]
+        elif new in _TIMESTAMPADD:
+            unit, sign = _TIMESTAMPADD[new]
+            n = args[1]
+            qty = list(n) if sign > 0 else ["-", "(", *n, ")"]
+            out += ["timestampadd", "(", unit, ",", *qty, ",", *args[0], ")"]
+        elif new == "tuple__":
+            # positional tuple: named_struct('_1', a1, ...) so CH .N /
+            # tupleElement(t, N) access maps to field _N
+            out += ["named_struct", "("]
+            for k, a in enumerate(args):
+                if k:
+                    out.append(",")
+                out += [f"'_{k + 1}'", ","] + a
+            out.append(")")
+        elif new == "tupleelement__":
+            sel = args[1]
+            if len(sel) == 1 and sel[0].isdigit():
+                out += ["(", *args[0], ")", f"._{sel[0]}"]
+            elif len(sel) == 1 and sel[0].startswith("'"):
+                out += ["(", *args[0], ")", f".{sel[0][1:-1]}"]
+            else:
+                raise ChSqlError("tupleElement: index must be a literal")
+        elif new == "tostartofinterval__":
+            out += _interval_floor(args[0], args[1], tk)
+        elif new == "tostartoffiveminutes__":
+            out += _interval_floor(args[0], ["INTERVAL", "5", "MINUTE"], tk)
+        elif new == "tostartoftenminutes__":
+            out += _interval_floor(args[0], ["INTERVAL", "10", "MINUTE"], tk)
+        elif new == "tostartoffifteenminutes__":
+            out += _interval_floor(args[0], ["INTERVAL", "15", "MINUTE"], tk)
         elif new.endswith("__nocover"):
             raise ChSqlError(f"{tk}: not translatable 1:1")
         else:
@@ -813,10 +1124,15 @@ def _rewrite_array_join(toks: list[str]) -> list[str]:
                 + [")", "_aj0", "AS", "__aj_pos", ",", a0]
             )
             for k, (e, a) in enumerate(resolved[1:], start=1):
+                # try_element_at is 1-based; posexplode's position is
+                # 0-based — +1 keeps lockstep (and survives the
+                # subscript pass, which rewrites [ ] the same way)
                 out += (
-                    ["LATERAL", "VIEW", *outer, "explode", "(", "array", "(", "("]
+                    ["LATERAL", "VIEW", *outer, "explode", "(", "array", "(",
+                     "try_element_at", "(", "("]
                     + e
-                    + [")", "[", "__aj_pos", "]", ")", ")", f"_aj{k}", "AS", a]
+                    + [")", ",", "__aj_pos", "+", "1", ")", ")", ")",
+                       f"_aj{k}", "AS", a]
                 )
     return out
 
@@ -915,6 +1231,167 @@ def _strip_modifiers(toks: list[str]) -> list[str]:
     return out
 
 
+_EXPR_BOUNDARY = {
+    "SELECT", "FROM", "WHERE", "PREWHERE", "HAVING", "QUALIFY", "THEN",
+    "WHEN", "ELSE", "BY", "ON", "AS", "SETTINGS", "LIMIT", "RETURN",
+    "(", ",", "[",
+}
+
+
+def _primary_start(out: list[str]) -> int:
+    """Index in ``out`` where the trailing primary expression begins —
+    an identifier/dot chain, call, or bracketed group (used to wrap a
+    subscripted expression into try_element_at)."""
+    i = len(out)
+    while True:
+        j = i - 1
+        if j < 0:
+            break
+        tk = out[j]
+        if tk == ")":
+            d = 0
+            while j >= 0:
+                if out[j] == ")":
+                    d += 1
+                elif out[j] == "(":
+                    d -= 1
+                    if d == 0:
+                        break
+                j -= 1
+            if (
+                j > 0
+                and re.fullmatch(r"[A-Za-z_]\w*", out[j - 1] or "")
+                and out[j - 1].upper() not in _KEYWORDISH
+                and out[j - 1].upper() not in _EXPR_BOUNDARY
+            ):
+                j -= 1  # call: include the function name
+            i = j
+        elif re.fullmatch(r"[A-Za-z_]\w*", tk) or tk.startswith("`"):
+            i = j
+        else:
+            break
+        if i > 0 and out[i - 1] == ".":
+            i -= 1
+            continue
+        break
+    return i
+
+
+def _rewrite_array_literals(toks: list[str]) -> list[str]:
+    """CH ``[e1, e2, ...]`` array literals → ``array(e1, e2, ...)``,
+    and CH subscripts ``x[i]`` → ``try_element_at(x, i)`` — CH arrays
+    are 1-BASED while Spark's native ``[i]`` is 0-based, so passing
+    subscripts through would silently shift every element (the
+    reference returns the type default out of range; try_element_at's
+    NULL is the Spark-idiomatic analogue). Map subscripts get the same
+    rewrite (try_element_at works on both)."""
+    out: list[str] = []
+    stack: list[bool] = []  # True = literal array(); False = subscript
+    for tk in toks:
+        if tk == "[":
+            prev = out[-1] if out else ""
+            is_index = prev == ")" or (
+                prev.upper() not in _EXPR_BOUNDARY
+                and prev not in ("", "?", ":")
+                and not prev.upper() in _KEYWORDISH
+                and (prev[:1].isalnum() or prev[:1] in "_`")
+            )
+            stack.append(not is_index)
+            if is_index:
+                p = _primary_start(out)
+                expr = out[p:]
+                del out[p:]
+                out += ["try_element_at", "(", *expr, ","]
+            else:
+                out += ["array", "("]
+        elif tk == "]":
+            if not stack:
+                raise ChSqlError("unbalanced ']'")
+            stack.pop()
+            out.append(")")
+        else:
+            out.append(tk)
+    return out
+
+
+def _rewrite_ternary(toks: list[str]) -> list[str]:
+    """CH ``cond ? a : b`` → ``if(cond, a, b)``. Ternary binds loosest
+    (C-style), so the condition extends left and the else-branch right
+    to the nearest same-depth expression boundary."""
+    def depth_at(ts: list[str]) -> list[int]:
+        ds, d = [], 0
+        for t in ts:
+            if t in ("(", "["):
+                d += 1
+            ds.append(d)
+            if t in (")", "]"):
+                d -= 1
+        return ds
+
+    guard = 0
+    while "?" in toks:
+        guard += 1
+        if guard > 100:
+            raise ChSqlError("ternary rewrite did not converge")
+        ds = depth_at(toks)
+        q = toks.index("?")
+        dq = ds[q]
+        # matching ':' at the same depth, skipping nested '?'
+        nest, colon = 0, -1
+        for j in range(q + 1, len(toks)):
+            if ds[j] != dq:
+                continue
+            if toks[j] == "?":
+                nest += 1
+            elif toks[j] == ":":
+                if nest == 0:
+                    colon = j
+                    break
+                nest -= 1
+        if colon < 0:
+            raise ChSqlError("'?' without matching ':'")
+        # condition start: nearest boundary to the left at this depth
+        start = 0
+        for j in range(q - 1, -1, -1):
+            if ds[j] < dq or (ds[j] == dq and toks[j].upper() in _EXPR_BOUNDARY):
+                start = j + 1
+                break
+        # else end: nearest boundary to the right of ':' at this depth
+        end = len(toks)
+        for j in range(colon + 1, len(toks)):
+            if ds[j] < dq or (
+                ds[j] == dq
+                and (toks[j] == ","
+                     or (toks[j].upper() in _EXPR_BOUNDARY and toks[j] != "("))
+            ):
+                end = j
+                break
+        cond, then, els = toks[start:q], toks[q + 1:colon], toks[colon + 1:end]
+        if not cond or not then or not els:
+            raise ChSqlError("malformed ternary expression")
+        toks = (
+            toks[:start]
+            + ["if", "(", *cond, ",", *then, ",", *els, ")"]
+            + toks[end:]
+        )
+    return toks
+
+
+def _rewrite_tuple_access(toks: list[str]) -> list[str]:
+    """CH positional tuple access ``t.1`` (lexed as the number token
+    ``.1``) → ``._1``, matching the named_struct('_1', ...) fields the
+    tuple() rewrite emits."""
+    out: list[str] = []
+    for tk in toks:
+        if re.fullmatch(r"\.\d+", tk) and out and (
+            out[-1] == ")" or out[-1][:1].isalpha() or out[-1][:1] == "_"
+        ):
+            out += [".", "_" + tk[1:]]
+        else:
+            out.append(tk)
+    return out
+
+
 def ch_sql_to_spark(sql: str) -> str:
     """Translate a ClickHouse-dialect SELECT into Spark SQL text."""
     toks = _tokenize(sql)
@@ -930,7 +1407,13 @@ def ch_sql_to_spark(sql: str) -> str:
     toks = _rewrite_qualify(toks)
     toks = _rewrite_array_join(toks)
     toks = _rewrite_date_preimage(toks)
+    # array literals FIRST: they become array(...) calls so the
+    # paren-depth arg splitter in the passes below sees real calls,
+    # not bare commas inside [ ]
+    toks = _rewrite_array_literals(toks)
+    toks = _rewrite_ternary(toks)
     toks = _rewrite_functions(toks)
+    toks = _rewrite_tuple_access(toks)
     # cosmetic join
     out = []
     for k, tk in enumerate(toks):
@@ -947,7 +1430,33 @@ def ch_sql(spark, sql: str, sf_dir: str | None = None):
         from clickhouse_25_5_3_75_stable_spark.sources.catalog import register_views
 
         register_views(spark, sf_dir)
-    return spark.sql(ch_sql_to_spark(sql))
+    translated = ch_sql_to_spark(sql)
+    try:
+        return spark.sql(translated)
+    except Exception as e:  # upgrade unresolved CH names to a useful error
+        msg = str(e)
+        if "UNRESOLVED_ROUTINE" in msg:
+            m = re.search(r"Cannot resolve routine `([^`]+)`", msg)
+            name = m.group(1) if m else "?"
+            from clickhouse_25_5_3_75_stable_spark.functions.dialect import (
+                CH_FUNCTIONS as _D1,
+            )
+            from clickhouse_25_5_3_75_stable_spark.functions.dialect_extras import (
+                CH_FUNCTIONS as _D2,
+            )
+
+            from clickhouse_25_5_3_75_stable_spark.functions.aggregates import (
+                supported_aggregates,
+            )
+
+            if name in _D1 or name in _D2 or name in supported_aggregates():
+                raise ChSqlError(
+                    f"{name}: implemented as a DataFrame expression "
+                    f"(functions.dialect ch / functions.aggregates ch_agg) but "
+                    "has no SQL-text translation yet — use the DataFrame API "
+                    "for this query"
+                ) from e
+        raise
 
 
 def ch_explain(spark, sql: str, mode: str = "PLAN") -> str:

@@ -82,16 +82,16 @@ def contamination_report(
         F.explode(word_shingles_from_tokens(tokens(F.col(text_col)), k)).alias("sh"),
     ).select(F.col(id_col), portable_hash64(F.col("sh")).alias("sh_hash"))
 
-    hits = (
-        train_sh.join(test_sh, "sh_hash", "left_semi")
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    # One pass over the exploded train stream: mark each shingle by a
+    # left join against the (distinct) test hashes, then a single
+    # count/count-hits aggregation — the train corpus is tokenized and
+    # hashed exactly once, not once per output column.
+    marked = train_sh.join(
+        test_sh.withColumn("__hit", F.lit(1)), "sh_hash", "left"
     )
-    totals = train_sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
-    return totals.join(hits, id_col, "left").select(
-        id_col,
-        "n_shingles",
-        F.coalesce(F.col("n_contaminated"), F.lit(0)).alias("n_contaminated"),
+    return marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_contaminated"),
     )
 
 
@@ -254,11 +254,16 @@ def pack_token_shards(
     independently. No single-task global window anywhere."""
     spark = df.sparkSession
     # contiguous buckets in id order: range-partition by id, tag with
-    # the partition id (sorted ranges => partition ids are ordered)
+    # the partition id (sorted ranges => partition ids are ordered).
+    # Persisted because three passes consume it (range sampling,
+    # per-bucket totals, final cumsum) — the relation is only
+    # (id, weight), tiny relative to the documents it came from, and
+    # at cluster scale this is exactly the "checkpoint the weights"
+    # step a production packer runs.
     ranged = df.select(id_col, weight_col).repartitionByRange(
         n_buckets, F.col(id_col)
     )
-    tagged = ranged.withColumn("__bucket", F.spark_partition_id())
+    tagged = ranged.withColumn("__bucket", F.spark_partition_id()).persist()
     per_bucket = (
         tagged.groupBy("__bucket").agg(F.sum(weight_col).alias("__total"))
     ).collect()  # bounded: n_buckets rows

@@ -128,3 +128,41 @@ def chsql_multi_array_join_collate(spark: SparkSession, sf_dir: str) -> DataFram
         """,
         sf_dir,
     )
+
+
+@register(
+    "chsql_ternary_array_tuple",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_quantity > 25 THEN 'high' ELSE 'low' END AS qty_band,
+           CAST(6 * l_quantity AS DOUBLE) AS weighted,
+           CASE WHEN l_linenumber < 2 THEN 2
+                WHEN l_linenumber < 4 THEN 4
+                WHEN l_linenumber < 6 THEN 6 END AS first_gt,
+           l_returnflag AS rf
+    FROM lineitem
+    WHERE l_orderkey < 100
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    tags=("chsql", "ternary", "array_literal", "tuple"),
+)
+def chsql_ternary_array_tuple(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-3 SQL-shim surface in one CH statement: C-style ternary,
+    ``[...]`` array literals (1-based subscripts via try_element_at),
+    lambda-first HOFs (arraySum/arrayFirst with the CH argument
+    order), and positional tuple access — all transpiled, executed by
+    Catalyst, and cross-checked against the closed-form oracle."""
+    return ch_sql(
+        spark,
+        """
+        SELECT l_orderkey, l_linenumber,
+               l_quantity > 25 ? 'high' : 'low' AS qty_band,
+               arraySum(x -> x * l_quantity, [1, 2, 3]) AS weighted,
+               arrayFirst(x -> x > l_linenumber, [2, 4, 6]) AS first_gt,
+               tuple(l_returnflag, l_linestatus).1 AS rf
+        FROM lineitem
+        WHERE l_orderkey < 100
+        ORDER BY l_orderkey, l_linenumber
+        """,
+        sf_dir,
+    )

@@ -310,3 +310,88 @@ def test_with_totals_rewrite(spark):
     assert "GROUPING SETS" in sql.upper()
     rows = {r.k: r.s for r in spark.sql(sql).collect()}
     assert rows == {"a": 3, "b": 10, None: 13}  # NULL key = totals row
+
+
+def test_array_literals_and_hof_swap(spark):
+    assert ch_sql(spark, "SELECT arrayMap(x -> x * 2, [1,2,3]) AS d").collect()[0].d == [2, 4, 6]
+    assert ch_sql(spark, "SELECT arrayMap((x,y) -> x + y, [1,2], [10,20]) AS z").collect()[0].z == [11, 22]
+    assert ch_sql(spark, "SELECT arrayFilter(x -> x > 1, [1,2,3]) AS f").collect()[0].f == [2, 3]
+    assert ch_sql(spark, "SELECT arrayCount(x -> x > 1, [1,2,3]) AS c").collect()[0].c == 2
+    assert ch_sql(spark, "SELECT arrayFirst(x -> x > 1, [1,2,3]) AS a").collect()[0].a == 2
+    assert ch_sql(spark, "SELECT arrayFirstIndex(x -> x > 9, [1,2,3]) AS i").collect()[0].i == 0
+    assert ch_sql(spark, "SELECT arraySum([1.5, 2.5]) AS s").collect()[0].s == 4.0
+    assert ch_sql(spark, "SELECT [[1,2],[3]] AS n").collect()[0].n == [[1, 2], [3]]
+    # indexing stays indexing
+    row = ch_sql(spark, "SELECT ([5,6,7])[2] AS e").collect()[0]
+    assert row.e == 6
+
+
+def test_ternary_operator(spark):
+    r = ch_sql(spark, "SELECT 2 > 1 ? 'big' : 'small' AS z").collect()[0]
+    assert r.z == "big"
+    # ternary binds loosest: condition spans the AND
+    r = ch_sql(spark, "SELECT 1 = 1 AND 2 > 3 ? 'x' : 'y' AS z").collect()[0]
+    assert r.z == "y"
+    # nested in a function argument
+    r = ch_sql(spark, "SELECT if(true, 2 > 1 ? 'a' : 'b', 'c') AS z").collect()[0]
+    assert r.z == "a"
+
+
+def test_tuple_positional_access(spark):
+    assert ch_sql(spark, "SELECT tuple(1,'x').2 AS s").collect()[0].s == "x"
+    assert ch_sql(spark, "SELECT tupleElement(tuple('a', 5), 2) AS e").collect()[0].e == 5
+    assert ch_sql(spark, "SELECT tupleElement(named_struct('k', 9), 'k') AS v").collect()[0].v == 9
+
+
+def test_widened_function_renames(spark):
+    checks = [
+        ("SELECT uniqExact(x) AS u FROM (SELECT explode(array(1,1,2)) AS x)", "u", 2),
+        ("SELECT has([1,2], 2) AS h", "h", True),
+        ("SELECT hasAll([1,2,3], [1,2]) AS h", "h", True),
+        ("SELECT hasAny([1,2], [9,2]) AS h", "h", True),
+        ("SELECT indexOf([9,8,7], 8) AS i", "i", 2),
+        ("SELECT countEqual([1,2,2], 2) AS c", "c", 2),
+        ("SELECT arrayUniq([1,1,2]) AS c", "c", 2),
+        ("SELECT arrayPopBack([1,2,3]) AS a", "a", [1, 2]),
+        ("SELECT arrayPopFront([1,2,3]) AS a", "a", [2, 3]),
+        ("SELECT arrayStringConcat(['a','b'], '-') AS s", "s", "a-b"),
+        ("SELECT extractAll('a1b22', '\\\\d+') AS e", "e", ["1", "22"]),
+        ("SELECT extract('a1b2', '(\\\\d)') AS e", "e", "1"),
+        ("SELECT exp10(2) AS e", "e", 100.0),
+        ("SELECT isNull(NULL) AS a", "a", True),
+        ("SELECT toYYYYMM(DATE'2024-03-05') AS m", "m", 202403),
+        ("SELECT toDayOfWeek(DATE'2024-03-04') AS d", "d", 1),  # a Monday
+        ("SELECT toLowCardinality('x') AS v", "v", "x"),
+    ]
+    for sql, col, want in checks:
+        got = ch_sql(spark, sql).collect()[0][col]
+        assert got == want, f"{sql}: {got!r} != {want!r}"
+
+
+def test_interval_floor_and_timestampadd(spark):
+    r = ch_sql(
+        spark,
+        "SELECT toStartOfInterval(TIMESTAMP'2024-03-05 10:47:33', INTERVAL 15 MINUTE) AS w",
+    ).collect()[0]
+    assert str(r.w) == "2024-03-05 10:45:00"
+    r = ch_sql(
+        spark, "SELECT toStartOfFiveMinutes(TIMESTAMP'2024-03-05 10:47:33') AS w"
+    ).collect()[0]
+    assert str(r.w) == "2024-03-05 10:45:00"
+    r = ch_sql(
+        spark, "SELECT addHours(TIMESTAMP'2024-03-05 10:00:00', 3) AS w"
+    ).collect()[0]
+    assert str(r.w) == "2024-03-05 13:00:00"
+    r = ch_sql(
+        spark, "SELECT subtractMinutes(TIMESTAMP'2024-03-05 10:10:00', 10) AS w"
+    ).collect()[0]
+    assert str(r.w) == "2024-03-05 10:00:00"
+
+
+def test_unresolved_names_raise_chsql_error(spark):
+    import pytest
+
+    with pytest.raises(ChSqlError):
+        ch_sql(spark, "SELECT sumMap(map('a', 1))")
+    with pytest.raises(ChSqlError):
+        ch_sql(spark, "SELECT untuple(tuple(1,2))")
