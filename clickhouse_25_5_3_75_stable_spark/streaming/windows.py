@@ -119,3 +119,24 @@ def watch(spark, name: str, limit: int = 8, poll_s: float = 0.5, timeout_s: floa
             yield version, rows
         else:
             time.sleep(poll_s)
+
+
+def stream_dedup(
+    stream: DataFrame,
+    keys: list[str],
+    ts: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming insert-dedup: first arrival per key wins, duplicates
+    arriving within the watermark horizon are dropped and state ages
+    out with the watermark (bounded memory at any throughput).
+
+    This is the streaming analogue of ReplacingMergeTree's collapse +
+    the reference's insert-block deduplication
+    (/root/reference/src/Storages/MergeTree/
+    ReplacingSortedAlgorithm.h:13, insert_deduplicate): ClickHouse
+    dedups replayed insert blocks at ingest; Spark's
+    dropDuplicatesWithinWatermark is the per-row form with an explicit
+    horizon. For exact-forever dedup (unbounded state), batch-side
+    OPTIMIZE FINAL (operators/mergetree.py) remains the contract."""
+    return stream.withWatermark(ts, watermark).dropDuplicatesWithinWatermark(keys)

@@ -190,3 +190,42 @@ def test_dynamic_partition_pruning_on_layout(spark, tmp_path):
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower()
     assert j.count() == 6000
+
+
+def test_contamination_broadcasts_eval_set(spark):
+    """The eval corpus's shingle hashes must broadcast — a shuffled
+    join here would move the full TRAIN shingle stream for a test set
+    that is orders of magnitude smaller."""
+    plan = _plan(spark, "decontaminate_ngram_overlap", mode="simple")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pack_shards_has_no_global_window(spark):
+    """The prefix sum must decompose per-bucket: a Window with an
+    empty partition spec ('Window [...] ORDER BY' with no PARTITION BY
+    → a single task holding every row) is the scale-killer the
+    two-phase form exists to avoid."""
+    import re as _re
+
+    plan = _plan(spark, "pack_token_budget_shards", mode="formatted")
+    for m in _re.finditer(r"Window \[", plan):
+        seg = plan[m.start():plan.index("\n", m.start())]
+        assert "windowspecdefinition(__bucket" in seg or "__bucket" in seg, seg
+
+
+def test_bm25_filters_query_terms_before_shuffle(spark):
+    """The IN-filter on the literal query terms must sit below the
+    aggregation exchange, so the shuffle carries <=|q| rows per doc."""
+    plan = _plan(spark, "retrieval_bm25_topk", mode="simple")
+    lines = plan.splitlines()
+    filt = [i for i, l in enumerate(lines) if "Filter" in l and "spark" in l]
+    assert filt, "expected a Filter on the literal query terms"
+    # simple mode prints root->leaf: no Exchange may appear BELOW the
+    # term filter on its branch (i.e., between the filter and the scan)
+    below = lines[filt[-1] + 1:]
+    branch = []
+    for l in below:
+        branch.append(l)
+        if "Scan parquet" in l or "FileScan" in l:
+            break
+    assert not any("Exchange" in l for l in branch), branch

@@ -441,3 +441,38 @@ def test_file_log_stream_each_file_once(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert spark.sql("SELECT * FROM flog_t").collect()[0]["count"] == 200
+
+
+def test_stream_dedup_drops_replayed_blocks(spark):
+    """stream_dedup: a replayed micro-batch (same file written twice —
+    the reference's replayed-insert-block scenario) must not double
+    rows; first arrival per key wins."""
+    import os
+
+    from clickhouse_25_5_3_75_stable_spark.streaming.windows import stream_dedup
+
+    d = tempfile.mkdtemp(prefix="stream_dedup_")
+    out = tempfile.mkdtemp(prefix="stream_dedup_out_")
+    try:
+        ev = load_table(spark, SF_SMOKE, "events").select("event_id", "ts", "value")
+        ev.write.mode("append").parquet(d)
+        ev.write.mode("append").parquet(d)  # exact replay of the block
+        n_unique = ev.count()
+
+        stream = spark.readStream.schema(ev.schema).parquet(d)
+        deduped = stream_dedup(stream, ["event_id"], ts="ts", watermark="1 hour")
+        q = (
+            deduped.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", out + "_ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.read.parquet(out)
+        assert got.count() == n_unique
+        assert got.select("event_id").distinct().count() == n_unique
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(out + "_ckpt", ignore_errors=True)
