@@ -355,7 +355,14 @@ def _clause_bounds(toks: list[str], start: int) -> int:
 
 def _strip_suffix_clauses(toks: list[str]) -> list[str]:
     """Drop top-level FORMAT <name> and SETTINGS k=v[, ...] suffixes."""
+    return _split_suffix_clauses(toks)[0]
+
+
+def _split_suffix_clauses(toks: list[str]) -> tuple[list[str], dict[str, str]]:
+    """Like :func:`_strip_suffix_clauses`, but also parses the SETTINGS
+    list into a dict (values kept as raw token text)."""
     out = list(toks)
+    settings: dict[str, str] = {}
     for kw in ("FORMAT", "SETTINGS"):
         depth = 0
         for i, tk in enumerate(out):
@@ -364,9 +371,68 @@ def _strip_suffix_clauses(toks: list[str]) -> list[str]:
             elif tk == ")":
                 depth -= 1
             elif depth == 0 and tk.upper() == kw:
+                if kw == "SETTINGS":
+                    rest = out[i + 1:]
+                    for item in _split_args(["("] + rest + [")"], 0, len(rest) + 1):
+                        if len(item) >= 3 and item[1] == "=":
+                            settings[item[0].lower()] = "".join(item[2:])
                 out = out[:i]
                 break
-    return out
+    return out, settings
+
+
+# Recognized ClickHouse settings and how the Spark engine honors them;
+# anything else raises (the reference rejects unknown settings too).
+# join_algorithm note: 'hash'/'parallel_hash'/'grace_hash' are Spark's
+# default shuffle-hash/broadcast choice, 'full_sorting_merge' and
+# 'partial_merge' map to PREFER_SORTMERGEJOIN.
+_KNOWN_SETTINGS = {
+    "max_threads",
+    "max_result_rows",
+    "max_rows_to_read",
+    "join_algorithm",
+    "max_memory_usage",        # advisory: executor memory is cluster conf
+    "max_execution_time",      # advisory: no per-query timeout in Spark SQL
+    "allow_experimental_analyzer",  # accepted no-op (Catalyst always on)
+    "insert_deduplicate",      # covered by streaming stream_dedup
+    "optimize_read_in_order",  # Catalyst decides; accepted no-op
+}
+
+
+def apply_settings(spark, settings: dict[str, str]):
+    """Apply recognized SETTINGS to the session, returning a dict of
+    (conf_key -> previous value) so the caller can restore. Unknown
+    settings raise ChSqlError (reference behavior: BAD_ARGUMENTS)."""
+    restore: dict[str, str | None] = {}
+
+    def set_conf(k: str, v: str) -> None:
+        try:
+            restore[k] = spark.conf.get(k)
+        except Exception:
+            restore[k] = None
+        spark.conf.set(k, v)
+
+    for name, value in settings.items():
+        if name not in _KNOWN_SETTINGS:
+            raise ChSqlError(f"unknown setting {name!r} (reference: BAD_ARGUMENTS)")
+        v = value.strip("'\"")
+        if name == "max_threads":
+            set_conf("spark.sql.shuffle.partitions", v)
+        elif name == "join_algorithm":
+            prefer = v in ("full_sorting_merge", "partial_merge")
+            set_conf("spark.sql.join.preferSortMergeJoin", str(prefer).lower())
+            if v == "direct":
+                # direct = key-value lookup join; closest is broadcast
+                set_conf("spark.sql.autoBroadcastJoinThreshold", "128m")
+    return restore
+
+
+def restore_settings(spark, restore: dict[str, str | None]) -> None:
+    for k, old in restore.items():
+        if old is None:
+            spark.conf.unset(k)
+        else:
+            spark.conf.set(k, old)
 
 
 def _rewrite_prewhere(toks: list[str]) -> list[str]:
@@ -1425,14 +1491,26 @@ def ch_sql_to_spark(sql: str) -> str:
 
 def ch_sql(spark, sql: str, sf_dir: str | None = None):
     """Run ClickHouse-dialect SQL on Spark. If sf_dir is given, the
-    testdata tables are registered as temp views first."""
+    testdata tables are registered as temp views first.
+
+    A trailing ``SETTINGS k=v, ...`` is honored for the recognized
+    subset (_KNOWN_SETTINGS): applied at SESSION scope — Spark plans
+    lazily, so a per-query restore would race the action; use
+    apply_settings/restore_settings for explicit scoping. Unknown
+    settings raise, matching the reference's BAD_ARGUMENTS."""
     if sf_dir is not None:
         from clickhouse_25_5_3_75_stable_spark.sources.catalog import register_views
 
         register_views(spark, sf_dir)
+    _, settings = _split_suffix_clauses(_tokenize(sql))
+    if settings:
+        apply_settings(spark, settings)
     translated = ch_sql_to_spark(sql)
     try:
-        return spark.sql(translated)
+        df = spark.sql(translated)
+        if "max_result_rows" in settings:
+            df = df.limit(int(settings["max_result_rows"].strip("'\"")))
+        return df
     except Exception as e:  # upgrade unresolved CH names to a useful error
         msg = str(e)
         if "UNRESOLVED_ROUTINE" in msg:

@@ -395,3 +395,32 @@ def test_unresolved_names_raise_chsql_error(spark):
         ch_sql(spark, "SELECT sumMap(map('a', 1))")
     with pytest.raises(ChSqlError):
         ch_sql(spark, "SELECT untuple(tuple(1,2))")
+
+
+def test_settings_clause(spark):
+    import pytest
+
+    from clickhouse_25_5_3_75_stable_spark.chsql import (
+        apply_settings,
+        restore_settings,
+    )
+
+    # max_result_rows caps the result; max_threads lands in shuffle conf
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    rows = ch_sql(
+        spark,
+        "SELECT explode(sequence(1, 100)) AS x SETTINGS max_result_rows = 7, max_threads = 4",
+    ).collect()
+    assert len(rows) == 7
+    assert spark.conf.get("spark.sql.shuffle.partitions") == "4"
+    spark.conf.set("spark.sql.shuffle.partitions", before)
+
+    # unknown settings raise like the reference's BAD_ARGUMENTS
+    with pytest.raises(ChSqlError):
+        ch_sql(spark, "SELECT 1 SETTINGS definitely_not_a_setting = 1")
+
+    # explicit scoping helpers restore previous values
+    restore = apply_settings(spark, {"max_threads": "9"})
+    assert spark.conf.get("spark.sql.shuffle.partitions") == "9"
+    restore_settings(spark, restore)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
