@@ -1207,7 +1207,20 @@ def _point_in_ellipses(x, y, ps) -> Column:
     return hit
 
 
-_excl(["SVG", "geohashEncode", "geohashDecode", "geohashesInBox", "stringToH3", "h3ToString",
+# geohash is pure bit math — implemented (functions/geohash.py), no lib needed
+from clickhouse_25_5_3_75_stable_spark.functions.geohash import (  # noqa: E402
+    geohash_decode,
+    geohash_encode,
+)
+
+_reg("geohashEncode")(
+    lambda lon, lat, p=12: geohash_encode(
+        _c(lon), _c(lat), p if isinstance(p, int) else 12
+    )
+)
+_reg("geohashDecode")(lambda code: geohash_decode(_c(code)))
+
+_excl(["SVG", "geohashesInBox", "stringToH3", "h3ToString",
        "geoToH3", "geoToS2", "s2ToGeo", "s2GetNeighbors", "s2CellsIntersect", "s2CapContains",
        "s2CapUnion", "s2RectAdd", "s2RectContains", "s2RectUnion", "s2RectIntersection"]
       + [n for n in ("h3CellAreaM2", "h3CellAreaRads2", "h3Distance", "h3EdgeAngle",

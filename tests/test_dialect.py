@@ -169,3 +169,55 @@ def test_uint64_mode_holds_beyond_int64(spark):
     df = spark.createDataFrame([(INT64_MAX,), (1,)], "v long")
     total = df.agg(F.sum(uint64_col("v") + F.lit(1).cast("decimal(20,0)"))).collect()[0][0]
     assert int(total) == INT64_MAX + 1 + 2  # no wrap
+
+
+def test_geohash_encode_decode(spark):
+    """Known-answer vectors (public geohash examples) + roundtrip."""
+    from clickhouse_25_5_3_75_stable_spark.functions.geohash import (
+        geohash_decode,
+        geohash_encode,
+    )
+
+    df = spark.createDataFrame(
+        [(10.40744, 57.64911), (-5.6, 42.6), (0.0, 0.0)],
+        "lon double, lat double",
+    )
+    out = df.select(
+        geohash_encode("lon", "lat", 11).alias("g11"),
+        geohash_encode("lon", "lat", 5).alias("g5"),
+    ).collect()
+    assert out[0].g11 == "u4pruydqqvj"      # Wikipedia example
+    assert out[1].g5 == "ezs42"             # classic example
+    assert out[2].g5 == "s0000"
+
+    dec = (
+        spark.createDataFrame([("u4pruydqqvj",), ("ezs42",)], "g string")
+        .select(geohash_decode("g").alias("d"))
+        .collect()
+    )
+    assert abs(dec[0].d.longitude - 10.40744) < 1e-4
+    assert abs(dec[0].d.latitude - 57.64911) < 1e-4
+    assert abs(dec[1].d.longitude - -5.6) < 0.05
+    assert abs(dec[1].d.latitude - 42.6) < 0.05
+
+    # roundtrip at max precision over a lon/lat grid
+    grid = spark.sql(
+        "SELECT CAST((id % 36) * 10.0 - 175.0 AS DOUBLE) AS lon, "
+        "CAST((id DIV 36) * 10.0 - 85.0 AS DOUBLE) AS lat "
+        "FROM range(0, 36 * 17)"
+    )
+    rt = grid.select(
+        "lon",
+        "lat",
+        geohash_decode(geohash_encode("lon", "lat", 12)).alias("d"),
+    ).collect()
+    for r in rt:
+        assert abs(r.d.longitude - r.lon) < 1e-6
+        assert abs(r.d.latitude - r.lat) < 1e-6
+
+    # dialect registry resolves the CH names
+    from clickhouse_25_5_3_75_stable_spark.functions.dialect_extras import (
+        CH_FUNCTIONS,
+    )
+
+    assert "geohashencode" in CH_FUNCTIONS and "geohashdecode" in CH_FUNCTIONS
