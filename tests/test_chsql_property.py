@@ -1,0 +1,168 @@
+"""Property-based differential test of the CH-SQL shim.
+
+Hypothesis generates random expression ASTs; each is rendered twice —
+ClickHouse dialect (ternary, [...] literals, CH function names, 1-based
+subscripts) through the shim onto Spark, and plain ANSI onto DuckDB —
+and the per-row results must agree exactly. Integer-only arithmetic, so
+no float/ulp noise; NULLs enter via try_element_at out-of-bounds.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from clickhouse_25_5_3_75_stable_spark.chsql import ch_sql_to_spark
+
+# ---------------------------------------------------------------------------
+# AST: each node renders to (ch_text, ansi_text); value domain is BIGINT
+# (booleans only as comparison results fed straight into conditionals)
+# ---------------------------------------------------------------------------
+
+COLS = ("x", "y")
+
+
+def lit():
+    return st.integers(min_value=-9, max_value=9).map(
+        lambda n: (str(n) if n >= 0 else f"({n})",) * 2
+    )
+
+
+def col():
+    return st.sampled_from(COLS).map(lambda c: (c, c))
+
+
+def leaf():
+    return st.one_of(lit(), col())
+
+
+def binop(children):
+    return st.tuples(st.sampled_from("+-*"), children, children).map(
+        lambda t: (
+            f"({t[1][0]} {t[0]} {t[2][0]})",
+            f"({t[1][1]} {t[0]} {t[2][1]})",
+        )
+    )
+
+
+def cmp(children):
+    return st.tuples(st.sampled_from(["<", "<=", "=", "!=", ">", ">="]), children, children).map(
+        lambda t: (
+            f"({t[1][0]} {t[0]} {t[2][0]})",
+            f"({t[1][1]} {t[0]} {t[2][1]})",
+        )
+    )
+
+
+def ternary(children):
+    # CH C-style ternary vs ANSI CASE
+    return st.tuples(cmp(children), children, children).map(
+        lambda t: (
+            f"({t[0][0]} ? {t[1][0]} : {t[2][0]})",
+            f"(CASE WHEN {t[0][1]} THEN {t[1][1]} ELSE {t[2][1]} END)",
+        )
+    )
+
+
+def multi_if(children):
+    return st.tuples(cmp(children), children, cmp(children), children, children).map(
+        lambda t: (
+            f"multiIf({t[0][0]}, {t[1][0]}, {t[2][0]}, {t[3][0]}, {t[4][0]})",
+            f"(CASE WHEN {t[0][1]} THEN {t[1][1]} WHEN {t[2][1]} "
+            f"THEN {t[3][1]} ELSE {t[4][1]} END)",
+        )
+    )
+
+
+def fn1(children):
+    return st.tuples(st.sampled_from(["abs", "negate"]), children).map(
+        lambda t: (
+            f"abs({t[1][0]})" if t[0] == "abs" else f"(-({t[1][0]}))",
+            f"abs({t[1][1]})" if t[0] == "abs" else f"(-({t[1][1]}))",
+        )
+    )
+
+
+def fn2(children):
+    return st.tuples(st.sampled_from(["greatest", "least"]), children, children).map(
+        lambda t: (
+            f"{t[0]}({t[1][0]}, {t[2][0]})",
+            f"{t[0]}({t[1][1]}, {t[2][1]})",
+        )
+    )
+
+
+def array_ops(children):
+    # [a, b, c][i] (1-based, NULL out of range on both engines),
+    # has(), arraySum (DOUBLE on both sides, integer-valued)
+    arr3 = st.tuples(children, children, children)
+
+    def render_arr(a):
+        return (
+            "[" + ", ".join(x[0] for x in a) + "]",
+            "[" + ", ".join(x[1] for x in a) + "]",
+        )
+
+    subscript = st.tuples(arr3, st.integers(min_value=1, max_value=4)).map(
+        lambda t: (
+            f"({render_arr(t[0])[0]})[{t[1]}]",
+            f"({render_arr(t[0])[1]})[{t[1]}]",  # DuckDB lists are 1-based too
+        )
+    )
+    has = st.tuples(arr3, children).map(
+        lambda t: (
+            f"(has({render_arr(t[0])[0]}, {t[1][0]}) ? 1 : 0)",
+            f"(CASE WHEN list_contains({render_arr(t[0])[1]}, {t[1][1]}) "
+            "THEN 1 ELSE 0 END)",
+        )
+    )
+    asum = arr3.map(
+        lambda a: (
+            f"CAST(arraySum({render_arr(a)[0]}) AS BIGINT)",
+            f"CAST(list_sum({render_arr(a)[1]}) AS BIGINT)",
+        )
+    )
+    return st.one_of(subscript, has, asum)
+
+
+def expr():
+    return st.recursive(
+        leaf(),
+        lambda ch: st.one_of(
+            binop(ch), ternary(ch), multi_if(ch), fn1(ch), fn2(ch), array_ops(ch)
+        ),
+        max_leaves=12,
+    )
+
+
+@pytest.fixture(scope="module")
+def ctx(spark):
+    rows = [(x, y) for x in range(-3, 4) for y in (-2, 0, 3)]
+    spark.createDataFrame(rows, "x bigint, y bigint").createOrReplaceTempView(
+        "prop_t"
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE prop_t AS SELECT * FROM (VALUES " +
+                ", ".join(f"({x}, {y})" for x, y in rows) + ") AS v(x, y)")
+    return spark, con
+
+
+@settings(
+    max_examples=60,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(e=expr())
+def test_shim_matches_duckdb(ctx, e):
+    spark, con = ctx
+    ch_text, ansi_text = e
+    q = f"SELECT x, y, {ch_text} AS v FROM prop_t ORDER BY x, y"
+    spark_rows = spark.sql(ch_sql_to_spark(q)).collect()
+    duck_rows = con.execute(
+        f"SELECT x, y, {ansi_text} AS v FROM prop_t ORDER BY x, y"
+    ).fetchall()
+    got = [(r.x, r.y, None if r.v is None else int(r.v)) for r in spark_rows]
+    want = [(x, y, None if v is None else int(v)) for x, y, v in duck_rows]
+    assert got == want, f"CH: {ch_text}\nANSI: {ansi_text}"
