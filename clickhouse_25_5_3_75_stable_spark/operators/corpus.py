@@ -229,6 +229,61 @@ def bm25_scores(
 
 
 # --------------------------------------------------------------------------
+# Document chunking (pre-embedding window split)
+# --------------------------------------------------------------------------
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 128,
+    overlap: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each document into fixed-size token windows with optional
+    overlap — the canonical pre-embedding step. Output: one row per
+    chunk with (id, chunk_id, n_tokens, chunk_text).
+
+    Entirely JVM expressions: tokenize once, posexplode a sequence of
+    window starts, slice + rejoin. No shuffle at all — chunking is a
+    flatMap, and the output inherits the input's partitioning (the
+    property that matters when the next stage is an embedding UDF)."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    step = chunk_tokens - overlap
+    toked = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+    ).select(
+        F.col(id_col), F.col("__toks"), F.size(F.col("__toks")).alias("__n")
+    )
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.col("__n") - F.lit(overlap), F.lit(1)),
+        F.lit(step),
+    )
+    return (
+        toked.select(
+            F.col(id_col),
+            F.col("__toks"),
+            F.posexplode(starts).alias("chunk_id", "__start"),
+        )
+        .select(
+            F.col(id_col),
+            "chunk_id",
+            F.slice(F.col("__toks"), F.col("__start"), F.lit(chunk_tokens)).alias(
+                "__chunk"
+            ),
+        )
+        .select(
+            F.col(id_col),
+            "chunk_id",
+            F.size(F.col("__chunk")).alias("n_tokens"),
+            F.array_join(F.col("__chunk"), " ").alias("chunk_text"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Token-budget shard packing (distributed prefix sum)
 # --------------------------------------------------------------------------
 

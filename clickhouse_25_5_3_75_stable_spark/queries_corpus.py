@@ -223,3 +223,37 @@ def pack_token_budget_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard_id")
     )
+
+
+@register(
+    "chunk_documents_windows",
+    oracle=f"""
+    WITH st AS (
+        SELECT doc_id, {_TOKS} AS tk, len({_TOKS}) AS n FROM documents
+        WHERE doc_id < 80
+    ),
+    chunks AS (
+        SELECT st.doc_id,
+               CAST((u.s - 1) / 30 AS INT) AS chunk_id,
+               list_slice(st.tk, u.s, least(u.s + 39, st.n)) AS chunk
+        FROM st, unnest(range(1, greatest(st.n - 10, 1) + 1, 30)) AS u(s)
+    )
+    SELECT doc_id, chunk_id,
+           len(chunk) AS n_tokens,
+           COALESCE(array_to_string(chunk, ' '), '') AS chunk_text
+    FROM chunks
+    ORDER BY doc_id, chunk_id
+    """,
+    bucket="light",
+    tags=("pipeline", "chunking"),
+)
+def chunk_documents_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-embedding chunking: 40-token windows, 10-token overlap —
+    pure flatMap, zero shuffles (chunking must inherit partitioning so
+    the downstream embedding UDF reads local data)."""
+    from clickhouse_25_5_3_75_stable_spark.operators.corpus import chunk_documents
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 80)
+    return chunk_documents(docs, chunk_tokens=40, overlap=10).orderBy(
+        "doc_id", "chunk_id"
+    )

@@ -321,3 +321,23 @@ def test_tfidf_zero_for_ubiquitous_terms(spark):
     assert all(abs(r.score) < 1e-12 for r in apple)  # idf = ln(3/3) = 0
     banana = [r for r in rows if r.term == "banana"]
     assert banana[0].score > 0
+
+
+def test_chunk_documents_overlap_semantics(spark):
+    from clickhouse_25_5_3_75_stable_spark.operators.corpus import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10))), (2, "a b"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, chunk_tokens=4, overlap=2)
+    rows = {(r.doc_id, r.chunk_id): r for r in out.collect()}
+    # doc 1: starts at 1,3,5,7 -> windows of 4 tokens (last may be short)
+    assert rows[(1, 0)].chunk_text == "t0 t1 t2 t3"
+    assert rows[(1, 1)].chunk_text == "t2 t3 t4 t5"  # 2-token overlap
+    assert rows[(1, 3)].chunk_text == "t6 t7 t8 t9"
+    assert rows[(2, 0)].chunk_text == "a b" and rows[(2, 0)].n_tokens == 2
+    assert rows[(3, 0)].n_tokens == 0  # empty doc -> one empty chunk
+    # no shuffle: chunking is a flatMap over the scan
+    plan_buf = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan_buf
