@@ -68,44 +68,126 @@ def _interval_us(window: str) -> int:
 # --------------------------------------------------------------------------
 
 
+_LEVEL_T = "struct<start:bigint,last:bigint>"
+
+
 def window_funnel(
-    ts: Column, ev_id: Column, conds: list[Column], window: str = "1 hour"
+    ts: Column,
+    ev_id: Column,
+    conds: list[Column],
+    window: str = "1 hour",
+    modes: tuple[str, ...] = (),
 ) -> Column:
     """Max funnel level: deepest k with chain e1 < … < ek in (tu, id)
     order, e_i matching cond_i, t_k − t_1 ≤ window.
 
-    Fold state: per level, the latest chain-start µs of any chain
-    reaching it (see module docstring for why latest is optimal).
+    Fold state: per level, the (start, last) µs of the latest-start
+    chain reaching it (see module docstring for why latest-start is
+    optimal), plus the best level ever reached and a stop flag.
     Updates read only the pre-event state, so one event advances a
-    chain at most one level — events strictly later in the order
-    extend it further."""
+    chain at most one level.
+
+    `modes` mirrors the reference's variants
+    (AggregateFunctionWindowFunnel.h):
+      strict_dedup    — a condition-j event while level j is already
+                        live stops the scan; the result is j (the
+                        reference returns event_idx + 1 there).
+      strict_order    — an event that extends/starts no chain (e.g.
+                        the D in A→B→D→C) kills every live chain;
+                        levels already reached still count.
+      strict_increase — chain timestamps must be strictly increasing
+                        (an equal-timestamp event cannot extend).
+    """
+    for mmode in modes:
+        if mmode not in ("strict_dedup", "strict_order", "strict_increase"):
+            raise ValueError(f"unknown windowFunnel mode {mmode!r}")
     k = len(conds)
     window_us = _interval_us(window)
+    strict_dedup = "strict_dedup" in modes
+    strict_order = "strict_order" in modes
+    strict_increase = "strict_increase" in modes
+
     stream = event_stream(ts, ev_id, conds)
-    init = F.array(*[F.lit(None).cast("bigint") for _ in range(k)])
+    init = F.struct(
+        F.array(*[F.lit(None).cast(_LEVEL_T) for _ in range(k)]).alias("ls"),
+        F.lit(0).alias("best"),
+        F.lit(False).alias("stopped"),
+    )
 
     def step(acc: Column, ev: Column) -> Column:
         t = ev["tu"]
         m = ev["m"]
-        upper = []  # new values for levels 2..k (ascending)
-        for j in range(2, k + 1):
-            prev_start = F.element_at(acc, j - 1)
-            cur = F.element_at(acc, j)
-            matches = m.bitwiseAND(F.lit(1 << (j - 1))) != 0
-            extend = matches & prev_start.isNotNull() & ((t - prev_start) <= F.lit(window_us))
-            upper.append(
-                F.when(extend & (cur.isNull() | (prev_start > cur)), prev_start).otherwise(cur)
+        ls, best, stopped = acc["ls"], acc["best"], acc["stopped"]
+
+        def matches(j: int) -> Column:
+            return m.bitwiseAND(F.lit(1 << (j - 1))) != 0
+
+        # strict_dedup: smallest condition whose level is already live
+        dup_level = F.lit(None).cast("int")
+        if strict_dedup:
+            for j in range(k, 0, -1):
+                dup_level = F.when(
+                    matches(j) & F.element_at(ls, j).isNotNull(), F.lit(j)
+                ).otherwise(dup_level)
+
+        new_levels = []
+        extended_flags = []
+        for j in range(1, k + 1):
+            cur = F.element_at(ls, j)
+            if j == 1:
+                can = matches(1)
+                cand_start, cand_last = t, t
+                better = cur.isNull() | (t > cur["start"])
+            else:
+                prev = F.element_at(ls, j - 1)
+                can = (
+                    matches(j)
+                    & prev.isNotNull()
+                    & ((t - prev["start"]) <= F.lit(window_us))
+                )
+                if strict_increase:
+                    can = can & prev.isNotNull() & (t > prev["last"])
+                cand_start, cand_last = prev["start"], t
+                better = cur.isNull() | (cand_start > cur["start"])
+            new_j = F.when(
+                can & better,
+                F.struct(cand_start.alias("start"), cand_last.alias("last")),
+            ).otherwise(cur)
+            new_levels.append(new_j)
+            extended_flags.append(can)
+
+        extended_any = extended_flags[0]
+        for f in extended_flags[1:]:
+            extended_any = extended_any | f
+
+        reached = F.lit(0)
+        for j in range(1, k + 1):
+            reached = F.when(new_levels[j - 1].isNotNull(), F.lit(j)).otherwise(reached)
+        new_best = F.greatest(best, reached)
+
+        null_levels = F.array(*[F.lit(None).cast(_LEVEL_T) for _ in range(k)])
+        updated = F.struct(
+            F.array(*new_levels).alias("ls"),
+            new_best.alias("best"),
+            F.lit(False).alias("stopped"),
+        )
+        if strict_order:
+            updated = F.when(
+                extended_any, updated
+            ).otherwise(
+                F.struct(null_levels.alias("ls"), best.alias("best"),
+                         F.lit(False).alias("stopped"))
             )
-        first = F.element_at(acc, 1)
-        m1 = m.bitwiseAND(F.lit(1)) != 0
-        l1 = F.when(m1 & (first.isNull() | (t > first)), t).otherwise(first)
-        return F.array(l1, *upper)
+        if strict_dedup:
+            updated = F.when(
+                dup_level.isNotNull(),
+                F.struct(null_levels.alias("ls"), dup_level.alias("best"),
+                         F.lit(True).alias("stopped")),
+            ).otherwise(updated)
+        return F.when(stopped, acc).otherwise(updated)
 
     folded = F.aggregate(stream, init, step)
-    level = F.lit(0)
-    for j in range(1, k + 1):
-        level = F.when(F.element_at(folded, j).isNotNull(), F.lit(j)).otherwise(level)
-    return level
+    return folded["best"]
 
 
 def window_funnel_oracle_sql(

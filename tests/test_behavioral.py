@@ -103,3 +103,42 @@ def test_sequence_count_non_overlapping(spark):
 def test_sequence_count_no_match(spark):
     got = _seq(spark, [(1, 0, "b"), (1, 1, "b")], ["a", "b"], sequence_count)
     assert got == {1: 0}
+
+
+def test_window_funnel_strict_modes(spark):
+    """Reference mode semantics (AggregateFunctionWindowFunnel.h):
+    strict_order kills live chains on a non-continuing event
+    (docs example A->B->D->C stops at 2), strict_dedup stops the scan
+    at a repeated condition, strict_increase refuses equal-timestamp
+    extension."""
+    from clickhouse_25_5_3_75_stable_spark.operators.funnel import window_funnel
+
+    def run(events, modes=()):
+        # events: list of (t_us, name); funnel A -> B -> C
+        df = spark.createDataFrame(
+            [(1, t, i, n) for i, (t, n) in enumerate(events)],
+            "k int, tu long, id long, name string",
+        ).withColumn("ts", F.timestamp_micros(F.col("tu")))
+        conds = [F.col("name") == c for c in ("A", "B", "C")]
+        out = df.groupBy("k").agg(
+            window_funnel(
+                F.col("ts"), F.col("id"), conds, window="1 hour", modes=modes
+            ).alias("lvl")
+        )
+        return out.collect()[0].lvl
+
+    abdc = [(1, "A"), (2, "B"), (3, "D"), (4, "C")]
+    assert run(abdc) == 3                      # default: D ignored
+    assert run(abdc, ("strict_order",)) == 2   # D kills the A->B chain
+
+    abbc = [(1, "A"), (2, "B"), (3, "B"), (4, "C")]
+    assert run(abbc) == 3
+    assert run(abbc, ("strict_dedup",)) == 2   # repeated B stops at level 2
+
+    same_t = [(1, "A"), (1, "B"), (2, "C")]
+    assert run(same_t) == 3                    # default: (tu,id) order extends
+    assert run(same_t, ("strict_increase",)) == 1  # B at equal t can't extend
+
+    inc_ok = [(1, "A"), (2, "B"), (3, "C")]
+    assert run(inc_ok, ("strict_increase",)) == 3
+    assert run(inc_ok, ("strict_order", "strict_dedup", "strict_increase")) == 3
