@@ -255,6 +255,118 @@ def sequence_match(ts: Column, ev_id: Column, conds: list[Column]) -> Column:
     return F.aggregate(stream, F.lit(0), step) >= k
 
 
+def parse_sequence_pattern(pattern: str) -> list[tuple[int, str | None, int]]:
+    """Parse the reference sequenceMatch pattern subset
+    ``(?1).*(?t<=500)(?2)...`` into steps
+    ``[(cond_idx, gap_op|None, gap_value_ms), ...]`` — each step is an
+    event atom with the time constraint (if any) that guards the gap
+    from the PREVIOUS atom. ``.*`` contributes no constraint; strict
+    adjacency (no separator) is not supported and raises."""
+    import re as _re
+
+    steps: list[tuple[int, str | None, int]] = []
+    pending: tuple[str, int] | None = None
+    i = 0
+    last_was_atom = False
+    while i < len(pattern):
+        if pattern.startswith(".*", i):
+            i += 2
+            last_was_atom = False
+            continue
+        m = _re.match(r"\(\?(\d+)\)", pattern[i:])
+        if m:
+            if last_was_atom and pending is None and steps:
+                raise ValueError(
+                    "sequenceMatch: strict adjacency '(?a)(?b)' not supported — "
+                    "separate atoms with .* or a (?t...) constraint"
+                )
+            steps.append((int(m.group(1)), pending[0] if pending else None,
+                          pending[1] if pending else 0))
+            pending = None
+            i += m.end()
+            last_was_atom = True
+            continue
+        m = _re.match(r"\(\?t\s*(<=|>=|<|>)\s*(\d+)\)", pattern[i:])
+        if m:
+            pending = (m.group(1), int(m.group(2)))
+            i += m.end()
+            last_was_atom = False
+            continue
+        if _re.match(r"\(\?t\s*==", pattern[i:]):
+            raise ValueError(
+                "sequenceMatch: (?t==N) needs exact reachable-time sets; "
+                "only monotone gap constraints (<, <=, >, >=) are supported"
+            )
+        raise ValueError(f"sequenceMatch: cannot parse pattern at ...{pattern[i:]!r}")
+    if pending is not None:
+        raise ValueError("sequenceMatch: trailing time constraint")
+    return steps
+
+
+def sequence_match_pattern(
+    ts: Column, ev_id: Column, conds: list[Column], pattern: str
+) -> Column:
+    """sequenceMatch with the pattern language's time constraints
+    (reference AggregateFunctionSequenceMatch.h pattern actions
+    TimeLessOrEqual/TimeGreater/...): ``(?1)(?t<=500)(?2)`` matches
+    when a cond-2 event follows a cond-1 event within 500 ms.
+
+    Fold state: per pattern position, the MIN and MAX timestamps (µs)
+    at which any match prefix can end. A `t<=c` gap is satisfiable iff
+    it holds against the max (latest possible prefix end), `t>=c`/`t>c`
+    iff against the min — exact for one monotone constraint per gap,
+    which is the pattern language's shape."""
+    steps = parse_sequence_pattern(pattern)
+    k = len(steps)
+    stream = event_stream(ts, ev_id, conds)
+    # state: array of struct(mn,mx) per pattern position (NULL = not reached)
+    init = F.array(*[F.lit(None).cast(_LEVEL_T) for _ in range(k)])
+
+    def gap_ok(op: str | None, c_ms: int, prev: Column, t: Column) -> Column:
+        if op is None:
+            return F.lit(True)
+        c = F.lit(c_ms * 1000)  # pattern times are ms; stream is µs
+        gap_from_mx = t - prev["last"]   # smallest achievable gap
+        gap_from_mn = t - prev["start"]  # largest achievable gap
+        if op == "<":
+            return gap_from_mx < c
+        if op == "<=":
+            return gap_from_mx <= c
+        if op == ">":
+            return gap_from_mn > c
+        return gap_from_mn >= c  # ">="
+
+    def step_fn(acc: Column, ev: Column) -> Column:
+        t = ev["tu"]
+        m = ev["m"]
+        new_state = []
+        for p, (cond_idx, op, c_ms) in enumerate(steps, start=1):
+            cur = F.element_at(acc, p)
+            hits = m.bitwiseAND(F.lit(1 << (cond_idx - 1))) != 0
+            if p == 1:
+                can = hits
+            else:
+                prev = F.element_at(acc, p - 1)
+                can = hits & prev.isNotNull() & gap_ok(op, c_ms, prev, t)
+            widened = F.when(
+                can,
+                F.when(
+                    cur.isNull(),
+                    F.struct(t.alias("start"), t.alias("last")),
+                ).otherwise(
+                    F.struct(
+                        F.least(cur["start"], t).alias("start"),
+                        F.greatest(cur["last"], t).alias("last"),
+                    )
+                ),
+            ).otherwise(cur)
+            new_state.append(widened)
+        return F.array(*new_state)
+
+    folded = F.aggregate(stream, init, step_fn)
+    return F.element_at(folded, k).isNotNull()
+
+
 def sequence_count(ts: Column, ev_id: Column, conds: list[Column]) -> Column:
     """Number of non-overlapping in-order occurrences (greedy restart
     after each completed match — reference sequenceCount semantics)."""

@@ -142,3 +142,48 @@ def test_window_funnel_strict_modes(spark):
     inc_ok = [(1, "A"), (2, "B"), (3, "C")]
     assert run(inc_ok, ("strict_increase",)) == 3
     assert run(inc_ok, ("strict_order", "strict_dedup", "strict_increase")) == 3
+
+
+def test_sequence_match_time_constraints(spark):
+    from clickhouse_25_5_3_75_stable_spark.operators.funnel import (
+        parse_sequence_pattern,
+        sequence_match_pattern,
+    )
+    import pytest
+
+    assert parse_sequence_pattern("(?1).*(?2)") == [(1, None, 0), (2, None, 0)]
+    assert parse_sequence_pattern("(?1)(?t<=500)(?2)") == [
+        (1, None, 0),
+        (2, "<=", 500),
+    ]
+    with pytest.raises(ValueError):
+        parse_sequence_pattern("(?1)(?2)")  # strict adjacency unsupported
+    with pytest.raises(ValueError):
+        parse_sequence_pattern("(?1)(?t==5)(?2)")
+
+    def run(events, pattern):
+        # events: (t_ms, name); conds A, B
+        df = spark.createDataFrame(
+            [(1, t * 1000, i, n) for i, (t, n) in enumerate(events)],
+            "k int, tu long, id long, name string",
+        ).withColumn("ts", F.timestamp_micros(F.col("tu")))
+        conds = [F.col("name") == c for c in ("A", "B")]
+        return (
+            df.groupBy("k")
+            .agg(
+                sequence_match_pattern(
+                    F.col("ts"), F.col("id"), conds, pattern
+                ).alias("m")
+            )
+            .collect()[0]
+            .m
+        )
+
+    # A at 0ms and 400ms, B at 600ms
+    evs = [(0, "A"), (400, "A"), (600, "B")]
+    assert run(evs, "(?1).*(?2)") is True
+    assert run(evs, "(?1)(?t<=500)(?2)") is True    # uses the 400ms A
+    assert run(evs, "(?1)(?t>=600)(?2)") is True    # uses the 0ms A
+    assert run(evs, "(?1)(?t>600)(?2)") is False    # max gap is exactly 600
+    assert run(evs, "(?1)(?t<200)(?2)") is False    # min gap is exactly 200
+    assert run(evs, "(?1)(?t<=200)(?2)") is True
