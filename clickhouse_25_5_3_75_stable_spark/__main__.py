@@ -211,11 +211,19 @@ def run_local(sql: str, data_dir: str, spark=None, out=sys.stdout) -> int:
 
         import time as _time
 
+        from clickhouse_25_5_3_75_stable_spark.chsql import extract_into_outfile
+
         t0 = _time.perf_counter()
+        sql, outfile = extract_into_outfile(sql)
         spark_sql = ch_sql_to_spark(sql)
         df = spark.sql(spark_sql)
         rows = [tuple(r) for r in df.collect()]
-        _emit(rows, df.columns, fmt, out)
+        if outfile is not None:
+            with open(outfile, "w") as fh:
+                _emit(rows, df.columns, fmt, fh)
+            _emit([(outfile, len(rows))], ["outfile", "rows"], fmt, out)
+        else:
+            _emit(rows, df.columns, fmt, out)
         _log_query(spark, "select", sql, _time.perf_counter() - t0, len(rows))
         return 0
     finally:

@@ -1458,8 +1458,46 @@ def _rewrite_tuple_access(toks: list[str]) -> list[str]:
     return out
 
 
+def _rewrite_limit_offset(toks: list[str]) -> list[str]:
+    """MySQL-style ``LIMIT offset, count`` (CH supports both spellings)
+    → ``LIMIT count OFFSET offset``; runs after the LIMIT..BY pass so
+    only the plain suffix form remains."""
+    depth = 0
+    for i, tk in enumerate(toks):
+        if tk == "(":
+            depth += 1
+        elif tk == ")":
+            depth -= 1
+        elif (
+            depth == 0
+            and tk.upper() == "LIMIT"
+            and i + 3 < len(toks)
+            and toks[i + 1].isdigit()
+            and toks[i + 2] == ","
+            and toks[i + 3].isdigit()
+        ):
+            off, cnt = toks[i + 1], toks[i + 3]
+            return toks[:i] + ["LIMIT", cnt, "OFFSET", off] + toks[i + 4:]
+    return toks
+
+
+def extract_into_outfile(sql: str) -> tuple[str, str | None]:
+    """Split a trailing ``INTO OUTFILE '<path>'`` off the statement
+    (reference ParserQueryWithOutput.cpp) — the CLI honors it; the
+    plain transpiler refuses it (an I/O directive, not a query)."""
+    m = re.search(r"\sINTO\s+OUTFILE\s+'([^']+)'\s*", sql, re.IGNORECASE)
+    if not m:
+        return sql, None
+    return sql[: m.start()] + " " + sql[m.end():], m.group(1)
+
+
 def ch_sql_to_spark(sql: str) -> str:
     """Translate a ClickHouse-dialect SELECT into Spark SQL text."""
+    if re.search(r"\sINTO\s+OUTFILE\s", sql, re.IGNORECASE):
+        raise ChSqlError(
+            "INTO OUTFILE: an output directive, not a query — the CLI "
+            "(python -m clickhouse_25_5_3_75_stable_spark) honors it"
+        )
     toks = _tokenize(sql)
     if _parse_create_function(toks):
         return "SELECT 'OK' AS created"
@@ -1468,6 +1506,7 @@ def ch_sql_to_spark(sql: str) -> str:
     toks = _strip_modifiers(toks)
     toks = _rewrite_prewhere(toks)
     toks = _rewrite_limit_by(toks)
+    toks = _rewrite_limit_offset(toks)
     toks = _rewrite_with_totals(toks)
     toks = _rewrite_collate(toks)
     toks = _rewrite_qualify(toks)

@@ -424,3 +424,36 @@ def test_settings_clause(spark):
     assert spark.conf.get("spark.sql.shuffle.partitions") == "9"
     restore_settings(spark, restore)
     assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
+def test_limit_offset_and_into_outfile(spark, tmp_path):
+    import io
+
+    import pytest
+
+    from clickhouse_25_5_3_75_stable_spark.__main__ import run_local
+    from clickhouse_25_5_3_75_stable_spark.chsql import ch_sql_to_spark
+
+    # MySQL-style LIMIT offset, count
+    rows = ch_sql(
+        spark, "SELECT explode(sequence(1, 10)) AS x ORDER BY x LIMIT 3, 4"
+    ).collect()
+    assert [r.x for r in rows] == [4, 5, 6, 7]
+
+    # transpiler refuses INTO OUTFILE; the CLI honors it
+    with pytest.raises(ChSqlError):
+        ch_sql_to_spark("SELECT 1 INTO OUTFILE '/tmp/x.csv'")
+
+    dest = str(tmp_path / "out.csv")
+    buf = io.StringIO()
+    rc = run_local(
+        f"SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey "
+        f"LIMIT 2 INTO OUTFILE '{dest}' FORMAT CSV",
+        "/root/testdata/sf0.001",
+        spark=spark,
+        out=buf,
+    )
+    assert rc == 0
+    with open(dest) as fh:
+        lines = fh.read().strip().splitlines()
+    assert len(lines) == 2 and lines[0].startswith("0,")
