@@ -209,6 +209,31 @@ def run_local(sql: str, data_dir: str, spark=None, out=sys.stdout) -> int:
             _emit([(tname, "Ok")], ["table", "status"], fmt, out)
             return 0
 
+        if kw in ("BACKUP", "RESTORE"):
+            import re as _re
+
+            from clickhouse_25_5_3_75_stable_spark.ddl import (
+                backup_table,
+                restore_table,
+            )
+
+            m = _re.match(
+                r"(BACKUP|RESTORE)\s+TABLE\s+(\w+)\s+(TO|FROM)\s+'([^']+)'",
+                sql.strip().rstrip(";"),
+                _re.IGNORECASE,
+            )
+            if not m:
+                raise ValueError("expected BACKUP TABLE t TO '<dir>' / RESTORE TABLE t FROM '<dir>'")
+            tname, path = m.group(2), m.group(4)
+            if m.group(1).upper() == "BACKUP":
+                man = backup_table(data_dir, tname, path)
+                _emit([(tname, man["files"], man["bytes"])],
+                      ["table", "files", "bytes"], fmt, out)
+            else:
+                restore_table(spark, data_dir, tname, path)
+                _emit([(tname, "Ok")], ["table", "status"], fmt, out)
+            return 0
+
         import time as _time
 
         from clickhouse_25_5_3_75_stable_spark.chsql import extract_into_outfile

@@ -390,3 +390,54 @@ def _reregister_evolved(spark, base_dir: str, td: TableDef, defaults: dict) -> N
             fill = F.lit(defaults.get(n)).cast(spark_t)
             cols.append(fill.alias(n))
     raw.select(*cols).createOrReplaceTempView(td.name)
+
+
+# ---------------------------------------------------------------------------
+# BACKUP / RESTORE (reference src/Backups/ — BACKUP TABLE t TO Disk(...);
+# here the File() flavor: a consistent directory snapshot + DDL metadata)
+# ---------------------------------------------------------------------------
+
+
+def backup_table(base_dir: str, name: str, dest_dir: str) -> dict:
+    """BACKUP TABLE <name> TO '<dest_dir>': copy the table's data files
+    and DDL metadata into dest_dir/<name>/. O(files) copies, no engine
+    involvement — same contract as the reference's File backup engine
+    (a backup is a self-contained directory you can RESTORE anywhere).
+
+    Returns a manifest {files, bytes} like the reference's backup log
+    entry."""
+    import shutil
+
+    src = os.path.join(base_dir, name)
+    if not os.path.isdir(src):
+        raise FileNotFoundError(f"no such table directory: {src}")
+    dst = os.path.join(dest_dir, name)
+    if os.path.exists(dst):
+        raise FileExistsError(f"backup target exists: {dst}")
+    shutil.copytree(src, dst)
+    n_files = n_bytes = 0
+    for root, _dirs, files in os.walk(dst):
+        for f in files:
+            n_files += 1
+            n_bytes += os.path.getsize(os.path.join(root, f))
+    return {"table": name, "files": n_files, "bytes": n_bytes, "path": dst}
+
+
+def restore_table(
+    spark: SparkSession, base_dir: str, name: str, backup_dir: str
+) -> None:
+    """RESTORE TABLE <name> FROM '<backup_dir>': copy the snapshot back
+    and re-register the view. Refuses to clobber an existing table
+    (drop it first — reference RESTORE has the same default)."""
+    import shutil
+
+    src = os.path.join(backup_dir, name)
+    if not os.path.isdir(src):
+        raise FileNotFoundError(f"no backup for {name!r} in {backup_dir}")
+    dst = os.path.join(base_dir, name)
+    if os.path.exists(dst):
+        raise FileExistsError(
+            f"table {name!r} already exists — DROP TABLE it before RESTORE"
+        )
+    shutil.copytree(src, dst)
+    spark.read.parquet(dst).createOrReplaceTempView(name)

@@ -457,3 +457,32 @@ def test_limit_offset_and_into_outfile(spark, tmp_path):
     with open(dest) as fh:
         lines = fh.read().strip().splitlines()
     assert len(lines) == 2 and lines[0].startswith("0,")
+
+
+def test_cli_backup_restore_statements(spark, tmp_path):
+    import io
+    import os
+    import shutil
+
+    from clickhouse_25_5_3_75_stable_spark.__main__ import run_local
+
+    data = str(tmp_path / "data")
+    os.makedirs(data)
+    shutil.copy("/root/testdata/sf0.001/region.parquet",
+                os.path.join(data, "region.parquet"))
+    # table dirs: copy region into a table directory form
+    os.makedirs(os.path.join(data, "r2"))
+    shutil.copy("/root/testdata/sf0.001/region.parquet",
+                os.path.join(data, "r2", "part.parquet"))
+
+    bk = str(tmp_path / "bk")
+    os.makedirs(bk)
+    buf = io.StringIO()
+    assert run_local(f"BACKUP TABLE r2 TO '{bk}'", data, spark=spark, out=buf) == 0
+    assert "r2" in buf.getvalue()
+    shutil.rmtree(os.path.join(data, "r2"))
+    buf = io.StringIO()
+    assert run_local(f"RESTORE TABLE r2 FROM '{bk}'", data, spark=spark, out=buf) == 0
+    buf = io.StringIO()
+    assert run_local("SELECT count() AS n FROM r2", data, spark=spark, out=buf) == 0
+    assert buf.getvalue().strip() == "5"

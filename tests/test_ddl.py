@@ -233,3 +233,44 @@ def test_alter_add_drop_column(spark, tmp_path):
     assert [(r.k, r.v, r.tag) for r in got] == [(1, 1.5, "none")]
     alter_drop_column(spark, d, "t", "v")
     assert spark.table("t").columns == ["k", "tag"]
+
+
+def test_backup_restore_roundtrip(spark, tmp_path):
+    from clickhouse_25_5_3_75_stable_spark.ddl import (
+        Database,
+        backup_table,
+        drop_table,
+        restore_table,
+    )
+    import pytest
+
+    base = str(tmp_path / "db")
+    bk = str(tmp_path / "bk")
+    import os
+
+    os.makedirs(base), os.makedirs(bk)
+    db = Database(spark, base)
+    db.create_table(
+        "CREATE TABLE bt (k Int64, v String) ENGINE = MergeTree ORDER BY k"
+    )
+    db.insert_into("bt", spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"))
+
+    man = backup_table(base, "bt", bk)
+    assert man["files"] > 0 and man["bytes"] > 0
+
+    drop_table(spark, base, "bt")
+    with pytest.raises(Exception):
+        spark.table("bt").collect()
+
+    restore_table(spark, base, "bt", bk)
+    got = {(r.k, r.v) for r in spark.table("bt").collect()}
+    assert got == {(1, "a"), (2, "b")}
+    # DDL metadata travels with the backup
+    from clickhouse_25_5_3_75_stable_spark.ddl import load_table_def
+
+    td = load_table_def(base, "bt")
+    assert td is not None and td.order_by == ["k"]
+
+    # restore refuses to clobber
+    with pytest.raises(FileExistsError):
+        restore_table(spark, base, "bt", bk)
