@@ -1219,8 +1219,17 @@ _reg("geohashEncode")(
     )
 )
 _reg("geohashDecode")(lambda code: geohash_decode(_c(code)))
+from clickhouse_25_5_3_75_stable_spark.functions.geohash import (  # noqa: E402
+    geohashes_in_box,
+)
 
-_excl(["SVG", "geohashesInBox", "stringToH3", "h3ToString",
+_reg("geohashesInBox")(
+    lambda a, b, c, d, p=4: geohashes_in_box(
+        _c(a), _c(b), _c(c), _c(d), p if isinstance(p, int) else 4
+    )
+)
+
+_excl(["SVG", "stringToH3", "h3ToString",
        "geoToH3", "geoToS2", "s2ToGeo", "s2GetNeighbors", "s2CellsIntersect", "s2CapContains",
        "s2CapUnion", "s2RectAdd", "s2RectContains", "s2RectUnion", "s2RectIntersection"]
       + [n for n in ("h3CellAreaM2", "h3CellAreaRads2", "h3Distance", "h3EdgeAngle",

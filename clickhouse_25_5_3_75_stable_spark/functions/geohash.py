@@ -130,3 +130,66 @@ def geohash_decode(code) -> Column:
     center, like the reference's tuple return."""
     code = F.col(code) if isinstance(code, str) else code
     return _decode_udf()(code)
+
+
+def _boxes_np(
+    lon1: np.ndarray, lat1: np.ndarray, lon2: np.ndarray, lat2: np.ndarray,
+    precision: int, cap: int = 100_000,
+) -> list[list[str]]:
+    """Geohash cells covering each [lon1,lon2]×[lat1,lat2] box at the
+    precision (reference geohashesInBox.cpp). Cell edge sizes follow
+    from the bit split: lon gets ceil(5p/2) bits, lat floor(5p/2)."""
+    lon_bits = (5 * precision + 1) // 2
+    lat_bits = (5 * precision) // 2
+    dlon = 360.0 / (1 << lon_bits)
+    dlat = 180.0 / (1 << lat_bits)
+    out: list[list[str]] = []
+    for j in range(lon1.shape[0]):
+        lo_x, hi_x = sorted((lon1[j], lon2[j]))
+        lo_y, hi_y = sorted((lat1[j], lat2[j]))
+        # snap to the cell grid
+        x0 = np.floor((lo_x + 180.0) / dlon)
+        x1 = np.floor((hi_x + 180.0) / dlon)
+        y0 = np.floor((lo_y + 90.0) / dlat)
+        y1 = np.floor((hi_y + 90.0) / dlat)
+        nx, ny = int(x1 - x0) + 1, int(y1 - y0) + 1
+        if nx * ny > cap or nx <= 0 or ny <= 0:
+            out.append([])  # reference returns empty when over the limit
+            continue
+        xs = (x0 + np.arange(nx)) * dlon - 180.0 + dlon / 2
+        ys = (y0 + np.arange(ny)) * dlat - 90.0 + dlat / 2
+        gx, gy = np.meshgrid(xs, ys)
+        out.append(_encode_np(gx.ravel(), gy.ravel(), precision))
+    return out
+
+
+def _boxes_udf():
+    if "box" not in _UDF_CACHE:
+
+        @pandas_udf("array<string>")
+        def _geohashes_in_box_udf(
+            lon1: pd.Series, lat1: pd.Series, lon2: pd.Series, lat2: pd.Series,
+            precision: pd.Series,
+        ) -> pd.Series:
+            p = int(precision.iloc[0]) if len(precision) else 4
+            p = max(1, min(_MAX_PRECISION, p))
+            return pd.Series(
+                _boxes_np(
+                    lon1.to_numpy(np.float64), lat1.to_numpy(np.float64),
+                    lon2.to_numpy(np.float64), lat2.to_numpy(np.float64), p,
+                )
+            )
+
+        _UDF_CACHE["box"] = _geohashes_in_box_udf
+    return _UDF_CACHE["box"]
+
+
+def geohashes_in_box(lon_min, lat_min, lon_max, lat_max, precision: int = 4) -> Column:
+    """geohashesInBox(lon_min, lat_min, lon_max, lat_max, precision)
+    → Array(String): the geohash cells intersecting the box (empty
+    above the cell-count cap, mirroring the reference's limit)."""
+    cols = [
+        F.col(c).cast("double") if isinstance(c, str) else c.cast("double")
+        for c in (lon_min, lat_min, lon_max, lat_max)
+    ]
+    return _boxes_udf()(*cols, F.lit(int(precision)))

@@ -221,3 +221,26 @@ def test_geohash_encode_decode(spark):
     )
 
     assert "geohashencode" in CH_FUNCTIONS and "geohashdecode" in CH_FUNCTIONS
+
+
+def test_geohashes_in_box(spark):
+    from clickhouse_25_5_3_75_stable_spark.functions.geohash import (
+        geohash_encode,
+        geohashes_in_box,
+    )
+
+    df = spark.createDataFrame(
+        [(10.3, 57.5, 10.5, 57.7)], "x1 double, y1 double, x2 double, y2 double"
+    )
+    row = df.select(
+        geohashes_in_box("x1", "y1", "x2", "y2", 4).alias("cells"),
+        geohash_encode(F.lit(10.40744), F.lit(57.64911), 4).alias("pt"),
+    ).collect()[0]
+    assert row.pt in row.cells            # contained point's cell is covered
+    assert len(set(row.cells)) == len(row.cells)  # no duplicates
+    assert all(len(c) == 4 for c in row.cells)
+    # degenerate box: one cell
+    one = df.select(
+        geohashes_in_box(F.lit(10.4), F.lit(57.6), F.lit(10.4), F.lit(57.6), 5).alias("c")
+    ).collect()[0].c
+    assert len(one) == 1
