@@ -209,6 +209,20 @@ def run_local(sql: str, data_dir: str, spark=None, out=sys.stdout) -> int:
             _emit([(tname, "Ok")], ["table", "status"], fmt, out)
             return 0
 
+        if kw == "SET":
+            import re as _re
+
+            from clickhouse_25_5_3_75_stable_spark.chsql import apply_settings
+
+            m = _re.match(r"SET\s+(\w+)\s*=\s*(.+)", sql.strip().rstrip(";"),
+                          _re.IGNORECASE)
+            if not m:
+                raise ValueError("expected SET <name> = <value>")
+            applied = apply_settings(spark, {m.group(1).lower(): m.group(2)})
+            _emit([(m.group(1), m.group(2), len(applied))],
+                  ["setting", "value", "confs_changed"], fmt, out)
+            return 0
+
         if kw in ("BACKUP", "RESTORE"):
             import re as _re
 

@@ -486,3 +486,19 @@ def test_cli_backup_restore_statements(spark, tmp_path):
     buf = io.StringIO()
     assert run_local("SELECT count() AS n FROM r2", data, spark=spark, out=buf) == 0
     assert buf.getvalue().strip() == "5"
+
+
+def test_cli_set_statement(spark, tmp_path):
+    import io
+
+    from clickhouse_25_5_3_75_stable_spark.__main__ import run_local
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    buf = io.StringIO()
+    assert run_local("SET max_threads = 6", str(tmp_path), spark=spark, out=buf) == 0
+    assert spark.conf.get("spark.sql.shuffle.partitions") == "6"
+    spark.conf.set("spark.sql.shuffle.partitions", before)
+    import pytest
+
+    with pytest.raises(Exception):
+        run_local("SET bogus_setting = 1", str(tmp_path), spark=spark, out=buf)
