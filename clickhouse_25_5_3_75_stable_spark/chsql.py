@@ -121,7 +121,8 @@ _RENAMES = {
     "now": "current_timestamp",
     "rand": "rand",
     "cityhash64": "xxhash64",
-    "siphash64": "xxhash64",
+    # sipHash64 resolves to the exact SQL-registered UDF (session.py
+    # registers it; functions/siphash.py is paper-vector validated)
     "farmhash64": "xxhash64",
     "halfmd5": "xxhash64",
     "tostartofday": "tostartofday__",

@@ -451,9 +451,25 @@ _reg("isValidJSON")(lambda j: F.get_json_object(_c(j), "$").isNotNull())
 _reg("MD5", "halfMD5_hex")(lambda a: F.md5(_c(a).cast("binary")))
 _reg("SHA256")(lambda a: F.sha2(_c(a).cast("binary"), 256))
 _reg("SHA512")(lambda a: F.sha2(_c(a).cast("binary"), 512))
-_reg("cityHash64", "sipHash64", "farmHash64", "metroHash64")(
+_reg("cityHash64", "farmHash64", "metroHash64")(
     lambda *cols: F.xxhash64(*[_c(c) for c in cols])
 )
+
+
+def _siphash64_exact(*cols):
+    # EXACT reference values (functions/siphash.py, paper-vector
+    # validated); multi-arg form chains like the reference:
+    # sipHash64(a, b) = sipHash64(concat of hash stages) — here the
+    # single-string form is exact and multi-arg falls back to chaining
+    # string concat with \x01 separators (documented divergence).
+    from clickhouse_25_5_3_75_stable_spark.functions.siphash import siphash64
+
+    if len(cols) == 1:
+        return siphash64(_c(cols[0]))
+    return siphash64(F.concat_ws("\x01", *[_c(c).cast("string") for c in cols]))
+
+
+_reg("sipHash64")(_siphash64_exact)
 _reg("xxHash64")(lambda *cols: F.xxhash64(*[_c(c) for c in cols]))
 _reg("xxHash32", "murmurHash2_32", "murmurHash3_32", "intHash32")(
     lambda *cols: F.hash(*[_c(c) for c in cols])

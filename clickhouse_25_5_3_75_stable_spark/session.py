@@ -62,4 +62,21 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    register_sql_udfs(spark)
     return spark
+
+
+def register_sql_udfs(spark: SparkSession) -> None:
+    """Expose pandas-UDF-backed CH functions to SQL text (the chsql
+    shim passes these names through): exact sipHash64, geohash trio."""
+    from clickhouse_25_5_3_75_stable_spark.functions.geohash import (
+        _boxes_udf,
+        _decode_udf,
+        _encode_udf,
+    )
+    from clickhouse_25_5_3_75_stable_spark.functions.siphash import _udf as _sip_udf
+
+    spark.udf.register("sipHash64", _sip_udf())
+    spark.udf.register("geohashEncode", _encode_udf())
+    spark.udf.register("geohashDecode", _decode_udf())
+    spark.udf.register("geohashesInBox", _boxes_udf())

@@ -244,3 +244,40 @@ def test_geohashes_in_box(spark):
         geohashes_in_box(F.lit(10.4), F.lit(57.6), F.lit(10.4), F.lit(57.6), 5).alias("c")
     ).collect()[0].c
     assert len(one) == 1
+
+
+def test_siphash64_exact_reference_values(spark):
+    """SipHash-2-4 paper vectors + vectorized==scalar + SQL-registered
+    name (the reference's sipHash64 is canonical zero-key SipHash-2-4,
+    src/Common/SipHash.h)."""
+    import numpy as np
+
+    from clickhouse_25_5_3_75_stable_spark.functions.siphash import (
+        _siphash64_np,
+        siphash64,
+        siphash64_py,
+    )
+
+    k0, k1 = 0x0706050403020100, 0x0F0E0D0C0B0A0908
+    assert siphash64_py(b"", k0, k1) == 0x726FDB47DD0E0E31
+    assert siphash64_py(bytes(range(15)), k0, k1) == 0xA129CA6149BE45E5
+
+    data = [b"", b"a", b"hello world", bytes(range(33)), b"x" * 8, b"y" * 16]
+    v = _siphash64_np(data)
+    s = np.array([siphash64_py(b) for b in data], dtype=np.uint64)
+    assert (v == s).all()
+
+    # DataFrame expression and SQL name agree
+    df = spark.createDataFrame([("hello",), ("",), ("Ж",)], "s string")
+    a = [r.h for r in df.select(siphash64("s").alias("h")).collect()]
+    b = [r.h for r in spark.sql(
+        "SELECT sipHash64(s) AS h FROM VALUES ('hello'), (''), ('Ж') AS t(s)"
+    ).collect()]
+    assert a == b
+    assert a[1] == np.int64(np.uint64(siphash64_py(b""))).item()
+
+    # dialect name routes to the exact implementation now
+    from clickhouse_25_5_3_75_stable_spark.functions.dialect import ch
+
+    got = df.select(ch("sipHash64", F.col("s")).alias("h")).collect()
+    assert got[0].h == a[0]
