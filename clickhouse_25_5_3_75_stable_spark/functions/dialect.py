@@ -12,11 +12,13 @@ Usage:
     df.select(ch("toStartOfMonth", F.col("ts")), ch("multiIf", c1, v1, c2, v2, d))
 
 Notes on fidelity:
-- Hash functions (cityHash64, sipHash64, ...) are mapped to Spark's
-  hash family for *capability* parity; the exact 64-bit values differ
-  from ClickHouse's implementations by design
-  (/root/reference/src/Functions/FunctionsHashing.h). Only md5/sha*
-  produce identical digests.
+- sipHash64 produces EXACT reference values (functions/siphash.py —
+  canonical zero-key SipHash-2-4, paper-vector validated), as do
+  md5/sha*. cityHash64/farmHash64/metroHash64 remain capability-mapped
+  to xxhash64: their exact algorithms (CityHash v1.0.2 etc.) are
+  bundled third-party code the reference snapshot does not ship, so an
+  "exact" reimplementation could not be validated here
+  (/root/reference/src/Functions/FunctionsHashing.h).
 - toDayOfWeek follows ClickHouse semantics (Mon=1..Sun=7), translated
   from Spark's dayofweek (Sun=1..Sat=7).
 """
