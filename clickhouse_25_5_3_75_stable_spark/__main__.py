@@ -270,16 +270,87 @@ def run_local(sql: str, data_dir: str, spark=None, out=sys.stdout) -> int:
             spark.stop()
 
 
+def _split_statements(script: str) -> list[str]:
+    """Split on top-level semicolons (string literals and backtick
+    identifiers stay opaque) — clickhouse-local --multiquery."""
+    stmts, cur, i, n = [], [], 0, len(script)
+    while i < n:
+        c = script[i]
+        if c in ("'", "`"):
+            q = c
+            cur.append(c)
+            i += 1
+            while i < n:
+                cur.append(script[i])
+                if script[i] == "\\" and q == "'" and i + 1 < n:
+                    cur.append(script[i + 1])
+                    i += 2
+                    continue
+                if script[i] == q:
+                    i += 1
+                    break
+                i += 1
+            continue
+        if c == ";":
+            s = "".join(cur).strip()
+            if s:
+                stmts.append(s)
+            cur = []
+        else:
+            cur.append(c)
+        i += 1
+    s = "".join(cur).strip()
+    if s:
+        stmts.append(s)
+    return stmts
+
+
+def run_script(script: str, data_dir: str, spark=None, out=sys.stdout) -> int:
+    """Execute a ;-separated multi-statement script against one shared
+    session (so CREATE/INSERT/SET state carries across statements)."""
+    own_session = spark is None
+    if own_session:
+        from clickhouse_25_5_3_75_stable_spark.session import get_spark
+
+        spark = get_spark(app_name="ch-local")
+        spark.sparkContext.setLogLevel("ERROR")
+    try:
+        for stmt in _split_statements(script):
+            rc = run_local(stmt, data_dir, spark=spark, out=out)
+            if rc != 0:
+                return rc
+        return 0
+    finally:
+        if own_session:
+            spark.stop()
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="clickhouse_25_5_3_75_stable_spark")
-    ap.add_argument("sql", help="ClickHouse-dialect SELECT (FORMAT suffix honored)")
+    ap.add_argument(
+        "sql",
+        nargs="?",
+        help="ClickHouse-dialect statement (FORMAT suffix honored); "
+        "omit with --file to run a script",
+    )
     ap.add_argument(
         "--data",
         default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"),
         help="directory of <table>.parquet files to register",
     )
+    ap.add_argument("--multiquery", action="store_true",
+                    help="treat the input as ;-separated statements")
+    ap.add_argument("--file", help="read the statement(s) from a file")
     args = ap.parse_args(argv)
-    return run_local(args.sql, args.data)
+    sql = args.sql
+    if args.file:
+        with open(args.file) as fh:
+            sql = fh.read()
+    if sql is None:
+        ap.error("provide SQL or --file")
+    if args.multiquery or args.file or ";" in sql.rstrip().rstrip(";"):
+        return run_script(sql, args.data)
+    return run_local(sql, args.data)
 
 
 if __name__ == "__main__":

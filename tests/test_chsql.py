@@ -502,3 +502,24 @@ def test_cli_set_statement(spark, tmp_path):
 
     with pytest.raises(Exception):
         run_local("SET bogus_setting = 1", str(tmp_path), spark=spark, out=buf)
+
+
+def test_cli_multiquery_script(spark, tmp_path):
+    import io
+    import os
+
+    from clickhouse_25_5_3_75_stable_spark.__main__ import run_script
+
+    data = str(tmp_path / "mq")
+    os.makedirs(data)
+    buf = io.StringIO()
+    script = """
+        CREATE TABLE kv (k Int64, v String) ENGINE = MergeTree ORDER BY k;
+        INSERT INTO kv VALUES (1, 'a'), (2, 'b;c');
+        SELECT count() AS n FROM kv;
+        SELECT v FROM kv WHERE k = 2 FORMAT CSV;
+    """
+    assert run_script(script, data, spark=spark, out=buf) == 0
+    lines = buf.getvalue().strip().splitlines()
+    assert "2" in lines  # count
+    assert "b;c" in lines[-1]  # literal semicolon survived the split
