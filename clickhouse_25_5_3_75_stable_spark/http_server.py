@@ -17,6 +17,13 @@ import urllib.parse
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 
+def _url_settings(qs: dict[str, list[str]]) -> dict[str, str]:
+    """Recognized ClickHouse settings passed as URL parameters."""
+    from clickhouse_25_5_3_75_stable_spark.chsql import _KNOWN_SETTINGS
+
+    return {k: v[0] for k, v in qs.items() if k in _KNOWN_SETTINGS and v}
+
+
 def make_server(spark, data_dir: str, port: int = 0) -> ThreadingHTTPServer:
     """Build (not start) the HTTP server; port 0 picks a free port."""
     import io
@@ -26,14 +33,27 @@ def make_server(spark, data_dir: str, port: int = 0) -> ThreadingHTTPServer:
     lock = threading.Lock()
 
     class Handler(BaseHTTPRequestHandler):
-        def _run(self, query: str) -> None:
+        def _run(self, query: str, url_settings: dict[str, str] | None = None) -> None:
             out = io.StringIO()
             try:
                 # one query at a time per session (the reference
                 # serializes per connection; Spark jobs parallelize
                 # internally)
                 with lock:
-                    run_local(query, data_dir, spark=spark, out=out)
+                    from clickhouse_25_5_3_75_stable_spark.chsql import (
+                        apply_settings,
+                        restore_settings,
+                    )
+
+                    # reference HTTP accepts settings as URL params
+                    # (src/Server/HTTPHandler.cpp); recognized names
+                    # apply for this request then restore (run_local
+                    # collects eagerly, so restore-after is safe)
+                    restore = apply_settings(spark, url_settings or {})
+                    try:
+                        run_local(query, data_dir, spark=spark, out=out)
+                    finally:
+                        restore_settings(spark, restore)
                 body = out.getvalue().encode("utf-8")
                 self.send_response(200)
                 self.send_header("Content-Type", "text/plain; charset=utf-8")
@@ -62,7 +82,7 @@ def make_server(spark, data_dir: str, port: int = 0) -> ThreadingHTTPServer:
                 self.send_response(400)
                 self.end_headers()
                 return
-            self._run(query)
+            self._run(query, _url_settings(qs))
 
         def do_POST(self):  # noqa: N802
             length = int(self.headers.get("Content-Length", "0"))
@@ -70,7 +90,7 @@ def make_server(spark, data_dir: str, port: int = 0) -> ThreadingHTTPServer:
             parsed = urllib.parse.urlparse(self.path)
             qs = urllib.parse.parse_qs(parsed.query)
             query = (qs.get("query") or [body])[0] or body
-            self._run(query)
+            self._run(query, _url_settings(qs))
 
         def log_message(self, *a):  # silence request logging
             pass

@@ -523,3 +523,26 @@ def test_cli_multiquery_script(spark, tmp_path):
     lines = buf.getvalue().strip().splitlines()
     assert "2" in lines  # count
     assert "b;c" in lines[-1]  # literal semicolon survived the split
+
+
+def test_http_url_settings(spark):
+    import urllib.request
+
+    from clickhouse_25_5_3_75_stable_spark.http_server import serve_in_thread
+
+    srv, port = serve_in_thread(spark, "/root/testdata/sf0.001")
+    try:
+        before = spark.conf.get("spark.sql.shuffle.partitions")
+        url = (
+            f"http://127.0.0.1:{port}/?query="
+            + urllib.request.quote("SELECT count() AS n FROM region")
+            + "&max_threads=3&max_result_rows=1"
+        )
+        body = urllib.request.urlopen(url, timeout=60).read().decode()
+        assert body.strip() == "5"  # count() over the 5 regions
+        # request-scoped: conf restored afterwards
+        assert spark.conf.get("spark.sql.shuffle.partitions") == before
+        # unknown settings in the URL are ignored (they're arbitrary
+        # params in the reference too only when recognized)
+    finally:
+        srv.shutdown()
