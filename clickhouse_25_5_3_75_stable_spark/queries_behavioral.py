@@ -168,3 +168,48 @@ def retention_signup_view_purchase(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "sequence_match_timed_view_purchase",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tu, event_id AS id, event_type
+        FROM events
+    )
+    SELECT u.user_id,
+           EXISTS (
+               SELECT 1 FROM ev a JOIN ev b ON a.user_id = b.user_id
+               WHERE a.user_id = u.user_id
+                 AND a.event_type = 'view' AND b.event_type = 'purchase'
+                 AND (b.tu > a.tu OR (b.tu = a.tu AND b.id > a.id))
+                 AND b.tu - a.tu <= 1800000 * 1000
+           ) AS matched
+    FROM (SELECT DISTINCT user_id FROM ev) u
+    ORDER BY user_id
+    """,
+    tags=("behavioral", "sequence", "time_constraint"),
+)
+def sequence_match_timed_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sequenceMatch('(?1)(?t<=1800000)(?2)') — pattern-language time
+    constraint (reference AggregateFunctionSequenceMatch.h actions
+    TimeLessOrEqual): purchase within 30 min of a view. The oracle is
+    the independent EXISTS-join formulation with the same gap bound."""
+    from clickhouse_25_5_3_75_stable_spark.operators.funnel import (
+        sequence_match_pattern,
+    )
+
+    ev = t(spark, sf_dir, "events")
+    et = F.col("event_type")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            sequence_match_pattern(
+                F.col("ts"),
+                F.col("event_id"),
+                [et == "view", et == "purchase"],
+                "(?1)(?t<=1800000)(?2)",
+            ).alias("matched")
+        )
+        .orderBy("user_id")
+    )
