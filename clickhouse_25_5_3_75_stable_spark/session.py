@@ -80,3 +80,19 @@ def register_sql_udfs(spark: SparkSession) -> None:
     spark.udf.register("geohashEncode", _encode_udf())
     spark.udf.register("geohashDecode", _decode_udf())
     spark.udf.register("geohashesInBox", _boxes_udf())
+
+
+def tag_query(spark: SparkSession, query_id: str, description: str = "") -> None:
+    """Tag subsequent actions on this thread with a query id — the
+    reference's query_id (system.processes / KILL QUERY surface).
+    Spark mapping: a job group; all jobs an action spawns inherit it."""
+    spark.sparkContext.setJobGroup(query_id, description or query_id,
+                                   interruptOnCancel=True)
+
+
+def kill_query(spark: SparkSession, query_id: str) -> None:
+    """KILL QUERY WHERE query_id = '<id>' (reference
+    src/Interpreters/InterpreterKillQueryQuery.cpp): cancel every Spark
+    job tagged with the id. Running tasks are interrupted
+    (interruptOnCancel at tag time); the blocked action raises."""
+    spark.sparkContext.cancelJobGroup(query_id)

@@ -437,3 +437,36 @@ def test_system_tables_wide_surface(spark, tmp_path):
     assert opts["SPARK_VERSION"].startswith("4.")
 
     assert system_processes(spark).columns == ["job_id", "status", "n_stages"]
+
+
+def test_kill_query_cancels_tagged_job(spark):
+    """KILL QUERY analogue: a tagged long-running action dies when its
+    job group is cancelled; the session survives for the next query."""
+    import time
+
+    from pyspark import InheritableThread
+
+    from clickhouse_25_5_3_75_stable_spark.session import kill_query, tag_query
+
+    errors = []
+
+    def victim():
+        try:
+            tag_query(spark, "q-kill-me", "long scan")
+            # ~10^11 rows of codegen sum: minutes uncancelled
+            spark.range(100_000_000_000).selectExpr("sum(id * id)").collect()
+            errors.append("completed (should have been killed)")
+        except Exception as e:
+            errors.append(type(e).__name__)
+        finally:
+            spark.sparkContext.setJobGroup(None, None)
+
+    th = InheritableThread(target=victim)
+    th.start()
+    time.sleep(5)  # let the job start
+    kill_query(spark, "q-kill-me")
+    th.join(timeout=90)
+    assert not th.is_alive(), "victim thread still running after kill"
+    assert errors and errors[0] != "completed (should have been killed)"
+    # session still healthy
+    assert spark.range(5).count() == 5
