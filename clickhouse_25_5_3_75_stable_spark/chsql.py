@@ -105,12 +105,13 @@ _RENAMES = {
     "ucase": "upper",
     "mid": "substring",
     "substr": "substring",
-    "position": "locate",
+    "position": "instr",  # CH arg order (haystack, needle) == Spark instr
     "lengthutf8": "char_length",
     "match": "rlike",
     "multiif": "case_when__",  # handled structurally below
     "empty": "empty__",
     "notempty": "notempty__",
+    "length": "length__",  # CH length() covers strings AND arrays
     "ifnull": "ifnull",
     "assumenotnull": "identity__",  # type assertion — no-op on Spark
     "intdiv": "div__",
@@ -170,7 +171,7 @@ _RENAMES = {
     "lowerutf8": "lower",
     "upperutf8": "upper",
     "substringutf8": "substring",
-    "positionutf8": "locate",
+    "positionutf8": "instr",
     "trimboth": "trim",
     "trimleft": "ltrim",
     "trimright": "rtrim",
@@ -640,6 +641,23 @@ def _rewrite_limit_by(toks: list[str]) -> list[str]:
 # ---------------------------------------------------------------------------
 
 
+# Spark call heads that produce arrays/maps — used to resolve CH's
+# polymorphic length()/empty() to size() vs length() at token level
+_ARRAY_PRODUCING = {
+    "split", "array", "sequence", "array_distinct", "transform", "filter",
+    "slice", "array_intersect", "array_except", "array_union", "arrays_zip",
+    "flatten", "collect_list", "collect_set", "sort_array", "array_sort",
+    "array_append", "array_prepend", "array_repeat", "array_remove",
+    "map_keys", "map_values", "regexp_extract_all", "zip_with", "shuffle",
+    "aggregate_keys",
+}
+
+
+def _len_fn(arg: list[str]) -> str:
+    head = arg[0].lower() if arg else ""
+    return "size" if head in _ARRAY_PRODUCING else "length"
+
+
 _EXTRACT_UNITS = {
     "YEAR", "QUARTER", "MONTH", "WEEK", "DAY", "HOUR", "MINUTE", "SECOND",
     "DAYOFWEEK", "DOW", "DAYOFYEAR", "DOY", "EPOCH",
@@ -822,20 +840,40 @@ def _rewrite_functions(toks: list[str]) -> list[str]:
         # lambda-first HOFs: CH arrayMap(f, a[, b]) → Spark
         # transform(a, f) / zip_with(a, b, f)
         if low in _HOF_SWAP or low == "arraysum":
-            has_lambda = bool(args) and "->" in args[0]
+            # the lambda arrow must sit at the TOP level of the first
+            # argument — a nested, already-rewritten HOF contributes
+            # arrows at depth > 0 (fuzz-found: arraySum([x,
+            # arraySum([..])]) misread the inner lambda)
+            def _top_arrow(arg: list[str]) -> bool:
+                d = 0
+                for t2 in arg:
+                    if t2 == "(":
+                        d += 1
+                    elif t2 == ")":
+                        d -= 1
+                    elif t2 == "->" and d == 0:
+                        return True
+                return False
+
+            has_lambda = bool(args) and _top_arrow(args[0])
             if low == "arraysum":
                 # arraySum([f,] arr) → aggregate over DOUBLE (the one
                 # deliberate type widening in the shim, documented)
                 arr = args[1] if has_lambda else args[0]
+                # NULL elements are SKIPPED (CH semantics; fuzz-found:
+                # a bare s + x would NULL-poison the whole sum)
+                step = ["(", "s", ",", "x", ")", "->", "s", "+",
+                        "coalesce", "(", "CAST", "(", "x", "AS", "DOUBLE", ")",
+                        ",", "CAST", "(", "0", "AS", "DOUBLE", ")", ")"]
                 if has_lambda:
                     # aggregate(transform(arr, f), 0D, (s,x)->s+x)
                     out += ["aggregate", "(", "transform", "(", *arr, ",", *args[0],
                             ")", ",", "CAST", "(", "0", "AS", "DOUBLE", ")", ",",
-                            "(", "s", ",", "x", ")", "->", "s", "+", "x", ")"]
+                            *step, ")"]
                 else:
                     out += ["aggregate", "(", *arr, ",",
                             "CAST", "(", "0", "AS", "DOUBLE", ")", ",",
-                            "(", "s", ",", "x", ")", "->", "s", "+", "x", ")"]
+                            *step, ")"]
                 i = close_i + 1
                 continue
             if not has_lambda:
@@ -881,9 +919,11 @@ def _rewrite_functions(toks: list[str]) -> list[str]:
                 k += 2
             out += ["ELSE", *args[-1], "END"]
         elif new == "empty__":
-            out += ["(", "length", "(", *args[0], ")", "=", "0", ")"]
+            out += ["(", _len_fn(args[0]), "(", *args[0], ")", "=", "0", ")"]
         elif new == "notempty__":
-            out += ["(", "length", "(", *args[0], ")", ">", "0", ")"]
+            out += ["(", _len_fn(args[0]), "(", *args[0], ")", ">", "0", ")"]
+        elif new == "length__":
+            out += [_len_fn(args[0]), "(", *args[0], ")"]
         elif new == "div__":
             out += ["(", *args[0], "DIV", *args[1], ")"]
         elif new == "yesterday__":

@@ -139,13 +139,20 @@ def expr():
 
 @pytest.fixture(scope="module")
 def ctx(spark):
-    rows = [(x, y) for x in range(-3, 4) for y in (-2, 0, 3)]
-    spark.createDataFrame(rows, "x bigint, y bigint").createOrReplaceTempView(
-        "prop_t"
-    )
+    strs = ["", "a", "Hello,World", "a b c", "AAab", "comma,sep,str"]
+    rows = [
+        (x, y, strs[(x + 3) % len(strs)], strs[(y + 2) % len(strs)])
+        for x in range(-3, 4)
+        for y in (-2, 0, 3)
+    ]
+    spark.createDataFrame(rows, "x bigint, y bigint, s string, u string") \
+        .createOrReplaceTempView("prop_t")
     con = duckdb.connect()
-    con.execute("CREATE TABLE prop_t AS SELECT * FROM (VALUES " +
-                ", ".join(f"({x}, {y})" for x, y in rows) + ") AS v(x, y)")
+    con.execute(
+        "CREATE TABLE prop_t AS SELECT * FROM (VALUES "
+        + ", ".join(f"({x}, {y}, '{s}', '{u}')" for x, y, s, u in rows)
+        + ") AS v(x, y, s, u)"
+    )
     return spark, con
 
 
@@ -165,4 +172,82 @@ def test_shim_matches_duckdb(ctx, e):
     ).fetchall()
     got = [(r.x, r.y, None if r.v is None else int(r.v)) for r in spark_rows]
     want = [(x, y, None if v is None else int(v)) for x, y, v in duck_rows]
+    assert got == want, f"CH: {ch_text}\nANSI: {ansi_text}"
+
+
+# ---------------------------------------------------------------------------
+# String-expression differential fuzz (ASCII-only: CH length() counts
+# bytes, Spark counts chars — identical on ASCII, which is what these
+# columns hold)
+# ---------------------------------------------------------------------------
+
+SCOLS = ("s", "u")
+
+
+def sleaf():
+    lits = st.sampled_from(["'ab'", "'Hello World'", "''", "'x,y,z'", "'aaa'"]).map(
+        lambda v: (v, v)
+    )
+    cols = st.sampled_from(SCOLS).map(lambda c: (c, c))
+    return st.one_of(lits, cols)
+
+
+def sop(children):
+    concat = st.tuples(children, children).map(
+        lambda t: (f"concat({t[0][0]}, {t[1][0]})", f"({t[0][1]} || {t[1][1]})")
+    )
+    lower = children.map(lambda a: (f"lower({a[0]})", f"lower({a[1]})"))
+    upper = children.map(lambda a: (f"upper({a[0]})", f"upper({a[1]})"))
+    substr = st.tuples(children, st.integers(1, 4), st.integers(1, 4)).map(
+        lambda t: (
+            f"substring({t[0][0]}, {t[1]}, {t[2]})",
+            f"substring({t[0][1]}, {t[1]}, {t[2]})",
+        )
+    )
+    replace_all = children.map(
+        lambda a: (f"replaceAll({a[0]}, 'a', 'z')", f"replace({a[1]}, 'a', 'z')")
+    )
+    trimboth = children.map(lambda a: (f"trimBoth({a[0]})", f"trim({a[1]})"))
+    return st.one_of(concat, lower, upper, substr, replace_all, trimboth)
+
+
+def sexpr():
+    return st.recursive(sleaf(), sop, max_leaves=6)
+
+
+def snum(children):
+    # string -> integer bridges: length, position, countEqual on split
+    length = children.map(lambda a: (f"length({a[0]})", f"length({a[1]})"))
+    pos = st.tuples(children, st.sampled_from(["'a'", "'l'", "'zz'"])).map(
+        lambda t: (
+            f"position({t[0][0]}, {t[1]})",
+            f"CAST(COALESCE(NULLIF(instr({t[0][1]}, {t[1]}), 0), 0) AS BIGINT)",
+        )
+    )
+    nsplit = children.map(
+        lambda a: (
+            f"length(splitByChar(',', {a[0]}))",
+            f"len(string_split({a[1]}, ','))",
+        )
+    )
+    return st.one_of(length, pos, nsplit)
+
+
+@settings(
+    max_examples=50,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(e=st.one_of(sexpr(), snum(sexpr())))
+def test_string_shim_matches_duckdb(ctx, e):
+    spark, con = ctx
+    ch_text, ansi_text = e
+    q = f"SELECT x, y, {ch_text} AS v FROM prop_t ORDER BY x, y"
+    got = [(r.x, r.y, str(r.v)) for r in spark.sql(ch_sql_to_spark(q)).collect()]
+    want = [
+        (x, y, str(v))
+        for x, y, v in con.execute(
+            f"SELECT x, y, {ansi_text} AS v FROM prop_t ORDER BY x, y"
+        ).fetchall()
+    ]
     assert got == want, f"CH: {ch_text}\nANSI: {ansi_text}"
