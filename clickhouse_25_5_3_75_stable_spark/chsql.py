@@ -202,9 +202,15 @@ _RENAMES = {
     "toyyyymm": "toyyyymm__",
     "toyyyymmdd": "toyyyymmdd__",
     "todayofweek": "todayofweek__",
-    "adddays": "date_add",
-    "subtractdays": "date_sub",
-    "addmonths": "add_months",
+    # add*/subtract* use timestampadd: date_add/add_months CAST TO DATE
+    # and silently drop the time-of-day CH preserves (a Date input
+    # widens to midnight timestamp — value-equal, type-widened)
+    "adddays": "adddays__",
+    "subtractdays": "subtractdays__",
+    "addmonths": "addmonths__",
+    "subtractmonths": "subtractmonths__",
+    "subtractyears": "subtractyears__",
+    "subtractweeks": "subtractweeks__",
     "addweeks": "addweeks__",
     "addhours": "addhours__",
     "addminutes": "addminutes__",
@@ -666,10 +672,16 @@ _EXTRACT_UNITS = {
 # add<Unit>/subtract<Unit> → timestampadd(UNIT, ±n, ts)
 _TIMESTAMPADD = {
     "addyears__": ("YEAR", 1),
+    "addmonths__": ("MONTH", 1),
     "addweeks__": ("WEEK", 1),
+    "adddays__": ("DAY", 1),
     "addhours__": ("HOUR", 1),
     "addminutes__": ("MINUTE", 1),
     "addseconds__": ("SECOND", 1),
+    "subtractyears__": ("YEAR", -1),
+    "subtractmonths__": ("MONTH", -1),
+    "subtractweeks__": ("WEEK", -1),
+    "subtractdays__": ("DAY", -1),
     "subtracthours__": ("HOUR", -1),
     "subtractminutes__": ("MINUTE", -1),
     "subtractseconds__": ("SECOND", -1),

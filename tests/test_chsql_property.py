@@ -251,3 +251,113 @@ def test_string_shim_matches_duckdb(ctx, e):
         ).fetchall()
     ]
     assert got == want, f"CH: {ch_text}\nANSI: {ansi_text}"
+
+
+# ---------------------------------------------------------------------------
+# Date/time differential fuzz — timestamps only (CH add* preserves
+# time-of-day; the shim uses timestampadd for exactly that reason)
+# ---------------------------------------------------------------------------
+
+
+def tleaf():
+    lits = st.sampled_from([
+        "TIMESTAMP '2024-03-05 10:11:12'",
+        "TIMESTAMP '1999-12-31 23:59:59'",
+        "TIMESTAMP '2020-02-29 00:00:00'",
+    ]).map(lambda v: (v, v))
+    return st.one_of(lits, st.just(("ts", "ts")))
+
+
+def top(children):
+    units = {
+        "addDays": "DAY", "addHours": "HOUR", "addMinutes": "MINUTE",
+        "addMonths": "MONTH", "addYears": "YEAR", "subtractDays": "DAY",
+        "subtractHours": "HOUR",
+    }
+
+    def render(t):
+        name, n, (ch_a, an_a) = t
+        u = units[name]
+        sign = "-" if name.startswith("subtract") else "+"
+        return (
+            f"{name}({ch_a}, {n})",
+            f"({an_a} {sign} INTERVAL {n} {u})",
+        )
+
+    shift = st.tuples(
+        st.sampled_from(sorted(units)), st.integers(0, 40), children
+    ).map(render)
+    trunc = st.tuples(st.sampled_from(["toStartOfDay", "toStartOfHour",
+                                       "toStartOfMonth", "toStartOfYear"]), children).map(
+        lambda t: (
+            f"{t[0]}({t[1][0]})",
+            {
+                # CAST: DuckDB date_trunc('day'/'month'/'year') yields
+                # DATE; Spark (like CH toStartOfDay) yields TIMESTAMP
+                "toStartOfDay": f"CAST(date_trunc('day', {t[1][1]}) AS TIMESTAMP)",
+                "toStartOfHour": f"date_trunc('hour', {t[1][1]})",
+                "toStartOfMonth": f"CAST(date_trunc('month', {t[1][1]}) AS TIMESTAMP)",
+                "toStartOfYear": f"CAST(date_trunc('year', {t[1][1]}) AS TIMESTAMP)",
+            }[t[0]],
+        )
+    )
+    return st.one_of(shift, trunc)
+
+
+def tnum(children):
+    parts = st.tuples(
+        st.sampled_from(["toYear", "toMonth", "toDayOfMonth", "toHour",
+                         "toMinute", "toSecond", "toQuarter"]),
+        children,
+    ).map(
+        lambda t: (
+            f"{t[0]}({t[1][0]})",
+            {
+                "toYear": "year", "toMonth": "month", "toDayOfMonth": "day",
+                "toHour": "hour", "toMinute": "minute", "toSecond": "second",
+                "toQuarter": "quarter",
+            }[t[0]]
+            + f"({t[1][1]})",
+        )
+    )
+    return parts
+
+
+@settings(
+    max_examples=50,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(e=st.one_of(st.recursive(tleaf(), top, max_leaves=5),
+                   tnum(st.recursive(tleaf(), top, max_leaves=4))))
+def test_datetime_shim_matches_duckdb(ctx2, e):
+    spark, con = ctx2
+    ch_text, ansi_text = e
+    q = f"SELECT k, {ch_text} AS v FROM prop_ts ORDER BY k"
+    got = [(r.k, str(r.v)) for r in spark.sql(ch_sql_to_spark(q)).collect()]
+    want = [
+        (k, str(v))
+        for k, v in con.execute(
+            f"SELECT k, {ansi_text} AS v FROM prop_ts ORDER BY k"
+        ).fetchall()
+    ]
+    assert got == want, f"CH: {ch_text}\nANSI: {ansi_text}"
+
+
+@pytest.fixture(scope="module")
+def ctx2(spark):
+    stamps = [
+        "2024-03-05 10:11:12", "1999-12-31 23:59:59", "2020-02-29 13:00:01",
+        "2024-01-01 00:00:00", "1970-01-01 00:00:01",
+    ]
+    rows = [(i, s) for i, s in enumerate(stamps)]
+    spark.createDataFrame(rows, "k int, raw string").selectExpr(
+        "k", "CAST(raw AS TIMESTAMP) AS ts"
+    ).createOrReplaceTempView("prop_ts")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE prop_ts AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, TIMESTAMP '{s}')" for i, s in rows)
+        + ") AS v(k, ts)"
+    )
+    return spark, con
