@@ -182,15 +182,29 @@ _reg("date_trunc", "dateTrunc")(lambda unit, a: F.date_trunc(unit, _c(a)))
 _reg("toYYYYMM")(lambda a: F.date_format(_c(a), "yyyyMM").cast("int"))
 _reg("toYYYYMMDD")(lambda a: F.date_format(_c(a), "yyyyMMdd").cast("int"))
 
-_reg("addYears")(lambda a, n: F.add_months(_c(a), 12 * n))
-_reg("addMonths")(lambda a, n: F.add_months(_c(a), n))
-_reg("addWeeks")(lambda a, n: F.date_add(_c(a), 7 * n))
-_reg("addDays")(lambda a, n: F.date_add(_c(a), n))
-_reg("addHours")(lambda a, n: F.timestamp_seconds(F.unix_timestamp(_c(a)) + 3600 * n))
-_reg("addMinutes")(lambda a, n: F.timestamp_seconds(F.unix_timestamp(_c(a)) + 60 * n))
-_reg("addSeconds")(lambda a, n: F.timestamp_seconds(F.unix_timestamp(_c(a)) + n))
-_reg("subtractDays")(lambda a, n: F.date_sub(_c(a), n))
-_reg("subtractMonths")(lambda a, n: F.add_months(_c(a), -n))
+# Interval arithmetic is POLYMORPHIC in Spark (Date stays Date,
+# DateTime stays DateTime with time-of-day and sub-second precision
+# intact) — exactly the reference's addDays.cpp contract. The earlier
+# date_add/add_months forms silently cast DateTime inputs to Date.
+def _shift(a, n, unit: str, sign: int = 1):
+    qty = F.lit(sign * n) if isinstance(n, int) else _c(n) * sign
+    return _c(a) + F.make_interval(**{unit: qty})
+
+
+_reg("addYears")(lambda a, n: _shift(a, n, "years"))
+_reg("addMonths")(lambda a, n: _shift(a, n, "months"))
+_reg("addWeeks")(lambda a, n: _shift(a, n, "weeks"))
+_reg("addDays")(lambda a, n: _shift(a, n, "days"))
+_reg("addHours")(lambda a, n: _shift(a, n, "hours"))
+_reg("addMinutes")(lambda a, n: _shift(a, n, "mins"))
+_reg("addSeconds")(lambda a, n: _shift(a, n, "secs"))
+_reg("subtractYears")(lambda a, n: _shift(a, n, "years", -1))
+_reg("subtractMonths")(lambda a, n: _shift(a, n, "months", -1))
+_reg("subtractWeeks")(lambda a, n: _shift(a, n, "weeks", -1))
+_reg("subtractDays")(lambda a, n: _shift(a, n, "days", -1))
+_reg("subtractHours")(lambda a, n: _shift(a, n, "hours", -1))
+_reg("subtractMinutes")(lambda a, n: _shift(a, n, "mins", -1))
+_reg("subtractSeconds")(lambda a, n: _shift(a, n, "secs", -1))
 
 
 @_reg("dateDiff", "date_diff")

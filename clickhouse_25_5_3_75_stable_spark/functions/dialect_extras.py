@@ -241,11 +241,8 @@ _ts = lambda c: _c(c).cast("timestamp")  # noqa: E731
 
 _reg("addQuarters")(lambda c, n: F.add_months(_c(c), _c(n) * 3))
 _reg("subtractQuarters")(lambda c, n: F.add_months(_c(c), -_c(n) * 3))
-_reg("subtractYears")(lambda c, n: F.add_months(_c(c), -_c(n) * 12))
-_reg("subtractWeeks")(lambda c, n: F.date_add(_c(c), (-_c(n) * 7).cast("int")))
-_reg("subtractHours")(lambda c, n: _ts(c) + F.make_dt_interval(hours=-_c(n)))
-_reg("subtractMinutes")(lambda c, n: _ts(c) + F.make_dt_interval(mins=-_c(n)))
-_reg("subtractSeconds")(lambda c, n: _ts(c) + F.make_dt_interval(secs=-_c(n)))
+# subtract* live in dialect.py (polymorphic interval arithmetic —
+# the add_months/date_add forms here truncated DateTime to Date)
 _reg("addMilliseconds")(lambda c, n: _ts(c) + F.make_dt_interval(secs=_c(n) / 1e3))
 _reg("addMicroseconds")(lambda c, n: _ts(c) + F.make_dt_interval(secs=_c(n) / 1e6))
 _reg("addNanoseconds")(lambda c, n: _ts(c) + F.make_dt_interval(secs=_c(n) / 1e9))
