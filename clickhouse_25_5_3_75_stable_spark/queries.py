@@ -893,7 +893,7 @@ from clickhouse_25_5_3_75_stable_spark.functions.dialect import ch  # noqa: E402
            CAST(date_trunc('day', uts) AS TIMESTAMP) AS start_day,
            CAST(strftime(uts, '%Y%m') AS INT) AS yyyymm,
            date_diff('day', DATE '2024-01-01', CAST(uts AS DATE)) AS days_since,
-           CAST(uts + INTERVAL 3 DAY AS DATE) AS plus3d
+           uts + INTERVAL 3 DAY AS plus3d
     FROM (SELECT event_id, CAST(ts AS TIMESTAMP) AS uts FROM events)
     ORDER BY event_id
     """,
