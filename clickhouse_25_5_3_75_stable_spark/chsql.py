@@ -221,6 +221,19 @@ _RENAMES = {
     "subtractseconds": "subtractseconds__",
     "tuple": "tuple__",
     "tupleelement": "tupleelement__",
+    "jsonextractint": "json_int__",
+    "jsonextractfloat": "json_float__",
+    "jsonextractstring": "json_str__",
+    "jsonextractbool": "json_bool__",
+    "jsonextractraw": "json_raw__",
+    "jsonhas": "json_has__",
+    "jsonlength": "json_length__",
+    "simplejsonextractint": "json_int__",
+    "simplejsonextractfloat": "json_float__",
+    "simplejsonextractstring": "json_str__",
+    "visitparamextractint": "json_int__",
+    "visitparamextractfloat": "json_float__",
+    "visitparamextractstring": "json_str__",
     "tostartofinterval": "tostartofinterval__",
     "tostartoffiveminutes": "tostartoffiveminutes__",
     "tostartoftenminutes": "tostartoftenminutes__",
@@ -1061,6 +1074,31 @@ def _rewrite_functions(toks: list[str]) -> list[str]:
                 out += ["(", *args[0], ")", f".{sel[0][1:-1]}"]
             else:
                 raise ChSqlError("tupleElement: index must be a literal")
+        elif new.startswith("json_"):
+            # single-key path form JSONExtractX(json, 'key'); CH's
+            # multi-segment path lists need the DataFrame builder
+            if len(args) != 2 or len(args[1]) != 1 or not args[1][0].startswith("'"):
+                raise ChSqlError(
+                    f"{tk}: only the single-literal-key form translates — "
+                    "multi-segment paths need the DataFrame builder"
+                )
+            key = args[1][0][1:-1]
+            path = f"'$.{key}'"
+            gjo = ["get_json_object", "(", *args[0], ",", path, ")"]
+            if new == "json_int__":
+                out += ["CAST", "(", *gjo, "AS", "BIGINT", ")"]
+            elif new == "json_float__":
+                out += ["CAST", "(", *gjo, "AS", "DOUBLE", ")"]
+            elif new == "json_bool__":
+                out += ["(", *gjo, "=", "'true'", ")"]
+            elif new in ("json_str__", "json_raw__"):
+                out += gjo
+            elif new == "json_has__":
+                out += ["(", *gjo, "IS", "NOT", "NULL", ")"]
+            elif new == "json_length__":
+                out += ["json_array_length", "(", *gjo, ")"]
+            i = close_i + 1
+            continue
         elif new == "tostartofinterval__":
             out += _interval_floor(args[0], args[1], tk)
         elif new == "tostartoffiveminutes__":

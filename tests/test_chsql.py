@@ -546,3 +546,14 @@ def test_http_url_settings(spark):
         # params in the reference too only when recognized)
     finally:
         srv.shutdown()
+
+
+def test_json_extract_family_in_sql(spark):
+    import pytest
+
+    assert ch_sql(spark, "SELECT JSONExtractInt('{\"k\": 87}', 'k') AS v").collect()[0].v == 87
+    assert ch_sql(spark, "SELECT JSONExtractString('{\"k\": \"x\"}', 'k') AS v").collect()[0].v == "x"
+    assert ch_sql(spark, "SELECT JSONHas('{\"k\": 1}', 'z') AS v").collect()[0].v is False
+    assert ch_sql(spark, "SELECT JSONLength('{\"k\": [1,2,3]}', 'k') AS v").collect()[0].v == 3
+    with pytest.raises(ChSqlError):  # multi-segment path needs the builder
+        ch_sql(spark, "SELECT JSONExtractInt('{}', 'a', 'b')")
