@@ -361,3 +361,68 @@ def ctx2(spark):
         + ") AS v(k, ts)"
     )
     return spark, con
+
+
+# ---------------------------------------------------------------------------
+# Aggregate/combinator differential fuzz: GROUP BY with -If combinators
+# and uniqExact (integer domain — exact in both engines)
+# ---------------------------------------------------------------------------
+
+
+def agg_node(children):
+    cond = cmp(children)
+    count_if = cond.map(
+        lambda c: (
+            f"countIf({c[0]})",
+            f"COUNT(CASE WHEN {c[1]} THEN 1 END)",
+        )
+    )
+    sum_if = st.tuples(children, cond).map(
+        lambda t: (
+            f"sumIf({t[0][0]}, {t[1][0]})",
+            f"SUM(CASE WHEN {t[1][1]} THEN {t[0][1]} END)",
+        )
+    )
+    min_if = st.tuples(children, cond).map(
+        lambda t: (
+            f"minIf({t[0][0]}, {t[1][0]})",
+            f"MIN(CASE WHEN {t[1][1]} THEN {t[0][1]} END)",
+        )
+    )
+    max_if = st.tuples(children, cond).map(
+        lambda t: (
+            f"maxIf({t[0][0]}, {t[1][0]})",
+            f"MAX(CASE WHEN {t[1][1]} THEN {t[0][1]} END)",
+        )
+    )
+    uniq_exact = children.map(
+        lambda a: (f"uniqExact({a[0]})", f"COUNT(DISTINCT {a[1]})")
+    )
+    plain = st.tuples(st.sampled_from(["sum", "min", "max", "count"]), children).map(
+        lambda t: (f"{t[0]}({t[1][0]})", f"{t[0].upper()}({t[1][1]})")
+    )
+    return st.one_of(count_if, sum_if, min_if, max_if, uniq_exact, plain)
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(e=agg_node(expr()))
+def test_agg_shim_matches_duckdb(ctx, e):
+    spark, con = ctx
+    ch_text, ansi_text = e
+    q = (
+        f"SELECT x % 3 AS g, {ch_text} AS v FROM prop_t "
+        "GROUP BY x % 3 ORDER BY g"
+    )
+    aq = (
+        f"SELECT x % 3 AS g, {ansi_text} AS v FROM prop_t "
+        "GROUP BY x % 3 ORDER BY g"
+    )
+    got = [(r.g, None if r.v is None else int(r.v))
+           for r in spark.sql(ch_sql_to_spark(q)).collect()]
+    want = [(g, None if v is None else int(v))
+            for g, v in con.execute(aq).fetchall()]
+    assert got == want, f"CH: {ch_text}\nANSI: {ansi_text}"
