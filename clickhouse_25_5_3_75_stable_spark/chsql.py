@@ -1582,6 +1582,16 @@ def extract_into_outfile(sql: str) -> tuple[str, str | None]:
     return sql[: m.start()] + " " + sql[m.end():], m.group(1)
 
 
+# Constructs with a DataFrame builder but no SQL-text translation:
+# refuse with the pointer instead of leaking a Spark parse error.
+_BUILDER_ONLY = [
+    (r"\sWITH\s+FILL\b", "ORDER BY ... WITH FILL", "operators/fill.py with_fill"),
+    (r"\sINTERPOLATE\s*\(", "INTERPOLATE", "operators/fill.py with_fill(interpolate=...)"),
+    (r"\sASOF\s+(LEFT\s+)?JOIN\b", "ASOF JOIN", "operators/joins.py asof_join"),
+    (r"\sPASTE\s+JOIN\b", "PASTE JOIN", "operators/joins.py paste_join"),
+]
+
+
 def ch_sql_to_spark(sql: str) -> str:
     """Translate a ClickHouse-dialect SELECT into Spark SQL text."""
     if re.search(r"\sINTO\s+OUTFILE\s", sql, re.IGNORECASE):
@@ -1589,6 +1599,12 @@ def ch_sql_to_spark(sql: str) -> str:
             "INTO OUTFILE: an output directive, not a query — the CLI "
             "(python -m clickhouse_25_5_3_75_stable_spark) honors it"
         )
+    for pat, name, builder in _BUILDER_ONLY:
+        if re.search(pat, sql, re.IGNORECASE):
+            raise ChSqlError(
+                f"{name}: no SQL-text translation — use the DataFrame "
+                f"builder ({builder})"
+            )
     toks = _tokenize(sql)
     if _parse_create_function(toks):
         return "SELECT 'OK' AS created"

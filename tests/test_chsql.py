@@ -557,3 +557,16 @@ def test_json_extract_family_in_sql(spark):
     assert ch_sql(spark, "SELECT JSONLength('{\"k\": [1,2,3]}', 'k') AS v").collect()[0].v == 3
     with pytest.raises(ChSqlError):  # multi-segment path needs the builder
         ch_sql(spark, "SELECT JSONExtractInt('{}', 'a', 'b')")
+
+
+def test_builder_only_constructs_refuse_with_pointer():
+    import pytest
+
+    for sql, frag in [
+        ("SELECT n FROM t ORDER BY n WITH FILL FROM 1 TO 10", "fill"),
+        ("SELECT a FROM t ASOF JOIN u ON t.k = u.k AND t.ts >= u.ts", "asof_join"),
+        ("SELECT a FROM t PASTE JOIN u", "paste_join"),
+        ("SELECT n FROM t ORDER BY n WITH FILL INTERPOLATE (v AS v + 1)", "fill"),
+    ]:
+        with pytest.raises(ChSqlError, match=frag):
+            ch_sql_to_spark(sql)
