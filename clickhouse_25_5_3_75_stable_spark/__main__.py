@@ -104,6 +104,52 @@ def run_local(sql: str, data_dir: str, spark=None, out=sys.stdout) -> int:
         if kw == "SHOW" and len(head) > 1 and head[1].upper().startswith("TABLE"):
             _emit([(n,) for n in sorted(names)], ["name"], fmt, out)
             return 0
+        if kw == "SHOW" and len(head) > 1 and head[1].upper().startswith("DATABASE"):
+            from clickhouse_25_5_3_75_stable_spark.sources.system_tables import (
+                system_databases,
+            )
+
+            _emit([(r.name,) for r in system_databases(spark).collect()],
+                  ["name"], fmt, out)
+            return 0
+        if kw == "SHOW" and len(head) > 1 and head[1].upper() == "PROCESSLIST":
+            from clickhouse_25_5_3_75_stable_spark.sources.system_tables import (
+                system_processes,
+            )
+
+            rows = [tuple(r) for r in system_processes(spark).collect()]
+            _emit(rows, ["job_id", "status", "n_stages"], fmt, out)
+            return 0
+        if kw == "SHOW" and len(head) > 2 and head[1].upper() == "CREATE":
+            from clickhouse_25_5_3_75_stable_spark.ddl import load_table_def
+
+            tname = head[2].split()[-1].rstrip(";")
+            td = load_table_def(data_dir, tname)
+            if td is None:
+                # plain parquet table without DDL metadata: synthesize
+                df = spark.table(tname)
+                cols = ",\n    ".join(
+                    f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+                )
+                stmt = f"CREATE TABLE {tname}\n(\n    {cols}\n) ENGINE = MergeTree"
+            else:
+                cols = ",\n    ".join(f"{n} {t}" for n, t in td.columns)
+                clauses = [f"ENGINE = {td.engine}"]
+                if td.order_by:
+                    clauses.append("ORDER BY (" + ", ".join(td.order_by) + ")")
+                if td.partition_by:
+                    clauses.append(f"PARTITION BY {td.partition_by}")
+                if td.ttl:
+                    clauses.append(f"TTL {td.ttl}")
+                stmt = (
+                    f"CREATE TABLE {tname}\n(\n    {cols}\n) " + "\n".join(clauses)
+                )
+            _emit([(stmt,)], ["statement"], fmt, out)
+            return 0
+        if kw == "EXISTS":
+            tname = head[-1].rstrip(";")
+            _emit([(1 if tname in names else 0,)], ["result"], fmt, out)
+            return 0
         if kw in ("DESCRIBE", "DESC"):
             tname = head[-1].rstrip(";")
             df = spark.table(tname)

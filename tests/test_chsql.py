@@ -570,3 +570,30 @@ def test_builder_only_constructs_refuse_with_pointer():
     ]:
         with pytest.raises(ChSqlError, match=frag):
             ch_sql_to_spark(sql)
+
+
+def test_cli_show_statements(spark, tmp_path):
+    import io
+    import os
+
+    from clickhouse_25_5_3_75_stable_spark.__main__ import run_script
+
+    data = str(tmp_path / "shows")
+    os.makedirs(data)
+    buf = io.StringIO()
+    script = """
+        CREATE TABLE st (k Int64, v String)
+            ENGINE = ReplacingMergeTree ORDER BY k;
+        SHOW CREATE TABLE st;
+        EXISTS TABLE st;
+        EXISTS TABLE nope;
+        SHOW DATABASES;
+        SHOW PROCESSLIST;
+    """
+    assert run_script(script, data, spark=spark, out=buf) == 0
+    text = buf.getvalue()
+    assert "CREATE TABLE st" in text and "ReplacingMergeTree" in text
+    assert "ORDER BY (k)" in text
+    lines = [l for l in text.splitlines() if l.strip() in ("0", "1")]
+    assert "1" in [l.strip() for l in lines] and "0" in [l.strip() for l in lines]
+    assert "default" in text
