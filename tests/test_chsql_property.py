@@ -426,3 +426,43 @@ def test_agg_shim_matches_duckdb(ctx, e):
     want = [(g, None if v is None else int(v))
             for g, v in con.execute(aq).fetchall()]
     assert got == want, f"CH: {ch_text}\nANSI: {ansi_text}"
+
+
+# ---------------------------------------------------------------------------
+# Parser robustness fuzz (reference src/Parsers/fuzzers/
+# select_parser_fuzzer.cpp analogue): arbitrary input must either
+# translate or raise ChSqlError/ValueError — never crash with an
+# internal error (IndexError, RecursionError, ...)
+# ---------------------------------------------------------------------------
+
+from clickhouse_25_5_3_75_stable_spark.chsql import ChSqlError  # noqa: E402
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    s=st.text(
+        alphabet="SELECTFROMWHER()[]{}?:,.*+-<>=' abcxyz0123456789\n\t`\"\\",
+        min_size=0,
+        max_size=120,
+    )
+)
+def test_transpiler_never_crashes(s):
+    try:
+        ch_sql_to_spark(s)
+    except (ChSqlError, ValueError):
+        pass  # refusals are the contract
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    s=st.text(
+        alphabet="SELECT arayMpFilthsum(),.*[]123 ?:xy'-><=",
+        min_size=5,
+        max_size=80,
+    ).map(lambda t: "SELECT " + t)
+)
+def test_transpiler_never_crashes_selectish(s):
+    try:
+        ch_sql_to_spark(s)
+    except (ChSqlError, ValueError):
+        pass
