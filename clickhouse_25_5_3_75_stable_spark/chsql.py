@@ -950,7 +950,15 @@ def _rewrite_functions(toks: list[str]) -> list[str]:
         elif new == "length__":
             out += [_len_fn(args[0]), "(", *args[0], ")"]
         elif new == "div__":
-            out += ["(", *args[0], "DIV", *args[1], ")"]
+            # CH intDiv FLOORS (intDiv(-7,2) = -4); Spark DIV truncates
+            # toward zero. Exact floor division in integer arithmetic:
+            # (a - floor_mod) DIV b with floor_mod = ((a % b) + b) % b
+            # (pmod won't do: it is non-negative even for negative b)
+            a, b = args[0], args[1]
+            fm = ["(", "(", "(", *a, ")", "%", "(", *b, ")", "+", "(", *b, ")",
+                  ")", "%", "(", *b, ")", ")"]
+            out += ["(", "(", "(", *a, ")", "-", *fm, ")", "DIV", "(", *b, ")",
+                    ")"]
         elif new == "yesterday__":
             out += ["date_sub", "(", "current_date", "(", ")", ",", "1", ")"]
         elif new in _TRUNC_UNit:
@@ -988,12 +996,14 @@ def _rewrite_functions(toks: list[str]) -> list[str]:
                     "x", "->", "x", "=", "(", *args[1], ")", ")", ")"]
         elif new == "arrayuniq__":
             out += ["size", "(", "array_distinct", "(", *args[0], ")", ")"]
-        elif new == "arrayslice__":  # same 1-based semantics as slice
-            out += ["slice", "("]
-            for k, a in enumerate(args):
-                if k:
-                    out.append(",")
-                out += a
+        elif new == "arrayslice__":  # same 1-based semantics as slice;
+            # the 2-arg CH form means "to the end" — Spark slice needs
+            # an explicit length, size(arr) is a safe upper bound
+            out += ["slice", "(", *args[0], ",", *args[1], ","]
+            if len(args) > 2:
+                out += args[2]
+            else:
+                out += ["size", "(", *args[0], ")"]
             out.append(")")
         elif new == "arraypopback__":
             out += ["slice", "(", *args[0], ",", "1", ",",

@@ -597,3 +597,11 @@ def test_cli_show_statements(spark, tmp_path):
     lines = [l for l in text.splitlines() if l.strip() in ("0", "1")]
     assert "1" in [l.strip() for l in lines] and "0" in [l.strip() for l in lines]
     assert "default" in text
+
+
+def test_intdiv_floor_and_arrayslice_two_arg(spark):
+    assert ch_sql(spark, "SELECT intDiv(-7, 2) AS v").collect()[0].v == -4
+    assert ch_sql(spark, "SELECT intDiv(7, -2) AS v").collect()[0].v == -4
+    assert ch_sql(spark, "SELECT intDiv(-7, -2) AS v").collect()[0].v == 3
+    assert ch_sql(spark, "SELECT arraySlice([1,2,3,4,5], 2) AS v").collect()[0].v == [2, 3, 4, 5]
+    assert ch_sql(spark, "SELECT arraySlice([1,2,3,4,5], -2) AS v").collect()[0].v == [4, 5]
