@@ -257,3 +257,76 @@ def chunk_documents_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(docs, chunk_tokens=40, overlap=10).orderBy(
         "doc_id", "chunk_id"
     )
+
+
+@register(
+    "pipeline_quality_dedup_pack",
+    oracle=f"""
+    WITH feat AS (
+        SELECT doc_id, text,
+               CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+               CASE WHEN len({_TOKS}) > 0
+                    THEN CAST(len(list_distinct({_TOKS})) AS DOUBLE)
+                         / CAST(len({_TOKS}) AS DOUBLE)
+                    ELSE 0.0 END AS uniq_ratio
+        FROM documents
+    ),
+    kept AS (
+        SELECT * FROM feat WHERE n_tokens >= 20 AND uniq_ratio >= 0.2
+    ),
+    deduped AS (
+        SELECT MIN(doc_id) AS doc_id, MIN(n_tokens) AS n_tokens
+        FROM kept GROUP BY md5(text)
+    ),
+    cum AS (
+        SELECT doc_id, n_tokens,
+               COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS cum_excl
+        FROM deduped
+    )
+    SELECT CAST(FLOOR(cum_excl / 3000.0) AS BIGINT) AS shard_id,
+           COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+    FROM cum GROUP BY shard_id ORDER BY shard_id
+    """,
+    bucket="heavy",
+    tags=("pipeline", "composite"),
+)
+def pipeline_quality_dedup_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data pipeline in one plan: quality filter
+    (token count + uniqueness ratio) → exact dedup (md5 digest, lowest
+    doc_id survives) → token-budget shard packing via the distributed
+    prefix sum. Three stages, three shuffles (dedup groupBy, bucket
+    totals, shard agg) — the whole pipeline stays declarative, so
+    Catalyst pipelines the filter into the scan and AQE sizes every
+    exchange. The oracle restates all three stages independently."""
+    from clickhouse_25_5_3_75_stable_spark.operators.text import quality_features
+
+    docs = t(spark, sf_dir, "documents")
+    feats = quality_features(F.col("text"))
+    kept = docs.select(
+        "doc_id",
+        "text",
+        feats["n_tokens"].alias("n_tokens"),
+        feats["uniq_token_ratio"].alias("uniq_ratio"),
+    ).filter((F.col("n_tokens") >= 20) & (F.col("uniq_ratio") >= 0.2))
+    deduped = (
+        kept.groupBy(F.md5(F.col("text")).alias("__digest"))
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min("n_tokens").alias("n_tokens"),
+        )
+        .drop("__digest")
+    )
+    packed = pack_token_shards(deduped, budget=3000, n_buckets=16)
+    return (
+        packed.groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("shard_id")
+    )
