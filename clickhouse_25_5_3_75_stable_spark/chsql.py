@@ -221,6 +221,9 @@ _RENAMES = {
     "subtractseconds": "subtractseconds__",
     "tuple": "tuple__",
     "tupleelement": "tupleelement__",
+    "formatdatetime": "formatdatetime__",
+    "parsedatetime": "parsedatetime__",
+    "parsedatetimeornull": "parsedatetimeornull__",
     "jsonextractint": "json_int__",
     "jsonextractfloat": "json_float__",
     "jsonextractstring": "json_str__",
@@ -1084,7 +1087,19 @@ def _rewrite_functions(toks: list[str]) -> list[str]:
                 out += ["(", *args[0], ")", f".{sel[0][1:-1]}"]
             else:
                 raise ChSqlError("tupleElement: index must be a literal")
-        elif new.startswith("json_"):
+        elif new in ("formatdatetime__", "parsedatetime__", "parsedatetimeornull__"):
+            if len(args) < 2 or len(args[1]) != 1 or not args[1][0].startswith("'"):
+                raise ChSqlError(f"{tk}: the format must be a literal string")
+            from clickhouse_25_5_3_75_stable_spark.functions.dialect import (
+                mysql_format_to_java,
+            )
+
+            raw = args[1][0][1:-1]
+            conv = mysql_format_to_java(raw) if "%" in raw else raw
+            fn = {"formatdatetime__": "date_format",
+                  "parsedatetime__": "to_timestamp",
+                  "parsedatetimeornull__": "try_to_timestamp"}[new]
+            out += [fn, "(", *args[0], ",", "'" + conv.replace("'", "''") + "'", ")"]
             # single-key path form JSONExtractX(json, 'key'); CH's
             # multi-segment path lists need the DataFrame builder
             if len(args) != 2 or len(args[1]) != 1 or not args[1][0].startswith("'"):

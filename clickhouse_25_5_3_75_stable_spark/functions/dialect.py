@@ -226,7 +226,67 @@ def _date_diff(unit: str, start, end) -> Column:
     raise ValueError(f"dateDiff unit {unit!r} unsupported")
 
 
-_reg("formatDateTime")(lambda a, fmt: F.date_format(_c(a), fmt))  # Spark patterns
+# MySQL-style specifier table of the reference's formatDateTime.cpp
+# (default settings: %M = month name, %i = minute). Unknown specifiers
+# raise — never silently mistranslated into Java-pattern noise.
+_MYSQL_TO_JAVA = {
+    "Y": "yyyy", "y": "yy", "m": "MM", "c": "M", "b": "MMM", "M": "MMMM",
+    "d": "dd", "e": "d", "a": "EEE", "W": "EEEE", "j": "DDD",
+    "H": "HH", "k": "H", "I": "hh", "h": "hh", "l": "h",
+    "i": "mm", "S": "ss", "s": "ss", "p": "a", "f": "SSSSSS",
+    "T": "HH:mm:ss", "R": "HH:mm", "F": "yyyy-MM-dd", "D": "MM/dd/yy",
+    "Q": "Q", "n": "'\n'", "t": "'\t'", "%": "'%'",
+}
+
+
+def mysql_format_to_java(fmt: str) -> str:
+    """Convert a ClickHouse formatDateTime pattern (MySQL %-specifiers,
+    reference src/Functions/formatDateTime.cpp:1200-1420) to a Java
+    SimpleDateFormat pattern for Spark's date_format."""
+    out: list[str] = []
+    lit: list[str] = []
+
+    def flush_literal() -> None:
+        if lit:
+            text = "".join(lit)
+            if any(ch.isalpha() for ch in text) or "'" in text:
+                out.append("'" + text.replace("'", "''") + "'")
+            else:
+                out.append(text)
+            lit.clear()
+
+    i = 0
+    while i < len(fmt):
+        ch = fmt[i]
+        if ch == "%":
+            if i + 1 >= len(fmt):
+                raise ValueError("formatDateTime: trailing '%'")
+            spec = fmt[i + 1]
+            if spec not in _MYSQL_TO_JAVA:
+                raise ValueError(
+                    f"formatDateTime: unsupported specifier %{spec} "
+                    "(no Java-pattern equivalent)"
+                )
+            flush_literal()
+            out.append(_MYSQL_TO_JAVA[spec])
+            i += 2
+        else:
+            lit.append(ch)
+            i += 1
+    flush_literal()
+    return "".join(out)
+
+
+def _format_datetime(a, fmt):
+    if not isinstance(fmt, str):
+        raise ValueError(
+            "formatDateTime: the format must be a literal string "
+            "(dynamic formats would need per-row pattern conversion)"
+        )
+    return F.date_format(_c(a), mysql_format_to_java(fmt))
+
+
+_reg("formatDateTime")(_format_datetime)
 _reg("now")(lambda: F.current_timestamp())
 _reg("today")(lambda: F.current_date())
 _reg("yesterday")(lambda: F.date_sub(F.current_date(), 1))

@@ -404,12 +404,28 @@ _reg("toDateTimeComponents")(
 _EPOCH = "1970-01-01 00:00:00"
 
 
+def _parse_fmt(fmt):
+    """CH parseDateTime takes MySQL %-specifiers; Joda/Java patterns
+    contain no '%'. Convert only the former."""
+    if isinstance(fmt, str) and "%" in fmt:
+        from clickhouse_25_5_3_75_stable_spark.functions.dialect import (
+            mysql_format_to_java,
+        )
+
+        return mysql_format_to_java(fmt)
+    return fmt
+
+
 def _parse_strict(c, fmt=None) -> Column:
-    return F.to_timestamp(_c(c), fmt) if fmt else F.to_timestamp(_c(c))
+    return F.to_timestamp(_c(c), _parse_fmt(fmt)) if fmt else F.to_timestamp(_c(c))
 
 
 def _parse_or_null(c, fmt=None) -> Column:
-    return F.try_to_timestamp(_c(c), F.lit(fmt)) if fmt else F.try_to_timestamp(_c(c))
+    return (
+        F.try_to_timestamp(_c(c), F.lit(_parse_fmt(fmt)))
+        if fmt
+        else F.try_to_timestamp(_c(c))
+    )
 
 
 def _parse_or_zero(c, fmt=None) -> Column:

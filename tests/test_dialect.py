@@ -281,3 +281,33 @@ def test_siphash64_exact_reference_values(spark):
 
     got = df.select(ch("sipHash64", F.col("s")).alias("h")).collect()
     assert got[0].h == a[0]
+
+
+def test_format_datetime_mysql_specifiers(spark):
+    """CH formatDateTime/parseDateTime use MySQL %-specifiers
+    (reference formatDateTime.cpp; %M = month name, %i = minute under
+    default settings) — previously passed raw into Java patterns."""
+    import pytest
+
+    from clickhouse_25_5_3_75_stable_spark.functions.dialect import (
+        ch,
+        mysql_format_to_java,
+    )
+
+    assert mysql_format_to_java("%Y-%m-%d") == "yyyy-MM-dd"
+    assert mysql_format_to_java("%H:%i:%S") == "HH:mm:ss"
+    assert mysql_format_to_java("at %H h") == "'at 'HH' h'"
+    with pytest.raises(ValueError):
+        mysql_format_to_java("%J")  # unknown specifier refuses
+
+    ts = F.lit("2024-03-05 10:11:12").cast("timestamp")
+    row = spark.range(1).select(
+        ch("formatDateTime", ts, "%d/%m/%Y").alias("a"),
+        ch("formatDateTime", ts, "%M").alias("b"),
+        ch("parseDateTime", F.lit("05-03-2024"), "%d-%m-%Y").cast("date").alias("c"),
+        ch("parseDateTimeOrNull", F.lit("garbage"), "%d-%m-%Y").alias("d"),
+    ).collect()[0]
+    assert row.a == "05/03/2024"
+    assert row.b == "March"
+    assert str(row.c) == "2024-03-05"
+    assert row.d is None
