@@ -115,8 +115,13 @@ _RENAMES = {
     "ifnull": "ifnull",
     "assumenotnull": "identity__",  # type assertion — no-op on Spark
     "intdiv": "div__",
-    "modulo": "pmod__nocover",
-    "plus": "plus__nocover",
+    "modulo": "binop__%",
+    "plus": "binop__+",
+    "minus": "binop__-",
+    "multiply": "binop__*",
+    "divide": "binop__/",
+    "negate": "negate__",
+    "fromunixtimestamp": "timestamp_seconds",
     "today": "current_date",
     "yesterday": "yesterday__",
     "now": "current_timestamp",
@@ -987,6 +992,11 @@ def _rewrite_functions(toks: list[str]) -> list[str]:
             out += ["sequence", "(", "1", ",", "size", "(", *args[0], ")", ")"]
         elif new == "identity__":  # type-annotation no-ops
             out += ["(", *args[0], ")"]
+        elif new.startswith("binop__"):  # functional arithmetic forms
+            op = new[len("binop__"):]
+            out += ["(", "(", *args[0], ")", op, "(", *args[1], ")", ")"]
+        elif new == "negate__":
+            out += ["(", "-", "(", *args[0], ")", ")"]
         elif new == "isnull__":
             out += ["(", "(", *args[0], ")", "IS", "NULL", ")"]
         elif new == "isnotnull__":

@@ -605,3 +605,12 @@ def test_intdiv_floor_and_arrayslice_two_arg(spark):
     assert ch_sql(spark, "SELECT intDiv(-7, -2) AS v").collect()[0].v == 3
     assert ch_sql(spark, "SELECT arraySlice([1,2,3,4,5], 2) AS v").collect()[0].v == [2, 3, 4, 5]
     assert ch_sql(spark, "SELECT arraySlice([1,2,3,4,5], -2) AS v").collect()[0].v == [4, 5]
+
+
+def test_functional_arithmetic_forms(spark):
+    assert ch_sql(spark, "SELECT plus(2, 3) AS v").collect()[0].v == 5
+    assert ch_sql(spark, "SELECT modulo(-7, 3) AS v").collect()[0].v == -1
+    assert ch_sql(spark, "SELECT negate(multiply(2, 3)) AS v").collect()[0].v == -6
+    assert str(
+        ch_sql(spark, "SELECT fromUnixTimestamp(0) AS v").collect()[0].v
+    ).startswith("1970-01-01")
