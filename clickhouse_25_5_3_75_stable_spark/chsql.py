@@ -1627,6 +1627,73 @@ _BUILDER_ONLY = [
 ]
 
 
+def _rewrite_scalar_with(toks: list[str]) -> list[str]:
+    """ClickHouse scalar WITH (``WITH <expr> AS <ident>, ...``,
+    reference ParserWithElement.cpp) → macro substitution of
+    ``(<expr>)`` for each bare ``<ident>`` in the remainder. Standard
+    CTEs (``<ident> AS (subquery)``) stay untouched; both forms can
+    mix in one WITH list."""
+    if not toks or toks[0].upper() != "WITH":
+        return toks
+    # collect items up to the depth-0 SELECT
+    items: list[list[str]] = []
+    cur: list[str] = []
+    depth = 0
+    i = 1
+    while i < len(toks):
+        tk = toks[i]
+        if tk == "(":
+            depth += 1
+        elif tk == ")":
+            depth -= 1
+        if depth == 0 and tk.upper() == "SELECT":
+            break
+        if depth == 0 and tk == ",":
+            items.append(cur)
+            cur = []
+        else:
+            cur.append(tk)
+        i += 1
+    if cur:
+        items.append(cur)
+    if i >= len(toks):
+        return toks
+    rest = toks[i:]
+    ctes: list[list[str]] = []
+    scalars: dict[str, list[str]] = {}
+    ident = re.compile(r"[A-Za-z_]\w*")
+    for item in items:
+        if (
+            len(item) >= 3
+            and ident.fullmatch(item[0] or "")
+            and item[1].upper() == "AS"
+            and item[2] == "("
+        ):
+            ctes.append(item)  # standard CTE
+        elif len(item) >= 3 and item[-2].upper() == "AS" and ident.fullmatch(item[-1] or ""):
+            scalars[item[-1]] = item[:-2]  # scalar alias: expr AS name
+        else:
+            ctes.append(item)  # unknown shape: leave for Spark to judge
+    if not scalars:
+        return toks
+    out: list[str] = []
+    for j, tk in enumerate(rest):
+        prev = rest[j - 1] if j else ""
+        nxt = rest[j + 1] if j + 1 < len(rest) else ""
+        if tk in scalars and prev != "." and nxt != "(":
+            out += ["(", *scalars[tk], ")"]
+        else:
+            out.append(tk)
+    if ctes:
+        head: list[str] = ["WITH"]
+        for k, c in enumerate(ctes):
+            if k:
+                head.append(",")
+            head += c
+        return head + out
+    return out
+
+
 def ch_sql_to_spark(sql: str) -> str:
     """Translate a ClickHouse-dialect SELECT into Spark SQL text."""
     if re.search(r"\sINTO\s+OUTFILE\s", sql, re.IGNORECASE):
@@ -1644,6 +1711,7 @@ def ch_sql_to_spark(sql: str) -> str:
     if _parse_create_function(toks):
         return "SELECT 'OK' AS created"
     toks = _expand_sql_functions(toks)
+    toks = _rewrite_scalar_with(toks)
     toks = _strip_suffix_clauses(toks)
     toks = _strip_modifiers(toks)
     toks = _rewrite_prewhere(toks)

@@ -614,3 +614,14 @@ def test_functional_arithmetic_forms(spark):
     assert str(
         ch_sql(spark, "SELECT fromUnixTimestamp(0) AS v").collect()[0].v
     ).startswith("1970-01-01")
+
+
+def test_scalar_with_macro(spark):
+    assert ch_sql(spark, "WITH 5 AS k SELECT k * 2 AS v").collect()[0].v == 10
+    assert ch_sql(spark, "WITH 2 + 3 AS k, 10 AS j SELECT k * j AS v").collect()[0].v == 50
+    # mixing with standard CTEs
+    assert ch_sql(
+        spark, "WITH 7 AS k, t AS (SELECT 2 AS a) SELECT k * a AS v FROM t"
+    ).collect()[0].v == 14
+    # standard CTE alone is untouched
+    assert ch_sql(spark, "WITH t AS (SELECT 1 AS a) SELECT a AS v FROM t").collect()[0].v == 1
