@@ -1110,6 +1110,7 @@ def _rewrite_functions(toks: list[str]) -> list[str]:
                   "parsedatetime__": "to_timestamp",
                   "parsedatetimeornull__": "try_to_timestamp"}[new]
             out += [fn, "(", *args[0], ",", "'" + conv.replace("'", "''") + "'", ")"]
+        elif new.startswith("json_"):
             # single-key path form JSONExtractX(json, 'key'); CH's
             # multi-segment path lists need the DataFrame builder
             if len(args) != 2 or len(args[1]) != 1 or not args[1][0].startswith("'"):
