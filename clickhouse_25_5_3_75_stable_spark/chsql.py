@@ -226,6 +226,7 @@ _RENAMES = {
     "subtractseconds": "subtractseconds__",
     "tuple": "tuple__",
     "tupleelement": "tupleelement__",
+    "numbers": "numbers__",
     "formatdatetime": "formatdatetime__",
     "parsedatetime": "parsedatetime__",
     "parsedatetimeornull": "parsedatetimeornull__",
@@ -997,6 +998,16 @@ def _rewrite_functions(toks: list[str]) -> list[str]:
             out += ["(", "(", *args[0], ")", op, "(", *args[1], ")", ")"]
         elif new == "negate__":
             out += ["(", "-", "(", *args[0], ")", ")"]
+        elif new == "numbers__":
+            # table function: numbers(n) / numbers(offset, count) →
+            # derived table over Spark's range() TVF, column renamed
+            # to the reference's `number`
+            if len(args) == 1:
+                rng = ["range", "(", *args[0], ")"]
+            else:
+                rng = ["range", "(", *args[0], ",", "(", *args[0], ")", "+",
+                       "(", *args[1], ")", ")"]
+            out += ["(", "SELECT", "id", "AS", "number", "FROM", *rng, ")"]
         elif new == "isnull__":
             out += ["(", "(", *args[0], ")", "IS", "NULL", ")"]
         elif new == "isnotnull__":

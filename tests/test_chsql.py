@@ -625,3 +625,8 @@ def test_scalar_with_macro(spark):
     ).collect()[0].v == 14
     # standard CTE alone is untouched
     assert ch_sql(spark, "WITH t AS (SELECT 1 AS a) SELECT a AS v FROM t").collect()[0].v == 1
+
+
+def test_numbers_table_function_in_sql(spark):
+    assert ch_sql(spark, "SELECT sum(number) AS v FROM numbers(10)").collect()[0].v == 45
+    assert ch_sql(spark, "SELECT max(number) AS v FROM numbers(5, 10)").collect()[0].v == 14
