@@ -1824,4 +1824,10 @@ def ch_explain(spark, sql: str, mode: str = "PLAN") -> str:
         return qe.explainString(
             spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("cost")
         )
+    if m == "ANALYZE":
+        # executes the plan, then reports per-operator SQL metrics —
+        # the reference's ProfileEvents surface (profiler.py)
+        from clickhouse_25_5_3_75_stable_spark.profiler import explain_analyze_text
+
+        return explain_analyze_text(df)
     raise ChSqlError(f"EXPLAIN mode {mode!r} not supported")

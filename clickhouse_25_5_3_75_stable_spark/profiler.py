@@ -1,0 +1,66 @@
+"""Executed-plan profiling — the reference's ProfileEvents /
+EXPLAIN-with-metrics surface (src/Interpreters/ProfileEventsExt.h,
+query_log.ProfileEvents) mapped onto Spark's SQL metrics.
+
+`explain_analyze(df)` EXECUTES the plan (count() — full pipeline, no
+driver row transfer) and walks the final adaptive physical plan,
+returning one row per operator with its accumulated metrics
+(numOutputRows, spillSize, peakMemory, shuffle bytes, ...). This is
+the post-hoc truth the plan-shape tests can't see: how many rows each
+operator actually produced and where memory/spill went.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def _unwrap(node):
+    name = node.nodeName()
+    if name == "AdaptiveSparkPlan":
+        return _unwrap(node.executedPlan())
+    if name.endswith("QueryStage"):
+        return _unwrap(node.plan())
+    return node
+
+
+def _walk(node, depth: int, rows: list) -> None:
+    node = _unwrap(node)
+    mets = {}
+    it = node.metrics().iterator()
+    while it.hasNext():
+        kv = it.next()
+        mets[kv._1()] = int(kv._2().value())
+    rows.append((depth, node.nodeName(), mets))
+    for i in range(node.children().size()):
+        _walk(node.children().apply(i), depth + 1, rows)
+
+
+def explain_analyze(df: DataFrame, execute: bool = True) -> list[tuple[int, str, dict]]:
+    """Run the plan and return [(depth, operator, metrics), ...] in
+    tree order. With execute=False, reads whatever metrics the last
+    action left behind (zeroes on a never-run plan).
+
+    Execution must drive THIS DataFrame's own QueryExecution —
+    count()/write would build a fresh plan and leave these metrics at
+    zero — so the profiler collect()s; profile on a LIMITed or
+    aggregated frame if the full result is large."""
+    if execute:
+        df.collect()
+    rows: list[tuple[int, str, dict]] = []
+    _walk(df._jdf.queryExecution().executedPlan(), 0, rows)
+    return rows
+
+
+def explain_analyze_text(df: DataFrame, execute: bool = True) -> str:
+    """Human-readable EXPLAIN ANALYZE: indented operator tree with the
+    headline metrics per node."""
+    headline = (
+        "numOutputRows", "spillSize", "peakMemory", "pipelineTime",
+        "shuffleRecordsWritten", "numPartitions", "dataSize",
+    )
+    lines = []
+    for depth, name, mets in explain_analyze(df, execute=execute):
+        picked = ", ".join(f"{k}={mets[k]}" for k in headline if k in mets)
+        lines.append("  " * depth + name + (f"  [{picked}]" if picked else ""))
+    return "\n".join(lines)

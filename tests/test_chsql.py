@@ -630,3 +630,25 @@ def test_scalar_with_macro(spark):
 def test_numbers_table_function_in_sql(spark):
     assert ch_sql(spark, "SELECT sum(number) AS v FROM numbers(10)").collect()[0].v == 45
     assert ch_sql(spark, "SELECT max(number) AS v FROM numbers(5, 10)").collect()[0].v == 14
+
+
+def test_explain_analyze_metrics(spark):
+    """EXPLAIN ANALYZE surface: per-operator metrics from the executed
+    adaptive plan (ProfileEvents analogue)."""
+    from clickhouse_25_5_3_75_stable_spark.chsql import ch_explain
+    from clickhouse_25_5_3_75_stable_spark.profiler import explain_analyze
+
+    df = spark.sql(
+        "SELECT id % 3 AS g, count(*) AS n FROM range(100) GROUP BY id % 3"
+    )
+    rows = explain_analyze(df)
+    names = [name for _, name, _ in rows]
+    assert any("HashAggregate" in n for n in names)
+    assert any("Exchange" in n for n in names)
+    scan = [m for _, n, m in rows if n == "Range"]
+    assert scan and scan[0]["numOutputRows"] == 100
+    final_agg = [m for _, n, m in rows if "HashAggregate" in n]
+    assert final_agg[0]["numOutputRows"] == 3  # final: one row per group
+
+    text = ch_explain(spark, "SELECT count() FROM numbers(50)", mode="ANALYZE")
+    assert "numOutputRows" in text and "Range" in text
