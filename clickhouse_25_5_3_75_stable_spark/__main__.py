@@ -174,9 +174,13 @@ def run_local(sql: str, data_dir: str, spark=None, out=sys.stdout) -> int:
             from clickhouse_25_5_3_75_stable_spark.ddl import optimize_table
 
             parts = sql.strip().rstrip(";").split()
+            uppers = [p.upper() for p in parts]
             tname = parts[2] if len(parts) > 2 else parts[-1]
-            final = parts[-1].upper() == "FINAL"
-            optimize_table(spark, data_dir, tname, final=final)
+            optimize_table(
+                spark, data_dir, tname,
+                final="FINAL" in uppers,
+                deduplicate="DEDUPLICATE" in uppers,
+            )
             _emit([(tname, "Ok")], ["table", "status"], fmt, out)
             return 0
         if kw == "RENAME":

@@ -299,12 +299,20 @@ def load_table_def(base_dir: str, name: str) -> TableDef | None:
     )
 
 
-def optimize_table(spark: SparkSession, base_dir: str, name: str, final: bool = True) -> None:
-    """OPTIMIZE TABLE [FINAL] (reference InterpreterOptimizeQuery →
-    merge with engine folding): Replacing folds to the latest version
-    per ORDER BY key, Summing sums numeric columns per key, others
-    compact files. The rewrite stages then swaps (same atomicity
-    contract as RefreshableMatView)."""
+def optimize_table(
+    spark: SparkSession,
+    base_dir: str,
+    name: str,
+    final: bool = True,
+    deduplicate: bool = False,
+) -> None:
+    """OPTIMIZE TABLE [FINAL] [DEDUPLICATE] (reference
+    InterpreterOptimizeQuery → merge with engine folding): Replacing
+    folds to the latest version per ORDER BY key, Summing sums numeric
+    columns per key, others compact files; DEDUPLICATE additionally
+    drops full-row duplicates (the reference's merge-time dedup). The
+    rewrite stages then swaps (same atomicity contract as
+    RefreshableMatView)."""
     import shutil
 
     from pyspark.sql import functions as F
@@ -319,11 +327,13 @@ def optimize_table(spark: SparkSession, base_dir: str, name: str, final: bool = 
     path = os.path.join(base_dir, name)
     df = spark.read.parquet(path)
     out = df
+    if deduplicate:
+        out = out.dropDuplicates()
     if final and td is not None and td.order_by:
         eng = td.engine.lower()
         if eng == "replacingmergetree":
             version = td.engine_args[0] if td.engine_args else td.order_by[-1]
-            out = replacing_final(df, td.order_by, version=version, tiebreak=[])
+            out = replacing_final(out, td.order_by, version=version, tiebreak=[])
         elif eng == "summingmergetree":
             num = [
                 f.name for f in df.schema.fields
@@ -331,7 +341,7 @@ def optimize_table(spark: SparkSession, base_dir: str, name: str, final: bool = 
                 and isinstance(f.dataType, (T.NumericType,))
             ]
             out = summing_final(
-                df, td.order_by, [F.sum(c).alias(c) for c in num]
+                out, td.order_by, [F.sum(c).alias(c) for c in num]
             )
     staging = path + "__optimizing"
     out.write.mode("overwrite").parquet(staging)

@@ -274,3 +274,22 @@ def test_backup_restore_roundtrip(spark, tmp_path):
     # restore refuses to clobber
     with pytest.raises(FileExistsError):
         restore_table(spark, base, "bt", bk)
+
+
+def test_optimize_deduplicate(spark, tmp_path):
+    import io
+    import os
+
+    from clickhouse_25_5_3_75_stable_spark.__main__ import run_script
+
+    data = str(tmp_path / "od")
+    os.makedirs(data)
+    buf = io.StringIO()
+    script = """
+        CREATE TABLE dup (k Int64, v String) ENGINE = MergeTree ORDER BY k;
+        INSERT INTO dup VALUES (1, 'a'), (1, 'a'), (2, 'b'), (2, 'b'), (3, 'c');
+        OPTIMIZE TABLE dup DEDUPLICATE;
+        SELECT count() AS n FROM dup;
+    """
+    assert run_script(script, data, spark=spark, out=buf) == 0
+    assert buf.getvalue().strip().splitlines()[-1] == "3"
