@@ -159,14 +159,15 @@ def run_local(sql: str, data_dir: str, spark=None, out=sys.stdout) -> int:
         if kw == "DROP":
             from clickhouse_25_5_3_75_stable_spark.ddl import drop_table
 
-            tname = head[-1].rstrip(";")
+            # last token handles DROP TABLE [IF EXISTS] t
+            tname = sql.strip().rstrip(";").split()[-1]
             drop_table(spark, data_dir, tname)
             _emit([(tname, "Ok")], ["table", "status"], fmt, out)
             return 0
         if kw == "TRUNCATE":
             from clickhouse_25_5_3_75_stable_spark.ddl import truncate_table
 
-            tname = head[-1].rstrip(";")
+            tname = sql.strip().rstrip(";").split()[-1]
             truncate_table(spark, data_dir, tname)
             _emit([(tname, "Ok")], ["table", "status"], fmt, out)
             return 0

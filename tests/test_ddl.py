@@ -293,3 +293,22 @@ def test_optimize_deduplicate(spark, tmp_path):
     """
     assert run_script(script, data, spark=spark, out=buf) == 0
     assert buf.getvalue().strip().splitlines()[-1] == "3"
+
+
+def test_drop_if_exists_parses_table_name(spark, tmp_path):
+    import io
+    import os
+
+    from clickhouse_25_5_3_75_stable_spark.__main__ import run_script
+
+    data = str(tmp_path / "die")
+    os.makedirs(data)
+    buf = io.StringIO()
+    script = """
+        CREATE TABLE gone (k Int64) ENGINE = MergeTree ORDER BY k;
+        DROP TABLE IF EXISTS gone;
+        DROP TABLE IF EXISTS never_existed;
+        EXISTS TABLE gone;
+    """
+    assert run_script(script, data, spark=spark, out=buf) == 0
+    assert buf.getvalue().strip().splitlines()[-1] == "0"
