@@ -134,6 +134,7 @@ _RENAMES = {
     "tostartofday": "tostartofday__",
     "tostartofmonth": "tostartofmonth__",
     "tostartofweek": "tostartofweek__",
+    "tomonday": "tomonday__",
     "tostartofquarter": "tostartofquarter__",
     "tostartofyear": "tostartofyear__",
     "tostartofhour": "tostartofhour__",
@@ -288,7 +289,6 @@ _CAST_TYPES = {
 _TRUNC_UNit = {
     "tostartofday__": "day",
     "tostartofmonth__": "month",
-    "tostartofweek__": "week",
     "tostartofquarter__": "quarter",
     "tostartofyear__": "year",
     "tostartofhour__": "hour",
@@ -972,6 +972,19 @@ def _rewrite_functions(toks: list[str]) -> list[str]:
             out += ["date_sub", "(", "current_date", "(", ")", ",", "1", ")"]
         elif new in _TRUNC_UNit:
             out += ["date_trunc", "(", f"'{_TRUNC_UNit[new]}'", ",", *args[0], ")"]
+        elif new == "tomonday__":
+            out += ["CAST", "(", "date_trunc", "(", "'week'", ",", *args[0],
+                    ")", "AS", "DATE", ")"]
+        elif new == "tostartofweek__":
+            # default week mode 0 = SUNDAY-first (CustomWeekTransforms.h:62);
+            # Spark date_trunc('week') is Monday-first. Mode 1/3 keeps it.
+            if len(args) > 1 and args[1] and args[1][0] in ("1", "3"):
+                out += ["CAST", "(", "date_trunc", "(", "'week'", ",",
+                        *args[0], ")", "AS", "DATE", ")"]
+            else:
+                out += ["date_sub", "(", "CAST", "(", *args[0], "AS", "DATE",
+                        ")", ",", "dayofweek", "(", *args[0], ")", "-", "1",
+                        ")"]
         elif new == "splitbychar__" or new == "splitbystring__":
             # CH arg order is (sep, s); Spark split(s, regex) — escape sep
             sep = args[0]

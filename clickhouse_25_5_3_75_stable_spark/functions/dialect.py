@@ -167,7 +167,21 @@ def _to_day_of_week(a) -> Column:
 _reg("toStartOfYear")(lambda a: F.date_trunc("year", _c(a)).cast("date"))
 _reg("toStartOfQuarter")(lambda a: F.date_trunc("quarter", _c(a)).cast("date"))
 _reg("toStartOfMonth")(lambda a: F.date_trunc("month", _c(a)).cast("date"))
-_reg("toMonday", "toStartOfWeek")(lambda a: F.date_trunc("week", _c(a)).cast("date"))
+_reg("toMonday")(lambda a: F.date_trunc("week", _c(a)).cast("date"))
+
+
+def _to_start_of_week(a, mode: int = 0):
+    # reference CustomWeekTransforms.h:62 default_week_mode = 0 —
+    # weeks start SUNDAY unless mode 1/3 (Monday-first). Spark's
+    # date_trunc('week') is Monday-first, so the default needs the
+    # dayofweek offset (Sunday=1) instead.
+    d = _c(a).cast("date")
+    if mode in (1, 3):
+        return F.date_trunc("week", d).cast("date")
+    return F.date_sub(d, F.dayofweek(d) - 1)
+
+
+_reg("toStartOfWeek")(_to_start_of_week)
 _reg("toStartOfDay")(lambda a: F.date_trunc("day", _c(a)))
 _reg("toStartOfHour")(lambda a: F.date_trunc("hour", _c(a)))
 _reg("toStartOfMinute")(lambda a: F.date_trunc("minute", _c(a)))

@@ -311,3 +311,23 @@ def test_format_datetime_mysql_specifiers(spark):
     assert row.b == "March"
     assert str(row.c) == "2024-03-05"
     assert row.d is None
+
+
+def test_tostartofweek_sunday_default(spark):
+    """Reference default_week_mode = 0 (CustomWeekTransforms.h:62):
+    weeks start SUNDAY; mode 1/3 = Monday; toMonday is always Monday.
+    date_trunc('week') alone (Monday-first) mistranslated the default."""
+    from clickhouse_25_5_3_75_stable_spark.chsql import ch_sql
+    from clickhouse_25_5_3_75_stable_spark.functions.dialect import ch
+
+    d = F.lit("2024-03-05").cast("date")  # a Tuesday
+    row = spark.range(1).select(
+        ch("toStartOfWeek", d).alias("sun"),
+        ch("toStartOfWeek", d, 1).alias("mon"),
+        ch("toMonday", d).alias("monday"),
+    ).collect()[0]
+    assert str(row.sun) == "2024-03-03"
+    assert str(row.mon) == "2024-03-04"
+    assert str(row.monday) == "2024-03-04"
+    assert str(ch_sql(spark, "SELECT toStartOfWeek(DATE'2024-03-03') AS v").collect()[0].v) == "2024-03-03"
+    assert str(ch_sql(spark, "SELECT toMonday(DATE'2024-03-05') AS v").collect()[0].v) == "2024-03-04"
