@@ -324,7 +324,26 @@ _reg("toStartOfISOYear")(
 )
 _reg("toISOYear")(_iso_year)
 _reg("toISOWeek")(lambda c: F.weekofyear(_ts(c)))
-_reg("toWeek", "week")(lambda c, mode=0: F.weekofyear(_ts(c)))  # mode 3 (ISO) semantics
+
+
+def _to_week(c, mode: int = 0) -> Column:
+    """toWeek (reference toCustomWeek.cpp, default mode 0): weeks start
+    SUNDAY, numbered 0..53 — week 1 begins at the year's first Sunday,
+    earlier days are week 0. Modes 3 (ISO) map to weekofyear; other
+    modes approximate with ISO (documented)."""
+    if mode != 0:
+        return F.weekofyear(_ts(c))
+    d = _c(c).cast("date")
+    jan1 = F.trunc(d, "year")
+    # days from Jan 1 to the first Sunday (0 when Jan 1 is a Sunday)
+    offset = (F.lit(8) - F.dayofweek(jan1)) % 7
+    doy0 = F.dayofyear(d) - 1
+    return F.when(doy0 < offset, F.lit(0)).otherwise(
+        ((doy0 - offset) / 7).cast("int") + 1
+    )
+
+
+_reg("toWeek", "week")(_to_week)
 _reg("toYearWeek", "yearweek", "toWeekYear", "toWeekOfWeekYear")(
     lambda c, mode=0: (_iso_year(c) * 100 + F.weekofyear(_ts(c))).cast("int")
 )

@@ -331,3 +331,16 @@ def test_tostartofweek_sunday_default(spark):
     assert str(row.monday) == "2024-03-04"
     assert str(ch_sql(spark, "SELECT toStartOfWeek(DATE'2024-03-03') AS v").collect()[0].v) == "2024-03-03"
     assert str(ch_sql(spark, "SELECT toMonday(DATE'2024-03-05') AS v").collect()[0].v) == "2024-03-04"
+
+
+def test_toweek_mode0_sunday_numbering(spark):
+    """toWeek default mode 0 (toCustomWeek.cpp): Sunday-first, week 0
+    before the year's first Sunday (MySQL WEEK(d, 0) numbering)."""
+    from clickhouse_25_5_3_75_stable_spark.functions.dialect_extras import CH_FUNCTIONS
+
+    w = CH_FUNCTIONS["toweek"]
+    dates = ["2024-01-06", "2024-01-07", "2024-03-03", "2024-03-05", "2024-12-31"]
+    want = [0, 1, 9, 9, 52]
+    df = spark.createDataFrame([(d,) for d in dates], "d string")
+    got = [r.w for r in df.select(w(F.col("d").cast("date")).alias("w")).collect()]
+    assert got == want, got
