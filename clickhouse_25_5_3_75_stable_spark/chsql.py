@@ -1609,6 +1609,66 @@ def _rewrite_tuple_access(toks: list[str]) -> list[str]:
     return out
 
 
+def _rewrite_order_by_nulls(toks: list[str]) -> list[str]:
+    """ClickHouse sorts NULLs LAST by default in either direction
+    (reference SortDescription nulls_direction); Spark's ASC default
+    is NULLS FIRST. Append an explicit NULLS LAST to every top-level
+    ORDER BY item that doesn't already pin a NULLS position."""
+    depth = 0
+    ob = -1
+    for i, tk in enumerate(toks):
+        if tk == "(":
+            depth += 1
+        elif tk == ")":
+            depth -= 1
+        elif depth == 0 and tk.upper() == "ORDER" and i + 1 < len(toks) \
+                and toks[i + 1].upper() == "BY":
+            ob = i
+            break
+    if ob < 0:
+        return toks
+    stops = {"LIMIT", "OFFSET", "SETTINGS", "FORMAT", "UNION", "INTERSECT",
+             "EXCEPT"}
+    end = len(toks)
+    depth = 0
+    for i in range(ob + 2, len(toks)):
+        tk = toks[i]
+        if tk == "(":
+            depth += 1
+        elif tk == ")":
+            if depth == 0:
+                end = i
+                break
+            depth -= 1
+        elif depth == 0 and tk.upper() in stops:
+            end = i
+            break
+    items: list[list[str]] = []
+    cur: list[str] = []
+    depth = 0
+    for i in range(ob + 2, end):
+        tk = toks[i]
+        if tk == "(":
+            depth += 1
+        elif tk == ")":
+            depth -= 1
+        if depth == 0 and tk == ",":
+            items.append(cur)
+            cur = []
+        else:
+            cur.append(tk)
+    if cur:
+        items.append(cur)
+    new_items: list[str] = []
+    for k, item in enumerate(items):
+        if k:
+            new_items.append(",")
+        new_items += item
+        if not any(t.upper() == "NULLS" for t in item):
+            new_items += ["NULLS", "LAST"]
+    return toks[:ob + 2] + new_items + toks[end:]
+
+
 def _rewrite_limit_offset(toks: list[str]) -> list[str]:
     """MySQL-style ``LIMIT offset, count`` (CH supports both spellings)
     → ``LIMIT count OFFSET offset``; runs after the LIMIT..BY pass so
@@ -1744,6 +1804,7 @@ def ch_sql_to_spark(sql: str) -> str:
     toks = _rewrite_limit_offset(toks)
     toks = _rewrite_with_totals(toks)
     toks = _rewrite_collate(toks)
+    toks = _rewrite_order_by_nulls(toks)
     toks = _rewrite_qualify(toks)
     toks = _rewrite_array_join(toks)
     toks = _rewrite_date_preimage(toks)

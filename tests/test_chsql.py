@@ -652,3 +652,13 @@ def test_explain_analyze_metrics(spark):
 
     text = ch_explain(spark, "SELECT count() FROM numbers(50)", mode="ANALYZE")
     assert "numOutputRows" in text and "Range" in text
+
+
+def test_order_by_defaults_nulls_last(spark):
+    """CH default NULL ordering is LAST in either direction; Spark's
+    ASC default is NULLS FIRST — the shim pins it explicitly."""
+    spark.sql("SELECT * FROM VALUES (1), (NULL), (2) AS t(x)").createOrReplaceTempView("nt")
+    assert [r.x for r in ch_sql(spark, "SELECT x FROM nt ORDER BY x").collect()] == [1, 2, None]
+    assert [r.x for r in ch_sql(spark, "SELECT x FROM nt ORDER BY x DESC").collect()] == [2, 1, None]
+    # explicit NULLS positioning is preserved
+    assert [r.x for r in ch_sql(spark, "SELECT x FROM nt ORDER BY x NULLS FIRST").collect()] == [None, 1, 2]
