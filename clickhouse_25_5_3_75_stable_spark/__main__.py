@@ -213,6 +213,23 @@ def run_local(sql: str, data_dir: str, spark=None, out=sys.stdout) -> int:
                     vdf.createOrReplaceTempView(vname)
                 _emit([(vname, "Ok")], ["table", "status"], fmt, out)
                 return 0
+            # CTAS: CREATE TABLE t [ENGINE = ...] AS SELECT ... —
+            # schema inferred from the query (reference
+            # InterpreterCreateQuery create-as-select path)
+            ctas = _re.match(
+                r"CREATE\s+TABLE\s+(\w+)\s+(?:ENGINE\s*=\s*\w+(?:\([^)]*\))?\s+)?"
+                r"(?:ORDER\s+BY\s+[\w,()\s]+?\s+)?AS\s+(SELECT\b.*)",
+                sql, _re.IGNORECASE | _re.DOTALL,
+            )
+            if ctas:
+                tname, body = ctas.group(1), ctas.group(2)
+                df = spark.sql(ch_sql_to_spark(body))
+                path = os.path.join(data_dir, tname)
+                df.write.mode("errorifexists").parquet(path)
+                spark.read.parquet(path).createOrReplaceTempView(tname)
+                _emit([(tname, "Ok")], ["table", "status"], fmt, out)
+                return 0
+
             from clickhouse_25_5_3_75_stable_spark.ddl import Database
 
             db = Database(spark, data_dir)

@@ -312,3 +312,25 @@ def test_drop_if_exists_parses_table_name(spark, tmp_path):
     """
     assert run_script(script, data, spark=spark, out=buf) == 0
     assert buf.getvalue().strip().splitlines()[-1] == "0"
+
+
+def test_create_table_as_select(spark, tmp_path):
+    import io
+    import os
+
+    from clickhouse_25_5_3_75_stable_spark.__main__ import run_script
+
+    data = str(tmp_path / "ctas")
+    os.makedirs(data)
+    buf = io.StringIO()
+    script = """
+        CREATE TABLE src (k Int64, v Int64) ENGINE = MergeTree ORDER BY k;
+        INSERT INTO src VALUES (1, 10), (2, 20), (3, 30);
+        CREATE TABLE agg ENGINE = MergeTree AS SELECT k % 2 AS parity, sum(v) AS s FROM src GROUP BY parity;
+        SELECT count() AS n FROM agg;
+        SELECT s FROM agg WHERE parity = 1;
+    """
+    assert run_script(script, data, spark=spark, out=buf) == 0
+    lines = buf.getvalue().strip().splitlines()
+    assert "2" in lines  # two parity groups
+    assert lines[-1] == "40"  # 10 + 30
