@@ -237,11 +237,15 @@ def run_local(sql: str, data_dir: str, spark=None, out=sys.stdout) -> int:
             _emit([(td.name, "Ok")], ["table", "status"], fmt, out)
             return 0
         if kw == "INSERT":
-            # INSERT INTO <t> VALUES (...) | INSERT INTO <t> SELECT ...
+            # INSERT INTO <t> VALUES (...) | ... SELECT ... |
+            # ... FORMAT JSONEachRow/CSV <inline rows> (the
+            # clickhouse-local inline-data idiom)
             import re as _re
 
-            m = _re.match(r"INSERT\s+INTO\s+(\w+)\s+(VALUES|SELECT)\s*(.*)", sql,
-                          _re.IGNORECASE | _re.DOTALL)
+            m = _re.match(
+                r"INSERT\s+INTO\s+(\w+)\s+(VALUES|SELECT|FORMAT)\s*(.*)",
+                sql, _re.IGNORECASE | _re.DOTALL,
+            )
             if not m:
                 raise ValueError("unsupported INSERT shape")
             tname, mode_kw, rest = m.group(1), m.group(2).upper(), m.group(3)
@@ -249,6 +253,25 @@ def run_local(sql: str, data_dir: str, spark=None, out=sys.stdout) -> int:
             if mode_kw == "VALUES":
                 cols = ", ".join(target.columns)
                 df = spark.sql(f"SELECT * FROM VALUES {rest} AS t({cols})")
+            elif mode_kw == "FORMAT":
+                fmt_name, _, payload = rest.partition("\n")
+                fmt_name = fmt_name.strip().lower()
+                lines = [ln for ln in payload.splitlines() if ln.strip()]
+                if fmt_name in ("jsoneachrow", "jsonlines", "ndjson"):
+                    df = spark.read.schema(target.schema).json(
+                        spark.sparkContext.parallelize(lines)
+                    )
+                elif fmt_name in ("csv", "csvwithnames"):
+                    df = (
+                        spark.read.schema(target.schema)
+                        .option("header", fmt_name == "csvwithnames")
+                        .csv(spark.sparkContext.parallelize(lines))
+                    )
+                else:
+                    raise ValueError(
+                        f"inline INSERT FORMAT {fmt_name!r} unsupported "
+                        "(JSONEachRow and CSV[WithNames] are)"
+                    )
             else:
                 df = spark.sql(ch_sql_to_spark("SELECT " + rest))
             path = os.path.join(data_dir, tname)

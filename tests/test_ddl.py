@@ -334,3 +334,25 @@ def test_create_table_as_select(spark, tmp_path):
     lines = buf.getvalue().strip().splitlines()
     assert "2" in lines  # two parity groups
     assert lines[-1] == "40"  # 10 + 30
+
+
+def test_insert_inline_format_payload(spark, tmp_path):
+    import io
+    import os
+
+    from clickhouse_25_5_3_75_stable_spark.__main__ import run_local, run_script
+
+    data = str(tmp_path / "inline")
+    os.makedirs(data)
+    buf = io.StringIO()
+    run_local(
+        "CREATE TABLE ev (k Int64, v String) ENGINE = MergeTree ORDER BY k",
+        data, spark=spark, out=buf,
+    )
+    stmt = 'INSERT INTO ev FORMAT JSONEachRow\n{"k": 1, "v": "a"}\n{"k": 2, "v": "b"}'
+    assert run_local(stmt, data, spark=spark, out=buf) == 0
+    stmt = "INSERT INTO ev FORMAT CSV\n3,c\n4,d"
+    assert run_local(stmt, data, spark=spark, out=buf) == 0
+    buf = io.StringIO()
+    run_local("SELECT count() AS n, max(v) AS m FROM ev", data, spark=spark, out=buf)
+    assert buf.getvalue().strip() == "4\td"
