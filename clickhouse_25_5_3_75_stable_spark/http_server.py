@@ -89,7 +89,13 @@ def make_server(spark, data_dir: str, port: int = 0) -> ThreadingHTTPServer:
             body = self.rfile.read(length).decode("utf-8")
             parsed = urllib.parse.urlparse(self.path)
             qs = urllib.parse.parse_qs(parsed.query)
-            query = (qs.get("query") or [body])[0] or body
+            url_query = (qs.get("query") or [""])[0]
+            if url_query and body and url_query.upper().lstrip().startswith("INSERT"):
+                # reference HTTP INSERT: statement in the URL, rows in
+                # the body (INSERT INTO t FORMAT JSONEachRow + payload)
+                query = url_query.rstrip() + "\n" + body
+            else:
+                query = url_query or body
             self._run(query, _url_settings(qs))
 
         def log_message(self, *a):  # silence request logging

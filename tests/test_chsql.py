@@ -662,3 +662,37 @@ def test_order_by_defaults_nulls_last(spark):
     assert [r.x for r in ch_sql(spark, "SELECT x FROM nt ORDER BY x DESC").collect()] == [2, 1, None]
     # explicit NULLS positioning is preserved
     assert [r.x for r in ch_sql(spark, "SELECT x FROM nt ORDER BY x NULLS FIRST").collect()] == [None, 1, 2]
+
+
+def test_http_insert_body_payload(spark, tmp_path):
+    import os
+    import urllib.request
+
+    from clickhouse_25_5_3_75_stable_spark.__main__ import run_local
+    from clickhouse_25_5_3_75_stable_spark.http_server import serve_in_thread
+
+    import io
+
+    data = str(tmp_path / "httpins")
+    os.makedirs(data)
+    run_local(
+        "CREATE TABLE hv (k Int64, v String) ENGINE = MergeTree ORDER BY k",
+        data, spark=spark, out=io.StringIO(),
+    )
+    srv, port = serve_in_thread(spark, data)
+    try:
+        stmt = urllib.request.quote("INSERT INTO hv FORMAT JSONEachRow")
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/?query={stmt}",
+            data=b'{"k": 1, "v": "x"}\n{"k": 2, "v": "y"}',
+            method="POST",
+        )
+        urllib.request.urlopen(req, timeout=60).read()
+        got = urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/?query="
+            + urllib.request.quote("SELECT count() AS n FROM hv"),
+            timeout=60,
+        ).read().decode()
+        assert got.strip() == "2"
+    finally:
+        srv.shutdown()
