@@ -1125,15 +1125,36 @@ def _rewrite_functions(toks: list[str]) -> list[str]:
             if len(args) < 2 or len(args[1]) != 1 or not args[1][0].startswith("'"):
                 raise ChSqlError(f"{tk}: the format must be a literal string")
             from clickhouse_25_5_3_75_stable_spark.functions.dialect import (
-                mysql_format_to_java,
+                mysql_format_segments,
             )
 
             raw = args[1][0][1:-1]
-            conv = mysql_format_to_java(raw) if "%" in raw else raw
-            fn = {"formatdatetime__": "date_format",
-                  "parsedatetime__": "to_timestamp",
-                  "parsedatetimeornull__": "try_to_timestamp"}[new]
-            out += [fn, "(", *args[0], ",", "'" + conv.replace("'", "''") + "'", ")"]
+            try:
+                segs = mysql_format_segments(raw)
+            except ValueError as ve:
+                raise ChSqlError(str(ve)) from ve
+
+            def _sql_lit(s: str) -> str:
+                return "'" + s.replace("'", "''") + "'"
+
+            if new == "formatdatetime__":
+                calls: list[str] = []
+                for s in segs:
+                    calls += ["date_format", "(", *args[0], ",", _sql_lit(s),
+                              ")", ","]
+                if len(segs) == 1:
+                    out += calls[:-1]
+                else:
+                    out += ["concat", "(", *calls[:-1], ")"]
+            else:
+                if len(segs) != 1:
+                    raise ChSqlError(
+                        f"{tk}: ambiguous parse pattern (adjacent same-field "
+                        "specifiers)"
+                    )
+                fn = ("to_timestamp" if new == "parsedatetime__"
+                      else "try_to_timestamp")
+                out += [fn, "(", *args[0], ",", _sql_lit(segs[0]), ")"]
         elif new.startswith("json_"):
             # single-key path form JSONExtractX(json, 'key'); CH's
             # multi-segment path lists need the DataFrame builder

@@ -253,20 +253,20 @@ _MYSQL_TO_JAVA = {
 }
 
 
-def mysql_format_to_java(fmt: str) -> str:
+def mysql_format_segments(fmt: str) -> list[str]:
     """Convert a ClickHouse formatDateTime pattern (MySQL %-specifiers,
-    reference src/Functions/formatDateTime.cpp:1200-1420) to a Java
-    SimpleDateFormat pattern for Spark's date_format."""
-    out: list[str] = []
+    reference src/Functions/formatDateTime.cpp:1200-1420) to Java
+    SimpleDateFormat pattern SEGMENTS. Adjacent specifiers whose Java
+    patterns would merge into one field (``%Y%Y`` → ``yyyyyyyy`` = an
+    8-digit year, fuzz-found) split into separate segments — callers
+    concat one date_format per segment. Plain text without ``%`` is a
+    literal (quoted), exactly as the reference treats it."""
+    atoms: list[tuple[str, str]] = []  # ("pat"|"lit", text)
     lit: list[str] = []
 
     def flush_literal() -> None:
         if lit:
-            text = "".join(lit)
-            if any(ch.isalpha() for ch in text) or "'" in text:
-                out.append("'" + text.replace("'", "''") + "'")
-            else:
-                out.append(text)
+            atoms.append(("lit", "".join(lit)))
             lit.clear()
 
     i = 0
@@ -282,13 +282,48 @@ def mysql_format_to_java(fmt: str) -> str:
                     "(no Java-pattern equivalent)"
                 )
             flush_literal()
-            out.append(_MYSQL_TO_JAVA[spec])
+            atoms.append(("pat", _MYSQL_TO_JAVA[spec]))
             i += 2
         else:
             lit.append(ch)
             i += 1
     flush_literal()
-    return "".join(out)
+
+    segments: list[str] = []
+    cur = ""
+    last_pat = ""
+    for kind, text in atoms:
+        if kind == "lit":
+            quoted = (
+                "'" + text.replace("'", "''") + "'"
+                if any(c.isalpha() for c in text) or "'" in text
+                else text
+            )
+            cur += quoted
+            last_pat = ""
+        else:
+            if last_pat and text and not text.startswith("'") \
+                    and last_pat[-1] == text[0]:
+                segments.append(cur)  # same-letter adjacency: split
+                cur = ""
+            cur += text
+            last_pat = text if not text.startswith("'") else ""
+    if cur:
+        segments.append(cur)
+    return segments or [""]
+
+
+def mysql_format_to_java(fmt: str) -> str:
+    """Single-pattern form of :func:`mysql_format_segments`; raises
+    when the pattern needs segment splitting (parse-side callers can't
+    concat)."""
+    segs = mysql_format_segments(fmt)
+    if len(segs) != 1:
+        raise ValueError(
+            f"format {fmt!r}: adjacent same-field specifiers cannot be "
+            "one Java pattern"
+        )
+    return segs[0]
 
 
 def _format_datetime(a, fmt):
@@ -297,7 +332,9 @@ def _format_datetime(a, fmt):
             "formatDateTime: the format must be a literal string "
             "(dynamic formats would need per-row pattern conversion)"
         )
-    return F.date_format(_c(a), mysql_format_to_java(fmt))
+    segs = mysql_format_segments(fmt)
+    parts = [F.date_format(_c(a), s) for s in segs]
+    return parts[0] if len(parts) == 1 else F.concat(*parts)
 
 
 _reg("formatDateTime")(_format_datetime)

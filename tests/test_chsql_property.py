@@ -466,3 +466,45 @@ def test_transpiler_never_crashes_selectish(s):
         ch_sql_to_spark(s)
     except (ChSqlError, ValueError):
         pass
+
+
+# ---------------------------------------------------------------------------
+# formatDateTime fuzz: random %-patterns through the shim's
+# MySQL->Java conversion vs DuckDB strftime (same specifier language
+# on the common subset; minute is CH %i / DuckDB %M)
+# ---------------------------------------------------------------------------
+
+
+def fmt_pattern():
+    # (ch_spec, duck_spec) pairs with identical semantics
+    specs = st.sampled_from([
+        ("%Y", "%Y"), ("%m", "%m"), ("%d", "%d"), ("%H", "%H"),
+        ("%S", "%S"), ("%j", "%j"), ("%i", "%M"),
+    ])
+    lits = st.sampled_from(["-", "/", " ", ":", "T", "."]).map(lambda c: (c, c))
+    return st.lists(st.one_of(specs, lits), min_size=1, max_size=8).map(
+        lambda parts: (
+            "".join(p[0] for p in parts),
+            "".join(p[1] for p in parts),
+        )
+    )
+
+
+@settings(
+    max_examples=40,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(p=fmt_pattern())
+def test_format_datetime_fuzz(ctx2, p):
+    ch_fmt, duck_fmt = p
+    q = (
+        f"SELECT k, formatDateTime(ts, '{ch_fmt}') AS v "
+        "FROM prop_ts ORDER BY k"
+    )
+    spark, con = ctx2
+    got = [(r.k, r.v) for r in spark.sql(ch_sql_to_spark(q)).collect()]
+    want = con.execute(
+        f"SELECT k, strftime(ts, '{duck_fmt}') AS v FROM prop_ts ORDER BY k"
+    ).fetchall()
+    assert got == [tuple(w) for w in want], f"CH: {ch_fmt} DUCK: {duck_fmt}"
