@@ -1858,6 +1858,25 @@ def ch_sql(spark, sql: str, sf_dir: str | None = None):
         from clickhouse_25_5_3_75_stable_spark.sources.catalog import register_views
 
         register_views(spark, sf_dir)
+    fill = re.search(
+        r"ORDER\s+BY\s+(\w+)(\s+DESC|\s+ASC)?\s+WITH\s+FILL"
+        r"(?:\s+FROM\s+(\S+))?(?:\s+TO\s+(\S+))?(?:\s+STEP\s+(\S+))?",
+        sql,
+        re.IGNORECASE,
+    )
+    if fill is not None:
+        if re.search(r"\sINTERPOLATE\s*\(", sql, re.IGNORECASE):
+            raise ChSqlError(
+                "INTERPOLATE: use the DataFrame builder "
+                "(operators/fill.py fill_linear / with_fill_dates)"
+            )
+        col = fill.group(1)
+        desc = (fill.group(2) or "").strip().upper() == "DESC"
+        stripped = sql[: fill.end(1) + (len(fill.group(2) or ""))] + sql[fill.end():]
+        base = ch_sql(spark, stripped, None)
+        return _apply_with_fill(
+            spark, base, col, desc, fill.group(3), fill.group(4), fill.group(5)
+        )
     _, settings = _split_suffix_clauses(_tokenize(sql))
     if settings:
         apply_settings(spark, settings)
@@ -1891,6 +1910,51 @@ def ch_sql(spark, sql: str, sf_dir: str | None = None):
                     "for this query"
                 ) from e
         raise
+
+
+def _apply_with_fill(spark, df, col: str, desc: bool,
+                     from_: str | None, to_: str | None, step_: str | None):
+    """ORDER BY <col> WITH FILL [FROM a] [TO b] [STEP s] over an
+    integer or date column (reference FillingTransform.h): dense axis
+    LEFT-JOINed under the result; FROM defaults to the result's min,
+    TO (EXCLUSIVE, per the reference) to just past its max; STEP
+    defaults to 1 (day for dates)."""
+    from pyspark.sql import functions as F
+
+    if col not in df.columns:
+        raise ChSqlError(f"WITH FILL: {col!r} is not an output column")
+    dt = dict(df.dtypes)[col]
+    is_date = dt == "date"
+    if not (is_date or dt in ("int", "bigint", "smallint", "tinyint")):
+        raise ChSqlError(f"WITH FILL: unsupported fill column type {dt}")
+    lo_hi = df.agg(F.min(col).alias("lo"), F.max(col).alias("hi")).collect()[0]
+    if lo_hi.lo is None:
+        return df  # empty result: nothing to fill
+    lo = from_ if from_ is not None else lo_hi.lo
+    step = int(step_) if step_ is not None else 1
+    if is_date:
+        lo_expr = F.lit(str(lo)).cast("date")
+        hi_expr = (
+            F.date_sub(F.lit(str(to_)).cast("date"), 1)
+            if to_ is not None
+            else F.lit(str(lo_hi.hi)).cast("date")
+        )
+        axis = spark.range(1).select(
+            F.explode(
+                F.sequence(lo_expr, hi_expr, F.expr(f"interval {step} day"))
+            ).alias(col)
+        )
+    else:
+        lo_v = int(lo)
+        hi_v = (int(to_) - 1) if to_ is not None else int(lo_hi.hi)
+        axis = spark.range(1).select(
+            F.explode(
+                F.sequence(F.lit(lo_v), F.lit(hi_v), F.lit(step))
+            ).alias(col)
+        )
+    filled = axis.join(df, on=col, how="full").select(*df.columns)
+    order = F.col(col).desc() if desc else F.col(col).asc()
+    return filled.orderBy(order)
 
 
 def ch_explain(spark, sql: str, mode: str = "PLAN") -> str:

@@ -696,3 +696,36 @@ def test_http_insert_body_payload(spark, tmp_path):
         assert got.strip() == "2"
     finally:
         srv.shutdown()
+
+
+def test_with_fill_executes_in_ch_sql(spark):
+    """ORDER BY ... WITH FILL runs through ch_sql (clause stripped,
+    dense-axis join applied — reference FillingTransform semantics:
+    TO exclusive, rows outside the range kept, default step 1)."""
+    spark.sql(
+        "SELECT * FROM VALUES (1, 10.0), (3, 30.0), (6, 60.0) AS t(n, v)"
+    ).createOrReplaceTempView("ft")
+    rows = ch_sql(spark, "SELECT n, v FROM ft ORDER BY n WITH FILL").collect()
+    assert [(r.n, r.v) for r in rows] == [
+        (1, 10.0), (2, None), (3, 30.0), (4, None), (5, None), (6, 60.0)
+    ]
+    ns = [r.n for r in ch_sql(
+        spark, "SELECT n, v FROM ft ORDER BY n WITH FILL FROM 0 TO 9 STEP 2"
+    ).collect()]
+    assert ns == [0, 1, 2, 3, 4, 6, 8]  # grid 0,2,4,6,8 + original 1,3
+    assert [r.n for r in ch_sql(
+        spark, "SELECT n, v FROM ft ORDER BY n DESC WITH FILL"
+    ).collect()] == [6, 5, 4, 3, 2, 1]
+    # dates fill daily
+    spark.sql(
+        "SELECT * FROM VALUES (DATE'2024-01-01', 1), (DATE'2024-01-04', 4) AS t(d, v)"
+    ).createOrReplaceTempView("fd")
+    ds = [str(r.d) for r in ch_sql(spark, "SELECT d, v FROM fd ORDER BY d WITH FILL").collect()]
+    assert ds == ["2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04"]
+    # the bare transpiler still refuses (text-to-text has no executor)
+    import pytest
+
+    from clickhouse_25_5_3_75_stable_spark.chsql import ch_sql_to_spark
+
+    with pytest.raises(ChSqlError):
+        ch_sql_to_spark("SELECT n FROM ft ORDER BY n WITH FILL")
