@@ -1877,6 +1877,9 @@ def ch_sql(spark, sql: str, sf_dir: str | None = None):
         return _apply_with_fill(
             spark, base, col, desc, fill.group(3), fill.group(4), fill.group(5)
         )
+    asof = _ASOF_RE.match(sql)
+    if asof is not None and re.search(r"\sASOF\s", sql, re.IGNORECASE):
+        return _run_asof_sql(spark, asof)
     _, settings = _split_suffix_clauses(_tokenize(sql))
     if settings:
         apply_settings(spark, settings)
@@ -1910,6 +1913,88 @@ def ch_sql(spark, sql: str, sf_dir: str | None = None):
                     "for this query"
                 ) from e
         raise
+
+
+_ASOF_RE = re.compile(
+    r"^\s*SELECT\s+(?P<select>.+?)\s+FROM\s+"
+    r"(?P<lt>\w+)(?:\s+AS\s+(?P<la>\w+))?\s+"
+    r"ASOF\s+(?:(?P<outer>LEFT)\s+)?JOIN\s+"
+    r"(?P<rt>\w+)(?:\s+AS\s+(?P<ra>\w+))?\s+"
+    r"ON\s+(?P<on>.+?)"
+    r"(?P<tail>\s+(?:WHERE|GROUP|ORDER|LIMIT)\b.*)?;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _run_asof_sql(spark, m: re.Match):
+    """Executable ASOF JOIN subset: two named relations, equality keys
+    plus ONE timestamp inequality in the ON conjunction (reference
+    src/Core/Joins.h ASOF inequalities). The join runs through
+    operators/joins.asof_join; the SELECT list and tail clauses then
+    apply over the joined relation with alias prefixes stripped."""
+    from clickhouse_25_5_3_75_stable_spark.operators.joins import asof_join
+
+    lt, rt = m.group("lt"), m.group("rt")
+    la = m.group("la") or lt
+    ra = m.group("ra") or rt
+    left, right = spark.table(lt), spark.table(rt)
+
+    by: list[str] = []
+    ts_pair: tuple[str, str, str] | None = None  # (left_ts, right_ts, op)
+    for cond in re.split(r"\bAND\b", m.group("on"), flags=re.IGNORECASE):
+        cm = re.match(
+            r"\s*(\w+)\.(\w+)\s*(=|>=|<=|>|<)\s*(\w+)\.(\w+)\s*$", cond
+        )
+        if not cm:
+            raise ChSqlError(f"ASOF JOIN: cannot parse ON condition {cond!r}")
+        a_al, a_col, op, b_al, b_col = cm.groups()
+        # normalize to (left, right)
+        if a_al == la and b_al == ra:
+            l_col, r_col = a_col, b_col
+        elif a_al == ra and b_al == la:
+            l_col, r_col = b_col, a_col
+            op = {">": "<", "<": ">", ">=": "<=", "<=": ">="}.get(op, op)
+        else:
+            raise ChSqlError(f"ASOF JOIN: unknown alias in {cond!r}")
+        if op == "=":
+            if l_col != r_col:
+                raise ChSqlError(
+                    "ASOF JOIN: equality keys must share a column name "
+                    f"({l_col} vs {r_col}) — alias one side first"
+                )
+            by.append(l_col)
+        else:
+            if ts_pair is not None:
+                raise ChSqlError("ASOF JOIN: exactly one inequality expected")
+            ts_pair = (l_col, r_col, op)
+    if ts_pair is None:
+        raise ChSqlError("ASOF JOIN: the ON clause needs a timestamp inequality")
+    if not by:
+        raise ChSqlError("ASOF JOIN: at least one equality key expected")
+    l_ts, r_ts, op = ts_pair
+    direction = "backward" if op in (">=", ">") else "forward"
+    strict = op in (">", "<")
+
+    body = m.group("select") + (m.group("tail") or "")
+    refd = set(re.findall(rf"\b{ra}\.(\w+)", body))
+    right_values = sorted(refd - set(by)) or [
+        c for c in right.columns if c not in by and c != r_ts
+    ]
+    clash = [c for c in right_values if c in left.columns]
+    if clash:
+        raise ChSqlError(
+            f"ASOF JOIN: right columns {clash} collide with left columns — "
+            "select them under distinct names via the DataFrame builder"
+        )
+    joined = asof_join(
+        left, right, by=by, left_ts=l_ts, right_ts=r_ts,
+        right_values=right_values, strict=strict, how="left", direction=direction,
+    )
+    view = "__asof_join_result"
+    joined.createOrReplaceTempView(view)
+    text = "SELECT " + m.group("select") + " FROM " + view + (m.group("tail") or "")
+    text = re.sub(rf"\b(?:{la}|{ra})\.", "", text)
+    return spark.sql(ch_sql_to_spark(text))
 
 
 def _apply_with_fill(spark, df, col: str, desc: bool,

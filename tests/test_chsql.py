@@ -729,3 +729,35 @@ def test_with_fill_executes_in_ch_sql(spark):
 
     with pytest.raises(ChSqlError):
         ch_sql_to_spark("SELECT n FROM ft ORDER BY n WITH FILL")
+
+
+def test_asof_join_executes_in_ch_sql(spark):
+    """ASOF [LEFT] JOIN subset runs through ch_sql via the
+    operators/joins builder (backward for >=, forward for <=)."""
+    spark.sql("""SELECT * FROM VALUES
+      (1, TIMESTAMP'2024-01-01 10:00:00'),
+      (1, TIMESTAMP'2024-01-01 12:00:00'),
+      (2, TIMESTAMP'2024-01-01 11:00:00') AS t(uid, ts)""").createOrReplaceTempView("asof_clicks")
+    spark.sql("""SELECT * FROM VALUES
+      (1, TIMESTAMP'2024-01-01 09:30:00', 100.0),
+      (1, TIMESTAMP'2024-01-01 11:30:00', 110.0),
+      (2, TIMESTAMP'2024-01-01 12:00:00', 200.0) AS t(uid, pts, price)""").createOrReplaceTempView("asof_prices")
+    rows = ch_sql(spark, """
+      SELECT c.uid, c.ts, p.price
+      FROM asof_clicks AS c ASOF LEFT JOIN asof_prices AS p
+      ON c.uid = p.uid AND c.ts >= p.pts
+      ORDER BY c.uid, c.ts
+    """).collect()
+    assert [(r.uid, r.price) for r in rows] == [(1, 100.0), (1, 110.0), (2, None)]
+    rows = ch_sql(spark, """
+      SELECT c.uid, p.price
+      FROM asof_clicks AS c ASOF LEFT JOIN asof_prices AS p
+      ON c.uid = p.uid AND c.ts <= p.pts
+      ORDER BY c.uid, c.ts
+    """).collect()
+    assert [(r.uid, r.price) for r in rows] == [(1, 110.0), (1, None), (2, 200.0)]
+    # malformed ON raises the contract error
+    import pytest
+
+    with pytest.raises(ChSqlError):
+        ch_sql(spark, "SELECT 1 FROM asof_clicks AS c ASOF JOIN asof_prices AS p ON c.uid = p.uid")
