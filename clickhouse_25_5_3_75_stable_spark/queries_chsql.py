@@ -10,9 +10,10 @@ Imported by queries.py.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from clickhouse_25_5_3_75_stable_spark.chsql import ch_sql
-from clickhouse_25_5_3_75_stable_spark.queries import register
+from clickhouse_25_5_3_75_stable_spark.queries import register, t
 
 
 @register(
@@ -165,4 +166,49 @@ def chsql_ternary_array_tuple(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY l_orderkey, l_linenumber
         """,
         sf_dir,
+    )
+
+
+@register(
+    "chsql_asof_sql_click_view",
+    oracle="""
+    WITH clicks AS (
+        SELECT user_id AS uid, CAST(ts AS TIMESTAMP) AS cts, event_id AS cid
+        FROM events WHERE event_type = 'click'
+    ),
+    views AS (
+        SELECT user_id AS uid, CAST(ts AS TIMESTAMP) AS vts
+        FROM events WHERE event_type = 'view'
+    )
+    SELECT c.uid, c.cid, v.vts AS matched_view_ts
+    FROM clicks c ASOF LEFT JOIN views v
+      ON c.uid = v.uid AND c.cts >= v.vts
+    ORDER BY c.uid, c.cid
+    """,
+    tags=("chsql", "asof", "sql"),
+)
+def chsql_asof_sql_click_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASOF LEFT JOIN written as ClickHouse SQL text and executed
+    through ch_sql's builder dispatch; the oracle is DuckDB's own
+    native ASOF JOIN — two independent implementations of the
+    reference's semantics (src/Core/Joins.h ASOF >=). The matched VIEW
+    TIMESTAMP is the output (tie-safe: equal-best rows share it)."""
+    ev = t(spark, sf_dir, "events")
+    ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("uid"),
+        F.col("ts").cast("timestamp").alias("cts"),
+        F.col("event_id").alias("cid"),
+    ).createOrReplaceTempView("asofq_clicks")
+    ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("uid"),
+        F.col("ts").cast("timestamp").alias("vts"),
+    ).createOrReplaceTempView("asofq_views")
+    return ch_sql(
+        spark,
+        """
+        SELECT c.uid, c.cid, p.vts AS matched_view_ts
+        FROM asofq_clicks AS c ASOF LEFT JOIN asofq_views AS p
+        ON c.uid = p.uid AND c.cts >= p.vts
+        ORDER BY c.uid, c.cid
+        """,
     )
