@@ -1880,6 +1880,27 @@ def ch_sql(spark, sql: str, sf_dir: str | None = None):
     asof = _ASOF_RE.match(sql)
     if asof is not None and re.search(r"\sASOF\s", sql, re.IGNORECASE):
         return _run_asof_sql(spark, asof)
+    paste = re.match(
+        r"^\s*SELECT\s+(?P<select>.+?)\s+FROM\s+(?P<lt>\w+)\s+PASTE\s+JOIN\s+"
+        r"(?P<rt>\w+)(?P<tail>\s+(?:WHERE|ORDER|LIMIT)\b.*)?;?\s*$",
+        sql, re.IGNORECASE | re.DOTALL,
+    )
+    if paste is not None:
+        from clickhouse_25_5_3_75_stable_spark.operators.joins import paste_join
+
+        lt_df = spark.table(paste.group("lt"))
+        rt_df = spark.table(paste.group("rt"))
+        # the reference zips physical block order — meaningless across a
+        # cluster, so the SQL form zips each side's all-columns sort
+        # (deterministic); pass explicit orders via the builder for
+        # anything else
+        joined = paste_join(lt_df, rt_df, lt_df.columns, rt_df.columns)
+        view = "__paste_join_result"
+        joined.createOrReplaceTempView(view)
+        return spark.sql(ch_sql_to_spark(
+            "SELECT " + paste.group("select") + " FROM " + view
+            + (paste.group("tail") or "")
+        ))
     _, settings = _split_suffix_clauses(_tokenize(sql))
     if settings:
         apply_settings(spark, settings)

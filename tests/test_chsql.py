@@ -761,3 +761,11 @@ def test_asof_join_executes_in_ch_sql(spark):
 
     with pytest.raises(ChSqlError):
         ch_sql(spark, "SELECT 1 FROM asof_clicks AS c ASOF JOIN asof_prices AS p ON c.uid = p.uid")
+
+
+def test_paste_join_executes_in_ch_sql(spark):
+    spark.sql("SELECT * FROM VALUES (3), (1), (2) AS t(a)").createOrReplaceTempView("pj_l")
+    spark.sql("SELECT * FROM VALUES ('z'), ('x'), ('y') AS t(b)").createOrReplaceTempView("pj_r")
+    rows = ch_sql(spark, "SELECT a, b FROM pj_l PASTE JOIN pj_r ORDER BY a").collect()
+    # both sides sorted: (1,x),(2,y),(3,z)
+    assert [(r.a, r.b) for r in rows] == [(1, "x"), (2, "y"), (3, "z")]
