@@ -83,6 +83,50 @@ def _log_query(spark, kind: str, sql: str, dur: float, rows: int) -> None:
     ).createOrReplaceTempView("query_log")
 
 
+def _resolve_final(spark, data_dir: str, sql: str) -> str:
+    """``FROM <t> FINAL`` on a DDL-created MergeTree-family table folds
+    through operators/mergetree.py before the read (the chsql shim
+    strips FINAL, which is only correct for plain parquet sources —
+    a Replacing table with un-merged duplicates MUST fold here)."""
+    import re as _re
+
+    m = _re.search(r"\bFROM\s+(\w+)\s+FINAL\b", sql, _re.IGNORECASE)
+    if not m:
+        return sql
+    tname = m.group(1)
+    from clickhouse_25_5_3_75_stable_spark.ddl import load_table_def
+
+    td = load_table_def(data_dir, tname)
+    if td is None or not td.order_by:
+        return sql  # plain source: strip-only semantics are exact
+    eng = td.engine.lower()
+    df = spark.table(tname)
+    if eng == "replacingmergetree":
+        from clickhouse_25_5_3_75_stable_spark.operators.mergetree import (
+            replacing_final,
+        )
+
+        version = td.engine_args[0] if td.engine_args else td.order_by[-1]
+        folded = replacing_final(df, td.order_by, version=version, tiebreak=[])
+    elif eng == "summingmergetree":
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        from clickhouse_25_5_3_75_stable_spark.operators.mergetree import (
+            summing_final,
+        )
+
+        num = [f.name for f in df.schema.fields
+               if f.name not in td.order_by
+               and isinstance(f.dataType, T.NumericType)]
+        folded = summing_final(df, td.order_by, [F.sum(c).alias(c) for c in num])
+    else:
+        return sql
+    view = f"__{tname}_final"
+    folded.createOrReplaceTempView(view)
+    return sql[: m.start()] + f"FROM {view}" + sql[m.end():]
+
+
 def run_local(sql: str, data_dir: str, spark=None, out=sys.stdout) -> int:
     """Execute one statement: SELECT (CH dialect), CREATE TABLE
     (ddl.py), INSERT INTO ... VALUES/SELECT, SHOW TABLES, DESCRIBE —
@@ -345,6 +389,7 @@ def run_local(sql: str, data_dir: str, spark=None, out=sys.stdout) -> int:
 
         t0 = _time.perf_counter()
         sql, outfile = extract_into_outfile(sql)
+        sql = _resolve_final(spark, data_dir, sql)
         spark_sql = ch_sql_to_spark(sql)
         df = spark.sql(spark_sql)
         rows = [tuple(r) for r in df.collect()]

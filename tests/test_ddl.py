@@ -356,3 +356,27 @@ def test_insert_inline_format_payload(spark, tmp_path):
     buf = io.StringIO()
     run_local("SELECT count() AS n, max(v) AS m FROM ev", data, spark=spark, out=buf)
     assert buf.getvalue().strip() == "4\td"
+
+
+def test_from_final_folds_replacing_table(spark, tmp_path):
+    import io
+    import os
+
+    from clickhouse_25_5_3_75_stable_spark.__main__ import run_script
+
+    data = str(tmp_path / "final")
+    os.makedirs(data)
+    buf = io.StringIO()
+    script = """
+        CREATE TABLE rv (k Int64, ver Int64, v String)
+            ENGINE = ReplacingMergeTree(ver) ORDER BY k;
+        INSERT INTO rv VALUES (1, 1, 'old'), (1, 2, 'new'), (2, 1, 'only');
+        SELECT count() AS n FROM rv;
+        SELECT count() AS n FROM rv FINAL;
+        SELECT v FROM rv FINAL WHERE k = 1;
+    """
+    assert run_script(script, data, spark=spark, out=buf) == 0
+    lines = buf.getvalue().strip().splitlines()
+    assert "3" in lines          # raw read keeps both versions
+    assert "2" in lines          # FINAL folds to latest per key
+    assert lines[-1] == "new"    # latest version wins
