@@ -1730,6 +1730,10 @@ _BUILDER_ONLY = [
     (r"\sINTERPOLATE\s*\(", "INTERPOLATE", "operators/fill.py with_fill(interpolate=...)"),
     (r"\sASOF\s+(LEFT\s+)?JOIN\b", "ASOF JOIN", "operators/joins.py asof_join"),
     (r"\sPASTE\s+JOIN\b", "PASTE JOIN", "operators/joins.py paste_join"),
+    # Spark TABLESAMPLE is bernoulli-random; the reference's SAMPLE is
+    # a deterministic hash-ring slice — a silent swap would break
+    # reproducibility, so route to the deterministic builder
+    (r"\sSAMPLE\s+[\d.]", "SAMPLE clause", "operators/sampling.py sample_by_key"),
 ]
 
 

@@ -769,3 +769,10 @@ def test_paste_join_executes_in_ch_sql(spark):
     rows = ch_sql(spark, "SELECT a, b FROM pj_l PASTE JOIN pj_r ORDER BY a").collect()
     # both sides sorted: (1,x),(2,y),(3,z)
     assert [(r.a, r.b) for r in rows] == [(1, "x"), (2, "y"), (3, "z")]
+
+
+def test_sample_clause_refuses_with_pointer():
+    import pytest
+
+    with pytest.raises(ChSqlError, match="sample_by_key"):
+        ch_sql_to_spark("SELECT count() FROM lineitem SAMPLE 0.1")
