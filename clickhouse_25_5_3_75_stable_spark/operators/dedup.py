@@ -175,28 +175,51 @@ def jaccard_pairs(
         .select("doc", word_shingles_from_tokens(F.col("__toks"), shingle_k).alias("shingles"))
         .withColumn("n_sh", F.size("shingles"))
     )
-    # join on the shingle's 64-bit hash, not the string: the blocking
-    # join shuffles ~8-byte keys instead of ~20-byte text, and a
-    # 64-bit collision merging two shingles is ~1e-12 at any realistic
+    # group on the shingle's 64-bit hash, not the string: the shuffle
+    # carries ~8-byte keys instead of ~20-byte text, and a 64-bit
+    # collision merging two shingles is ~1e-12 at any realistic
     # per-corpus distinct-shingle count
     exploded = sh.select(
         "doc", "n_sh", F.explode(F.transform("shingles", lambda x: F.xxhash64(x))).alias("shingle")
     )
-    a = exploded.alias("a")
-    # shuffle_hash (not broadcast): both sides then exchange on the
-    # shingle key with canonically-identical children, so ReuseExchange
-    # computes the tokenize+shingle+hash pipeline ONCE — and a shuffle
-    # equi-join on the blocking key is the only join shape that still
-    # works when the corpus no longer fits in a broadcast.
-    b = exploded.alias("b").hint("shuffle_hash")
-    shared = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
-        .groupBy(
-            F.col("a.doc").alias("id_a"),
-            F.col("b.doc").alias("id_b"),
-            F.col("a.n_sh").alias("n_a"),
-            F.col("b.n_sh").alias("n_b"),
+    # group-then-pair, not a self-join: ONE shuffle on the shingle key
+    # (a self-join shuffles the tokenize+shingle+hash stream twice —
+    # ReuseExchange does not fire across the join's two branches under
+    # AQE), then each shingle's member list emits its ordered pairs
+    # in-task. Per-shingle work is O(freq²) either way — that is the
+    # documented blow-up this audit-tier operator accepts (minhash
+    # banding in front where shingles repeat heavily).
+    members = (
+        exploded.groupBy("shingle")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("doc"), F.col("n_sh")))
+            ).alias("ms")
         )
+        # singleton shingles (the vast majority) can't form a pair —
+        # pruning them here is the operator's cheapest, biggest filter
+        .filter(F.size("ms") >= 2)
+    )
+    # two chained generators (codegen'd, not interpreted HOF lambdas):
+    # anchor each member by position, then pair it with every LATER
+    # member of the same sorted list
+    anchored = members.select(
+        F.col("ms"), F.posexplode(F.col("ms")).alias("i", "m1")
+    )
+    paired = anchored.select(
+        F.col("m1"),
+        F.explode(
+            F.slice(F.col("ms"), F.col("i") + 2, F.size("ms"))
+        ).alias("m2"),
+    )
+    shared = (
+        paired.select(
+            F.col("m1.doc").alias("id_a"),
+            F.col("m2.doc").alias("id_b"),
+            F.col("m1.n_sh").alias("n_a"),
+            F.col("m2.n_sh").alias("n_b"),
+        )
+        .groupBy("id_a", "id_b", "n_a", "n_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
     jac = F.col("n_shared").cast("double") / (
