@@ -135,21 +135,27 @@ def minhash_lsh_pairs(
     banded = sig.select(
         "doc", F.explode(lsh_band_keys(F.col("sig"), bands, rows_per_band)).alias("bk")
     ).select("doc", "bk.band", "bk.key")
-    a = banded.alias("a")
-    # shuffle_hash (not broadcast): both sides exchange on the band key
-    # with canonically-identical children, so ReuseExchange computes
-    # the tokenize->shingle->minhash pipeline ONCE; a broadcast would
-    # re-evaluate it for the build side (and can't hold the corpus at
-    # scale anyway).
-    b = banded.alias("b").hint("shuffle_hash")
+    # group-then-pair, not a self-join: ONE shuffle of the
+    # tokenize->shingle->minhash stream on the band key (a self-join
+    # shuffles it twice — ReuseExchange does not fire across the two
+    # branches under AQE). Buckets of one (the vast majority) prune
+    # before any pairing; in-bucket pairing is two chained codegen
+    # generators over the sorted member list.
+    members = (
+        banded.groupBy("band", "key")
+        .agg(F.sort_array(F.collect_list("doc")).alias("ms"))
+        .filter(F.size("ms") >= 2)
+    )
+    anchored = members.select(
+        F.col("ms"), F.posexplode(F.col("ms")).alias("i", "a")
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc") < F.col("b.doc")),
+        anchored.select(
+            F.col("a").alias("id_a"),
+            F.explode(
+                F.slice(F.col("ms"), F.col("i") + 2, F.size("ms"))
+            ).alias("id_b"),
         )
-        .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
         .distinct()
     )
 
