@@ -127,7 +127,8 @@ def _resolve_final(spark, data_dir: str, sql: str) -> str:
     return sql[: m.start()] + f"FROM {view}" + sql[m.end():]
 
 
-def run_local(sql: str, data_dir: str, spark=None, out=sys.stdout) -> int:
+def run_local(sql: str, data_dir: str, spark=None, out=sys.stdout,
+              max_result_rows=None) -> int:
     """Execute one statement: SELECT (CH dialect), CREATE TABLE
     (ddl.py), INSERT INTO ... VALUES/SELECT, SHOW TABLES, DESCRIBE —
     the clickhouse-local statement surface."""
@@ -261,15 +262,45 @@ def run_local(sql: str, data_dir: str, spark=None, out=sys.stdout) -> int:
             # schema inferred from the query (reference
             # InterpreterCreateQuery create-as-select path)
             ctas = _re.match(
-                r"CREATE\s+TABLE\s+(\w+)\s+(?:ENGINE\s*=\s*\w+(?:\([^)]*\))?\s+)?"
-                r"(?:ORDER\s+BY\s+[\w,()\s]+?\s+)?AS\s+(SELECT\b.*)",
+                r"CREATE\s+TABLE\s+(\w+)\s+(?:ENGINE\s*=\s*(\w+)(?:\([^)]*\))?\s+)?"
+                r"(?:ORDER\s+BY\s+\(?([\w,\s]+?)\)?\s+)?AS\s+(SELECT\b.*)",
                 sql, _re.IGNORECASE | _re.DOTALL,
             )
             if ctas:
-                tname, body = ctas.group(1), ctas.group(2)
+                tname, engine, order_raw, body = ctas.groups()
                 df = spark.sql(ch_sql_to_spark(body))
+                order_by = (
+                    [c.strip() for c in order_raw.split(",") if c.strip()]
+                    if order_raw
+                    else []
+                )
+                missing = [c for c in order_by if c not in df.columns]
+                if missing:
+                    raise ValueError(f"CTAS ORDER BY references {missing}")
+                if order_by:
+                    df = df.sortWithinPartitions(*order_by)
                 path = os.path.join(data_dir, tname)
                 df.write.mode("errorifexists").parquet(path)
+                if engine or order_by:
+                    # persist the declared contract so FINAL/OPTIMIZE
+                    # see it, like the column-DDL path
+                    from clickhouse_25_5_3_75_stable_spark.ddl import (
+                        TableDef,
+                        save_table_def,
+                    )
+
+                    save_table_def(
+                        data_dir,
+                        TableDef(
+                            name=tname,
+                            columns=[
+                                (f.name, f.dataType.simpleString())
+                                for f in df.schema.fields
+                            ],
+                            engine=engine or "MergeTree",
+                            order_by=order_by,
+                        ),
+                    )
                 spark.read.parquet(path).createOrReplaceTempView(tname)
                 _emit([(tname, "Ok")], ["table", "status"], fmt, out)
                 return 0
@@ -390,8 +421,16 @@ def run_local(sql: str, data_dir: str, spark=None, out=sys.stdout) -> int:
         t0 = _time.perf_counter()
         sql, outfile = extract_into_outfile(sql)
         sql = _resolve_final(spark, data_dir, sql)
-        spark_sql = ch_sql_to_spark(sql)
-        df = spark.sql(spark_sql)
+        # ch_sql (not the bare transpiler): honors SETTINGS, executes
+        # the ASOF/PASTE/WITH FILL builder paths, raises on unknown
+        # settings like the reference
+        from clickhouse_25_5_3_75_stable_spark.chsql import ch_sql as _ch_sql
+
+        df = _ch_sql(spark, sql)
+        if max_result_rows is None:
+            max_result_rows = spark.conf.get("spark.chspark.maxResultRows", None)
+        if max_result_rows is not None:
+            df = df.limit(int(str(max_result_rows).strip("'\"")))
         rows = [tuple(r) for r in df.collect()]
         if outfile is not None:
             with open(outfile, "w") as fh:

@@ -448,6 +448,9 @@ def apply_settings(spark, settings: dict[str, str]):
         v = value.strip("'\"")
         if name == "max_threads":
             set_conf("spark.sql.shuffle.partitions", v)
+        elif name == "max_result_rows":
+            # session-scoped cap, honored by the CLI/HTTP result paths
+            set_conf("spark.chspark.maxResultRows", v)
         elif name == "join_algorithm":
             prefer = v in ("full_sorting_merge", "partial_merge")
             set_conf("spark.sql.join.preferSortMergeJoin", str(prefer).lower())
@@ -1790,7 +1793,9 @@ def _rewrite_scalar_with(toks: list[str]) -> list[str]:
     for j, tk in enumerate(rest):
         prev = rest[j - 1] if j else ""
         nxt = rest[j + 1] if j + 1 < len(rest) else ""
-        if tk in scalars and prev != "." and nxt != "(":
+        # never substitute in alias-definition position (AS <name>) —
+        # an inner alias legitimately shadows the macro
+        if tk in scalars and prev != "." and prev.upper() != "AS" and nxt != "(":
             out += ["(", *scalars[tk], ")"]
         else:
             out.append(tk)
@@ -2013,7 +2018,9 @@ def _run_asof_sql(spark, m: re.Match):
         )
     joined = asof_join(
         left, right, by=by, left_ts=l_ts, right_ts=r_ts,
-        right_values=right_values, strict=strict, how="left", direction=direction,
+        right_values=right_values, strict=strict,
+        how="left" if m.group("outer") else "inner",
+        direction=direction,
     )
     view = "__asof_join_result"
     joined.createOrReplaceTempView(view)
@@ -2037,6 +2044,12 @@ def _apply_with_fill(spark, df, col: str, desc: bool,
     is_date = dt == "date"
     if not (is_date or dt in ("int", "bigint", "smallint", "tinyint")):
         raise ChSqlError(f"WITH FILL: unsupported fill column type {dt}")
+    # FROM/TO may arrive as quoted literals ('2024-01-01') — unquote
+    # before casting (a quoted string cast to date is NULL, which
+    # would silently produce an empty axis: fuzz/review finding)
+    from_ = from_.strip("'\"") if from_ is not None else None
+    to_ = to_.strip("'\"") if to_ is not None else None
+    step_ = step_.strip("'\"") if step_ is not None else None
     lo_hi = df.agg(F.min(col).alias("lo"), F.max(col).alias("hi")).collect()[0]
     if lo_hi.lo is None:
         return df  # empty result: nothing to fill

@@ -239,8 +239,14 @@ if "ngramdistance" in CH_FUNCTIONS:
 # ---------------------------------------------------------------------------
 _ts = lambda c: _c(c).cast("timestamp")  # noqa: E731
 
-_reg("addQuarters")(lambda c, n: F.add_months(_c(c), _c(n) * 3))
-_reg("subtractQuarters")(lambda c, n: F.add_months(_c(c), -_c(n) * 3))
+# polymorphic like the rest of the add*/subtract* family (add_months
+# would truncate DateTime to Date)
+_reg("addQuarters")(
+    lambda c, n: _c(c) + F.make_interval(months=(F.lit(3 * n) if isinstance(n, int) else _c(n) * 3))
+)
+_reg("subtractQuarters")(
+    lambda c, n: _c(c) + F.make_interval(months=(F.lit(-3 * n) if isinstance(n, int) else _c(n) * -3))
+)
 # subtract* live in dialect.py (polymorphic interval arithmetic —
 # the add_months/date_add forms here truncated DateTime to Date)
 _reg("addMilliseconds")(lambda c, n: _ts(c) + F.make_dt_interval(secs=_c(n) / 1e3))
@@ -1245,9 +1251,18 @@ from clickhouse_25_5_3_75_stable_spark.functions.geohash import (  # noqa: E402
     geohash_encode,
 )
 
+def _int_precision(p, what: str) -> int:
+    if isinstance(p, int):
+        return p
+    raise ValueError(
+        f"{what}: precision must be a Python int (a Column would be "
+        "silently ignored)"
+    )
+
+
 _reg("geohashEncode")(
     lambda lon, lat, p=12: geohash_encode(
-        _c(lon), _c(lat), p if isinstance(p, int) else 12
+        _c(lon), _c(lat), _int_precision(p, "geohashEncode")
     )
 )
 _reg("geohashDecode")(lambda code: geohash_decode(_c(code)))
@@ -1257,7 +1272,7 @@ from clickhouse_25_5_3_75_stable_spark.functions.geohash import (  # noqa: E402
 
 _reg("geohashesInBox")(
     lambda a, b, c, d, p=4: geohashes_in_box(
-        _c(a), _c(b), _c(c), _c(d), p if isinstance(p, int) else 4
+        _c(a), _c(b), _c(c), _c(d), _int_precision(p, "geohashesInBox")
     )
 )
 

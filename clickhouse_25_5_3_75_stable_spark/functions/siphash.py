@@ -140,22 +140,63 @@ def _siphash64_np(data: list[bytes]) -> np.ndarray:
 _UDF_CACHE: dict[str, object] = {}
 
 
-def _udf():
-    if "sip" not in _UDF_CACHE:
+def _series_to_bytes(s: pd.Series) -> list[bytes]:
+    """Per-value bytes exactly as the reference feeds SipHash: strings
+    as UTF-8, Int64/UInt64 as 8 little-endian bytes, Float64 as the
+    8-byte IEEE double (FunctionsHashing.h hashes the native binary
+    representation, NOT a string rendering)."""
+    import struct
 
-        @pandas_udf("long")
-        def _siphash64_udf(s: pd.Series) -> pd.Series:
-            data = [b"" if v is None else str(v).encode("utf-8") for v in s]
-            out = _siphash64_np(data).astype(np.int64)  # CH UInt64 two's-complement
-            return pd.Series(out)
+    if pd.api.types.is_integer_dtype(s.dtype):
+        return [
+            b"\x00" * 8 if v is None or pd.isna(v)
+            else int(v).to_bytes(8, "little", signed=True)
+            for v in s
+        ]
+    if pd.api.types.is_float_dtype(s.dtype):
+        return [
+            b"\x00" * 8 if v is None or pd.isna(v) else struct.pack("<d", float(v))
+            for v in s
+        ]
+    if pd.api.types.is_datetime64_any_dtype(s.dtype):
+        # reference DateTime = UInt32 epoch seconds, hashed as 4 LE bytes
+        return [
+            b"\x00" * 4
+            if pd.isna(v)
+            else (int(v.timestamp()) & 0xFFFFFFFF).to_bytes(4, "little")
+            for v in s
+        ]
+    return [b"" if v is None else str(v).encode("utf-8") for v in s]
 
-        _UDF_CACHE["sip"] = _siphash64_udf
-    return _UDF_CACHE["sip"]
+
+def _udf(kind: str = "str"):
+    if kind not in _UDF_CACHE:
+        if kind == "str":
+
+            @pandas_udf("long")
+            def _sip_str(s: pd.Series) -> pd.Series:
+                data = [b"" if v is None else str(v).encode("utf-8") for v in s]
+                return pd.Series(_siphash64_np(data).astype(np.int64))
+
+            _UDF_CACHE[kind] = _sip_str
+        else:
+
+            @pandas_udf("long")
+            def _sip_typed(s: pd.Series) -> pd.Series:
+                return pd.Series(
+                    _siphash64_np(_series_to_bytes(s)).astype(np.int64)
+                )
+
+            _UDF_CACHE[kind] = _sip_typed
+    return _UDF_CACHE[kind]
 
 
 def siphash64(col) -> Column:
-    """sipHash64(s) — exact reference values, as Int64 bit-pattern
-    (CH's UInt64 reinterpreted; compare/joins work unchanged, render
-    via typemap.uint64_col for display parity)."""
+    """sipHash64 — exact reference values, as Int64 bit-pattern (CH's
+    UInt64 reinterpreted; compare/joins work unchanged, render via
+    typemap.uint64_col for display parity). Strings hash as UTF-8;
+    integer/float columns hash their 8-byte native representation like
+    the reference (sharding keys such as sipHash64(user_id) reproduce
+    exactly)."""
     col = F.col(col) if isinstance(col, str) else col
-    return _udf()(col.cast("string"))
+    return _udf("typed")(col)

@@ -49,9 +49,12 @@ def make_server(spark, data_dir: str, port: int = 0) -> ThreadingHTTPServer:
                     # (src/Server/HTTPHandler.cpp); recognized names
                     # apply for this request then restore (run_local
                     # collects eagerly, so restore-after is safe)
-                    restore = apply_settings(spark, url_settings or {})
+                    settings = dict(url_settings or {})
+                    cap = settings.pop("max_result_rows", None)
+                    restore = apply_settings(spark, settings)
                     try:
-                        run_local(query, data_dir, spark=spark, out=out)
+                        run_local(query, data_dir, spark=spark, out=out,
+                                  max_result_rows=cap)
                     finally:
                         restore_settings(spark, restore)
                 body = out.getvalue().encode("utf-8")

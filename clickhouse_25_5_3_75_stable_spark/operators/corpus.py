@@ -318,7 +318,14 @@ def pack_token_shards(
     ranged = df.select(id_col, weight_col).repartitionByRange(
         n_buckets, F.col(id_col)
     )
-    tagged = ranged.withColumn("__bucket", F.spark_partition_id()).persist()
+    # localCheckpoint (eager) instead of persist(): computed once for
+    # the three passes, and the blocks are freed by the ContextCleaner
+    # when the returned DataFrame is garbage-collected — a bare
+    # persist() leaked one cached relation per call for the session's
+    # lifetime (review finding)
+    tagged = ranged.withColumn("__bucket", F.spark_partition_id()).localCheckpoint(
+        eager=True
+    )
     per_bucket = (
         tagged.groupBy("__bucket").agg(F.sum(weight_col).alias("__total"))
     ).collect()  # bounded: n_buckets rows

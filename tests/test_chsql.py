@@ -776,3 +776,55 @@ def test_sample_clause_refuses_with_pointer():
 
     with pytest.raises(ChSqlError, match="sample_by_key"):
         ch_sql_to_spark("SELECT count() FROM lineitem SAMPLE 0.1")
+
+
+def test_review_findings_round3(spark, tmp_path):
+    """Regression tests for the round-3 code-review findings."""
+    import io
+    import os
+
+    import pytest
+
+    from clickhouse_25_5_3_75_stable_spark.__main__ import run_local, run_script
+
+    # 1. ASOF JOIN (inner) drops unmatched left rows
+    spark.sql("""SELECT * FROM VALUES
+      (1, TIMESTAMP'2024-01-01 10:00:00'),
+      (2, TIMESTAMP'2024-01-01 11:00:00') AS t(uid, ts)""").createOrReplaceTempView("rf_l")
+    spark.sql("""SELECT * FROM VALUES
+      (1, TIMESTAMP'2024-01-01 09:00:00', 5.0) AS t(uid, pts, p)""").createOrReplaceTempView("rf_r")
+    inner = ch_sql(spark, """
+      SELECT l.uid, r.p FROM rf_l AS l ASOF JOIN rf_r AS r
+      ON l.uid = r.uid AND l.ts >= r.pts""").collect()
+    assert [(r.uid, r.p) for r in inner] == [(1, 5.0)]  # uid=2 dropped
+
+    # 3+4. CLI honors SETTINGS (incl. unknown-name rejection) and
+    # max_result_rows via SET
+    data = str(tmp_path / "rf")
+    os.makedirs(data)
+    buf = io.StringIO()
+    with pytest.raises(ChSqlError):
+        run_local("SELECT 1 SETTINGS nonsense_setting = 1", data,
+                  spark=spark, out=buf)
+    buf = io.StringIO()
+    script = """
+        SET max_result_rows = 3;
+        SELECT number FROM numbers(10) ORDER BY number;
+    """
+    assert run_script(script, data, spark=spark, out=buf) == 0
+    nums = [l for l in buf.getvalue().splitlines() if l.strip().isdigit()]
+    spark.conf.unset("spark.chspark.maxResultRows")
+    assert nums == ["0", "1", "2"]  # capped at 3 result rows
+
+    # 5. quoted date bounds in WITH FILL
+    spark.sql(
+        "SELECT * FROM VALUES (DATE'2024-01-01', 1), (DATE'2024-01-03', 3) AS t(d, v)"
+    ).createOrReplaceTempView("rf_fill")
+    ds = [str(r.d) for r in ch_sql(
+        spark,
+        "SELECT d, v FROM rf_fill ORDER BY d WITH FILL FROM '2024-01-01' TO '2024-01-05'",
+    ).collect()]
+    assert ds == ["2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04"]
+
+    # 9. scalar WITH name reused as an output alias
+    assert ch_sql(spark, "WITH 5 AS k SELECT 2 * k AS k").collect()[0].k == 10

@@ -344,3 +344,48 @@ def test_toweek_mode0_sunday_numbering(spark):
     df = spark.createDataFrame([(d,) for d in dates], "d string")
     got = [r.w for r in df.select(w(F.col("d").cast("date")).alias("w")).collect()]
     assert got == want, got
+
+
+def test_siphash64_typed_inputs(spark):
+    """sipHash64 on Int64/Float64 hashes the 8-byte native
+    representation like the reference (FunctionsHashing.h), not a
+    decimal string — sharding keys like sipHash64(user_id) reproduce."""
+    import numpy as np
+
+    from clickhouse_25_5_3_75_stable_spark.functions.siphash import (
+        _siphash64_np,
+        siphash64,
+        siphash64_py,
+    )
+
+    want_int = siphash64_py((12345).to_bytes(8, "little", signed=True))
+    df = spark.createDataFrame([(12345,)], "k long")
+    got = df.select(siphash64("k").alias("h")).collect()[0].h
+    assert got == np.int64(np.uint64(want_int)).item()
+    # differs from hashing the string "12345"
+    assert want_int != siphash64_py(b"12345")
+    # string columns keep UTF-8 semantics
+    dfs = spark.createDataFrame([("12345",)], "s string")
+    got_s = dfs.select(siphash64("s").alias("h")).collect()[0].h
+    assert got_s == np.int64(np.uint64(siphash64_py(b"12345"))).item()
+
+
+def test_add_quarters_keeps_time_of_day(spark):
+    from clickhouse_25_5_3_75_stable_spark.functions.dialect_extras import CH_FUNCTIONS
+
+    ts = F.lit("2024-03-05 10:11:12").cast("timestamp")
+    row = spark.range(1).select(
+        CH_FUNCTIONS["addquarters"](ts, F.lit(1)).alias("a"),
+        CH_FUNCTIONS["subtractquarters"](ts, F.lit(1)).alias("b"),
+    ).collect()[0]
+    assert str(row.a) == "2024-06-05 10:11:12"
+    assert str(row.b) == "2023-12-05 10:11:12"
+
+
+def test_geohash_precision_must_be_int():
+    import pytest
+
+    from clickhouse_25_5_3_75_stable_spark.functions.dialect_extras import CH_FUNCTIONS
+
+    with pytest.raises(ValueError, match="precision"):
+        CH_FUNCTIONS["geohashencode"](F.lit(1.0), F.lit(2.0), F.lit(5))
