@@ -90,41 +90,47 @@ def _resolve_final(spark, data_dir: str, sql: str) -> str:
     a Replacing table with un-merged duplicates MUST fold here)."""
     import re as _re
 
-    m = _re.search(r"\bFROM\s+(\w+)\s+FINAL\b", sql, _re.IGNORECASE)
-    if not m:
-        return sql
-    tname = m.group(1)
     from clickhouse_25_5_3_75_stable_spark.ddl import load_table_def
 
-    td = load_table_def(data_dir, tname)
-    if td is None or not td.order_by:
-        return sql  # plain source: strip-only semantics are exact
-    eng = td.engine.lower()
-    df = spark.table(tname)
-    if eng == "replacingmergetree":
-        from clickhouse_25_5_3_75_stable_spark.operators.mergetree import (
-            replacing_final,
-        )
+    def fold_one(m: _re.Match) -> str:
+        kw, tname = m.group(1), m.group(2)
+        td = load_table_def(data_dir, tname)
+        if td is None or not td.order_by:
+            return m.group(0)  # plain source: strip-only semantics exact
+        eng = td.engine.lower()
+        df = spark.table(tname)
+        if eng == "replacingmergetree":
+            from clickhouse_25_5_3_75_stable_spark.operators.mergetree import (
+                replacing_final,
+            )
 
-        version = td.engine_args[0] if td.engine_args else td.order_by[-1]
-        folded = replacing_final(df, td.order_by, version=version, tiebreak=[])
-    elif eng == "summingmergetree":
-        from pyspark.sql import functions as F
-        from pyspark.sql import types as T
+            version = td.engine_args[0] if td.engine_args else td.order_by[-1]
+            folded = replacing_final(df, td.order_by, version=version, tiebreak=[])
+        elif eng == "summingmergetree":
+            from pyspark.sql import functions as F
+            from pyspark.sql import types as T
 
-        from clickhouse_25_5_3_75_stable_spark.operators.mergetree import (
-            summing_final,
-        )
+            from clickhouse_25_5_3_75_stable_spark.operators.mergetree import (
+                summing_final,
+            )
 
-        num = [f.name for f in df.schema.fields
-               if f.name not in td.order_by
-               and isinstance(f.dataType, T.NumericType)]
-        folded = summing_final(df, td.order_by, [F.sum(c).alias(c) for c in num])
-    else:
-        return sql
-    view = f"__{tname}_final"
-    folded.createOrReplaceTempView(view)
-    return sql[: m.start()] + f"FROM {view}" + sql[m.end():]
+            num = [f.name for f in df.schema.fields
+                   if f.name not in td.order_by
+                   and isinstance(f.dataType, T.NumericType)]
+            folded = summing_final(df, td.order_by,
+                                   [F.sum(c).alias(c) for c in num])
+        else:
+            return m.group(0)
+        view = f"__{tname}_final"
+        folded.createOrReplaceTempView(view)
+        # alias back to the original name so qualified references
+        # (t.col in ON/SELECT) keep resolving
+        return f"{kw} {view} AS {tname}"
+
+    # every occurrence — FINAL after a JOIN folds too (review-found:
+    # only the first FROM was rewritten, the rest silently stripped)
+    return _re.sub(r"\b(FROM|JOIN)\s+(\w+)\s+FINAL\b", fold_one, sql,
+                   flags=_re.IGNORECASE)
 
 
 def run_local(sql: str, data_dir: str, spark=None, out=sys.stdout,
@@ -262,12 +268,12 @@ def run_local(sql: str, data_dir: str, spark=None, out=sys.stdout,
             # schema inferred from the query (reference
             # InterpreterCreateQuery create-as-select path)
             ctas = _re.match(
-                r"CREATE\s+TABLE\s+(\w+)\s+(?:ENGINE\s*=\s*(\w+)(?:\([^)]*\))?\s+)?"
+                r"CREATE\s+TABLE\s+(\w+)\s+(?:ENGINE\s*=\s*(\w+)(?:\(([^)]*)\))?\s+)?"
                 r"(?:ORDER\s+BY\s+\(?([\w,\s]+?)\)?\s+)?AS\s+(SELECT\b.*)",
                 sql, _re.IGNORECASE | _re.DOTALL,
             )
             if ctas:
-                tname, engine, order_raw, body = ctas.groups()
+                tname, engine, engine_args_raw, order_raw, body = ctas.groups()
                 df = spark.sql(ch_sql_to_spark(body))
                 order_by = (
                     [c.strip() for c in order_raw.split(",") if c.strip()]
@@ -298,6 +304,11 @@ def run_local(sql: str, data_dir: str, spark=None, out=sys.stdout,
                                 for f in df.schema.fields
                             ],
                             engine=engine or "MergeTree",
+                            engine_args=[
+                                a.strip()
+                                for a in (engine_args_raw or "").split(",")
+                                if a.strip()
+                            ],
                             order_by=order_by,
                         ),
                     )
@@ -430,7 +441,9 @@ def run_local(sql: str, data_dir: str, spark=None, out=sys.stdout,
         if max_result_rows is None:
             max_result_rows = spark.conf.get("spark.chspark.maxResultRows", None)
         if max_result_rows is not None:
-            df = df.limit(int(str(max_result_rows).strip("'\"")))
+            cap = int(str(max_result_rows).strip("'\""))
+            if cap > 0:  # reference: 0 means unlimited
+                df = df.limit(cap)
         rows = [tuple(r) for r in df.collect()]
         if outfile is not None:
             with open(outfile, "w") as fh:

@@ -468,6 +468,27 @@ def restore_settings(spark, restore: dict[str, str | None]) -> None:
             spark.conf.set(k, old)
 
 
+# every Spark conf apply_settings may touch — multi-tenant callers
+# (the HTTP server) snapshot these around a request so a SETTINGS
+# clause inside query text cannot leak into other clients' sessions
+_MANAGED_CONFS = (
+    "spark.sql.shuffle.partitions",
+    "spark.sql.join.preferSortMergeJoin",
+    "spark.sql.autoBroadcastJoinThreshold",
+    "spark.chspark.maxResultRows",
+)
+
+
+def settings_snapshot(spark) -> dict[str, str | None]:
+    snap: dict[str, str | None] = {}
+    for k in _MANAGED_CONFS:
+        try:
+            snap[k] = spark.conf.get(k)
+        except Exception:
+            snap[k] = None
+    return snap
+
+
 def _rewrite_prewhere(toks: list[str]) -> list[str]:
     """PREWHERE p [WHERE w] → WHERE (p) AND (w) — the reference runs
     PREWHERE as an early filter (MergeTreeWhereOptimizer.h:26); Spark's
@@ -1917,7 +1938,9 @@ def ch_sql(spark, sql: str, sf_dir: str | None = None):
     try:
         df = spark.sql(translated)
         if "max_result_rows" in settings:
-            df = df.limit(int(settings["max_result_rows"].strip("'\"")))
+            cap = int(settings["max_result_rows"].strip("'\""))
+            if cap > 0:  # reference: 0 means unlimited
+                df = df.limit(cap)
         return df
     except Exception as e:  # upgrade unresolved CH names to a useful error
         msg = str(e)
@@ -2053,23 +2076,43 @@ def _apply_with_fill(spark, df, col: str, desc: bool,
     lo_hi = df.agg(F.min(col).alias("lo"), F.max(col).alias("hi")).collect()[0]
     if lo_hi.lo is None:
         return df  # empty result: nothing to fill
-    lo = from_ if from_ is not None else lo_hi.lo
-    step = int(step_) if step_ is not None else 1
+    step = abs(int(step_)) if step_ is not None else 1
+    # the grid is always built ascending (the final orderBy applies
+    # the direction); DESC fills run FROM high TO low with TO
+    # exclusive at the BOTTOM — normalize bounds accordingly
+    # (review-found: 'DESC WITH FILL FROM 10 TO 0' crashed on an
+    # inverted ascending sequence)
     if is_date:
-        lo_expr = F.lit(str(lo)).cast("date")
-        hi_expr = (
-            F.date_sub(F.lit(str(to_)).cast("date"), 1)
-            if to_ is not None
-            else F.lit(str(lo_hi.hi)).cast("date")
-        )
+        from datetime import date as _date, timedelta as _td
+
+        lo_d = _date.fromisoformat(str(from_)) if from_ is not None else lo_hi.lo
+        if to_ is not None:
+            to_d = _date.fromisoformat(str(to_))
+            if desc and to_d < lo_d:
+                lo_d, hi_d = to_d + _td(days=1), _date.fromisoformat(str(from_))
+            else:
+                hi_d = to_d - _td(days=1)
+        else:
+            hi_d = lo_hi.hi
         axis = spark.range(1).select(
             F.explode(
-                F.sequence(lo_expr, hi_expr, F.expr(f"interval {step} day"))
+                F.sequence(
+                    F.lit(str(lo_d)).cast("date"),
+                    F.lit(str(hi_d)).cast("date"),
+                    F.expr(f"interval {step} day"),
+                )
             ).alias(col)
         )
     else:
-        lo_v = int(lo)
-        hi_v = (int(to_) - 1) if to_ is not None else int(lo_hi.hi)
+        lo_v = int(from_) if from_ is not None else int(lo_hi.lo)
+        if to_ is not None:
+            to_v = int(to_)
+            if desc and to_v < lo_v:
+                lo_v, hi_v = to_v + 1, int(from_)
+            else:
+                hi_v = to_v - 1
+        else:
+            hi_v = int(lo_hi.hi)
         axis = spark.range(1).select(
             F.explode(
                 F.sequence(F.lit(lo_v), F.lit(hi_v), F.lit(step))

@@ -350,9 +350,33 @@ def _to_week(c, mode: int = 0) -> Column:
 
 
 _reg("toWeek", "week")(_to_week)
-_reg("toYearWeek", "yearweek", "toWeekYear", "toWeekOfWeekYear")(
-    lambda c, mode=0: (_iso_year(c) * 100 + F.weekofyear(_ts(c))).cast("int")
-)
+
+
+def _to_year_week(c, mode: int = 0) -> Column:
+    """toYearWeek (reference toCustomWeek.cpp with WeekModeFlag::YEAR):
+    mode 0 uses the same Sunday-first numbering as toWeek, with week 0
+    rolled back into the PRIOR year's last week (e.g. early-January
+    days before the first Sunday report <prior_year>52/53). Mode 3
+    (ISO) uses the ISO year+week. Consistent with _to_week — they must
+    never disagree on the week number."""
+    if mode != 0:
+        return (_iso_year(c) * 100 + F.weekofyear(_ts(c))).cast("int")
+    d = _c(c).cast("date")
+    w = _to_week(c, 0)
+    y = F.year(d)
+    # prior year's last mode-0 week = week number of its Dec 31
+    prior_dec31 = F.to_date(F.concat((y - 1).cast("string"), F.lit("-12-31")))
+    prior_jan1 = F.trunc(prior_dec31, "year")
+    prior_offset = (F.lit(8) - F.dayofweek(prior_jan1)) % 7
+    prior_last_week = (
+        (F.dayofyear(prior_dec31) - 1 - prior_offset) / 7
+    ).cast("int") + 1
+    return (
+        F.when(w == 0, (y - 1) * 100 + prior_last_week).otherwise(y * 100 + w)
+    ).cast("int")
+
+
+_reg("toYearWeek", "yearweek", "toWeekYear", "toWeekOfWeekYear")(_to_year_week)
 _reg("toLastDayOfMonth", "LAST_DAY")(lambda c: F.last_day(_c(c)))
 _reg("toLastDayOfWeek")(lambda c: F.date_add(F.to_date(F.date_trunc("week", _ts(c))), 6))
 _reg("toMillisecond", "MILLISECOND")(lambda c: ((F.unix_micros(_ts(c)) % 1_000_000) / 1000).cast("int"))

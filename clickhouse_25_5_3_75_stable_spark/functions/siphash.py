@@ -140,39 +140,16 @@ def _siphash64_np(data: list[bytes]) -> np.ndarray:
 _UDF_CACHE: dict[str, object] = {}
 
 
-def _series_to_bytes(s: pd.Series) -> list[bytes]:
-    """Per-value bytes exactly as the reference feeds SipHash: strings
-    as UTF-8, Int64/UInt64 as 8 little-endian bytes, Float64 as the
-    8-byte IEEE double (FunctionsHashing.h hashes the native binary
-    representation, NOT a string rendering)."""
-    import struct
-
-    if pd.api.types.is_integer_dtype(s.dtype):
-        return [
-            b"\x00" * 8 if v is None or pd.isna(v)
-            else int(v).to_bytes(8, "little", signed=True)
-            for v in s
-        ]
-    if pd.api.types.is_float_dtype(s.dtype):
-        return [
-            b"\x00" * 8 if v is None or pd.isna(v) else struct.pack("<d", float(v))
-            for v in s
-        ]
-    if pd.api.types.is_datetime64_any_dtype(s.dtype):
-        # reference DateTime = UInt32 epoch seconds, hashed as 4 LE bytes
-        return [
-            b"\x00" * 4
-            if pd.isna(v)
-            else (int(v.timestamp()) & 0xFFFFFFFF).to_bytes(4, "little")
-            for v in s
-        ]
-    return [b"" if v is None else str(v).encode("utf-8") for v in s]
-
-
-def _udf(kind: str = "str"):
+def _udf(kind: str = "binary"):
+    """The UDF only ever receives BINARY — the per-type encoding
+    happens Spark-side (below), so the bytes are deterministic and
+    never depend on which Arrow batch a NULL happened to land in
+    (pandas silently converts a nullable-int batch to float64, which
+    would have rehashed ints as doubles batch-dependently)."""
     if kind not in _UDF_CACHE:
         if kind == "str":
-
+            # SQL-registered form (sipHash64('...') in query text):
+            # UTF-8 of the string rendering
             @pandas_udf("long")
             def _sip_str(s: pd.Series) -> pd.Series:
                 data = [b"" if v is None else str(v).encode("utf-8") for v in s]
@@ -182,21 +159,59 @@ def _udf(kind: str = "str"):
         else:
 
             @pandas_udf("long")
-            def _sip_typed(s: pd.Series) -> pd.Series:
-                return pd.Series(
-                    _siphash64_np(_series_to_bytes(s)).astype(np.int64)
-                )
+            def _sip_binary(s: pd.Series) -> pd.Series:
+                data = [b"" if v is None else bytes(v) for v in s]
+                return pd.Series(_siphash64_np(data).astype(np.int64))
 
-            _UDF_CACHE[kind] = _sip_typed
+            _UDF_CACHE[kind] = _sip_binary
     return _UDF_CACHE[kind]
 
 
-def siphash64(col) -> Column:
+def _le_bytes(col: Column, n_bytes: int) -> Column:
+    """Little-endian two's-complement bytes of an integer column,
+    built with JVM expressions (hex → byte-swap → unhex)."""
+    width = n_bytes * 2
+    h = F.lpad(F.substring(F.hex(col.cast("bigint")), -width, width), width, "0")
+    pairs = [F.substring(h, i, 2) for i in range(width - 1, 0, -2)]
+    return F.unhex(F.concat(*pairs))
+
+
+def _encode_for_hash(col: Column, ctype: str) -> Column:
+    """Spark-side byte encoding per the reference's native widths
+    (FunctionsHashing.h hashes each type's binary representation):
+    strings → UTF-8; Int64/UInt64 → 8 LE bytes; Int32/UInt32 → 4;
+    Int16/UInt16 → 2; DateTime → UInt32 epoch seconds; Date → UInt16
+    days since epoch. Floats are refused: Spark SQL exposes no
+    doubleToLongBits, and float sharding keys are an anti-pattern the
+    reference discourages too."""
+    c = col
+    if ctype == "string":
+        return F.encode(c.cast("string"), "UTF-8")
+    if ctype in ("int64", "uint64"):
+        return _le_bytes(c, 8)
+    if ctype in ("int32", "uint32"):
+        return _le_bytes(c, 4)
+    if ctype in ("int16", "uint16"):
+        return _le_bytes(c, 2)
+    if ctype in ("int8", "uint8"):
+        return _le_bytes(c, 1)
+    if ctype == "datetime":
+        return _le_bytes(F.unix_timestamp(c.cast("timestamp")), 4)
+    if ctype == "date":
+        return _le_bytes(F.datediff(c.cast("date"), F.lit("1970-01-01")), 2)
+    raise ValueError(f"siphash64: unsupported ctype {ctype!r}")
+
+
+def siphash64(col, ctype: str = "string") -> Column:
     """sipHash64 — exact reference values, as Int64 bit-pattern (CH's
     UInt64 reinterpreted; compare/joins work unchanged, render via
-    typemap.uint64_col for display parity). Strings hash as UTF-8;
-    integer/float columns hash their 8-byte native representation like
-    the reference (sharding keys such as sipHash64(user_id) reproduce
-    exactly)."""
+    typemap.uint64_col for display parity).
+
+    ``ctype`` picks the reference's native-width encoding: the default
+    "string" hashes the UTF-8 rendering (exact for String columns);
+    pass "int64"/"int32"/"int16"/"datetime"/"date" for typed sharding
+    keys — sipHash64(user_id) with ctype="int64" reproduces the
+    reference bit-for-bit. The encoding runs as JVM expressions, so
+    results never depend on Arrow batch composition."""
     col = F.col(col) if isinstance(col, str) else col
-    return _udf("typed")(col)
+    return _udf()(_encode_for_hash(col, ctype))

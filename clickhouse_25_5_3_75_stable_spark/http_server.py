@@ -43,20 +43,26 @@ def make_server(spark, data_dir: str, port: int = 0) -> ThreadingHTTPServer:
                     from clickhouse_25_5_3_75_stable_spark.chsql import (
                         apply_settings,
                         restore_settings,
+                        settings_snapshot,
                     )
 
                     # reference HTTP accepts settings as URL params
                     # (src/Server/HTTPHandler.cpp); recognized names
-                    # apply for this request then restore (run_local
-                    # collects eagerly, so restore-after is safe)
+                    # apply for this request then restore. The snapshot
+                    # covers EVERY conf a SETTINGS clause inside the
+                    # query text could touch too — without it, one
+                    # client's 'SELECT ... SETTINGS max_threads=4'
+                    # would leak into every later request (run_local
+                    # collects eagerly, so restore-after is safe).
                     settings = dict(url_settings or {})
                     cap = settings.pop("max_result_rows", None)
-                    restore = apply_settings(spark, settings)
+                    snap = settings_snapshot(spark)
+                    apply_settings(spark, settings)
                     try:
                         run_local(query, data_dir, spark=spark, out=out,
                                   max_result_rows=cap)
                     finally:
-                        restore_settings(spark, restore)
+                        restore_settings(spark, snap)
                 body = out.getvalue().encode("utf-8")
                 self.send_response(200)
                 self.send_header("Content-Type", "text/plain; charset=utf-8")

@@ -77,6 +77,8 @@ def asof_join(
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if not right_values:
+        raise ValueError("asof_join: right_values must name at least one column")
     side = F.lit(0) if strict else F.lit(2)  # non-strict: right sorts before equal-ts left
     payload = F.struct(*[F.col(c) for c in right_values]).alias("__rv")
     r = right.select(
@@ -102,11 +104,14 @@ def asof_join(
     )
     matched = u.withColumn("__match", F.last("__rv", ignorenulls=True).over(w))
     out = matched.filter(F.col("__side") == 1).drop("__ts", "__rv", "__side")
+    if how == "inner":
+        # match presence = the payload STRUCT itself (a matched row
+        # whose first payload FIELD is NULL is still a match —
+        # review-found: filtering on right_values[0] dropped it)
+        out = out.filter(F.col("__match").isNotNull())
     for c in right_values:
         out = out.withColumn(c, F.col(f"__match.{c}"))
     out = out.drop("__match")
-    if how == "inner":
-        out = out.filter(F.col(right_values[0]).isNotNull())
     return out
 
 

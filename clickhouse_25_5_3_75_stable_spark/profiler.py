@@ -2,8 +2,8 @@
 EXPLAIN-with-metrics surface (src/Interpreters/ProfileEventsExt.h,
 query_log.ProfileEvents) mapped onto Spark's SQL metrics.
 
-`explain_analyze(df)` EXECUTES the plan (count() — full pipeline, no
-driver row transfer) and walks the final adaptive physical plan,
+`explain_analyze(df)` EXECUTES the plan and walks the final adaptive
+physical plan,
 returning one row per operator with its accumulated metrics
 (numOutputRows, spillSize, peakMemory, shuffle bytes, ...). This is
 the post-hoc truth the plan-shape tests can't see: how many rows each
@@ -42,11 +42,16 @@ def explain_analyze(df: DataFrame, execute: bool = True) -> list[tuple[int, str,
     action left behind (zeroes on a never-run plan).
 
     Execution must drive THIS DataFrame's own QueryExecution —
-    count()/write would build a fresh plan and leave these metrics at
-    zero — so the profiler collect()s; profile on a LIMITed or
-    aggregated frame if the full result is large."""
+    df.count()/write would build a fresh plan and leave these metrics
+    at zero. The JVM-side executedPlan().execute().count() runs the
+    full pipeline with per-partition counting and NO driver row
+    transfer (a collect() here OOM'd the driver on large results:
+    review finding); collect() remains only as a fallback."""
     if execute:
-        df.collect()
+        try:
+            df._jdf.queryExecution().executedPlan().execute().count()
+        except Exception:
+            df.collect()
     rows: list[tuple[int, str, dict]] = []
     _walk(df._jdf.queryExecution().executedPlan(), 0, rows)
     return rows

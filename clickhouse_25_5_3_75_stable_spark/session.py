@@ -76,7 +76,7 @@ def register_sql_udfs(spark: SparkSession) -> None:
     )
     from clickhouse_25_5_3_75_stable_spark.functions.siphash import _udf as _sip_udf
 
-    spark.udf.register("sipHash64", _sip_udf("typed"))
+    spark.udf.register("sipHash64", _sip_udf("str"))
     spark.udf.register("geohashEncode", _encode_udf())
     spark.udf.register("geohashDecode", _decode_udf())
     spark.udf.register("geohashesInBox", _boxes_udf())

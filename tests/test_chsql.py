@@ -828,3 +828,59 @@ def test_review_findings_round3(spark, tmp_path):
 
     # 9. scalar WITH name reused as an output alias
     assert ch_sql(spark, "WITH 5 AS k SELECT 2 * k AS k").collect()[0].k == 10
+
+
+def test_review_findings_round3b(spark, tmp_path):
+    """Second review batch regressions."""
+    import io
+    import os
+
+    from clickhouse_25_5_3_75_stable_spark.__main__ import run_script
+
+    # CTAS keeps ENGINE args: FINAL folds on the declared version col
+    data = str(tmp_path / "rf2")
+    os.makedirs(data)
+    buf = io.StringIO()
+    script = """
+        CREATE TABLE src (id Int64, ver Int64, v String) ENGINE = MergeTree ORDER BY id;
+        INSERT INTO src VALUES (1, 1, 'old'), (1, 2, 'new');
+        CREATE TABLE rv ENGINE = ReplacingMergeTree(ver) ORDER BY id AS SELECT * FROM src;
+        SELECT v FROM rv FINAL;
+    """
+    assert run_script(script, data, spark=spark, out=buf) == 0
+    assert buf.getvalue().strip().splitlines()[-1] == "new"
+
+    # FINAL after JOIN folds too
+    buf = io.StringIO()
+    script2 = """
+        CREATE TABLE dim (id Int64, ver Int64, name String)
+            ENGINE = ReplacingMergeTree(ver) ORDER BY id;
+        INSERT INTO dim VALUES (1, 1, 'a'), (1, 2, 'b');
+        SELECT count() AS n FROM src JOIN dim FINAL ON src.id = dim.id;
+    """
+    assert run_script(script2, data, spark=spark, out=buf) == 0
+    assert buf.getvalue().strip().splitlines()[-1] == "2"  # 2 src rows x 1 folded dim
+
+    # max_result_rows = 0 means unlimited
+    buf = io.StringIO()
+    assert run_script(
+        "SET max_result_rows = 0; SELECT number FROM numbers(5);",
+        data, spark=spark, out=buf,
+    ) == 0
+    spark.conf.unset("spark.chspark.maxResultRows")
+    assert len([l for l in buf.getvalue().splitlines() if l.strip().isdigit()]) == 5
+
+    # DESC WITH FILL FROM high TO low
+    spark.sql("SELECT * FROM VALUES (9, 1.0), (6, 2.0) AS t(n, v)").createOrReplaceTempView("rfd")
+    ns = [r.n for r in ch_sql(
+        spark, "SELECT n, v FROM rfd ORDER BY n DESC WITH FILL FROM 9 TO 4"
+    ).collect()]
+    assert ns == [9, 8, 7, 6, 5]  # TO exclusive at the bottom
+
+    # ASOF inner keeps matches whose first payload field is NULL
+    spark.sql("SELECT * FROM VALUES (1, TIMESTAMP'2024-01-01 10:00:00') AS t(uid, ts)").createOrReplaceTempView("rfa_l")
+    spark.sql("SELECT * FROM VALUES (1, TIMESTAMP'2024-01-01 09:00:00', CAST(NULL AS DOUBLE), 7) AS t(uid, pts, price, qty)").createOrReplaceTempView("rfa_r")
+    rows = ch_sql(spark, """
+      SELECT l.uid, r.price, r.qty FROM rfa_l AS l ASOF JOIN rfa_r AS r
+      ON l.uid = r.uid AND l.ts >= r.pts""").collect()
+    assert len(rows) == 1 and rows[0].qty == 7 and rows[0].price is None

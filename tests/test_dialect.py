@@ -347,27 +347,37 @@ def test_toweek_mode0_sunday_numbering(spark):
 
 
 def test_siphash64_typed_inputs(spark):
-    """sipHash64 on Int64/Float64 hashes the 8-byte native
-    representation like the reference (FunctionsHashing.h), not a
-    decimal string — sharding keys like sipHash64(user_id) reproduce."""
+    """sipHash64 with explicit ctype hashes the reference's native
+    binary widths via JVM-side encoding (deterministic regardless of
+    Arrow batch composition — a NULL in a batch must not change other
+    rows' hashes)."""
     import numpy as np
 
     from clickhouse_25_5_3_75_stable_spark.functions.siphash import (
-        _siphash64_np,
         siphash64,
         siphash64_py,
     )
 
-    want_int = siphash64_py((12345).to_bytes(8, "little", signed=True))
-    df = spark.createDataFrame([(12345,)], "k long")
-    got = df.select(siphash64("k").alias("h")).collect()[0].h
-    assert got == np.int64(np.uint64(want_int)).item()
-    # differs from hashing the string "12345"
-    assert want_int != siphash64_py(b"12345")
-    # string columns keep UTF-8 semantics
+    def as_i64(v):
+        return np.int64(np.uint64(v)).item()
+
+    df = spark.createDataFrame([(12345, None), (-7, 3)], "k long, n long")
+    got = {r.k: r.h for r in df.select("k", siphash64("k", "int64").alias("h")).collect()}
+    assert got[12345] == as_i64(siphash64_py((12345).to_bytes(8, "little", signed=True)))
+    assert got[-7] == as_i64(siphash64_py((-7).to_bytes(8, "little", signed=True)))
+    # a NULL elsewhere in the batch must not perturb the encoding
+    got_n = {r.k: r.h for r in df.select("k", siphash64("n", "int64").alias("h")).collect()}
+    assert got_n[-7] == as_i64(siphash64_py((3).to_bytes(8, "little", signed=True)))
+    # int32 native width differs from int64 (reference hashes 4 bytes)
+    d32 = spark.createDataFrame([(5,)], "k int")
+    h32 = d32.select(siphash64("k", "int32").alias("h")).collect()[0].h
+    assert h32 == as_i64(siphash64_py((5).to_bytes(4, "little", signed=True)))
+    assert h32 != as_i64(siphash64_py((5).to_bytes(8, "little", signed=True)))
+    # default string semantics, and typed differs from the string form
     dfs = spark.createDataFrame([("12345",)], "s string")
     got_s = dfs.select(siphash64("s").alias("h")).collect()[0].h
-    assert got_s == np.int64(np.uint64(siphash64_py(b"12345"))).item()
+    assert got_s == as_i64(siphash64_py(b"12345"))
+    assert got[12345] != got_s
 
 
 def test_add_quarters_keeps_time_of_day(spark):
