@@ -443,7 +443,12 @@ def run_local(sql: str, data_dir: str, spark=None, out=sys.stdout,
         if max_result_rows is not None:
             cap = int(str(max_result_rows).strip("'\""))
             if cap > 0:  # reference: 0 means unlimited
-                df = df.limit(cap)
+                from clickhouse_25_5_3_75_stable_spark.chsql import (
+                    enforce_result_cap as _cap,
+                )
+
+                mode = spark.conf.get("spark.chspark.resultOverflowMode", "throw")
+                df = _cap(df, cap, mode)
         rows = [tuple(r) for r in df.collect()]
         if outfile is not None:
             with open(outfile, "w") as fh:

@@ -127,8 +127,11 @@ _RENAMES = {
     "now": "current_timestamp",
     "rand": "rand",
     "cityhash64": "xxhash64",
-    # sipHash64 resolves to the exact SQL-registered UDF (session.py
-    # registers it; functions/siphash.py is paper-vector validated)
+    # sipHash64 is typed-exact through SQL text: rewritten to
+    # ch_siphash64_typed(CAST(x AS STRING), typeof(x)) with multi-arg
+    # folding through ch_siphash64_combine (session.py registers both;
+    # functions/siphash.py is paper-vector validated)
+    "siphash64": "siphash64__",
     "farmhash64": "xxhash64",
     "halfmd5": "xxhash64",
     "tostartofday": "tostartofday__",
@@ -419,6 +422,7 @@ def _split_suffix_clauses(toks: list[str]) -> tuple[list[str], dict[str, str]]:
 _KNOWN_SETTINGS = {
     "max_threads",
     "max_result_rows",
+    "result_overflow_mode",    # 'throw' (reference default) | 'break'
     "max_rows_to_read",
     "join_algorithm",
     "max_memory_usage",        # advisory: executor memory is cluster conf
@@ -451,6 +455,12 @@ def apply_settings(spark, settings: dict[str, str]):
         elif name == "max_result_rows":
             # session-scoped cap, honored by the CLI/HTTP result paths
             set_conf("spark.chspark.maxResultRows", v)
+        elif name == "result_overflow_mode":
+            if v not in ("throw", "break"):
+                raise ChSqlError(
+                    f"result_overflow_mode must be 'throw' or 'break', got {v!r}"
+                )
+            set_conf("spark.chspark.resultOverflowMode", v)
         elif name == "join_algorithm":
             prefer = v in ("full_sorting_merge", "partial_merge")
             set_conf("spark.sql.join.preferSortMergeJoin", str(prefer).lower())
@@ -458,6 +468,23 @@ def apply_settings(spark, settings: dict[str, str]):
                 # direct = key-value lookup join; closest is broadcast
                 set_conf("spark.sql.autoBroadcastJoinThreshold", "128m")
     return restore
+
+
+def enforce_result_cap(df, cap: int, mode: str = "throw"):
+    """max_result_rows per the reference default result_overflow_mode =
+    THROW (Settings.cpp:2606 — the query ERRORS when the result exceeds
+    the cap); 'break' truncates instead. The throw check counts at most
+    cap+1 rows (one bounded action), so the cost is one limit-scan."""
+    if mode == "break":
+        return df.limit(cap)
+    n = df.limit(cap + 1).count()
+    if n > cap:
+        raise ChSqlError(
+            f"max_result_rows exceeded: result has more than {cap} rows "
+            "(reference: TOO_MANY_ROWS_OR_BYTES with result_overflow_mode="
+            "'throw'; pass SETTINGS result_overflow_mode='break' to truncate)"
+        )
+    return df
 
 
 def restore_settings(spark, restore: dict[str, str | None]) -> None:
@@ -476,6 +503,7 @@ _MANAGED_CONFS = (
     "spark.sql.join.preferSortMergeJoin",
     "spark.sql.autoBroadcastJoinThreshold",
     "spark.chspark.maxResultRows",
+    "spark.chspark.resultOverflowMode",
 )
 
 
@@ -982,16 +1010,35 @@ def _rewrite_functions(toks: list[str]) -> list[str]:
             out += ["(", _len_fn(args[0]), "(", *args[0], ")", ">", "0", ")"]
         elif new == "length__":
             out += [_len_fn(args[0]), "(", *args[0], ")"]
+        elif new == "siphash64__":
+            # typed-exact sipHash64 through SQL text: typeof() of the
+            # ORIGINAL expression picks the reference's native-width
+            # encoding inside ch_siphash64_typed; multi-arg left-folds
+            # through the reference's combine (FunctionsHashing.h:195)
+            def _sip_typed(a):
+                return ["ch_siphash64_typed", "(", "CAST", "(", "(", *a, ")",
+                        "AS", "STRING", ")", ",", "typeof", "(", "(", *a, ")",
+                        ")", ")"]
+
+            acc = _sip_typed(args[0])
+            for a in args[1:]:
+                acc = ["ch_siphash64_combine", "(", *acc, ",", *_sip_typed(a),
+                       ")"]
+            out += acc
         elif new == "div__":
-            # CH intDiv FLOORS (intDiv(-7,2) = -4); Spark DIV truncates
-            # toward zero. Exact floor division in integer arithmetic:
-            # (a - floor_mod) DIV b with floor_mod = ((a % b) + b) % b
-            # (pmod won't do: it is non-negative even for negative b)
+            # CH intDiv TRUNCATES toward zero (intDiv(-7,2) = -3):
+            # DivisionUtils.h checkedDivision is plain C++ `a / b`
+            # (the intDiv.cpp docstring says "rounded down" but the
+            # code truncates — review-verified against the reference).
+            # Spark's DIV also truncates; route through DECIMAL(38,9)
+            # so fractional operands work (CH allows intDiv on floats:
+            # trunc(a/b)) and Int64 stays exact (double would lose
+            # precision past 2^53). ANSI /0 throw matches the
+            # reference's ILLEGAL_DIVISION.
             a, b = args[0], args[1]
-            fm = ["(", "(", "(", *a, ")", "%", "(", *b, ")", "+", "(", *b, ")",
-                  ")", "%", "(", *b, ")", ")"]
-            out += ["(", "(", "(", *a, ")", "-", *fm, ")", "DIV", "(", *b, ")",
-                    ")"]
+            dec = "DECIMAL(38,9)"
+            out += ["(", "CAST", "(", "(", *a, ")", "AS", dec, ")", "DIV",
+                    "CAST", "(", "(", *b, ")", "AS", dec, ")", ")"]
         elif new == "yesterday__":
             out += ["date_sub", "(", "current_date", "(", ")", ",", "1", ")"]
         elif new in _TRUNC_UNit:
@@ -1940,7 +1987,8 @@ def ch_sql(spark, sql: str, sf_dir: str | None = None):
         if "max_result_rows" in settings:
             cap = int(settings["max_result_rows"].strip("'\""))
             if cap > 0:  # reference: 0 means unlimited
-                df = df.limit(cap)
+                mode = settings.get("result_overflow_mode", "throw").strip("'\"")
+                df = enforce_result_cap(df, cap, mode)
         return df
     except Exception as e:  # upgrade unresolved CH names to a useful error
         msg = str(e)
@@ -2088,12 +2136,20 @@ def _apply_with_fill(spark, df, col: str, desc: bool,
         lo_d = _date.fromisoformat(str(from_)) if from_ is not None else lo_hi.lo
         if to_ is not None:
             to_d = _date.fromisoformat(str(to_))
-            if desc and to_d < lo_d:
-                lo_d, hi_d = to_d + _td(days=1), _date.fromisoformat(str(from_))
+            if desc and (from_ is None or to_d < lo_d):
+                # DESC fills from the high end down to TO (exclusive);
+                # without FROM the high end is the data max
+                # (advisor-found: fromisoformat(str(None)) crashed)
+                hi_d = (
+                    _date.fromisoformat(str(from_)) if from_ is not None else lo_hi.hi
+                )
+                lo_d = to_d + _td(days=1)
             else:
                 hi_d = to_d - _td(days=1)
         else:
             hi_d = lo_hi.hi
+        if lo_d > hi_d:  # degenerate bounds: nothing to fill
+            return df.orderBy(F.col(col).desc() if desc else F.col(col).asc())
         axis = spark.range(1).select(
             F.explode(
                 F.sequence(
@@ -2107,12 +2163,17 @@ def _apply_with_fill(spark, df, col: str, desc: bool,
         lo_v = int(from_) if from_ is not None else int(lo_hi.lo)
         if to_ is not None:
             to_v = int(to_)
-            if desc and to_v < lo_v:
-                lo_v, hi_v = to_v + 1, int(from_)
+            if desc and (from_ is None or to_v < lo_v):
+                # no FROM → fill down from the data max (advisor-found:
+                # int(None) crashed on `DESC WITH FILL TO x`)
+                hi_v = int(from_) if from_ is not None else int(lo_hi.hi)
+                lo_v = to_v + 1
             else:
                 hi_v = to_v - 1
         else:
             hi_v = int(lo_hi.hi)
+        if lo_v > hi_v:  # degenerate bounds: nothing to fill
+            return df.orderBy(F.col(col).desc() if desc else F.col(col).asc())
         axis = spark.range(1).select(
             F.explode(
                 F.sequence(F.lit(lo_v), F.lit(hi_v), F.lit(step))

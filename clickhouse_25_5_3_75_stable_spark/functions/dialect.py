@@ -14,11 +14,17 @@ Usage:
 Notes on fidelity:
 - sipHash64 produces EXACT reference values (functions/siphash.py —
   canonical zero-key SipHash-2-4, paper-vector validated), as do
-  md5/sha*. cityHash64/farmHash64/metroHash64 remain capability-mapped
-  to xxhash64: their exact algorithms (CityHash v1.0.2 etc.) are
-  bundled third-party code the reference snapshot does not ship, so an
-  "exact" reimplementation could not be validated here
-  (/root/reference/src/Functions/FunctionsHashing.h).
+  md5/sha*. The encoding is type-dispatched via typeof(): String →
+  UTF-8 bytes, Int64/32/16/8 → native LE widths, Date → UInt16 days,
+  DateTime → UInt32 seconds (FunctionsHashing.h hashes each type's
+  binary representation); multi-arg chains per combineHashesFunc
+  (sipHash64(le8(h1) || le8(h2))). Exactness scope: typed COLUMNS are
+  bit-exact; integer LITERALS follow Spark typing (CH narrows `1` to
+  UInt8, Spark types it int); double/decimal inputs fall back to the
+  string rendering (no doubleToLongBits in Spark SQL).
+  farmHash64/metroHash64 remain capability-mapped to xxhash64 (their
+  exact algorithms are bundled third-party code the reference snapshot
+  does not ship); cityHash64 is exact — functions/cityhash.py.
 - toDayOfWeek follows ClickHouse semantics (Mon=1..Sun=7), translated
   from Spark's dayofweek (Sun=1..Sat=7).
 """
@@ -412,7 +418,16 @@ _reg("plus")(lambda a, b: _c(a) + _c(b))
 _reg("minus")(lambda a, b: _c(a) - _c(b))
 _reg("multiply")(lambda a, b: _c(a) * _c(b))
 _reg("divide")(lambda a, b: _c(a) / _c(b))
-_reg("intDiv")(lambda a, b: F.floor(_c(a) / _c(b)).cast("bigint"))
+# CH intDiv truncates toward zero (reference DivisionUtils.h
+# checkedDivision = plain C++ `a / b`; intDiv(-7,2) = -3). DECIMAL
+# routing keeps Int64 exact and accepts fractional operands like the
+# reference (trunc(a/b)); Spark's `div` truncates and throws on /0
+# under ANSI exactly like the reference's ILLEGAL_DIVISION.
+_reg("intDiv")(
+    lambda a, b: F.call_function(
+        "div", _c(a).cast("decimal(38,9)"), _c(b).cast("decimal(38,9)")
+    )
+)
 _reg("modulo", "mod")(lambda a, b: _c(a) % _c(b))
 _reg("negate")(lambda a: -_c(a))
 _reg("abs")(lambda a: F.abs(_c(a)))
@@ -585,15 +600,19 @@ _reg("cityHash64", "farmHash64", "metroHash64")(
 
 def _siphash64_exact(*cols):
     # EXACT reference values (functions/siphash.py, paper-vector
-    # validated); multi-arg form chains like the reference:
-    # sipHash64(a, b) = sipHash64(concat of hash stages) — here the
-    # single-string form is exact and multi-arg falls back to chaining
-    # string concat with \x01 separators (documented divergence).
-    from clickhouse_25_5_3_75_stable_spark.functions.siphash import siphash64
+    # validated), with the native-width encoding inferred from each
+    # input's Spark type via typeof() dispatch (round-3 advisor fix:
+    # Int/Date/DateTime columns previously hashed their str rendering).
+    # Multi-arg combines exactly like the reference
+    # (FunctionsHashing.h:195): sipHash64(le8(h1) || le8(h2)) folded.
+    from clickhouse_25_5_3_75_stable_spark.functions.siphash import (
+        siphash64_auto,
+        siphash64_chain,
+    )
 
     if len(cols) == 1:
-        return siphash64(_c(cols[0]))
-    return siphash64(F.concat_ws("\x01", *[_c(c).cast("string") for c in cols]))
+        return siphash64_auto(_c(cols[0]))
+    return siphash64_chain(*[_c(c) for c in cols])
 
 
 _reg("sipHash64")(_siphash64_exact)

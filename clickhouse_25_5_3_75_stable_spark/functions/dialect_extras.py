@@ -80,8 +80,20 @@ _reg("moduloOrNull", "modOrNull", "positiveModuloOrNull", "positive_modulo_or_nu
     lambda a, b: F.try_mod(_c(a), _c(b))
 )
 _reg("moduloLegacy")(lambda a, b: _c(a) % _c(b))
-_reg("intDivOrZero")(lambda a, b: F.coalesce(F.try_divide(_c(a), _c(b)).cast("bigint"), F.lit(0)))
-_reg("intDivOrNull")(lambda a, b: F.try_divide(_c(a), _c(b)).cast("bigint"))
+# truncating division like intDiv (reference DivisionUtils.h:
+# DivideIntegralOrZeroImpl returns 0 where division would FPE);
+# the b==0 guard keeps ANSI from throwing before the fallback applies
+def _int_div_or(a, b, fallback) -> Column:
+    bd = _c(b).cast("decimal(38,9)")
+    # the fallback applies ONLY where division would FPE (b == 0);
+    # NULL inputs still propagate NULL like the reference's Nullable
+    return F.when(bd == 0, fallback).otherwise(
+        F.call_function("div", _c(a).cast("decimal(38,9)"), bd)
+    )
+
+
+_reg("intDivOrZero")(lambda a, b: _int_div_or(a, b, F.lit(0)))
+_reg("intDivOrNull")(lambda a, b: _int_div_or(a, b, F.lit(None).cast("bigint")))
 _reg("divideOrNull")(lambda a, b: F.try_divide(_c(a), _c(b)))
 _reg("divideDecimal")(lambda a, b, s=10: (_c(a).cast("decimal(38,18)") / _c(b).cast("decimal(38,18)")).cast(f"decimal(38,{s})"))
 _reg("multiplyDecimal")(lambda a, b, s=10: (_c(a).cast("decimal(19,9)") * _c(b).cast("decimal(19,9)")).cast(f"decimal(38,{s})"))
@@ -332,48 +344,89 @@ _reg("toISOYear")(_iso_year)
 _reg("toISOWeek")(lambda c: F.weekofyear(_ts(c)))
 
 
-def _to_week(c, mode: int = 0) -> Column:
-    """toWeek (reference toCustomWeek.cpp, default mode 0): weeks start
-    SUNDAY, numbered 0..53 — week 1 begins at the year's first Sunday,
-    earlier days are week 0. Modes 3 (ISO) map to weekofyear; other
-    modes approximate with ISO (documented)."""
-    if mode != 0:
-        return F.weekofyear(_ts(c))
+def _mysql_year_week(c, mode: int, force_year: bool) -> tuple[Column, Column]:
+    """Exact transcription of the reference's week algorithm
+    (/root/reference/src/Common/DateLUTImpl.h:790 toYearWeek — the
+    MySQL WEEK() mode family). Mode bits: 1 = Monday-first,
+    2 = YEAR (range 1-53, week 0 rolls into the adjacent year),
+    4 = FIRST_WEEKDAY (week 1 starts at the first week-start day
+    instead of the ISO 4-day rule); check_week_mode (DateLUTImpl.h:917)
+    flips FIRST_WEEKDAY for Sunday-first modes. All mode flags are
+    Python constants, so each branch folds at plan-build time; the
+    runtime work is a handful of date built-ins — fully JVM-side."""
+    if not 0 <= mode <= 7:
+        raise ValueError(
+            f"toWeek/toYearWeek mode {mode} not supported (modes 0-7 "
+            "implemented; 8/9 NEWYEAR_DAY modes are not)"
+        )
+    monday_first = bool(mode & 1)
+    year_flag = bool(mode & 2) or force_year
+    first_weekday = bool(mode & 4) ^ (not monday_first)
+
     d = _c(c).cast("date")
+
+    def wd_of(date_col: Column) -> Column:
+        # 0-based weekday: Monday-first → 0=Mon..6=Sun, else 0=Sun..6=Sat
+        dow = F.dayofweek(date_col)  # 1=Sun..7=Sat
+        return ((dow + 5) % 7) if monday_first else (dow - 1)
+
+    def startcond(wd: Column) -> Column:
+        # "the partial week before the first week-start belongs to the
+        # previous numbering" (C++: first_weekday ? wd != 0 : wd >= 4)
+        return (wd != 0) if first_weekday else (wd >= 4)
+
+    y = F.year(d)
     jan1 = F.trunc(d, "year")
-    # days from Jan 1 to the first Sunday (0 when Jan 1 is a Sunday)
-    offset = (F.lit(8) - F.dayofweek(jan1)) % 7
-    doy0 = F.dayofyear(d) - 1
-    return F.when(doy0 < offset, F.lit(0)).otherwise(
-        ((doy0 - offset) / 7).cast("int") + 1
+    wd1 = wd_of(jan1)
+    in_first_partial = (F.month(d) == 1) & (F.dayofmonth(d) <= (F.lit(7) - wd1))
+    week0 = (
+        in_first_partial & startcond(wd1) if not year_flag else F.lit(False)
     )
+    rolled = in_first_partial & ~week0  # C++ sets week_year_mode=true here
+    prev_jan1 = F.make_date(y - 1, F.lit(1), F.lit(1))
+    year_eff = F.when(rolled, y - 1).otherwise(y)
+    first_day = F.when(rolled, prev_jan1).otherwise(jan1)
+    wd_eff = F.when(rolled, wd_of(prev_jan1)).otherwise(wd1)
+    base = F.datediff(d, first_day)
+    days = F.when(startcond(wd_eff), base - (F.lit(7) - wd_eff)).otherwise(
+        base + wd_eff
+    )
+    # rollover: late days counted against the (rolled-back) year spill
+    # into the NEXT year's week 1 (C++: week_year_mode && days >= 52*7)
+    days_in_year_eff = F.datediff(
+        F.make_date(year_eff + 1, F.lit(1), F.lit(1)),
+        F.make_date(year_eff, F.lit(1), F.lit(1)),
+    )
+    wd2 = (wd_eff + days_in_year_eff) % 7
+    nextcond = (wd2 == 0) if first_weekday else (wd2 < 4)
+    week_year_mode = F.lit(True) if year_flag else rolled
+    rollover = week_year_mode & (days >= 52 * 7) & nextcond
+    week = (
+        F.when(week0, F.lit(0))
+        .when(rollover, F.lit(1))
+        .otherwise((days / 7).cast("int") + 1)
+    )
+    year_out = F.when(rollover, year_eff + 1).otherwise(year_eff)
+    return year_out.cast("int"), week.cast("int")
+
+
+def _to_week(c, mode: int = 0) -> Column:
+    """toWeek (reference toCustomWeek.cpp, default mode 0): MySQL
+    WEEK() numbering, all modes 0-7 exact (see _mysql_year_week).
+    Mode 0 = Sunday-first 0-53; mode 3 = ISO 8601."""
+    return _mysql_year_week(c, mode, force_year=False)[1]
 
 
 _reg("toWeek", "week")(_to_week)
 
 
 def _to_year_week(c, mode: int = 0) -> Column:
-    """toYearWeek (reference toCustomWeek.cpp with WeekModeFlag::YEAR):
-    mode 0 uses the same Sunday-first numbering as toWeek, with week 0
-    rolled back into the PRIOR year's last week (e.g. early-January
-    days before the first Sunday report <prior_year>52/53). Mode 3
-    (ISO) uses the ISO year+week. Consistent with _to_week — they must
-    never disagree on the week number."""
-    if mode != 0:
-        return (_iso_year(c) * 100 + F.weekofyear(_ts(c))).cast("int")
-    d = _c(c).cast("date")
-    w = _to_week(c, 0)
-    y = F.year(d)
-    # prior year's last mode-0 week = week number of its Dec 31
-    prior_dec31 = F.to_date(F.concat((y - 1).cast("string"), F.lit("-12-31")))
-    prior_jan1 = F.trunc(prior_dec31, "year")
-    prior_offset = (F.lit(8) - F.dayofweek(prior_jan1)) % 7
-    prior_last_week = (
-        (F.dayofyear(prior_dec31) - 1 - prior_offset) / 7
-    ).cast("int") + 1
-    return (
-        F.when(w == 0, (y - 1) * 100 + prior_last_week).otherwise(y * 100 + w)
-    ).cast("int")
+    """toYearWeek (reference toCustomWeek.cpp ToYearWeekImpl: forces
+    WeekModeFlag::YEAR, so week 0 rolls into the adjacent year's
+    numbering). Consistent with _to_week by construction — both read
+    the same _mysql_year_week transcription."""
+    yr, wk = _mysql_year_week(c, mode, force_year=True)
+    return (yr * 100 + wk).cast("int")
 
 
 _reg("toYearWeek", "yearweek", "toWeekYear", "toWeekOfWeekYear")(_to_year_week)

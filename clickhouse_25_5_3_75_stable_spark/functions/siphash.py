@@ -176,6 +176,50 @@ def _le_bytes(col: Column, n_bytes: int) -> Column:
     return F.unhex(F.concat(*pairs))
 
 
+def _le_bytes_sql(expr: str, n_bytes: int) -> str:
+    """SQL-text spelling of :func:`_le_bytes` (for the SQL-function
+    entry points registered in session.py)."""
+    width = n_bytes * 2
+    h = (
+        f"lpad(substring(hex(CAST({expr} AS BIGINT)), -{width}, {width}),"
+        f" {width}, '0')"
+    )
+    pairs = ",".join(f"substring({h}, {i}, 2)" for i in range(width - 1, 0, -2))
+    return f"unhex(concat({pairs}))"
+
+
+def siphash64_sql_ddl() -> list[str]:
+    """DDL for the SQL-text entry points (session.py registers these):
+
+    - ch_siphash64_typed(s, t): hash of one value, where t =
+      typeof(original expr) picks the reference's native-width
+      encoding (the chsql shim rewrites sipHash64(x) to
+      ch_siphash64_typed(CAST(x AS STRING), typeof(x)) so typed
+      columns hash bit-exactly through SQL text too);
+    - ch_siphash64_combine(h1, h2): the reference's multi-arg combine
+      (FunctionsHashing.h:195 — sipHash64 of the two LE8 hashes).
+
+    Both are Spark SQL scalar functions whose bodies stay JVM-side up
+    to the single binary-input pandas UDF sipHash64_bin."""
+    enc = f"""CASE t
+      WHEN 'string' THEN encode(s, 'utf-8')
+      WHEN 'bigint' THEN {_le_bytes_sql('s', 8)}
+      WHEN 'int' THEN {_le_bytes_sql('s', 4)}
+      WHEN 'smallint' THEN {_le_bytes_sql('s', 2)}
+      WHEN 'tinyint' THEN {_le_bytes_sql('s', 1)}
+      WHEN 'boolean' THEN {_le_bytes_sql('CAST(CAST(s AS BOOLEAN) AS BIGINT)', 1)}
+      WHEN 'date' THEN {_le_bytes_sql("datediff(CAST(s AS DATE), DATE'1970-01-01')", 2)}
+      WHEN 'timestamp' THEN {_le_bytes_sql('unix_timestamp(CAST(s AS TIMESTAMP))', 4)}
+      ELSE encode(s, 'utf-8') END"""
+    return [
+        "CREATE OR REPLACE TEMPORARY FUNCTION ch_siphash64_typed(s STRING, t STRING) "
+        f"RETURNS BIGINT RETURN sipHash64_bin({enc})",
+        "CREATE OR REPLACE TEMPORARY FUNCTION ch_siphash64_combine(h1 BIGINT, h2 BIGINT) "
+        f"RETURNS BIGINT RETURN sipHash64_bin(concat({_le_bytes_sql('h1', 8)}, "
+        f"{_le_bytes_sql('h2', 8)}))",
+    ]
+
+
 def _encode_for_hash(col: Column, ctype: str) -> Column:
     """Spark-side byte encoding per the reference's native widths
     (FunctionsHashing.h hashes each type's binary representation):
@@ -200,6 +244,52 @@ def _encode_for_hash(col: Column, ctype: str) -> Column:
     if ctype == "date":
         return _le_bytes(F.datediff(c.cast("date"), F.lit("1970-01-01")), 2)
     raise ValueError(f"siphash64: unsupported ctype {ctype!r}")
+
+
+def _encode_auto(col: Column) -> Column:
+    """Type-dispatched encoding WITHOUT a ctype hint: `typeof(col)`
+    resolves the column's Spark SQL type and picks the reference's
+    native width (round-3 advisor fix — the dialect/SQL entry points
+    previously hashed str(v) for every type). Every branch operates on
+    CAST(col AS STRING), so the expression analyzes on any input type;
+    the string⇄native round-trips are exact for string/int/date/
+    timestamp. Types with no native-width branch (double, decimal)
+    fall back to the UTF-8 rendering — documented divergence (Spark
+    SQL exposes no doubleToLongBits)."""
+    s = col.cast("string")
+    t = F.call_function("typeof", col)
+    return (
+        F.when(t == "string", F.encode(s, "UTF-8"))
+        .when(t == "bigint", _le_bytes(s.cast("bigint"), 8))
+        .when(t == "int", _le_bytes(s.cast("bigint"), 4))
+        .when(t == "smallint", _le_bytes(s.cast("bigint"), 2))
+        .when(t == "tinyint", _le_bytes(s.cast("bigint"), 1))
+        .when(t == "boolean", _le_bytes(s.cast("boolean").cast("bigint"), 1))
+        .when(t == "date", _le_bytes(F.datediff(s.cast("date"), F.lit("1970-01-01")), 2))
+        .when(t == "timestamp", _le_bytes(F.unix_timestamp(s.cast("timestamp")), 4))
+        .otherwise(F.encode(s, "UTF-8"))
+    )
+
+
+def siphash64_auto(col) -> Column:
+    """sipHash64 with the input's native-width encoding inferred from
+    its Spark type — exact reference values for String/Int*/Date/
+    DateTime columns (see _encode_auto). NOTE: integer LITERALS follow
+    Spark typing (`1` is int → 4 bytes) where ClickHouse narrows
+    literals (`1` is UInt8 → 1 byte); typed COLUMNS reproduce exactly."""
+    col = F.col(col) if isinstance(col, str) else col
+    return _udf()(_encode_auto(col))
+
+
+def siphash64_chain(*cols) -> Column:
+    """Multi-argument sipHash64 exactly as the reference combines it
+    (FunctionsHashing.h:195 combineHashesFunc): h = sipHash64(
+    le8(h_prev) || le8(h_i)), left-folded over per-argument hashes."""
+    hs = [siphash64_auto(c) for c in cols]
+    h = hs[0]
+    for nxt in hs[1:]:
+        h = _udf()(F.concat(_le_bytes(h, 8), _le_bytes(nxt, 8)))
+    return h
 
 
 def siphash64(col, ctype: str = "string") -> Column:

@@ -75,8 +75,16 @@ def register_sql_udfs(spark: SparkSession) -> None:
         _encode_udf,
     )
     from clickhouse_25_5_3_75_stable_spark.functions.siphash import _udf as _sip_udf
+    from clickhouse_25_5_3_75_stable_spark.functions.siphash import siphash64_sql_ddl
 
+    # sipHash64 bare name: string-rendering semantics (exact for String
+    # inputs) for direct spark.sql() users. The chsql shim rewrites
+    # sipHash64(x) to ch_siphash64_typed(CAST(x AS STRING), typeof(x)),
+    # so CH SQL gets the reference's native-width typed hashing.
     spark.udf.register("sipHash64", _sip_udf("str"))
+    spark.udf.register("sipHash64_bin", _sip_udf("binary"))
+    for ddl in siphash64_sql_ddl():
+        spark.sql(ddl)
     spark.udf.register("geohashEncode", _encode_udf())
     spark.udf.register("geohashDecode", _decode_udf())
     spark.udf.register("geohashesInBox", _boxes_udf())

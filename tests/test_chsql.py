@@ -405,15 +405,31 @@ def test_settings_clause(spark):
         restore_settings,
     )
 
-    # max_result_rows caps the result; max_threads lands in shuffle conf
+    # max_result_rows default result_overflow_mode is THROW
+    # (reference Settings.cpp:2606) — exceeding the cap errors;
+    # result_overflow_mode='break' truncates instead
     before = spark.conf.get("spark.sql.shuffle.partitions")
+    with pytest.raises(ChSqlError):
+        ch_sql(
+            spark,
+            "SELECT explode(sequence(1, 100)) AS x SETTINGS max_result_rows = 7, max_threads = 4",
+        ).collect()
     rows = ch_sql(
         spark,
-        "SELECT explode(sequence(1, 100)) AS x SETTINGS max_result_rows = 7, max_threads = 4",
+        "SELECT explode(sequence(1, 100)) AS x "
+        "SETTINGS max_result_rows = 7, max_threads = 4, result_overflow_mode = 'break'",
     ).collect()
     assert len(rows) == 7
+    # under-cap results pass through untouched in throw mode
+    rows = ch_sql(
+        spark,
+        "SELECT explode(sequence(1, 5)) AS x SETTINGS max_result_rows = 7",
+    ).collect()
+    assert len(rows) == 5
     assert spark.conf.get("spark.sql.shuffle.partitions") == "4"
     spark.conf.set("spark.sql.shuffle.partitions", before)
+    spark.conf.unset("spark.chspark.maxResultRows")
+    spark.conf.unset("spark.chspark.resultOverflowMode")
 
     # unknown settings raise like the reference's BAD_ARGUMENTS
     with pytest.raises(ChSqlError):
@@ -599,10 +615,15 @@ def test_cli_show_statements(spark, tmp_path):
     assert "default" in text
 
 
-def test_intdiv_floor_and_arrayslice_two_arg(spark):
-    assert ch_sql(spark, "SELECT intDiv(-7, 2) AS v").collect()[0].v == -4
-    assert ch_sql(spark, "SELECT intDiv(7, -2) AS v").collect()[0].v == -4
+def test_intdiv_truncates_and_arrayslice_two_arg(spark):
+    # reference DivisionUtils.h checkedDivision = C++ `a / b`:
+    # truncation toward zero (the intDiv.cpp docstring claims floor
+    # but the code truncates — round-3 advisor finding)
+    assert ch_sql(spark, "SELECT intDiv(-7, 2) AS v").collect()[0].v == -3
+    assert ch_sql(spark, "SELECT intDiv(7, -2) AS v").collect()[0].v == -3
     assert ch_sql(spark, "SELECT intDiv(-7, -2) AS v").collect()[0].v == 3
+    assert ch_sql(spark, "SELECT intDiv(9223372036854775807, 1) AS v").collect()[0].v == 9223372036854775807
+    assert ch_sql(spark, "SELECT intDiv(7.9, 2) AS v").collect()[0].v == 3
     assert ch_sql(spark, "SELECT arraySlice([1,2,3,4,5], 2) AS v").collect()[0].v == [2, 3, 4, 5]
     assert ch_sql(spark, "SELECT arraySlice([1,2,3,4,5], -2) AS v").collect()[0].v == [4, 5]
 
@@ -809,12 +830,14 @@ def test_review_findings_round3(spark, tmp_path):
     buf = io.StringIO()
     script = """
         SET max_result_rows = 3;
+        SET result_overflow_mode = 'break';
         SELECT number FROM numbers(10) ORDER BY number;
     """
     assert run_script(script, data, spark=spark, out=buf) == 0
     nums = [l for l in buf.getvalue().splitlines() if l.strip().isdigit()]
     spark.conf.unset("spark.chspark.maxResultRows")
-    assert nums == ["0", "1", "2"]  # capped at 3 result rows
+    spark.conf.unset("spark.chspark.resultOverflowMode")
+    assert nums == ["0", "1", "2"]  # capped at 3 result rows (break mode)
 
     # 5. quoted date bounds in WITH FILL
     spark.sql(

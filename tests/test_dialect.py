@@ -44,7 +44,7 @@ CASES = [
     ("match", lambda: ch("match", F.lit("abc123"), r"^[a-z]+\d+$"), True),
     ("translate", lambda: ch("translate", F.lit("abca"), "ab", "xy"), "xycx"),
     ("intDiv", lambda: ch("intDiv", F.lit(7), F.lit(2)), 3),
-    ("intDiv_neg", lambda: ch("intDiv", F.lit(-7), F.lit(2)), -4),  # floor semantics
+    ("intDiv_neg", lambda: ch("intDiv", F.lit(-7), F.lit(2)), -3),  # C++ truncation (DivisionUtils.h)
     ("modulo", lambda: ch("modulo", F.lit(7), F.lit(3)), 1),
     ("roundBankers", lambda: ch("roundBankers", F.lit(2.5), 0), 2.0),
     ("round_half_up", lambda: ch("round", F.lit(2.5), 0), 3.0),
@@ -344,6 +344,152 @@ def test_toweek_mode0_sunday_numbering(spark):
     df = spark.createDataFrame([(d,) for d in dates], "d string")
     got = [r.w for r in df.select(w(F.col("d").cast("date")).alias("w")).collect()]
     assert got == want, got
+
+
+def _week_py(date_obj, mode: int, force_year: bool):
+    """Independent imperative transcription of DateLUTImpl.h:790
+    toYearWeek (MySQL WEEK), used as the oracle for the Column
+    version in dialect_extras._mysql_year_week."""
+    import datetime as _dt
+
+    monday_first = bool(mode & 1)
+    year_flag = bool(mode & 2) or force_year
+    first_weekday = bool(mode & 4) ^ (not monday_first)
+
+    def wd_of(dd):
+        # Monday-first: 0=Mon..6=Sun; Sunday-first: 0=Sun..6=Sat
+        return dd.weekday() if monday_first else (dd.weekday() + 1) % 7
+
+    def startcond(wd):
+        return (wd != 0) if first_weekday else (wd >= 4)
+
+    y = date_obj.year
+    jan1 = _dt.date(y, 1, 1)
+    wd1 = wd_of(jan1)
+    week0 = False
+    rolled = False
+    if date_obj.month == 1 and date_obj.day <= 7 - wd1:
+        if not year_flag and startcond(wd1):
+            return y, 0
+        rolled = True
+    year_eff = y - 1 if rolled else y
+    first_day = _dt.date(year_eff, 1, 1)
+    wd_eff = wd_of(first_day)
+    base = (date_obj - first_day).days
+    days = base - (7 - wd_eff) if startcond(wd_eff) else base + wd_eff
+    days_in_year = (_dt.date(year_eff + 1, 1, 1) - first_day).days
+    wd2 = (wd_eff + days_in_year) % 7
+    nextcond = (wd2 == 0) if first_weekday else (wd2 < 4)
+    if (year_flag or rolled) and days >= 52 * 7 and nextcond:
+        return year_eff + 1, 1
+    return year_eff, days // 7 + 1
+
+
+def test_toweek_all_modes_exact(spark):
+    """toWeek modes 0-7 follow the reference's MySQL WEEK() algorithm
+    exactly (advisor finding: non-zero non-3 modes were silently
+    approximated with ISO). Anchors from the MySQL documentation plus
+    a multi-year sweep against an independent transcription."""
+    import datetime as _dt
+
+    from clickhouse_25_5_3_75_stable_spark.functions.dialect_extras import (
+        CH_FUNCTIONS,
+        _mysql_year_week,
+    )
+
+    w = CH_FUNCTIONS["toweek"]
+    yw = CH_FUNCTIONS["toyearweek"]
+
+    # MySQL-doc anchor values
+    anchors = [
+        ("2008-02-20", 0, 7),
+        ("2008-02-20", 1, 8),
+        ("2008-12-31", 1, 53),
+        ("2000-01-01", 0, 0),
+        ("2000-01-01", 2, 52),
+    ]
+    for ds, mode, want in anchors:
+        df = spark.createDataFrame([(ds,)], "d string")
+        got = df.select(w(F.col("d").cast("date"), mode).alias("w")).collect()[0].w
+        assert got == want, (ds, mode, got, want)
+    # YEARWEEK('2000-01-01') = 199952 (YEAR flag forced)
+    df = spark.createDataFrame([("2000-01-01",)], "d string")
+    assert df.select(yw(F.col("d").cast("date")).alias("v")).collect()[0].v == 199952
+
+    # sweep: every 11 days over 6 years × all 8 modes, vs the oracle
+    dates = [
+        _dt.date(2019, 12, 20) + _dt.timedelta(days=11 * i) for i in range(200)
+    ]
+    df = spark.createDataFrame([(d,) for d in dates], "d date")
+    sel = []
+    for mode in range(8):
+        sel.append(w(F.col("d"), mode).alias(f"w{mode}"))
+        yr, wk = _mysql_year_week(F.col("d"), mode, force_year=True)
+        sel.append((yr * 100 + wk).alias(f"yw{mode}"))
+    rows = df.select("d", *sel).collect()
+    for r in rows:
+        for mode in range(8):
+            assert r[f"w{mode}"] == _week_py(r.d, mode, False)[1], (r.d, mode)
+            ey, ew = _week_py(r.d, mode, True)
+            assert r[f"yw{mode}"] == ey * 100 + ew, (r.d, mode, "yearweek")
+    # mode 3 == ISO 8601 == Spark weekofyear, as a third opinion
+    iso = df.select("d", w(F.col("d"), 3).alias("w3"), F.weekofyear("d").alias("iso")).collect()
+    for r in iso:
+        assert r.w3 == r.iso, (r.d, r.w3, r.iso)
+
+
+def test_siphash64_auto_dispatch_and_chain(spark):
+    """Round-3 advisor fix: the dialect and SQL entry points dispatch
+    on typeof() so Int/Date/DateTime COLUMNS hash their native binary
+    widths (not str(v)); multi-arg combines per the reference
+    (FunctionsHashing.h:195 — sipHash64(le8(h1) || le8(h2)))."""
+    import datetime as _dt
+
+    import numpy as np
+
+    from clickhouse_25_5_3_75_stable_spark.chsql import ch_sql
+    from clickhouse_25_5_3_75_stable_spark.functions.siphash import siphash64_py
+
+    def as_i64(v):
+        return np.int64(np.uint64(v)).item()
+
+    def le8(h):
+        return int(h).to_bytes(8, "little", signed=False)
+
+    df = spark.createDataFrame(
+        [(12345, "hello", _dt.date(2024, 3, 5))], "k long, s string, d date"
+    )
+    df.createOrReplaceTempView("sip_t")
+
+    # dialect entry: bigint column → 8 LE bytes (was str rendering)
+    row = df.select(
+        ch("sipHash64", F.col("k")).alias("hk"),
+        ch("sipHash64", F.col("s")).alias("hs"),
+        ch("sipHash64", F.col("d")).alias("hd"),
+        ch("sipHash64", F.col("s"), F.col("k")).alias("hc"),
+    ).collect()[0]
+    assert row.hk == as_i64(siphash64_py((12345).to_bytes(8, "little", signed=True)))
+    assert row.hs == as_i64(siphash64_py(b"hello"))
+    days = (_dt.date(2024, 3, 5) - _dt.date(1970, 1, 1)).days
+    assert row.hd == as_i64(siphash64_py(days.to_bytes(2, "little")))
+    # multi-arg: combine(h(s), h(k)) = sip(le8(h1) || le8(h2))
+    h1 = siphash64_py(b"hello")
+    h2 = siphash64_py((12345).to_bytes(8, "little", signed=True))
+    assert row.hc == as_i64(siphash64_py(le8(h1) + le8(h2)))
+
+    # SQL-text entry through the chsql shim: same typed values
+    r2 = ch_sql(
+        spark,
+        "SELECT sipHash64(k) AS hk, sipHash64(s) AS hs, sipHash64(d) AS hd, "
+        "sipHash64(s, k) AS hc FROM sip_t",
+    ).collect()[0]
+    assert (r2.hk, r2.hs, r2.hd, r2.hc) == (row.hk, row.hs, row.hd, row.hc)
+
+    # timestamp → UInt32 epoch seconds
+    dft = spark.sql("SELECT TIMESTAMP'2024-03-05 12:00:00' AS ts")
+    ht = dft.select(ch("sipHash64", F.col("ts")).alias("h")).collect()[0].h
+    secs = int(_dt.datetime(2024, 3, 5, 12, tzinfo=_dt.timezone.utc).timestamp())
+    assert ht == as_i64(siphash64_py(secs.to_bytes(4, "little")))
 
 
 def test_siphash64_typed_inputs(spark):
