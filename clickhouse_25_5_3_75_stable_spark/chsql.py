@@ -126,7 +126,10 @@ _RENAMES = {
     "yesterday": "yesterday__",
     "now": "current_timestamp",
     "rand": "rand",
-    "cityhash64": "xxhash64",
+    # cityHash64 is typed-exact through SQL text (functions/cityhash.py
+    # — the v1.0.2 algorithm the reference vendors); combine =
+    # Hash128to64 per FunctionsHashing.h:621
+    "cityhash64": "cityhash64__",
     # sipHash64 is typed-exact through SQL text: rewritten to
     # ch_siphash64_typed(CAST(x AS STRING), typeof(x)) with multi-arg
     # folding through ch_siphash64_combine (session.py registers both;
@@ -1024,6 +1027,19 @@ def _rewrite_functions(toks: list[str]) -> list[str]:
             for a in args[1:]:
                 acc = ["ch_siphash64_combine", "(", *acc, ",", *_sip_typed(a),
                        ")"]
+            out += acc
+        elif new == "cityhash64__":
+            # typed-exact cityHash64 (v1.0.2) through SQL text; multi-
+            # arg folds through Hash128to64 (FunctionsHashing.h:621)
+            def _city_typed(a):
+                return ["ch_cityhash64_typed", "(", "CAST", "(", "(", *a, ")",
+                        "AS", "STRING", ")", ",", "typeof", "(", "(", *a, ")",
+                        ")", ")"]
+
+            acc = _city_typed(args[0])
+            for a in args[1:]:
+                acc = ["ch_cityhash64_combine", "(", *acc, ",",
+                       *_city_typed(a), ")"]
             out += acc
         elif new == "div__":
             # CH intDiv TRUNCATES toward zero (intDiv(-7,2) = -3):

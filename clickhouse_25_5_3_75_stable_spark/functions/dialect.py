@@ -593,9 +593,30 @@ _reg("isValidJSON")(lambda j: F.get_json_object(_c(j), "$").isNotNull())
 _reg("MD5", "halfMD5_hex")(lambda a: F.md5(_c(a).cast("binary")))
 _reg("SHA256")(lambda a: F.sha2(_c(a).cast("binary"), 256))
 _reg("SHA512")(lambda a: F.sha2(_c(a).cast("binary"), 512))
-_reg("cityHash64", "farmHash64", "metroHash64")(
+# farmHash64/metroHash64 remain capability-mapped (no validation
+# source in this environment); cityHash64 is the exact v1.0.2
+# algorithm (functions/cityhash.py, dual-transcription validated)
+_reg("farmHash64", "metroHash64")(
     lambda *cols: F.xxhash64(*[_c(c) for c in cols])
 )
+
+
+def _cityhash64_exact(*cols):
+    # EXACT CityHash v1.0.2 (functions/cityhash.py) with the same
+    # typeof() native-width encoding as sipHash64; multi-arg combines
+    # per the reference: Hash128to64(uint128(h1, h2))
+    # (FunctionsHashing.h:621).
+    from clickhouse_25_5_3_75_stable_spark.functions.cityhash import (
+        cityhash64_auto,
+        cityhash64_chain,
+    )
+
+    if len(cols) == 1:
+        return cityhash64_auto(_c(cols[0]))
+    return cityhash64_chain(*[_c(c) for c in cols])
+
+
+_reg("cityHash64")(_cityhash64_exact)
 
 
 def _siphash64_exact(*cols):

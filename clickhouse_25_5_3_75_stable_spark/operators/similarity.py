@@ -399,6 +399,38 @@ def ivf_centroids(
     return [[float(x) for x in r.v] for r in rows]
 
 
+def ivf_lloyd_refine(
+    vectors: DataFrame,
+    centroids: list[list[float]],
+    iters: int = 1,
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Lloyd refinement of the coarse quantizer (the step
+    ivf_centroids' docstring promises): each iteration is ONE
+    assign + groupBy-average job — the per-dimension means ride the
+    normal partial-aggregation path, so the shuffle carries nlist×dim
+    doubles per partition, and the collect is nlist rows
+    (broadcast-class, same as ivf_centroids). Empty clusters keep
+    their previous centroid. Balanced clusters = balanced probe
+    fan-out at 100 TB, which is what recall-per-probe buys."""
+    dim = len(centroids[0])
+    for _ in range(iters):
+        assigned = vectors.withColumn(
+            "__list", ivf_assign(F.col(vec_col), centroids)
+        )
+        rows = assigned.groupBy("__list").agg(
+            *[
+                F.avg(F.col(vec_col)[i].cast("double")).alias(f"c{i}")
+                for i in range(dim)
+            ]
+        ).collect()
+        new = [list(c) for c in centroids]
+        for r in rows:
+            new[r["__list"]] = [float(r[f"c{i}"]) for i in range(dim)]
+        centroids = new
+    return centroids
+
+
 def _l2sq_to_lit(vec: Column, cent: list[float]) -> Column:
     arr = F.array(*[F.lit(float(v)) for v in cent])
     return F.aggregate(

@@ -1059,9 +1059,10 @@ def func_json_family(spark: SparkSession, sf_dir: str) -> DataFrame:
 def func_hash_encoding_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Digest + encoding family (/root/reference/src/Functions/
     FunctionsHashing.h, base64Encode.cpp, hex.cpp). md5/sha256/base64/hex
-    are byte-identical to the reference; the 64-bit hash family
-    (cityHash64 et al.) is capability-mapped to xxhash64 (values differ,
-    so it is exercised in unit tests, not the oracle gate)."""
+    are byte-identical to the reference; sipHash64 and cityHash64 are
+    exact too (func_cityhash_exact pins cityHash64 against checked-in
+    vectors); farmHash64/metroHash64 stay capability-mapped to xxhash64
+    (exercised in unit tests, not the oracle gate)."""
     c = t(spark, sf_dir, "customer")
     name = F.col("c_name")
     return c.select(
@@ -1170,6 +1171,70 @@ def func_url_family(spark: SparkSession, sf_dir: str) -> DataFrame:
 # per the judge: split it so a red row self-bisects, rewrite both
 # oracles in version-stable primitives (list_slice, list_extract,
 # len(list_filter)), and cast every output column explicitly BOTH sides.
+
+
+# cityHash64 vector fixtures: every length class of the v1.0.2
+# algorithm (0 / 1-3 / 4-8 / 9-16 / 17-32 / 33-64 / >64 incl. multi-
+# chunk), plus the multi-arg Hash128to64 combine and an Int64-typed
+# input. Values generated by functions/cityhash.py cityhash64_py
+# (dual-transcription validated — see that module's docstring for the
+# validation-scope statement) and pinned here as the oracle.
+_CITY_FIXTURES: list[tuple[int, str, int]] = [
+    (0, "", -7286425919675154353),
+    (1, "a", 2603192927274642682),
+    (2, "ab", 1725057946192985918),
+    (3, "abc", 4220206313085259313),
+    (4, "data", -1583623414400833660),
+    (5, "abcdefgh", 4864636163090995991),
+    (6, "abcdefghi", 7406163328168016081),
+    (7, "sixteen-bytes-xx", 8447535947388947781),
+    (8, "seventeen bytes..", 7313698341430453460),
+    (9, "thirty-two bytes of test data!!!", -3277210686656677381),
+    (10, "thirty-three bytes of test data!!", -5048229874809239851),
+    (11, "this string is exactly sixty-four bytes long for city hash test!",
+     -8655205172618423790),
+    (12, "this one is just over sixty-four bytes to hit the long branch....x",
+     7976315546507407779),
+    (13, "W" * 129, -8863062767353789054),
+    (14, "the quick brown fox jumps over the lazy dog " * 40,
+     1026302645035342333),
+]
+
+
+@register(
+    "func_cityhash_exact",
+    oracle=(
+        "SELECT * FROM (VALUES "
+        + ", ".join(
+            f"(CAST({sid} AS INT), CAST({h} AS BIGINT))"
+            for sid, _, h in _CITY_FIXTURES
+        )
+        + ", (CAST(100 AS INT), CAST(966684281678495360 AS BIGINT))"
+        + ", (CAST(101 AS INT), CAST(-7429745780926048326 AS BIGINT))"
+        + ") AS t(sid, h) ORDER BY sid"
+    ),
+    tags=("functions", "hash", "cityhash"),
+)
+def func_cityhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cityHash64 EXACT values (reference FunctionsHashing.h:619-622 =
+    CityHash_v1_0_2::CityHash64 + Hash128to64 combine) against
+    checked-in vectors covering every length class, the multi-argument
+    combine, and a typed Int64 input. The oracle is the pinned vector
+    table itself — the same pattern sipHash64 uses."""
+    base = spark.createDataFrame(
+        [(sid, s) for sid, s, _ in _CITY_FIXTURES], "sid int, s string"
+    ).select("sid", ch("cityHash64", F.col("s")).alias("h"))
+    extra = spark.createDataFrame(
+        [("hello", "world", 12345)], "a string, b string, k long"
+    ).select(
+        F.lit(100).alias("sid"),
+        ch("cityHash64", F.col("a"), F.col("b")).alias("h"),
+    ).unionByName(
+        spark.createDataFrame([(12345,)], "k long").select(
+            F.lit(101).alias("sid"), ch("cityHash64", F.col("k")).alias("h")
+        )
+    )
+    return base.unionByName(extra).orderBy("sid")
 
 
 @register(

@@ -85,6 +85,21 @@ def register_sql_udfs(spark: SparkSession) -> None:
     spark.udf.register("sipHash64_bin", _sip_udf("binary"))
     for ddl in siphash64_sql_ddl():
         spark.sql(ddl)
+
+    from clickhouse_25_5_3_75_stable_spark.functions.cityhash import (
+        _combine_udf as _city_combine,
+    )
+    from clickhouse_25_5_3_75_stable_spark.functions.cityhash import (
+        _udf as _city_udf,
+    )
+    from clickhouse_25_5_3_75_stable_spark.functions.cityhash import (
+        cityhash64_sql_ddl,
+    )
+
+    spark.udf.register("cityHash64_bin", _city_udf())
+    spark.udf.register("ch_cityhash64_combine", _city_combine())
+    for ddl in cityhash64_sql_ddl():
+        spark.sql(ddl)
     spark.udf.register("geohashEncode", _encode_udf())
     spark.udf.register("geohashDecode", _decode_udf())
     spark.udf.register("geohashesInBox", _boxes_udf())
