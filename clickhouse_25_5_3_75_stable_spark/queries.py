@@ -1173,6 +1173,51 @@ def func_url_family(spark: SparkSession, sf_dir: str) -> DataFrame:
 # len(list_filter)), and cast every output column explicitly BOTH sides.
 
 
+@register(
+    "text_index_has_token",
+    oracle=r"""
+    SELECT doc_id FROM documents
+    WHERE regexp_matches(text, '\bdata\b')
+    ORDER BY doc_id
+    """,
+    tags=("text", "index", "tokenbf"),
+)
+def text_index_has_token(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tokenbf_v1-analogue skip index (reference MergeTreeIndices.cpp:
+    123-157; sources/text_index.py): hasToken goes through the
+    (token_hash → file) sidecar, pruning files BEFORE the rlike pass.
+    The result must equal the full-scan predicate — which is what the
+    DuckDB oracle computes. The indexed copy is built once per sf_dir
+    into a temp layout (many small files so pruning is real)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from clickhouse_25_5_3_75_stable_spark.sources.text_index import (
+        build_token_index,
+        has_token_scan,
+    )
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"chspark_tokenbf_{key}")
+    table = os.path.join(base, "t")
+    idx = os.path.join(base, "i")
+    if not os.path.exists(os.path.join(idx, "_SUCCESS")):
+        docs = t(spark, sf_dir, "documents")
+        (
+            docs.repartition(8, "doc_id")
+            .write.mode("overwrite")
+            .option("maxRecordsPerFile", 64)
+            .parquet(table)
+        )
+        build_token_index(spark, table, "text", idx)
+    return (
+        has_token_scan(spark, table, idx, "text", "data")
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
 # cityHash64 vector fixtures: every length class of the v1.0.2
 # algorithm (0 / 1-3 / 4-8 / 9-16 / 17-32 / 33-64 / >64 incl. multi-
 # chunk), plus the multi-arg Hash128to64 combine and an Int64-typed

@@ -33,9 +33,13 @@ def write_mergetree_layout(
     partition_by: Sequence[str] = (),
     max_records_per_file: int = 1_000_000,
     codec: str = "zstd",
+    token_index_cols: Sequence[str] = (),
 ) -> None:
     """CREATE TABLE ... ENGINE=MergeTree ORDER BY ... PARTITION BY ...
-    as a write-time layout contract."""
+    as a write-time layout contract. ``token_index_cols`` builds the
+    tokenbf-analogue sidecar per text column after the data lands
+    (reference: INDEX ... TYPE tokenbf_v1 is maintained at part-write
+    time too — sources/text_index.py)."""
     out = df
     if partition_by:
         out = out.repartition(*[out[c] for c in partition_by])
@@ -48,6 +52,16 @@ def write_mergetree_layout(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+    if token_index_cols:
+        from clickhouse_25_5_3_75_stable_spark.sources.text_index import (
+            build_token_index,
+            default_index_path,
+        )
+
+        for col in token_index_cols:
+            build_token_index(
+                df.sparkSession, path, col, default_index_path(path, col)
+            )
 
 
 def read_table(spark: SparkSession, path: str) -> DataFrame:

@@ -1,0 +1,138 @@
+"""Token skip-index sidecar — the tokenbf_v1 analogue (SURVEY §2.1).
+
+Reference: the token bloom-filter skip index
+(/root/reference/src/Storages/MergeTree/MergeTreeIndices.cpp:123-157
+tokenbf_v1 + /root/reference/src/Interpreters/ITokenExtractor.cpp:108
+SplitTokenExtractor) — per-granule bloom over the text's tokens lets
+hasToken/LIKE prune granules without reading them. Parquet has no
+granule-level index hook, so the analogue here is a FILE-level sidecar
+table: (token_hash → file) distinct pairs, built with one pass over
+the table (tokenize → explode → distinct — all JVM expressions), and a
+``has_token_scan`` that prunes files from the sidecar BEFORE the real
+rlike pass runs.
+
+Trade vs the reference: bloom filters admit false positives in O(m)
+bits; the exact hash-pair sidecar admits none and costs
+O(distinct tokens per file) rows of 8-byte hashes — at 100 TB that is
+the classic inverted file-list, the right shape when token vocabulary
+per file is bounded (natural-language text: ~10⁴-10⁵ distinct tokens
+per multi-MB file). The lookup side reads the sidecar (itself pruned
+by a hash equality pushed to parquet), collects only FILE PATHS
+(bounded by file count, broadcast-class), and scans just those files —
+the same I/O shape as granule skipping.
+
+Tokenizer parity: a token is a maximal run of characters that are NOT
+ASCII non-alphanumerics (SplitTokenExtractor treats every non-ASCII
+byte as a token char). hasToken needles containing separators are
+rejected, as the reference does (BAD_ARGUMENTS)."""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# maximal runs of "not (ASCII and not alphanumeric)" — token chars are
+# ASCII alphanumerics plus every non-ASCII character
+TOKEN_CHAR_CLASS = r"[^\x00-\x2f\x3a-\x40\x5b-\x60\x7b-\x7f]"
+TOKEN_REGEX = TOKEN_CHAR_CLASS + "+"
+
+_PY_TOKEN_RE = re.compile(TOKEN_REGEX)
+
+
+def is_single_token(needle: str) -> bool:
+    return bool(_PY_TOKEN_RE.fullmatch(needle))
+
+
+def build_token_index(
+    spark: SparkSession, table_path: str, text_col: str, index_path: str
+) -> None:
+    """Build the (token_hash, file) sidecar: one pass over the table,
+    tokenize → explode → distinct → write. The distinct is the only
+    shuffle and carries 8-byte hashes + file paths; sorting by hash
+    makes the lookup's parquet scan min/max-prunable."""
+    df = spark.read.parquet(table_path).select(
+        F.input_file_name().alias("file"), F.col(text_col).alias("__t")
+    )
+    pairs = (
+        df.select(
+            "file",
+            F.explode(
+                F.regexp_extract_all(F.col("__t"), F.lit(TOKEN_REGEX), 0)
+            ).alias("tok"),
+        )
+        .select("file", F.xxhash64(F.col("tok")).alias("token_hash"))
+        .distinct()
+    )
+    (
+        pairs.repartition(F.col("token_hash"))
+        .sortWithinPartitions("token_hash")
+        .write.mode("overwrite")
+        .parquet(index_path)
+    )
+
+
+def token_index_files(
+    spark: SparkSession, index_path: str, needle: str
+) -> list[str]:
+    """Files that (exactly) contain the token — the pruning set."""
+    if not is_single_token(needle):
+        raise ValueError(
+            f"hasToken needle {needle!r} contains token separators "
+            "(reference: BAD_ARGUMENTS — split the query per token)"
+        )
+    idx = spark.read.parquet(index_path)
+    probe = (
+        spark.range(1)
+        .select(F.xxhash64(F.lit(needle)).alias("h"))
+        .collect()[0]
+        .h
+    )
+    # hash equality pushes down to the parquet scan of the sidecar;
+    # the collect is file paths only — bounded by the table's file count
+    return [
+        r.file
+        for r in idx.filter(F.col("token_hash") == probe).select("file").distinct().collect()
+    ]
+
+
+def has_token_scan(
+    spark: SparkSession,
+    table_path: str,
+    index_path: str,
+    text_col: str,
+    needle: str,
+) -> DataFrame:
+    """hasToken-accelerated scan: prune files via the sidecar, then run
+    the exact hasToken predicate (dialect.py) over the survivors only.
+    With no candidate files the result is empty without touching the
+    table at all."""
+    from clickhouse_25_5_3_75_stable_spark.functions.dialect import ch
+
+    schema = spark.read.parquet(table_path).schema
+    files = token_index_files(spark, index_path, needle)
+    if not files:
+        return spark.createDataFrame([], schema)
+    return (
+        spark.read.schema(schema)
+        .parquet(*files)
+        .filter(ch("hasToken", F.col(text_col), needle))
+    )
+
+
+def table_file_count(spark: SparkSession, table_path: str) -> int:
+    """Total data files in the table (for pruning assertions/metrics)."""
+    return (
+        spark.read.parquet(table_path)
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .count()
+    )
+
+
+def default_index_path(table_path: str, text_col: str) -> str:
+    """Sidecar location convention: alongside the table, like the
+    reference keeps skip indices inside the part directory."""
+    return os.path.join(table_path + "__tokenbf", text_col)

@@ -277,8 +277,99 @@ def test_format_exclusions_documented():
         FORMAT_EXCLUSIONS,
     )
 
-    assert "Protobuf" in FORMAT_EXCLUSIONS
+    # Protobuf/MsgPack graduated to real shims in round 3
+    assert "Protobuf" not in FORMAT_EXCLUSIONS
+    assert "MsgPack" not in FORMAT_EXCLUSIONS
+    assert "CapnProto" in FORMAT_EXCLUSIONS
     assert all(isinstance(v, str) and v for v in FORMAT_EXCLUSIONS.values())
+
+
+def test_msgpack_roundtrip(spark, tmp_path):
+    """MsgPack shim (pure-python codec from the public spec): CH
+    MsgPackRowOutputFormat layout — consecutive values, no row
+    wrapper — survives a write/read roundtrip with executor-side
+    decode, including NULLs, negatives, dates, and timestamps."""
+    import datetime as _dt
+
+    from clickhouse_25_5_3_75_stable_spark.sources.msgpack_fmt import (
+        read_msgpack,
+        write_msgpack,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha", 1.5, True, _dt.date(2024, 3, 5),
+             _dt.datetime(2024, 3, 5, 12, 30, 0)),
+            (-200, None, -0.25, False, _dt.date(1970, 1, 2),
+             _dt.datetime(1970, 1, 1, 0, 0, 1)),
+            (70000, "π-unicode", 0.0, None, None, None),
+        ],
+        "k bigint, s string, v double, b boolean, d date, ts timestamp",
+    )
+    out = str(tmp_path / "dump.msgpack")
+    write_msgpack(df, out)
+    got = read_msgpack(
+        spark, out, "k bigint, s string, v double, b boolean, d date, ts timestamp"
+    )
+    lhs = sorted([tuple(r) for r in df.collect()])
+    rhs = sorted([tuple(r) for r in got.collect()])
+    assert lhs == rhs
+
+
+def test_msgpack_codec_scalars_exhaustive():
+    """Codec unit: every width class of the MessagePack spec
+    roundtrips (fixint/uint8-64/int8-64, str widths, bin, arrays,
+    maps, nil/bool/float)."""
+    from clickhouse_25_5_3_75_stable_spark.sources.msgpack_fmt import (
+        pack_value,
+        unpack_value,
+    )
+
+    vals = [
+        None, True, False, 0, 1, 127, 128, 255, 256, 65535, 65536,
+        2**32 - 1, 2**32, 2**63 - 1, -1, -32, -33, -128, -129, -32768,
+        -32769, -2**31, -2**31 - 1, -2**63, 1.5, -2.75, 0.0,
+        "", "short", "x" * 31, "x" * 32, "x" * 255, "x" * 256, "x" * 70000,
+        b"", b"\x00\xff", b"y" * 300, [1, "two", None], list(range(20)),
+        {"a": 1, "b": [True, None]},
+    ]
+    buf = bytearray()
+    for v in vals:
+        pack_value(v, buf)
+    pos = 0
+    got = []
+    while pos < len(buf):
+        v, pos = unpack_value(bytes(buf), pos)
+        got.append(v)
+    assert got == vals
+
+
+def test_msgpack_writer_guard_trips(spark, tmp_path):
+    import pytest
+
+    from clickhouse_25_5_3_75_stable_spark.sources.msgpack_fmt import write_msgpack
+
+    with pytest.raises(ValueError, match="parquet"):
+        write_msgpack(spark.range(10), str(tmp_path / "cap.msgpack"), max_rows=3)
+
+
+def test_protobuf_gated_surface(spark, tmp_path):
+    """spark-protobuf jar is absent in this container (same as
+    spark-avro): the probe must say so and the API must raise the
+    documented recipe instead of an opaque JVM error. When a future
+    environment has the jar, the same entry points run the real
+    connector (JVM-side decode)."""
+    import pytest
+
+    from clickhouse_25_5_3_75_stable_spark.sources.protobuf_shim import (
+        protobuf_available,
+        read_protobuf,
+    )
+
+    if protobuf_available(spark):
+        pytest.skip("spark-protobuf present — gated branch not applicable")
+    with pytest.raises(NotImplementedError, match="spark-protobuf"):
+        read_protobuf(spark, str(tmp_path), "M", str(tmp_path / "x.desc"))
 
 
 def test_regexp_format(spark, tmp_path):

@@ -1,0 +1,116 @@
+"""Token skip-index sidecar (sources/text_index.py — the tokenbf_v1
+analogue): pruning actually reduces files read, results stay exact,
+separators are rejected, layout-write integration builds the sidecar.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from clickhouse_25_5_3_75_stable_spark.functions.dialect import ch
+from clickhouse_25_5_3_75_stable_spark.sources.text_index import (
+    build_token_index,
+    default_index_path,
+    has_token_scan,
+    table_file_count,
+    token_index_files,
+)
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def indexed_table(spark, tmp_path_factory):
+    """documents written as MANY small files + a token sidecar."""
+    base = tmp_path_factory.mktemp("tokenbf")
+    table = str(base / "docs")
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    # rare marker tokens concentrated in a few rows → strong pruning
+    marked = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 40 == 0,
+            F.concat(F.col("text"), F.lit(" zebrafinch")),
+        ).otherwise(F.col("text")),
+    )
+    (
+        marked.repartition(8, "doc_id")
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", 16)
+        .parquet(table)
+    )
+    idx = str(base / "idx")
+    build_token_index(spark, table, "text", idx)
+    return table, idx
+
+
+def test_pruning_reads_fewer_files(spark, indexed_table):
+    table, idx = indexed_table
+    total = table_file_count(spark, table)
+    cand = token_index_files(spark, idx, "zebrafinch")
+    assert 0 < len(cand) < total, (len(cand), total)
+
+
+def test_result_equals_full_scan(spark, indexed_table):
+    table, idx = indexed_table
+    via_index = {
+        r.doc_id
+        for r in has_token_scan(spark, table, idx, "text", "zebrafinch").collect()
+    }
+    full = {
+        r.doc_id
+        for r in spark.read.parquet(table)
+        .filter(ch("hasToken", F.col("text"), "zebrafinch"))
+        .collect()
+    }
+    assert via_index == full and via_index  # non-empty and identical
+    # a common token also stays exact (prunes little, loses nothing)
+    via_index = {
+        r.doc_id for r in has_token_scan(spark, table, idx, "text", "data").collect()
+    }
+    full = {
+        r.doc_id
+        for r in spark.read.parquet(table)
+        .filter(ch("hasToken", F.col("text"), "data"))
+        .collect()
+    }
+    assert via_index == full
+
+
+def test_absent_token_scans_nothing(spark, indexed_table):
+    table, idx = indexed_table
+    assert token_index_files(spark, idx, "qqzzyyxx") == []
+    out = has_token_scan(spark, table, idx, "text", "qqzzyyxx")
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        f.name for f in spark.read.parquet(table).schema.fields
+    ]
+
+
+def test_separator_needle_rejected(spark, indexed_table):
+    table, idx = indexed_table
+    with pytest.raises(ValueError, match="separator"):
+        token_index_files(spark, idx, "two words")
+    with pytest.raises(ValueError, match="separator"):
+        token_index_files(spark, idx, "semi;colon")
+
+
+def test_layout_write_builds_sidecar(spark, tmp_path):
+    from clickhouse_25_5_3_75_stable_spark.sources.layout import (
+        write_mergetree_layout,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(100)
+    table = str(tmp_path / "t")
+    write_mergetree_layout(
+        docs, table, order_by=["doc_id"], token_index_cols=["text"]
+    )
+    idx = default_index_path(table, "text")
+    got = {
+        r.doc_id for r in has_token_scan(spark, table, idx, "text", "data").collect()
+    }
+    want = {
+        r.doc_id
+        for r in docs.filter(ch("hasToken", F.col("text"), "data")).collect()
+    }
+    assert got == want
