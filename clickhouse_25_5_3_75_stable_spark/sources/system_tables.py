@@ -166,6 +166,9 @@ def system_formats(spark: SparkSession) -> DataFrame:
         ("Arrow", 1, 1), ("ArrowStream", 1, 1), ("Npy", 1, 1),
         ("Regexp", 1, 0), ("Values", 1, 0), ("RowBinary", 1, 1),
         ("Native", 1, 1), ("Pretty", 0, 1), ("Vertical", 0, 1),
+        # round 3: MsgPack implemented from the public spec
+        # (msgpack_fmt.py); Protobuf jar-gated (protobuf_shim.py)
+        ("MsgPack", 1, 1), ("Protobuf", 1, 1), ("ProtobufSingle", 1, 0),
     ]
     rows = [(n, i, o, None) for n, i, o in native]
     rows += [(n, 0, 0, why) for n, why in sorted(FORMAT_EXCLUSIONS.items())]

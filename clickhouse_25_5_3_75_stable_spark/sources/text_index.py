@@ -122,6 +122,95 @@ def has_token_scan(
     )
 
 
+# ---------------------------------------------------------------------------
+# ngrambf_v1 analogue: the same sidecar shape over character n-grams,
+# accelerating substring predicates (LIKE '%needle%', position() > 0).
+# A file can contain the needle only if it contains ALL of the
+# needle's n-grams — the lookup intersects per-gram file lists
+# (one small groupBy over the pruned sidecar scan). Reference:
+# MergeTreeIndices.cpp ngrambf_v1 + ITokenExtractor.cpp:41
+# NgramTokenExtractor.
+# ---------------------------------------------------------------------------
+
+
+def build_ngram_index(
+    spark: SparkSession, table_path: str, text_col: str, index_path: str, n: int = 3
+) -> None:
+    """(gram_hash, file) distinct pairs over character n-grams — all
+    JVM expressions (sequence → transform → explode), one distinct
+    shuffle of 8-byte hashes."""
+    df = spark.read.parquet(table_path).select(
+        F.input_file_name().alias("file"), F.col(text_col).alias("__t")
+    )
+    grams = df.select(
+        "file",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.length("__t") - (n - 1), F.lit(0))),
+                lambda i: F.substring(F.col("__t"), i, n),
+            )
+        ).alias("g"),
+    )
+    pairs = grams.select("file", F.xxhash64(F.col("g")).alias("gram_hash")).distinct()
+    (
+        pairs.repartition(F.col("gram_hash"))
+        .sortWithinPartitions("gram_hash")
+        .write.mode("overwrite")
+        .parquet(index_path)
+    )
+
+
+def ngram_index_files(
+    spark: SparkSession, index_path: str, needle: str, n: int = 3
+) -> list[str] | None:
+    """Files that may contain the substring (every needle n-gram
+    present). Returns None when the needle is shorter than n — no
+    pruning possible, caller falls back to the full scan (the
+    reference's ngrambf does the same)."""
+    if len(needle) < n:
+        return None
+    grams = [needle[i : i + n] for i in range(len(needle) - n + 1)]
+    uniq = sorted(set(grams))
+    idx = spark.read.parquet(index_path)
+    probe = (
+        spark.range(1)
+        .select(*[F.xxhash64(F.lit(g)).alias(f"h{i}") for i, g in enumerate(uniq)])
+        .collect()[0]
+    )
+    hashes = [probe[f"h{i}"] for i in range(len(uniq))]
+    rows = (
+        idx.filter(F.col("gram_hash").isin(hashes))
+        .groupBy("file")
+        .agg(F.count_distinct("gram_hash").alias("k"))
+        .filter(F.col("k") == len(hashes))
+        .select("file")
+        .collect()
+    )
+    return [r.file for r in rows]
+
+
+def like_substring_scan(
+    spark: SparkSession,
+    table_path: str,
+    index_path: str,
+    text_col: str,
+    needle: str,
+    n: int = 3,
+) -> DataFrame:
+    """LIKE '%needle%' accelerated by the n-gram sidecar: prune files
+    (all-grams intersection), then run the exact contains() predicate
+    over the survivors. Short needles fall back to the full scan."""
+    schema = spark.read.parquet(table_path).schema
+    files = ngram_index_files(spark, index_path, needle, n)
+    if files is None:
+        src = spark.read.parquet(table_path)
+    elif not files:
+        return spark.createDataFrame([], schema)
+    else:
+        src = spark.read.schema(schema).parquet(*files)
+    return src.filter(F.col(text_col).contains(needle))
+
+
 def table_file_count(spark: SparkSession, table_path: str) -> int:
     """Total data files in the table (for pruning assertions/metrics)."""
     return (

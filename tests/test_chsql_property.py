@@ -94,6 +94,19 @@ def fn2(children):
     )
 
 
+def intdiv(children):
+    # CH intDiv truncates toward zero (DivisionUtils.h C++ a/b; fixed
+    # round 3 — it FLOORED before, advisor finding). DuckDB spelling:
+    # trunc() of the float quotient. Divisor forced nonzero: both
+    # engines raise on /0 (ANSI / ILLEGAL_DIVISION).
+    return st.tuples(children, children).map(
+        lambda t: (
+            f"intDiv({t[0][0]}, (abs({t[1][0]}) + 1))",
+            f"CAST(trunc(({t[0][1]}) / (abs({t[1][1]}) + 1.0)) AS BIGINT)",
+        )
+    )
+
+
 def array_ops(children):
     # [a, b, c][i] (1-based, NULL out of range on both engines),
     # has(), arraySum (DOUBLE on both sides, integer-valued)
@@ -131,7 +144,8 @@ def expr():
     return st.recursive(
         leaf(),
         lambda ch: st.one_of(
-            binop(ch), ternary(ch), multi_if(ch), fn1(ch), fn2(ch), array_ops(ch)
+            binop(ch), ternary(ch), multi_if(ch), fn1(ch), fn2(ch),
+            array_ops(ch), intdiv(ch)
         ),
         max_leaves=12,
     )

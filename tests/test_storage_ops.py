@@ -400,7 +400,10 @@ def test_system_tables_wide_surface(spark, tmp_path):
 
     fmts = {r.name: r for r in system_formats(spark).collect()}
     assert fmts["Parquet"].is_input == 1 and fmts["Pretty"].is_input == 0
-    assert fmts["Protobuf"].exclusion_reason  # documented exclusion
+    # Protobuf/MsgPack graduated to real shims in round 3
+    assert fmts["Protobuf"].is_input == 1 and fmts["Protobuf"].exclusion_reason is None
+    assert fmts["MsgPack"].is_input == 1
+    assert fmts["CapnProto"].exclusion_reason  # still a documented exclusion
 
     tf_names = {r.name for r in system_table_functions(spark).collect()}
     assert {"numbers", "generate_series", "values", "merge", "view"} <= tf_names

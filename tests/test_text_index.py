@@ -95,6 +95,54 @@ def test_separator_needle_rejected(spark, indexed_table):
         token_index_files(spark, idx, "semi;colon")
 
 
+def test_ngram_index_substring_scan(spark, indexed_table, tmp_path):
+    """ngrambf_v1 analogue: LIKE '%needle%' prunes via the all-grams
+    intersection and stays exact; short needles fall back to a full
+    scan rather than wrong pruning."""
+    from clickhouse_25_5_3_75_stable_spark.sources.text_index import (
+        build_ngram_index,
+        like_substring_scan,
+        ngram_index_files,
+    )
+
+    table, _ = indexed_table
+    idx = str(tmp_path / "ngram_idx")
+    build_ngram_index(spark, table, "text", idx)
+
+    total = table_file_count(spark, table)
+    cand = ngram_index_files(spark, idx, "zebrafinch")
+    assert cand is not None and 0 < len(cand) < total
+
+    got = {
+        r.doc_id
+        for r in like_substring_scan(spark, table, idx, "text", "zebrafinch").collect()
+    }
+    want = {
+        r.doc_id
+        for r in spark.read.parquet(table)
+        .filter(F.col("text").contains("zebrafinch"))
+        .collect()
+    }
+    assert got == want and got
+
+    # substring spanning a word boundary (tokens can't do this)
+    got2 = {
+        r.doc_id
+        for r in like_substring_scan(spark, table, idx, "text", " zebrafinch").collect()
+    }
+    assert got2 == want  # marker always follows a space
+
+    # needle shorter than n → full-scan fallback, still exact
+    assert ngram_index_files(spark, idx, "ab") is None
+    short = like_substring_scan(spark, table, idx, "text", "ab")
+    full_short = spark.read.parquet(table).filter(F.col("text").contains("ab"))
+    assert short.count() == full_short.count()
+
+    # absent substring with valid grams → zero files, empty result
+    assert ngram_index_files(spark, idx, "qqqzzzyyy") == []
+    assert like_substring_scan(spark, table, idx, "text", "qqqzzzyyy").count() == 0
+
+
 def test_layout_write_builds_sidecar(spark, tmp_path):
     from clickhouse_25_5_3_75_stable_spark.sources.layout import (
         write_mergetree_layout,
