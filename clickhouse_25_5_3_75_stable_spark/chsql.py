@@ -476,18 +476,21 @@ def apply_settings(spark, settings: dict[str, str]):
 def enforce_result_cap(df, cap: int, mode: str = "throw"):
     """max_result_rows per the reference default result_overflow_mode =
     THROW (Settings.cpp:2606 — the query ERRORS when the result exceeds
-    the cap); 'break' truncates instead. The throw check counts at most
-    cap+1 rows (one bounded action), so the cost is one limit-scan."""
+    the cap); 'break' truncates instead. The throw path materializes
+    limit(cap+1) ONCE via an eager localCheckpoint and counts/serves
+    rows from that — one execution total, no second run when the caller
+    collects, and no count-vs-collect race on non-deterministic queries
+    (review finding). Rows live on executors, bounded by cap+1."""
     if mode == "break":
         return df.limit(cap)
-    n = df.limit(cap + 1).count()
-    if n > cap:
+    capped = df.limit(cap + 1).localCheckpoint(eager=True)
+    if capped.count() > cap:
         raise ChSqlError(
             f"max_result_rows exceeded: result has more than {cap} rows "
             "(reference: TOO_MANY_ROWS_OR_BYTES with result_overflow_mode="
             "'throw'; pass SETTINGS result_overflow_mode='break' to truncate)"
         )
-    return df
+    return capped
 
 
 def restore_settings(spark, restore: dict[str, str | None]) -> None:
@@ -1013,33 +1016,22 @@ def _rewrite_functions(toks: list[str]) -> list[str]:
             out += ["(", _len_fn(args[0]), "(", *args[0], ")", ">", "0", ")"]
         elif new == "length__":
             out += [_len_fn(args[0]), "(", *args[0], ")"]
-        elif new == "siphash64__":
-            # typed-exact sipHash64 through SQL text: typeof() of the
-            # ORIGINAL expression picks the reference's native-width
-            # encoding inside ch_siphash64_typed; multi-arg left-folds
-            # through the reference's combine (FunctionsHashing.h:195)
-            def _sip_typed(a):
-                return ["ch_siphash64_typed", "(", "CAST", "(", "(", *a, ")",
+        elif new in ("siphash64__", "cityhash64__"):
+            # typed-exact sipHash64/cityHash64 through SQL text:
+            # typeof() of the ORIGINAL expression picks the reference's
+            # typed semantics inside ch_<fn>_typed (session.py DDL);
+            # multi-arg left-folds through the reference's combine
+            # (FunctionsHashing.h:195 sip / :621 city)
+            base = "ch_siphash64" if new == "siphash64__" else "ch_cityhash64"
+
+            def _typed_call(a, _b=base):
+                return [f"{_b}_typed", "(", "CAST", "(", "(", *a, ")",
                         "AS", "STRING", ")", ",", "typeof", "(", "(", *a, ")",
                         ")", ")"]
 
-            acc = _sip_typed(args[0])
+            acc = _typed_call(args[0])
             for a in args[1:]:
-                acc = ["ch_siphash64_combine", "(", *acc, ",", *_sip_typed(a),
-                       ")"]
-            out += acc
-        elif new == "cityhash64__":
-            # typed-exact cityHash64 (v1.0.2) through SQL text; multi-
-            # arg folds through Hash128to64 (FunctionsHashing.h:621)
-            def _city_typed(a):
-                return ["ch_cityhash64_typed", "(", "CAST", "(", "(", *a, ")",
-                        "AS", "STRING", ")", ",", "typeof", "(", "(", *a, ")",
-                        ")", ")"]
-
-            acc = _city_typed(args[0])
-            for a in args[1:]:
-                acc = ["ch_cityhash64_combine", "(", *acc, ",",
-                       *_city_typed(a), ")"]
+                acc = [f"{base}_combine", "(", *acc, ",", *_typed_call(a), ")"]
             out += acc
         elif new == "div__":
             # CH intDiv TRUNCATES toward zero (intDiv(-7,2) = -3):
@@ -1052,7 +1044,10 @@ def _rewrite_functions(toks: list[str]) -> list[str]:
             # precision past 2^53). ANSI /0 throw matches the
             # reference's ILLEGAL_DIVISION.
             a, b = args[0], args[1]
-            dec = "DECIMAL(38,9)"
+            # scale 18: Int64-exact AND double-exact (shortest repr
+            # ≤17 sig digits), so operand rounding can't push the
+            # truncated quotient across an integer boundary
+            dec = "DECIMAL(38,18)"
             out += ["(", "CAST", "(", "(", *a, ")", "AS", dec, ")", "DIV",
                     "CAST", "(", "(", *b, ")", "AS", dec, ")", ")"]
         elif new == "yesterday__":

@@ -22,9 +22,18 @@ contrib source nor a vector table, so "exact" here means "exact per
 the published v1.0.2 algorithm, dual-transcription cross-checked" —
 the same claim strength the sharding/sampling use case needs.
 
-Zero driver-side work: hashing runs as an Arrow-batched pandas UDF
-over Spark-side-encoded BINARY (the same typed encoding as sipHash64,
-functions/siphash.py _encode_auto), so results never depend on batch
+Typed semantics (review-round correction): unlike sipHash64
+(use_int_hash_for_pods=false → raw native-width bytes), the
+reference's ImplCityHash64 sets use_int_hash_for_pods=TRUE
+(FunctionsHashing.h:623), so POD columns (ints, Date, DateTime, Bool,
+floats) hash via ``intHash64(bit_cast<UInt64>(v) ^ salt)`` — the
+MurmurHash3 finalizer — with ZERO-extension for narrow types
+(base/bit_cast.h), and only String columns go through CityHash64 of
+the bytes. NULL hashes to NULL (FunctionsHashing.h:869). All of that
+is mirrored in cityhash64_auto below.
+
+Zero driver-side work: hashing runs as Arrow-batched pandas UDFs over
+Spark-side-prepared values, so results never depend on batch
 composition and the operator scales with executor count.
 """
 
@@ -56,6 +65,33 @@ def _rot(v: int, s: int) -> int:
 
 def _shift_mix(v: int) -> int:
     return v ^ (v >> 47)
+
+
+def inthash64_py(x: int) -> int:
+    """The reference's POD-column path for cityHash64: ImplCityHash64
+    sets use_int_hash_for_pods=true (FunctionsHashing.h:623), so every
+    numeric/Date/DateTime/Bool column hashes as
+    ``intHash64(bit_cast<UInt64>(v) ^ 0x4CF2D2BAAE6DA887)`` — the
+    MurmurHash3 finalizer (Common/HashTable/Hash.h:27) — NOT CityHash64
+    over the value bytes (review-round finding). ``bit_cast`` of
+    narrower types ZERO-extends (base/bit_cast.h:14: Int8(-1) → 255)."""
+    x = (x ^ 0x4CF2D2BAAE6DA887) & _M64
+    x ^= x >> 33
+    x = (x * 0xFF51AFD7ED558CCD) & _M64
+    x ^= x >> 33
+    x = (x * 0xC4CEB9FE1A85EC53) & _M64
+    x ^= x >> 33
+    return x
+
+
+def _np_inthash64(x: np.ndarray) -> np.ndarray:
+    x = x ^ _U(0x4CF2D2BAAE6DA887)
+    x = x ^ (x >> _U(33))
+    x = x * _U(0xFF51AFD7ED558CCD)
+    x = x ^ (x >> _U(33))
+    x = x * _U(0xC4CEB9FE1A85EC53)
+    x = x ^ (x >> _U(33))
+    return x
 
 
 def hash128to64_py(lo: int, hi: int) -> int:
@@ -394,74 +430,171 @@ _UDF_CACHE: dict[str, object] = {}
 
 
 def _udf():
-    """Binary-input CityHash64 pandas UDF. Like sipHash64's, the
-    per-type encoding happens Spark-side (_encode_auto/_encode_for_hash)
-    so bytes never depend on Arrow batch composition."""
+    """Binary-input CityHash64 pandas UDF (the STRING path — the
+    reference applies CityHash64 to string bytes only; POD columns go
+    through _int_udf below). NULL propagates NULL (FunctionsHashing.h:
+    869 'someHash(NULL) is NULL')."""
     if "binary" not in _UDF_CACHE:
 
         @pandas_udf("long")
         def _city_binary(s: pd.Series) -> pd.Series:
+            mask = [v is None for v in s]
             data = [b"" if v is None else bytes(v) for v in s]
-            return pd.Series(_cityhash64_np(data).astype(np.int64))
+            out = pd.array(_cityhash64_np(data).astype(np.int64), dtype="Int64")
+            out[np.array(mask, dtype=bool)] = pd.NA
+            return pd.Series(out, dtype="Int64")
 
         _UDF_CACHE["binary"] = _city_binary
     return _UDF_CACHE["binary"]
 
 
+def _int_udf():
+    """POD path: value arrives as the zero-extended UInt64 bit pattern
+    (masking happens Spark-side per width); the UDF applies the
+    reference's intHash64(x ^ salt) finalizer. Vectorized, NULL-safe."""
+    if "int" not in _UDF_CACHE:
+
+        @pandas_udf("long")
+        def _city_int(s: pd.Series) -> pd.Series:
+            arr = pd.array(s, dtype="Int64")
+            mask = arr.isna()
+            vals = arr.fillna(0).to_numpy(dtype=np.int64).astype(np.uint64)
+            out = pd.array(_np_inthash64(vals).astype(np.int64), dtype="Int64")
+            out[np.asarray(mask)] = pd.NA
+            return pd.Series(out, dtype="Int64")
+
+        _UDF_CACHE["int"] = _city_int
+    return _UDF_CACHE["int"]
+
+
+def _f64_udf():
+    """Float64 POD path: bit_cast = the raw IEEE-754 bits (the UDF sees
+    the double, so the view is exact; Spark SQL has no doubleToLongBits
+    expression). NULL (None→NaN in pandas) is handled by the
+    expression-level isNull wrap in cityhash64_auto."""
+    if "f64" not in _UDF_CACHE:
+
+        @pandas_udf("long")
+        def _city_f64(s: pd.Series) -> pd.Series:
+            vals = s.to_numpy(dtype=np.float64).view(np.uint64)
+            return pd.Series(_np_inthash64(vals).astype(np.int64))
+
+        _UDF_CACHE["f64"] = _city_f64
+    return _UDF_CACHE["f64"]
+
+
+def _f32_udf():
+    """Float32 POD path: 4-byte IEEE bits, zero-extended to UInt64."""
+    if "f32" not in _UDF_CACHE:
+
+        @pandas_udf("long")
+        def _city_f32(s: pd.Series) -> pd.Series:
+            vals = (
+                s.to_numpy(dtype=np.float32).view(np.uint32).astype(np.uint64)
+            )
+            return pd.Series(_np_inthash64(vals).astype(np.int64))
+
+        _UDF_CACHE["f32"] = _city_f32
+    return _UDF_CACHE["f32"]
+
+
 def _combine_udf():
     """cityHash64(a, b) combine = Hash128to64(uint128(h1, h2))
-    (FunctionsHashing.h:621). Pure uint64 math — vectorized numpy."""
+    (FunctionsHashing.h:621). Pure uint64 math — vectorized numpy,
+    NULL propagates."""
     if "combine" not in _UDF_CACHE:
 
         @pandas_udf("long")
         def _city_combine(h1: pd.Series, h2: pd.Series) -> pd.Series:
-            a = h1.fillna(0).to_numpy(dtype=np.int64).astype(np.uint64)
-            b = h2.fillna(0).to_numpy(dtype=np.int64).astype(np.uint64)
-            return pd.Series(_np_hash128to64(a, b).astype(np.int64))
+            a1 = pd.array(h1, dtype="Int64")
+            a2 = pd.array(h2, dtype="Int64")
+            mask = a1.isna() | a2.isna()
+            a = a1.fillna(0).to_numpy(dtype=np.int64).astype(np.uint64)
+            b = a2.fillna(0).to_numpy(dtype=np.int64).astype(np.uint64)
+            out = pd.array(_np_hash128to64(a, b).astype(np.int64), dtype="Int64")
+            out[np.asarray(mask)] = pd.NA
+            return pd.Series(out, dtype="Int64")
 
         _UDF_CACHE["combine"] = _city_combine
     return _UDF_CACHE["combine"]
 
 
 def cityhash64_auto(col) -> Column:
-    """cityHash64 with the reference's native-width typed encoding
-    inferred from the Spark type (same typeof() dispatch as
-    sipHash64 — functions/siphash.py _encode_auto)."""
-    from clickhouse_25_5_3_75_stable_spark.functions.siphash import _encode_auto
-
+    """cityHash64 with the reference's exact typed semantics
+    (FunctionsHashing.h executeIntType): String → CityHash64 of the
+    UTF-8 bytes; every POD type → intHash64 of the ZERO-extended
+    UInt64 bit pattern (bit_cast semantics — Int32(-7) widens to
+    0xFFFFFFF9, not sign-extended); Float64/32 → intHash64 of the IEEE
+    bits; NULL → NULL. Decimal/other types fall back to the string
+    rendering (documented divergence)."""
     col = F.col(col) if isinstance(col, str) else col
-    return _udf()(_encode_auto(col))
+    s = col.cast("string")
+    t = F.call_function("typeof", col)
+    b = s.cast("bigint")
+    pod = _int_udf()
+    h = (
+        F.when(t == "string", _udf()(F.encode(s, "UTF-8")))
+        .when(t == "bigint", pod(b))
+        .when(t == "int", pod(b.bitwiseAND(F.lit(0xFFFFFFFF))))
+        .when(t == "smallint", pod(b.bitwiseAND(F.lit(0xFFFF))))
+        .when(t == "tinyint", pod(b.bitwiseAND(F.lit(0xFF))))
+        .when(t == "boolean", pod(s.cast("boolean").cast("bigint")))
+        .when(
+            t == "date",
+            pod(F.datediff(s.cast("date"), F.lit("1970-01-01")).cast("bigint")),
+        )
+        .when(
+            t == "timestamp",
+            pod(
+                F.unix_timestamp(s.cast("timestamp")).bitwiseAND(
+                    F.lit(0xFFFFFFFF)
+                )
+            ),
+        )
+        .when(t == "double", _f64_udf()(s.cast("double")))
+        .when(t == "float", _f32_udf()(s.cast("float")))
+        .otherwise(_udf()(F.encode(s, "UTF-8")))
+    )
+    return F.when(col.isNull(), F.lit(None).cast("long")).otherwise(h)
 
 
 def cityhash64_chain(*cols) -> Column:
     """Multi-argument cityHash64 exactly as the reference combines it:
-    h = Hash128to64(uint128(h_prev, h_i)), left-folded."""
-    hs = [cityhash64_auto(c) for c in cols]
+    h = Hash128to64(uint128(h_prev, h_i)), left-folded; any NULL
+    argument makes the whole result NULL (default null behavior)."""
+    cs = [F.col(c) if isinstance(c, str) else c for c in cols]
+    hs = [cityhash64_auto(c) for c in cs]
     h = hs[0]
     for nxt in hs[1:]:
         h = _combine_udf()(h, nxt)
-    return h
+    any_null = cs[0].isNull()
+    for c in cs[1:]:
+        any_null = any_null | c.isNull()
+    return F.when(any_null, F.lit(None).cast("long")).otherwise(h)
 
 
 def cityhash64_sql_ddl() -> list[str]:
     """SQL entry points (session.py registers them): the chsql shim
     rewrites cityHash64(x) → ch_cityhash64_typed(CAST(x AS STRING),
-    typeof(x)) and folds multi-arg through ch_cityhash64_combine."""
-    from clickhouse_25_5_3_75_stable_spark.functions.siphash import _le_bytes_sql
-
-    enc = f"""CASE t
-      WHEN 'string' THEN encode(s, 'utf-8')
-      WHEN 'bigint' THEN {_le_bytes_sql('s', 8)}
-      WHEN 'int' THEN {_le_bytes_sql('s', 4)}
-      WHEN 'smallint' THEN {_le_bytes_sql('s', 2)}
-      WHEN 'tinyint' THEN {_le_bytes_sql('s', 1)}
-      WHEN 'boolean' THEN {_le_bytes_sql('CAST(CAST(s AS BOOLEAN) AS BIGINT)', 1)}
-      WHEN 'date' THEN {_le_bytes_sql("datediff(CAST(s AS DATE), DATE'1970-01-01')", 2)}
-      WHEN 'timestamp' THEN {_le_bytes_sql('unix_timestamp(CAST(s AS TIMESTAMP))', 4)}
-      ELSE encode(s, 'utf-8') END"""
+    typeof(x)) and folds multi-arg through ch_cityhash64_combine.
+    The CASE mirrors cityhash64_auto exactly: strings → CityHash64
+    bytes, PODs → intHash64 of the zero-extended bit pattern,
+    floats → IEEE-bits UDFs, NULL → NULL."""
+    enc = """CASE t
+      WHEN 'string' THEN cityHash64_bin(encode(s, 'utf-8'))
+      WHEN 'bigint' THEN cityHash64_pod(CAST(s AS BIGINT))
+      WHEN 'int' THEN cityHash64_pod(CAST(s AS BIGINT) & 4294967295)
+      WHEN 'smallint' THEN cityHash64_pod(CAST(s AS BIGINT) & 65535)
+      WHEN 'tinyint' THEN cityHash64_pod(CAST(s AS BIGINT) & 255)
+      WHEN 'boolean' THEN cityHash64_pod(CAST(CAST(s AS BOOLEAN) AS BIGINT))
+      WHEN 'date' THEN cityHash64_pod(CAST(datediff(CAST(s AS DATE), DATE'1970-01-01') AS BIGINT))
+      WHEN 'timestamp' THEN cityHash64_pod(unix_timestamp(CAST(s AS TIMESTAMP)) & 4294967295)
+      WHEN 'double' THEN cityHash64_f64(CAST(s AS DOUBLE))
+      WHEN 'float' THEN cityHash64_f32(CAST(s AS FLOAT))
+      ELSE cityHash64_bin(encode(s, 'utf-8')) END"""
     return [
         "CREATE OR REPLACE TEMPORARY FUNCTION ch_cityhash64_typed(s STRING, t STRING) "
-        f"RETURNS BIGINT RETURN cityHash64_bin({enc})",
+        f"RETURNS BIGINT RETURN IF(s IS NULL, CAST(NULL AS BIGINT), {enc})",
         # the combine is itself a registered python UDF (pure uint64
         # math), exposed directly under the SQL name
     ]

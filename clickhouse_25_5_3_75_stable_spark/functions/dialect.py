@@ -18,13 +18,15 @@ Notes on fidelity:
   UTF-8 bytes, Int64/32/16/8 → native LE widths, Date → UInt16 days,
   DateTime → UInt32 seconds (FunctionsHashing.h hashes each type's
   binary representation); multi-arg chains per combineHashesFunc
-  (sipHash64(le8(h1) || le8(h2))). Exactness scope: typed COLUMNS are
-  bit-exact; integer LITERALS follow Spark typing (CH narrows `1` to
-  UInt8, Spark types it int); double/decimal inputs fall back to the
-  string rendering (no doubleToLongBits in Spark SQL).
+  (sipHash64(le8(h1) || le8(h2))); Float64/32 columns hash their raw
+  IEEE bits (dedicated UDF branches); hash(NULL) is NULL like the
+  reference. Exactness scope: typed COLUMNS are bit-exact; integer
+  LITERALS follow Spark typing (CH narrows `1` to UInt8, Spark types
+  it int); decimal inputs fall back to the string rendering; BINARY
+  columns need the explicit siphash64(col, ctype='binary') form.
   farmHash64/metroHash64 remain capability-mapped to xxhash64 (their
   exact algorithms are bundled third-party code the reference snapshot
-  does not ship); cityHash64 is exact — functions/cityhash.py.
+  does not ship); cityHash64 is exact — functions/cityhash.py: CityHash v1.0.2 for strings, the reference's intHash64 POD path for numeric/Date/DateTime columns, Hash128to64 combine, NULL → NULL.
 - toDayOfWeek follows ClickHouse semantics (Mon=1..Sun=7), translated
   from Spark's dayofweek (Sun=1..Sat=7).
 """
@@ -423,9 +425,14 @@ _reg("divide")(lambda a, b: _c(a) / _c(b))
 # routing keeps Int64 exact and accepts fractional operands like the
 # reference (trunc(a/b)); Spark's `div` truncates and throws on /0
 # under ANSI exactly like the reference's ILLEGAL_DIVISION.
+# scale 18 keeps Int64 exact (20 integer digits) AND makes the
+# double→decimal cast exact for any double (shortest-repr ≤17
+# significant digits), so trunc(a/b) can't be pushed across an
+# integer boundary by operand rounding (review finding: scale 9
+# rounded 0.9999999999 up to 1 before dividing)
 _reg("intDiv")(
     lambda a, b: F.call_function(
-        "div", _c(a).cast("decimal(38,9)"), _c(b).cast("decimal(38,9)")
+        "div", _c(a).cast("decimal(38,18)"), _c(b).cast("decimal(38,18)")
     )
 )
 _reg("modulo", "mod")(lambda a, b: _c(a) % _c(b))

@@ -84,12 +84,14 @@ _reg("moduloLegacy")(lambda a, b: _c(a) % _c(b))
 # DivideIntegralOrZeroImpl returns 0 where division would FPE);
 # the b==0 guard keeps ANSI from throwing before the fallback applies
 def _int_div_or(a, b, fallback) -> Column:
-    bd = _c(b).cast("decimal(38,9)")
-    # the fallback applies ONLY where division would FPE (b == 0);
-    # NULL inputs still propagate NULL like the reference's Nullable
-    return F.when(bd == 0, fallback).otherwise(
-        F.call_function("div", _c(a).cast("decimal(38,9)"), bd)
-    )
+    ad = _c(a).cast("decimal(38,18)")
+    bd = _c(b).cast("decimal(38,18)")
+    # the fallback applies exactly where the reference's
+    # divisionLeadsToFPE does (DivisionUtils.h:34): b == 0 OR
+    # INT64_MIN / -1 (the latter would ARITHMETIC_OVERFLOW under
+    # ANSI — review finding); NULL inputs still propagate NULL
+    fpe = (bd == 0) | ((ad == -9223372036854775808) & (bd == -1))
+    return F.when(fpe, fallback).otherwise(F.call_function("div", ad, bd))
 
 
 _reg("intDivOrZero")(lambda a, b: _int_div_or(a, b, F.lit(0)))

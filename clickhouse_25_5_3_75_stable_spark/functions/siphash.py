@@ -149,22 +149,50 @@ def _udf(kind: str = "binary"):
     if kind not in _UDF_CACHE:
         if kind == "str":
             # SQL-registered form (sipHash64('...') in query text):
-            # UTF-8 of the string rendering
+            # UTF-8 of the string rendering; NULL → NULL
+            # (FunctionsHashing.h:869 'someHash(NULL) is NULL')
             @pandas_udf("long")
             def _sip_str(s: pd.Series) -> pd.Series:
-                data = [b"" if v is None else str(v).encode("utf-8") for v in s]
-                return pd.Series(_siphash64_np(data).astype(np.int64))
+                return _null_safe_hash(s, lambda v: str(v).encode("utf-8"))
 
             _UDF_CACHE[kind] = _sip_str
+        elif kind == "f64":
+            # Float64 column: hash the 8 raw IEEE-754 bytes
+            # (use_int_hash_for_pods=false for sipHash64 — raw LE
+            # bytes at native width; the UDF sees the double so the
+            # bit view is exact)
+            @pandas_udf("long")
+            def _sip_f64(s: pd.Series) -> pd.Series:
+                vals = s.to_numpy(dtype=np.float64).view(np.uint64)
+                data = [int(v).to_bytes(8, "little") for v in vals]
+                return pd.Series(_siphash64_np(data).astype(np.int64))
+
+            _UDF_CACHE[kind] = _sip_f64
+        elif kind == "f32":
+
+            @pandas_udf("long")
+            def _sip_f32(s: pd.Series) -> pd.Series:
+                vals = s.to_numpy(dtype=np.float32).view(np.uint32)
+                data = [int(v).to_bytes(4, "little") for v in vals]
+                return pd.Series(_siphash64_np(data).astype(np.int64))
+
+            _UDF_CACHE[kind] = _sip_f32
         else:
 
             @pandas_udf("long")
             def _sip_binary(s: pd.Series) -> pd.Series:
-                data = [b"" if v is None else bytes(v) for v in s]
-                return pd.Series(_siphash64_np(data).astype(np.int64))
+                return _null_safe_hash(s, bytes)
 
             _UDF_CACHE[kind] = _sip_binary
     return _UDF_CACHE[kind]
+
+
+def _null_safe_hash(s: pd.Series, to_bytes) -> pd.Series:
+    mask = np.array([v is None for v in s], dtype=bool)
+    data = [b"" if v is None else to_bytes(v) for v in s]
+    out = pd.array(_siphash64_np(data).astype(np.int64), dtype="Int64")
+    out[mask] = pd.NA
+    return pd.Series(out, dtype="Int64")
 
 
 def _le_bytes(col: Column, n_bytes: int) -> Column:
@@ -202,21 +230,24 @@ def siphash64_sql_ddl() -> list[str]:
     Both are Spark SQL scalar functions whose bodies stay JVM-side up
     to the single binary-input pandas UDF sipHash64_bin."""
     enc = f"""CASE t
-      WHEN 'string' THEN encode(s, 'utf-8')
-      WHEN 'bigint' THEN {_le_bytes_sql('s', 8)}
-      WHEN 'int' THEN {_le_bytes_sql('s', 4)}
-      WHEN 'smallint' THEN {_le_bytes_sql('s', 2)}
-      WHEN 'tinyint' THEN {_le_bytes_sql('s', 1)}
-      WHEN 'boolean' THEN {_le_bytes_sql('CAST(CAST(s AS BOOLEAN) AS BIGINT)', 1)}
-      WHEN 'date' THEN {_le_bytes_sql("datediff(CAST(s AS DATE), DATE'1970-01-01')", 2)}
-      WHEN 'timestamp' THEN {_le_bytes_sql('unix_timestamp(CAST(s AS TIMESTAMP))', 4)}
-      ELSE encode(s, 'utf-8') END"""
+      WHEN 'double' THEN sipHash64_f64(CAST(s AS DOUBLE))
+      WHEN 'float' THEN sipHash64_f32(CAST(s AS FLOAT))
+      WHEN 'string' THEN sipHash64_bin(encode(s, 'utf-8'))
+      WHEN 'bigint' THEN sipHash64_bin({_le_bytes_sql('s', 8)})
+      WHEN 'int' THEN sipHash64_bin({_le_bytes_sql('s', 4)})
+      WHEN 'smallint' THEN sipHash64_bin({_le_bytes_sql('s', 2)})
+      WHEN 'tinyint' THEN sipHash64_bin({_le_bytes_sql('s', 1)})
+      WHEN 'boolean' THEN sipHash64_bin({_le_bytes_sql('CAST(CAST(s AS BOOLEAN) AS BIGINT)', 1)})
+      WHEN 'date' THEN sipHash64_bin({_le_bytes_sql("datediff(CAST(s AS DATE), DATE'1970-01-01')", 2)})
+      WHEN 'timestamp' THEN sipHash64_bin({_le_bytes_sql('unix_timestamp(CAST(s AS TIMESTAMP))', 4)})
+      ELSE sipHash64_bin(encode(s, 'utf-8')) END"""
     return [
         "CREATE OR REPLACE TEMPORARY FUNCTION ch_siphash64_typed(s STRING, t STRING) "
-        f"RETURNS BIGINT RETURN sipHash64_bin({enc})",
+        f"RETURNS BIGINT RETURN IF(s IS NULL, CAST(NULL AS BIGINT), {enc})",
         "CREATE OR REPLACE TEMPORARY FUNCTION ch_siphash64_combine(h1 BIGINT, h2 BIGINT) "
-        f"RETURNS BIGINT RETURN sipHash64_bin(concat({_le_bytes_sql('h1', 8)}, "
-        f"{_le_bytes_sql('h2', 8)}))",
+        "RETURNS BIGINT RETURN IF(h1 IS NULL OR h2 IS NULL, CAST(NULL AS BIGINT), "
+        f"sipHash64_bin(concat({_le_bytes_sql('h1', 8)}, "
+        f"{_le_bytes_sql('h2', 8)})))",
     ]
 
 
@@ -243,6 +274,10 @@ def _encode_for_hash(col: Column, ctype: str) -> Column:
         return _le_bytes(F.unix_timestamp(c.cast("timestamp")), 4)
     if ctype == "date":
         return _le_bytes(F.datediff(c.cast("date"), F.lit("1970-01-01")), 2)
+    if ctype == "binary":
+        # raw bytes, hashed as-is (review finding: the string round
+        # trip would mangle non-UTF8 payloads)
+        return c
     raise ValueError(f"siphash64: unsupported ctype {ctype!r}")
 
 
@@ -274,22 +309,39 @@ def _encode_auto(col: Column) -> Column:
 def siphash64_auto(col) -> Column:
     """sipHash64 with the input's native-width encoding inferred from
     its Spark type — exact reference values for String/Int*/Date/
-    DateTime columns (see _encode_auto). NOTE: integer LITERALS follow
-    Spark typing (`1` is int → 4 bytes) where ClickHouse narrows
-    literals (`1` is UInt8 → 1 byte); typed COLUMNS reproduce exactly."""
+    DateTime columns (see _encode_auto) and for Float64/32 columns
+    (raw IEEE bits via dedicated UDF branches). NULL → NULL
+    (FunctionsHashing.h:869). NOTE: integer LITERALS follow Spark
+    typing (`1` is int → 4 bytes) where ClickHouse narrows literals
+    (`1` is UInt8 → 1 byte); typed COLUMNS reproduce exactly. BINARY
+    columns need the explicit siphash64(col, ctype='binary') form —
+    typeof dispatch cannot route them losslessly through the common
+    string cast (documented divergence of the auto path)."""
     col = F.col(col) if isinstance(col, str) else col
-    return _udf()(_encode_auto(col))
+    s = col.cast("string")
+    t = F.call_function("typeof", col)
+    h = (
+        F.when(t == "double", _udf("f64")(s.cast("double")))
+        .when(t == "float", _udf("f32")(s.cast("float")))
+        .otherwise(_udf()(_encode_auto(col)))
+    )
+    return F.when(col.isNull(), F.lit(None).cast("long")).otherwise(h)
 
 
 def siphash64_chain(*cols) -> Column:
     """Multi-argument sipHash64 exactly as the reference combines it
     (FunctionsHashing.h:195 combineHashesFunc): h = sipHash64(
-    le8(h_prev) || le8(h_i)), left-folded over per-argument hashes."""
-    hs = [siphash64_auto(c) for c in cols]
+    le8(h_prev) || le8(h_i)), left-folded over per-argument hashes.
+    Any NULL argument → NULL result (default null behavior)."""
+    cs = [F.col(c) if isinstance(c, str) else c for c in cols]
+    hs = [siphash64_auto(c) for c in cs]
     h = hs[0]
     for nxt in hs[1:]:
         h = _udf()(F.concat(_le_bytes(h, 8), _le_bytes(nxt, 8)))
-    return h
+    any_null = cs[0].isNull()
+    for c in cs[1:]:
+        any_null = any_null | c.isNull()
+    return F.when(any_null, F.lit(None).cast("long")).otherwise(h)
 
 
 def siphash64(col, ctype: str = "string") -> Column:

@@ -444,7 +444,8 @@ def _jaro_series(a: pd.Series, b: pd.Series, winkler: bool) -> pd.Series:
     # pays the per-row price. The L² column-op budget stays bounded by
     # the cap regardless of outliers in the batch.
     long_mask = np.array(
-        [max(len(x), len(y)) > _JARO_VEC_MAX_LEN for x, y in zip(a_list, b_list)]
+        [max(len(x), len(y)) > _JARO_VEC_MAX_LEN for x, y in zip(a_list, b_list)],
+        dtype=bool,  # empty batch would otherwise infer float64 and break ~
     )
     out = np.zeros(n, dtype=np.float64)
     if (~long_mask).any():

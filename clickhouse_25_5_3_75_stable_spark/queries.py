@@ -1255,28 +1255,49 @@ _CITY_FIXTURES: list[tuple[int, str, int]] = [
             for sid, _, h in _CITY_FIXTURES
         )
         + ", (CAST(100 AS INT), CAST(966684281678495360 AS BIGINT))"
-        + ", (CAST(101 AS INT), CAST(-7429745780926048326 AS BIGINT))"
+        + ", (CAST(101 AS INT), CAST(-1724622929965457696 AS BIGINT))"
+        + ", (CAST(102 AS INT), CAST(-1188467860879622759 AS BIGINT))"
+        + ", (CAST(103 AS INT), CAST(7287324520655339053 AS BIGINT))"
         + ") AS t(sid, h) ORDER BY sid"
     ),
     tags=("functions", "hash", "cityhash"),
 )
 def func_cityhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """cityHash64 EXACT values (reference FunctionsHashing.h:619-622 =
-    CityHash_v1_0_2::CityHash64 + Hash128to64 combine) against
-    checked-in vectors covering every length class, the multi-argument
-    combine, and a typed Int64 input. The oracle is the pinned vector
-    table itself — the same pattern sipHash64 uses."""
+    """cityHash64 EXACT values (reference FunctionsHashing.h:619-623 =
+    CityHash_v1_0_2::CityHash64 for strings, intHash64(bit_cast ^ salt)
+    for POD columns — use_int_hash_for_pods=true — and Hash128to64
+    combine) against checked-in vectors covering every string length
+    class, the multi-argument combine, and Int64/Date/Float64 typed
+    inputs. The oracle is the pinned vector table itself — the same
+    pattern sipHash64 uses."""
+    import datetime as _dt
+
     base = spark.createDataFrame(
         [(sid, s) for sid, s, _ in _CITY_FIXTURES], "sid int, s string"
     ).select("sid", ch("cityHash64", F.col("s")).alias("h"))
-    extra = spark.createDataFrame(
-        [("hello", "world", 12345)], "a string, b string, k long"
-    ).select(
-        F.lit(100).alias("sid"),
-        ch("cityHash64", F.col("a"), F.col("b")).alias("h"),
-    ).unionByName(
-        spark.createDataFrame([(12345,)], "k long").select(
-            F.lit(101).alias("sid"), ch("cityHash64", F.col("k")).alias("h")
+    typed = spark.createDataFrame(
+        [("hello", "world", 12345, _dt.date(2024, 3, 5), 1.5)],
+        "a string, b string, k long, d date, x double",
+    )
+    extra = (
+        typed.select(
+            F.lit(100).alias("sid"),
+            ch("cityHash64", F.col("a"), F.col("b")).alias("h"),
+        )
+        .unionByName(
+            typed.select(
+                F.lit(101).alias("sid"), ch("cityHash64", F.col("k")).alias("h")
+            )
+        )
+        .unionByName(
+            typed.select(
+                F.lit(102).alias("sid"), ch("cityHash64", F.col("d")).alias("h")
+            )
+        )
+        .unionByName(
+            typed.select(
+                F.lit(103).alias("sid"), ch("cityHash64", F.col("x")).alias("h")
+            )
         )
     )
     return base.unionByName(extra).orderBy("sid")

@@ -83,22 +83,19 @@ def register_sql_udfs(spark: SparkSession) -> None:
     # so CH SQL gets the reference's native-width typed hashing.
     spark.udf.register("sipHash64", _sip_udf("str"))
     spark.udf.register("sipHash64_bin", _sip_udf("binary"))
+    spark.udf.register("sipHash64_f64", _sip_udf("f64"))
+    spark.udf.register("sipHash64_f32", _sip_udf("f32"))
     for ddl in siphash64_sql_ddl():
         spark.sql(ddl)
 
-    from clickhouse_25_5_3_75_stable_spark.functions.cityhash import (
-        _combine_udf as _city_combine,
-    )
-    from clickhouse_25_5_3_75_stable_spark.functions.cityhash import (
-        _udf as _city_udf,
-    )
-    from clickhouse_25_5_3_75_stable_spark.functions.cityhash import (
-        cityhash64_sql_ddl,
-    )
+    from clickhouse_25_5_3_75_stable_spark.functions import cityhash as _city
 
-    spark.udf.register("cityHash64_bin", _city_udf())
-    spark.udf.register("ch_cityhash64_combine", _city_combine())
-    for ddl in cityhash64_sql_ddl():
+    spark.udf.register("cityHash64_bin", _city._udf())
+    spark.udf.register("cityHash64_pod", _city._int_udf())
+    spark.udf.register("cityHash64_f64", _city._f64_udf())
+    spark.udf.register("cityHash64_f32", _city._f32_udf())
+    spark.udf.register("ch_cityhash64_combine", _city._combine_udf())
+    for ddl in _city.cityhash64_sql_ddl():
         spark.sql(ddl)
     spark.udf.register("geohashEncode", _encode_udf())
     spark.udf.register("geohashDecode", _decode_udf())

@@ -167,10 +167,22 @@ def system_formats(spark: SparkSession) -> DataFrame:
         ("Regexp", 1, 0), ("Values", 1, 0), ("RowBinary", 1, 1),
         ("Native", 1, 1), ("Pretty", 0, 1), ("Vertical", 0, 1),
         # round 3: MsgPack implemented from the public spec
-        # (msgpack_fmt.py); Protobuf jar-gated (protobuf_shim.py)
-        ("MsgPack", 1, 1), ("Protobuf", 1, 1), ("ProtobufSingle", 1, 0),
+        ("MsgPack", 1, 1),
     ]
     rows = [(n, i, o, None) for n, i, o in native]
+    # Protobuf is honest about the classpath: supported when the
+    # spark-protobuf jar is loadable, excluded-with-reason otherwise
+    # (review finding: an unconditional is_input=1 row pointed users
+    # at a NotImplementedError)
+    from clickhouse_25_5_3_75_stable_spark.sources.protobuf_shim import (
+        protobuf_available,
+    )
+
+    if protobuf_available(spark):
+        rows += [("Protobuf", 1, 1, None), ("ProtobufSingle", 1, 0, None)]
+    else:
+        why = "spark-protobuf jar not on the classpath (sources/protobuf_shim.py has the recipe)"
+        rows += [("Protobuf", 0, 0, why), ("ProtobufSingle", 0, 0, why)]
     rows += [(n, 0, 0, why) for n, why in sorted(FORMAT_EXCLUSIONS.items())]
     return spark.createDataFrame(
         rows, "name string, is_input int, is_output int, exclusion_reason string"

@@ -624,6 +624,34 @@ def test_intdiv_truncates_and_arrayslice_two_arg(spark):
     assert ch_sql(spark, "SELECT intDiv(-7, -2) AS v").collect()[0].v == 3
     assert ch_sql(spark, "SELECT intDiv(9223372036854775807, 1) AS v").collect()[0].v == 9223372036854775807
     assert ch_sql(spark, "SELECT intDiv(7.9, 2) AS v").collect()[0].v == 3
+    # review finding: scale-9 decimal rounded 0.9999999999 up to 1
+    assert ch_sql(spark, "SELECT intDiv(0.9999999999, 1) AS v").collect()[0].v == 0
+
+
+def test_intdiv_orzero_ornull_fpe_cases(spark):
+    from pyspark.sql import functions as F
+
+    from clickhouse_25_5_3_75_stable_spark.functions.dialect_extras import (
+        CH_FUNCTIONS,
+    )
+
+    oz = CH_FUNCTIONS["intdivorzero"]
+    on = CH_FUNCTIONS["intdivornull"]
+    df = spark.createDataFrame(
+        [(-9223372036854775808, -1), (7, 0), (-7, 2)], "a long, b long"
+    )
+    rows = {
+        (r.a, r.b): (r.z, r.n)
+        for r in df.select(
+            "a", "b", oz(F.col("a"), F.col("b")).alias("z"),
+            on(F.col("a"), F.col("b")).alias("n"),
+        ).collect()
+    }
+    # INT64_MIN / -1 would ARITHMETIC_OVERFLOW under ANSI; the
+    # reference's divisionLeadsToFPE returns the fallback instead
+    assert rows[(-9223372036854775808, -1)] == (0, None)
+    assert rows[(7, 0)] == (0, None)
+    assert rows[(-7, 2)] == (-3, -3)  # truncation, not floor
     assert ch_sql(spark, "SELECT arraySlice([1,2,3,4,5], 2) AS v").collect()[0].v == [2, 3, 4, 5]
     assert ch_sql(spark, "SELECT arraySlice([1,2,3,4,5], -2) AS v").collect()[0].v == [4, 5]
 

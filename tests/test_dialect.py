@@ -491,6 +491,23 @@ def test_siphash64_auto_dispatch_and_chain(spark):
     secs = int(_dt.datetime(2024, 3, 5, 12, tzinfo=_dt.timezone.utc).timestamp())
     assert ht == as_i64(siphash64_py(secs.to_bytes(4, "little")))
 
+    # Float64 → raw IEEE bits (8 bytes), exact (review finding: doubles
+    # previously fell back to the string rendering)
+    dfx = spark.createDataFrame([(1.5,)], "x double")
+    hx = dfx.select(ch("sipHash64", F.col("x")).alias("h")).collect()[0].h
+    bits = int(np.float64(1.5).view(np.uint64))
+    assert hx == as_i64(siphash64_py(bits.to_bytes(8, "little")))
+
+    # NULL → NULL (FunctionsHashing.h:869), incl. one NULL arg of many
+    dfn = spark.createDataFrame([(None, "a")], "n string, a string")
+    rn = dfn.select(
+        ch("sipHash64", F.col("n")).alias("h1"),
+        ch("sipHash64", F.col("a"), F.col("n")).alias("h2"),
+    ).collect()[0]
+    assert rn.h1 is None and rn.h2 is None
+    r3 = ch_sql(spark, "SELECT sipHash64(n) AS h FROM (SELECT CAST(NULL AS STRING) AS n)").collect()[0]
+    assert r3.h is None
+
 
 def test_siphash64_typed_inputs(spark):
     """sipHash64 with explicit ctype hashes the reference's native

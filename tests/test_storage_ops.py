@@ -400,9 +400,18 @@ def test_system_tables_wide_surface(spark, tmp_path):
 
     fmts = {r.name: r for r in system_formats(spark).collect()}
     assert fmts["Parquet"].is_input == 1 and fmts["Pretty"].is_input == 0
-    # Protobuf/MsgPack graduated to real shims in round 3
-    assert fmts["Protobuf"].is_input == 1 and fmts["Protobuf"].exclusion_reason is None
+    # MsgPack graduated to a real shim in round 3; Protobuf reports
+    # honestly based on whether the spark-protobuf jar is loadable
     assert fmts["MsgPack"].is_input == 1
+    from clickhouse_25_5_3_75_stable_spark.sources.protobuf_shim import (
+        protobuf_available,
+    )
+
+    if protobuf_available(spark):
+        assert fmts["Protobuf"].is_input == 1
+    else:
+        assert fmts["Protobuf"].is_input == 0
+        assert "spark-protobuf" in fmts["Protobuf"].exclusion_reason
     assert fmts["CapnProto"].exclusion_reason  # still a documented exclusion
 
     tf_names = {r.name for r in system_table_functions(spark).collect()}
