@@ -135,6 +135,10 @@ _RENAMES = {
     # folding through ch_siphash64_combine (session.py registers both;
     # functions/siphash.py is paper-vector validated)
     "siphash64": "siphash64__",
+    # xxHash64 is EXACT XXH64 seed-0 through SQL text (round 3 —
+    # previously it silently hit Spark's builtin xxhash64: seed 42
+    # over Spark's row encoding, different values)
+    "xxhash64": "xxhash64ex__",
     "farmhash64": "xxhash64",
     "halfmd5": "xxhash64",
     "tostartofday": "tostartofday__",
@@ -1016,13 +1020,17 @@ def _rewrite_functions(toks: list[str]) -> list[str]:
             out += ["(", _len_fn(args[0]), "(", *args[0], ")", ">", "0", ")"]
         elif new == "length__":
             out += [_len_fn(args[0]), "(", *args[0], ")"]
-        elif new in ("siphash64__", "cityhash64__"):
+        elif new in ("siphash64__", "cityhash64__", "xxhash64ex__"):
             # typed-exact sipHash64/cityHash64 through SQL text:
             # typeof() of the ORIGINAL expression picks the reference's
             # typed semantics inside ch_<fn>_typed (session.py DDL);
             # multi-arg left-folds through the reference's combine
             # (FunctionsHashing.h:195 sip / :621 city)
-            base = "ch_siphash64" if new == "siphash64__" else "ch_cityhash64"
+            base = {
+                "siphash64__": "ch_siphash64",
+                "cityhash64__": "ch_cityhash64",
+                "xxhash64ex__": "ch_xxhash64",
+            }[new]
 
             def _typed_call(a, _b=base):
                 return [f"{_b}_typed", "(", "CAST", "(", "(", *a, ")",

@@ -644,8 +644,28 @@ def _siphash64_exact(*cols):
 
 
 _reg("sipHash64")(_siphash64_exact)
-_reg("xxHash64")(lambda *cols: F.xxhash64(*[_c(c) for c in cols]))
-_reg("xxHash32", "murmurHash2_32", "murmurHash3_32", "intHash32")(
+# xxHash64 is EXACT XXH64 seed-0 (functions/hashes_extra.py, anchor-
+# vector validated) — NOT Spark's xxhash64 (seed 42, row encoding);
+# intHash32 is the exact salted Wang mix (IntHash32Impl).
+def _xxhash64_exact(*cols):
+    from clickhouse_25_5_3_75_stable_spark.functions.hashes_extra import (
+        xxhash64_exact,
+    )
+
+    return xxhash64_exact(*[_c(c) for c in cols])
+
+
+def _inthash32_exact(c):
+    from clickhouse_25_5_3_75_stable_spark.functions.hashes_extra import (
+        inthash32_exact,
+    )
+
+    return inthash32_exact(_c(c))
+
+
+_reg("xxHash64")(_xxhash64_exact)
+_reg("intHash32")(_inthash32_exact)
+_reg("xxHash32", "murmurHash2_32", "murmurHash3_32")(
     lambda *cols: F.hash(*[_c(c) for c in cols])
 )
 _reg("hex")(lambda a: F.hex(_c(a)))

@@ -796,10 +796,42 @@ _reg("MAP_FROM_ARRAYS")(lambda ks, vs: F.map_from_arrays(_c(ks), _c(vs)))
 # implementation-defined; we map families onto Spark's xxhash64 / hash /
 # crc32 for capability parity (documented fidelity gap, SURVEY §2.8).
 # ---------------------------------------------------------------------------
-for _h in ("murmurHash2_64", "murmurHash3_64", "gccMurmurHash", "kafkaMurmurHash",
+for _h in ("gccMurmurHash", "kafkaMurmurHash",
            "hiveHash", "javaHash", "javaHashUTF16LE", "wyHash64", "xxh3",
-           "intHash64", "halfMD5", "farmFingerprint64", "sipHash64Keyed", "URLHash"):
+           "halfMD5", "farmFingerprint64", "sipHash64Keyed", "URLHash"):
     _reg(_h)(lambda *cs: F.xxhash64(*[_c(c) for c in cs]))
+
+
+# EXACT 64-bit family (functions/hashes_extra.py — public algorithms,
+# dual-transcription + anchor-vector validated; round-3): murmur2/3_64
+# hash raw native-width bytes like sipHash64, intHash64 is the POD mix
+def _murmur2_64(*cs):
+    from clickhouse_25_5_3_75_stable_spark.functions.hashes_extra import (
+        murmurhash2_64_exact,
+    )
+
+    return murmurhash2_64_exact(*[_c(c) for c in cs])
+
+
+def _murmur3_64(*cs):
+    from clickhouse_25_5_3_75_stable_spark.functions.hashes_extra import (
+        murmurhash3_64_exact,
+    )
+
+    return murmurhash3_64_exact(*[_c(c) for c in cs])
+
+
+def _inthash64(c):
+    from clickhouse_25_5_3_75_stable_spark.functions.hashes_extra import (
+        inthash64_exact,
+    )
+
+    return inthash64_exact(_c(c))
+
+
+_reg("murmurHash2_64")(_murmur2_64)
+_reg("murmurHash3_64")(_murmur3_64)
+_reg("intHash64")(_inthash64)
 _reg("murmurHash3_128", "sipHash128", "sipHash128Keyed", "sipHash128Reference",
      "sipHash128ReferenceKeyed")(lambda *cs: F.md5(F.concat_ws("\x01", *[_c(c).cast("string") for c in cs])))
 _reg("CRC32IEEE")(lambda c: F.crc32(_c(c).cast("binary")))

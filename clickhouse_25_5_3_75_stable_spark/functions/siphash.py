@@ -216,6 +216,24 @@ def _le_bytes_sql(expr: str, n_bytes: int) -> str:
     return f"unhex(concat({pairs}))"
 
 
+def typed_hash_sql_case(udf_prefix: str) -> str:
+    """The (s, t)-dispatch CASE over <udf_prefix>_bin/_f64/_f32 UDFs —
+    shared by every hash whose POD treatment is raw native-width bytes
+    (use_int_hash_for_pods=false: sipHash64, xxHash64)."""
+    return f"""CASE t
+      WHEN 'double' THEN {udf_prefix}_f64(CAST(s AS DOUBLE))
+      WHEN 'float' THEN {udf_prefix}_f32(CAST(s AS FLOAT))
+      WHEN 'string' THEN {udf_prefix}_bin(encode(s, 'utf-8'))
+      WHEN 'bigint' THEN {udf_prefix}_bin({_le_bytes_sql('s', 8)})
+      WHEN 'int' THEN {udf_prefix}_bin({_le_bytes_sql('s', 4)})
+      WHEN 'smallint' THEN {udf_prefix}_bin({_le_bytes_sql('s', 2)})
+      WHEN 'tinyint' THEN {udf_prefix}_bin({_le_bytes_sql('s', 1)})
+      WHEN 'boolean' THEN {udf_prefix}_bin({_le_bytes_sql('CAST(CAST(s AS BOOLEAN) AS BIGINT)', 1)})
+      WHEN 'date' THEN {udf_prefix}_bin({_le_bytes_sql("datediff(CAST(s AS DATE), DATE'1970-01-01')", 2)})
+      WHEN 'timestamp' THEN {udf_prefix}_bin({_le_bytes_sql('unix_timestamp(CAST(s AS TIMESTAMP))', 4)})
+      ELSE {udf_prefix}_bin(encode(s, 'utf-8')) END"""
+
+
 def siphash64_sql_ddl() -> list[str]:
     """DDL for the SQL-text entry points (session.py registers these):
 
@@ -229,21 +247,10 @@ def siphash64_sql_ddl() -> list[str]:
 
     Both are Spark SQL scalar functions whose bodies stay JVM-side up
     to the single binary-input pandas UDF sipHash64_bin."""
-    enc = f"""CASE t
-      WHEN 'double' THEN sipHash64_f64(CAST(s AS DOUBLE))
-      WHEN 'float' THEN sipHash64_f32(CAST(s AS FLOAT))
-      WHEN 'string' THEN sipHash64_bin(encode(s, 'utf-8'))
-      WHEN 'bigint' THEN sipHash64_bin({_le_bytes_sql('s', 8)})
-      WHEN 'int' THEN sipHash64_bin({_le_bytes_sql('s', 4)})
-      WHEN 'smallint' THEN sipHash64_bin({_le_bytes_sql('s', 2)})
-      WHEN 'tinyint' THEN sipHash64_bin({_le_bytes_sql('s', 1)})
-      WHEN 'boolean' THEN sipHash64_bin({_le_bytes_sql('CAST(CAST(s AS BOOLEAN) AS BIGINT)', 1)})
-      WHEN 'date' THEN sipHash64_bin({_le_bytes_sql("datediff(CAST(s AS DATE), DATE'1970-01-01')", 2)})
-      WHEN 'timestamp' THEN sipHash64_bin({_le_bytes_sql('unix_timestamp(CAST(s AS TIMESTAMP))', 4)})
-      ELSE sipHash64_bin(encode(s, 'utf-8')) END"""
     return [
         "CREATE OR REPLACE TEMPORARY FUNCTION ch_siphash64_typed(s STRING, t STRING) "
-        f"RETURNS BIGINT RETURN IF(s IS NULL, CAST(NULL AS BIGINT), {enc})",
+        "RETURNS BIGINT RETURN IF(s IS NULL, CAST(NULL AS BIGINT), "
+        f"{typed_hash_sql_case('sipHash64')})",
         "CREATE OR REPLACE TEMPORARY FUNCTION ch_siphash64_combine(h1 BIGINT, h2 BIGINT) "
         "RETURNS BIGINT RETURN IF(h1 IS NULL OR h2 IS NULL, CAST(NULL AS BIGINT), "
         f"sipHash64_bin(concat({_le_bytes_sql('h1', 8)}, "

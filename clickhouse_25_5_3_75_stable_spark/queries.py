@@ -1218,6 +1218,52 @@ def text_index_has_token(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "func_hash64_family_exact",
+    oracle="""
+    SELECT * FROM (VALUES
+      (CAST(0 AS INT), CAST(-1205034819632174695 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+      (CAST(1 AS INT), CAST(-3292477735350538661 AS BIGINT), CAST(510903276987443985 AS BIGINT), CAST(7196874446409822675 AS BIGINT)),
+      (CAST(2 AS INT), CAST(1818038328221954259 AS BIGINT), CAST(-5006483009977859160 AS BIGINT), CAST(4382168495541772302 AS BIGINT)),
+      (CAST(3 AS INT), CAST(-1337214824225331310 AS BIGINT), CAST(392521630058303292 AS BIGINT), CAST(-5330561518393897524 AS BIGINT)),
+      (CAST(100 AS INT), CAST(-5379971487550586029 AS BIGINT), CAST(-6956393143342258023 AS BIGINT), CAST(1228623923 AS BIGINT)),
+      (CAST(101 AS INT), CAST(-3689935695807819354 AS BIGINT), CAST(6575459576158992452 AS BIGINT), CAST(NULL AS BIGINT))
+    ) AS t(sid, h1, h2, h3) ORDER BY sid
+    """,
+    tags=("functions", "hash", "xxhash", "murmur"),
+)
+def func_hash64_family_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 64-bit hash family (functions/hashes_extra.py — XXH64
+    seed-0, MurmurHash64A, MurmurHash3_x64_128 low^high, intHash64/32
+    per FunctionsHashing.h) against pinned vectors: rows 0-3 hash
+    strings with (xxHash64, murmurHash2_64, murmurHash3_64); row 100 is
+    (xxHash64(Int64), intHash64, intHash32); row 101 is the two
+    combine rules (Hash128to64 / intHash64(h1)^h2)."""
+    strs = ["", "a", "clickhouse",
+            "the quick brown fox jumps over the lazy dog"]
+    base = spark.createDataFrame(
+        list(enumerate(strs)), "sid int, s string"
+    ).select(
+        "sid",
+        ch("xxHash64", F.col("s")).alias("h1"),
+        ch("murmurHash2_64", F.col("s")).alias("h2"),
+        ch("murmurHash3_64", F.col("s")).alias("h3"),
+    )
+    ints = spark.createDataFrame([(42,)], "k long").select(
+        F.lit(100).alias("sid"),
+        ch("xxHash64", F.col("k")).alias("h1"),
+        ch("intHash64", F.col("k")).alias("h2"),
+        ch("intHash32", F.col("k")).alias("h3"),
+    )
+    combos = spark.createDataFrame([("a", "b")], "a string, b string").select(
+        F.lit(101).alias("sid"),
+        ch("xxHash64", F.col("a"), F.col("b")).alias("h1"),
+        ch("murmurHash2_64", F.col("a"), F.col("b")).alias("h2"),
+        F.lit(None).cast("bigint").alias("h3"),
+    )
+    return base.unionByName(ints).unionByName(combos).orderBy("sid")
+
+
 # cityHash64 vector fixtures: every length class of the v1.0.2
 # algorithm (0 / 1-3 / 4-8 / 9-16 / 17-32 / 33-64 / >64 incl. multi-
 # chunk), plus the multi-arg Hash128to64 combine and an Int64-typed

@@ -97,6 +97,17 @@ def register_sql_udfs(spark: SparkSession) -> None:
     spark.udf.register("ch_cityhash64_combine", _city._combine_udf())
     for ddl in _city.cityhash64_sql_ddl():
         spark.sql(ddl)
+
+    from clickhouse_25_5_3_75_stable_spark.functions import hashes_extra as _hx
+
+    # exact XXH64 through SQL text; combine = Hash128to64 (same python
+    # UDF as cityHash64's, under the xxhash alias)
+    spark.udf.register("xxHash64_bin", _hx._bytes_udf("xxh64"))
+    spark.udf.register("xxHash64_f64", _hx._float_udf("xxh64", 64))
+    spark.udf.register("xxHash64_f32", _hx._float_udf("xxh64", 32))
+    spark.udf.register("ch_xxhash64_combine", _city._combine_udf())
+    for ddl in _hx.xxhash64_sql_ddl():
+        spark.sql(ddl)
     spark.udf.register("geohashEncode", _encode_udf())
     spark.udf.register("geohashDecode", _decode_udf())
     spark.udf.register("geohashesInBox", _boxes_udf())

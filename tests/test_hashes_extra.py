@@ -1,0 +1,129 @@
+"""Exact xxHash64 / murmurHash2_64 / murmurHash3_64 / intHash32/64
+(functions/hashes_extra.py): anchor vectors, dual-transcription
+sweeps, typed Spark dispatch, reference combine rules, NULL → NULL.
+"""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+import pyspark.sql.functions as F
+
+from clickhouse_25_5_3_75_stable_spark.functions.cityhash import (
+    hash128to64_py,
+    inthash64_py,
+)
+from clickhouse_25_5_3_75_stable_spark.functions.dialect import ch
+from clickhouse_25_5_3_75_stable_spark.functions.hashes_extra import (
+    _murmur2_64a_np,
+    _murmur3_64_np,
+    _np_inthash32,
+    _xxh64_np,
+    inthash32_py,
+    murmur2_64a_py,
+    murmur3_64_py,
+    murmur3_x64_128_py,
+    xxh64_py,
+)
+
+
+def as_i64(v: int) -> int:
+    return np.int64(np.uint64(v)).item()
+
+
+def test_xxh64_published_anchors():
+    # vectors from the public xxHash documentation/test suite
+    assert xxh64_py(b"") == 0xEF46DB3751D8E999
+    assert xxh64_py(b"a") == 0xD24EC4F1A98C6E5B
+    assert xxh64_py(b"abc") == 0x44BC2CF5AD770999
+
+
+def test_murmur3_published_anchor():
+    # widely published MurmurHash3_x64_128("hello", 0) low half
+    h1, _h2 = murmur3_x64_128_py(b"hello")
+    assert h1 == 0xCBD8A7B341BD9B02
+
+
+def test_murmur2_empty_algebraic():
+    # seed 0, empty input: every step collapses to 0 by construction
+    assert murmur2_64a_py(b"") == 0
+
+
+def test_dual_transcriptions_agree():
+    rng = random.Random(99)
+    data = [b""]
+    for ln in list(range(1, 70)) + [127, 128, 129, 255, 256, 1024, 4099]:
+        data.append(bytes(rng.randrange(256) for _ in range(ln)))
+    for py, npf in (
+        (xxh64_py, _xxh64_np),
+        (murmur2_64a_py, _murmur2_64a_np),
+        (murmur3_64_py, _murmur3_64_np),
+    ):
+        vec = npf(data)
+        for d, v in zip(data, vec):
+            assert int(v) == py(d), (py.__name__, len(d))
+    xs = np.array([0, 1, 12345, 2**63, 2**64 - 1], dtype=np.uint64)
+    assert all(int(v) == inthash32_py(int(x)) for x, v in zip(xs, _np_inthash32(xs)))
+
+
+def test_spark_dispatch_and_combines(spark):
+    df = spark.createDataFrame([(12345, "hello")], "k long, s string")
+    row = df.select(
+        ch("xxHash64", F.col("s")).alias("xs"),
+        ch("xxHash64", F.col("k")).alias("xk"),
+        ch("xxHash64", F.col("s"), F.col("k")).alias("xc"),
+        ch("murmurHash2_64", F.col("s")).alias("m2"),
+        ch("murmurHash3_64", F.col("s")).alias("m3"),
+        ch("murmurHash2_64", F.col("s"), F.col("k")).alias("m2c"),
+        ch("intHash64", F.col("k")).alias("ih64"),
+        ch("intHash32", F.col("k")).alias("ih32"),
+    ).collect()[0]
+    k_bytes = (12345).to_bytes(8, "little")
+    assert row.xs == as_i64(xxh64_py(b"hello"))
+    assert row.xk == as_i64(xxh64_py(k_bytes))  # raw LE bytes, like sipHash64
+    # combine: Hash128to64 (ImplXxHash64:705)
+    assert row.xc == as_i64(hash128to64_py(xxh64_py(b"hello"), xxh64_py(k_bytes)))
+    assert row.m2 == as_i64(murmur2_64a_py(b"hello"))
+    assert row.m3 == as_i64(murmur3_64_py(b"hello"))
+    # combine: intHash64(h1) ^ h2 (MurmurHash2Impl64:400)
+    want = inthash64_py(murmur2_64a_py(b"hello")) ^ murmur2_64a_py(k_bytes)
+    assert row.m2c == as_i64(want)
+    assert row.ih64 == as_i64(inthash64_py(12345))
+    assert row.ih32 == inthash32_py(12345)
+
+    # NULL → NULL across the family
+    dfn = spark.createDataFrame([(None,)], "s string")
+    rn = dfn.select(
+        ch("xxHash64", F.col("s")).alias("a"),
+        ch("murmurHash3_64", F.col("s")).alias("b"),
+    ).collect()[0]
+    assert rn.a is None and rn.b is None
+
+
+def test_sql_path_xxhash64(spark):
+    from clickhouse_25_5_3_75_stable_spark.chsql import ch_sql
+
+    df = spark.createDataFrame([(7, "abc")], "k long, s string")
+    df.createOrReplaceTempView("xx_t")
+    r = ch_sql(
+        spark,
+        "SELECT xxHash64(s) AS hs, xxHash64(k) AS hk, xxHash64(s, k) AS hc FROM xx_t",
+    ).collect()[0]
+    assert r.hs == as_i64(xxh64_py(b"abc"))
+    assert r.hk == as_i64(xxh64_py((7).to_bytes(8, "little")))
+    assert r.hc == as_i64(
+        hash128to64_py(xxh64_py(b"abc"), xxh64_py((7).to_bytes(8, "little")))
+    )
+
+
+def test_spark_xxhash_differs_from_builtin(spark):
+    # guard against regressing to the capability map: Spark's xxhash64
+    # (seed 42, row encoding) must NOT equal CH's XXH64 seed-0
+    df = spark.createDataFrame([("hello",)], "s string")
+    row = df.select(
+        ch("xxHash64", F.col("s")).alias("exact"),
+        F.xxhash64(F.col("s")).alias("sparkish"),
+    ).collect()[0]
+    assert row.exact != row.sparkish
+    assert row.exact == as_i64(xxh64_py(b"hello"))
