@@ -140,7 +140,8 @@ _RENAMES = {
     # over Spark's row encoding, different values)
     "xxhash64": "xxhash64ex__",
     "farmhash64": "xxhash64",
-    "halfmd5": "xxhash64",
+    # halfMD5 is exact through SQL text (pure-SQL md5+hex body)
+    "halfmd5": "halfmd5ex__",
     "tostartofday": "tostartofday__",
     "tostartofmonth": "tostartofmonth__",
     "tostartofweek": "tostartofweek__",
@@ -1020,7 +1021,8 @@ def _rewrite_functions(toks: list[str]) -> list[str]:
             out += ["(", _len_fn(args[0]), "(", *args[0], ")", ">", "0", ")"]
         elif new == "length__":
             out += [_len_fn(args[0]), "(", *args[0], ")"]
-        elif new in ("siphash64__", "cityhash64__", "xxhash64ex__"):
+        elif new in ("siphash64__", "cityhash64__", "xxhash64ex__",
+                     "halfmd5ex__"):
             # typed-exact sipHash64/cityHash64 through SQL text:
             # typeof() of the ORIGINAL expression picks the reference's
             # typed semantics inside ch_<fn>_typed (session.py DDL);
@@ -1030,6 +1032,7 @@ def _rewrite_functions(toks: list[str]) -> list[str]:
                 "siphash64__": "ch_siphash64",
                 "cityhash64__": "ch_cityhash64",
                 "xxhash64ex__": "ch_xxhash64",
+                "halfmd5ex__": "ch_halfmd5",
             }[new]
 
             def _typed_call(a, _b=base):

@@ -798,7 +798,7 @@ _reg("MAP_FROM_ARRAYS")(lambda ks, vs: F.map_from_arrays(_c(ks), _c(vs)))
 # ---------------------------------------------------------------------------
 for _h in ("gccMurmurHash", "kafkaMurmurHash",
            "hiveHash", "javaHash", "javaHashUTF16LE", "wyHash64", "xxh3",
-           "halfMD5", "farmFingerprint64", "sipHash64Keyed", "URLHash"):
+           "farmFingerprint64", "sipHash64Keyed", "URLHash"):
     _reg(_h)(lambda *cs: F.xxhash64(*[_c(c) for c in cs]))
 
 
@@ -829,13 +829,33 @@ def _inthash64(c):
     return inthash64_exact(_c(c))
 
 
+def _halfmd5(*cs):
+    from clickhouse_25_5_3_75_stable_spark.functions.hashes_extra import (
+        halfmd5_exact,
+    )
+
+    return halfmd5_exact(*[_c(c) for c in cs])
+
+
 _reg("murmurHash2_64")(_murmur2_64)
 _reg("murmurHash3_64")(_murmur3_64)
 _reg("intHash64")(_inthash64)
+_reg("halfMD5")(_halfmd5)  # exact: big-endian first 8 MD5 bytes, all JVM
 _reg("murmurHash3_128", "sipHash128", "sipHash128Keyed", "sipHash128Reference",
      "sipHash128ReferenceKeyed")(lambda *cs: F.md5(F.concat_ws("\x01", *[_c(c).cast("string") for c in cs])))
 _reg("CRC32IEEE")(lambda c: F.crc32(_c(c).cast("binary")))
-_reg("jumpConsistentHash", "kostikConsistentHash", "yandexConsistentHash")(
+def _jump_ch(key, n):
+    # EXACT Lamping-Veach jump hash (jumpConsistentHash.cpp:11 — the
+    # published arXiv:1406.2294 algorithm over the integer key value)
+    from clickhouse_25_5_3_75_stable_spark.functions.hashes_extra import (
+        jump_consistent_hash_exact,
+    )
+
+    return jump_consistent_hash_exact(_c(key), _c(n) if isinstance(n, Column) else n)
+
+
+_reg("jumpConsistentHash")(_jump_ch)
+_reg("kostikConsistentHash", "yandexConsistentHash")(
     # capability form: stable bucket in [0, n) from a 64-bit key
     lambda key, n: F.pmod(F.xxhash64(_c(key)), _c(n) if isinstance(n, Column) else F.lit(n))
 )

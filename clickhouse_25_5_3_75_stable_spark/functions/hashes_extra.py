@@ -586,6 +586,103 @@ def inthash32_exact(col) -> Column:
     return F.when(col.isNull(), F.lit(None).cast("bigint")).otherwise(h)
 
 
+# ---------------------------------------------------------------------------
+# halfMD5 (HalfMD5Impl:240): UInt64 from the FIRST 8 bytes of the MD5
+# digest, big-endian. Fully JVM-side: md5() over the typed encoding,
+# first 16 hex chars → two 32-bit halves → shiftleft|or (no UDF at
+# all). Combine (HalfMD5Impl:272) = halfMD5(le8(h1) || le8(h2)).
+# ---------------------------------------------------------------------------
+
+
+def halfmd5_py(data: bytes) -> int:
+    import hashlib
+
+    return int.from_bytes(hashlib.md5(data).digest()[:8], "big")
+
+
+def _hex16_to_i64(hex16: Column) -> Column:
+    hi = F.conv(F.substring(hex16, 1, 8), 16, 10).cast("bigint")
+    lo = F.conv(F.substring(hex16, 9, 8), 16, 10).cast("bigint")
+    return F.shiftleft(hi, 32).bitwiseOR(lo)
+
+
+def _halfmd5_bytes(b: Column) -> Column:
+    return _hex16_to_i64(F.substring(F.md5(b), 1, 16))
+
+
+def halfmd5_exact(*cols) -> Column:
+    """halfMD5 — exact reference values, zero Python (md5 + hex math
+    are all JVM expressions); typed encoding shared with sipHash64."""
+    from clickhouse_25_5_3_75_stable_spark.functions.siphash import (
+        _encode_auto,
+        _le_bytes,
+    )
+
+    cs = [F.col(c) if isinstance(c, str) else c for c in cols]
+    h = _halfmd5_bytes(_encode_auto(cs[0]))
+    for c in cs[1:]:
+        nxt = _halfmd5_bytes(_encode_auto(c))
+        h = _halfmd5_bytes(F.concat(_le_bytes(h, 8), _le_bytes(nxt, 8)))
+    return _wrap_null(h, cs)
+
+
+# ---------------------------------------------------------------------------
+# jumpConsistentHash (jumpConsistentHash.cpp:11 — the published
+# Lamping-Veach algorithm, arXiv:1406.2294): key jumps through buckets,
+# O(ln n) iterations. The key is the integer VALUE (not a pre-hash).
+# ---------------------------------------------------------------------------
+
+
+def jump_consistent_hash_py(key: int, num_buckets: int) -> int:
+    key &= _M64
+    b, j = -1, 0
+    while j < num_buckets:
+        b = j
+        key = (key * 2862933555777941757 + 1) & _M64
+        j = int((b + 1) * (float(1 << 31) / float((key >> 33) + 1)))
+    return b
+
+
+def _np_jump(keys: np.ndarray, buckets: np.ndarray) -> np.ndarray:
+    b = np.full(len(keys), -1, dtype=np.int64)
+    j = np.zeros(len(keys), dtype=np.int64)
+    active = j < buckets
+    while active.any():
+        b = np.where(active, j, b)
+        keys = np.where(active, keys * _U(2862933555777941757) + _U(1), keys)
+        jf = (
+            (b + 1).astype(np.float64)
+            * (2147483648.0 / ((keys >> _U(33)) + _U(1)).astype(np.float64))
+        ).astype(np.int64)
+        j = np.where(active, jf, j)
+        active = j < buckets
+    return b
+
+
+def _jump_udf():
+    if "jump" not in _UDF_CACHE:
+
+        @pandas_udf("int")
+        def _jump(k: pd.Series, n: pd.Series) -> pd.Series:
+            ka = pd.array(k, dtype="Int64")
+            na = pd.array(n, dtype="Int64")
+            mask = ka.isna() | na.isna()
+            keys = ka.fillna(0).to_numpy(dtype=np.int64).astype(np.uint64)
+            buckets = na.fillna(1).to_numpy(dtype=np.int64)
+            out = pd.array(_np_jump(keys, buckets).astype(np.int32), dtype="Int32")
+            out[np.asarray(mask)] = pd.NA
+            return pd.Series(out, dtype="Int32")
+
+        _UDF_CACHE["jump"] = _jump
+    return _UDF_CACHE["jump"]
+
+
+def jump_consistent_hash_exact(key, n) -> Column:
+    key = F.col(key) if isinstance(key, str) else key
+    n = n if isinstance(n, Column) else F.lit(n)
+    return _jump_udf()(key.cast("bigint"), n.cast("bigint"))
+
+
 def xxhash64_sql_ddl() -> list[str]:
     """SQL entry point: the chsql shim rewrites xxHash64(x) →
     ch_xxhash64_typed(CAST(x AS STRING), typeof(x)) and folds
@@ -600,6 +697,34 @@ def xxhash64_sql_ddl() -> list[str]:
         "CREATE OR REPLACE TEMPORARY FUNCTION ch_xxhash64_typed(s STRING, t STRING) "
         "RETURNS BIGINT RETURN IF(s IS NULL, CAST(NULL AS BIGINT), "
         f"{typed_hash_sql_case('xxHash64')})",
+    ]
+
+
+def _half_md5_of_sql(bin_expr: str) -> str:
+    hx = f"substring(md5({bin_expr}), 1, 16)"
+    return (
+        f"(shiftleft(CAST(conv(substring({hx}, 1, 8), 16, 10) AS BIGINT), 32)"
+        f" | CAST(conv(substring({hx}, 9, 8), 16, 10) AS BIGINT))"
+    )
+
+
+def halfmd5_sql_ddl() -> list[str]:
+    """SQL entry point for exact halfMD5 — pure SQL body (md5 + hex
+    math, no python UDF at all); combine = halfMD5(le8(h1)||le8(h2))
+    per HalfMD5Impl:272."""
+    from clickhouse_25_5_3_75_stable_spark.functions.siphash import (
+        _le_bytes_sql,
+        typed_bytes_sql_case,
+    )
+
+    combine_bytes = f"concat({_le_bytes_sql('h1', 8)}, {_le_bytes_sql('h2', 8)})"
+    return [
+        "CREATE OR REPLACE TEMPORARY FUNCTION ch_halfmd5_typed(s STRING, t STRING) "
+        "RETURNS BIGINT RETURN IF(s IS NULL, CAST(NULL AS BIGINT), "
+        f"{_half_md5_of_sql('(' + typed_bytes_sql_case() + ')')})",
+        "CREATE OR REPLACE TEMPORARY FUNCTION ch_halfmd5_combine(h1 BIGINT, h2 BIGINT) "
+        "RETURNS BIGINT RETURN IF(h1 IS NULL OR h2 IS NULL, CAST(NULL AS BIGINT), "
+        f"{_half_md5_of_sql(combine_bytes)})",
     ]
 
 

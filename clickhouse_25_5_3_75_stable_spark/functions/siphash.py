@@ -216,6 +216,24 @@ def _le_bytes_sql(expr: str, n_bytes: int) -> str:
     return f"unhex(concat({pairs}))"
 
 
+def typed_bytes_sql_case() -> str:
+    """The (s, t)-dispatch CASE producing the raw ENCODED BYTES (no UDF
+    call) — for hashes whose core is itself a JVM expression (halfMD5:
+    md5 + hex math). Float columns fall back to the string rendering
+    here (no IEEE-bit expression in Spark SQL; the Column API routes
+    floats through dedicated UDFs where exactness matters)."""
+    return f"""CASE t
+      WHEN 'string' THEN encode(s, 'utf-8')
+      WHEN 'bigint' THEN {_le_bytes_sql('s', 8)}
+      WHEN 'int' THEN {_le_bytes_sql('s', 4)}
+      WHEN 'smallint' THEN {_le_bytes_sql('s', 2)}
+      WHEN 'tinyint' THEN {_le_bytes_sql('s', 1)}
+      WHEN 'boolean' THEN {_le_bytes_sql('CAST(CAST(s AS BOOLEAN) AS BIGINT)', 1)}
+      WHEN 'date' THEN {_le_bytes_sql("datediff(CAST(s AS DATE), DATE'1970-01-01')", 2)}
+      WHEN 'timestamp' THEN {_le_bytes_sql('unix_timestamp(CAST(s AS TIMESTAMP))', 4)}
+      ELSE encode(s, 'utf-8') END"""
+
+
 def typed_hash_sql_case(udf_prefix: str) -> str:
     """The (s, t)-dispatch CASE over <udf_prefix>_bin/_f64/_f32 UDFs —
     shared by every hash whose POD treatment is raw native-width bytes

@@ -1227,7 +1227,8 @@ def text_index_has_token(spark: SparkSession, sf_dir: str) -> DataFrame:
       (CAST(2 AS INT), CAST(1818038328221954259 AS BIGINT), CAST(-5006483009977859160 AS BIGINT), CAST(4382168495541772302 AS BIGINT)),
       (CAST(3 AS INT), CAST(-1337214824225331310 AS BIGINT), CAST(392521630058303292 AS BIGINT), CAST(-5330561518393897524 AS BIGINT)),
       (CAST(100 AS INT), CAST(-5379971487550586029 AS BIGINT), CAST(-6956393143342258023 AS BIGINT), CAST(1228623923 AS BIGINT)),
-      (CAST(101 AS INT), CAST(-3689935695807819354 AS BIGINT), CAST(6575459576158992452 AS BIGINT), CAST(NULL AS BIGINT))
+      (CAST(101 AS INT), CAST(-3689935695807819354 AS BIGINT), CAST(6575459576158992452 AS BIGINT), CAST(NULL AS BIGINT)),
+      (CAST(102 AS INT), CAST(4085582472856926835 AS BIGINT), CAST(-1675968788009750931 AS BIGINT), CAST(571 AS BIGINT))
     ) AS t(sid, h1, h2, h3) ORDER BY sid
     """,
     tags=("functions", "hash", "xxhash", "murmur"),
@@ -1238,7 +1239,8 @@ def func_hash64_family_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     per FunctionsHashing.h) against pinned vectors: rows 0-3 hash
     strings with (xxHash64, murmurHash2_64, murmurHash3_64); row 100 is
     (xxHash64(Int64), intHash64, intHash32); row 101 is the two
-    combine rules (Hash128to64 / intHash64(h1)^h2)."""
+    combine rules (Hash128to64 / intHash64(h1)^h2); row 102 is
+    (halfMD5(String), halfMD5(Int64), jumpConsistentHash(42, 1000))."""
     strs = ["", "a", "clickhouse",
             "the quick brown fox jumps over the lazy dog"]
     base = spark.createDataFrame(
@@ -1261,7 +1263,13 @@ def func_hash64_family_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         ch("murmurHash2_64", F.col("a"), F.col("b")).alias("h2"),
         F.lit(None).cast("bigint").alias("h3"),
     )
-    return base.unionByName(ints).unionByName(combos).orderBy("sid")
+    half = spark.createDataFrame([("clickhouse", 42)], "s string, k long").select(
+        F.lit(102).alias("sid"),
+        ch("halfMD5", F.col("s")).alias("h1"),
+        ch("halfMD5", F.col("k")).alias("h2"),
+        ch("jumpConsistentHash", F.col("k"), 1000).cast("bigint").alias("h3"),
+    )
+    return base.unionByName(ints).unionByName(combos).unionByName(half).orderBy("sid")
 
 
 # cityHash64 vector fixtures: every length class of the v1.0.2

@@ -108,6 +108,12 @@ def register_sql_udfs(spark: SparkSession) -> None:
     spark.udf.register("ch_xxhash64_combine", _city._combine_udf())
     for ddl in _hx.xxhash64_sql_ddl():
         spark.sql(ddl)
+    # exact halfMD5 through SQL text (pure-SQL body, no python UDF)
+    for ddl in _hx.halfmd5_sql_ddl():
+        spark.sql(ddl)
+    # exact jump consistent hash as a plain SQL name (integer args —
+    # no typed rewrite needed)
+    spark.udf.register("jumpConsistentHash", _hx._jump_udf())
     spark.udf.register("geohashEncode", _encode_udf())
     spark.udf.register("geohashDecode", _decode_udf())
     spark.udf.register("geohashesInBox", _boxes_udf())

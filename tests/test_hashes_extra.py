@@ -117,6 +117,79 @@ def test_sql_path_xxhash64(spark):
     )
 
 
+def test_halfmd5_exact(spark):
+    """halfMD5 = big-endian UInt64 of the first 8 MD5-digest bytes
+    (HalfMD5Impl:240) — pure JVM expressions; combine per :272."""
+    import hashlib
+
+    from clickhouse_25_5_3_75_stable_spark.chsql import ch_sql
+    from clickhouse_25_5_3_75_stable_spark.functions.hashes_extra import (
+        halfmd5_py,
+    )
+
+    assert halfmd5_py(b"abc") == int.from_bytes(
+        hashlib.md5(b"abc").digest()[:8], "big"
+    )
+    df = spark.createDataFrame([(7, "abc")], "k long, s string")
+    df.createOrReplaceTempView("hm_t")
+    row = df.select(
+        ch("halfMD5", F.col("s")).alias("hs"),
+        ch("halfMD5", F.col("k")).alias("hk"),
+        ch("halfMD5", F.col("s"), F.col("k")).alias("hc"),
+    ).collect()[0]
+    k_bytes = (7).to_bytes(8, "little")
+    assert row.hs == as_i64(halfmd5_py(b"abc"))
+    assert row.hk == as_i64(halfmd5_py(k_bytes))
+    h1, h2 = halfmd5_py(b"abc"), halfmd5_py(k_bytes)
+    want = halfmd5_py(h1.to_bytes(8, "little") + h2.to_bytes(8, "little"))
+    assert row.hc == as_i64(want)
+    # SQL path agrees (pure-SQL body)
+    r2 = ch_sql(
+        spark, "SELECT halfMD5(s) AS hs, halfMD5(k) AS hk, halfMD5(s, k) AS hc FROM hm_t"
+    ).collect()[0]
+    assert (r2.hs, r2.hk, r2.hc) == (row.hs, row.hk, row.hc)
+
+
+def test_jump_consistent_hash_exact(spark):
+    """Lamping-Veach jump hash: dual transcription + the paper's
+    consistency property (growing n only moves keys INTO the new
+    bucket, never between old buckets)."""
+    import random
+
+    from clickhouse_25_5_3_75_stable_spark.chsql import ch_sql
+    from clickhouse_25_5_3_75_stable_spark.functions.hashes_extra import (
+        _np_jump,
+        jump_consistent_hash_py,
+    )
+
+    rng = random.Random(5)
+    keys = [rng.randrange(2**64) for _ in range(300)]
+    for n in (1, 2, 7, 16, 1000):
+        got = _np_jump(
+            np.array(keys, dtype=np.uint64), np.full(len(keys), n, dtype=np.int64)
+        )
+        for k, g in zip(keys, got):
+            assert int(g) == jump_consistent_hash_py(k, n)
+            assert 0 <= int(g) < n
+    # consistency: bucket(k, n+1) ∈ {bucket(k, n), n}
+    for k in keys[:100]:
+        for n in (2, 7, 16):
+            b_n = jump_consistent_hash_py(k, n)
+            b_n1 = jump_consistent_hash_py(k, n + 1)
+            assert b_n1 in (b_n, n)
+    # Spark dispatch + SQL name (keys as Int64 bit patterns)
+    df = spark.createDataFrame([(as_i64(k),) for k in keys[:50]], "k long")
+    df.createOrReplaceTempView("jch_t")
+    got = {
+        r.k: r.b
+        for r in df.select("k", ch("jumpConsistentHash", F.col("k"), 16).alias("b")).collect()
+    }
+    for k, b in got.items():
+        assert b == jump_consistent_hash_py(k & ((1 << 64) - 1), 16)
+    r = ch_sql(spark, "SELECT jumpConsistentHash(42, 16) AS b").collect()[0]
+    assert r.b == jump_consistent_hash_py(42, 16)
+
+
 def test_spark_xxhash_differs_from_builtin(spark):
     # guard against regressing to the capability map: Spark's xxhash64
     # (seed 42, row encoding) must NOT equal CH's XXH64 seed-0
