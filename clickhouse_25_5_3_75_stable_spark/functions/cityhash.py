@@ -519,6 +519,48 @@ def _combine_udf():
     return _UDF_CACHE["combine"]
 
 
+def pod_bits(col: Column, sign_extend: bool) -> Column:
+    """The UInt64 bit pattern of a POD column per typeof, shared by
+    every intHash64-style path (review: three drifting copies existed).
+    Two widening rules exist in the reference and they DIFFER:
+
+    - ``sign_extend=False``: bit_cast semantics (base/bit_cast.h —
+      ZERO-extension; Int32(-7) → 0xFFFFFFF9). Used by FunctionAnyHash
+      use_int_hash_for_pods (cityHash64 on POD columns).
+    - ``sign_extend=True``: plain C++ integral conversion (SIGN-
+      extension; Int32(-7) → 0xFFFF...F9). Used by FunctionIntHash —
+      the SQL intHash64/intHash32 functions (FunctionsHashing.h:753
+      ``Impl::apply(vec_from[i])``).
+
+    Date is UInt16 days and DateTime UInt32 seconds (unsigned — both
+    rules agree); boolean is 0/1."""
+    s = col.cast("string")
+    t = F.call_function("typeof", col)
+    b = s.cast("bigint")
+    if sign_extend:
+        i32, i16, i8 = b, b, b  # bigint cast already sign-extends
+    else:
+        i32 = b.bitwiseAND(F.lit(0xFFFFFFFF))
+        i16 = b.bitwiseAND(F.lit(0xFFFF))
+        i8 = b.bitwiseAND(F.lit(0xFF))
+    return (
+        F.when(t == "bigint", b)
+        .when(t == "int", i32)
+        .when(t == "smallint", i16)
+        .when(t == "tinyint", i8)
+        .when(t == "boolean", s.cast("boolean").cast("bigint"))
+        .when(
+            t == "date",
+            F.datediff(s.cast("date"), F.lit("1970-01-01")).cast("bigint"),
+        )
+        .when(
+            t == "timestamp",
+            F.unix_timestamp(s.cast("timestamp")).bitwiseAND(F.lit(0xFFFFFFFF)),
+        )
+        .otherwise(b)
+    )
+
+
 def cityhash64_auto(col) -> Column:
     """cityHash64 with the reference's exact typed semantics
     (FunctionsHashing.h executeIntType): String → CityHash64 of the
@@ -530,29 +572,15 @@ def cityhash64_auto(col) -> Column:
     col = F.col(col) if isinstance(col, str) else col
     s = col.cast("string")
     t = F.call_function("typeof", col)
-    b = s.cast("bigint")
-    pod = _int_udf()
     h = (
         F.when(t == "string", _udf()(F.encode(s, "UTF-8")))
-        .when(t == "bigint", pod(b))
-        .when(t == "int", pod(b.bitwiseAND(F.lit(0xFFFFFFFF))))
-        .when(t == "smallint", pod(b.bitwiseAND(F.lit(0xFFFF))))
-        .when(t == "tinyint", pod(b.bitwiseAND(F.lit(0xFF))))
-        .when(t == "boolean", pod(s.cast("boolean").cast("bigint")))
-        .when(
-            t == "date",
-            pod(F.datediff(s.cast("date"), F.lit("1970-01-01")).cast("bigint")),
-        )
-        .when(
-            t == "timestamp",
-            pod(
-                F.unix_timestamp(s.cast("timestamp")).bitwiseAND(
-                    F.lit(0xFFFFFFFF)
-                )
-            ),
-        )
         .when(t == "double", _f64_udf()(s.cast("double")))
         .when(t == "float", _f32_udf()(s.cast("float")))
+        .when(
+            t.isin("bigint", "int", "smallint", "tinyint", "boolean",
+                   "date", "timestamp"),
+            _int_udf()(pod_bits(col, sign_extend=False)),
+        )
         .otherwise(_udf()(F.encode(s, "UTF-8")))
     )
     return F.when(col.isNull(), F.lit(None).cast("long")).otherwise(h)

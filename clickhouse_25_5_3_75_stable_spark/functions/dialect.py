@@ -786,11 +786,18 @@ def _multi_search_first_index(haystack, needles) -> Column:
 
 @_reg("hasToken")
 def _has_token(haystack, token) -> Column:
-    # token = sequence of non-separator chars bounded by separators
-    # (src/Functions/hasToken.cpp); \b works for alnum tokens.
+    # token = maximal run of non-separator chars; separators are ASCII
+    # non-alphanumerics and '_' IS a separator while non-ASCII chars
+    # are TOKEN chars (src/Functions/HasTokenImpl.h via
+    # ITokenExtractor.cpp:115 isAlphaNumericASCII — review finding:
+    # \b disagreed on both '_' and non-ASCII). Java lookarounds give
+    # exact boundaries; same class as sources/text_index.py.
     import re as _re
 
-    return _c(haystack).rlike(r"\b" + _re.escape(token) + r"\b")
+    tc = r"[^\x00-\x2f\x3a-\x40\x5b-\x60\x7b-\x7f]"  # token char
+    return _c(haystack).rlike(
+        f"(?<!{tc}){_re.escape(token)}(?!{tc})"
+    )
 
 
 @_reg("countMatches")

@@ -84,13 +84,22 @@ _reg("moduloLegacy")(lambda a, b: _c(a) % _c(b))
 # DivideIntegralOrZeroImpl returns 0 where division would FPE);
 # the b==0 guard keeps ANSI from throwing before the fallback applies
 def _int_div_or(a, b, fallback) -> Column:
-    ad = _c(a).cast("decimal(38,18)")
+    ac = _c(a)
+    ad = ac.cast("decimal(38,18)")
     bd = _c(b).cast("decimal(38,18)")
     # the fallback applies exactly where the reference's
     # divisionLeadsToFPE does (DivisionUtils.h:34): b == 0 OR
-    # INT64_MIN / -1 (the latter would ARITHMETIC_OVERFLOW under
-    # ANSI — review finding); NULL inputs still propagate NULL
-    fpe = (bd == 0) | ((ad == -9223372036854775808) & (bd == -1))
+    # min(TYPE OF a) / -1 — the minimum is the ARGUMENT type's own
+    # (review finding: Int32 min / -1 must fall back too, not just
+    # Int64 min); NULL inputs still propagate NULL
+    t = F.call_function("typeof", ac)
+    min_a = (
+        F.when(t == "int", F.lit(-2147483648))
+        .when(t == "smallint", F.lit(-32768))
+        .when(t == "tinyint", F.lit(-128))
+        .otherwise(F.lit(-9223372036854775808))
+    ).cast("decimal(38,18)")
+    fpe = (bd == 0) | ((ad == min_a) & (bd == -1))
     return F.when(fpe, fallback).otherwise(F.call_function("div", ad, bd))
 
 

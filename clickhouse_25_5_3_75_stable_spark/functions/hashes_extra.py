@@ -473,27 +473,14 @@ def _int_mix_udf(kind: str):
 
 
 def _pod_bits(col: Column) -> Column:
-    """Zero-extended UInt64 bit pattern by typeof (bit_cast semantics
-    for the intHash entry points; shared with cityHash64's POD path)."""
-    s = col.cast("string")
-    t = F.call_function("typeof", col)
-    b = s.cast("bigint")
-    return (
-        F.when(t == "bigint", b)
-        .when(t == "int", b.bitwiseAND(F.lit(0xFFFFFFFF)))
-        .when(t == "smallint", b.bitwiseAND(F.lit(0xFFFF)))
-        .when(t == "tinyint", b.bitwiseAND(F.lit(0xFF)))
-        .when(t == "boolean", s.cast("boolean").cast("bigint"))
-        .when(
-            t == "date",
-            F.datediff(s.cast("date"), F.lit("1970-01-01")).cast("bigint"),
-        )
-        .when(
-            t == "timestamp",
-            F.unix_timestamp(s.cast("timestamp")).bitwiseAND(F.lit(0xFFFFFFFF)),
-        )
-        .otherwise(b)
-    )
+    """FunctionIntHash bit pattern: SIGN-extension (plain C++ integral
+    conversion in ``Impl::apply(vec_from[i])``, FunctionsHashing.h:753)
+    — review finding: this is NOT the bit_cast zero-extension that
+    cityHash64's POD path uses; intHash64(toInt32(-7)) hashes
+    0xFFFF...F9, not 0x00000000FFFFFFF9."""
+    from clickhouse_25_5_3_75_stable_spark.functions.cityhash import pod_bits
+
+    return pod_bits(col, sign_extend=True)
 
 
 def _float_udf(kind: str, width: int):

@@ -1175,9 +1175,14 @@ def func_url_family(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_index_has_token",
+    # boundary class = the reference's separators (ASCII non-
+    # alphanumerics, incl. '_'; non-ASCII are token chars) — matches
+    # dialect hasToken exactly; RE2 has no lookarounds so the oracle
+    # spells it with boundary groups
     oracle=r"""
     SELECT doc_id FROM documents
-    WHERE regexp_matches(text, '\bdata\b')
+    WHERE regexp_matches(text,
+        '(^|[\x00-\x2f\x3a-\x40\x5b-\x60\x7b-\x7f])data([\x00-\x2f\x3a-\x40\x5b-\x60\x7b-\x7f]|$)')
     ORDER BY doc_id
     """,
     tags=("text", "index", "tokenbf"),

@@ -34,11 +34,21 @@ _JAR_HINT = (
 
 
 def protobuf_available(spark: SparkSession) -> bool:
-    """True when the spark-protobuf connector classes are loadable."""
+    """True when the spark-protobuf connector classes are loadable.
+    Resolves through Spark's own classloader utility first (review
+    finding: a bare Class.forName checks only the system classloader
+    and misses jars added via spark.jars/--packages, which land on
+    Spark's MutableURLClassLoader)."""
+    cls = "org.apache.spark.sql.protobuf.ProtobufDataToCatalyst"
     try:
-        spark._jvm.java.lang.Class.forName(  # noqa: SLF001
-            "org.apache.spark.sql.protobuf.ProtobufDataToCatalyst"
+        spark._jvm.org.apache.spark.util.Utils.classForName(  # noqa: SLF001
+            cls, False, False
         )
+        return True
+    except Exception:
+        pass
+    try:
+        spark._jvm.java.lang.Class.forName(cls)  # noqa: SLF001
         return True
     except Exception:
         return False

@@ -115,8 +115,12 @@ def has_token_scan(
     files = token_index_files(spark, index_path, needle)
     if not files:
         return spark.createDataFrame([], schema)
+    # basePath keeps directory-encoded partition columns resolvable
+    # when scanning leaf files (review finding: they came back NULL
+    # for partitioned layouts)
     return (
         spark.read.schema(schema)
+        .option("basePath", table_path)
         .parquet(*files)
         .filter(ch("hasToken", F.col(text_col), needle))
     )
@@ -142,13 +146,20 @@ def build_ngram_index(
     df = spark.read.parquet(table_path).select(
         F.input_file_name().alias("file"), F.col(text_col).alias("__t")
     )
+    # guard: sequence(1, 0) would run DESCENDING ([1, 0]) and emit two
+    # junk sub-n grams per short row (review finding) — short strings
+    # contribute nothing instead
+    n_grams = F.length("__t") - (n - 1)
     grams = df.select(
         "file",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.greatest(F.length("__t") - (n - 1), F.lit(0))),
-                lambda i: F.substring(F.col("__t"), i, n),
-            )
+            F.when(
+                n_grams >= 1,
+                F.transform(
+                    F.sequence(F.lit(1), n_grams),
+                    lambda i: F.substring(F.col("__t"), i, n),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
         ).alias("g"),
     )
     pairs = grams.select("file", F.xxhash64(F.col("g")).alias("gram_hash")).distinct()
@@ -207,7 +218,11 @@ def like_substring_scan(
     elif not files:
         return spark.createDataFrame([], schema)
     else:
-        src = spark.read.schema(schema).parquet(*files)
+        src = (
+            spark.read.schema(schema)
+            .option("basePath", table_path)
+            .parquet(*files)
+        )
     return src.filter(F.col(text_col).contains(needle))
 
 

@@ -117,6 +117,32 @@ def test_sql_path_xxhash64(spark):
     )
 
 
+def test_inthash_sign_extends_narrow_ints(spark):
+    """FunctionIntHash (SQL intHash64/intHash32) SIGN-extends narrow
+    ints (plain C++ conversion, FunctionsHashing.h:753) — unlike
+    cityHash64's POD path, which zero-extends via bit_cast (review
+    finding: the two rules differ and both must be exact)."""
+    from clickhouse_25_5_3_75_stable_spark.functions.hashes_extra import (
+        inthash32_py,
+    )
+
+    df = spark.createDataFrame([(-7,)], "i int")
+    row = df.select(
+        ch("intHash64", F.col("i")).alias("h64"),
+        ch("intHash32", F.col("i")).alias("h32"),
+        ch("cityHash64", F.col("i")).alias("city"),
+    ).collect()[0]
+    sign_ext = (2**64) - 7  # 0xFFFF...F9
+    zero_ext = 0xFFFFFFF9
+    assert row.h64 == as_i64(inthash64_py(sign_ext))
+    assert row.h32 == inthash32_py(sign_ext)
+    from clickhouse_25_5_3_75_stable_spark.functions.cityhash import (
+        inthash64_py as _ih,
+    )
+
+    assert row.city == as_i64(_ih(zero_ext))
+
+
 def test_halfmd5_exact(spark):
     """halfMD5 = big-endian UInt64 of the first 8 MD5-digest bytes
     (HalfMD5Impl:240) — pure JVM expressions; combine per :272."""

@@ -87,6 +87,90 @@ def test_absent_token_scans_nothing(spark, indexed_table):
     ]
 
 
+def test_hastoken_boundary_semantics(spark):
+    """dialect hasToken must agree with the reference's separator set
+    (HasTokenImpl via SplitTokenExtractor): '_' IS a separator, non-
+    ASCII chars are TOKEN chars — both differ from regex \\b (review
+    finding: the old \\b predicate disagreed with the index tokenizer
+    on exactly these)."""
+    df = spark.createDataFrame(
+        [("data_base",), ("the data set",), ("πdataπ",), ("dataset",)],
+        "text string",
+    )
+    got = {
+        r.text: r.h
+        for r in df.select(
+            "text", ch("hasToken", F.col("text"), "data").alias("h")
+        ).collect()
+    }
+    assert got["data_base"] is True  # '_' separates (\\b said no)
+    assert got["the data set"] is True
+    assert got["πdataπ"] is False  # non-ASCII extends the token (\\b said yes)
+    assert got["dataset"] is False
+
+
+def test_indexed_scan_agrees_on_boundary_cases(spark, tmp_path):
+    """Indexed and unindexed hasToken must agree on the tokenizer's
+    edge cases — the pruning tokenizer and the predicate share one
+    separator definition."""
+    from clickhouse_25_5_3_75_stable_spark.sources.text_index import (
+        build_token_index,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "data_base x"), (2, "πdataπ y"), (3, "plain data here"), (4, "none")],
+        "doc_id int, text string",
+    )
+    table = str(tmp_path / "edge")
+    df.repartition(4).write.mode("overwrite").parquet(table)
+    idx = str(tmp_path / "edge_idx")
+    build_token_index(spark, table, "text", idx)
+    via_index = {
+        r.doc_id for r in has_token_scan(spark, table, idx, "text", "data").collect()
+    }
+    full = {
+        r.doc_id
+        for r in spark.read.parquet(table)
+        .filter(ch("hasToken", F.col("text"), "data"))
+        .collect()
+    }
+    assert via_index == full == {1, 3}
+
+
+def test_partitioned_layout_keeps_partition_columns(spark, tmp_path):
+    """Pruned scans over a partitioned layout must resolve the
+    directory-encoded partition columns (review finding: they came
+    back NULL without basePath)."""
+    from clickhouse_25_5_3_75_stable_spark.sources.layout import (
+        write_mergetree_layout,
+    )
+    from clickhouse_25_5_3_75_stable_spark.sources.text_index import (
+        build_token_index,
+        default_index_path,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(200)
+    docs = docs.withColumn("bucket", (F.col("doc_id") % 3).cast("int"))
+    table = str(tmp_path / "ptab")
+    write_mergetree_layout(
+        docs, table, order_by=["doc_id"], partition_by=["bucket"],
+        token_index_cols=["text"],
+    )
+    idx = default_index_path(table, "text")
+    out = has_token_scan(spark, table, idx, "text", "data")
+    assert "bucket" in out.columns
+    rows = out.select("doc_id", "bucket").collect()
+    assert rows and all(r.bucket is not None for r in rows)
+    want = {
+        (r.doc_id, r.bucket)
+        for r in spark.read.parquet(table)
+        .filter(ch("hasToken", F.col("text"), "data"))
+        .select("doc_id", "bucket")
+        .collect()
+    }
+    assert {(r.doc_id, r.bucket) for r in rows} == want
+
+
 def test_separator_needle_rejected(spark, indexed_table):
     table, idx = indexed_table
     with pytest.raises(ValueError, match="separator"):
