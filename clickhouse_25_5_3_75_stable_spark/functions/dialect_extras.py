@@ -850,8 +850,41 @@ _reg("murmurHash2_64")(_murmur2_64)
 _reg("murmurHash3_64")(_murmur3_64)
 _reg("intHash64")(_inthash64)
 _reg("halfMD5")(_halfmd5)  # exact: big-endian first 8 MD5 bytes, all JVM
-_reg("murmurHash3_128", "sipHash128", "sipHash128Keyed", "sipHash128Reference",
-     "sipHash128ReferenceKeyed")(lambda *cs: F.md5(F.concat_ws("\x01", *[_c(c).cast("string") for c in cs])))
+# EXACT 128-bit family (round 3): CH-legacy sipHash128 (get128 —
+# (v0^v1, v2^v3), NOT the official output), official
+# sipHash128Reference, and full MurmurHash3_x64_128 — all BINARY(16)
+# in the reference's FixedString memory layout, NULL → NULL. The
+# Keyed variants stay capability-mapped (tuple keys unsupported).
+def _siphash128(*cs):
+    from clickhouse_25_5_3_75_stable_spark.functions.siphash import (
+        siphash128_chain,
+    )
+
+    return siphash128_chain(*[_c(c) for c in cs], reference=False)
+
+
+def _siphash128_ref(*cs):
+    from clickhouse_25_5_3_75_stable_spark.functions.siphash import (
+        siphash128_chain,
+    )
+
+    return siphash128_chain(*[_c(c) for c in cs], reference=True)
+
+
+def _murmur3_128(c):
+    from clickhouse_25_5_3_75_stable_spark.functions.hashes_extra import (
+        murmurhash3_128_exact,
+    )
+
+    return murmurhash3_128_exact(_c(c))
+
+
+_reg("sipHash128")(_siphash128)
+_reg("sipHash128Reference")(_siphash128_ref)
+_reg("murmurHash3_128")(_murmur3_128)
+_reg("sipHash128Keyed", "sipHash128ReferenceKeyed")(
+    lambda *cs: F.md5(F.concat_ws("\x01", *[_c(c).cast("string") for c in cs]))
+)
 _reg("CRC32IEEE")(lambda c: F.crc32(_c(c).cast("binary")))
 def _jump_ch(key, n):
     # EXACT Lamping-Veach jump hash (jumpConsistentHash.cpp:11 — the

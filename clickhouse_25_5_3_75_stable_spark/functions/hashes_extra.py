@@ -365,6 +365,21 @@ def _murmur2_64a_np(data: list[bytes]) -> np.ndarray:
 
 
 def _murmur3_64_np(data: list[bytes]) -> np.ndarray:
+    h1, h2 = _murmur3_state_np(data)
+    return h1 ^ h2
+
+
+def _murmur3_128_np(data: list[bytes]) -> list[bytes]:
+    """Full 16-byte MurmurHash3_x64_128 output (h1 LE ++ h2 LE — the
+    reference's FixedString(16) memory layout, MurmurHash3Impl128)."""
+    h1, h2 = _murmur3_state_np(data)
+    a = h1.astype("<u8").view(np.uint8).reshape(-1, 8)
+    b = h2.astype("<u8").view(np.uint8).reshape(-1, 8)
+    both = np.concatenate([a, b], axis=1)
+    return [bytes(r) for r in both]
+
+
+def _murmur3_state_np(data: list[bytes]):
     buf, lens = _byte_matrix(data)
     n_rows = len(data)
     rows = np.arange(n_rows)
@@ -415,7 +430,7 @@ def _murmur3_64_np(data: list[bytes]) -> np.ndarray:
     h2 = fmix(h2)
     h1 = h1 + h2
     h2 = h2 + h1
-    return h1 ^ h2
+    return h1, h2
 
 
 # ---------------------------------------------------------------------------
@@ -557,6 +572,33 @@ def murmurhash3_64_exact(*cols) -> Column:
     for c in cs[1:]:
         h = _combine_intxor(h, _typed_hash("murmur3_64", c))
     return _wrap_null(h, cs)
+
+
+def _m3_128_udf():
+    if "m3_128" not in _UDF_CACHE:
+
+        @pandas_udf("binary")
+        def _m3(s: pd.Series) -> pd.Series:
+            vals = [None if v is None else bytes(v) for v in s]
+            data = [b"" if v is None else v for v in vals]
+            hashed = _murmur3_128_np(data)
+            return pd.Series(
+                [None if v is None else h for v, h in zip(vals, hashed)]
+            )
+
+        _UDF_CACHE["m3_128"] = _m3
+    return _UDF_CACHE["m3_128"]
+
+
+def murmurhash3_128_exact(col) -> Column:
+    """murmurHash3_128 — the full 16-byte MurmurHash3_x64_128 output
+    (MurmurHash3Impl128; FixedString(16) memory layout, h1 LE ++ h2
+    LE); typed encoding shared with sipHash64; NULL → NULL."""
+    from clickhouse_25_5_3_75_stable_spark.functions.siphash import _encode_auto
+
+    col = F.col(col) if isinstance(col, str) else col
+    h = _m3_128_udf()(_encode_auto(col))
+    return F.when(col.isNull(), F.lit(None).cast("binary")).otherwise(h)
 
 
 def inthash64_exact(col) -> Column:

@@ -71,6 +71,76 @@ def siphash64_py(data: bytes, k0: int = 0, k1: int = 0) -> int:
     return (v0 ^ v1 ^ v2 ^ v3) & _MASK
 
 
+def siphash128_py(data: bytes) -> bytes:
+    """ClickHouse's LEGACY sipHash128 (Common/SipHash.h:192 get128):
+    the same SipHash-2-4 state machine and 0xff finalize as sipHash64,
+    but emitting (v0^v1, v2^v3) as 16 LE bytes instead of the xor of
+    all four registers. NOT the official SipHash-128 — that is
+    sipHash128Reference below."""
+    v = _sip_state_py(data, ref128=False)
+    lo = (v[0] ^ v[1]) & _MASK
+    hi = (v[2] ^ v[3]) & _MASK
+    return lo.to_bytes(8, "little") + hi.to_bytes(8, "little")
+
+
+def siphash128_reference_py(data: bytes) -> bytes:
+    """The official SipHash-2-4 128-bit output (SipHash.cpp:9
+    get128Reference): v1^=0xee at init, 0xee finalize, lo = xor-all,
+    then v1^=0xdd + 4 rounds for hi."""
+    v0, v1, v2, v3 = _sip_state_py(data, ref128=True)
+    lo = (v0 ^ v1 ^ v2 ^ v3) & _MASK
+    v1 ^= 0xDD
+    for _ in range(4):
+        v0 = (v0 + v1) & _MASK
+        v1 = _rotl(v1, 13) ^ v0
+        v0 = _rotl(v0, 32)
+        v2 = (v2 + v3) & _MASK
+        v3 = _rotl(v3, 16) ^ v2
+        v0 = (v0 + v3) & _MASK
+        v3 = _rotl(v3, 21) ^ v0
+        v2 = (v2 + v1) & _MASK
+        v1 = _rotl(v1, 17) ^ v2
+        v2 = _rotl(v2, 32)
+    hi = (v0 ^ v1 ^ v2 ^ v3) & _MASK
+    return lo.to_bytes(8, "little") + hi.to_bytes(8, "little")
+
+
+def _sip_state_py(data: bytes, ref128: bool) -> tuple[int, int, int, int]:
+    v0 = 0x736F6D6570736575
+    v1 = 0x646F72616E646F6D ^ (0xEE if ref128 else 0)
+    v2 = 0x6C7967656E657261
+    v3 = 0x7465646279746573
+
+    def rounds(n: int):
+        nonlocal v0, v1, v2, v3
+        for _ in range(n):
+            v0 = (v0 + v1) & _MASK
+            v1 = _rotl(v1, 13) ^ v0
+            v0 = _rotl(v0, 32)
+            v2 = (v2 + v3) & _MASK
+            v3 = _rotl(v3, 16) ^ v2
+            v0 = (v0 + v3) & _MASK
+            v3 = _rotl(v3, 21) ^ v0
+            v2 = (v2 + v1) & _MASK
+            v1 = _rotl(v1, 17) ^ v2
+            v2 = _rotl(v2, 32)
+
+    n = len(data)
+    for off in range(0, n - n % 8, 8):
+        m = int.from_bytes(data[off:off + 8], "little")
+        v3 ^= m
+        rounds(2)
+        v0 ^= m
+    last = data[n - n % 8:] + b"\x00" * (7 - n % 8) + bytes([n % 256])
+    m = int.from_bytes(last, "little")
+    v3 ^= m
+    rounds(2)
+    v0 ^= m
+    v2 ^= 0xEE if ref128 else 0xFF
+    rounds(4)
+    return v0, v1, v2, v3
+
+
 def _np_rotl(x: np.ndarray, b: int) -> np.ndarray:
     b64 = np.uint64(b)
     inv = np.uint64(64 - b)
@@ -79,6 +149,45 @@ def _np_rotl(x: np.ndarray, b: int) -> np.ndarray:
 
 def _siphash64_np(data: list[bytes]) -> np.ndarray:
     """Vectorized zero-key SipHash-2-4 of a batch of byte strings."""
+    v0, v1, v2, v3 = _sip_state_np(data, ref128=False)
+    return v0 ^ v1 ^ v2 ^ v3
+
+
+def _siphash128_np(data: list[bytes]) -> list[bytes]:
+    """Vectorized CH-legacy sipHash128 (get128: lo=v0^v1, hi=v2^v3)."""
+    v0, v1, v2, v3 = _sip_state_np(data, ref128=False)
+    lo, hi = v0 ^ v1, v2 ^ v3
+    return _le128(lo, hi)
+
+
+def _siphash128_reference_np(data: list[bytes]) -> list[bytes]:
+    """Vectorized official SipHash-2-4-128 (get128Reference)."""
+    v0, v1, v2, v3 = _sip_state_np(data, ref128=True)
+    lo = v0 ^ v1 ^ v2 ^ v3
+    v1 = v1 ^ np.uint64(0xDD)
+    for _ in range(4):
+        v0 = v0 + v1
+        v1 = _np_rotl(v1, 13) ^ v0
+        v0 = _np_rotl(v0, 32)
+        v2 = v2 + v3
+        v3 = _np_rotl(v3, 16) ^ v2
+        v0 = v0 + v3
+        v3 = _np_rotl(v3, 21) ^ v0
+        v2 = v2 + v1
+        v1 = _np_rotl(v1, 17) ^ v2
+        v2 = _np_rotl(v2, 32)
+    hi = v0 ^ v1 ^ v2 ^ v3
+    return _le128(lo, hi)
+
+
+def _le128(lo: np.ndarray, hi: np.ndarray) -> list[bytes]:
+    lo_b = lo.astype("<u8").view(np.uint8).reshape(-1, 8)
+    hi_b = hi.astype("<u8").view(np.uint8).reshape(-1, 8)
+    both = np.concatenate([lo_b, hi_b], axis=1)
+    return [bytes(row) for row in both]
+
+
+def _sip_state_np(data: list[bytes], ref128: bool):
     n = len(data)
     lens = np.fromiter((len(b) for b in data), dtype=np.int64, count=n)
     full_words = lens // 8
@@ -98,7 +207,7 @@ def _siphash64_np(data: list[bytes]) -> np.ndarray:
     words = buf.view("<u8").reshape(n, max_full + 1)
 
     v0 = np.full(n, 0x736F6D6570736575, dtype=np.uint64)
-    v1 = np.full(n, 0x646F72616E646F6D, dtype=np.uint64)
+    v1 = np.full(n, 0x646F72616E646F6D ^ (0xEE if ref128 else 0), dtype=np.uint64)
     v2 = np.full(n, 0x6C7967656E657261, dtype=np.uint64)
     v3 = np.full(n, 0x7465646279746573, dtype=np.uint64)
 
@@ -132,9 +241,9 @@ def _siphash64_np(data: list[bytes]) -> np.ndarray:
     v3 = v3 ^ m
     rounds(2)
     v0 = v0 ^ m
-    v2 = v2 ^ np.uint64(0xFF)
+    v2 = v2 ^ np.uint64(0xEE if ref128 else 0xFF)
     rounds(4)
-    return v0 ^ v1 ^ v2 ^ v3
+    return v0, v1, v2, v3
 
 
 _UDF_CACHE: dict[str, object] = {}
@@ -193,6 +302,47 @@ def _null_safe_hash(s: pd.Series, to_bytes) -> pd.Series:
     out = pd.array(_siphash64_np(data).astype(np.int64), dtype="Int64")
     out[mask] = pd.NA
     return pd.Series(out, dtype="Int64")
+
+
+def _udf128(reference: bool = False):
+    """16-byte-output sipHash128 UDFs (binary in, binary out)."""
+    key = "b128ref" if reference else "b128"
+    if key not in _UDF_CACHE:
+        core = _siphash128_reference_np if reference else _siphash128_np
+
+        @pandas_udf("binary")
+        def _sip128(s: pd.Series) -> pd.Series:
+            vals = [None if v is None else bytes(v) for v in s]
+            data = [b"" if v is None else v for v in vals]
+            hashed = core(data)
+            return pd.Series(
+                [None if v is None else h for v, h in zip(vals, hashed)]
+            )
+
+        _UDF_CACHE[key] = _sip128
+    return _UDF_CACHE[key]
+
+
+def siphash128_auto(col, reference: bool = False) -> Column:
+    """sipHash128 / sipHash128Reference with the typed encoding —
+    FixedString(16) in CH, BINARY(16) here; NULL → NULL. Multi-arg
+    combine (combineHashesFunc<UInt128>) = sipHash128 of the 32-byte
+    concat of the two LE 16-byte hashes."""
+    col = F.col(col) if isinstance(col, str) else col
+    h = _udf128(reference)(_encode_auto(col))
+    return F.when(col.isNull(), F.lit(None).cast("binary")).otherwise(h)
+
+
+def siphash128_chain(*cols, reference: bool = False) -> Column:
+    cs = [F.col(c) if isinstance(c, str) else c for c in cols]
+    hs = [siphash128_auto(c, reference) for c in cs]
+    h = hs[0]
+    for nxt in hs[1:]:
+        h = _udf128(reference)(F.concat(h, nxt))
+    any_null = cs[0].isNull()
+    for c in cs[1:]:
+        any_null = any_null | c.isNull()
+    return F.when(any_null, F.lit(None).cast("binary")).otherwise(h)
 
 
 def _le_bytes(col: Column, n_bytes: int) -> Column:

@@ -216,6 +216,68 @@ def test_jump_consistent_hash_exact(spark):
     assert r.b == jump_consistent_hash_py(42, 16)
 
 
+def test_siphash128_variants(spark):
+    """CH-legacy sipHash128 (get128: (v0^v1, v2^v3), 0xff finalize)
+    vs the official sipHash128Reference (0xee init/finalize + 0xdd
+    second finalize) — dual py/np transcriptions agree, the two
+    variants differ from each other and from sipHash64's xor-all, and
+    the Spark surface returns BINARY(16) with NULL → NULL."""
+    import random
+
+    from clickhouse_25_5_3_75_stable_spark.functions.siphash import (
+        _siphash128_np,
+        _siphash128_reference_np,
+        siphash64_py,
+        siphash128_py,
+        siphash128_reference_py,
+    )
+
+    rng = random.Random(3)
+    data = [b""] + [
+        bytes(rng.randrange(256) for _ in range(ln))
+        for ln in list(range(1, 40)) + [63, 64, 65, 255, 1024]
+    ]
+    leg = _siphash128_np(data)
+    ref = _siphash128_reference_np(data)
+    for d, a, b in zip(data, leg, ref):
+        assert a == siphash128_py(d)
+        assert b == siphash128_reference_py(d)
+        assert a != b  # the legacy variant is NOT the official output
+        lo = int.from_bytes(a[:8], "little")
+        hi = int.from_bytes(a[8:], "little")
+        assert (lo ^ hi) == siphash64_py(d)  # algebraic tie to sip64
+
+    df = spark.createDataFrame([("hello", None)], "s string, n string")
+    row = df.select(
+        ch("sipHash128", F.col("s")).alias("h"),
+        ch("sipHash128Reference", F.col("s")).alias("hr"),
+        ch("sipHash128", F.col("n")).alias("hn"),
+    ).collect()[0]
+    assert bytes(row.h) == siphash128_py(b"hello")
+    assert bytes(row.hr) == siphash128_reference_py(b"hello")
+    assert row.hn is None
+    # multi-arg: combine = sipHash128 of the 32-byte LE concat
+    rc = df.select(ch("sipHash128", F.col("s"), F.lit("x")).alias("c")).collect()[0]
+    want = siphash128_py(siphash128_py(b"hello") + siphash128_py(b"x"))
+    assert bytes(rc.c) == want
+
+
+def test_murmur3_128_full_output(spark):
+    """murmurHash3_128 returns the full 16 bytes (h1 LE ++ h2 LE);
+    anchored by the widely published MurmurHash3_x64_128('hello', 0)
+    pair."""
+    from clickhouse_25_5_3_75_stable_spark.functions.hashes_extra import (
+        _murmur3_128_np,
+    )
+
+    h = _murmur3_128_np([b"hello"])[0]
+    assert int.from_bytes(h[:8], "little") == 0xCBD8A7B341BD9B02
+    assert int.from_bytes(h[8:], "little") == 0x5B1E906A48AE1D19
+    df = spark.createDataFrame([("hello",)], "s string")
+    row = df.select(ch("murmurHash3_128", F.col("s")).alias("h")).collect()[0]
+    assert bytes(row.h) == h
+
+
 def test_spark_xxhash_differs_from_builtin(spark):
     # guard against regressing to the capability map: Spark's xxhash64
     # (seed 42, row encoding) must NOT equal CH's XXH64 seed-0
