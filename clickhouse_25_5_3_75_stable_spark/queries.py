@@ -497,8 +497,10 @@ def agg_rollup_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.rollup("l_returnflag", "l_linestatus")
         .agg(
-            F.grouping("l_returnflag").alias("g_flag"),
-            F.grouping("l_linestatus").alias("g_status"),
+            # bigint: Spark grouping() is TINYINT, DuckDB's is BIGINT —
+            # dtype parity keeps the driver's dtype-sensitive hash stable
+            F.grouping("l_returnflag").cast("bigint").alias("g_flag"),
+            F.grouping("l_linestatus").cast("bigint").alias("g_status"),
             dsum("l_quantity", "sum_qty"),
             F.count(F.lit(1)).alias("n"),
         )
@@ -524,8 +526,8 @@ def agg_cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.cube("l_returnflag", "l_linestatus")
         .agg(
-            F.grouping("l_returnflag").alias("g_flag"),
-            F.grouping("l_linestatus").alias("g_status"),
+            F.grouping("l_returnflag").cast("bigint").alias("g_flag"),
+            F.grouping("l_linestatus").cast("bigint").alias("g_status"),
             dsum("l_extendedprice", "sum_price"),
         )
         .select("l_returnflag", "l_linestatus", "g_flag", "g_status", "sum_price")
@@ -774,10 +776,12 @@ def window_ranks_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.rank().over(w).alias("rk"),
-        F.dense_rank().over(w).alias("drk"),
+        # bigint: DuckDB rank/dense_rank/ntile return BIGINT where
+        # Spark's are INT — dtype parity for the driver's hash
+        F.rank().over(w).cast("bigint").alias("rk"),
+        F.dense_rank().over(w).cast("bigint").alias("drk"),
         F.percent_rank().over(w).alias("prk"),
-        F.ntile(4).over(wu).alias("nt"),
+        F.ntile(4).over(wu).cast("bigint").alias("nt"),
     ).orderBy("l_orderkey", "l_linenumber")
 
 
@@ -886,9 +890,13 @@ from clickhouse_25_5_3_75_stable_spark.functions.dialect import ch  # noqa: E402
     "func_datetime_family",
     oracle="""
     SELECT event_id,
-           year(uts) AS y, month(uts) AS mo, day(uts) AS d,
-           hour(uts) AS h, minute(uts) AS mi, second(uts) AS s,
-           isodow(uts) AS dow,
+           -- CAST AS INTEGER: DuckDB date-part extractors return BIGINT
+           -- where Spark's return INT (dtype-parity for the driver hash)
+           CAST(year(uts) AS INTEGER) AS y, CAST(month(uts) AS INTEGER) AS mo,
+           CAST(day(uts) AS INTEGER) AS d,
+           CAST(hour(uts) AS INTEGER) AS h, CAST(minute(uts) AS INTEGER) AS mi,
+           CAST(second(uts) AS INTEGER) AS s,
+           CAST(isodow(uts) AS INTEGER) AS dow,
            CAST(date_trunc('month', uts) AS DATE) AS start_month,
            CAST(date_trunc('day', uts) AS TIMESTAMP) AS start_day,
            CAST(strftime(uts, '%Y%m') AS INT) AS yyyymm,
@@ -934,7 +942,7 @@ def func_datetime_family(spark: SparkSession, sf_dir: str) -> DataFrame:
            reverse(c_name) AS rev,
            repeat(c_mktsegment, 2) AS seg2,
            lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded,
-           levenshtein(c_mktsegment, 'BUILDING') AS lev,
+           CAST(levenshtein(c_mktsegment, 'BUILDING') AS INTEGER) AS lev,
            replace(c_name, 'Customer', 'C') AS replaced,
            string_split(c_name, '#')[2] AS after_hash
     FROM customer
@@ -973,7 +981,7 @@ def func_string_family(spark: SparkSession, sf_dir: str) -> DataFrame:
            sqrt(l_quantity) AS sq,
            pow(l_quantity, 2) AS qty2,
            abs(l_discount - 0.05) AS centered,
-           sign(l_discount - 0.05) AS sgn,
+           CAST(sign(l_discount - 0.05) AS INTEGER) AS sgn,
            CAST(floor(l_extendedprice) AS BIGINT) AS flr,
            CAST(ceil(l_extendedprice) AS BIGINT) AS cl,
            round(l_extendedprice, 2) AS rnd2,
@@ -1050,7 +1058,7 @@ def func_json_family(spark: SparkSession, sf_dir: str) -> DataFrame:
            sha256(c_name) AS sha256_hex,
            to_base64(c_name::BLOB) AS b64,
            hex(c_name) AS hx,
-           length(md5(c_name)) AS md5_len
+           CAST(length(md5(c_name)) AS INTEGER) AS md5_len
     FROM customer
     ORDER BY c_custkey
     """,

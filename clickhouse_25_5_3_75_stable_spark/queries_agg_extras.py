@@ -132,7 +132,11 @@ _INTERVAL_LENGTH_SUM_SQL = f"""
         SELECT user_id, island, MAX(e) - MIN(s) AS covered
         FROM g GROUP BY user_id, island
     )
-    SELECT user_id, SUM(covered) AS interval_length_sum, COUNT(*) AS n_islands
+    SELECT user_id,
+           -- CAST: DuckDB SUM(BIGINT) widens to HUGEINT, Spark stays
+           -- BIGINT — pin one dtype for the driver's hash
+           CAST(SUM(covered) AS BIGINT) AS interval_length_sum,
+           COUNT(*) AS n_islands
     FROM islands GROUP BY user_id ORDER BY user_id
 """
 
@@ -163,7 +167,7 @@ _MAX_INTERSECTIONS_SQL = f"""
                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
         FROM pts
     )
-    SELECT user_id, MAX(conc) AS max_intersections
+    SELECT user_id, CAST(MAX(conc) AS BIGINT) AS max_intersections
     FROM running GROUP BY user_id ORDER BY user_id
 """
 
@@ -244,7 +248,7 @@ _KS_SQL = """
     )
     SELECT MAX(ABS(CAST(f1 AS DOUBLE) / CAST(n1 AS DOUBLE)
                  - CAST(f2 AS DOUBLE) / CAST(n2 AS DOUBLE))) AS ks_d,
-           MAX(n1) AS n_click, MAX(n2) AS n_view
+           CAST(MAX(n1) AS BIGINT) AS n_click, CAST(MAX(n2) AS BIGINT) AS n_view
     FROM cum
 """
 

@@ -412,7 +412,7 @@ def agg_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT cat,
            {_r6_sql('(g / gt - b / bt) * ln((g * bt) / (b * gt))')} AS iv_term,
-           g AS n_good, b AS n_bad
+           CAST(g AS BIGINT) AS n_good, CAST(b AS BIGINT) AS n_bad
     FROM cats, tot
     ORDER BY cat
     """,

@@ -18,10 +18,15 @@ from clickhouse_25_5_3_75_stable_spark.queries import register, t
 
 @register(
     "chsql_prewhere_yearly",
+    # Both sides cast y/nf to one explicit BIGINT: DuckDB EXTRACT(year)
+    # returns BIGINT where Spark year() is INT, and DuckDB SUM(CASE..)
+    # widens to HUGEINT where Spark stays BIGINT — the driver's row
+    # hash is dtype-sensitive (round-3 red), so the boundary dtype is
+    # pinned explicitly on both engines.
     oracle="""
-    SELECT EXTRACT(year FROM o_orderdate) AS y,
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS y,
            COUNT(*) AS n,
-           SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS nf,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS nf,
            MIN(CASE WHEN o_orderkey > 0 THEN o_orderkey END) AS min_key,
            MAX(o_orderkey) AS max_key
     FROM orders
@@ -36,7 +41,7 @@ def chsql_prewhere_yearly(spark: SparkSession, sf_dir: str) -> DataFrame:
     text. The shim folds PREWHERE into WHERE — Spark's parquet
     pushdown then gives the same early-filter behavior the reference's
     MergeTreeWhereOptimizer provides."""
-    return ch_sql(
+    out = ch_sql(
         spark,
         """
         SELECT toYear(o_orderdate) AS y,
@@ -52,6 +57,9 @@ def chsql_prewhere_yearly(spark: SparkSession, sf_dir: str) -> DataFrame:
         FORMAT TabSeparated
         """,
         sf_dir,
+    )
+    return out.withColumn("y", F.col("y").cast("bigint")).withColumn(
+        "nf", F.col("nf").cast("bigint")
     )
 
 
@@ -118,7 +126,7 @@ def chsql_multi_array_join_collate(spark: SparkSession, sf_dir: str) -> DataFram
     ArrayJoinStep.h) + ORDER BY ... COLLATE, all in ClickHouse SQL
     text through the shim: tokens of each nation name joined with
     their positions, ordered case-insensitively."""
-    return ch_sql(
+    out = ch_sql(
         spark,
         """
         SELECT n_nationkey, tok, idx1 - 1 AS idx
@@ -129,6 +137,8 @@ def chsql_multi_array_join_collate(spark: SparkSession, sf_dir: str) -> DataFram
         """,
         sf_dir,
     )
+    # bigint: arrayEnumerate yields INT in Spark, the oracle pins BIGINT
+    return out.withColumn("idx", F.col("idx").cast("bigint"))
 
 
 @register(

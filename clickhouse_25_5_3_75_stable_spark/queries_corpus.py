@@ -85,8 +85,8 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     ranked AS (
         SELECT doc_id, term, tf, df,
-               ROW_NUMBER() OVER (PARTITION BY doc_id
-                                  ORDER BY score DESC, term ASC) AS rank,
+               CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, term ASC) AS INTEGER) AS rank,
                ROUND(score, 4) AS score_r
         FROM scored
     )
@@ -192,7 +192,10 @@ def retrieval_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(FLOOR(cum_excl / 2000.0) AS BIGINT) AS shard_id
         FROM cum
     )
-    SELECT shard_id, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens,
+    SELECT shard_id, COUNT(*) AS n_docs,
+           -- CAST: DuckDB SUM(BIGINT) widens to HUGEINT; Spark stays
+           -- BIGINT and the driver row hash is dtype-sensitive (r03 red)
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
            MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
     FROM shards GROUP BY shard_id ORDER BY shard_id
     """,
@@ -239,7 +242,7 @@ def pack_token_budget_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM st, unnest(range(1, greatest(st.n - 10, 1) + 1, 30)) AS u(s)
     )
     SELECT doc_id, chunk_id,
-           len(chunk) AS n_tokens,
+           CAST(len(chunk) AS INTEGER) AS n_tokens,
            COALESCE(array_to_string(chunk, ' '), '') AS chunk_text
     FROM chunks
     ORDER BY doc_id, chunk_id
@@ -286,7 +289,9 @@ def chunk_documents_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM deduped
     )
     SELECT CAST(FLOOR(cum_excl / 3000.0) AS BIGINT) AS shard_id,
-           COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens,
+           COUNT(*) AS n_docs,
+           -- CAST: DuckDB SUM(BIGINT) widens to HUGEINT (driver hash)
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
            MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
     FROM cum GROUP BY shard_id ORDER BY shard_id
     """,

@@ -36,7 +36,7 @@ from clickhouse_25_5_3_75_stable_spark.queries import register, t
            regexp_matches(text,
              '(^|[\\x00-\\x2f\\x3a-\\x40\\x5b-\\x60\\x7b-\\x7f])the([\\x00-\\x2f\\x3a-\\x40\\x5b-\\x60\\x7b-\\x7f]|$)') AS has_the,
            length(regexp_split_to_array(text, 'data')) - 1 AS n_data,
-           len(regexp_extract_all(text, '[a-z]+ing')) AS n_ing
+           CAST(len(regexp_extract_all(text, '[a-z]+ing')) AS INTEGER) AS n_ing
     FROM documents
     ORDER BY doc_id
     """,

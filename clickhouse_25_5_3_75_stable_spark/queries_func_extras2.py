@@ -50,7 +50,7 @@ def _v6(c) -> F.Column:
         FROM pairs
     )
     SELECT doc_id,
-           levenshtein(s1, s2) AS lev,
+           CAST(levenshtein(s1, s2) AS INTEGER) AS lev,
            {_V6.format(x='jaro_similarity(s1, s2)')} AS jaro,
            {_V6.format(x='jaro_winkler_similarity(s1, s2)')} AS jaro_winkler,
            {_V6.format(x='jaccard(s1, s2)')} AS char_jaccard,
@@ -140,10 +140,10 @@ def func_array_enumerate_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderkey,
            (o_custkey >> 3) & 1 AS bit3,
-           CASE WHEN ((o_custkey >> 1) & 1) = 1 AND ((o_custkey >> 2) & 1) = 1
-                THEN 1 ELSE 0 END AS bits12_all,
-           CASE WHEN ((o_custkey >> 1) & 1) = 1 OR ((o_custkey >> 2) & 1) = 1
-                THEN 1 ELSE 0 END AS bits12_any,
+           CAST(CASE WHEN ((o_custkey >> 1) & 1) = 1 AND ((o_custkey >> 2) & 1) = 1
+                THEN 1 ELSE 0 END AS BIGINT) AS bits12_all,
+           CAST(CASE WHEN ((o_custkey >> 1) & 1) = 1 OR ((o_custkey >> 2) & 1) = 1
+                THEN 1 ELSE 0 END AS BIGINT) AS bits12_any,
            ((o_custkey & 255) << 24) | (((o_custkey >> 8) & 255) << 16)
              | (((o_custkey >> 16) & 255) << 8)
              | ((o_custkey >> 24) & 255) AS swapped32,

@@ -190,7 +190,7 @@ def func_array_positional_family(spark: SparkSession, sf_dir: str) -> DataFrame:
            array_to_string(CAST(map_values(m) AS BIGINT[]), ',') AS vs,
            m['k'][1]::BIGINT AS k_val,
            list_contains(map_keys(m), 'k') AS has_k,
-           cardinality(m) AS n_entries,
+           CAST(cardinality(m) AS BIGINT) AS n_entries,
            s.a AS struct_a, s.b AS struct_b
     FROM (
         SELECT event_id,
@@ -226,12 +226,18 @@ def func_map_struct_family(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "type_uint64_beyond_int64",
+    # Decimal cells rendered as VARCHAR on BOTH engines: DECIMAL
+    # arithmetic widens to different (p,s) per engine/version and the
+    # driver's row hash is dtype-sensitive (round-3 red) — scale-0
+    # decimals print identically as plain digit strings.
     oracle="""
     SELECT o_orderpriority,
-           MAX(CAST(o_orderkey AS DECIMAL(20,0)) + 9223372036854775807) AS max_u64,
-           MIN(CAST(o_orderkey AS DECIMAL(20,0)) + 9223372036854775807) AS min_u64,
-           CAST(SUM(CAST(o_orderkey AS DECIMAL(20,0)) + 9223372036854775807)
-                AS DECIMAL(38,0)) AS sum_u64,
+           CAST(MAX(CAST(o_orderkey AS DECIMAL(20,0)) + 9223372036854775807)
+                AS VARCHAR) AS max_u64,
+           CAST(MIN(CAST(o_orderkey AS DECIMAL(20,0)) + 9223372036854775807)
+                AS VARCHAR) AS min_u64,
+           CAST(CAST(SUM(CAST(o_orderkey AS DECIMAL(20,0)) + 9223372036854775807)
+                AS DECIMAL(38,0)) AS VARCHAR) AS sum_u64,
            COUNT(*) AS n
     FROM orders
     GROUP BY o_orderpriority
@@ -252,9 +258,9 @@ def type_uint64_beyond_int64(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         od.groupBy("o_orderpriority")
         .agg(
-            F.max(u).alias("max_u64"),
-            F.min(u).alias("min_u64"),
-            F.sum(u).cast("decimal(38,0)").alias("sum_u64"),
+            F.max(u).cast("string").alias("max_u64"),
+            F.min(u).cast("string").alias("min_u64"),
+            F.sum(u).cast("decimal(38,0)").cast("string").alias("sum_u64"),
             F.count(F.lit(1)).alias("n"),
         )
         .orderBy("o_orderpriority")
@@ -272,7 +278,7 @@ def type_uint64_beyond_int64(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM nation
     )
     SELECT name,
-           row_number() OVER (ORDER BY lower(name), name) AS ci_rank
+           CAST(row_number() OVER (ORDER BY lower(name), name) AS INTEGER) AS ci_rank
     FROM mixed
     ORDER BY ci_rank
     """,

@@ -74,7 +74,7 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT media_id, frame_no,
            CAST(length(substr(text, frame_no * flen + 1, flen)) AS BIGINT) AS frame_bytes,
            md5(substr(text, frame_no * flen + 1, flen)) AS frame_md5
-    FROM media, (SELECT unnest(range(0, 4)) AS frame_no)
+    FROM media, (SELECT CAST(unnest(range(0, 4)) AS INTEGER) AS frame_no)
     WHERE frame_no * flen < n_bytes
     ORDER BY media_id, frame_no
     """,

@@ -143,8 +143,9 @@ def dict_get_nation_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT number % 7 AS bucket,
            COUNT(*) AS n,
-           SUM(number) AS total,
-           SUM(number * number) AS sum_sq
+           -- CAST: DuckDB SUM(BIGINT) widens to HUGEINT (driver hash)
+           CAST(SUM(number) AS BIGINT) AS total,
+           CAST(SUM(number * number) AS BIGINT) AS sum_sq
     FROM (SELECT unnest(range(0, 100000)) AS number)
     GROUP BY 1
     ORDER BY bucket

@@ -27,7 +27,7 @@ from clickhouse_25_5_3_75_stable_spark.queries import _sql, register, t
     "q8_market_share",
     oracle=f"""
     WITH volumes AS (
-        SELECT year(o_orderdate) AS o_year,
+        SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
                l_extendedprice * (1 - l_discount) AS volume,
                n2.n_name AS supp_nation
         FROM lineitem
@@ -101,7 +101,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q9_product_profit",
     oracle=f"""
-    SELECT n_name AS nation, year(o_orderdate) AS o_year,
+    SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
            {dsum_sql('l_extendedprice * (1 - l_discount)', 'profit')}
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey

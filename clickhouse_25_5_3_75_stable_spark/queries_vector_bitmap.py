@@ -131,7 +131,9 @@ def agg_bitmap_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_type",
             arr_csv(F.col("__bm")).alias("user_bitmap"),
-            ch("bitmapCardinality", F.col("__bm")).alias("card"),
+            # bigint: CH bitmapCardinality is UInt64; Spark size() is INT
+            # and the oracle's COUNT(DISTINCT) is BIGINT (dtype parity)
+            ch("bitmapCardinality", F.col("__bm")).cast("bigint").alias("card"),
             ch("bitmapMin", F.col("__bm")).alias("bm_min"),
             ch("bitmapMax", F.col("__bm")).alias("bm_max"),
         )
@@ -179,9 +181,10 @@ def agg_bitmap_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     c, p = F.col("c"), F.col("p")
     return click.crossJoin(purch).select(
         arr_csv(ch("bitmapAnd", c, p)).alias("bm_and"),
-        ch("bitmapAndCardinality", c, p).alias("card_and"),
-        ch("bitmapOrCardinality", c, p).alias("card_or"),
-        ch("bitmapXorCardinality", c, p).alias("card_xor"),
+        # bigint: CH *Cardinality are UInt64; oracle len() is BIGINT
+        ch("bitmapAndCardinality", c, p).cast("bigint").alias("card_and"),
+        ch("bitmapOrCardinality", c, p).cast("bigint").alias("card_or"),
+        ch("bitmapXorCardinality", c, p).cast("bigint").alias("card_xor"),
         arr_csv(ch("bitmapAndnot", c, p)).alias("bm_andnot"),
         ch("bitmapHasAny", c, p).alias("has_any"),
         ch("bitmapHasAll", c, p).alias("has_all"),

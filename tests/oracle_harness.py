@@ -72,6 +72,136 @@ def run_oracle(con, name: str):
     return cols, res.fetchall()
 
 
+# ---------------------------------------------------------------------------
+# Dtype parity (round-4): the driver's row hash is dtype-sensitive —
+# round 3 went red on three queries whose only divergence was DuckDB
+# widening SUM(BIGINT)->HUGEINT / EXTRACT->BIGINT past Spark's dtype
+# while values matched exactly. This check canonicalizes both engines'
+# result dtypes and demands STRICT width equality, so any future
+# uncast-widening oracle fails pytest before the driver sees it.
+
+_DUCK_SCALARS = {
+    "TINYINT": "int8",
+    "SMALLINT": "int16",
+    "INTEGER": "int32",
+    "BIGINT": "int64",
+    "HUGEINT": "int128",
+    "UTINYINT": "uint8",
+    "USMALLINT": "uint16",
+    "UINTEGER": "uint32",
+    "UBIGINT": "uint64",
+    "UHUGEINT": "uint128",
+    "FLOAT": "float32",
+    "REAL": "float32",
+    "DOUBLE": "float64",
+    "VARCHAR": "string",
+    "BOOLEAN": "bool",
+    "DATE": "date",
+    "BLOB": "binary",
+    "TIMESTAMP": "timestamp",
+    "TIMESTAMP WITH TIME ZONE": "timestamp",
+    "TIMESTAMP_NS": "timestamp",
+}
+
+_SPARK_SCALARS = {
+    "tinyint": "int8",
+    "smallint": "int16",
+    "int": "int32",
+    "bigint": "int64",
+    "float": "float32",
+    "double": "float64",
+    "string": "string",
+    "boolean": "bool",
+    "date": "date",
+    "binary": "binary",
+    "timestamp": "timestamp",
+    "timestamp_ntz": "timestamp",
+    "void": "null",
+}
+
+
+def _split_top(s: str) -> list[str]:
+    """Split on top-level commas, respecting <>, () and quotes."""
+    parts, depth, cur, quote = [], 0, [], None
+    for ch in s:
+        if quote:
+            cur.append(ch)
+            if ch == quote:
+                quote = None
+            continue
+        if ch in "\"'":
+            quote = ch
+            cur.append(ch)
+        elif ch in "<(":
+            depth += 1
+            cur.append(ch)
+        elif ch in ">)":
+            depth -= 1
+            cur.append(ch)
+        elif ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        parts.append("".join(cur))
+    return [p.strip() for p in parts]
+
+
+def canon_duck(t: str) -> str:
+    t = t.strip()
+    if t.endswith("[]"):
+        return f"array<{canon_duck(t[:-2])}>"
+    up = t.upper()
+    if up.startswith("DECIMAL"):
+        return t.lower().replace(" ", "")
+    if up.startswith("MAP("):
+        k, v = _split_top(t[4:-1])
+        return f"map<{canon_duck(k)},{canon_duck(v)}>"
+    if up.startswith("STRUCT("):
+        fields = []
+        for f in _split_top(t[7:-1]):
+            fname, ftype = f.split(" ", 1)
+            fields.append(f"{fname.strip(chr(34))}:{canon_duck(ftype)}")
+        return "struct<" + ",".join(fields) + ">"
+    return _DUCK_SCALARS.get(up, t.lower())
+
+
+def canon_spark(t: str) -> str:
+    t = t.strip()
+    if t.startswith("array<"):
+        return f"array<{canon_spark(t[6:-1])}>"
+    if t.startswith("map<"):
+        k, v = _split_top(t[4:-1])
+        return f"map<{canon_spark(k)},{canon_spark(v)}>"
+    if t.startswith("struct<"):
+        fields = []
+        for f in _split_top(t[7:-1]):
+            fname, ftype = f.split(":", 1)
+            fields.append(f"{fname}:{canon_spark(ftype)}")
+        return "struct<" + ",".join(fields) + ">"
+    if t.startswith("decimal"):
+        return t.replace(" ", "")
+    return _SPARK_SCALARS.get(t, t)
+
+
+def dtype_parity(spark, con, sf_dir: str, name: str) -> list[str]:
+    """Strict per-column dtype comparison between the Spark query's
+    schema and the DuckDB oracle's bound types (no execution on the
+    DuckDB side). Returns mismatch descriptions (empty = pass)."""
+    spec = REGISTRY[name]
+    assert spec.oracle is not None
+    df = spec.fn(spark, sf_dir)
+    s = {f.name: canon_spark(f.dataType.simpleString()) for f in df.schema.fields}
+    rel = con.sql(spec.oracle)
+    o = {c: canon_duck(str(t)) for c, t in zip(rel.columns, rel.types)}
+    problems = []
+    for c in sorted(set(s) | set(o)):
+        if s.get(c) != o.get(c):
+            problems.append(f"{c}: spark={s.get(c)!r} duckdb={o.get(c)!r}")
+    return problems
+
+
 def compare(spark, con, sf_dir: str, name: str) -> list[str]:
     """Returns a list of mismatch descriptions (empty = pass)."""
     s_cols, s_rows = run_spark(spark, sf_dir, name)
