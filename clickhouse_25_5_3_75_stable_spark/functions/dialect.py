@@ -24,7 +24,7 @@ Notes on fidelity:
   LITERALS follow Spark typing (CH narrows `1` to UInt8, Spark types
   it int); decimal inputs fall back to the string rendering; BINARY
   columns need the explicit siphash64(col, ctype='binary') form.
-  farmHash64/metroHash64 remain capability-mapped to xxhash64 (their
+  farmHash64/metroHash64 are exact (functions/hashes_extra2.py; their
   exact algorithms are bundled third-party code the reference snapshot
   does not ship); cityHash64 is exact — functions/cityhash.py: CityHash v1.0.2 for strings, the reference's intHash64 POD path for numeric/Date/DateTime columns, Hash128to64 combine, NULL → NULL.
 - toDayOfWeek follows ClickHouse semantics (Mon=1..Sun=7), translated
@@ -600,12 +600,28 @@ _reg("isValidJSON")(lambda j: F.get_json_object(_c(j), "$").isNotNull())
 _reg("MD5", "halfMD5_hex")(lambda a: F.md5(_c(a).cast("binary")))
 _reg("SHA256")(lambda a: F.sha2(_c(a).cast("binary"), 256))
 _reg("SHA512")(lambda a: F.sha2(_c(a).cast("binary"), 512))
-# farmHash64/metroHash64 remain capability-mapped (no validation
-# source in this environment); cityHash64 is the exact v1.0.2
-# algorithm (functions/cityhash.py, dual-transcription validated)
-_reg("farmHash64", "metroHash64")(
-    lambda *cols: F.xxhash64(*[_c(c) for c in cols])
-)
+# farmHash64/metroHash64 are EXACT since round 5
+# (functions/hashes_extra2.py — farmhashxo::Hash64 portable dispatch /
+# metrohash64_1 seed-0, Hash128to64 combine, intHash64 POD path);
+# cityHash64 is the exact v1.0.2 algorithm (functions/cityhash.py)
+def _farmhash64(*cols):
+    from clickhouse_25_5_3_75_stable_spark.functions.hashes_extra2 import (
+        farmhash64_exact,
+    )
+
+    return farmhash64_exact(*[_c(c) for c in cols])
+
+
+def _metrohash64(*cols):
+    from clickhouse_25_5_3_75_stable_spark.functions.hashes_extra2 import (
+        metrohash64_exact,
+    )
+
+    return metrohash64_exact(*[_c(c) for c in cols])
+
+
+_reg("farmHash64")(_farmhash64)
+_reg("metroHash64")(_metrohash64)
 
 
 def _cityhash64_exact(*cols):

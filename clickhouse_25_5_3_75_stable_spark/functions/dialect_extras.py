@@ -806,9 +806,42 @@ _reg("MAP_FROM_ARRAYS")(lambda ks, vs: F.map_from_arrays(_c(ks), _c(vs)))
 # crc32 for capability parity (documented fidelity gap, SURVEY §2.8).
 # ---------------------------------------------------------------------------
 for _h in ("gccMurmurHash", "kafkaMurmurHash",
-           "hiveHash", "javaHash", "javaHashUTF16LE", "wyHash64", "xxh3",
-           "farmFingerprint64", "sipHash64Keyed", "URLHash"):
+           "hiveHash", "javaHash", "javaHashUTF16LE",
+           "sipHash64Keyed", "URLHash"):
     _reg(_h)(lambda *cs: F.xxhash64(*[_c(c) for c in cs]))
+
+
+# wyHash64 / xxh3 / farmFingerprint64 are EXACT since round 5
+# (functions/hashes_extra2.py — wyhash final-3 seed-0 with the
+# 16-byte-concat combine; XXH3_64bits libxxhash-validated;
+# farmhashna::Hash64 Guava-validated; POD rules per FunctionsHashing.h)
+def _wyhash64(*cs):
+    from clickhouse_25_5_3_75_stable_spark.functions.hashes_extra2 import (
+        wyhash64_exact,
+    )
+
+    return wyhash64_exact(*[_c(c) for c in cs])
+
+
+def _xxh3(*cs):
+    from clickhouse_25_5_3_75_stable_spark.functions.hashes_extra2 import (
+        xxh3_exact,
+    )
+
+    return xxh3_exact(*[_c(c) for c in cs])
+
+
+def _farm_fp64(*cs):
+    from clickhouse_25_5_3_75_stable_spark.functions.hashes_extra2 import (
+        farm_fingerprint64_exact,
+    )
+
+    return farm_fingerprint64_exact(*[_c(c) for c in cs])
+
+
+_reg("wyHash64")(_wyhash64)
+_reg("xxh3")(_xxh3)
+_reg("farmFingerprint64")(_farm_fp64)
 
 
 # EXACT 64-bit family (functions/hashes_extra.py — public algorithms,
