@@ -1232,6 +1232,59 @@ def text_index_has_token(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "gin_phrase_search",
+    # exact phrase = the tokens adjacent in the token stream: boundary,
+    # token, one-or-more separators, token, boundary (RE2 spelling —
+    # no lookarounds; separator class = the reference's ASCII
+    # non-alphanumerics)
+    oracle=r"""
+    SELECT doc_id FROM documents
+    WHERE regexp_matches(text,
+        '(^|[\x00-\x2f\x3a-\x40\x5b-\x60\x7b-\x7f])hash[\x00-\x2f\x3a-\x40\x5b-\x60\x7b-\x7f]+join([\x00-\x2f\x3a-\x40\x5b-\x60\x7b-\x7f]|$)')
+    ORDER BY doc_id
+    """,
+    tags=("text", "index", "gin", "phrase"),
+)
+def gin_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gin/full_text-analogue positional posting lists (reference
+    MergeTreeIndices.cpp:123-157 + src/Interpreters/GinFilter.h;
+    sources/text_index.py build_gin_index/gin_phrase_scan): the phrase
+    'hash join' prunes to files whose postings contain both tokens at
+    consecutive ordinals in one row, then the exact token-subsequence
+    predicate runs on the survivors. Result must equal the full-scan
+    phrase regex — which is what the oracle computes. Pruning
+    effectiveness (fewer files than per-token AND, fewer than the
+    table) is pinned by tests/test_text_index.py."""
+    import hashlib
+    import os
+    import tempfile
+
+    from clickhouse_25_5_3_75_stable_spark.sources.text_index import (
+        build_gin_index,
+        gin_phrase_scan,
+    )
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"chspark_gin_{key}")
+    table = os.path.join(base, "t")
+    idx = os.path.join(base, "i")
+    if not os.path.exists(os.path.join(idx, "_SUCCESS")):
+        docs = t(spark, sf_dir, "documents")
+        (
+            docs.repartition(8, "doc_id")
+            .write.mode("overwrite")
+            .option("maxRecordsPerFile", 64)
+            .parquet(table)
+        )
+        build_gin_index(spark, table, "text", idx, "doc_id")
+    return (
+        gin_phrase_scan(spark, table, idx, "text", "hash join")
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "func_hash64_family_exact",
     oracle="""
     SELECT * FROM (VALUES

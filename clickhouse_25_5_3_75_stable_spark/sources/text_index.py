@@ -226,6 +226,197 @@ def like_substring_scan(
     return src.filter(F.col(text_col).contains(needle))
 
 
+# ---------------------------------------------------------------------------
+# gin / full_text analogue: POSITIONAL posting lists. Reference:
+# MergeTreeIndices.cpp:123-157 registers the "gin"/"full_text" index
+# whose GinFilter (src/Interpreters/GinFilter.h) stores token →
+# posting lists (rowid ranges), enabling multi-token AND and phrase
+# queries to prune without scanning. tokenbf/ngrambf above prune one
+# token / one substring; this sidecar stores
+# (token_hash, file, row id, ordinal positions[]) so a conjunction
+# prunes to files containing ALL tokens and a phrase prunes to files
+# containing the tokens at CONSECUTIVE ordinals — strictly fewer files
+# than the per-token union. The final exact predicate still runs on
+# the surviving files (same contract as the reference: skip indexes
+# never replace the WHERE, they skip I/O).
+#
+# 100 TB shape: the build is one pass (tokenize → posexplode → groupBy
+# (token_hash, file, row)) whose single shuffle carries 8-byte hashes;
+# lookups read the sidecar with hash-equality pushdown, aggregate per
+# (file[, row anchor]) and collect FILE PATHS only (bounded by file
+# count, broadcast-class) — data rows are never collected.
+# ---------------------------------------------------------------------------
+
+
+def build_gin_index(
+    spark: SparkSession,
+    table_path: str,
+    text_col: str,
+    index_path: str,
+    id_col: str,
+) -> None:
+    """Posting-list sidecar: (token_hash, file, row id, positions[])
+    where positions are 0-based token ordinals in the row's token
+    stream. One tokenize pass, one groupBy shuffle; sorted by
+    token_hash for min/max pruning of the sidecar itself."""
+    df = spark.read.parquet(table_path).select(
+        F.input_file_name().alias("file"),
+        F.col(id_col).alias("rid"),
+        F.col(text_col).alias("__t"),
+    )
+    posting = (
+        df.select(
+            "file",
+            "rid",
+            F.posexplode(
+                F.regexp_extract_all(F.col("__t"), F.lit(TOKEN_REGEX), 0)
+            ).alias("pos", "tok"),
+        )
+        .groupBy(F.xxhash64(F.col("tok")).alias("token_hash"), "file", "rid")
+        .agg(F.sort_array(F.collect_list("pos")).alias("positions"))
+    )
+    (
+        posting.repartition(F.col("token_hash"))
+        .sortWithinPartitions("token_hash")
+        .write.mode("overwrite")
+        .parquet(index_path)
+    )
+
+
+def _probe_hashes(spark: SparkSession, tokens: list[str]) -> list[int]:
+    for tok in tokens:
+        if not is_single_token(tok):
+            raise ValueError(
+                f"gin needle token {tok!r} contains separators "
+                "(reference: BAD_ARGUMENTS)"
+            )
+    row = (
+        spark.range(1)
+        .select(*[F.xxhash64(F.lit(t)).alias(f"h{i}") for i, t in enumerate(tokens)])
+        .collect()[0]
+    )
+    return [row[f"h{i}"] for i in range(len(tokens))]
+
+
+def gin_and_files(
+    spark: SparkSession, index_path: str, tokens: list[str]
+) -> list[str]:
+    """Files containing ALL tokens (multi-token AND pruning): hash-
+    equality pushdown on the sidecar, per-file distinct-token count,
+    keep count == k. Collects file paths only."""
+    hashes = _probe_hashes(spark, tokens)
+    idx = spark.read.parquet(index_path)
+    rows = (
+        idx.filter(F.col("token_hash").isin(hashes))
+        .groupBy("file")
+        .agg(F.count_distinct("token_hash").alias("k"))
+        .filter(F.col("k") == len(set(hashes)))
+        .select("file")
+        .collect()
+    )
+    return [r.file for r in rows]
+
+
+def gin_phrase_files(
+    spark: SparkSession, index_path: str, phrase_tokens: list[str]
+) -> list[str]:
+    """Files containing the tokens at CONSECUTIVE ordinals somewhere in
+    one row (phrase pruning). For phrase t0..t_{k-1}: explode each
+    matching posting's positions, normalize to anchor = pos - i, and a
+    row is a candidate when one anchor collects all k token indexes.
+    Repeated tokens in the phrase are handled by joining the sidecar
+    against the (i, hash) pairs, not a hash set."""
+    hashes = _probe_hashes(spark, phrase_tokens)
+    k = len(phrase_tokens)
+    if k == 1:
+        return gin_and_files(spark, index_path, phrase_tokens)
+    probe = spark.createDataFrame(
+        [(i, h) for i, h in enumerate(hashes)], "i int, token_hash long"
+    )
+    idx = spark.read.parquet(index_path)
+    cand = (
+        idx.filter(F.col("token_hash").isin(hashes))  # pushdown prune
+        .join(F.broadcast(probe), "token_hash")  # recover phrase slots
+        .select("file", "rid", "i", F.explode("positions").alias("pos"))
+        .withColumn("anchor", F.col("pos") - F.col("i"))
+        .filter(F.col("anchor") >= 0)
+        .groupBy("file", "rid", "anchor")
+        .agg(F.count_distinct("i").alias("nslots"))
+        .filter(F.col("nslots") == k)
+        .select("file")
+        .distinct()
+        .collect()
+    )
+    return [r.file for r in cand]
+
+
+def _exact_phrase_predicate(text_col: str, phrase_tokens: list[str]):
+    """Exact phrase check, all JVM expressions: the row's token stream
+    contains the phrase tokens consecutively."""
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_REGEX), 0)
+    k = len(phrase_tokens)
+    lit = F.array(*[F.lit(t) for t in phrase_tokens])
+    n_anchor = F.size(toks) - (k - 1)
+    return F.when(
+        n_anchor >= 1,
+        F.exists(
+            F.sequence(F.lit(1), n_anchor),
+            lambda i: F.slice(toks, i, k) == lit,
+        ),
+    ).otherwise(F.lit(False))
+
+
+def gin_and_scan(
+    spark: SparkSession,
+    table_path: str,
+    index_path: str,
+    text_col: str,
+    tokens: list[str],
+) -> DataFrame:
+    """hasToken(a) AND hasToken(b) ... accelerated by the posting-list
+    sidecar: prune to files containing every token, then run the exact
+    per-token predicates on survivors."""
+    from clickhouse_25_5_3_75_stable_spark.functions.dialect import ch
+
+    schema = spark.read.parquet(table_path).schema
+    files = gin_and_files(spark, index_path, tokens)
+    if not files:
+        return spark.createDataFrame([], schema)
+    out = (
+        spark.read.schema(schema)
+        .option("basePath", table_path)
+        .parquet(*files)
+    )
+    for tok in tokens:
+        out = out.filter(ch("hasToken", F.col(text_col), tok))
+    return out
+
+
+def gin_phrase_scan(
+    spark: SparkSession,
+    table_path: str,
+    index_path: str,
+    text_col: str,
+    phrase: str,
+) -> DataFrame:
+    """Phrase search accelerated by positional posting lists: prune to
+    files where the tokens co-occur at consecutive ordinals, then run
+    the exact token-subsequence predicate on survivors."""
+    phrase_tokens = _PY_TOKEN_RE.findall(phrase)
+    if not phrase_tokens:
+        raise ValueError("phrase contains no tokens")
+    schema = spark.read.parquet(table_path).schema
+    files = gin_phrase_files(spark, index_path, phrase_tokens)
+    if not files:
+        return spark.createDataFrame([], schema)
+    return (
+        spark.read.schema(schema)
+        .option("basePath", table_path)
+        .parquet(*files)
+        .filter(_exact_phrase_predicate(text_col, phrase_tokens))
+    )
+
+
 def table_file_count(spark: SparkSession, table_path: str) -> int:
     """Total data files in the table (for pruning assertions/metrics)."""
     return (

@@ -246,3 +246,150 @@ def test_layout_write_builds_sidecar(spark, tmp_path):
         for r in docs.filter(ch("hasToken", F.col("text"), "data")).collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# gin / full_text positional posting lists
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def gin_table(spark, tmp_path_factory):
+    """documents + planted phrases, many small files, gin sidecar."""
+    from clickhouse_25_5_3_75_stable_spark.sources.text_index import (
+        build_gin_index,
+    )
+
+    base = tmp_path_factory.mktemp("gin")
+    table = str(base / "docs")
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    # 'lobster bisque' planted in few rows; 'lobster' alone and
+    # 'bisque' alone in (different) other rows -> AND prunes, phrase
+    # prunes strictly harder
+    marked = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 97 == 0,
+               F.concat(F.col("text"), F.lit(" lobster bisque tail")))
+        .when(F.col("doc_id") % 11 == 0,
+              F.concat(F.col("text"), F.lit(" lobster pot")))
+        .when(F.col("doc_id") % 13 == 0,
+              F.concat(F.col("text"), F.lit(" bisque bowl")))
+        .when(F.col("doc_id") % 17 == 0,
+              F.concat(F.col("text"), F.lit(" bisque near lobster")))
+        .otherwise(F.col("text")),
+    )
+    (
+        marked.repartition(16, "doc_id")
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", 8)
+        .parquet(table)
+    )
+    idx = str(base / "idx")
+    build_gin_index(spark, table, "text", idx, "doc_id")
+    return table, idx
+
+
+def test_gin_and_prunes_and_phrase_prunes_harder(spark, gin_table):
+    from clickhouse_25_5_3_75_stable_spark.sources.text_index import (
+        gin_and_files,
+        gin_phrase_files,
+        token_index_files,
+    )
+
+    table, idx = gin_table
+    total = table_file_count(spark, table)
+    # single-token candidates via the same posting lists
+    only_lobster = gin_and_files(spark, idx, ["lobster"])
+    both = gin_and_files(spark, idx, ["lobster", "bisque"])
+    phrase = gin_phrase_files(spark, idx, ["lobster", "bisque"])
+    assert 0 < len(both) < len(only_lobster) < total
+    # phrase candidates are a subset of the AND candidates and strictly
+    # fewer (rows with both words non-adjacent exist by construction)
+    assert set(phrase) <= set(both)
+    assert 0 < len(phrase) < len(both)
+    _ = token_index_files  # tokenbf covered above
+
+
+def test_gin_and_scan_exact(spark, gin_table):
+    from clickhouse_25_5_3_75_stable_spark.sources.text_index import (
+        gin_and_scan,
+    )
+
+    table, idx = gin_table
+    via_index = {
+        r.doc_id
+        for r in gin_and_scan(spark, table, idx, "text",
+                              ["lobster", "bisque"]).collect()
+    }
+    full = {
+        r.doc_id
+        for r in spark.read.parquet(table)
+        .filter(ch("hasToken", F.col("text"), "lobster")
+                & ch("hasToken", F.col("text"), "bisque"))
+        .collect()
+    }
+    assert via_index == full and via_index
+
+
+def test_gin_phrase_scan_exact(spark, gin_table):
+    from clickhouse_25_5_3_75_stable_spark.sources.text_index import (
+        gin_phrase_scan,
+    )
+
+    table, idx = gin_table
+    via_index = {
+        r.doc_id
+        for r in gin_phrase_scan(spark, table, idx, "text",
+                                 "lobster bisque").collect()
+    }
+    # ground truth: doc_ids planted with the adjacent phrase only
+    full = {
+        r.doc_id
+        for r in spark.read.parquet(table)
+        .filter(F.col("text").rlike(r"\blobster bisque\b"))
+        .collect()
+    }
+    assert via_index == full and via_index
+    # the non-adjacent rows ('bisque near lobster') must NOT match
+    near = {
+        r.doc_id
+        for r in spark.read.parquet(table)
+        .filter(F.col("text").contains("bisque near lobster"))
+        .collect()
+    }
+    assert near and not (near & via_index)
+
+
+def test_gin_phrase_repeated_token(spark, gin_table):
+    """A phrase with a repeated token must anchor BOTH slots —
+    'bisque bisque' never occurs even though 'bisque' does twice in
+    separate places."""
+    from clickhouse_25_5_3_75_stable_spark.sources.text_index import (
+        gin_phrase_scan,
+    )
+
+    table, idx = gin_table
+    assert gin_phrase_scan(spark, table, idx, "text",
+                           "bisque bisque").count() == 0
+
+
+def test_gin_phrase_no_match_skips_table(spark, gin_table):
+    from clickhouse_25_5_3_75_stable_spark.sources.text_index import (
+        gin_phrase_files,
+        gin_phrase_scan,
+    )
+
+    table, idx = gin_table
+    assert gin_phrase_files(spark, idx, ["zzzznope", "lobster"]) == []
+    assert gin_phrase_scan(spark, table, idx, "text",
+                           "zzzznope lobster").count() == 0
+
+
+def test_gin_rejects_separator_tokens(spark, gin_table):
+    from clickhouse_25_5_3_75_stable_spark.sources.text_index import (
+        gin_and_files,
+    )
+
+    _table, idx = gin_table
+    with pytest.raises(ValueError):
+        gin_and_files(spark, idx, ["a b"])
