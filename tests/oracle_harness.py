@@ -98,9 +98,16 @@ _DUCK_SCALARS = {
     "BOOLEAN": "bool",
     "DATE": "date",
     "BLOB": "binary",
+    # tz-awareness and sub-µs width are DISTINCT canonical names
+    # (round-4 advisor): a TIMESTAMPTZ or TIMESTAMP_NS oracle column can
+    # change the driver's dtype-sensitive row rendering, so it must be
+    # pinned explicitly, never pass silently. The one sanctioned
+    # equivalence is Spark ltz 'timestamp' ≡ DuckDB naive TIMESTAMP —
+    # under the harness/driver UTC session both render identical
+    # microsecond instants (all current oracles use this pairing).
     "TIMESTAMP": "timestamp",
-    "TIMESTAMP WITH TIME ZONE": "timestamp",
-    "TIMESTAMP_NS": "timestamp",
+    "TIMESTAMP WITH TIME ZONE": "timestamptz",
+    "TIMESTAMP_NS": "timestamp_ns",
 }
 
 _SPARK_SCALARS = {
@@ -114,8 +121,8 @@ _SPARK_SCALARS = {
     "boolean": "bool",
     "date": "date",
     "binary": "binary",
-    "timestamp": "timestamp",
-    "timestamp_ntz": "timestamp",
+    "timestamp": "timestamp",  # ltz ≡ DuckDB naive under UTC (see above)
+    "timestamp_ntz": "timestamp_ntz",
     "void": "null",
 }
 
@@ -161,8 +168,14 @@ def canon_duck(t: str) -> str:
     if up.startswith("STRUCT("):
         fields = []
         for f in _split_top(t[7:-1]):
-            fname, ftype = f.split(" ", 1)
-            fields.append(f"{fname.strip(chr(34))}:{canon_duck(ftype)}")
+            # quote-aware name/type split (round-4 advisor): a quoted
+            # field name may itself contain spaces
+            if f.startswith('"'):
+                close = f.index('"', 1)
+                fname, ftype = f[1:close], f[close + 1:].strip()
+            else:
+                fname, ftype = f.split(" ", 1)
+            fields.append(f"{fname}:{canon_duck(ftype)}")
         return "struct<" + ",".join(fields) + ">"
     return _DUCK_SCALARS.get(up, t.lower())
 
@@ -192,13 +205,21 @@ def dtype_parity(spark, con, sf_dir: str, name: str) -> list[str]:
     spec = REGISTRY[name]
     assert spec.oracle is not None
     df = spec.fn(spark, sf_dir)
-    s = {f.name: canon_spark(f.dataType.simpleString()) for f in df.schema.fields}
+    # positional (name, type) comparison (round-4 advisor): name-keyed
+    # dicts silently dropped duplicate output column names
+    s = [(f.name, canon_spark(f.dataType.simpleString()))
+         for f in df.schema.fields]
     rel = con.sql(spec.oracle)
-    o = {c: canon_duck(str(t)) for c, t in zip(rel.columns, rel.types)}
+    o = [(c, canon_duck(str(t))) for c, t in zip(rel.columns, rel.types)]
     problems = []
-    for c in sorted(set(s) | set(o)):
-        if s.get(c) != o.get(c):
-            problems.append(f"{c}: spark={s.get(c)!r} duckdb={o.get(c)!r}")
+    if len(s) != len(o):
+        problems.append(f"column count: spark={len(s)} duckdb={len(o)}")
+    # the value compare sorts columns BY NAME before hashing, so dtype
+    # parity must bind the same pairing: sort both sides by name (with
+    # position as tiebreaker for duplicates), then compare per slot
+    for (sn, st), (on, ot) in zip(sorted(s), sorted(o)):
+        if sn != on or st != ot:
+            problems.append(f"spark=({sn!r}, {st!r}) duckdb=({on!r}, {ot!r})")
     return problems
 
 
