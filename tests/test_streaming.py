@@ -574,3 +574,106 @@ def test_stream_dedup_drops_replayed_blocks(spark):
         shutil.rmtree(d, ignore_errors=True)
         shutil.rmtree(out, ignore_errors=True)
         shutil.rmtree(out + "_ckpt", ignore_errors=True)
+
+
+def test_window_view_allowed_lateness_update_and_drop(spark, tmp_path):
+    """StorageWindowView ALLOWED_LATENESS + update-mode firing parity
+    (reference src/Storages/WindowView/StorageWindowView.h:74-95): a
+    window fires when the watermark passes it, a late row WITHIN the
+    allowed lateness re-fires (updates) that window, and a row beyond
+    watermark - lateness is dropped. Spark realization: withWatermark
+    (= the lateness budget) + update output mode; asserted against a
+    batch recompute over exactly the non-dropped rows."""
+    import time
+
+    src = str(tmp_path / "src")
+    schema = "event_id long, ts timestamp, event_type string, value double"
+
+    def write_file(rows, name):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        time.sleep(0.05)  # distinct mtimes keep file-source order stable
+
+    # batch 1: two rows in the 10:00 window, one at 12:00 that advances
+    # the watermark to 12:00 - 2h = 10:00
+    import datetime as dt
+
+    def ts(h, m=0):
+        return dt.datetime(2024, 3, 1, h, m)
+
+    write_file(
+        [(1, ts(10, 5), "view", 1.0), (2, ts(10, 40), "view", 2.0),
+         (3, ts(12, 0), "view", 4.0)],
+        "b1",
+    )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    from clickhouse_25_5_3_75_stable_spark.streaming.windows import window_view
+
+    agg = window_view(
+        stream, ts="ts", size="1 hour",
+        agg_exprs=[F.count(F.lit(1)).alias("n"), dsum("value", "sum_value")],
+        watermark="2 hours",  # = ALLOWED_LATENESS budget
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("wv_lateness")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        fired1 = {
+            (r.window_start, r.n, r.sum_value)
+            for r in spark.sql("SELECT * FROM wv_lateness").collect()
+        }
+        # the 10:00 window fired with both on-time rows
+        assert (ts(10), 2, 3.0) in fired1
+
+        # batch 2: a LATE row at 10:30 — within lateness (>= 10:00
+        # watermark) — must UPDATE the already-fired 10:00 window
+        write_file([(4, ts(10, 30), "view", 10.0)], "b2")
+        q.processAllAvailable()
+        fired2 = {
+            (r.window_start, r.n, r.sum_value)
+            for r in spark.sql("SELECT * FROM wv_lateness").collect()
+        }
+        assert (ts(10), 3, 13.0) in fired2  # re-fired, updated
+
+        # batch 3: a TOO-LATE row at 07:00 — beyond the lateness budget
+        # — must be dropped: no 07:00 window may ever appear and the
+        # 10:00 window must not change again
+        write_file([(5, ts(7, 0), "view", 100.0)], "b3")
+        q.processAllAvailable()
+        final = [
+            (r.window_start, r.n, r.sum_value)
+            for r in spark.sql("SELECT * FROM wv_lateness").collect()
+        ]
+    finally:
+        q.stop()
+
+    assert not [f for f in final if f[0] == ts(7)], "too-late row fired"
+    # final state per window (counts are monotonic; last update = max n)
+    per_window = {}
+    for w, n, s in final:
+        if w not in per_window or n > per_window[w][0]:
+            per_window[w] = (n, s)
+    # batch recompute over exactly the non-dropped rows
+    batch = spark.createDataFrame(
+        [(1, ts(10, 5), "view", 1.0), (2, ts(10, 40), "view", 2.0),
+         (3, ts(12, 0), "view", 4.0), (4, ts(10, 30), "view", 10.0)],
+        schema,
+    )
+    want = {
+        r.window_start: (r.n, r.sum_value)
+        for r in window_view(
+            batch, ts="ts", size="1 hour",
+            agg_exprs=[F.count(F.lit(1)).alias("n"), dsum("value", "sum_value")],
+        ).collect()
+    }
+    assert per_window == want
