@@ -1232,6 +1232,65 @@ def text_index_has_token(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "type_int256_string_transport",
+    # Int256/Decimal256 stance (round-5; src/Core/TypeId.h:16-23,37):
+    # values beyond DECIMAL(38) travel as lossless decimal STRINGS —
+    # both engines render VARCHAR (the r04-proven pattern for beyond-
+    # 64-bit domains). Expected sums/extremes computed with arbitrary-
+    # precision ints and pinned.
+    oracle="""
+    SELECT * FROM (VALUES
+      ('a', '57896044618658096104847448245353678394672899991657679497525798221163606061791',
+            '-1606938044258990275541962092341162602522202993782792958758165',
+            '57896044618658097711785492504343953926634992332820282019728792003956564819949'),
+      ('b', '6277101735385680763835789423207666416102355444464034513893',
+            '-1000000000000000000000000000000000000000000001',
+            '6277101735386680763835789423207666416102355444464034512896')
+    ) AS t(grp, sum_v, min_v, max_v) ORDER BY grp
+    """,
+    tags=("types", "int256", "decimal256"),
+)
+def type_int256_string_transport(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int256 fidelity via the exact-mode string transport
+    (functions/typemap.py round-5 stance — no silent DECIMAL(38)
+    overflow): exact SUM via the arbitrary-precision grouped UDF,
+    exact MIN/MAX via the JVM-side fixed-width sort key, over values
+    spanning ±2^255 and 45-digit magnitudes that no Spark numeric can
+    hold."""
+    from clickhouse_25_5_3_75_stable_spark.functions.typemap import (
+        int256_sort_key,
+        int256_sum,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("a", "57896044618658097711785492504343953926634992332820282019728792003956564819949"),
+            ("a", "-1606938044258990275541962092341162602522202993782792958758165"),
+            ("a", "10000000000000000000000000000000000000007"),
+            ("b", "6277101735386680763835789423207666416102355444464034512896"),
+            ("b", "-1000000000000000000000000000000000000000000001"),
+            ("b", "999"),
+            ("b", "-1"),
+        ],
+        "grp string, v string",
+    )
+    # argmin/argmax via struct ordering on the sort key; the pandas
+    # grouped-agg sum runs in its own aggregation (Spark can't mix it
+    # with JVM aggregates in one agg) and joins back on the tiny key
+    keyed = df.withColumn("k", int256_sort_key("v"))
+    extremes = keyed.groupBy("grp").agg(
+        F.min(F.struct("k", "v")).getField("v").alias("min_v"),
+        F.max(F.struct("k", "v")).getField("v").alias("max_v"),
+    )
+    sums = df.groupBy("grp").agg(int256_sum("v").alias("sum_v"))
+    return (
+        sums.join(F.broadcast(extremes), "grp")
+        .select("grp", "sum_v", "min_v", "max_v")
+        .orderBy("grp")
+    )
+
+
+@register(
     "gin_phrase_search",
     # exact phrase = the tokens adjacent in the token stream: boundary,
     # token, one-or-more separators, token, boundary (RE2 spelling —

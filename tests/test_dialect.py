@@ -141,7 +141,15 @@ def test_ch_type_map_modes():
     assert ch_type_to_spark("UInt64", "fast") == "bigint"
     assert ch_type_to_spark("UInt64", "exact") == "decimal(20,0)"
     assert ch_type_to_spark("UInt32") == "bigint"
-    assert ch_type_to_spark("Int256") == "decimal(38,0)"
+    # round-5 stance: 256-bit ints are lossless STRING transport in
+    # exact mode (no silent DECIMAL(38) overflow), numeric in fast mode
+    assert ch_type_to_spark("Int256") == "string"
+    assert ch_type_to_spark("Int256", "fast") == "decimal(38,0)"
+    assert ch_type_to_spark("UInt128") == "string"
+    assert ch_type_to_spark("Decimal256(4)") == "string"
+    assert ch_type_to_spark("Decimal(76, 10)") == "string"
+    assert ch_type_to_spark("Decimal(20, 4)") == "decimal(20,4)"
+    assert ch_type_to_spark("Int128") == "decimal(38,0)"
     assert ch_type_to_spark("Nullable(UInt64)") == "decimal(20,0)"
     assert ch_type_to_spark("LowCardinality(String)") == "string"
     assert ch_type_to_spark("Array(Nullable(UInt16))") == "array<int>"
@@ -562,3 +570,35 @@ def test_geohash_precision_must_be_int():
 
     with pytest.raises(ValueError, match="precision"):
         CH_FUNCTIONS["geohashencode"](F.lit(1.0), F.lit(2.0), F.lit(5))
+
+
+def test_int256_helpers(spark):
+    """String-transport 256-bit ops (typemap round-5 stance): sort key
+    equals numeric ordering across signs/magnitudes; add/sum are exact
+    at arbitrary precision; NULL propagates."""
+    from clickhouse_25_5_3_75_stable_spark.functions.typemap import (
+        int256_add,
+        int256_sort_key,
+        int256_sum,
+    )
+    import pyspark.sql.functions as F
+    import random
+
+    rng = random.Random(5)
+    vals = [0, 1, -1, 999, -1000, 2**255 - 19, -(2**255), 10**45, -(10**45 + 1)]
+    vals += [rng.randrange(-(2**256), 2**256) for _ in range(30)]
+    df = spark.createDataFrame([(str(v),) for v in vals], "v string")
+    got = [
+        r.v for r in df.orderBy(int256_sort_key("v")).collect()
+    ]
+    assert [int(x) for x in got] == sorted(vals)
+
+    pairs = [(str(a), str(b)) for a, b in zip(vals[:10], vals[10:20])]
+    pdf = spark.createDataFrame(pairs + [(None, "5")], "a string, b string")
+    rows = pdf.select(int256_add("a", "b").alias("s")).collect()
+    want = [str(int(a) + int(b)) for a, b in pairs]
+    assert [r.s for r in rows[:-1]] == want
+    assert rows[-1].s is None
+
+    total = df.agg(int256_sum("v").alias("t")).collect()[0].t
+    assert int(total) == sum(vals)
