@@ -58,6 +58,18 @@ def get_spark(
         # parallelism (src/Storages/MergeTree/MergeTreeSettings.cpp:66).
         .config("spark.sql.files.maxPartitionBytes", "134217728")
     )
+    # Optional connector jars (spark-avro, spark-protobuf, Kafka, Delta)
+    # behind env flags — the build sandbox has no network/Maven cache,
+    # so these stay off by default (TESTDATA.md documents the block;
+    # the format shims raise install recipes when the jars are absent):
+    #   SPARK_GRAFT_JARS_PACKAGES="org.apache.spark:spark-avro_2.13:4.1.2"
+    #   SPARK_GRAFT_JARS="/path/a.jar,/path/b.jar"  (pre-downloaded)
+    pkgs = os.environ.get("SPARK_GRAFT_JARS_PACKAGES")
+    if pkgs:
+        builder = builder.config("spark.jars.packages", pkgs)
+    jars = os.environ.get("SPARK_GRAFT_JARS")
+    if jars:
+        builder = builder.config("spark.jars", jars)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

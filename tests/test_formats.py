@@ -429,3 +429,80 @@ def test_multimodal_resize_and_resample(spark):
 
     with pytest.raises(Exception, match="codec"):
         resize_media(media, 4, 4, codec="jpeg").collect()
+
+
+def test_bson_each_row_roundtrip(spark, tmp_path):
+    """FORMAT BSONEachRow (sources/bson_fmt.py, public BSON 1.1 spec):
+    write → read roundtrip across types incl. NULL, bool, i32/i64
+    split, double, string, datetime."""
+    import datetime as dt
+
+    from clickhouse_25_5_3_75_stable_spark.sources.bson_fmt import (
+        decode_document,
+        encode_document,
+        read_bson_each_row,
+        write_bson_each_row,
+    )
+
+    # codec-level roundtrip incl. nested doc/array
+    doc = {"a": 1, "b": 2**40, "c": 1.5, "d": "héllo", "e": None,
+           "f": True, "g": [1, "x"], "h": {"k": 9}}
+    back, _ = decode_document(encode_document(doc))
+    assert back == doc
+
+    schema = "id bigint, name string, score double, flag boolean, ts timestamp"
+    rows = [
+        (1, "alpha", 1.5, True, dt.datetime(2024, 3, 1, 10, 30)),
+        (2, None, -2.25, False, dt.datetime(2024, 3, 2, 0, 0)),
+        (2**40, "beta,with\"stuff", 0.0, None, None),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    p = str(tmp_path / "rows.bson")
+    write_bson_each_row(df, p)
+    got = sorted(
+        tuple(r) for r in read_bson_each_row(spark, p, schema).collect()
+    )
+    assert got == sorted(rows)
+
+
+def test_template_roundtrip_and_escaping(spark, tmp_path):
+    """FORMAT Template (sources/template_fmt.py): ${col:Rule}
+    placeholders, resultset wrapper, CSV/Quoted/JSON escaping
+    roundtrip."""
+    from clickhouse_25_5_3_75_stable_spark.sources.template_fmt import (
+        read_template,
+        write_template,
+    )
+
+    schema = "id bigint, name string, score double"
+    rows = [(1, "plain", 1.5), (2, "with,comma", -2.0), (3, "it's", 0.25),
+            (4, None, 3.0)]
+    df = spark.createDataFrame(rows, schema)
+    row_fmt = "id=${id:Raw}; n=${name:Quoted}; s=${score:JSON}"
+    rs_fmt = "== begin ==\n${data}\n== end ==\n"
+    p = str(tmp_path / "out.tpl")
+    write_template(df, p, row_fmt, rs_fmt)
+    text = open(p).read()
+    assert text.startswith("== begin ==\n") and text.endswith("\n== end ==\n")
+    assert "n='with,comma'" in text and "n='it\\'s'" in text
+
+    got = sorted(
+        tuple(r) for r in read_template(spark, p, row_fmt, schema, rs_fmt).collect()
+    )
+    assert got == sorted(rows)
+
+
+def test_template_csv_rule(spark, tmp_path):
+    from clickhouse_25_5_3_75_stable_spark.sources.template_fmt import (
+        read_template,
+        write_template,
+    )
+
+    schema = "a string, b bigint"
+    rows = [("x,y", 1), ('has"quote', 2), ("plain", 3)]
+    df = spark.createDataFrame(rows, schema)
+    row_fmt = "${a:CSV},${b:Raw}"
+    p = str(tmp_path / "c.tpl")
+    write_template(df, p, row_fmt)
+    got = sorted(tuple(r) for r in read_template(spark, p, row_fmt, schema).collect())
+    assert got == sorted(rows)
