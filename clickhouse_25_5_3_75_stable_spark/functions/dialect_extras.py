@@ -1482,21 +1482,71 @@ _reg("geohashesInBox")(
     )
 )
 
-_excl(["SVG", "stringToH3", "h3ToString",
-       "geoToH3", "geoToS2", "s2ToGeo", "s2GetNeighbors", "s2CellsIntersect", "s2CapContains",
+# H3 index-math family — EXACT since round 5 (functions/h3.py, the
+# published H3 index bit layout; projection-table functions stay
+# excluded below). Scalar getters/predicates and parent/center-child
+# are pure JVM bit expressions; h3ToChildren is an Arrow UDF.
+def _h3(name):
+    def wrap(*cs):
+        from clickhouse_25_5_3_75_stable_spark.functions import h3 as _h3mod
+
+        return getattr(_h3mod, name)(*[_c(c) for c in cs])
+
+    return wrap
+
+
+_reg("h3GetResolution")(_h3("h3_get_resolution"))
+_reg("h3GetBaseCell")(_h3("h3_get_base_cell"))
+_reg("h3IsValid")(_h3("h3_is_valid"))
+_reg("h3IsPentagon")(_h3("h3_is_pentagon"))
+_reg("h3IsResClassIII")(_h3("h3_is_res_class_iii"))
+_reg("h3ToParent")(_h3("h3_to_parent"))
+_reg("h3ToCenterChild")(_h3("h3_to_center_child"))
+_reg("h3ToChildren")(_h3("h3_to_children"))
+_reg("h3NumHexagons")(_h3("h3_num_hexagons"))
+_reg("h3ToString")(_h3("h3_to_string"))
+_reg("stringToH3")(_h3("string_to_h3"))
+
+
+def _h3_res0(*_cs):
+    from clickhouse_25_5_3_75_stable_spark.functions.h3 import (
+        h3_get_res0_indexes_py,
+    )
+
+    return F.array(*[F.lit(h) for h in h3_get_res0_indexes_py()])
+
+
+def _h3_pentagons(res):
+    from clickhouse_25_5_3_75_stable_spark.functions.h3 import (
+        h3_get_pentagon_indexes_py,
+    )
+
+    if isinstance(res, int):
+        return F.array(*[F.lit(h) for h in h3_get_pentagon_indexes_py(res)])
+    raise ValueError("h3GetPentagonIndexes needs a literal resolution")
+
+
+_reg("h3GetRes0Indexes")(_h3_res0)
+_reg("h3GetPentagonIndexes")(_h3_pentagons)
+
+_excl(["SVG",
+       "geoToS2", "s2ToGeo", "s2GetNeighbors", "s2CellsIntersect", "s2CapContains",
        "s2CapUnion", "s2RectAdd", "s2RectContains", "s2RectUnion", "s2RectIntersection"]
       + [n for n in ("h3CellAreaM2", "h3CellAreaRads2", "h3Distance", "h3EdgeAngle",
                      "h3EdgeLengthKm", "h3EdgeLengthM", "h3ExactEdgeLengthKm", "h3ExactEdgeLengthM",
-                     "h3ExactEdgeLengthRads", "h3GetBaseCell", "h3GetDestinationIndexFromUnidirectionalEdge",
+                     "h3ExactEdgeLengthRads", "h3GetDestinationIndexFromUnidirectionalEdge",
                      "h3GetFaces", "h3GetIndexesFromUnidirectionalEdge", "h3GetOriginIndexFromUnidirectionalEdge",
-                     "h3GetPentagonIndexes", "h3GetRes0Indexes", "h3GetResolution", "h3GetUnidirectionalEdge",
+                     "h3GetUnidirectionalEdge",
                      "h3GetUnidirectionalEdgeBoundary", "h3GetUnidirectionalEdgesFromHexagon", "h3HexAreaKm2",
-                     "h3HexAreaM2", "h3HexRing", "h3IndexesAreNeighbors", "h3IsPentagon", "h3IsResClassIII",
-                     "h3IsValid", "h3Line", "h3NumHexagons", "h3PointDistKm", "h3PointDistM", "h3PointDistRads",
-                     "h3ToCenterChild", "h3ToChildren", "h3ToGeo", "h3ToGeoBoundary", "h3ToParent",
+                     "h3HexAreaM2", "h3HexRing", "h3IndexesAreNeighbors",
+                     "h3Line", "h3PointDistKm", "h3PointDistM", "h3PointDistRads",
+                     "geoToH3", "h3ToGeo", "h3ToGeoBoundary",
                      "h3UnidirectionalEdgeIsValid", "h3kRing")],
-      "h3/s2/geohash index libraries absent (h3-py / sedona would supply; geo core "
-      "distance/angle/polygon implemented)")
+      "s2 library absent; H3 geo-projection/neighbor functions need the C "
+      "library's icosahedron face + neighbor-rotation tables (unobtainable/"
+      "unverifiable in this sandbox) — the H3 index-math family IS "
+      "implemented exactly (functions/h3.py); geo core distance/angle/"
+      "polygon implemented)")
 _excl(["formatQuery", "formatQueryOrNull", "formatQuerySingleLine", "formatQuerySingleLineOrNull"],
       "SQL pretty-printer over the CH AST (chsql.py transpiles, does not format)")
 _excl(["globalVariable"], "MySQL-compat server variable surface")

@@ -1231,6 +1231,65 @@ def text_index_has_token(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# H3 index-math fixtures (round-5): the canonical SF res-9 cell, its
+# res-0 ancestor, two pentagons, and a corrupted index. Values from
+# functions/h3.py's Python reference (published-bit-layout anchors in
+# tests/test_h3.py — res-0 shapes 8001…/8029…/801d…, SF cell decode).
+_H3_FIXTURES = [
+    # (sid, h, res, bc, valid, pent, parent_or_null, center_child_or_null, numhex)
+    (0, 617700169958293503, 9, 20, True, False, 613196570331971583, 622203769585434623, 4842432842),
+    (1, 577199624117288959, 0, 20, True, False, None, 581672437419081727, 122),
+    (2, 576988517884755967, 0, 14, True, True, None, 581461331186548735, 122),
+    (3, 590112357393367039, 3, 4, True, True, 585609238802333695, 594615896891195391, 41162),
+    (4, 617730956283871231, 9, 20, False, False, None, None, 4842432842),
+]
+
+
+@register(
+    "func_h3_index_family",
+    oracle=(
+        "SELECT * FROM (VALUES "
+        + ", ".join(
+            f"(CAST({sid} AS INT), CAST({r} AS INT), CAST({bc} AS INT), "
+            f"CAST({str(v).lower()} AS BOOLEAN), CAST({str(p).lower()} AS BOOLEAN), "
+            f"CAST({par if par is not None else 'NULL'} AS BIGINT), "
+            f"CAST({cc if cc is not None else 'NULL'} AS BIGINT), "
+            f"CAST({nh} AS BIGINT))"
+            for sid, _h, r, bc, v, p, par, cc, nh in _H3_FIXTURES
+        )
+        + ") AS t(sid, res, bc, valid, pent, parent, center_child, numhex) "
+        "ORDER BY sid"
+    ),
+    tags=("functions", "geo", "h3"),
+)
+def func_h3_index_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H3 index-math family EXACT from the published bit layout
+    (reference src/Functions/h3GetResolution.cpp, h3IsValid.cpp,
+    h3IsPentagon.cpp, h3ToParent.cpp, h3ToCenterChild.cpp,
+    h3NumHexagons.cpp; functions/h3.py — geo-projection functions
+    remain excluded with reasons): resolution/base-cell extraction,
+    validity incl. the pentagon deleted-K-axis rule, parent and
+    center-child navigation, cell counts — over the canonical SF cell,
+    its res-0 ancestor, two pentagons, and a corrupted index."""
+    df = spark.createDataFrame(
+        [(sid, h) for sid, h, *_ in _H3_FIXTURES], "sid int, h long"
+    )
+    h, res = F.col("h"), ch("h3GetResolution", F.col("h"))
+    valid = ch("h3IsValid", h)
+    return df.select(
+        "sid",
+        res.alias("res"),
+        ch("h3GetBaseCell", h).alias("bc"),
+        valid.alias("valid"),
+        ch("h3IsPentagon", h).alias("pent"),
+        F.when(valid & (res > 0), ch("h3ToParent", h, res - 1))
+        .cast("bigint").alias("parent"),
+        F.when(valid, ch("h3ToCenterChild", h, res + 1))
+        .cast("bigint").alias("center_child"),
+        ch("h3NumHexagons", res).cast("bigint").alias("numhex"),
+    ).orderBy("sid")
+
+
 @register(
     "type_int256_string_transport",
     # Int256/Decimal256 stance (round-5; src/Core/TypeId.h:16-23,37):
