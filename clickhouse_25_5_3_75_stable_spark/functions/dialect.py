@@ -681,9 +681,21 @@ def _inthash32_exact(c):
 
 _reg("xxHash64")(_xxhash64_exact)
 _reg("intHash32")(_inthash32_exact)
-_reg("xxHash32", "murmurHash2_32", "murmurHash3_32")(
-    lambda *cols: F.hash(*[_c(c) for c in cols])
-)
+# 32-bit family — EXACT since round 5 (functions/hashes_extra3.py:
+# XXH32 seed-0 / MurmurHash2-32 seed-0 / MurmurHash3_x86_32 seed-0,
+# intHash32-xor combines, raw-LE-bytes POD rule)
+def _hash32(fname):
+    def wrap(*cols):
+        from clickhouse_25_5_3_75_stable_spark.functions import hashes_extra3
+
+        return getattr(hashes_extra3, fname)(*[_c(c) for c in cols])
+
+    return wrap
+
+
+_reg("xxHash32")(_hash32("xxhash32_exact"))
+_reg("murmurHash2_32")(_hash32("murmur2_32_exact"))
+_reg("murmurHash3_32")(_hash32("murmur3_32_exact"))
 _reg("hex")(lambda a: F.hex(_c(a)))
 _reg("unhex")(lambda a: F.unhex(_c(a)))
 _reg("base64Encode")(lambda a: F.base64(_c(a).cast("binary")))

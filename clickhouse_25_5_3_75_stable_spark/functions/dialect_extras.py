@@ -805,10 +805,38 @@ _reg("MAP_FROM_ARRAYS")(lambda ks, vs: F.map_from_arrays(_c(ks), _c(vs)))
 # implementation-defined; we map families onto Spark's xxhash64 / hash /
 # crc32 for capability parity (documented fidelity gap, SURVEY §2.8).
 # ---------------------------------------------------------------------------
-for _h in ("gccMurmurHash", "kafkaMurmurHash",
-           "hiveHash", "javaHash", "javaHashUTF16LE",
-           "sipHash64Keyed", "URLHash"):
-    _reg(_h)(lambda *cs: F.xxhash64(*[_c(c) for c in cs]))
+# The whole remaining FunctionsHashing.h long tail is EXACT since
+# round 5 (functions/hashes_extra3.py — see its docstring for the
+# per-name validation statement):
+def _hx3(fname):
+    def wrap(*cs):
+        from clickhouse_25_5_3_75_stable_spark.functions import hashes_extra3
+
+        return getattr(hashes_extra3, fname)(*[_c(c) for c in cs])
+
+    return wrap
+
+
+_reg("gccMurmurHash")(_hx3("gcc_murmur_exact"))
+_reg("kafkaMurmurHash")(_hx3("kafka_murmur_exact"))
+_reg("javaHash")(_hx3("java_hash_exact"))
+_reg("javaHashUTF16LE")(_hx3("java_hash_utf16le_exact"))
+_reg("hiveHash")(_hx3("hive_hash_exact"))
+_reg("URLHash")(_hx3("urlhash_exact"))
+
+
+def _sip_keyed(key_tuple, *cs):
+    from clickhouse_25_5_3_75_stable_spark.functions.hashes_extra3 import (
+        siphash64_keyed_exact,
+    )
+
+    if not (isinstance(key_tuple, (tuple, list)) and len(key_tuple) == 2):
+        raise ValueError("sipHash64Keyed needs a literal (k0, k1) tuple")
+    return siphash64_keyed_exact(int(key_tuple[0]), int(key_tuple[1]),
+                                 *[_c(c) for c in cs])
+
+
+_reg("sipHash64Keyed")(_sip_keyed)
 
 
 # wyHash64 / xxh3 / farmFingerprint64 are EXACT since round 5

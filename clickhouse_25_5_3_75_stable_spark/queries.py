@@ -1231,6 +1231,86 @@ def text_index_has_token(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The LAST FunctionsHashing.h names (round 5 — after this, every hash
+# the reference registers is exact): 32-bit family + Java-family +
+# URLHash + keyed SipHash. Values from the validated scalars in
+# functions/hashes_extra3.py (published anchors; javaHash additionally
+# JVM-live-checked in tests/test_hashes_extra3.py).
+_HASH32_FIXTURES = [
+    # (sid, gcc, kafka, m2_32, m3_32, xxh32, java, hive, sip_keyed_7_13)
+    (0, 6142509188972423790, 275646681, 0, 0, 46947589, 0, 0, -3252274863193170133),
+    (1, 4993892634952068459, 584102524, 2456313694, 1009084850, 1426945110, 97, 97, -8158511919634578037),
+    (2, -6656341069354918700, 134700894, 542268021, 523905204, 1577425035, -768723304, 1378760344, 2574736838991029244),
+    (3, -873449104902571331, 342343466, 642570096, 3249086048, 4144407580, -2147483648, 0, 1166698035104676873),
+    (4, 4385160446860836741, 1257416968, 162520439, 48128767, 1718707063, -2082818701, 64664947, 2514750882365445863),
+    (5, 5108770720261214062, 1249054468, 630678454, 2625171602, 1272122682, 1680682496, 1680682496, -5783900634111646787),
+]
+
+_HASH32_STRS = ["", "a", "clickhouse", "polygenelubricants",
+                "the quick brown fox jumps over the lazy dog", "x" * 100]
+
+
+@register(
+    "func_hash32_java_family_exact",
+    oracle=(
+        "SELECT * FROM (VALUES "
+        + ", ".join(
+            f"(CAST({sid} AS INT), CAST({g} AS BIGINT), CAST({k} AS BIGINT), "
+            f"CAST({m2} AS BIGINT), CAST({m3} AS BIGINT), CAST({x} AS BIGINT), "
+            f"CAST({j} AS INT), CAST({hh} AS INT), CAST({sk} AS BIGINT))"
+            for sid, g, k, m2, m3, x, j, hh, sk in _HASH32_FIXTURES
+        )
+        + ", (CAST(100 AS INT), CAST(-5179748818852617834 AS BIGINT), "
+        "CAST(-5179748818852617834 AS BIGINT), CAST(NULL AS BIGINT), "
+        "CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS INT), "
+        "CAST(NULL AS INT), CAST(NULL AS BIGINT))"
+        ") AS t(sid, gcc, kafka, m2_32, m3_32, x32, java, hive, sip_keyed) "
+        "ORDER BY sid"
+    ),
+    tags=("functions", "hash", "murmur", "xxhash", "java", "url"),
+)
+def func_hash32_java_family_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The final FunctionsHashing.h names, EXACT (reference
+    GccMurmurHashImpl:409 gcc _Hash_bytes seed, KafkaMurmurHashImpl:430
+    Kafka default-partitioner murmur2&0x7fffffff, MurmurHash2Impl32,
+    MurmurHash3Impl32:451, ImplXxHash32:674, JavaHashImpl:514 with the
+    famous polygenelubricants → Integer.MIN_VALUE anchor,
+    HiveHashImpl:597, URLHashImpl:1520 trailing-char drop,
+    SipHash64KeyedImpl:215 — functions/hashes_extra3.py) against
+    checked-in vectors; row 100 pins URLHash's trailing-slash
+    equivalence."""
+    df = spark.createDataFrame(
+        list(enumerate(_HASH32_STRS)), "sid int, s string"
+    )
+    s = F.col("s")
+    base = df.select(
+        "sid",
+        ch("gccMurmurHash", s).alias("gcc"),
+        ch("kafkaMurmurHash", s).cast("bigint").alias("kafka"),
+        ch("murmurHash2_32", s).cast("bigint").alias("m2_32"),
+        ch("murmurHash3_32", s).cast("bigint").alias("m3_32"),
+        ch("xxHash32", s).cast("bigint").alias("x32"),
+        ch("javaHash", s).alias("java"),
+        ch("hiveHash", s).alias("hive"),
+        ch("sipHash64Keyed", (7, 13), s).alias("sip_keyed"),
+    )
+    urls = spark.createDataFrame(
+        [("https://clickhouse.com/docs/", "https://clickhouse.com/docs")],
+        "u1 string, u2 string",
+    ).select(
+        F.lit(100).alias("sid"),
+        ch("URLHash", F.col("u1")).alias("gcc"),
+        ch("URLHash", F.col("u2")).alias("kafka"),
+        F.lit(None).cast("bigint").alias("m2_32"),
+        F.lit(None).cast("bigint").alias("m3_32"),
+        F.lit(None).cast("bigint").alias("x32"),
+        F.lit(None).cast("int").alias("java"),
+        F.lit(None).cast("int").alias("hive"),
+        F.lit(None).cast("bigint").alias("sip_keyed"),
+    )
+    return base.unionByName(urls).orderBy("sid")
+
+
 # H3 index-math fixtures (round-5): the canonical SF res-9 cell, its
 # res-0 ancestor, two pentagons, and a corrupted index. Values from
 # functions/h3.py's Python reference (published-bit-layout anchors in
