@@ -229,3 +229,29 @@ def test_bm25_filters_query_terms_before_shuffle(spark):
         if "Scan parquet" in l or "FileScan" in l:
             break
     assert not any("Exchange" in l for l in branch), branch
+
+
+def test_gin_sidecar_lookup_pushes_hash_filter(spark, tmp_path):
+    """The gin posting-list lookup must push the token-hash predicate
+    into the sidecar's parquet scan (the sidecar is written sorted by
+    token_hash precisely so min/max stats prune its files) — a
+    post-scan filter would read the whole inverted index."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_25_5_3_75_stable_spark.sources.text_index import (
+        build_gin_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma_{i % 7} delta") for i in range(200)],
+        "doc_id long, text string",
+    )
+    table = str(tmp_path / "t")
+    docs.repartition(4).write.mode("overwrite").parquet(table)
+    idx = str(tmp_path / "i")
+    build_gin_index(spark, table, "text", idx, "doc_id")
+
+    probe = spark.range(1).select(F.xxhash64(F.lit("beta")).alias("h")).collect()[0].h
+    lookup = spark.read.parquet(idx).filter(F.col("token_hash") == probe)
+    plan = lookup._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(token_hash), EqualTo(token_hash" in plan
