@@ -1447,3 +1447,54 @@ def xxh3_exact(*cols) -> Column:
     """xxh3 — XXH3_64bits seedless (libxxhash-validated); combine =
     Hash128to64; PODs hash raw LE bytes."""
     return _chain(cols, lambda c: _raw_pod_auto("xxh3", c), _combine_city)
+
+
+# ---------------------------------------------------------------------------
+# SQL-text entry points (session.py registers; the chsql shim rewrites
+# farmHash64(x) → ch_farmhash64_typed(CAST(x AS STRING), typeof(x))
+# etc., folding multi-arg through each family's combine)
+# ---------------------------------------------------------------------------
+
+def int_pod_hash_sql_case(bin_name: str) -> str:
+    """(s, t)-dispatch CASE for use_int_hash_for_pods=true families:
+    only the String branch differs from cityHash64 — PODs and floats
+    share cityHash64's IntHash64Impl value (same registered UDFs)."""
+    return f"""CASE t
+      WHEN 'string' THEN {bin_name}(encode(s, 'utf-8'))
+      WHEN 'bigint' THEN cityHash64_pod(CAST(s AS BIGINT))
+      WHEN 'int' THEN cityHash64_pod(CAST(s AS BIGINT) & 4294967295)
+      WHEN 'smallint' THEN cityHash64_pod(CAST(s AS BIGINT) & 65535)
+      WHEN 'tinyint' THEN cityHash64_pod(CAST(s AS BIGINT) & 255)
+      WHEN 'boolean' THEN cityHash64_pod(CAST(CAST(s AS BOOLEAN) AS BIGINT))
+      WHEN 'date' THEN cityHash64_pod(CAST(datediff(CAST(s AS DATE), DATE'1970-01-01') AS BIGINT))
+      WHEN 'timestamp' THEN cityHash64_pod(unix_timestamp(CAST(s AS TIMESTAMP)) & 4294967295)
+      WHEN 'double' THEN cityHash64_f64(CAST(s AS DOUBLE))
+      WHEN 'float' THEN cityHash64_f32(CAST(s AS FLOAT))
+      ELSE {bin_name}(encode(s, 'utf-8')) END"""
+
+
+def hash_longtail_sql_ddl() -> list[str]:
+    """DDL for farmHash64 / farmFingerprint64 / metroHash64 (intHash64
+    POD rule, Hash128to64 combine = ch_cityhash64_combine alias) and
+    wyHash64 / xxh3 (raw-LE-bytes POD rule; wy's combine is its own
+    python UDF, xxh3's is Hash128to64)."""
+    from clickhouse_25_5_3_75_stable_spark.functions.siphash import (
+        typed_hash_sql_case,
+    )
+
+    out = []
+    for fam, bin_name in (("farmhash64", "farmHash64_bin"),
+                          ("farmfingerprint64", "farmFingerprint64_bin"),
+                          ("metrohash64", "metroHash64_bin")):
+        out.append(
+            f"CREATE OR REPLACE TEMPORARY FUNCTION ch_{fam}_typed(s STRING, t STRING) "
+            "RETURNS BIGINT RETURN IF(s IS NULL, CAST(NULL AS BIGINT), "
+            f"{int_pod_hash_sql_case(bin_name)})"
+        )
+    for fam, prefix in (("wyhash64", "wyHash64"), ("xxh3", "xxh3")):
+        out.append(
+            f"CREATE OR REPLACE TEMPORARY FUNCTION ch_{fam}_typed(s STRING, t STRING) "
+            "RETURNS BIGINT RETURN IF(s IS NULL, CAST(NULL AS BIGINT), "
+            f"{typed_hash_sql_case(prefix)})"
+        )
+    return out

@@ -647,3 +647,51 @@ def _le8(h: Column) -> Column:
     hx = F.lpad(F.hex(h), 16, "0")
     le_hx = F.concat(*[F.substring(hx, i, 2) for i in range(15, 0, -2)])
     return F.unhex(le_hx)
+
+
+# ---------------------------------------------------------------------------
+# SQL-text entry points (session.py registers; chsql rewrites)
+# ---------------------------------------------------------------------------
+
+def hash32_sql_ddl() -> list[str]:
+    """DDL for gccMurmurHash / kafkaMurmurHash / murmurHash2_32 /
+    murmurHash3_32 / xxHash32 (raw-LE-bytes POD rule; combines are
+    registered python UDFs ch_int64xor_combine / ch_int32xor_combine),
+    javaHash / hiveHash (the SPECIAL POD dispatch, not combineable),
+    and URLHash (string-only, trailing /?# drop over cityHash64)."""
+    from clickhouse_25_5_3_75_stable_spark.functions.siphash import (
+        typed_hash_sql_case,
+    )
+
+    out = []
+    for fam, prefix in (("gccmurmurhash", "gccMurmurHash"),
+                        ("kafkamurmurhash", "kafkaMurmurHash"),
+                        ("murmurhash2_32", "murmurHash2_32"),
+                        ("murmurhash3_32", "murmurHash3_32"),
+                        ("xxhash32", "xxHash32")):
+        out.append(
+            f"CREATE OR REPLACE TEMPORARY FUNCTION ch_{fam}_typed(s STRING, t STRING) "
+            "RETURNS BIGINT RETURN IF(s IS NULL, CAST(NULL AS BIGINT), "
+            f"{typed_hash_sql_case(prefix)})"
+        )
+    java_case = """CASE t
+      WHEN 'tinyint' THEN CAST(s AS INT)
+      WHEN 'smallint' THEN CAST(s AS INT)
+      WHEN 'int' THEN CAST(s AS INT)
+      WHEN 'bigint' THEN CAST((CAST(s AS BIGINT) & 4294967295) ^ shiftrightunsigned(CAST(s AS BIGINT), 32) AS INT)
+      ELSE javaHash_bin(encode(s, 'utf-8')) END"""
+    out.append(
+        "CREATE OR REPLACE TEMPORARY FUNCTION ch_javahash_typed(s STRING, t STRING) "
+        f"RETURNS INT RETURN IF(s IS NULL, CAST(NULL AS INT), {java_case})"
+    )
+    out.append(
+        "CREATE OR REPLACE TEMPORARY FUNCTION ch_hivehash_typed(s STRING, t STRING) "
+        "RETURNS INT RETURN ch_javahash_typed(s, t) & 2147483647"
+    )
+    out.append(
+        "CREATE OR REPLACE TEMPORARY FUNCTION ch_urlhash(u STRING) "
+        "RETURNS BIGINT RETURN IF(u IS NULL, CAST(NULL AS BIGINT), "
+        "cityHash64_bin(encode(IF(u RLIKE '[/?#]$', "
+        "substring(u, 1, length(u) - 1), u), 'utf-8')))"
+    )
+    return out

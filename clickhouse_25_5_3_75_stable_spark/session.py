@@ -126,6 +126,50 @@ def register_sql_udfs(spark: SparkSession) -> None:
     # exact jump consistent hash as a plain SQL name (integer args —
     # no typed rewrite needed)
     spark.udf.register("jumpConsistentHash", _hx._jump_udf())
+
+    # round-5 hash long tail through SQL text — every FunctionsHashing.h
+    # name reachable from chsql (see each module's *_sql_ddl docstring)
+    from clickhouse_25_5_3_75_stable_spark.functions import (
+        hashes_extra2 as _hx2,
+    )
+    from clickhouse_25_5_3_75_stable_spark.functions import (
+        hashes_extra3 as _hx3,
+    )
+
+    spark.udf.register("farmHash64_bin", _hx2._bytes_udf("farm_xo"))
+    spark.udf.register("farmFingerprint64_bin", _hx2._bytes_udf("farm_fp"))
+    spark.udf.register("metroHash64_bin", _hx2._bytes_udf("metro64"))
+    for kind, prefix in (("wyhash", "wyHash64"), ("xxh3", "xxh3"),
+                         ("gcc_murmur", "gccMurmurHash"),
+                         ("kafka_murmur", "kafkaMurmurHash"),
+                         ("murmur2_32", "murmurHash2_32"),
+                         ("murmur3_32", "murmurHash3_32"),
+                         ("xxh32", "xxHash32")):
+        spark.udf.register(f"{prefix}_bin", _hx._bytes_udf(kind))
+        spark.udf.register(f"{prefix}_f64", _hx._float_udf(kind, 64))
+        spark.udf.register(f"{prefix}_f32", _hx._float_udf(kind, 32))
+    spark.udf.register("javaHash_bin", _hx3._java_bytes_udf())
+    spark.udf.register("ch_wyhash64_combine", _hx2._wy_combine_udf())
+    # per-rule combines: intHash64(h1)^h2 and (intHash32(h1)^h2)&M32
+    spark.udf.register("ch_inthash64", _hx._int_mix_udf("inthash64"))
+    spark.udf.register("ch_inthash32", _hx._int_mix_udf("inthash32"))
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION ch_int64xor_combine"
+        "(h1 BIGINT, h2 BIGINT) RETURNS BIGINT RETURN "
+        "IF(h1 IS NULL OR h2 IS NULL, CAST(NULL AS BIGINT), "
+        "ch_inthash64(h1) ^ h2)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION ch_int32xor_combine"
+        "(h1 BIGINT, h2 BIGINT) RETURNS BIGINT RETURN "
+        "IF(h1 IS NULL OR h2 IS NULL, CAST(NULL AS BIGINT), "
+        "(ch_inthash32(h1) ^ h2) & 4294967295)"
+    )
+    for ddl in _hx2.hash_longtail_sql_ddl():
+        spark.sql(ddl)
+    for ddl in _hx3.hash32_sql_ddl():
+        spark.sql(ddl)
+
     spark.udf.register("geohashEncode", _encode_udf())
     spark.udf.register("geohashDecode", _decode_udf())
     spark.udf.register("geohashesInBox", _boxes_udf())

@@ -138,3 +138,42 @@ def test_spark_dispatch_and_combines(spark):
     uh2 = df.select(ch("URLHash", F.lit("http://x.y/a")).alias("a"),
                     ch("URLHash", F.lit("http://x.y/a/")).alias("b")).collect()[0]
     assert uh2.a == uh2.b  # one trailing slash dropped
+
+
+def test_sql_surface_matches_column_api(spark):
+    """chsql SQL text must produce the same exact values as the Column
+    API for the whole round-5 hash long tail (round-5 fix: farmHash64
+    in SQL silently hit Spark's builtin xxhash64 before)."""
+    from clickhouse_25_5_3_75_stable_spark.chsql import ch_sql
+    from clickhouse_25_5_3_75_stable_spark.session import register_sql_udfs
+
+    register_sql_udfs(spark)
+    spark.createDataFrame(
+        [("clickhouse", 42), ("", -7)], "s string, k bigint"
+    ).createOrReplaceTempView("hash_sql_tt")
+    names = ["farmHash64", "farmFingerprint64", "metroHash64", "wyHash64",
+             "xxh3", "gccMurmurHash", "kafkaMurmurHash", "murmurHash2_32",
+             "murmurHash3_32", "xxHash32", "javaHash", "hiveHash"]
+    sql_cols = ", ".join(f"{n}(s) AS s_{n}" for n in names) + ", " + \
+        ", ".join(f"{n}(k) AS k_{n}" for n in names if n != "javaHash")
+    got = ch_sql(spark, f"SELECT {sql_cols} FROM hash_sql_tt ORDER BY s").collect()
+    want = spark.table("hash_sql_tt").select(
+        *[ch(n, F.col("s")).cast("bigint").alias(f"s_{n}") for n in names],
+        *[ch(n, F.col("k")).cast("bigint").alias(f"k_{n}")
+          for n in names if n != "javaHash"],
+    ).orderBy("s").collect()
+    for g, w in zip(got, want):
+        for f in w.asDict():
+            assert g[f] == w[f], (f, g[f], w[f])
+    # multi-arg via SQL == Column combine; URLHash string path
+    pair = ch_sql(
+        spark,
+        "SELECT farmHash64(s, s) AS f2, wyHash64(s, s) AS w2, "
+        "URLHash('http://x.y/a/') AS uh FROM hash_sql_tt WHERE s = 'clickhouse'",
+    ).collect()[0]
+    col = spark.table("hash_sql_tt").filter("s = 'clickhouse'").select(
+        ch("farmHash64", F.col("s"), F.col("s")).alias("f2"),
+        ch("wyHash64", F.col("s"), F.col("s")).alias("w2"),
+        ch("URLHash", F.lit("http://x.y/a/")).alias("uh"),
+    ).collect()[0]
+    assert (pair.f2, pair.w2, pair.uh) == (col.f2, col.w2, col.uh)
