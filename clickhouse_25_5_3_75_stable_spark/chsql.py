@@ -155,6 +155,7 @@ _RENAMES = {
     "javahash": "javahash__",
     "hivehash": "hivehash__",
     "urlhash": "urlhash__",
+    "javahashutf16le": "javahashutf16le__",
     # halfMD5 is exact through SQL text (pure-SQL md5+hex body)
     "halfmd5": "halfmd5ex__",
     "tostartofday": "tostartofday__",
@@ -1039,6 +1040,8 @@ def _rewrite_functions(toks: list[str]) -> list[str]:
         elif new == "urlhash__":
             # URLHash(url): string-only — no typed dispatch needed
             out += ["ch_urlhash", "(", *args[0], ")"]
+        elif new == "javahashutf16le__":
+            out += ["ch_javahashutf16le", "(", *args[0], ")"]
         elif new in ("siphash64__", "cityhash64__", "xxhash64ex__",
                      "halfmd5ex__", "farmhash64__", "farmfingerprint64__",
                      "metrohash64__", "wyhash64__", "xxh3__",

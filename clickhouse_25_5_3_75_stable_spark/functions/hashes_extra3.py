@@ -689,6 +689,11 @@ def hash32_sql_ddl() -> list[str]:
         "RETURNS INT RETURN ch_javahash_typed(s, t) & 2147483647"
     )
     out.append(
+        "CREATE OR REPLACE TEMPORARY FUNCTION ch_javahashutf16le(s STRING) "
+        "RETURNS INT RETURN IF(s IS NULL, CAST(NULL AS INT), "
+        "javaHashUTF16_bin(encode(s, 'UTF-16LE')))"
+    )
+    out.append(
         "CREATE OR REPLACE TEMPORARY FUNCTION ch_urlhash(u STRING) "
         "RETURNS BIGINT RETURN IF(u IS NULL, CAST(NULL AS BIGINT), "
         "cityHash64_bin(encode(IF(u RLIKE '[/?#]$', "

@@ -149,6 +149,7 @@ def register_sql_udfs(spark: SparkSession) -> None:
         spark.udf.register(f"{prefix}_f64", _hx._float_udf(kind, 64))
         spark.udf.register(f"{prefix}_f32", _hx._float_udf(kind, 32))
     spark.udf.register("javaHash_bin", _hx3._java_bytes_udf())
+    spark.udf.register("javaHashUTF16_bin", _hx3._java_utf16_udf())
     spark.udf.register("ch_wyhash64_combine", _hx2._wy_combine_udf())
     # per-rule combines: intHash64(h1)^h2 and (intHash32(h1)^h2)&M32
     spark.udf.register("ch_inthash64", _hx._int_mix_udf("inthash64"))
