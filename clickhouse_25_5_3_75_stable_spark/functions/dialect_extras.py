@@ -1557,9 +1557,32 @@ def _h3_pentagons(res):
 _reg("h3GetRes0Indexes")(_h3_res0)
 _reg("h3GetPentagonIndexes")(_h3_pentagons)
 
-_excl(["SVG",
-       "geoToS2", "s2ToGeo", "s2GetNeighbors", "s2CellsIntersect", "s2CapContains",
-       "s2CapUnion", "s2RectAdd", "s2RectContains", "s2RectUnion", "s2RectIntersection"]
+# s2 family — EXACT since round 5 (functions/s2.py, an independent
+# transcription of the published S2 cell model: cube-face quadratic
+# projection + per-face Hilbert curve; validated against ClickHouse's
+# own published doc vectors — geoToS2/s2ToGeo/s2GetNeighbors/
+# s2CellsIntersect/s2CapContains anchors all bit-exact).
+def _s2(name):
+    def wrap(*cs):
+        from clickhouse_25_5_3_75_stable_spark.functions import s2 as _s2mod
+
+        return getattr(_s2mod, name)(*cs)
+
+    return wrap
+
+
+_reg("geoToS2")(_s2("geo_to_s2"))
+_reg("s2ToGeo")(_s2("s2_to_geo"))
+_reg("s2GetNeighbors")(_s2("s2_get_neighbors"))
+_reg("s2CellsIntersect")(_s2("s2_cells_intersect"))
+_reg("s2CapContains")(_s2("s2_cap_contains"))
+_reg("s2CapUnion")(_s2("s2_cap_union"))
+_reg("s2RectAdd")(_s2("s2_rect_add"))
+_reg("s2RectContains")(_s2("s2_rect_contains"))
+_reg("s2RectUnion")(_s2("s2_rect_union"))
+_reg("s2RectIntersection")(_s2("s2_rect_intersection"))
+
+_excl(["SVG"]
       + [n for n in ("h3CellAreaM2", "h3CellAreaRads2", "h3Distance", "h3EdgeAngle",
                      "h3EdgeLengthKm", "h3EdgeLengthM", "h3ExactEdgeLengthKm", "h3ExactEdgeLengthM",
                      "h3ExactEdgeLengthRads", "h3GetDestinationIndexFromUnidirectionalEdge",
@@ -1570,11 +1593,12 @@ _excl(["SVG",
                      "h3Line", "h3PointDistKm", "h3PointDistM", "h3PointDistRads",
                      "geoToH3", "h3ToGeo", "h3ToGeoBoundary",
                      "h3UnidirectionalEdgeIsValid", "h3kRing")],
-      "s2 library absent; H3 geo-projection/neighbor functions need the C "
-      "library's icosahedron face + neighbor-rotation tables (unobtainable/"
+      "H3 geo-projection/neighbor functions need the C library's "
+      "icosahedron face + neighbor-rotation tables (unobtainable/"
       "unverifiable in this sandbox) — the H3 index-math family IS "
-      "implemented exactly (functions/h3.py); geo core distance/angle/"
-      "polygon implemented)")
+      "implemented exactly (functions/h3.py), and the whole s2 family "
+      "is exact from the published cube-face Hilbert model "
+      "(functions/s2.py); geo core distance/angle/polygon implemented)")
 _excl(["formatQuery", "formatQueryOrNull", "formatQuerySingleLine", "formatQuerySingleLineOrNull"],
       "SQL pretty-printer over the CH AST (chsql.py transpiles, does not format)")
 _excl(["globalVariable"], "MySQL-compat server variable surface")
