@@ -162,12 +162,22 @@ def system_formats(spark: SparkSession) -> DataFrame:
         ("Parquet", 1, 1), ("ORC", 1, 1), ("CSV", 1, 1),
         ("CSVWithNames", 1, 1), ("TSV", 1, 1), ("TabSeparated", 1, 1),
         ("JSONEachRow", 1, 1), ("JSONLines", 1, 1), ("Avro", 1, 1),
-        ("LineAsString", 1, 1), ("RawBLOB", 1, 0), ("XML", 1, 1),
+        ("LineAsString", 1, 1), ("RawBLOB", 1, 1), ("XML", 1, 1),
         ("Arrow", 1, 1), ("ArrowStream", 1, 1), ("Npy", 1, 1),
         ("Regexp", 1, 0), ("Values", 1, 0), ("RowBinary", 1, 1),
         ("Native", 1, 1), ("Pretty", 0, 1), ("Vertical", 0, 1),
         # round 3: MsgPack implemented from the public spec
         ("MsgPack", 1, 1),
+        # round 5: BSON/Template/Avro-shim + the long-tail batch
+        # (sources/formats_longtail.py)
+        ("BSONEachRow", 1, 1), ("Template", 1, 1),
+        ("CustomSeparated", 1, 1), ("TSKV", 1, 1),
+        ("JSONAsString", 1, 0), ("JSONCompactEachRow", 1, 1),
+        ("JSONCompact", 1, 0), ("JSONColumns", 1, 0),
+        ("JSONCompactColumns", 1, 0), ("JSONObjectEachRow", 1, 0),
+        ("HiveText", 1, 1), ("One", 1, 0), ("Form", 1, 0),
+        ("Null", 0, 1), ("Markdown", 0, 1), ("SQLInsert", 0, 1),
+        ("ParquetMetadata", 1, 0),
     ]
     rows = [(n, i, o, None) for n, i, o in native]
     # Protobuf is honest about the classpath: supported when the

@@ -506,3 +506,227 @@ def test_template_csv_rule(spark, tmp_path):
     write_template(df, p, row_fmt)
     got = sorted(tuple(r) for r in read_template(spark, p, row_fmt, schema).collect())
     assert got == sorted(rows)
+
+
+def test_avro_shim_spec_anchors():
+    """Pure-Python Avro codec: zigzag vectors straight from the Avro
+    1.11 spec's encoding table, plus container magic."""
+    from clickhouse_25_5_3_75_stable_spark.sources import avro_fmt as A
+
+    for n, want in [(0, b"\x00"), (-1, b"\x01"), (1, b"\x02"),
+                    (-2, b"\x03"), (2, b"\x04"), (-64, b"\x7f"),
+                    (64, b"\x80\x01")]:
+        out = bytearray()
+        A._write_long(n, out)
+        assert bytes(out) == want, n
+        assert A._read_long(bytes(out), 0)[0] == n
+    blob = A._encode_container([], {"type": "record", "name": "e", "fields": []})
+    assert blob[:4] == b"Obj\x01"
+
+
+def test_avro_shim_roundtrip(sample, spark, tmp_path):
+    """Avro without the spark-avro jar (reference format list:
+    src/Formats/registerFormats.cpp Avro entries; the reference links
+    avro-cpp directly so Avro needs no plugin there — the shim restores
+    that property here). Both spec codecs."""
+    from clickhouse_25_5_3_75_stable_spark.sources.avro_fmt import (
+        read_avro,
+        write_avro,
+    )
+
+    want = sorted(tuple(r) for r in sample.collect())
+    for codec in ("deflate", "null"):
+        p = str(tmp_path / f"o_{codec}.avro")
+        write_avro(sample, p, codec=codec)
+        back = read_avro(spark, p)
+        assert back.schema == sample.schema
+        assert sorted(tuple(r) for r in back.collect()) == want
+
+
+def test_avro_shim_nested_types(spark, tmp_path):
+    """Array / map / struct / decimal / date / binary / null columns
+    through the container format."""
+    from decimal import Decimal
+
+    from clickhouse_25_5_3_75_stable_spark.sources.avro_fmt import (
+        read_avro,
+        write_avro,
+    )
+
+    schema = (
+        "id bigint, tags array<int>, attrs map<string,string>, "
+        "pt struct<x:int,y:double>, amt decimal(12,2), d date, raw binary"
+    )
+    rows = [
+        (1, [1, 2, 3], {"a": "b"}, (3, 4.5), Decimal("12.34"),
+         __import__("datetime").date(2024, 2, 29), b"\x00\xfe"),
+        (2, [], {}, (-1, 0.0), Decimal("-0.01"),
+         __import__("datetime").date(1970, 1, 1), b""),
+        (3, None, None, None, None, None, None),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    p = str(tmp_path / "nested.avro")
+    write_avro(df, p)
+    back = read_avro(spark, p)
+    got = sorted(
+        tuple(r) for r in back.collect()
+    )
+    assert got == sorted(tuple(r) for r in df.collect())
+
+
+# ---------------------------------------------------------------------------
+# Round-5 format long-tail batch (sources/formats_longtail.py)
+# ---------------------------------------------------------------------------
+
+
+def test_line_as_string_and_raw_blob(spark, tmp_path):
+    from clickhouse_25_5_3_75_stable_spark.sources import formats_longtail as L
+
+    p = tmp_path / "lines.txt"
+    p.write_text("alpha\nbeta\ngamma\n")
+    df = L.read_line_as_string(spark, str(p))
+    assert df.columns == ["line"]
+    assert sorted(r.line for r in df.collect()) == ["alpha", "beta", "gamma"]
+
+    blob = tmp_path / "blob.bin"
+    blob.write_bytes(b"\x00\x01raw\xff")
+    got = L.read_raw_blob(spark, str(blob)).collect()
+    assert len(got) == 1 and bytes(got[0].raw) == b"\x00\x01raw\xff"
+    out = tmp_path / "out.bin"
+    L.write_raw_blob(L.read_raw_blob(spark, str(blob)), str(out))
+    assert out.read_bytes() == b"\x00\x01raw\xff"
+
+
+def test_tskv_roundtrip(spark, tmp_path):
+    from clickhouse_25_5_3_75_stable_spark.sources import formats_longtail as L
+
+    df = spark.createDataFrame(
+        [(1, "a\tb", "x=y"), (2, None, "plain")], "id int, s string, t string"
+    )
+    p = str(tmp_path / "t.tskv")
+    L.write_tskv(df, p)
+    back = L.read_tskv(spark, p, ["id", "s", "t"])
+    got = sorted(
+        (r.id, r.s, r.t) for r in back.select(
+            back.id.cast("int"), "s", "t").collect()
+    )
+    assert got == [(1, "a\tb", "x=y"), (2, "", "plain")]
+
+
+def test_json_compact_each_row(spark, tmp_path):
+    from clickhouse_25_5_3_75_stable_spark.sources import formats_longtail as L
+
+    df = spark.createDataFrame([(1, "a", 1.5), (2, "b", -0.25)],
+                               "id int, s string, v double")
+    p = str(tmp_path / "jcer")
+    L.write_json_compact_each_row(df, p)
+    back = L.read_json_compact_each_row(spark, p, "id int, s string, v double")
+    assert back.schema == df.schema
+    assert sorted(tuple(r) for r in back.collect()) == sorted(
+        tuple(r) for r in df.collect())
+
+
+def test_json_document_formats(spark, tmp_path):
+    import json as J
+
+    from clickhouse_25_5_3_75_stable_spark.sources import formats_longtail as L
+
+    schema = "id int, s string"
+    compact = {"meta": [{"name": "id"}, {"name": "s"}],
+               "data": [[1, "a"], [2, "b"]], "rows": 2}
+    (tmp_path / "c.json").write_text(J.dumps(compact))
+    got = sorted(tuple(r) for r in
+                 L.read_json_compact(spark, str(tmp_path / "c.json"), schema).collect())
+    assert got == [(1, "a"), (2, "b")]
+
+    cols = {"id": [3, 4], "s": ["c", None]}
+    (tmp_path / "cols.json").write_text(J.dumps(cols))
+    got = sorted(tuple(r) for r in
+                 L.read_json_columns(spark, str(tmp_path / "cols.json"), schema).collect())
+    assert got == [(3, "c"), (4, None)]
+
+    cc = [[5, 6], ["e", "f"]]
+    (tmp_path / "cc.json").write_text(J.dumps(cc))
+    got = sorted(tuple(r) for r in
+                 L.read_json_compact_columns(spark, str(tmp_path / "cc.json"), schema).collect())
+    assert got == [(5, "e"), (6, "f")]
+
+    obj = {"r1": {"id": 7, "s": "g"}, "r2": {"id": 8, "s": "h"}}
+    (tmp_path / "obj.json").write_text(J.dumps(obj))
+    got = sorted(tuple(r) for r in
+                 L.read_json_object_each_row(spark, str(tmp_path / "obj.json"), schema).collect())
+    assert got == [(7, "g"), (8, "h")]
+
+
+def test_hive_text_one_form(spark, tmp_path):
+    from clickhouse_25_5_3_75_stable_spark.sources import formats_longtail as L
+
+    df = spark.createDataFrame([(1, "x"), (2, None)], "id int, s string")
+    p = str(tmp_path / "hive")
+    L.write_hive_text(df, p)
+    back = L.read_hive_text(spark, p, "id int, s string")
+    assert sorted(tuple(r) for r in back.collect()) == [(1, "x"), (2, None)]
+
+    one = L.read_one(spark).collect()
+    assert len(one) == 1 and one[0].dummy == 0
+
+    (tmp_path / "f.form").write_text("a=1&b=hello%20world&empty=")
+    got = L.read_form(spark, str(tmp_path / "f.form"), ["a", "b", "empty", "miss"]).collect()[0]
+    assert (got.a, got.b, got.empty, got.miss) == ("1", "hello world", "", None)
+
+
+def test_presentation_writers(spark, tmp_path):
+    from clickhouse_25_5_3_75_stable_spark.sources import formats_longtail as L
+
+    df = spark.createDataFrame([(1, "a"), (2, None)], "id int, s string")
+    md = tmp_path / "t.md"
+    L.write_markdown(df.orderBy("id"), str(md))
+    text = md.read_text()
+    assert "| id | s |" in text and "| 1 | a |" in text
+
+    v = tmp_path / "t.vertical"
+    L.write_vertical(df.orderBy("id"), str(v))
+    assert "Row 1:" in v.read_text() and "id: 1" in v.read_text()
+
+    pr = tmp_path / "t.pretty"
+    L.write_pretty(df.orderBy("id"), str(pr))
+    t = pr.read_text()
+    assert t.startswith("┌") and "│" in t
+
+    sq = tmp_path / "t.sql"
+    L.write_sql_insert(df.orderBy("id"), str(sq), table="orders")
+    t = sq.read_text()
+    assert t.startswith("INSERT INTO orders (id, s) VALUES ")
+    assert "(1, 'a')" in t and "(2, NULL)" in t
+
+    L.write_null(df)  # noop sink: just must execute
+
+
+def test_parquet_metadata(spark, tmp_path):
+    from clickhouse_25_5_3_75_stable_spark.sources import formats_longtail as L
+
+    df = spark.createDataFrame([(i, f"s{i}") for i in range(100)], "id int, s string")
+    p = str(tmp_path / "pq")
+    df.repartition(2).write.parquet(p)
+    meta = L.read_parquet_metadata(spark, p)
+    rows = meta.collect()
+    assert len(rows) == 2
+    assert sum(r.num_rows for r in rows) == 100
+    assert all(r.num_columns == 2 for r in rows)
+    assert all("id" in r.columns for r in rows)
+
+
+def test_custom_separated_bridge(spark, tmp_path):
+    from clickhouse_25_5_3_75_stable_spark.sources import formats_longtail as L
+    from clickhouse_25_5_3_75_stable_spark.sources.template_fmt import (
+        read_template,
+        write_template,
+    )
+
+    df = spark.createDataFrame([(1, "a;x"), (2, "b")], "id int, s string")
+    rule = L.custom_separated_rule(["id", "s"], field_delimiter=";")
+    p = str(tmp_path / "cs")
+    write_template(df, p, rule)
+    back = read_template(spark, p, rule, "id int, s string")
+    assert sorted(tuple(r) for r in back.collect()) == sorted(
+        tuple(r) for r in df.collect())
