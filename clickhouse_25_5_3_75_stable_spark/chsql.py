@@ -2066,6 +2066,9 @@ def ch_sql(spark, sql: str, sf_dir: str | None = None):
     if settings:
         apply_settings(spark, settings)
     translated = ch_sql_to_spark(sql)
+    from clickhouse_25_5_3_75_stable_spark.sources.system_tables import record_query
+
+    record_query(sql, translated)
     try:
         df = spark.sql(translated)
         if "max_result_rows" in settings:

@@ -48,10 +48,23 @@ def explain_analyze(df: DataFrame, execute: bool = True) -> list[tuple[int, str,
     transfer (a collect() here OOM'd the driver on large results:
     review finding); collect() remains only as a fallback."""
     if execute:
+        import time
+
+        t0 = time.monotonic()
         try:
-            df._jdf.queryExecution().executedPlan().execute().count()
+            n = df._jdf.queryExecution().executedPlan().execute().count()
         except Exception:
-            df.collect()
+            n = len(df.collect())
+        from clickhouse_25_5_3_75_stable_spark.sources.system_tables import (
+            record_query,
+        )
+
+        record_query(
+            df._jdf.queryExecution().logical().toString().split("\n")[0],
+            kind="QueryFinish",
+            duration_ms=(time.monotonic() - t0) * 1000.0,
+            result_rows=int(n),
+        )
     rows: list[tuple[int, str, dict]] = []
     _walk(df._jdf.queryExecution().executedPlan(), 0, rows)
     return rows

@@ -367,3 +367,242 @@ def system_processes(spark: SparkSession) -> DataFrame:
         if info:
             rows.append((int(jid), str(info.status), len(info.stageIds)))
     return spark.createDataFrame(rows, "job_id int, status string, n_stages int")
+
+
+# ---------------------------------------------------------------------------
+# Round-5 batch: metadata/introspection long tail
+# (reference src/Storages/System/StorageSystem{Keywords,TableEngines,
+# DatabaseEngines,MergeTreeSettings,StoragePolicies,Users,Roles,Grants,
+# Privileges,Zeros,Warnings,Licenses,Events,Metrics}.cpp + the
+# query_log service table). Static tables reflect THIS engine's real
+# capabilities — no row claims a feature the repo doesn't implement.
+# ---------------------------------------------------------------------------
+
+from collections import deque as _deque
+from datetime import datetime as _dt
+
+
+def system_keywords(spark: SparkSession) -> DataFrame:
+    """system.keywords (StorageSystemKeywords.cpp): the SQL keywords
+    the chsql transpiler recognizes."""
+    kws = sorted({
+        "SELECT", "FROM", "WHERE", "PREWHERE", "GROUP", "BY", "HAVING",
+        "QUALIFY", "ORDER", "LIMIT", "OFFSET", "WITH", "TOTALS", "TIES",
+        "DISTINCT", "ON", "AS", "JOIN", "INNER", "LEFT", "RIGHT", "FULL",
+        "CROSS", "SEMI", "ANTI", "ANY", "ASOF", "PASTE", "USING", "UNION",
+        "ALL", "INTERSECT", "EXCEPT", "ARRAY", "SAMPLE", "FINAL",
+        "SETTINGS", "FORMAT", "INTO", "OUTFILE", "VALUES", "INSERT",
+        "CREATE", "TABLE", "VIEW", "MATERIALIZED", "FUNCTION", "DROP",
+        "ALTER", "UPDATE", "DELETE", "OPTIMIZE", "DEDUPLICATE", "TTL",
+        "PARTITION", "PRIMARY", "KEY", "ENGINE", "IF", "NOT", "EXISTS",
+        "AND", "OR", "IN", "BETWEEN", "LIKE", "ILIKE", "IS", "NULL",
+        "CASE", "WHEN", "THEN", "ELSE", "END", "CAST", "INTERVAL",
+        "ASC", "DESC", "NULLS", "FIRST", "LAST", "COLLATE", "FILL",
+        "INTERPOLATE", "STEP", "ROLLUP", "CUBE", "GROUPING", "SETS",
+        "WINDOW", "OVER", "ROWS", "RANGE", "GROUPS", "PRECEDING",
+        "FOLLOWING", "CURRENT", "ROW", "UNBOUNDED",
+    })
+    return spark.createDataFrame([(k,) for k in kws], "keyword string")
+
+
+def system_table_engines(spark: SparkSession) -> DataFrame:
+    """system.table_engines (StorageSystemTableEngines.cpp): the engines
+    this repo implements (sources/engines.py, operators/mergetree.py,
+    ddl.py), with the reference's capability flags."""
+    #       name, supports_ttl, supports_sort, supports_skip_idx, supports_dedup
+    rows = [
+        ("MergeTree", 1, 1, 1, 1),
+        ("ReplacingMergeTree", 1, 1, 1, 1),
+        ("SummingMergeTree", 1, 1, 1, 1),
+        ("AggregatingMergeTree", 1, 1, 1, 1),
+        ("CollapsingMergeTree", 1, 1, 1, 1),
+        ("VersionedCollapsingMergeTree", 1, 1, 1, 1),
+        ("GraphiteMergeTree", 1, 1, 1, 1),
+        ("Memory", 0, 0, 0, 0),
+        ("Set", 0, 0, 0, 0),
+        ("Join", 0, 0, 0, 0),
+        ("Buffer", 0, 0, 0, 0),
+        ("Null", 0, 0, 0, 0),
+        ("Merge", 0, 0, 0, 0),
+        ("File", 0, 0, 0, 0),
+        ("URL", 0, 0, 0, 0),
+        ("Distributed", 0, 0, 0, 0),
+        ("View", 0, 0, 0, 0),
+        ("MaterializedView", 0, 0, 0, 0),
+        ("Kafka", 0, 0, 0, 0),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "name string, supports_ttl int, supports_sort_order int, "
+        "supports_skipping_indices int, supports_deduplication int",
+    )
+
+
+def system_database_engines(spark: SparkSession) -> DataFrame:
+    """system.database_engines (StorageSystemDatabaseEngines.cpp)."""
+    return spark.createDataFrame(
+        [("Atomic",), ("Memory",)], "name string"
+    )
+
+
+def system_merge_tree_settings(spark: SparkSession) -> DataFrame:
+    """system.merge_tree_settings (StorageSystemMergeTreeSettings.cpp):
+    the layout knobs sources/layout.py actually honors, with their
+    Spark-side meaning."""
+    rows = [
+        ("index_granularity", "8192",
+         "row-group size target passed to the parquet writer"),
+        ("max_file_rows", "1048576",
+         "rows per part file before the writer rolls (maxRecordsPerFile)"),
+        ("partition_by", "",
+         "directory-encoded partition expression of the layout"),
+        ("order_by", "",
+         "sortWithinPartitions order applied at layout-write time"),
+        ("ttl_column", "",
+         "TTL expression column consulted by operators/ttl.py"),
+    ]
+    return spark.createDataFrame(rows, "name string, value string, description string")
+
+
+def system_storage_policies(spark: SparkSession) -> DataFrame:
+    """system.storage_policies (StorageSystemStoragePolicies.cpp)."""
+    return spark.createDataFrame(
+        [("default", "default", 0)],
+        "policy_name string, volume_name string, volume_priority int",
+    )
+
+
+def system_users(spark: SparkSession) -> DataFrame:
+    """system.users (StorageSystemUsers.cpp): the engine is a library —
+    one implicit user, like the reference's fresh-install default."""
+    return spark.createDataFrame(
+        [("default", "no_password", 1)],
+        "name string, auth_type string, is_default int",
+    )
+
+
+def system_roles(spark: SparkSession) -> DataFrame:
+    """system.roles (StorageSystemRoles.cpp): none defined — the
+    library engine delegates access control to the lakehouse catalog."""
+    return spark.createDataFrame([], "name string, id string")
+
+
+def system_grants(spark: SparkSession) -> DataFrame:
+    """system.grants (StorageSystemGrants.cpp): the implicit default
+    user holds ALL on *.* (fresh-install reference semantics)."""
+    return spark.createDataFrame(
+        [("default", "ALL", "*", "*", 1)],
+        "user_name string, access_type string, database string, "
+        "table string, grant_option int",
+    )
+
+
+def system_privileges(spark: SparkSession) -> DataFrame:
+    """system.privileges (StorageSystemPrivileges.cpp): the access
+    types the reference models, flagged by whether this engine
+    enforces them (none — catalog-delegated)."""
+    kinds = ["SELECT", "INSERT", "ALTER", "CREATE", "DROP", "TRUNCATE",
+             "OPTIMIZE", "SHOW", "KILL QUERY", "ACCESS MANAGEMENT"]
+    return spark.createDataFrame(
+        [(k, 0) for k in kinds], "privilege string, enforced int"
+    )
+
+
+def system_zeros(spark: SparkSession, n: int) -> DataFrame:
+    """system.zeros (StorageSystemZeros.cpp)."""
+    from clickhouse_25_5_3_75_stable_spark.sources.table_functions import zeros
+
+    return zeros(spark, n)
+
+
+def system_warnings(spark: SparkSession) -> DataFrame:
+    """system.warnings (StorageSystemWarnings.cpp): environment
+    capability warnings the session would surface at startup."""
+    rows = []
+    from clickhouse_25_5_3_75_stable_spark.sources.protobuf_shim import (
+        protobuf_available,
+    )
+
+    if not protobuf_available(spark):
+        rows.append(("spark-protobuf jar absent: Protobuf formats are "
+                     "capability-gated (sources/protobuf_shim.py has the recipe)",))
+    return spark.createDataFrame(rows, "message string")
+
+
+def system_licenses(spark: SparkSession) -> DataFrame:
+    """system.licenses (StorageSystemLicenses.cpp): the runtime
+    dependencies of THIS engine and their public licenses."""
+    rows = [
+        ("pyspark", "Apache-2.0"),
+        ("pyarrow", "Apache-2.0"),
+        ("pandas", "BSD-3-Clause"),
+        ("numpy", "BSD-3-Clause"),
+        ("duckdb (test oracle only)", "MIT"),
+        ("CityHash v1.0.2 (algorithm)", "MIT"),
+        ("SipHash (algorithm)", "CC0/public domain reference"),
+        ("xxHash (algorithm)", "BSD-2-Clause"),
+        ("S2 geometry (cell model)", "Apache-2.0"),
+        ("H3 (index bit layout)", "Apache-2.0"),
+    ]
+    return spark.createDataFrame(rows, "library_name string, license_type string")
+
+
+# --- session query log + counters ------------------------------------------
+
+_QUERY_LOG: _deque = _deque(maxlen=10_000)
+_EVENT_COUNTERS: dict[str, int] = {}
+
+
+def record_query(query: str, normalized: str | None = None,
+                 kind: str = "QueryStart", duration_ms: float | None = None,
+                 result_rows: int | None = None) -> None:
+    """Append to the session-local query log ring buffer (10k entries)
+    and bump the event counters — called by chsql.ch_sql on transpile
+    and by profiler.explain_analyze on measured execution."""
+    _QUERY_LOG.append((
+        _dt.now().isoformat(sep=" ", timespec="milliseconds"),
+        kind, query, normalized, duration_ms, result_rows,
+    ))
+    _EVENT_COUNTERS["Query"] = _EVENT_COUNTERS.get("Query", 0) + 1
+    head = (query or "").lstrip()[:12].upper()
+    key = ("SelectQuery" if head.startswith("SELECT") or head.startswith("WITH")
+           else "InsertQuery" if head.startswith("INSERT") else "OtherQuery")
+    _EVENT_COUNTERS[key] = _EVENT_COUNTERS.get(key, 0) + 1
+
+
+def system_query_log(spark: SparkSession) -> DataFrame:
+    """system.query_log analogue: the session-local ring buffer of
+    chsql/profiler activity (the reference persists per-query rows via
+    its log queue — here the session IS the scope)."""
+    return spark.createDataFrame(
+        list(_QUERY_LOG),
+        "event_time string, type string, query string, "
+        "normalized_query string, query_duration_ms double, result_rows bigint",
+    ) if _QUERY_LOG else spark.createDataFrame(
+        [],
+        "event_time string, type string, query string, "
+        "normalized_query string, query_duration_ms double, result_rows bigint",
+    )
+
+
+def system_events(spark: SparkSession) -> DataFrame:
+    """system.events (StorageSystemEvents.cpp): cumulative session
+    counters fed by record_query."""
+    return spark.createDataFrame(
+        sorted(_EVENT_COUNTERS.items()) or [],
+        "event string, value bigint",
+    ) if _EVENT_COUNTERS else spark.createDataFrame([], "event string, value bigint")
+
+
+def system_metrics(spark: SparkSession) -> DataFrame:
+    """system.metrics (StorageSystemMetrics.cpp): instantaneous
+    scheduler gauges from the live SparkContext."""
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    rows = [
+        ("ActiveJobs", len(tracker.getActiveJobsIds())),
+        ("ActiveStages", len(tracker.getActiveStageIds())),
+        ("DefaultParallelism", sc.defaultParallelism),
+        ("QueryLogEntries", len(_QUERY_LOG)),
+    ]
+    return spark.createDataFrame(rows, "metric string, value bigint")

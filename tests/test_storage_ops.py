@@ -482,3 +482,76 @@ def test_kill_query_cancels_tagged_job(spark):
     assert errors and errors[0] != "completed (should have been killed)"
     # session still healthy
     assert spark.range(5).count() == 5
+
+
+def test_system_tables_round5_batch(spark):
+    """Round-5 metadata/introspection batch (reference
+    src/Storages/System/StorageSystem{Keywords,TableEngines,
+    DatabaseEngines,MergeTreeSettings,StoragePolicies,Users,Roles,
+    Grants,Privileges,Zeros,Warnings,Licenses,Events,Metrics}.cpp +
+    the session query_log)."""
+    from clickhouse_25_5_3_75_stable_spark.sources.system_tables import (
+        record_query,
+        system_database_engines,
+        system_events,
+        system_grants,
+        system_keywords,
+        system_licenses,
+        system_merge_tree_settings,
+        system_metrics,
+        system_privileges,
+        system_query_log,
+        system_roles,
+        system_storage_policies,
+        system_table_engines,
+        system_users,
+        system_warnings,
+        system_zeros,
+    )
+
+    kws = {r.keyword for r in system_keywords(spark).collect()}
+    assert {"SELECT", "PREWHERE", "QUALIFY", "ASOF", "PASTE"} <= kws
+
+    engines = {r.name: r for r in system_table_engines(spark).collect()}
+    assert engines["MergeTree"].supports_ttl == 1
+    assert engines["Memory"].supports_ttl == 0
+    assert "GraphiteMergeTree" in engines
+
+    assert {r.name for r in system_database_engines(spark).collect()} == {
+        "Atomic", "Memory"}
+    mts = {r.name for r in system_merge_tree_settings(spark).collect()}
+    assert "index_granularity" in mts
+    assert system_storage_policies(spark).collect()[0].policy_name == "default"
+
+    users = system_users(spark).collect()
+    assert len(users) == 1 and users[0].name == "default"
+    assert system_roles(spark).count() == 0
+    assert system_grants(spark).collect()[0].access_type == "ALL"
+    assert all(r.enforced == 0 for r in system_privileges(spark).collect())
+
+    assert system_zeros(spark, 5).count() == 5
+    system_warnings(spark).collect()  # shape only (env-dependent rows)
+    lic = {r.library_name: r.license_type for r in system_licenses(spark).collect()}
+    assert lic["pyspark"] == "Apache-2.0"
+
+    # query log + counters: chsql records on transpile
+    from clickhouse_25_5_3_75_stable_spark.chsql import ch_sql
+
+    before = system_query_log(spark).count()
+    ch_sql(spark, "SELECT 1 AS x")
+    log = system_query_log(spark)
+    assert log.count() == before + 1
+    last = log.collect()[-1]
+    assert last.type == "QueryStart" and "SELECT 1" in last.query
+    ev = {r.event: r.value for r in system_events(spark).collect()}
+    assert ev.get("Query", 0) >= 1 and ev.get("SelectQuery", 0) >= 1
+
+    mets = {r.metric for r in system_metrics(spark).collect()}
+    assert {"ActiveJobs", "DefaultParallelism", "QueryLogEntries"} <= mets
+
+    # profiler records QueryFinish with duration + result rows
+    from clickhouse_25_5_3_75_stable_spark.profiler import explain_analyze
+
+    explain_analyze(spark.range(10).selectExpr("sum(id) s"))
+    fin = [r for r in system_query_log(spark).collect() if r.type == "QueryFinish"]
+    assert fin and fin[-1].result_rows == 1 and fin[-1].query_duration_ms > 0
