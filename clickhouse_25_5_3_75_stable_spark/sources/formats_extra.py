@@ -27,7 +27,11 @@ FORMAT_EXCLUSIONS = {
     # capability-gated surface over spark-protobuf (protobuf_shim.py —
     # jar-probe + from_protobuf, the jar itself is absent here like
     # spark-avro's).
-    "CapnProto": "capnp runtime not in the container",
+    # CapnProto moved OUT of the exclusion list in round 5: implemented
+    # from the public encoding spec (capnproto_fmt.py — flat-struct
+    # subset, first-fit layout algorithm, framed messages; validation
+    # is spec + hand-derived layouts + roundtrip since no capnp binary
+    # exists here to cross-check).
     "MySQLDump": "SQL-dialect dump parsing out of scope; use external.py JDBC",
     "ODBCDriver2": "wire protocol, not a file format",
 }

@@ -177,7 +177,7 @@ def system_formats(spark: SparkSession) -> DataFrame:
         ("JSONCompactColumns", 1, 0), ("JSONObjectEachRow", 1, 0),
         ("HiveText", 1, 1), ("One", 1, 0), ("Form", 1, 0),
         ("Null", 0, 1), ("Markdown", 0, 1), ("SQLInsert", 0, 1),
-        ("ParquetMetadata", 1, 0),
+        ("ParquetMetadata", 1, 0), ("CapnProto", 1, 1),
     ]
     rows = [(n, i, o, None) for n, i, o in native]
     # Protobuf is honest about the classpath: supported when the

@@ -277,10 +277,11 @@ def test_format_exclusions_documented():
         FORMAT_EXCLUSIONS,
     )
 
-    # Protobuf/MsgPack graduated to real shims in round 3
+    # Protobuf/MsgPack graduated to real shims in round 3,
+    # CapnProto in round 5 (capnproto_fmt.py)
     assert "Protobuf" not in FORMAT_EXCLUSIONS
     assert "MsgPack" not in FORMAT_EXCLUSIONS
-    assert "CapnProto" in FORMAT_EXCLUSIONS
+    assert "CapnProto" not in FORMAT_EXCLUSIONS
     assert all(isinstance(v, str) and v for v in FORMAT_EXCLUSIONS.values())
 
 
@@ -730,3 +731,82 @@ def test_custom_separated_bridge(spark, tmp_path):
     back = read_template(spark, p, rule, "id int, s string")
     assert sorted(tuple(r) for r in back.collect()) == sorted(
         tuple(r) for r in df.collect())
+
+
+_CAPNP_SCHEMA = """
+struct Row {
+  a @0 :UInt32;
+  b @1 :Bool;
+  c @2 :UInt16;
+  d @3 :Text;
+  e @4 :Int64;
+  f @5 :List(Float64);
+  g @6 :Data;
+  h @7 :Int8 = 5;
+}
+"""
+
+
+def test_capnproto_layout_vectors():
+    """First-fit hole allocation vs hand-derived offsets from the
+    published encoding spec (capnproto.org/encoding.html): UInt32@0
+    takes bits 0-31 of word 0; Bool@1 splits the upper half (bit 32);
+    UInt16@2 takes the 16-bit hole at unit 3 (bits 48-63); Int64@4
+    opens word 1; Int8@7 lands in the byte hole at offset 5 (bits
+    40-47); Text/List/Data take pointer slots 0/1/2 in ordinal order."""
+    from clickhouse_25_5_3_75_stable_spark.sources.capnproto_fmt import (
+        parse_capnp_schema,
+    )
+
+    sch = parse_capnp_schema(_CAPNP_SCHEMA, "Row")
+    by = {f.name: f for f in sch.fields}
+    assert (by["a"].offset, by["b"].offset, by["c"].offset) == (0, 32, 3)
+    assert by["e"].offset == 1 and by["h"].offset == 5
+    assert (by["d"].ptr_index, by["f"].ptr_index, by["g"].ptr_index) == (0, 1, 2)
+    assert sch.data_words == 2 and sch.ptr_count == 3
+    assert by["h"].default == 5
+
+
+def test_capnproto_roundtrip_spark(spark, tmp_path):
+    """Framed messages (one per row, the reference CapnProtoRow*Format
+    contract) through the Spark surface, incl. defaults (XOR encoding),
+    NULL pointers, and empty lists."""
+    from clickhouse_25_5_3_75_stable_spark.sources.capnproto_fmt import (
+        read_capnproto,
+        write_capnproto,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (123456, True, 65535, "héllo", -7, [1.5, -2.25], b"\x00\xff", -3),
+            (0, False, 1, None, 2 ** 62, [], None, 5),
+        ],
+        "a bigint, b boolean, c int, d string, e bigint, "
+        "f array<double>, g binary, h tinyint",
+    )
+    p = str(tmp_path / "rows.capnp.bin")
+    write_capnproto(df, p, _CAPNP_SCHEMA, "Row")
+    back = read_capnproto(spark, p, _CAPNP_SCHEMA, "Row")
+    got = sorted(
+        (r.a, r.b, r.c, r.d, r.e,
+         tuple(r.f) if r.f is not None else None,
+         bytes(r.g) if r.g is not None else None, r.h)
+        for r in back.collect()
+    )
+    assert got == [
+        (0, False, 1, None, 2 ** 62, (), None, 5),
+        (123456, True, 65535, "héllo", -7, (1.5, -2.25), b"\x00\xff", -3),
+    ]
+
+
+def test_capnproto_subset_boundaries():
+    from clickhouse_25_5_3_75_stable_spark.sources.capnproto_fmt import (
+        parse_capnp_schema,
+    )
+
+    with pytest.raises(NotImplementedError):
+        parse_capnp_schema("struct S { x @0 :List(Text); }", "S")
+    with pytest.raises(NotImplementedError):
+        parse_capnp_schema("struct S { u @0 :SomeUnion; }", "S")
+    with pytest.raises(ValueError):
+        parse_capnp_schema("struct S { x @0 :UInt8; }", "Missing")

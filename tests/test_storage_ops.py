@@ -412,7 +412,8 @@ def test_system_tables_wide_surface(spark, tmp_path):
     else:
         assert fmts["Protobuf"].is_input == 0
         assert "spark-protobuf" in fmts["Protobuf"].exclusion_reason
-    assert fmts["CapnProto"].exclusion_reason  # still a documented exclusion
+    # CapnProto graduated to a real shim in round 5 (capnproto_fmt.py)
+    assert fmts["CapnProto"].is_input == 1
 
     tf_names = {r.name for r in system_table_functions(spark).collect()}
     assert {"numbers", "generate_series", "values", "merge", "view"} <= tf_names
