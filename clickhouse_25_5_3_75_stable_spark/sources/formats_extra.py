@@ -31,9 +31,13 @@ FORMAT_EXCLUSIONS = {
     # from the public encoding spec (capnproto_fmt.py — flat-struct
     # subset, first-fit layout algorithm, framed messages; validation
     # is spec + hand-derived layouts + roundtrip since no capnp binary
-    # exists here to cross-check).
-    "MySQLDump": "SQL-dialect dump parsing out of scope; use external.py JDBC",
+    # exists here to cross-check). MySQLDump likewise (formats_longtail
+    # read_mysql_dump — INSERT-statement subset, per-file executor
+    # parse).
     "ODBCDriver2": "wire protocol, not a file format",
+    "MySQLWire": "wire protocol, not a file format (TCP scope note in MIGRATION.md)",
+    "PostgreSQLWire": "wire protocol, not a file format",
+    "DWARF": "ELF debug-info introspection (reference reads its own binary's symbols) — no analogue for a JVM/Python engine",
 }
 
 

@@ -448,3 +448,148 @@ def custom_separated_rule(
         "${%s:%s}" % (c, escaping) for c in columns
     )
     return row_before + body + row_after
+
+
+# ---------------------------------------------------------------------------
+# MySQLDump input (reference MySQLDumpRowInputFormat) and Prometheus
+# output (reference PrometheusTextOutputFormat)
+# ---------------------------------------------------------------------------
+
+_SQL_TUPLE_RE = None  # tokenizer below is stateful, regex won't do
+
+
+def _parse_sql_values(text: str):
+    """Yield value tuples from the body after VALUES: (v, v, ...),
+    (...) — numbers, 'strings' (\\-escapes and '' doubling), NULL,
+    0xHEX. A deliberate subset: the reference links a full MySQL
+    parser; dumps produced by mysqldump stay within this."""
+    i, n = 0, len(text)
+    while i < n:
+        while i < n and text[i] not in "(;":
+            i += 1
+        if i >= n or text[i] == ";":
+            return
+        i += 1  # past '('
+        vals, cur = [], []
+
+        def flush():
+            s = "".join(cur).strip()
+            cur.clear()
+            if s.upper() == "NULL" or s == "":
+                vals.append(None)
+            elif s.startswith("0x"):
+                vals.append(bytes.fromhex(s[2:]))
+            else:
+                try:
+                    vals.append(int(s))
+                except ValueError:
+                    vals.append(float(s))
+
+        while i < n:
+            c = text[i]
+            if c == "'":
+                i += 1
+                buf = []
+                while i < n:
+                    if text[i] == "\\" and i + 1 < n:
+                        esc = text[i + 1]
+                        buf.append({"n": "\n", "t": "\t", "r": "\r",
+                                    "0": "\0"}.get(esc, esc))
+                        i += 2
+                    elif text[i] == "'" and i + 1 < n and text[i + 1] == "'":
+                        buf.append("'")
+                        i += 2
+                    elif text[i] == "'":
+                        i += 1
+                        break
+                    else:
+                        buf.append(text[i])
+                        i += 1
+                vals.append("".join(buf))
+                cur.clear()
+            elif c == ",":
+                if cur and "".join(cur).strip():
+                    flush()
+                i += 1
+            elif c == ")":
+                if cur and "".join(cur).strip():
+                    flush()
+                i += 1
+                yield tuple(vals)
+                break
+            else:
+                cur.append(c)
+                i += 1
+
+
+def read_mysql_dump(
+    spark: SparkSession, path: str, schema: str, table: str | None = None
+) -> DataFrame:
+    """MySQLDump input format (reference MySQLDumpRowInputFormat;
+    input_format_mysql_dump_table_name): extract the INSERT statements
+    — optionally only those targeting ``table`` — and parse their
+    VALUES tuples into the caller's schema. Each dump FILE parses in
+    an executor (binaryFile + mapInPandas)."""
+    import re as _re
+
+    from pyspark.sql.types import StructType
+
+    target = StructType.fromDDL(schema)
+    names = [f.name for f in target.fields]
+    files = spark.read.format("binaryFile").load(path).select("content")
+    tbl_re = (_re.escape(table) if table else r"[^\s(]+")
+    ins_re = _re.compile(
+        r"INSERT\s+INTO\s+[`\"]?(" + tbl_re + r")[`\"]?"
+        r"(?:\s*\([^)]*\))?\s*VALUES\s*",
+        _re.IGNORECASE,
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for blob in pdf["content"]:
+                text = bytes(blob).decode("utf-8", errors="replace")
+                for m in ins_re.finditer(text):
+                    stop = text.find(";", m.end())
+                    body = text[m.end(): stop if stop != -1 else len(text)]
+                    for tup in _parse_sql_values(body):
+                        tup = tup[: len(names)] + (None,) * (len(names) - len(tup))
+                        # stringify for the uniform transfer schema; the
+                        # typed cast below restores the caller's schema
+                        rows.append(tuple(
+                            None if v is None
+                            else v.hex() if isinstance(v, bytes)
+                            else str(v)
+                            for v in tup
+                        ))
+            yield pd.DataFrame(rows, columns=names, dtype=object)
+
+    df = files.mapInPandas(gen, schema=", ".join(f"{c} string" for c in names))
+    return df.select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in target.fields]
+    )
+
+
+def write_prometheus(df: DataFrame, path: str,
+                     max_rows: int = DRIVER_EXPORT_MAX_ROWS) -> None:
+    """Prometheus text exposition output (reference
+    PrometheusTextOutputFormat): expects columns ``name`` and ``value``
+    with optional ``help``/``type``/``labels`` (map) — the reference's
+    column contract."""
+    _guard_driver_export(df, max_rows, "Prometheus")
+    cols = set(df.columns)
+    if not {"name", "value"} <= cols:
+        raise ValueError("Prometheus output needs 'name' and 'value' columns")
+    lines = []
+    for row in df.collect():
+        d = row.asDict()
+        if d.get("help"):
+            lines.append(f"# HELP {d['name']} {d['help']}")
+        if d.get("type"):
+            lines.append(f"# TYPE {d['name']} {d['type']}")
+        labels = d.get("labels") or {}
+        lbl = ("{" + ",".join(f'{k}="{v}"' for k, v in sorted(labels.items()))
+               + "}") if labels else ""
+        lines.append(f"{d['name']}{lbl} {d['value']}")
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")

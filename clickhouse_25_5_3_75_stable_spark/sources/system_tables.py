@@ -178,6 +178,7 @@ def system_formats(spark: SparkSession) -> DataFrame:
         ("HiveText", 1, 1), ("One", 1, 0), ("Form", 1, 0),
         ("Null", 0, 1), ("Markdown", 0, 1), ("SQLInsert", 0, 1),
         ("ParquetMetadata", 1, 0), ("CapnProto", 1, 1),
+        ("MySQLDump", 1, 0), ("Prometheus", 0, 1),
     ]
     rows = [(n, i, o, None) for n, i, o in native]
     # Protobuf is honest about the classpath: supported when the

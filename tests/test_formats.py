@@ -810,3 +810,49 @@ def test_capnproto_subset_boundaries():
         parse_capnp_schema("struct S { u @0 :SomeUnion; }", "S")
     with pytest.raises(ValueError):
         parse_capnp_schema("struct S { x @0 :UInt8; }", "Missing")
+
+
+def test_mysql_dump_reader(spark, tmp_path):
+    from clickhouse_25_5_3_75_stable_spark.sources.formats_longtail import (
+        read_mysql_dump,
+    )
+
+    dump = """-- MySQL dump 10.13
+CREATE TABLE `t1` (`id` int, `name` varchar(20), `score` double);
+INSERT INTO `t1` VALUES (1,'alice',2.5),(2,'bo\\'b',NULL);
+INSERT INTO `t1` (`id`, `name`, `score`) VALUES (3,'it''s',0.25);
+INSERT INTO `other` VALUES (99,'skip',9.9);
+"""
+    p = tmp_path / "dump.sql"
+    p.write_text(dump)
+    got = sorted(
+        tuple(r) for r in read_mysql_dump(
+            spark, str(p), "id int, name string, score double", table="t1"
+        ).collect()
+    )
+    assert got == [(1, "alice", 2.5), (2, "bo'b", None), (3, "it's", 0.25)]
+    # no table filter: all INSERTs
+    allrows = read_mysql_dump(
+        spark, str(p), "id int, name string, score double"
+    ).count()
+    assert allrows == 4
+
+
+def test_prometheus_writer(spark, tmp_path):
+    from clickhouse_25_5_3_75_stable_spark.sources.formats_longtail import (
+        write_prometheus,
+    )
+
+    df = spark.createDataFrame(
+        [("http_requests_total", 1027.0, "Total requests.", "counter",
+          {"method": "post", "code": "200"}),
+         ("temp_celsius", 36.6, None, None, None)],
+        "name string, value double, help string, type string, labels map<string,string>",
+    )
+    p = tmp_path / "metrics.prom"
+    write_prometheus(df.orderBy("name"), str(p))
+    text = p.read_text()
+    assert "# HELP http_requests_total Total requests." in text
+    assert "# TYPE http_requests_total counter" in text
+    assert 'http_requests_total{code="200",method="post"} 1027.0' in text
+    assert "temp_celsius 36.6" in text
