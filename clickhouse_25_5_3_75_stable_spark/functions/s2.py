@@ -609,114 +609,156 @@ def _c(x) -> Column:
     return x if isinstance(x, Column) else F.lit(x)
 
 
-def geo_to_s2(lon, lat) -> Column:
-    @pandas_udf("long")
-    def _u(lo: pd.Series, la: pd.Series) -> pd.Series:
-        mask = lo.notna() & la.notna()
-        out = np.zeros(len(lo), dtype=np.int64)
-        if mask.any():
-            ids = _geo_to_s2_np(lo[mask].to_numpy(np.float64),
-                                la[mask].to_numpy(np.float64))
-            out[mask.to_numpy()] = ids.astype(np.int64)
-        res = pd.Series(out)
-        res[~mask.to_numpy()] = None
-        return res
+def _u64_series(s: pd.Series):
+    """(null mask, uint64 values with 0 at nulls) — robust to int64,
+    Decimal(20,0), and Python ints beyond 2^63: CH users pass unsigned
+    cell-id literals through SQL, which Spark types as DECIMAL."""
+    mask = s.notna().to_numpy()
+    vals = np.zeros(len(s), dtype=np.uint64)
+    if mask.any():
+        vals[mask] = np.array(
+            [int(v) & 0xFFFFFFFFFFFFFFFF for v in s[s.notna()]],
+            dtype=np.uint64,
+        )
+    return mask, vals
 
-    return _u(_c(lon).cast("double"), _c(lat).cast("double"))
+
+def _geo_to_s2_fn(lo: pd.Series, la: pd.Series) -> pd.Series:
+    mask = lo.notna() & la.notna()
+    out = np.zeros(len(lo), dtype=np.int64)
+    if mask.any():
+        ids = _geo_to_s2_np(lo[mask].to_numpy(np.float64),
+                            la[mask].to_numpy(np.float64))
+        out[mask.to_numpy()] = ids.astype(np.int64)
+    res = pd.Series(out)
+    res[~mask.to_numpy()] = None
+    return res
+
+
+def _s2_to_geo_fn(c: pd.Series) -> pd.DataFrame:
+    mask, ids = _u64_series(c)
+    lon = np.full(len(c), np.nan)
+    lat = np.full(len(c), np.nan)
+    if mask.any():
+        lo, la = _s2_to_geo_np(ids[mask])
+        lon[mask] = lo
+        lat[mask] = la
+    df = pd.DataFrame({"lon": lon, "lat": lat})
+    df.loc[~mask, :] = None
+    return df
+
+
+def _s2_neighbors_fn(c: pd.Series) -> pd.Series:
+    out = []
+    for v in c:
+        if v is None or (isinstance(v, float) and np.isnan(v)):
+            out.append(None)
+        else:
+            out.append([int(np.uint64(n).astype(np.int64))
+                        for n in s2_get_neighbors_py(int(v) & 0xFFFFFFFFFFFFFFFF)])
+    return pd.Series(out, dtype=object)
+
+
+def _s2_intersect_fn(x: pd.Series, y: pd.Series) -> pd.Series:
+    mx, xa = _u64_series(x)
+    my, ya = _u64_series(y)
+    mask = pd.Series(mx & my)
+    la = xa & (np.uint64(0) - xa)
+    lb = ya & (np.uint64(0) - ya)
+    res = ((ya - (lb - np.uint64(1)) <= xa + (la - np.uint64(1)))
+           & (ya + (lb - np.uint64(1)) >= xa - (la - np.uint64(1))))
+    s = pd.Series(res.astype(object))
+    s[~mask.to_numpy()] = None
+    return s
+
+
+def _s2_cap_contains_fn(c: pd.Series, d: pd.Series, p: pd.Series) -> pd.Series:
+    mc, cu = _u64_series(c)
+    mp, pu = _u64_series(p)
+    cu[~mc] = 1
+    pu[~mp] = 1
+    mask = pd.Series(mc & mp & d.notna().to_numpy())
+    cx, cy, cz = _center_xyz_np(cu)
+    px, py, pz = _center_xyz_np(pu)
+    cn = np.sqrt(cx * cx + cy * cy + cz * cz)
+    pn = np.sqrt(px * px + py * py + pz * pz)
+    cx, cy, cz = cx / cn, cy / cn, cz / cn
+    px, py, pz = px / pn, py / pn, pz / pn
+    d2 = (cx - px) ** 2 + (cy - py) ** 2 + (cz - pz) ** 2
+    # degrees may arrive as Decimal objects from SQL literals
+    deg = d.astype(float).fillna(0.0).to_numpy(np.float64)
+    length = 2 * np.sin(0.5 * np.minimum(np.pi, np.radians(deg)))
+    chord2 = np.where(deg < 0, -1.0, length * length)
+    res = np.minimum(4.0, d2) <= chord2
+    s = pd.Series(res.astype(object))
+    s[~mask.to_numpy()] = None
+    return s
+
+
+def _s2_cap_union_fn(a: pd.Series, x: pd.Series,
+                     b: pd.Series, y: pd.Series) -> pd.DataFrame:
+    cen, rad = [], []
+    for ca, da, cb, db in zip(a, x, b, y):
+        if ca is None or da is None or cb is None or db is None:
+            cen.append(None)
+            rad.append(None)
+        else:
+            ci, rd = s2_cap_union_py(
+                int(ca) & 0xFFFFFFFFFFFFFFFF, float(da),
+                int(cb) & 0xFFFFFFFFFFFFFFFF, float(db))
+            cen.append(int(np.uint64(ci).astype(np.int64)))
+            rad.append(rd)
+    return pd.DataFrame({"center": cen, "radius": rad})
+
+
+# pandas_udf objects are created LAZILY (struct return types need an
+# active SparkSession to parse their DDL) and cached for reuse — the
+# same objects back both the Column API and the SQL registrations
+# (session.register_sql_udfs).
+_UDF_SPECS = {
+    "ch_geotos2": ("long", lambda: _geo_to_s2_fn),
+    "ch_s2togeo": ("lon double, lat double", lambda: _s2_to_geo_fn),
+    "ch_s2getneighbors": ("array<long>", lambda: _s2_neighbors_fn),
+    "ch_s2cellsintersect": ("boolean", lambda: _s2_intersect_fn),
+    "ch_s2capcontains": ("boolean", lambda: _s2_cap_contains_fn),
+    "ch_s2capunion": ("center long, radius double", lambda: _s2_cap_union_fn),
+}
+_UDF_CACHE: dict[str, object] = {}
+
+
+def s2_udf(name):
+    """Cached pandas_udf for one of the _UDF_SPECS entries."""
+    if name not in _UDF_CACHE:
+        ddl, fn = _UDF_SPECS[name]
+        _UDF_CACHE[name] = pandas_udf(ddl)(fn())
+    return _UDF_CACHE[name]
+
+
+def geo_to_s2(lon, lat) -> Column:
+    return s2_udf("ch_geotos2")(_c(lon).cast("double"), _c(lat).cast("double"))
 
 
 def s2_to_geo(cid) -> Column:
-    @pandas_udf("lon double, lat double")
-    def _u(c: pd.Series) -> pd.DataFrame:
-        mask = c.notna()
-        lon = np.full(len(c), np.nan)
-        lat = np.full(len(c), np.nan)
-        if mask.any():
-            lo, la = _s2_to_geo_np(
-                c[mask].to_numpy(np.int64).view(np.uint64))
-            lon[mask.to_numpy()] = lo
-            lat[mask.to_numpy()] = la
-        df = pd.DataFrame({"lon": lon, "lat": lat})
-        df.loc[~mask.to_numpy(), :] = None
-        return df
-
-    return _u(_c(cid).cast("long"))
+    return s2_udf("ch_s2togeo")(_c(cid).cast("long"))
 
 
 def s2_get_neighbors(cid) -> Column:
-    @pandas_udf("array<long>")
-    def _u(c: pd.Series) -> pd.Series:
-        out = []
-        for v in c:
-            if v is None or (isinstance(v, float) and np.isnan(v)):
-                out.append(None)
-            else:
-                u = int(np.int64(v).view(np.uint64) if v < 0 else v)
-                out.append([int(np.uint64(n).astype(np.int64))
-                            for n in s2_get_neighbors_py(u & 0xFFFFFFFFFFFFFFFF)])
-        return pd.Series(out, dtype=object)
-
-    return _u(_c(cid).cast("long"))
+    return s2_udf("ch_s2getneighbors")(_c(cid).cast("long"))
 
 
 def s2_cells_intersect(a, b) -> Column:
-    @pandas_udf("boolean")
-    def _u(x: pd.Series, y: pd.Series) -> pd.Series:
-        mask = x.notna() & y.notna()
-        xa = x.fillna(0).to_numpy(np.int64).view(np.uint64)
-        ya = y.fillna(0).to_numpy(np.int64).view(np.uint64)
-        la = xa & (np.uint64(0) - xa)
-        lb = ya & (np.uint64(0) - ya)
-        res = ((ya - (lb - np.uint64(1)) <= xa + (la - np.uint64(1)))
-               & (ya + (lb - np.uint64(1)) >= xa - (la - np.uint64(1))))
-        s = pd.Series(res.astype(object))
-        s[~mask.to_numpy()] = None
-        return s
-
-    return _u(_c(a).cast("long"), _c(b).cast("long"))
+    return s2_udf("ch_s2cellsintersect")(_c(a).cast("long"), _c(b).cast("long"))
 
 
 def s2_cap_contains(center, degrees, point) -> Column:
-    @pandas_udf("boolean")
-    def _u(c: pd.Series, d: pd.Series, p: pd.Series) -> pd.Series:
-        mask = c.notna() & d.notna() & p.notna()
-        cx, cy, cz = _center_xyz_np(c.fillna(1).to_numpy(np.int64).view(np.uint64))
-        px, py, pz = _center_xyz_np(p.fillna(1).to_numpy(np.int64).view(np.uint64))
-        cn = np.sqrt(cx * cx + cy * cy + cz * cz)
-        pn = np.sqrt(px * px + py * py + pz * pz)
-        cx, cy, cz = cx / cn, cy / cn, cz / cn
-        px, py, pz = px / pn, py / pn, pz / pn
-        d2 = (cx - px) ** 2 + (cy - py) ** 2 + (cz - pz) ** 2
-        deg = d.to_numpy(np.float64)
-        length = 2 * np.sin(0.5 * np.minimum(np.pi, np.radians(deg)))
-        chord2 = np.where(deg < 0, -1.0, length * length)
-        res = np.minimum(4.0, d2) <= chord2
-        s = pd.Series(res.astype(object))
-        s[~mask.to_numpy()] = None
-        return s
-
-    return _u(_c(center).cast("long"), _c(degrees).cast("double"),
-              _c(point).cast("long"))
+    return s2_udf("ch_s2capcontains")(_c(center).cast("long"),
+                                       _c(degrees).cast("double"),
+                                       _c(point).cast("long"))
 
 
 def s2_cap_union(c1, d1, c2, d2) -> Column:
-    @pandas_udf("center long, radius double")
-    def _u(a: pd.Series, x: pd.Series, b: pd.Series, y: pd.Series) -> pd.DataFrame:
-        cen, rad = [], []
-        for ca, da, cb, db in zip(a, x, b, y):
-            if ca is None or da is None or cb is None or db is None:
-                cen.append(None)
-                rad.append(None)
-            else:
-                ci, rd = s2_cap_union_py(
-                    int(ca) & 0xFFFFFFFFFFFFFFFF, float(da),
-                    int(cb) & 0xFFFFFFFFFFFFFFFF, float(db))
-                cen.append(int(np.uint64(ci).astype(np.int64)))
-                rad.append(rd)
-        return pd.DataFrame({"center": cen, "radius": rad})
-
-    return _u(_c(c1).cast("long"), _c(d1).cast("double"),
-              _c(c2).cast("long"), _c(d2).cast("double"))
+    return s2_udf("ch_s2capunion")(_c(c1).cast("long"), _c(d1).cast("double"),
+                                    _c(c2).cast("long"), _c(d2).cast("double"))
 
 
 def _rect_rows(fn, cols) -> pd.DataFrame:

@@ -175,6 +175,44 @@ def register_sql_udfs(spark: SparkSession) -> None:
     spark.udf.register("geohashDecode", _decode_udf())
     spark.udf.register("geohashesInBox", _boxes_udf())
 
+    # round-5 s2 family through SQL text: the same cached pandas UDFs
+    # that back the Column API register under the reference's own
+    # names (no chsql rename needed — name resolution is direct).
+    # s2Rect* stay Column-API (pandas_udf registration caps at 4 args
+    # for struct returns and the rect ops take id quadruples).
+    from clickhouse_25_5_3_75_stable_spark.functions import s2 as _s2
+
+    spark.udf.register("geoToS2", _s2.s2_udf("ch_geotos2"))
+    spark.udf.register("s2ToGeo", _s2.s2_udf("ch_s2togeo"))
+    spark.udf.register("s2GetNeighbors", _s2.s2_udf("ch_s2getneighbors"))
+    spark.udf.register("s2CellsIntersect", _s2.s2_udf("ch_s2cellsintersect"))
+    spark.udf.register("s2CapContains", _s2.s2_udf("ch_s2capcontains"))
+    spark.udf.register("s2CapUnion", _s2.s2_udf("ch_s2capunion"))
+
+    # h3 index-math getters with pure-SQL bodies (functions/h3.py owns
+    # the bit layout; these are the scan-tier names a sharding key uses)
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION h3GetResolution(h BIGINT) "
+        "RETURNS INT RETURN CAST((h >> 52) & 15 AS INT)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION h3GetBaseCell(h BIGINT) "
+        "RETURNS INT RETURN CAST((h >> 45) & 127 AS INT)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION h3ToParent(h BIGINT, res INT) "
+        "RETURNS BIGINT RETURN (h & ~(15L << 52)) | (CAST(res AS BIGINT) << 52) "
+        "| (shiftleft(1L, 3 * (15 - res)) - 1)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION h3ToString(h BIGINT) "
+        "RETURNS STRING RETURN lower(hex(h))"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION stringToH3(s STRING) "
+        "RETURNS BIGINT RETURN CAST(conv(s, 16, 10) AS BIGINT)"
+    )
+
 
 def tag_query(spark: SparkSession, query_id: str, description: str = "") -> None:
     """Tag subsequent actions on this thread with a query id — the

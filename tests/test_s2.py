@@ -197,3 +197,35 @@ def test_spark_column_api(spark):
     assert back.g.lon == pytest.approx(37.79506681471008)
     assert len(back.n) == 4
     assert back.x is False
+
+
+def test_sql_surface(spark):
+    """geoToS2 / s2ToGeo / s2GetNeighbors / s2CellsIntersect /
+    s2CapContains / s2CapUnion and the h3 index-math getters resolve
+    through plain chsql SQL text (session.register_sql_udfs), incl.
+    unsigned cell-id literals beyond 2^63 (typed DECIMAL by Spark)."""
+    from clickhouse_25_5_3_75_stable_spark.chsql import ch_sql
+    from clickhouse_25_5_3_75_stable_spark.session import register_sql_udfs
+
+    register_sql_udfs(spark)
+    r = ch_sql(spark, """
+        SELECT geoToS2(37.79506683, 55.71290588) AS id,
+               s2ToGeo(4704772434919038107) AS g,
+               s2GetNeighbors(5074766849661468672) AS n,
+               s2CellsIntersect(9926595209846587392, 9926594385212866560) AS x,
+               s2CapContains(1157339245694594829, 1.0, 1157347770437378819) AS cc,
+               h3GetResolution(617700169958293503) AS hres,
+               h3ToParent(617700169958293503, 8) AS hp,
+               h3ToString(617700169958293503) AS hs,
+               stringToH3('8928308280fffff') AS sh
+    """).collect()[0]
+    assert r.id == 4704772434919038107
+    assert r.g.lon == pytest.approx(37.79506681471008)
+    assert r.n == [5074766987100422144, 5074766712222515200,
+                   5074767536856236032, 5074767261978329088]
+    assert r.x is True and r.cc is True
+    assert r.hres == 9 and r.hs == "8928308280fffff"
+    assert r.sh == 617700169958293503
+    from clickhouse_25_5_3_75_stable_spark.functions.h3 import h3_to_parent_py
+
+    assert r.hp == h3_to_parent_py(617700169958293503, 8)
