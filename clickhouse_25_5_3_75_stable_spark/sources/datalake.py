@@ -8,14 +8,23 @@ layouts read-only over object storage; Spark's own connectors
 canonical implementations the reference chases, so the mapping is
 "load the connector and `spark.read.format(...)`".
 
-The sandbox ships none of the connector jars, so this module's job is
-honest capability detection: :func:`available_lake_formats` probes the
-JVM classpath, :func:`read_lake` uses the real connector when present
-and raises a specific, actionable error when not (instead of Spark's
-opaque ClassNotFoundException deep in a plan). A Delta/Iceberg table
-is parquet underneath + a transaction log; :func:`read_lake_fallback`
-can read the RAW parquet of a Delta table directory — correct ONLY for
-tables that have never seen deletes/updates/compaction, and says so.
+The sandbox ships none of the connector jars, so this module provides
+(a) honest capability detection — :func:`available_lake_formats`
+probes the JVM classpath, :func:`read_lake` uses the real connector
+when present and raises a specific, actionable error when not — and
+(b) REAL metadata-replay readers built from the PUBLIC table specs,
+the same approach the reference's own C++ lake readers take:
+
+- :func:`read_delta` replays the Delta transaction log (JSON commits
+  + checkpoint parquet; adds minus removes; schema from metaData;
+  partition columns restored from partitionValues; VERSION AS OF) —
+  correct under deletes/updates/OPTIMIZE, refusing protocol features
+  beyond reader v1 (deletion vectors, column mapping).
+- :func:`read_iceberg` replays Iceberg metadata (metadata JSON →
+  manifest-list Avro → manifest Avro via sources/avro_fmt.py →
+  live data files; snapshot time travel) — refusing v2 delete files.
+- :func:`read_lake_fallback` remains the last-resort RAW parquet scan,
+  correct ONLY for never-mutated tables, and says so.
 """
 
 from __future__ import annotations
@@ -62,3 +71,357 @@ def read_lake_fallback(spark: SparkSession, path: str) -> DataFrame:
     double-count — the transaction log exists precisely to filter
     them, which needs the real connector."""
     return spark.read.parquet(path)
+
+
+# ---------------------------------------------------------------------------
+# Delta Lake WITHOUT the connector: transaction-log replay from the
+# public protocol (delta.io PROTOCOL.md). The reference's
+# StorageDeltaLake does exactly this replay in C++
+# (src/Storages/ObjectStorage/DataLakes/DeltaLakeMetadata.cpp); Spark's
+# delta-spark jar is still the preferred path when present (read_lake).
+# ---------------------------------------------------------------------------
+
+
+class DeltaProtocolError(RuntimeError):
+    """The table needs reader features this replay doesn't implement
+    (deletion vectors, column mapping, protocol v2+)."""
+
+
+def _delta_snapshot(path: str, version: int | None = None):
+    """Replay _delta_log to (files, metadata, protocol, version).
+
+    files: {relative_path: partitionValues} active at the version;
+    metadata: the latest metaData action (schemaString etc.).
+    """
+    import json
+    import os
+
+    log_dir = os.path.join(path, "_delta_log")
+    if not os.path.isdir(log_dir):
+        raise FileNotFoundError(f"{path}: no _delta_log — not a Delta table")
+
+    commits = sorted(
+        int(f.split(".")[0])
+        for f in os.listdir(log_dir)
+        if f.endswith(".json") and f.split(".")[0].isdigit()
+    )
+    if not commits:
+        raise FileNotFoundError(f"{log_dir}: no commit json files")
+    target = commits[-1] if version is None else version
+    if target not in commits:
+        # the commit may be subsumed by a checkpoint; allow if ≤ max
+        if version is not None and version > commits[-1]:
+            raise ValueError(
+                f"versionAsOf {version} > latest version {commits[-1]}")
+
+    # newest checkpoint at or below the target version
+    ckpt_version = None
+    for f in os.listdir(log_dir):
+        if f.endswith(".checkpoint.parquet"):
+            v = int(f.split(".")[0])
+            if v <= target and (ckpt_version is None or v > ckpt_version):
+                ckpt_version = v
+
+    files: dict[str, dict] = {}
+    metadata = None
+    protocol = None
+
+    def apply(action: dict):
+        nonlocal metadata, protocol
+        if "add" in action and action["add"]:
+            a = action["add"]
+            files[a["path"]] = a.get("partitionValues") or {}
+        elif "remove" in action and action["remove"]:
+            files.pop(action["remove"]["path"], None)
+        elif "metaData" in action and action["metaData"]:
+            metadata = action["metaData"]
+        elif "protocol" in action and action["protocol"]:
+            protocol = action["protocol"]
+
+    if ckpt_version is not None:
+        import pyarrow.parquet as pq
+
+        ck = pq.read_table(
+            os.path.join(log_dir, f"{ckpt_version:020d}.checkpoint.parquet")
+        ).to_pylist()
+        for row in ck:
+            apply({k: v for k, v in row.items() if v is not None})
+
+    start = (ckpt_version + 1) if ckpt_version is not None else commits[0]
+    for v in commits:
+        if v < start or v > target:
+            continue
+        with open(os.path.join(log_dir, f"{v:020d}.json")) as fh:
+            for line in fh:
+                line = line.strip()
+                if line:
+                    apply(json.loads(line))
+
+    if protocol and protocol.get("minReaderVersion", 1) > 1:
+        feats = protocol.get("readerFeatures") or []
+        raise DeltaProtocolError(
+            f"Delta table needs minReaderVersion="
+            f"{protocol['minReaderVersion']} (features {feats}) — deletion "
+            "vectors/column mapping need the delta-spark connector "
+            "(read_lake)")
+    if metadata is None:
+        raise ValueError(f"{path}: no metaData action found in the log")
+    if (metadata.get("configuration") or {}).get(
+            "delta.columnMapping.mode", "none") != "none":
+        raise DeltaProtocolError(
+            "delta.columnMapping.mode != none needs the connector")
+    return files, metadata, protocol, target
+
+
+def read_delta(
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+) -> DataFrame:
+    """Delta snapshot read by pure transaction-log replay: adds minus
+    removes from the newest checkpoint parquet (if any) + JSON commits,
+    schema from metaData.schemaString, partition columns restored from
+    each add's partitionValues. `version` = time travel (VERSION AS OF).
+    Correct under deletes/updates/OPTIMIZE — the cases the raw-parquet
+    fallback rejects; refuses tables whose protocol needs reader
+    features beyond v1 (deletion vectors, column mapping)."""
+    import json
+    import os
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    files, metadata, _proto, _v = _delta_snapshot(path, version)
+    schema = StructType.fromJson(json.loads(metadata["schemaString"]))
+    part_cols = metadata.get("partitionColumns") or []
+    data_fields = [f for f in schema.fields if f.name not in part_cols]
+    data_schema = StructType(data_fields)
+
+    if not files:
+        return spark.createDataFrame([], schema)
+
+    # group files by partition tuple; one scan per group with literal
+    # partition columns (robust even for non-hive file layouts)
+    groups: dict[tuple, list[str]] = {}
+    for rel, pvals in files.items():
+        key = tuple((c, pvals.get(c)) for c in part_cols)
+        groups.setdefault(key, []).append(os.path.join(path, rel))
+
+    def lit_cast(name: str, raw):
+        f = schema[name]
+        if raw is None:
+            return F.lit(None).cast(f.dataType)
+        t = f.dataType.simpleString()
+        if t.startswith("decimal"):
+            return F.lit(Decimal(raw)).cast(f.dataType)
+        return F.lit(raw).cast(f.dataType)
+
+    parts = []
+    for key, paths in groups.items():
+        df = spark.read.schema(data_schema).parquet(*paths)
+        for c, raw in key:
+            df = df.withColumn(c, lit_cast(c, raw))
+        parts.append(df.select(*[f.name for f in schema.fields]))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def delta_history(spark: SparkSession, path: str) -> DataFrame:
+    """DESCRIBE HISTORY analogue: one row per commit from commitInfo
+    actions (version, timestamp, operation)."""
+    import json
+    import os
+
+    log_dir = os.path.join(path, "_delta_log")
+    rows = []
+    for f in sorted(os.listdir(log_dir)):
+        if not (f.endswith(".json") and f.split(".")[0].isdigit()):
+            continue
+        v = int(f.split(".")[0])
+        op, ts = None, None
+        with open(os.path.join(log_dir, f)) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                a = json.loads(line)
+                ci = a.get("commitInfo")
+                if ci:
+                    op = ci.get("operation")
+                    ts = ci.get("timestamp")
+        rows.append((v, ts, op))
+    return spark.createDataFrame(
+        rows, "version int, timestamp long, operation string"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Iceberg WITHOUT the connector: snapshot read from the public table
+# spec (iceberg.apache.org/spec — metadata JSON + Avro manifest list +
+# Avro manifests), decoded with the repo's own Avro codec
+# (sources/avro_fmt.py). The reference's StorageIceberg does the same
+# replay (src/Storages/ObjectStorage/DataLakes/IcebergMetadata.cpp).
+# ---------------------------------------------------------------------------
+
+
+class IcebergProtocolError(RuntimeError):
+    """Needs reader features this replay doesn't implement (delete
+    files / merge-on-read)."""
+
+
+_ICE_PRIM = {
+    "boolean": "boolean", "int": "int", "long": "bigint", "float": "float",
+    "double": "double", "date": "date", "string": "string", "uuid": "string",
+    "binary": "binary", "timestamp": "timestamp_ntz",
+    "timestamptz": "timestamp",
+}
+
+
+def _ice_type_to_spark(t) -> str:
+    if isinstance(t, str):
+        if t in _ICE_PRIM:
+            return _ICE_PRIM[t]
+        if t.startswith("decimal("):
+            return t
+        if t.startswith("fixed["):
+            return "binary"
+        raise ValueError(f"iceberg type {t!r} unsupported")
+    if t.get("type") == "struct":
+        inner = ", ".join(
+            f"{f['name']}: {_ice_type_to_spark(f['type'])}" for f in t["fields"]
+        )
+        return f"struct<{inner}>"
+    if t.get("type") == "list":
+        return f"array<{_ice_type_to_spark(t['element'])}>"
+    if t.get("type") == "map":
+        return (f"map<{_ice_type_to_spark(t['key'])}, "
+                f"{_ice_type_to_spark(t['value'])}>")
+    raise ValueError(f"iceberg type {t!r} unsupported")
+
+
+def _ice_resolve(table_path: str, uri: str) -> str:
+    """Manifest/data paths are absolute URIs at write time; resolve
+    against the table root when the table has been relocated."""
+    import os
+
+    p = uri
+    if p.startswith("file:"):
+        p = p[len("file:"):]
+        while p.startswith("//"):
+            p = p[1:]
+    if os.path.exists(p):
+        return p
+    # fall back: re-root at the table directory by the path suffix
+    for marker in ("/metadata/", "/data/"):
+        if marker in p:
+            cand = os.path.join(table_path, marker.strip("/"),
+                                p.split(marker, 1)[1])
+            if os.path.exists(cand):
+                return cand
+    raise FileNotFoundError(f"iceberg path {uri!r} not found (tried {p!r})")
+
+
+def _ice_metadata(path: str, snapshot_id=None):
+    import glob
+    import json
+    import os
+
+    hint = os.path.join(path, "metadata", "version-hint.text")
+    meta_file = None
+    if os.path.exists(hint):
+        v = open(hint).read().strip()
+        for pat in (f"v{v}.metadata.json", f"{v}.metadata.json"):
+            c = os.path.join(path, "metadata", pat)
+            if os.path.exists(c):
+                meta_file = c
+                break
+    if meta_file is None:
+        cands = sorted(glob.glob(os.path.join(path, "metadata", "*.metadata.json")))
+        if not cands:
+            raise FileNotFoundError(f"{path}: no metadata/*.metadata.json")
+        meta_file = cands[-1]
+    meta = json.load(open(meta_file))
+    snaps = meta.get("snapshots") or []
+    sid = snapshot_id if snapshot_id is not None else meta.get("current-snapshot-id")
+    snap = next((s for s in snaps if s["snapshot-id"] == sid), None)
+    if snap is None:
+        raise ValueError(f"{path}: snapshot {sid} not found")
+    # schema: v2 'schemas' + current-schema-id, v1 'schema'
+    if "schemas" in meta:
+        cur = meta.get("current-schema-id", 0)
+        schema = next(s for s in meta["schemas"] if s.get("schema-id", 0) == cur)
+    else:
+        schema = meta["schema"]
+    return meta, snap, schema
+
+
+def read_iceberg(
+    spark: SparkSession,
+    path: str,
+    snapshot_id: int | None = None,
+) -> DataFrame:
+    """Iceberg snapshot read by pure metadata replay: metadata JSON →
+    manifest-list Avro → manifest Avro → live data files (status != 2)
+    → parquet scan with the Iceberg schema. `snapshot_id` = time
+    travel. Refuses tables with delete manifests (v2 merge-on-read
+    needs the connector), like the reference's Iceberg reader did
+    before it grew positional-delete support."""
+    from clickhouse_25_5_3_75_stable_spark.sources.avro_fmt import (
+        _decode_container,
+    )
+
+    _meta, snap, schema = _ice_metadata(path, snapshot_id)
+    ddl = ", ".join(
+        f"{f['name']} {_ice_type_to_spark(f['type'])}"
+        for f in schema["fields"]
+    )
+
+    mlist_path = _ice_resolve(path, snap["manifest-list"])
+    _, mlist_rows = _decode_container(open(mlist_path, "rb").read())
+    data_files: list[str] = []
+    for m in mlist_rows:
+        if (m.get("content") or 0) == 1:
+            raise IcebergProtocolError(
+                "table has DELETE manifests (v2 merge-on-read) — needs the "
+                "iceberg-spark-runtime connector (read_lake)")
+        man_path = _ice_resolve(path, m["manifest_path"].decode()
+                                if isinstance(m["manifest_path"], bytes)
+                                else m["manifest_path"])
+        _, entries = _decode_container(open(man_path, "rb").read())
+        for e in entries:
+            if e["status"] == 2:  # DELETED
+                continue
+            df_info = e["data_file"]
+            if (df_info.get("content") or 0) != 0:
+                raise IcebergProtocolError(
+                    "delete files present — needs the connector")
+            fp = df_info["file_path"]
+            fp = fp.decode() if isinstance(fp, bytes) else fp
+            fmt = df_info.get("file_format", "PARQUET")
+            fmt = fmt.decode() if isinstance(fmt, bytes) else fmt
+            if fmt.upper() != "PARQUET":
+                raise IcebergProtocolError(
+                    f"data file format {fmt} unsupported without the connector")
+            data_files.append(_ice_resolve(path, fp))
+    if not data_files:
+        return spark.createDataFrame([], ddl)
+    return spark.read.schema(ddl).parquet(*data_files)
+
+
+def iceberg_snapshots(spark: SparkSession, path: str) -> DataFrame:
+    """system.iceberg_history analogue (reference
+    StorageSystemIcebergHistory.cpp): snapshot id / parent / timestamp
+    / operation per table snapshot."""
+    meta, _snap, _schema = _ice_metadata(path)
+    rows = [
+        (s["snapshot-id"], s.get("parent-snapshot-id"),
+         s.get("timestamp-ms"), (s.get("summary") or {}).get("operation"))
+        for s in meta.get("snapshots") or []
+    ]
+    return spark.createDataFrame(
+        rows,
+        "snapshot_id long, parent_id long, timestamp_ms long, operation string",
+    )

@@ -259,3 +259,264 @@ def test_parquet_index_mergetree_index_analogue(spark):
         spark, SF_SMOKE + "/lineitem.parquet", "l_orderkey", "-10", "-1"
     ).collect()
     assert all(r.skipped for r in pr)  # negative key range hits nothing
+
+
+# ---------------------------------------------------------------------------
+# Delta Lake log replay (round 5 — sources/datalake.py read_delta)
+# ---------------------------------------------------------------------------
+
+
+def _write_delta_fixture(spark, root):
+    """Hand-build a Delta table per the public protocol: partitioned
+    parquet files + _delta_log with 3 commits (create+add, add, remove
+    via OPTIMIZE-style rewrite)."""
+    import json
+    import os
+
+    os.makedirs(f"{root}/_delta_log")
+    schema_json = json.dumps({
+        "type": "struct",
+        "fields": [
+            {"name": "id", "type": "long", "nullable": True, "metadata": {}},
+            {"name": "v", "type": "double", "nullable": True, "metadata": {}},
+            {"name": "p", "type": "integer", "nullable": True, "metadata": {}},
+        ],
+    })
+
+    def write_file(rel, rows):
+        df = spark.createDataFrame(rows, "id long, v double")
+        df.coalesce(1).write.mode("overwrite").parquet(f"{root}/_tmp")
+        import glob
+        import shutil
+
+        src = glob.glob(f"{root}/_tmp/part-*.parquet")[0]
+        os.makedirs(os.path.dirname(f"{root}/{rel}"), exist_ok=True)
+        shutil.copy(src, f"{root}/{rel}")
+        shutil.rmtree(f"{root}/_tmp")
+
+    write_file("p=1/f0.parquet", [(1, 1.0), (2, 2.0)])
+    write_file("p=1/f1.parquet", [(3, 3.0)])
+    write_file("p=2/f2.parquet", [(10, 10.0)])
+    write_file("p=1/f3.parquet", [(1, 1.0), (2, 2.0), (3, 3.0)])  # compacted
+
+    def commit(v, actions):
+        with open(f"{root}/_delta_log/{v:020d}.json", "w") as fh:
+            fh.write("\n".join(json.dumps(a) for a in actions))
+
+    commit(0, [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": {"id": "t-1", "format": {"provider": "parquet"},
+                      "schemaString": schema_json,
+                      "partitionColumns": ["p"], "configuration": {}}},
+        {"commitInfo": {"timestamp": 1700000000000, "operation": "CREATE TABLE"}},
+        {"add": {"path": "p=1/f0.parquet", "partitionValues": {"p": "1"},
+                 "size": 1, "modificationTime": 1, "dataChange": True}},
+        {"add": {"path": "p=1/f1.parquet", "partitionValues": {"p": "1"},
+                 "size": 1, "modificationTime": 1, "dataChange": True}},
+    ])
+    commit(1, [
+        {"commitInfo": {"timestamp": 1700000001000, "operation": "WRITE"}},
+        {"add": {"path": "p=2/f2.parquet", "partitionValues": {"p": "2"},
+                 "size": 1, "modificationTime": 2, "dataChange": True}},
+    ])
+    # OPTIMIZE: rewrite the two p=1 files into one; raw-parquet scans
+    # would double-count here — the log replay must not
+    commit(2, [
+        {"commitInfo": {"timestamp": 1700000002000, "operation": "OPTIMIZE"}},
+        {"add": {"path": "p=1/f3.parquet", "partitionValues": {"p": "1"},
+                 "size": 1, "modificationTime": 3, "dataChange": False}},
+        {"remove": {"path": "p=1/f0.parquet", "deletionTimestamp": 3,
+                    "dataChange": False}},
+        {"remove": {"path": "p=1/f1.parquet", "deletionTimestamp": 3,
+                    "dataChange": False}},
+    ])
+
+
+def test_delta_log_replay(spark, tmp_path):
+    from clickhouse_25_5_3_75_stable_spark.sources.datalake import (
+        delta_history,
+        read_delta,
+    )
+
+    root = str(tmp_path / "dtable")
+    _write_delta_fixture(spark, root)
+
+    # latest snapshot: compacted p=1 file + p=2 file, NO double counting
+    cur = read_delta(spark, root)
+    assert cur.columns == ["id", "v", "p"]
+    got = sorted((r.id, r.v, r.p) for r in cur.collect())
+    assert got == [(1, 1.0, 1), (2, 2.0, 1), (3, 3.0, 1), (10, 10.0, 2)]
+
+    # time travel: version 0 = only the two original p=1 files
+    v0 = sorted((r.id, r.p) for r in read_delta(spark, root, version=0).collect())
+    assert v0 == [(1, 1), (2, 1), (3, 1)]
+    v1 = read_delta(spark, root, version=1)
+    assert v1.count() == 4
+
+    hist = {r.version: r.operation for r in delta_history(spark, root).collect()}
+    assert hist == {0: "CREATE TABLE", 1: "WRITE", 2: "OPTIMIZE"}
+
+
+def test_delta_checkpoint_and_protocol_guard(spark, tmp_path):
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from clickhouse_25_5_3_75_stable_spark.sources.datalake import (
+        DeltaProtocolError,
+        read_delta,
+    )
+
+    root = str(tmp_path / "dtable2")
+    _write_delta_fixture(spark, root)
+
+    # hand-write a checkpoint at version 1 (protocol checkpoint schema:
+    # one action struct per row) and verify replay = checkpoint + v2
+    schema_json = json.loads(
+        open(f"{root}/_delta_log/{0:020d}.json").readlines()[1]
+    )["metaData"]["schemaString"]
+    rows = [
+        {"metaData": {"id": "t-1", "schemaString": schema_json,
+                      "partitionColumns": ["p"]},
+         "add": None, "remove": None, "protocol": None},
+        {"metaData": None, "protocol": {"minReaderVersion": 1}, "add": None,
+         "remove": None},
+        {"add": {"path": "p=1/f0.parquet", "partitionValues": {"p": "1"}},
+         "metaData": None, "remove": None, "protocol": None},
+        {"add": {"path": "p=1/f1.parquet", "partitionValues": {"p": "1"}},
+         "metaData": None, "remove": None, "protocol": None},
+        {"add": {"path": "p=2/f2.parquet", "partitionValues": {"p": "2"}},
+         "metaData": None, "remove": None, "protocol": None},
+    ]
+    pq.write_table(
+        pa.Table.from_pylist(rows),
+        f"{root}/_delta_log/{1:020d}.checkpoint.parquet",
+    )
+    got = sorted((r.id, r.p) for r in read_delta(spark, root).collect())
+    assert got == [(1, 1), (2, 1), (3, 1), (10, 2)]
+
+    # protocol guard: v2 reader features must refuse, naming the jar
+    import pytest as _pytest
+
+    with open(f"{root}/_delta_log/{3:020d}.json", "w") as fh:
+        fh.write(json.dumps({"protocol": {
+            "minReaderVersion": 3, "readerFeatures": ["deletionVectors"]}}))
+    with _pytest.raises(DeltaProtocolError, match="deletion"):
+        read_delta(spark, root)
+
+
+def _avro_blob(rows, schema):
+    from clickhouse_25_5_3_75_stable_spark.sources.avro_fmt import (
+        _encode_container,
+    )
+
+    return _encode_container(rows, schema)
+
+
+def test_iceberg_metadata_replay(spark, tmp_path):
+    """Hand-built Iceberg v1 table per the public spec: metadata JSON +
+    Avro manifest list + Avro manifest (via the repo's own Avro codec)
+    + parquet data files; snapshot read must honor DELETED entries and
+    time-travel across snapshots."""
+    import glob
+    import json
+    import os
+    import shutil
+
+    from clickhouse_25_5_3_75_stable_spark.sources.datalake import (
+        IcebergProtocolError,
+        iceberg_snapshots,
+        read_iceberg,
+    )
+
+    root = str(tmp_path / "itable")
+    os.makedirs(f"{root}/metadata")
+    os.makedirs(f"{root}/data")
+
+    def write_file(rel, rows):
+        df = spark.createDataFrame(rows, "id long, name string")
+        df.coalesce(1).write.mode("overwrite").parquet(f"{root}/_tmp")
+        src = glob.glob(f"{root}/_tmp/part-*.parquet")[0]
+        shutil.copy(src, f"{root}/{rel}")
+        shutil.rmtree(f"{root}/_tmp")
+
+    write_file("data/f0.parquet", [(1, "a"), (2, "b")])
+    write_file("data/f1.parquet", [(3, "c")])
+
+    man_schema = {
+        "type": "record", "name": "manifest_entry", "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "data_file", "type": {
+                "type": "record", "name": "r2", "fields": [
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {"name": "record_count", "type": "long"},
+                ]}},
+        ]}
+    mlist_schema = {
+        "type": "record", "name": "manifest_file", "fields": [
+            {"name": "manifest_path", "type": "string"},
+            {"name": "manifest_length", "type": "long"},
+        ]}
+
+    def data_file(rel, n):
+        return {"file_path": f"file://{root}/{rel}", "file_format": "PARQUET",
+                "record_count": n}
+
+    # snapshot 1: both files added; snapshot 2: f0 deleted
+    m1 = _avro_blob(
+        [{"status": 1, "data_file": data_file("data/f0.parquet", 2)},
+         {"status": 1, "data_file": data_file("data/f1.parquet", 1)}],
+        man_schema)
+    open(f"{root}/metadata/m1.avro", "wb").write(m1)
+    m2 = _avro_blob(
+        [{"status": 2, "data_file": data_file("data/f0.parquet", 2)},
+         {"status": 0, "data_file": data_file("data/f1.parquet", 1)}],
+        man_schema)
+    open(f"{root}/metadata/m2.avro", "wb").write(m2)
+    for n, man in (("ml1", "m1"), ("ml2", "m2")):
+        open(f"{root}/metadata/{n}.avro", "wb").write(_avro_blob(
+            [{"manifest_path": f"file://{root}/metadata/{man}.avro",
+              "manifest_length": 1}], mlist_schema))
+
+    meta = {
+        "format-version": 1,
+        "table-uuid": "u-1",
+        "location": f"file://{root}",
+        "current-snapshot-id": 2,
+        "schema": {"type": "struct", "fields": [
+            {"id": 1, "name": "id", "required": False, "type": "long"},
+            {"id": 2, "name": "name", "required": False, "type": "string"},
+        ]},
+        "snapshots": [
+            {"snapshot-id": 1, "timestamp-ms": 1700000000000,
+             "manifest-list": f"file://{root}/metadata/ml1.avro",
+             "summary": {"operation": "append"}},
+            {"snapshot-id": 2, "parent-snapshot-id": 1,
+             "timestamp-ms": 1700000001000,
+             "manifest-list": f"file://{root}/metadata/ml2.avro",
+             "summary": {"operation": "delete"}},
+        ],
+    }
+    json.dump(meta, open(f"{root}/metadata/v3.metadata.json", "w"))
+    open(f"{root}/metadata/version-hint.text", "w").write("3")
+
+    # current snapshot (2): f0 deleted -> only f1 rows
+    cur = sorted((r.id, r.name) for r in read_iceberg(spark, root).collect())
+    assert cur == [(3, "c")]
+    # time travel to snapshot 1: both files
+    v1 = sorted((r.id, r.name)
+                for r in read_iceberg(spark, root, snapshot_id=1).collect())
+    assert v1 == [(1, "a"), (2, "b"), (3, "c")]
+
+    snaps = {r.snapshot_id: r.operation
+             for r in iceberg_snapshots(spark, root).collect()}
+    assert snaps == {1: "append", 2: "delete"}
+
+    # a relocated table still resolves (absolute URIs re-rooted)
+    moved = str(tmp_path / "itable_moved")
+    shutil.copytree(root, moved)
+    shutil.rmtree(root)
+    cur2 = sorted((r.id, r.name) for r in read_iceberg(spark, moved).collect())
+    assert cur2 == [(3, "c")]
