@@ -425,3 +425,66 @@ def iceberg_snapshots(spark: SparkSession, path: str) -> DataFrame:
         rows,
         "snapshot_id long, parent_id long, timestamp_ms long, operation string",
     )
+
+
+# ---------------------------------------------------------------------------
+# Hudi copy-on-write WITHOUT the connector: timeline replay from the
+# public layout (hudi.apache.org/docs — .hoodie/<instant>.commit
+# timeline; data files named <fileId>_<writeToken>_<instantTime>.parquet;
+# a snapshot is the LATEST completed file slice per file group). The
+# reference's StorageHudi applies the same rule
+# (src/Storages/ObjectStorage/DataLakes/HudiMetadata.cpp).
+# ---------------------------------------------------------------------------
+
+
+class HudiProtocolError(RuntimeError):
+    pass
+
+
+def read_hudi(spark: SparkSession, path: str) -> DataFrame:
+    """Hudi COW snapshot read: keep, per file group (fileId), only the
+    base file of the newest COMPLETED instant; older slices are
+    superseded rewrites that a raw scan would double-count. Merge-on-
+    read tables (log files present) refuse with the jar recipe."""
+    import os
+    import re
+
+    hoodie = os.path.join(path, ".hoodie")
+    if not os.path.isdir(hoodie):
+        raise FileNotFoundError(f"{path}: no .hoodie — not a Hudi table")
+    completed = set()
+    for f in os.listdir(hoodie):
+        m = re.match(r"^(\d+)\.(commit|replacecommit)$", f)
+        if m:
+            completed.add(m.group(1))
+    if not completed:
+        raise ValueError(f"{hoodie}: no completed commit instants")
+
+    # <uuid fileId>_<writeToken>_<instantTime>.parquet
+    fname_re = re.compile(r"^(?P<fid>[^_]+(?:-[^_]+)*)_(?P<tok>[^_]+)_"
+                          r"(?P<instant>\d+)\.parquet$")
+    best: dict[tuple, tuple[str, str]] = {}
+    for dirpath, dirnames, filenames in os.walk(path):
+        if ".hoodie" in dirpath:
+            continue
+        for f in filenames:
+            if f.endswith(".log") or ".log." in f:
+                raise HudiProtocolError(
+                    "merge-on-read log files present — needs the "
+                    "hudi-spark-bundle connector (read_lake)")
+            m = fname_re.match(f)
+            if not m or m.group("instant") not in completed:
+                continue
+            key = (dirpath, m.group("fid"))
+            cur = best.get(key)
+            if cur is None or m.group("instant") > cur[0]:
+                best[key] = (m.group("instant"), os.path.join(dirpath, f))
+    if not best:
+        raise ValueError(f"{path}: no data files from completed instants")
+    files = [p for _, p in best.values()]
+    df = spark.read.parquet(*files)
+    # Hudi meta columns travel in the files; drop them like a SELECT *
+    # through the connector would not — keep parity with raw table
+    # reads by dropping only when present
+    meta = [c for c in df.columns if c.startswith("_hoodie_")]
+    return df.drop(*meta) if meta else df

@@ -520,3 +520,47 @@ def test_iceberg_metadata_replay(spark, tmp_path):
     shutil.rmtree(root)
     cur2 = sorted((r.id, r.name) for r in read_iceberg(spark, moved).collect())
     assert cur2 == [(3, "c")]
+
+
+def test_hudi_cow_timeline_replay(spark, tmp_path):
+    """Hand-built Hudi COW table: two file groups, one rewritten by a
+    later commit, one uncommitted (inflight) file that must be ignored."""
+    import glob
+    import os
+    import shutil
+
+    import pytest as _pytest
+
+    from clickhouse_25_5_3_75_stable_spark.sources.datalake import (
+        HudiProtocolError,
+        read_hudi,
+    )
+
+    root = str(tmp_path / "htable")
+    os.makedirs(f"{root}/.hoodie")
+    os.makedirs(f"{root}/p")
+
+    def write_file(rel, rows):
+        df = spark.createDataFrame(rows, "id long, v string")
+        df.coalesce(1).write.mode("overwrite").parquet(f"{root}/_tmp")
+        src = glob.glob(f"{root}/_tmp/part-*.parquet")[0]
+        shutil.copy(src, f"{root}/{rel}")
+        shutil.rmtree(f"{root}/_tmp")
+
+    fid1, fid2 = "0001-aaaa", "0002-bbbb"
+    write_file(f"p/{fid1}_0-1-0_20240101000000.parquet", [(1, "old"), (2, "old")])
+    write_file(f"p/{fid1}_0-2-0_20240102000000.parquet", [(1, "new"), (2, "new")])
+    write_file(f"p/{fid2}_0-1-0_20240101000000.parquet", [(3, "keep")])
+    # inflight instant: its file must not be visible
+    write_file(f"p/{fid2}_0-9-0_20240103000000.parquet", [(99, "phantom")])
+    for inst in ("20240101000000", "20240102000000"):
+        open(f"{root}/.hoodie/{inst}.commit", "w").write("{}")
+    open(f"{root}/.hoodie/20240103000000.inflight", "w").write("")
+
+    got = sorted((r.id, r.v) for r in read_hudi(spark, root).collect())
+    assert got == [(1, "new"), (2, "new"), (3, "keep")]
+
+    # MOR log file -> refuse with the jar recipe
+    open(f"{root}/p/.{fid1}_20240102000000.log.1_0-1-0", "w").write("")
+    with _pytest.raises(HudiProtocolError, match="merge-on-read"):
+        read_hudi(spark, root)
