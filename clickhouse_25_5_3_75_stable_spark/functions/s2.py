@@ -774,43 +774,56 @@ def _rect_rows(fn, cols) -> pd.DataFrame:
     return pd.DataFrame({"lo": lo_out, "hi": hi_out})
 
 
-def s2_rect_add(lo, hi, point) -> Column:
-    @pandas_udf("lo long, hi long")
-    def _u(a: pd.Series, b: pd.Series, p: pd.Series) -> pd.DataFrame:
-        return _rect_rows(s2_rect_add_py, (a, b, p))
+def _s2_rect_add_fn(a: pd.Series, b: pd.Series, p: pd.Series) -> pd.DataFrame:
+    return _rect_rows(s2_rect_add_py, (a, b, p))
 
-    return _u(_c(lo).cast("long"), _c(hi).cast("long"), _c(point).cast("long"))
+
+def _s2_rect_contains_fn(a: pd.Series, b: pd.Series, p: pd.Series) -> pd.Series:
+    out = []
+    for x, y, z in zip(a, b, p):
+        if x is None or y is None or z is None:
+            out.append(None)
+        else:
+            out.append(s2_rect_contains_py(
+                int(x) & 0xFFFFFFFFFFFFFFFF, int(y) & 0xFFFFFFFFFFFFFFFF,
+                int(z) & 0xFFFFFFFFFFFFFFFF))
+    return pd.Series(out, dtype=object)
+
+
+def _s2_rect_union_fn(a: pd.Series, b: pd.Series,
+                      x: pd.Series, y: pd.Series) -> pd.DataFrame:
+    return _rect_rows(s2_rect_union_py, (a, b, x, y))
+
+
+def _s2_rect_intersection_fn(a: pd.Series, b: pd.Series,
+                             x: pd.Series, y: pd.Series) -> pd.DataFrame:
+    return _rect_rows(s2_rect_intersection_py, (a, b, x, y))
+
+
+_UDF_SPECS["ch_s2rectadd"] = ("lo long, hi long", lambda: _s2_rect_add_fn)
+_UDF_SPECS["ch_s2rectcontains"] = ("boolean", lambda: _s2_rect_contains_fn)
+_UDF_SPECS["ch_s2rectunion"] = ("lo long, hi long", lambda: _s2_rect_union_fn)
+_UDF_SPECS["ch_s2rectintersection"] = (
+    "lo long, hi long", lambda: _s2_rect_intersection_fn)
+
+
+def s2_rect_add(lo, hi, point) -> Column:
+    return s2_udf("ch_s2rectadd")(
+        _c(lo).cast("long"), _c(hi).cast("long"), _c(point).cast("long"))
 
 
 def s2_rect_contains(lo, hi, point) -> Column:
-    @pandas_udf("boolean")
-    def _u(a: pd.Series, b: pd.Series, p: pd.Series) -> pd.Series:
-        out = []
-        for x, y, z in zip(a, b, p):
-            if x is None or y is None or z is None:
-                out.append(None)
-            else:
-                out.append(s2_rect_contains_py(
-                    int(x) & 0xFFFFFFFFFFFFFFFF, int(y) & 0xFFFFFFFFFFFFFFFF,
-                    int(z) & 0xFFFFFFFFFFFFFFFF))
-        return pd.Series(out, dtype=object)
-
-    return _u(_c(lo).cast("long"), _c(hi).cast("long"), _c(point).cast("long"))
+    return s2_udf("ch_s2rectcontains")(
+        _c(lo).cast("long"), _c(hi).cast("long"), _c(point).cast("long"))
 
 
 def s2_rect_union(lo1, hi1, lo2, hi2) -> Column:
-    @pandas_udf("lo long, hi long")
-    def _u(a: pd.Series, b: pd.Series, x: pd.Series, y: pd.Series) -> pd.DataFrame:
-        return _rect_rows(s2_rect_union_py, (a, b, x, y))
-
-    return _u(_c(lo1).cast("long"), _c(hi1).cast("long"),
-              _c(lo2).cast("long"), _c(hi2).cast("long"))
+    return s2_udf("ch_s2rectunion")(
+        _c(lo1).cast("long"), _c(hi1).cast("long"),
+        _c(lo2).cast("long"), _c(hi2).cast("long"))
 
 
 def s2_rect_intersection(lo1, hi1, lo2, hi2) -> Column:
-    @pandas_udf("lo long, hi long")
-    def _u(a: pd.Series, b: pd.Series, x: pd.Series, y: pd.Series) -> pd.DataFrame:
-        return _rect_rows(s2_rect_intersection_py, (a, b, x, y))
-
-    return _u(_c(lo1).cast("long"), _c(hi1).cast("long"),
-              _c(lo2).cast("long"), _c(hi2).cast("long"))
+    return s2_udf("ch_s2rectintersection")(
+        _c(lo1).cast("long"), _c(hi1).cast("long"),
+        _c(lo2).cast("long"), _c(hi2).cast("long"))

@@ -178,16 +178,21 @@ def register_sql_udfs(spark: SparkSession) -> None:
     # round-5 s2 family through SQL text: the same cached pandas UDFs
     # that back the Column API register under the reference's own
     # names (no chsql rename needed — name resolution is direct).
-    # s2Rect* stay Column-API (pandas_udf registration caps at 4 args
-    # for struct returns and the rect ops take id quadruples).
     from clickhouse_25_5_3_75_stable_spark.functions import s2 as _s2
 
-    spark.udf.register("geoToS2", _s2.s2_udf("ch_geotos2"))
-    spark.udf.register("s2ToGeo", _s2.s2_udf("ch_s2togeo"))
-    spark.udf.register("s2GetNeighbors", _s2.s2_udf("ch_s2getneighbors"))
-    spark.udf.register("s2CellsIntersect", _s2.s2_udf("ch_s2cellsintersect"))
-    spark.udf.register("s2CapContains", _s2.s2_udf("ch_s2capcontains"))
-    spark.udf.register("s2CapUnion", _s2.s2_udf("ch_s2capunion"))
+    for sql_name, key in (
+        ("geoToS2", "ch_geotos2"),
+        ("s2ToGeo", "ch_s2togeo"),
+        ("s2GetNeighbors", "ch_s2getneighbors"),
+        ("s2CellsIntersect", "ch_s2cellsintersect"),
+        ("s2CapContains", "ch_s2capcontains"),
+        ("s2CapUnion", "ch_s2capunion"),
+        ("s2RectAdd", "ch_s2rectadd"),
+        ("s2RectContains", "ch_s2rectcontains"),
+        ("s2RectUnion", "ch_s2rectunion"),
+        ("s2RectIntersection", "ch_s2rectintersection"),
+    ):
+        spark.udf.register(sql_name, _s2.s2_udf(key))
 
     # h3 index-math getters with pure-SQL bodies (functions/h3.py owns
     # the bit layout; these are the scan-tier names a sharding key uses)

@@ -229,3 +229,33 @@ def test_sql_surface(spark):
     from clickhouse_25_5_3_75_stable_spark.functions.h3 import h3_to_parent_py
 
     assert r.hp == h3_to_parent_py(617700169958293503, 8)
+
+
+def test_sql_surface_rect(spark):
+    """s2RectAdd / s2RectContains / s2RectUnion / s2RectIntersection
+    resolve through SQL text and agree with the pure-python rect
+    algebra (reference: src/Functions/s2RectAdd.cpp et al.)."""
+    from clickhouse_25_5_3_75_stable_spark.chsql import ch_sql
+    from clickhouse_25_5_3_75_stable_spark.session import register_sql_udfs
+
+    register_sql_udfs(spark)
+    lo = s2.geo_to_s2_py(2.0, 2.0)
+    hi = s2.geo_to_s2_py(10.0, 10.0)
+    inside = s2.geo_to_s2_py(5.0, 5.0)
+    outside = s2.geo_to_s2_py(20.0, 20.0)
+    r = ch_sql(spark, f"""
+        SELECT s2RectAdd({lo}, {hi}, {outside}) AS grown,
+               s2RectContains({lo}, {hi}, {inside}) AS has_in,
+               s2RectContains({lo}, {hi}, {outside}) AS has_out,
+               s2RectUnion({lo}, {hi}, {lo}, {hi}) AS self_union,
+               s2RectIntersection({lo}, {hi}, {lo}, {hi}) AS self_inter
+    """).collect()[0]
+    glo, ghi = s2.s2_rect_add_py(lo, hi, outside)
+    assert (r.grown.lo, r.grown.hi) == (_i64(glo), _i64(ghi))
+    assert r.has_in is True and r.has_out is False
+    assert (r.self_union.lo, r.self_union.hi) == (_i64(lo), _i64(hi))
+    assert (r.self_inter.lo, r.self_inter.hi) == (_i64(lo), _i64(hi))
+
+
+def _i64(u: int) -> int:
+    return u - (1 << 64) if u >= (1 << 63) else u
