@@ -425,3 +425,84 @@ def format_template_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_nationkey bigint, n_name string, n_regionkey bigint",
         resultset_format="== nation ==\n${data}\n== end ==",
     )
+
+
+@register(
+    "external_sqlite_bridge_read",
+    oracle=(
+        "SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name, "
+        "CAST(n_regionkey AS BIGINT) AS n_regionkey FROM nation "
+        "WHERE n_regionkey <> 3"
+    ),
+    bucket="light",
+    tags=("external", "sqlite"),
+)
+def external_sqlite_bridge_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENGINE=SQLite analogue end-to-end: load nation into a sqlite
+    database file, read it back through read_external with a predicate
+    executed REMOTELY (inside sqlite, like the reference's
+    transformQueryForExternalDatabase pushes WHERE to the engine).
+    Reference: src/Storages/registerStorages.cpp:60-103, SQLite engine."""
+    import sqlite3
+
+    from clickhouse_25_5_3_75_stable_spark.sources.external import (
+        ExternalEngine,
+        read_external,
+    )
+
+    db = os.path.join(tempfile.mkdtemp(prefix="chspark_sqlite_"), "tpch.db")
+    con = sqlite3.connect(db)
+    try:
+        con.execute(
+            "CREATE TABLE nation (n_nationkey INTEGER, n_name TEXT, "
+            "n_regionkey INTEGER)"
+        )
+        con.executemany(
+            "INSERT INTO nation VALUES (?, ?, ?)",
+            [(r["n_nationkey"], r["n_name"], r["n_regionkey"])
+             for r in _nation_pydict(sf_dir)],
+        )
+        con.commit()
+    finally:
+        con.close()
+    spec = ExternalEngine(kind="sqlite", table="nation", database=db)
+    return read_external(spark, spec, predicate="n_regionkey <> 3")
+
+
+@register(
+    "executable_udtf_tokenize",
+    oracle=(
+        # no WITH ORDINALITY in DuckDB 1.0 — index the split list by an
+        # unnested generate_series instead (version-stable primitives)
+        "WITH ex AS ("
+        "  SELECT n_nationkey, parts, "
+        "         unnest(generate_series(1, len(parts))) AS i "
+        "  FROM (SELECT n_nationkey, string_split("
+        "          n_name || ' region_' || CAST(n_regionkey AS VARCHAR), ' ') "
+        "          AS parts FROM nation) t"
+        ") SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, "
+        "         parts[i] AS token, CAST(i - 1 AS INT) AS pos "
+        "FROM ex WHERE parts[i] <> ''"
+    ),
+    bucket="light",
+    tags=("executable", "udtf"),
+)
+def executable_udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Executable-UDF analogue end-to-end: the tokenizer UDTF (the
+    reference's executable-script doc example) applied per nation name
+    via LATERAL, one output row per token.
+    Reference: src/Functions/UserDefined/
+    UserDefinedExecutableFunctionFactory.h:16."""
+    from clickhouse_25_5_3_75_stable_spark.sources.executable import TokenizeUDTF
+
+    nation = _nation_df(spark, sf_dir).withColumn(
+        "text",
+        F.concat(F.col("n_name"), F.lit(" region_"),
+                 F.col("n_regionkey").cast("string")),
+    )
+    nation.createOrReplaceTempView("nation_for_udtf")
+    spark.udtf.register("ch_tokenize", TokenizeUDTF)
+    return spark.sql(
+        "SELECT n.n_nationkey, t.token, t.pos "
+        "FROM nation_for_udtf n, LATERAL ch_tokenize(n.text) t"
+    )
