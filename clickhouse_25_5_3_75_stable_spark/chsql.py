@@ -2019,6 +2019,7 @@ def ch_sql(spark, sql: str, sf_dir: str | None = None):
         from clickhouse_25_5_3_75_stable_spark.sources.catalog import register_views
 
         register_views(spark, sf_dir)
+    sql = _materialize_table_functions(spark, sql)
     fill = re.search(
         r"ORDER\s+BY\s+(\w+)(\s+DESC|\s+ASC)?\s+WITH\s+FILL"
         r"(?:\s+FROM\s+(\S+))?(?:\s+TO\s+(\S+))?(?:\s+STEP\s+(\S+))?",
@@ -2101,6 +2102,75 @@ def ch_sql(spark, sql: str, sf_dir: str | None = None):
                     "for this query"
                 ) from e
         raise
+
+
+# Lake / object-store table functions in the FROM clause
+# (src/TableFunctions/TableFunctionObjectStorage.cpp:354-410 —
+# deltaLake/iceberg/hudi; registerTableFunctions.cpp — file/url).
+# Each occurrence is materialized through the matching Python reader
+# into a temp view before transpilation; only the FROM/JOIN position
+# is rewritten so string literals elsewhere can't false-match.
+_LAKE_TF_RE = re.compile(
+    r"\b(FROM|JOIN)\s+(deltaLake|iceberg|hudi|file|url)\s*\(\s*"
+    r"'([^']+)'(?:\s*,\s*'([^']+)')?\s*\)",
+    re.IGNORECASE,
+)
+
+# CH format name -> self-describing Spark reader (fmt, options). Formats
+# that need an explicit schema (RowBinary/Native/MsgPack...) must go
+# through their Python APIs, which take one.
+_TF_FORMATS = {
+    "parquet": ("parquet", {}),
+    "orc": ("orc", {}),
+    "csv": ("csv", {"inferSchema": "true"}),
+    "csvwithnames": ("csv", {"header": "true", "inferSchema": "true"}),
+    "tsv": ("csv", {"sep": "\t", "inferSchema": "true"}),
+    "tabseparated": ("csv", {"sep": "\t", "inferSchema": "true"}),
+    "tsvwithnames": ("csv", {"sep": "\t", "header": "true", "inferSchema": "true"}),
+    "tabseparatedwithnames": (
+        "csv", {"sep": "\t", "header": "true", "inferSchema": "true"}),
+    "jsoneachrow": ("json", {}),
+    "ndjson": ("json", {}),
+    "json": ("json", {}),
+}
+
+_tf_counter = 0
+
+
+def _materialize_table_functions(spark, sql: str) -> str:
+    def repl(m: re.Match) -> str:
+        global _tf_counter
+        kw, fn, path, arg2 = m.group(1), m.group(2).lower(), m.group(3), m.group(4)
+        if fn == "deltalake":
+            from clickhouse_25_5_3_75_stable_spark.sources.datalake import read_delta
+
+            df = read_delta(spark, path)
+        elif fn == "iceberg":
+            from clickhouse_25_5_3_75_stable_spark.sources.datalake import read_iceberg
+
+            df = read_iceberg(spark, path)
+        elif fn == "hudi":
+            from clickhouse_25_5_3_75_stable_spark.sources.datalake import read_hudi
+
+            df = read_hudi(spark, path)
+        else:  # file / url
+            from clickhouse_25_5_3_75_stable_spark.sources.object_store import read_uri
+
+            fmt_name = (arg2 or "Parquet").lower()
+            if fmt_name not in _TF_FORMATS:
+                raise ChSqlError(
+                    f"{fn}(..., '{arg2}'): format needs an explicit schema — "
+                    "use the Python reader (sources/rowbinary.py, "
+                    "msgpack_fmt.py, ...) which takes one"
+                )
+            fmt, opts = _TF_FORMATS[fmt_name]
+            df = read_uri(spark, path, fmt, **opts)
+        _tf_counter += 1
+        view = f"__tf_{fn}_{_tf_counter}"
+        df.createOrReplaceTempView(view)
+        return f"{kw} {view}"
+
+    return _LAKE_TF_RE.sub(repl, sql)
 
 
 _ASOF_RE = re.compile(

@@ -99,6 +99,13 @@ def lake_delta_log_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     correct add/remove replay reproduces `nation WHERE n_regionkey<=2`."""
     from clickhouse_25_5_3_75_stable_spark.sources.datalake import read_delta
 
+    root = _delta_fixture_root(sf_dir)
+    return read_delta(spark, root).select("n_nationkey", "n_name", "n_regionkey")
+
+
+def _delta_fixture_root(sf_dir: str) -> str:
+    """Build the replay-exercising Delta fixture (OPTIMIZE rewrite +
+    file delete); its final state is `nation WHERE n_regionkey <= 2`."""
     rows = _nation_pydict(sf_dir)
     root = os.path.join(tempfile.mkdtemp(prefix="chspark_delta_"), "t")
     os.makedirs(os.path.join(root, "_delta_log"))
@@ -134,7 +141,7 @@ def lake_delta_log_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     commit(3, [  # DELETE of regions 3-4
         {"remove": {"path": "f2.parquet", "deletionTimestamp": 4, "dataChange": True}},
     ])
-    return read_delta(spark, root).select("n_nationkey", "n_name", "n_regionkey")
+    return root
 
 
 @register(
@@ -506,3 +513,31 @@ def executable_udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT n.n_nationkey, t.token, t.pos "
         "FROM nation_for_udtf n, LATERAL ch_tokenize(n.text) t"
     )
+
+
+@register(
+    "chsql_deltalake_table_function",
+    oracle=(
+        "SELECT CAST(n_regionkey AS BIGINT) AS region, "
+        "CAST(COUNT(*) AS BIGINT) AS n, MIN(n_name) AS first_name "
+        "FROM nation WHERE n_regionkey <= 2 GROUP BY 1"
+    ),
+    bucket="light",
+    tags=("chsql", "datalake", "table_function"),
+)
+def chsql_deltalake_table_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's deltaLake() table function through plain chsql
+    text: FROM deltaLake('<path>') materializes via the log-replay
+    reader, then aggregates — so the SQL surface, not just the Python
+    API, is gated. Reference:
+    src/TableFunctions/TableFunctionObjectStorage.cpp:354-360."""
+    from clickhouse_25_5_3_75_stable_spark.chsql import ch_sql
+
+    root = _delta_fixture_root(sf_dir)
+    return ch_sql(spark, f"""
+        SELECT CAST(n_regionkey AS BIGINT) AS region,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               MIN(n_name) AS first_name
+        FROM deltaLake('{root}')
+        GROUP BY region
+    """)

@@ -935,3 +935,47 @@ def test_review_findings_round3b(spark, tmp_path):
       SELECT l.uid, r.price, r.qty FROM rfa_l AS l ASOF JOIN rfa_r AS r
       ON l.uid = r.uid AND l.ts >= r.pts""").collect()
     assert len(rows) == 1 and rows[0].qty == 7 and rows[0].price is None
+
+
+def test_lake_and_file_table_functions(spark, tmp_path):
+    """deltaLake()/file() in the FROM clause materialize through the
+    Python readers (TableFunctionObjectStorage.cpp:354-360); string
+    literals containing 'file(...)' must NOT be rewritten; schema-needing
+    formats raise with a pointer to the Python API."""
+    import pytest as _pytest
+
+    from clickhouse_25_5_3_75_stable_spark.chsql import ChSqlError, ch_sql
+
+    # file(): CSV with header through read_uri
+    csv = tmp_path / "pts.csv"
+    csv.write_text("a,b\n1,x\n2,y\n3,z\n")
+    r = ch_sql(
+        spark, f"SELECT count(*) AS n, max(a) AS ma FROM file('{csv}', 'CSVWithNames')"
+    ).collect()[0]
+    assert r.n == 3 and r.ma == 3
+
+    # deltaLake(): log replay via the fixture builder (import the
+    # registry first — queries.py owns module-load order)
+    from clickhouse_25_5_3_75_stable_spark import queries as _q  # noqa: F401
+    from clickhouse_25_5_3_75_stable_spark.queries_lake_formats import (
+        _delta_fixture_root,
+    )
+
+    root = _delta_fixture_root("/root/testdata/sf0.001")
+    got = ch_sql(
+        spark, f"SELECT count(*) AS n FROM deltaLake('{root}')"
+    ).collect()[0]
+    want = ch_sql(
+        spark,
+        "SELECT count(*) AS n FROM nation WHERE n_regionkey <= 2",
+        sf_dir="/root/testdata/sf0.001",
+    ).collect()[0]
+    assert got.n == want.n > 0
+
+    # not rewritten inside a string literal (no FROM/JOIN before it)
+    lit = ch_sql(spark, "SELECT 'file(''x'')' AS s").collect()[0]
+    assert lit.s == "file('x')"
+
+    # schema-needing format -> ChSqlError naming the Python reader
+    with _pytest.raises(ChSqlError, match="explicit schema"):
+        ch_sql(spark, f"SELECT * FROM file('{csv}', 'RowBinary')")
