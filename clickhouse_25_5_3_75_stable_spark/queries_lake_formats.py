@@ -541,3 +541,50 @@ def chsql_deltalake_table_function(spark: SparkSession, sf_dir: str) -> DataFram
         FROM deltaLake('{root}')
         GROUP BY region
     """)
+
+
+@register(
+    "format_tskv_roundtrip",
+    oracle=_NATION_ORACLE,
+    bucket="light",
+    tags=("format", "tskv"),
+)
+def format_tskv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TSKV roundtrip — fully JVM-side on both legs (text write with
+    escaped key=value pairs, map_from_entries decode).
+    Reference: src/Processors/Formats/Impl/TSKVRowInputFormat.cpp."""
+    from clickhouse_25_5_3_75_stable_spark.sources.formats_longtail import (
+        read_tskv,
+        write_tskv,
+    )
+
+    path = os.path.join(tempfile.mkdtemp(prefix="chspark_tskv_"), "nation.tskv")
+    write_tskv(_nation_df(spark, sf_dir), path)
+    raw = read_tskv(spark, path, ["n_nationkey", "n_name", "n_regionkey"])
+    return raw.select(
+        F.col("n_nationkey").cast("bigint").alias("n_nationkey"),
+        F.col("n_name"),
+        F.col("n_regionkey").cast("bigint").alias("n_regionkey"),
+    )
+
+
+@register(
+    "format_json_compact_each_row_roundtrip",
+    oracle=_NATION_ORACLE,
+    bucket="light",
+    tags=("format", "json"),
+)
+def format_json_compact_each_row_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONCompactEachRow roundtrip — one JSON array per line,
+    positional columns, fully JVM-side on both legs.
+    Reference: src/Processors/Formats/Impl/JSONCompactEachRowRowInputFormat.cpp."""
+    from clickhouse_25_5_3_75_stable_spark.sources.formats_longtail import (
+        read_json_compact_each_row,
+        write_json_compact_each_row,
+    )
+
+    path = os.path.join(tempfile.mkdtemp(prefix="chspark_jcer_"), "nation.jsonl")
+    write_json_compact_each_row(_nation_df(spark, sf_dir), path)
+    return read_json_compact_each_row(
+        spark, path, "n_nationkey bigint, n_name string, n_regionkey bigint"
+    )
