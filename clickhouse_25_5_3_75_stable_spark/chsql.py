@@ -2020,6 +2020,7 @@ def ch_sql(spark, sql: str, sf_dir: str | None = None):
 
         register_views(spark, sf_dir)
     sql = _materialize_table_functions(spark, sql)
+    sql = _expand_column_transformers(spark, sql)
     fill = re.search(
         r"ORDER\s+BY\s+(\w+)(\s+DESC|\s+ASC)?\s+WITH\s+FILL"
         r"(?:\s+FROM\s+(\S+))?(?:\s+TO\s+(\S+))?(?:\s+STEP\s+(\S+))?",
@@ -2102,6 +2103,87 @@ def ch_sql(spark, sql: str, sf_dir: str | None = None):
                     "for this query"
                 ) from e
         raise
+
+
+# ClickHouse SELECT-list column transformers
+# (src/Parsers/ASTColumnsTransformers.cpp — COLUMNS('re'), and the
+# EXCEPT / REPLACE / APPLY chain). Spark knows `* EXCEPT (...)`
+# natively but not COLUMNS or APPLY/REPLACE, and all of them need the
+# FROM table's schema to expand — so ch_sql expands them against the
+# catalog before transpiling. Supported shape: the WHOLE select list is
+# one `*` or COLUMNS('re') spec plus transformers, over a named
+# table/view (the overwhelmingly common migration usage; mixed lists
+# need the DataFrame API).
+_SELECT_TX_RE = re.compile(
+    r"^(\s*SELECT\s+)"
+    r"(\*|COLUMNS\s*\(\s*'(?P<rx>[^']+)'\s*\))"
+    r"(?P<tx>(?:\s+(?:EXCEPT|REPLACE|APPLY)\s*\((?:[^()]|\([^()]*\))*\))*)"
+    r"(?P<rest>\s+FROM\s+(?P<tbl>\w+)\b.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_TX_ITEM_RE = re.compile(
+    r"(EXCEPT|REPLACE|APPLY)\s*\(((?:[^()]|\([^()]*\))*)\)", re.IGNORECASE
+)
+
+
+def _expand_column_transformers(spark, sql: str) -> str:
+    m = _SELECT_TX_RE.match(sql)
+    if m is None:
+        return sql
+    uses_columns = m.group(2) != "*"
+    tx = m.group("tx") or ""
+    if not uses_columns and not tx.strip():
+        return sql  # plain SELECT * — nothing to expand
+    if not uses_columns and re.fullmatch(
+        r"\s*EXCEPT\s*\([^()]*\)\s*", tx, re.IGNORECASE
+    ) and "'" not in tx:
+        return sql  # * EXCEPT (a, b) — Spark-native, pass through
+    tbl = m.group("tbl")
+    try:
+        names = spark.table(tbl).columns
+    except Exception:
+        return sql  # subquery/unknown relation: leave for the parser
+    if uses_columns:
+        rx = re.compile(m.group("rx"))  # re2 partial match semantics
+        names = [n for n in names if rx.search(n)]
+    # (output_name, expr) pairs, transformed left to right
+    items = [(n, n) for n in names]
+    for t in _TX_ITEM_RE.finditer(tx):
+        kind, body = t.group(1).upper(), t.group(2).strip()
+        if kind == "EXCEPT":
+            if body.startswith("'") and body.endswith("'"):
+                erx = re.compile(body[1:-1])
+                items = [it for it in items if not erx.search(it[0])]
+            else:
+                drop = {c.strip().lower() for c in body.split(",")}
+                items = [it for it in items if it[0].lower() not in drop]
+        elif kind == "REPLACE":
+            repl = {}
+            for part in re.split(r",(?![^()]*\))", body):
+                pm = re.match(r"(?is)^\s*(.+?)\s+AS\s+(\w+)\s*$", part)
+                if pm is None:
+                    raise ChSqlError(
+                        f"REPLACE transformer: expected 'expr AS name', got {part!r}"
+                    )
+                repl[pm.group(2).lower()] = pm.group(1)
+            items = [
+                (name, repl.get(name.lower(), expr)) for name, expr in items
+            ]
+        else:  # APPLY — result name is f(col), like the reference
+            fn = body
+            if not re.fullmatch(r"\w+", fn):
+                raise ChSqlError(
+                    f"APPLY transformer: only a function name is supported, got {fn!r}"
+                )
+            items = [
+                (f"{fn}({name})", f"{fn}({expr})") for name, expr in items
+            ]
+    if not items:
+        raise ChSqlError("column transformer chain removed every column")
+    select_list = ", ".join(
+        expr if expr == name else f"{expr} AS `{name}`" for name, expr in items
+    )
+    return m.group(1) + select_list + m.group("rest")
 
 
 # Lake / object-store table functions in the FROM clause

@@ -588,3 +588,21 @@ def format_json_compact_each_row_roundtrip(spark: SparkSession, sf_dir: str) -> 
     return read_json_compact_each_row(
         spark, path, "n_nationkey bigint, n_name string, n_regionkey bigint"
     )
+
+
+@register(
+    "chsql_columns_apply_transformers",
+    oracle=(
+        'SELECT CAST(SUM(n_nationkey) AS BIGINT) AS "sum(n_nationkey)", '
+        'CAST(SUM(n_regionkey) AS BIGINT) AS "sum(n_regionkey)" FROM nation'
+    ),
+    bucket="light",
+    tags=("chsql", "transformers"),
+)
+def chsql_columns_apply_transformers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLUMNS('re') APPLY(f) select-list transformers through plain
+    chsql text, expanded against the catalog schema.
+    Reference: src/Parsers/ASTColumnsTransformers.cpp."""
+    from clickhouse_25_5_3_75_stable_spark.chsql import ch_sql
+
+    return ch_sql(spark, "SELECT COLUMNS('key$') APPLY (sum) FROM nation", sf_dir)

@@ -979,3 +979,39 @@ def test_lake_and_file_table_functions(spark, tmp_path):
     # schema-needing format -> ChSqlError naming the Python reader
     with _pytest.raises(ChSqlError, match="explicit schema"):
         ch_sql(spark, f"SELECT * FROM file('{csv}', 'RowBinary')")
+
+
+def test_column_transformers(spark):
+    """COLUMNS('re') / EXCEPT / REPLACE / APPLY select-list transformers
+    (ASTColumnsTransformers.cpp) expand against the catalog schema;
+    plain `* EXCEPT (a)` passes through to Spark's native form."""
+    import pytest as _pytest
+
+    from clickhouse_25_5_3_75_stable_spark.chsql import ChSqlError, ch_sql
+
+    spark.createDataFrame(
+        [(1, 2.0, "x"), (4, 5.0, "y")], "a int, b double, c string"
+    ).createOrReplaceTempView("t3_tx")
+
+    assert ch_sql(spark, "SELECT COLUMNS('^[ab]$') FROM t3_tx").columns == ["a", "b"]
+
+    r = ch_sql(spark, "SELECT * APPLY (max) FROM t3_tx").collect()[0]
+    assert (r["max(a)"], r["max(c)"]) == (4, "y")
+
+    r = ch_sql(
+        spark, "SELECT COLUMNS('^[abc]$') EXCEPT (c) APPLY (sum) FROM t3_tx"
+    ).collect()[0]
+    assert (r["sum(a)"], r["sum(b)"]) == (5, 7.0)
+
+    rows = ch_sql(
+        spark,
+        "SELECT * EXCEPT (b) REPLACE (a * 10 AS a) FROM t3_tx "
+        "WHERE a > 0 ORDER BY a",
+    ).collect()
+    assert [(r.a, r.c) for r in rows] == [(10, "x"), (40, "y")]
+
+    # native passthrough keeps Spark semantics
+    assert ch_sql(spark, "SELECT * EXCEPT (b) FROM t3_tx").columns == ["a", "c"]
+
+    with _pytest.raises(ChSqlError, match="removed every column"):
+        ch_sql(spark, "SELECT COLUMNS('^zzz$') FROM t3_tx").collect()
