@@ -53,6 +53,68 @@ def _emit(rows, cols, fmt: str, out) -> None:
             out.write("\t".join("" if v is None else str(v) for v in r) + "\n")
 
 
+_CH_WIRE_TYPES = {  # Spark simpleString -> CH type for the wire codecs
+    "tinyint": "Int8", "smallint": "Int16", "int": "Int32",
+    "bigint": "Int64", "float": "Float32", "double": "Float64",
+    "string": "String", "date": "Date", "timestamp": "DateTime",
+    "decimal(20,0)": "UInt64",
+}
+
+
+def _write_binary_outfile(df, rows, fmt: str, outfile: str) -> bool:
+    """INTO OUTFILE ... FORMAT <binary codec>: route through the
+    hand-built writers (reference: any registered output format is
+    valid after INTO OUTFILE — ParserQueryWithOutput.cpp). Returns False
+    for text formats so the caller falls back to _emit."""
+    f = fmt.lower()
+    if f == "avro":
+        from clickhouse_25_5_3_75_stable_spark.sources.avro_fmt import write_avro
+
+        write_avro(df, outfile)
+        return True
+    if f == "bsoneachrow":
+        from clickhouse_25_5_3_75_stable_spark.sources.bson_fmt import (
+            write_bson_each_row,
+        )
+
+        write_bson_each_row(df, outfile)
+        return True
+    if f == "msgpack":
+        from clickhouse_25_5_3_75_stable_spark.sources.msgpack_fmt import write_msgpack
+
+        write_msgpack(df, outfile)
+        return True
+    if f in ("rowbinary", "native"):
+        from clickhouse_25_5_3_75_stable_spark.sources.rowbinary import (
+            encode_native,
+            encode_rowbinary,
+        )
+
+        schema = []
+        for fld in df.schema.fields:
+            t = fld.dataType.simpleString()
+            if t not in _CH_WIRE_TYPES:
+                raise ValueError(
+                    f"FORMAT {fmt}: column {fld.name} type {t} has no CH "
+                    "wire mapping — cast it or use Parquet"
+                )
+            schema.append((fld.name, _CH_WIRE_TYPES[t]))
+        enc = encode_rowbinary if f == "rowbinary" else encode_native
+        with open(outfile, "wb") as fh:
+            fh.write(enc(rows, schema))
+        return True
+    if f == "parquet":
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pq.write_table(
+            pa.Table.from_pylist([dict(zip(df.columns, r)) for r in rows]),
+            outfile,
+        )
+        return True
+    return False
+
+
 def _register_dir(spark, data_dir: str) -> list[str]:
     names = []
     for f in sorted(os.listdir(data_dir)):
@@ -451,9 +513,12 @@ def run_local(sql: str, data_dir: str, spark=None, out=sys.stdout,
                 df = _cap(df, cap, mode)
         rows = [tuple(r) for r in df.collect()]
         if outfile is not None:
-            with open(outfile, "w") as fh:
-                _emit(rows, df.columns, fmt, fh)
-            _emit([(outfile, len(rows))], ["outfile", "rows"], fmt, out)
+            if _write_binary_outfile(df, rows, fmt, outfile):
+                pass  # routed through a codec writer
+            else:
+                with open(outfile, "w") as fh:
+                    _emit(rows, df.columns, fmt, fh)
+            _emit([(outfile, len(rows))], ["outfile", "rows"], "TabSeparated", out)
         else:
             _emit(rows, df.columns, fmt, out)
         _log_query(spark, "select", sql, _time.perf_counter() - t0, len(rows))

@@ -1015,3 +1015,49 @@ def test_column_transformers(spark):
 
     with _pytest.raises(ChSqlError, match="removed every column"):
         ch_sql(spark, "SELECT COLUMNS('^zzz$') FROM t3_tx").collect()
+
+
+def test_cli_outfile_binary_formats(spark, tmp_path):
+    """INTO OUTFILE ... FORMAT <codec> routes through the hand-built
+    writers and the output decodes back exactly (reference:
+    ParserQueryWithOutput.cpp accepts any registered output format)."""
+    import io
+
+    from clickhouse_25_5_3_75_stable_spark.__main__ import run_local
+    from clickhouse_25_5_3_75_stable_spark.sources.avro_fmt import read_avro
+    from clickhouse_25_5_3_75_stable_spark.sources.rowbinary import read_rowbinary
+    from tests.conftest import SF_SMOKE
+
+    base = "SELECT CAST(n_nationkey AS BIGINT) AS k, n_name AS v FROM nation"
+
+    avro_path = str(tmp_path / "n.avro")
+    rc = run_local(
+        f"{base} INTO OUTFILE '{avro_path}' FORMAT Avro",
+        SF_SMOKE, spark=spark, out=io.StringIO(),
+    )
+    assert rc == 0
+    back = {(r.k, r.v) for r in read_avro(spark, avro_path).collect()}
+
+    rb_path = str(tmp_path / "n.bin")
+    rc = run_local(
+        f"{base} INTO OUTFILE '{rb_path}' FORMAT RowBinary",
+        SF_SMOKE, spark=spark, out=io.StringIO(),
+    )
+    assert rc == 0
+    back2 = {
+        (r.k, r.v)
+        for r in read_rowbinary(spark, rb_path, [("k", "Int64"), ("v", "String")]).collect()
+    }
+    want = {
+        (int(r.n_nationkey), r.n_name)
+        for r in spark.read.parquet(f"{SF_SMOKE}/nation.parquet").collect()
+    }
+    assert back == back2 == want
+
+    pq_path = str(tmp_path / "n.parquet")
+    rc = run_local(
+        f"{base} INTO OUTFILE '{pq_path}' FORMAT Parquet",
+        SF_SMOKE, spark=spark, out=io.StringIO(),
+    )
+    assert rc == 0
+    assert {(r.k, r.v) for r in spark.read.parquet(pq_path).collect()} == want
