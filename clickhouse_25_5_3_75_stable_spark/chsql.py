@@ -2028,17 +2028,37 @@ def ch_sql(spark, sql: str, sf_dir: str | None = None):
         re.IGNORECASE,
     )
     if fill is not None:
-        if re.search(r"\sINTERPOLATE\s*\(", sql, re.IGNORECASE):
-            raise ChSqlError(
-                "INTERPOLATE: use the DataFrame builder "
-                "(operators/fill.py fill_linear / with_fill_dates)"
+        # INTERPOLATE (c[, ...]) — the reference evaluates each spec's
+        # expression over the PREVIOUS output row (FillingTransform.h);
+        # the bare-column / identity form is exactly carry-forward,
+        # which is what the SQL surface supports. Expressions need the
+        # DataFrame builder (fill_linear / with_fill_dates).
+        interp_cols: list[str] = []
+        interp_m = re.search(r"\sINTERPOLATE\s*\(([^)]*)\)", sql, re.IGNORECASE)
+        if interp_m is not None:
+            for spec in interp_m.group(1).split(","):
+                sm = re.match(r"^\s*(\w+)(?:\s+AS\s+(\w+)\s*)?\s*$",
+                              spec, re.IGNORECASE)
+                if sm is None or (sm.group(2) and sm.group(2) != sm.group(1)):
+                    raise ChSqlError(
+                        "INTERPOLATE with an expression: use the DataFrame "
+                        "builder (operators/fill.py fill_linear / "
+                        "with_fill_dates(fill_forward=...))"
+                    )
+                interp_cols.append(sm.group(1))
+            sql = sql[: interp_m.start()] + " " + sql[interp_m.end():]
+            fill = re.search(
+                r"ORDER\s+BY\s+(\w+)(\s+DESC|\s+ASC)?\s+WITH\s+FILL"
+                r"(?:\s+FROM\s+(\S+))?(?:\s+TO\s+(\S+))?(?:\s+STEP\s+(\S+))?",
+                sql, re.IGNORECASE,
             )
         col = fill.group(1)
         desc = (fill.group(2) or "").strip().upper() == "DESC"
         stripped = sql[: fill.end(1) + (len(fill.group(2) or ""))] + sql[fill.end():]
         base = ch_sql(spark, stripped, None)
         return _apply_with_fill(
-            spark, base, col, desc, fill.group(3), fill.group(4), fill.group(5)
+            spark, base, col, desc, fill.group(3), fill.group(4), fill.group(5),
+            interpolate=interp_cols,
         )
     asof = _ASOF_RE.match(sql)
     if asof is not None and re.search(r"\sASOF\s", sql, re.IGNORECASE):
@@ -2340,12 +2360,15 @@ def _run_asof_sql(spark, m: re.Match):
 
 
 def _apply_with_fill(spark, df, col: str, desc: bool,
-                     from_: str | None, to_: str | None, step_: str | None):
+                     from_: str | None, to_: str | None, step_: str | None,
+                     interpolate: list[str] | None = None):
     """ORDER BY <col> WITH FILL [FROM a] [TO b] [STEP s] over an
     integer or date column (reference FillingTransform.h): dense axis
     LEFT-JOINed under the result; FROM defaults to the result's min,
     TO (EXCLUSIVE, per the reference) to just past its max; STEP
-    defaults to 1 (day for dates)."""
+    defaults to 1 (day for dates). `interpolate` columns carry the
+    previous output row's value into filled rows (the identity
+    INTERPOLATE form)."""
     from pyspark.sql import functions as F
 
     if col not in df.columns:
@@ -2418,8 +2441,34 @@ def _apply_with_fill(spark, df, col: str, desc: bool,
                 F.sequence(F.lit(lo_v), F.lit(hi_v), F.lit(step))
             ).alias(col)
         )
-    filled = axis.join(df, on=col, how="full").select(*df.columns)
     order = F.col(col).desc() if desc else F.col(col).asc()
+    if interpolate:
+        # carry the last REAL row's value into rows CREATED by the fill
+        # (the reference's INTERPOLATE touches only filled rows — a
+        # real row's genuine NULL stays NULL). Single ordered window,
+        # like the reference's single-stream FillingTransform; the axis
+        # is FROM/TO-bounded, so this is presentation-sized.
+        from pyspark.sql import Window as _W
+
+        missing = [c for c in interpolate if c not in df.columns]
+        if missing:
+            raise ChSqlError(f"INTERPOLATE: {missing} not in the output columns")
+        marked = df.withColumn("__fill_real", F.lit(True))
+        joined = axis.join(marked, on=col, how="full")
+        w = _W.orderBy(order).rowsBetween(_W.unboundedPreceding, _W.currentRow)
+        for c in interpolate:
+            # struct-wrap so a real row whose value IS NULL still
+            # carries (the reference propagates the previous row's
+            # value verbatim, NULL included)
+            carried = F.last(
+                F.when(F.col("__fill_real"), F.struct(F.col(c).alias("v"))),
+                ignorenulls=True,
+            ).over(w)["v"]
+            joined = joined.withColumn(
+                c, F.when(F.col("__fill_real"), F.col(c)).otherwise(carried)
+            )
+        return joined.select(*df.columns).orderBy(order)
+    filled = axis.join(df, on=col, how="full").select(*df.columns)
     return filled.orderBy(order)
 
 

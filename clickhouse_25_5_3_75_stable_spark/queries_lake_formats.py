@@ -606,3 +606,32 @@ def chsql_columns_apply_transformers(spark: SparkSession, sf_dir: str) -> DataFr
     from clickhouse_25_5_3_75_stable_spark.chsql import ch_sql
 
     return ch_sql(spark, "SELECT COLUMNS('key$') APPLY (sum) FROM nation", sf_dir)
+
+
+@register(
+    "chsql_with_fill_interpolate",
+    oracle=(
+        "SELECT CAST(r AS BIGINT) AS r, "
+        "       LAST_VALUE(n IGNORE NULLS) OVER "
+        "         (ORDER BY r ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n "
+        "FROM (SELECT g.r, c.n "
+        "      FROM (SELECT unnest(generate_series(0, 9)) AS r) g "
+        "      LEFT JOIN (SELECT CAST(n_regionkey AS BIGINT) AS r, "
+        "                        CAST(COUNT(*) AS BIGINT) AS n "
+        "                 FROM nation GROUP BY 1) c ON c.r = g.r)"
+    ),
+    bucket="light",
+    tags=("chsql", "fill"),
+)
+def chsql_with_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY ... WITH FILL ... INTERPOLATE through plain chsql text:
+    the filled rows past the last real region carry the previous row's
+    count (identity INTERPOLATE = carry-forward, FillingTransform.h)."""
+    from clickhouse_25_5_3_75_stable_spark.chsql import ch_sql
+
+    return ch_sql(
+        spark,
+        "SELECT toInt64(n_regionkey) AS r, count() AS n FROM nation "
+        "GROUP BY r ORDER BY r WITH FILL FROM 0 TO 10 INTERPOLATE (n)",
+        sf_dir,
+    )

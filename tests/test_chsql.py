@@ -1061,3 +1061,32 @@ def test_cli_outfile_binary_formats(spark, tmp_path):
     )
     assert rc == 0
     assert {(r.k, r.v) for r in spark.read.parquet(pq_path).collect()} == want
+
+
+def test_with_fill_interpolate_sql(spark):
+    """INTERPOLATE in SQL text: identity form carries the previous
+    output row's value into FILLED rows only — a real row's genuine
+    NULL stays NULL and then propagates (FillingTransform.h evaluates
+    over the previous result row, NULL included); expression form is
+    refused toward the builder."""
+    import pytest as _pytest
+
+    from clickhouse_25_5_3_75_stable_spark.chsql import ChSqlError, ch_sql
+
+    spark.createDataFrame(
+        [(1, 10.0, "a"), (4, None, "d"), (6, 60.0, "f")],
+        "x int, v double, s string",
+    ).createOrReplaceTempView("fi_t")
+    rows = ch_sql(
+        spark,
+        "SELECT x, v, s FROM fi_t ORDER BY x WITH FILL FROM 1 TO 8 "
+        "INTERPOLATE (v, s)",
+    ).collect()
+    assert [tuple(r) for r in rows] == [
+        (1, 10.0, "a"), (2, 10.0, "a"), (3, 10.0, "a"),
+        (4, None, "d"), (5, None, "d"),
+        (6, 60.0, "f"), (7, 60.0, "f"),
+    ]
+    with _pytest.raises(ChSqlError, match="expression"):
+        ch_sql(spark, "SELECT x, v FROM fi_t ORDER BY x WITH FILL "
+                      "INTERPOLATE (v AS v + 1)")
