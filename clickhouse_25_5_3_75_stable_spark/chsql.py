@@ -1974,6 +1974,20 @@ def ch_sql_to_spark(sql: str) -> str:
                 f"{name}: no SQL-text translation — use the DataFrame "
                 f"builder ({builder})"
             )
+    # SELECT TOP n (reference ParserSelectQuery.cpp TOP branch; cannot
+    # be combined with LIMIT there, so a plain append is safe). TOP n
+    # WITH TIES needs the builder like LIMIT WITH TIES does.
+    top = re.match(
+        r"(?is)^(\s*SELECT\s+(?:DISTINCT\s+)?)TOP\s+\(?(\d+)\)?(\s+WITH\s+TIES)?\s+(.*)$",
+        sql,
+    )
+    if top is not None:
+        if top.group(3):
+            raise ChSqlError(
+                "TOP n WITH TIES: no SQL-text translation — use the "
+                "DataFrame builder (operators/limits.py limit_with_ties)"
+            )
+        sql = top.group(1) + top.group(4).rstrip().rstrip(";") + f" LIMIT {top.group(2)}"
     toks = _tokenize(sql)
     if _parse_create_function(toks):
         return "SELECT 'OK' AS created"

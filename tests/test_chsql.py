@@ -1090,3 +1090,24 @@ def test_with_fill_interpolate_sql(spark):
     with _pytest.raises(ChSqlError, match="expression"):
         ch_sql(spark, "SELECT x, v FROM fi_t ORDER BY x WITH FILL "
                       "INTERPOLATE (v AS v + 1)")
+
+
+def test_select_top_n(spark):
+    """SELECT TOP n (ParserSelectQuery.cpp TOP branch) becomes LIMIT;
+    TOP n WITH TIES refuses toward the builder."""
+    import pytest as _pytest
+
+    from clickhouse_25_5_3_75_stable_spark.chsql import ChSqlError, ch_sql
+
+    spark.createDataFrame(
+        [(i,) for i in range(10)], "a int"
+    ).createOrReplaceTempView("top_t")
+    rows = ch_sql(spark, "SELECT TOP 3 a FROM top_t ORDER BY a DESC").collect()
+    assert [r.a for r in rows] == [9, 8, 7]
+    rows = ch_sql(spark, "SELECT TOP (2) a FROM top_t ORDER BY a").collect()
+    assert [r.a for r in rows] == [0, 1]
+    # TOP as an identifier must survive
+    spark.createDataFrame([(1,)], "top int").createOrReplaceTempView("id_t")
+    assert ch_sql(spark, "SELECT top FROM id_t").collect()[0].top == 1
+    with _pytest.raises(ChSqlError, match="TIES"):
+        ch_sql(spark, "SELECT TOP 3 WITH TIES a FROM top_t ORDER BY a")
