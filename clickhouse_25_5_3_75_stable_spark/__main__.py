@@ -18,6 +18,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import re
 import sys
 
 
@@ -196,7 +197,7 @@ def _resolve_final(spark, data_dir: str, sql: str) -> str:
 
 
 def run_local(sql: str, data_dir: str, spark=None, out=sys.stdout,
-              max_result_rows=None) -> int:
+              max_result_rows=None, params=None) -> int:
     """Execute one statement: SELECT (CH dialect), CREATE TABLE
     (ddl.py), INSERT INTO ... VALUES/SELECT, SHOW TABLES, DESCRIBE —
     the clickhouse-local statement surface."""
@@ -499,7 +500,7 @@ def run_local(sql: str, data_dir: str, spark=None, out=sys.stdout,
         # settings like the reference
         from clickhouse_25_5_3_75_stable_spark.chsql import ch_sql as _ch_sql
 
-        df = _ch_sql(spark, sql)
+        df = _ch_sql(spark, sql, params=params)
         if max_result_rows is None:
             max_result_rows = spark.conf.get("spark.chspark.maxResultRows", None)
         if max_result_rows is not None:
@@ -599,7 +600,18 @@ def main(argv=None) -> int:
     ap.add_argument("--multiquery", action="store_true",
                     help="treat the input as ;-separated statements")
     ap.add_argument("--file", help="read the statement(s) from a file")
-    args = ap.parse_args(argv)
+    # clickhouse-client style query parameters: --param_<name>=<value>
+    # (reference src/Client/ClientBase.cpp --param_ handling)
+    argv = list(sys.argv[1:]) if argv is None else list(argv)
+    cli_params: dict[str, str] = {}
+    rest = []
+    for a in argv:
+        m = re.match(r"--param_(\w+)=(.*)$", a)
+        if m:
+            cli_params[m.group(1)] = m.group(2)
+        else:
+            rest.append(a)
+    args = ap.parse_args(rest)
     sql = args.sql
     if args.file:
         with open(args.file) as fh:
@@ -608,7 +620,7 @@ def main(argv=None) -> int:
         ap.error("provide SQL or --file")
     if args.multiquery or args.file or ";" in sql.rstrip().rstrip(";"):
         return run_script(sql, args.data)
-    return run_local(sql, args.data)
+    return run_local(sql, args.data, params=cli_params or None)
 
 
 if __name__ == "__main__":

@@ -1961,6 +1961,50 @@ def _rewrite_scalar_with(toks: list[str]) -> list[str]:
     return out
 
 
+# Query parameters: {name:Type} placeholders bound from --param_<name>
+# (reference src/Interpreters/ReplaceQueryParameterVisitor.h; the value
+# is parsed AS the declared type). Substitution produces a typed CAST
+# of the literal — {t:Identifier} splices a validated bare identifier
+# (table/column substitution, like the reference).
+_QPARAM_RE = re.compile(r"\{\s*(\w+)\s*:\s*([A-Za-z0-9_()'\", ]+?)\s*\}")
+
+
+def substitute_query_parameters(sql: str, params: dict | None) -> str:
+    def repl(m: re.Match) -> str:
+        name, ch_type = m.group(1), m.group(2).strip()
+        from clickhouse_25_5_3_75_stable_spark.functions.typemap import (
+            ch_type_to_spark,
+        )
+
+        is_ident = ch_type.lower() == "identifier"
+        if not is_ident:
+            try:
+                spark_t = ch_type_to_spark(ch_type)
+            except ValueError:
+                return m.group(0)  # `{x:notatype}` — not a parameter
+        if not params or name not in params:
+            raise ChSqlError(
+                f"query parameter {name!r} is not set (pass params={{...}} "
+                f"or --param_{name} on the CLI)"
+            )
+        val = str(params[name])
+        if is_ident:
+            if not re.fullmatch(r"[\w.]+", val):
+                raise ChSqlError(
+                    f"Identifier parameter {name!r}: {val!r} is not a bare identifier"
+                )
+            return val
+        esc = val.replace("'", "''")
+        head = ch_type.split("(", 1)[0].strip().lower()
+        if head in ("array", "map", "tuple"):
+            # CH composite literals ([1,2] / {'a':1}) are JSON enough
+            # for Spark's from_json (single quotes allowed by default)
+            return f"from_json('{esc}', '{spark_t}')"
+        return f"CAST('{esc}' AS {spark_t})"
+
+    return _QPARAM_RE.sub(repl, sql)
+
+
 def ch_sql_to_spark(sql: str) -> str:
     """Translate a ClickHouse-dialect SELECT into Spark SQL text."""
     if re.search(r"\sINTO\s+OUTFILE\s", sql, re.IGNORECASE):
@@ -2020,9 +2064,11 @@ def ch_sql_to_spark(sql: str) -> str:
     return "".join(out)
 
 
-def ch_sql(spark, sql: str, sf_dir: str | None = None):
+def ch_sql(spark, sql: str, sf_dir: str | None = None,
+           params: dict | None = None):
     """Run ClickHouse-dialect SQL on Spark. If sf_dir is given, the
-    testdata tables are registered as temp views first.
+    testdata tables are registered as temp views first. `params` binds
+    {name:Type} query parameters (typed-literal substitution).
 
     A trailing ``SETTINGS k=v, ...`` is honored for the recognized
     subset (_KNOWN_SETTINGS): applied at SESSION scope — Spark plans
@@ -2033,6 +2079,8 @@ def ch_sql(spark, sql: str, sf_dir: str | None = None):
         from clickhouse_25_5_3_75_stable_spark.sources.catalog import register_views
 
         register_views(spark, sf_dir)
+    if params or _QPARAM_RE.search(sql):
+        sql = substitute_query_parameters(sql, params)
     sql = _materialize_table_functions(spark, sql)
     sql = _expand_column_transformers(spark, sql)
     fill = re.search(

@@ -1111,3 +1111,47 @@ def test_select_top_n(spark):
     assert ch_sql(spark, "SELECT top FROM id_t").collect()[0].top == 1
     with _pytest.raises(ChSqlError, match="TIES"):
         ch_sql(spark, "SELECT TOP 3 WITH TIES a FROM top_t ORDER BY a")
+
+
+def test_query_parameters(spark):
+    """{name:Type} query parameters substitute as typed literals
+    (ReplaceQueryParameterVisitor.h): scalars CAST, composites
+    from_json, Identifier splices a validated bare name; unset
+    parameters raise; non-type {..} text is untouched."""
+    import io
+
+    import pytest as _pytest
+
+    from clickhouse_25_5_3_75_stable_spark.__main__ import run_local
+    from clickhouse_25_5_3_75_stable_spark.chsql import ChSqlError, ch_sql
+    from tests.conftest import SF_SMOKE
+
+    r = ch_sql(
+        spark,
+        "SELECT {a:Int64} + 1 AS x, {d:Date} AS d, {arr:Array(Int64)}[2] AS e",
+        params={"a": 41, "d": "1996-07-04", "arr": "[10,20,30]"},
+    ).collect()[0]
+    assert r.x == 42 and str(r.d) == "1996-07-04" and r.e == 20
+
+    # Identifier substitutes a table name
+    n = ch_sql(
+        spark, "SELECT count() AS n FROM {t:Identifier}",
+        sf_dir=SF_SMOKE, params={"t": "region"},
+    ).collect()[0].n
+    assert n == 5
+
+    with _pytest.raises(ChSqlError, match="not set"):
+        ch_sql(spark, "SELECT {missing:Int64}")
+    with _pytest.raises(ChSqlError, match="bare identifier"):
+        ch_sql(spark, "SELECT 1 FROM {t:Identifier}",
+               params={"t": "region; DROP"})
+    # {x:notatype} is not a parameter — untouched (map-literal shapes)
+    assert ch_sql(spark, "SELECT '{k:vvv}' AS s").collect()[0].s == "{k:vvv}"
+
+    # CLI flag form
+    out = io.StringIO()
+    rc = run_local(
+        "SELECT n_name FROM nation WHERE n_nationkey = {k:Int32} FORMAT CSV",
+        SF_SMOKE, spark=spark, out=out, params={"k": "7"},
+    )
+    assert rc == 0 and len(out.getvalue().strip().splitlines()) == 1
