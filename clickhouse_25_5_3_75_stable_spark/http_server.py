@@ -24,6 +24,14 @@ def _url_settings(qs: dict[str, list[str]]) -> dict[str, str]:
     return {k: v[0] for k, v in qs.items() if k in _KNOWN_SETTINGS and v}
 
 
+def _url_params(qs: dict[str, list[str]]) -> dict[str, str] | None:
+    """param_<name> URL parameters bind {name:Type} query parameters
+    (reference src/Server/HTTPHandler.cpp customizeContext)."""
+    out = {k[len("param_"):]: v[0]
+           for k, v in qs.items() if k.startswith("param_") and v}
+    return out or None
+
+
 def make_server(spark, data_dir: str, port: int = 0) -> ThreadingHTTPServer:
     """Build (not start) the HTTP server; port 0 picks a free port."""
     import io
@@ -33,7 +41,8 @@ def make_server(spark, data_dir: str, port: int = 0) -> ThreadingHTTPServer:
     lock = threading.Lock()
 
     class Handler(BaseHTTPRequestHandler):
-        def _run(self, query: str, url_settings: dict[str, str] | None = None) -> None:
+        def _run(self, query: str, url_settings: dict[str, str] | None = None,
+                 params: dict[str, str] | None = None) -> None:
             out = io.StringIO()
             try:
                 # one query at a time per session (the reference
@@ -60,7 +69,7 @@ def make_server(spark, data_dir: str, port: int = 0) -> ThreadingHTTPServer:
                     apply_settings(spark, settings)
                     try:
                         run_local(query, data_dir, spark=spark, out=out,
-                                  max_result_rows=cap)
+                                  max_result_rows=cap, params=params)
                     finally:
                         restore_settings(spark, snap)
                 body = out.getvalue().encode("utf-8")
@@ -91,7 +100,7 @@ def make_server(spark, data_dir: str, port: int = 0) -> ThreadingHTTPServer:
                 self.send_response(400)
                 self.end_headers()
                 return
-            self._run(query, _url_settings(qs))
+            self._run(query, _url_settings(qs), _url_params(qs))
 
         def do_POST(self):  # noqa: N802
             length = int(self.headers.get("Content-Length", "0"))
@@ -105,7 +114,7 @@ def make_server(spark, data_dir: str, port: int = 0) -> ThreadingHTTPServer:
                 query = url_query.rstrip() + "\n" + body
             else:
                 query = url_query or body
-            self._run(query, _url_settings(qs))
+            self._run(query, _url_settings(qs), _url_params(qs))
 
         def log_message(self, *a):  # silence request logging
             pass

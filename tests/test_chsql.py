@@ -1155,3 +1155,31 @@ def test_query_parameters(spark):
         SF_SMOKE, spark=spark, out=out, params={"k": "7"},
     )
     assert rc == 0 and len(out.getvalue().strip().splitlines()) == 1
+
+
+def test_http_query_parameters(spark):
+    """param_<name> URL parameters bind {name:Type} placeholders
+    (HTTPHandler.cpp customizeContext)."""
+    import urllib.parse
+    import urllib.request
+
+    from clickhouse_25_5_3_75_stable_spark.http_server import serve_in_thread
+    from tests.conftest import SF_SMOKE
+
+    srv, port = serve_in_thread(spark, SF_SMOKE)
+    try:
+        q = urllib.parse.quote(
+            "SELECT count() AS n FROM nation WHERE n_regionkey = {r:Int32} FORMAT CSV"
+        )
+        body = urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/?query={q}&param_r=2"
+        ).read().decode()
+        assert body.strip() == "5"
+        # unset parameter -> 400
+        try:
+            urllib.request.urlopen(f"http://127.0.0.1:{port}/?query={q}")
+            raise AssertionError("expected HTTPError")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400 and b"not set" in e.read()
+    finally:
+        srv.shutdown()
