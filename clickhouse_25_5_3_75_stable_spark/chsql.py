@@ -694,6 +694,73 @@ def _rewrite_collate(toks: list[str]) -> list[str]:
     return out
 
 
+_QUANT_CMP = {  # (op, quantifier) -> scalar aggregate over the subquery
+    (">", "ANY"): "MIN", (">=", "ANY"): "MIN",
+    ("<", "ANY"): "MAX", ("<=", "ANY"): "MAX",
+    (">", "ALL"): "MAX", (">=", "ALL"): "MAX",
+    ("<", "ALL"): "MIN", ("<=", "ALL"): "MIN",
+}
+
+
+def _rewrite_quantified_comparison(toks: list[str]) -> list[str]:
+    """op ANY/ALL (subquery) — Spark has no quantified comparisons, so
+    apply the reference's own rewrite (ExpressionAnalyzer
+    transformQuantifiedComparison): `= ANY` -> IN, `!= ALL` -> NOT IN,
+    inequalities -> scalar MIN/MAX subquery. Same empty-set semantics
+    as the reference's rewrite (MIN/MAX over empty is NULL). `= ALL` /
+    `!= ANY` refuse, like the reference's unsupported combinations.
+    The `any(x)` AGGREGATE stays: quantifiers only fire after a
+    comparison op and before a parenthesized SELECT."""
+    out: list[str] = []
+    i = 0
+    n = len(toks)
+    while i < n:
+        tk = toks[i]
+        up = tk.upper()
+        if (
+            up in ("ANY", "ALL")
+            and out
+            and out[-1] in ("=", "==", "!=", "<>", ">", ">=", "<", "<=")
+            and i + 2 < n
+            and toks[i + 1] == "("
+            and toks[i + 2].upper() in ("SELECT", "WITH")
+        ):
+            op = "=" if out[-1] == "==" else out[-1]
+            # balanced subquery group
+            depth = 0
+            j = i + 1
+            while j < n:
+                if toks[j] == "(":
+                    depth += 1
+                elif toks[j] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j += 1
+            sub = toks[i + 2 : j]  # without outer parens
+            if op == "=" and up == "ANY":
+                out[-1] = "IN"
+                out += ["(", *sub, ")"]
+            elif op in ("!=", "<>") and up == "ALL":
+                out.pop()
+                out += ["NOT", "IN", "(", *sub, ")"]
+            elif (op, up) in _QUANT_CMP:
+                agg = _QUANT_CMP[(op, up)]
+                out += ["(", "SELECT", agg, "(", "__qc", ")", "FROM", "(",
+                        *sub, ")", "AS", "__qsub", "(", "__qc", ")", ")"]
+            else:
+                raise ChSqlError(
+                    f"{op} {up} (subquery): unsupported combination "
+                    "(the reference rejects it too) — use IN/NOT IN or "
+                    "an explicit aggregate subquery"
+                )
+            i = j + 1
+            continue
+        out.append(tk)
+        i += 1
+    return out
+
+
 def _rewrite_limit_by(toks: list[str]) -> list[str]:
     """LIMIT n BY c1, c2 → row_number() wrap (reference
     src/Processors/QueryPlan/LimitByStep.h:8). Requires a top-level
@@ -2040,6 +2107,7 @@ def ch_sql_to_spark(sql: str) -> str:
     toks = _strip_suffix_clauses(toks)
     toks = _strip_modifiers(toks)
     toks = _rewrite_prewhere(toks)
+    toks = _rewrite_quantified_comparison(toks)
     toks = _rewrite_limit_by(toks)
     toks = _rewrite_limit_offset(toks)
     toks = _rewrite_with_totals(toks)

@@ -1183,3 +1183,32 @@ def test_http_query_parameters(spark):
             assert e.code == 400 and b"not set" in e.read()
     finally:
         srv.shutdown()
+
+
+def test_quantified_any_all(spark):
+    """op ANY/ALL (subquery) applies the reference's own
+    transformQuantifiedComparison rewrite: = ANY -> IN, != ALL ->
+    NOT IN, inequalities -> scalar MIN/MAX subqueries; the any()
+    AGGREGATE is untouched."""
+    import pytest as _pytest
+
+    from clickhouse_25_5_3_75_stable_spark.chsql import ChSqlError, ch_sql
+
+    spark.createDataFrame([(1,), (3,), (5,)], "a int") \
+        .createOrReplaceTempView("qt")
+    spark.createDataFrame([(3,), (4,)], "b int") \
+        .createOrReplaceTempView("qs")
+
+    def vals(q):
+        return sorted(r.a for r in ch_sql(spark, q).collect())
+
+    assert vals("SELECT a FROM qt WHERE a > ANY (SELECT b FROM qs)") == [5]
+    assert vals("SELECT a FROM qt WHERE a > ALL (SELECT b FROM qs)") == [5]
+    assert vals("SELECT a FROM qt WHERE a < ANY (SELECT b FROM qs)") == [1, 3]
+    assert vals("SELECT a FROM qt WHERE a < ALL (SELECT b FROM qs)") == [1]
+    assert vals("SELECT a FROM qt WHERE a = ANY (SELECT b FROM qs)") == [3]
+    assert vals("SELECT a FROM qt WHERE a != ALL (SELECT b FROM qs)") == [1, 5]
+    with _pytest.raises(ChSqlError, match="unsupported combination"):
+        ch_sql(spark, "SELECT a FROM qt WHERE a = ALL (SELECT b FROM qs)")
+    # aggregate any() untouched
+    assert ch_sql(spark, "SELECT any(a) AS a FROM qt").collect()[0].a in (1, 3, 5)
