@@ -285,6 +285,55 @@ def run_local(sql: str, data_dir: str, spark=None, out=sys.stdout,
             truncate_table(spark, data_dir, tname)
             _emit([(tname, "Ok")], ["table", "status"], fmt, out)
             return 0
+        if kw == "ALTER":
+            from clickhouse_25_5_3_75_stable_spark.ddl import (
+                alter_add_column,
+                alter_drop_column,
+                mutate_table,
+            )
+
+            am = re.match(r"(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+(.*?);?\s*$", sql)
+            if not am:
+                raise ValueError("unsupported ALTER shape")
+            tname, action = am.group(1), am.group(2).strip()
+            up = action.upper()
+            if up.startswith("ADD COLUMN"):
+                cm = re.match(
+                    r"(?is)ADD\s+COLUMN\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s+"
+                    r"([\w]+(?:\([\w, ]*\))?)(?:\s+DEFAULT\s+(.+))?$",
+                    action,
+                )
+                if not cm:
+                    raise ValueError("unsupported ADD COLUMN shape")
+                dflt = cm.group(3)
+                if dflt is not None:
+                    dflt = dflt.strip().strip("'")
+                alter_add_column(
+                    spark, data_dir, tname, cm.group(1), cm.group(2), default=dflt
+                )
+            elif up.startswith("DROP COLUMN"):
+                col = action.split()[-1]
+                alter_drop_column(spark, data_dir, tname, col)
+            elif up.startswith("DELETE"):
+                dm = re.match(r"(?is)DELETE\s+WHERE\s+(.+)$", action)
+                if not dm:
+                    raise ValueError("ALTER DELETE needs WHERE")
+                mutate_table(spark, data_dir, tname, "delete", dm.group(1))
+            elif up.startswith("UPDATE"):
+                um = re.match(r"(?is)UPDATE\s+(.+?)\s+WHERE\s+(.+)$", action)
+                if not um:
+                    raise ValueError("ALTER UPDATE needs WHERE")
+                assigns = {}
+                for part in re.split(r",(?![^()]*\))", um.group(1)):
+                    k, _, v = part.partition("=")
+                    if not _:
+                        raise ValueError(f"bad UPDATE assignment: {part!r}")
+                    assigns[k.strip()] = v.strip()
+                mutate_table(spark, data_dir, tname, "update", um.group(2), assigns)
+            else:
+                raise ValueError(f"unsupported ALTER action: {action.split()[0]}")
+            _emit([(tname, "Ok")], ["table", "status"], fmt, out)
+            return 0
         if kw == "OPTIMIZE":
             from clickhouse_25_5_3_75_stable_spark.ddl import optimize_table
 

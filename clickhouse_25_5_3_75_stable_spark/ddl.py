@@ -451,3 +451,62 @@ def restore_table(
         )
     shutil.copytree(src, dst)
     spark.read.parquet(dst).createOrReplaceTempView(name)
+
+
+def _expr_to_spark(expr: str) -> str:
+    """Translate one CH-dialect scalar expression via the transpiler."""
+    from clickhouse_25_5_3_75_stable_spark.chsql import ch_sql_to_spark
+
+    translated = ch_sql_to_spark("SELECT " + expr)
+    return translated.split("SELECT", 1)[1].strip()
+
+
+def mutate_table(
+    spark: SparkSession,
+    base_dir: str,
+    name: str,
+    kind: str,
+    where: str,
+    assignments: dict[str, str] | None = None,
+) -> None:
+    """ALTER TABLE ... UPDATE/DELETE mutation over a DDL-managed table
+    (reference InterpreterAlterQuery -> MutationsInterpreter,
+    copy-on-write part rewrite): applies the mutation operators then
+    swaps the rewrite in with the same staging contract as
+    optimize_table. Expressions are CH dialect."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from clickhouse_25_5_3_75_stable_spark.operators.mutations import (
+        mutate_delete,
+        mutate_update,
+    )
+
+    path = os.path.join(base_dir, name)
+    if not os.path.isdir(path):
+        raise ValueError(
+            f"{name}: ALTER mutations need a DDL-managed table directory "
+            "(plain parquet sources: use operators/mutations.py directly)"
+        )
+    df = spark.read.parquet(path)
+    pred = F.expr(_expr_to_spark(where))
+    if kind == "delete":
+        out = mutate_delete(df, pred)
+    elif kind == "update":
+        exprs = {c: F.expr(_expr_to_spark(e)) for c, e in (assignments or {}).items()}
+        out = mutate_update(df, pred, exprs)
+    else:
+        raise ValueError(f"unknown mutation kind {kind!r}")
+    staging = path + "__mutating"
+    out.write.mode("overwrite").parquet(staging)
+    meta_src = os.path.join(path, _DDL_META)
+    meta_tmp = None
+    if os.path.exists(meta_src):
+        meta_tmp = staging + ".meta"
+        shutil.copy(meta_src, meta_tmp)
+    shutil.rmtree(path)
+    os.rename(staging, path)
+    if meta_tmp:
+        shutil.move(meta_tmp, os.path.join(path, _DDL_META))
+    spark.read.parquet(path).createOrReplaceTempView(name)

@@ -380,3 +380,52 @@ def test_from_final_folds_replacing_table(spark, tmp_path):
     assert "3" in lines          # raw read keeps both versions
     assert "2" in lines          # FINAL folds to latest per key
     assert lines[-1] == "new"    # latest version wins
+
+
+def test_cli_alter_mutations(spark, tmp_path):
+    """ALTER TABLE UPDATE/DELETE/ADD COLUMN/DROP COLUMN through the CLI
+    (InterpreterAlterQuery -> MutationsInterpreter copy-on-write):
+    mutations rewrite the DDL-managed directory with the staging-swap
+    contract; expressions run through the CH dialect."""
+    import io
+
+    from clickhouse_25_5_3_75_stable_spark.__main__ import run_local
+
+    d = str(tmp_path)
+    out = io.StringIO()
+    assert run_local(
+        "CREATE TABLE mt (k Int64, v String, n Int64) "
+        "ENGINE = MergeTree ORDER BY k",
+        d, spark=spark, out=out,
+    ) == 0
+    assert run_local(
+        "INSERT INTO mt VALUES (1, 'a', 10), (2, 'b', 20), (3, 'c', 30)",
+        d, spark=spark, out=out,
+    ) == 0
+
+    # UPDATE with a CH-dialect expression
+    assert run_local(
+        "ALTER TABLE mt UPDATE v = upper(v), n = n + 1 WHERE k <= 2",
+        d, spark=spark, out=out,
+    ) == 0
+    rows = {r.k: (r.v, r.n) for r in spark.table("mt").collect()}
+    assert rows == {1: ("A", 11), 2: ("B", 21), 3: ("c", 30)}
+
+    # DELETE
+    assert run_local(
+        "ALTER TABLE mt DELETE WHERE k = 2", d, spark=spark, out=out
+    ) == 0
+    assert sorted(r.k for r in spark.table("mt").collect()) == [1, 3]
+
+    # ADD COLUMN with default materializes at read
+    assert run_local(
+        "ALTER TABLE mt ADD COLUMN tag String DEFAULT 'x'",
+        d, spark=spark, out=out,
+    ) == 0
+    assert {r.tag for r in spark.table("mt").collect()} == {"x"}
+
+    # DROP COLUMN disappears immediately
+    assert run_local(
+        "ALTER TABLE mt DROP COLUMN n", d, spark=spark, out=out
+    ) == 0
+    assert "n" not in spark.table("mt").columns
