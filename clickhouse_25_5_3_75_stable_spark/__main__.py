@@ -196,6 +196,103 @@ def _resolve_final(spark, data_dir: str, sql: str) -> str:
                    flags=_re.IGNORECASE)
 
 
+_INT_CH = {"int8","int16","int32","int64","uint8","uint16","uint32"}
+
+
+def _route_projection(spark, data_dir: str, sql: str):
+    """Automatic aggregate-projection routing (the reference's
+    optimizeUseAggregateProjection): a SELECT whose GROUP BY keys,
+    WHERE columns, and aggregates are all covered by a stored
+    projection re-aggregates the partial states instead of scanning
+    the table. Returns a DataFrame or None (no match -> normal path)."""
+    import re as _re
+
+    from pyspark.sql import functions as F
+
+    from clickhouse_25_5_3_75_stable_spark.chsql import ch_sql_to_spark
+    from clickhouse_25_5_3_75_stable_spark.ddl import (
+        _projection_path,
+        load_table_def,
+        match_projection,
+    )
+
+    m = _re.match(
+        r"(?is)^\s*SELECT\s+(.+?)\s+FROM\s+(\w+)"
+        r"(?:\s+WHERE\s+(.+?))?\s+GROUP\s+BY\s+(.+?)"
+        r"(?:\s+ORDER\s+BY\s+(.+?))?\s*;?\s*$",
+        sql,
+    )
+    if m is None:
+        return None
+    select_s, table, where_s, group_s, order_s = m.groups()
+    td = load_table_def(data_dir, table)
+    if td is None or not td.projections:
+        return None
+    group_keys = [g.strip() for g in group_s.split(",")]
+    if not all(_re.fullmatch(r"\w+", g) for g in group_keys):
+        return None
+    items = [i.strip() for i in _re.split(r",(?![^()]*\))", select_s)]
+    col_names = {c for c, _ in td.columns}
+    where_cols = []
+    if where_s:
+        where_cols = [t for t in _re.findall(r"\w+", where_s) if t in col_names]
+    routed = match_projection(td, items, group_keys, where_cols)
+    if routed is None:
+        return None
+    proj, aggs = routed
+    ch_types = dict(td.columns)
+    df = spark.read.parquet(_projection_path(data_dir, table, proj["name"]))
+    if where_s:
+        translated = ch_sql_to_spark("SELECT " + where_s).split("SELECT", 1)[1]
+        df = df.filter(F.expr(translated))
+    agg_exprs = []
+    raw_to_alias = {}
+    for fn, col, alias, raw in aggs:
+        raw_to_alias[raw] = alias
+        if fn == "count":
+            agg_exprs.append(F.sum("_rows").cast("long").alias(alias))
+        elif fn == "sum":
+            e = F.sum(f"_sum_{col}")
+            t = ch_types.get(col, "").lower()
+            if t in _INT_CH:
+                e = e.cast("long")
+            elif t in ("float32", "float64"):
+                e = e.cast("double")
+            agg_exprs.append(e.alias(alias))
+        elif fn == "avg":
+            agg_exprs.append(
+                (F.sum(f"_sum_{col}").cast("double")
+                 / F.sum(f"_cnt_{col}").cast("double")).alias(alias)
+            )
+        elif fn == "min":
+            agg_exprs.append(F.min(f"_min_{col}").alias(alias))
+        else:
+            agg_exprs.append(F.max(f"_max_{col}").alias(alias))
+    grouped = df.groupBy(*group_keys).agg(*agg_exprs)
+    # project in the query's own column order, then apply ORDER BY
+    out_cols = []
+    for item in items:
+        if item in raw_to_alias:
+            out_cols.append(raw_to_alias[item])
+        else:
+            parts = _re.split(r"(?i)\s+AS\s+", item)
+            src, alias = parts[0].strip(), parts[-1].strip()
+            grouped = grouped.withColumnRenamed(src, alias) if src != alias else grouped
+            out_cols.append(alias)
+    result = grouped.select(*out_cols)
+    if order_s:
+        translated = ch_sql_to_spark("SELECT " + order_s).split("SELECT", 1)[1]
+        order_exprs = []
+        for t in translated.split(","):
+            t = t.strip()
+            if t.upper().endswith(" DESC"):
+                order_exprs.append(F.expr(t[: -len(" DESC")].strip()).desc())
+            else:
+                order_exprs.append(F.expr(t.removesuffix(" ASC").strip()))
+        result = result.orderBy(*order_exprs)
+    return result
+
+
 def run_local(sql: str, data_dir: str, spark=None, out=sys.stdout,
               max_result_rows=None, params=None) -> int:
     """Execute one statement: SELECT (CH dialect), CREATE TABLE
@@ -314,6 +411,39 @@ def run_local(sql: str, data_dir: str, spark=None, out=sys.stdout,
             elif up.startswith("DROP COLUMN"):
                 col = action.split()[-1]
                 alter_drop_column(spark, data_dir, tname, col)
+            elif up.startswith("ADD PROJECTION"):
+                from clickhouse_25_5_3_75_stable_spark.ddl import add_projection
+
+                pm = re.match(
+                    r"(?is)ADD\s+PROJECTION\s+(\w+)\s*\(\s*SELECT\s+(.+?)"
+                    r"\s+GROUP\s+BY\s+(.+?)\s*\)\s*$",
+                    action,
+                )
+                if not pm:
+                    raise ValueError(
+                        "unsupported ADD PROJECTION shape (need "
+                        "(SELECT ... GROUP BY ...))"
+                    )
+                keys = [k.strip() for k in pm.group(3).split(",")]
+                sums, minmaxs = [], []
+                for it in re.split(r",(?![^()]*\))", pm.group(2)):
+                    am2 = re.match(r"(?is)^\s*(sum|avg|min|max)\(\s*(\w+)\s*\)",
+                                   it.strip())
+                    if am2:
+                        fn, c = am2.group(1).lower(), am2.group(2)
+                        (sums if fn in ("sum", "avg") else minmaxs).append(c)
+                add_projection(spark, data_dir, tname, pm.group(1), keys,
+                               sorted(set(sums)), sorted(set(minmaxs)))
+            elif up.startswith("DROP PROJECTION"):
+                from clickhouse_25_5_3_75_stable_spark.ddl import drop_projection
+
+                drop_projection(data_dir, tname, action.split()[-1])
+            elif up.startswith("MATERIALIZE PROJECTION"):
+                from clickhouse_25_5_3_75_stable_spark.ddl import (
+                    materialize_projections,
+                )
+
+                materialize_projections(spark, data_dir, tname)
             elif up.startswith("DELETE"):
                 dm = re.match(r"(?is)DELETE\s+WHERE\s+(.+)$", action)
                 if not dm:
@@ -549,7 +679,9 @@ def run_local(sql: str, data_dir: str, spark=None, out=sys.stdout,
         # settings like the reference
         from clickhouse_25_5_3_75_stable_spark.chsql import ch_sql as _ch_sql
 
-        df = _ch_sql(spark, sql, params=params)
+        df = _route_projection(spark, data_dir, sql)
+        if df is None:
+            df = _ch_sql(spark, sql, params=params)
         if max_result_rows is None:
             max_result_rows = spark.conf.get("spark.chspark.maxResultRows", None)
         if max_result_rows is not None:

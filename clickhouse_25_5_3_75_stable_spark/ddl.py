@@ -24,6 +24,7 @@ the view; `insert_into` appends honoring the layout.
 from __future__ import annotations
 
 import os
+import re
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -48,6 +49,8 @@ class TableDef:
     order_by: list[str] = field(default_factory=list)
     partition_by: str | None = None
     ttl: str | None = None
+    # projections: [{name, keys, sums, minmaxs}] — ADD PROJECTION DDL
+    projections: list = field(default_factory=list)
 
     def spark_schema(self, mode: str = "exact") -> str:
         return ", ".join(
@@ -279,6 +282,7 @@ def save_table_def(base_dir: str, td: TableDef) -> None:
         "name": td.name, "columns": td.columns, "engine": td.engine,
         "engine_args": td.engine_args, "order_by": td.order_by,
         "partition_by": td.partition_by, "ttl": td.ttl,
+        "projections": td.projections,
     }
     with open(os.path.join(base_dir, td.name, _DDL_META), "w") as fh:
         json.dump(meta, fh)
@@ -296,6 +300,7 @@ def load_table_def(base_dir: str, name: str) -> TableDef | None:
         name=m["name"], columns=[tuple(c) for c in m["columns"]],
         engine=m["engine"], engine_args=m["engine_args"],
         order_by=m["order_by"], partition_by=m["partition_by"], ttl=m["ttl"],
+        projections=m.get("projections", []),
     )
 
 
@@ -355,6 +360,7 @@ def optimize_table(
     if meta_tmp:
         shutil.move(meta_tmp, os.path.join(path, _DDL_META))
     spark.read.parquet(path).createOrReplaceTempView(name)
+    materialize_projections(spark, base_dir, name)  # merge rewrote parts
 
 
 def alter_add_column(
@@ -510,3 +516,124 @@ def mutate_table(
     if meta_tmp:
         shutil.move(meta_tmp, os.path.join(path, _DDL_META))
     spark.read.parquet(path).createOrReplaceTempView(name)
+    materialize_projections(spark, base_dir, name)  # mutation rewrote parts
+
+
+# ---------------------------------------------------------------------------
+# Projections (reference src/Processors/QueryPlan/Optimizations/
+# optimizeUseAggregateProjection.cpp + ALTER ADD PROJECTION in
+# InterpreterAlterQuery): per-table pre-aggregations materialized under
+# the table directory (underscore-prefixed, so parquet discovery skips
+# them) and re-aggregated at read when a GROUP BY matches.
+# ---------------------------------------------------------------------------
+
+
+def _projection_path(base_dir: str, table: str, proj: str) -> str:
+    return os.path.join(base_dir, table, f"_projection_{proj}")
+
+
+def add_projection(
+    spark: SparkSession,
+    base_dir: str,
+    table: str,
+    proj_name: str,
+    keys: list[str],
+    sum_cols: list[str],
+    minmax_cols: list[str],
+) -> None:
+    """ALTER TABLE ADD PROJECTION + immediate MATERIALIZE: partial
+    aggregate states grouped by `keys`, written beside the data."""
+    from clickhouse_25_5_3_75_stable_spark.operators.projections import (
+        build_aggregate_projection,
+    )
+
+    td = load_table_def(base_dir, table)
+    if td is None:
+        raise ValueError(f"{table}: not a DDL-managed table")
+    if any(p["name"] == proj_name for p in td.projections):
+        raise ValueError(f"projection {proj_name!r} already exists on {table}")
+    df = spark.read.parquet(os.path.join(base_dir, table))
+    proj = build_aggregate_projection(df, keys, sum_cols, minmax_cols)
+    proj.write.mode("overwrite").parquet(_projection_path(base_dir, table, proj_name))
+    td.projections.append({
+        "name": proj_name, "keys": list(keys),
+        "sums": list(sum_cols), "minmaxs": list(minmax_cols),
+    })
+    save_table_def(base_dir, td)
+
+
+def drop_projection(base_dir: str, table: str, proj_name: str) -> None:
+    import shutil
+
+    td = load_table_def(base_dir, table)
+    if td is None:
+        raise ValueError(f"{table}: not a DDL-managed table")
+    td.projections = [p for p in td.projections if p["name"] != proj_name]
+    save_table_def(base_dir, td)
+    path = _projection_path(base_dir, table, proj_name)
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+
+
+def materialize_projections(spark: SparkSession, base_dir: str, table: str) -> None:
+    """Rebuild every projection from the current data (the reference
+    rebuilds projections when a part is rewritten by merge/mutation)."""
+    from clickhouse_25_5_3_75_stable_spark.operators.projections import (
+        build_aggregate_projection,
+    )
+
+    td = load_table_def(base_dir, table)
+    if td is None or not td.projections:
+        return
+    df = spark.read.parquet(os.path.join(base_dir, table))
+    for p in td.projections:
+        proj = build_aggregate_projection(df, p["keys"], p["sums"], p["minmaxs"])
+        proj.write.mode("overwrite").parquet(
+            _projection_path(base_dir, table, p["name"])
+        )
+
+
+_PROJ_AGG_RE = re.compile(
+    r"^(count\(\s*\)|(?:sum|min|max|avg)\(\s*(\w+)\s*\))"
+    r"(?:\s+AS\s+(\w+))?$",
+    re.IGNORECASE,
+)
+
+
+def match_projection(
+    td: TableDef, select_items: list[str], group_keys: list[str],
+    where_cols: list[str],
+) -> tuple[dict, list[tuple[str, str, str, str]]] | None:
+    """Route check (the reference's optimizeUseAggregateProjection
+    candidate match): every GROUP BY key and WHERE column must be a
+    projection key, and every aggregate must be answerable from the
+    stored states. Returns (projection, parsed aggs) or None."""
+    aggs: list[tuple[str, str, str, str]] = []  # (fn, col, alias, raw)
+    plain: list[str] = []
+    for item in select_items:
+        item = item.strip()
+        m = _PROJ_AGG_RE.match(item)
+        if m:
+            fn = m.group(1).split("(", 1)[0].lower()
+            aggs.append((fn, m.group(2) or "", m.group(3) or item, item))
+        else:
+            plain.append(item.split(" AS ")[0].strip())
+    for p in td.projections:
+        keyset = set(p["keys"])
+        if not set(group_keys) <= keyset:
+            continue
+        if not set(plain) <= keyset:
+            continue
+        if not set(where_cols) <= keyset:
+            continue
+        ok = True
+        for fn, col, _alias, _raw in aggs:
+            if fn == "count" and not col:
+                continue
+            if fn in ("sum", "avg") and col not in p["sums"]:
+                ok = False
+            if fn in ("min", "max") and col not in p["minmaxs"]:
+                ok = False
+        if ok:
+            return p, aggs
+    return None

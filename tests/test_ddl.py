@@ -429,3 +429,66 @@ def test_cli_alter_mutations(spark, tmp_path):
         "ALTER TABLE mt DROP COLUMN n", d, spark=spark, out=out
     ) == 0
     assert "n" not in spark.table("mt").columns
+
+
+def test_projection_ddl_and_auto_routing(spark, tmp_path):
+    """ADD PROJECTION + automatic routing (the reference's
+    optimizeUseAggregateProjection): a covered GROUP BY reads the
+    projection states instead of the table; WHERE on keys filters the
+    states; non-covered queries fall through; mutations rebuild."""
+    import io
+
+    from clickhouse_25_5_3_75_stable_spark.__main__ import (
+        _route_projection,
+        run_local,
+    )
+
+    d = str(tmp_path)
+    out = io.StringIO()
+    assert run_local(
+        "CREATE TABLE px (k Int64, g String, x Int64, y Float64) "
+        "ENGINE = MergeTree ORDER BY k", d, spark=spark, out=out) == 0
+    assert run_local(
+        "INSERT INTO px VALUES (1,'a',10,1.5), (2,'a',20,2.5), (3,'b',30,3.5)",
+        d, spark=spark, out=out) == 0
+    assert run_local(
+        "ALTER TABLE px ADD PROJECTION p1 "
+        "(SELECT g, sum(x), min(y), max(y) GROUP BY g)",
+        d, spark=spark, out=out) == 0
+
+    q = "SELECT g, sum(x) AS sx, count() AS n FROM px GROUP BY g ORDER BY g"
+    routed = _route_projection(spark, d, q)
+    assert routed is not None  # covered -> routes
+    got = [(r.g, r.sx, r.n) for r in routed.collect()]
+    assert got == [("a", 30, 2), ("b", 30, 1)]
+    # routed plan scans the projection STATES (the scan's ReadSchema
+    # carries _rows/_sum_x), not the base table columns
+    plan = routed._jdf.queryExecution().executedPlan().toString()
+    assert "_sum_x" in plan and "_rows" in plan
+
+    # not covered (sum(y) not a stored state) -> falls through
+    assert _route_projection(
+        spark, d, "SELECT g, sum(y) AS s FROM px GROUP BY g") is None
+    # WHERE on a non-key column -> falls through
+    assert _route_projection(
+        spark, d, "SELECT g, sum(x) AS s FROM px WHERE x > 5 GROUP BY g") is None
+    # WHERE on a key -> routes and filters states
+    r2 = _route_projection(
+        spark, d, "SELECT g, sum(x) AS s FROM px WHERE g = 'a' GROUP BY g")
+    assert r2 is not None and [(r.g, r.s) for r in r2.collect()] == [("a", 30)]
+
+    # the CLI answers through the projection transparently
+    out2 = io.StringIO()
+    assert run_local(q + " FORMAT CSV", d, spark=spark, out=out2) == 0
+    assert out2.getvalue().strip().splitlines() == ["a,30,2", "b,30,1"]
+
+    # mutation rewrites parts -> projection rebuilt, stays consistent
+    assert run_local("ALTER TABLE px DELETE WHERE k = 1",
+                     d, spark=spark, out=out) == 0
+    r3 = _route_projection(spark, d, "SELECT g, sum(x) AS s FROM px GROUP BY g")
+    assert sorted((r.g, r.s) for r in r3.collect()) == [("a", 20), ("b", 30)]
+
+    # DROP PROJECTION -> no more routing
+    assert run_local("ALTER TABLE px DROP PROJECTION p1",
+                     d, spark=spark, out=out) == 0
+    assert _route_projection(spark, d, q) is None
