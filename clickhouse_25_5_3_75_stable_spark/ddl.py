@@ -506,17 +506,29 @@ def mutate_table(
         raise ValueError(f"unknown mutation kind {kind!r}")
     staging = path + "__mutating"
     out.write.mode("overwrite").parquet(staging)
-    meta_src = os.path.join(path, _DDL_META)
-    meta_tmp = None
-    if os.path.exists(meta_src):
-        meta_tmp = staging + ".meta"
-        shutil.copy(meta_src, meta_tmp)
+    # carry table metadata AND the mutation journal across the swap
+    for side, fname in (("meta", _DDL_META), ("journal", "_mutations.json")):
+        src = os.path.join(path, fname)
+        if os.path.exists(src):
+            shutil.copy(src, os.path.join(staging, fname))
     shutil.rmtree(path)
     os.rename(staging, path)
-    if meta_tmp:
-        shutil.move(meta_tmp, os.path.join(path, _DDL_META))
     spark.read.parquet(path).createOrReplaceTempView(name)
     materialize_projections(spark, base_dir, name)  # mutation rewrote parts
+    # mutation journal for system.mutations (StorageSystemMutations.cpp)
+    import json as _json
+    import time as _time
+
+    cmd = f"{kind.upper()} WHERE {where}"
+    if kind == "update":
+        sets = ", ".join(f"{c} = {e}" for c, e in (assignments or {}).items())
+        cmd = f"UPDATE {sets} WHERE {where}"
+    with open(os.path.join(path, "_mutations.json"), "a") as fh:
+        fh.write(_json.dumps({
+            "mutation_id": f"mutation_{int(_time.time() * 1000)}",
+            "command": cmd,
+            "create_time": _time.strftime("%Y-%m-%d %H:%M:%S", _time.gmtime()),
+        }) + "\n")
 
 
 # ---------------------------------------------------------------------------

@@ -607,3 +607,53 @@ def system_metrics(spark: SparkSession) -> DataFrame:
         ("QueryLogEntries", len(_QUERY_LOG)),
     ]
     return spark.createDataFrame(rows, "metric string, value bigint")
+
+
+def system_projections(spark: SparkSession, data_dir: str) -> DataFrame:
+    """system.projections analogue (reference
+    src/Storages/System/StorageSystemProjections.cpp): one row per
+    stored projection of every DDL-managed table in data_dir."""
+    import os
+
+    from clickhouse_25_5_3_75_stable_spark.ddl import load_table_def
+
+    rows = []
+    for entry in sorted(os.listdir(data_dir)):
+        td = load_table_def(data_dir, entry)
+        if td is None:
+            continue
+        for p in td.projections:
+            rows.append((
+                "default", entry, p["name"], "Aggregate",
+                ",".join(p["keys"]), ",".join(p["sums"]),
+                ",".join(p["minmaxs"]),
+            ))
+    schema = ("database string, table string, name string, type string, "
+              "sorting_key string, sum_columns string, minmax_columns string")
+    return spark.createDataFrame(rows, schema)
+
+
+def system_mutations(spark: SparkSession, data_dir: str) -> DataFrame:
+    """system.mutations analogue (reference
+    src/Storages/System/StorageSystemMutations.cpp): the mutation
+    journal ddl.mutate_table appends per table. Copy-on-write rewrites
+    complete synchronously, so is_done is always 1 — the column exists
+    for schema parity."""
+    import json
+    import os
+
+    rows = []
+    for entry in sorted(os.listdir(data_dir)):
+        j = os.path.join(data_dir, entry, "_mutations.json")
+        if not os.path.exists(j):
+            continue
+        with open(j) as fh:
+            for line in fh:
+                m = json.loads(line)
+                rows.append((
+                    "default", entry, m["mutation_id"], m["command"],
+                    m["create_time"], 1,
+                ))
+    schema = ("database string, table string, mutation_id string, "
+              "command string, create_time string, is_done int")
+    return spark.createDataFrame(rows, schema)

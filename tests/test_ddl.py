@@ -492,3 +492,34 @@ def test_projection_ddl_and_auto_routing(spark, tmp_path):
     assert run_local("ALTER TABLE px DROP PROJECTION p1",
                      d, spark=spark, out=out) == 0
     assert _route_projection(spark, d, q) is None
+
+
+def test_system_projections_and_mutations(spark, tmp_path):
+    """system.projections lists stored projections; system.mutations
+    replays the journal mutate_table appends (journal survives the
+    staging swap of later mutations)."""
+    import io
+
+    from clickhouse_25_5_3_75_stable_spark.__main__ import run_local
+    from clickhouse_25_5_3_75_stable_spark.sources.system_tables import (
+        system_mutations,
+        system_projections,
+    )
+
+    d = str(tmp_path)
+    out = io.StringIO()
+    run_local("CREATE TABLE sm (k Int64, x Int64) ENGINE = MergeTree ORDER BY k",
+              d, spark=spark, out=out)
+    run_local("INSERT INTO sm VALUES (1, 10), (2, 20)", d, spark=spark, out=out)
+    run_local("ALTER TABLE sm ADD PROJECTION p (SELECT k, sum(x) GROUP BY k)",
+              d, spark=spark, out=out)
+    run_local("ALTER TABLE sm UPDATE x = x + 1 WHERE k = 1",
+              d, spark=spark, out=out)
+    run_local("ALTER TABLE sm DELETE WHERE k = 2", d, spark=spark, out=out)
+
+    projs = system_projections(spark, d).collect()
+    assert [(r.table, r.name, r.sum_columns) for r in projs] == [("sm", "p", "x")]
+
+    muts = [r.command for r in system_mutations(spark, d)
+            .orderBy("create_time", "mutation_id").collect()]
+    assert muts == ["UPDATE x = x + 1 WHERE k = 1", "DELETE WHERE k = 2"]
