@@ -434,6 +434,18 @@ def run_local(sql: str, data_dir: str, spark=None, out=sys.stdout,
                         (sums if fn in ("sum", "avg") else minmaxs).append(c)
                 add_projection(spark, data_dir, tname, pm.group(1), keys,
                                sorted(set(sums)), sorted(set(minmaxs)))
+            elif up.startswith("MODIFY TTL") or up.startswith("REMOVE TTL"):
+                from clickhouse_25_5_3_75_stable_spark.ddl import (
+                    load_table_def,
+                    save_table_def,
+                )
+
+                td = load_table_def(data_dir, tname)
+                if td is None:
+                    raise ValueError(f"{tname}: not a DDL-managed table")
+                td.ttl = (None if up.startswith("REMOVE")
+                          else action.split(None, 2)[2].strip())
+                save_table_def(data_dir, td)
             elif up.startswith("DROP PROJECTION"):
                 from clickhouse_25_5_3_75_stable_spark.ddl import drop_projection
 

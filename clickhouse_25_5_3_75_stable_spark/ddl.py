@@ -334,6 +334,18 @@ def optimize_table(
     out = df
     if deduplicate:
         out = out.dropDuplicates()
+    if td is not None and td.ttl:
+        # the reference applies TTL DELETE when a merge rewrites the
+        # part (TTLDeleteAlgorithm) — OPTIMIZE is exactly that moment
+        tm = re.match(r"(?is)^\s*(\w+)\s*\+\s*INTERVAL\s+(\d+\s+\w+)",
+                      td.ttl)
+        if tm is not None:
+            from clickhouse_25_5_3_75_stable_spark.operators.ttl import (
+                apply_row_ttl,
+            )
+
+            out = apply_row_ttl(out, tm.group(1), tm.group(2),
+                                F.current_timestamp())
     if final and td is not None and td.order_by:
         eng = td.engine.lower()
         if eng == "replacingmergetree":

@@ -523,3 +523,34 @@ def test_system_projections_and_mutations(spark, tmp_path):
     muts = [r.command for r in system_mutations(spark, d)
             .orderBy("create_time", "mutation_id").collect()]
     assert muts == ["UPDATE x = x + 1 WHERE k = 1", "DELETE WHERE k = 2"]
+
+
+def test_optimize_applies_ttl_and_modify_ttl(spark, tmp_path):
+    """OPTIMIZE is the merge moment that applies TTL DELETE
+    (TTLDeleteAlgorithm); ALTER MODIFY TTL rewrites the clause and
+    REMOVE TTL clears it."""
+    import io
+
+    from clickhouse_25_5_3_75_stable_spark.__main__ import run_local
+
+    d = str(tmp_path)
+    out = io.StringIO()
+    run_local("CREATE TABLE tt (d Date, v Int64) ENGINE = MergeTree "
+              "ORDER BY d TTL d + INTERVAL 30 DAY",
+              d, spark=spark, out=out)
+    run_local("INSERT INTO tt VALUES ('2000-01-01', 1), ('2999-01-01', 2)",
+              d, spark=spark, out=out)
+    run_local("OPTIMIZE TABLE tt FINAL", d, spark=spark, out=out)
+    assert [r.v for r in spark.table("tt").collect()] == [2]  # 2000 expired
+
+    # REMOVE TTL: nothing expires on the next OPTIMIZE
+    run_local("ALTER TABLE tt REMOVE TTL", d, spark=spark, out=out)
+    run_local("INSERT INTO tt VALUES ('2001-01-01', 3)", d, spark=spark, out=out)
+    run_local("OPTIMIZE TABLE tt FINAL", d, spark=spark, out=out)
+    assert sorted(r.v for r in spark.table("tt").collect()) == [2, 3]
+
+    # MODIFY TTL: re-arms expiry
+    run_local("ALTER TABLE tt MODIFY TTL d + INTERVAL 30 DAY",
+              d, spark=spark, out=out)
+    run_local("OPTIMIZE TABLE tt FINAL", d, spark=spark, out=out)
+    assert sorted(r.v for r in spark.table("tt").collect()) == [2]
