@@ -583,14 +583,79 @@ def run_local(sql: str, data_dir: str, spark=None, out=sys.stdout,
             import re as _re
 
             m = _re.match(
-                r"INSERT\s+INTO\s+(\w+)\s+(VALUES|SELECT|FORMAT)\s*(.*)",
+                r"INSERT\s+INTO\s+(\w+)\s+(VALUES|SELECT|FORMAT|FROM)\s*(.*)",
                 sql, _re.IGNORECASE | _re.DOTALL,
             )
             if not m:
                 raise ValueError("unsupported INSERT shape")
             tname, mode_kw, rest = m.group(1), m.group(2).upper(), m.group(3)
             target = spark.table(tname)
-            if mode_kw == "VALUES":
+            if mode_kw == "FROM":
+                # INSERT INTO t FROM INFILE 'path' [FORMAT X] — the
+                # reference's client-side bulk load
+                # (ParserInsertQuery.cpp infile branch)
+                im = _re.match(
+                    r"(?is)^INFILE\s+'([^']+)'\s*(?:FORMAT\s+(\w+))?\s*;?\s*$",
+                    rest.strip(),
+                )
+                if not im:
+                    raise ValueError("unsupported INSERT FROM shape (need "
+                                     "FROM INFILE '<path>' [FORMAT <name>])")
+                # the trailing FORMAT of an INSERT..INFILE names the
+                # INPUT encoding, but _detect_format already split it
+                # off as the output format — recover it from there
+                infile = im.group(1)
+                in_fmt = (im.group(2)
+                          or (fmt if fmt != "TabSeparated" else "Parquet")).lower()
+                ddl_schema = ", ".join(
+                    f"{f_.name} {f_.dataType.simpleString()}"
+                    for f_ in target.schema.fields
+                )
+                if in_fmt == "parquet":
+                    df = spark.read.schema(target.schema).parquet(infile)
+                elif in_fmt in ("csv", "csvwithnames"):
+                    df = (spark.read.schema(target.schema)
+                          .option("header", in_fmt == "csvwithnames").csv(infile))
+                elif in_fmt in ("jsoneachrow", "ndjson"):
+                    df = spark.read.schema(target.schema).json(infile)
+                elif in_fmt == "avro":
+                    from clickhouse_25_5_3_75_stable_spark.sources.avro_fmt import (
+                        read_avro,
+                    )
+
+                    df = read_avro(spark, infile)
+                elif in_fmt == "bsoneachrow":
+                    from clickhouse_25_5_3_75_stable_spark.sources.bson_fmt import (
+                        read_bson_each_row,
+                    )
+
+                    df = read_bson_each_row(spark, infile, ddl_schema)
+                elif in_fmt == "msgpack":
+                    from clickhouse_25_5_3_75_stable_spark.sources.msgpack_fmt import (
+                        read_msgpack,
+                    )
+
+                    df = read_msgpack(spark, infile, ddl_schema)
+                elif in_fmt in ("rowbinary", "native"):
+                    from clickhouse_25_5_3_75_stable_spark.sources.rowbinary import (
+                        read_native,
+                        read_rowbinary,
+                    )
+
+                    wire = []
+                    for f_ in target.schema.fields:
+                        t = f_.dataType.simpleString()
+                        if t not in _CH_WIRE_TYPES:
+                            raise ValueError(
+                                f"INFILE FORMAT {in_fmt}: column {f_.name} "
+                                f"type {t} has no CH wire mapping")
+                        wire.append((f_.name, _CH_WIRE_TYPES[t]))
+                    rd = read_rowbinary if in_fmt == "rowbinary" else read_native
+                    df = rd(spark, infile, wire)
+                else:
+                    raise ValueError(
+                        f"INSERT FROM INFILE FORMAT {in_fmt!r} unsupported")
+            elif mode_kw == "VALUES":
                 cols = ", ".join(target.columns)
                 df = spark.sql(f"SELECT * FROM VALUES {rest} AS t({cols})")
             elif mode_kw == "FORMAT":

@@ -554,3 +554,33 @@ def test_optimize_applies_ttl_and_modify_ttl(spark, tmp_path):
               d, spark=spark, out=out)
     run_local("OPTIMIZE TABLE tt FINAL", d, spark=spark, out=out)
     assert sorted(r.v for r in spark.table("tt").collect()) == [2]
+
+
+def test_insert_from_infile(spark, tmp_path):
+    """INSERT INTO t FROM INFILE 'path' FORMAT X — the reference's
+    client-side bulk load (ParserInsertQuery.cpp infile branch) —
+    roundtrips through Avro and RowBinary written by INTO OUTFILE."""
+    import io
+
+    from clickhouse_25_5_3_75_stable_spark.__main__ import run_local
+
+    d = str(tmp_path)
+    out = io.StringIO()
+    run_local("CREATE TABLE src (k Int64, v String) ENGINE = MergeTree ORDER BY k",
+              d, spark=spark, out=out)
+    run_local("INSERT INTO src VALUES (1, 'a'), (2, 'b')", d, spark=spark, out=out)
+    avro = str(tmp_path / "dump.avro")
+    run_local(f"SELECT k, v FROM src INTO OUTFILE '{avro}' FORMAT Avro",
+              d, spark=spark, out=out)
+    rb = str(tmp_path / "dump.bin")
+    run_local(f"SELECT k, v FROM src INTO OUTFILE '{rb}' FORMAT RowBinary",
+              d, spark=spark, out=out)
+
+    run_local("CREATE TABLE dst (k Int64, v String) ENGINE = MergeTree ORDER BY k",
+              d, spark=spark, out=out)
+    assert run_local(f"INSERT INTO dst FROM INFILE '{avro}' FORMAT Avro",
+                     d, spark=spark, out=out) == 0
+    assert run_local(f"INSERT INTO dst FROM INFILE '{rb}' FORMAT RowBinary",
+                     d, spark=spark, out=out) == 0
+    got = sorted((r.k, r.v) for r in spark.table("dst").collect())
+    assert got == [(1, "a"), (1, "a"), (2, "b"), (2, "b")]
