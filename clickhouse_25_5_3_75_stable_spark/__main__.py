@@ -357,6 +357,18 @@ def run_local(sql: str, data_dir: str, spark=None, out=sys.stdout,
                 )
             _emit([(stmt,)], ["statement"], fmt, out)
             return 0
+        if kw == "EXPLAIN":
+            from clickhouse_25_5_3_75_stable_spark.chsql import ch_explain
+
+            em = re.match(
+                r"(?is)^\s*EXPLAIN\s+(AST|SYNTAX|PLAN|PIPELINE|ESTIMATE)?\s*(.+?);?\s*$",
+                sql,
+            )
+            if not em:
+                raise ValueError("unsupported EXPLAIN shape")
+            text = ch_explain(spark, em.group(2), (em.group(1) or "PLAN").upper())
+            _emit([(ln,) for ln in text.splitlines()], ["explain"], fmt, out)
+            return 0
         if kw == "EXISTS":
             tname = head[-1].rstrip(";")
             _emit([(1 if tname in names else 0,)], ["result"], fmt, out)
