@@ -223,7 +223,7 @@ def _route_projection(spark, data_dir: str, sql: str):
         sql,
     )
     if m is None:
-        return None
+        return _route_normal_projection(spark, data_dir, sql)
     select_s, table, where_s, group_s, order_s = m.groups()
     td = load_table_def(data_dir, table)
     if td is None or not td.projections:
@@ -291,6 +291,63 @@ def _route_projection(spark, data_dir: str, sql: str):
                 order_exprs.append(F.expr(t.removesuffix(" ASC").strip()))
         result = result.orderBy(*order_exprs)
     return result
+
+
+def _route_normal_projection(spark, data_dir: str, sql: str):
+    """Normal-projection routing (optimizeUseNormalProjection.cpp): a
+    plain SELECT whose WHERE hits a normal projection's leading sort
+    key reads the SORTED copy — identical rows, but parquet min/max on
+    the sort key prunes files the base order cannot."""
+    import re as _re
+
+    from pyspark.sql import functions as F
+
+    from clickhouse_25_5_3_75_stable_spark.chsql import ch_sql_to_spark
+    from clickhouse_25_5_3_75_stable_spark.ddl import (
+        _projection_path,
+        load_table_def,
+    )
+
+    m = _re.match(
+        r"(?is)^\s*SELECT\s+(.+?)\s+FROM\s+(\w+)"
+        r"\s+WHERE\s+(.+?)(?:\s+ORDER\s+BY\s+(.+?))?\s*;?\s*$",
+        sql,
+    )
+    if m is None:
+        return None
+    select_s, table, where_s, order_s = m.groups()
+    if _re.search(r"(?i)\b(GROUP|JOIN|UNION|LIMIT)\b", sql):
+        return None
+    td = load_table_def(data_dir, table)
+    if td is None:
+        return None
+    items = [i.strip() for i in select_s.split(",")]
+    col_names = {c for c, _ in td.columns}
+    if select_s.strip() != "*" and not all(i in col_names for i in items):
+        return None  # expressions: normal path
+    where_cols = {t for t in _re.findall(r"\w+", where_s) if t in col_names}
+    for p in td.projections:
+        if p.get("kind") != "normal":
+            continue
+        if p["keys"][0] not in where_cols:
+            continue  # predicate misses the sort prefix: no pruning win
+        df = spark.read.parquet(_projection_path(data_dir, table, p["name"]))
+        translated = ch_sql_to_spark("SELECT " + where_s).split("SELECT", 1)[1]
+        df = df.filter(F.expr(translated))
+        if select_s.strip() != "*":
+            df = df.select(*items)
+        if order_s:
+            tr = ch_sql_to_spark("SELECT " + order_s).split("SELECT", 1)[1]
+            exprs = []
+            for t in tr.split(","):
+                t = t.strip()
+                if t.upper().endswith(" DESC"):
+                    exprs.append(F.expr(t[: -len(" DESC")].strip()).desc())
+                else:
+                    exprs.append(F.expr(t.removesuffix(" ASC").strip()))
+            df = df.orderBy(*exprs)
+        return df
+    return None
 
 
 def run_local(sql: str, data_dir: str, spark=None, out=sys.stdout,
@@ -426,6 +483,22 @@ def run_local(sql: str, data_dir: str, spark=None, out=sys.stdout,
             elif up.startswith("ADD PROJECTION"):
                 from clickhouse_25_5_3_75_stable_spark.ddl import add_projection
 
+                nm = re.match(
+                    r"(?is)ADD\s+PROJECTION\s+(\w+)\s*\(\s*SELECT\s+\*\s+"
+                    r"ORDER\s+BY\s+(.+?)\s*\)\s*$",
+                    action,
+                )
+                if nm:
+                    from clickhouse_25_5_3_75_stable_spark.ddl import (
+                        add_normal_projection,
+                    )
+
+                    add_normal_projection(
+                        spark, data_dir, tname, nm.group(1),
+                        [k.strip() for k in nm.group(2).split(",")],
+                    )
+                    _emit([(tname, "Ok")], ["table", "status"], fmt, out)
+                    return 0
                 pm = re.match(
                     r"(?is)ADD\s+PROJECTION\s+(\w+)\s*\(\s*SELECT\s+(.+?)"
                     r"\s+GROUP\s+BY\s+(.+?)\s*\)\s*$",
@@ -434,7 +507,7 @@ def run_local(sql: str, data_dir: str, spark=None, out=sys.stdout,
                 if not pm:
                     raise ValueError(
                         "unsupported ADD PROJECTION shape (need "
-                        "(SELECT ... GROUP BY ...))"
+                        "(SELECT ... GROUP BY ...) or (SELECT * ORDER BY ...))"
                     )
                 keys = [k.strip() for k in pm.group(3).split(",")]
                 sums, minmaxs = [], []

@@ -586,6 +586,35 @@ def add_projection(
     save_table_def(base_dir, td)
 
 
+def add_normal_projection(
+    spark: SparkSession,
+    base_dir: str,
+    table: str,
+    proj_name: str,
+    order_keys: list[str],
+) -> None:
+    """Normal (reordering) projection: a range-partitioned, sorted copy
+    of the table (reference optimizeUseNormalProjection.cpp — a
+    projection part sorted by a different key). Parquet min/max on the
+    sort key then prunes files for WHERE predicates the base order
+    can't."""
+    td = load_table_def(base_dir, table)
+    if td is None:
+        raise ValueError(f"{table}: not a DDL-managed table")
+    if any(p["name"] == proj_name for p in td.projections):
+        raise ValueError(f"projection {proj_name!r} already exists on {table}")
+    df = spark.read.parquet(os.path.join(base_dir, table))
+    (df.repartitionByRange(*order_keys)
+       .sortWithinPartitions(*order_keys)
+       .write.mode("overwrite")
+       .parquet(_projection_path(base_dir, table, proj_name)))
+    td.projections.append({
+        "name": proj_name, "kind": "normal", "keys": list(order_keys),
+        "sums": [], "minmaxs": [],
+    })
+    save_table_def(base_dir, td)
+
+
 def drop_projection(base_dir: str, table: str, proj_name: str) -> None:
     import shutil
 
@@ -611,6 +640,12 @@ def materialize_projections(spark: SparkSession, base_dir: str, table: str) -> N
         return
     df = spark.read.parquet(os.path.join(base_dir, table))
     for p in td.projections:
+        if p.get("kind") == "normal":
+            (df.repartitionByRange(*p["keys"])
+               .sortWithinPartitions(*p["keys"])
+               .write.mode("overwrite")
+               .parquet(_projection_path(base_dir, table, p["name"])))
+            continue
         proj = build_aggregate_projection(df, p["keys"], p["sums"], p["minmaxs"])
         proj.write.mode("overwrite").parquet(
             _projection_path(base_dir, table, p["name"])
@@ -643,6 +678,8 @@ def match_projection(
         else:
             plain.append(item.split(" AS ")[0].strip())
     for p in td.projections:
+        if p.get("kind") == "normal":
+            continue
         keyset = set(p["keys"])
         if not set(group_keys) <= keyset:
             continue

@@ -584,3 +584,36 @@ def test_insert_from_infile(spark, tmp_path):
                      d, spark=spark, out=out) == 0
     got = sorted((r.k, r.v) for r in spark.table("dst").collect())
     assert got == [(1, "a"), (1, "a"), (2, "b"), (2, "b")]
+
+
+def test_normal_projection_routing(spark, tmp_path):
+    """Normal (ORDER BY) projection: WHERE on the projection's leading
+    sort key reads the sorted copy (inputFiles point into the
+    projection dir) with the predicate pushed; values identical to the
+    base table."""
+    import io
+
+    from clickhouse_25_5_3_75_stable_spark.__main__ import (
+        _route_projection,
+        run_local,
+    )
+
+    d = str(tmp_path)
+    out = io.StringIO()
+    run_local("CREATE TABLE np (k Int64, s String) ENGINE = MergeTree ORDER BY s",
+              d, spark=spark, out=out)
+    run_local("INSERT INTO np VALUES " + ", ".join(
+        f"({i}, 'v{i % 7}')" for i in range(100)), d, spark=spark, out=out)
+    run_local("ALTER TABLE np ADD PROJECTION byk (SELECT * ORDER BY k)",
+              d, spark=spark, out=out)
+
+    q = "SELECT k, s FROM np WHERE k >= 90 ORDER BY k"
+    routed = _route_projection(spark, d, q)
+    assert routed is not None
+    assert all("_projection_byk" in f for f in routed.inputFiles())
+    assert [r.k for r in routed.collect()] == list(range(90, 100))
+    plan = routed._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "GreaterThanOrEqual(k,90)" in plan
+
+    # WHERE off the sort prefix: no routing
+    assert _route_projection(spark, d, "SELECT k FROM np WHERE s = 'v1'") is None
