@@ -409,6 +409,15 @@ def run_local(sql: str, data_dir: str, spark=None, out=sys.stdout,
                     clauses.append(f"PARTITION BY {td.partition_by}")
                 if td.ttl:
                     clauses.append(f"TTL {td.ttl}")
+                for pr in td.projections:
+                    if pr.get("kind") == "normal":
+                        body = "SELECT * ORDER BY " + ", ".join(pr["keys"])
+                    else:
+                        aggs = [f"sum({c})" for c in pr["sums"]] + [
+                            f"min({c}), max({c})" for c in pr["minmaxs"]]
+                        body = ("SELECT " + ", ".join(pr["keys"] + aggs)
+                                + " GROUP BY " + ", ".join(pr["keys"]))
+                    clauses.append(f"PROJECTION {pr['name']} ({body})")
                 stmt = (
                     f"CREATE TABLE {tname}\n(\n    {cols}\n) " + "\n".join(clauses)
                 )

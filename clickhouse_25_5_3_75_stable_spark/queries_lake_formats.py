@@ -635,3 +635,54 @@ def chsql_with_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "GROUP BY r ORDER BY r WITH FILL FROM 0 TO 10 INTERPOLATE (n)",
         sf_dir,
     )
+
+
+@register(
+    "storage_projection_auto_route",
+    oracle=(
+        "SELECT CAST(n_regionkey AS BIGINT) AS r, "
+        "CAST(SUM(n_nationkey) AS BIGINT) AS sk, "
+        "CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM nation GROUP BY 1"
+    ),
+    bucket="light",
+    tags=("storage", "projection"),
+)
+def storage_projection_auto_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Automatic aggregate-projection routing end-to-end: a DDL table
+    built from nation gets an ADD PROJECTION, and the GROUP BY is
+    answered from the stored partial states (the query RAISES if the
+    router declines, so the gate covers the routing math, not a
+    fallback scan). Reference: optimizeUseAggregateProjection.cpp."""
+    import io
+
+    from clickhouse_25_5_3_75_stable_spark.__main__ import (
+        _route_projection,
+        run_local,
+    )
+
+    d = tempfile.mkdtemp(prefix="chspark_proj_")
+    sink = io.StringIO()
+    run_local(
+        "CREATE TABLE pnation (n_nationkey Int64, n_name String, "
+        "n_regionkey Int64) ENGINE = MergeTree ORDER BY n_nationkey",
+        d, spark=spark, out=sink,
+    )
+    values = ", ".join(
+        f"({r['n_nationkey']}, '{r['n_name']}', {r['n_regionkey']})"
+        for r in _nation_pydict(sf_dir)
+    )
+    run_local(f"INSERT INTO pnation VALUES {values}", d, spark=spark, out=sink)
+    run_local(
+        "ALTER TABLE pnation ADD PROJECTION by_region "
+        "(SELECT n_regionkey, sum(n_nationkey) GROUP BY n_regionkey)",
+        d, spark=spark, out=sink,
+    )
+    routed = _route_projection(
+        spark, d,
+        "SELECT n_regionkey AS r, sum(n_nationkey) AS sk, count() AS n "
+        "FROM pnation GROUP BY n_regionkey",
+    )
+    if routed is None:
+        raise RuntimeError("projection router declined a covered GROUP BY")
+    return routed
