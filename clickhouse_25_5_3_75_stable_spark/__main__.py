@@ -799,6 +799,20 @@ def run_local(sql: str, data_dir: str, spark=None, out=sys.stdout,
             _emit([(tname, "Ok")], ["table", "status"], fmt, out)
             return 0
 
+        if kw == "DELETE":
+            # lightweight DELETE statement (reference
+            # InterpreterDeleteQuery.cpp: DELETE FROM t WHERE p) — same
+            # visible semantics as the mutation; copy-on-write here
+            # (parquet has no in-place mask write)
+            from clickhouse_25_5_3_75_stable_spark.ddl import mutate_table
+
+            dm = re.match(r"(?is)^\s*DELETE\s+FROM\s+(\w+)\s+WHERE\s+(.+?);?\s*$",
+                          sql)
+            if not dm:
+                raise ValueError("unsupported DELETE shape (need DELETE FROM t WHERE p)")
+            mutate_table(spark, data_dir, dm.group(1), "delete", dm.group(2))
+            _emit([(dm.group(1), "Ok")], ["table", "status"], fmt, out)
+            return 0
         if kw == "SET":
             import re as _re
 
