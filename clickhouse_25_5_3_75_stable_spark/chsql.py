@@ -168,6 +168,18 @@ _RENAMES = {
     "tostartofminute": "tostartofminute__",
     "datediff": "datediff",
     "concatwithseparator": "concat_ws",
+    # round-5 encoding/curve long tail (functions/encodings.py UDFs;
+    # variadic → fixed-arity ch_* shim rewrites)
+    "mortonencode": "mortonencode__",
+    "mortondecode": "mortondecode__",
+    "hilbertencode": "hilbertencode__",
+    "hilbertdecode": "hilbertdecode__",
+    "bitslice": "bitslice__",
+    "encrypt": "aescrypt__ch_encrypt",
+    "decrypt": "aescrypt__ch_decrypt",
+    "trydecrypt": "aescrypt__ch_try_decrypt",
+    "aes_encrypt_mysql": "aescrypt__ch_aes_encrypt_mysql",
+    "aes_decrypt_mysql": "aescrypt__ch_aes_decrypt_mysql",
     "splitbychar": "splitbychar__",
     "splitbystring": "splitbystring__",
     "range": "range__",
@@ -942,6 +954,22 @@ def _split_args(toks: list[str], open_i: int, close_i: int) -> list[list[str]]:
     return args
 
 
+def _literal_int_tuple(arg: list[str]) -> list[int] | None:
+    """Parse a literal parenthesized int tuple like (1, 2) from
+    rewritten tokens; None when the arg is anything else."""
+    if len(arg) < 3 or arg[0] != "(" or arg[-1] != ")":
+        return None
+    vals: list[int] = []
+    for t2 in arg[1:-1]:
+        if t2 == ",":
+            continue
+        try:
+            vals.append(int(t2))
+        except ValueError:
+            return None
+    return vals or None
+
+
 def _rewrite_functions(toks: list[str]) -> list[str]:
     out: list[str] = []
     i = 0
@@ -1228,6 +1256,65 @@ def _rewrite_functions(toks: list[str]) -> list[str]:
             out += ["sequence", "(", "1", ",", "size", "(", *args[0], ")", ")"]
         elif new == "identity__":  # type-annotation no-ops
             out += ["(", *args[0], ")"]
+        elif new in ("mortonencode__", "hilbertencode__"):
+            # mortonEncode(a, b, ...) / mortonEncode((r1, r2), a, b)
+            # (src/Functions/mortonEncode.cpp, hilbertEncode.cpp) —
+            # the range-mask must be a literal parenthesized tuple,
+            # exactly the reference's constant-tuple requirement
+            fn = ("ch_morton_encode" if new == "mortonencode__"
+                  else "ch_hilbert_encode")
+            ratios = _literal_int_tuple(args[0]) if len(args) > 1 else None
+            vals = args[1:] if ratios is not None else args
+            if ratios is not None:
+                rat = ["array", "(",
+                       *sum(([str(r), ","] for r in ratios), [])[:-1], ")"]
+            else:
+                rat = ["CAST", "(", "NULL", "AS", "ARRAY<INT>", ")"]
+            out += [fn, "(", *rat, ",", "array", "("]
+            for k, a in enumerate(vals):
+                if k:
+                    out.append(",")
+                out += ["CAST", "(", *a, "AS", "BIGINT", ")"]
+            out += [")", ")"]
+        elif new in ("mortondecode__", "hilbertdecode__"):
+            # mortonDecode(n, code) / mortonDecode((r1, r2), code):
+            # the first argument must be a literal count or tuple —
+            # it fixes the OUTPUT TYPE (tuple arity), which cannot be
+            # data-dependent (same rule as the reference)
+            fn = ("ch_morton_decode" if new == "mortondecode__"
+                  else "ch_hilbert_decode")
+            ratios = _literal_int_tuple(args[0])
+            if ratios is None:
+                try:
+                    n = int("".join(args[0]))
+                except ValueError:
+                    raise ChSqlError(
+                        f"{tk}: the first argument must be a literal "
+                        "dimension count or a literal range-mask tuple"
+                    ) from None
+                ratios = [1 if new == "mortondecode__" else 0] * n
+            out += [fn, "(", "array", "(",
+                    *sum(([str(r), ","] for r in ratios), [])[:-1], ")",
+                    ",", "CAST", "(", *args[1], "AS", "BIGINT", ")", ")"]
+        elif new == "bitslice__":
+            # bitSlice(s, offset[, length]) — NULL length = unbounded
+            ln = args[2] if len(args) == 3 else ["NULL"]
+            out += ["ch_bitslice", "(", "CAST", "(", *args[0], "AS", "BINARY",
+                    ")", ",", "CAST", "(", *args[1], "AS", "BIGINT", ")", ",",
+                    "CAST", "(", *ln, "AS", "BIGINT", ")", ")"]
+        elif new.startswith("aescrypt__"):
+            # encrypt(mode, input, key[, iv[, aad]]) → uniform 5-arg
+            # UDF; the optional iv/aad pad with NULL (zero-IV / no-AAD
+            # semantics live in functions/aescrypto.py)
+            fn = new[len("aescrypt__"):]
+            max_args = 4 if "mysql" in fn else 5  # MySQL family: no AAD
+            if not 3 <= len(args) <= max_args:
+                raise ChSqlError(f"{tk}: expected 3-{max_args} arguments")
+            out += [fn, "(", "CAST", "(", *args[0], "AS", "STRING", ")"]
+            for k in range(1, 5):
+                a = args[k] if k < len(args) else ["NULL"]
+                out += [",", "CAST", "(", *a, "AS", "BINARY", ")"]
+            out.append(")")
         elif new.startswith("binop__"):  # functional arithmetic forms
             op = new[len("binop__"):]
             out += ["(", "(", *args[0], ")", op, "(", *args[1], ")", ")"]

@@ -946,7 +946,63 @@ _reg("murmurHash3_128")(_murmur3_128)
 _reg("sipHash128Keyed", "sipHash128ReferenceKeyed")(
     lambda *cs: F.md5(F.concat_ws("\x01", *[_c(c).cast("string") for c in cs]))
 )
-_reg("CRC32IEEE")(lambda c: F.crc32(_c(c).cast("binary")))
+# encoding / checksum / space-filling-curve long tail — EXACT since
+# round 5 (functions/encodings.py; reference src/Functions/CRC.cpp,
+# base58Encode.cpp, base32Encode.cpp, mortonEncode.cpp,
+# hilbertEncode.cpp, bitSlice.cpp). CRC32IEEE = reflected 0xedb88320,
+# init 0, NO xorout (differs from zlib CRC32, which stays JVM-native).
+def _enc(name):
+    def wrap(*cs):
+        from clickhouse_25_5_3_75_stable_spark.functions import encodings as _em
+
+        return getattr(_em, name)(*cs)
+
+    return wrap
+
+
+_reg("CRC32IEEE")(_enc("crc32_ieee"))
+_reg("CRC64")(_enc("crc64"))
+_reg("SHA512_256")(_enc("sha512_256"))
+_reg("RIPEMD160")(_enc("ripemd160"))
+_reg("keccak256")(_enc("keccak256"))
+_reg("base58Encode")(_enc("base58_encode"))
+_reg("base58Decode")(_enc("base58_decode"))
+_reg("tryBase58Decode")(_enc("try_base58_decode"))
+_reg("base32Encode")(_enc("base32_encode"))
+_reg("base32Decode")(_enc("base32_decode"))
+_reg("tryBase32Decode")(_enc("try_base32_decode"))
+_reg("mortonEncode")(_enc("morton_encode"))
+_reg("mortonDecode")(_enc("morton_decode"))
+_reg("hilbertEncode")(_enc("hilbert_encode"))
+_reg("hilbertDecode")(_enc("hilbert_decode"))
+_reg("bitSlice")(_enc("bit_slice"))
+_reg("normalizeUTF8NFC")(_enc("normalize_utf8_nfc"))
+_reg("normalizeUTF8NFD")(_enc("normalize_utf8_nfd"))
+_reg("normalizeUTF8NFKC")(_enc("normalize_utf8_nfkc"))
+_reg("normalizeUTF8NFKD")(_enc("normalize_utf8_nfkd"))
+_reg("punycodeEncode")(_enc("punycode_encode"))
+_reg("punycodeDecode")(_enc("punycode_decode"))
+_reg("tryPunycodeDecode")(_enc("try_punycode_decode"))
+_reg("idnaEncode")(_enc("idna_encode"))
+_reg("tryIdnaEncode")(_enc("try_idna_encode"))
+_reg("idnaDecode")(_enc("idna_decode"))
+_reg("convertCharset")(_enc("convert_charset"))
+
+
+def _aes(name):
+    def wrap(*cs):
+        from clickhouse_25_5_3_75_stable_spark.functions import aescrypto as _am
+
+        return getattr(_am, name)(*cs)
+
+    return wrap
+
+
+_reg("encrypt")(_aes("encrypt"))
+_reg("decrypt")(_aes("decrypt"))
+_reg("tryDecrypt")(_aes("try_decrypt"))
+_reg("aes_encrypt_mysql")(_aes("aes_encrypt_mysql"))
+_reg("aes_decrypt_mysql")(_aes("aes_decrypt_mysql"))
 def _jump_ch(key, n):
     # EXACT Lamping-Veach jump hash (jumpConsistentHash.cpp:11 — the
     # published arXiv:1406.2294 algorithm over the integer key value)
@@ -965,7 +1021,7 @@ _reg("kostikConsistentHash", "yandexConsistentHash")(
 _reg("SHA1")(lambda c: F.unhex(F.sha1(_c(c).cast("binary"))))
 _reg("SHA224")(lambda c: F.unhex(F.sha2(_c(c).cast("binary"), 224)))
 _reg("SHA384")(lambda c: F.unhex(F.sha2(_c(c).cast("binary"), 384)))
-_reg("MD4")(lambda c: F.unhex(F.md5(_c(c).cast("binary"))))  # capability: 128-bit digest
+_reg("MD4")(_enc("md4"))  # EXACT RFC 1320 since round 5 (encodings.md4_py)
 
 # ---------------------------------------------------------------------------
 # Encodings (base64URL*.cpp, FunctionsBinaryRepresentation.cpp)
@@ -1332,17 +1388,17 @@ def _excl(names, why):
         CH_FUNCTIONS_EXCLUDED[n] = why
 
 
-_excl(["aes_encrypt_mysql", "aes_decrypt_mysql", "encrypt", "decrypt", "tryDecrypt"],
-      "OpenSSL modes beyond Spark aes_encrypt/aes_decrypt GCM surface")
-_excl(["BLAKE3", "RIPEMD160", "keccak256", "SHA512_256", "CRC64"],
-      "digest algorithms absent from the JVM runtime")
-_excl(["base32Encode", "base32Decode", "tryBase32Decode", "base58Encode", "base58Decode",
-       "tryBase58Decode"],
-      "non-64 base alphabets: no JVM builtin; python UDF path if demanded")
-_excl(["idnaEncode", "idnaDecode", "tryIdnaEncode", "punycodeEncode", "punycodeDecode",
-       "tryPunycodeDecode", "convertCharset", "normalizeUTF8NFC", "normalizeUTF8NFD",
-       "normalizeUTF8NFKC", "normalizeUTF8NFKD"],
-      "ICU text transforms (icu4j not shipped)")
+# encrypt/decrypt family — EXACT since round 5 (functions/aescrypto.py
+# over the cryptography package = the same OpenSSL EVP primitives the
+# reference wraps; CBC output verified byte-for-byte against the
+# openssl CLI, GCM tag-append per RFC 5116, MySQL key folding per
+# foldEncryptionKeyInMySQLCompatitableMode)
+_excl(["BLAKE3"],
+      "BLAKE3 tree-mode digest: no JVM/OpenSSL provider in this runtime "
+      "(RIPEMD160/SHA512_256/keccak256/CRC64 are EXACT — functions/encodings.py)")
+# ICU text-transform tier — EXACT since round 5 via the Python
+# runtime's own Unicode machinery (functions/encodings.py: unicodedata
+# normalization, RFC 3492 punycode codec, UTS-46 idna package)
 _excl(["addressToLine", "addressToLineWithInlines", "addressToSymbol", "demangle",
        "trap", "logTrace", "coverageAll", "coverageCumulative", "coverageCurrent",
        "getFuzzerData", "hasThreadFuzzer", "dumpColumnStructure", "errorCodeToName",
@@ -1370,8 +1426,6 @@ _excl(["in", "notIn", "nullIn", "notNullIn", "inIgnoreSet", "notInIgnoreSet",
        "UNKNOWN", "Zero", "1"],
       "parser-internal lowering targets (Catalyst handles IN/CASE natively)")
 _excl(["kql_array_sort_asc2"], "unused placeholder")
-_excl(["bitSlice", "mortonEncode", "mortonDecode", "hilbertEncode", "hilbertDecode"],
-      "sub-byte bit addressing / space-filling curves: UDF path if demanded")
 
 # ---------------------------------------------------------------------------
 # Variant fan-out: UTF8 variants are identical under Spark's Unicode

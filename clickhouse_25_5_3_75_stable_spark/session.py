@@ -218,6 +218,33 @@ def register_sql_udfs(spark: SparkSession) -> None:
         "RETURNS BIGINT RETURN CAST(conv(s, 16, 10) AS BIGINT)"
     )
 
+    # round-5 encoding/checksum/curve long tail (functions/encodings.py).
+    # Fixed-arity names register directly; the variadic curve + bitSlice
+    # surfaces go through ch_* shims the chsql rewriter targets
+    # (mortonEncode(a,b) → ch_morton_encode(NULL, array(a,b)) etc).
+    from clickhouse_25_5_3_75_stable_spark.functions import encodings as _enc
+
+    for sql_name in ("base58Encode", "base58Decode", "tryBase58Decode",
+                     "base32Encode", "base32Decode", "tryBase32Decode",
+                     "CRC32IEEE", "CRC64", "SHA512_256", "RIPEMD160",
+                     "keccak256", "ch_morton_encode", "ch_morton_decode",
+                     "ch_hilbert_encode", "ch_hilbert_decode", "ch_bitslice",
+                     "normalizeUTF8NFC", "normalizeUTF8NFD",
+                     "normalizeUTF8NFKC", "normalizeUTF8NFKD",
+                     "punycodeEncode", "punycodeDecode", "tryPunycodeDecode",
+                     "idnaEncode", "tryIdnaEncode", "idnaDecode",
+                     "convertCharset", "MD4"):
+        spark.udf.register(sql_name, _enc.enc_udf(sql_name))
+
+    # encrypt/decrypt family (functions/aescrypto.py); the chsql
+    # rewriter pads the optional iv/aad args with NULL to match the
+    # uniform 5-arg UDF shape
+    from clickhouse_25_5_3_75_stable_spark.functions import aescrypto as _aesm
+
+    for sql_name in ("ch_encrypt", "ch_decrypt", "ch_try_decrypt",
+                     "ch_aes_encrypt_mysql", "ch_aes_decrypt_mysql"):
+        spark.udf.register(sql_name, _aesm.aes_udf(sql_name))
+
 
 def tag_query(spark: SparkSession, query_id: str, description: str = "") -> None:
     """Tag subsequent actions on this thread with a query id — the
