@@ -1263,6 +1263,8 @@ def _rewrite_functions(toks: list[str]) -> list[str]:
             # exactly the reference's constant-tuple requirement
             fn = ("ch_morton_encode" if new == "mortonencode__"
                   else "ch_hilbert_encode")
+            if not args:
+                raise ChSqlError(f"{tk}: expected at least one argument")
             ratios = _literal_int_tuple(args[0]) if len(args) > 1 else None
             vals = args[1:] if ratios is not None else args
             if ratios is not None:
@@ -1283,6 +1285,8 @@ def _rewrite_functions(toks: list[str]) -> list[str]:
             # data-dependent (same rule as the reference)
             fn = ("ch_morton_decode" if new == "mortondecode__"
                   else "ch_hilbert_decode")
+            if len(args) != 2:
+                raise ChSqlError(f"{tk}: expected exactly two arguments")
             ratios = _literal_int_tuple(args[0])
             if ratios is None:
                 try:
@@ -1298,6 +1302,8 @@ def _rewrite_functions(toks: list[str]) -> list[str]:
                     ",", "CAST", "(", *args[1], "AS", "BIGINT", ")", ")"]
         elif new == "bitslice__":
             # bitSlice(s, offset[, length]) — NULL length = unbounded
+            if not 2 <= len(args) <= 3:
+                raise ChSqlError(f"{tk}: expected 2-3 arguments")
             ln = args[2] if len(args) == 3 else ["NULL"]
             out += ["ch_bitslice", "(", "CAST", "(", *args[0], "AS", "BINARY",
                     ")", ",", "CAST", "(", *args[1], "AS", "BIGINT", ")", ",",

@@ -522,3 +522,24 @@ def test_format_datetime_fuzz(ctx2, p):
         f"SELECT k, strftime(ts, '{duck_fmt}') AS v FROM prop_ts ORDER BY k"
     ).fetchall()
     assert got == [tuple(w) for w in want], f"CH: {ch_fmt} DUCK: {duck_fmt}"
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    fn=st.sampled_from(["mortonEncode", "mortonDecode", "hilbertEncode",
+                        "hilbertDecode", "bitSlice", "encrypt", "decrypt",
+                        "tryDecrypt", "aes_encrypt_mysql", "aes_decrypt_mysql"]),
+    args=st.lists(
+        st.sampled_from(["1", "(1,2)", "(1, 'a')", "x", "''", "'abc'",
+                         "(x)", "NULL", "-3", "(1,2,3)", "()", ".5"]),
+        min_size=0, max_size=6,
+    ),
+)
+def test_round5_rewrites_never_crash(fn, args):
+    """The round-5 structural handlers (curve/bitSlice/AES arg
+    padding, _literal_int_tuple) must refuse cleanly on any arg shape,
+    never die with an internal error."""
+    try:
+        ch_sql_to_spark(f"SELECT {fn}({', '.join(args)}) AS r")
+    except (ChSqlError, ValueError):
+        pass
