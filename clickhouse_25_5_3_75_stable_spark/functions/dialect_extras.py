@@ -1022,6 +1022,7 @@ _reg("SHA1")(lambda c: F.unhex(F.sha1(_c(c).cast("binary"))))
 _reg("SHA224")(lambda c: F.unhex(F.sha2(_c(c).cast("binary"), 224)))
 _reg("SHA384")(lambda c: F.unhex(F.sha2(_c(c).cast("binary"), 384)))
 _reg("MD4")(_enc("md4"))  # EXACT RFC 1320 since round 5 (encodings.md4_py)
+_reg("BLAKE3")(_enc("blake3"))  # EXACT spec transcription since round 5
 
 # ---------------------------------------------------------------------------
 # Encodings (base64URL*.cpp, FunctionsBinaryRepresentation.cpp)
@@ -1393,9 +1394,10 @@ def _excl(names, why):
 # reference wraps; CBC output verified byte-for-byte against the
 # openssl CLI, GCM tag-append per RFC 5116, MySQL key folding per
 # foldEncryptionKeyInMySQLCompatitableMode)
-_excl(["BLAKE3"],
-      "BLAKE3 tree-mode digest: no JVM/OpenSSL provider in this runtime "
-      "(RIPEMD160/SHA512_256/keccak256/CRC64 are EXACT — functions/encodings.py)")
+# BLAKE3 — EXACT since round 5 (functions/encodings.py blake3_py, a
+# spec transcription; compression function confirmed bit-for-bit on a
+# published digest, tree shape dual-checked against the official
+# incremental-stack construction in tests/test_encodings.py)
 # ICU text-transform tier — EXACT since round 5 via the Python
 # runtime's own Unicode machinery (functions/encodings.py: unicodedata
 # normalization, RFC 3492 punycode codec, UTS-46 idna package)

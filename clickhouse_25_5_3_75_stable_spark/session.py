@@ -233,7 +233,7 @@ def register_sql_udfs(spark: SparkSession) -> None:
                      "normalizeUTF8NFKC", "normalizeUTF8NFKD",
                      "punycodeEncode", "punycodeDecode", "tryPunycodeDecode",
                      "idnaEncode", "tryIdnaEncode", "idnaDecode",
-                     "convertCharset", "MD4"):
+                     "convertCharset", "MD4", "BLAKE3"):
         spark.udf.register(sql_name, _enc.enc_udf(sql_name))
 
     # encrypt/decrypt family (functions/aescrypto.py); the chsql

@@ -330,3 +330,53 @@ def test_keccak256_reference_doc_vector():
     from clickhouse_25_5_3_75_stable_spark.functions.encodings import keccak256_py
     assert keccak256_py(b"hello").hex() == (
         "1c8aff950685c2ed4bc3174f3472287b56d9517b9c948127319a09a7a36deac8")
+
+
+# ---------------------------------------------------------------------------
+# BLAKE3 — spec transcription (FunctionsStringHashFixedString.cpp wraps
+# llvm::BLAKE3; no provider in this runtime)
+# ---------------------------------------------------------------------------
+
+def test_blake3_published_digests():
+    from clickhouse_25_5_3_75_stable_spark.functions.encodings import blake3_py
+    # the two widely published BLAKE3 digests
+    assert blake3_py(b"").hex() == (
+        "af1349b9f5f9a1a6a0404dea36dcc9499bcb25c9adc112b7cc9a93cae41f3262")
+    assert blake3_py(b"hello world").hex() == (
+        "d74981efa70a0c880b8d8c1985d075dbcbf679b99a5f9914e5aaf96b831a9e24")
+    # block/chunk boundary smoke: 64/65/1024/1025 all distinct & stable
+    outs = {n: blake3_py(b"q" * n) for n in (63, 64, 65, 1023, 1024, 1025)}
+    assert len({v for v in outs.values()}) == 6
+
+
+def test_blake3_tree_shape_dual_construction():
+    """The recursive largest-power-of-two split in blake3_py must agree
+    with the official incremental construction (eager trailing-zeros
+    merges for all but the final chunk; the final chunk then folds the
+    stack top-down with ROOT only on the last merge) — two independent
+    derivations of the same published tree."""
+    from clickhouse_25_5_3_75_stable_spark.functions.encodings import (
+        _b3_chunk_cv,
+        _b3_parent,
+        blake3_py,
+    )
+
+    def stack_blake3(data: bytes) -> bytes:
+        chunks = [data[i:i + 1024] for i in range(0, len(data), 1024)]
+        stack = []
+        for i, c in enumerate(chunks[:-1]):
+            cv = _b3_chunk_cv(c, i, False)
+            total = i + 1
+            while total & 1 == 0:
+                cv = _b3_parent(stack.pop(), cv, False)
+                total >>= 1
+            stack.append(cv)
+        cv = _b3_chunk_cv(chunks[-1], len(chunks) - 1, False)
+        while stack:
+            cv = _b3_parent(stack.pop(), cv, is_root=not stack)
+        return b"".join(w.to_bytes(4, "little") for w in cv)
+
+    for n_chunks in (2, 3, 4, 5, 7, 8, 9, 16, 33, 70):
+        data = bytes(range(251)) * ((n_chunks * 1024) // 251 + 1)
+        data = data[:n_chunks * 1024 - 7]  # ragged tail
+        assert blake3_py(data) == stack_blake3(data), n_chunks
