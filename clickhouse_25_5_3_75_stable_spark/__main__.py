@@ -857,6 +857,12 @@ def run_local(sql: str, data_dir: str, spark=None, out=sys.stdout,
         from clickhouse_25_5_3_75_stable_spark.chsql import extract_into_outfile
 
         t0 = _time.perf_counter()
+        # dialect routing (reference executeQuery.cpp:1044: the kusto
+        # parser takes over when SET dialect = 'kusto')
+        if spark.conf.get("spark.chsql.dialect", "clickhouse") == "kusto":
+            from clickhouse_25_5_3_75_stable_spark.kql import kql_to_chsql
+
+            sql = kql_to_chsql(sql)
         sql, outfile = extract_into_outfile(sql)
         sql = _resolve_final(spark, data_dir, sql)
         # ch_sql (not the bare transpiler): honors SETTINGS, executes

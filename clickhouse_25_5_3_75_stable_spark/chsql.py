@@ -464,6 +464,8 @@ _KNOWN_SETTINGS = {
     "max_memory_usage",        # advisory: executor memory is cluster conf
     "max_execution_time",      # advisory: no per-query timeout in Spark SQL
     "allow_experimental_analyzer",  # accepted no-op (Catalyst always on)
+    "dialect",                 # 'clickhouse' (default) | 'kusto' (kql.py)
+    "allow_experimental_kusto_dialect",  # accepted (subset always available)
     "insert_deduplicate",      # covered by streaming stream_dedup
     "optimize_read_in_order",  # Catalyst decides; accepted no-op
 }
@@ -497,6 +499,13 @@ def apply_settings(spark, settings: dict[str, str]):
                     f"result_overflow_mode must be 'throw' or 'break', got {v!r}"
                 )
             set_conf("spark.chspark.resultOverflowMode", v)
+        elif name == "dialect":
+            if v not in ("clickhouse", "kusto", "prql"):
+                raise ChSqlError(f"unknown dialect {v!r}")
+            if v == "prql":
+                raise ChSqlError("dialect = 'prql' is not implemented "
+                                 "(MIGRATION.md: out of scope)")
+            set_conf("spark.chsql.dialect", v)
         elif name == "join_algorithm":
             prefer = v in ("full_sorting_merge", "partial_merge")
             set_conf("spark.sql.join.preferSortMergeJoin", str(prefer).lower())

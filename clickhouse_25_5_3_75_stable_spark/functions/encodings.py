@@ -697,7 +697,7 @@ def _b32_try_decode_fn(s: pd.Series) -> pd.Series:
         else:
             try:
                 out.append(base32_decode_py(str(v)))
-            except (ValueError, Exception):
+            except (ValueError, TypeError):
                 out.append(None)
     return pd.Series(out, dtype=object)
 

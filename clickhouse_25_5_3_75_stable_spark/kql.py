@@ -1,0 +1,664 @@
+"""KQL (Kusto) dialect subset — the reference's experimental
+``dialect = 'kusto'`` surface (src/Interpreters/executeQuery.cpp:1044
+routes to src/Parsers/Kusto/ParserKQLStatement.h when
+``allow_experimental_kusto_dialect`` is on; operator inventory per
+src/Parsers/Kusto/KQL_ReleaseNote.md and the ParserKQL* files).
+
+Architecture: a pipeline transpiler — each ``|``-stage folds the
+accumulated query into a nested CH-SQL derived table, and the final
+text executes through the existing chsql shim (so the whole scalar
+function registry, ARRAY JOIN, EXCEPT, settings, and Catalyst
+optimization come for free; Catalyst collapses the nested projections).
+
+Supported tabular operators (ParserKQLQuery.cpp getOperator set):
+  where/filter, project, project-away, project-rename, extend,
+  summarize [by] (with the reference's alias rules), order by/sort by
+  (KQL default DESC), take/limit, top N by E [asc|desc], distinct,
+  count, mv-expand, print.
+
+Expression lowering (ParserKQLOperators.cpp semantics):
+  ==/!= (= case-sensitive), =~/!~ (case-insensitive via lower()),
+  contains/!contains (ci substring), contains_cs, has/!has (ci token),
+  has_cs, startswith/endswith (+cs/negated forms), matches regex,
+  in/!in/in~/!in~, between (x .. y), and/or/not, timespan literals
+  (1d/2h/30m/10s/100ms) as INTERVALs, ago()/now(), datetime(...),
+  bin(x, n) for numbers (floor division) and timespans
+  (toStartOfInterval), iif/iff, strcat, strlen, countof, 0-based
+  substring, split (arg swap), tostring/tolong/toint/todouble/
+  todatetime casts, dcount -> exact COUNT DISTINCT (documented:
+  the reference's KQL dcount is also count-distinct-tier), arg_max/
+  arg_min (arg swap), make_list/make_set -> groupArray/groupUniqArray,
+  countif/sumif/avgif/minif/maxif -> CH -If combinators.
+
+Summarize output naming follows the reference's fixed rules
+(KQL_ReleaseNote.md "Summarize should generate alias"):
+  count()            -> count_
+  count(Age)         -> count_Age
+  count(Age + 1)     -> count_
+  by bin(Age, 10)    -> Age
+  by <expression>    -> Columns1..N
+  alias = anything   -> alias
+
+Out of scope (documented): join/union/lookup/make-series/mv-apply
+stages, the dynamic() literal type, parse/scan operators — the
+refusal names the stage. KQL ``order by`` null placement (asc = nulls
+first) follows CH/our NULLS LAST instead; divergence documented here.
+"""
+
+from __future__ import annotations
+
+import re
+
+from clickhouse_25_5_3_75_stable_spark.chsql import ChSqlError
+
+# ---------------------------------------------------------------------------
+# tokenizer
+# ---------------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(
+    r"""
+    '(?:[^'\\]|\\.)*'
+  | "(?:[^"\\]|\\.)*"
+  | !in~|in~(?![\w])|!in\b
+  | !contains_cs|!contains|!has_cs|!has|!startswith|!endswith
+  | \d+(?:\.\d+)?(?:ms|d|h|m|s)\b   # timespan literal
+  | [A-Za-z_][A-Za-z0-9_]*
+  | \d+\.\d+ | \d+
+  | ==|!=|<=|>=|=~|!~|\.\.
+  | [-+*/%(),=<>\[\]{}.]
+    """,
+    re.X,
+)
+
+_TIMESPAN_UNITS = {
+    "d": "DAY", "h": "HOUR", "m": "MINUTE", "s": "SECOND",
+    "ms": "MILLISECOND", "microsecond": "MICROSECOND",
+}
+
+
+# unquoted datetime(2017-01-01 12:23:34) literals carry ':' which the
+# expression tokenizer doesn't know — quote them before tokenizing
+_DT_LITERAL_RE = re.compile(r"\bdatetime\s*\(\s*([^()']+?)\s*\)", re.IGNORECASE)
+
+
+def _tokenize(s: str) -> list[str]:
+    s = _DT_LITERAL_RE.sub(lambda m: f"datetime('{m.group(1)}')", s)
+    out, i = [], 0
+    while i < len(s):
+        if s[i].isspace():
+            i += 1
+            continue
+        m = _TOKEN_RE.match(s, i)
+        if not m:
+            raise ChSqlError(f"KQL: cannot tokenize at {s[i:i+20]!r}")
+        tok = m.group(0)
+        if tok.startswith('"'):  # KQL double-quoted string -> SQL single
+            body = tok[1:-1].replace("\\\"", '"').replace("'", "''")
+            tok = f"'{body}'"
+        out.append(tok)
+        i = m.end()
+    return out
+
+
+def _split_pipeline(text: str) -> list[str]:
+    stages, cur, depth, quote = [], [], 0, None
+    for ch_ in text:
+        if quote:
+            cur.append(ch_)
+            if ch_ == quote:
+                quote = None
+            continue
+        if ch_ in "'\"":
+            quote = ch_
+            cur.append(ch_)
+        elif ch_ in "([":
+            depth += 1
+            cur.append(ch_)
+        elif ch_ in ")]":
+            depth -= 1
+            cur.append(ch_)
+        elif ch_ == "|" and depth == 0:
+            stages.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch_)
+    stages.append("".join(cur).strip())
+    return [s for s in stages if s]
+
+
+# ---------------------------------------------------------------------------
+# expression lowering
+# ---------------------------------------------------------------------------
+
+_FN_RENAMES = {
+    "strcat": "concat", "iif": "if", "iff": "if", "strlen": "length",
+    "tolower": "lower", "toupper": "upper", "isnull": "isNull",
+    "isnotnull": "isNotNull", "isempty": "empty", "isnotempty": "notEmpty",
+    "tostring": "toString", "toint": "toInt32", "tolong": "toInt64",
+    "todouble": "toFloat64", "toreal": "toFloat64", "tobool": "toBool",
+    "todatetime": "parseDateTimeBestEffort", "countof": "countSubstrings",
+    "array_length": "length", "tolowercase": "lower", "touppercase": "upper",
+    "trim_start": "trimLeft", "trim_end": "trimRight",
+    "replace_string": "replaceAll", "indexof_kql_reserved": "",
+}
+
+_AGG_RENAMES = {
+    "count": "count", "sum": "sum", "avg": "avg", "min": "min", "max": "max",
+    "dcount": "uniqExact", "countif": "countIf", "sumif": "sumIf",
+    "avgif": "avgIf", "minif": "minIf", "maxif": "maxIf",
+    "make_list": "groupArray", "make_set": "groupUniqArray",
+    "stdev": "stddevSamp", "variance": "varSamp",
+}
+
+# every template must lower to a name the chsql shim can render to
+# Spark SQL TEXT (position->instr, match->rlike, startsWith/endsWith
+# -> Spark natives); Column-API-only CH variants don't resolve here
+_CMP_KEYWORDS = {
+    "contains": ("position(lower({l}), lower({r})) > 0", False),
+    "!contains": ("position(lower({l}), lower({r})) > 0", True),
+    "contains_cs": ("position({l}, {r}) > 0", False),
+    "!contains_cs": ("position({l}, {r}) > 0", True),
+    "startswith": ("startsWith(lower({l}), lower({r}))", False),
+    "!startswith": ("startsWith(lower({l}), lower({r}))", True),
+    "startswith_cs": ("startsWith({l}, {r})", False),
+    "endswith": ("endsWith(lower({l}), lower({r}))", False),
+    "!endswith": ("endsWith(lower({l}), lower({r}))", True),
+    "endswith_cs": ("endsWith({l}, {r})", False),
+}
+
+_HAS_KEYWORDS = {"has": (True, False), "!has": (True, True),
+                 "has_cs": (False, False), "!has_cs": (False, True)}
+
+_BOUNDARIES = {"and", "or", "not", "(", ","}
+_TS_RE = re.compile(r"^(\d+(?:\.\d+)?)(d|h|m|s|ms)$")
+
+
+def _is_timespan_pair(toks: list[str], i: int) -> str | None:
+    """number followed immediately by a bare unit ident got split by
+    the tokenizer only when written like `1 d`; the common `1d` form
+    tokenizes as ident-ish — handle both."""
+    t = toks[i]
+    m = _TS_RE.match(t)
+    if m:
+        return f"INTERVAL {m.group(1)} {_TIMESPAN_UNITS[m.group(2)]}"
+    return None
+
+
+def _take_primary(toks: list[str], i: int) -> tuple[str, int]:
+    """One operand starting at i: literal / ident / call / parened."""
+    if i >= len(toks):
+        raise ChSqlError("KQL: expected an operand")
+    t = toks[i]
+    if t == "(":
+        depth, j = 1, i + 1
+        while j < len(toks) and depth:
+            depth += toks[j] == "("
+            depth -= toks[j] == ")"
+            j += 1
+        return " ".join(toks[i:j]), j
+    if i + 1 < len(toks) and toks[i + 1] == "(" and re.match(r"^[A-Za-z_]", t):
+        depth, j = 1, i + 2
+        while j < len(toks) and depth:
+            depth += toks[j] == "("
+            depth -= toks[j] == ")"
+            j += 1
+        return " ".join(toks[i:j]), j
+    return t, i + 1
+
+
+def _lower_expr(toks: list[str]) -> str:
+    """Token-level KQL -> CH-SQL expression conversion."""
+    out: list[str] = []
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        low = t.lower()
+
+        ts = _is_timespan_pair(toks, i)
+        if ts is not None:
+            out.append(ts)
+            i += 1
+            continue
+
+        if t == "==":
+            out.append("=")
+            i += 1
+            continue
+        if t in ("=~", "!~"):
+            # ci equality: rewrite LHS (already emitted) and RHS
+            lhs = _pop_operand(out)
+            rhs, i2 = _take_primary(toks, i + 1)
+            rhs = _lower_expr(_tokenize(rhs))
+            op = "=" if t == "=~" else "!="
+            out.append(f"lower({lhs}) {op} lower({rhs})")
+            i = i2
+            continue
+        if low in _CMP_KEYWORDS:
+            tmpl, neg = _CMP_KEYWORDS[low]
+            lhs = _pop_operand(out)
+            rhs, i2 = _take_primary(toks, i + 1)
+            rhs = _lower_expr(_tokenize(rhs))
+            expr = tmpl.format(l=lhs, r=rhs)
+            out.append(f"NOT ({expr})" if neg else expr)
+            i = i2
+            continue
+        if low in _HAS_KEYWORDS:
+            # KQL has = whole-term match; needle must be a literal so
+            # the token-boundary regex can be built at transpile time
+            ci, neg = _HAS_KEYWORDS[low]
+            lhs = _pop_operand(out)
+            rhs, i2 = _take_primary(toks, i + 1)
+            if not (rhs.startswith("'") and rhs.endswith("'")):
+                raise ChSqlError("KQL has/has_cs subset needs a literal term")
+            needle = rhs[1:-1]
+            pat = re.escape(needle.lower() if ci else needle)
+            pat = pat.replace("'", "''")
+            subj = f"lower({lhs})" if ci else lhs
+            expr = f"match({subj}, '(^|[^a-zA-Z0-9_]){pat}($|[^a-zA-Z0-9_])')"
+            out.append(f"NOT ({expr})" if neg else expr)
+            i = i2
+            continue
+        if low == "matches" and i + 1 < len(toks) and toks[i + 1].lower() == "regex":
+            lhs = _pop_operand(out)
+            rhs, i2 = _take_primary(toks, i + 2)
+            out.append(f"match({lhs}, {rhs})")
+            i = i2
+            continue
+        if low in ("in~", "!in~"):
+            lhs = _pop_operand(out)
+            rhs, i2 = _take_primary(toks, i + 1)  # parenthesized list
+            items = [x.strip() for x in rhs[1:-1].split(",")]
+            lowered = ", ".join(f"lower({x})" for x in items)
+            op = "IN" if low == "in~" else "NOT IN"
+            out.append(f"lower({lhs}) {op} ({lowered})")
+            i = i2
+            continue
+        if low == "!in":
+            lhs = _pop_operand(out)
+            rhs, i2 = _take_primary(toks, i + 1)
+            out.append(f"{lhs} NOT IN {rhs}")
+            i = i2
+            continue
+        if low == "between":
+            # a between (x .. y)
+            lhs = _pop_operand(out)
+            rhs, i2 = _take_primary(toks, i + 1)
+            inner = rhs[1:-1]
+            if ".." not in inner:
+                raise ChSqlError("KQL between needs (lo .. hi)")
+            lo, hi = inner.split("..", 1)
+            out.append(f"{lhs} BETWEEN {_lower_expr(_tokenize(lo))} "
+                       f"AND {_lower_expr(_tokenize(hi))}")
+            i = i2
+            continue
+
+        if low == "ago" and i + 1 < len(toks) and toks[i + 1] == "(":
+            arg, i2 = _take_primary(toks, i + 1)
+            inner = _lower_expr(_tokenize(arg[1:-1]))
+            out.append(f"(now() - {inner})")
+            i = i2
+            continue
+        if low == "datetime" and i + 1 < len(toks) and toks[i + 1] == "(":
+            depth, j = 1, i + 2
+            while j < len(toks) and depth:
+                depth += toks[j] == "("
+                depth -= toks[j] == ")"
+                j += 1
+            literal = " ".join(toks[i + 2:j - 1]).strip()
+            if not (literal.startswith("'") and literal.endswith("'")):
+                literal = "'" + literal.replace(" - ", "-").replace(" :", ":") + "'"
+            out.append(f"parseDateTimeBestEffort({literal})")
+            i = j
+            continue
+        if low == "bin" and i + 1 < len(toks) and toks[i + 1] == "(":
+            depth, j = 1, i + 2
+            while j < len(toks) and depth:
+                depth += toks[j] == "("
+                depth -= toks[j] == ")"
+                j += 1
+            inner = toks[i + 2:j - 1]
+            # split on top-level comma
+            d2, cut = 0, None
+            for k, tt in enumerate(inner):
+                d2 += tt == "("
+                d2 -= tt == ")"
+                if tt == "," and d2 == 0:
+                    cut = k
+                    break
+            if cut is None:
+                raise ChSqlError("KQL bin(value, roundTo) needs two arguments")
+            val = _lower_expr(inner[:cut])
+            size_toks = inner[cut + 1:]
+            ts = _TS_RE.match(size_toks[0]) if len(size_toks) == 1 else None
+            if ts:
+                unit = _TIMESPAN_UNITS[ts.group(2)]
+                out.append(f"toStartOfInterval({val}, INTERVAL {ts.group(1)} {unit})")
+            else:
+                size = _lower_expr(size_toks)
+                out.append(f"(CAST(floor(({val}) / ({size})) AS BIGINT) * ({size}))")
+            i = j
+            continue
+        if low == "substring" and i + 1 < len(toks) and toks[i + 1] == "(":
+            depth, j = 1, i + 2
+            while j < len(toks) and depth:
+                depth += toks[j] == "("
+                depth -= toks[j] == ")"
+                j += 1
+            parts = _split_top_tokens(toks[i + 2:j - 1])
+            if len(parts) not in (2, 3):
+                raise ChSqlError("KQL substring(s, start[, len])")
+            s0 = _lower_expr(parts[0])
+            st = _lower_expr(parts[1])
+            if len(parts) == 3:
+                out.append(f"substring({s0}, ({st}) + 1, {_lower_expr(parts[2])})")
+            else:
+                out.append(f"substring({s0}, ({st}) + 1)")
+            i = j
+            continue
+        if low == "split" and i + 1 < len(toks) and toks[i + 1] == "(":
+            depth, j = 1, i + 2
+            while j < len(toks) and depth:
+                depth += toks[j] == "("
+                depth -= toks[j] == ")"
+                j += 1
+            parts = _split_top_tokens(toks[i + 2:j - 1])
+            if len(parts) != 2:
+                raise ChSqlError("KQL split(source, delimiter)")
+            out.append(f"splitByString({_lower_expr(parts[1])}, {_lower_expr(parts[0])})")
+            i = j
+            continue
+        if low in ("arg_max", "arg_min") and i + 1 < len(toks) and toks[i + 1] == "(":
+            depth, j = 1, i + 2
+            while j < len(toks) and depth:
+                depth += toks[j] == "("
+                depth -= toks[j] == ")"
+                j += 1
+            parts = _split_top_tokens(toks[i + 2:j - 1])
+            if len(parts) != 2:
+                raise ChSqlError(f"KQL {low}(maximized, returned) subset takes 2 args")
+            fn = "argMax" if low == "arg_max" else "argMin"
+            out.append(f"{fn}({_lower_expr(parts[1])}, {_lower_expr(parts[0])})")
+            i = j
+            continue
+        if low == "percentile" and i + 1 < len(toks) and toks[i + 1] == "(":
+            depth, j = 1, i + 2
+            while j < len(toks) and depth:
+                depth += toks[j] == "("
+                depth -= toks[j] == ")"
+                j += 1
+            parts = _split_top_tokens(toks[i + 2:j - 1])
+            if len(parts) != 2:
+                raise ChSqlError("KQL percentile(expr, p)")
+            p = _lower_expr(parts[1])
+            out.append(f"quantile({p} / 100.0)({_lower_expr(parts[0])})")
+            i = j
+            continue
+
+        if low in _FN_RENAMES and i + 1 < len(toks) and toks[i + 1] == "(":
+            out.append(_FN_RENAMES[low])
+            i += 1
+            continue
+        if low in _AGG_RENAMES and i + 1 < len(toks) and toks[i + 1] == "(":
+            out.append(_AGG_RENAMES[low])
+            i += 1
+            continue
+        if low in ("and", "or", "not"):
+            out.append(low.upper())
+            i += 1
+            continue
+        out.append(t)
+        i += 1
+    return _join_tokens(out)
+
+
+def _split_top_tokens(toks: list[str]) -> list[list[str]]:
+    parts, cur, depth = [], [], 0
+    for t in toks:
+        depth += t in "(["
+        depth -= t in ")]"
+        if t == "," and depth == 0:
+            parts.append(cur)
+            cur = []
+        else:
+            cur.append(t)
+    if cur:
+        parts.append(cur)
+    return parts
+
+
+def _join_tokens(toks: list[str]) -> str:
+    out = []
+    for k, t in enumerate(toks):
+        if k and t not in (",", ")", "(", ".") and out and out[-1][-1] not in "(.":
+            out.append(" ")
+        out.append(t)
+    return "".join(out)
+
+
+def _pop_operand(out: list[str]) -> str:
+    """Pull the trailing operand expression off the emitted-token list
+    (back to the nearest boolean boundary at depth 0)."""
+    depth = 0
+    k = len(out)
+    while k > 0:
+        t = out[k - 1]
+        if t == ")":
+            depth += 1
+        elif t == "(":
+            if depth == 0:
+                break
+            depth -= 1
+        elif depth == 0 and t.upper() in ("AND", "OR", "NOT", ","):
+            break
+        k -= 1
+    operand = " ".join(out[k:])
+    del out[k:]
+    if not operand:
+        raise ChSqlError("KQL: comparison operator with no left operand")
+    return operand
+
+
+# ---------------------------------------------------------------------------
+# stage handlers
+# ---------------------------------------------------------------------------
+
+def _named_items_raw(segment: str) -> list[tuple[str | None, str, list[str]]]:
+    """Split 'a = expr, b, c = expr' into (alias, lowered, raw_tokens)."""
+    toks = _tokenize(segment)
+    items = []
+    for part in _split_top_tokens(toks):
+        if len(part) >= 2 and part[1] == "=" and re.match(r"^[A-Za-z_]\w*$", part[0]):
+            items.append((part[0], _lower_expr(part[2:]), part[2:]))
+        else:
+            items.append((None, _lower_expr(part), part))
+    return items
+
+
+def _named_items(segment: str) -> list[tuple[str | None, str]]:
+    return [(a, e) for a, e, _raw in _named_items_raw(segment)]
+
+
+def _summarize(acc: str, body: str) -> str:
+    if re.search(r"\bby\b", body, re.IGNORECASE):
+        agg_part, by_part = re.split(r"\bby\b", body, maxsplit=1, flags=re.IGNORECASE)
+    else:
+        agg_part, by_part = body, ""
+    aggs = _named_items_raw(agg_part) if agg_part.strip() else []
+    bys = _named_items_raw(by_part) if by_part.strip() else []
+
+    sel, group, col_n = [], [], 0
+    for alias, expr, _raw in bys:
+        if alias is None:
+            m = re.match(r"^toStartOfInterval\s*\(\s*([A-Za-z_]\w*)\s*,", expr)
+            m2 = re.match(r"^\(CAST\(floor\(\(([A-Za-z_]\w*)\)", expr)
+            m3 = re.match(r"^[A-Za-z_]\w*$", expr)
+            if m3:
+                alias = expr
+            elif m:  # bin(col, timespan) -> col (reference alias rule)
+                alias = m.group(1)
+            elif m2:  # bin(col, n) -> col
+                alias = m2.group(1)
+            else:
+                col_n += 1
+                alias = f"Columns{col_n}"
+        sel.append(f"{expr} AS {alias}")
+        group.append(expr)
+    for alias, expr, raw in aggs:
+        if alias is None:
+            # alias from the RAW kql name (dcount(uid) -> dcount_uid,
+            # not the CH rename) — KQL_ReleaseNote.md alias rules
+            if (len(raw) >= 3 and raw[1] == "(" and raw[-1] == ")"
+                    and re.match(r"^[A-Za-z_]\w*$", raw[0])):
+                inner = raw[2:-1]
+                if not inner:
+                    alias = f"{raw[0]}_"
+                elif len(inner) == 1 and re.match(r"^[A-Za-z_]\w*$", inner[0]):
+                    alias = f"{raw[0]}_{inner[0]}"
+                else:
+                    alias = f"{raw[0]}_"
+            else:
+                fn = re.match(r"^([A-Za-z_]\w*)", expr)
+                alias = f"{fn.group(1)}_" if fn else "agg_"
+        sel.append(f"{expr} AS {alias}")
+    if not sel:
+        raise ChSqlError("KQL summarize: nothing to compute")
+    q = f"SELECT {', '.join(sel)} FROM ({acc})"
+    if group:
+        q += f" GROUP BY {', '.join(group)}"
+    return q
+
+
+def _order_items(body: str) -> str:
+    toks = _tokenize(body)
+    parts = _split_top_tokens(toks)
+    rendered = []
+    for p in parts:
+        direction = "DESC"  # KQL default
+        if p and p[-1].lower() in ("asc", "desc"):
+            direction = p[-1].upper()
+            p = p[:-1]
+        if p and p[-1].lower() in ("nulls",):
+            p = p[:-1]
+        rendered.append(f"{_lower_expr(p)} {direction}")
+    return ", ".join(rendered)
+
+
+def kql_to_chsql(text: str) -> str:
+    """Transpile a KQL pipeline into CH-SQL text for the chsql shim."""
+    stages = _split_pipeline(text.strip().rstrip(";"))
+    if not stages:
+        raise ChSqlError("KQL: empty query")
+
+    first = stages[0]
+    if re.match(r"^print\b", first, re.IGNORECASE):
+        items = _named_items(first[len("print"):])
+        sel = ", ".join(expr if alias is None else f"{expr} AS {alias}"
+                        for alias, expr in items)
+        acc = f"SELECT {sel}"
+        rest = stages[1:]
+    else:
+        m = re.match(r"^[A-Za-z_]\w*$", first)
+        if not m:
+            raise ChSqlError(
+                f"KQL: the pipeline must start with a table name or print, got {first!r}")
+        acc = f"SELECT * FROM {first}"
+        rest = stages[1:]
+
+    for stage in rest:
+        sm = re.match(r"^([a-z][a-z-]*)\s*(.*)$", stage, re.IGNORECASE | re.DOTALL)
+        if not sm:
+            raise ChSqlError(f"KQL: cannot parse stage {stage!r}")
+        op = sm.group(1).lower()
+        body = sm.group(2).strip()
+
+        if op in ("where", "filter"):
+            acc = f"SELECT * FROM ({acc}) WHERE {_lower_expr(_tokenize(body))}"
+        elif op == "project":
+            items = _named_items(body)
+            sel = ", ".join(expr if alias is None else f"{expr} AS {alias}"
+                            for alias, expr in items)
+            acc = f"SELECT {sel} FROM ({acc})"
+        elif op == "project-away":
+            cols = ", ".join(t.strip() for t in body.split(","))
+            acc = f"SELECT * EXCEPT ({cols}) FROM ({acc})"
+        elif op == "project-rename":
+            items = _named_items(body)
+            renames = [(a, e) for a, e in items if a is not None]
+            if len(renames) != len(items):
+                raise ChSqlError("KQL project-rename needs new = old pairs")
+            olds = ", ".join(e for _a, e in renames)
+            sel = ", ".join(f"{e} AS {a}" for a, e in renames)
+            acc = f"SELECT * EXCEPT ({olds}), {sel} FROM ({acc})"
+        elif op == "extend":
+            items = _named_items(body)
+            named = [(a, e) for a, e in items if a is not None]
+            if len(named) != len(items):
+                raise ChSqlError("KQL extend needs name = expr items")
+            # extend REPLACES same-named columns (KQL_ReleaseNote.md
+            # "extend doesn't replace existing columns" bugfix). The
+            # transpiler has no schema, so the replace form is emitted
+            # when the alias appears in its own expression (the column
+            # provably exists upstream); other aliases append. A
+            # non-self-referential shadow of an existing column is the
+            # one documented subset gap.
+            self_ref = [a for a, e in named
+                        if re.search(rf"(?<![\w.]){re.escape(a)}\b", e)]
+            inner = acc
+            if self_ref:
+                inner = (f"SELECT *, "
+                         + ", ".join(f"{a} AS __kql_old_{a}" for a in self_ref)
+                         + f" FROM ({acc})")
+                inner = f"SELECT * EXCEPT ({', '.join(self_ref)}) FROM ({inner})"
+                named = [(a, re.sub(rf"(?<![\w.]){re.escape(a)}\b",
+                                    f"__kql_old_{a}", e) if a in self_ref else e)
+                         for a, e in named]
+            sel = ", ".join(f"{e} AS {a}" for a, e in named)
+            acc = f"SELECT *, {sel} FROM ({inner})"
+            if self_ref:
+                acc = (f"SELECT * EXCEPT ("
+                       + ", ".join(f"__kql_old_{a}" for a in self_ref)
+                       + f") FROM ({acc})")
+        elif op == "summarize":
+            acc = _summarize(acc, body)
+        elif op in ("order", "sort"):
+            body2 = re.sub(r"^by\b", "", body, flags=re.IGNORECASE).strip()
+            acc = f"SELECT * FROM ({acc}) ORDER BY {_order_items(body2)}"
+        elif op in ("take", "limit"):
+            acc = f"SELECT * FROM ({acc}) LIMIT {int(body)}"
+        elif op == "top":
+            tm = re.match(r"^(\d+)\s+by\s+(.*)$", body, re.IGNORECASE | re.DOTALL)
+            if not tm:
+                raise ChSqlError("KQL top needs: top N by expr [asc|desc]")
+            acc = (f"SELECT * FROM ({acc}) ORDER BY "
+                   f"{_order_items(tm.group(2))} LIMIT {int(tm.group(1))}")
+        elif op == "distinct":
+            if body.strip() == "*":
+                acc = f"SELECT DISTINCT * FROM ({acc})"
+            else:
+                items = _named_items(body)
+                sel = ", ".join(expr if alias is None else f"{expr} AS {alias}"
+                                for alias, expr in items)
+                acc = f"SELECT DISTINCT {sel} FROM ({acc})"
+        elif op == "count" and not body:
+            acc = f"SELECT count() AS Count FROM ({acc})"
+        elif op == "mv-expand":
+            col = body.strip()
+            if not re.match(r"^[A-Za-z_]\w*$", col):
+                raise ChSqlError("KQL mv-expand subset takes a single column name")
+            # arrayJoin-in-select (the shim lowers it to explode);
+            # composes cleanly inside further derived tables, which
+            # the ARRAY JOIN clause form does not
+            acc = f"SELECT * EXCEPT ({col}), arrayJoin({col}) AS {col} FROM ({acc})"
+        else:
+            raise ChSqlError(
+                f"KQL operator {op!r}: not in the implemented subset "
+                "(where/project[-away|-rename]/extend/summarize/order/sort/"
+                "take/limit/top/distinct/count/mv-expand/print)")
+    return acc
+
+
+def kql_sql(spark, text: str, params=None):
+    """Execute a KQL pipeline through the chsql shim."""
+    from clickhouse_25_5_3_75_stable_spark.chsql import ch_sql
+
+    return ch_sql(spark, kql_to_chsql(text), params=params)

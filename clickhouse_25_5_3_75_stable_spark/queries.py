@@ -2183,6 +2183,7 @@ from clickhouse_25_5_3_75_stable_spark import queries_storage as _queries_storag
 from clickhouse_25_5_3_75_stable_spark import queries_func_extras3 as _queries_func_extras3  # noqa: E402,F401
 from clickhouse_25_5_3_75_stable_spark import queries_corpus as _queries_corpus  # noqa: E402,F401
 from clickhouse_25_5_3_75_stable_spark import queries_lake_formats as _queries_lake_formats  # noqa: E402,F401
+from clickhouse_25_5_3_75_stable_spark import queries_kql as _queries_kql  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Driver gate block: the correctness driver samples only the FIRST 50

@@ -1,0 +1,108 @@
+"""Registry entries: KQL (Kusto) dialect pipelines (kql.py; reference
+src/Interpreters/executeQuery.cpp:1044 dialect routing +
+src/Parsers/Kusto/ParserKQL*). Each gate query runs REAL KQL text
+through kql_sql and the oracle replays the same semantics in plain
+ANSI SQL — so the transpiler's operator lowering, summarize alias
+rules, and case-insensitive comparison semantics are all value-gated.
+Imported by queries.py for its side effects."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from clickhouse_25_5_3_75_stable_spark.kql import kql_sql
+from clickhouse_25_5_3_75_stable_spark.queries import register, t
+
+
+def _view(spark: SparkSession, sf_dir: str, name: str) -> None:
+    t(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+@register(
+    "kql_summarize_bin_events",
+    oracle="""
+    SELECT event_type,
+           CAST(floor(value / 50) AS BIGINT) * 50 AS value,
+           count(*) AS count_,
+           avg(value) AS avg_value
+    FROM events
+    WHERE lower(event_type) LIKE 'c%'
+    GROUP BY event_type, CAST(floor(value / 50) AS BIGINT) * 50
+    ORDER BY event_type ASC, value ASC
+    """,
+    tags=("kql", "dialect", "summarize"),
+)
+def kql_summarize_bin_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KQL pipeline: where startswith (case-insensitive) -> summarize
+    by key + bin() -> order. Exercises the reference's summarize alias
+    rules (count() -> count_, avg(value) -> avg_value, bin(value, 50)
+    -> value) and the KQL-default ORDER direction override."""
+    _view(spark, sf_dir, "events")
+    return kql_sql(spark, """
+        events
+        | where event_type startswith 'c'
+        | summarize count(), avg(value) by event_type, bin(value, 50)
+        | order by event_type asc, value asc
+    """)
+
+
+@register(
+    "kql_text_ops_documents",
+    oracle="""
+    SELECT lang,
+           count(*) AS count_,
+           CAST(max(length(text)) AS INT) AS max_n
+    FROM documents
+    WHERE position(lower('DATA') IN lower(text)) > 0
+       OR regexp_matches(lower(text), '(^|[^a-zA-Z0-9_])model($|[^a-zA-Z0-9_])')
+    GROUP BY lang
+    ORDER BY lang ASC
+    """,
+    tags=("kql", "dialect", "text"),
+)
+def kql_text_ops_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KQL text predicates: `contains` (case-insensitive substring) and
+    `has` (whole-term match via the transpile-time token-boundary
+    regex), extend + strlen, summarize max. DuckDB replays `has` with
+    the same RE2 pattern."""
+    _view(spark, sf_dir, "documents")
+    return kql_sql(spark, """
+        documents
+        | where text contains 'DATA' or text has 'model'
+        | extend n = strlen(text)
+        | summarize count(), max(n) by lang
+        | order by lang asc
+    """)
+
+
+@register(
+    "kql_top_extend_distinct",
+    oracle="""
+    WITH doubled AS (
+        SELECT event_id, user_id, event_type, value * 2 AS value
+        FROM events
+        WHERE value BETWEEN 100 AND 200
+    )
+    SELECT DISTINCT event_type, CAST(value > 250 AS BOOLEAN) AS big
+    FROM (SELECT * FROM doubled ORDER BY value DESC LIMIT 5000)
+    ORDER BY event_type ASC, big ASC
+    """,
+    tags=("kql", "dialect", "extend"),
+)
+def kql_top_extend_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KQL: between (x .. y) range, extend REPLACING an existing column
+    (value = value * 2 — the self-reference rewrite), top-by (KQL
+    default DESC), derived boolean, distinct, and a final CH-SQL-side
+    ORDER for determinism."""
+    _view(spark, sf_dir, "events")
+    df = kql_sql(spark, """
+        events
+        | where value between (100 .. 200)
+        | project event_id, user_id, event_type, value
+        | extend value = value * 2
+        | top 5000 by value
+        | extend big = value > 250
+        | distinct event_type, big
+        | order by event_type asc, big asc
+    """)
+    return df

@@ -1,0 +1,136 @@
+"""KQL (Kusto) dialect subset (kql.py; reference
+src/Interpreters/executeQuery.cpp:1044 dialect routing,
+src/Parsers/Kusto/ParserKQL* operator set, KQL_ReleaseNote.md
+summarize alias rules)."""
+
+import pytest
+
+from clickhouse_25_5_3_75_stable_spark.chsql import ChSqlError
+from clickhouse_25_5_3_75_stable_spark.kql import kql_to_chsql
+
+
+# ---------------------------------------------------------------------------
+# transpiler shapes
+# ---------------------------------------------------------------------------
+
+def test_pipeline_basics():
+    out = kql_to_chsql("T | where Age < 30 | take 5")
+    assert out == "SELECT * FROM (SELECT * FROM (SELECT * FROM T) WHERE Age < 30) LIMIT 5"
+
+
+def test_summarize_alias_rules():
+    # KQL_ReleaseNote.md: count() -> count_, count(Age) -> count_Age,
+    # count(expr) -> count_, bin(Age, 10) -> Age, by-expression -> Columns1
+    out = kql_to_chsql("T | summarize count() by bin(Age, 10)")
+    assert "AS count_" in out and "AS Age" in out
+    out = kql_to_chsql("T | summarize count(Age) by bin(Age, 10)")
+    assert "AS count_Age" in out
+    out = kql_to_chsql("T | summarize count(Age + 1) by bin(Age + 1, 10)")
+    assert "AS count_" in out and "AS Columns1" in out
+    # alias from the RAW kql name, not the CH rename
+    out = kql_to_chsql("T | summarize dcount(uid) by k")
+    assert "uniqExact(uid) AS dcount_uid" in out
+
+
+def test_case_insensitive_operators():
+    out = kql_to_chsql("T | where s =~ 'Abc'")
+    assert "lower(s) = lower('Abc')" in out
+    out = kql_to_chsql("T | where s in~ ('x', 'Y')")
+    assert "lower(s) IN (lower('x'), lower('Y'))" in out
+    out = kql_to_chsql("T | where s contains 'Q'")
+    assert "position(lower(s), lower('Q')) > 0" in out
+    out = kql_to_chsql("T | where s !contains 'Q'")
+    assert out.count("NOT") == 1
+    out = kql_to_chsql("T | where s has 'word'")
+    assert "match(lower(s)" in out and "word" in out
+    with pytest.raises(ChSqlError):
+        kql_to_chsql("T | where s has col")  # non-literal term refused
+
+
+def test_timespan_and_datetime():
+    out = kql_to_chsql("T | where ts > ago(7d)")
+    assert "(now() - INTERVAL 7 DAY)" in out
+    out = kql_to_chsql("T | summarize count() by bin(ts, 1h)")
+    assert "toStartOfInterval(ts, INTERVAL 1 HOUR) AS ts" in out
+    out = kql_to_chsql("T | where d > datetime(2017-01-01 12:23:34)")
+    assert "parseDateTimeBestEffort('2017-01-01 12:23:34')" in out
+
+
+def test_kql_scalar_conventions():
+    # 0-based substring, split arg swap, strcat, between
+    out = kql_to_chsql("T | where substring(s, 0, 2) == 'ab'")
+    assert "substring(s, (0) + 1, 2) = 'ab'" in out
+    out = kql_to_chsql("T | project p = split('a,b', ',')")
+    assert "splitByString(',', 'a,b') AS p" in out
+    out = kql_to_chsql("print strcat('a', 'b')")
+    assert "concat" in out
+    out = kql_to_chsql("T | where x between (1 .. 9)")
+    assert "x BETWEEN 1 AND 9" in out
+    out = kql_to_chsql("T | summarize arg_max(score, name) by k")
+    assert "argMax(name, score)" in out  # KQL arg order swaps into CH
+
+
+def test_sort_default_desc_and_top():
+    assert "ORDER BY x DESC" in kql_to_chsql("T | sort by x")
+    assert "ORDER BY x ASC" in kql_to_chsql("T | order by x asc")
+    out = kql_to_chsql("T | top 5 by Age")
+    assert "ORDER BY Age DESC LIMIT 5" in out
+
+
+def test_extend_replaces_self_referential_column():
+    out = kql_to_chsql("T | extend Age = Age + 1")
+    # the self-reference rewrite: old column staged, dropped, re-added
+    assert "__kql_old_Age" in out and "EXCEPT" in out
+    # plain new columns append without the staging dance
+    out2 = kql_to_chsql("T | extend doubled = x * 2")
+    assert "__kql_old" not in out2 and "doubled" in out2
+
+
+def test_stage_refusals_name_the_operator():
+    with pytest.raises(ChSqlError, match="join"):
+        kql_to_chsql("T | join (U) on k")
+    with pytest.raises(ChSqlError, match="make-series"):
+        kql_to_chsql("T | make-series avg(v) on ts step 1d")
+    with pytest.raises(ChSqlError):
+        kql_to_chsql("")
+
+
+# ---------------------------------------------------------------------------
+# execution parity (one spark round trip; the three registry queries
+# carry the full oracle gate)
+# ---------------------------------------------------------------------------
+
+def test_kql_executes_and_matches_sql(spark):
+    from clickhouse_25_5_3_75_stable_spark.kql import kql_sql
+
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet") \
+        .createOrReplaceTempView("events")
+    got = kql_sql(spark, """
+        events
+        | where event_type startswith 'c' and value between (10 .. 400)
+        | summarize count(), avg(value) by event_type
+        | order by event_type asc
+    """).collect()
+    want = spark.sql("""
+        SELECT event_type, count(*) AS count_, avg(value) AS avg_value
+        FROM events
+        WHERE lower(event_type) LIKE 'c%' AND value BETWEEN 10 AND 400
+        GROUP BY event_type ORDER BY event_type
+    """).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_cli_dialect_setting(spark):
+    from clickhouse_25_5_3_75_stable_spark.chsql import apply_settings
+
+    restore = apply_settings(spark, {"dialect": "'kusto'"})
+    try:
+        assert spark.conf.get("spark.chsql.dialect") == "kusto"
+    finally:
+        for k, v in restore.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    with pytest.raises(ChSqlError):
+        apply_settings(spark, {"dialect": "'prql'"})
