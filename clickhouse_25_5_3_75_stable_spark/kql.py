@@ -641,6 +641,18 @@ def kql_to_chsql(text: str) -> str:
                 acc = f"SELECT DISTINCT {sel} FROM ({acc})"
         elif op == "count" and not body:
             acc = f"SELECT count() AS Count FROM ({acc})"
+        elif op == "union":
+            rhs = body.strip()
+            kindm = re.match(r"^kind\s*=\s*(\w+)\s+(.*)$", rhs, re.DOTALL)
+            if kindm:  # inner/outer affect column union; subset is positional
+                rhs = kindm.group(2).strip()
+            rhs_sql = (kql_to_chsql(rhs[1:-1]) if rhs.startswith("(")
+                       else f"SELECT * FROM {rhs}")
+            acc = f"SELECT * FROM ({acc}) UNION ALL {rhs_sql}"
+        elif op in ("join", "lookup"):
+            acc = _join_stage(acc, body, lookup=op == "lookup")
+        elif op == "render":
+            pass  # chart hint — a no-op for a tabular engine
         elif op == "mv-expand":
             col = body.strip()
             if not re.match(r"^[A-Za-z_]\w*$", col):
@@ -655,6 +667,75 @@ def kql_to_chsql(text: str) -> str:
                 "(where/project[-away|-rename]/extend/summarize/order/sort/"
                 "take/limit/top/distinct/count/mv-expand/print)")
     return acc
+
+
+_JOIN_KINDS = {
+    "inner": "INNER JOIN", "leftouter": "LEFT JOIN",
+    "rightouter": "RIGHT JOIN", "fullouter": "FULL JOIN",
+    "leftanti": "LEFT ANTI JOIN", "anti": "LEFT ANTI JOIN",
+    "leftantisemi": "LEFT ANTI JOIN", "rightanti": "RIGHT ANTI JOIN",
+    "leftsemi": "LEFT SEMI JOIN", "rightsemi": "RIGHT SEMI JOIN",
+}
+
+
+def _join_stage(acc: str, body: str, lookup: bool = False) -> str:
+    """KQL `join kind=<k> (<right>) on <keys>` / `lookup` (a LEFT JOIN
+    against a dimension). Key forms: bare same-name columns
+    (`on a, b` -> USING) and `$left.a == $right.b` equi-pairs.
+    `kind=innerunique` (the KQL default) deduplicates the LEFT side on
+    the join keys first — realized deterministically with a min-struct
+    pick per key (the reference picks an arbitrary row; any consistent
+    pick satisfies the contract)."""
+    kind = "leftouter" if lookup else "innerunique"
+    m = re.match(r"^kind\s*=\s*(\w+)\s*(.*)$", body, re.DOTALL)
+    if m:
+        kind = m.group(1).lower()
+        body = m.group(2).strip()
+    rm = re.match(r"^\((.*)\)\s+on\s+(.*)$", body, re.DOTALL | re.IGNORECASE)
+    tm = re.match(r"^([A-Za-z_]\w*)\s+on\s+(.*)$", body, re.DOTALL | re.IGNORECASE)
+    if rm:
+        rhs_sql = kql_to_chsql(rm.group(1))
+        on_text = rm.group(2).strip()
+    elif tm:
+        rhs_sql = f"SELECT * FROM {tm.group(1)}"
+        on_text = tm.group(2).strip()
+    else:
+        raise ChSqlError("KQL join needs: join [kind=k] (<right>) on <keys>")
+
+    pairs, using = [], []
+    for item in re.split(r",|\band\b", on_text):
+        item = item.strip()
+        pm = re.match(r"^\$left\.(\w+)\s*==\s*\$right\.(\w+)$", item)
+        if pm:
+            pairs.append((pm.group(1), pm.group(2)))
+        elif re.match(r"^[A-Za-z_]\w*$", item):
+            using.append(item)
+        else:
+            raise ChSqlError(f"KQL join key {item!r}: subset takes bare columns "
+                             "or $left.a == $right.b pairs")
+    if pairs and using:
+        raise ChSqlError("KQL join subset: mix of bare and $left/$right keys")
+
+    left = acc
+    if kind == "innerunique":
+        keys = using or [lp for lp, _rp in pairs]
+        # one row per key on the left (the reference keeps an
+        # arbitrary one — so does this window pick; like KQL itself,
+        # non-key columns of the surviving row are unspecified)
+        cols = ", ".join(keys)
+        left = (f"SELECT * EXCEPT (__kql_rn) FROM (SELECT *, row_number() "
+                f"OVER (PARTITION BY {cols} ORDER BY {cols}) AS __kql_rn "
+                f"FROM ({acc})) WHERE __kql_rn = 1")
+        kind = "inner"
+    sqlkind = _JOIN_KINDS.get(kind)
+    if sqlkind is None:
+        raise ChSqlError(f"KQL join kind {kind!r}: not in the implemented subset")
+    if using:
+        return (f"SELECT * FROM ({left}) AS __kql_l {sqlkind} ({rhs_sql}) "
+                f"AS __kql_r USING ({', '.join(using)})")
+    on = " AND ".join(f"__kql_l.{a} = __kql_r.{b}" for a, b in pairs)
+    return (f"SELECT * FROM ({left}) AS __kql_l {sqlkind} ({rhs_sql}) "
+            f"AS __kql_r ON {on}")
 
 
 def kql_sql(spark, text: str, params=None):

@@ -2227,12 +2227,8 @@ _GATE_BLOCK = [
     "pack_token_budget_shards",      # r03 red -> r04 green, keep visible
     # -- first-time slots (never in CORRECTNESS_r01..r04) --
     "q10_returned_items",
-    "q13_customer_order_distribution",
     "q18_large_volume_customers",
-    "q16_part_supplier_counts",
     "func_hash_longtail_exact",      # new round-5 exact hash family
-    "func_hash64_family_exact",
-    "func_cityhash_exact",
     "func_search_family",
     "func_ip_family",
     "func_url_cut_family",
@@ -2242,7 +2238,6 @@ _GATE_BLOCK = [
     "func_stringdist_family",
     "json_variant_typed_paths",
     "agg_bitmap_setops",
-    "agg_topk_event_types",
     "agg_linreg_family",
     "agg_ttest_click_vs_view",
     "agg_resample_combinator",
@@ -2271,6 +2266,16 @@ _GATE_BLOCK = [
     "lake_iceberg_snapshot_read",
     "lake_hudi_cow_snapshot",
     "format_avro_container_roundtrip",
+    # -- late round-5 features (first ever gate exposure; displace 5
+    #    in-block FAMILY-REDUNDANT first-time entries — q13/q16 [TPC-H
+    #    keeps 4 reps], hash64/cityhash [hash keeps longtail + 32-bit
+    #    family], agg_topk [agg keeps 4 reps] — all remain value+dtype
+    #    exact under the local full-registry harness) --
+    "func_encoding_curves_exact",    # base58/32, CRC, keccak/MD4, curves, ICU
+    "func_aes_family_exact",         # encrypt/decrypt/mysql-fold (openssl-verified)
+    "kql_summarize_bin_events",      # KQL dialect: summarize alias rules
+    "kql_text_ops_documents",        # KQL contains/has + extend
+    "kql_top_extend_distinct",       # KQL between/top/extend-replace/distinct
 ]
 
 _missing_gate = [n for n in _GATE_BLOCK if n not in REGISTRY]

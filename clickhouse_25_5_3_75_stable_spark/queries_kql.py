@@ -106,3 +106,30 @@ def kql_top_extend_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         | order by event_type asc, big asc
     """)
     return df
+
+
+@register(
+    "kql_join_region_rollup",
+    oracle="""
+    SELECT r_name,
+           count(*) AS count_,
+           CAST(count(DISTINCT n_name) AS BIGINT) AS dcount_n_name
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    WHERE lower(r_name) NOT LIKE 'a%'
+    GROUP BY r_name
+    ORDER BY r_name ASC
+    """,
+    tags=("kql", "dialect", "join"),
+)
+def kql_join_region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KQL join stage: explicit kind=inner with $left/$right key pairs
+    against a sub-pipeline right side, !startswith filter, dcount."""
+    _view(spark, sf_dir, "nation")
+    _view(spark, sf_dir, "region")
+    return kql_sql(spark, """
+        nation
+        | join kind=inner (region | project r_regionkey, r_name) on $left.n_regionkey == $right.r_regionkey
+        | where r_name !startswith 'a'
+        | summarize count(), dcount(n_name) by r_name
+        | order by r_name asc
+    """)

@@ -87,10 +87,10 @@ def test_extend_replaces_self_referential_column():
 
 
 def test_stage_refusals_name_the_operator():
-    with pytest.raises(ChSqlError, match="join"):
-        kql_to_chsql("T | join (U) on k")
     with pytest.raises(ChSqlError, match="make-series"):
         kql_to_chsql("T | make-series avg(v) on ts step 1d")
+    with pytest.raises(ChSqlError, match="mv-apply"):
+        kql_to_chsql("T | mv-apply x on (summarize count())")
     with pytest.raises(ChSqlError):
         kql_to_chsql("")
 
@@ -134,3 +134,44 @@ def test_cli_dialect_setting(spark):
                 spark.conf.set(k, v)
     with pytest.raises(ChSqlError):
         apply_settings(spark, {"dialect": "'prql'"})
+
+
+def test_join_union_lookup_shapes():
+    out = kql_to_chsql(
+        "T | join kind=inner (U | project k, v) on $left.a == $right.k")
+    assert "INNER JOIN" in out and "__kql_l.a = __kql_r.k" in out
+    out = kql_to_chsql("T | join kind=leftanti (U) on k")
+    assert "LEFT ANTI JOIN" in out and "USING (k)" in out
+    out = kql_to_chsql("T | lookup (U | project k, v) on k")
+    assert "LEFT JOIN" in out
+    # default kind = innerunique: left deduped per key first
+    out = kql_to_chsql("T | join (U) on k")
+    assert "row_number()" in out and "INNER JOIN" in out
+    out = kql_to_chsql("T | union (U | take 2)")
+    assert "UNION ALL" in out
+    out = kql_to_chsql("T | take 1 | render timechart")
+    assert "render" not in out.lower()
+    with pytest.raises(ChSqlError):
+        kql_to_chsql("T | join kind=weird (U) on k")
+    with pytest.raises(ChSqlError):
+        kql_to_chsql("T | join (U) on $left.a == f(b)")
+
+
+def test_join_executes(spark):
+    from clickhouse_25_5_3_75_stable_spark.kql import kql_sql
+
+    sf = "/root/testdata/sf0.001"
+    for t in ("nation", "region"):
+        spark.read.parquet(f"{sf}/{t}.parquet").createOrReplaceTempView(t)
+    got = kql_sql(spark, """
+        nation
+        | join kind=inner (region | project r_regionkey, r_name) on $left.n_regionkey == $right.r_regionkey
+        | summarize count() by r_name
+        | order by r_name asc
+    """).collect()
+    want = spark.sql("""
+        SELECT r_name, count(*) AS count_ FROM nation
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name ORDER BY r_name
+    """).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
