@@ -136,11 +136,26 @@ _FN_RENAMES = {
     "isnotnull": "isNotNull", "isempty": "empty", "isnotempty": "notEmpty",
     "tostring": "toString", "toint": "toInt32", "tolong": "toInt64",
     "todouble": "toFloat64", "toreal": "toFloat64", "tobool": "toBool",
-    "todatetime": "parseDateTimeBestEffort", "countof": "countSubstrings",
+    "todatetime": "toDateTime", "countof": "countSubstrings",
     "array_length": "length", "tolowercase": "lower", "touppercase": "upper",
     "trim_start": "trimLeft", "trim_end": "trimRight",
-    "replace_string": "replaceAll", "indexof_kql_reserved": "",
+    "replace_string": "replaceAll", "replace_regex": "replaceRegexpAll",
+    "strcat_delim": "concatWithSeparator", "case": "multiIf",
+    "startofday": "toStartOfDay", "startofweek": "toStartOfWeek",
+    "startofmonth": "toStartOfMonth", "startofyear": "toStartOfYear",
+    "getyear": "toYear", "getmonth": "toMonth", "monthofyear": "toMonth",
+    "dayofmonth": "toDayOfMonth", "hourofday": "toHour",
+    "isnan": "isNaN", "array_reverse": "arrayReverse",
+    "array_sort_asc": "arraySort", "set_difference": "arrayExcept__kqlna",
+    "array_concat": "arrayConcat", "array_slice": "arraySlice",
+    "string_size": "lengthUTF8", "reverse": "reverse",
+    "base64_encode_tostring": "base64Encode",
+    "base64_decode_tostring": "base64Decode",
+    "hash_sha256": "hexSHA256__kqlna", "hash_md5": "hexMD5__kqlna",
 }
+# names mapped above with a __kqlna suffix have no single-call CH
+# equivalent and are dropped back to refusals at lowering time
+_FN_RENAMES = {k: v for k, v in _FN_RENAMES.items() if not v.endswith("__kqlna")}
 
 _AGG_RENAMES = {
     "count": "count", "sum": "sum", "avg": "avg", "min": "min", "max": "max",
@@ -307,7 +322,9 @@ def _lower_expr(toks: list[str]) -> str:
             literal = " ".join(toks[i + 2:j - 1]).strip()
             if not (literal.startswith("'") and literal.endswith("'")):
                 literal = "'" + literal.replace(" - ", "-").replace(" :", ":") + "'"
-            out.append(f"parseDateTimeBestEffort({literal})")
+            # Spark's TIMESTAMP cast is lenient about non-padded
+            # fields, covering KQL's datetime(2017-1-1 12:23:34) forms
+            out.append(f"CAST({literal} AS TIMESTAMP)")
             i = j
             continue
         if low == "bin" and i + 1 < len(toks) and toks[i + 1] == "(":
@@ -353,6 +370,37 @@ def _lower_expr(toks: list[str]) -> str:
                 out.append(f"substring({s0}, ({st}) + 1, {_lower_expr(parts[2])})")
             else:
                 out.append(f"substring({s0}, ({st}) + 1)")
+            i = j
+            continue
+        if low == "indexof" and i + 1 < len(toks) and toks[i + 1] == "(":
+            # KQL indexof is 0-based and returns -1 when absent —
+            # exactly position() - 1 (position is 1-based, 0 = absent)
+            depth, j = 1, i + 2
+            while j < len(toks) and depth:
+                depth += toks[j] == "("
+                depth -= toks[j] == ")"
+                j += 1
+            parts = _split_top_tokens(toks[i + 2:j - 1])
+            if len(parts) != 2:
+                raise ChSqlError("KQL indexof subset takes (source, lookup)")
+            out.append(f"(position({_lower_expr(parts[0])}, "
+                       f"{_lower_expr(parts[1])}) - 1)")
+            i = j
+            continue
+        if low == "extract" and i + 1 < len(toks) and toks[i + 1] == "(":
+            # KQL extract(regex, captureGroup, source) -> Spark-native
+            # regexp_extract(source, regex, group); both return '' on
+            # no-match
+            depth, j = 1, i + 2
+            while j < len(toks) and depth:
+                depth += toks[j] == "("
+                depth -= toks[j] == ")"
+                j += 1
+            parts = _split_top_tokens(toks[i + 2:j - 1])
+            if len(parts) != 3:
+                raise ChSqlError("KQL extract subset takes (regex, group, source)")
+            out.append(f"regexp_extract({_lower_expr(parts[2])}, "
+                       f"{_lower_expr(parts[0])}, {_lower_expr(parts[1])})")
             i = j
             continue
         if low == "split" and i + 1 < len(toks) and toks[i + 1] == "(":

@@ -53,7 +53,7 @@ def test_timespan_and_datetime():
     out = kql_to_chsql("T | summarize count() by bin(ts, 1h)")
     assert "toStartOfInterval(ts, INTERVAL 1 HOUR) AS ts" in out
     out = kql_to_chsql("T | where d > datetime(2017-01-01 12:23:34)")
-    assert "parseDateTimeBestEffort('2017-01-01 12:23:34')" in out
+    assert "CAST('2017-01-01 12:23:34' AS TIMESTAMP)" in out
 
 
 def test_kql_scalar_conventions():
@@ -175,3 +175,23 @@ def test_join_executes(spark):
         GROUP BY r_name ORDER BY r_name
     """).collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_scalar_breadth(spark):
+    from clickhouse_25_5_3_75_stable_spark.kql import kql_sql
+
+    r = kql_sql(spark, """
+        print i1 = indexof('abcdef', 'cd'),
+              i2 = indexof('abc', 'z'),
+              ex = extract('([a-z]+)([0-9]+)', 2, 'abc123def'),
+              cs = case(1 > 2, 'no', 1 < 2, 'yes', 'else'),
+              sd = tostring(startofday(datetime(2024-03-05 13:14:15))),
+              yr = getyear(datetime(2024-03-05)),
+              rr = replace_regex('ababab', 'b', 'X')
+    """).collect()[0]
+    assert r.i1 == 2 and r.i2 == -1          # 0-based, -1 when absent
+    assert r.ex == "123"
+    assert r.cs == "yes"
+    assert r.sd.startswith("2024-03-05 00:00:00")
+    assert r.yr == 2024
+    assert r.rr == "aXaXaX"
