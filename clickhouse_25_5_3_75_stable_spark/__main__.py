@@ -859,10 +859,15 @@ def run_local(sql: str, data_dir: str, spark=None, out=sys.stdout,
         t0 = _time.perf_counter()
         # dialect routing (reference executeQuery.cpp:1044: the kusto
         # parser takes over when SET dialect = 'kusto')
-        if spark.conf.get("spark.chsql.dialect", "clickhouse") == "kusto":
+        _dialect = spark.conf.get("spark.chsql.dialect", "clickhouse")
+        if _dialect == "kusto":
             from clickhouse_25_5_3_75_stable_spark.kql import kql_to_chsql
 
             sql = kql_to_chsql(sql)
+        elif _dialect == "prql":
+            from clickhouse_25_5_3_75_stable_spark.prql import prql_to_sql
+
+            sql = prql_to_sql(sql)
         sql, outfile = extract_into_outfile(sql)
         sql = _resolve_final(spark, data_dir, sql)
         # ch_sql (not the bare transpiler): honors SETTINGS, executes

@@ -466,6 +466,7 @@ _KNOWN_SETTINGS = {
     "allow_experimental_analyzer",  # accepted no-op (Catalyst always on)
     "dialect",                 # 'clickhouse' (default) | 'kusto' (kql.py)
     "allow_experimental_kusto_dialect",  # accepted (subset always available)
+    "allow_experimental_prql_dialect",   # accepted (subset always available)
     "insert_deduplicate",      # covered by streaming stream_dedup
     "optimize_read_in_order",  # Catalyst decides; accepted no-op
 }
@@ -502,9 +503,6 @@ def apply_settings(spark, settings: dict[str, str]):
         elif name == "dialect":
             if v not in ("clickhouse", "kusto", "prql"):
                 raise ChSqlError(f"unknown dialect {v!r}")
-            if v == "prql":
-                raise ChSqlError("dialect = 'prql' is not implemented "
-                                 "(MIGRATION.md: out of scope)")
             set_conf("spark.chsql.dialect", v)
         elif name == "join_algorithm":
             prefer = v in ("full_sorting_merge", "partial_merge")

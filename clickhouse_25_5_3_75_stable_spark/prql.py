@@ -1,0 +1,296 @@
+"""PRQL dialect subset — the reference's ``dialect = 'prql'`` surface
+(src/Parsers/PRQL/ParserPRQLQuery.cpp calls the prql-compiler's
+``prql_to_sql`` and re-parses the emitted SQL; this module is the
+in-repo analogue: PRQL text -> SQL text -> the chsql shim).
+
+Supported transforms (the prql-book core set):
+  from <table>
+  derive {x = expr, ...}            (also the single-item no-brace form)
+  select {a, b = expr, ...} / select !{a, b}   (exclusion form)
+  filter <expr>                     (positional: before an aggregate it
+                                     is WHERE, after it filters the
+                                     aggregated derived table — the
+                                     staged-subquery composition gives
+                                     prql's sequential semantics)
+  group {k, ...} (aggregate {...})  -> GROUP BY
+  group {k, ...} (sort ...; take n) -> per-group top-n via row_number
+  aggregate {...}                   -> global aggregation
+  sort {-a, +b} / sort a            (- prefix = DESC)
+  take n / take a..b                (inclusive range -> OFFSET/LIMIT)
+  join side:left <table> (==col)    (also (a == b) -> left.a = right.b)
+
+Expression conventions: == -> =, && -> AND, || -> OR, ! -> NOT,
+`a ?? b` -> coalesce, double-quoted strings -> SQL singles, aggregate
+functions by space application (``sum x``, ``average y``, ``count
+this``), average -> avg, stddev -> stddevSamp.
+
+Out of scope (refusals name the feature): s-strings/f-strings, window
+functions beyond group-take, `case`, loops, let-functions, modules.
+"""
+
+from __future__ import annotations
+
+import re
+
+from clickhouse_25_5_3_75_stable_spark.chsql import ChSqlError
+
+_AGG_FNS = {
+    "sum": "sum", "min": "min", "max": "max", "average": "avg",
+    "avg": "avg", "stddev": "stddevSamp", "count_distinct": "uniqExact",
+}
+
+
+def _split_statements(text: str) -> list[str]:
+    """Split a PRQL pipeline on newlines / `|` at paren depth 0."""
+    out, cur, depth, quote = [], [], 0, None
+    for ch_ in text:
+        if quote:
+            cur.append(ch_)
+            if ch_ == quote:
+                quote = None
+            continue
+        if ch_ in "'\"":
+            quote = ch_
+            cur.append(ch_)
+        elif ch_ in "([{":
+            depth += 1
+            cur.append(ch_)
+        elif ch_ in ")]}":
+            depth -= 1
+            cur.append(ch_)
+        elif ch_ in "\n|" and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch_)
+    out.append("".join(cur).strip())
+    return [s for s in out if s]
+
+
+def _expr(e: str) -> str:
+    """PRQL scalar expression -> SQL text (token conventions only)."""
+    # double-quoted strings -> single-quoted
+    def requote(m):
+        return "'" + m.group(1).replace("'", "''") + "'"
+
+    e = re.sub(r'"((?:[^"\\]|\\.)*)"', requote, e)
+    # a ?? b -> coalesce(a, b)  (single, non-nested occurrence per item)
+    while "??" in e:
+        lhs, rhs = e.split("??", 1)
+        e = f"coalesce({lhs.strip()}, {rhs.strip()})"
+    e = e.replace("==", "=").replace("&&", " AND ").replace("||", " OR ")
+    e = re.sub(r"!(?![=])", " NOT ", e)
+    if re.search(r"\b[sf]\s*'", e):
+        raise ChSqlError("PRQL s-strings / f-strings are out of the subset")
+    return re.sub(r"\s+", " ", e).strip()
+
+
+def _tuple_items(body: str) -> list[str]:
+    """Items of a {a, b = x} tuple (or the single bare item)."""
+    body = body.strip()
+    if body.startswith("{") and body.endswith("}"):
+        body = body[1:-1]
+    elif body.startswith("[") and body.endswith("]"):  # pre-0.11 form
+        body = body[1:-1]
+    items, cur, depth, quote = [], [], 0, None
+    for ch_ in body:
+        if quote:
+            cur.append(ch_)
+            if ch_ == quote:
+                quote = None
+            continue
+        if ch_ in "'\"":
+            quote = ch_
+            cur.append(ch_)
+        elif ch_ in "([{":
+            depth += 1
+            cur.append(ch_)
+        elif ch_ in ")]}":
+            depth -= 1
+            cur.append(ch_)
+        elif ch_ == "," and depth == 0:
+            items.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch_)
+    if cur and "".join(cur).strip():
+        items.append("".join(cur).strip())
+    return items
+
+
+def _named(item: str) -> tuple[str | None, str]:
+    m = re.match(r"^([A-Za-z_]\w*)\s*=\s*(?!=)(.*)$", item, re.DOTALL)
+    if m:
+        return m.group(1), m.group(2).strip()
+    return None, item
+
+
+def _agg_expr(e: str) -> str:
+    """Space-application aggregate: `sum x`, `average y`, `count this`,
+    `sum (a + b)`."""
+    m = re.match(r"^([A-Za-z_]\w*)\s+(.+)$", e.strip(), re.DOTALL)
+    if m and m.group(1) in _AGG_FNS:
+        arg = m.group(2).strip()
+        if arg == "this":
+            arg = "*"
+        if arg.startswith("(") and arg.endswith(")"):
+            arg = arg[1:-1]
+        return f"{_AGG_FNS[m.group(1)]}({_expr(arg)})"
+    if re.match(r"^count\s+this$", e.strip()):
+        return "count(*)"
+    if e.strip() == "count":
+        return "count(*)"
+    return _expr(e)
+
+
+def _aggregate_items(body: str) -> list[str]:
+    sel = []
+    for item in _tuple_items(body):
+        alias, raw = _named(item)
+        expr = _agg_expr(raw)
+        if alias is None:
+            m = re.match(r"^([A-Za-z_]\w*)", raw)
+            alias = m.group(1) if m else "agg"
+        sel.append(f"{expr} AS {alias}")
+    return sel
+
+
+def _sort_items(body: str) -> str:
+    parts = _tuple_items(body) if body.strip().startswith(("{", "[")) else [body.strip()]
+    rendered = []
+    for p in parts:
+        direction = "ASC"
+        if p.startswith("-"):
+            direction, p = "DESC", p[1:]
+        elif p.startswith("+"):
+            p = p[1:]
+        rendered.append(f"{_expr(p)} {direction}")
+    return ", ".join(rendered)
+
+
+def prql_to_sql(text: str) -> str:
+    """Transpile a PRQL pipeline into SQL text for the chsql shim."""
+    stmts = _split_statements(text.strip().rstrip(";"))
+    if not stmts or not re.match(r"^from\b", stmts[0]):
+        raise ChSqlError("PRQL: the pipeline must start with `from <table>`")
+    table = stmts[0][4:].strip()
+    am = re.match(r"^([A-Za-z_]\w*)\s*=\s*([A-Za-z_]\w*)$", table)
+    if am:  # from e = employees
+        acc = f"SELECT * FROM {am.group(2)} AS {am.group(1)}"
+    elif re.match(r"^[A-Za-z_][\w.]*$", table):
+        acc = f"SELECT * FROM {table}"
+    else:
+        raise ChSqlError(f"PRQL from: expected a table name, got {table!r}")
+
+    for stmt in stmts[1:]:
+        sm = re.match(r"^([a-z_]+)\s*(.*)$", stmt, re.DOTALL)
+        if not sm:
+            raise ChSqlError(f"PRQL: cannot parse transform {stmt!r}")
+        op, body = sm.group(1), sm.group(2).strip()
+
+        if op == "filter":
+            acc = f"SELECT * FROM ({acc}) WHERE {_expr(body)}"
+        elif op == "derive":
+            items = _tuple_items(body)
+            sel = []
+            for item in items:
+                alias, raw = _named(item)
+                if alias is None:
+                    raise ChSqlError("PRQL derive items need names (x = expr)")
+                sel.append(f"{_expr(raw)} AS {alias}")
+            acc = f"SELECT *, {', '.join(sel)} FROM ({acc})"
+        elif op == "select":
+            if body.startswith("!"):
+                cols = ", ".join(_tuple_items(body[1:]))
+                acc = f"SELECT * EXCEPT ({cols}) FROM ({acc})"
+            else:
+                sel = []
+                for item in _tuple_items(body):
+                    alias, raw = _named(item)
+                    sel.append(_expr(raw) if alias is None
+                               else f"{_expr(raw)} AS {alias}")
+                acc = f"SELECT {', '.join(sel)} FROM ({acc})"
+        elif op == "aggregate":
+            acc = f"SELECT {', '.join(_aggregate_items(body))} FROM ({acc})"
+        elif op == "group":
+            gm = re.match(r"^(\{[^}]*\}|\[[^\]]*\]|[A-Za-z_]\w*)\s*\((.*)\)\s*$",
+                          body, re.DOTALL)
+            if not gm:
+                raise ChSqlError("PRQL group needs: group {keys} (body)")
+            keys = [_expr(k) for k in _tuple_items(gm.group(1))]
+            inner = gm.group(2).strip()
+            aggm = re.match(r"^aggregate\s+(.*)$", inner, re.DOTALL)
+            if aggm:
+                sel = keys + _aggregate_items(aggm.group(1))
+                acc = (f"SELECT {', '.join(sel)} FROM ({acc}) "
+                       f"GROUP BY {', '.join(keys)}")
+                continue
+            # group {k} (sort {-x}\n take n)  ->  per-group top-n
+            parts = _split_statements(inner)
+            order, take_n = None, None
+            for p in parts:
+                pm = re.match(r"^(sort|take)\s+(.*)$", p, re.DOTALL)
+                if not pm:
+                    raise ChSqlError(
+                        f"PRQL group body {p!r}: subset takes aggregate or sort+take")
+                if pm.group(1) == "sort":
+                    order = _sort_items(pm.group(2))
+                else:
+                    take_n = int(pm.group(2))
+            if take_n is None:
+                raise ChSqlError("PRQL group body needs a take")
+            order = order or ", ".join(keys)
+            acc = (f"SELECT * EXCEPT (__prql_rn) FROM (SELECT *, row_number() "
+                   f"OVER (PARTITION BY {', '.join(keys)} ORDER BY {order}) "
+                   f"AS __prql_rn FROM ({acc})) WHERE __prql_rn <= {take_n}")
+        elif op == "sort":
+            acc = f"SELECT * FROM ({acc}) ORDER BY {_sort_items(body)}"
+        elif op == "take":
+            rm = re.match(r"^(\d+)\.\.(\d+)$", body)
+            if rm:  # inclusive range
+                lo, hi = int(rm.group(1)), int(rm.group(2))
+                acc = (f"SELECT * FROM ({acc}) LIMIT {hi - lo + 1} "
+                       f"OFFSET {lo - 1}")
+            else:
+                acc = f"SELECT * FROM ({acc}) LIMIT {int(body)}"
+        elif op == "join":
+            jm = re.match(r"^(?:side\s*:\s*(\w+)\s+)?([A-Za-z_]\w*)\s*\((.*)\)\s*$",
+                          body, re.DOTALL)
+            if not jm:
+                raise ChSqlError("PRQL join needs: join [side:left] table (cond)")
+            side = (jm.group(1) or "inner").lower()
+            kinds = {"inner": "INNER JOIN", "left": "LEFT JOIN",
+                     "right": "RIGHT JOIN", "full": "FULL JOIN"}
+            if side not in kinds:
+                raise ChSqlError(f"PRQL join side {side!r} not supported")
+            rtable, cond = jm.group(2), jm.group(3).strip()
+            em = re.match(r"^==\s*([A-Za-z_]\w*)$", cond)
+            pm = re.match(r"^([A-Za-z_][\w.]*)\s*==\s*([A-Za-z_][\w.]*)$", cond)
+            if em:
+                acc = (f"SELECT * FROM ({acc}) AS __prql_l {kinds[side]} "
+                       f"{rtable} AS __prql_r USING ({em.group(1)})")
+            elif pm:
+                l = pm.group(1).replace("left.", "__prql_l.")
+                r = pm.group(2).replace("right.", "__prql_r.")
+                if "." not in l:
+                    l = f"__prql_l.{l}"
+                if "." not in r:
+                    r = f"__prql_r.{r}"
+                acc = (f"SELECT * FROM ({acc}) AS __prql_l {kinds[side]} "
+                       f"{rtable} AS __prql_r ON {l} = {r}")
+            else:
+                raise ChSqlError(
+                    f"PRQL join condition {cond!r}: subset takes (==col) "
+                    "or (a == b)")
+        else:
+            raise ChSqlError(
+                f"PRQL transform {op!r}: not in the implemented subset "
+                "(from/derive/select/filter/group/aggregate/sort/take/join)")
+    return acc
+
+
+def prql_sql(spark, text: str, params=None):
+    """Execute a PRQL pipeline through the chsql shim."""
+    from clickhouse_25_5_3_75_stable_spark.chsql import ch_sql
+
+    return ch_sql(spark, prql_to_sql(text), params=params)

@@ -133,3 +133,31 @@ def kql_join_region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         | summarize count(), dcount(n_name) by r_name
         | order by r_name asc
     """)
+
+
+@register(
+    "prql_pipeline_orders",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n,
+           sum(o_totalprice * 2) AS s,
+           avg(o_totalprice) AS m
+    FROM orders
+    WHERE o_orderstatus = 'O'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority ASC
+    """,
+    tags=("prql", "dialect"),
+)
+def prql_pipeline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRQL dialect (prql.py, the reference's prql_to_sql analogue):
+    filter / derive / group-aggregate (count this, sum, average) /
+    sort over orders. Decimal sum stays decimal on both engines."""
+    from clickhouse_25_5_3_75_stable_spark.prql import prql_sql
+
+    _view(spark, sf_dir, "orders")
+    return prql_sql(spark, """from orders
+filter o_orderstatus == "O"
+derive {p2 = o_totalprice * 2}
+group {o_orderpriority} (aggregate {n = count this, s = sum p2, m = average o_totalprice})
+sort {o_orderpriority}""")

@@ -132,8 +132,14 @@ def test_cli_dialect_setting(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+    restore2 = apply_settings(spark, {"dialect": "'prql'"})
+    for k, v in restore2.items():
+        if v is None:
+            spark.conf.unset(k)
+        else:
+            spark.conf.set(k, v)
     with pytest.raises(ChSqlError):
-        apply_settings(spark, {"dialect": "'prql'"})
+        apply_settings(spark, {"dialect": "'sqlite'"})
 
 
 def test_join_union_lookup_shapes():

@@ -1,0 +1,82 @@
+"""PRQL dialect subset (prql.py; reference
+src/Parsers/PRQL/ParserPRQLQuery.cpp defers to the prql-compiler's
+prql_to_sql — this module is the in-repo PRQL -> SQL analogue)."""
+
+import pytest
+
+from clickhouse_25_5_3_75_stable_spark.chsql import ChSqlError
+from clickhouse_25_5_3_75_stable_spark.prql import prql_to_sql
+
+
+def test_transform_shapes():
+    sql = prql_to_sql("""from t
+filter x > 3 && s == "a"
+derive {y = x * 2}
+group {k} (aggregate {n = count this, s2 = sum y})
+sort {-s2}
+take 5""")
+    assert "WHERE x > 3 AND s = 'a'" in sql
+    assert "x * 2 AS y" in sql
+    assert "count(*) AS n" in sql and "sum(y) AS s2" in sql
+    assert "GROUP BY k" in sql and "ORDER BY s2 DESC" in sql
+    assert sql.endswith("LIMIT 5")
+
+
+def test_take_range_and_exclusion_select():
+    sql = prql_to_sql("from t\ntake 5..10")
+    assert "LIMIT 6 OFFSET 4" in sql  # inclusive range
+    sql = prql_to_sql("from t\nselect !{a, b}")
+    assert "EXCEPT (a, b)" in sql
+
+
+def test_join_forms():
+    sql = prql_to_sql("from t\njoin side:left u (==k)")
+    assert "LEFT JOIN u AS __prql_r USING (k)" in sql
+    sql = prql_to_sql("from t\njoin u (a == b)")
+    assert "__prql_l.a = __prql_r.b" in sql
+
+
+def test_group_take_per_group_topn():
+    sql = prql_to_sql("""from t
+group {k} (
+  sort {-v}
+  take 2
+)""")
+    assert "row_number()" in sql and "PARTITION BY k" in sql and "<= 2" in sql
+
+
+def test_coalesce_and_refusals():
+    sql = prql_to_sql("from t\nderive {z = a ?? 0}")
+    assert "coalesce(a, 0) AS z" in sql
+    with pytest.raises(ChSqlError, match="from"):
+        prql_to_sql("select {a}")
+    with pytest.raises(ChSqlError, match="window"):
+        prql_to_sql("from t\nwindow rows:-2..0 (derive {m = average x})")
+    with pytest.raises(ChSqlError):
+        prql_to_sql('from t\nderive {z = s"version()"}')
+
+
+def test_prql_executes(spark):
+    from clickhouse_25_5_3_75_stable_spark.prql import prql_sql
+
+    sf = "/root/testdata/sf0.001"
+    for t in ("nation", "region", "events"):
+        spark.read.parquet(f"{sf}/{t}.parquet").createOrReplaceTempView(t)
+    got = prql_sql(spark, """from events
+filter value > 100
+derive {v2 = value * 2}
+group {event_type} (aggregate {n = count this, s = sum v2})
+sort {event_type}""").collect()
+    want = spark.sql("""
+        SELECT event_type, count(*) AS n, sum(value * 2) AS s
+        FROM events WHERE value > 100
+        GROUP BY event_type ORDER BY event_type
+    """).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+    got = prql_sql(spark, """from nation
+join side:left region (n_regionkey == r_regionkey)
+select {n_name, r_name}
+sort {n_name}
+take 3""").collect()
+    assert len(got) == 3 and got[0].r_name is not None
