@@ -701,6 +701,8 @@ def kql_to_chsql(text: str) -> str:
             acc = _join_stage(acc, body, lookup=op == "lookup")
         elif op == "render":
             pass  # chart hint — a no-op for a tabular engine
+        elif op == "make-series":
+            acc = _make_series(acc, body)
         elif op == "mv-expand":
             col = body.strip()
             if not re.match(r"^[A-Za-z_]\w*$", col):
@@ -715,6 +717,71 @@ def kql_to_chsql(text: str) -> str:
                 "(where/project[-away|-rename]/extend/summarize/order/sort/"
                 "take/limit/top/distinct/count/mv-expand/print)")
     return acc
+
+
+_MAKE_SERIES_RE = re.compile(
+    r"^(?P<alias>[A-Za-z_]\w*)\s*=\s*(?P<agg>[A-Za-z_]\w*)\s*\(\s*(?P<arg>[^)]*)\s*\)"
+    r"(?:\s+default\s*=\s*(?P<dflt>[-\d.]+))?"
+    r"\s+on\s+(?P<ts>[A-Za-z_]\w*)"
+    r"\s+from\s+(?P<frm>.+?)\s+to\s+(?P<to>.+?)"
+    r"\s+step\s+(?P<step>\d+(?:\.\d+)?(?:ms|d|h|m|s))"
+    r"(?:\s+by\s+(?P<by>.+))?$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _make_series(acc: str, body: str) -> str:
+    """KQL make-series: a gap-filled per-group time series, one row per
+    group with ARRAY columns for the aggregate and the time axis
+    (ADX semantics: axis = [from, to) at `step`, missing buckets filled
+    with `default`, 0 when omitted). Realization: bucket-aggregate,
+    LEFT JOIN against the generated axis×keys grid, then an ordered
+    array fold — the same grid shape as the WITH FILL operator."""
+    m = _MAKE_SERIES_RE.match(body.strip())
+    if not m:
+        raise ChSqlError(
+            "KQL make-series subset needs: alias = agg(col) [default = n] "
+            "on ts from <expr> to <expr> step <timespan> [by keys]")
+    alias, agg, arg = m.group("alias"), m.group("agg").lower(), m.group("arg")
+    dflt = m.group("dflt") or "0"
+    tscol = m.group("ts")
+    frm = _lower_expr(_tokenize(m.group("frm")))
+    to = _lower_expr(_tokenize(m.group("to")))
+    ts_m = _TS_RE.match(m.group("step"))
+    step = f"INTERVAL {ts_m.group(1)} {_TIMESPAN_UNITS[ts_m.group(2)]}"
+    aggfn = _AGG_RENAMES.get(agg, agg)
+    keys = ([k.strip() for k in m.group("by").split(",")]
+            if m.group("by") else [])
+    for k in keys:
+        if not re.match(r"^[A-Za-z_]\w*$", k):
+            raise ChSqlError("KQL make-series by-keys subset takes bare columns")
+
+    axis = (f"SELECT __ms_b FROM (SELECT explode(sequence("
+            f"CAST({frm} AS TIMESTAMP), CAST({to} AS TIMESTAMP), {step})) "
+            f"AS __ms_b) WHERE __ms_b < CAST({to} AS TIMESTAMP)")
+    aggsel = f"{aggfn}({_lower_expr(_tokenize(arg))})" if arg.strip() else "count()"
+    bucket = f"toStartOfInterval({tscol}, {step})"
+    aggq = (f"SELECT {', '.join([*keys, f'{bucket} AS __ms_b', f'{aggsel} AS __ms_v'])} "
+            f"FROM ({acc}) WHERE {tscol} >= CAST({frm} AS TIMESTAMP) "
+            f"AND {tscol} < CAST({to} AS TIMESTAMP) "
+            f"GROUP BY {', '.join([*keys, bucket])}")
+    if keys:
+        grid = (f"SELECT * FROM (SELECT DISTINCT {', '.join(keys)} "
+                f"FROM ({acc})) CROSS JOIN ({axis})")
+    else:
+        grid = f"SELECT * FROM ({axis})"
+    using = ", ".join([*keys, "__ms_b"])
+    joined = (f"SELECT * FROM ({grid}) AS __ms_g LEFT JOIN ({aggq}) "
+              f"AS __ms_a USING ({using})")
+    fold = "array_sort(collect_list(struct(__ms_b, __ms_v)))"
+    sel_keys = f"{', '.join(keys)}, " if keys else ""
+    final = (f"SELECT {sel_keys}"
+             f"transform({fold}, x -> coalesce(x.__ms_v, {dflt})) AS {alias}, "
+             f"transform({fold}, x -> x.__ms_b) AS {tscol} "
+             f"FROM ({joined})")
+    if keys:
+        final += f" GROUP BY {', '.join(keys)}"
+    return final
 
 
 _JOIN_KINDS = {

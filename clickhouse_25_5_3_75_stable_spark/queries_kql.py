@@ -10,8 +10,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from pyspark.sql import functions as F
+
 from clickhouse_25_5_3_75_stable_spark.kql import kql_sql
-from clickhouse_25_5_3_75_stable_spark.queries import register, t
+from clickhouse_25_5_3_75_stable_spark.queries import arr_csv, register, t
 
 
 def _view(spark: SparkSession, sf_dir: str, name: str) -> None:
@@ -161,3 +163,49 @@ filter o_orderstatus == "O"
 derive {p2 = o_totalprice * 2}
 group {o_orderpriority} (aggregate {n = count this, s = sum p2, m = average o_totalprice})
 sort {o_orderpriority}""")
+
+
+@register(
+    "kql_make_series_daily",
+    oracle="""
+    WITH axis AS (
+        SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
+                                      TIMESTAMP '2024-01-14',
+                                      INTERVAL 1 DAY)) AS b
+    ),
+    ks AS (SELECT DISTINCT event_type FROM events),
+    agg AS (
+        SELECT event_type, date_trunc('day', ts) AS b, count(*) AS v
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-15'
+        GROUP BY 1, 2
+    )
+    SELECT g.event_type,
+           array_to_string(list(CAST(COALESCE(a.v, 0) AS VARCHAR)
+                                ORDER BY g.b), ',') AS c_csv,
+           array_to_string(list(strftime(g.b, '%Y-%m-%d')
+                                ORDER BY g.b), ',') AS ts_csv
+    FROM (SELECT ks.event_type, axis.b FROM ks CROSS JOIN axis) g
+    LEFT JOIN agg a ON g.event_type = a.event_type AND g.b = a.b
+    GROUP BY g.event_type
+    ORDER BY g.event_type
+    """,
+    tags=("kql", "dialect", "make-series"),
+)
+def kql_make_series_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KQL make-series (ADX's telemetry flagship): gap-filled per-group
+    daily count arrays over a fixed [from, to) axis, default 0 —
+    realized as bucket-agg LEFT JOIN the axis×keys grid + ordered array
+    fold. Arrays CSV-joined for the driver's scalar contract."""
+    _view(spark, sf_dir, "events")
+    df = kql_sql(spark, """
+        events
+        | make-series c = count() default = 0 on ts from datetime(2024-01-01) to datetime(2024-01-15) step 1d by event_type
+        | order by event_type asc
+    """)
+    return df.select(
+        "event_type",
+        arr_csv(F.col("c")).alias("c_csv"),
+        arr_csv(F.transform(F.col("ts"),
+                            lambda x: F.date_format(x, "yyyy-MM-dd"))).alias("ts_csv"),
+    )

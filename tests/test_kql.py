@@ -87,8 +87,6 @@ def test_extend_replaces_self_referential_column():
 
 
 def test_stage_refusals_name_the_operator():
-    with pytest.raises(ChSqlError, match="make-series"):
-        kql_to_chsql("T | make-series avg(v) on ts step 1d")
     with pytest.raises(ChSqlError, match="mv-apply"):
         kql_to_chsql("T | mv-apply x on (summarize count())")
     with pytest.raises(ChSqlError):
@@ -201,3 +199,26 @@ def test_scalar_breadth(spark):
     assert r.sd.startswith("2024-03-05 00:00:00")
     assert r.yr == 2024
     assert r.rr == "aXaXaX"
+
+
+def test_make_series(spark):
+    from clickhouse_25_5_3_75_stable_spark.kql import kql_sql
+
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet") \
+        .createOrReplaceTempView("events")
+    rows = kql_sql(spark, """
+        events
+        | make-series n = avg(value) default = -1 on ts from datetime(2024-01-01) to datetime(2024-01-08) step 1d by event_type
+        | order by event_type asc
+    """).collect()
+    assert rows and all(len(r.n) == 7 and len(r.ts) == 7 for r in rows)
+    assert all(str(r.ts[0]).startswith("2024-01-01") for r in rows)
+    # axis is [from, to): 2024-01-08 itself excluded
+    assert all(str(r.ts[-1]).startswith("2024-01-07") for r in rows)
+    # no-by global form + count() default
+    one = kql_sql(spark, """
+        events | make-series c = count() on ts from datetime(2024-01-01) to datetime(2024-01-04) step 1d
+    """).collect()
+    assert len(one) == 1 and len(one[0].c) == 3 and all(v >= 0 for v in one[0].c)
+    with pytest.raises(ChSqlError):
+        kql_to_chsql("T | make-series avg(v) on ts step 1d")  # needs alias+from/to
