@@ -703,6 +703,8 @@ def kql_to_chsql(text: str) -> str:
             pass  # chart hint — a no-op for a tabular engine
         elif op == "make-series":
             acc = _make_series(acc, body)
+        elif op == "parse":
+            acc = _parse_stage(acc, body)
         elif op == "mv-expand":
             col = body.strip()
             if not re.match(r"^[A-Za-z_]\w*$", col):
@@ -715,7 +717,8 @@ def kql_to_chsql(text: str) -> str:
             raise ChSqlError(
                 f"KQL operator {op!r}: not in the implemented subset "
                 "(where/project[-away|-rename]/extend/summarize/order/sort/"
-                "take/limit/top/distinct/count/mv-expand/print)")
+                "take/limit/top/distinct/count/mv-expand/print/join/lookup/"
+                "union/render/make-series/parse)")
     return acc
 
 
@@ -782,6 +785,58 @@ def _make_series(acc: str, body: str) -> str:
     if keys:
         final += f" GROUP BY {', '.join(keys)}"
     return final
+
+
+_PARSE_TYPES = {"int": "INT", "long": "BIGINT", "real": "DOUBLE",
+                "double": "DOUBLE", "string": None, "bool": "BOOLEAN"}
+
+
+def _parse_stage(acc: str, body: str) -> str:
+    """KQL parse (simple mode): ``parse Expr with ['*'] ('lit' Name[:ty])+``
+    — literal anchors become a single composite regex; each name is one
+    capture group extracted with regexp_extract (lazy captures between
+    anchors, greedy for a trailing unanchored name, exactly ADX's
+    simple-mode matching)."""
+    m = re.match(r"^(?:kind\s*=\s*simple\s+)?(.+?)\s+with\s+(.*)$",
+                 body, re.IGNORECASE | re.DOTALL)
+    if not m:
+        raise ChSqlError("KQL parse needs: parse Expr with 'lit' Name ...")
+    src = _lower_expr(_tokenize(m.group(1)))
+    rest = m.group(2).strip()
+    # tokenize the with-pattern: quoted literals, * wildcards, Name[:type]
+    pat_re = re.compile(
+        r"\s*(?:'((?:[^'\\]|\\.)*)'|\"((?:[^\"\\]|\\.)*)\"|(\*)"
+        r"|([A-Za-z_]\w*)(?::\s*(\w+))?)")
+    pos, regex, names = 0, "", []
+    while pos < len(rest):
+        pm = pat_re.match(rest, pos)
+        if not pm or pm.end() == pos:
+            raise ChSqlError(f"KQL parse: cannot read pattern at {rest[pos:pos+20]!r}")
+        lit1, lit2, star, name, ty = pm.groups()
+        if lit1 is not None or lit2 is not None:
+            regex += re.escape(lit1 if lit1 is not None else lit2)
+        elif star:
+            regex += ".*?"
+        else:
+            if ty and ty.lower() not in _PARSE_TYPES:
+                raise ChSqlError(f"KQL parse type {ty!r} not supported")
+            names.append((name, ty and ty.lower()))
+            regex += "(.*?)"
+        pos = pm.end()
+    if not names:
+        raise ChSqlError("KQL parse: no capture columns in the pattern")
+    # the final lazy capture must reach the end of the input
+    if regex.endswith("(.*?)"):
+        regex = regex[:-5] + "(.*)"
+    regex_sql = regex.replace("\\", "\\\\").replace("'", "''")
+    sel = []
+    for g, (name, ty) in enumerate(names, start=1):
+        e = f"regexp_extract({src}, '{regex_sql}', {g})"
+        sqlt = _PARSE_TYPES.get(ty or "string")
+        if sqlt:
+            e = f"CAST({e} AS {sqlt})"
+        sel.append(f"{e} AS {name}")
+    return f"SELECT *, {', '.join(sel)} FROM ({acc})"
 
 
 _JOIN_KINDS = {

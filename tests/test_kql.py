@@ -222,3 +222,18 @@ def test_make_series(spark):
     assert len(one) == 1 and len(one[0].c) == 3 and all(v >= 0 for v in one[0].c)
     with pytest.raises(ChSqlError):
         kql_to_chsql("T | make-series avg(v) on ts step 1d")  # needs alias+from/to
+
+
+def test_parse_operator(spark):
+    from clickhouse_25_5_3_75_stable_spark.kql import kql_sql
+
+    r = kql_sql(spark, """
+        print line = 'GET /api/users?id=42 took 18ms'
+        | parse line with Method ' /api/' Endpoint '?id=' Id:long ' took ' Ms:int 'ms'
+    """).collect()[0]
+    assert (r.Method, r.Endpoint, r.Id, r.Ms) == ("GET", "users", 42, 18)
+    # wildcard skip + unmatched -> empty/NULL-ish extract
+    r2 = kql_sql(spark, "print s = 'x=7 tail' | parse s with 'x=' V:int ' ' *").collect()[0]
+    assert r2.V == 7
+    with pytest.raises(ChSqlError):
+        kql_to_chsql("T | parse s with 'only literals'")
