@@ -307,6 +307,21 @@ def _lower_expr(toks: list[str]) -> str:
             i = i2
             continue
 
+        if low == "dynamic" and i + 1 < len(toks) and toks[i + 1] == "(":
+            # dynamic([...]) array literal -> array(...); object/scalar
+            # dynamics are out of the subset
+            depth, j = 1, i + 2
+            while j < len(toks) and depth:
+                depth += toks[j] == "("
+                depth -= toks[j] == ")"
+                j += 1
+            inner = toks[i + 2:j - 1]
+            if not inner or inner[0] != "[" or inner[-1] != "]":
+                raise ChSqlError("KQL dynamic subset takes an array literal")
+            items = _split_top_tokens(inner[1:-1])
+            out.append("array(" + ", ".join(_lower_expr(p) for p in items) + ")")
+            i = j
+            continue
         if low == "ago" and i + 1 < len(toks) and toks[i + 1] == "(":
             arg, i2 = _take_primary(toks, i + 1)
             inner = _lower_expr(_tokenize(arg[1:-1]))
@@ -705,6 +720,8 @@ def kql_to_chsql(text: str) -> str:
             acc = _make_series(acc, body)
         elif op == "parse":
             acc = _parse_stage(acc, body)
+        elif op == "mv-apply":
+            acc = _mv_apply(acc, body)
         elif op == "mv-expand":
             col = body.strip()
             if not re.match(r"^[A-Za-z_]\w*$", col):
@@ -785,6 +802,77 @@ def _make_series(acc: str, body: str) -> str:
     if keys:
         final += f" GROUP BY {', '.join(keys)}"
     return final
+
+
+def _mv_apply(acc: str, body: str) -> str:
+    """KQL mv-apply subset: ``mv-apply [e =] arr on (where ... |
+    summarize a = agg(expr), ...)`` — per-ROW array application.
+    Realized entirely with array higher-order functions (filter /
+    transform / aggregate folds): no explode, no shuffle, no synthetic
+    row id — the per-row mini-table IS the array, which keeps the
+    operator scale-free (ADX applies a subquery per row; for the
+    where+summarize shape the two are semantically identical)."""
+    m = re.match(r"^(?:([A-Za-z_]\w*)\s*=\s*)?([A-Za-z_]\w*)\s+on\s+\((.*)\)\s*$",
+                 body, re.DOTALL | re.IGNORECASE)
+    if not m:
+        raise ChSqlError("KQL mv-apply subset needs: mv-apply [e =] arr on (...)")
+    var = m.group(1) or m.group(2)
+    arr = m.group(2)
+    stages = _split_pipeline(m.group(3))
+    preds, summarize = [], None
+    for st in stages:
+        sm = re.match(r"^(where|summarize)\s+(.*)$", st, re.DOTALL | re.IGNORECASE)
+        if not sm:
+            raise ChSqlError(
+                f"KQL mv-apply body {st!r}: subset takes where stages "
+                "followed by one summarize")
+        if sm.group(1).lower() == "where":
+            preds.append(_lower_expr(_tokenize(sm.group(2))))
+        else:
+            summarize = sm.group(2)
+    if summarize is None:
+        raise ChSqlError("KQL mv-apply subset needs a summarize in the body")
+    base = arr
+    if preds:
+        base = f"arrayFilter({var} -> ({') AND ('.join(preds)}), {arr})"
+
+    def mapped(expr: str) -> str:
+        if expr.strip() == var:
+            return base
+        return f"arrayMap({var} -> {expr}, {base})"
+
+    sel = []
+    for alias, _lowered, raw in _named_items_raw(summarize):
+        # parse from the RAW tokens so the agg name is the KQL one
+        text = _join_tokens(raw)
+        am = re.match(r"^([A-Za-z_]\w*)\s*\((.*)\)$", text, re.DOTALL)
+        if not am:
+            raise ChSqlError(f"KQL mv-apply summarize item {text!r}: "
+                             "subset takes agg(expr) items")
+        fn, argtext = am.group(1).lower(), am.group(2).strip()
+        arg = _lower_expr(_tokenize(argtext)) if argtext else ""
+        if alias is None:
+            alias = f"{fn}_{argtext}" if re.match(r"^[A-Za-z_]\w*$", argtext) \
+                else f"{fn}_"
+        if fn == "count" and not arg:
+            e = f"length({base})"
+        elif fn == "sum":
+            e = f"arraySum({mapped(arg)})"
+        elif fn == "avg" or fn == "average":
+            e = f"arraySum({mapped(arg)}) / length({base})"
+        elif fn == "max":
+            e = f"arrayMax({mapped(arg)})"
+        elif fn == "min":
+            e = f"arrayMin({mapped(arg)})"
+        elif fn == "dcount":
+            e = f"length(arrayDistinct({mapped(arg)}))"
+        elif fn == "make_list":
+            e = mapped(arg)
+        else:
+            raise ChSqlError(f"KQL mv-apply aggregate {fn!r}: subset takes "
+                             "count/sum/avg/min/max/dcount/make_list")
+        sel.append(f"{e} AS {alias}")
+    return f"SELECT *, {', '.join(sel)} FROM ({acc})"
 
 
 _PARSE_TYPES = {"int": "INT", "long": "BIGINT", "real": "DOUBLE",

@@ -87,8 +87,8 @@ def test_extend_replaces_self_referential_column():
 
 
 def test_stage_refusals_name_the_operator():
-    with pytest.raises(ChSqlError, match="mv-apply"):
-        kql_to_chsql("T | mv-apply x on (summarize count())")
+    with pytest.raises(ChSqlError, match="getschema"):
+        kql_to_chsql("T | getschema")
     with pytest.raises(ChSqlError):
         kql_to_chsql("")
 
@@ -237,3 +237,23 @@ def test_parse_operator(spark):
     assert r2.V == 7
     with pytest.raises(ChSqlError):
         kql_to_chsql("T | parse s with 'only literals'")
+
+
+def test_mv_apply_and_dynamic(spark):
+    from clickhouse_25_5_3_75_stable_spark.kql import kql_sql
+
+    r = kql_sql(spark, """
+        print id = 1, arr = dynamic([1, 5, 12, 7, 3])
+        | mv-apply e = arr on (where e > 4 | summarize s = sum(e), n = count(), m = max(e), d = dcount(e), lst = make_list(e * 10))
+    """).collect()[0]
+    assert (r.n, r.m, r.d, r.lst) == (3, 12, 3, [50, 120, 70])
+    assert abs(r.s - 24) < 1e-9
+    # bare-column form: elements named like the array
+    r2 = kql_sql(spark, """
+        print arr = dynamic([2, 4]) | mv-apply arr on (summarize t = sum(arr))
+    """).collect()[0]
+    assert abs(r2.t - 6) < 1e-9
+    with pytest.raises(ChSqlError):
+        kql_to_chsql("T | mv-apply x on (extend y = 1)")  # body must end in summarize
+    with pytest.raises(ChSqlError):
+        kql_to_chsql("T | mv-apply x on (summarize p = percentile(x, 50))")
