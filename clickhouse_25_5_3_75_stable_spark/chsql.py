@@ -550,6 +550,9 @@ _MANAGED_CONFS = (
     "spark.sql.autoBroadcastJoinThreshold",
     "spark.chspark.maxResultRows",
     "spark.chspark.resultOverflowMode",
+    # request-scoped dialect (HTTP ?dialect=kusto must NOT leak into
+    # the next client's plain-SQL request)
+    "spark.chsql.dialect",
 )
 
 

@@ -257,3 +257,33 @@ def test_mv_apply_and_dynamic(spark):
         kql_to_chsql("T | mv-apply x on (extend y = 1)")  # body must end in summarize
     with pytest.raises(ChSqlError):
         kql_to_chsql("T | mv-apply x on (summarize p = percentile(x, 50))")
+
+
+def test_http_dialect_request_scoped(spark):
+    """HTTP ?dialect=kusto applies per request and is RESTORED after —
+    a later plain-SQL request must not be parsed as KQL (found live:
+    spark.chsql.dialect was missing from the managed-conf snapshot)."""
+    import urllib.parse
+    import urllib.request
+
+    from clickhouse_25_5_3_75_stable_spark.http_server import serve_in_thread
+
+    import os, tempfile, shutil
+    d = tempfile.mkdtemp()
+    try:
+        shutil.copy("/root/testdata/sf0.001/nation.parquet", d)
+        srv, port = serve_in_thread(spark, d)
+        try:
+            q = urllib.parse.quote(
+                "nation | summarize count() by n_regionkey | order by n_regionkey asc | take 1")
+            r = urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/?query={q}&dialect=kusto").read().decode()
+            assert r == "0\t5\n"
+            q2 = urllib.parse.quote("SELECT count() FROM nation")
+            r2 = urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/?query={q2}").read().decode()
+            assert r2.strip() == "25"
+        finally:
+            srv.shutdown()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
