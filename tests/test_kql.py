@@ -287,3 +287,38 @@ def test_http_dialect_request_scoped(spark):
             srv.shutdown()
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# parser robustness fuzz (select_parser_fuzzer analogue for the
+# dialect front doors): arbitrary input refuses cleanly, never dies
+# with an internal error
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=300, deadline=None)
+@given(s=st.text(
+    alphabet="abcxyz TPK|()[]{}=<>!~*+-.,'\"0123456789\n"
+             "wheresummarizcountbydisnctojoefl$",
+    min_size=0, max_size=100))
+def test_kql_transpiler_never_crashes(s):
+    try:
+        kql_to_chsql(s)
+    except (ChSqlError, ValueError):
+        pass
+
+
+@settings(max_examples=300, deadline=None)
+@given(s=st.text(
+    alphabet="abcxyz t|(){}=<>!?*+-.,'\"0123456789\n"
+             "fromderivselctagqup",
+    min_size=0, max_size=100))
+def test_prql_transpiler_never_crashes(s):
+    from clickhouse_25_5_3_75_stable_spark.prql import prql_to_sql
+    try:
+        prql_to_sql("from t\n" + s)
+    except (ChSqlError, ValueError):
+        pass
