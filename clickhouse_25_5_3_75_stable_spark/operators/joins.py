@@ -125,8 +125,19 @@ def _global_positions(df: DataFrame, order: Sequence[Column | str]) -> DataFrame
     land because range partitions are themselves ordered."""
     spark = df.sparkSession
     n_parts = max(int(spark.conf.get("spark.sql.shuffle.partitions", "200")), 1)
-    ranged = df.repartitionByRange(n_parts, *order).withColumn(
-        "__pid", F.spark_partition_id()
+    # The counts aggregate below and the final rank evaluation are TWO
+    # separate jobs. repartitionByRange's sampled boundaries and AQE's
+    # partition coalescing are not guaranteed identical across
+    # re-evaluations, so __pid could mean different slices in each job
+    # — producing duplicate/skipped global ranks (seen live at sf0.1:
+    # the 1000-row zip returned 1002 rows). localCheckpoint(eager)
+    # materializes the ranged layout ONCE; both jobs then read the
+    # same frozen partitions. Cost = one spill-capable materialization
+    # of the relation, the same class as the shuffle it already does.
+    ranged = (
+        df.repartitionByRange(n_parts, *order)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     counts = sorted(
         (r["__pid"], r["cnt"])
