@@ -1,0 +1,58 @@
+#!/usr/bin/env python
+"""Full-registry value sweep at an arbitrary scale factor (default
+sf0.1) — the scale-dependent-bug hunter. NOT collected by pytest (no
+test_ prefix): run it directly when an operator touches partition
+layout, ordering, or global ranks.
+
+    python tests/sweep_scale.py [sf_dir] [start_index]
+
+The standard gate runs at sf0.01, where AQE coalesces nearly every
+plan to one partition — multi-partition nondeterminism is invisible
+there. This sweep caught the round-5 PASTE JOIN layout bug (duplicate
+global ranks from re-evaluated repartitionByRange boundaries)."""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from clickhouse_25_5_3_75_stable_spark.session import get_spark  # noqa: E402
+
+
+def main() -> int:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    start = int(sys.argv[2]) if len(sys.argv) > 2 else 0
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    from tests.oracle_harness import compare, duckdb_conn
+
+    import clickhouse_25_5_3_75_stable_spark.queries as q
+
+    con = duckdb_conn(sf)
+    names = [n for n, s in q.REGISTRY.items() if s.oracle][start:]
+    fails, t0 = [], time.time()
+    for k, name in enumerate(names):
+        try:
+            errs = compare(spark, con, sf, name)
+            if errs:
+                fails.append((name, str(errs)[:300]))
+                print(f"FAIL {name}", flush=True)
+        except Exception as e:  # noqa: BLE001 — report, keep sweeping
+            fails.append((name, f"{type(e).__name__}: {str(e)[:300]}"))
+            print(f"ERR {name}: {type(e).__name__}", flush=True)
+        if (k + 1) % 25 == 0:
+            print(f"[{k+1}/{len(names)}] {len(fails)} fails "
+                  f"({time.time()-t0:.0f}s)", flush=True)
+    print(f"\n=== {sf}: {len(names)-len(fails)}/{len(names)} MATCH "
+          f"in {time.time()-t0:.0f}s ===")
+    for n, why in fails:
+        print(f"FAIL {n} -- {why}")
+    spark.stop()
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
