@@ -33,16 +33,35 @@ def main() -> int:
 
     import threading
 
+    # Audit-tier PAIR MATERIALIZERS: these exist to cross-check the
+    # scalable operators at gate scale (sf0.01) and produce O(n^2)-ish
+    # result sets / oracle work by DESIGN. At sf0.1 their value compare
+    # is driver-bound result shoveling, not signal — the scalable
+    # variants of the same operators (minhash banding, LSH buckets,
+    # IVF) stay in the sweep.
+    audit_tier = {
+        "embedding_near_dup_pairs",      # brute-force pair cross-check
+        "dedup_minhash_lsh_pairs",       # DuckDB-side minhash = 150s+ (MATCHes at 230s)
+        "dedup_jaccard_pairs",           # exact shingle pairs (fast at sf0.1 today, O(sum freq^2))
+    }
     con = duckdb_conn(sf)
     names = [n for n, s in q.REGISTRY.items() if s.oracle][start:]
     fails, timeouts, t0 = [], [], time.time()
     budget = int(os.environ.get("SWEEP_ORACLE_BUDGET_S", "180"))
     for k, name in enumerate(names):
+        if name in audit_tier and sf.rstrip("/").endswith("0.1"):
+            print(f"SKIP {name} (audit-tier pair materializer; "
+                  "sf0.01-gated)", flush=True)
+            continue
         # several AUDIT-TIER oracles (exact pair generation) are
         # quadratic in DuckDB — fine at the sf0.01 gate, intractable at
         # sf0.1. A watchdog interrupts the DuckDB side; a timed-out
         # oracle is reported as TIMEOUT (sf0.01-validated), not a FAIL.
-        timer = threading.Timer(budget, con.interrupt)
+        def _abort():
+            con.interrupt()
+            spark.sparkContext.cancelAllJobs()
+
+        timer = threading.Timer(budget, _abort)
         timer.start()
         try:
             errs = compare(spark, con, sf, name)
