@@ -813,6 +813,36 @@ def run_local(sql: str, data_dir: str, spark=None, out=sys.stdout,
             mutate_table(spark, data_dir, dm.group(1), "delete", dm.group(2))
             _emit([(dm.group(1), "Ok")], ["table", "status"], fmt, out)
             return 0
+        if kw == "SYSTEM":
+            # InterpreterSystemQuery subset (src/Interpreters/
+            # InterpreterSystemQuery.cpp): the commands with a real
+            # analogue act; recognized-but-stateless ones return Ok;
+            # everything else refuses by name.
+            cmd = " ".join(sql.strip().rstrip(";").split()[1:]).upper()
+            if cmd == "DROP QUERY CACHE":
+                from clickhouse_25_5_3_75_stable_spark.operators.result_cache import (
+                    default_cache,
+                )
+
+                default_cache().clear()
+            elif cmd in ("DROP MARK CACHE", "DROP UNCOMPRESSED CACHE",
+                         "DROP FILESYSTEM CACHE"):
+                spark.catalog.clearCache()
+            elif cmd == "STOP MERGES":
+                spark.conf.set("spark.chspark.mergesStopped", "true")
+            elif cmd == "START MERGES":
+                spark.conf.set("spark.chspark.mergesStopped", "false")
+            elif cmd in ("FLUSH LOGS", "RELOAD DICTIONARIES") or \
+                    cmd.startswith("RELOAD DICTIONARY"):
+                pass  # logs are synchronous; dictionaries rebuild per use
+            else:
+                raise ValueError(
+                    f"SYSTEM {cmd}: no analogue in this engine (supported: "
+                    "DROP QUERY/MARK/UNCOMPRESSED/FILESYSTEM CACHE, "
+                    "STOP/START MERGES, FLUSH LOGS, RELOAD DICTIONARIES)")
+            _emit([(cmd, "Ok")], ["command", "status"], fmt, out)
+            return 0
+
         if kw == "SET":
             import re as _re
 

@@ -318,6 +318,13 @@ def optimize_table(
     drops full-row duplicates (the reference's merge-time dedup). The
     rewrite stages then swaps (same atomicity contract as
     RefreshableMatView)."""
+    # SYSTEM STOP MERGES (InterpreterSystemQuery): while stopped, a
+    # requested merge refuses instead of running (the reference parks
+    # background merges; OPTIMIZE is our only merge trigger)
+    if spark.conf.get("spark.chspark.mergesStopped", "false") == "true":
+        raise ValueError(
+            "merges are stopped (SYSTEM STOP MERGES); run SYSTEM START "
+            "MERGES first")
     import shutil
 
     from pyspark.sql import functions as F

@@ -55,3 +55,15 @@ class QueryResultCache:
 
     def __len__(self) -> int:
         return len(self._entries)
+
+
+_DEFAULT: QueryResultCache | None = None
+
+
+def default_cache() -> QueryResultCache:
+    """Process-wide cache instance — the one SYSTEM DROP QUERY CACHE
+    clears (reference: a single server-level QueryResultCache)."""
+    global _DEFAULT
+    if _DEFAULT is None:
+        _DEFAULT = QueryResultCache()
+    return _DEFAULT

@@ -556,3 +556,41 @@ def test_system_tables_round5_batch(spark):
     explain_analyze(spark.range(10).selectExpr("sum(id) s"))
     fin = [r for r in system_query_log(spark).collect() if r.type == "QueryFinish"]
     assert fin and fin[-1].result_rows == 1 and fin[-1].query_duration_ms > 0
+
+
+def test_system_statements(spark, tmp_path):
+    """SYSTEM statement subset (InterpreterSystemQuery.cpp): STOP
+    MERGES parks OPTIMIZE, START resumes; DROP QUERY CACHE clears the
+    process cache; unknown subsystems refuse by name."""
+    import io
+
+    import pytest as _pytest
+
+    from clickhouse_25_5_3_75_stable_spark.__main__ import run_local
+    from clickhouse_25_5_3_75_stable_spark.ddl import Database
+    from clickhouse_25_5_3_75_stable_spark.operators.result_cache import (
+        default_cache,
+    )
+
+    d = str(tmp_path)
+    db = Database(spark, d)
+    db.create_table(
+        "CREATE TABLE t_sys (id Int64, v Int64) ENGINE = MergeTree ORDER BY id")
+    db.insert_into("t_sys", spark.createDataFrame([(1, 10), (2, 20)],
+                                                  "id long, v long"))
+
+    out = io.StringIO()
+    run_local("SYSTEM STOP MERGES", d, spark=spark, out=out)
+    with _pytest.raises(ValueError, match="merges are stopped"):
+        run_local("OPTIMIZE TABLE t_sys FINAL", d, spark=spark, out=out)
+    run_local("SYSTEM START MERGES", d, spark=spark, out=out)
+    run_local("OPTIMIZE TABLE t_sys FINAL", d, spark=spark, out=out)
+
+    cache = default_cache()
+    df = spark.range(3).toDF("id")
+    cache.get_or_cache(df)
+    assert len(cache) >= 1
+    run_local("SYSTEM DROP QUERY CACHE", d, spark=spark, out=out)
+    assert len(cache) == 0
+    with _pytest.raises(ValueError, match="no analogue"):
+        run_local("SYSTEM SYNC REPLICA t_sys", d, spark=spark, out=out)
