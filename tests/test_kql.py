@@ -322,3 +322,18 @@ def test_prql_transpiler_never_crashes(s):
         prql_to_sql("from t\n" + s)
     except (ChSqlError, ValueError):
         pass
+
+
+def test_kql_filter_pushdown_reaches_scan(spark):
+    """The nested-stage transpile must collapse so a KQL `where` lands
+    in the parquet scan's PushedFilters — the 100 TB contract: dialect
+    front-ends add zero planning overhead."""
+    from clickhouse_25_5_3_75_stable_spark.kql import kql_sql
+
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet") \
+        .createOrReplaceTempView("events")
+    df = kql_sql(spark, "events | where value > 100 and event_type == 'click' "
+                        "| summarize count() by event_type")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "GreaterThan(value,100.0)" in plan      # pushed to the scan
+    assert "EqualTo(event_type,click)" in plan
