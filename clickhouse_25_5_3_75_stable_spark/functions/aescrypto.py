@@ -141,6 +141,10 @@ def encrypt_py(mode: str, data: bytes, key: bytes, iv: bytes | None,
             return ct + enc.tag  # RFC 5116: tag appended
         if aad is not None:
             raise ValueError("AAD can be only set for GCM-mode")
+        if block == "ecb" and iv:
+            # reference validateIV: ECB's cipher_iv_size is 0, a
+            # non-empty IV is BAD_ARGUMENTS in OpenSSL mode
+            raise ValueError(f"Invalid IV size: {len(iv)} expected 0")
         if iv is not None and len(iv) not in (0, 16):
             raise ValueError(f"Invalid IV size: {len(iv)} expected 16")
     iv_eff = (iv or b"\x00" * 16) if block != "ecb" else b""

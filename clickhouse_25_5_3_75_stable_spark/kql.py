@@ -60,7 +60,8 @@ _TOKEN_RE = re.compile(
     '(?:[^'\\]|\\.)*'
   | "(?:[^"\\]|\\.)*"
   | !in~|in~(?![\w])|!in\b
-  | !contains_cs|!contains|!has_cs|!has|!startswith|!endswith
+  | !contains_cs|!contains|!has_cs|!has
+  | !startswith_cs|!startswith|!endswith_cs|!endswith
   | \d+(?:\.\d+)?(?:ms|d|h|m|s)\b   # timespan literal
   | [A-Za-z_][A-Za-z0-9_]*
   | \d+\.\d+ | \d+
@@ -101,11 +102,15 @@ def _tokenize(s: str) -> list[str]:
 
 
 def _split_pipeline(text: str) -> list[str]:
-    stages, cur, depth, quote = [], [], 0, None
+    stages, cur, depth, quote, esc = [], [], 0, None, False
     for ch_ in text:
         if quote:
             cur.append(ch_)
-            if ch_ == quote:
+            if esc:
+                esc = False
+            elif ch_ == "\\":
+                esc = True  # \' inside a literal must not close it
+            elif ch_ == quote:
                 quote = None
             continue
         if ch_ in "'\"":
@@ -176,9 +181,11 @@ _CMP_KEYWORDS = {
     "startswith": ("startsWith(lower({l}), lower({r}))", False),
     "!startswith": ("startsWith(lower({l}), lower({r}))", True),
     "startswith_cs": ("startsWith({l}, {r})", False),
+    "!startswith_cs": ("startsWith({l}, {r})", True),
     "endswith": ("endsWith(lower({l}), lower({r}))", False),
     "!endswith": ("endsWith(lower({l}), lower({r}))", True),
     "endswith_cs": ("endsWith({l}, {r})", False),
+    "!endswith_cs": ("endsWith({l}, {r})", True),
 }
 
 _HAS_KEYWORDS = {"has": (True, False), "!has": (True, True),
@@ -541,11 +548,47 @@ def _named_items(segment: str) -> list[tuple[str | None, str]]:
     return [(a, e) for a, e, _raw in _named_items_raw(segment)]
 
 
+def _split_on_keyword(body: str, kw: str) -> tuple[str, str]:
+    """Split on the first standalone keyword OUTSIDE quotes/parens
+    (review-found: a bare regex split matched 'by' inside string
+    literals). Returns (before, after) or (body, '')."""
+    depth, quote, esc, i, n = 0, None, False, 0, len(body)
+    klen = len(kw)
+    while i < n:
+        c = body[i]
+        if quote:
+            if esc:
+                esc = False
+            elif c == "\\":
+                esc = True
+            elif c == quote:
+                quote = None
+            i += 1
+            continue
+        if c in "'\"":
+            quote = c
+        elif c in "([{":
+            depth += 1
+        elif c in ")]}":
+            depth -= 1
+        elif (depth == 0 and body[i:i + klen].lower() == kw
+              and (i == 0 or not (body[i - 1].isalnum() or body[i - 1] == "_"))
+              and (i + klen >= n or not (body[i + klen].isalnum()
+                                         or body[i + klen] == "_"))):
+            return body[:i], body[i + klen:]
+        i += 1
+    return body, ""
+
+
+def _int_arg(tk: str, text: str) -> int:
+    try:
+        return int(text.strip())
+    except ValueError:
+        raise ChSqlError(f"{tk}: expected an integer, got {text.strip()!r}") from None
+
+
 def _summarize(acc: str, body: str) -> str:
-    if re.search(r"\bby\b", body, re.IGNORECASE):
-        agg_part, by_part = re.split(r"\bby\b", body, maxsplit=1, flags=re.IGNORECASE)
-    else:
-        agg_part, by_part = body, ""
+    agg_part, by_part = _split_on_keyword(body, "by")
     aggs = _named_items_raw(agg_part) if agg_part.strip() else []
     bys = _named_items_raw(by_part) if by_part.strip() else []
 
@@ -596,13 +639,17 @@ def _order_items(body: str) -> str:
     parts = _split_top_tokens(toks)
     rendered = []
     for p in parts:
+        nulls = ""
+        # KQL: `asc|desc [nulls first|nulls last]`
+        if (len(p) >= 2 and p[-2].lower() == "nulls"
+                and p[-1].lower() in ("first", "last")):
+            nulls = f" NULLS {p[-1].upper()}"
+            p = p[:-2]
         direction = "DESC"  # KQL default
         if p and p[-1].lower() in ("asc", "desc"):
             direction = p[-1].upper()
             p = p[:-1]
-        if p and p[-1].lower() in ("nulls",):
-            p = p[:-1]
-        rendered.append(f"{_lower_expr(p)} {direction}")
+        rendered.append(f"{_lower_expr(p)} {direction}{nulls}")
     return ", ".join(rendered)
 
 
@@ -661,39 +708,35 @@ def kql_to_chsql(text: str) -> str:
             # "extend doesn't replace existing columns" bugfix). The
             # transpiler has no schema, so the replace form is emitted
             # when the alias appears in its own expression (the column
-            # provably exists upstream); other aliases append. A
-            # non-self-referential shadow of an existing column is the
-            # one documented subset gap.
-            self_ref = [a for a, e in named
-                        if re.search(rf"(?<![\w.]){re.escape(a)}\b", e)]
-            inner = acc
-            if self_ref:
-                inner = (f"SELECT *, "
-                         + ", ".join(f"{a} AS __kql_old_{a}" for a in self_ref)
-                         + f" FROM ({acc})")
-                inner = f"SELECT * EXCEPT ({', '.join(self_ref)}) FROM ({inner})"
-                named = [(a, re.sub(rf"(?<![\w.]){re.escape(a)}\b",
-                                    f"__kql_old_{a}", e) if a in self_ref else e)
-                         for a, e in named]
-            sel = ", ".join(f"{e} AS {a}" for a, e in named)
-            acc = f"SELECT *, {sel} FROM ({inner})"
-            if self_ref:
-                acc = (f"SELECT * EXCEPT ("
-                       + ", ".join(f"__kql_old_{a}" for a in self_ref)
-                       + f") FROM ({acc})")
+            # provably exists upstream); other aliases append. Items
+            # apply SEQUENTIALLY, each as its own stage — ADX lets a
+            # later item read an earlier one (review-found: the batched
+            # form emitted a sibling reference to an EXCEPT-ed column).
+            # A non-self-referential shadow of an existing column is
+            # the one documented subset gap.
+            for a, e in named:
+                if re.search(rf"(?<![\w.]){re.escape(a)}\b", e):
+                    inner = f"SELECT *, {a} AS __kql_old_{a} FROM ({acc})"
+                    inner = f"SELECT * EXCEPT ({a}) FROM ({inner})"
+                    e2 = re.sub(rf"(?<![\w.]){re.escape(a)}\b",
+                                f"__kql_old_{a}", e)
+                    acc = (f"SELECT * EXCEPT (__kql_old_{a}) FROM "
+                           f"(SELECT *, {e2} AS {a} FROM ({inner}))")
+                else:
+                    acc = f"SELECT *, {e} AS {a} FROM ({acc})"
         elif op == "summarize":
             acc = _summarize(acc, body)
         elif op in ("order", "sort"):
             body2 = re.sub(r"^by\b", "", body, flags=re.IGNORECASE).strip()
             acc = f"SELECT * FROM ({acc}) ORDER BY {_order_items(body2)}"
         elif op in ("take", "limit"):
-            acc = f"SELECT * FROM ({acc}) LIMIT {int(body)}"
+            acc = f"SELECT * FROM ({acc}) LIMIT {_int_arg(op, body)}"
         elif op == "top":
             tm = re.match(r"^(\d+)\s+by\s+(.*)$", body, re.IGNORECASE | re.DOTALL)
             if not tm:
                 raise ChSqlError("KQL top needs: top N by expr [asc|desc]")
             acc = (f"SELECT * FROM ({acc}) ORDER BY "
-                   f"{_order_items(tm.group(2))} LIMIT {int(tm.group(1))}")
+                   f"{_order_items(tm.group(2))} LIMIT {_int_arg(op, tm.group(1))}")
         elif op == "distinct":
             if body.strip() == "*":
                 acc = f"SELECT DISTINCT * FROM ({acc})"
@@ -769,6 +812,10 @@ def _make_series(acc: str, body: str) -> str:
     to = _lower_expr(_tokenize(m.group("to")))
     ts_m = _TS_RE.match(m.group("step"))
     step = f"INTERVAL {ts_m.group(1)} {_TIMESPAN_UNITS[ts_m.group(2)]}"
+    step_us = int(float(ts_m.group(1)) * {
+        "d": 86_400_000_000, "h": 3_600_000_000, "m": 60_000_000,
+        "s": 1_000_000, "ms": 1_000,
+    }[ts_m.group(2)])
     aggfn = _AGG_RENAMES.get(agg, agg)
     keys = ([k.strip() for k in m.group("by").split(",")]
             if m.group("by") else [])
@@ -780,7 +827,13 @@ def _make_series(acc: str, body: str) -> str:
             f"CAST({frm} AS TIMESTAMP), CAST({to} AS TIMESTAMP), {step})) "
             f"AS __ms_b) WHERE __ms_b < CAST({to} AS TIMESTAMP)")
     aggsel = f"{aggfn}({_lower_expr(_tokenize(arg))})" if arg.strip() else "count()"
-    bucket = f"toStartOfInterval({tscol}, {step})"
+    # buckets must align to the AXIS START, not the epoch (ADX bins
+    # relative to `from`; review-found: toStartOfInterval with an
+    # unaligned `from` made the grid join match nothing and the whole
+    # series silently collapsed to the default fill)
+    bucket = (f"timestampadd(MICROSECOND, CAST(floor((unix_micros(CAST({tscol}"
+              f" AS TIMESTAMP)) - unix_micros(CAST({frm} AS TIMESTAMP))) / "
+              f"{step_us}) AS BIGINT) * {step_us}, CAST({frm} AS TIMESTAMP))")
     aggq = (f"SELECT {', '.join([*keys, f'{bucket} AS __ms_b', f'{aggsel} AS __ms_v'])} "
             f"FROM ({acc}) WHERE {tscol} >= CAST({frm} AS TIMESTAMP) "
             f"AND {tscol} < CAST({to} AS TIMESTAMP) "

@@ -42,11 +42,15 @@ _AGG_FNS = {
 
 def _split_statements(text: str) -> list[str]:
     """Split a PRQL pipeline on newlines / `|` at paren depth 0."""
-    out, cur, depth, quote = [], [], 0, None
+    out, cur, depth, quote, esc = [], [], 0, None, False
     for ch_ in text:
         if quote:
             cur.append(ch_)
-            if ch_ == quote:
+            if esc:
+                esc = False
+            elif ch_ == "\\":
+                esc = True
+            elif ch_ == quote:
                 quote = None
             continue
         if ch_ in "'\"":
@@ -68,21 +72,36 @@ def _split_statements(text: str) -> list[str]:
 
 
 def _expr(e: str) -> str:
-    """PRQL scalar expression -> SQL text (token conventions only)."""
-    # double-quoted strings -> single-quoted
-    def requote(m):
-        return "'" + m.group(1).replace("'", "''") + "'"
+    """PRQL scalar expression -> SQL text. String literals are
+    extracted to placeholders FIRST so the ==/&&/||/!/?? rewrites can
+    never corrupt them (review-found: `s == "a==b"` lost a '=')."""
+    lits: list[str] = []
 
-    e = re.sub(r'"((?:[^"\\]|\\.)*)"', requote, e)
-    # a ?? b -> coalesce(a, b)  (single, non-nested occurrence per item)
-    while "??" in e:
-        lhs, rhs = e.split("??", 1)
-        e = f"coalesce({lhs.strip()}, {rhs.strip()})"
+    def stash(m):
+        body = m.group(0)
+        if body.startswith('"'):
+            body = "'" + body[1:-1].replace('\\"', '"').replace("'", "''") + "'"
+        lits.append(body)
+        return f"\x00{len(lits) - 1}\x00"
+
+    e = re.sub(r'"(?:[^"\\]|\\.)*"|\'(?:[^\'\\]|\\.)*\'', stash, e)
+    if re.search(r"\b[sf]\s*\x00", e):
+        raise ChSqlError("PRQL s-strings / f-strings are out of the subset")
+    # `a ?? b` binds tighter than comparisons: rewrite only operand
+    # pairs (identifier/number/call/paren/placeholder), innermost first
+    operand = r"(?:[A-Za-z_][\w.]*\([^()]*\)|[A-Za-z_][\w.]*|\d+(?:\.\d+)?|\([^()]*\)|\x00\d+\x00)"
+    pat = re.compile(rf"({operand})\s*\?\?\s*({operand})")
+    while True:
+        e2 = pat.sub(r"coalesce(\1, \2)", e)
+        if e2 == e:
+            break
+        e = e2
+    if "??" in e:
+        raise ChSqlError("PRQL ?? operands out of the subset (use parens)")
     e = e.replace("==", "=").replace("&&", " AND ").replace("||", " OR ")
     e = re.sub(r"!(?![=])", " NOT ", e)
-    if re.search(r"\b[sf]\s*'", e):
-        raise ChSqlError("PRQL s-strings / f-strings are out of the subset")
-    return re.sub(r"\s+", " ", e).strip()
+    e = re.sub(r"\s+", " ", e).strip()
+    return re.sub(r"\x00(\d+)\x00", lambda m: lits[int(m.group(1))], e)
 
 
 def _tuple_items(body: str) -> list[str]:
@@ -92,11 +111,15 @@ def _tuple_items(body: str) -> list[str]:
         body = body[1:-1]
     elif body.startswith("[") and body.endswith("]"):  # pre-0.11 form
         body = body[1:-1]
-    items, cur, depth, quote = [], [], 0, None
+    items, cur, depth, quote, esc = [], [], 0, None, False
     for ch_ in body:
         if quote:
             cur.append(ch_)
-            if ch_ == quote:
+            if esc:
+                esc = False
+            elif ch_ == "\\":
+                esc = True
+            elif ch_ == quote:
                 quote = None
             continue
         if ch_ in "'\"":
@@ -236,7 +259,12 @@ def prql_to_sql(text: str) -> str:
                 if pm.group(1) == "sort":
                     order = _sort_items(pm.group(2))
                 else:
-                    take_n = int(pm.group(2))
+                    try:
+                        take_n = int(pm.group(2))
+                    except ValueError:
+                        raise ChSqlError(
+                            "PRQL group-take subset needs an integer "
+                            f"(got {pm.group(2)!r})") from None
             if take_n is None:
                 raise ChSqlError("PRQL group body needs a take")
             order = order or ", ".join(keys)
@@ -252,7 +280,12 @@ def prql_to_sql(text: str) -> str:
                 acc = (f"SELECT * FROM ({acc}) LIMIT {hi - lo + 1} "
                        f"OFFSET {lo - 1}")
             else:
-                acc = f"SELECT * FROM ({acc}) LIMIT {int(body)}"
+                try:
+                    n = int(body)
+                except ValueError:
+                    raise ChSqlError(
+                        f"PRQL take: expected n or a..b, got {body!r}") from None
+                acc = f"SELECT * FROM ({acc}) LIMIT {n}"
         elif op == "join":
             jm = re.match(r"^(?:side\s*:\s*(\w+)\s+)?([A-Za-z_]\w*)\s*\((.*)\)\s*$",
                           body, re.DOTALL)
@@ -270,8 +303,10 @@ def prql_to_sql(text: str) -> str:
                 acc = (f"SELECT * FROM ({acc}) AS __prql_l {kinds[side]} "
                        f"{rtable} AS __prql_r USING ({em.group(1)})")
             elif pm:
-                l = pm.group(1).replace("left.", "__prql_l.")
-                r = pm.group(2).replace("right.", "__prql_r.")
+                # whole-qualifier match only (review-found: a bare
+                # substring replace mangled identifiers like myleft.a)
+                l = re.sub(r"^left\.", "__prql_l.", pm.group(1))
+                r = re.sub(r"^right\.", "__prql_r.", pm.group(2))
                 if "." not in l:
                     l = f"__prql_l.{l}"
                 if "." not in r:

@@ -337,3 +337,70 @@ def test_kql_filter_pushdown_reaches_scan(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "GreaterThan(value,100.0)" in plan      # pushed to the scan
     assert "EqualTo(event_type,click)" in plan
+
+
+# ---------------------------------------------------------------------------
+# round-5 code-review regressions
+# ---------------------------------------------------------------------------
+
+def test_review_fixes_kql(spark):
+    from clickhouse_25_5_3_75_stable_spark.kql import kql_sql
+
+    # negated case-sensitive prefix/suffix forms tokenize correctly
+    out = kql_to_chsql("T | where s !startswith_cs 'A'")
+    assert "NOT (startsWith(s, 'A'))" in out
+    out = kql_to_chsql("T | where s !endswith_cs 'A'")
+    assert "NOT (endsWith(s, 'A'))" in out
+    # summarize by-split must ignore 'by' inside string literals
+    out = kql_to_chsql("T | summarize c = countif(s contains ' by x') by k")
+    assert "GROUP BY k" in out and "by x" in out
+    # order by ... nulls first/last
+    out = kql_to_chsql("T | order by x asc nulls first, y desc nulls last")
+    assert "x ASC NULLS FIRST" in out and "y DESC NULLS LAST" in out
+    # escaped quote inside a literal must not break the pipe splitter
+    out = kql_to_chsql(r"T | where s == 'it\'s' | take 5")
+    assert out.endswith("LIMIT 5")
+    # non-integer take refuses cleanly
+    with pytest.raises(ChSqlError):
+        kql_to_chsql("T | take 1..3")
+    # extend items apply sequentially: later items see earlier ones,
+    # incl. a replaced self-referential column
+    r = kql_sql(spark, "print x = 3 | extend x = x + 1, y = x * 2").collect()[0]
+    assert (r.x, r.y) == (4, 8)
+
+
+def test_review_fix_make_series_unaligned_from(spark):
+    """Buckets align to the AXIS START: an off-midnight `from` must
+    still aggregate rows into the right buckets (review-found: the
+    epoch-aligned toStartOfInterval silently emptied the series)."""
+    from clickhouse_25_5_3_75_stable_spark.kql import kql_sql
+
+    spark.createDataFrame(
+        [("2020-01-01 01:00:00", 10.0), ("2020-01-01 02:15:00", 20.0)],
+        "ts_s string, v double",
+    ).selectExpr("CAST(ts_s AS TIMESTAMP) AS ts", "v").createOrReplaceTempView("tsrc")
+    r = kql_sql(spark, """
+        tsrc | make-series s = sum(v) default = 0 on ts from datetime(2020-01-01 00:30:00) to datetime(2020-01-01 03:30:00) step 1h
+    """).collect()[0]
+    # axis: 00:30, 01:30, 02:30; 01:00 -> bucket 00:30, 02:15 -> 01:30
+    assert [round(x, 1) for x in r.s] == [10.0, 20.0, 0.0]
+
+
+def test_review_fixes_prql():
+    from clickhouse_25_5_3_75_stable_spark.prql import prql_to_sql
+
+    # string literals survive the operator rewrites
+    sql = prql_to_sql('from t\nfilter s == "a==b!c&&d"')
+    assert "s = 'a==b!c&&d'" in sql
+    # ?? binds tighter than comparison
+    sql = prql_to_sql("from t\nfilter x ?? 0 > 5")
+    assert "coalesce(x, 0) > 5" in sql
+    # join qualifiers replaced whole, not by substring
+    from clickhouse_25_5_3_75_stable_spark.chsql import ChSqlError as E
+    sql = prql_to_sql("from t\njoin u (left.a == right.b)")
+    assert "__prql_l.a = __prql_r.b" in sql
+    import pytest as _p
+    with _p.raises(E):
+        prql_to_sql("from t\ngroup {k} (sort {-v}\ntake 1..3)")
+    with _p.raises(E):
+        prql_to_sql("from t\ntake abc")
