@@ -774,11 +774,13 @@ def kql_to_chsql(text: str) -> str:
             # the ARRAY JOIN clause form does not
             acc = f"SELECT * EXCEPT ({col}), arrayJoin({col}) AS {col} FROM ({acc})"
         else:
+            hint = (" (getschema runs through kql_sql, which resolves the "
+                    "schema at runtime)" if op == "getschema" else "")
             raise ChSqlError(
                 f"KQL operator {op!r}: not in the implemented subset "
                 "(where/project[-away|-rename]/extend/summarize/order/sort/"
                 "take/limit/top/distinct/count/mv-expand/print/join/lookup/"
-                "union/render/make-series/parse)")
+                f"union/render/make-series/parse/mv-apply){hint}")
     return acc
 
 
@@ -1049,8 +1051,43 @@ def _join_stage(acc: str, body: str, lookup: bool = False) -> str:
             f"AS __kql_r ON {on}")
 
 
+_KQL_TYPES = {
+    "string": ("System.String", "string"), "int": ("System.Int32", "int"),
+    "bigint": ("System.Int64", "long"), "double": ("System.Double", "real"),
+    "float": ("System.Single", "real"), "boolean": ("System.SByte", "bool"),
+    "timestamp": ("System.DateTime", "datetime"),
+    "timestamp_ntz": ("System.DateTime", "datetime"),
+    "date": ("System.DateTime", "datetime"),
+    "binary": ("System.Data.SqlTypes.SqlBinary", "dynamic"),
+}
+
+
 def kql_sql(spark, text: str, params=None):
-    """Execute a KQL pipeline through the chsql shim."""
+    """Execute a KQL pipeline through the chsql shim. `getschema` is
+    handled here (it needs the resolved schema, which only exists at
+    runtime): the prefix pipeline is analyzed WITHOUT execution and the
+    ADX schema table (ColumnName/ColumnOrdinal/DataType/ColumnType)
+    comes from its plan."""
     from clickhouse_25_5_3_75_stable_spark.chsql import ch_sql
 
+    stages = _split_pipeline(text.strip().rstrip(";"))
+    if stages and stages[-1].strip().lower() == "getschema":
+        prefix = " | ".join(stages[:-1])
+        if not prefix:
+            raise ChSqlError("KQL getschema needs a pipeline before it")
+        df = ch_sql(spark, kql_to_chsql(prefix), params=params)
+        rows = []
+        for i, f in enumerate(df.schema.fields):
+            t = f.dataType.simpleString()
+            base = t.split("(")[0]
+            if base.startswith(("array", "map", "struct")):
+                dn, ct = "System.Object", "dynamic"
+            elif base.startswith("decimal"):
+                dn, ct = "System.Data.SqlTypes.SqlDecimal", "decimal"
+            else:
+                dn, ct = _KQL_TYPES.get(base, ("System.Object", "dynamic"))
+            rows.append((f.name, i, dn, ct))
+        return spark.createDataFrame(
+            rows, "ColumnName string, ColumnOrdinal int, DataType string, "
+                  "ColumnType string")
     return ch_sql(spark, kql_to_chsql(text), params=params)

@@ -404,3 +404,18 @@ def test_review_fixes_prql():
         prql_to_sql("from t\ngroup {k} (sort {-v}\ntake 1..3)")
     with _p.raises(E):
         prql_to_sql("from t\ntake abc")
+
+
+def test_getschema(spark):
+    from clickhouse_25_5_3_75_stable_spark.kql import kql_sql
+
+    rows = kql_sql(spark, """
+        print s = 'x', n = 1, d = todouble(1.5), b = true, t = datetime(2024-01-01)
+        | getschema
+    """).collect()
+    got = {r.ColumnName: (r.ColumnOrdinal, r.ColumnType) for r in rows}
+    assert got["s"] == (0, "string") and got["n"][1] in ("int", "long")
+    assert got["d"][1] == "real" and got["b"][1] == "bool"
+    assert got["t"][1] == "datetime"
+    with pytest.raises(ChSqlError):
+        kql_sql(spark, "getschema")
