@@ -14,7 +14,19 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO_DIR)
+# Python WORKERS don't inherit the driver's sys.path — when the harness
+# is launched from another cwd, pandas-UDF deserialization dies with
+# ModuleNotFoundError. Exporting PYTHONPATH here (this module is imported
+# before the SparkSession/JVM exists) propagates the package to workers
+# regardless of launch directory.
+if _REPO_DIR not in os.environ.get("PYTHONPATH", "").split(os.pathsep):
+    os.environ["PYTHONPATH"] = (
+        _REPO_DIR + os.pathsep + os.environ["PYTHONPATH"]
+        if os.environ.get("PYTHONPATH")
+        else _REPO_DIR
+    )
 
 from clickhouse_25_5_3_75_stable_spark.queries import REGISTRY  # noqa: E402
 

@@ -312,8 +312,9 @@ def orderby_collation_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     # are far beyond both Int64 and UInt64
     oracle="""
     SELECT o_orderpriority,
-           MAX(CAST(o_orderkey AS DECIMAL(38,0)) * CAST(o_custkey AS DECIMAL(38,0))
-               * 1000000000000 + 170141183460469231731687303715884105) AS max_i128,
+           CAST(MAX(CAST(o_orderkey AS DECIMAL(38,0)) * CAST(o_custkey AS DECIMAL(38,0))
+               * 1000000000000 + 170141183460469231731687303715884105) AS VARCHAR)
+               AS max_i128,
            COUNT(*) AS n
     FROM orders
     GROUP BY o_orderpriority
@@ -324,7 +325,13 @@ def orderby_collation_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 def type_int128_decimal38(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int128/Int256 mapping (SURVEY §1.2, functions/typemap.py →
     DECIMAL(38,0)): arithmetic on values around 10^35 — beyond any
-    64-bit domain — stays exact through the aggregate."""
+    64-bit domain — stays exact through the aggregate.
+
+    The aggregate is transported as a digit string (the pattern proven by
+    type_int256_string_transport): DECIMAL×DECIMAL result typing at
+    overflow precision is DuckDB-version-dependent, and the driver's row
+    hash is dtype-sensitive — VARCHAR on both engines removes the hazard
+    (round-5 official red, r6 fix)."""
     od = t(spark, sf_dir, "orders")
     v = (
         F.col("o_orderkey").cast("decimal(38,0)")
@@ -334,7 +341,10 @@ def type_int128_decimal38(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         od.groupBy("o_orderpriority")
-        .agg(F.max(v).alias("max_i128"), F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.max(v).cast("string").alias("max_i128"),
+            F.count(F.lit(1)).alias("n"),
+        )
         .orderBy("o_orderpriority")
     )
 
