@@ -175,6 +175,21 @@ def register_sql_udfs(spark: SparkSession) -> None:
     spark.udf.register("geohashDecode", _decode_udf())
     spark.udf.register("geohashesInBox", _boxes_udf())
 
+    # EXACT Jaro / Jaro-Winkler through SQL text (reference
+    # src/Functions/FunctionsStringDistance.cpp) — the same Arrow-batched
+    # pandas UDFs that back the Column API (operators/text.py), registered
+    # under the reference's own names (round-6: retired the levenshtein
+    # capability map that produced silently different scores).
+    from clickhouse_25_5_3_75_stable_spark.operators.text import (
+        jaro_similarity as _jaro_udf,
+    )
+    from clickhouse_25_5_3_75_stable_spark.operators.text import (
+        jaro_winkler_similarity as _jarow_udf,
+    )
+
+    spark.udf.register("jaroSimilarity", _jaro_udf)
+    spark.udf.register("jaroWinklerSimilarity", _jarow_udf)
+
     # round-5 s2 family through SQL text: the same cached pandas UDFs
     # that back the Column API register under the reference's own
     # names (no chsql rename needed — name resolution is direct).
