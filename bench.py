@@ -26,6 +26,15 @@ from clickhouse_25_5_3_75_stable_spark.session import get_spark  # noqa: E402
 # is the per-round scorecard; light queries are correctness-only.
 HEADLINE = [name for name, spec in REGISTRY.items() if spec.bucket == "heavy"]
 
+# Ratchet guards (round-5 judge ask #5): the old sub-0.5s blanket
+# exemption hid real ratios exactly where 19/23 headline queries live
+# (q1 ran 1.44x its best, invisibly). Floor drops to 0.2s and an
+# ABSOLUTE delta guard replaces the blanket: a query flags only when
+# it is >1.25x its best AND at least 0.15s slower — so timer noise on
+# sub-second queries stays suppressed without exempting them.
+_RATCHET_FLOOR_S = 0.2
+_RATCHET_DELTA_S = 0.15
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -87,8 +96,9 @@ def main() -> None:
         runs = 0
         while runs < 2 or (
             runs < 4
-            and best.get(name, 0) > 0.5
+            and best.get(name, 0) > _RATCHET_FLOOR_S
             and best_t > 1.25 * best[name]
+            and best_t - best[name] > _RATCHET_DELTA_S
         ):
             t0 = time.perf_counter()
             df = REGISTRY[name].fn(spark, sf_dir)
@@ -111,7 +121,7 @@ def main() -> None:
     ratios = {
         name: timings[name] / best[name]
         for name in timings
-        if best.get(name, 0) > 0.5
+        if best.get(name, 0) > _RATCHET_FLOOR_S
     }
     drift = (
         math.exp(sum(math.log(r) for r in ratios.values()) / len(ratios))
@@ -120,7 +130,11 @@ def main() -> None:
     )
     regressions: dict[str, float] = {}
     for name, ratio in ratios.items():
-        if ratio > 1.25 and ratio > 1.25 * drift:
+        if (
+            ratio > 1.25
+            and ratio > 1.25 * drift
+            and timings[name] - best[name] > _RATCHET_DELTA_S
+        ):
             regressions[name] = round(ratio, 2)
             print(
                 f"REGRESSION {name}: best {best[name]:.2f}s -> "
