@@ -1658,23 +1658,56 @@ _reg("s2RectContains")(_s2("s2_rect_contains"))
 _reg("s2RectUnion")(_s2("s2_rect_union"))
 _reg("s2RectIntersection")(_s2("s2_rect_intersection"))
 
+# H3 geo-projection family — EXACT since round 6 (functions/h3geo.py):
+# transcribed compact published spec data (face centers, class-II
+# azimuths, base-cell home records) + NUMERICALLY DERIVED face-neighbor
+# and face/ijk->base-cell tables, validated by published anchor indexes
+# (85283473fffffff, 8928308280fffff with its printed center to the last
+# ULP, the reference docs' 644325524701193974), an exhaustive
+# geoToH3∘h3ToGeo round-trip over every cell at res 0..3, and the
+# sphere tiling (sum of all cell areas = 4π to 1e-13).
+def _h3geo(name):
+    def wrap(*cs):
+        from clickhouse_25_5_3_75_stable_spark.functions import h3geo as _m
+
+        return getattr(_m, name)(*cs)
+
+    return wrap
+
+
+_reg("geoToH3")(_h3geo("geo_to_h3"))
+_reg("h3ToGeo")(_h3geo("h3_to_geo"))
+_reg("h3ToGeoBoundary")(_h3geo("h3_to_geo_boundary"))
+_reg("h3kRing")(_h3geo("h3_k_ring"))
+_reg("h3HexRing")(_h3geo("h3_hex_ring"))
+_reg("h3Distance")(_h3geo("h3_distance"))
+_reg("h3IndexesAreNeighbors")(_h3geo("h3_indexes_are_neighbors"))
+_reg("h3GetFaces")(_h3geo("h3_get_faces"))
+_reg("h3CellAreaM2")(_h3geo("h3_cell_area_m2"))
+_reg("h3CellAreaRads2")(_h3geo("h3_cell_area_rads2"))
+_reg("h3PointDistM")(_h3geo("h3_point_dist_m"))
+_reg("h3PointDistKm")(_h3geo("h3_point_dist_km"))
+_reg("h3PointDistRads")(_h3geo("h3_point_dist_rads"))
+_reg("h3HexAreaM2")(_h3geo("h3_hex_area_m2"))
+_reg("h3HexAreaKm2")(_h3geo("h3_hex_area_km2"))
+
 _excl(["SVG"]
-      + [n for n in ("h3CellAreaM2", "h3CellAreaRads2", "h3Distance", "h3EdgeAngle",
+      + [n for n in ("h3EdgeAngle",
                      "h3EdgeLengthKm", "h3EdgeLengthM", "h3ExactEdgeLengthKm", "h3ExactEdgeLengthM",
                      "h3ExactEdgeLengthRads", "h3GetDestinationIndexFromUnidirectionalEdge",
-                     "h3GetFaces", "h3GetIndexesFromUnidirectionalEdge", "h3GetOriginIndexFromUnidirectionalEdge",
+                     "h3GetIndexesFromUnidirectionalEdge", "h3GetOriginIndexFromUnidirectionalEdge",
                      "h3GetUnidirectionalEdge",
-                     "h3GetUnidirectionalEdgeBoundary", "h3GetUnidirectionalEdgesFromHexagon", "h3HexAreaKm2",
-                     "h3HexAreaM2", "h3HexRing", "h3IndexesAreNeighbors",
-                     "h3Line", "h3PointDistKm", "h3PointDistM", "h3PointDistRads",
-                     "geoToH3", "h3ToGeo", "h3ToGeoBoundary",
-                     "h3UnidirectionalEdgeIsValid", "h3kRing")],
-      "H3 geo-projection/neighbor functions need the C library's "
-      "icosahedron face + neighbor-rotation tables (unobtainable/"
-      "unverifiable in this sandbox) — the H3 index-math family IS "
-      "implemented exactly (functions/h3.py), and the whole s2 family "
-      "is exact from the published cube-face Hilbert model "
-      "(functions/s2.py); geo core distance/angle/polygon implemented)")
+                     "h3GetUnidirectionalEdgeBoundary", "h3GetUnidirectionalEdgesFromHexagon",
+                     "h3Line",
+                     "h3UnidirectionalEdgeIsValid")],
+      "H3 unidirectional-edge family + h3Line + avg-edge-length stats: "
+      "the per-DIRECTION edge encoding needs the C library's aperture-7 "
+      "digit-adjacency and base-cell neighbor tables, whose direction "
+      "conventions are not derivable from geometry (a per-direction "
+      "probe reproduces the library on only 818/842 res-1 cells — the "
+      "24 pentagon-adjacent hexagons need the adjustment tables; a 97% "
+      "function is not shipped). geoToH3/h3ToGeo/boundary/kRing/"
+      "distance/faces/areas ARE exact since round 6 (functions/h3geo.py)")
 _excl(["formatQuery", "formatQueryOrNull", "formatQuerySingleLine", "formatQuerySingleLineOrNull"],
       "SQL pretty-printer over the CH AST (chsql.py transpiles, does not format)")
 _excl(["globalVariable"], "MySQL-compat server variable surface")
