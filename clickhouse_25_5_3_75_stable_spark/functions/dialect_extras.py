@@ -915,7 +915,7 @@ _reg("halfMD5")(_halfmd5)  # exact: big-endian first 8 MD5 bytes, all JVM
 # (v0^v1, v2^v3), NOT the official output), official
 # sipHash128Reference, and full MurmurHash3_x64_128 — all BINARY(16)
 # in the reference's FixedString memory layout, NULL → NULL. The
-# Keyed variants stay capability-mapped (tuple keys unsupported).
+# 128-bit Keyed variants are exact since round 6 (below).
 def _siphash128(*cs):
     from clickhouse_25_5_3_75_stable_spark.functions.siphash import (
         siphash128_chain,
@@ -943,9 +943,34 @@ def _murmur3_128(c):
 _reg("sipHash128")(_siphash128)
 _reg("sipHash128Reference")(_siphash128_ref)
 _reg("murmurHash3_128")(_murmur3_128)
-_reg("sipHash128Keyed", "sipHash128ReferenceKeyed")(
-    lambda *cs: F.md5(F.concat_ws("\x01", *[_c(c).cast("string") for c in cs]))
-)
+
+
+# 128-bit KEYED variants — EXACT since round 6 (the last capability-
+# mapped hashing names): legacy-get128 / official-128 cores with caller
+# keys, combine = keyed hash over the 32-byte concat
+# (FunctionsHashing.h:306,342 applyKeyed/combineHashesKeyed). The
+# official-output variant is validated against the SipHash reference
+# implementation's published vectors_sip128 (tests/test_hashes_extra3).
+def _sip128_keyed(reference):
+    def fn(key_tuple, *cs):
+        from clickhouse_25_5_3_75_stable_spark.functions.siphash import (
+            siphash128_keyed_chain,
+        )
+
+        if not (isinstance(key_tuple, (tuple, list)) and len(key_tuple) == 2):
+            raise ValueError(
+                "sipHash128Keyed needs a literal (k0, k1) tuple"
+            )
+        return siphash128_keyed_chain(
+            int(key_tuple[0]), int(key_tuple[1]),
+            *[_c(c) for c in cs], reference=reference,
+        )
+
+    return fn
+
+
+_reg("sipHash128Keyed")(_sip128_keyed(False))
+_reg("sipHash128ReferenceKeyed")(_sip128_keyed(True))
 # encoding / checksum / space-filling-curve long tail — EXACT since
 # round 5 (functions/encodings.py; reference src/Functions/CRC.cpp,
 # base58Encode.cpp, base32Encode.cpp, mortonEncode.cpp,

@@ -105,11 +105,13 @@ def siphash128_reference_py(data: bytes) -> bytes:
     return lo.to_bytes(8, "little") + hi.to_bytes(8, "little")
 
 
-def _sip_state_py(data: bytes, ref128: bool) -> tuple[int, int, int, int]:
-    v0 = 0x736F6D6570736575
-    v1 = 0x646F72616E646F6D ^ (0xEE if ref128 else 0)
-    v2 = 0x6C7967656E657261
-    v3 = 0x7465646279746573
+def _sip_state_py(
+    data: bytes, ref128: bool, k0: int = 0, k1: int = 0
+) -> tuple[int, int, int, int]:
+    v0 = 0x736F6D6570736575 ^ k0
+    v1 = (0x646F72616E646F6D ^ k1) ^ (0xEE if ref128 else 0)
+    v2 = 0x6C7967656E657261 ^ k0
+    v3 = 0x7465646279746573 ^ k1
 
     def rounds(n: int):
         nonlocal v0, v1, v2, v3
@@ -139,6 +141,75 @@ def _sip_state_py(data: bytes, ref128: bool) -> tuple[int, int, int, int]:
     v2 ^= 0xEE if ref128 else 0xFF
     rounds(4)
     return v0, v1, v2, v3
+
+
+def siphash128_keyed_py(k0: int, k1: int, data: bytes) -> bytes:
+    """sipHash128Keyed: the CH-legacy get128 output ((v0^v1, v2^v3) as
+    16 LE bytes) with a caller key (FunctionsHashing.h:306 applyKeyed
+    -> SipHash.h:226 sipHash128Keyed). Keyed with (0, 0) this equals
+    sipHash128 — pinned by test_hashes_extra3."""
+    v = _sip_state_py(data, ref128=False, k0=k0, k1=k1)
+    lo = (v[0] ^ v[1]) & _MASK
+    hi = (v[2] ^ v[3]) & _MASK
+    return lo.to_bytes(8, "little") + hi.to_bytes(8, "little")
+
+
+def siphash128_reference_keyed_py(k0: int, k1: int, data: bytes) -> bytes:
+    """sipHash128ReferenceKeyed: the OFFICIAL SipHash-2-4 128-bit
+    output with a caller key (FunctionsHashing.h:342 applyKeyed).
+    Validated against the SipHash reference implementation's published
+    vectors_sip128 (key 000102..0f)."""
+    v0, v1, v2, v3 = _sip_state_py(data, ref128=True, k0=k0, k1=k1)
+    lo = (v0 ^ v1 ^ v2 ^ v3) & _MASK
+    v1 ^= 0xDD
+    for _ in range(4):
+        v0 = (v0 + v1) & _MASK
+        v1 = _rotl(v1, 13) ^ v0
+        v0 = _rotl(v0, 32)
+        v2 = (v2 + v3) & _MASK
+        v3 = _rotl(v3, 16) ^ v2
+        v0 = (v0 + v3) & _MASK
+        v3 = _rotl(v3, 21) ^ v0
+        v2 = (v2 + v1) & _MASK
+        v1 = _rotl(v1, 17) ^ v2
+        v2 = _rotl(v2, 32)
+    hi = (v0 ^ v1 ^ v2 ^ v3) & _MASK
+    return lo.to_bytes(8, "little") + hi.to_bytes(8, "little")
+
+
+def _udf128_keyed(k0: int, k1: int, reference: bool):
+    """16-byte-output keyed sipHash128 UDF with LITERAL keys (the
+    sipHash64Keyed pattern — keys are baked into the closure)."""
+    key = f"b128keyed_{int(reference)}_{k0}_{k1}"
+    if key not in _UDF_CACHE:
+        core = siphash128_reference_keyed_py if reference else siphash128_keyed_py
+
+        @pandas_udf("binary")
+        def _sk128(s: pd.Series) -> pd.Series:
+            return pd.Series(
+                [None if v is None else core(k0, k1, bytes(v)) for v in s]
+            )
+
+        _UDF_CACHE[key] = _sk128
+    return _UDF_CACHE[key]
+
+
+def siphash128_keyed_chain(k0: int, k1: int, *cols,
+                           reference: bool = False) -> Column:
+    """sipHash128Keyed / sipHash128ReferenceKeyed over typed args:
+    per-arg keyed hash of the typed encoding; multi-arg combine =
+    keyed hash of the 32-byte concat of the two 16-byte hashes
+    (combineHashesKeyed hashes the UInt128 pair's LE memory)."""
+    udf = _udf128_keyed(k0, k1, reference)
+    cs = [F.col(c) if isinstance(c, str) else c for c in cols]
+    hs = [udf(_encode_auto(c)) for c in cs]
+    h = hs[0]
+    for nxt in hs[1:]:
+        h = udf(F.concat(h, nxt))
+    any_null = cs[0].isNull()
+    for c in cs[1:]:
+        any_null = any_null | c.isNull()
+    return F.when(any_null, F.lit(None).cast("binary")).otherwise(h)
 
 
 def _np_rotl(x: np.ndarray, b: int) -> np.ndarray:

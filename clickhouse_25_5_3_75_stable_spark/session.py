@@ -209,6 +209,31 @@ def register_sql_udfs(spark: SparkSession) -> None:
     ):
         spark.udf.register(sql_name, _s2.s2_udf(key))
 
+    # round-6 h3 GEO family through SQL text: the same cached pandas
+    # UDFs that back the Column API (functions/h3geo.py), under the
+    # reference's own names. geoToH3 keeps the 25.5 default LAT_LON
+    # argument order; h3ToGeo returns (lat, lon).
+    from clickhouse_25_5_3_75_stable_spark.functions import h3geo as _h3g
+
+    for sql_name, key in (
+        ("geoToH3", "ch_geotoh3"),
+        ("h3ToGeo", "ch_h3togeo"),
+        ("h3ToGeoBoundary", "ch_h3boundary"),
+        ("h3kRing", "ch_h3kring"),
+        ("h3HexRing", "ch_h3hexring"),
+        ("h3Distance", "ch_h3distance"),
+        ("h3IndexesAreNeighbors", "ch_h3areneighbors"),
+        ("h3GetFaces", "ch_h3getfaces"),
+        ("h3CellAreaM2", "ch_h3aream2"),
+        ("h3CellAreaRads2", "ch_h3arearads2"),
+        ("h3PointDistM", "ch_h3pointdistm"),
+        ("h3PointDistKm", "ch_h3pointdistkm"),
+        ("h3PointDistRads", "ch_h3pointdistrads"),
+        ("h3HexAreaM2", "ch_h3hexaream2"),
+        ("h3HexAreaKm2", "ch_h3hexareakm2"),
+    ):
+        spark.udf.register(sql_name, _h3g.h3geo_udf(key))
+
     # h3 index-math getters with pure-SQL bodies (functions/h3.py owns
     # the bit layout; these are the scan-tier names a sharding key uses)
     spark.sql(

@@ -177,3 +177,70 @@ def test_sql_surface_matches_column_api(spark):
         ch("URLHash", F.lit("http://x.y/a/")).alias("uh"),
     ).collect()[0]
     assert (pair.f2, pair.w2, pair.uh) == (col.f2, col.w2, col.uh)
+
+
+# ---------------------------------------------------------------------------
+# round-6: sipHash128Keyed / sipHash128ReferenceKeyed exact
+# ---------------------------------------------------------------------------
+
+
+def test_sip128_reference_keyed_published_vectors():
+    """The official 128-bit SipHash-2-4 with the reference
+    implementation's published test key 000102..0f — first two entries
+    of vectors_sip128."""
+    from clickhouse_25_5_3_75_stable_spark.functions.siphash import (
+        siphash128_reference_keyed_py,
+    )
+
+    k0, k1 = 0x0706050403020100, 0x0F0E0D0C0B0A0908
+    assert siphash128_reference_keyed_py(k0, k1, b"").hex() == (
+        "a3817f04ba25a8e66df67214c7550293"
+    )
+    assert siphash128_reference_keyed_py(k0, k1, bytes([0])).hex() == (
+        "da87c1d86b99af44347659119b22fc45"
+    )
+
+
+def test_sip128_keyed_zero_key_equals_unkeyed():
+    from clickhouse_25_5_3_75_stable_spark.functions.siphash import (
+        siphash128_keyed_py,
+        siphash128_py,
+        siphash128_reference_keyed_py,
+        siphash128_reference_py,
+    )
+
+    for data in (b"", b"a", b"clickhouse", bytes(range(64))):
+        assert siphash128_keyed_py(0, 0, data) == siphash128_py(data)
+        assert siphash128_reference_keyed_py(0, 0, data) == (
+            siphash128_reference_py(data)
+        )
+
+
+def test_sip128_keyed_column_api(spark):
+    """Keyed-128 through the dialect: zero key == unkeyed name;
+    non-zero key changes the value; multi-arg combine is keyed."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_25_5_3_75_stable_spark.functions.dialect import ch
+
+    df = spark.createDataFrame([("clickhouse", 7)], "s string, n long")
+    row = df.select(
+        F.hex(ch("sipHash128Keyed", (0, 0), F.col("s"))).alias("k0"),
+        F.hex(ch("sipHash128", F.col("s"))).alias("plain"),
+        F.hex(ch("sipHash128Keyed", (7, 13), F.col("s"))).alias("k713"),
+        F.hex(ch("sipHash128ReferenceKeyed", (0, 0), F.col("s"))).alias("rk0"),
+        F.hex(ch("sipHash128Reference", F.col("s"))).alias("rplain"),
+        F.hex(ch("sipHash128Keyed", (7, 13), F.col("s"), F.col("n"))).alias("multi"),
+    ).collect()[0]
+    assert row.k0 == row.plain
+    assert row.rk0 == row.rplain
+    assert row.k713 != row.plain
+    assert len(row.multi) == 32  # BINARY(16)
+    # combine rule cross-check against the scalar reference
+    from clickhouse_25_5_3_75_stable_spark.functions.siphash import (
+        siphash128_keyed_py,
+    )
+
+    h1 = siphash128_keyed_py(7, 13, b"clickhouse")
+    h2 = siphash128_keyed_py(7, 13, (7).to_bytes(8, "little"))
+    assert row.multi == siphash128_keyed_py(7, 13, h1 + h2).hex().upper()
