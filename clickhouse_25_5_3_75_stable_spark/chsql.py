@@ -469,6 +469,7 @@ _KNOWN_SETTINGS = {
     "allow_experimental_prql_dialect",   # accepted (subset always available)
     "insert_deduplicate",      # covered by streaming stream_dedup
     "optimize_read_in_order",  # Catalyst decides; accepted no-op
+    "use_query_cache",         # routes results through the process cache
 }
 
 
@@ -510,6 +511,8 @@ def apply_settings(spark, settings: dict[str, str]):
             if v == "direct":
                 # direct = key-value lookup join; closest is broadcast
                 set_conf("spark.sql.autoBroadcastJoinThreshold", "128m")
+        elif name == "use_query_cache":
+            set_conf("spark.chspark.useQueryCache", v)
     return restore
 
 
@@ -2331,6 +2334,19 @@ def ch_sql(spark, sql: str, sf_dir: str | None = None,
             if cap > 0:  # reference: 0 means unlimited
                 mode = settings.get("result_overflow_mode", "throw").strip("'\"")
                 df = enforce_result_cap(df, cap, mode)
+        # use_query_cache (reference QueryResultCache.h behind the same
+        # setting): route the result plan through the process-wide
+        # cache so SYSTEM DROP QUERY CACHE acts on real state
+        # (round-5 advisor: the CLI path never populated it)
+        use_cache = settings.get("use_query_cache", "").strip("'\"") or (
+            spark.conf.get("spark.chspark.useQueryCache", "0")
+        )
+        if use_cache in ("1", "true", "True"):
+            from clickhouse_25_5_3_75_stable_spark.operators.result_cache import (
+                default_cache,
+            )
+
+            df = default_cache().get_or_cache(df)
         return df
     except Exception as e:  # upgrade unresolved CH names to a useful error
         msg = str(e)

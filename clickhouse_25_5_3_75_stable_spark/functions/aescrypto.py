@@ -192,6 +192,13 @@ def decrypt_py(mode: str, data: bytes, key: bytes, iv: bytes | None,
             return dec.update(ct) + dec.finalize()
         if aad is not None:
             raise ValueError("AAD can be only set for GCM-mode")
+        # mirror encrypt_py's OpenSSL-mode IV validation (reference
+        # validateIV raises BAD_ARGUMENTS on BOTH directions —
+        # review-found: decrypt silently ignored ECB-with-IV)
+        if block == "ecb" and iv:
+            raise ValueError(f"Invalid IV size: {len(iv)} expected 0")
+        if iv is not None and len(iv) not in (0, 16):
+            raise ValueError(f"Invalid IV size: {len(iv)} expected 16")
     iv_eff = (iv or b"\x00" * 16) if block != "ecb" else b""
     if block not in ("ecb", "cbc") and not data:
         return b""

@@ -289,7 +289,14 @@ def _lower_expr(toks: list[str]) -> str:
         if low in ("in~", "!in~"):
             lhs = _pop_operand(out)
             rhs, i2 = _take_primary(toks, i + 1)  # parenthesized list
-            items = [x.strip() for x in rhs[1:-1].split(",")]
+            # tokenize + top-level comma split: a comma INSIDE a string
+            # literal must not split the item (review-found: `x in~
+            # ('a,b', 'c')` split the literal mid-string — the same
+            # hazard class as the summarize-by fix)
+            items = [
+                _join_tokens(part)
+                for part in _split_top_tokens(_tokenize(rhs[1:-1]))
+            ]
             lowered = ", ".join(f"lower({x})" for x in items)
             op = "IN" if low == "in~" else "NOT IN"
             out.append(f"lower({lhs}) {op} ({lowered})")
@@ -609,6 +616,7 @@ def _summarize(acc: str, body: str) -> str:
                 alias = f"Columns{col_n}"
         sel.append(f"{expr} AS {alias}")
         group.append(expr)
+    used_aliases = {a for a, _e, _r in bys if a is not None}
     for alias, expr, raw in aggs:
         if alias is None:
             # alias from the RAW kql name (dcount(uid) -> dcount_uid,
@@ -625,6 +633,16 @@ def _summarize(acc: str, body: str) -> str:
             else:
                 fn = re.match(r"^([A-Za-z_]\w*)", expr)
                 alias = f"{fn.group(1)}_" if fn else "agg_"
+            # disambiguate repeated GENERATED aliases the way ADX does
+            # (count_, count_1, ...) — review-found: two expression
+            # aggregates with the same function emitted two `count_`
+            # columns, making downstream references ambiguous
+            if alias in used_aliases:
+                n = 1
+                while f"{alias}{n}" in used_aliases:
+                    n += 1
+                alias = f"{alias}{n}"
+        used_aliases.add(alias)
         sel.append(f"{expr} AS {alias}")
     if not sel:
         raise ChSqlError("KQL summarize: nothing to compute")
@@ -715,11 +733,26 @@ def kql_to_chsql(text: str) -> str:
             # A non-self-referential shadow of an existing column is
             # the one documented subset gap.
             for a, e in named:
-                if re.search(rf"(?<![\w.]){re.escape(a)}\b", e):
+                # stash string literals BEFORE the self-reference search
+                # and the __kql_old_ substitution (the prql._expr
+                # technique) — review-found: `extend status =
+                # strcat('status ', code)` matched the alias INSIDE the
+                # literal, rewrote it, and emitted an EXCEPT on a
+                # column that may not exist upstream.
+                lits: list[str] = []
+
+                def _stash(m, lits=lits):
+                    lits.append(m.group(0))
+                    return f"\x00{len(lits) - 1}\x00"
+
+                e_stashed = re.sub(r"'(?:[^']|'')*'", _stash, e)
+                if re.search(rf"(?<![\w.]){re.escape(a)}\b", e_stashed):
                     inner = f"SELECT *, {a} AS __kql_old_{a} FROM ({acc})"
                     inner = f"SELECT * EXCEPT ({a}) FROM ({inner})"
                     e2 = re.sub(rf"(?<![\w.]){re.escape(a)}\b",
-                                f"__kql_old_{a}", e)
+                                f"__kql_old_{a}", e_stashed)
+                    e2 = re.sub(r"\x00(\d+)\x00",
+                                lambda m: lits[int(m.group(1))], e2)
                     acc = (f"SELECT * EXCEPT (__kql_old_{a}) FROM "
                            f"(SELECT *, {e2} AS {a} FROM ({inner}))")
                 else:

@@ -1212,3 +1212,36 @@ def test_quantified_any_all(spark):
         ch_sql(spark, "SELECT a FROM qt WHERE a = ALL (SELECT b FROM qs)")
     # aggregate any() untouched
     assert ch_sql(spark, "SELECT any(a) AS a FROM qt").collect()[0].a in (1, 3, 5)
+
+
+def test_use_query_cache_populates_process_cache(spark, sf_dir):
+    """SETTINGS use_query_cache=1 routes the result through the
+    process-wide QueryResultCache, so SYSTEM DROP QUERY CACHE acts on
+    real state (round-6; the advisor found the CLI path never
+    populated it)."""
+    from clickhouse_25_5_3_75_stable_spark.chsql import ch_sql
+    from clickhouse_25_5_3_75_stable_spark.operators.result_cache import (
+        default_cache,
+    )
+
+    cache = default_cache()
+    cache.clear()
+    df = ch_sql(
+        spark,
+        "SELECT count() AS n FROM region SETTINGS use_query_cache = 1",
+        sf_dir,
+    )
+    assert df.collect()[0].n >= 1
+    assert len(cache) == 1
+    # second run of the same plan hits the same entry (no growth)
+    ch_sql(
+        spark,
+        "SELECT count() AS n FROM region SETTINGS use_query_cache = 1",
+        sf_dir,
+    ).collect()
+    assert len(cache) == 1
+    cache.clear()
+    assert len(cache) == 0
+    # settings are session-scoped by design — restore so later tests
+    # don't persist every result
+    spark.conf.set("spark.chspark.useQueryCache", "0")

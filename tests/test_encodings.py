@@ -380,3 +380,24 @@ def test_blake3_tree_shape_dual_construction():
         data = bytes(range(251)) * ((n_chunks * 1024) // 251 + 1)
         data = data[:n_chunks * 1024 - 7]  # ragged tail
         assert blake3_py(data) == stack_blake3(data), n_chunks
+
+
+def test_aes_decrypt_iv_validation_mirrors_encrypt():
+    """OpenSSL-mode IV validation applies in BOTH directions
+    (reference validateIV; round-6 advisor: decrypt silently ignored
+    ECB-with-IV and let bad IV lengths fail late)."""
+    import pytest
+
+    from clickhouse_25_5_3_75_stable_spark.functions.aescrypto import (
+        decrypt_py,
+        encrypt_py,
+    )
+
+    key = bytes(range(16))
+    ct = encrypt_py("aes-128-ecb", b"payload", key, None, None)
+    with pytest.raises(ValueError, match="Invalid IV size"):
+        decrypt_py("aes-128-ecb", ct, key, b"0123456789abcdef", None)
+    with pytest.raises(ValueError, match="Invalid IV size"):
+        decrypt_py("aes-128-cbc", ct, key, b"short", None)
+    # the valid paths still round-trip
+    assert decrypt_py("aes-128-ecb", ct, key, None, None) == b"payload"

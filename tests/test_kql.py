@@ -419,3 +419,46 @@ def test_getschema(spark):
     assert got["t"][1] == "datetime"
     with pytest.raises(ChSqlError):
         kql_sql(spark, "getschema")
+
+
+# ---------------------------------------------------------------------------
+# round-6 advisor regressions
+# ---------------------------------------------------------------------------
+
+def test_extend_alias_inside_string_literal_not_rewritten(spark):
+    """`extend status = strcat('status ', code)`: the alias appears
+    only INSIDE a string literal — no self-reference staging, and the
+    literal must survive verbatim (advisor: the literal was rewritten
+    to '__kql_old_status ' and the EXCEPT failed analysis)."""
+    out = kql_to_chsql("T | extend status = strcat('status ', code)")
+    assert "__kql_old" not in out
+    assert "'status '" in out
+    spark.createDataFrame([(7,)], "code int").createOrReplaceTempView(
+        "kql_adv_t1")
+    from clickhouse_25_5_3_75_stable_spark.kql import kql_sql
+
+    row = kql_sql(
+        spark, "kql_adv_t1 | extend status = strcat('status ', tostring(code))"
+    ).collect()[0]
+    assert row.status == "status 7"
+
+
+def test_in_ci_comma_inside_literal(spark):
+    """in~ items split on TOP-LEVEL commas only (advisor: `x in~
+    ('a,b', 'c')` split the first literal mid-string)."""
+    out = kql_to_chsql("T | where x in~ ('a,b', 'C')")
+    assert "lower('a,b')" in out and "lower('C')" in out
+    spark.createDataFrame([("A,B",), ("c",), ("d",)], "x string") \
+        .createOrReplaceTempView("kql_adv_t2")
+    from clickhouse_25_5_3_75_stable_spark.kql import kql_sql
+
+    got = {r.x for r in kql_sql(
+        spark, "kql_adv_t2 | where x in~ ('a,b', 'C')").collect()}
+    assert got == {"A,B", "c"}
+
+
+def test_summarize_repeated_generated_aliases_disambiguated():
+    """Two expression aggregates falling into the generated-alias rule
+    get distinct names, like ADX (advisor: both emitted `count_`)."""
+    out = kql_to_chsql("T | summarize count(a + 1), count(b + 2)")
+    assert "AS count_" in out and "AS count_1" in out
