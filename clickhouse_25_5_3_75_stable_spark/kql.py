@@ -798,6 +798,10 @@ def kql_to_chsql(text: str) -> str:
             acc = _parse_stage(acc, body)
         elif op == "mv-apply":
             acc = _mv_apply(acc, body)
+        elif op == "top-nested":
+            acc = _top_nested(acc, body)
+        elif op == "facet":
+            acc = _facet(acc, body)
         elif op == "mv-expand":
             col = body.strip()
             if not re.match(r"^[A-Za-z_]\w*$", col):
@@ -813,8 +817,116 @@ def kql_to_chsql(text: str) -> str:
                 f"KQL operator {op!r}: not in the implemented subset "
                 "(where/project[-away|-rename]/extend/summarize/order/sort/"
                 "take/limit/top/distinct/count/mv-expand/print/join/lookup/"
-                f"union/render/make-series/parse/mv-apply){hint}")
+                "union/render/make-series/parse/mv-apply/top-nested/facet)"
+                f"{hint}")
     return acc
+
+
+_TOP_NESTED_LEVEL_RE = re.compile(
+    r"^(?P<n>\d+)\s+of\s+(?:(?P<name>[A-Za-z_]\w*)\s*=\s*)?(?P<expr>.+?)"
+    r"\s+by\s+(?:(?P<aggname>[A-Za-z_]\w*)\s*=\s*)?"
+    r"(?P<aggfn>[A-Za-z_]\w*)\s*\(\s*(?P<aggarg>[^()]*)\s*\)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+# window-computable aggregates (count(DISTINCT) over a window is not
+# supported by Spark — dcount levels refuse)
+_TOP_NESTED_AGGS = {"sum", "count", "min", "max", "avg"}
+
+
+def _top_nested(acc: str, body: str) -> str:
+    """KQL top-nested (hierarchical top-N): each level keeps the top N
+    values of its expression ranked by its OWN aggregate computed over
+    all source rows of the enclosing groups — exactly the ADX operator
+    (doc semantics). Realization: one pass of aggregate-as-WINDOW per
+    level over the raw rows (PARTITION BY the level prefix), DISTINCT
+    group rows, then dense_rank per level prefix and a conjunctive
+    filter. `with others` is out of the subset (refused)."""
+    if re.search(r"\bwith\s+others\b", body, re.IGNORECASE):
+        raise ChSqlError("KQL top-nested `with others` is out of the subset")
+    levels = []
+    for part in _split_top_tokens(_tokenize(body)):
+        text = _join_tokens(part)
+        # ADX repeats the operator keyword on every nested level
+        text = re.sub(r"^\s*top\s*-\s*nested\s+", "", text, flags=re.IGNORECASE)
+        m = _TOP_NESTED_LEVEL_RE.match(text.strip())
+        if not m:
+            raise ChSqlError(
+                "KQL top-nested level needs: N of [name =] expr by "
+                f"[name =] agg(arg) — got {text!r}")
+        n = int(m.group("n"))
+        expr = _lower_expr(_tokenize(m.group("expr")))
+        name = m.group("name")
+        if name is None:
+            if re.match(r"^[A-Za-z_]\w*$", expr):
+                name = expr
+            else:
+                raise ChSqlError(
+                    "KQL top-nested: a computed level expression needs "
+                    "an explicit name (name = expr)")
+        fn = m.group("aggfn").lower()
+        if fn not in _TOP_NESTED_AGGS:
+            raise ChSqlError(
+                f"KQL top-nested aggregate {fn!r}: subset supports "
+                f"{sorted(_TOP_NESTED_AGGS)} (window-computable)")
+        arg = m.group("aggarg").strip()
+        arg_sql = _lower_expr(_tokenize(arg)) if arg else "*"
+        if fn != "count" and not arg:
+            raise ChSqlError(f"KQL top-nested: {fn}() needs an argument")
+        aggname = m.group("aggname") or f"aggregated_{name}"
+        levels.append((n, name, expr, fn, arg_sql, aggname))
+
+    sel_base = ", ".join(f"{e} AS {nm}" for _n, nm, e, _f, _a, _an in levels)
+    # the aggregate args must survive into the base projection too
+    extra = []
+    for k, (_n, _nm, _e, fn, a, _an) in enumerate(levels):
+        if a != "*":
+            extra.append(f"{a} AS __tn_arg{k}")
+    base = f"SELECT {sel_base}{', ' if extra else ''}{', '.join(extra)} FROM ({acc})"
+
+    win_cols = []
+    for k, (_n, nm, _e, fn, a, an) in enumerate(levels):
+        partition = ", ".join(lv[1] for lv in levels[: k + 1])
+        src = "*" if a == "*" else f"__tn_arg{k}"
+        win_cols.append(f"{fn}({src}) OVER (PARTITION BY {partition}) AS {an}")
+    names = ", ".join(lv[1] for lv in levels)
+    # window aggregates computed over RAW rows, then DISTINCT group rows
+    w = (f"SELECT DISTINCT {names}, "
+         + ", ".join(win_cols)
+         + f" FROM ({base})")
+
+    ranks, conds = [], []
+    for k, (n, nm, _e, _f, _a, an) in enumerate(levels):
+        prefix = ", ".join(lv[1] for lv in levels[:k])
+        over = (f"PARTITION BY {prefix} " if prefix else "") + f"ORDER BY {an} DESC, {nm}"
+        ranks.append(f"dense_rank() OVER ({over}) AS __tn_r{k}")
+        conds.append(f"__tn_r{k} <= {n}")
+    out_cols = ", ".join(f"{nm}, {an}" for _n, nm, _e, _f, _a, an in levels)
+    ranked = f"SELECT *, {', '.join(ranks)} FROM ({w})"
+    return (f"SELECT {out_cols} FROM ({ranked}) "
+            f"WHERE {' AND '.join(conds)}")
+
+
+def _facet(acc: str, body: str) -> str:
+    """KQL facet: per-column value histograms. ADX emits one table per
+    facet column; a single-result engine emits the stacked form —
+    (facet_column, value, count_) via one UNION ALL branch per column
+    (the grouping-set shape). `with (subpipeline)` is out of the
+    subset (refused by name)."""
+    if re.search(r"\bwith\b", body, re.IGNORECASE):
+        raise ChSqlError("KQL facet `with (...)` is out of the subset")
+    bm = re.match(r"^by\s+(.*)$", body.strip(), re.IGNORECASE | re.DOTALL)
+    if not bm:
+        raise ChSqlError("KQL facet needs: facet by col[, col...]")
+    cols = [c.strip() for c in bm.group(1).split(",")]
+    if not cols or any(not re.match(r"^[A-Za-z_]\w*$", c) for c in cols):
+        raise ChSqlError("KQL facet subset takes plain column names")
+    branches = [
+        (f"SELECT '{c}' AS facet_column, CAST({c} AS STRING) AS value, "
+         f"count() AS count_ FROM ({acc}) GROUP BY {c}")
+        for c in cols
+    ]
+    return " UNION ALL ".join(f"SELECT * FROM ({b})" for b in branches)
 
 
 _MAKE_SERIES_RE = re.compile(

@@ -2361,13 +2361,14 @@ _GATE_BLOCK = [
     #    TPC-H long-tail first-timers — the block keeps q7/q13/q21) --
     "func_h3_geo_family",            # geoToH3/h3ToGeo/kRing/distance/faces/area
     "func_jaro_exact_chsql",         # exact Jaro via ClickHouse SQL text
+    "kql_top_nested_events",         # KQL hierarchical top-N (round-6)
+    "kql_facet_documents",           # KQL facet histograms (round-6)
     # -- family-spanning first-timers --
     "q7_nation_trade_flows",
     "q13_customer_order_distribution",
     "q21_waiting_orders",
     "mergetree_collapsing_final",
     "mergetree_versioned_collapsing_final",
-    "window_exp_time_decayed_family",
     "with_fill_linear_interpolate",
     "agg_ks_test_click_vs_view",
     "agg_mann_whitney_u",
@@ -2384,7 +2385,6 @@ _GATE_BLOCK = [
     "sequence_match_signup_purchase",
     "multimodal_frame_sample",
     "system_columns_introspection",
-    "table_function_generate_series",
 ]
 
 _missing_gate = [n for n in _GATE_BLOCK if n not in REGISTRY]

@@ -209,3 +209,82 @@ def kql_make_series_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         arr_csv(F.transform(F.col("ts"),
                             lambda x: F.date_format(x, "yyyy-MM-dd"))).alias("ts_csv"),
     )
+
+
+@register(
+    "kql_top_nested_events",
+    # ADX top-nested semantics replayed in ANSI SQL: level aggregates
+    # computed over ALL source rows of the enclosing groups (window
+    # re-aggregation), dense-rank per level prefix with the engine's
+    # deterministic (agg DESC, value) tie-break, conjunctive filter.
+    oracle="""
+    WITH g AS (
+        SELECT event_type, user_id % 5 AS uid,
+               SUM(value) OVER (PARTITION BY event_type) AS agg_outer,
+               COUNT(*) OVER (PARTITION BY event_type, user_id % 5) AS cnt
+        FROM events
+    ), d AS (
+        SELECT DISTINCT event_type, uid, agg_outer, cnt FROM g
+    ), r AS (
+        SELECT event_type, uid, agg_outer, cnt,
+               DENSE_RANK() OVER (ORDER BY agg_outer DESC, event_type) AS r1,
+               DENSE_RANK() OVER (PARTITION BY event_type
+                                  ORDER BY cnt DESC, uid) AS r2
+        FROM d
+    )
+    SELECT event_type,
+           CAST(CAST(agg_outer AS DECIMAL(25,6)) AS VARCHAR) AS aggregated_event_type,
+           uid, CAST(cnt AS BIGINT) AS cnt
+    FROM r WHERE r1 <= 2 AND r2 <= 3
+    ORDER BY event_type, uid
+    """,
+    tags=("kql", "dialect", "top-nested"),
+)
+def kql_top_nested_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KQL top-nested (round-6; the ADX hierarchical top-N operator,
+    ParserKQLQuery operator table): top 2 event types by total value,
+    and within each, top 3 user buckets by row count. The level
+    aggregates ride window re-aggregation over the raw rows — one
+    shuffle per level prefix, no self-joins. The float aggregate is
+    VARCHAR-routed through DECIMAL(25,6) (the dtype-proof transport)."""
+    _view(spark, sf_dir, "events")
+    out = kql_sql(spark, """
+        events
+        | top-nested 2 of event_type by sum(value),
+          top-nested 3 of uid = user_id % 5 by cnt = count()
+        | order by event_type asc, uid asc
+    """)
+    return out.select(
+        "event_type",
+        F.col("aggregated_event_type").cast("decimal(25,6)").cast("string")
+        .alias("aggregated_event_type"),
+        "uid",
+        F.col("cnt").cast("bigint").alias("cnt"),
+    )
+
+
+@register(
+    "kql_facet_documents",
+    oracle="""
+    SELECT * FROM (
+        SELECT 'lang' AS facet_column, CAST(lang AS VARCHAR) AS value,
+               COUNT(*) AS count_
+        FROM documents GROUP BY lang
+        UNION ALL
+        SELECT 'source', CAST(source AS VARCHAR), COUNT(*)
+        FROM documents GROUP BY source
+    ) ORDER BY facet_column, value
+    """,
+    tags=("kql", "dialect", "facet"),
+)
+def kql_facet_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KQL facet (round-6): per-column value histograms. ADX emits one
+    table per facet column; the single-result lowering stacks them as
+    (facet_column, value, count_) — one UNION ALL branch per column,
+    each a plain hash aggregate."""
+    _view(spark, sf_dir, "documents")
+    return kql_sql(spark, """
+        documents
+        | facet by lang, source
+        | order by facet_column asc, value asc
+    """)

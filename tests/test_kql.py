@@ -462,3 +462,36 @@ def test_summarize_repeated_generated_aliases_disambiguated():
     get distinct names, like ADX (advisor: both emitted `count_`)."""
     out = kql_to_chsql("T | summarize count(a + 1), count(b + 2)")
     assert "AS count_" in out and "AS count_1" in out
+
+
+# ---------------------------------------------------------------------------
+# round-6: top-nested and facet
+# ---------------------------------------------------------------------------
+
+def test_top_nested_refusals():
+    with pytest.raises(ChSqlError, match="with others"):
+        kql_to_chsql("T | top-nested 3 of a by sum(x) with others = 'rest'")
+    with pytest.raises(ChSqlError, match="dcount"):
+        kql_to_chsql("T | top-nested 3 of a by dcount(x)")
+    with pytest.raises(ChSqlError, match="explicit name"):
+        kql_to_chsql("T | top-nested 3 of a + 1 by sum(x)")
+
+
+def test_facet_refusals():
+    with pytest.raises(ChSqlError, match="out of the subset"):
+        kql_to_chsql("T | facet by a with (where x > 1)")
+    with pytest.raises(ChSqlError):
+        kql_to_chsql("T | facet a")
+
+
+def test_top_nested_single_level(spark):
+    from clickhouse_25_5_3_75_stable_spark.kql import kql_sql
+
+    spark.createDataFrame(
+        [("a", 10), ("a", 20), ("b", 5), ("c", 100), ("c", 1)],
+        "k string, v int",
+    ).createOrReplaceTempView("kql_tn_t")
+    rows = kql_sql(
+        spark, "kql_tn_t | top-nested 2 of k by sum(v) | order by k asc"
+    ).collect()
+    assert [(r.k, r.aggregated_k) for r in rows] == [("a", 30), ("c", 101)]
