@@ -2372,8 +2372,8 @@ _GATE_BLOCK = [
     "with_fill_linear_interpolate",
     "agg_ks_test_click_vs_view",
     "agg_mann_whitney_u",
-    "agg_sparkbar_hourly",
     "agg_lttb_downsample",
+    "system_tables_full_introspect",  # round-6: full system.tables columns
     "func_array_positional_family",
     "func_bit_bar_family",
     "func_snowflake_readable_family",

@@ -594,3 +594,73 @@ def test_system_statements(spark, tmp_path):
     assert len(cache) == 0
     with _pytest.raises(ValueError, match="no analogue"):
         run_local("SYSTEM SYNC REPLICA t_sys", d, spark=spark, out=out)
+
+
+def test_system_tables_full_reference_columns(spark):
+    """The full system.tables surface carries the reference's column
+    list (StorageSystemTables.cpp, 25.5) in order, plus the `table`
+    alias; quick-stats come from parquet footers."""
+    from clickhouse_25_5_3_75_stable_spark.sources.system_tables import (
+        system_tables_full,
+    )
+
+    df = system_tables_full(spark, "/root/testdata/sf0.001")
+    want = [
+        "database", "name", "uuid", "engine", "is_temporary", "data_paths",
+        "metadata_path", "metadata_modification_time", "metadata_version",
+        "dependencies_database", "dependencies_table", "create_table_query",
+        "engine_full", "as_select", "parameterized_view_parameters",
+        "partition_key", "sorting_key", "primary_key", "sampling_key",
+        "storage_policy", "total_rows", "total_bytes",
+        "total_bytes_uncompressed", "parts", "active_parts", "total_marks",
+        "active_on_fly_data_mutations", "active_on_fly_alter_mutations",
+        "active_on_fly_metadata_mutations", "lifetime_rows",
+        "lifetime_bytes", "comment", "has_own_data",
+        "loading_dependencies_database", "loading_dependencies_table",
+        "loading_dependent_database", "loading_dependent_table", "table",
+    ]
+    assert df.columns == want
+    rows = {r.name: r for r in df.collect()}
+    assert rows["nation"].total_rows == 25
+    assert rows["nation"].table == "nation"
+    assert rows["nation"].total_bytes > 0
+    assert rows["nation"].total_bytes_uncompressed > 0
+    assert rows["nation"].total_marks >= 1
+    assert rows["nation"].engine == "MergeTree"
+    assert rows["nation"].lifetime_rows is None  # Buffer-only, like the ref
+    assert "CREATE TABLE default.nation" in rows["nation"].create_table_query
+
+
+def test_system_detached_parts_full(spark, tmp_path):
+    """Reference column set + the DetachedPartInfo reason-prefix parse:
+    a clean DETACH has NULL reason; a 'broken_'-prefixed directory
+    reports reason='broken' and the bare partition id."""
+    import os
+
+    from clickhouse_25_5_3_75_stable_spark.sources.layout import (
+        detach_partition,
+        write_mergetree_layout,
+    )
+    from clickhouse_25_5_3_75_stable_spark.sources.system_tables import (
+        system_detached_parts_full,
+    )
+
+    df = spark.range(0, 40).selectExpr("id", "id % 2 AS p")
+    path = str(tmp_path / "layout")
+    write_mergetree_layout(df, path, order_by=["id"], partition_by=["p"])
+    detach_partition(path, "p", 1)
+    # simulate the reference's broken-part quarantine naming
+    os.rename(os.path.join(path, "p=0"),
+              os.path.join(path, "_detached", "broken_p=0"))
+    rows = {r.name: r for r in system_detached_parts_full(spark, path).collect()}
+    assert set(rows) == {"p=1", "broken_p=0"}
+    clean, broken = rows["p=1"], rows["broken_p=0"]
+    assert clean.reason is None and clean.partition_id == "p=1"
+    assert broken.reason == "broken" and broken.partition_id == "p=0"
+    assert clean.bytes_on_disk > 0 and clean.database == "default"
+    assert clean.min_block_number is None and clean.level is None
+    assert list(rows["p=1"].asDict()) == [
+        "database", "table", "partition_id", "name", "bytes_on_disk",
+        "modification_time", "disk", "path", "reason", "min_block_number",
+        "max_block_number", "level",
+    ]
