@@ -24,8 +24,15 @@ Expression conventions: == -> =, && -> AND, || -> OR, ! -> NOT,
 functions by space application (``sum x``, ``average y``, ``count
 this``), average -> avg, stddev -> stddevSamp.
 
-Out of scope (refusals name the feature): s-strings/f-strings, window
-functions beyond group-take, `case`, loops, let-functions, modules.
+Window functions (round 6): ``group {k} (sort {...}\\n derive {...})``
+lowers rank/row_number/dense_rank, lag/lead, and running
+sum/min/max/average/count to SQL window functions over the group
+partition in the sorted order — the prql-compiler's own lowering
+shape. ``append`` lowers to UNION ALL.
+
+Out of scope (refusals name the feature): s-strings/f-strings,
+`case`, loops (`loop`), let-functions, modules, remove/intersect
+(the compiler's set-op lowering mixes DISTINCT/anti-join semantics).
 """
 
 from __future__ import annotations
@@ -248,16 +255,20 @@ def prql_to_sql(text: str) -> str:
                 acc = (f"SELECT {', '.join(sel)} FROM ({acc}) "
                        f"GROUP BY {', '.join(keys)}")
                 continue
-            # group {k} (sort {-x}\n take n)  ->  per-group top-n
+            # group {k} (sort {-x}\n take n)        -> per-group top-n
+            # group {k} (sort {-x}\n derive {...})  -> per-group window
             parts = _split_statements(inner)
-            order, take_n = None, None
+            order, take_n, derive_body = None, None, None
             for p in parts:
-                pm = re.match(r"^(sort|take)\s+(.*)$", p, re.DOTALL)
+                pm = re.match(r"^(sort|take|derive)\s+(.*)$", p, re.DOTALL)
                 if not pm:
                     raise ChSqlError(
-                        f"PRQL group body {p!r}: subset takes aggregate or sort+take")
+                        f"PRQL group body {p!r}: subset takes aggregate, "
+                        "sort+take, or sort+derive (window functions)")
                 if pm.group(1) == "sort":
                     order = _sort_items(pm.group(2))
+                elif pm.group(1) == "derive":
+                    derive_body = pm.group(2)
                 else:
                     try:
                         take_n = int(pm.group(2))
@@ -265,12 +276,30 @@ def prql_to_sql(text: str) -> str:
                         raise ChSqlError(
                             "PRQL group-take subset needs an integer "
                             f"(got {pm.group(2)!r})") from None
-            if take_n is None:
-                raise ChSqlError("PRQL group body needs a take")
+            if take_n is None and derive_body is None:
+                raise ChSqlError("PRQL group body needs a take or a derive")
             order = order or ", ".join(keys)
-            acc = (f"SELECT * EXCEPT (__prql_rn) FROM (SELECT *, row_number() "
-                   f"OVER (PARTITION BY {', '.join(keys)} ORDER BY {order}) "
-                   f"AS __prql_rn FROM ({acc})) WHERE __prql_rn <= {take_n}")
+            if derive_body is not None:
+                # PRQL window functions (round 6; previously refused):
+                # rank/row_number/dense_rank `this`, lag/lead col [n],
+                # and running aggregates over the group partition
+                sel = []
+                for item in _tuple_items(derive_body):
+                    alias, raw = _named(item)
+                    if alias is None:
+                        raise ChSqlError("PRQL derive items need names (x = expr)")
+                    sel.append(
+                        f"{_window_fn(raw, ', '.join(keys), order)} AS {alias}"
+                    )
+                acc = f"SELECT *, {', '.join(sel)} FROM ({acc})"
+                if take_n is not None:
+                    raise ChSqlError(
+                        "PRQL group subset: derive and take compose as "
+                        "separate group calls")
+            else:
+                acc = (f"SELECT * EXCEPT (__prql_rn) FROM (SELECT *, row_number() "
+                       f"OVER (PARTITION BY {', '.join(keys)} ORDER BY {order}) "
+                       f"AS __prql_rn FROM ({acc})) WHERE __prql_rn <= {take_n}")
         elif op == "sort":
             acc = f"SELECT * FROM ({acc}) ORDER BY {_sort_items(body)}"
         elif op == "take":
@@ -317,11 +346,54 @@ def prql_to_sql(text: str) -> str:
                 raise ChSqlError(
                     f"PRQL join condition {cond!r}: subset takes (==col) "
                     "or (a == b)")
+        elif op == "append":
+            # PRQL append = UNION ALL with the other relation
+            # (prql-compiler lowers append exactly to UNION ALL)
+            if not re.match(r"^[A-Za-z_][\w.]*$", body):
+                raise ChSqlError(
+                    "PRQL append subset takes a table name")
+            acc = f"SELECT * FROM ({acc}) UNION ALL SELECT * FROM {body}"
+        elif op in ("remove", "intersect"):
+            raise ChSqlError(
+                f"PRQL {op}: out of the subset (the compiler's lowering "
+                "mixes DISTINCT/anti-join semantics; use SQL EXCEPT/"
+                "INTERSECT through chsql directly)")
         else:
             raise ChSqlError(
                 f"PRQL transform {op!r}: not in the implemented subset "
-                "(from/derive/select/filter/group/aggregate/sort/take/join)")
+                "(from/derive/select/filter/group/aggregate/sort/take/join/"
+                "append; window functions via group (sort + derive))")
     return acc
+
+
+_WINDOW_FNS = {"rank": "rank()", "row_number": "row_number()",
+               "dense_rank": "dense_rank()"}
+
+
+def _window_fn(raw: str, partition: str, order: str) -> str:
+    """A group-body derive item -> SQL window expression. Subset:
+    rank/row_number/dense_rank over `this`, lag/lead col [n], and
+    sum/min/max/average running aggregates (PRQL's default frame for
+    aggregates in a sorted group is RANGE unbounded-to-current; ranks
+    use the rank frame natively)."""
+    raw = raw.strip()
+    over = f"PARTITION BY {partition} ORDER BY {order}"
+    m = re.match(r"^(rank|row_number|dense_rank)(?:\s+this)?$", raw)
+    if m:
+        return f"{_WINDOW_FNS[m.group(1)]} OVER ({over})"
+    m = re.match(r"^(lag|lead)\s+([A-Za-z_]\w*)(?:\s+(\d+))?$", raw)
+    if m:
+        n = m.group(3) or "1"
+        return f"{m.group(1)}({m.group(2)}, {n}) OVER ({over})"
+    m = re.match(r"^(sum|min|max|average|count)\s+([A-Za-z_]\w*)$", raw)
+    if m:
+        fn = {"average": "avg"}.get(m.group(1), m.group(1))
+        return (f"{fn}({m.group(2)}) OVER ({over} "
+                "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")
+    raise ChSqlError(
+        f"PRQL window derive {raw!r}: subset takes rank/row_number/"
+        "dense_rank [this], lag/lead col [n], or sum/min/max/average/"
+        "count col")
 
 
 def prql_sql(spark, text: str, params=None):

@@ -288,3 +288,44 @@ def kql_facet_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         | facet by lang, source
         | order by facet_column asc, value asc
     """)
+
+
+@register(
+    "prql_window_rank_orders",
+    oracle="""
+    SELECT * FROM (
+        SELECT o_orderpriority, o_orderkey,
+               RANK() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC) AS r,
+               CAST(SUM(o_orderkey) OVER (PARTITION BY o_orderpriority
+                    ORDER BY o_totalprice DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS run_keys
+        FROM orders WHERE o_orderkey % 97 = 0
+    ) WHERE r <= 3
+    ORDER BY o_orderpriority, r, o_orderkey
+    """,
+    tags=("prql", "dialect", "window"),
+)
+def prql_window_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRQL window functions (round-6; previously a named refusal):
+    group (sort + derive) lowers rank/row_number/lag/lead/running
+    aggregates to SQL window functions with the group partition and
+    the sort order — the prql-compiler's own lowering shape."""
+    _view(spark, sf_dir, "orders")
+    from clickhouse_25_5_3_75_stable_spark.chsql import ch_sql
+    from clickhouse_25_5_3_75_stable_spark.prql import prql_to_sql
+
+    sql = prql_to_sql("""
+from orders
+filter o_orderkey % 97 == 0
+group {o_orderpriority} (
+  sort {-o_totalprice}
+  derive {r = rank, run_keys = sum o_orderkey}
+)
+filter r <= 3
+select {o_orderpriority, o_orderkey, r, run_keys}
+sort {o_orderpriority, r, o_orderkey}
+""")
+    out = ch_sql(spark, sql)
+    return out.withColumn("run_keys", F.col("run_keys").cast("bigint"))

@@ -80,3 +80,43 @@ select {n_name, r_name}
 sort {n_name}
 take 3""").collect()
     assert len(got) == 3 and got[0].r_name is not None
+
+
+# ---------------------------------------------------------------------------
+# round-6: window functions + append
+# ---------------------------------------------------------------------------
+
+def test_window_derive_lowering():
+    from clickhouse_25_5_3_75_stable_spark.prql import prql_to_sql
+
+    sql = prql_to_sql(
+        "from t\ngroup {k} (\n  sort {-v}\n  derive {r = rank, "
+        "prev = lag v, ma = average v}\n)"
+    )
+    assert "rank() OVER (PARTITION BY k ORDER BY v DESC)" in sql
+    assert "lag(v, 1) OVER" in sql
+    assert "avg(v) OVER" in sql and "UNBOUNDED PRECEDING" in sql
+
+
+def test_window_refusals():
+    import pytest
+
+    from clickhouse_25_5_3_75_stable_spark.chsql import ChSqlError
+    from clickhouse_25_5_3_75_stable_spark.prql import prql_to_sql
+
+    with pytest.raises(ChSqlError, match="window derive"):
+        prql_to_sql("from t\ngroup {k} (\n  sort {v}\n  derive {x = ntile 4}\n)")
+    with pytest.raises(ChSqlError, match="remove"):
+        prql_to_sql("from t\nremove u")
+
+
+def test_append_union_all(spark):
+    from clickhouse_25_5_3_75_stable_spark.chsql import ch_sql
+    from clickhouse_25_5_3_75_stable_spark.prql import prql_to_sql
+
+    spark.createDataFrame([(1,), (2,)], "x int").createOrReplaceTempView("pa_t1")
+    spark.createDataFrame([(2,), (3,)], "x int").createOrReplaceTempView("pa_t2")
+    sql = prql_to_sql("from pa_t1\nappend pa_t2\nsort {x}")
+    assert "UNION ALL" in sql
+    got = [r.x for r in ch_sql(spark, sql).collect()]
+    assert got == [1, 2, 2, 3]  # ALL semantics: the duplicate survives
