@@ -802,6 +802,8 @@ def kql_to_chsql(text: str) -> str:
             acc = _top_nested(acc, body)
         elif op == "facet":
             acc = _facet(acc, body)
+        elif op == "partition":
+            acc = _partition(acc, body)
         elif op == "mv-expand":
             col = body.strip()
             if not re.match(r"^[A-Za-z_]\w*$", col):
@@ -905,6 +907,51 @@ def _top_nested(acc: str, body: str) -> str:
     ranked = f"SELECT *, {', '.join(ranks)} FROM ({w})"
     return (f"SELECT {out_cols} FROM ({ranked}) "
             f"WHERE {' AND '.join(conds)}")
+
+
+def _partition(acc: str, body: str) -> str:
+    """KQL partition (round-6): run a subpipeline per distinct value of
+    the partition column and union the results (ADX `partition by Col
+    ( sub )`). Single-result lowerings for the subqueries that have an
+    exact relational equivalent:
+
+    - ``top N by expr [asc|desc]`` -> per-partition rank filter
+      (row_number window over the partition column);
+    - ``summarize ... [by keys]``  -> one global summarize with the
+      partition column prepended to the keys;
+    - ``where ...``                -> plain filter (partitioning is a
+      no-op around a row-local predicate).
+
+    Anything else (multi-stage subpipelines, per-partition order
+    without a take) refuses by name — ADX's hint.* strategies are
+    execution hints with no semantic content here."""
+    m = re.match(r"^by\s+([A-Za-z_]\w*)\s*\(\s*(.*?)\s*\)\s*$", body,
+                 re.IGNORECASE | re.DOTALL)
+    if not m:
+        raise ChSqlError("KQL partition needs: partition by Col ( sub )")
+    col, sub = m.group(1), m.group(2).strip()
+    if len(_split_pipeline(sub)) != 1:
+        raise ChSqlError(
+            "KQL partition subset takes a SINGLE-stage subquery "
+            "(top / summarize / where)")
+    tm = re.match(r"^top\s+(\d+)\s+by\s+(.*)$", sub, re.IGNORECASE | re.DOTALL)
+    if tm:
+        n = int(tm.group(1))
+        order = _order_items(tm.group(2))
+        return (f"SELECT * EXCEPT (__kql_prn) FROM (SELECT *, row_number() "
+                f"OVER (PARTITION BY {col} ORDER BY {order}) AS __kql_prn "
+                f"FROM ({acc})) WHERE __kql_prn <= {n}")
+    sm = re.match(r"^summarize\s+(.*)$", sub, re.IGNORECASE | re.DOTALL)
+    if sm:
+        agg_part, by_part = _split_on_keyword(sm.group(1), "by")
+        new_by = f"{col}, {by_part}" if by_part.strip() else col
+        return _summarize(acc, f"{agg_part} by {new_by}")
+    wm = re.match(r"^where\s+(.*)$", sub, re.IGNORECASE | re.DOTALL)
+    if wm:
+        return f"SELECT * FROM ({acc}) WHERE {_lower_expr(_tokenize(wm.group(1)))}"
+    raise ChSqlError(
+        f"KQL partition subquery {sub.split()[0]!r}: subset takes "
+        "top / summarize / where")
 
 
 def _facet(acc: str, body: str) -> str:

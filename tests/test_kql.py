@@ -495,3 +495,28 @@ def test_top_nested_single_level(spark):
         spark, "kql_tn_t | top-nested 2 of k by sum(v) | order by k asc"
     ).collect()
     assert [(r.k, r.aggregated_k) for r in rows] == [("a", 30), ("c", 101)]
+
+
+def test_partition_operator(spark):
+    """partition by Col ( sub ): top -> per-partition rank filter,
+    summarize -> partition column prepended to keys, where -> plain
+    filter; multi-stage and unsupported subqueries refuse by name."""
+    from clickhouse_25_5_3_75_stable_spark.kql import kql_sql
+
+    spark.createDataFrame(
+        [("a", 1), ("a", 5), ("a", 3), ("b", 9), ("b", 2)],
+        "k string, v int",
+    ).createOrReplaceTempView("kql_part_t")
+    rows = kql_sql(
+        spark,
+        "kql_part_t | partition by k ( top 2 by v ) | order by k asc, v desc",
+    ).collect()
+    assert [(r.k, r.v) for r in rows] == [("a", 5), ("a", 3), ("b", 9), ("b", 2)]
+    rows2 = kql_sql(
+        spark, "kql_part_t | partition by k ( summarize mx = max(v) ) | order by k asc"
+    ).collect()
+    assert [(r.k, r.mx) for r in rows2] == [("a", 5), ("b", 9)]
+    with pytest.raises(ChSqlError, match="SINGLE-stage"):
+        kql_to_chsql("T | partition by k ( where x > 1 | take 2 )")
+    with pytest.raises(ChSqlError, match="subset takes"):
+        kql_to_chsql("T | partition by k ( mv-expand a )")
