@@ -1282,4 +1282,51 @@ def kql_sql(spark, text: str, params=None):
         return spark.createDataFrame(
             rows, "ColumnName string, ColumnOrdinal int, DataType string, "
                   "ColumnType string")
+    # `evaluate pivot(col, agg(val))` also needs runtime state: ADX
+    # auto-discovers the pivot columns from the DATA, so the prefix
+    # runs once for the distinct key set (capped — a pivot into
+    # thousands of columns is a modeling error), then the pipeline
+    # re-plans as a Spark PIVOT.
+    ev = None
+    for k, st in enumerate(stages):
+        if re.match(r"^\s*evaluate\s+pivot\s*\(", st, re.IGNORECASE):
+            ev = k
+            break
+    if ev is not None:
+        if ev != len(stages) - 1:
+            raise ChSqlError(
+                "KQL evaluate pivot subset must be the last stage")
+        em = re.match(
+            r"^\s*evaluate\s+pivot\s*\(\s*([A-Za-z_]\w*)\s*,\s*"
+            r"([A-Za-z_]\w*)\s*\(\s*([A-Za-z_]\w*)\s*\)\s*\)\s*$",
+            stages[ev], re.IGNORECASE,
+        )
+        if not em:
+            raise ChSqlError(
+                "KQL evaluate pivot subset: pivot(col, agg(valueCol))")
+        pcol, aggfn, vcol = em.group(1), em.group(2).lower(), em.group(3)
+        aggfn = {"avg": "avg", "sum": "sum", "count": "count",
+                 "min": "min", "max": "max"}.get(aggfn)
+        if aggfn is None:
+            raise ChSqlError(
+                "KQL evaluate pivot subset aggregates: sum/count/min/max/avg")
+        prefix_sql = kql_to_chsql(" | ".join(stages[:ev]))
+        keys = [
+            r[0]
+            for r in spark.sql(
+                f"SELECT DISTINCT {pcol} FROM ({prefix_sql}) "
+                f"ORDER BY {pcol} LIMIT 201"
+            ).collect()
+        ]
+        if len(keys) > 200:
+            raise ChSqlError(
+                "KQL evaluate pivot: more than 200 distinct pivot values")
+        in_list = ", ".join(
+            "NULL" if k is None else f"'{str(k).replace(chr(39), chr(39)*2)}'"
+            for k in keys
+        )
+        return spark.sql(
+            f"SELECT * FROM ({prefix_sql}) "
+            f"PIVOT ({aggfn}({vcol}) FOR {pcol} IN ({in_list}))"
+        )
     return ch_sql(spark, kql_to_chsql(text), params=params)

@@ -520,3 +520,23 @@ def test_partition_operator(spark):
         kql_to_chsql("T | partition by k ( where x > 1 | take 2 )")
     with pytest.raises(ChSqlError, match="subset takes"):
         kql_to_chsql("T | partition by k ( mv-expand a )")
+
+
+def test_evaluate_pivot(spark):
+    """evaluate pivot(col, agg(val)): ADX auto-discovers the pivot
+    columns from the data; lowered to a Spark PIVOT after a one-pass
+    distinct-key discovery (capped at 200)."""
+    from clickhouse_25_5_3_75_stable_spark.kql import kql_sql
+
+    spark.createDataFrame(
+        [("a", "x", 1), ("a", "y", 2), ("b", "x", 3), ("b", "x", 4)],
+        "k string, p string, v int",
+    ).createOrReplaceTempView("kql_pv_t")
+    rows = kql_sql(spark, "kql_pv_t | evaluate pivot(p, sum(v))") \
+        .orderBy("k").collect()
+    assert rows[0].k == "a" and rows[0].x == 1 and rows[0].y == 2
+    assert rows[1].k == "b" and rows[1].x == 7 and rows[1].y is None
+    with pytest.raises(ChSqlError, match="last stage"):
+        kql_sql(spark, "kql_pv_t | evaluate pivot(p, sum(v)) | take 1")
+    with pytest.raises(ChSqlError, match="aggregates"):
+        kql_sql(spark, "kql_pv_t | evaluate pivot(p, dcount(v))")
