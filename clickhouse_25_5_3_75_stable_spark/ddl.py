@@ -433,6 +433,12 @@ def _reregister_evolved(spark, base_dir: str, td: TableDef, defaults: dict) -> N
 # ---------------------------------------------------------------------------
 
 
+# process-wide backup log feeding system.backups (reference
+# src/Storages/System/StorageSystemBackups.cpp reads the BackupsWorker
+# registry; statuses per src/Backups/BackupStatus.h)
+BACKUP_LOG: list[dict] = []
+
+
 def backup_table(base_dir: str, name: str, dest_dir: str) -> dict:
     """BACKUP TABLE <name> TO '<dest_dir>': copy the table's data files
     and DDL metadata into dest_dir/<name>/. O(files) copies, no engine
@@ -449,12 +455,25 @@ def backup_table(base_dir: str, name: str, dest_dir: str) -> dict:
     dst = os.path.join(dest_dir, name)
     if os.path.exists(dst):
         raise FileExistsError(f"backup target exists: {dst}")
+    import datetime
+
+    start = datetime.datetime.now()
     shutil.copytree(src, dst)
     n_files = n_bytes = 0
     for root, _dirs, files in os.walk(dst):
         for f in files:
             n_files += 1
             n_bytes += os.path.getsize(os.path.join(root, f))
+    BACKUP_LOG.append({
+        "id": str(len(BACKUP_LOG) + 1),
+        "name": f"File('{dst}')",
+        "status": "BACKUP_CREATED",
+        "error": "",
+        "start_time": start,
+        "end_time": datetime.datetime.now(),
+        "num_files": n_files,
+        "total_size": n_bytes,
+    })
     return {"table": name, "files": n_files, "bytes": n_bytes, "path": dst}
 
 
@@ -474,8 +493,26 @@ def restore_table(
         raise FileExistsError(
             f"table {name!r} already exists — DROP TABLE it before RESTORE"
         )
+    import datetime
+
+    start = datetime.datetime.now()
     shutil.copytree(src, dst)
     spark.read.parquet(dst).createOrReplaceTempView(name)
+    n_files = n_bytes = 0
+    for root, _dirs, files in os.walk(dst):
+        for f in files:
+            n_files += 1
+            n_bytes += os.path.getsize(os.path.join(root, f))
+    BACKUP_LOG.append({
+        "id": str(len(BACKUP_LOG) + 1),
+        "name": f"File('{src}')",
+        "status": "RESTORED",
+        "error": "",
+        "start_time": start,
+        "end_time": datetime.datetime.now(),
+        "num_files": n_files,
+        "total_size": n_bytes,
+    })
 
 
 def _expr_to_spark(expr: str) -> str:

@@ -328,6 +328,27 @@ def system_collations(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(rows, "name string, resolves_to string")
 
 
+def system_backups(spark: SparkSession) -> DataFrame:
+    """system.backups (reference StorageSystemBackups.cpp reads the
+    BackupsWorker registry — round-6): one row per BACKUP/RESTORE this
+    process ran, with the reference's core columns (id, name = the
+    File(...) spec, status per BackupStatus.h, error, start/end time,
+    num_files, total_size)."""
+    from clickhouse_25_5_3_75_stable_spark.ddl import BACKUP_LOG
+
+    rows = [
+        (e["id"], e["name"], e["status"], e["error"], e["start_time"],
+         e["end_time"], e["num_files"], e["total_size"])
+        for e in BACKUP_LOG
+    ]
+    return spark.createDataFrame(
+        rows,
+        "id string, name string, status string, error string, "
+        "start_time timestamp, end_time timestamp, num_files bigint, "
+        "total_size bigint",
+    )
+
+
 def system_time_zones(spark: SparkSession) -> DataFrame:
     """system.time_zones (reference StorageSystemTimeZones.cpp): the
     IANA zone names available to toTimeZone()/convert_timezone."""

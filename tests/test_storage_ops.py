@@ -664,3 +664,31 @@ def test_system_detached_parts_full(spark, tmp_path):
         "modification_time", "disk", "path", "reason", "min_block_number",
         "max_block_number", "level",
     ]
+
+
+def test_system_backups_log(spark, tmp_path, sf_dir):
+    """system.backups reflects real BACKUP/RESTORE operations with the
+    reference's statuses (BackupStatus.h)."""
+    import shutil
+
+    from clickhouse_25_5_3_75_stable_spark.ddl import (
+        backup_table,
+        restore_table,
+    )
+    from clickhouse_25_5_3_75_stable_spark.sources.system_tables import (
+        system_backups,
+    )
+
+    base = tmp_path / "data"
+    (base / "t1").mkdir(parents=True)
+    shutil.copy(f"{sf_dir}/nation.parquet", base / "t1" / "part.parquet")
+    before = system_backups(spark).count()
+    backup_table(str(base), "t1", str(tmp_path / "bk"))
+    shutil.rmtree(base / "t1")
+    restore_table(spark, str(base), "t1", str(tmp_path / "bk"))
+    rows = system_backups(spark).collect()
+    assert len(rows) == before + 2
+    statuses = [r.status for r in rows[-2:]]
+    assert statuses == ["BACKUP_CREATED", "RESTORED"]
+    assert rows[-2].num_files >= 1 and rows[-2].total_size > 0
+    assert rows[-2].name.startswith("File('")
