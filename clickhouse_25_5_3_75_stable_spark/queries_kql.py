@@ -295,8 +295,8 @@ def kql_facet_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT * FROM (
         SELECT o_orderpriority, o_orderkey,
-               RANK() OVER (PARTITION BY o_orderpriority
-                            ORDER BY o_totalprice DESC) AS r,
+               CAST(RANK() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC) AS INT) AS r,
                CAST(SUM(o_orderkey) OVER (PARTITION BY o_orderpriority
                     ORDER BY o_totalprice DESC
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
