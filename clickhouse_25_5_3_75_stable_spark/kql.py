@@ -1287,6 +1287,37 @@ def kql_sql(spark, text: str, params=None):
     # runs once for the distinct key set (capped — a pivot into
     # thousands of columns is a modeling error), then the pipeline
     # re-plans as a Spark PIVOT.
+    # `evaluate bag_unpack(col)`: ADX unpacks a dynamic property bag
+    # into one column per key — the key SET lives in the data, so the
+    # prefix runs once for the distinct keys (capped), then each key
+    # becomes a JSON extraction column (string-typed subset; ADX's
+    # type inference is a documented gap).
+    for k, st in enumerate(stages):
+        bm = re.match(r"^\s*evaluate\s+bag_unpack\s*\(\s*([A-Za-z_]\w*)\s*\)\s*$",
+                      st, re.IGNORECASE)
+        if bm:
+            if k != len(stages) - 1:
+                raise ChSqlError(
+                    "KQL evaluate bag_unpack subset must be the last stage")
+            col = bm.group(1)
+            prefix_sql = kql_to_chsql(" | ".join(stages[:k]))
+            keys = [
+                r[0]
+                for r in spark.sql(
+                    f"SELECT DISTINCT explode(json_object_keys({col})) AS k "
+                    f"FROM ({prefix_sql}) ORDER BY k LIMIT 201"
+                ).collect()
+            ]
+            if len(keys) > 200:
+                raise ChSqlError(
+                    "KQL evaluate bag_unpack: more than 200 distinct keys")
+            cols = ", ".join(
+                f"get_json_object({col}, '$.{kk}') AS `{kk}`" for kk in keys
+            )
+            return spark.sql(
+                f"SELECT * EXCEPT ({col}){', ' if cols else ''}{cols} "
+                f"FROM ({prefix_sql})"
+            )
     ev = None
     for k, st in enumerate(stages):
         if re.match(r"^\s*evaluate\s+pivot\s*\(", st, re.IGNORECASE):

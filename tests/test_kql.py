@@ -540,3 +540,17 @@ def test_evaluate_pivot(spark):
         kql_sql(spark, "kql_pv_t | evaluate pivot(p, sum(v)) | take 1")
     with pytest.raises(ChSqlError, match="aggregates"):
         kql_sql(spark, "kql_pv_t | evaluate pivot(p, dcount(v))")
+
+
+def test_evaluate_bag_unpack(spark):
+    from clickhouse_25_5_3_75_stable_spark.kql import kql_sql
+
+    spark.createDataFrame(
+        [(1, '{"a": 1, "b": "x"}'), (2, '{"a": 2}')],
+        "id int, bag string",
+    ).createOrReplaceTempView("kql_bag_t")
+    rows = kql_sql(spark, "kql_bag_t | evaluate bag_unpack(bag)") \
+        .orderBy("id").collect()
+    assert rows[0].a == "1" and rows[0].b == "x"
+    assert rows[1].a == "2" and rows[1].b is None
+    assert "bag" not in rows[0].asDict()
