@@ -819,7 +819,8 @@ def kql_to_chsql(text: str) -> str:
                 f"KQL operator {op!r}: not in the implemented subset "
                 "(where/project[-away|-rename]/extend/summarize/order/sort/"
                 "take/limit/top/distinct/count/mv-expand/print/join/lookup/"
-                "union/render/make-series/parse/mv-apply/top-nested/facet)"
+                "union/render/make-series/parse/mv-apply/top-nested/facet/"
+                "partition; evaluate pivot/bag_unpack via kql_sql)"
                 f"{hint}")
     return acc
 
