@@ -2253,6 +2253,17 @@ def ch_sql(spark, sql: str, sf_dir: str | None = None,
         from clickhouse_25_5_3_75_stable_spark.sources.catalog import register_views
 
         register_views(spark, sf_dir)
+    # `FROM system.<name>` (round-6): Spark temp views carry no schema
+    # qualifier, so known system tables rewrite to __system_<name> and
+    # materialize on demand (footer/registry metadata — no data scan)
+    if re.search(r"\bsystem\.", sql, re.IGNORECASE):
+        from clickhouse_25_5_3_75_stable_spark.sources.system_tables import (
+            materialize_system_views,
+            rewrite_system_refs,
+        )
+
+        sql, _sys_names = rewrite_system_refs(sql)
+        materialize_system_views(spark, _sys_names, sf_dir)
     if params or _QPARAM_RE.search(sql):
         sql = substitute_query_parameters(sql, params)
     sql = _materialize_table_functions(spark, sql)

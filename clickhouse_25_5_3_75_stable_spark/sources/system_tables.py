@@ -818,3 +818,87 @@ def system_mutations(spark: SparkSession, data_dir: str) -> DataFrame:
     schema = ("database string, table string, mutation_id string, "
               "command string, create_time string, is_done int")
     return spark.createDataFrame(rows, schema)
+
+
+# ---------------------------------------------------------------------------
+# SQL-text access: `SELECT ... FROM system.<name>` (round-6). Spark temp
+# views have no schema qualifier, so ch_sql rewrites `system.X` to
+# `__system_X` and calls materialize_system_views to back each
+# referenced name with a temp view built on demand.
+# ---------------------------------------------------------------------------
+
+# zero-extra-arg builders; (builder, needs_sf_dir)
+_SQL_SYSTEM_TABLES = {
+    "one": (system_one, False),
+    "tables": (system_tables_full, True),
+    "columns": (system_columns, True),
+    "databases": (system_databases, False),
+    "functions": (system_functions, False),
+    "formats": (system_formats, False),
+    "settings": (system_settings, False),
+    "data_type_families": (system_data_type_families, False),
+    "table_functions": (system_table_functions, False),
+    "aggregate_function_combinators": (
+        system_aggregate_function_combinators, False),
+    "collations": (system_collations, False),
+    "backups": (system_backups, False),
+    "time_zones": (system_time_zones, False),
+    "disks": (system_disks, False),
+    "clusters": (system_clusters, False),
+    "build_options": (system_build_options, False),
+    "processes": (system_processes, False),
+    "keywords": (system_keywords, False),
+    "table_engines": (system_table_engines, False),
+    "database_engines": (system_database_engines, False),
+    "merge_tree_settings": (system_merge_tree_settings, False),
+    "storage_policies": (system_storage_policies, False),
+    "users": (system_users, False),
+    "roles": (system_roles, False),
+    "grants": (system_grants, False),
+    "privileges": (system_privileges, False),
+    "warnings": (system_warnings, False),
+    "licenses": (system_licenses, False),
+    "query_log": (system_query_log, False),
+    "events": (system_events, False),
+    "metrics": (system_metrics, False),
+}
+
+_SYSTEM_REF_RE = None
+
+
+def rewrite_system_refs(sql: str):
+    """Rewrite `system.<name>` table references to `__system_<name>`
+    (outside string literals), returning (sql, referenced names)."""
+    import re as _re
+
+    names: set[str] = set()
+
+    def sub(m):
+        name = m.group(1).lower()
+        if name in _SQL_SYSTEM_TABLES:
+            names.add(name)
+            return f"__system_{name}"
+        return m.group(0)  # unknown system table: leave for a clear error
+
+    parts = _re.split(r"('(?:[^']|'')*')", sql)  # keep literals intact
+    for i in range(0, len(parts), 2):
+        parts[i] = _re.sub(
+            r"\bsystem\.([A-Za-z_]\w*)", sub, parts[i], flags=_re.IGNORECASE
+        )
+    return "".join(parts), names
+
+
+def materialize_system_views(spark: SparkSession, names, sf_dir=None) -> None:
+    from clickhouse_25_5_3_75_stable_spark.chsql import ChSqlError
+
+    for name in names:
+        builder, needs_sf = _SQL_SYSTEM_TABLES[name]
+        if needs_sf:
+            if sf_dir is None:
+                raise ChSqlError(
+                    f"system.{name} needs a data directory — call "
+                    "ch_sql(spark, sql, sf_dir)")
+            df = builder(spark, sf_dir)
+        else:
+            df = builder(spark)
+        df.createOrReplaceTempView(f"__system_{name}")

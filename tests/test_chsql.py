@@ -1245,3 +1245,24 @@ def test_use_query_cache_populates_process_cache(spark, sf_dir):
     # settings are session-scoped by design — restore so later tests
     # don't persist every result
     spark.conf.set("spark.chspark.useQueryCache", "0")
+
+
+def test_system_tables_via_sql_text(spark, sf_dir):
+    """`SELECT ... FROM system.<name>` works through ch_sql (round-6):
+    known system tables rewrite to on-demand temp views; unknown ones
+    pass through to a clear TABLE_NOT_FOUND; literals survive."""
+    from clickhouse_25_5_3_75_stable_spark.chsql import ch_sql
+
+    rows = ch_sql(
+        spark,
+        "SELECT name, total_rows FROM system.tables "
+        "WHERE name = 'nation'", sf_dir,
+    ).collect()
+    assert rows[0].name == "nation" and rows[0].total_rows == 25
+    n = ch_sql(
+        spark, "SELECT count() AS n FROM system.keywords"
+    ).collect()[0].n
+    assert n > 50
+    # a literal containing 'system.' must not be rewritten
+    lit = ch_sql(spark, "SELECT 'system.tables' AS s FROM system.one").collect()
+    assert lit[0].s == "system.tables"
