@@ -554,3 +554,19 @@ def test_evaluate_bag_unpack(spark):
     assert rows[0].a == "1" and rows[0].b == "x"
     assert rows[1].a == "2" and rows[1].b is None
     assert "bag" not in rows[0].asDict()
+
+
+@settings(max_examples=200, deadline=None)
+@given(s=st.text(
+    alphabet="abkv TPN|()=<>!*+-.,'\"0123456789\n"
+             "topnestdfacbyumrizwhpartionvlug_",
+    min_size=0, max_size=120))
+def test_kql_new_stages_never_crash(s):
+    """Round-6 stages (top-nested/facet/partition) under the same
+    crash-fuzz contract: arbitrary input refuses with ChSqlError,
+    never an internal error."""
+    for prefix in ("T | top-nested ", "T | facet ", "T | partition "):
+        try:
+            kql_to_chsql(prefix + s)
+        except (ChSqlError, ValueError):
+            pass
