@@ -212,6 +212,7 @@ def prql_to_sql(text: str) -> str:
     else:
         raise ChSqlError(f"PRQL from: expected a table name, got {table!r}")
 
+    last_sort = None  # the established row order, consumed by `window`
     for stmt in stmts[1:]:
         sm = re.match(r"^([a-z_]+)\s*(.*)$", stmt, re.DOTALL)
         if not sm:
@@ -301,7 +302,58 @@ def prql_to_sql(text: str) -> str:
                        f"OVER (PARTITION BY {', '.join(keys)} ORDER BY {order}) "
                        f"AS __prql_rn FROM ({acc})) WHERE __prql_rn <= {take_n}")
         elif op == "sort":
-            acc = f"SELECT * FROM ({acc}) ORDER BY {_sort_items(body)}"
+            last_sort = _sort_items(body)
+            acc = f"SELECT * FROM ({acc}) ORDER BY {last_sort}"
+        elif op == "window":
+            # window rows:a..b / expanding:true / rolling:n (derive {...})
+            # over the pipeline's current sort (PRQL windows follow the
+            # established row order; a preceding `sort` is required)
+            if last_sort is None:
+                raise ChSqlError(
+                    "PRQL window needs a preceding sort to define row order")
+            wm = re.match(
+                r"^(?:rows\s*:\s*(-?\d*)\.\.(-?\d*)"
+                r"|expanding\s*:\s*true|rolling\s*:\s*(\d+))"
+                r"\s*\(\s*derive\s+(.*)\)\s*$",
+                body, re.DOTALL,
+            )
+            if not wm:
+                raise ChSqlError(
+                    "PRQL window subset: window rows:a..b | expanding:true "
+                    "| rolling:n (derive {...})")
+            if wm.group(3) is not None:  # rolling:n
+                lo_b = f"{int(wm.group(3)) - 1} PRECEDING"
+                hi_b = "CURRENT ROW"
+            elif wm.group(1) is None and wm.group(2) is None:  # expanding
+                lo_b, hi_b = "UNBOUNDED PRECEDING", "CURRENT ROW"
+            else:
+                def bound(tok, default):
+                    if tok in ("", None):
+                        return default
+                    n = int(tok)
+                    if n == 0:
+                        return "CURRENT ROW"
+                    return (f"{-n} PRECEDING" if n < 0 else f"{n} FOLLOWING")
+                lo_b = bound(wm.group(1), "UNBOUNDED PRECEDING")
+                hi_b = bound(wm.group(2), "UNBOUNDED FOLLOWING")
+            frame = f"ROWS BETWEEN {lo_b} AND {hi_b}"
+            sel = []
+            for item in _tuple_items(wm.group(4)):
+                alias, raw = _named(item)
+                if alias is None:
+                    raise ChSqlError("PRQL derive items need names (x = expr)")
+                am = re.match(r"^(sum|min|max|average|count)\s+([A-Za-z_]\w*)$",
+                              raw.strip())
+                if not am:
+                    raise ChSqlError(
+                        f"PRQL window derive {raw!r}: subset takes "
+                        "sum/min/max/average/count col")
+                fn = {"average": "avg"}.get(am.group(1), am.group(1))
+                sel.append(
+                    f"{fn}({am.group(2)}) OVER (ORDER BY {last_sort} {frame}) "
+                    f"AS {alias}"
+                )
+            acc = f"SELECT *, {', '.join(sel)} FROM ({acc})"
         elif op == "take":
             rm = re.match(r"^(\d+)\.\.(\d+)$", body)
             if rm:  # inclusive range

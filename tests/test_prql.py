@@ -120,3 +120,34 @@ def test_append_union_all(spark):
     assert "UNION ALL" in sql
     got = [r.x for r in ch_sql(spark, sql).collect()]
     assert got == [1, 2, 2, 3]  # ALL semantics: the duplicate survives
+
+
+def test_top_level_window_verbs(spark):
+    """window rows:a..b / expanding:true / rolling:n over the
+    pipeline's current sort (round-6)."""
+    from clickhouse_25_5_3_75_stable_spark.chsql import ch_sql
+    from clickhouse_25_5_3_75_stable_spark.prql import prql_to_sql
+
+    spark.createDataFrame([(1, 10), (2, 20), (3, 30), (4, 40)],
+                          "i int, v int").createOrReplaceTempView("prql_w_t")
+    sql = prql_to_sql(
+        "from prql_w_t\nsort {i}\nwindow rows:-1..0 (derive {ma = average v})"
+    )
+    got = [(r.i, r.ma) for r in ch_sql(spark, sql).orderBy("i").collect()]
+    assert got == [(1, 10.0), (2, 15.0), (3, 25.0), (4, 35.0)]
+    run = prql_to_sql(
+        "from prql_w_t\nsort {i}\nwindow expanding:true (derive {s = sum v})"
+    )
+    assert [(r.i, r.s) for r in ch_sql(spark, run).orderBy("i").collect()] == [
+        (1, 10), (2, 30), (3, 60), (4, 100)]
+    roll = prql_to_sql(
+        "from prql_w_t\nsort {i}\nwindow rolling:3 (derive {s = sum v})"
+    )
+    assert [(r.i, r.s) for r in ch_sql(spark, roll).orderBy("i").collect()] == [
+        (1, 10), (2, 30), (3, 60), (4, 90)]
+    import pytest
+
+    from clickhouse_25_5_3_75_stable_spark.chsql import ChSqlError
+
+    with pytest.raises(ChSqlError, match="preceding sort"):
+        prql_to_sql("from prql_w_t\nwindow rows:-1..0 (derive {m = sum v})")
