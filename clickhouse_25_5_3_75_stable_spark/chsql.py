@@ -79,6 +79,54 @@ def _is_name(tok: str, *names: str) -> bool:
 # ---------------------------------------------------------------------------
 
 # 1:1 renames (same arity & argument semantics).
+# server-info functions whose value is a TRANSPILE-TIME constant —
+# inlined as SQL literals (round-6; the Column registry in
+# dialect_extras holds the same facts). Each callable takes the raw
+# argument token lists and returns a python value.
+def _chconst_value(low: str, args):
+    import platform
+    import shutil
+
+    def lit_str(a):
+        tok = "".join(a).strip()
+        if not (tok.startswith("'") and tok.endswith("'")):
+            raise ChSqlError(f"{low}: needs a literal string argument")
+        return tok[1:-1].replace("''", "'")
+
+    if low in ("filesystemavailable", "filesystemunreserved"):
+        return shutil.disk_usage(".").free
+    if low == "filesystemcapacity":
+        return shutil.disk_usage(".").total
+    if low == "getoskernelversion":
+        return f"{platform.system()} {platform.release()}"
+    if low == "getmaxtablenamelengthfordatabase":
+        from clickhouse_25_5_3_75_stable_spark.functions.dialect_extras import (
+            _max_table_name_length_py,
+        )
+
+        return _max_table_name_length_py(lit_str(args[0]))
+    if low == "globalvariable":
+        from clickhouse_25_5_3_75_stable_spark.functions.dialect_extras import (
+            _GLOBAL_VARIABLES,
+        )
+
+        entry = _GLOBAL_VARIABLES.get(lit_str(args[0]).lower())
+        v = entry[0] if entry else 0
+        return ("int32", v) if isinstance(v, int) else v
+    if low == "getclienthttpheader":
+        from clickhouse_25_5_3_75_stable_spark import http_server
+
+        return http_server.CURRENT_HTTP_HEADERS.get(lit_str(args[0]), "")
+    raise ChSqlError(f"unknown chconst {low}")
+
+
+_CHCONST_FNS = {
+    "filesystemavailable", "filesystemunreserved", "filesystemcapacity",
+    "getoskernelversion", "getmaxtablenamelengthfordatabase",
+    "globalvariable", "getclienthttpheader",
+}
+
+
 _RENAMES = {
     "toyear": "year",
     "tomonth": "month",
@@ -1117,6 +1165,18 @@ def _rewrite_functions(toks: list[str]) -> list[str]:
                 out += ["zip_with", "(", *args[1], ",", *args[2], ",", *args[0], ")"]
             else:
                 out += [spark_name, "(", *args[1], ",", *args[0], ")"]
+            i = close_i + 1
+            continue
+
+        if low in _CHCONST_FNS:
+            # transpile-time server-info constant -> SQL literal
+            v = _chconst_value(low, args)
+            if isinstance(v, tuple) and v[0] == "int32":
+                out += ["CAST", "(", str(int(v[1])), "AS", "INT", ")"]
+            elif isinstance(v, str):
+                out.append("'" + v.replace("'", "''") + "'")
+            else:
+                out += ["CAST", "(", str(int(v)), "AS", "BIGINT", ")"]
             i = close_i + 1
             continue
 

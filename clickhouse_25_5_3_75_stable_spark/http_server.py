@@ -16,6 +16,10 @@ import threading
 import urllib.parse
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
+# headers of the HTTP request currently executing (request-scoped
+# under the per-server query lock); read by getClientHTTPHeader
+CURRENT_HTTP_HEADERS: dict[str, str] = {}
+
 
 def _url_settings(qs: dict[str, list[str]]) -> dict[str, str]:
     """Recognized ClickHouse settings passed as URL parameters."""
@@ -49,6 +53,11 @@ def make_server(spark, data_dir: str, port: int = 0) -> ThreadingHTTPServer:
                 # serializes per connection; Spark jobs parallelize
                 # internally)
                 with lock:
+                    # request scope for getClientHTTPHeader — safe as a
+                    # module global because queries serialize under the
+                    # lock and the dialect reads it at transpile time
+                    global CURRENT_HTTP_HEADERS
+                    CURRENT_HTTP_HEADERS = dict(self.headers.items())
                     from clickhouse_25_5_3_75_stable_spark.chsql import (
                         apply_settings,
                         restore_settings,
@@ -72,6 +81,7 @@ def make_server(spark, data_dir: str, port: int = 0) -> ThreadingHTTPServer:
                                   max_result_rows=cap, params=params)
                     finally:
                         restore_settings(spark, snap)
+                        CURRENT_HTTP_HEADERS = {}
                 body = out.getvalue().encode("utf-8")
                 self.send_response(200)
                 self.send_header("Content-Type", "text/plain; charset=utf-8")

@@ -633,3 +633,56 @@ def test_multi_search_combined_regex_parity(spark):
     # (?i) must stay scoped to its own branch: 'UPPER case' matches via
     # the case-insensitive branch only, 'qu.ck' branch stays sensitive
     assert [r.re for r in got] == [True, True, True, False, None]
+
+
+def test_server_info_closures(spark):
+    """Round-6 server-info functions are honest engine facts:
+    filesystem trio via statvfs, kernel version, the reference's
+    computeMaxTableNameLength replay, the MySQL-compat globalVariable
+    constants, and getClientHTTPHeader ('' outside a request)."""
+    import platform
+
+    from pyspark.sql import functions as F
+
+    from clickhouse_25_5_3_75_stable_spark.functions.dialect import ch
+
+    row = spark.range(1).select(
+        ch("filesystemAvailable").alias("fa"),
+        ch("filesystemUnreserved").alias("fu"),
+        ch("filesystemCapacity").alias("fc"),
+        ch("getOSKernelVersion").alias("kv"),
+        ch("getMaxTableNameLengthForDatabase", "default").alias("ml"),
+        ch("globalVariable", "max_allowed_packet").alias("gv"),
+        ch("globalVariable", "version").alias("gvs"),
+        ch("globalVariable", "no_such_variable").alias("gu"),
+        ch("getClientHTTPHeader", "User-Agent").alias("hh"),
+    ).collect()[0]
+    assert 0 < row.fa <= row.fc and row.fu == row.fa
+    assert row.kv == f"{platform.system()} {platform.release()}"
+    assert row.ml > 0
+    assert row.gv == 67108864 and row.gvs == "5.7.30" and row.gu == 0
+    assert row.hh == ""
+
+
+def test_get_client_http_header_over_http(spark, sf_dir, tmp_path):
+    """getClientHTTPHeader returns the CURRENT request's header through
+    the HTTP entry point (request-scoped under the query lock)."""
+    import shutil
+    import urllib.request
+
+    from clickhouse_25_5_3_75_stable_spark.http_server import serve_in_thread
+
+    d = str(tmp_path / "data")
+    shutil.copytree(sf_dir, d)
+    srv, port = serve_in_thread(spark, d)
+    try:
+        q = urllib.parse.quote(
+            "SELECT getClientHTTPHeader('X-Custom') AS h FORMAT TabSeparated")
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/?query={q}",
+            headers={"X-Custom": "hello-h3"},
+        )
+        body = urllib.request.urlopen(req, timeout=120).read().decode()
+        assert body.strip() == "hello-h3"
+    finally:
+        srv.shutdown()
