@@ -17,8 +17,10 @@ join (≈ the reference's hashed layout spilling to a real join).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 
 class Dictionary:
@@ -138,4 +140,205 @@ class RangeDictionary:
         out = deduped
         for o in attrs:
             out = out.withColumnRenamed(f"__rd_{o}", o)
+        return out
+
+
+def _ip_bits_py(s: pd.Series) -> pd.Series:
+    """Canonicalize an IPv4/IPv6 address string to a 128-char '0'/'1'
+    bit string. IPv4 maps into ::ffff:0:0/96 exactly as the reference
+    trie stores IPv4 inside the IPv6 keyspace
+    (/root/reference/src/Dictionaries/IPAddressDictionary.cpp). Unparseable
+    or NULL input -> NULL (dictGet then takes the default)."""
+    import ipaddress
+
+    def conv(v):
+        if v is None:
+            return None
+        try:
+            a = ipaddress.ip_address(v.strip())
+        except ValueError:
+            return None
+        n = int(a)
+        if a.version == 4:
+            n |= 0xFFFF << 32
+        return format(n, "0128b")
+
+    return s.map(conv)
+
+
+def _ip_bits(col: Column) -> Column:
+    # pandas_udf parses its return type against the active session, so
+    # the wrapper is built per call, not at import time
+    return pandas_udf(_ip_bits_py, "string")(col)
+
+
+class IPTrieDictionary:
+    """ip_trie layout (reference IPAddressDictionary, registered at
+    /root/reference/src/Dictionaries/registerDictionaries.cpp:47): keys
+    are CIDR prefixes; ``dictGet`` resolves an address to the attributes
+    of the LONGEST matching prefix (trie descent in the reference).
+
+    Spark mapping: both sides canonicalize to 128-bit binary strings
+    (IPv4-mapped-IPv6, like the reference's single trie). The dictionary
+    groups by prefix length; the fact side takes ONE broadcast-hash join
+    per DISTINCT prefix length present in the dictionary (<=129, in
+    practice a handful) on ``substring(bits, 1, len)`` equality, and the
+    final attribute is a ``coalesce`` over the joins in descending
+    length order — longest-prefix-wins with NO shuffle of the fact side
+    and no row explosion. The only driver-side collect is the distinct
+    prefix-length set (bounded metadata, never data)."""
+
+    def __init__(self, source: DataFrame, cidr: str):
+        self.source = source
+        self.cidr = cidr
+
+    def dict_get(
+        self,
+        facts: DataFrame,
+        addr_expr: Column,
+        attrs: dict[str, str],
+        defaults: dict[str, Column] | None = None,
+    ) -> DataFrame:
+        cidr = F.col(self.cidr)
+        net = F.substring_index(cidr, "/", 1)
+        plen_raw = F.substring_index(cidr, "/", -1).cast("int")
+        # IPv4 prefixes live 96 bits deep in the v6 keyspace
+        plen = F.when(net.contains(":"), plen_raw).otherwise(plen_raw + 96)
+        lookup = self.source.select(
+            plen.alias("__ipt_len"),
+            F.substring(_ip_bits(net), 1, plen).alias("__ipt_prefix"),
+            *[F.col(a).alias(f"__ipt_{out}") for out, a in attrs.items()],
+        )
+        lens = sorted(
+            (r[0] for r in lookup.select("__ipt_len").distinct().collect()),
+            reverse=True,
+        )
+        out = facts.withColumn("__ipt_bits", _ip_bits(addr_expr))
+        for ln in lens:
+            side = F.broadcast(
+                lookup.filter(F.col("__ipt_len") == ln).select(
+                    F.col("__ipt_prefix").alias(f"__p{ln}"),
+                    *[
+                        F.col(f"__ipt_{o}").alias(f"__a{ln}_{o}")
+                        for o in attrs
+                    ],
+                )
+            )
+            out = out.join(
+                side,
+                F.substring(F.col("__ipt_bits"), 1, ln) == F.col(f"__p{ln}"),
+                "left",
+            ).drop(f"__p{ln}")
+        for o in attrs:
+            cands = [F.col(f"__a{ln}_{o}") for ln in lens]
+            if defaults and o in defaults:
+                cands.append(defaults[o])
+            out = out.withColumn(o, F.coalesce(*cands) if cands else F.lit(None))
+        return out.drop(
+            "__ipt_bits", *[f"__a{ln}_{o}" for ln in lens for o in attrs]
+        )
+
+
+def _point_in_ring(px: Column, py: Column, verts: Column) -> Column:
+    """Ray-cast parity test against an array<struct<x,y>> ring column —
+    pure JVM higher-order functions, works for arbitrary simple
+    polygons (the literal-vertex pointInPolygon in functions/dialect.py
+    is convex-only). Half-open edge convention; boundary points are not
+    guaranteed either way (the reference delegates to boost::geometry
+    with the same caveat for `within`)."""
+    n = F.size(verts)
+    nxt = F.concat(F.slice(verts, 2, n - 1), F.slice(verts, 1, 1))
+    edges = F.arrays_zip(verts.alias("a"), nxt.alias("b"))
+    crossings = F.aggregate(
+        edges,
+        F.lit(0),
+        lambda acc, e: acc
+        + F.when(
+            ((e["a"]["y"] > py) != (e["b"]["y"] > py))
+            & (
+                px
+                < (e["b"]["x"] - e["a"]["x"])
+                * (py - e["a"]["y"])
+                / (e["b"]["y"] - e["a"]["y"])
+                + e["a"]["x"]
+            ),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    return crossings % 2 == 1
+
+
+class PolygonDictionary:
+    """polygon layout (reference PolygonDictionarySimple, registered at
+    /root/reference/src/Dictionaries/registerDictionaries.cpp +
+    PolygonDictionaryImplementations.cpp): keys are polygons;
+    ``dictGet`` finds the polygon containing a query point. Subset: one
+    outer ring per polygon (no holes/multipolygon); overlapping
+    polygons resolve DETERMINISTICALLY to the smallest key (the
+    reference scans in storage order and takes the first hit).
+
+    Spark mapping: polygons broadcast with precomputed bounding boxes;
+    the join condition is bbox containment (cheap, prunes most pairs)
+    AND the exact JVM ray-cast — a broadcast nested-loop join, the fact
+    side never shuffles for the probe. The per-row overlap dedup uses
+    the same row-identity window as RangeDictionary."""
+
+    def __init__(self, source: DataFrame, key: str, vertices: str):
+        self.source = source
+        self.key = key
+        self.vertices = vertices
+
+    def dict_get(
+        self,
+        facts: DataFrame,
+        x_expr: Column,
+        y_expr: Column,
+        attrs: dict[str, str],
+        defaults: dict[str, Column] | None = None,
+    ) -> DataFrame:
+        v = F.col(self.vertices)
+        xs = F.transform(v, lambda p: p["x"])
+        ys = F.transform(v, lambda p: p["y"])
+        lookup = F.broadcast(
+            self.source.select(
+                F.col(self.key).alias("__pg_key"),
+                v.alias("__pg_verts"),
+                F.array_min(xs).alias("__pg_xmin"),
+                F.array_max(xs).alias("__pg_xmax"),
+                F.array_min(ys).alias("__pg_ymin"),
+                F.array_max(ys).alias("__pg_ymax"),
+                *[F.col(a).alias(f"__pg_{out}") for out, a in attrs.items()],
+            )
+        )
+        tagged = (
+            facts.withColumn("__pg_rowid", F.monotonically_increasing_id())
+            .withColumn("__pg_x", x_expr)
+            .withColumn("__pg_y", y_expr)
+        )
+        px, py = F.col("__pg_x"), F.col("__pg_y")
+        joined = tagged.join(
+            lookup,
+            (px >= F.col("__pg_xmin"))
+            & (px <= F.col("__pg_xmax"))
+            & (py >= F.col("__pg_ymin"))
+            & (py <= F.col("__pg_ymax"))
+            & _point_in_ring(px, py, F.col("__pg_verts")),
+            "left",
+        )
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("__pg_rowid").orderBy(F.asc_nulls_last("__pg_key"))
+        out = (
+            joined.withColumn("__pg_rn", F.row_number().over(w))
+            .filter(F.col("__pg_rn") == 1)
+            .drop(
+                "__pg_rn", "__pg_rowid", "__pg_x", "__pg_y", "__pg_key",
+                "__pg_verts", "__pg_xmin", "__pg_xmax", "__pg_ymin", "__pg_ymax",
+            )
+        )
+        for o in attrs:
+            col = F.col(f"__pg_{o}")
+            if defaults and o in defaults:
+                col = F.coalesce(col, defaults[o])
+            out = out.withColumn(o, col).drop(f"__pg_{o}")
         return out

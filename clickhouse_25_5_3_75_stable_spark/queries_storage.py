@@ -260,6 +260,152 @@ def dict_range_price_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dict_ip_trie_zones",
+    oracle="""
+    WITH ips AS (
+      SELECT c_custkey,
+             (10 * 16777216
+              + (c_custkey % 3) * 65536
+              + (c_custkey % 200) * 256
+              + (c_custkey % 250)) AS ipnum
+      FROM customer
+    )
+    SELECT CASE
+             WHEN ipnum >= 10*16777216 + 1*65536 + 128*256
+                  AND ipnum <  10*16777216 + 1*65536 + 256*256 THEN 'dc1-high'
+             WHEN ipnum >= 10*16777216 + 1*65536
+                  AND ipnum <  10*16777216 + 2*65536 THEN 'dc1'
+             WHEN ipnum >= 10*16777216
+                  AND ipnum <  11*16777216 THEN 'corp'
+             ELSE 'unknown'
+           END AS zone,
+           COUNT(*) AS n,
+           CAST(MIN(c_custkey) AS BIGINT) AS min_key,
+           CAST(MAX(c_custkey) AS BIGINT) AS max_key
+    FROM ips
+    GROUP BY zone
+    ORDER BY zone
+    """,
+    tags=("dictionary", "ip_trie"),
+)
+def dict_ip_trie_zones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ip_trie dictionary lookup (reference IPAddressDictionary,
+    registerDictionaries.cpp:47): customers map to deterministic
+    10.x.y.z addresses, the dictionary holds nested CIDRs
+    (10.0.0.0/8 ⊃ 10.1.0.0/16 ⊃ 10.1.128.0/17) so the lookup must
+    pick the LONGEST matching prefix. The oracle states the same
+    longest-prefix priority as ordered CASE ranges on the numeric IP.
+    Plan shape: one broadcast join per distinct prefix length (3 here),
+    coalesce in descending-length order, zero fact-side shuffles before
+    the final groupBy."""
+    from clickhouse_25_5_3_75_stable_spark.operators.dictionary import IPTrieDictionary
+
+    cust = t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    facts = cust.select(
+        "c_custkey",
+        F.format_string(
+            "10.%d.%d.%d", (k % 3).cast("int"), (k % 200).cast("int"), (k % 250).cast("int")
+        ).alias("ip"),
+    )
+    cidrs = spark.createDataFrame(
+        [
+            ("10.0.0.0/8", "corp"),
+            ("10.1.0.0/16", "dc1"),
+            ("10.1.128.0/17", "dc1-high"),
+            ("192.168.0.0/16", "lan"),
+        ],
+        "cidr string, zone string",
+    )
+    d = IPTrieDictionary(cidrs, cidr="cidr")
+    looked = d.dict_get(
+        facts, F.col("ip"), {"zone": "zone"}, defaults={"zone": F.lit("unknown")}
+    )
+    return (
+        looked.groupBy("zone")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("c_custkey").cast("long").alias("min_key"),
+            F.max("c_custkey").cast("long").alias("max_key"),
+        )
+        .orderBy("zone")
+    )
+
+
+@register(
+    "dict_polygon_zones",
+    oracle="""
+    WITH pts AS (
+      SELECT s_suppkey,
+             (s_suppkey % 100) / 10.0       AS x,
+             ((s_suppkey * 46) % 100) / 10.0 AS y
+      FROM supplier
+    )
+    SELECT CASE
+             WHEN x < 5.05 AND y < 5.05 THEN 'sw'
+             WHEN x > 5.05 AND y > 5.05 THEN 'ne'
+             WHEN y > 5.05 AND 2*x + y < 15.15 THEN 'nw-tri'
+             WHEN x > 5.05 AND y < 5.05 THEN 'se'
+             WHEN x > 2.05 AND x < 7.05 AND y > 2.05 AND y < 7.05 THEN 'core'
+             ELSE 'none'
+           END AS zone,
+           COUNT(*) AS n,
+           CAST(MIN(s_suppkey) AS BIGINT) AS min_key
+    FROM pts
+    GROUP BY zone
+    ORDER BY zone
+    """,
+    tags=("dictionary", "polygon"),
+)
+def dict_polygon_zones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """polygon dictionary lookup (reference PolygonDictionarySimple,
+    PolygonDictionaryImplementations.cpp): suppliers map to
+    deterministic (x, y) points; the dictionary holds four disjoint
+    zones (three squares + one RIGHT TRIANGLE, exercising the generic
+    ray-cast, not just bbox) plus a fifth 'core' square that OVERLAPS
+    all of them with the largest key — overlap resolves to the smallest
+    key, which the oracle states as CASE priority order. All polygon
+    edges sit at *.05/.15 offsets so no data point (0.1 granularity)
+    can land on a boundary."""
+    from clickhouse_25_5_3_75_stable_spark.operators.dictionary import PolygonDictionary
+
+    sup = t(spark, sf_dir, "supplier")
+    k = F.col("s_suppkey")
+    facts = sup.select(
+        "s_suppkey",
+        ((k % 100) / 10.0).alias("x"),
+        (((k * 46) % 100) / 10.0).alias("y"),
+    )
+
+    def ring(*pts):
+        return [{"x": float(a), "y": float(b)} for a, b in pts]
+
+    polys = spark.createDataFrame(
+        [
+            (1, "sw", ring((-0.05, -0.05), (5.05, -0.05), (5.05, 5.05), (-0.05, 5.05))),
+            (2, "ne", ring((5.05, 5.05), (10.05, 5.05), (10.05, 10.05), (5.05, 10.05))),
+            (3, "nw-tri", ring((-0.05, 5.05), (5.05, 5.05), (-0.05, 15.25))),
+            (4, "se", ring((5.05, -0.05), (10.05, -0.05), (10.05, 5.05), (5.05, 5.05))),
+            (5, "core", ring((2.05, 2.05), (7.05, 2.05), (7.05, 7.05), (2.05, 7.05))),
+        ],
+        "pid int, zone string, verts array<struct<x:double,y:double>>",
+    )
+    d = PolygonDictionary(polys, key="pid", vertices="verts")
+    looked = d.dict_get(
+        facts,
+        F.col("x"),
+        F.col("y"),
+        {"zone": "zone"},
+        defaults={"zone": F.lit("none")},
+    )
+    return (
+        looked.groupBy("zone")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("s_suppkey").cast("long").alias("min_key"))
+        .orderBy("zone")
+    )
+
+
+@register(
     "json_variant_typed_paths",
     oracle="""
     SELECT event_id,

@@ -692,3 +692,87 @@ def test_system_backups_log(spark, tmp_path, sf_dir):
     assert statuses == ["BACKUP_CREATED", "RESTORED"]
     assert rows[-2].num_files >= 1 and rows[-2].total_size > 0
     assert rows[-2].name.startswith("File('")
+
+
+def test_ip_trie_dictionary_longest_prefix(spark):
+    from clickhouse_25_5_3_75_stable_spark.operators.dictionary import IPTrieDictionary
+
+    cidrs = spark.createDataFrame(
+        [
+            ("10.0.0.0/8", "corp"),
+            ("10.1.0.0/16", "dc1"),
+            ("10.1.128.0/17", "dc1-high"),
+            ("0.0.0.0/0", "v4-any"),
+            ("2001:db8::/32", "doc-net"),
+        ],
+        "cidr string, zone string",
+    )
+    facts = spark.createDataFrame(
+        [
+            ("10.2.3.4",),       # /8 only
+            ("10.1.5.6",),       # /16 beats /8
+            ("10.1.200.1",),     # /17 beats /16 (200 >= 128)
+            ("10.1.127.255",),   # /16 (127 < 128)
+            ("8.8.8.8",),        # only 0.0.0.0/0
+            ("2001:db8:1::1",),  # IPv6 prefix
+            ("2001:db9::1",),    # no match at all (v4-any is 96+0 bits of ::ffff)
+            ("not-an-ip",),      # unparseable -> default
+            (None,),             # NULL -> default
+        ],
+        "ip string",
+    )
+    d = IPTrieDictionary(cidrs, cidr="cidr")
+    out = d.dict_get(facts, F.col("ip"), {"zone": "zone"},
+                     defaults={"zone": F.lit("miss")})
+    got = {r.ip: r.zone for r in out.collect()}
+    assert got["10.2.3.4"] == "corp"
+    assert got["10.1.5.6"] == "dc1"
+    assert got["10.1.200.1"] == "dc1-high"
+    assert got["10.1.127.255"] == "dc1"
+    assert got["8.8.8.8"] == "v4-any"
+    assert got["2001:db8:1::1"] == "doc-net"
+    assert got["2001:db9::1"] == "miss"
+    assert got["not-an-ip"] == "miss"
+    assert got[None] == "miss"
+    assert out.count() == 9  # strictly row-preserving
+
+
+def test_polygon_dictionary_raycast_and_overlap(spark):
+    from clickhouse_25_5_3_75_stable_spark.operators.dictionary import PolygonDictionary
+
+    def ring(*pts):
+        return [{"x": float(a), "y": float(b)} for a, b in pts]
+
+    polys = spark.createDataFrame(
+        [
+            # CONCAVE L-shape: covers [0,4]x[0,2] plus [0,2]x[2,4]
+            (1, "ell", ring((0, 0), (4, 0), (4, 2), (2, 2), (2, 4), (0, 4))),
+            # triangle
+            (2, "tri", ring((5, 0), (9, 0), (5, 4))),
+            # square overlapping the L-shape; larger key loses
+            (3, "sq", ring((1, 1), (3, 1), (3, 3), (1, 3))),
+        ],
+        "pid int, zone string, verts array<struct<x:double,y:double>>",
+    )
+    facts = spark.createDataFrame(
+        [
+            (3.5, 1.5),   # inside L (bbox of L contains it; concave part matters below)
+            (3.5, 3.5),   # inside L's BBOX but OUTSIDE the L (concave notch) and sq -> none
+            (1.5, 1.5),   # inside both ell and sq -> smallest key (ell)
+            (2.5, 2.5),   # outside ell (notch) but inside sq
+            (6.0, 1.0),   # inside tri
+            (8.5, 3.5),   # inside tri bbox, outside hypotenuse -> none
+        ],
+        "x double, y double",
+    )
+    d = PolygonDictionary(polys, key="pid", vertices="verts")
+    out = d.dict_get(facts, F.col("x"), F.col("y"), {"zone": "zone"},
+                     defaults={"zone": F.lit("none")})
+    got = {(r.x, r.y): r.zone for r in out.collect()}
+    assert got[(3.5, 1.5)] == "ell"
+    assert got[(3.5, 3.5)] == "none"
+    assert got[(1.5, 1.5)] == "ell"   # overlap -> smallest key
+    assert got[(2.5, 2.5)] == "sq"    # concave notch excluded from ell
+    assert got[(6.0, 1.0)] == "tri"
+    assert got[(8.5, 3.5)] == "none"
+    assert out.count() == 6
