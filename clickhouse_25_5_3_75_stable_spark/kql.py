@@ -813,14 +813,19 @@ def kql_to_chsql(text: str) -> str:
             # the ARRAY JOIN clause form does not
             acc = f"SELECT * EXCEPT ({col}), arrayJoin({col}) AS {col} FROM ({acc})"
         else:
-            hint = (" (getschema runs through kql_sql, which resolves the "
-                    "schema at runtime)" if op == "getschema" else "")
+            hint = ""
+            if op == "getschema":
+                hint = (" (getschema runs through kql_sql, which resolves "
+                        "the schema at runtime)")
+            elif op == "scan":
+                hint = (" (scan runs through kql_sql, which executes the "
+                        "state machine at runtime)")
             raise ChSqlError(
                 f"KQL operator {op!r}: not in the implemented subset "
                 "(where/project[-away|-rename]/extend/summarize/order/sort/"
                 "take/limit/top/distinct/count/mv-expand/print/join/lookup/"
                 "union/render/make-series/parse/mv-apply/top-nested/facet/"
-                "partition; evaluate pivot/bag_unpack via kql_sql)"
+                "partition; evaluate pivot/bag_unpack and scan via kql_sql)"
                 f"{hint}")
     return acc
 
@@ -1255,6 +1260,303 @@ _KQL_TYPES = {
 }
 
 
+# ---------------------------------------------------------------------------
+# scan (sequence/state-machine operator)
+# ---------------------------------------------------------------------------
+
+_SCAN_HEAD_RE = re.compile(
+    r"^(?:with_match_id\s*=\s*(?P<mid>[A-Za-z_]\w*)\s+)?"
+    r"(?:declare\s*\(\s*(?P<decl>.*?)\s*\)\s+)?"
+    r"with\s*\(\s*(?P<steps>.*?)\s*\)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+_SCAN_STEP_RE = re.compile(
+    r"^step\s+(?P<name>[A-Za-z_]\w*)\s*"
+    r"(?:output\s*=\s*(?P<out>\w+)\s*)?:\s*(?P<rest>.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+_SCAN_TYPES = {
+    "long": "long", "int": "int", "real": "double", "double": "double",
+    "string": "string", "bool": "boolean", "datetime": "timestamp",
+}
+
+
+def _split_top_text(text: str, sep: str) -> list[str]:
+    """Split on a single-char separator outside quotes/parens/brackets."""
+    parts, cur, depth, quote, esc = [], [], 0, None, False
+    for c in text:
+        if quote:
+            cur.append(c)
+            if esc:
+                esc = False
+            elif c == "\\":
+                esc = True
+            elif c == quote:
+                quote = None
+            continue
+        if c in "'\"":
+            quote = c
+            cur.append(c)
+        elif c in "([":
+            depth += 1
+            cur.append(c)
+        elif c in ")]":
+            depth -= 1
+            cur.append(c)
+        elif c == sep and depth == 0:
+            parts.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(c)
+    parts.append("".join(cur).strip())
+    return [p for p in parts if p]
+
+
+def _scan_parse_literal(tok: str):
+    if re.match(r"^-?\d+$", tok):
+        return int(tok)
+    if re.match(r"^-?\d*\.\d+$", tok):
+        return float(tok)
+    if tok.lower() in ("true", "false"):
+        return tok.lower() == "true"
+    if tok.startswith("'") and tok.endswith("'"):
+        return tok[1:-1].replace("''", "'")
+    raise ChSqlError(f"KQL scan declare: unsupported default literal {tok!r}")
+
+
+def _scan_execute(spark, stages: list[str], idx: int, params=None):
+    """KQL `scan` — the ADX sequence/state-machine operator
+    (learn.microsoft.com scan-operator; NOT in the reference's
+    ParserKQL set, which tops out at summarize — this exceeds reference
+    parity the same way join/make-series/top-nested do).
+
+    Implemented subset, with the semantics this engine pins (and the
+    `kql_scan_price_runs` oracle verifies in closed form):
+
+    - steps hold AT MOST ONE active sequence each;
+    - each record is tested highest-step-first; at step k it ADVANCES
+      the step k-1 sequence if one is active (promotion moves it),
+      else EXTENDS the step k sequence if active (greedy stay), else
+      for k=1 starts a new sequence; advancing beats staying;
+    - matched records emit immediately (output=all; last/none refuse)
+      tagged with the sequence's 0-based match id when with_match_id
+      is given; unmatched records drop;
+    - step conditions and assignment VALUE expressions reference
+      CURRENT-RECORD columns only and are evaluated JVM-side as
+      precomputed columns (Catalyst, not a Python interpreter);
+      assignments are `var = <expr>` (set) or `var = <expr> + var`
+      (accumulate) — state-referencing conditions (s1.col) refuse.
+
+    Execution shape: the serialized contract comes from the REQUIRED
+    `sort by` stage before scan; the state machine itself is one
+    applyInPandas pass over the precomputed condition/value columns —
+    sequential by definition (same contract as ADX: scan consumes a
+    serialized stream; partition first to scan groups in parallel)."""
+    import pandas as pd  # noqa: F401
+    from pyspark.sql import functions as F
+
+    from clickhouse_25_5_3_75_stable_spark.chsql import ch_sql
+
+    body = re.sub(r"^scan\s*", "", stages[idx], flags=re.IGNORECASE | re.DOTALL)
+    hm = _SCAN_HEAD_RE.match(body.strip())
+    if not hm:
+        raise ChSqlError(
+            "KQL scan subset: scan [with_match_id=m] [declare (v:type[=default],...)] "
+            "with (step s1: cond [=> v = expr, ...]; ...)")
+    mid = hm.group("mid")
+
+    # declared state variables
+    decl_order: list[str] = []
+    decl_types: dict[str, str] = {}
+    defaults: dict[str, object] = {}
+    if hm.group("decl"):
+        for item in _split_top_text(hm.group("decl"), ","):
+            dm = re.match(
+                r"^([A-Za-z_]\w*)\s*:\s*(\w+)\s*(?:=\s*(.+))?$", item.strip())
+            if not dm:
+                raise ChSqlError(f"KQL scan declare item {item!r}: want name:type[=default]")
+            name, typ, dflt = dm.group(1), dm.group(2).lower(), dm.group(3)
+            if typ not in _SCAN_TYPES:
+                raise ChSqlError(
+                    f"KQL scan declare type {typ!r}: supported {sorted(_SCAN_TYPES)}")
+            decl_order.append(name)
+            decl_types[name] = _SCAN_TYPES[typ]
+            defaults[name] = _scan_parse_literal(dflt.strip()) if dflt else None
+
+    # steps
+    steps = []
+    step_names: list[str] = []
+    for st in _split_top_text(hm.group("steps"), ";"):
+        sm = _SCAN_STEP_RE.match(st.strip())
+        if not sm:
+            raise ChSqlError(f"KQL scan step {st!r}: want step name: cond [=> assigns]")
+        if sm.group("out") and sm.group("out").lower() != "all":
+            raise ChSqlError("KQL scan subset supports output=all only")
+        rest = sm.group("rest")
+        cond_txt, _, assign_txt = rest.partition("=>")
+        steps.append((sm.group("name"), cond_txt.strip(), assign_txt.strip()))
+        step_names.append(sm.group("name"))
+    if not steps:
+        raise ChSqlError("KQL scan needs at least one step")
+    forbidden = set(decl_order) | set(step_names)
+
+    # the serialized-input contract: the nearest preceding sort stage
+    sort_cols: list[str] = []
+    sort_asc: list[bool] = []
+    for prev in reversed(stages[:idx]):
+        pm = re.match(r"^(?:sort|order)\s+by\s+(.*)$", prev.strip(),
+                      re.IGNORECASE | re.DOTALL)
+        if pm:
+            for it in _split_top_text(pm.group(1), ","):
+                im = re.match(r"^([A-Za-z_]\w*)(?:\s+(asc|desc))?$", it.strip(),
+                              re.IGNORECASE)
+                if not im:
+                    raise ChSqlError(
+                        "KQL scan serialization: the preceding sort must use "
+                        f"plain columns, got {it!r}")
+                sort_cols.append(im.group(1))
+                sort_asc.append((im.group(2) or "asc").lower() == "asc")
+            break
+    if not sort_cols:
+        raise ChSqlError(
+            "KQL scan requires a serialized input — add `| sort by <col> asc` "
+            "before scan")
+
+    # lower conditions + assignment values to CH-SQL helper columns
+    helper_exprs: list[str] = []
+    assigns: list[list[tuple[str, str]]] = []  # per step: (var, form)
+    for k, (sname, cond_txt, assign_txt) in enumerate(steps):
+        ctoks = _tokenize(cond_txt)
+        hit = sorted({t for t in ctoks if t in forbidden} |
+                     {t for t in ctoks if "." in t and t.split(".")[0] in step_names})
+        if hit:
+            raise ChSqlError(
+                f"KQL scan subset: step conditions reference current-record "
+                f"columns only (state refs {hit} not supported)")
+        helper_exprs.append(f"({_lower_expr(ctoks)}) AS __scan_c{k}")
+        step_assigns: list[tuple[str, str]] = []
+        if assign_txt:
+            for alias, _lowered, raw in _named_items_raw(assign_txt):
+                if alias is None or alias not in decl_order:
+                    raise ChSqlError(
+                        "KQL scan assignments must target declared variables")
+                # detect `var = expr + var` / `var = var + expr` (accumulate)
+                form, val_toks = "set", raw
+                if alias in raw:
+                    found = None
+                    depth = 0
+                    for j, tkn in enumerate(raw):
+                        depth += tkn in "(["
+                        depth -= tkn in ")]"
+                        if tkn == "+" and depth == 0:
+                            left, right = raw[:j], raw[j + 1:]
+                            if left == [alias]:
+                                found = right
+                                break
+                            if right == [alias]:
+                                found = left
+                                break
+                    if found is None:
+                        raise ChSqlError(
+                            f"KQL scan subset: assignment to {alias!r} may "
+                            "reference itself only as `expr + var` (accumulate)")
+                    form, val_toks = "acc", found
+                bad = sorted((set(val_toks) & forbidden) - {alias})
+                if bad:
+                    raise ChSqlError(
+                        f"KQL scan subset: assignment value references state {bad}")
+                helper_exprs.append(
+                    f"({_lower_expr(val_toks)}) AS __scan_v{k}_{alias}")
+                step_assigns.append((alias, form))
+        assigns.append(step_assigns)
+
+    prefix = " | ".join(stages[:idx])
+    prefix_sql = kql_to_chsql(prefix)
+    helper_sql = f"SELECT *, {', '.join(helper_exprs)} FROM ({prefix_sql})"
+    df = ch_sql(spark, helper_sql, params=params)
+    base_fields = [f for f in df.schema.fields if not f.name.startswith("__scan_")]
+    base_cols = [f.name for f in base_fields]
+    out_schema = ", ".join(
+        [f"`{f.name}` {f.dataType.simpleString()}" for f in base_fields]
+        + [f"`{v}` {decl_types[v]}" for v in decl_order]
+        + ([f"`{mid}` long"] if mid else [])
+    )
+    nsteps = len(steps)
+    dflt_snapshot = dict(defaults)
+    decl_snapshot = list(decl_order)
+    assigns_snapshot = [list(a) for a in assigns]
+
+    def runner(pdf):
+        pdf = pdf.sort_values(sort_cols, ascending=sort_asc,
+                              kind="mergesort").reset_index(drop=True)
+        n = len(pdf)
+        conds = [pdf[f"__scan_c{k}"].to_numpy() for k in range(nsteps)]
+        vals = {
+            (k, var): pdf[f"__scan_v{k}_{var}"].to_numpy()
+            for k in range(nsteps)
+            for var, _form in assigns_snapshot[k]
+        }
+        state: list[dict | None] = [None] * nsteps
+        emit_idx: list[int] = []
+        emit_vars: dict[str, list] = {v: [] for v in decl_snapshot}
+        emit_mid: list[int] = []
+        next_mid = 0
+        for i in range(n):
+            seq = None
+            matched = -1
+            for k in range(nsteps - 1, -1, -1):
+                ck = conds[k][i]
+                if not (ck == True):  # noqa: E712 — None/NaN are not matches
+                    continue
+                if k > 0 and state[k - 1] is not None:  # advance (moves)
+                    seq, state[k - 1], matched = state[k - 1], None, k
+                    break
+                if state[k] is not None:  # greedy stay
+                    seq, matched = state[k], k
+                    break
+                if k == 0:  # new sequence
+                    seq = {"__mid": next_mid, **dflt_snapshot}
+                    next_mid += 1
+                    matched = 0
+                    break
+            if matched < 0:
+                continue
+            for var, form in assigns_snapshot[matched]:
+                v = vals[(matched, var)][i]
+                if form == "acc":
+                    prev = seq.get(var)
+                    if prev is None:
+                        seq[var] = v
+                    elif v is not None:
+                        seq[var] = prev + v
+                else:
+                    seq[var] = v
+            state[matched] = seq
+            emit_idx.append(i)
+            for var in decl_snapshot:
+                emit_vars[var].append(seq.get(var))
+            emit_mid.append(seq["__mid"])
+        out = pdf.iloc[emit_idx][base_cols].copy()
+        for var in decl_snapshot:
+            out[var] = emit_vars[var]
+        if mid:
+            out[mid] = emit_mid
+        return out
+
+    scanned = (
+        df.withColumn("__scan_g", F.lit(1))
+        .groupBy("__scan_g")
+        .applyInPandas(runner, out_schema)
+    )
+    suffix = stages[idx + 1:]
+    if not suffix:
+        return scanned
+    scanned.createOrReplaceTempView("__kql_scan_out")
+    return kql_sql(spark, " | ".join(["__kql_scan_out"] + suffix), params=params)
+
+
 def kql_sql(spark, text: str, params=None):
     """Execute a KQL pipeline through the chsql shim. `getschema` is
     handled here (it needs the resolved schema, which only exists at
@@ -1264,6 +1566,9 @@ def kql_sql(spark, text: str, params=None):
     from clickhouse_25_5_3_75_stable_spark.chsql import ch_sql
 
     stages = _split_pipeline(text.strip().rstrip(";"))
+    for k, st in enumerate(stages):
+        if re.match(r"^scan\b", st.strip(), re.IGNORECASE):
+            return _scan_execute(spark, stages, k, params=params)
     if stages and stages[-1].strip().lower() == "getschema":
         prefix = " | ".join(stages[:-1])
         if not prefix:

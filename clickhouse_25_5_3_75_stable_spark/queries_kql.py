@@ -329,3 +329,69 @@ sort {o_orderpriority, r, o_orderkey}
 """)
     out = ch_sql(spark, sql)
     return out.withColumn("run_keys", F.col("run_keys").cast("bigint"))
+
+
+@register(
+    "kql_scan_price_runs",
+    oracle="""
+    WITH src AS (
+      SELECT o_orderkey AS k, (o_totalprice < 100000) AS sm FROM orders
+    ),
+    pre AS (
+      SELECT *, SUM(CASE WHEN sm THEN 1 ELSE 0 END) OVER (ORDER BY k) AS nss
+      FROM src
+    ),
+    matched AS (SELECT * FROM pre WHERE nss > 0),
+    runs AS (
+      SELECT *,
+        SUM(CASE WHEN sm AND NOT COALESCE(lag_sm, FALSE) THEN 1 ELSE 0 END)
+          OVER (ORDER BY k) - 1 AS m
+      FROM (SELECT *, lag(sm) OVER (ORDER BY k) AS lag_sm FROM matched)
+    ),
+    vars AS (
+      SELECT *,
+        SUM(CASE WHEN sm THEN 1 ELSE 0 END) OVER (PARTITION BY m ORDER BY k) AS n_lo,
+        SUM(CASE WHEN sm THEN 0 ELSE 1 END) OVER (PARTITION BY m ORDER BY k) AS n_hi
+      FROM runs
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS rows_matched,
+           CAST(MAX(m) AS BIGINT) AS max_m,
+           CAST(MAX(n_lo) AS BIGINT) AS max_lo,
+           CAST(MAX(n_hi) AS BIGINT) AS max_hi,
+           CAST(SUM(n_lo) AS BIGINT) AS sum_lo,
+           CAST(SUM(n_hi) AS BIGINT) AS sum_hi
+    FROM vars
+    """,
+    tags=("kql", "dialect", "scan"),
+)
+def kql_scan_price_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KQL `scan` (the ADX state-machine operator; beyond the
+    reference's ParserKQL subset, like join/make-series): a two-step
+    machine over orders serialized by key — step lo collects a run of
+    cheap orders, step hi promotes the sequence through a run of
+    expensive ones; per-step accumulators count each run. The oracle
+    replays the pinned semantics (advance-over-stay, greedy stay,
+    at-most-one sequence per step, drop-unmatched) in CLOSED-FORM
+    window SQL: sequences are exactly (small-run, big-run) pairs, so
+    match ids and both accumulators reduce to running sums — the
+    applyInPandas state machine must reproduce them value-exactly."""
+    _view(spark, sf_dir, "orders")
+    out = kql_sql(spark, """
+        orders
+        | project o_orderkey, o_totalprice
+        | sort by o_orderkey asc
+        | scan with_match_id=m declare (n_lo:long=0, n_hi:long=0) with (
+            step lo: o_totalprice < 100000 => n_lo = 1 + n_lo;
+            step hi: o_totalprice >= 100000 => n_hi = 1 + n_hi;
+        )
+        | summarize rows_matched=count(), max_m=max(m), max_lo=max(n_lo),
+                    max_hi=max(n_hi), sum_lo=sum(n_lo), sum_hi=sum(n_hi)
+    """)
+    return out.select(
+        F.col("rows_matched").cast("long"),
+        F.col("max_m").cast("long"),
+        F.col("max_lo").cast("long"),
+        F.col("max_hi").cast("long"),
+        F.col("sum_lo").cast("long"),
+        F.col("sum_hi").cast("long"),
+    )

@@ -570,3 +570,94 @@ def test_kql_new_stages_never_crash(s):
             kql_to_chsql(prefix + s)
         except (ChSqlError, ValueError):
             pass
+
+
+def test_scan_state_machine(spark):
+    from clickhouse_25_5_3_75_stable_spark.kql import kql_sql
+
+    spark.createDataFrame(
+        [(1, 50), (2, 60), (3, 200), (4, 210), (5, 70), (6, 300), (7, 80)],
+        "k int, price int",
+    ).createOrReplaceTempView("scan_t")
+    df = kql_sql(spark, """
+        scan_t
+        | sort by k asc
+        | scan with_match_id=m declare (n_lo:long=0, n_hi:long=0) with (
+            step lo: price < 100 => n_lo = 1 + n_lo;
+            step hi: price >= 100 => n_hi = 1 + n_hi;
+        )
+    """)
+    rows = [(r.k, r.n_lo, r.n_hi, r.m) for r in df.orderBy("k").collect()]
+    # seq0 = smalls k1,k2 then bigs k3,k4 (n_lo frozen at 2);
+    # k5 starts seq1; k6 promotes it; k7 starts seq2
+    assert rows == [(1, 1, 0, 0), (2, 2, 0, 0), (3, 2, 1, 0), (4, 2, 2, 0),
+                    (5, 1, 0, 1), (6, 1, 1, 1), (7, 1, 0, 2)]
+
+
+def test_scan_drops_unmatched_and_leading(spark):
+    from clickhouse_25_5_3_75_stable_spark.kql import kql_sql
+
+    spark.createDataFrame(
+        [(1, 500), (2, 50), (3, 600)], "k int, price int"
+    ).createOrReplaceTempView("scan_t2")
+    df = kql_sql(spark, """
+        scan_t2
+        | sort by k asc
+        | scan with_match_id=m with (
+            step lo: price < 100;
+            step hi: price >= 100;
+        )
+    """)
+    rows = [(r.k, r.m) for r in df.orderBy("k").collect()]
+    # k1 is a big row before any sequence exists -> dropped
+    assert rows == [(2, 0), (3, 0)]
+
+
+def test_scan_refusals(spark):
+    from clickhouse_25_5_3_75_stable_spark.kql import kql_sql, kql_to_chsql
+
+    # text-only path points at kql_sql
+    with pytest.raises(ChSqlError, match="scan"):
+        kql_to_chsql("T | scan with (step a: true;)")
+    # no serialization
+    with pytest.raises(ChSqlError, match="serialized"):
+        kql_sql(spark, "scan_t | scan with (step a: true;)")
+    # state-referencing condition
+    with pytest.raises(ChSqlError, match="state"):
+        kql_sql(spark, """scan_t | sort by k asc
+            | scan declare (v:long=0) with (step a: v > 3;)""")
+    # non-accumulate self-reference
+    with pytest.raises(ChSqlError, match="accumulate"):
+        kql_sql(spark, """scan_t | sort by k asc
+            | scan declare (v:long=0) with (step a: true => v = v * 2;)""")
+    # output=last not in subset
+    with pytest.raises(ChSqlError, match="output"):
+        kql_sql(spark, """scan_t | sort by k asc
+            | scan with (step a output=last: true;)""")
+
+
+@settings(max_examples=150, deadline=None)
+@given(s=st.text(
+    alphabet="abkv TPN|()=<>!*+-.,'\"0123456789;:\n scandeclrwithstep_",
+    min_size=0, max_size=120))
+def test_kql_scan_parse_never_crashes(s):
+    """scan's PARSE layer under the crash-fuzz contract (the execute
+    path needs a session; parse errors must all be ChSqlError)."""
+    import re as _re
+
+    from clickhouse_25_5_3_75_stable_spark.kql import (
+        _SCAN_HEAD_RE,
+        _scan_parse_literal,
+        _split_top_text,
+    )
+
+    try:
+        body = _re.sub(r"^scan\s*", "", s)
+        hm = _SCAN_HEAD_RE.match(body.strip())
+        if hm and hm.group("decl"):
+            for item in _split_top_text(hm.group("decl"), ","):
+                dm = _re.match(r"^([A-Za-z_]\w*)\s*:\s*(\w+)\s*(?:=\s*(.+))?$", item.strip())
+                if dm and dm.group(3):
+                    _scan_parse_literal(dm.group(3).strip())
+    except (ChSqlError, ValueError):
+        pass
