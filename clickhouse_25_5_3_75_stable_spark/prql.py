@@ -30,8 +30,13 @@ sum/min/max/average/count to SQL window functions over the group
 partition in the sorted order — the prql-compiler's own lowering
 shape. ``append`` lowers to UNION ALL.
 
+``loop (pipeline)`` runs through prql_sql (runtime iteration:
+base UNION ALL per-iteration results until an empty iteration — the
+recursive-CTE semantics the prql-compiler emits — with checkpointed
+bounded rounds).
+
 Out of scope (refusals name the feature): s-strings/f-strings,
-`case`, loops (`loop`), let-functions, modules, remove/intersect
+`case`, let-functions, modules, remove/intersect
 (the compiler's set-op lowering mixes DISTINCT/anti-join semantics).
 """
 
@@ -411,10 +416,13 @@ def prql_to_sql(text: str) -> str:
                 "mixes DISTINCT/anti-join semantics; use SQL EXCEPT/"
                 "INTERSECT through chsql directly)")
         else:
+            hint = (" (loop executes through prql_sql, which iterates at "
+                    "runtime)" if op == "loop" else "")
             raise ChSqlError(
                 f"PRQL transform {op!r}: not in the implemented subset "
                 "(from/derive/select/filter/group/aggregate/sort/take/join/"
-                "append; window functions via group (sort + derive))")
+                "append; window functions via group (sort + derive); "
+                f"loop via prql_sql){hint}")
     return acc
 
 
@@ -449,7 +457,70 @@ def _window_fn(raw: str, partition: str, order: str) -> str:
 
 
 def prql_sql(spark, text: str, params=None):
-    """Execute a PRQL pipeline through the chsql shim."""
+    """Execute a PRQL pipeline through the chsql shim. ``loop`` is
+    handled here — it needs runtime iteration, which SQL text alone
+    cannot express (the prql-compiler lowers loop to WITH RECURSIVE;
+    this engine iterates DataFrames instead, which Spark executes as a
+    bounded union of checkpointed stages)."""
     from clickhouse_25_5_3_75_stable_spark.chsql import ch_sql
 
+    stmts = _split_statements(text)
+    for i, st in enumerate(stmts):
+        if re.match(r"^loop\b", st):
+            return _loop_execute(spark, stmts, i, params=params)
     return ch_sql(spark, prql_to_sql(text), params=params)
+
+
+def _loop_execute(spark, stmts: list[str], idx: int, params=None,
+                  max_iterations: int = 100):
+    """PRQL ``loop (pipeline)``: apply the inner pipeline to the
+    previous iteration's rows until an iteration is empty; the result
+    is the UNION ALL of the initial relation and every iteration —
+    exactly the recursive-CTE semantics the prql-compiler emits
+    (base UNION ALL step), which the oracle states as WITH RECURSIVE.
+
+    Scale shape: every iteration is localCheckpoint'ed — the iterative
+    lineage is cut per round (the star-contraction pattern from
+    operators/dedup.py), so N iterations cost N bounded jobs, not an
+    exponentially deep plan. Iterations are capped; the inner pipeline
+    must preserve the relation's schema (refused otherwise, since
+    UNION ALL of drifting schemas silently corrupts)."""
+    from functools import reduce
+
+    from clickhouse_25_5_3_75_stable_spark.chsql import ch_sql
+
+    m = re.match(r"^loop\s*\((.*)\)\s*$", stmts[idx], re.DOTALL)
+    if not m or not m.group(1).strip():
+        raise ChSqlError("PRQL loop subset: loop (<pipeline>)")
+    if idx == 0:
+        raise ChSqlError("PRQL loop needs an initial relation before it")
+    inner_sql = prql_to_sql("from __prql_loop_src\n" + m.group(1).strip())
+    prefix_sql = prql_to_sql("\n".join(stmts[:idx]))
+    base = ch_sql(spark, prefix_sql, params=params).localCheckpoint(eager=True)
+    parts = [base]
+    frontier = base
+    for _ in range(max_iterations):
+        frontier.createOrReplaceTempView("__prql_loop_src")
+        nxt = ch_sql(spark, inner_sql, params=params)
+        if [f.simpleString() for f in nxt.schema.fields] != [
+            f.simpleString() for f in base.schema.fields
+        ]:
+            raise ChSqlError(
+                "PRQL loop: the pipeline must preserve the relation schema "
+                f"(got {nxt.schema.simpleString()}, "
+                f"want {base.schema.simpleString()})")
+        nxt = nxt.localCheckpoint(eager=True)
+        if nxt.isEmpty():
+            break
+        parts.append(nxt)
+        frontier = nxt
+    else:
+        raise ChSqlError(
+            f"PRQL loop did not terminate within {max_iterations} iterations")
+    out = reduce(lambda a, b: a.unionByName(b), parts)
+    suffix = stmts[idx + 1:]
+    if not suffix:
+        return out
+    out.createOrReplaceTempView("__prql_loop_out")
+    return prql_sql(spark, "\n".join(["from __prql_loop_out"] + suffix),
+                    params=params)

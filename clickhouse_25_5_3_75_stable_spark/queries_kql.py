@@ -395,3 +395,45 @@ def kql_scan_price_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sum_lo").cast("long"),
         F.col("sum_hi").cast("long"),
     )
+
+
+@register(
+    "prql_loop_region_chain",
+    oracle="""
+    WITH RECURSIVE rec AS (
+      SELECT r_regionkey FROM region
+      UNION ALL
+      SELECT r_regionkey + 5 AS r_regionkey FROM rec
+      WHERE r_regionkey + 5 < 40
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(r_regionkey) AS BIGINT) AS s,
+           CAST(MAX(r_regionkey) AS BIGINT) AS mx
+    FROM rec
+    """,
+    tags=("prql", "dialect", "loop"),
+)
+def prql_loop_region_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRQL ``loop`` (prql-book loop transform; the prql-compiler
+    lowers it to WITH RECURSIVE — the oracle states exactly that):
+    each region key spawns the chain k, k+5, k+10, ... while < 40.
+    The engine iterates checkpointed DataFrame rounds (base UNION ALL
+    per-iteration results until an empty iteration) — value-identical
+    to the recursive CTE."""
+    from clickhouse_25_5_3_75_stable_spark.prql import prql_sql
+
+    _view(spark, sf_dir, "region")
+    out = prql_sql(spark, """
+from region
+select {r_regionkey}
+loop (
+  select {r_regionkey = r_regionkey + 5}
+  filter r_regionkey < 40
+)
+aggregate {n = count this, s = sum r_regionkey, mx = max r_regionkey}
+""")
+    return out.select(
+        F.col("n").cast("long"),
+        F.col("s").cast("long"),
+        F.col("mx").cast("long"),
+    )

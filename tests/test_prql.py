@@ -151,3 +151,52 @@ def test_top_level_window_verbs(spark):
 
     with pytest.raises(ChSqlError, match="preceding sort"):
         prql_to_sql("from prql_w_t\nwindow rows:-1..0 (derive {m = sum v})")
+
+
+def test_prql_loop_semantics(spark):
+    from clickhouse_25_5_3_75_stable_spark.prql import prql_sql
+
+    spark.createDataFrame([(1,), (10,)], "n int").createOrReplaceTempView(
+        "prql_loop_t")
+    df = prql_sql(spark, """
+from prql_loop_t
+loop (
+  select {n = n * 2}
+  filter n < 30
+)
+""")
+    got = sorted(r.n for r in df.collect())
+    # 1 -> 2,4,8,16 (32 filtered); 10 -> 20 (40 filtered); plus base
+    assert got == [1, 2, 4, 8, 10, 16, 20]
+
+
+def test_prql_loop_refusals(spark):
+    import pytest
+
+    from clickhouse_25_5_3_75_stable_spark.chsql import ChSqlError
+    from clickhouse_25_5_3_75_stable_spark.prql import prql_sql, prql_to_sql
+
+    # text-only path names the runtime route
+    with pytest.raises(ChSqlError, match="loop"):
+        prql_to_sql("from t\nloop (filter x > 1)")
+    # loop with no initial relation
+    with pytest.raises(ChSqlError, match="initial"):
+        prql_sql(spark, "loop (filter x > 1)")
+    # schema drift refuses
+    spark.createDataFrame([(1,)], "n int").createOrReplaceTempView("prql_loop_t2")
+    with pytest.raises(ChSqlError, match="schema"):
+        prql_sql(spark, """
+from prql_loop_t2
+loop (
+  derive {m = n + 1}
+  filter n < 0
+)
+""")
+    # non-terminating loop hits the iteration cap
+    with pytest.raises(ChSqlError, match="terminate"):
+        prql_sql(spark, """
+from prql_loop_t2
+loop (
+  select {n = n + 0}
+)
+""")
