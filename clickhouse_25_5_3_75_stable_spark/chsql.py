@@ -117,6 +117,30 @@ def _chconst_value(low: str, args):
         from clickhouse_25_5_3_75_stable_spark import http_server
 
         return http_server.CURRENT_HTTP_HEADERS.get(lit_str(args[0]), "")
+    if low in ("queryid", "query_id", "currentqueryid", "current_query_id",
+               "initialqueryid", "initial_query_id"):
+        # ClientInfo current_query_id; a library session has no
+        # distributed initiator so initial == current (exactly the
+        # reference's value on the initiating server)
+        from clickhouse_25_5_3_75_stable_spark.sources.system_tables import (
+            current_query_id,
+        )
+
+        return current_query_id()
+    if low in ("initialquerystarttime", "initial_query_start_time"):
+        from clickhouse_25_5_3_75_stable_spark.sources.system_tables import (
+            current_query_start_time,
+        )
+
+        return ("timestamp",
+                current_query_start_time().isoformat(sep=" ", timespec="seconds"))
+    if low == "getmacro":
+        from clickhouse_25_5_3_75_stable_spark.sources.system_tables import MACROS
+
+        name = lit_str(args[0])
+        if name not in MACROS:
+            raise ChSqlError(f"getMacro: no macro {name!r} in config")
+        return MACROS[name]
     raise ChSqlError(f"unknown chconst {low}")
 
 
@@ -124,6 +148,9 @@ _CHCONST_FNS = {
     "filesystemavailable", "filesystemunreserved", "filesystemcapacity",
     "getoskernelversion", "getmaxtablenamelengthfordatabase",
     "globalvariable", "getclienthttpheader",
+    "queryid", "query_id", "currentqueryid", "current_query_id",
+    "initialqueryid", "initial_query_id",
+    "initialquerystarttime", "initial_query_start_time", "getmacro",
 }
 
 
@@ -1173,6 +1200,8 @@ def _rewrite_functions(toks: list[str]) -> list[str]:
             v = _chconst_value(low, args)
             if isinstance(v, tuple) and v[0] == "int32":
                 out += ["CAST", "(", str(int(v[1])), "AS", "INT", ")"]
+            elif isinstance(v, tuple) and v[0] == "timestamp":
+                out += ["CAST", "(", "'" + v[1] + "'", "AS", "TIMESTAMP", ")"]
             elif isinstance(v, str):
                 out.append("'" + v.replace("'", "''") + "'")
             else:
@@ -2309,6 +2338,12 @@ def ch_sql(spark, sql: str, sf_dir: str | None = None,
     lazily, so a per-query restore would race the action; use
     apply_settings/restore_settings for explicit scoping. Unknown
     settings raise, matching the reference's BAD_ARGUMENTS."""
+    # ClientInfo scope: assign THIS query's id/start time before any
+    # transpile so queryID()/initialQueryStartTime() in the text
+    # resolve to the query that contains them
+    from clickhouse_25_5_3_75_stable_spark.sources.system_tables import begin_query
+
+    begin_query(sql)
     if sf_dir is not None:
         from clickhouse_25_5_3_75_stable_spark.sources.catalog import register_views
 

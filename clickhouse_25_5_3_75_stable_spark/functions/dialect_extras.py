@@ -1284,6 +1284,48 @@ _reg("hostName", "hostname", "FQDN", "fullHostName", "displayName")(
     lambda: F.lit(socket.gethostname())
 )
 _reg("serverUUID")(lambda: F.lit("00000000-0000-0000-0000-000000000000"))
+
+
+# queryID family (src/Functions/serverConstants.cpp queryID/
+# initialQueryID + ClientInfo): closed in round 6 — chsql.begin_query
+# assigns a real per-query id/start-time before transpile (also logged
+# to system.query_log.query_id), and a library session IS its own
+# initiator so initial == current, exactly the reference's value on
+# the initiating server. getMacro reads the session macro map that
+# also serves system.macros (reference Common/Macros.h <macros>).
+def _current_query_id_col() -> Column:
+    from clickhouse_25_5_3_75_stable_spark.sources.system_tables import (
+        current_query_id,
+    )
+
+    return F.lit(current_query_id())
+
+
+_reg("queryID", "query_id", "currentQueryID", "current_query_id",
+     "initialQueryID", "initial_query_id")(_current_query_id_col)
+_reg("initialQueryStartTime", "initial_query_start_time")(
+    lambda: F.lit(
+        __import__(
+            "clickhouse_25_5_3_75_stable_spark.sources.system_tables",
+            fromlist=["current_query_start_time"],
+        ).current_query_start_time().isoformat(sep=" ", timespec="seconds")
+    ).cast("timestamp")
+)
+
+
+def _get_macro_col(name) -> Column:
+    from clickhouse_25_5_3_75_stable_spark.chsql import ChSqlError
+    from clickhouse_25_5_3_75_stable_spark.sources.system_tables import MACROS
+
+    key = name if isinstance(name, str) else None
+    if key is None:
+        raise ChSqlError("getMacro: needs a literal string argument")
+    if key not in MACROS:
+        raise ChSqlError(f"getMacro: no macro {key!r} in config")
+    return F.lit(MACROS[key])
+
+
+_reg("getMacro")(_get_macro_col)
 _reg("uptime", "zookeeperSessionUptime")(lambda: F.lit(0).cast("bigint"))
 _reg("shardNum")(lambda: F.spark_partition_id())  # closest Spark notion of "which shard"
 _reg("shardCount")(lambda: F.lit(1))
@@ -1437,12 +1479,11 @@ _excl(["blockNumber", "blockSize", "rowNumberInBlock", "nowInBlock", "lowCardina
        "isDynamicElementInSharedData", "getTypeSerializationStreams"],
       "block-at-a-time execution model internals (Spark has no user-visible blocks)")
 _excl(["buildId",
-       "getMacro", "getServerSetting", "getMergeTreeSetting",
+       "getServerSetting", "getMergeTreeSetting",
        "showCertificate",
-       "tid", "queryID", "query_id", "initialQueryID", "initial_query_id",
-       "initialQueryStartTime", "initial_query_start_time", "connectionId", "connection_id",
-       "currentProfiles", "enabledProfiles", "defaultProfiles", "currentQueryID",
-       "current_query_id", "transactionID", "transactionLatestSnapshot",
+       "tid", "connectionId", "connection_id",
+       "currentProfiles", "enabledProfiles", "defaultProfiles",
+       "transactionID", "transactionLatestSnapshot",
        "transactionOldestSnapshot"],
       "server/session state without a Spark analogue")
 

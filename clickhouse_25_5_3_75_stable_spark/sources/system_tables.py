@@ -714,6 +714,39 @@ def system_licenses(spark: SparkSession) -> DataFrame:
 _QUERY_LOG: _deque = _deque(maxlen=10_000)
 _EVENT_COUNTERS: dict[str, int] = {}
 
+# the currently-executing query's identity, set by chsql.ch_sql before
+# transpile so queryID()/initialQueryStartTime() inside the query text
+# resolve to THIS query (reference: ClientInfo current_query_id /
+# initial_query_start_time; a library session has no distributed
+# initiator, so initial == current, same as on the initiating server)
+_CURRENT_QUERY: dict = {"id": "", "start_time": None}
+
+# <macros> analogue (reference Common/Macros.h, fed from server config;
+# here fed by set_macro / the library user) — served by getMacro() and
+# system.macros (StorageSystemMacros.cpp)
+MACROS: dict[str, str] = {}
+
+
+def set_macro(name: str, value: str) -> None:
+    MACROS[name] = value
+
+
+def begin_query(query: str) -> str:
+    """Assign a fresh query id + start time (ClientInfo semantics)."""
+    import uuid
+
+    _CURRENT_QUERY["id"] = str(uuid.uuid4())
+    _CURRENT_QUERY["start_time"] = _dt.now()
+    return _CURRENT_QUERY["id"]
+
+
+def current_query_id() -> str:
+    return _CURRENT_QUERY["id"]
+
+
+def current_query_start_time() -> "_dt":
+    return _CURRENT_QUERY["start_time"] or _dt.now()
+
 
 def record_query(query: str, normalized: str | None = None,
                  kind: str = "QueryStart", duration_ms: float | None = None,
@@ -724,6 +757,7 @@ def record_query(query: str, normalized: str | None = None,
     _QUERY_LOG.append((
         _dt.now().isoformat(sep=" ", timespec="milliseconds"),
         kind, query, normalized, duration_ms, result_rows,
+        _CURRENT_QUERY["id"],
     ))
     _EVENT_COUNTERS["Query"] = _EVENT_COUNTERS.get("Query", 0) + 1
     head = (query or "").lstrip()[:12].upper()
@@ -736,14 +770,19 @@ def system_query_log(spark: SparkSession) -> DataFrame:
     """system.query_log analogue: the session-local ring buffer of
     chsql/profiler activity (the reference persists per-query rows via
     its log queue — here the session IS the scope)."""
+    schema = (
+        "event_time string, type string, query string, "
+        "normalized_query string, query_duration_ms double, "
+        "result_rows bigint, query_id string"
+    )
+    return spark.createDataFrame(list(_QUERY_LOG) if _QUERY_LOG else [], schema)
+
+
+def system_macros(spark: SparkSession) -> DataFrame:
+    """system.macros (StorageSystemMacros.cpp): the session's macro
+    substitutions (reference: server-config <macros>; here set_macro)."""
     return spark.createDataFrame(
-        list(_QUERY_LOG),
-        "event_time string, type string, query string, "
-        "normalized_query string, query_duration_ms double, result_rows bigint",
-    ) if _QUERY_LOG else spark.createDataFrame(
-        [],
-        "event_time string, type string, query string, "
-        "normalized_query string, query_duration_ms double, result_rows bigint",
+        sorted(MACROS.items()) if MACROS else [], "macro string, substitution string"
     )
 
 
@@ -861,6 +900,7 @@ _SQL_SYSTEM_TABLES = {
     "query_log": (system_query_log, False),
     "events": (system_events, False),
     "metrics": (system_metrics, False),
+    "macros": (system_macros, False),
 }
 
 _SYSTEM_REF_RE = None

@@ -686,3 +686,36 @@ def test_get_client_http_header_over_http(spark, sf_dir, tmp_path):
         assert body.strip() == "hello-h3"
     finally:
         srv.shutdown()
+
+
+def test_query_id_family_and_macros(spark):
+    """queryID/initialQueryID/initialQueryStartTime + getMacro (round-6
+    closures of the former server/session-state exclusions): real
+    per-query ClientInfo scope, not stubs."""
+    import pytest
+
+    from clickhouse_25_5_3_75_stable_spark.chsql import ChSqlError, ch_sql
+    from clickhouse_25_5_3_75_stable_spark.sources.system_tables import (
+        set_macro,
+        system_macros,
+    )
+
+    r = ch_sql(
+        spark,
+        "SELECT queryID() AS q, initialQueryID() AS iq, "
+        "initialQueryStartTime() AS st",
+    ).collect()[0]
+    assert len(r.q) == 36 and r.q == r.iq  # library session: initial == current
+    assert r.st is not None
+    r2 = ch_sql(spark, "SELECT current_query_id() AS q").collect()[0]
+    assert r2.q != r.q  # a fresh id per query
+    # the executing query's id lands in system.query_log.query_id
+    r3 = ch_sql(spark, "SELECT queryID() AS q").collect()[0]
+    log = ch_sql(spark, "SELECT query_id FROM system.query_log").collect()
+    assert any(x.query_id == r3.q for x in log)
+
+    set_macro("layer", "L7")
+    assert ch_sql(spark, "SELECT getMacro('layer') AS m").collect()[0].m == "L7"
+    assert ("layer", "L7") in [tuple(x) for x in system_macros(spark).collect()]
+    with pytest.raises(ChSqlError, match="no macro"):
+        ch_sql(spark, "SELECT getMacro('missing_macro') AS m")
