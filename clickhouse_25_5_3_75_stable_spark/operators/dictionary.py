@@ -23,13 +23,30 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 
+# named-dictionary registry serving system.dictionaries
+# (/root/reference/src/Storages/System/StorageSystemDictionaries.cpp):
+# a dictionary registers on construction when given a name; the system
+# table reflects the LIVE objects (layout, key, attributes, row count)
+DICTIONARY_REGISTRY: dict[str, object] = {}
+
+
+def _register_dict(d, name: str | None) -> None:
+    if name:
+        d.name = name
+        DICTIONARY_REGISTRY[name] = d
+
+
 class Dictionary:
     """A keyed lookup table with dictGet/dictHas semantics."""
 
-    def __init__(self, source: DataFrame, key: str, broadcast: bool = True):
+    layout = "hashed"
+
+    def __init__(self, source: DataFrame, key: str, broadcast: bool = True,
+                 name: str | None = None):
         self.key = key
         self.source = source
         self.broadcast = broadcast
+        _register_dict(self, name)
 
     def dict_get(
         self,
@@ -75,6 +92,8 @@ class RangeDictionary:
     shuffles. Overlapping intervals resolve to the LATEST start (the
     reference picks by range order); ties broken deterministically."""
 
+    layout = "range_hashed"
+
     def __init__(
         self,
         source: DataFrame,
@@ -82,12 +101,14 @@ class RangeDictionary:
         range_start: str,
         range_end: str,
         broadcast: bool = True,
+        name: str | None = None,
     ):
         self.source = source
         self.key = key
         self.start = range_start
         self.end = range_end
         self.broadcast = broadcast
+        _register_dict(self, name)
 
     def dict_get(
         self,
@@ -188,9 +209,13 @@ class IPTrieDictionary:
     and no row explosion. The only driver-side collect is the distinct
     prefix-length set (bounded metadata, never data)."""
 
-    def __init__(self, source: DataFrame, cidr: str):
+    layout = "ip_trie"
+
+    def __init__(self, source: DataFrame, cidr: str, name: str | None = None):
         self.source = source
         self.cidr = cidr
+        self.key = cidr
+        _register_dict(self, name)
 
     def dict_get(
         self,
@@ -283,10 +308,14 @@ class PolygonDictionary:
     side never shuffles for the probe. The per-row overlap dedup uses
     the same row-identity window as RangeDictionary."""
 
-    def __init__(self, source: DataFrame, key: str, vertices: str):
+    layout = "polygon"
+
+    def __init__(self, source: DataFrame, key: str, vertices: str,
+                 name: str | None = None):
         self.source = source
         self.key = key
         self.vertices = vertices
+        _register_dict(self, name)
 
     def dict_get(
         self,

@@ -778,6 +778,36 @@ def system_query_log(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(list(_QUERY_LOG) if _QUERY_LOG else [], schema)
 
 
+def system_dictionaries(spark: SparkSession) -> DataFrame:
+    """system.dictionaries (StorageSystemDictionaries.cpp): the LIVE
+    named dictionary objects — layout, key, attribute names/types, and
+    loaded row count (the count reflects the current source, computed
+    on query like the reference's loaded state)."""
+    from clickhouse_25_5_3_75_stable_spark.operators.dictionary import (
+        DICTIONARY_REGISTRY,
+    )
+
+    rows = []
+    for nm in sorted(DICTIONARY_REGISTRY):
+        d = DICTIONARY_REGISTRY[nm]
+        fields = d.source.schema.fields
+        attr_names = ",".join(f.name for f in fields if f.name != d.key)
+        attr_types = ",".join(
+            f.dataType.simpleString() for f in fields if f.name != d.key)
+        key_type = next(
+            (f.dataType.simpleString() for f in fields if f.name == d.key), "")
+        rows.append((
+            "default", nm, "LOADED", d.layout, d.key, key_type,
+            attr_names, attr_types, d.source.count(),
+        ))
+    return spark.createDataFrame(
+        rows or [],
+        "database string, name string, status string, type string, "
+        "key string, key_type string, attribute_names string, "
+        "attribute_types string, element_count bigint",
+    )
+
+
 def system_macros(spark: SparkSession) -> DataFrame:
     """system.macros (StorageSystemMacros.cpp): the session's macro
     substitutions (reference: server-config <macros>; here set_macro)."""
@@ -901,6 +931,7 @@ _SQL_SYSTEM_TABLES = {
     "events": (system_events, False),
     "metrics": (system_metrics, False),
     "macros": (system_macros, False),
+    "dictionaries": (system_dictionaries, False),
 }
 
 _SYSTEM_REF_RE = None

@@ -776,3 +776,26 @@ def test_polygon_dictionary_raycast_and_overlap(spark):
     assert got[(6.0, 1.0)] == "tri"
     assert got[(8.5, 3.5)] == "none"
     assert out.count() == 6
+
+
+def test_system_dictionaries_and_macros(spark):
+    from clickhouse_25_5_3_75_stable_spark.chsql import ch_sql
+    from clickhouse_25_5_3_75_stable_spark.operators.dictionary import (
+        IPTrieDictionary,
+        RangeDictionary,
+    )
+
+    cidrs = spark.createDataFrame(
+        [("10.0.0.0/8", "corp")], "cidr string, zone string")
+    IPTrieDictionary(cidrs, cidr="cidr", name="net_zones")
+    RangeDictionary(
+        spark.createDataFrame([(1, 0, 10, "a")], "k int, lo int, hi int, t string"),
+        key="k", range_start="lo", range_end="hi", name="tiers",
+    )
+    rows = {r.name: r for r in ch_sql(
+        spark, "SELECT * FROM system.dictionaries").collect()}
+    assert rows["net_zones"].type == "ip_trie"
+    assert rows["net_zones"].element_count == 1
+    assert rows["net_zones"].attribute_names == "zone"
+    assert rows["tiers"].type == "range_hashed"
+    assert rows["tiers"].key == "k" and rows["tiers"].key_type == "int"
