@@ -1862,8 +1862,13 @@ _reg("h3PointDistRads")(_h3geo("h3_point_dist_rads"))
 _reg("h3HexAreaM2")(_h3geo("h3_hex_area_m2"))
 _reg("h3HexAreaKm2")(_h3geo("h3_hex_area_km2"))
 
-_excl(["SVG"]
-      + [n for n in ("h3EdgeAngle",
+_excl(["SVG"],
+      "svg.cpp delegates to boost::geometry::svg's exact stream "
+      "formatting (ring correction + %g rendering with no published "
+      "spec and no in-sandbox boost anchor to pin output against); the "
+      "geometry model itself is served by pointInPolygon and the "
+      "polygon dictionary layout")
+_excl([n for n in ("h3EdgeAngle",
                      "h3EdgeLengthKm", "h3EdgeLengthM", "h3ExactEdgeLengthKm", "h3ExactEdgeLengthM",
                      "h3ExactEdgeLengthRads", "h3GetDestinationIndexFromUnidirectionalEdge",
                      "h3GetIndexesFromUnidirectionalEdge", "h3GetOriginIndexFromUnidirectionalEdge",
