@@ -87,6 +87,14 @@ def _chconst_value(low: str, args):
     import platform
     import shutil
 
+    # arity guard BEFORE any args[0] (review-found: getMacro() with
+    # empty parens raised IndexError, breaking the ChSqlError-only
+    # crash contract)
+    needs_arg = {"getmaxtablenamelengthfordatabase", "globalvariable",
+                 "getclienthttpheader", "getmacro"}
+    if low in needs_arg and not args:
+        raise ChSqlError(f"{low}: needs a literal string argument")
+
     def lit_str(a):
         tok = "".join(a).strip()
         if not (tok.startswith("'") and tok.endswith("'")):
@@ -2453,6 +2461,14 @@ def ch_sql(spark, sql: str, sf_dir: str | None = None,
             )
 
             df = default_cache().get_or_cache(df)
+        # tag the result with ITS query id so a later deferred
+        # explain_analyze attributes QueryFinish to this query, not to
+        # whatever transpiled last (review-found attribution bug)
+        from clickhouse_25_5_3_75_stable_spark.sources.system_tables import (
+            current_query_id,
+        )
+
+        df._ch_query_id = current_query_id()
         return df
     except Exception as e:  # upgrade unresolved CH names to a useful error
         msg = str(e)

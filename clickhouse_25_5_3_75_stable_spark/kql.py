@@ -102,33 +102,10 @@ def _tokenize(s: str) -> list[str]:
 
 
 def _split_pipeline(text: str) -> list[str]:
-    stages, cur, depth, quote, esc = [], [], 0, None, False
-    for ch_ in text:
-        if quote:
-            cur.append(ch_)
-            if esc:
-                esc = False
-            elif ch_ == "\\":
-                esc = True  # \' inside a literal must not close it
-            elif ch_ == quote:
-                quote = None
-            continue
-        if ch_ in "'\"":
-            quote = ch_
-            cur.append(ch_)
-        elif ch_ in "([":
-            depth += 1
-            cur.append(ch_)
-        elif ch_ in ")]":
-            depth -= 1
-            cur.append(ch_)
-        elif ch_ == "|" and depth == 0:
-            stages.append("".join(cur).strip())
-            cur = []
-        else:
-            cur.append(ch_)
-    stages.append("".join(cur).strip())
-    return [s for s in stages if s]
+    # one splitter implementation for the whole module (review-found:
+    # the pipe/semicolon/comma splitters were three hand-rolled copies
+    # of the same quote/escape/paren state machine)
+    return _split_top_text(text, "|")
 
 
 # ---------------------------------------------------------------------------
@@ -1478,6 +1455,20 @@ def _scan_execute(spark, stages: list[str], idx: int, params=None):
     df = ch_sql(spark, helper_sql, params=params)
     base_fields = [f for f in df.schema.fields if not f.name.startswith("__scan_")]
     base_cols = [f.name for f in base_fields]
+    # refuse BEFORE launching the job: the serialization columns must
+    # survive to scan input, and declared/match-id names must not
+    # shadow input columns (both otherwise surface as opaque worker
+    # errors — review-found)
+    missing = [c for c in sort_cols if c not in base_cols]
+    if missing:
+        raise ChSqlError(
+            f"KQL scan serialization columns {missing} are not present at "
+            "scan input — keep the sort keys projected through to scan")
+    clashes = sorted(set(decl_order + ([mid] if mid else [])) & set(base_cols))
+    if clashes:
+        raise ChSqlError(
+            f"KQL scan declared/match-id names {clashes} collide with input "
+            "columns")
     out_schema = ", ".join(
         [f"`{f.name}` {f.dataType.simpleString()}" for f in base_fields]
         + [f"`{v}` {decl_types[v]}" for v in decl_order]

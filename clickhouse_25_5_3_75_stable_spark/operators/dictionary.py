@@ -226,14 +226,41 @@ class IPTrieDictionary:
     ) -> DataFrame:
         cidr = F.col(self.cidr)
         net = F.substring_index(cidr, "/", 1)
-        plen_raw = F.substring_index(cidr, "/", -1).cast("int")
+        # try_cast: a missing '/' or junk length must surface as the
+        # unparseable-CIDR refusal below, not an ANSI cast exception
+        plen_raw = F.when(
+            cidr.contains("/"),
+            F.substring_index(cidr, "/", -1).try_cast("int"),
+        )
         # IPv4 prefixes live 96 bits deep in the v6 keyspace
         plen = F.when(net.contains(":"), plen_raw).otherwise(plen_raw + 96)
         lookup = self.source.select(
+            cidr.alias("__ipt_cidr"),
             plen.alias("__ipt_len"),
             F.substring(_ip_bits(net), 1, plen).alias("__ipt_prefix"),
             *[F.col(a).alias(f"__ipt_{out}") for out, a in attrs.items()],
         )
+        # Refuse malformed and duplicate CIDR keys up front (dictionary
+        # side only — one bounded pass over a dimension-sized table):
+        # a missing '/' would otherwise crash the length sort with a
+        # NULL, and a duplicate prefix would silently multiply fact
+        # rows (dictGet is strictly row-preserving — review-found).
+        bad = lookup.filter(
+            F.col("__ipt_len").isNull() | F.col("__ipt_prefix").isNull()
+        ).select("__ipt_cidr").limit(1).collect()
+        if bad:
+            raise ValueError(
+                f"ip_trie dictionary: unparseable CIDR key {bad[0][0]!r} "
+                "(want address/prefixlen)")
+        dup = (
+            lookup.groupBy("__ipt_len", "__ipt_prefix")
+            .count().filter(F.col("count") > 1).limit(1).collect()
+        )
+        if dup:
+            raise ValueError(
+                "ip_trie dictionary: duplicate CIDR key (canonical 128-bit "
+                f"prefix length {dup[0][0]})")
+        lookup = lookup.drop("__ipt_cidr")
         lens = sorted(
             (r[0] for r in lookup.select("__ipt_len").distinct().collect()),
             reverse=True,

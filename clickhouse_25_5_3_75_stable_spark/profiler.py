@@ -64,6 +64,7 @@ def explain_analyze(df: DataFrame, execute: bool = True) -> list[tuple[int, str,
             kind="QueryFinish",
             duration_ms=(time.monotonic() - t0) * 1000.0,
             result_rows=int(n),
+            query_id=getattr(df, "_ch_query_id", None),
         )
     rows: list[tuple[int, str, dict]] = []
     _walk(df._jdf.queryExecution().executedPlan(), 0, rows)

@@ -750,14 +750,18 @@ def current_query_start_time() -> "_dt":
 
 def record_query(query: str, normalized: str | None = None,
                  kind: str = "QueryStart", duration_ms: float | None = None,
-                 result_rows: int | None = None) -> None:
+                 result_rows: int | None = None,
+                 query_id: str | None = None) -> None:
     """Append to the session-local query log ring buffer (10k entries)
     and bump the event counters — called by chsql.ch_sql on transpile
-    and by profiler.explain_analyze on measured execution."""
+    and by profiler.explain_analyze on measured execution. Deferred
+    events (QueryFinish on a DataFrame built earlier) pass the
+    originating query_id explicitly; otherwise the current scope's id
+    applies."""
     _QUERY_LOG.append((
         _dt.now().isoformat(sep=" ", timespec="milliseconds"),
         kind, query, normalized, duration_ms, result_rows,
-        _CURRENT_QUERY["id"],
+        query_id or _CURRENT_QUERY["id"],
     ))
     _EVENT_COUNTERS["Query"] = _EVENT_COUNTERS.get("Query", 0) + 1
     head = (query or "").lstrip()[:12].upper()

@@ -719,3 +719,29 @@ def test_query_id_family_and_macros(spark):
     assert ("layer", "L7") in [tuple(x) for x in system_macros(spark).collect()]
     with pytest.raises(ChSqlError, match="no macro"):
         ch_sql(spark, "SELECT getMacro('missing_macro') AS m")
+
+
+def test_get_macro_zero_args_refuses(spark):
+    import pytest
+
+    from clickhouse_25_5_3_75_stable_spark.chsql import ChSqlError, ch_sql
+
+    with pytest.raises(ChSqlError, match="literal string"):
+        ch_sql(spark, "SELECT getMacro()")
+
+
+def test_query_finish_attribution(spark):
+    """Deferred QueryFinish keeps the ORIGINATING query's id even when
+    other queries transpiled in between (review-found)."""
+    from clickhouse_25_5_3_75_stable_spark.chsql import ch_sql
+    from clickhouse_25_5_3_75_stable_spark.profiler import explain_analyze
+    from clickhouse_25_5_3_75_stable_spark.sources.system_tables import (
+        system_query_log,
+    )
+
+    df = ch_sql(spark, "SELECT 41 AS x")
+    first_id = df._ch_query_id
+    ch_sql(spark, "SELECT 42 AS y")  # moves the current-query scope
+    explain_analyze(df)
+    fin = [r for r in system_query_log(spark).collect() if r.type == "QueryFinish"]
+    assert fin and fin[-1].query_id == first_id

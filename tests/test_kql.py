@@ -661,3 +661,19 @@ def test_kql_scan_parse_never_crashes(s):
                     _scan_parse_literal(dm.group(3).strip())
     except (ChSqlError, ValueError):
         pass
+
+
+def test_scan_refuses_missing_sort_cols_and_name_clashes(spark):
+    from clickhouse_25_5_3_75_stable_spark.kql import kql_sql
+
+    spark.createDataFrame([(1, 5)], "k int, price int").createOrReplaceTempView(
+        "scan_t3")
+    with pytest.raises(ChSqlError, match="not present at"):
+        kql_sql(spark, """scan_t3 | sort by k asc | project price
+            | scan with (step a: price > 0;)""")
+    with pytest.raises(ChSqlError, match="collide"):
+        kql_sql(spark, """scan_t3 | sort by k asc
+            | scan declare (price:long=0) with (step a: k > 0;)""")
+    with pytest.raises(ChSqlError, match="collide"):
+        kql_sql(spark, """scan_t3 | sort by k asc
+            | scan with_match_id=k with (step a: price > 0;)""")

@@ -799,3 +799,25 @@ def test_system_dictionaries_and_macros(spark):
     assert rows["net_zones"].attribute_names == "zone"
     assert rows["tiers"].type == "range_hashed"
     assert rows["tiers"].key == "k" and rows["tiers"].key_type == "int"
+
+
+def test_ip_trie_refuses_bad_and_duplicate_cidrs(spark):
+    import pytest
+
+    from clickhouse_25_5_3_75_stable_spark.operators.dictionary import IPTrieDictionary
+
+    facts = spark.createDataFrame([("10.0.0.1",)], "ip string")
+    bad = IPTrieDictionary(
+        spark.createDataFrame([("10.0.0.0", "z")], "cidr string, zone string"),
+        cidr="cidr",
+    )
+    with pytest.raises(ValueError, match="unparseable CIDR"):
+        bad.dict_get(facts, F.col("ip"), {"zone": "zone"})
+    dup = IPTrieDictionary(
+        spark.createDataFrame(
+            [("10.0.0.0/8", "a"), ("10.0.0.0/8", "b")], "cidr string, zone string"
+        ),
+        cidr="cidr",
+    )
+    with pytest.raises(ValueError, match="duplicate CIDR"):
+        dup.dict_get(facts, F.col("ip"), {"zone": "zone"})
