@@ -550,6 +550,72 @@ def run_local(sql: str, data_dir: str, spark=None, out=sys.stdout,
                 )
 
                 materialize_projections(spark, data_dir, tname)
+            elif re.match(r"(?is)^(DETACH|ATTACH|DROP(\s+DETACHED)?)\s+PARTITION\b",
+                          action) or up.startswith("FREEZE"):
+                # partition lifecycle (reference
+                # MergeTreeData::{dropDetached,freezePartition} +
+                # alterPartition): O(1) directory moves / hardlink
+                # snapshots, never a data rewrite
+                from clickhouse_25_5_3_75_stable_spark.ddl import load_table_def
+                from clickhouse_25_5_3_75_stable_spark.sources.layout import (
+                    attach_partition,
+                    detach_partition,
+                    drop_detached_partition,
+                    drop_partition,
+                    freeze_partition,
+                )
+
+                td = load_table_def(data_dir, tname)
+                if td is None:
+                    raise ValueError(f"{tname}: not a DDL-managed table")
+                tpath = os.path.join(data_dir, tname)
+
+                def _pval(raw: str):
+                    raw = raw.strip()
+                    if raw.startswith("'") and raw.endswith("'"):
+                        return raw[1:-1]
+                    if not re.match(r"^-?\d+$", raw):
+                        raise ValueError(
+                            f"unsupported PARTITION value {raw!r} (literal "
+                            "number or quoted string)")
+                    return raw
+
+                if up.startswith("FREEZE"):
+                    fm = re.match(
+                        r"(?is)^FREEZE(?:\s+PARTITION\s+(?!WITH\b)(\S+))?"
+                        r"(?:\s+WITH\s+NAME\s+'([^']+)')?\s*$", action)
+                    if not fm:
+                        raise ValueError("unsupported FREEZE shape")
+                    val = _pval(fm.group(1)) if fm.group(1) else None
+                    if val is not None and not td.partition_by:
+                        raise ValueError(f"{tname} has no PARTITION BY")
+                    snap = freeze_partition(
+                        tpath, td.partition_by, val, fm.group(2))
+                    _emit([(tname, snap)], ["table", "backup_path"], fmt, out)
+                    return 0
+                if not td.partition_by:
+                    raise ValueError(f"{tname} has no PARTITION BY")
+                pm2 = re.match(
+                    r"(?is)^(DETACH|ATTACH|DROP\s+DETACHED|DROP)\s+"
+                    r"PARTITION\s+(.+?)\s*$", action)
+                verb = re.sub(r"\s+", " ", pm2.group(1).upper())
+                val = _pval(pm2.group(2))
+                if verb == "DETACH":
+                    detach_partition(tpath, td.partition_by, val)
+                elif verb == "ATTACH":
+                    attach_partition(tpath, td.partition_by, val)
+                elif verb == "DROP DETACHED":
+                    drop_detached_partition(tpath, td.partition_by, val)
+                else:
+                    drop_partition(tpath, td.partition_by, val)
+                try:
+                    spark.read.parquet(tpath).createOrReplaceTempView(tname)
+                except Exception:
+                    # every partition detached/dropped: an empty view
+                    # with the declared schema, like an empty table
+                    spark.createDataFrame(
+                        [], td.spark_schema()
+                    ).createOrReplaceTempView(tname)
             elif up.startswith("DELETE"):
                 dm = re.match(r"(?is)DELETE\s+WHERE\s+(.+)$", action)
                 if not dm:
@@ -794,7 +860,20 @@ def run_local(sql: str, data_dir: str, spark=None, out=sys.stdout,
                 sortable = [c for c in td.order_by if c in df.columns]
                 if sortable:
                     df = df.sortWithinPartitions(*sortable)
-            df.write.mode("append").parquet(path)
+            writer = df.write.mode("append")
+            if td is not None and td.partition_by and td.partition_by in df.columns:
+                # physical col=value dirs make DETACH/ATTACH/DROP
+                # PARTITION O(1) moves; drop CREATE's zero-row root
+                # marker first (mixed root breaks partition discovery)
+                import glob
+
+                import pyarrow.parquet as pq
+
+                for f in glob.glob(os.path.join(path, "part-*.parquet")):
+                    if pq.read_metadata(f).num_rows == 0:
+                        os.remove(f)
+                writer = writer.partitionBy(td.partition_by)
+            writer.parquet(path)
             spark.read.parquet(path).createOrReplaceTempView(tname)
             _emit([(tname, "Ok")], ["table", "status"], fmt, out)
             return 0

@@ -224,7 +224,23 @@ class Database:
             # expressions stay out of append mode (they need a column)
             sortable = [c for c in td.order_by if c in df.columns]
             df = df.sortWithinPartitions(*sortable) if sortable else df
-        df.write.mode("append").parquet(path)
+        writer = df.write.mode("append")
+        # a plain-column PARTITION BY lands as physical col=value dirs,
+        # which is what makes DETACH/ATTACH/DROP PARTITION O(1) moves
+        if td.partition_by and td.partition_by in df.columns:
+            # CREATE wrote a zero-row root-level marker file; a mixed
+            # root (flat file + col=value dirs) breaks Spark partition
+            # discovery, so drop empty root files before the first
+            # partitioned append (zero-row check keeps this safe)
+            import glob
+
+            import pyarrow.parquet as pq
+
+            for f in glob.glob(os.path.join(path, "part-*.parquet")):
+                if pq.read_metadata(f).num_rows == 0:
+                    os.remove(f)
+            writer = writer.partitionBy(td.partition_by)
+        writer.parquet(path)
         self.spark.read.parquet(path).createOrReplaceTempView(name)
 
     def table(self, name: str) -> DataFrame:

@@ -118,3 +118,48 @@ def drop_partition(path: str, partition_by: str, value) -> None:
     import shutil
 
     shutil.rmtree(_partition_dir(path, partition_by, value))
+
+
+def drop_detached_partition(path: str, partition_by: str, value) -> None:
+    """ALTER TABLE ... DROP DETACHED PARTITION (reference
+    MergeTreeData::dropDetached): remove a partition parked under
+    _detached/ without ever re-attaching it."""
+    import os
+    import shutil
+
+    src = os.path.join(path, "_detached", f"{partition_by}={value}")
+    if not os.path.isdir(src):
+        raise FileNotFoundError(f"no detached partition {partition_by}={value}")
+    shutil.rmtree(src)
+
+
+def freeze_partition(path: str, partition_by: str | None = None,
+                     value=None, with_name: str | None = None) -> str:
+    """ALTER TABLE ... FREEZE [PARTITION v] [WITH NAME 'n'] (reference
+    MergeTreeData::freezePartition): snapshot the current parts as
+    HARDLINKS — zero data copy, exactly the reference's shadow/
+    mechanism. The snapshot root is `_shadow/` (underscore-prefixed so
+    Spark's directory listing ignores it, where the reference uses
+    shadow/ outside the data path). Returns the snapshot directory."""
+    import os
+
+    snaps = os.path.join(path, "_shadow")
+    os.makedirs(snaps, exist_ok=True)
+    if with_name is None:
+        nums = [int(d) for d in os.listdir(snaps) if d.isdigit()]
+        with_name = str(max(nums, default=0) + 1)
+    dst_root = os.path.join(snaps, with_name)
+    src_root = (path if value is None
+                else _partition_dir(path, partition_by, value))
+    if not os.path.isdir(src_root):
+        raise FileNotFoundError(f"no partition {partition_by}={value} under {path}")
+    for dirpath, dirnames, filenames in os.walk(src_root):
+        dirnames[:] = [d for d in dirnames if not d.startswith(("_", "."))]
+        rel = os.path.relpath(dirpath, path)
+        tgt = os.path.join(dst_root, rel) if rel != "." else dst_root
+        os.makedirs(tgt, exist_ok=True)
+        for fn in filenames:
+            if fn.startswith((".", "_")):
+                continue
+            os.link(os.path.join(dirpath, fn), os.path.join(tgt, fn))
+    return dst_root

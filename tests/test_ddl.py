@@ -617,3 +617,56 @@ def test_normal_projection_routing(spark, tmp_path):
 
     # WHERE off the sort prefix: no routing
     assert _route_projection(spark, d, "SELECT k FROM np WHERE s = 'v1'") is None
+
+
+def test_partition_lifecycle_cli(spark, tmp_path):
+    """ALTER TABLE DETACH/ATTACH/DROP PARTITION + DROP DETACHED +
+    FREEZE (reference MergeTreeData partition ops): O(1) directory
+    moves and hardlink snapshots, visible through SELECT immediately."""
+    import io
+    import os
+
+    from clickhouse_25_5_3_75_stable_spark.__main__ import run_local
+
+    d = str(tmp_path)
+
+    def run(sql):
+        out = io.StringIO()
+        assert run_local(sql, d, spark=spark, out=out) == 0
+        return out.getvalue()
+
+    run("CREATE TABLE pt (m UInt32, v Float64) ENGINE = MergeTree() "
+        "ORDER BY v PARTITION BY m")
+    run("INSERT INTO pt VALUES (1, 1.0), (1, 2.0), (2, 3.0), (3, 4.0)")
+    assert run("SELECT count() AS n FROM pt FORMAT CSV").strip() == "4"
+
+    run("ALTER TABLE pt DETACH PARTITION 1")
+    assert run("SELECT count() AS n FROM pt FORMAT CSV").strip() == "2"
+    assert os.path.isdir(os.path.join(d, "pt", "_detached", "m=1"))
+
+    run("ALTER TABLE pt ATTACH PARTITION 1")
+    assert run("SELECT count() AS n FROM pt FORMAT CSV").strip() == "4"
+
+    # freeze everything, then a single partition with a name
+    out1 = run("ALTER TABLE pt FREEZE")
+    snap = out1.split()[-1]
+    assert os.path.isdir(os.path.join(d, "pt", "_shadow", "1"))
+    out2 = run("ALTER TABLE pt FREEZE PARTITION 2 WITH NAME 'pre-drop'")
+    assert os.path.isdir(os.path.join(d, "pt", "_shadow", "pre-drop"))
+    # hardlinks, not copies: same inode
+    src = [f for f in os.listdir(os.path.join(d, "pt", "m=2"))
+           if f.endswith(".parquet")][0]
+    s1 = os.stat(os.path.join(d, "pt", "m=2", src))
+    s2 = os.stat(os.path.join(d, "pt", "_shadow", "pre-drop", "m=2", src))
+    assert s1.st_ino == s2.st_ino
+
+    run("ALTER TABLE pt DROP PARTITION 2")
+    assert run("SELECT count() AS n FROM pt FORMAT CSV").strip() == "3"
+    # the frozen snapshot still holds the dropped partition's data
+    assert os.listdir(os.path.join(d, "pt", "_shadow", "pre-drop", "m=2"))
+
+    run("ALTER TABLE pt DETACH PARTITION 3")
+    run("ALTER TABLE pt DROP DETACHED PARTITION 3")
+    assert not os.path.isdir(os.path.join(d, "pt", "_detached", "m=3"))
+    assert run("SELECT count() AS n FROM pt FORMAT CSV").strip() == "2"
+    del snap, out2
