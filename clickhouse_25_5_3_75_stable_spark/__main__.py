@@ -550,7 +550,8 @@ def run_local(sql: str, data_dir: str, spark=None, out=sys.stdout,
                 )
 
                 materialize_projections(spark, data_dir, tname)
-            elif re.match(r"(?is)^(DETACH|ATTACH|DROP(\s+DETACHED)?)\s+PARTITION\b",
+            elif re.match(r"(?is)^(DETACH|ATTACH|DROP(\s+DETACHED)?|MOVE|"
+                          r"REPLACE)\s+PARTITION\b",
                           action) or up.startswith("FREEZE"):
                 # partition lifecycle (reference
                 # MergeTreeData::{dropDetached,freezePartition} +
@@ -595,6 +596,45 @@ def run_local(sql: str, data_dir: str, spark=None, out=sys.stdout,
                     return 0
                 if not td.partition_by:
                     raise ValueError(f"{tname} has no PARTITION BY")
+                mv = re.match(
+                    r"(?is)^MOVE\s+PARTITION\s+(.+?)\s+TO\s+TABLE\s+(\w+)\s*$",
+                    action)
+                rp = re.match(
+                    r"(?is)^REPLACE\s+PARTITION\s+(.+?)\s+FROM\s+(\w+)\s*$",
+                    action)
+                if mv or rp:
+                    from clickhouse_25_5_3_75_stable_spark.sources.layout import (
+                        move_partition_to_table,
+                        replace_partition_from,
+                    )
+
+                    other = (mv or rp).group(2)
+                    td2 = load_table_def(data_dir, other)
+                    if td2 is None:
+                        raise ValueError(f"{other}: not a DDL-managed table")
+                    if td2.partition_by != td.partition_by or [
+                        t for _n, t in td2.columns
+                    ] != [t for _n, t in td.columns]:
+                        raise ValueError(
+                            f"{tname} and {other} must share schema and "
+                            "partition key (reference throws on structure "
+                            "mismatch too)")
+                    opath = os.path.join(data_dir, other)
+                    if mv:
+                        move_partition_to_table(
+                            tpath, opath, td.partition_by, _pval(mv.group(1)))
+                    else:
+                        replace_partition_from(
+                            tpath, opath, td.partition_by, _pval(rp.group(1)))
+                    for nm, pth in ((tname, tpath), (other, opath)):
+                        try:
+                            spark.read.parquet(pth).createOrReplaceTempView(nm)
+                        except Exception:
+                            spark.createDataFrame(
+                                [], td.spark_schema()
+                            ).createOrReplaceTempView(nm)
+                    _emit([(tname, "Ok")], ["table", "status"], fmt, out)
+                    return 0
                 pm2 = re.match(
                     r"(?is)^(DETACH|ATTACH|DROP\s+DETACHED|DROP)\s+"
                     r"PARTITION\s+(.+?)\s*$", action)

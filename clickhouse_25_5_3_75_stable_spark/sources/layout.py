@@ -133,6 +133,47 @@ def drop_detached_partition(path: str, partition_by: str, value) -> None:
     shutil.rmtree(src)
 
 
+def move_partition_to_table(src_path: str, dst_path: str,
+                            partition_by: str, value) -> None:
+    """ALTER TABLE src MOVE PARTITION v TO TABLE dst (reference
+    MergeTreeData::movePartitionToTable): the partition directory moves
+    between table roots — O(1), no rewrite. Refuses if the destination
+    already holds that partition (the reference throws too)."""
+    import os
+    import shutil
+
+    src = _partition_dir(src_path, partition_by, value)
+    if not os.path.isdir(src):
+        raise FileNotFoundError(f"no partition {partition_by}={value} under {src_path}")
+    dst = _partition_dir(dst_path, partition_by, value)
+    if os.path.isdir(dst):
+        raise FileExistsError(
+            f"destination already has partition {partition_by}={value}")
+    shutil.move(src, dst)
+
+
+def replace_partition_from(dst_path: str, src_path: str,
+                           partition_by: str, value) -> None:
+    """ALTER TABLE dst REPLACE PARTITION v FROM src (reference
+    MergeTreeData::replacePartitionFrom): dst's partition is replaced
+    by a HARDLINK copy of src's — src keeps its data (the reference
+    clones parts the same way), zero data copy."""
+    import os
+    import shutil
+
+    src = _partition_dir(src_path, partition_by, value)
+    if not os.path.isdir(src):
+        raise FileNotFoundError(f"no partition {partition_by}={value} under {src_path}")
+    dst = _partition_dir(dst_path, partition_by, value)
+    if os.path.isdir(dst):
+        shutil.rmtree(dst)
+    os.makedirs(dst, exist_ok=True)
+    for fn in os.listdir(src):
+        if fn.startswith((".", "_")):
+            continue
+        os.link(os.path.join(src, fn), os.path.join(dst, fn))
+
+
 def freeze_partition(path: str, partition_by: str | None = None,
                      value=None, with_name: str | None = None) -> str:
     """ALTER TABLE ... FREEZE [PARTITION v] [WITH NAME 'n'] (reference

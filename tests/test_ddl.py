@@ -670,3 +670,46 @@ def test_partition_lifecycle_cli(spark, tmp_path):
     assert not os.path.isdir(os.path.join(d, "pt", "_detached", "m=3"))
     assert run("SELECT count() AS n FROM pt FORMAT CSV").strip() == "2"
     del snap, out2
+
+
+def test_partition_move_replace_cli(spark, tmp_path):
+    """MOVE PARTITION TO TABLE (O(1) directory move) and REPLACE
+    PARTITION FROM (hardlink clone, source keeps its data) — reference
+    MergeTreeData::movePartitionToTable / replacePartitionFrom."""
+    import io
+
+    from clickhouse_25_5_3_75_stable_spark.__main__ import run_local
+
+    d = str(tmp_path)
+
+    def run(sql):
+        out = io.StringIO()
+        assert run_local(sql, d, spark=spark, out=out) == 0
+        return out.getvalue()
+
+    for t in ("pa", "pb"):
+        run(f"CREATE TABLE {t} (m UInt32, v Float64) ENGINE = MergeTree() "
+            "ORDER BY v PARTITION BY m")
+    run("INSERT INTO pa VALUES (1, 1.0), (2, 2.0)")
+    run("INSERT INTO pb VALUES (3, 30.0)")
+
+    run("ALTER TABLE pa MOVE PARTITION 1 TO TABLE pb")
+    assert run("SELECT count() AS n FROM pa FORMAT CSV").strip() == "1"
+    assert run("SELECT count() AS n FROM pb FORMAT CSV").strip() == "2"
+
+    # replace pb's partition 2 (absent -> created) from pa's
+    run("ALTER TABLE pb REPLACE PARTITION 2 FROM pa")
+    assert run("SELECT count() AS n FROM pb FORMAT CSV").strip() == "3"
+    # source keeps its data
+    assert run("SELECT count() AS n FROM pa FORMAT CSV").strip() == "1"
+
+    # structure mismatch refuses
+    run("CREATE TABLE pc (x String) ENGINE = MergeTree() ORDER BY x")
+    out = io.StringIO()
+    try:
+        run_local("ALTER TABLE pa MOVE PARTITION 2 TO TABLE pc", d,
+                  spark=spark, out=out)
+        raised = False
+    except Exception:
+        raised = True
+    assert raised
