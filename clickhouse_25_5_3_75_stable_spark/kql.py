@@ -769,6 +769,12 @@ def kql_to_chsql(text: str) -> str:
             acc = _join_stage(acc, body, lookup=op == "lookup")
         elif op == "render":
             pass  # chart hint — a no-op for a tabular engine
+        elif op == "serialize" and not body:
+            # ADX order-freeze marker: row order is only deterministic
+            # downstream of an explicit sort here, so the marker itself
+            # is a pass-through (scan still requires the sort stage for
+            # its serialization keys)
+            pass
         elif op == "make-series":
             acc = _make_series(acc, body)
         elif op == "parse":
