@@ -244,7 +244,7 @@ def agg_histogram_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events GROUP BY 1, 2
     )
     SELECT user_id,
-           CAST(CAST(ln(SUM(c)) - SUM(c * ln(c)) / SUM(c) AS DECIMAL(18,9)) AS DOUBLE)
+           CAST(CAST(ln(SUM(c)) - SUM(c * ln(c)) / SUM(c) AS DECIMAL(18,6)) AS DOUBLE)
              AS entropy
     FROM counted
     GROUP BY user_id
@@ -255,8 +255,12 @@ def agg_histogram_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_entropy_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shannon entropy of the per-user event-type distribution
     (reference AggregateFunctionEntropy.h): ln(N) − Σc·ln(c)/N over a
-    counted subquery. Rounded to 9 decimals — ln differs between libm
-    and the JVM in the last ulp (measured), far below 1e-9."""
+    counted subquery. Rounded to 6 decimals (the repo's float-pinning
+    convention): ln differs between libm and the JVM in the last ulp
+    and double-sum order differs between engines; the measured minimum
+    distance to a 1e-6 rounding boundary at sf0.01 is 4.8e-11, ~500x
+    any plausible cross-engine noise (at 9dp the margin was only
+    3.4e-12 — the round-5 s2 hazard class)."""
     ev = t(spark, sf_dir, "events")
     counted = ev.groupBy("user_id", "event_type").agg(
         F.count(F.lit(1)).cast("double").alias("c")
@@ -264,7 +268,7 @@ def agg_entropy_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     ent = F.log(F.sum("c")) - F.sum(F.col("c") * F.log("c")) / F.sum("c")
     return (
         counted.groupBy("user_id")
-        .agg(ent.cast("decimal(18,9)").cast("double").alias("entropy"))
+        .agg(ent.cast("decimal(18,6)").cast("double").alias("entropy"))
         .orderBy("user_id")
     )
 
