@@ -255,3 +255,61 @@ def test_gin_sidecar_lookup_pushes_hash_filter(spark, tmp_path):
     lookup = spark.read.parquet(idx).filter(F.col("token_hash") == probe)
     plan = lookup._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(token_hash), EqualTo(token_hash" in plan
+
+
+def test_ip_trie_fact_side_never_shuffles_before_agg(spark):
+    """IPTrieDictionary plan contract: longest-prefix match is pure
+    broadcast joins (one per distinct prefix length) + coalesce — the
+    fact side must reach the lookup without a single hash exchange."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_25_5_3_75_stable_spark.operators.dictionary import (
+        IPTrieDictionary,
+    )
+
+    cidrs = spark.createDataFrame(
+        [("10.0.0.0/8", "corp"), ("10.1.0.0/16", "dc1"),
+         ("10.1.128.0/17", "hi")],
+        "cidr string, zone string",
+    )
+    facts = spark.createDataFrame(
+        [(f"10.{i % 3}.{i % 200}.{i % 250}",) for i in range(500)], "ip string"
+    )
+    d = IPTrieDictionary(cidrs, cidr="cidr")
+    out = d.dict_get(facts, F.col("ip"), {"zone": "zone"})
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") == 3  # one per distinct length
+    # no fact-side repartitioning: every Exchange is a broadcast send
+    for line in plan.splitlines():
+        if "Exchange" in line and "BroadcastExchange" not in line:
+            raise AssertionError(f"unexpected fact-side shuffle: {line.strip()}")
+
+
+def test_polygon_dictionary_bbox_bnlj_plan(spark):
+    """PolygonDictionary plan contract: broadcast nested-loop join with
+    the bbox conjunct in the join condition (pruning before the exact
+    ray-cast), and the only hash exchange is the documented row-identity
+    overlap-dedup window."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_25_5_3_75_stable_spark.operators.dictionary import (
+        PolygonDictionary,
+    )
+
+    def ring(*pts):
+        return [{"x": float(a), "y": float(b)} for a, b in pts]
+
+    polys = spark.createDataFrame(
+        [(1, "a", ring((0, 0), (4, 0), (4, 4), (0, 4)))],
+        "pid int, zone string, verts array<struct<x:double,y:double>>",
+    )
+    facts = spark.createDataFrame(
+        [(float(i % 10), float(i % 7)) for i in range(300)], "x double, y double"
+    )
+    d = PolygonDictionary(polys, key="pid", vertices="verts")
+    out = d.dict_get(facts, F.col("x"), F.col("y"), {"zone": "zone"})
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+    hash_ex = [l for l in plan.splitlines()
+               if "Exchange hashpartitioning" in l]
+    assert len(hash_ex) == 1 and "__pg_rowid" in hash_ex[0]
