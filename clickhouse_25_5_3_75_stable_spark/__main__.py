@@ -700,6 +700,19 @@ def run_local(sql: str, data_dir: str, spark=None, out=sys.stdout,
             rename_table(spark, data_dir, m.group(1), m.group(2))
             _emit([(m.group(2), "Ok")], ["table", "status"], fmt, out)
             return 0
+        if kw == "EXCHANGE":
+            from clickhouse_25_5_3_75_stable_spark.ddl import exchange_tables
+
+            import re as _re
+
+            m = _re.match(r"EXCHANGE\s+TABLES\s+(\w+)\s+AND\s+(\w+)",
+                          sql, _re.IGNORECASE)
+            if not m:
+                raise ValueError("unsupported EXCHANGE shape "
+                                 "(EXCHANGE TABLES a AND b)")
+            exchange_tables(spark, data_dir, m.group(1), m.group(2))
+            _emit([(m.group(1), "Ok")], ["table", "status"], fmt, out)
+            return 0
         if kw == "CREATE":
             import re as _re
 

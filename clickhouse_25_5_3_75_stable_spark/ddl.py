@@ -288,6 +288,26 @@ def rename_table(spark: SparkSession, base_dir: str, old: str, new: str) -> None
     spark.read.parquet(os.path.join(base_dir, new)).createOrReplaceTempView(new)
 
 
+def exchange_tables(spark: SparkSession, base_dir: str, a: str, b: str) -> None:
+    """EXCHANGE TABLES a AND b (reference InterpreterRenameQuery
+    exchange=true: the atomic two-way swap that RENAME can't express
+    without a third name). Directory-level swap via a temp name, then
+    both defs and views re-point."""
+    pa, pb = os.path.join(base_dir, a), os.path.join(base_dir, b)
+    if not os.path.isdir(pa) or not os.path.isdir(pb):
+        raise ValueError(f"EXCHANGE TABLES: both {a} and {b} must exist")
+    tmp = os.path.join(base_dir, f"__exchange_tmp_{a}_{b}")
+    os.rename(pa, tmp)
+    os.rename(pb, pa)
+    os.rename(tmp, pb)
+    for name in (a, b):
+        td = load_table_def(base_dir, name)
+        if td is not None:
+            td.name = name
+            save_table_def(base_dir, td)
+        spark.read.parquet(os.path.join(base_dir, name)).createOrReplaceTempView(name)
+
+
 _DDL_META = "_ddl.json"
 
 

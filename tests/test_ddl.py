@@ -713,3 +713,26 @@ def test_partition_move_replace_cli(spark, tmp_path):
     except Exception:
         raised = True
     assert raised
+
+
+def test_exchange_tables(spark, tmp_path):
+    """EXCHANGE TABLES a AND b (reference InterpreterRenameQuery
+    exchange=true): atomic two-way swap, data and defs follow."""
+    import io
+
+    from clickhouse_25_5_3_75_stable_spark.__main__ import run_local
+
+    d = str(tmp_path)
+
+    def run(sql):
+        out = io.StringIO()
+        assert run_local(sql, d, spark=spark, out=out) == 0
+        return out.getvalue()
+
+    run("CREATE TABLE ea (v UInt32) ENGINE = MergeTree() ORDER BY v")
+    run("CREATE TABLE eb (v UInt32) ENGINE = MergeTree() ORDER BY v")
+    run("INSERT INTO ea VALUES (1)")
+    run("INSERT INTO eb VALUES (2), (3)")
+    run("EXCHANGE TABLES ea AND eb")
+    assert run("SELECT count() AS n FROM ea FORMAT CSV").strip() == "2"
+    assert run("SELECT count() AS n FROM eb FORMAT CSV").strip() == "1"
