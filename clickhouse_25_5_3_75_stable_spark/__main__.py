@@ -448,9 +448,33 @@ def run_local(sql: str, data_dir: str, spark=None, out=sys.stdout,
         if kw == "DROP":
             from clickhouse_25_5_3_75_stable_spark.ddl import drop_table
 
+            toks = sql.strip().rstrip(";").split()
+            sync = toks[-1].upper() == "SYNC"
+            if sync:
+                toks = toks[:-1]
             # last token handles DROP TABLE [IF EXISTS] t
+            drop_table(spark, data_dir, toks[-1], sync=sync)
+            _emit([(toks[-1], "Ok")], ["table", "status"], fmt, out)
+            return 0
+        if kw == "UNDROP":
+            from clickhouse_25_5_3_75_stable_spark.ddl import undrop_table
+
             tname = sql.strip().rstrip(";").split()[-1]
-            drop_table(spark, data_dir, tname)
+            undrop_table(spark, data_dir, tname)
+            _emit([(tname, "Ok")], ["table", "status"], fmt, out)
+            return 0
+        if kw == "DETACH":
+            from clickhouse_25_5_3_75_stable_spark.ddl import detach_table
+
+            tname = sql.strip().rstrip(";").split()[-1]
+            detach_table(spark, data_dir, tname)
+            _emit([(tname, "Ok")], ["table", "status"], fmt, out)
+            return 0
+        if kw == "ATTACH":
+            from clickhouse_25_5_3_75_stable_spark.ddl import attach_table
+
+            tname = sql.strip().rstrip(";").split()[-1]
+            attach_table(spark, data_dir, tname)
             _emit([(tname, "Ok")], ["table", "status"], fmt, out)
             return 0
         if kw == "TRUNCATE":

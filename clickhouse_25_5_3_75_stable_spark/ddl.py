@@ -251,15 +251,75 @@ def _ddl_extras():  # marker for coverage tooling
     return ("DROP TABLE", "TRUNCATE TABLE", "RENAME TABLE")
 
 
-def drop_table(spark: SparkSession, base_dir: str, name: str) -> None:
-    """DROP TABLE (reference InterpreterDropQuery): remove data + view."""
+def drop_table(spark: SparkSession, base_dir: str, name: str,
+               sync: bool = False) -> None:
+    """DROP TABLE (reference InterpreterDropQuery over an Atomic
+    database): the data moves to the _dropped/ parking area so UNDROP
+    can restore it (the reference keeps dropped tables for
+    database_atomic_delay_before_drop_table_sec); ``DROP ... SYNC``
+    deletes immediately, exactly the reference's SYNC modifier. A
+    library session has no background GC, so parked tables persist
+    until UNDROP or a SYNC re-drop."""
     import shutil
+    import time
 
-    shutil.rmtree(os.path.join(base_dir, name), ignore_errors=True)
+    path = os.path.join(base_dir, name)
+    if os.path.isdir(path):
+        if sync:
+            shutil.rmtree(path, ignore_errors=True)
+        else:
+            park = os.path.join(base_dir, "_dropped")
+            os.makedirs(park, exist_ok=True)
+            shutil.move(path, os.path.join(park, f"{name}.{time.time_ns()}"))
     try:
         spark.catalog.dropTempView(name)
     except Exception:
         pass
+
+
+def undrop_table(spark: SparkSession, base_dir: str, name: str) -> None:
+    """UNDROP TABLE (reference InterpreterUndropQuery): restore the
+    most recently dropped incarnation from the parking area."""
+    park = os.path.join(base_dir, "_dropped")
+    cands = sorted(
+        (d for d in os.listdir(park) if d.rsplit(".", 1)[0] == name)
+        if os.path.isdir(park) else [],
+        key=lambda d: int(d.rsplit(".", 1)[1]),
+    )
+    if not cands:
+        raise ValueError(f"UNDROP TABLE {name}: no dropped table to restore")
+    os.rename(os.path.join(park, cands[-1]), os.path.join(base_dir, name))
+    spark.read.parquet(os.path.join(base_dir, name)).createOrReplaceTempView(name)
+
+
+def detach_table(spark: SparkSession, base_dir: str, name: str) -> None:
+    """DETACH TABLE (reference InterpreterDropQuery kind=Detach): the
+    data stays on disk but the table disappears from the session until
+    ATTACH TABLE."""
+    import shutil
+
+    path = os.path.join(base_dir, name)
+    if not os.path.isdir(path):
+        raise ValueError(f"DETACH TABLE {name}: no such table")
+    det = os.path.join(base_dir, "_detached_tables")
+    os.makedirs(det, exist_ok=True)
+    shutil.move(path, os.path.join(det, name))
+    try:
+        spark.catalog.dropTempView(name)
+    except Exception:
+        pass
+
+
+def attach_table(spark: SparkSession, base_dir: str, name: str) -> None:
+    """ATTACH TABLE (reference ASTCreateQuery attach=true): bring a
+    detached table back."""
+    import shutil
+
+    src = os.path.join(base_dir, "_detached_tables", name)
+    if not os.path.isdir(src):
+        raise ValueError(f"ATTACH TABLE {name}: not detached")
+    shutil.move(src, os.path.join(base_dir, name))
+    spark.read.parquet(os.path.join(base_dir, name)).createOrReplaceTempView(name)
 
 
 def truncate_table(spark: SparkSession, base_dir: str, name: str) -> None:

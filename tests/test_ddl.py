@@ -736,3 +736,39 @@ def test_exchange_tables(spark, tmp_path):
     run("EXCHANGE TABLES ea AND eb")
     assert run("SELECT count() AS n FROM ea FORMAT CSV").strip() == "2"
     assert run("SELECT count() AS n FROM eb FORMAT CSV").strip() == "1"
+
+
+def test_drop_undrop_detach_attach_table(spark, tmp_path):
+    """Atomic-database drop semantics (reference InterpreterDropQuery /
+    InterpreterUndropQuery): DROP parks for UNDROP, DROP SYNC deletes,
+    DETACH/ATTACH TABLE hide and restore without touching data."""
+    import io
+    import os
+
+    from clickhouse_25_5_3_75_stable_spark.__main__ import run_local
+
+    d = str(tmp_path)
+
+    def run(sql, expect=0):
+        out = io.StringIO()
+        assert run_local(sql, d, spark=spark, out=out) == expect
+        return out.getvalue()
+
+    run("CREATE TABLE ut (v UInt32) ENGINE = MergeTree() ORDER BY v")
+    run("INSERT INTO ut VALUES (7), (8)")
+
+    run("DETACH TABLE ut")
+    assert os.path.isdir(os.path.join(d, "_detached_tables", "ut"))
+    run("ATTACH TABLE ut")
+    assert run("SELECT count() AS n FROM ut FORMAT CSV").strip() == "2"
+
+    run("DROP TABLE ut")
+    assert os.listdir(os.path.join(d, "_dropped"))
+    run("UNDROP TABLE ut")
+    assert run("SELECT count() AS n FROM ut FORMAT CSV").strip() == "2"
+
+    run("DROP TABLE ut SYNC")
+    assert not os.path.isdir(os.path.join(d, "ut"))
+    # nothing new parked by SYNC
+    assert not [x for x in os.listdir(os.path.join(d, "_dropped"))
+                if x.startswith("ut.")]
