@@ -120,6 +120,8 @@ def _register_dir(spark, data_dir: str) -> list[str]:
     names = []
     for f in sorted(os.listdir(data_dir)):
         path = os.path.join(data_dir, f)
+        if f.startswith(("_", ".")):
+            continue  # _dropped/_detached_tables/_shadow parking areas
         if f.endswith(".parquet"):
             name = f[: -len(".parquet")]
         elif os.path.isdir(path) and any(
@@ -128,7 +130,12 @@ def _register_dir(spark, data_dir: str) -> list[str]:
             name = f  # DDL-created table directory
         else:
             continue
-        spark.read.parquet(path).createOrReplaceTempView(name)
+        try:
+            spark.read.parquet(path).createOrReplaceTempView(name)
+        except Exception:
+            # an unreadable (corrupted) table must not take the whole
+            # session down — CHECK TABLE needs to run to DIAGNOSE it
+            continue
         names.append(name)
     return names
 
@@ -456,6 +463,44 @@ def run_local(sql: str, data_dir: str, spark=None, out=sys.stdout,
             drop_table(spark, data_dir, toks[-1], sync=sync)
             _emit([(toks[-1], "Ok")], ["table", "status"], fmt, out)
             return 0
+        if kw == "CHECK":
+            # CHECK TABLE (reference InterpreterCheckQuery): verify
+            # every part is readable and footer-consistent — here each
+            # parquet file's footer must parse and its row count must
+            # equal what a full decode yields
+            import glob as _glob
+
+            import pyarrow.parquet as _pq
+
+            cm = re.match(r"(?is)^\s*CHECK\s+TABLE\s+(\w+)", sql)
+            if not cm:
+                raise ValueError("unsupported CHECK shape (CHECK TABLE t)")
+            tname = cm.group(1)
+            tdir = os.path.join(data_dir, tname)
+            if not os.path.isdir(tdir):
+                raise ValueError(f"CHECK TABLE {tname}: no such table")
+            bad = []
+            total = 0
+            for f in _glob.glob(os.path.join(tdir, "**", "*.parquet"),
+                                recursive=True):
+                rel = os.path.relpath(f, tdir)
+                if rel.startswith(("_", ".")) or os.sep + "_" in os.sep + rel:
+                    continue
+                try:
+                    with open(f, "rb") as fh:
+                        if fh.read(4) != b"PAR1":
+                            raise ValueError("bad leading PAR1 magic")
+                    meta = _pq.read_metadata(f)
+                    n = _pq.read_table(f).num_rows
+                    if n != meta.num_rows:
+                        bad.append((rel, "row count mismatch"))
+                    total += 1
+                except Exception as e:
+                    bad.append((rel, str(e)[:80]))
+            rows = ([(tname, 0, f"{p}: {why}") for p, why in bad]
+                    or [(tname, 1, f"{total} parts ok")])
+            _emit(rows, ["table", "result", "message"], fmt, out)
+            return 0 if not bad else 1
         if kw == "UNDROP":
             from clickhouse_25_5_3_75_stable_spark.ddl import undrop_table
 

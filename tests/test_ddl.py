@@ -772,3 +772,32 @@ def test_drop_undrop_detach_attach_table(spark, tmp_path):
     # nothing new parked by SYNC
     assert not [x for x in os.listdir(os.path.join(d, "_dropped"))
                 if x.startswith("ut.")]
+
+
+def test_check_table(spark, tmp_path):
+    """CHECK TABLE (reference InterpreterCheckQuery): parts must decode
+    and match their footers; a corrupted file reports result=0."""
+    import glob
+    import io
+    import os
+
+    from clickhouse_25_5_3_75_stable_spark.__main__ import run_local
+
+    d = str(tmp_path)
+
+    def run(sql, expect=0):
+        out = io.StringIO()
+        assert run_local(sql, d, spark=spark, out=out) == expect
+        return out.getvalue()
+
+    run("CREATE TABLE ck (v UInt32) ENGINE = MergeTree() ORDER BY v")
+    run("INSERT INTO ck VALUES (1), (2)")
+    body = run("CHECK TABLE ck FORMAT CSV")
+    assert ",1," in body  # result=1
+
+    # corrupt a data file
+    f = [p for p in glob.glob(os.path.join(d, "ck", "*.parquet"))][0]
+    with open(f, "r+b") as fh:
+        fh.write(b"\x00\x00\x00\x00")  # clobber the PAR1 magic
+    body = run("CHECK TABLE ck FORMAT CSV", expect=1)
+    assert ",0," in body  # result=0 with a message
