@@ -672,6 +672,9 @@ def run_local(sql: str, data_dir: str, spark=None, out=sys.stdout,
                     r"(?is)^REPLACE\s+PARTITION\s+(.+?)\s+FROM\s+(\w+)\s*$",
                     action)
                 if mv or rp:
+                    from clickhouse_25_5_3_75_stable_spark.ddl import (
+                        register_table_view,
+                    )
                     from clickhouse_25_5_3_75_stable_spark.sources.layout import (
                         move_partition_to_table,
                         replace_partition_from,
@@ -681,13 +684,14 @@ def run_local(sql: str, data_dir: str, spark=None, out=sys.stdout,
                     td2 = load_table_def(data_dir, other)
                     if td2 is None:
                         raise ValueError(f"{other}: not a DDL-managed table")
-                    if td2.partition_by != td.partition_by or [
-                        t for _n, t in td2.columns
-                    ] != [t for _n, t in td.columns]:
+                    # NAMES and types must match — type-only comparison
+                    # let partitions with differently-named columns mix
+                    # into one tree (review-found silent corruption)
+                    if td2.partition_by != td.partition_by or td2.columns != td.columns:
                         raise ValueError(
-                            f"{tname} and {other} must share schema and "
-                            "partition key (reference throws on structure "
-                            "mismatch too)")
+                            f"{tname} and {other} must share column names, "
+                            "types and partition key (reference throws on "
+                            "structure mismatch too)")
                     opath = os.path.join(data_dir, other)
                     if mv:
                         move_partition_to_table(
@@ -695,18 +699,23 @@ def run_local(sql: str, data_dir: str, spark=None, out=sys.stdout,
                     else:
                         replace_partition_from(
                             tpath, opath, td.partition_by, _pval(rp.group(1)))
-                    for nm, pth in ((tname, tpath), (other, opath)):
+                    for nm, pth, tdn in ((tname, tpath, td), (other, opath, td2)):
                         try:
-                            spark.read.parquet(pth).createOrReplaceTempView(nm)
+                            register_table_view(spark, data_dir, nm)
                         except Exception:
                             spark.createDataFrame(
-                                [], td.spark_schema()
+                                [], tdn.spark_schema()
                             ).createOrReplaceTempView(nm)
                     _emit([(tname, "Ok")], ["table", "status"], fmt, out)
                     return 0
                 pm2 = re.match(
                     r"(?is)^(DETACH|ATTACH|DROP\s+DETACHED|DROP)\s+"
                     r"PARTITION\s+(.+?)\s*$", action)
+                if not pm2:
+                    raise ValueError(
+                        "unsupported ALTER PARTITION shape (DETACH/ATTACH/"
+                        "DROP [DETACHED] PARTITION v, MOVE PARTITION v TO "
+                        "TABLE t, REPLACE PARTITION v FROM t, FREEZE)")
                 verb = re.sub(r"\s+", " ", pm2.group(1).upper())
                 val = _pval(pm2.group(2))
                 if verb == "DETACH":
@@ -717,8 +726,12 @@ def run_local(sql: str, data_dir: str, spark=None, out=sys.stdout,
                     drop_detached_partition(tpath, td.partition_by, val)
                 else:
                     drop_partition(tpath, td.partition_by, val)
+                from clickhouse_25_5_3_75_stable_spark.ddl import (
+                    register_table_view,
+                )
+
                 try:
-                    spark.read.parquet(tpath).createOrReplaceTempView(tname)
+                    register_table_view(spark, data_dir, tname)
                 except Exception:
                     # every partition detached/dropped: an empty view
                     # with the declared schema, like an empty table
@@ -774,7 +787,7 @@ def run_local(sql: str, data_dir: str, spark=None, out=sys.stdout,
 
             import re as _re
 
-            m = _re.match(r"EXCHANGE\s+TABLES\s+(\w+)\s+AND\s+(\w+)",
+            m = _re.match(r"\s*EXCHANGE\s+TABLES\s+(\w+)\s+AND\s+(\w+)",
                           sql, _re.IGNORECASE)
             if not m:
                 raise ValueError("unsupported EXCHANGE shape "
@@ -977,26 +990,18 @@ def run_local(sql: str, data_dir: str, spark=None, out=sys.stdout,
             )
             from clickhouse_25_5_3_75_stable_spark.ddl import load_table_def
 
+            from clickhouse_25_5_3_75_stable_spark.ddl import (
+                append_to_table,
+                register_table_view,
+            )
+
             td = load_table_def(data_dir, tname)
             if td is not None and td.order_by:
                 sortable = [c for c in td.order_by if c in df.columns]
                 if sortable:
                     df = df.sortWithinPartitions(*sortable)
-            writer = df.write.mode("append")
-            if td is not None and td.partition_by and td.partition_by in df.columns:
-                # physical col=value dirs make DETACH/ATTACH/DROP
-                # PARTITION O(1) moves; drop CREATE's zero-row root
-                # marker first (mixed root breaks partition discovery)
-                import glob
-
-                import pyarrow.parquet as pq
-
-                for f in glob.glob(os.path.join(path, "part-*.parquet")):
-                    if pq.read_metadata(f).num_rows == 0:
-                        os.remove(f)
-                writer = writer.partitionBy(td.partition_by)
-            writer.parquet(path)
-            spark.read.parquet(path).createOrReplaceTempView(tname)
+            append_to_table(df, td, path)
+            register_table_view(spark, data_dir, tname)
             _emit([(tname, "Ok")], ["table", "status"], fmt, out)
             return 0
 

@@ -2463,12 +2463,17 @@ def ch_sql(spark, sql: str, sf_dir: str | None = None,
             df = default_cache().get_or_cache(df)
         # tag the result with ITS query id so a later deferred
         # explain_analyze attributes QueryFinish to this query, not to
-        # whatever transpiled last (review-found attribution bug)
+        # whatever transpiled last (review-found attribution bug).
+        # Never overwrite: a query-cache hit returns the SHARED cached
+        # DataFrame, and re-tagging it would re-attribute the ORIGINAL
+        # query's deferred profile (review-found); the first tag — the
+        # query that actually computed the plan — wins.
         from clickhouse_25_5_3_75_stable_spark.sources.system_tables import (
             current_query_id,
         )
 
-        df._ch_query_id = current_query_id()
+        if not hasattr(df, "_ch_query_id"):
+            df._ch_query_id = current_query_id()
         return df
     except Exception as e:  # upgrade unresolved CH names to a useful error
         msg = str(e)

@@ -213,10 +213,6 @@ class Database:
         return td
 
     def insert_into(self, name: str, df: DataFrame) -> None:
-        from clickhouse_25_5_3_75_stable_spark.sources.layout import (
-            write_mergetree_layout,
-        )
-
         td = self.tables[name]
         path = os.path.join(self.base, name)
         if td.order_by:
@@ -224,27 +220,55 @@ class Database:
             # expressions stay out of append mode (they need a column)
             sortable = [c for c in td.order_by if c in df.columns]
             df = df.sortWithinPartitions(*sortable) if sortable else df
-        writer = df.write.mode("append")
-        # a plain-column PARTITION BY lands as physical col=value dirs,
-        # which is what makes DETACH/ATTACH/DROP PARTITION O(1) moves
-        if td.partition_by and td.partition_by in df.columns:
-            # CREATE wrote a zero-row root-level marker file; a mixed
-            # root (flat file + col=value dirs) breaks Spark partition
-            # discovery, so drop empty root files before the first
-            # partitioned append (zero-row check keeps this safe)
-            import glob
-
-            import pyarrow.parquet as pq
-
-            for f in glob.glob(os.path.join(path, "part-*.parquet")):
-                if pq.read_metadata(f).num_rows == 0:
-                    os.remove(f)
-            writer = writer.partitionBy(td.partition_by)
-        writer.parquet(path)
-        self.spark.read.parquet(path).createOrReplaceTempView(name)
+        append_to_table(df, td, path)
+        register_table_view(self.spark, self.base, name)
 
     def table(self, name: str) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.base, name))
+
+
+def append_to_table(df: DataFrame, td: "TableDef | None", path: str) -> None:
+    """The one append-write path (CLI INSERT + Catalog.insert_into): a
+    plain-column PARTITION BY lands as physical col=value dirs — which
+    is what makes DETACH/ATTACH/DROP PARTITION O(1) moves. CREATE's
+    zero-row root marker is removed AFTER the write and only when
+    partition dirs actually exist, so a zero-row INSERT can never strand
+    the table unreadable (review-found)."""
+    partitioned = bool(td and td.partition_by and td.partition_by in df.columns)
+    writer = df.write.mode("append")
+    if partitioned:
+        writer = writer.partitionBy(td.partition_by)
+    writer.parquet(path)
+    if partitioned:
+        import glob
+
+        import pyarrow.parquet as pq
+
+        has_dirs = any(
+            os.path.isdir(os.path.join(path, d)) and "=" in d
+            for d in os.listdir(path)
+        )
+        if has_dirs:
+            for f in glob.glob(os.path.join(path, "part-*.parquet")):
+                if pq.read_metadata(f).num_rows == 0:
+                    os.remove(f)
+
+
+def register_table_view(spark: SparkSession, base_dir: str, name: str) -> DataFrame:
+    """(Re-)register a DDL table's temp view in DECLARED column order.
+    Physical partitionBy writes move the partition column to the end of
+    the parquet-inferred schema; without this reorder, a later
+    positional INSERT VALUES writes values into the wrong columns
+    (review-found silent corruption)."""
+    path = os.path.join(base_dir, name)
+    df = spark.read.parquet(path)
+    td = load_table_def(base_dir, name)
+    if td is not None:
+        declared = [c for c, _t in td.columns if c in df.columns]
+        extra = [c for c in df.columns if c not in declared]
+        df = df.select(*declared, *extra)
+    df.createOrReplaceTempView(name)
+    return df
 
 
 def _ddl_extras():  # marker for coverage tooling
@@ -288,8 +312,12 @@ def undrop_table(spark: SparkSession, base_dir: str, name: str) -> None:
     )
     if not cands:
         raise ValueError(f"UNDROP TABLE {name}: no dropped table to restore")
+    if os.path.exists(os.path.join(base_dir, name)):
+        raise ValueError(
+            f"UNDROP TABLE {name}: a live table with that name exists "
+            "(reference: TABLE_ALREADY_EXISTS)")
     os.rename(os.path.join(park, cands[-1]), os.path.join(base_dir, name))
-    spark.read.parquet(os.path.join(base_dir, name)).createOrReplaceTempView(name)
+    register_table_view(spark, base_dir, name)
 
 
 def detach_table(spark: SparkSession, base_dir: str, name: str) -> None:
@@ -303,6 +331,12 @@ def detach_table(spark: SparkSession, base_dir: str, name: str) -> None:
         raise ValueError(f"DETACH TABLE {name}: no such table")
     det = os.path.join(base_dir, "_detached_tables")
     os.makedirs(det, exist_ok=True)
+    if os.path.exists(os.path.join(det, name)):
+        # shutil.move would NEST the new dir inside the old one,
+        # corrupting both incarnations (review-found)
+        raise ValueError(
+            f"DETACH TABLE {name}: an earlier detached incarnation exists "
+            "— ATTACH or remove it first")
     shutil.move(path, os.path.join(det, name))
     try:
         spark.catalog.dropTempView(name)
@@ -318,8 +352,11 @@ def attach_table(spark: SparkSession, base_dir: str, name: str) -> None:
     src = os.path.join(base_dir, "_detached_tables", name)
     if not os.path.isdir(src):
         raise ValueError(f"ATTACH TABLE {name}: not detached")
+    if os.path.exists(os.path.join(base_dir, name)):
+        raise ValueError(
+            f"ATTACH TABLE {name}: a live table with that name exists")
     shutil.move(src, os.path.join(base_dir, name))
-    spark.read.parquet(os.path.join(base_dir, name)).createOrReplaceTempView(name)
+    register_table_view(spark, base_dir, name)
 
 
 def truncate_table(spark: SparkSession, base_dir: str, name: str) -> None:
@@ -345,7 +382,7 @@ def rename_table(spark: SparkSession, base_dir: str, old: str, new: str) -> None
         spark.catalog.dropTempView(old)
     except Exception:
         pass
-    spark.read.parquet(os.path.join(base_dir, new)).createOrReplaceTempView(new)
+    register_table_view(spark, base_dir, new)
 
 
 def exchange_tables(spark: SparkSession, base_dir: str, a: str, b: str) -> None:
@@ -365,7 +402,7 @@ def exchange_tables(spark: SparkSession, base_dir: str, a: str, b: str) -> None:
         if td is not None:
             td.name = name
             save_table_def(base_dir, td)
-        spark.read.parquet(os.path.join(base_dir, name)).createOrReplaceTempView(name)
+        register_table_view(spark, base_dir, name)
 
 
 _DDL_META = "_ddl.json"

@@ -801,3 +801,77 @@ def test_check_table(spark, tmp_path):
         fh.write(b"\x00\x00\x00\x00")  # clobber the PAR1 magic
     body = run("CHECK TABLE ck FORMAT CSV", expect=1)
     assert ",0," in body  # result=0 with a message
+
+
+def test_partitioned_insert_keeps_declared_column_order(spark, tmp_path):
+    """Physical partitionBy writes move the partition column last in
+    parquet's inferred schema; the view must re-order to the DECLARED
+    order or a second positional INSERT corrupts columns
+    (review-found)."""
+    import io
+
+    from clickhouse_25_5_3_75_stable_spark.__main__ import run_local
+
+    d = str(tmp_path)
+
+    def run(sql, expect=0):
+        out = io.StringIO()
+        assert run_local(sql, d, spark=spark, out=out) == expect
+        return out.getvalue()
+
+    run("CREATE TABLE po (m UInt32, v Float64) ENGINE = MergeTree() "
+        "ORDER BY v PARTITION BY m")
+    run("INSERT INTO po VALUES (1, 1.5)")
+    run("INSERT INTO po VALUES (2, 3.5)")  # positional, post-partitioned-write
+    body = run("SELECT m, v FROM po ORDER BY m FORMAT CSV").strip().splitlines()
+    assert body == ["1,1.5", "2,3.5"]
+    # SELECT * keeps declared order too
+    hdr_rows = run("SELECT * FROM po ORDER BY m FORMAT CSV").strip().splitlines()
+    assert hdr_rows == ["1,1.5", "2,3.5"]
+
+    # zero-row INSERT must not strand the table unreadable (the marker
+    # is only removed when partition dirs actually exist)
+    run("CREATE TABLE pz (m UInt32, v Float64) ENGINE = MergeTree() "
+        "ORDER BY v PARTITION BY m")
+    run("INSERT INTO pz SELECT m, v FROM po WHERE m > 100")
+    assert run("SELECT count() AS n FROM pz FORMAT CSV").strip() == "0"
+
+
+def test_lifecycle_refusals(spark, tmp_path):
+    """Review-found crash/corruption shapes now refuse cleanly."""
+    import io
+
+    import pytest
+
+    from clickhouse_25_5_3_75_stable_spark.__main__ import run_local
+
+    d = str(tmp_path)
+
+    def run(sql):
+        out = io.StringIO()
+        run_local(sql, d, spark=spark, out=out)
+        return out.getvalue()
+
+    run("CREATE TABLE la (m UInt32, x Float64) ENGINE = MergeTree() "
+        "ORDER BY x PARTITION BY m")
+    run("CREATE TABLE lb (m UInt32, y Float64) ENGINE = MergeTree() "
+        "ORDER BY y PARTITION BY m")
+    run("INSERT INTO la VALUES (1, 1.0)")
+    # same types, different NAMES -> refuse (was silent corruption)
+    with pytest.raises(ValueError, match="column names"):
+        run("ALTER TABLE la MOVE PARTITION 1 TO TABLE lb")
+    # MOVE ... TO VOLUME is not the table form -> clean refusal
+    with pytest.raises(ValueError, match="ALTER PARTITION shape"):
+        run("ALTER TABLE la MOVE PARTITION 1 TO VOLUME 'default'")
+    # double DETACH TABLE must not nest (was corruption)
+    run("DETACH TABLE la")
+    run("CREATE TABLE la (m UInt32, x Float64) ENGINE = MergeTree() "
+        "ORDER BY x PARTITION BY m")
+    with pytest.raises(ValueError, match="earlier detached"):
+        run("DETACH TABLE la")
+    # UNDROP onto a live table refuses (was raw OSError)
+    run("DROP TABLE lb")
+    run("CREATE TABLE lb (m UInt32, y Float64) ENGINE = MergeTree() "
+        "ORDER BY y PARTITION BY m")
+    with pytest.raises(ValueError, match="live table"):
+        run("UNDROP TABLE lb")
