@@ -1041,11 +1041,34 @@ def run_local(sql: str, data_dir: str, spark=None, out=sys.stdout,
             elif cmd in ("FLUSH LOGS", "RELOAD DICTIONARIES") or \
                     cmd.startswith("RELOAD DICTIONARY"):
                 pass  # logs are synchronous; dictionaries rebuild per use
+            elif cmd.startswith("UNFREEZE WITH NAME"):
+                # reference InterpreterSystemQuery UNFREEZE: remove the
+                # named FREEZE snapshot from every table's _shadow/
+                import re as _re2
+                import shutil as _sh
+
+                # re-parse from the raw SQL: cmd was uppercased, which
+                # would corrupt the quoted snapshot name
+                um = _re2.match(
+                    r"(?is)^\s*SYSTEM\s+UNFREEZE\s+WITH\s+NAME\s+'([^']+)'",
+                    sql.strip().rstrip(";"))
+                if not um:
+                    raise ValueError("SYSTEM UNFREEZE WITH NAME 'backup'")
+                removed = 0
+                for tdir in os.listdir(data_dir):
+                    snap = os.path.join(data_dir, tdir, "_shadow", um.group(1))
+                    if os.path.isdir(snap):
+                        _sh.rmtree(snap)
+                        removed += 1
+                _emit([(cmd, f"Ok ({removed} snapshots)")],
+                      ["command", "status"], fmt, out)
+                return 0
             else:
                 raise ValueError(
                     f"SYSTEM {cmd}: no analogue in this engine (supported: "
                     "DROP QUERY/MARK/UNCOMPRESSED/FILESYSTEM CACHE, "
-                    "STOP/START MERGES, FLUSH LOGS, RELOAD DICTIONARIES)")
+                    "STOP/START MERGES, FLUSH LOGS, RELOAD DICTIONARIES, "
+                    "UNFREEZE WITH NAME)")
             _emit([(cmd, "Ok")], ["command", "status"], fmt, out)
             return 0
 
@@ -1113,6 +1136,10 @@ def run_local(sql: str, data_dir: str, spark=None, out=sys.stdout,
 
         df = _route_projection(spark, data_dir, sql)
         if df is None:
+            # the CLI's data dir IS the catalog dir — directory-backed
+            # system tables (tables/columns/detached_tables) find it
+            # via the session conf, set at startup
+            spark.conf.set("spark.chspark.dataDir", data_dir)
             df = _ch_sql(spark, sql, params=params)
         if max_result_rows is None:
             max_result_rows = spark.conf.get("spark.chspark.maxResultRows", None)

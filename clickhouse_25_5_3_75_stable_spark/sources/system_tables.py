@@ -812,6 +812,25 @@ def system_dictionaries(spark: SparkSession) -> DataFrame:
     )
 
 
+def system_detached_tables(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
+    """system.detached_tables (StorageSystemDetachedTables.cpp, new in
+    the reference line): tables parked by DETACH TABLE, with their
+    on-disk location."""
+    import os
+
+    rows = []
+    if sf_dir:
+        det = os.path.join(sf_dir, "_detached_tables")
+        if os.path.isdir(det):
+            for name in sorted(os.listdir(det)):
+                rows.append(("default", name, os.path.join(det, name), 0))
+    return spark.createDataFrame(
+        rows or [],
+        "database string, table string, metadata_path string, "
+        "is_permanently bigint",
+    )
+
+
 def system_macros(spark: SparkSession) -> DataFrame:
     """system.macros (StorageSystemMacros.cpp): the session's macro
     substitutions (reference: server-config <macros>; here set_macro)."""
@@ -936,6 +955,7 @@ _SQL_SYSTEM_TABLES = {
     "metrics": (system_metrics, False),
     "macros": (system_macros, False),
     "dictionaries": (system_dictionaries, False),
+    "detached_tables": (system_detached_tables, True),
 }
 
 _SYSTEM_REF_RE = None
@@ -969,6 +989,9 @@ def materialize_system_views(spark: SparkSession, names, sf_dir=None) -> None:
     for name in names:
         builder, needs_sf = _SQL_SYSTEM_TABLES[name]
         if needs_sf:
+            if sf_dir is None:
+                # the CLI publishes its catalog dir in the session conf
+                sf_dir = spark.conf.get("spark.chspark.dataDir", None)
             if sf_dir is None:
                 raise ChSqlError(
                     f"system.{name} needs a data directory — call "

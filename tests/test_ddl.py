@@ -875,3 +875,32 @@ def test_lifecycle_refusals(spark, tmp_path):
         "ORDER BY y PARTITION BY m")
     with pytest.raises(ValueError, match="live table"):
         run("UNDROP TABLE lb")
+
+
+def test_unfreeze_and_detached_tables(spark, tmp_path):
+    import io
+    import os
+
+    from clickhouse_25_5_3_75_stable_spark.__main__ import run_local
+
+    d = str(tmp_path)
+
+    def run(sql):
+        out = io.StringIO()
+        assert run_local(sql, d, spark=spark, out=out) == 0
+        return out.getvalue()
+
+    run("CREATE TABLE uf (m UInt32, v Float64) ENGINE = MergeTree() "
+        "ORDER BY v PARTITION BY m")
+    run("INSERT INTO uf VALUES (1, 1.0)")
+    run("ALTER TABLE uf FREEZE PARTITION 1 WITH NAME 'snapA'")
+    assert os.path.isdir(os.path.join(d, "uf", "_shadow", "snapA"))
+    run("SYSTEM UNFREEZE WITH NAME 'snapA'")
+    assert not os.path.isdir(os.path.join(d, "uf", "_shadow", "snapA"))
+
+    run("DETACH TABLE uf")
+    body = run("SELECT database, table FROM system.detached_tables FORMAT CSV")
+    assert "default,uf" in body
+    run("ATTACH TABLE uf")
+    body = run("SELECT count() AS n FROM system.detached_tables FORMAT CSV")
+    assert body.strip() == "0"
