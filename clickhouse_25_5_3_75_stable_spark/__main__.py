@@ -463,6 +463,27 @@ def run_local(sql: str, data_dir: str, spark=None, out=sys.stdout,
             drop_table(spark, data_dir, toks[-1], sync=sync)
             _emit([(toks[-1], "Ok")], ["table", "status"], fmt, out)
             return 0
+        if kw == "WATCH":
+            # WATCH lv [LIMIT n] (reference InterpreterWatchQuery):
+            # stream (rows, _version) heartbeats; the CLI form emits
+            # the collected heartbeats (initial state counts as one)
+            from clickhouse_25_5_3_75_stable_spark.streaming.liveview import (
+                LIVE_VIEWS,
+            )
+
+            wm = re.match(r"(?is)^\s*WATCH\s+(\w+)(?:\s+LIMIT\s+(\d+))?",
+                          sql)
+            if not wm or wm.group(1) not in LIVE_VIEWS:
+                raise ValueError("WATCH <live view> [LIMIT n]")
+            lvv = LIVE_VIEWS[wm.group(1)]
+            n = int(wm.group(2)) if wm.group(2) else 1
+            rows_out = []
+            for rows, ver in lvv.watch(spark, limit=n, timeout_s=0.5):
+                for r in rows:
+                    rows_out.append(tuple(r) + (ver,))
+            cols = list(lvv._cols) + ["_version"]
+            _emit(rows_out, cols, fmt, out)
+            return 0
         if kw == "CHECK":
             # CHECK TABLE (reference InterpreterCheckQuery): verify
             # every part is readable and footer-consistent — here each
@@ -798,6 +819,28 @@ def run_local(sql: str, data_dir: str, spark=None, out=sys.stdout,
         if kw == "CREATE":
             import re as _re
 
+            lv = _re.match(
+                r"\s*CREATE\s+LIVE\s+VIEW\s+(\w+)\s+AS\s+(.*)",
+                sql, _re.IGNORECASE | _re.DOTALL,
+            )
+            if lv:
+                # reference StorageLiveView: continuously re-evaluated
+                # result, version-bumped by INSERTs into source tables
+                from clickhouse_25_5_3_75_stable_spark.chsql import (
+                    ch_sql as _lv_sql,
+                )
+                from clickhouse_25_5_3_75_stable_spark.streaming.liveview import (
+                    LiveView,
+                )
+
+                vname, body = lv.group(1), lv.group(2).strip().rstrip(";")
+                srcs = tuple(_re.findall(
+                    r"(?is)\bFROM\s+(\w+)|\bJOIN\s+(\w+)", body))
+                srcs = tuple({a or b for a, b in srcs})
+                LiveView(vname, lambda sp, _b=body: _lv_sql(sp, _b),
+                         source_tables=srcs)
+                _emit([(vname, "Ok")], ["table", "status"], fmt, out)
+                return 0
             mv = _re.match(
                 r"CREATE\s+(MATERIALIZED\s+)?VIEW\s+(\w+)\s+AS\s+(.*)",
                 sql, _re.IGNORECASE | _re.DOTALL,
@@ -1002,6 +1045,11 @@ def run_local(sql: str, data_dir: str, spark=None, out=sys.stdout,
                     df = df.sortWithinPartitions(*sortable)
             append_to_table(df, td, path)
             register_table_view(spark, data_dir, tname)
+            from clickhouse_25_5_3_75_stable_spark.streaming.liveview import (
+                notify_all_views,
+            )
+
+            notify_all_views(tname)
             _emit([(tname, "Ok")], ["table", "status"], fmt, out)
             return 0
 
@@ -1134,6 +1182,15 @@ def run_local(sql: str, data_dir: str, spark=None, out=sys.stdout,
         # settings like the reference
         from clickhouse_25_5_3_75_stable_spark.chsql import ch_sql as _ch_sql
 
+        # refresh any referenced LIVE VIEWs into temp views first
+        # (SELECT * FROM lv sees the current result + _version)
+        from clickhouse_25_5_3_75_stable_spark.streaming.liveview import (
+            LIVE_VIEWS,
+        )
+
+        for _nm in list(LIVE_VIEWS):
+            if re.search(rf"\b{_nm}\b", sql):
+                LIVE_VIEWS[_nm].read(spark).createOrReplaceTempView(_nm)
         df = _route_projection(spark, data_dir, sql)
         if df is None:
             # the CLI's data dir IS the catalog dir — directory-backed

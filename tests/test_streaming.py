@@ -677,3 +677,45 @@ def test_window_view_allowed_lateness_update_and_drop(spark, tmp_path):
         ).collect()
     }
     assert per_window == want
+
+
+def test_live_view_and_watch(spark, tmp_path):
+    """LIVE VIEW + WATCH (reference StorageLiveView /
+    InterpreterWatchQuery): version bumps on INSERT, SELECT sees the
+    refreshed result with _version, WATCH streams heartbeats, and a
+    burst of inserts between reads coalesces to one version."""
+    import io
+
+    from clickhouse_25_5_3_75_stable_spark.__main__ import run_local
+    from clickhouse_25_5_3_75_stable_spark.streaming.liveview import (
+        LIVE_VIEWS,
+        drop_live_view,
+    )
+
+    d = str(tmp_path)
+
+    def run(sql):
+        out = io.StringIO()
+        assert run_local(sql, d, spark=spark, out=out) == 0
+        return out.getvalue()
+
+    try:
+        run("CREATE TABLE lt (v UInt32) ENGINE = MergeTree() ORDER BY v")
+        run("INSERT INTO lt VALUES (1)")
+        run("CREATE LIVE VIEW lv1 AS SELECT count() AS n, sum(v) AS s FROM lt")
+        body = run("SELECT n, s, _version FROM lv1 FORMAT CSV").strip()
+        assert body == "1,1,1"
+        # two inserts, one read -> ONE version bump (burst coalescing)
+        run("INSERT INTO lt VALUES (2)")
+        run("INSERT INTO lt VALUES (3)")
+        body = run("SELECT n, s, _version FROM lv1 FORMAT CSV").strip()
+        assert body == "3,6,2"
+        # WATCH initial heartbeat carries the current state
+        body = run("WATCH lv1 LIMIT 1 FORMAT CSV").strip()
+        assert body == "3,6,2"
+        # unrelated-table inserts do not invalidate
+        run("CREATE TABLE other (v UInt32) ENGINE = MergeTree() ORDER BY v")
+        run("INSERT INTO other VALUES (9)")
+        assert not LIVE_VIEWS["lv1"]._dirty
+    finally:
+        drop_live_view("lv1")
