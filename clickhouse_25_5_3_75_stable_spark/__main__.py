@@ -131,7 +131,17 @@ def _register_dir(spark, data_dir: str) -> list[str]:
         else:
             continue
         try:
-            spark.read.parquet(path).createOrReplaceTempView(name)
+            if os.path.isdir(path):
+                # DDL-managed dirs: declared column order + cast-on-read
+                # type evolution + rename mapping (plain read clobbered
+                # the evolved view at session start otherwise)
+                from clickhouse_25_5_3_75_stable_spark.ddl import (
+                    register_table_view,
+                )
+
+                register_table_view(spark, data_dir, name)
+            else:
+                spark.read.parquet(path).createOrReplaceTempView(name)
         except Exception:
             # an unreadable (corrupted) table must not take the whole
             # session down — CHECK TABLE needs to run to DIAGNOSE it
@@ -618,6 +628,29 @@ def run_local(sql: str, data_dir: str, spark=None, out=sys.stdout,
                         (sums if fn in ("sum", "avg") else minmaxs).append(c)
                 add_projection(spark, data_dir, tname, pm.group(1), keys,
                                sorted(set(sums)), sorted(set(minmaxs)))
+            elif up.startswith("MODIFY COLUMN"):
+                from clickhouse_25_5_3_75_stable_spark.ddl import (
+                    alter_modify_column,
+                )
+
+                mm = re.match(
+                    r"(?is)MODIFY\s+COLUMN\s+(\w+)\s+([\w]+(?:\([\w, ]*\))?)\s*$",
+                    action)
+                if not mm:
+                    raise ValueError("unsupported MODIFY COLUMN shape")
+                alter_modify_column(spark, data_dir, tname,
+                                    mm.group(1), mm.group(2))
+            elif up.startswith("RENAME COLUMN"):
+                from clickhouse_25_5_3_75_stable_spark.ddl import (
+                    alter_rename_column,
+                )
+
+                rm = re.match(
+                    r"(?is)RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*$", action)
+                if not rm:
+                    raise ValueError("unsupported RENAME COLUMN shape")
+                alter_rename_column(spark, data_dir, tname,
+                                    rm.group(1), rm.group(2))
             elif up.startswith("MODIFY TTL") or up.startswith("REMOVE TTL"):
                 from clickhouse_25_5_3_75_stable_spark.ddl import (
                     load_table_def,

@@ -51,6 +51,9 @@ class TableDef:
     ttl: str | None = None
     # projections: [{name, keys, sums, minmaxs}] — ADD PROJECTION DDL
     projections: list = field(default_factory=list)
+    # RENAME COLUMN history: declared name -> former physical names
+    # (old parquet files keep writing-time names; reads coalesce)
+    renames: dict = field(default_factory=dict)
 
     def spark_schema(self, mode: str = "exact") -> str:
         return ", ".join(
@@ -255,20 +258,92 @@ def append_to_table(df: DataFrame, td: "TableDef | None", path: str) -> None:
 
 
 def register_table_view(spark: SparkSession, base_dir: str, name: str) -> DataFrame:
-    """(Re-)register a DDL table's temp view in DECLARED column order.
-    Physical partitionBy writes move the partition column to the end of
-    the parquet-inferred schema; without this reorder, a later
-    positional INSERT VALUES writes values into the wrong columns
-    (review-found silent corruption)."""
+    """(Re-)register a DDL table's temp view in DECLARED column order,
+    with cast-on-read type evolution and rename mapping.
+
+    - Physical partitionBy writes move the partition column to the end
+      of the parquet-inferred schema; without the reorder, a later
+      positional INSERT VALUES writes values into the wrong columns
+      (review-found silent corruption).
+    - MODIFY COLUMN records the new type in the def; files written
+      before the change cast at read (the metadata-mutation model the
+      repo uses for ADD COLUMN defaults; the reference rewrites via a
+      mutation, same visible result).
+    - RENAME COLUMN records former physical names; reads coalesce the
+      declared name with its former names, so old and new parts serve
+      one logical column."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_25_5_3_75_stable_spark.functions.typemap import (
+        ch_type_to_spark,
+    )
+
     path = os.path.join(base_dir, name)
-    df = spark.read.parquet(path)
     td = load_table_def(base_dir, name)
+    # schema evolution (ADD/RENAME COLUMN) leaves parts with different
+    # physical schemas; without mergeSchema the read takes ONE file's
+    # schema and silently drops the others' columns
+    reader = spark.read.option("mergeSchema", "true") if td is not None else spark.read
+    df = reader.parquet(path)
     if td is not None:
-        declared = [c for c, _t in td.columns if c in df.columns]
-        extra = [c for c in df.columns if c not in declared]
-        df = df.select(*declared, *extra)
+        phys = dict(zip(df.columns, [f.dataType.simpleString() for f in df.schema.fields]))
+        sel = []
+        used = set()
+        for cname, chtype in td.columns:
+            want = ch_type_to_spark(chtype)
+            sources = [c for c in [cname] + td.renames.get(cname, [])
+                       if c in phys]
+            if not sources:
+                continue
+            used.update(sources)
+            cols = [F.col(c).cast(want) for c in sources]
+            expr = cols[0] if len(cols) == 1 else F.coalesce(*cols)
+            sel.append(expr.alias(cname))
+        extra = [F.col(c) for c in df.columns if c not in used
+                 and c not in {n for n, _t in td.columns}]
+        df = df.select(*sel, *extra)
     df.createOrReplaceTempView(name)
     return df
+
+
+def alter_modify_column(spark: SparkSession, base_dir: str, name: str,
+                        col: str, new_type: str) -> None:
+    """ALTER TABLE ... MODIFY COLUMN c Type (reference
+    MutationsInterpreter type mutation): metadata change + cast at
+    read; new INSERTs write the new type via the view's schema."""
+    td = load_table_def(base_dir, name)
+    if td is None:
+        raise ValueError(f"{name}: not a DDL-managed table")
+    if col not in {c for c, _t in td.columns}:
+        raise ValueError(f"MODIFY COLUMN: no column {col!r} in {name}")
+    td.columns = [(c, new_type if c == col else t) for c, t in td.columns]
+    save_table_def(base_dir, td)
+    register_table_view(spark, base_dir, name)
+
+
+def alter_rename_column(spark: SparkSession, base_dir: str, name: str,
+                        old: str, new: str) -> None:
+    """ALTER TABLE ... RENAME COLUMN a TO b (reference
+    AlterCommand::RENAME_COLUMN): metadata-only — old parts keep the
+    old physical name, the view coalesces both under the new name."""
+    td = load_table_def(base_dir, name)
+    if td is None:
+        raise ValueError(f"{name}: not a DDL-managed table")
+    names = {c for c, _t in td.columns}
+    if old not in names:
+        raise ValueError(f"RENAME COLUMN: no column {old!r} in {name}")
+    if new in names:
+        raise ValueError(f"RENAME COLUMN: {new!r} already exists in {name}")
+    if td.partition_by == old:
+        raise ValueError(
+            "RENAME COLUMN: cannot rename the partition column (physical "
+            "col=value directories carry its name)")
+    td.columns = [(new if c == old else c, t) for c, t in td.columns]
+    td.order_by = [new if c == old else c for c in td.order_by]
+    # the new name inherits the old name's full former-name chain
+    td.renames[new] = [old] + td.renames.pop(old, [])
+    save_table_def(base_dir, td)
+    register_table_view(spark, base_dir, name)
 
 
 def _ddl_extras():  # marker for coverage tooling
@@ -415,7 +490,7 @@ def save_table_def(base_dir: str, td: TableDef) -> None:
         "name": td.name, "columns": td.columns, "engine": td.engine,
         "engine_args": td.engine_args, "order_by": td.order_by,
         "partition_by": td.partition_by, "ttl": td.ttl,
-        "projections": td.projections,
+        "projections": td.projections, "renames": td.renames,
     }
     with open(os.path.join(base_dir, td.name, _DDL_META), "w") as fh:
         json.dump(meta, fh)
@@ -433,7 +508,7 @@ def load_table_def(base_dir: str, name: str) -> TableDef | None:
         name=m["name"], columns=[tuple(c) for c in m["columns"]],
         engine=m["engine"], engine_args=m["engine_args"],
         order_by=m["order_by"], partition_by=m["partition_by"], ttl=m["ttl"],
-        projections=m.get("projections", []),
+        projections=m.get("projections", []), renames=m.get("renames", {}),
     )
 
 

@@ -904,3 +904,51 @@ def test_unfreeze_and_detached_tables(spark, tmp_path):
     run("ATTACH TABLE uf")
     body = run("SELECT count() AS n FROM system.detached_tables FORMAT CSV")
     assert body.strip() == "0"
+
+
+def test_modify_and_rename_column(spark, tmp_path):
+    """MODIFY COLUMN (cast-on-read type evolution) and RENAME COLUMN
+    (metadata-only; old parts keep the old physical name and the view
+    coalesces both) — reference AlterCommand MODIFY/RENAME_COLUMN."""
+    import io
+
+    import pytest
+
+    from clickhouse_25_5_3_75_stable_spark.__main__ import run_local
+
+    d = str(tmp_path)
+
+    def run(sql):
+        out = io.StringIO()
+        assert run_local(sql, d, spark=spark, out=out) == 0
+        return out.getvalue()
+
+    run("CREATE TABLE mc (k UInt32, price Float64) ENGINE = MergeTree() "
+        "ORDER BY k")
+    run("INSERT INTO mc VALUES (1, 10.5), (2, 20.25)")
+
+    # type evolution: Float64 -> String; old files cast at read
+    run("ALTER TABLE mc MODIFY COLUMN price String")
+    body = run("SELECT price FROM mc ORDER BY k FORMAT CSV").strip().splitlines()
+    assert body == ["10.5", "20.25"]
+    desc = run("DESCRIBE mc FORMAT CSV")
+    assert "price,string" in desc
+
+    # rename: old parts keep physical 'price'; new INSERT writes 'cost'
+    run("ALTER TABLE mc RENAME COLUMN price TO cost")
+    run("INSERT INTO mc VALUES (3, '30.75')")
+    body = run("SELECT k, cost FROM mc ORDER BY k FORMAT CSV").strip().splitlines()
+    assert body == ["1,10.5", "2,20.25", "3,30.75"]
+    # old name is gone from the logical schema
+    desc = run("DESCRIBE mc FORMAT CSV")
+    assert "cost,string" in desc and "price" not in desc
+
+    # refusals
+    with pytest.raises(ValueError, match="no column"):
+        run("ALTER TABLE mc MODIFY COLUMN nope UInt64")
+    with pytest.raises(ValueError, match="already exists"):
+        run("ALTER TABLE mc RENAME COLUMN cost TO k")
+    run("CREATE TABLE mp (m UInt32, v Float64) ENGINE = MergeTree() "
+        "ORDER BY v PARTITION BY m")
+    with pytest.raises(ValueError, match="partition column"):
+        run("ALTER TABLE mp RENAME COLUMN m TO n")
