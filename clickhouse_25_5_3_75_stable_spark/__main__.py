@@ -125,9 +125,15 @@ def _register_dir(spark, data_dir: str) -> list[str]:
         if f.endswith(".parquet"):
             name = f[: -len(".parquet")]
         elif os.path.isdir(path) and any(
-            p.endswith(".parquet") for p in os.listdir(path)
+            p.endswith((".parquet", ".json")) or ("=" in p and os.path.isdir(
+                os.path.join(path, p)))
+            for p in os.listdir(path)
         ):
-            name = f  # DDL-created table directory
+            # DDL table directory: flat parts, the _ddl.json def, OR
+            # col=value partition dirs (a partitioned table has no
+            # root-level parquet once the zero-row markers are gone —
+            # review-found: such tables vanished from the catalog)
+            name = f
         else:
             continue
         try:
@@ -381,6 +387,11 @@ def run_local(sql: str, data_dir: str, spark=None, out=sys.stdout,
         spark = get_spark(app_name="ch-local")
         spark.sparkContext.setLogLevel("ERROR")
     try:
+        # publish the catalog dir for directory-backed system tables
+        # BEFORE any dispatch (review-found: setting it only in the
+        # SELECT tail left WATCH/LIVE VIEW materializations without it,
+        # and a stale dir across run_local(data_dir=...) changes)
+        spark.conf.set("spark.chspark.dataDir", data_dir)
         names = _register_dir(spark, data_dir)
         sql, fmt = _detect_format(sql)
         head = sql.strip().split(None, 2)
@@ -464,13 +475,26 @@ def run_local(sql: str, data_dir: str, spark=None, out=sys.stdout,
             return 0
         if kw == "DROP":
             from clickhouse_25_5_3_75_stable_spark.ddl import drop_table
+            from clickhouse_25_5_3_75_stable_spark.streaming.liveview import (
+                LIVE_VIEWS,
+                drop_live_view,
+            )
 
             toks = sql.strip().rstrip(";").split()
             sync = toks[-1].upper() == "SYNC"
             if sync:
                 toks = toks[:-1]
             # last token handles DROP TABLE [IF EXISTS] t
-            drop_table(spark, data_dir, toks[-1], sync=sync)
+            if toks[-1] in LIVE_VIEWS:
+                # a zombie registry entry would shadow same-named
+                # tables in later SELECTs (review-found)
+                drop_live_view(toks[-1])
+                try:
+                    spark.catalog.dropTempView(toks[-1])
+                except Exception:
+                    pass
+            else:
+                drop_table(spark, data_dir, toks[-1], sync=sync)
             _emit([(toks[-1], "Ok")], ["table", "status"], fmt, out)
             return 0
         if kw == "WATCH":
@@ -867,11 +891,28 @@ def run_local(sql: str, data_dir: str, spark=None, out=sys.stdout,
                 )
 
                 vname, body = lv.group(1), lv.group(2).strip().rstrip(";")
+                if os.path.isdir(os.path.join(data_dir, vname)) or \
+                        os.path.exists(os.path.join(data_dir, f"{vname}.parquet")):
+                    raise ValueError(
+                        f"CREATE LIVE VIEW {vname}: a table with that name "
+                        "exists")
                 srcs = tuple(_re.findall(
                     r"(?is)\bFROM\s+(\w+)|\bJOIN\s+(\w+)", body))
                 srcs = tuple({a or b for a, b in srcs})
-                LiveView(vname, lambda sp, _b=body: _lv_sql(sp, _b),
-                         source_tables=srcs)
+                view = LiveView(vname, lambda sp, _b=body: _lv_sql(sp, _b),
+                                source_tables=srcs)
+                # validate + take the initial state NOW (the reference
+                # analyzes at CREATE; a bogus body must not detonate
+                # inside an unrelated later statement — review-found)
+                try:
+                    view.read(spark)
+                except Exception:
+                    from clickhouse_25_5_3_75_stable_spark.streaming.liveview import (
+                        drop_live_view,
+                    )
+
+                    drop_live_view(vname)
+                    raise
                 _emit([(vname, "Ok")], ["table", "status"], fmt, out)
                 return 0
             mv = _re.match(
@@ -1226,10 +1267,6 @@ def run_local(sql: str, data_dir: str, spark=None, out=sys.stdout,
                 LIVE_VIEWS[_nm].read(spark).createOrReplaceTempView(_nm)
         df = _route_projection(spark, data_dir, sql)
         if df is None:
-            # the CLI's data dir IS the catalog dir — directory-backed
-            # system tables (tables/columns/detached_tables) find it
-            # via the session conf, set at startup
-            spark.conf.set("spark.chspark.dataDir", data_dir)
             df = _ch_sql(spark, sql, params=params)
         if max_result_rows is None:
             max_result_rows = spark.conf.get("spark.chspark.maxResultRows", None)

@@ -286,7 +286,7 @@ def register_table_view(spark: SparkSession, base_dir: str, name: str) -> DataFr
     reader = spark.read.option("mergeSchema", "true") if td is not None else spark.read
     df = reader.parquet(path)
     if td is not None:
-        phys = dict(zip(df.columns, [f.dataType.simpleString() for f in df.schema.fields]))
+        phys = set(df.columns)
         sel = []
         used = set()
         for cname, chtype in td.columns:
@@ -308,15 +308,42 @@ def register_table_view(spark: SparkSession, base_dir: str, name: str) -> DataFr
 
 def alter_modify_column(spark: SparkSession, base_dir: str, name: str,
                         col: str, new_type: str) -> None:
-    """ALTER TABLE ... MODIFY COLUMN c Type (reference
-    MutationsInterpreter type mutation): metadata change + cast at
-    read; new INSERTs write the new type via the view's schema."""
+    """ALTER TABLE ... MODIFY COLUMN c Type (reference AlterCommand
+    MODIFY_COLUMN → a data MUTATION, not metadata-only): the reference
+    rewrites parts to the new type, and so do we — parquet's
+    mergeSchema cannot reconcile contradictory physical types across
+    parts (double vs string), so a metadata-only change would make the
+    table unreadable after the next INSERT (review-found)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from clickhouse_25_5_3_75_stable_spark.functions.typemap import (
+        ch_type_to_spark,
+    )
+
     td = load_table_def(base_dir, name)
     if td is None:
         raise ValueError(f"{name}: not a DDL-managed table")
     if col not in {c for c, _t in td.columns}:
         raise ValueError(f"MODIFY COLUMN: no column {col!r} in {name}")
+    want = ch_type_to_spark(new_type)  # validate BEFORE any disk write
+    path = os.path.join(base_dir, name)
+    df = register_table_view(spark, base_dir, name)
+    out = df.withColumn(col, F.col(col).cast(want))
+    staging = path + "__modifying"
+    writer = out.write.mode("overwrite")
+    if td.partition_by and td.partition_by in out.columns:
+        writer = writer.partitionBy(td.partition_by)
+    writer.parquet(staging)
+    for fname in (_DDL_META, "_mutations.json"):
+        src = os.path.join(path, fname)
+        if os.path.exists(src):
+            shutil.copy(src, os.path.join(staging, fname))
+    shutil.rmtree(path)
+    os.rename(staging, path)
     td.columns = [(c, new_type if c == col else t) for c, t in td.columns]
+    td.renames = {}  # parts are uniform again
     save_table_def(base_dir, td)
     register_table_view(spark, base_dir, name)
 
@@ -338,6 +365,18 @@ def alter_rename_column(spark: SparkSession, base_dir: str, name: str,
         raise ValueError(
             "RENAME COLUMN: cannot rename the partition column (physical "
             "col=value directories carry its name)")
+    if td.ttl and re.search(rf"\b{re.escape(old)}\b", td.ttl):
+        raise ValueError(
+            f"RENAME COLUMN: the TTL expression references {old!r} — "
+            "REMOVE TTL first (the reference rewrites dependent "
+            "expressions; this engine refuses instead of going stale)")
+    for proj in td.projections:
+        refs = ([proj.get("keys", [])] + [proj.get("sums", [])]
+                + [proj.get("minmaxs", [])])
+        if any(old in group for group in refs):
+            raise ValueError(
+                f"RENAME COLUMN: projection {proj.get('name')!r} references "
+                f"{old!r} — DROP PROJECTION first")
     td.columns = [(new if c == old else c, t) for c, t in td.columns]
     td.order_by = [new if c == old else c for c in td.order_by]
     # the new name inherits the old name's full former-name chain
@@ -545,7 +584,8 @@ def optimize_table(
 
     td = load_table_def(base_dir, name)
     path = os.path.join(base_dir, name)
-    df = spark.read.parquet(path)
+    # evolved read: see mutate_table (rename/cast normalization)
+    df = register_table_view(spark, base_dir, name)
     out = df
     if deduplicate:
         out = out.dropDuplicates()
@@ -576,7 +616,10 @@ def optimize_table(
                 out, td.order_by, [F.sum(c).alias(c) for c in num]
             )
     staging = path + "__optimizing"
-    out.write.mode("overwrite").parquet(staging)
+    writer = out.write.mode("overwrite")
+    if td is not None and td.partition_by and td.partition_by in out.columns:
+        writer = writer.partitionBy(td.partition_by)  # keep the layout
+    writer.parquet(staging)
     meta_src = os.path.join(path, _DDL_META)
     meta_tmp = None
     if os.path.exists(meta_src):
@@ -586,7 +629,10 @@ def optimize_table(
     os.rename(staging, path)
     if meta_tmp:
         shutil.move(meta_tmp, os.path.join(path, _DDL_META))
-    spark.read.parquet(path).createOrReplaceTempView(name)
+    if td is not None and td.renames:
+        td.renames = {}  # parts are uniform again
+        save_table_def(base_dir, td)
+    register_table_view(spark, base_dir, name)
     materialize_projections(spark, base_dir, name)  # merge rewrote parts
 
 
@@ -759,7 +805,13 @@ def mutate_table(
             f"{name}: ALTER mutations need a DDL-managed table directory "
             "(plain parquet sources: use operators/mutations.py directly)"
         )
-    df = spark.read.parquet(path)
+    td = load_table_def(base_dir, name)
+    # read through the EVOLVED view (rename coalescing + cast-on-read):
+    # a plain read after RENAME COLUMN took one part's physical schema
+    # and silently dropped the other parts' data from the rewrite
+    # (review-found); the rewrite normalizes parts to the declared
+    # schema, so the rename history is spent afterwards
+    df = register_table_view(spark, base_dir, name)
     pred = F.expr(_expr_to_spark(where))
     if kind == "delete":
         out = mutate_delete(df, pred)
@@ -769,7 +821,10 @@ def mutate_table(
     else:
         raise ValueError(f"unknown mutation kind {kind!r}")
     staging = path + "__mutating"
-    out.write.mode("overwrite").parquet(staging)
+    writer = out.write.mode("overwrite")
+    if td is not None and td.partition_by and td.partition_by in out.columns:
+        writer = writer.partitionBy(td.partition_by)  # keep the layout
+    writer.parquet(staging)
     # carry table metadata AND the mutation journal across the swap
     for side, fname in (("meta", _DDL_META), ("journal", "_mutations.json")):
         src = os.path.join(path, fname)
@@ -777,7 +832,10 @@ def mutate_table(
             shutil.copy(src, os.path.join(staging, fname))
     shutil.rmtree(path)
     os.rename(staging, path)
-    spark.read.parquet(path).createOrReplaceTempView(name)
+    if td is not None and td.renames:
+        td.renames = {}  # parts are uniform again
+        save_table_def(base_dir, td)
+    register_table_view(spark, base_dir, name)
     materialize_projections(spark, base_dir, name)  # mutation rewrote parts
     # mutation journal for system.mutations (StorageSystemMutations.cpp)
     import json as _json

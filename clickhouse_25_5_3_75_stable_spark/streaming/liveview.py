@@ -42,6 +42,7 @@ class LiveView:
     _dirty: bool = True
     _rows: list = field(default_factory=list)
     _cols: list = field(default_factory=list)
+    _schema: object = None
     _cond: threading.Condition = field(default_factory=threading.Condition)
 
     def __post_init__(self):
@@ -59,6 +60,10 @@ class LiveView:
     def _materialize(self, spark: SparkSession) -> None:
         df = self.query(spark)
         self._cols = df.columns
+        # schema captured WITH the rows: a later schema change in the
+        # source must not be paired with stale-width cached rows, and a
+        # clean read must not re-pay the query's analysis (review-found)
+        self._schema = df.schema.add("_version", "long", False)
         self._rows = [tuple(r) for r in df.collect()]
         self._version += 1
         self._dirty = False
@@ -70,10 +75,8 @@ class LiveView:
             if self._dirty:
                 self._materialize(spark)
             rows = [r + (self._version,) for r in self._rows]
-            cols = self._cols + ["_version"]
-        df = self.query(spark).limit(0)  # schema donor
-        schema = df.schema.add("_version", "long", False)
-        return spark.createDataFrame(rows, schema) if rows else spark.createDataFrame([], schema)
+            schema = self._schema
+        return spark.createDataFrame(rows, schema)
 
     def watch(self, spark: SparkSession, limit: int | None = None,
               timeout_s: float = 30.0):

@@ -952,3 +952,95 @@ def test_modify_and_rename_column(spark, tmp_path):
         "ORDER BY v PARTITION BY m")
     with pytest.raises(ValueError, match="partition column"):
         run("ALTER TABLE mp RENAME COLUMN m TO n")
+
+
+def test_modify_column_then_insert_stays_readable(spark, tmp_path):
+    """MODIFY COLUMN rewrites parts (reference: it IS a mutation) so a
+    later INSERT never produces unmergeable physical types
+    (review-found: double-vs-string parts broke every later read)."""
+    import io
+
+    from clickhouse_25_5_3_75_stable_spark.__main__ import run_local
+
+    d = str(tmp_path)
+
+    def run(sql):
+        out = io.StringIO()
+        assert run_local(sql, d, spark=spark, out=out) == 0
+        return out.getvalue()
+
+    run("CREATE TABLE mi (k UInt32, price Float64) ENGINE = MergeTree() "
+        "ORDER BY k")
+    run("INSERT INTO mi VALUES (1, 10.5)")
+    run("ALTER TABLE mi MODIFY COLUMN price String")
+    run("INSERT INTO mi VALUES (2, 'xx')")
+    body = run("SELECT k, price FROM mi ORDER BY k FORMAT CSV").strip().splitlines()
+    assert body == ["1,10.5", "2,xx"]
+    # bogus type refuses BEFORE touching disk metadata
+    import pytest
+
+    with pytest.raises(Exception, match="(?i)bogus|unmapped|unknown"):
+        run("ALTER TABLE mi MODIFY COLUMN price Bogus")
+    body = run("SELECT count() AS n FROM mi FORMAT CSV").strip()
+    assert body == "2"  # table intact
+
+
+def test_mutation_after_rename_preserves_data_and_layout(spark, tmp_path):
+    """Mutations/OPTIMIZE read through the evolved view and keep the
+    partition layout (review-found: a plain read after RENAME dropped
+    the old parts' column data from the rewrite; rewrites flattened
+    partition dirs)."""
+    import io
+    import os
+
+    from clickhouse_25_5_3_75_stable_spark.__main__ import run_local
+
+    d = str(tmp_path)
+
+    def run(sql):
+        out = io.StringIO()
+        assert run_local(sql, d, spark=spark, out=out) == 0
+        return out.getvalue()
+
+    run("CREATE TABLE mr (m UInt32, price Float64) ENGINE = MergeTree() "
+        "ORDER BY price PARTITION BY m")
+    run("INSERT INTO mr VALUES (1, 10.0), (2, 20.0)")
+    run("ALTER TABLE mr RENAME COLUMN price TO cost")
+    run("INSERT INTO mr VALUES (3, 30.0)")
+    run("ALTER TABLE mr DELETE WHERE cost > 25.0")
+    body = run("SELECT m, cost FROM mr ORDER BY m FORMAT CSV").strip().splitlines()
+    assert body == ["1,10.0", "2,20.0"]  # old parts' data survived
+    # partition layout survived the rewrite
+    assert os.path.isdir(os.path.join(d, "mr", "m=1"))
+    run("ALTER TABLE mr DETACH PARTITION 2")
+    assert run("SELECT count() AS n FROM mr FORMAT CSV").strip() == "1"
+
+
+def test_live_view_create_validates_and_drop_removes(spark, tmp_path):
+    import io
+
+    import pytest
+
+    from clickhouse_25_5_3_75_stable_spark.__main__ import run_local
+    from clickhouse_25_5_3_75_stable_spark.streaming.liveview import LIVE_VIEWS
+
+    d = str(tmp_path)
+
+    def run(sql):
+        out = io.StringIO()
+        assert run_local(sql, d, spark=spark, out=out) == 0
+        return out.getvalue()
+
+    # bogus body refuses AT CREATE, registry stays clean
+    with pytest.raises(Exception):
+        run("CREATE LIVE VIEW badlv AS SELEC oops FROM nowhere")
+    assert "badlv" not in LIVE_VIEWS
+    # DROP removes the live view so a same-named table is reachable
+    run("CREATE TABLE lvt (v UInt32) ENGINE = MergeTree() ORDER BY v")
+    run("INSERT INTO lvt VALUES (5)")
+    run("CREATE LIVE VIEW lvx AS SELECT count() AS n FROM lvt")
+    run("DROP TABLE lvx")
+    assert "lvx" not in LIVE_VIEWS
+    run("CREATE TABLE lvx (w UInt32) ENGINE = MergeTree() ORDER BY w")
+    run("INSERT INTO lvx VALUES (7)")
+    assert run("SELECT w FROM lvx FORMAT CSV").strip() == "7"
