@@ -956,6 +956,8 @@ _SQL_SYSTEM_TABLES = {
     "macros": (system_macros, False),
     "dictionaries": (system_dictionaries, False),
     "detached_tables": (system_detached_tables, True),
+    "projections": (system_projections, True),
+    "mutations": (system_mutations, True),
 }
 
 _SYSTEM_REF_RE = None

@@ -1044,3 +1044,27 @@ def test_live_view_create_validates_and_drop_removes(spark, tmp_path):
     run("CREATE TABLE lvx (w UInt32) ENGINE = MergeTree() ORDER BY w")
     run("INSERT INTO lvx VALUES (7)")
     assert run("SELECT w FROM lvx FORMAT CSV").strip() == "7"
+
+
+def test_system_mutations_projections_sql_route(spark, tmp_path):
+    """system.mutations / system.projections reachable through
+    ClickHouse-dialect SQL in the CLI (dataDir conf)."""
+    import io
+
+    from clickhouse_25_5_3_75_stable_spark.__main__ import run_local
+
+    d = str(tmp_path)
+
+    def run(sql):
+        out = io.StringIO()
+        assert run_local(sql, d, spark=spark, out=out) == 0
+        return out.getvalue()
+
+    run("CREATE TABLE sm (k UInt32, v Float64) ENGINE = MergeTree() ORDER BY k")
+    run("INSERT INTO sm VALUES (1, 1.0), (2, 2.0)")
+    run("ALTER TABLE sm DELETE WHERE v > 1.5")
+    body = run("SELECT command FROM system.mutations FORMAT CSV")
+    assert "DELETE WHERE" in body
+    run("ALTER TABLE sm ADD PROJECTION p1 (SELECT k, sum(v) GROUP BY k)")
+    body = run("SELECT table, name FROM system.projections FORMAT CSV")
+    assert "sm,p1" in body
