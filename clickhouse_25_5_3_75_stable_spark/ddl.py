@@ -284,7 +284,17 @@ def register_table_view(spark: SparkSession, base_dir: str, name: str) -> DataFr
     # physical schemas; without mergeSchema the read takes ONE file's
     # schema and silently drops the others' columns
     reader = spark.read.option("mergeSchema", "true") if td is not None else spark.read
-    df = reader.parquet(path)
+    try:
+        df = reader.parquet(path)
+    except Exception:
+        if td is None:
+            raise
+        # every partition detached/dropped: the dir holds no data files
+        # — an empty view with the declared schema (fuzz-found: the
+        # unguarded read surfaced UNABLE_TO_INFER_SCHEMA)
+        df = spark.createDataFrame([], td.spark_schema())
+        df.createOrReplaceTempView(name)
+        return df
     if td is not None:
         phys = set(df.columns)
         sel = []
@@ -660,6 +670,13 @@ def alter_drop_column(spark: SparkSession, base_dir: str, name: str, col: str) -
     td = load_table_def(base_dir, name)
     if td is None:
         raise ValueError(f"{name}: not a DDL-managed table")
+    if col not in {n for n, _t in td.columns}:
+        # fuzz-found: a silent no-op accepted garbage like DROP COLUMN v TO
+        raise ValueError(f"DROP COLUMN: no column {col!r} in {name}")
+    if col == td.partition_by or col in td.order_by:
+        raise ValueError(
+            f"DROP COLUMN: {col!r} is a key column of {name} "
+            "(the reference refuses dropping partition/sorting keys too)")
     td.columns = [(n, t) for n, t in td.columns if n != col]
     save_table_def(base_dir, td)
     _reregister_evolved(spark, base_dir, td, defaults={})
@@ -669,7 +686,11 @@ def _reregister_evolved(spark, base_dir: str, td: TableDef, defaults: dict) -> N
     from pyspark.sql import functions as F
 
     path = os.path.join(base_dir, td.name)
-    raw = spark.read.option("mergeSchema", "true").parquet(path)
+    try:
+        raw = spark.read.option("mergeSchema", "true").parquet(path)
+    except Exception:
+        spark.createDataFrame([], td.spark_schema()).createOrReplaceTempView(td.name)
+        return
     cols = []
     for n, t in td.columns:
         spark_t = ch_type_to_spark(t)

@@ -1068,3 +1068,43 @@ def test_system_mutations_projections_sql_route(spark, tmp_path):
     run("ALTER TABLE sm ADD PROJECTION p1 (SELECT k, sum(v) GROUP BY k)")
     body = run("SELECT table, name FROM system.projections FORMAT CSV")
     assert "sm,p1" in body
+
+
+def test_alter_lifecycle_fuzz_refuses_cleanly(spark, tmp_path):
+    """Crash-fuzz the round-6 statement surface (the select_parser_fuzzer
+    tier): arbitrary ALTER/partition/lifecycle text must refuse with
+    ValueError/ChSqlError (or succeed), never an internal error."""
+    import io
+    import itertools
+    import random
+
+    from clickhouse_25_5_3_75_stable_spark.__main__ import run_local
+    from clickhouse_25_5_3_75_stable_spark.chsql import ChSqlError
+
+    d = str(tmp_path)
+    out = io.StringIO()
+    run_local("CREATE TABLE fz (m UInt32, v Float64) ENGINE = MergeTree() "
+              "ORDER BY v PARTITION BY m", d, spark=spark, out=out)
+    run_local("INSERT INTO fz VALUES (1, 1.0)", d, spark=spark, out=out)
+
+    rng = random.Random(42)
+    verbs = ["DETACH", "ATTACH", "DROP", "DROP DETACHED", "MOVE", "REPLACE",
+             "FREEZE", "MODIFY", "RENAME", "CLEAR", ""]
+    tails = ["PARTITION", "PARTITION 1", "PARTITION 'x'", "PARTITION 1 TO",
+             "PARTITION 1 TO TABLE", "PARTITION 1 TO VOLUME 'd'",
+             "PARTITION 1 FROM", "COLUMN", "COLUMN v", "COLUMN v TO",
+             "COLUMN v String Extra", "WITH NAME", "WITH NAME 'a' x", "1; --",
+             "PARTITION (1,2)", "COLUMN v TO v"]
+    stmts = [f"ALTER TABLE fz {a} {b}" for a, b in itertools.product(verbs, tails)]
+    stmts += ["UNDROP TABLE", "DETACH TABLE", "ATTACH TABLE nope",
+              "EXCHANGE TABLES fz", "EXCHANGE TABLES fz AND",
+              "CHECK TABLE", "WATCH", "WATCH nope LIMIT x",
+              "SYSTEM UNFREEZE WITH NAME", "CREATE LIVE VIEW x AS"]
+    rng.shuffle(stmts)
+    for st in stmts:
+        try:
+            run_local(st, d, spark=spark, out=io.StringIO())
+        except (ValueError, ChSqlError, FileNotFoundError, FileExistsError):
+            pass  # clean refusal contract
+        except Exception as e:  # pragma: no cover
+            raise AssertionError(f"{st!r} raised internal {type(e).__name__}: {e}")
