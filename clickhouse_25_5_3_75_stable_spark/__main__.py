@@ -1242,9 +1242,12 @@ def run_local(sql: str, data_dir: str, spark=None, out=sys.stdout,
         # parser takes over when SET dialect = 'kusto')
         _dialect = spark.conf.get("spark.chsql.dialect", "clickhouse")
         if _dialect == "kusto":
-            from clickhouse_25_5_3_75_stable_spark.kql import kql_to_chsql
+            from clickhouse_25_5_3_75_stable_spark.kql import (
+                kql_to_chsql,
+                spark_columns_of,
+            )
 
-            sql = kql_to_chsql(sql)
+            sql = kql_to_chsql(sql, columns_of=spark_columns_of(spark))
         elif _dialect == "prql":
             from clickhouse_25_5_3_75_stable_spark.prql import prql_to_sql
 

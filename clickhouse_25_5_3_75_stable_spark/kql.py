@@ -81,6 +81,34 @@ _TIMESPAN_UNITS = {
 # expression tokenizer doesn't know — quote them before tokenizing
 _DT_LITERAL_RE = re.compile(r"\bdatetime\s*\(\s*([^()']+?)\s*\)", re.IGNORECASE)
 
+_KQL_ESCAPES = {"'": "'", '"': '"', "\\": "\\", "n": "\n", "t": "\t", "r": "\r"}
+
+
+def _decode_kql_string(tok: str) -> str:
+    """Decode a quoted KQL literal token (either quote style; KQL uses
+    backslash escapes) to its python value. Unknown escapes are kept
+    verbatim (`\\d` stays `\\d` — regex literals survive)."""
+    body = tok[1:-1]
+    out, i = [], 0
+    while i < len(body):
+        c = body[i]
+        if c == "\\" and i + 1 < len(body):
+            nxt = body[i + 1]
+            out.append(_KQL_ESCAPES.get(nxt, "\\" + nxt))
+            i += 2
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
+def _sql_string(value: str) -> str:
+    """Encode a python string as a single-quoted SQL literal with
+    BACKSLASH escaping — the form Spark's parser decodes. Doubled-quote
+    escaping (`''`) is NOT understood by Spark ('it''s' parses as two
+    adjacent literals); differential-fuzz finding, round 6."""
+    return "'" + value.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
 
 def _tokenize(s: str) -> list[str]:
     s = _DT_LITERAL_RE.sub(lambda m: f"datetime('{m.group(1)}')", s)
@@ -93,9 +121,16 @@ def _tokenize(s: str) -> list[str]:
         if not m:
             raise ChSqlError(f"KQL: cannot tokenize at {s[i:i+20]!r}")
         tok = m.group(0)
-        if tok.startswith('"'):  # KQL double-quoted string -> SQL single
-            body = tok[1:-1].replace("\\\"", '"').replace("'", "''")
-            tok = f"'{body}'"
+        if tok.startswith(("'", '"')):
+            # canonicalize BOTH quote styles through decode/encode to a
+            # backslash-escaped single-quoted literal — the one form
+            # every downstream re-tokenization (this regex), the chsql
+            # shim, and Spark's parser agree on. The previous
+            # doubled-quote form ('it''s') was not re-tokenizable by
+            # this very regex: a later stage split it into two tokens
+            # and rejoined them with a space (differential-fuzz
+            # finding, round 6).
+            tok = _sql_string(_decode_kql_string(tok))
         out.append(tok)
         i = m.end()
     return out
@@ -249,11 +284,11 @@ def _lower_expr(toks: list[str]) -> str:
             rhs, i2 = _take_primary(toks, i + 1)
             if not (rhs.startswith("'") and rhs.endswith("'")):
                 raise ChSqlError("KQL has/has_cs subset needs a literal term")
-            needle = rhs[1:-1]
+            needle = _decode_kql_string(rhs)
             pat = re.escape(needle.lower() if ci else needle)
-            pat = pat.replace("'", "''")
             subj = f"lower({lhs})" if ci else lhs
-            expr = f"match({subj}, '(^|[^a-zA-Z0-9_]){pat}($|[^a-zA-Z0-9_])')"
+            expr = (f"match({subj}, "
+                    f"{_sql_string(f'(^|[^a-zA-Z0-9_]){pat}($|[^a-zA-Z0-9_])')})")
             out.append(f"NOT ({expr})" if neg else expr)
             i = i2
             continue
@@ -571,12 +606,14 @@ def _int_arg(tk: str, text: str) -> int:
         raise ChSqlError(f"{tk}: expected an integer, got {text.strip()!r}") from None
 
 
-def _summarize(acc: str, body: str) -> str:
+def _summarize(acc: str, body: str) -> tuple[str, list[str]]:
+    """Returns (sql, output_column_names) — the names feed the
+    transpiler's column tracking."""
     agg_part, by_part = _split_on_keyword(body, "by")
     aggs = _named_items_raw(agg_part) if agg_part.strip() else []
     bys = _named_items_raw(by_part) if by_part.strip() else []
 
-    sel, group, col_n = [], [], 0
+    sel, group, col_n, out_names = [], [], 0, []
     for alias, expr, _raw in bys:
         if alias is None:
             m = re.match(r"^toStartOfInterval\s*\(\s*([A-Za-z_]\w*)\s*,", expr)
@@ -592,6 +629,7 @@ def _summarize(acc: str, body: str) -> str:
                 col_n += 1
                 alias = f"Columns{col_n}"
         sel.append(f"{expr} AS {alias}")
+        out_names.append(alias)
         group.append(expr)
     used_aliases = {a for a, _e, _r in bys if a is not None}
     for alias, expr, raw in aggs:
@@ -621,12 +659,13 @@ def _summarize(acc: str, body: str) -> str:
                 alias = f"{alias}{n}"
         used_aliases.add(alias)
         sel.append(f"{expr} AS {alias}")
+        out_names.append(alias)
     if not sel:
         raise ChSqlError("KQL summarize: nothing to compute")
     q = f"SELECT {', '.join(sel)} FROM ({acc})"
     if group:
         q += f" GROUP BY {', '.join(group)}"
-    return q
+    return q, out_names
 
 
 def _order_items(body: str) -> str:
@@ -648,12 +687,22 @@ def _order_items(body: str) -> str:
     return ", ".join(rendered)
 
 
-def kql_to_chsql(text: str) -> str:
-    """Transpile a KQL pipeline into CH-SQL text for the chsql shim."""
+def kql_to_chsql(text: str, columns_of=None) -> str:
+    """Transpile a KQL pipeline into CH-SQL text for the chsql shim.
+
+    `columns_of` (optional): callable `table_name -> list[str] | None`
+    resolving a source table's column names. When provided, the
+    transpiler tracks the column list through every schema-transparent
+    stage, which makes `extend` on an EXISTING column replace it even
+    without a self-reference — ADX semantics (KQL_ReleaseNote.md
+    "extend doesn't replace existing columns" bugfix). Without it the
+    transpiler is schema-free and only the self-referential replace is
+    emitted (differential-fuzz finding, round 6)."""
     stages = _split_pipeline(text.strip().rstrip(";"))
     if not stages:
         raise ChSqlError("KQL: empty query")
 
+    cur_cols: list[str] | None = None
     first = stages[0]
     if re.match(r"^print\b", first, re.IGNORECASE):
         items = _named_items(first[len("print"):])
@@ -661,6 +710,8 @@ def kql_to_chsql(text: str) -> str:
                         for alias, expr in items)
         acc = f"SELECT {sel}"
         rest = stages[1:]
+        if all(a is not None for a, _e in items):
+            cur_cols = [a for a, _e in items]
     else:
         m = re.match(r"^[A-Za-z_]\w*$", first)
         if not m:
@@ -668,6 +719,25 @@ def kql_to_chsql(text: str) -> str:
                 f"KQL: the pipeline must start with a table name or print, got {first!r}")
         acc = f"SELECT * FROM {first}"
         rest = stages[1:]
+        if columns_of is not None:
+            try:
+                got = columns_of(first)
+                cur_cols = list(got) if got else None
+            except Exception:
+                cur_cols = None
+
+    def _names_of(items):
+        """Output names of a projection item list, or None if any
+        item's name is not statically derivable."""
+        names = []
+        for alias, expr in items:
+            if alias is not None:
+                names.append(alias)
+            elif re.match(r"^[A-Za-z_]\w*$", expr):
+                names.append(expr)
+            else:
+                return None
+        return names
 
     for stage in rest:
         sm = re.match(r"^([a-z][a-z-]*)\s*(.*)$", stage, re.IGNORECASE | re.DOTALL)
@@ -683,9 +753,13 @@ def kql_to_chsql(text: str) -> str:
             sel = ", ".join(expr if alias is None else f"{expr} AS {alias}"
                             for alias, expr in items)
             acc = f"SELECT {sel} FROM ({acc})"
+            cur_cols = _names_of(items)
         elif op == "project-away":
-            cols = ", ".join(t.strip() for t in body.split(","))
+            away = [t.strip() for t in body.split(",")]
+            cols = ", ".join(away)
             acc = f"SELECT * EXCEPT ({cols}) FROM ({acc})"
+            if cur_cols is not None:
+                cur_cols = [c for c in cur_cols if c not in away]
         elif op == "project-rename":
             items = _named_items(body)
             renames = [(a, e) for a, e in items if a is not None]
@@ -694,21 +768,27 @@ def kql_to_chsql(text: str) -> str:
             olds = ", ".join(e for _a, e in renames)
             sel = ", ".join(f"{e} AS {a}" for a, e in renames)
             acc = f"SELECT * EXCEPT ({olds}), {sel} FROM ({acc})"
+            if cur_cols is not None:
+                old_names = [e for _a, e in renames]
+                cur_cols = ([c for c in cur_cols if c not in old_names]
+                            + [a for a, _e in renames])
         elif op == "extend":
             items = _named_items(body)
             named = [(a, e) for a, e in items if a is not None]
             if len(named) != len(items):
                 raise ChSqlError("KQL extend needs name = expr items")
             # extend REPLACES same-named columns (KQL_ReleaseNote.md
-            # "extend doesn't replace existing columns" bugfix). The
-            # transpiler has no schema, so the replace form is emitted
-            # when the alias appears in its own expression (the column
-            # provably exists upstream); other aliases append. Items
-            # apply SEQUENTIALLY, each as its own stage — ADX lets a
-            # later item read an earlier one (review-found: the batched
-            # form emitted a sibling reference to an EXCEPT-ed column).
-            # A non-self-referential shadow of an existing column is
-            # the one documented subset gap.
+            # "extend doesn't replace existing columns" bugfix). With a
+            # tracked column list (columns_of resolver) the replace form
+            # is emitted whenever the alias names an existing column —
+            # full ADX semantics (differential-fuzz finding, round 6:
+            # `extend v = k + k` on an existing v emitted a DUPLICATE v).
+            # Schema-free fallback: replace only when the alias appears
+            # in its own expression (the column provably exists
+            # upstream); other aliases append. Items apply SEQUENTIALLY,
+            # each as its own stage — ADX lets a later item read an
+            # earlier one (review-found: the batched form emitted a
+            # sibling reference to an EXCEPT-ed column).
             for a, e in named:
                 # stash string literals BEFORE the self-reference search
                 # and the __kql_old_ substitution (the prql._expr
@@ -722,7 +802,7 @@ def kql_to_chsql(text: str) -> str:
                     lits.append(m.group(0))
                     return f"\x00{len(lits) - 1}\x00"
 
-                e_stashed = re.sub(r"'(?:[^']|'')*'", _stash, e)
+                e_stashed = re.sub(r"'(?:[^'\\]|\\.)*'", _stash, e)
                 if re.search(rf"(?<![\w.]){re.escape(a)}\b", e_stashed):
                     inner = f"SELECT *, {a} AS __kql_old_{a} FROM ({acc})"
                     inner = f"SELECT * EXCEPT ({a}) FROM ({inner})"
@@ -732,10 +812,16 @@ def kql_to_chsql(text: str) -> str:
                                 lambda m: lits[int(m.group(1))], e2)
                     acc = (f"SELECT * EXCEPT (__kql_old_{a}) FROM "
                            f"(SELECT *, {e2} AS {a} FROM ({inner}))")
+                elif cur_cols is not None and a in cur_cols:
+                    # existing column, no self-reference: drop then
+                    # re-add under the same name
+                    acc = f"SELECT * EXCEPT ({a}), {e} AS {a} FROM ({acc})"
                 else:
                     acc = f"SELECT *, {e} AS {a} FROM ({acc})"
+                if cur_cols is not None:
+                    cur_cols = [c for c in cur_cols if c != a] + [a]
         elif op == "summarize":
-            acc = _summarize(acc, body)
+            acc, cur_cols = _summarize(acc, body)
         elif op in ("order", "sort"):
             body2 = re.sub(r"^by\b", "", body, flags=re.IGNORECASE).strip()
             acc = f"SELECT * FROM ({acc}) ORDER BY {_order_items(body2)}"
@@ -755,18 +841,22 @@ def kql_to_chsql(text: str) -> str:
                 sel = ", ".join(expr if alias is None else f"{expr} AS {alias}"
                                 for alias, expr in items)
                 acc = f"SELECT DISTINCT {sel} FROM ({acc})"
+                cur_cols = _names_of(items)
         elif op == "count" and not body:
             acc = f"SELECT count() AS Count FROM ({acc})"
+            cur_cols = ["Count"]
         elif op == "union":
             rhs = body.strip()
             kindm = re.match(r"^kind\s*=\s*(\w+)\s+(.*)$", rhs, re.DOTALL)
             if kindm:  # inner/outer affect column union; subset is positional
                 rhs = kindm.group(2).strip()
-            rhs_sql = (kql_to_chsql(rhs[1:-1]) if rhs.startswith("(")
-                       else f"SELECT * FROM {rhs}")
+            rhs_sql = (kql_to_chsql(rhs[1:-1], columns_of=columns_of)
+                       if rhs.startswith("(") else f"SELECT * FROM {rhs}")
             acc = f"SELECT * FROM ({acc}) UNION ALL {rhs_sql}"
         elif op in ("join", "lookup"):
-            acc = _join_stage(acc, body, lookup=op == "lookup")
+            acc = _join_stage(acc, body, lookup=op == "lookup",
+                              columns_of=columns_of)
+            cur_cols = None
         elif op == "render":
             pass  # chart hint — a no-op for a tabular engine
         elif op == "serialize" and not body:
@@ -777,16 +867,22 @@ def kql_to_chsql(text: str) -> str:
             pass
         elif op == "make-series":
             acc = _make_series(acc, body)
+            cur_cols = None
         elif op == "parse":
             acc = _parse_stage(acc, body)
+            cur_cols = None
         elif op == "mv-apply":
             acc = _mv_apply(acc, body)
+            cur_cols = None
         elif op == "top-nested":
             acc = _top_nested(acc, body)
+            cur_cols = None
         elif op == "facet":
             acc = _facet(acc, body)
+            cur_cols = None
         elif op == "partition":
             acc = _partition(acc, body)
+            cur_cols = None
         elif op == "mv-expand":
             col = body.strip()
             if not re.match(r"^[A-Za-z_]\w*$", col):
@@ -795,6 +891,8 @@ def kql_to_chsql(text: str) -> str:
             # composes cleanly inside further derived tables, which
             # the ARRAY JOIN clause form does not
             acc = f"SELECT * EXCEPT ({col}), arrayJoin({col}) AS {col} FROM ({acc})"
+            if cur_cols is not None:
+                cur_cols = [c for c in cur_cols if c != col] + [col]
         else:
             hint = ""
             if op == "getschema":
@@ -934,7 +1032,7 @@ def _partition(acc: str, body: str) -> str:
     if sm:
         agg_part, by_part = _split_on_keyword(sm.group(1), "by")
         new_by = f"{col}, {by_part}" if by_part.strip() else col
-        return _summarize(acc, f"{agg_part} by {new_by}")
+        return _summarize(acc, f"{agg_part} by {new_by}")[0]
     wm = re.match(r"^where\s+(.*)$", sub, re.IGNORECASE | re.DOTALL)
     if wm:
         return f"SELECT * FROM ({acc}) WHERE {_lower_expr(_tokenize(wm.group(1)))}"
@@ -1138,7 +1236,10 @@ def _parse_stage(acc: str, body: str) -> str:
             raise ChSqlError(f"KQL parse: cannot read pattern at {rest[pos:pos+20]!r}")
         lit1, lit2, star, name, ty = pm.groups()
         if lit1 is not None or lit2 is not None:
-            regex += re.escape(lit1 if lit1 is not None else lit2)
+            raw = lit1 if lit1 is not None else lit2
+            # decode the KQL escapes BEFORE regex-escaping, so the
+            # anchor matches the literal VALUE
+            regex += re.escape(_decode_kql_string(f"'{raw}'"))
         elif star:
             regex += ".*?"
         else:
@@ -1152,7 +1253,7 @@ def _parse_stage(acc: str, body: str) -> str:
     # the final lazy capture must reach the end of the input
     if regex.endswith("(.*?)"):
         regex = regex[:-5] + "(.*)"
-    regex_sql = regex.replace("\\", "\\\\").replace("'", "''")
+    regex_sql = regex.replace("\\", "\\\\").replace("'", "\\'")
     sel = []
     for g, (name, ty) in enumerate(names, start=1):
         e = f"regexp_extract({src}, '{regex_sql}', {g})"
@@ -1172,7 +1273,8 @@ _JOIN_KINDS = {
 }
 
 
-def _join_stage(acc: str, body: str, lookup: bool = False) -> str:
+def _join_stage(acc: str, body: str, lookup: bool = False,
+                columns_of=None) -> str:
     """KQL `join kind=<k> (<right>) on <keys>` / `lookup` (a LEFT JOIN
     against a dimension). Key forms: bare same-name columns
     (`on a, b` -> USING) and `$left.a == $right.b` equi-pairs.
@@ -1188,7 +1290,7 @@ def _join_stage(acc: str, body: str, lookup: bool = False) -> str:
     rm = re.match(r"^\((.*)\)\s+on\s+(.*)$", body, re.DOTALL | re.IGNORECASE)
     tm = re.match(r"^([A-Za-z_]\w*)\s+on\s+(.*)$", body, re.DOTALL | re.IGNORECASE)
     if rm:
-        rhs_sql = kql_to_chsql(rm.group(1))
+        rhs_sql = kql_to_chsql(rm.group(1), columns_of=columns_of)
         on_text = rm.group(2).strip()
     elif tm:
         rhs_sql = f"SELECT * FROM {tm.group(1)}"
@@ -1305,7 +1407,7 @@ def _scan_parse_literal(tok: str):
     if tok.lower() in ("true", "false"):
         return tok.lower() == "true"
     if tok.startswith("'") and tok.endswith("'"):
-        return tok[1:-1].replace("''", "'")
+        return _decode_kql_string(tok)
     raise ChSqlError(f"KQL scan declare: unsupported default literal {tok!r}")
 
 
@@ -1456,7 +1558,7 @@ def _scan_execute(spark, stages: list[str], idx: int, params=None):
         assigns.append(step_assigns)
 
     prefix = " | ".join(stages[:idx])
-    prefix_sql = kql_to_chsql(prefix)
+    prefix_sql = kql_to_chsql(prefix, columns_of=spark_columns_of(spark))
     helper_sql = f"SELECT *, {', '.join(helper_exprs)} FROM ({prefix_sql})"
     df = ch_sql(spark, helper_sql, params=params)
     base_fields = [f for f in df.schema.fields if not f.name.startswith("__scan_")]
@@ -1554,6 +1656,18 @@ def _scan_execute(spark, stages: list[str], idx: int, params=None):
     return kql_sql(spark, " | ".join(["__kql_scan_out"] + suffix), params=params)
 
 
+def spark_columns_of(spark):
+    """Schema resolver for kql_to_chsql: table name -> column list via
+    the session catalog (temp views and registered tables), None when
+    unresolvable (the transpiler then stays schema-free)."""
+    def resolver(name):
+        try:
+            return spark.table(name).columns
+        except Exception:
+            return None
+    return resolver
+
+
 def kql_sql(spark, text: str, params=None):
     """Execute a KQL pipeline through the chsql shim. `getschema` is
     handled here (it needs the resolved schema, which only exists at
@@ -1570,7 +1684,7 @@ def kql_sql(spark, text: str, params=None):
         prefix = " | ".join(stages[:-1])
         if not prefix:
             raise ChSqlError("KQL getschema needs a pipeline before it")
-        df = ch_sql(spark, kql_to_chsql(prefix), params=params)
+        df = ch_sql(spark, kql_to_chsql(prefix, columns_of=spark_columns_of(spark)), params=params)
         rows = []
         for i, f in enumerate(df.schema.fields):
             t = f.dataType.simpleString()
@@ -1603,7 +1717,7 @@ def kql_sql(spark, text: str, params=None):
                 raise ChSqlError(
                     "KQL evaluate bag_unpack subset must be the last stage")
             col = bm.group(1)
-            prefix_sql = kql_to_chsql(" | ".join(stages[:k]))
+            prefix_sql = kql_to_chsql(" | ".join(stages[:k]), columns_of=spark_columns_of(spark))
             keys = [
                 r[0]
                 for r in spark.sql(
@@ -1644,7 +1758,7 @@ def kql_sql(spark, text: str, params=None):
         if aggfn is None:
             raise ChSqlError(
                 "KQL evaluate pivot subset aggregates: sum/count/min/max/avg")
-        prefix_sql = kql_to_chsql(" | ".join(stages[:ev]))
+        prefix_sql = kql_to_chsql(" | ".join(stages[:ev]), columns_of=spark_columns_of(spark))
         keys = [
             r[0]
             for r in spark.sql(
@@ -1663,4 +1777,4 @@ def kql_sql(spark, text: str, params=None):
             f"SELECT * FROM ({prefix_sql}) "
             f"PIVOT ({aggfn}({vcol}) FOR {pcol} IN ({in_list}))"
         )
-    return ch_sql(spark, kql_to_chsql(text), params=params)
+    return ch_sql(spark, kql_to_chsql(text, columns_of=spark_columns_of(spark)), params=params)
