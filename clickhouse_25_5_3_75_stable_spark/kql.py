@@ -695,9 +695,15 @@ def kql_to_chsql(text: str, columns_of=None) -> str:
     transpiler tracks the column list through every schema-transparent
     stage, which makes `extend` on an EXISTING column replace it even
     without a self-reference — ADX semantics (KQL_ReleaseNote.md
-    "extend doesn't replace existing columns" bugfix). Without it the
+    "extend doesn't replace existing columns" bugfix) — and lets join
+    suffix clashing right-side columns the way ADX does. Without it the
     transpiler is schema-free and only the self-referential replace is
     emitted (differential-fuzz finding, round 6)."""
+    return _transpile(text, columns_of)[0]
+
+
+def _transpile(text: str, columns_of=None) -> tuple[str, list[str] | None]:
+    """kql_to_chsql worker: returns (sql, output_columns_or_None)."""
     stages = _split_pipeline(text.strip().rstrip(";"))
     if not stages:
         raise ChSqlError("KQL: empty query")
@@ -854,9 +860,9 @@ def kql_to_chsql(text: str, columns_of=None) -> str:
                        if rhs.startswith("(") else f"SELECT * FROM {rhs}")
             acc = f"SELECT * FROM ({acc}) UNION ALL {rhs_sql}"
         elif op in ("join", "lookup"):
-            acc = _join_stage(acc, body, lookup=op == "lookup",
-                              columns_of=columns_of)
-            cur_cols = None
+            acc, cur_cols = _join_stage(acc, body, lookup=op == "lookup",
+                                        columns_of=columns_of,
+                                        left_cols=cur_cols)
         elif op == "render":
             pass  # chart hint — a no-op for a tabular engine
         elif op == "serialize" and not body:
@@ -908,7 +914,7 @@ def kql_to_chsql(text: str, columns_of=None) -> str:
                 "union/render/make-series/parse/mv-apply/top-nested/facet/"
                 "partition; evaluate pivot/bag_unpack and scan via kql_sql)"
                 f"{hint}")
-    return acc
+    return acc, cur_cols
 
 
 _TOP_NESTED_LEVEL_RE = re.compile(
@@ -1274,14 +1280,21 @@ _JOIN_KINDS = {
 
 
 def _join_stage(acc: str, body: str, lookup: bool = False,
-                columns_of=None) -> str:
+                columns_of=None,
+                left_cols: list[str] | None = None,
+                ) -> tuple[str, list[str] | None]:
     """KQL `join kind=<k> (<right>) on <keys>` / `lookup` (a LEFT JOIN
     against a dimension). Key forms: bare same-name columns
     (`on a, b` -> USING) and `$left.a == $right.b` equi-pairs.
     `kind=innerunique` (the KQL default) deduplicates the LEFT side on
     the join keys first — realized deterministically with a min-struct
     pick per key (the reference picks an arbitrary row; any consistent
-    pick satisfies the contract)."""
+    pick satisfies the contract).
+
+    Returns (sql, output_columns_or_None). When BOTH side schemas are
+    known, right-side columns that clash with surviving left names get
+    ADX's `1` suffix (x -> x1) instead of surfacing as ambiguous
+    duplicates."""
     kind = "leftouter" if lookup else "innerunique"
     m = re.match(r"^kind\s*=\s*(\w+)\s*(.*)$", body, re.DOTALL)
     if m:
@@ -1290,11 +1303,18 @@ def _join_stage(acc: str, body: str, lookup: bool = False,
     rm = re.match(r"^\((.*)\)\s+on\s+(.*)$", body, re.DOTALL | re.IGNORECASE)
     tm = re.match(r"^([A-Za-z_]\w*)\s+on\s+(.*)$", body, re.DOTALL | re.IGNORECASE)
     if rm:
-        rhs_sql = kql_to_chsql(rm.group(1), columns_of=columns_of)
+        rhs_sql, rhs_cols = _transpile(rm.group(1), columns_of=columns_of)
         on_text = rm.group(2).strip()
     elif tm:
         rhs_sql = f"SELECT * FROM {tm.group(1)}"
         on_text = tm.group(2).strip()
+        rhs_cols = None
+        if columns_of is not None:
+            try:
+                got = columns_of(tm.group(1))
+                rhs_cols = list(got) if got else None
+            except Exception:
+                rhs_cols = None
     else:
         raise ChSqlError("KQL join needs: join [kind=k] (<right>) on <keys>")
 
@@ -1326,12 +1346,51 @@ def _join_stage(acc: str, body: str, lookup: bool = False,
     sqlkind = _JOIN_KINDS.get(kind)
     if sqlkind is None:
         raise ChSqlError(f"KQL join kind {kind!r}: not in the implemented subset")
+
+    out_cols = None
+    if left_cols is not None and rhs_cols is not None:
+        # ADX name rules: USING keys appear once; every OTHER right
+        # column that clashes with a surviving left name is suffixed 1
+        # (x -> x1). The suffixed name must itself be fresh, or the
+        # tracking gives up (out_cols=None, no rename).
+        surviving_right = ([c for c in rhs_cols if c not in using]
+                           if using else list(rhs_cols))
+        left_names = list(left_cols)
+        renames, ok = {}, True
+        taken = set(left_names) | set(using)
+        for c in surviving_right:
+            if c in taken:
+                nc = f"{c}1"
+                if nc in taken or nc in surviving_right or nc in renames.values():
+                    ok = False
+                    break
+                renames[c] = nc
+                taken.add(nc)
+            else:
+                taken.add(c)
+        if ok:
+            if renames:
+                rsel = ", ".join(
+                    f"{c} AS {renames[c]}" if c in renames else c
+                    for c in rhs_cols
+                )
+                rhs_sql = f"SELECT {rsel} FROM ({rhs_sql})"
+                if pairs:
+                    pairs = [(a, renames.get(b, b)) for a, b in pairs]
+            renamed_right = [renames.get(c, c) for c in surviving_right]
+            if using:
+                out_cols = (using
+                            + [c for c in left_names if c not in using]
+                            + renamed_right)
+            else:
+                out_cols = left_names + renamed_right
+
     if using:
         return (f"SELECT * FROM ({left}) AS __kql_l {sqlkind} ({rhs_sql}) "
-                f"AS __kql_r USING ({', '.join(using)})")
+                f"AS __kql_r USING ({', '.join(using)})", out_cols)
     on = " AND ".join(f"__kql_l.{a} = __kql_r.{b}" for a, b in pairs)
     return (f"SELECT * FROM ({left}) AS __kql_l {sqlkind} ({rhs_sql}) "
-            f"AS __kql_r ON {on}")
+            f"AS __kql_r ON {on}", out_cols)
 
 
 _KQL_TYPES = {

@@ -213,6 +213,24 @@ def sort_take_stage(draw):
 
 
 @st.composite
+def join_stage(draw):
+    # T2 is UNIQUE on k, so inner/leftouter joins are deterministic
+    # (innerunique's arbitrary left-row pick is contractually
+    # unspecified — excluded from a differential test)
+    kql_kind = draw(st.sampled_from(["inner", "leftouter"]))
+    sql_kind = {"inner": "INNER JOIN", "leftouter": "LEFT JOIN"}[kql_kind]
+
+    def wrap(sql, cols, sk=sql_kind):
+        return (
+            f"SELECT * FROM ({sql}) AS l {sk} "
+            f"(SELECT * FROM T2) AS r USING (k)",
+            cols + ["name"],
+        )
+
+    return (f"join kind={kql_kind} (T2) on k", wrap)
+
+
+@st.composite
 def pipeline(draw):
     cols = ["k", "v", "s"]
     kql_stages = []
@@ -220,7 +238,7 @@ def pipeline(draw):
     n = draw(st.integers(1, 4))
     for _ in range(n):
         kind = draw(st.sampled_from(
-            ["where", "extend", "project", "summarize", "distinct"]))
+            ["where", "extend", "project", "summarize", "distinct", "join"]))
         if kind == "where":
             if "s" not in cols or "k" not in cols or "v" not in cols:
                 continue
@@ -249,6 +267,12 @@ def pipeline(draw):
             frag, wrap, guard = draw(summarize_stage())
             if not guard(cols):
                 continue
+            kql_stages.append(frag)
+            sql, cols = wrap(sql, cols)
+        elif kind == "join":
+            if "k" not in cols or "name" in cols:
+                continue
+            frag, wrap = draw(join_stage())
             kql_stages.append(frag)
             sql, cols = wrap(sql, cols)
         else:
@@ -292,16 +316,71 @@ ROWS = [
 ]
 
 
+DIM_ROWS = [
+    (0, "zero,0"),
+    (1, "one's"),
+    (2, "CASE"),
+    (3, "x y"),
+    (4, "Ω"),
+]
+
+
 @pytest.fixture(scope="module")
 def ctx(spark):
     pdf = pd.DataFrame(ROWS, columns=["k", "v", "s"])
     sdf = spark.createDataFrame(pdf)
     sdf.createOrReplaceTempView("T")
+    dim = pd.DataFrame(DIM_ROWS, columns=["k", "name"])
+    spark.createDataFrame(dim).createOrReplaceTempView("T2")
     con = duckdb.connect()
     con.register("kql_fuzz_base", pdf)
+    con.register("kql_fuzz_dim", dim)
     con.execute("CREATE VIEW T AS SELECT * FROM kql_fuzz_base")
+    con.execute("CREATE VIEW T2 AS SELECT * FROM kql_fuzz_dim")
     yield spark, con
     spark.catalog.dropTempView("T")
+    spark.catalog.dropTempView("T2")
+
+
+def test_join_clashing_right_column_gets_adx_suffix(ctx):
+    # both sides carry a non-key `v`; ADX surfaces the right one as v1
+    spark, con = ctx
+    got = kql_sql(
+        spark,
+        "T | project k, v | join kind=inner (T | summarize v = max(v) by k) on k"
+        " | where v != v1 | summarize n = count() by k | sort by k asc",
+    )
+    assert got.columns == ["k", "n"]
+    rows = {tuple(r) for r in got.collect()}
+    want = {
+        tuple(r)
+        for r in con.execute(
+            """
+            SELECT k, count(*) AS n
+            FROM (SELECT l.k, l.v, r.v AS v1
+                  FROM (SELECT k, v FROM T) l
+                  JOIN (SELECT k, max(v) AS v FROM T GROUP BY k) r USING (k))
+            WHERE v <> v1 GROUP BY k ORDER BY k
+            """
+        ).fetchall()
+    }
+    assert rows == want
+
+
+def test_mv_expand_matches_duckdb(ctx):
+    spark, con = ctx
+    pdf = pd.DataFrame(
+        {"k": [1, 2, 3], "arr": [[1, 2], [], [5]]})
+    spark.createDataFrame(pdf).createOrReplaceTempView("T3")
+    con.register("kql_fuzz_arr", pdf)
+    con.execute("CREATE OR REPLACE VIEW T3 AS SELECT * FROM kql_fuzz_arr")
+    got = kql_sql(spark, "T3 | mv-expand arr | where arr > 1").collect()
+    want = con.execute(
+        "SELECT * FROM (SELECT * EXCLUDE (arr), unnest(arr) AS arr FROM T3) "
+        "WHERE arr > 1"
+    ).fetchall()
+    assert sorted(tuple(r) for r in got) == sorted(want)
+    spark.catalog.dropTempView("T3")
 
 
 def _norm(cols, rows):
