@@ -918,6 +918,86 @@ def _rewrite_limit_by(toks: list[str]) -> list[str]:
     )
 
 
+def _rewrite_distinct_on(toks: list[str]) -> list[str]:
+    """SELECT DISTINCT ON (k1, k2) ... → first-row-per-key window wrap
+    (reference ParserSelectQuery.cpp parses DISTINCT ON into
+    limit_by_length=1 + LIMIT BY — this emits the same row_number shape
+    as _rewrite_limit_by with n=1). The query's top-level ORDER BY
+    defines which row is "first" and stays outside for presentation;
+    ORDER BY expressions must be selectable from the result (the same
+    subset note as LIMIT BY). Differential-fuzz finding, round 6: the
+    operator existed only as a DataFrame builder, not on the SQL text
+    surface the reference accepts."""
+    depth, s_i = 0, -1
+    for i, tk in enumerate(toks):
+        if tk == "(":
+            depth += 1
+        elif tk == ")":
+            depth -= 1
+        elif (depth == 0 and tk.upper() == "SELECT" and i + 3 < len(toks)
+              and toks[i + 1].upper() == "DISTINCT"
+              and toks[i + 2].upper() == "ON" and toks[i + 3] == "("):
+            s_i = i
+            break
+    if s_i < 0:
+        return toks
+    kdepth, j = 0, s_i + 3
+    while j < len(toks):
+        if toks[j] == "(":
+            kdepth += 1
+        elif toks[j] == ")":
+            kdepth -= 1
+            if kdepth == 0:
+                break
+        j += 1
+    if kdepth != 0:
+        raise ChSqlError("DISTINCT ON: unbalanced key list")
+    keys = toks[s_i + 4 : j]
+    if not keys:
+        raise ChSqlError("DISTINCT ON needs at least one key expression")
+    sel = ["SELECT"] + toks[j + 1 :]
+    depth, o_i = 0, -1
+    for i2, tk in enumerate(sel):
+        if tk == "(":
+            depth += 1
+        elif tk == ")":
+            depth -= 1
+        elif depth == 0 and tk.upper() == "ORDER":
+            o_i = i2
+            break
+    if o_i >= 0:
+        o_end = _clause_bounds(sel, o_i)
+        order = sel[o_i + 2 : o_end]
+        inner, tail = sel[:o_i], sel[o_i:]
+    else:
+        # no ORDER BY: the surviving row is arbitrary (CH semantics);
+        # any trailing LIMIT still applies AFTER the distinct
+        order = ["(", "SELECT", "NULL", ")"]
+        depth, l_i = 0, -1
+        for i2, tk in enumerate(sel):
+            if tk == "(":
+                depth += 1
+            elif tk == ")":
+                depth -= 1
+            elif depth == 0 and tk.upper() == "LIMIT":
+                l_i = i2
+                break
+        inner, tail = (sel[:l_i], sel[l_i:]) if l_i >= 0 else (sel, [])
+    return (
+        toks[:s_i]
+        + ["SELECT", "*", "EXCEPT", "(", "__don", ")", "FROM", "(",
+           "SELECT", "*", ",", "row_number", "(", ")", "OVER", "(",
+           "PARTITION", "BY"]
+        + keys
+        + ["ORDER", "BY"]
+        + order
+        + [")", "AS", "__don", "FROM", "("]
+        + inner
+        + [")", "__don_i", ")", "__don_o", "WHERE", "__don", "=", "1"]
+        + tail
+    )
+
+
 # ---------------------------------------------------------------------------
 # Function-level pass
 # ---------------------------------------------------------------------------
@@ -2311,6 +2391,7 @@ def ch_sql_to_spark(sql: str) -> str:
     toks = _strip_modifiers(toks)
     toks = _rewrite_prewhere(toks)
     toks = _rewrite_quantified_comparison(toks)
+    toks = _rewrite_distinct_on(toks)
     toks = _rewrite_limit_by(toks)
     toks = _rewrite_limit_offset(toks)
     toks = _rewrite_with_totals(toks)

@@ -222,3 +222,36 @@ def chsql_asof_sql_click_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY c.uid, c.cid
         """,
     )
+
+
+@register(
+    "chsql_distinct_on_latest_order",
+    # DuckDB's native DISTINCT ON is an independent implementation of
+    # the same first-row-per-key contract; ties broken by o_orderkey
+    # DESC so the pick is total
+    oracle="""
+    SELECT DISTINCT ON (o_custkey)
+           o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS od
+    FROM orders
+    WHERE o_custkey % 100 = 7
+    ORDER BY o_custkey, od DESC, o_orderkey DESC
+    """,
+    tags=("chsql", "distinct_on"),
+)
+def chsql_distinct_on_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT DISTINCT ON (...) on the SQL TEXT surface (reference
+    ParserSelectQuery.cpp lowers it to limit_by_length=1): latest order
+    per sampled customer. chsql rewrites it to the row_number window
+    wrap (chsql._rewrite_distinct_on, round-6 fuzz finding — the
+    operator previously existed only as a DataFrame builder)."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return ch_sql(
+        spark,
+        """
+        SELECT DISTINCT ON (o_custkey)
+               o_custkey, o_orderkey, toDate(o_orderdate) AS od
+        FROM orders
+        WHERE o_custkey % 100 == 7
+        ORDER BY o_custkey, od DESC, o_orderkey DESC
+        """,
+    )
