@@ -918,6 +918,168 @@ def _rewrite_limit_by(toks: list[str]) -> list[str]:
     )
 
 
+def _match_paren(toks: list[str], open_i: int) -> int:
+    """Index of the ')' matching toks[open_i] == '('."""
+    depth = 0
+    for i in range(open_i, len(toks)):
+        if toks[i] == "(":
+            depth += 1
+        elif toks[i] == ")":
+            depth -= 1
+            if depth == 0:
+                return i
+    raise ChSqlError("unbalanced parentheses")
+
+
+def _split_top_args(toks: list[str]) -> list[list[str]]:
+    """Split a call-argument token run on top-level commas."""
+    out, cur, depth = [], [], 0
+    for tk in toks:
+        if tk == "(":
+            depth += 1
+        elif tk == ")":
+            depth -= 1
+        if tk == "," and depth == 0:
+            out.append(cur)
+            cur = []
+        else:
+            cur.append(tk)
+    if cur:
+        out.append(cur)
+    return out
+
+
+def _rewrite_in_frame(toks: list[str]) -> list[str]:
+    """lagInFrame / leadInFrame (reference WindowTransform.cpp:2698) →
+    exact Spark lag/lead. Unlike standard lag/lead, the reference's
+    pair respects the window FRAME: an offset row outside the frame
+    yields the default. Frame bounds are literals, so membership
+    resolves at TRANSPILE time for ROWS frames; the reference's
+    default frame (RANGE ... CURRENT ROW) makes leadInFrame
+    peer-bounded — realized with a runtime named_struct peer guard on
+    the ORDER BY values. The 3-arg form is required: with the default
+    omitted the reference fills with the COLUMN TYPE's default value
+    (0, ''), which needs type information this text layer doesn't
+    have. Differential-fuzz finding, round 6 (the names previously
+    didn't translate at all)."""
+    i = 0
+    while i < len(toks):
+        name = toks[i]
+        if name not in ("lagInFrame", "leadInFrame") or \
+                i + 1 >= len(toks) or toks[i + 1] != "(":
+            i += 1
+            continue
+        is_lag = name == "lagInFrame"
+        call_end = _match_paren(toks, i + 1)
+        args = _split_top_args(toks[i + 2 : call_end])
+        if len(args) != 3:
+            raise ChSqlError(
+                f"{name}: the 2-arg form fills out-of-frame rows with the "
+                "column TYPE default (0, '') in the reference — spell the "
+                f"default explicitly: {name}(x, offset, default)")
+        x_t, n_t, d_t = args
+        if len(n_t) != 1 or not re.match(r"^\d+$", n_t[0]):
+            raise ChSqlError(f"{name}: offset must be an integer literal")
+        n = int(n_t[0])
+        if call_end + 1 >= len(toks) or toks[call_end + 1].upper() != "OVER" \
+                or call_end + 2 >= len(toks) or toks[call_end + 2] != "(":
+            raise ChSqlError(f"{name} needs an inline OVER (...) clause")
+        over_end = _match_paren(toks, call_end + 2)
+        over = toks[call_end + 3 : over_end]
+        # split the OVER body: [PARTITION BY p] [ORDER BY o] [frame]
+        mode_i, depth = None, 0
+        for k, t in enumerate(over):
+            if t == "(":
+                depth += 1
+            elif t == ")":
+                depth -= 1
+            elif depth == 0 and t.upper() in ("ROWS", "RANGE"):
+                mode_i = k
+                break
+        frame = over[mode_i:] if mode_i is not None else None
+        head = over[:mode_i] if mode_i is not None else over
+        o_i = next((k for k, t in enumerate(head) if t.upper() == "ORDER"), None)
+        order_items: list[list[str]] = []
+        if o_i is not None:
+            for item in _split_top_args(head[o_i + 2:]):
+                while item and item[-1].upper() in ("ASC", "DESC", "FIRST",
+                                                    "LAST", "NULLS"):
+                    item = item[:-1]
+                order_items.append(item)
+
+        def _bound(side: str) -> tuple[str, int | None]:
+            """('unbounded'|'preceding'|'following'|'current', k)."""
+            if frame is None:
+                return ("unbounded", None) if side == "start" else ("current", None)
+            f = [t.upper() for t in frame]
+            if "BETWEEN" in f:
+                a_i = f.index("AND")
+                part = frame[2:a_i] if side == "start" else frame[a_i + 1:]
+            else:
+                part = frame[1:] if side == "start" else ["CURRENT", "ROW"]
+            p = [t.upper() for t in part]
+            if p[:2] == ["UNBOUNDED", "PRECEDING"]:
+                return ("unbounded", None)
+            if p[:2] == ["UNBOUNDED", "FOLLOWING"]:
+                return ("unbounded_f", None)
+            if p[:2] == ["CURRENT", "ROW"]:
+                return ("current", None)
+            if len(p) == 2 and re.match(r"^\d+$", part[0]):
+                return ("preceding" if p[1] == "PRECEDING" else "following",
+                        int(part[0]))
+            raise ChSqlError(f"{name}: cannot parse frame bound {part!r}")
+
+        is_range = frame is None or frame[0].upper() == "RANGE"
+        plain = ["lag" if is_lag else "lead", "("] + x_t + [","] + n_t \
+            + [","] + d_t + [")", "OVER", "("] + head + [")"]
+        default_expr = ["("] + d_t + [")"]
+        self_expr = ["("] + x_t + [")"]
+        if is_lag:
+            kind, k = _bound("start")
+            if kind == "unbounded":
+                repl = plain
+            elif kind == "preceding" and not is_range:
+                repl = plain if n <= k else default_expr
+            elif kind == "current":
+                repl = self_expr if n == 0 else default_expr
+            else:
+                raise ChSqlError(
+                    f"{name}: RANGE offset frames are value-bounded — the "
+                    "physical-offset membership test has no static answer")
+        else:
+            kind, k = _bound("end")
+            if kind == "unbounded_f":
+                repl = plain
+            elif kind == "following" and not is_range:
+                repl = plain if n <= k else default_expr
+            elif kind == "current" and not is_range:
+                repl = self_expr if n == 0 else default_expr
+            elif kind == "current" and is_range:
+                # default frame: the offset row is in frame iff it is a
+                # PEER of the current row (same ORDER BY values)
+                if not order_items:
+                    repl = plain  # whole partition is one peer group
+                else:
+                    struct: list[str] = ["named_struct", "("]
+                    for j, item in enumerate(order_items):
+                        if j:
+                            struct.append(",")
+                        struct += [f"'o{j}'", ","] + item
+                    struct.append(")")
+                    probe = (["lead", "("] + struct + [",", str(n), ")",
+                             "OVER", "("] + head + [")"])
+                    repl = (["CASE", "WHEN"] + probe + ["<=>"] + struct
+                            + ["THEN"] + plain + ["ELSE"] + default_expr
+                            + ["END"])
+            else:
+                raise ChSqlError(
+                    f"{name}: RANGE offset frames are value-bounded — the "
+                    "physical-offset membership test has no static answer")
+        toks = toks[:i] + repl + toks[over_end + 1:]
+        i += 1
+    return toks
+
+
 def _rewrite_distinct_on(toks: list[str]) -> list[str]:
     """SELECT DISTINCT ON (k1, k2) ... → first-row-per-key window wrap
     (reference ParserSelectQuery.cpp parses DISTINCT ON into
@@ -2404,6 +2566,7 @@ def ch_sql_to_spark(sql: str) -> str:
     # paren-depth arg splitter in the passes below sees real calls,
     # not bare commas inside [ ]
     toks = _rewrite_array_literals(toks)
+    toks = _rewrite_in_frame(toks)
     toks = _rewrite_ternary(toks)
     toks = _rewrite_functions(toks)
     toks = _rewrite_tuple_access(toks)

@@ -255,3 +255,48 @@ def chsql_distinct_on_latest_order(spark: SparkSession, sf_dir: str) -> DataFram
         ORDER BY o_custkey, od DESC, o_orderkey DESC
         """,
     )
+
+
+@register(
+    "chsql_lag_lead_in_frame",
+    # frames start/end UNBOUNDED on the probed side, so the exact
+    # equivalents are plain lag/lead — two independent realizations
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           lag(o_orderkey, 1, -1) OVER
+               (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+               AS prev_key,
+           lead(o_orderkey, 1, -1) OVER
+               (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+               AS next_key
+    FROM orders
+    WHERE o_custkey % 50 = 3
+    ORDER BY o_custkey, o_orderkey
+    """,
+    tags=("chsql", "window", "in_frame"),
+)
+def chsql_lag_lead_in_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lagInFrame / leadInFrame on the SQL text surface (reference
+    WindowTransform.cpp:2698 — the frame-AWARE lag/lead pair). The shim
+    resolves frame membership at transpile time (chsql
+    _rewrite_in_frame, round-6 fuzz finding: the names previously did
+    not translate); with an unbounded frame on the probed side they
+    lower to plain lag/lead."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return ch_sql(
+        spark,
+        """
+        SELECT o_custkey, o_orderkey,
+               lagInFrame(o_orderkey, 1, -1) OVER
+                   (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS prev_key,
+               leadInFrame(o_orderkey, 1, -1) OVER
+                   (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                   AS next_key
+        FROM orders
+        WHERE o_custkey % 50 == 3
+        ORDER BY o_custkey, o_orderkey
+        """,
+    )

@@ -207,10 +207,94 @@ def cte_stmt(draw):
     )
 
 
+def _grouped(form, agg_ch, agg_an):
+    """ROLLUP / CUBE / GROUPING SETS — NULL-keyed super-aggregate rows
+    on both engines."""
+    if form == "GROUPING SETS":
+        grp = "GROUPING SETS ((k, g), (k), ())"
+    else:
+        grp = f"{form} (k, g)"
+    ch = (f"SELECT k, v % 2 AS g, {agg_ch} AS a1 FROM stmt_t "
+          f"GROUP BY {grp} ORDER BY k, g, a1")
+    an = (f"SELECT k, v % 2 AS g, {agg_an} AS a1 FROM stmt_t "
+          f"GROUP BY {grp} ORDER BY k, g, a1")
+    return ch, an
+
+
+def grouping_stmt():
+    return st.tuples(
+        st.sampled_from(["ROLLUP", "CUBE", "GROUPING SETS"]), agg_item()
+    ).map(lambda t: _grouped(t[0], t[1][0], t[1][1]))
+
+
+@st.composite
+def window_stmt(draw):
+    """Window frames: running/rolling aggregates plus the reference's
+    frame-aware lagInFrame/leadInFrame (WindowTransform.cpp:2698). The
+    DuckDB side hand-models the exact semantics: plain lag for an
+    unbounded-start frame, plain lead for an unbounded-following end,
+    compile-time default for a too-narrow ROWS frame, and the PEER
+    guard for leadInFrame under the reference's default RANGE ...
+    CURRENT ROW frame (an offset row is in frame iff it has the same
+    ORDER BY values)."""
+    fn = draw(st.sampled_from(["sum", "min", "max", "count"]))
+    frame = draw(st.sampled_from([
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+        "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW",
+        "ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING",
+    ]))
+    part = draw(st.booleans())
+    over = ("PARTITION BY k ORDER BY v, s" if part else "ORDER BY v, s")
+    variant = draw(st.sampled_from(
+        ["lag_nf", "lead_unb", "lead_default", "lag_narrow", "lead_narrow",
+         None]))
+    n_off = draw(st.integers(1, 3))
+    items = [f"{fn}(v) OVER ({over} {frame}) AS w1"]
+    an_items = [f"{fn}(v) OVER ({over} {frame}) AS w1"]
+    if variant == "lag_nf":
+        # default frame starts UNBOUNDED PRECEDING -> plain lag
+        items.append(f"lagInFrame(v, {n_off}, 0) OVER ({over}) AS w2")
+        an_items.append(f"lag(v, {n_off}, 0) OVER ({over}) AS w2")
+    elif variant == "lead_unb":
+        items.append(
+            f"leadInFrame(v, {n_off}, 0) OVER ({over} ROWS BETWEEN "
+            f"UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS w2")
+        an_items.append(f"lead(v, {n_off}, 0) OVER ({over}) AS w2")
+    elif variant == "lead_default":
+        # peer-bounded: (v, s) is unique here, so only offset rows with
+        # IDENTICAL order values survive — the guard must fire
+        items.append(f"leadInFrame(v, {n_off}, -1) OVER ({over}) AS w2")
+        an_items.append(
+            f"CASE WHEN lead(ROW(v, s), {n_off}) OVER ({over}) "
+            f"IS NOT DISTINCT FROM ROW(v, s) "
+            f"THEN lead(v, {n_off}, -1) OVER ({over}) ELSE -1 END AS w2")
+    elif variant == "lag_narrow":
+        # frame starts 1 PRECEDING: offset > 1 is compile-time default
+        items.append(
+            f"lagInFrame(v, {n_off}, -1) OVER ({over} ROWS BETWEEN "
+            f"1 PRECEDING AND CURRENT ROW) AS w2")
+        an_items.append(
+            (f"lag(v, {n_off}, -1) OVER ({over}) AS w2")
+            if n_off <= 1 else "-1 AS w2")
+    elif variant == "lead_narrow":
+        items.append(
+            f"leadInFrame(v, {n_off}, -1) OVER ({over} ROWS BETWEEN "
+            f"CURRENT ROW AND 2 FOLLOWING) AS w2")
+        an_items.append(
+            (f"lead(v, {n_off}, -1) OVER ({over}) AS w2")
+            if n_off <= 2 else "-1 AS w2")
+    ch = (f"SELECT k, v, {', '.join(items)} FROM stmt_t "
+          f"ORDER BY k, v, s")
+    an = (f"SELECT k, v, {', '.join(an_items)} FROM stmt_t "
+          f"ORDER BY k, v, s")
+    return ch, an
+
+
 def stmt():
     return st.one_of(
         scalar_stmt(), agg_stmt(), limit_by_stmt(), qualify_stmt(),
         distinct_on_stmt(), in_subquery_stmt(), cte_stmt(),
+        grouping_stmt(), window_stmt(),
     )
 
 
