@@ -279,7 +279,7 @@ _RENAMES = {
     "arrayreverse": "reverse",
     "arrayflatten": "flatten",
     "arrayzip": "arrays_zip",
-    "arrayconcat": "concat",
+    "arrayconcat": "arrayconcat__",
     "arrayslice": "arrayslice__",
     "arraypushback": "array_append",
     "arraypushfront": "array_prepend",
@@ -1720,8 +1720,33 @@ def _rewrite_functions(toks: list[str]) -> list[str]:
         elif new == "arraystringconcat__":
             sep = args[1] if len(args) > 1 else ["''"]
             out += ["array_join", "(", *args[0], ",", *sep, ")"]
+        elif new == "arrayconcat__":
+            # flatten(array(a, b, ...)) rather than a `concat` rename:
+            # concat is the STRING head to the polymorphic length()
+            # resolver, so length(arrayConcat(..)) picked the
+            # string branch and failed analysis (array-HOF fuzz
+            # finding, round 6); flatten is unambiguous
+            out += ["flatten", "(", "array", "("]
+            for k, a in enumerate(args):
+                if k:
+                    out.append(",")
+                out += a
+            out += [")", ")"]
         elif new in ("arraysort__", "arrayreversesort__"):
-            if "->" in args[0]:
+            # depth-0 arrow only: a nested HOF inside the array ARG
+            # (arraySort(arrayMap(x -> ..., a))) is not a lambda KEY
+            # (array-HOF fuzz finding, round 6)
+            depth0_arrow = False
+            d = 0
+            for t in args[0]:
+                if t == "(":
+                    d += 1
+                elif t == ")":
+                    d -= 1
+                elif t == "->" and d == 0:
+                    depth0_arrow = True
+                    break
+            if depth0_arrow:
                 raise ChSqlError(
                     f"{tk}: lambda keys need the DataFrame builder "
                     "(sort by transform + arrays_zip)"
