@@ -300,11 +300,18 @@ _RENAMES = {
     "upperutf8": "upper",
     "substringutf8": "substring",
     "positionutf8": "instr",
+    "positioncaseinsensitive": "positionci__",
+    "positioncaseinsensitiveutf8": "positionci__",
+    "reverseutf8": "reverse",
+    "replaceone": "replaceone__",
+    "replaceregexpone": "replaceregexpone__",
     "trimboth": "trim",
     "trimleft": "ltrim",
     "trimright": "rtrim",
     "leftpad": "lpad",
     "rightpad": "rpad",
+    "leftpadutf8": "lpad",
+    "rightpadutf8": "rpad",
     "uniqexact": "uniqexact__",
     "anyheavy": "mode",
     "stddevpop": "stddev_pop",
@@ -1178,8 +1185,12 @@ _ARRAY_PRODUCING = {
 
 
 def _len_fn(arg: list[str]) -> str:
+    """Resolve CH's polymorphic length(): element count for arrays,
+    BYTE count for strings (the reference's documented String
+    semantics — lengthUTF8 is the character-count name; string-fn fuzz
+    finding, round 6: this returned char count for strings)."""
     head = arg[0].lower() if arg else ""
-    return "size" if head in _ARRAY_PRODUCING else "length"
+    return "size" if head in _ARRAY_PRODUCING else "octet_length"
 
 
 _EXTRACT_UNITS = {
@@ -1720,6 +1731,40 @@ def _rewrite_functions(toks: list[str]) -> list[str]:
         elif new == "arraystringconcat__":
             sep = args[1] if len(args) > 1 else ["''"]
             out += ["array_join", "(", *args[0], ",", *sep, ")"]
+        elif new == "positionci__":
+            if len(args) != 2:
+                raise ChSqlError(f"{tk}: subset takes (haystack, needle)")
+            out += ["instr", "(", "lower", "(", *args[0], ")", ",",
+                    "lower", "(", *args[1], ")", ")"]
+        elif new == "replaceone__":
+            # exact FIRST-occurrence replace via instr splice (Spark
+            # replace() replaces all; string-fn fuzz finding, round 6).
+            # char_length, not the byte-semantics length(): instr and
+            # substring index CHARACTERS
+            s_, a_, b_ = args
+            find = ["instr", "(", *s_, ",", *a_, ")"]
+            out += (["CASE", "WHEN", "("] + a_ + [")", "!=", "''", "AND"]
+                    + find + [">", "0", "THEN", "concat", "(",
+                              "substring", "(", *s_, ",", "1", ","]
+                    + find + ["-", "1", ")", ",", *b_, ",",
+                              "substring", "(", *s_, ","]
+                    + find + ["+", "char_length", "(", *a_, ")", ")", ")",
+                              "ELSE", *s_, "END"])
+        elif new == "replaceregexpone__":
+            s_, p_, r_ = args
+            if any(re.search(r"\\\d", t) for t in r_):
+                raise ChSqlError(
+                    f"{tk}: backreferences in the replacement are out of "
+                    "the subset (replaceRegexpAll supports them via "
+                    "regexp_replace)")
+            pos = ["regexp_instr", "(", *s_, ",", *p_, ")"]
+            hit = ["regexp_extract", "(", *s_, ",", *p_, ",", "0", ")"]
+            out += (["CASE", "WHEN"] + pos + [">", "0", "THEN", "concat", "(",
+                    "substring", "(", *s_, ",", "1", ","]
+                    + pos + ["-", "1", ")", ",", *r_, ",",
+                             "substring", "(", *s_, ","]
+                    + pos + ["+", "char_length", "("] + hit + [")", ")", ")",
+                             "ELSE", *s_, "END"])
         elif new == "arrayconcat__":
             # flatten(array(a, b, ...)) rather than a `concat` rename:
             # concat is the STRING head to the polymorphic length()

@@ -356,7 +356,10 @@ _reg("toRelativeDayNum")(lambda a: F.datediff(_c(a).cast("date"), F.lit("1970-01
 # FunctionsStringDistance.cpp, like.cpp, match.cpp)
 # ---------------------------------------------------------------------------
 
-_reg("length", "lengthUTF8", "char_length")(lambda a: F.length(_c(a)).cast("bigint"))
+# CH length(String) counts BYTES (lengthUTF8 counts characters) —
+# src/Functions/lengthUTF8.cpp vs array/length.cpp
+_reg("length")(lambda a: F.octet_length(_c(a)).cast("bigint"))
+_reg("lengthUTF8", "char_length")(lambda a: F.length(_c(a)).cast("bigint"))
 _reg("empty")(lambda a: F.length(_c(a)) == 0)
 _reg("notEmpty")(lambda a: F.length(_c(a)) > 0)
 _reg("lower", "lcase")(lambda a: F.lower(_c(a)))
@@ -375,8 +378,8 @@ _reg("concatWithSeparator", "concat_ws")(
 _reg("trim", "trimBoth")(lambda a: F.trim(_c(a)))
 _reg("trimLeft")(lambda a: F.ltrim(_c(a)))
 _reg("trimRight")(lambda a: F.rtrim(_c(a)))
-_reg("leftPad", "lpad")(lambda a, ln, p=" ": F.lpad(_c(a), ln, p))
-_reg("rightPad", "rpad")(lambda a, ln, p=" ": F.rpad(_c(a), ln, p))
+_reg("leftPad", "leftPadUTF8", "lpad")(lambda a, ln, p=" ": F.lpad(_c(a), ln, p))
+_reg("rightPad", "rightPadUTF8", "rpad")(lambda a, ln, p=" ": F.rpad(_c(a), ln, p))
 _reg("left")(lambda a, n: F.substring(_c(a), 1, n))
 _reg("right")(lambda a, n: F.substring(_c(a), -n, n))
 _reg("reverse", "reverseUTF8")(lambda a: F.reverse(_c(a)))

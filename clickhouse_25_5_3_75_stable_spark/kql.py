@@ -148,7 +148,9 @@ def _split_pipeline(text: str) -> list[str]:
 # ---------------------------------------------------------------------------
 
 _FN_RENAMES = {
-    "strcat": "concat", "iif": "if", "iff": "if", "strlen": "length",
+    # ADX strlen counts CHARACTERS, string_size counts BYTES — and CH
+    # length(String) is bytes / lengthUTF8 is characters
+    "strcat": "concat", "iif": "if", "iff": "if", "strlen": "lengthUTF8",
     "tolower": "lower", "toupper": "upper", "isnull": "isNull",
     "isnotnull": "isNotNull", "isempty": "empty", "isnotempty": "notEmpty",
     "tostring": "toString", "toint": "toInt32", "tolong": "toInt64",
@@ -165,7 +167,7 @@ _FN_RENAMES = {
     "isnan": "isNaN", "array_reverse": "arrayReverse",
     "array_sort_asc": "arraySort", "set_difference": "arrayExcept__kqlna",
     "array_concat": "arrayConcat", "array_slice": "arraySlice",
-    "string_size": "lengthUTF8", "reverse": "reverse",
+    "string_size": "length", "reverse": "reverse",
     "base64_encode_tostring": "base64Encode",
     "base64_decode_tostring": "base64Decode",
     "hash_sha256": "hexSHA256__kqlna", "hash_md5": "hexMD5__kqlna",
