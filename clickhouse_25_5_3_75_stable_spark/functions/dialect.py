@@ -401,7 +401,21 @@ _reg("ilike")(lambda a, pat: _c(a).ilike(pat))
 _reg("match")(lambda a, pat: _c(a).rlike(pat))
 _reg("extract")(lambda a, pat: F.regexp_extract(_c(a), pat, 0))
 _reg("extractAll")(lambda a, pat: F.regexp_extract_all(_c(a), F.lit(pat), F.lit(0)))
-_reg("replaceOne")(lambda a, pat, rep: F.regexp_replace(_c(a), F.lit(pat), F.lit(rep)))  # literal-ish
+def _replace_one(a, pat, rep):
+    """Exact FIRST-occurrence literal replace (replaceOne.cpp): instr
+    splice — the prior regexp_replace form replaced ALL occurrences
+    and treated the needle as a regex."""
+    c, p, r = _c(a), F.lit(pat), F.lit(rep)
+    hit = F.instr(c, p)
+    return F.when(
+        (p != F.lit("")) & (hit > 0),
+        F.concat(F.substring(c, F.lit(1), hit - 1), r,
+                 F.substring(c, hit + F.length(p),
+                             F.length(c))),
+    ).otherwise(c)
+
+
+_reg("replaceOne")(_replace_one)
 _reg("replaceAll", "replace")(lambda a, pat, rep: F.replace(_c(a), _c(pat), _c(rep)))
 _reg("replaceRegexpAll")(lambda a, pat, rep: F.regexp_replace(_c(a), pat, rep))
 _reg("countSubstrings")(
