@@ -312,6 +312,22 @@ _RENAMES = {
     "rightpad": "rpad",
     "leftpadutf8": "lpad",
     "rightpadutf8": "rpad",
+    "bitand": "bitand__",
+    "bitor": "bitor__",
+    "bitxor": "bitxor__",
+    "bitnot": "bitnot__",
+    "bitshiftleft": "shiftleft",
+    "bitshiftright": "shiftright",
+    "bitcount": "bit_count",
+    "bittest": "bittest__",
+    "bithammingdistance": "bithamming__",
+    "base64encode": "base64",
+    "base64decode": "base64decode__",
+    "jsonextractkeys": "json_object_keys",
+    "arrayshuffle": "shuffle",
+    "arraywithconstant": "arraywithconstant__",
+    "arrayresize": "arrayresize__",
+    "basename": "basename__",
     "uniqexact": "uniqexact__",
     "anyheavy": "mode",
     "stddevpop": "stddev_pop",
@@ -1731,6 +1747,50 @@ def _rewrite_functions(toks: list[str]) -> list[str]:
         elif new == "arraystringconcat__":
             sep = args[1] if len(args) > 1 else ["''"]
             out += ["array_join", "(", *args[0], ",", *sep, ")"]
+        elif new in ("bitand__", "bitor__", "bitxor__"):
+            op = {"bitand__": "&", "bitor__": "|", "bitxor__": "^"}[new]
+            out += ["(", "(", *args[0], ")", op, "(", *args[1], ")", ")"]
+        elif new == "bitnot__":
+            out += ["~", "(", *args[0], ")"]
+        elif new == "bittest__":
+            out += ["(", "(", "shiftright", "(", *args[0], ",",
+                    "CAST", "(", *args[1], "AS", "INT", ")", ")", ")",
+                    "&", "1", ")"]
+        elif new == "bithamming__":
+            out += ["bit_count", "(", "(", *args[0], ")", "^",
+                    "(", *args[1], ")", ")"]
+        elif new == "base64decode__":
+            out += ["CAST", "(", "unbase64", "(", *args[0], ")",
+                    "AS", "STRING", ")"]
+        elif new == "arraywithconstant__":
+            # CH arg order is (length, element); Spark array_repeat is
+            # (element, count)
+            out += ["array_repeat", "(", *args[1], ",",
+                    "CAST", "(", *args[0], "AS", "INT", ")", ")"]
+        elif new == "arrayresize__":
+            # truncate or extend; extensions fill with the explicit
+            # 3rd arg, else NULL (the engine's Nullable-element array
+            # stance — the reference fills non-Nullable arrays with
+            # type defaults). Negative sizes (resize from the left)
+            # are out of the subset.
+            a_, n_ = args[0], args[1]
+            fill = args[2] if len(args) > 2 else ["NULL"]
+            if n_ and n_[0].lstrip("-").isdigit() and n_[0].startswith("-"):
+                raise ChSqlError(
+                    "arrayResize: negative sizes (resize from the left) "
+                    "need the DataFrame builder")
+            out += (["CASE", "WHEN", "size", "(", *a_, ")", ">=",
+                     "CAST", "(", *n_, "AS", "INT", ")",
+                     "THEN", "slice", "(", *a_, ",", "1", ",",
+                     "CAST", "(", *n_, "AS", "INT", ")", ")",
+                     "ELSE", "concat", "(", *a_, ",",
+                     "array_repeat", "(", *fill, ",",
+                     "CAST", "(", *n_, "AS", "INT", ")",
+                     "-", "size", "(", *a_, ")", ")", ")", "END"])
+        elif new == "basename__":
+            # part after the last '/' or '\' (reference basename.cpp)
+            out += ["element_at", "(", "split", "(", *args[0], ",",
+                    "'[/\\\\\\\\]'", ")", ",", "-", "1", ")"]
         elif new == "positionci__":
             if len(args) != 2:
                 raise ChSqlError(f"{tk}: subset takes (haystack, needle)")
@@ -1892,16 +1952,28 @@ def _rewrite_functions(toks: list[str]) -> list[str]:
                 fn = ("to_timestamp" if new == "parsedatetime__"
                       else "try_to_timestamp")
                 out += [fn, "(", *args[0], ",", _sql_lit(segs[0]), ")"]
-        elif new.startswith("json_"):
-            # single-key path form JSONExtractX(json, 'key'); CH's
-            # multi-segment path lists need the DataFrame builder
-            if len(args) != 2 or len(args[1]) != 1 or not args[1][0].startswith("'"):
-                raise ChSqlError(
-                    f"{tk}: only the single-literal-key form translates — "
-                    "multi-segment paths need the DataFrame builder"
-                )
-            key = args[1][0][1:-1]
-            path = f"'$.{key}'"
+        elif new.startswith("json_") and new.endswith("__"):
+            # JSONExtractX(json, seg, seg, ...): CH path segments are
+            # literal keys and 1-BASED indices — composed into one JSON
+            # path ('a', 2, 'b' -> $.a[1].b). Round 6: multi-segment
+            # literal paths translate (previously single-key only);
+            # non-literal segments and negative (from-the-end) indices
+            # still need the DataFrame builder.
+            if len(args) < 2:
+                raise ChSqlError(f"{tk}: needs (json, path segments...)")
+            segs_p = []
+            for a in args[1:]:
+                if len(a) == 1 and a[0].startswith("'"):
+                    segs_p.append("." + a[0][1:-1])
+                elif len(a) == 1 and a[0].isdigit() and int(a[0]) >= 1:
+                    segs_p.append(f"[{int(a[0]) - 1}]")
+                else:
+                    raise ChSqlError(
+                        f"{tk}: path segments must be string literals or "
+                        "positive integer literals — expressions and "
+                        "negative indices need the DataFrame builder"
+                    )
+            path = "'$" + "".join(segs_p) + "'"
             gjo = ["get_json_object", "(", *args[0], ",", path, ")"]
             if new == "json_int__":
                 out += ["CAST", "(", *gjo, "AS", "BIGINT", ")"]
@@ -2805,7 +2877,13 @@ def ch_sql(spark, sql: str, sf_dir: str | None = None,
                 supported_aggregates,
             )
 
-            if name in _D1 or name in _D2 or name in supported_aggregates():
+            # registry keys are lowercased at registration — compare
+            # case-folded or camelCase names (base64Encode, bitAnd, …)
+            # skip the guard and surface the raw UNRESOLVED error
+            # (fuzz-audit finding, round 6)
+            low = name.lower()
+            aggs = {a.lower() for a in supported_aggregates()}
+            if low in _D1 or low in _D2 or low in aggs:
                 raise ChSqlError(
                     f"{name}: implemented as a DataFrame expression "
                     f"(functions.dialect ch / functions.aggregates ch_agg) but "

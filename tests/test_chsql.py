@@ -571,8 +571,13 @@ def test_json_extract_family_in_sql(spark):
     assert ch_sql(spark, "SELECT JSONExtractString('{\"k\": \"x\"}', 'k') AS v").collect()[0].v == "x"
     assert ch_sql(spark, "SELECT JSONHas('{\"k\": 1}', 'z') AS v").collect()[0].v is False
     assert ch_sql(spark, "SELECT JSONLength('{\"k\": [1,2,3]}', 'k') AS v").collect()[0].v == 3
-    with pytest.raises(ChSqlError):  # multi-segment path needs the builder
-        ch_sql(spark, "SELECT JSONExtractInt('{}', 'a', 'b')")
+    # multi-segment literal paths translate since round-6-late; only
+    # non-literal segments / negative indices still need the builder
+    assert ch_sql(
+        spark, "SELECT JSONExtractInt('{\"a\": {\"b\": 3}}', 'a', 'b') AS v"
+    ).collect()[0].v == 3
+    with pytest.raises(ChSqlError):
+        ch_sql(spark, "SELECT JSONExtractInt('{}', 'a', k)")
 
 
 def test_builder_only_constructs_refuse_with_pointer():
@@ -1266,3 +1271,42 @@ def test_system_tables_via_sql_text(spark, sf_dir):
     # a literal containing 'system.' must not be rewritten
     lit = ch_sql(spark, "SELECT 'system.tables' AS s FROM system.one").collect()
     assert lit[0].s == "system.tables"
+
+
+def test_round6_text_surface_tranche(spark):
+    """Round-6-late SQL-text closures: bit ops, base64, basename,
+    arrayWithConstant/arrayResize, multi-segment JSON paths, and the
+    UNRESOLVED-name guard (case-folded registry lookup)."""
+    import pytest as _pytest
+
+    from clickhouse_25_5_3_75_stable_spark.chsql import ChSqlError, ch_sql
+
+    row = ch_sql(
+        spark,
+        "SELECT bitAnd(6, 3) AS a, bitOr(6, 1) AS b, bitXor(6, 3) AS c,"
+        " bitNot(0) AS d, bitShiftLeft(1, 4) AS e, bitShiftRight(16, 2) AS f,"
+        " bitCount(255) AS g, bitTest(5, 0) AS h,"
+        " bitHammingDistance(5, 6) AS i",
+    ).collect()[0]
+    assert tuple(row) == (2, 7, 5, -1, 16, 4, 8, 1, 2)
+    row = ch_sql(
+        spark,
+        "SELECT base64Encode('abc') AS a, base64Decode('YWJj') AS b,"
+        " basename('/a/b/c.txt') AS c, basename('x\\\\y') AS d,"
+        " arrayWithConstant(3, 7) AS e, arrayResize([1,2,3], 2) AS f,"
+        " arrayResize([1], 3, 0) AS g",
+    ).collect()[0]
+    assert (row.a, row.b, row.c, row.d) == ("YWJj", "abc", "c.txt", "y")
+    assert (row.e, row.f, row.g) == ([7, 7, 7], [1, 2], [1, 0, 0])
+    # multi-segment JSON paths: keys and 1-based indices compose
+    row = ch_sql(
+        spark,
+        "SELECT JSONExtractString('{\"a\":{\"b\":\"y\"}}', 'a', 'b') AS a,"
+        " JSONExtractInt('{\"a\":[{\"n\":5},{\"n\":9}]}', 'a', 2, 'n') AS b,"
+        " JSONExtractKeys('{\"a\":1,\"b\":2}') AS c",
+    ).collect()[0]
+    assert (row.a, row.b, row.c) == ("y", 9, ["a", "b"])
+    # registry names with no SQL translation raise the pointed error —
+    # camelCase names included (the guard was case-sensitive before)
+    with _pytest.raises(ChSqlError, match="DataFrame"):
+        ch_sql(spark, "SELECT bitmapBuild([1,2]) AS a")
