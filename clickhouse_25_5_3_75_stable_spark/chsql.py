@@ -2721,6 +2721,140 @@ def ch_sql_to_spark(sql: str) -> str:
     return "".join(out)
 
 
+# (name_lower, nargs) -> rendered Spark-SQL template with __brg{i}
+# placeholders, or None when the registry function cannot be rendered
+# (python-literal-only args, prefix-operator toString forms, UDF
+# backings) — those keep the pointed "use the DataFrame API" error
+_BRIDGE_CACHE: dict[tuple[str, int], str | None] = {}
+
+
+def _registry_fn(low: str):
+    from clickhouse_25_5_3_75_stable_spark.functions.dialect import (
+        CH_FUNCTIONS as _D1,
+    )
+    from clickhouse_25_5_3_75_stable_spark.functions.dialect_extras import (
+        CH_FUNCTIONS as _D2,
+    )
+
+    return _D1.get(low) or _D2.get(low)
+
+
+def _bridge_template(spark, low: str, nargs: int) -> str | None:
+    """Render a registry Column-function to a Spark-SQL expression
+    template (round-6): apply it to __brg{i} placeholder columns,
+    take the Column's SQL rendering, and accept it only if it (a)
+    parses back as one expression and (b) still references every
+    placeholder. By construction the accepted template IS the
+    DataFrame surface's semantics — the same Column tree, serialized.
+    Anything that doesn't render cleanly stays on the pointed
+    use-the-DataFrame-API error, never a silent mistranslation."""
+    key = (low, nargs)
+    cached = _BRIDGE_CACHE.get(key)
+    if cached is not None:
+        kind, txt = cached
+        if kind == "static":
+            return txt
+        if kind == "none":
+            return None
+        # "dynamic": seed-bearing render (rand/shuffle bake a seed
+        # literal) — re-render per use so every query draws fresh
+        # randomness, matching the DataFrame surface
+
+    def _render():
+        fn = _registry_fn(low)
+        if fn is None:
+            return None
+        from pyspark.sql import functions as F
+
+        cols = [F.col(f"__brg{i}") for i in range(nargs)]
+        txt = str(fn(*cols))
+        if not (txt.startswith("Column<'") and txt.endswith("'>")):
+            return None
+        txt = txt[8:-2]
+        spark._jsparkSession.sessionState().sqlParser().parseExpression(txt)
+        if not all(f"__brg{i}" in txt for i in range(nargs)):
+            return None
+        return txt
+
+    try:
+        t1 = _render()
+        t2 = _render() if t1 is not None else None
+    except Exception:
+        t1 = t2 = None
+    if t1 is None:
+        _BRIDGE_CACHE[key] = ("none", None)
+        return None
+    _BRIDGE_CACHE[key] = ("static", t1) if t1 == t2 else ("dynamic", None)
+    return t1
+
+
+def _bridge_substitute(spark, translated: str, name: str) -> str | None:
+    """Replace every `name(args...)` call in the translated SQL with
+    the bridged expression; None when no call site could be bridged."""
+    try:
+        toks = _tokenize(translated)
+    except Exception:
+        return None
+    low = name.lower()
+    changed = False
+    i = 0
+    while i < len(toks):
+        if toks[i].lower() == low and i + 1 < len(toks) and toks[i + 1] == "(":
+            try:
+                close_i = _match_paren(toks, i + 1)
+            except ChSqlError:
+                return None
+            args = _split_top_args(toks[i + 2 : close_i])
+            if args == [[]]:
+                args = []
+            tmpl = _bridge_template(spark, low, len(args))
+            if tmpl is None:
+                i += 1
+                continue
+            expr = tmpl
+            for k in range(len(args) - 1, -1, -1):
+                expr = expr.replace(
+                    f"__brg{k}", "(" + " ".join(args[k]) + ")")
+            toks = toks[:i] + ["(", expr, ")"] + toks[close_i + 1 :]
+            changed = True
+            i += 3
+        else:
+            i += 1
+    if not changed:
+        return None
+    out = []
+    for k, tk in enumerate(toks):
+        if k and tk not in (",", ")", ".") and toks[k - 1] not in ("(", "."):
+            out.append(" ")
+        out.append(tk)
+    return "".join(out)
+
+
+def _sql_with_fn_bridge(spark, translated: str):
+    """spark.sql with the registry-function bridge: UNRESOLVED names
+    that exist in the DataFrame registry get their rendered expression
+    substituted and the query retried (bounded; one attempt per
+    name)."""
+    attempted: set[str] = set()
+    while True:
+        try:
+            return spark.sql(translated)
+        except Exception as e:
+            msg = str(e)
+            if "UNRESOLVED_ROUTINE" not in msg or len(attempted) > 20:
+                raise
+            m = re.search(r"Cannot resolve routine `([^`]+)`", msg)
+            name = m.group(1) if m else None
+            if (name is None or name.lower() in attempted
+                    or _registry_fn(name.lower()) is None):
+                raise
+            attempted.add(name.lower())
+            bridged = _bridge_substitute(spark, translated, name)
+            if bridged is None:
+                raise
+            translated = bridged
+
+
 def ch_sql(spark, sql: str, sf_dir: str | None = None,
            params: dict | None = None):
     """Run ClickHouse-dialect SQL on Spark. If sf_dir is given, the
@@ -2828,7 +2962,7 @@ def ch_sql(spark, sql: str, sf_dir: str | None = None,
 
     record_query(sql, translated)
     try:
-        df = spark.sql(translated)
+        df = _sql_with_fn_bridge(spark, translated)
         if "max_result_rows" in settings:
             cap = int(settings["max_result_rows"].strip("'\""))
             if cap > 0:  # reference: 0 means unlimited

@@ -1306,7 +1306,39 @@ def test_round6_text_surface_tranche(spark):
         " JSONExtractKeys('{\"a\":1,\"b\":2}') AS c",
     ).collect()[0]
     assert (row.a, row.b, row.c) == ("y", 9, ["a", "b"])
-    # registry names with no SQL translation raise the pointed error —
-    # camelCase names included (the guard was case-sensitive before)
+    # registry names whose render can't bridge raise the pointed error
+    # — camelCase names included (the guard was case-sensitive before)
     with _pytest.raises(ChSqlError, match="DataFrame"):
-        ch_sql(spark, "SELECT bitmapBuild([1,2]) AS a")
+        ch_sql(spark, "SELECT arrayProduct([1.0, 2.0]) AS a")
+
+
+def test_registry_expression_bridge(spark):
+    """Round-6-late: registry Column-functions with no hand-written
+    text mapping reach the SQL surface through the expression bridge
+    (the function's own Column tree, rendered and re-parsed). Names
+    whose render is not valid SQL keep the pointed DataFrame error;
+    seed-baking renders re-render per query."""
+    import pytest as _pytest
+
+    from clickhouse_25_5_3_75_stable_spark.chsql import ChSqlError, ch_sql
+
+    row = ch_sql(
+        spark,
+        "SELECT bitmapBuild([3,1,2,1]) AS a,"
+        " bitmapAnd(bitmapBuild([1,2,3]), bitmapBuild([2,3,4])) AS b,"
+        " bitmapCardinality(bitmapBuild([1,1,2])) AS c,"
+        " mapKeys(map('a', 1, 'b', 2)) AS d,"
+        " cutQueryString('http://x.com/p?q=1') AS e,"
+        " bitmapMax(bitmapBuild([5,9,2])) AS f",
+    ).collect()[0]
+    assert tuple(row) == ([1, 2, 3], [2, 3], 2, ["a", "b"],
+                          "http://x.com/p", 9)
+    # prefix-operator renders are NOT bridged — pointed error, never a
+    # silent mistranslation
+    with _pytest.raises(ChSqlError, match="DataFrame"):
+        ch_sql(spark, "SELECT isFinite(1.5) AS a")
+    # seed-bearing renders draw fresh randomness per query
+    a = ch_sql(spark, "SELECT arrayRandomSample([1,2,3,4,5,6,7,8], 3) AS r")
+    b = ch_sql(spark, "SELECT arrayRandomSample([1,2,3,4,5,6,7,8], 3) AS r")
+    ra, rb = a.collect()[0].r, b.collect()[0].r
+    assert len(ra) == 3 and len(rb) == 3
