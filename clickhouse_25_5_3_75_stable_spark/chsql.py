@@ -2739,6 +2739,97 @@ def _registry_fn(low: str):
     return _D1.get(low) or _D2.get(low)
 
 
+_RENDER_TOKEN_RE = re.compile(
+    r"""
+    '(?:[^'\\]|\\.)*'
+  | `[^`]*`
+  | \d+(?:\.\d+)?(?:[eE][-+]?\d+)?[LDF]?
+  | [A-Za-z_][A-Za-z0-9_]*
+  | <=>|<=|>=|!=|==|->|&&|\|\|
+  | [-+*/%&|^!=<>(),.\[\]:]
+    """,
+    re.X,
+)
+
+_PREFIX_BIN = {"+", "-", "*", "/", "%", "&", "|", "^", "=", "==", "!=",
+               "<", "<=", ">", ">=", "<=>", "and", "or"}
+_PREFIX_UN = {"!", "not", "-"}
+
+
+def _infix_repair(txt: str) -> str | None:
+    """Column.toString renders operator nodes PREFIX (`=(a, b)`,
+    `!(x)`), which is not SQL. Rewrite them to fully parenthesized
+    infix — full parenthesization makes a successful re-parse
+    unambiguous, and the caller's parseExpression check rejects any
+    repair that went wrong (round-6: unlocks the operator-bearing half
+    of the expression bridge)."""
+    toks, i = [], 0
+    while i < len(txt):
+        if txt[i].isspace():
+            i += 1
+            continue
+        m = _RENDER_TOKEN_RE.match(txt, i)
+        if not m:
+            return None
+        tok = m.group(0)
+        # a python-float literal renders WITHOUT its D suffix, and the
+        # re-parse would type it DECIMAL(p,s) instead of DOUBLE —
+        # restore the suffix (token-wise, so string literals are safe)
+        if re.match(r"^\d+\.\d+(?:[eE][-+]?\d+)?$", tok) or \
+                re.match(r"^\d+[eE][-+]?\d+$", tok):
+            tok += "D"
+        toks.append(tok)
+        i = m.end()
+
+    def _match(toks, open_i):
+        d = 0
+        for k in range(open_i, len(toks)):
+            if toks[k] == "(":
+                d += 1
+            elif toks[k] == ")":
+                d -= 1
+                if d == 0:
+                    return k
+        raise ValueError("unbalanced")
+
+    def repair(ts):
+        out, k = [], 0
+        while k < len(ts):
+            t = ts[k]
+            tl = t.lower()
+            if ((tl in _PREFIX_BIN or tl in _PREFIX_UN)
+                    and k + 1 < len(ts) and ts[k + 1] == "("):
+                close = _match(ts, k + 1)
+                args = [repair(a) for a in _split_top_args(ts[k + 2 : close])]
+                if len(args) == 1 and tl in _PREFIX_UN:
+                    op = "NOT" if tl in ("!", "not") else t
+                    out += ["(", op, "("] + args[0] + [")", ")"]
+                elif len(args) >= 2 and tl in _PREFIX_BIN:
+                    op = {"and": "AND", "or": "OR", "==": "="}.get(tl, t)
+                    rep = ["(", "("] + args[0] + [")"]
+                    for a in args[1:]:
+                        rep += [op, "("] + a + [")"]
+                    out += rep + [")"]
+                else:
+                    raise ValueError("arity")
+                k = close + 1
+            else:
+                out.append(t)
+                k += 1
+        return out
+
+    try:
+        fixed = repair(toks)
+    except ValueError:
+        return None
+    out = []
+    for k, tk in enumerate(fixed):
+        if k and tk not in (",", ")", ".") and fixed[k - 1] not in ("(", "."):
+            out.append(" ")
+        out.append(tk)
+    return "".join(out)
+
+
 def _bridge_template(spark, low: str, nargs: int) -> str | None:
     """Render a registry Column-function to a Spark-SQL expression
     template (round-6): apply it to __brg{i} placeholder columns,
@@ -2771,9 +2862,30 @@ def _bridge_template(spark, low: str, nargs: int) -> str | None:
         if not (txt.startswith("Column<'") and txt.endswith("'>")):
             return None
         txt = txt[8:-2]
-        spark._jsparkSession.sessionState().sqlParser().parseExpression(txt)
+        parser = spark._jsparkSession.sessionState().sqlParser()
+        # the repair pass also restores D suffixes on double literals
+        # and is the identity on operator-free renders
+        txt = _infix_repair(txt)
+        if txt is None:
+            return None
+        parser.parseExpression(txt)
         if not all(f"__brg{i}" in txt for i in range(nargs)):
             return None
+        # analysis probe with NULL args: a template can parse yet carry
+        # a non-SQL identifier render (isFinite's `Infinity` double) —
+        # reject on UNRESOLVED; type-mismatch errors are expected (the
+        # probe's NULLs are untyped) and pass
+        probe = txt
+        for i in range(nargs):
+            probe = probe.replace(f"__brg{i}", "NULL")
+        try:
+            spark.sql("SELECT " + probe).schema
+        except Exception as pe:
+            # the [UNRESOLVED_*] error CLASS only — a DATATYPE_MISMATCH
+            # message embeds the plan dump, whose `unresolvedalias`
+            # nodes false-matched a substring check
+            if "[UNRESOLVED_" in str(pe):
+                return None
         return txt
 
     try:

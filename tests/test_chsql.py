@@ -1306,10 +1306,15 @@ def test_round6_text_surface_tranche(spark):
         " JSONExtractKeys('{\"a\":1,\"b\":2}') AS c",
     ).collect()[0]
     assert (row.a, row.b, row.c) == ("y", 9, ["a", "b"])
+    # lambda renders bridge too once prefix ops and double-literal
+    # suffixes are repaired
+    assert ch_sql(
+        spark, "SELECT arrayProduct([1.5, 2.0]) AS a"
+    ).collect()[0].a == 3.0
     # registry names whose render can't bridge raise the pointed error
     # — camelCase names included (the guard was case-sensitive before)
     with _pytest.raises(ChSqlError, match="DataFrame"):
-        ch_sql(spark, "SELECT arrayProduct([1.0, 2.0]) AS a")
+        ch_sql(spark, "SELECT multiSearchFirstIndex('hello', ['xx']) AS a")
 
 
 def test_registry_expression_bridge(spark):
