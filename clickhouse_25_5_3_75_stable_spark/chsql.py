@@ -2900,12 +2900,28 @@ def _bridge_template(spark, low: str, nargs: int) -> str | None:
     return t1
 
 
+def _lex_spark_sql(txt: str) -> list[str] | None:
+    """Tolerant lexer for already-translated Spark SQL (the chsql
+    tokenizer rejects Spark-only operators like ^ that earlier rewrite
+    passes may have emitted)."""
+    toks, i = [], 0
+    while i < len(txt):
+        if txt[i].isspace():
+            i += 1
+            continue
+        m = _RENDER_TOKEN_RE.match(txt, i)
+        if not m:
+            return None
+        toks.append(m.group(0))
+        i = m.end()
+    return toks
+
+
 def _bridge_substitute(spark, translated: str, name: str) -> str | None:
     """Replace every `name(args...)` call in the translated SQL with
     the bridged expression; None when no call site could be bridged."""
-    try:
-        toks = _tokenize(translated)
-    except Exception:
+    toks = _lex_spark_sql(translated)
+    if toks is None:
         return None
     low = name.lower()
     changed = False

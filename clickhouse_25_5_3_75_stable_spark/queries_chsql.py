@@ -300,3 +300,43 @@ def chsql_lag_lead_in_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o_custkey, o_orderkey
         """,
     )
+
+
+@register(
+    "chsql_bridge_function_tail",
+    # independent DuckDB spellings of the same counting identities
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(SUM((strlen(lower(c_name))
+                - strlen(replace(lower(c_name), 'e', '')))) AS BIGINT) AS n_e,
+           CAST(MAX(len(list_distinct([c_custkey % 5, c_custkey % 3])))
+               AS INT) AS max_card,
+           CAST(SUM(bit_count(xor(c_custkey % 16, 5))) AS BIGINT) AS hamm
+    FROM customer
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    tags=("chsql", "bridge"),
+)
+def chsql_bridge_function_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry functions reaching SQL text through the EXPRESSION
+    BRIDGE (chsql._bridge_template, round-6 late): countSubstrings,
+    bitmapBuild/bitmapCardinality, bitHammingDistance — none has a
+    hand-written text mapping; each call site gets the DataFrame
+    registry's own Column tree, rendered and substituted."""
+    t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return ch_sql(
+        spark,
+        """
+        SELECT c_mktsegment,
+               CAST(sum(countSubstrings(lower(c_name), 'e')) AS BIGINT) AS n_e,
+               CAST(max(bitmapCardinality(
+                   bitmapBuild([c_custkey % 5, c_custkey % 3]))) AS INT)
+                   AS max_card,
+               CAST(sum(bitHammingDistance(c_custkey % 16, 5)) AS BIGINT)
+                   AS hamm
+        FROM customer
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+        """,
+    )
