@@ -290,11 +290,22 @@ def window_stmt(draw):
     return ch, an
 
 
+@st.composite
+def setop_stmt(draw):
+    op = draw(st.sampled_from(
+        ["UNION ALL", "UNION DISTINCT", "INTERSECT", "EXCEPT"]))
+    c1 = draw(num_cond())
+    c2 = draw(num_cond())
+    q = (f"SELECT k, v FROM stmt_t WHERE {{}} {op} "
+         f"SELECT k, v FROM stmt_t WHERE {{}}")
+    return q.format(c1[0], c2[0]), q.format(c1[1], c2[1])
+
+
 def stmt():
     return st.one_of(
         scalar_stmt(), agg_stmt(), limit_by_stmt(), qualify_stmt(),
         distinct_on_stmt(), in_subquery_stmt(), cte_stmt(),
-        grouping_stmt(), window_stmt(),
+        grouping_stmt(), window_stmt(), setop_stmt(),
     )
 
 
