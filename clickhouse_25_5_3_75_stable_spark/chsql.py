@@ -2830,16 +2830,18 @@ def _infix_repair(txt: str) -> str | None:
     return "".join(out)
 
 
-def _bridge_template(spark, low: str, nargs: int) -> str | None:
+def _bridge_template(spark, low: str, shapes: tuple) -> str | None:
     """Render a registry Column-function to a Spark-SQL expression
-    template (round-6): apply it to __brg{i} placeholder columns,
-    take the Column's SQL rendering, and accept it only if it (a)
-    parses back as one expression and (b) still references every
-    placeholder. By construction the accepted template IS the
-    DataFrame surface's semantics — the same Column tree, serialized.
-    Anything that doesn't render cleanly stays on the pointed
-    use-the-DataFrame-API error, never a silent mistranslation."""
-    key = (low, nargs)
+    template (round-6): apply it to __brg{i} placeholder columns —
+    with ("lit"/"litlist", value) shape positions passed as PYTHON
+    values, baked into the template — take the Column's SQL rendering,
+    and accept it only if it (a) parses back as one expression and (b)
+    still references every column placeholder. By construction the
+    accepted template IS the DataFrame surface's semantics — the same
+    Column tree, serialized. Anything that doesn't render cleanly
+    stays on the pointed use-the-DataFrame-API error, never a silent
+    mistranslation."""
+    key = (low, shapes)
     cached = _BRIDGE_CACHE.get(key)
     if cached is not None:
         kind, txt = cached
@@ -2851,14 +2853,23 @@ def _bridge_template(spark, low: str, nargs: int) -> str | None:
         # literal) — re-render per use so every query draws fresh
         # randomness, matching the DataFrame surface
 
+    col_idx = [k for k, (kind, _v) in enumerate(shapes) if kind == "col"]
+
     def _render():
         fn = _registry_fn(low)
         if fn is None:
             return None
         from pyspark.sql import functions as F
 
-        cols = [F.col(f"__brg{i}") for i in range(nargs)]
-        txt = str(fn(*cols))
+        built = []
+        for k, (kind, v) in enumerate(shapes):
+            if kind == "col":
+                built.append(F.col(f"__brg{k}"))
+            elif kind == "lit":
+                built.append(v)
+            else:  # litlist
+                built.append(list(v))
+        txt = str(fn(*built))
         if not (txt.startswith("Column<'") and txt.endswith("'>")):
             return None
         txt = txt[8:-2]
@@ -2869,15 +2880,15 @@ def _bridge_template(spark, low: str, nargs: int) -> str | None:
         if txt is None:
             return None
         parser.parseExpression(txt)
-        if not all(f"__brg{i}" in txt for i in range(nargs)):
+        if not all(f"__brg{k}" in txt for k in col_idx):
             return None
         # analysis probe with NULL args: a template can parse yet carry
         # a non-SQL identifier render (isFinite's `Infinity` double) —
         # reject on UNRESOLVED; type-mismatch errors are expected (the
         # probe's NULLs are untyped) and pass
         probe = txt
-        for i in range(nargs):
-            probe = probe.replace(f"__brg{i}", "NULL")
+        for k in col_idx:
+            probe = probe.replace(f"__brg{k}", "NULL")
         try:
             spark.sql("SELECT " + probe).schema
         except Exception as pe:
@@ -2917,6 +2928,50 @@ def _lex_spark_sql(txt: str) -> list[str] | None:
     return toks
 
 
+def _sql_literal_value(tok: str) -> str | None:
+    """Python value of a single-quoted SQL string literal token."""
+    if not (len(tok) >= 2 and tok.startswith("'") and tok.endswith("'")):
+        return None
+    body, out, i = tok[1:-1], [], 0
+    while i < len(body):
+        c = body[i]
+        if c == "\\" and i + 1 < len(body):
+            out.append(body[i + 1])
+            i += 2
+        elif c == "'" and i + 1 < len(body) and body[i + 1] == "'":
+            out.append("'")
+            i += 2
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
+def _arg_shapes(args: list[list[str]]) -> tuple:
+    """Per-arg descriptors for the literal-aware bridge: ("col", None)
+    for expressions, ("lit", value) for a string literal, ("litlist",
+    values) for array('a', 'b', ...) of string literals."""
+    shapes = []
+    for a in args:
+        if len(a) == 1:
+            v = _sql_literal_value(a[0])
+            if v is not None:
+                shapes.append(("lit", v))
+                continue
+        if len(a) >= 3 and a[0].lower() == "array" and a[1] == "(" \
+                and a[-1] == ")":
+            items = _split_top_args(a[2:-1])
+            vals = [
+                _sql_literal_value(it[0]) if len(it) == 1 else None
+                for it in items
+            ]
+            if items and all(v is not None for v in vals):
+                shapes.append(("litlist", tuple(vals)))
+                continue
+        shapes.append(("col", None))
+    return tuple(shapes)
+
+
 def _bridge_substitute(spark, translated: str, name: str) -> str | None:
     """Replace every `name(args...)` call in the translated SQL with
     the bridged expression; None when no call site could be bridged."""
@@ -2935,12 +2990,26 @@ def _bridge_substitute(spark, translated: str, name: str) -> str | None:
             args = _split_top_args(toks[i + 2 : close_i])
             if args == [[]]:
                 args = []
-            tmpl = _bridge_template(spark, low, len(args))
+            all_cols = tuple(("col", None) for _ in args)
+            tmpl = _bridge_template(spark, low, all_cols)
+            col_positions = list(range(len(args)))
+            if tmpl is None:
+                # literal fallback: registry impls that demand PYTHON
+                # literals (hasToken's needle, dateTrunc's unit,
+                # multiSearch*'s needle lists) bridge with the literal
+                # values baked into the template
+                shapes = _arg_shapes(args)
+                if any(k != "col" for k, _v in shapes):
+                    tmpl = _bridge_template(spark, low, shapes)
+                    col_positions = [
+                        k for k, (kind, _v) in enumerate(shapes)
+                        if kind == "col"
+                    ]
             if tmpl is None:
                 i += 1
                 continue
             expr = tmpl
-            for k in range(len(args) - 1, -1, -1):
+            for k in sorted(col_positions, reverse=True):
                 expr = expr.replace(
                     f"__brg{k}", "(" + " ".join(args[k]) + ")")
             toks = toks[:i] + ["(", expr, ")"] + toks[close_i + 1 :]

@@ -1311,10 +1311,28 @@ def test_round6_text_surface_tranche(spark):
     assert ch_sql(
         spark, "SELECT arrayProduct([1.5, 2.0]) AS a"
     ).collect()[0].a == 3.0
+    # literal fallback: impls demanding PYTHON literals (hasToken's
+    # needle, dateTrunc's unit, multiSearch*'s needle lists) bridge
+    # with the literal values baked into the template
+    row = ch_sql(
+        spark,
+        "SELECT hasToken('a_b c', 'a') AS a, hasToken('abc', 'ab') AS b,"
+        " multiSearchAny('hello', ['xx', 'll']) AS c,"
+        " notLike('abc', 'a%') AS d,"
+        " CAST(dateTrunc('month', toDate('2024-05-15')) AS DATE) AS e",
+    ).collect()[0]
+    import datetime as _dt
+
+    assert (bool(row.a), bool(row.b), bool(row.c), bool(row.d), row.e) == (
+        True, False, True, False, _dt.date(2024, 5, 1))
+    assert ch_sql(
+        spark,
+        "SELECT multiSearchFirstIndex('hello', ['xx', 'll']) AS a",
+    ).collect()[0].a == 2
     # registry names whose render can't bridge raise the pointed error
     # — camelCase names included (the guard was case-sensitive before)
     with _pytest.raises(ChSqlError, match="DataFrame"):
-        ch_sql(spark, "SELECT multiSearchFirstIndex('hello', ['xx']) AS a")
+        ch_sql(spark, "SELECT mapFilter((k, v) -> v > 1, map('a', 1)) AS a")
 
 
 def test_registry_expression_bridge(spark):
