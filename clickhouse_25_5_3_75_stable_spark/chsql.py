@@ -328,6 +328,7 @@ _RENAMES = {
     "arraywithconstant": "arraywithconstant__",
     "arrayresize": "arrayresize__",
     "basename": "basename__",
+    "mapfilter": "mapfilter__",
     "uniqexact": "uniqexact__",
     "anyheavy": "mode",
     "stddevpop": "stddev_pop",
@@ -1787,6 +1788,12 @@ def _rewrite_functions(toks: list[str]) -> list[str]:
                      "array_repeat", "(", *fill, ",",
                      "CAST", "(", *n_, "AS", "INT", ")",
                      "-", "size", "(", *a_, ")", ")", ")", "END"])
+        elif new == "mapfilter__":
+            # CH arg order is (lambda, map); Spark map_filter is
+            # (map, lambda)
+            if len(args) != 2:
+                raise ChSqlError("mapFilter takes ((k, v) -> pred, map)")
+            out += ["map_filter", "(", *args[1], ",", *args[0], ")"]
         elif new == "basename__":
             # part after the last '/' or '\' (reference basename.cpp)
             out += ["element_at", "(", "split", "(", *args[0], ",",

@@ -141,6 +141,28 @@ def system_one(spark: SparkSession) -> DataFrame:
     return spark.range(1).select(F.lit(0).cast("tinyint").alias("dummy"))
 
 
+# the reference's tables are UNBOUNDED (StorageSystemNumbers.cpp
+# pulls blocks forever; queries pair them with LIMIT). spark.range is
+# LAZY — LIMIT n takes n rows without materializing — so a very large
+# bounded range gives the same usable contract; the bound exists only
+# because Spark ranges need one (2^40 rows ~ 35 years of generation at
+# 1M rows/s — beyond any non-LIMITed intent)
+_NUMBERS_BOUND = 1 << 40
+
+
+def system_numbers_unbounded(spark: SparkSession) -> DataFrame:
+    """system.numbers (StorageSystemNumbers.cpp): number UInt64
+    ascending from 0; use with LIMIT like the reference."""
+    return spark.range(_NUMBERS_BOUND).select(F.col("id").alias("number"))
+
+
+def system_zeros_unbounded(spark: SparkSession) -> DataFrame:
+    """system.zeros (StorageSystemZeros.cpp): zero UInt8 — the
+    reference's cheapest row generator."""
+    return spark.range(_NUMBERS_BOUND).select(
+        F.lit(0).cast("tinyint").alias("zero"))
+
+
 def system_functions(spark: SparkSession) -> DataFrame:
     """system.functions analogue (reference src/Storages/System/
     StorageSystemFunctions.cpp): every ClickHouse function name this
@@ -922,6 +944,8 @@ def system_mutations(spark: SparkSession, data_dir: str) -> DataFrame:
 # zero-extra-arg builders; (builder, needs_sf_dir)
 _SQL_SYSTEM_TABLES = {
     "one": (system_one, False),
+    "numbers": (system_numbers_unbounded, False),
+    "zeros": (system_zeros_unbounded, False),
     "tables": (system_tables_full, True),
     "columns": (system_columns, True),
     "databases": (system_databases, False),

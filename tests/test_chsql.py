@@ -1332,7 +1332,7 @@ def test_round6_text_surface_tranche(spark):
     # registry names whose render can't bridge raise the pointed error
     # — camelCase names included (the guard was case-sensitive before)
     with _pytest.raises(ChSqlError, match="DataFrame"):
-        ch_sql(spark, "SELECT mapFilter((k, v) -> v > 1, map('a', 1)) AS a")
+        ch_sql(spark, "SELECT mapApply((k, v) -> (k, v + 1), map('a', 1)) AS a")
 
 
 def test_registry_expression_bridge(spark):
@@ -1365,3 +1365,29 @@ def test_registry_expression_bridge(spark):
     b = ch_sql(spark, "SELECT arrayRandomSample([1,2,3,4,5,6,7,8], 3) AS r")
     ra, rb = a.collect()[0].r, b.collect()[0].r
     assert len(ra) == 3 and len(rb) == 3
+
+
+def test_system_numbers_zeros_and_mapfilter(spark):
+    """system.numbers / system.zeros route through SQL text as LAZY
+    ranges (LIMIT takes n rows without materializing the 2^40 bound);
+    mapFilter arg-swaps onto Spark map_filter."""
+    from clickhouse_25_5_3_75_stable_spark.chsql import ch_sql
+
+    rows = ch_sql(spark, "SELECT number FROM system.numbers LIMIT 3").collect()
+    assert [r.number for r in rows] == [0, 1, 2]
+    s = ch_sql(
+        spark,
+        "SELECT sum(number) AS s FROM "
+        "(SELECT number FROM system.numbers LIMIT 100)",
+    ).collect()[0].s
+    assert s == 4950
+    n = ch_sql(
+        spark,
+        "SELECT count() AS n FROM (SELECT zero FROM system.zeros LIMIT 5)",
+    ).collect()[0].n
+    assert n == 5
+    m = ch_sql(
+        spark,
+        "SELECT mapFilter((k, v) -> v > 1, map('a', 1, 'b', 2)) AS a",
+    ).collect()[0].a
+    assert m == {"b": 2}
