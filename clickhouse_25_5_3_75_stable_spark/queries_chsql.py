@@ -340,3 +340,29 @@ def chsql_bridge_function_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY c_mktsegment
         """,
     )
+
+
+@register(
+    "chsql_system_numbers_generator",
+    oracle="""
+    SELECT CAST(SUM(range) AS BIGINT) AS s,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN range % 7 = 3 THEN range END) AS BIGINT) AS s7
+    FROM range(10000)
+    """,
+    tags=("chsql", "system", "numbers"),
+)
+def chsql_system_numbers_generator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`SELECT ... FROM system.numbers LIMIT n` — the reference's
+    idiomatic row generator (StorageSystemNumbers.cpp), served as a
+    LAZY spark.range view so LIMIT takes n rows without materializing
+    the bound; DuckDB's range() table function is the oracle."""
+    return ch_sql(
+        spark,
+        """
+        SELECT CAST(sum(number) AS BIGINT) AS s,
+               CAST(count() AS BIGINT) AS n,
+               CAST(sumIf(number, number % 7 == 3) AS BIGINT) AS s7
+        FROM (SELECT number FROM system.numbers LIMIT 10000)
+        """,
+    )
