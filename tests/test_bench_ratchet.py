@@ -1,0 +1,81 @@
+"""Ratchet machinery unit tests (no Spark session needed).
+
+Round-6 judge finding #3: drift computed as the geometric mean over
+the judged queries themselves is self-referential — a uniform REAL
+regression (e.g. a session-config change slowing every plan 30%)
+classifies as environment drift and suppresses every flag. Round-7
+computes drift from fixed-plan calibration probes; these tests pin
+the distinguishing behavior.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import compute_drift_and_regressions  # noqa: E402
+
+BEST = {"qa": 1.0, "qb": 0.8, "qc": 2.0}
+PROBE_BEST = {"probe_jvm": 1.0, "probe_pandas": 0.5}
+
+
+def test_uniform_real_regression_flags_with_steady_probes():
+    """Every plan 1.6x slower while the probes are steady: the old
+    self-referential drift would have reported drift=1.6 and flagged
+    nothing; probe-anchored drift must flag ALL of them."""
+    timings = {k: v * 1.6 for k, v in BEST.items()}
+    probes = dict(PROBE_BEST)  # machine is fine
+    drift, regressions = compute_drift_and_regressions(
+        timings, BEST, probes, PROBE_BEST
+    )
+    assert abs(drift - 1.0) < 1e-9
+    assert set(regressions) == set(BEST)
+
+
+def test_uniform_machine_slowdown_does_not_flag():
+    """Every plan AND both probes 1.6x slower: machine state, not plan
+    changes — nothing flags, drift reports honestly."""
+    timings = {k: v * 1.6 for k, v in BEST.items()}
+    probes = {k: v * 1.6 for k, v in PROBE_BEST.items()}
+    drift, regressions = compute_drift_and_regressions(
+        timings, BEST, probes, PROBE_BEST
+    )
+    assert abs(drift - 1.6) < 1e-9
+    assert regressions == {}
+
+
+def test_isolated_regression_flags_on_slow_machine():
+    """One real 2.5x plan regression on a 1.3x-drifted machine still
+    flags (2.5 > 1.25 * 1.3), while the drift-consistent queries do
+    not."""
+    timings = {"qa": 2.5, "qb": 0.8 * 1.3, "qc": 2.0 * 1.3}
+    probes = {k: v * 1.3 for k, v in PROBE_BEST.items()}
+    drift, regressions = compute_drift_and_regressions(
+        timings, BEST, probes, PROBE_BEST
+    )
+    assert abs(drift - 1.3) < 1e-9
+    assert set(regressions) == {"qa"}
+
+
+def test_cold_probe_history_falls_back_to_judged_set():
+    """No probe history yet (first run after the round-7 change): the
+    judged-set geometric mean keeps the old behavior rather than
+    flagging the whole board."""
+    timings = {k: v * 1.5 for k, v in BEST.items()}
+    drift, regressions = compute_drift_and_regressions(
+        timings, BEST, {"probe_jvm": 1.0}, {}
+    )
+    assert abs(drift - 1.5) < 1e-9
+    assert regressions == {}
+
+
+def test_absolute_delta_guard_suppresses_subsecond_noise():
+    """A 1.4x ratio that is only 0.08s absolute stays quiet."""
+    best = {"qa": 0.21}
+    timings = {"qa": 0.29}
+    drift, regressions = compute_drift_and_regressions(
+        timings, best, PROBE_BEST, PROBE_BEST
+    )
+    assert regressions == {}
