@@ -1868,22 +1868,47 @@ _excl(["SVG"],
       "spec and no in-sandbox boost anchor to pin output against); the "
       "geometry model itself is served by pointInPolygon and the "
       "polygon dictionary layout")
-_excl([n for n in ("h3EdgeAngle",
-                     "h3EdgeLengthKm", "h3EdgeLengthM", "h3ExactEdgeLengthKm", "h3ExactEdgeLengthM",
-                     "h3ExactEdgeLengthRads", "h3GetDestinationIndexFromUnidirectionalEdge",
-                     "h3GetIndexesFromUnidirectionalEdge", "h3GetOriginIndexFromUnidirectionalEdge",
-                     "h3GetUnidirectionalEdge",
-                     "h3GetUnidirectionalEdgeBoundary", "h3GetUnidirectionalEdgesFromHexagon",
-                     "h3Line",
-                     "h3UnidirectionalEdgeIsValid")],
-      "H3 unidirectional-edge family + h3Line + avg-edge-length stats: "
-      "the per-DIRECTION edge encoding needs the C library's aperture-7 "
-      "digit-adjacency and base-cell neighbor tables, whose direction "
-      "conventions are not derivable from geometry (a per-direction "
-      "probe reproduces the library on only 818/842 res-1 cells — the "
-      "24 pentagon-adjacent hexagons need the adjustment tables; a 97% "
-      "function is not shipped). geoToH3/h3ToGeo/boundary/kRing/"
-      "distance/faces/areas ARE exact since round 6 (functions/h3geo.py)")
+# H3 unidirectional-edge family + h3Line — EXACT since round 7
+# (functions/h3edge.py): direction labels derived by rotation
+# calibration from the cell's own digit geometry + bijection
+# elimination at pentagon steps (closes the round-6 818/842 gap —
+# exhaustive bijection+symmetry over res 1..3 and all 122 base cells,
+# reproducing the published baseCellNeighbors rows and the reference
+# docs' cellsToDirectedEdge anchor 1248204388774707199 bit-exactly).
+def _h3edge(name):
+    def wrap(*cs):
+        from clickhouse_25_5_3_75_stable_spark.functions import h3edge as _m
+
+        return getattr(_m, name)(*cs)
+
+    return wrap
+
+
+_reg("h3GetUnidirectionalEdge")(_h3edge("h3_get_unidirectional_edge"))
+_reg("h3UnidirectionalEdgeIsValid")(_h3edge("h3_unidirectional_edge_is_valid"))
+_reg("h3GetOriginIndexFromUnidirectionalEdge")(
+    _h3edge("h3_get_origin_index_from_unidirectional_edge"))
+_reg("h3GetDestinationIndexFromUnidirectionalEdge")(
+    _h3edge("h3_get_destination_index_from_unidirectional_edge"))
+_reg("h3GetIndexesFromUnidirectionalEdge")(
+    _h3edge("h3_get_indexes_from_unidirectional_edge"))
+_reg("h3GetUnidirectionalEdgesFromHexagon")(
+    _h3edge("h3_get_unidirectional_edges_from_hexagon"))
+_reg("h3GetUnidirectionalEdgeBoundary")(
+    _h3edge("h3_get_unidirectional_edge_boundary"))
+_reg("h3Line")(_h3edge("h3_line"))
+_reg("h3ExactEdgeLengthRads")(_h3edge("h3_exact_edge_length_rads"))
+_reg("h3ExactEdgeLengthKm")(_h3edge("h3_exact_edge_length_km"))
+_reg("h3ExactEdgeLengthM")(_h3edge("h3_exact_edge_length_m"))
+
+_excl(["h3EdgeAngle", "h3EdgeLengthKm", "h3EdgeLengthM"],
+      "h3EdgeLength{Km,M} read h3lib's STATIC average-edge-length "
+      "table (empirical constants regenerated by an h3lib app; no "
+      "in-sandbox ground truth to pin 16 values against) and "
+      "h3EdgeAngle is a constant multiple of the same table "
+      "(h3EdgeAngle.cpp:91). The EXACT per-edge lengths "
+      "(h3ExactEdgeLength*) and the whole unidirectional-edge family "
+      "ARE exact since round 7 (functions/h3edge.py)")
 _excl(["formatQuery", "formatQueryOrNull", "formatQuerySingleLine", "formatQuerySingleLineOrNull"],
       "SQL pretty-printer over the CH AST (chsql.py transpiles, does not format)")
 _excl(["toRelativeSubsecondNumImpl"], "internal template helper, not a user function")

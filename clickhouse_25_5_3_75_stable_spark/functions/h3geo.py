@@ -38,13 +38,11 @@ every overage path); neighbor-set symmetry over every res-1/2 cell;
 and the sphere tiling: sum of cell areas at res 1 (class III,
 distortion vertices) and res 2 equals 4*pi to 1e-13.
 
-NOT implemented (see CH_FUNCTIONS_EXCLUDED): the unidirectional-edge
-family, h3Line, and the average-edge-length stats — they need the
-aperture-7 digit-adjacency + base-cell neighbor tables whose exact
-direction conventions are not derivable from geometry (a
-per-direction probe reproduces h3lib on only 818/842 res-1 cells —
-the 24 pentagon-adjacent hexagons need the C library's adjustment
-tables, and a 97% function is not shipped).
+The unidirectional-edge family and h3Line live in functions/h3edge.py
+(round-7: direction labels derived via rotation calibration +
+bijection elimination — the round-6 818/842 gap is closed; only the
+avg-edge-length STATIC table names remain excluded, with reasons in
+dialect_extras.py).
 
 Execution shape: the per-value walk is branchy integer math, so the
 Column surface is Arrow-batched pandas UDFs (the documented slow
@@ -859,8 +857,20 @@ def h3_to_geo_py(h):
 
 def h3_neighbors_py(h):
     """Neighbor SET via one lattice step in the cell's faceijk frame
-    (pentagon wedges collapse two steps onto one neighbor — dedup)."""
+    (pentagon wedges collapse two steps onto one neighbor — dedup).
+    Res-0 goes through the derived base-cell adjacency (round-7 fix:
+    the single-face lattice step saw only 3 of a res-0 pentagon's 5
+    neighbors — it cannot see around the icosa vertex)."""
     res = h3_resolution(h)
+    if res == 0:
+        from clickhouse_25_5_3_75_stable_spark.functions.h3edge import (
+            _base_cell_directions,
+        )
+
+        return {
+            h3_init(0, n)
+            for n in _base_cell_directions()[h3_base_cell(h)].values()
+        }
     face, coord = h3_to_faceijk(h)
     out = set()
     for d in range(1, 7):

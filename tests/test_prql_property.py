@@ -120,13 +120,56 @@ def group_agg_stage(draw):
 
 
 @st.composite
+def sstring_derive_stage(draw):
+    """Round-7 s-string escape hatch: raw SQL with {prql} holes."""
+    name = draw(st.sampled_from(["sw", "sx"]))
+    a = draw(st.sampled_from(["k", "v"]))
+    n = draw(st.integers(-3, 3))
+    prql = f'derive {{{name} = s"CAST({{{a}}} + {{{n}}} AS BIGINT)"}}'
+    expr = f"CAST({a} + {n} AS BIGINT)"
+    return (
+        prql,
+        lambda sql, cols, expr=expr, name=name: (
+            f"SELECT *, {expr} AS {name} FROM ({sql})", cols + [name]),
+        name,
+    )
+
+
+@st.composite
+def group_window_stage(draw):
+    """Round-7 group-window nesting: framed running agg partitioned by
+    the group keys ((k, v) pairs in ROWS are unique, so the v order is
+    total and the running sum deterministic)."""
+    name = "rw"
+    if draw(st.booleans()):
+        spec = "expanding:true"
+        frame = "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+    else:
+        m = draw(st.integers(1, 3))
+        spec = f"rolling:{m}"
+        frame = f"ROWS BETWEEN {m - 1} PRECEDING AND CURRENT ROW"
+    prql = (
+        "group {k} (\n  sort {v}\n  window "
+        + spec + " (derive {" + name + " = sum v}))"
+    )
+    return (
+        prql,
+        lambda sql, cols, frame=frame, name=name: (
+            f"SELECT *, sum(v) OVER (PARTITION BY k ORDER BY v ASC "
+            f"{frame}) AS {name} FROM ({sql})", cols + [name]),
+        name,
+    )
+
+
+@st.composite
 def pipeline(draw):
     cols = ["k", "v", "s"]
     prql_stages = ["from T"]
     sql = "SELECT * FROM T"
     n = draw(st.integers(1, 4))
     for _ in range(n):
-        kind = draw(st.sampled_from(["filter", "derive", "select", "group"]))
+        kind = draw(st.sampled_from(
+            ["filter", "derive", "select", "group", "sstring", "gwindow"]))
         if kind == "filter":
             if not {"k", "v", "s"}.issubset(set(cols)):
                 continue
@@ -153,6 +196,18 @@ def pipeline(draw):
                 prql_stages.append(f"select {{{', '.join(kept)}}}")
                 cols = kept
                 sql = f"SELECT {', '.join(kept)} FROM ({sql})"
+        elif kind == "sstring":
+            frag, wrap, name = draw(sstring_derive_stage())
+            if name in cols or not {"k", "v"}.issubset(set(cols)):
+                continue
+            prql_stages.append(frag)
+            sql, cols = wrap(sql, cols)
+        elif kind == "gwindow":
+            frag, wrap, name = draw(group_window_stage())
+            if name in cols or not {"k", "v"}.issubset(set(cols)):
+                continue
+            prql_stages.append(frag)
+            sql, cols = wrap(sql, cols)
         else:
             if not {"k", "v"}.issubset(set(cols)):
                 continue

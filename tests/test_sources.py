@@ -564,3 +564,74 @@ def test_hudi_cow_timeline_replay(spark, tmp_path):
     open(f"{root}/p/.{fid1}_20240102000000.log.1_0-1-0", "w").write("")
     with _pytest.raises(HudiProtocolError, match="merge-on-read"):
         read_hudi(spark, root)
+
+
+def test_system_asynchronous_metrics_values(spark):
+    """Round-7 system.asynchronous_metrics: deterministic name set is
+    driver-gated; the machine-state VALUES get sanity pins here."""
+    from clickhouse_25_5_3_75_stable_spark.sources.system_tables import (
+        system_asynchronous_metrics,
+    )
+
+    m = {r.metric: r.value for r in system_asynchronous_metrics(spark).collect()}
+    assert m["MemoryResident"] > 1e6  # a JVM+Python process is >1 MB
+    assert m["OSMemoryTotal"] > m["OSMemoryAvailable"] > 0
+    assert m["Uptime"] > 0 and m["OSUptime"] > 0
+    assert m["CPUCount"] >= 1
+
+
+def test_system_settings_changes_structure(spark):
+    from clickhouse_25_5_3_75_stable_spark.sources.system_tables import (
+        system_settings_changes,
+    )
+
+    df = system_settings_changes(spark)
+    assert df.columns == ["type", "version", "changes"]
+    rows = df.collect()
+    assert all(r.type == "Session" for r in rows)
+    ch = {c.name: c for r in rows for c in r.changes}
+    assert ch["intdiv_rounding"].new_value == "truncate"
+    assert set(ch["length_unit"].asDict()) == {
+        "name", "previous_value", "new_value", "reason"}
+
+
+def test_system_quotas_default_row(spark):
+    from clickhouse_25_5_3_75_stable_spark.sources.system_tables import (
+        system_quotas,
+    )
+
+    r = system_quotas(spark).collect()[0]
+    assert r.name == "default" and r.storage == "users.xml"
+    assert r.keys == ["user_name"] and r.durations == [3600]
+    assert r.apply_to_all is False and r.apply_to_list == ["default"]
+    import uuid
+    uuid.UUID(r.id)  # parseable, deterministic id
+
+
+def test_system_quota_usage_live_counters(spark):
+    from clickhouse_25_5_3_75_stable_spark.sources.system_tables import (
+        system_quota_usage,
+    )
+
+    df = system_quota_usage(spark)
+    # full reference column surface: key/interval + one (<type>,
+    # max_<type>) pair per QuotaDefs.h kind
+    assert df.columns[:5] == [
+        "quota_name", "quota_key", "start_time", "end_time", "duration"]
+    assert "execution_time" in df.columns and "max_execution_time" in df.columns
+    r = df.collect()[0]
+    assert r.quota_name == "default" and r.duration == 3600
+    assert r.queries >= 0 and r.errors >= 0
+    assert r.end_time > r.start_time
+
+
+def test_system_row_policies_empty_with_schema(spark):
+    from clickhouse_25_5_3_75_stable_spark.sources.system_tables import (
+        system_row_policies,
+    )
+
+    df = system_row_policies(spark)
+    assert df.count() == 0
+    assert set(df.columns) >= {
+        "name", "short_name", "database", "table", "id", "storage",
+        "is_restrictive", "apply_to_all"}
