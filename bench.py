@@ -46,13 +46,14 @@ def _probe_timings(spark) -> dict[str, float]:
     pipeline (the two cost regimes the headline set spans). Drift is
     computed from THESE against their own pinned bests, so it tracks
     machine state and nothing else."""
-    import pandas as pd  # noqa: PLC0415
     from pyspark.sql import functions as F  # noqa: PLC0415
     from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
 
-    @pandas_udf("double")
-    def _probe_py(v: pd.Series) -> pd.Series:
-        return (v * 0.5).pow(0.5) + (v % 97).astype("float64")
+    # no type-hint form: `from __future__ import annotations` turns
+    # hints into strings pandas_udf cannot resolve for a nested def
+    _probe_py = pandas_udf(
+        lambda v: (v * 0.5).pow(0.5) + (v % 97).astype("float64"), "double"
+    )
 
     def jvm_probe() -> None:
         spark.range(50_000_000).selectExpr(

@@ -33,7 +33,29 @@ __all__ = ["ch_sql_to_spark", "ch_sql", "ChSqlError"]
 
 
 class ChSqlError(ValueError):
-    """A ClickHouse construct this shim refuses to guess about."""
+    """A ClickHouse construct this shim refuses to guess about.
+
+    Construction feeds the session error registry behind
+    system.errors (round-7; reference src/Common/ErrorCodes.cpp
+    increments its per-code counters the same way): subset refusals
+    count as NOT_IMPLEMENTED(48), everything else as SYNTAX_ERROR(62)
+    — the two reference codes this shim's failure modes map onto."""
+
+    def __init__(self, *args):
+        super().__init__(*args)
+        try:
+            from clickhouse_25_5_3_75_stable_spark.sources.system_tables import (
+                record_error,
+            )
+
+            msg = str(args[0]) if args else ""
+            low = msg.lower()
+            if "subset" in low or "out of scope" in low or "not implemented" in low:
+                record_error("NOT_IMPLEMENTED", 48, msg)
+            else:
+                record_error("SYNTAX_ERROR", 62, msg)
+        except Exception:  # the registry must never mask the real error
+            pass
 
 
 # ---------------------------------------------------------------------------

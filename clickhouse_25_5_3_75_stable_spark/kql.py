@@ -720,11 +720,71 @@ def _transpile(text: str, columns_of=None) -> tuple[str, list[str] | None]:
         rest = stages[1:]
         if all(a is not None for a, _e in items):
             cur_cols = [a for a, _e in items]
+    elif re.match(r"^range\b", first, re.IGNORECASE):
+        # `range col from A to B step C` (ADX table operator): an
+        # inclusive arithmetic sequence — lowered to a lateral
+        # sequence explode (round-7; numeric subset, the datetime
+        # form is out of scope)
+        rm = re.match(
+            r"^range\s+([A-Za-z_]\w*)\s+from\s+(.+?)\s+to\s+(.+?)"
+            r"\s+step\s+(.+)$",
+            first, re.IGNORECASE | re.DOTALL,
+        )
+        if not rm:
+            raise ChSqlError(
+                "KQL range: expected `range col from A to B step C`")
+        col = rm.group(1)
+        a, b, c = (_lower_expr(_tokenize(rm.group(i))) for i in (2, 3, 4))
+        acc = f"SELECT explode(sequence({a}, {b}, {c})) AS {col}"
+        rest = stages[1:]
+        cur_cols = [col]
+    elif re.match(r"^datatable\b", first, re.IGNORECASE):
+        # `datatable(col:type, ...) [v1, v2, ...]` (ADX inline table):
+        # row-major flat literal list -> VALUES
+        dm = re.match(
+            r"^datatable\s*\(([^)]*)\)\s*\[(.*)\]\s*$",
+            first, re.IGNORECASE | re.DOTALL,
+        )
+        if not dm:
+            raise ChSqlError(
+                "KQL datatable: expected `datatable(col:type, ...) [values]`")
+        cols = []
+        types = []
+        typemap = {"long": "BIGINT", "int": "INT", "real": "DOUBLE",
+                   "string": "STRING", "bool": "BOOLEAN",
+                   "boolean": "BOOLEAN", "datetime": "TIMESTAMP",
+                   "decimal": "DECIMAL(38,9)"}
+        for decl in dm.group(1).split(","):
+            cm = re.match(r"^\s*([A-Za-z_]\w*)\s*:\s*(\w+)\s*$", decl)
+            if not cm or cm.group(2).lower() not in typemap:
+                raise ChSqlError(
+                    f"KQL datatable declaration {decl.strip()!r}: subset "
+                    f"types {sorted(typemap)}")
+            cols.append(cm.group(1))
+            types.append(typemap[cm.group(2).lower()])
+        vals = [v.strip() for v in _split_top_text(dm.group(2), ",")
+                if v.strip()]
+        if not vals or len(vals) % len(cols) != 0:
+            raise ChSqlError(
+                "KQL datatable: the literal list must be a whole number "
+                f"of {len(cols)}-column rows")
+        rows_sql = []
+        for i in range(0, len(vals), len(cols)):
+            cells = [
+                f"CAST({_lower_expr(_tokenize(v))} AS {ty})"
+                for v, ty in zip(vals[i:i + len(cols)], types)
+            ]
+            rows_sql.append("(" + ", ".join(cells) + ")")
+        acc = (f"SELECT * FROM (VALUES {', '.join(rows_sql)}) "
+               f"AS __kql_dt({', '.join(cols)})")
+        rest = stages[1:]
+        cur_cols = list(cols)
     else:
         m = re.match(r"^[A-Za-z_]\w*$", first)
         if not m:
             raise ChSqlError(
-                f"KQL: the pipeline must start with a table name or print, got {first!r}")
+                f"KQL: the pipeline must start with a table name, print, "
+                f"range, or datatable, got {first!r}")
         acc = f"SELECT * FROM {first}"
         rest = stages[1:]
         if columns_of is not None:
@@ -902,6 +962,19 @@ def _transpile(text: str, columns_of=None) -> tuple[str, list[str] | None]:
             if cur_cols is not None:
                 cur_cols = [c for c in cur_cols if c != col] + [col]
         else:
+            if op == "serialize":
+                # ADX serialize marks the row order as fixed so window
+                # functions may follow; the bare form is an order
+                # annotation with no relational effect (round-7). The
+                # assignment form needs the serialized physical order,
+                # which a declarative plan does not carry.
+                if body:
+                    raise ChSqlError(
+                        "KQL serialize subset: bare `serialize` only "
+                        "(the `serialize name = row_number()` form needs "
+                        "the physical row order; sort first and use "
+                        "row_number() via summarize/top instead)")
+                continue
             hint = ""
             if op == "getschema":
                 hint = (" (getschema runs through kql_sql, which resolves "
@@ -914,7 +987,8 @@ def _transpile(text: str, columns_of=None) -> tuple[str, list[str] | None]:
                 "(where/project[-away|-rename]/extend/summarize/order/sort/"
                 "take/limit/top/distinct/count/mv-expand/print/join/lookup/"
                 "union/render/make-series/parse/mv-apply/top-nested/facet/"
-                "partition; evaluate pivot/bag_unpack and scan via kql_sql)"
+                "partition/serialize, sources range/datatable; evaluate "
+                "pivot/bag_unpack and scan via kql_sql)"
                 f"{hint}")
     return acc, cur_cols
 

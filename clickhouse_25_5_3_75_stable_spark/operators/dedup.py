@@ -443,3 +443,65 @@ def connected_components_star(
     )
     state.unpersist()
     return (out, rounds) if return_rounds else out
+
+
+# --------------------------------------------------------------------------
+# Exact duplicated-substring spans (round-7): the training-data dedup
+# from "Deduplicating Training Data Makes Language Models Better"
+# (Lee et al., 2022) — find verbatim n-token spans that occur more
+# than once ACROSS the corpus. The paper builds a suffix array; the
+# distributed shape here is the hashed fixed-length window variant:
+# every overlapping n-token window hashes to 16 bytes, ONE shuffle on
+# the window hash counts corpus-wide occurrences (map-side partial
+# agg), and the positions whose window repeats mark duplicated spans.
+# All JVM expressions (split/slice/md5) — whole-stage codegen, no
+# Python in the hot path; at 100 TB the shuffle carries one 16-byte
+# key + count per DISTINCT window, not per position.
+# --------------------------------------------------------------------------
+
+
+def duplicated_span_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Per-document duplicated-span statistics: `n_spans` overlapping
+    n-token windows, `n_dup` of them verbatim-repeated anywhere in the
+    corpus (including within the same document)."""
+    toks = docs.select(
+        F.col(id_col),
+        F.split(F.col(text_col), " ").alias("t"),
+    )
+    grams = (
+        toks.filter(F.size("t") >= n)
+        .select(
+            id_col,
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("t") - n),
+                    lambda i: F.md5(
+                        F.concat_ws(" ", F.slice(F.col("t"), i + 1, n))
+                    ),
+                )
+            ).alias("g"),
+        )
+    )
+    counts = grams.groupBy("g").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = (
+        grams.join(counts, "g")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.when(F.col("c") > 1, 1).otherwise(0)).alias("n_dup"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_spans", F.lit(0)).cast("bigint").alias("n_spans"),
+            F.coalesce("n_dup", F.lit(0)).cast("bigint").alias("n_dup"),
+        )
+    )

@@ -41,7 +41,10 @@ rest passes through verbatim. ``group {k} (sort {o}\\n window ...
 (derive {...}))`` (round 7) lowers to the same framed window with
 PARTITION BY the group keys.
 
-Out of scope (refusals name the feature): f-strings, `case`,
+``case [cond => val, ...]`` (round 7) lowers to CASE WHEN (a final
+``true =>`` arm becomes ELSE; unmatched rows are NULL in both).
+
+Out of scope (refusals name the feature): f-strings,
 let-functions, modules, remove/intersect
 (the compiler's set-op lowering mixes DISTINCT/anti-join semantics).
 """
@@ -89,10 +92,65 @@ def _split_statements(text: str) -> list[str]:
     return [s for s in out if s]
 
 
+def _case_rewrite(e: str) -> str:
+    """`case [c1 => v1, c2 => v2, ...]` -> CASE WHEN (round-7; the
+    prql-book case expression). A final `true => v` arm becomes ELSE;
+    without one PRQL yields NULL for unmatched rows, which CASE
+    already does. Arms recurse through :func:`_expr`."""
+    while True:
+        m = re.search(r"\bcase\s*\[", e)
+        if not m:
+            return e
+        start = m.end() - 1
+        depth, quote, esc = 0, None, False
+        end = None
+        for i in range(start, len(e)):
+            c = e[i]
+            if quote:
+                if esc:
+                    esc = False
+                elif c == "\\":
+                    esc = True
+                elif c == quote:
+                    quote = None
+                continue
+            if c in "'\"":
+                quote = c
+            elif c in "([{":
+                depth += 1
+            elif c in ")]}":
+                depth -= 1
+                if depth == 0:
+                    end = i
+                    break
+        if end is None:
+            raise ChSqlError("PRQL case: unbalanced brackets")
+        arms = _tuple_items(e[start:end + 1])
+        whens, else_sql = [], None
+        for arm in arms:
+            am = re.split(r"=>", arm, maxsplit=1)
+            if len(am) != 2:
+                raise ChSqlError(
+                    f"PRQL case arm {arm!r}: expected `condition => value`")
+            cond, val = am[0].strip(), am[1].strip()
+            if cond == "true":
+                else_sql = _expr(val)
+            else:
+                whens.append(f"WHEN {_expr(cond)} THEN {_expr(val)}")
+        if not whens and else_sql is None:
+            raise ChSqlError("PRQL case: no arms")
+        sql = "(CASE " + " ".join(whens)
+        if else_sql is not None:
+            sql += f" ELSE {else_sql}"
+        sql += " END)"
+        e = e[:m.start()] + sql + e[end + 1:]
+
+
 def _expr(e: str) -> str:
     """PRQL scalar expression -> SQL text. String literals are
     extracted to placeholders FIRST so the ==/&&/||/!/?? rewrites can
     never corrupt them (review-found: `s == "a==b"` lost a '=')."""
+    e = _case_rewrite(e)
     lits: list[str] = []
 
     def stash(m):

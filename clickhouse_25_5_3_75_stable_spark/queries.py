@@ -246,24 +246,49 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """5-way join: dims broadcast (no shuffle), facts sort-merge on keys.
 
-    Mirrors the reference's star-join path where dictionaries serve the
-    dims (src/Interpreters/DirectJoin.h:19); at 100 TB the only shuffles
-    left are lineitem-orders and the customer equi-key."""
-    cust = t(spark, sf_dir, "customer")
+    Round-7: the ASIA region filter implies BOTH the supplier and the
+    customer nation sets (c_nationkey = s_nationkey and supplier is in
+    ASIA), so supplier joins the region-pruned nation slice BEFORE the
+    fact joins and lineitem broadcast-joins that slice first — the
+    orderkey shuffle then carries ~1/|regions| of the fact rows, and
+    the customer side enters its shuffle pre-filtered the same way
+    (the q7 implied-conjunct pattern; Catalyst cannot derive it from
+    the equi-condition). Mirrors the reference's star-join path where
+    dictionaries serve the dims (src/Interpreters/DirectJoin.h:19)."""
     orders = t(spark, sf_dir, "orders")
     li = t(spark, sf_dir, "lineitem")
-    supp = t(spark, sf_dir, "supplier")
-    nation = t(spark, sf_dir, "nation")
     region = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = (
+        t(spark, sf_dir, "nation")
+        .join(F.broadcast(region),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+    )
+    # the nation dim is O(25) rows: collecting its keys is bounded
+    # metadata (the repo's blessed collect class), and an IN-list
+    # filter reaches the parquet scan as a pushed predicate — cheaper
+    # than a broadcast-join pre-job at every scale
+    asia_keys = [r.n_nationkey for r in nation.collect()]
+    supp = (
+        t(spark, sf_dir, "supplier")
+        .filter(F.col("s_nationkey").isin(asia_keys))
+        .select("s_suppkey", "s_nationkey")
+    )
+    cust = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_nationkey").isin(asia_keys))
+        .select("c_custkey", "c_nationkey")
+    )
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(
-            F.broadcast(supp),
-            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+            cust,
+            (orders.o_custkey == cust.c_custkey)
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
-        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
-        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .join(F.broadcast(nation),
+              F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
         .orderBy(F.desc("revenue"), "n_name")
@@ -2673,7 +2698,7 @@ _GATE_BLOCK = [
     "join_asof_forward_next_purchase",
     "table_function_numbers",
     "table_function_generate_series",
-    "agg_topk_event_types",
+    "dedup_substring_spans",
     "agg_histogram_values",
     "agg_entropy_event_types",
     "agg_sparkbar_hourly",

@@ -580,3 +580,67 @@ sort {l_suppkey, l_orderkey, l_linenumber}
         "l_suppkey", "l_orderkey", "l_linenumber",
         F.col("run_qty").cast("long"),
     )
+
+
+@register(
+    "kql_range_datatable",
+    oracle="""
+    SELECT g.x, d.s, CAST(g.x * d.k AS BIGINT) AS xk
+    FROM generate_series(2, 14, 3) AS g(x)
+    JOIN (VALUES (CAST(1 AS BIGINT), 'one'), (CAST(2 AS BIGINT), 'two'))
+         AS d(k, s)
+      ON (g.x % 2) = (d.k % 2)
+    ORDER BY g.x, d.s
+    """,
+    tags=("kql", "dialect", "range", "datatable"),
+)
+def kql_range_datatable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KQL `range`/`datatable` table sources + bare `serialize`
+    (round-7; ADX tabular operators): an inclusive arithmetic sequence
+    (lowered to a sequence explode), an inline typed literal table
+    (lowered to VALUES with per-column casts), joined on a computed
+    parity key. DuckDB replays with generate_series + VALUES."""
+    out = kql_sql(spark, """
+        range x from 2 to 14 step 3
+        | serialize
+        | extend p = x % 2
+        | join kind=inner (
+            datatable(k:long, s:string) [1, "one", 2, "two"]
+            | extend p = k % 2
+          ) on p
+        | extend xk = x * k
+        | project x, s, xk
+        | order by x asc, s asc
+    """)
+    return out.select("x", "s", F.col("xk").cast("long"))
+
+
+@register(
+    "prql_case_orders",
+    oracle="""
+    SELECT tier, CAST(count(*) AS BIGINT) AS n
+    FROM (
+      SELECT CASE WHEN o_totalprice > 200000 THEN 'big'
+                  WHEN o_totalprice > 50000  THEN 'mid'
+                  ELSE 'small' END AS tier
+      FROM orders WHERE o_orderkey < 2000
+    )
+    GROUP BY tier ORDER BY tier
+    """,
+    tags=("prql", "dialect", "case"),
+)
+def prql_case_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRQL `case [cond => val, ...]` (round-7; the prql-book case
+    expression, previously a refusal): arms lower to CASE WHEN, a
+    final `true =>` arm to ELSE (prql.py _case_rewrite)."""
+    from clickhouse_25_5_3_75_stable_spark.prql import prql_sql
+
+    _view(spark, sf_dir, "orders")
+    out = prql_sql(spark, """
+from orders
+filter o_orderkey < 2000
+derive {tier = case [o_totalprice > 200000 => "big", o_totalprice > 50000 => "mid", true => "small"]}
+group {tier} (aggregate {n = count this})
+sort {tier}
+""")
+    return out.select("tier", F.col("n").cast("long"))

@@ -709,3 +709,47 @@ def corpus_stratified_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("first_doc"))
         .orderBy("lang")
     )
+
+
+@register(
+    "dedup_substring_spans",
+    # same windows in DuckDB: split on single space, inclusive list
+    # slice, md5 — the synthetic documents are single-spaced so the
+    # tokenizations agree byte-for-byte
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), grams AS (
+      SELECT doc_id, md5(array_to_string(t[i:i + 7], ' ')) AS g
+      FROM (
+        SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS i
+        FROM toks WHERE len(t) >= 8
+      )
+    ), counts AS (
+      SELECT g, count(*) AS c FROM grams GROUP BY g
+    ), per_doc AS (
+      SELECT grams.doc_id,
+             count(*) AS n_spans,
+             sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS n_dup
+      FROM grams JOIN counts USING (g)
+      GROUP BY grams.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(p.n_spans, 0) AS BIGINT) AS n_spans,
+           CAST(coalesce(p.n_dup, 0) AS BIGINT) AS n_dup
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+    bucket="heavy",
+    tags=("dedup", "substring", "pipeline"),
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring spans (round-7; the Lee et al. 2022
+    training-data dedup, hashed fixed-window variant —
+    operators/dedup.py duplicated_span_stats): every overlapping
+    8-token window md5-hashes JVM-side, ONE map-side-combined shuffle
+    counts corpus-wide occurrences, and each document reports how many
+    of its spans are verbatim-repeated anywhere in the corpus. At
+    100 TB the shuffle carries one 16-byte key per DISTINCT window."""
+    docs = t(spark, sf_dir, "documents")
+    return D.duplicated_span_stats(docs, n=8).orderBy("doc_id")

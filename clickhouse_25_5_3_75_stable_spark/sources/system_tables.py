@@ -1092,6 +1092,73 @@ _QUOTA_TYPES = [
 ]
 
 
+# session error registry: name -> [code, count, last_time_iso, last_msg]
+_ERROR_COUNTERS: dict[str, list] = {}
+
+
+def record_error(name: str, code: int, message: str) -> None:
+    """Feed system.errors (called by ChSqlError construction)."""
+    ent = _ERROR_COUNTERS.setdefault(name, [code, 0, None, ""])
+    ent[1] += 1
+    ent[2] = _dt.now().isoformat(sep=" ", timespec="seconds")
+    ent[3] = message[:500]
+
+
+def system_errors(spark: SparkSession) -> DataFrame:
+    """system.errors (round-7; reference
+    src/Storages/System/StorageSystemErrors.cpp — name/code/value/
+    last_error_time/last_error_message/last_error_trace/remote/
+    query_id): per-error-code counters since session start. This
+    engine's failure surface maps onto NOT_IMPLEMENTED(48) and
+    SYNTAX_ERROR(62); traces stay empty (no physical addresses in a
+    JVM/Python runtime) and remote is always false (no distributed
+    exception transport)."""
+    rows = [
+        (name, ent[0], ent[1], ent[2], ent[3], [], False,
+         current_query_id())
+        for name, ent in sorted(_ERROR_COUNTERS.items())
+    ]
+    return spark.createDataFrame(
+        rows,
+        "name string, code int, value bigint, last_error_time string, "
+        "last_error_message string, last_error_trace array<bigint>, "
+        "remote boolean, query_id string",
+    )
+
+
+def system_settings_profile_elements(spark: SparkSession) -> DataFrame:
+    """system.settings_profile_elements (round-7; reference
+    src/Storages/System/StorageSystemSettingsProfileElements.cpp):
+    the elements of the served profiles — the readonly profile's
+    single readonly=1 element, writability CONST (the reference's
+    enum for unchangeable)."""
+    rows = [(
+        "readonly", None, None, 0, "readonly", "1", None, None,
+        "CONST", None,
+    )]
+    return spark.createDataFrame(
+        rows,
+        "profile_name string, user_name string, role_name string, "
+        "index bigint, setting_name string, value string, min string, "
+        "max string, writability string, inherit_profile string",
+    )
+
+
+def system_merges(spark: SparkSession) -> DataFrame:
+    """system.merges (round-7; reference
+    src/Storages/System/StorageSystemMerges.cpp): in-flight merges.
+    This engine's OPTIMIZE rewrites run synchronously inside the
+    statement, so the table is always empty — served with the
+    user-facing column core for schema parity."""
+    return spark.createDataFrame(
+        [],
+        "database string, table string, elapsed double, progress double, "
+        "num_parts bigint, result_part_name string, is_mutation boolean, "
+        "total_size_bytes_compressed bigint, rows_read bigint, "
+        "rows_written bigint",
+    )
+
+
 def system_quota_limits(spark: SparkSession) -> DataFrame:
     """system.quota_limits (round-7; reference
     src/Storages/System/StorageSystemQuotaLimits.cpp): one row per
@@ -1233,7 +1300,10 @@ _SQL_SYSTEM_TABLES = {
     "quota_limits": (system_quota_limits, False),
     "quota_usage": (system_quota_usage, False),
     "settings_profiles": (system_settings_profiles, False),
+    "settings_profile_elements": (system_settings_profile_elements, False),
     "row_policies": (system_row_policies, False),
+    "errors": (system_errors, False),
+    "merges": (system_merges, False),
 }
 
 _SYSTEM_REF_RE = None

@@ -698,3 +698,25 @@ def test_evaluate_plugin_refusals(spark):
     # computing a wrong prefix
     with pytest.raises(ChSqlError, match="last stage"):
         kql_sql(spark, "kql_ref_t | evaluate bag_unpack(x) | take 1")
+
+
+def test_range_datatable_serialize(spark):
+    """Round-7 ADX tabular sources: range (inclusive sequence),
+    datatable (typed inline VALUES), bare serialize (order
+    annotation)."""
+    from clickhouse_25_5_3_75_stable_spark.kql import kql_sql
+
+    rows = kql_sql(spark, "range x from 1 to 10 step 3").collect()
+    assert [r.x for r in rows] == [1, 4, 7, 10]
+    rows = kql_sql(
+        spark,
+        'datatable(k:long, s:string) [1, "a", 2, "b,c"] | serialize '
+        "| order by k desc",
+    ).collect()
+    assert [(r.k, r.s) for r in rows] == [(2, "b,c"), (1, "a")]
+    with pytest.raises(ChSqlError, match="whole number"):
+        kql_sql(spark, 'datatable(k:long, s:string) [1, "a", 2]')
+    with pytest.raises(ChSqlError, match="subset types"):
+        kql_sql(spark, "datatable(k:guid) [1]")
+    with pytest.raises(ChSqlError, match="serialize subset"):
+        kql_sql(spark, "range x from 1 to 3 step 1 | serialize rn = row_number()")

@@ -392,3 +392,30 @@ def test_chunk_documents_overlap_semantics(spark):
     # no shuffle: chunking is a flatMap over the scan
     plan_buf = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan_buf
+
+
+def test_duplicated_span_stats(spark):
+    """Round-7 exact duplicated-substring spans (Lee et al. 2022 shape):
+    window counts, corpus-wide repetition, short-doc zeroes, and a
+    codegen-only plan (no Python in the hot path)."""
+    from clickhouse_25_5_3_75_stable_spark.operators.dedup import (
+        duplicated_span_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j"),          # 3 windows of 8
+            (2, "a b c d e f g h x y"),          # shares window 1 with doc 1
+            (3, "one two three"),                # too short: 0 spans
+            (4, "z z z z z z z z z z z z"),      # self-repeating windows
+        ],
+        "doc_id int, text string",
+    )
+    rows = {r.doc_id: r for r in duplicated_span_stats(docs, n=8).collect()}
+    assert rows[1].n_spans == 3 and rows[1].n_dup == 1
+    assert rows[2].n_spans == 3 and rows[2].n_dup == 1
+    assert rows[3].n_spans == 0 and rows[3].n_dup == 0
+    assert rows[4].n_spans == 5 and rows[4].n_dup == 5  # all identical
+    plan = duplicated_span_stats(docs, n=8)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Python" not in plan and "BatchEvalPython" not in plan

@@ -227,3 +227,16 @@ loop (
   select {n = n + 0}
 )
 """)
+
+
+def test_case_expression():
+    sql = prql_to_sql(
+        'from t\nderive {tier = case [v > 10 => "hi", v > 0 => "lo", '
+        'true => "zero"]}')
+    assert ("(CASE WHEN v > 10 THEN 'hi' WHEN v > 0 THEN 'lo' "
+            "ELSE 'zero' END) AS tier") in sql
+    # no true-arm -> NULL for unmatched (CASE default), nested s-string
+    sql2 = prql_to_sql('from t\nderive {z = case [k == 1 => s"UPPER({s})"]}')
+    assert "(CASE WHEN k = 1 THEN UPPER(s) END) AS z" in sql2
+    with pytest.raises(ChSqlError, match="case arm"):
+        prql_to_sql("from t\nderive {z = case [v 10]}")

@@ -162,6 +162,27 @@ def group_window_stage(draw):
 
 
 @st.composite
+def case_derive_stage(draw):
+    """Round-7 case expression: arms lower to CASE WHEN."""
+    name = draw(st.sampled_from(["cw", "cx"]))
+    n1 = draw(st.integers(-2, 5))
+    with_else = draw(st.booleans())
+    arms = f'v > {n1} => "hi", k == 0 => "zero"'
+    sql_arms = f"WHEN v > {n1} THEN 'hi' WHEN k = 0 THEN 'zero'"
+    if with_else:
+        arms += ', true => "rest"'
+        sql_arms += " ELSE 'rest'"
+    prql = f"derive {{{name} = case [{arms}]}}"
+    expr = f"(CASE {sql_arms} END)"
+    return (
+        prql,
+        lambda sql, cols, expr=expr, name=name: (
+            f"SELECT *, {expr} AS {name} FROM ({sql})", cols + [name]),
+        name,
+    )
+
+
+@st.composite
 def pipeline(draw):
     cols = ["k", "v", "s"]
     prql_stages = ["from T"]
@@ -169,7 +190,8 @@ def pipeline(draw):
     n = draw(st.integers(1, 4))
     for _ in range(n):
         kind = draw(st.sampled_from(
-            ["filter", "derive", "select", "group", "sstring", "gwindow"]))
+            ["filter", "derive", "select", "group", "sstring", "gwindow",
+             "case"]))
         if kind == "filter":
             if not {"k", "v", "s"}.issubset(set(cols)):
                 continue
@@ -204,6 +226,12 @@ def pipeline(draw):
             sql, cols = wrap(sql, cols)
         elif kind == "gwindow":
             frag, wrap, name = draw(group_window_stage())
+            if name in cols or not {"k", "v"}.issubset(set(cols)):
+                continue
+            prql_stages.append(frag)
+            sql, cols = wrap(sql, cols)
+        elif kind == "case":
+            frag, wrap, name = draw(case_derive_stage())
             if name in cols or not {"k", "v"}.issubset(set(cols)):
                 continue
             prql_stages.append(frag)

@@ -635,3 +635,43 @@ def test_system_row_policies_empty_with_schema(spark):
     assert set(df.columns) >= {
         "name", "short_name", "database", "table", "id", "storage",
         "is_restrictive", "apply_to_all"}
+
+
+def test_system_errors_counts_chsql_refusals(spark):
+    """Round-7 system.errors: ChSqlError construction feeds the
+    per-code counters (NOT_IMPLEMENTED for subset refusals,
+    SYNTAX_ERROR otherwise)."""
+    import pytest
+
+    from clickhouse_25_5_3_75_stable_spark.chsql import ChSqlError, ch_sql
+    from clickhouse_25_5_3_75_stable_spark.kql import kql_sql
+    from clickhouse_25_5_3_75_stable_spark.sources.system_tables import (
+        system_errors,
+    )
+
+    spark.createDataFrame([(1,)], "x int").createOrReplaceTempView("err_t")
+    with pytest.raises(ChSqlError):
+        kql_sql(spark, "err_t | evaluate narrow()")  # subset refusal
+    m = {r.name: r for r in system_errors(spark).collect()}
+    assert "NOT_IMPLEMENTED" in m
+    assert m["NOT_IMPLEMENTED"].code == 48 and m["NOT_IMPLEMENTED"].value >= 1
+    assert "evaluate" in m["NOT_IMPLEMENTED"].last_error_message
+    assert m["NOT_IMPLEMENTED"].remote is False
+    # readable on the SQL route too
+    rows = ch_sql(
+        spark, "SELECT name, code FROM system.errors ORDER BY name"
+    ).collect()
+    assert any(r.name == "NOT_IMPLEMENTED" and r.code == 48 for r in rows)
+
+
+def test_system_profile_elements_and_merges(spark):
+    from clickhouse_25_5_3_75_stable_spark.sources.system_tables import (
+        system_merges,
+        system_settings_profile_elements,
+    )
+
+    r = system_settings_profile_elements(spark).collect()[0]
+    assert (r.profile_name, r.setting_name, r.value, r.writability) == (
+        "readonly", "readonly", "1", "CONST")
+    m = system_merges(spark)
+    assert m.count() == 0 and "result_part_name" in m.columns
