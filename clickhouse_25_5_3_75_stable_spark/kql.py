@@ -706,7 +706,10 @@ def kql_to_chsql(text: str, columns_of=None) -> str:
 
 def _transpile(text: str, columns_of=None) -> tuple[str, list[str] | None]:
     """kql_to_chsql worker: returns (sql, output_columns_or_None)."""
-    stages = _split_pipeline(text.strip().rstrip(";"))
+    text = text.strip().rstrip(";")
+    if re.match(r"^\s*let\b", text, re.IGNORECASE):
+        return _let_statements(text, columns_of)
+    stages = _split_pipeline(text)
     if not stages:
         raise ChSqlError("KQL: empty query")
 
@@ -840,6 +843,91 @@ def _transpile(text: str, columns_of=None) -> tuple[str, list[str] | None]:
                 old_names = [e for _a, e in renames]
                 cur_cols = ([c for c in cur_cols if c not in old_names]
                             + [a for a, _e in renames])
+        elif op == "project-keep":
+            # ADX project-keep: keep the listed columns in their
+            # ORIGINAL table order (unlike project, which re-orders to
+            # the listed order); wildcards like a* match by prefix
+            keep_specs = [tk.strip() for tk in body.split(",") if tk.strip()]
+            if not keep_specs:
+                raise ChSqlError("KQL project-keep needs column names")
+            if cur_cols is None:
+                # without schema tracking the original order is unknown
+                # for wildcard-free lists we can still keep-as-listed?
+                # No: ADX order semantics need the schema — refuse.
+                raise ChSqlError(
+                    "KQL project-keep needs a resolvable input schema "
+                    "(run via kql_sql, which wires the session catalog)")
+            kept = []
+            for c in cur_cols:
+                for spec in keep_specs:
+                    if (spec.endswith("*") and c.startswith(spec[:-1])) or \
+                            c == spec:
+                        kept.append(c)
+                        break
+            if not kept:
+                raise ChSqlError(
+                    f"KQL project-keep: nothing matches {keep_specs}")
+            acc = f"SELECT {', '.join(kept)} FROM ({acc})"
+            cur_cols = kept
+        elif op == "project-reorder":
+            # ADX project-reorder: the listed columns first (in listed
+            # order), every other column after in its original order
+            listed = [tk.strip() for tk in body.split(",") if tk.strip()]
+            if cur_cols is None:
+                raise ChSqlError(
+                    "KQL project-reorder needs a resolvable input schema "
+                    "(run via kql_sql, which wires the session catalog)")
+            missing = [c for c in listed if c not in cur_cols]
+            if missing:
+                raise ChSqlError(
+                    f"KQL project-reorder: unknown columns {missing}")
+            rest = [c for c in cur_cols if c not in listed]
+            cur_cols = listed + rest
+            acc = f"SELECT {', '.join(cur_cols)} FROM ({acc})"
+        elif op == "sample":
+            # ADX sample: n pseudo-random rows (non-deterministic by
+            # contract — ORDER BY rand() LIMIT n is the same contract)
+            try:
+                n_rows = int(body)
+            except ValueError:
+                raise ChSqlError(
+                    f"KQL sample: expected a row count, got {body!r}"
+                ) from None
+            acc = f"SELECT * FROM ({acc}) ORDER BY rand() LIMIT {n_rows}"
+        elif op == "sample-distinct":
+            # ADX sample-distinct: n pseudo-random DISTINCT values of
+            # one column (single-column result)
+            sm2 = re.match(r"^(\d+)\s+of\s+([A-Za-z_]\w*)$", body)
+            if not sm2:
+                raise ChSqlError(
+                    "KQL sample-distinct: expected `N of column`")
+            n_rows, col = int(sm2.group(1)), sm2.group(2)
+            acc = (f"SELECT {col} FROM (SELECT DISTINCT {col} "
+                   f"FROM ({acc})) ORDER BY rand() LIMIT {n_rows}")
+            cur_cols = [col]
+        elif op == "top-hitters":
+            # ADX top-hitters: approximate top-N frequent values —
+            # `top-hitters N of col [by sumcol]`. This engine computes
+            # the exact equivalent (grouped sum/count, top N), a
+            # superset of the approximation contract.
+            hm = re.match(
+                r"^(\d+)\s+of\s+([A-Za-z_]\w*)(?:\s+by\s+([A-Za-z_]\w*))?$",
+                body,
+            )
+            if not hm:
+                raise ChSqlError(
+                    "KQL top-hitters: expected `N of col [by sumcol]`")
+            n_rows, col, by = int(hm.group(1)), hm.group(2), hm.group(3)
+            if by:
+                agg = f"sum({by}) AS approximate_sum_{by}"
+                ordc = f"approximate_sum_{by}"
+            else:
+                # ADX names the count column approximate_count_<col>
+                agg = f"count(*) AS approximate_count_{col}"
+                ordc = f"approximate_count_{col}"
+            acc = (f"SELECT {col}, {agg} FROM ({acc}) GROUP BY {col} "
+                   f"ORDER BY {ordc} DESC, {col} ASC LIMIT {n_rows}")
+            cur_cols = [col, ordc]
         elif op == "extend":
             items = _named_items(body)
             named = [(a, e) for a, e in items if a is not None]
@@ -984,9 +1072,10 @@ def _transpile(text: str, columns_of=None) -> tuple[str, list[str] | None]:
                         "state machine at runtime)")
             raise ChSqlError(
                 f"KQL operator {op!r}: not in the implemented subset "
-                "(where/project[-away|-rename]/extend/summarize/order/sort/"
-                "take/limit/top/distinct/count/mv-expand/print/join/lookup/"
-                "union/render/make-series/parse/mv-apply/top-nested/facet/"
+                "(where/project[-away|-rename|-keep|-reorder]/extend/"
+                "summarize/order/sort/take/limit/top/top-hitters/distinct/"
+                "count/sample[-distinct]/mv-expand/print/join/lookup/union/"
+                "render/make-series/parse/mv-apply/top-nested/facet/"
                 "partition/serialize, sources range/datatable; evaluate "
                 "pivot/bag_unpack and scan via kql_sql)"
                 f"{hint}")
@@ -1353,6 +1442,76 @@ _JOIN_KINDS = {
     "leftantisemi": "LEFT ANTI JOIN", "rightanti": "RIGHT ANTI JOIN",
     "leftsemi": "LEFT SEMI JOIN", "rightsemi": "RIGHT SEMI JOIN",
 }
+
+
+def _let_statements(text: str, columns_of):
+    """`let name = ...;` statement prefixes (round-7; the ADX binding
+    statement). Tabular lets (a pipeline, a known table, or a
+    range/datatable source) transpile to SQL CTEs prepended WITH-style
+    to the final query — any `FROM name` inside resolves to the CTE,
+    including join/union right sides, exactly the ADX scoping. Scalar
+    lets substitute their expression text (parenthesized) for bare
+    identifier uses in the remaining statements. Function lets
+    (`let f = (x: long) {...}`) are out of the subset and refuse by
+    name."""
+    stmts = _split_top_text(text, ";")
+    stmts = [s.strip() for s in stmts if s.strip()]
+    if len(stmts) < 2:
+        raise ChSqlError("KQL let: a query must follow the binding(s)")
+    ctes: list[tuple[str, str, list[str] | None]] = []
+    cte_cols: dict[str, list[str] | None] = {}
+    scalars: dict[str, str] = {}
+
+    def sub_scalars(s: str) -> str:
+        if not scalars:
+            return s
+        # split out string literals so a binding never rewrites text
+        # INSIDE quotes (`let a = 5; T | where s == "a"` must keep "a")
+        parts = re.split(r"('(?:[^'\\]|\\.)*'|\"(?:[^\"\\]|\\.)*\")", s)
+        for i in range(0, len(parts), 2):
+            for nm, expr in scalars.items():
+                parts[i] = re.sub(
+                    rf"(?<![\w.$]){re.escape(nm)}(?!\w)(?!\s*\()",
+                    f"({expr})", parts[i],
+                )
+        return "".join(parts)
+
+    def wrapped_columns_of(tbl: str):
+        if tbl in cte_cols:
+            return cte_cols[tbl]
+        return columns_of(tbl) if columns_of is not None else None
+
+    for stmt in stmts[:-1]:
+        lm = re.match(r"^let\s+([A-Za-z_]\w*)\s*=\s*(.*)$", stmt,
+                      re.IGNORECASE | re.DOTALL)
+        if not lm:
+            raise ChSqlError(
+                f"KQL: only let statements may precede the query, got "
+                f"{stmt[:60]!r}")
+        name, body = lm.group(1), sub_scalars(lm.group(2).strip())
+        if body.startswith("(") or body.startswith("{"):
+            raise ChSqlError(
+                "KQL let-functions are out of the subset (bind scalars "
+                "or tabular expressions)")
+        is_tabular = (
+            "|" in body
+            or re.match(r"^(datatable|range)\b", body, re.IGNORECASE)
+            or (re.match(r"^[A-Za-z_]\w*$", body)
+                and wrapped_columns_of(body))
+        )
+        if is_tabular:
+            sql, cols = _transpile(body, columns_of=wrapped_columns_of)
+            ctes.append((name, sql, cols))
+            cte_cols[name] = cols
+        else:
+            scalars[name] = body
+    final_sql, final_cols = _transpile(
+        sub_scalars(stmts[-1]), columns_of=wrapped_columns_of
+    )
+    if ctes:
+        with_sql = ", ".join(f"{n} AS ({sql})" for n, sql, _c in ctes)
+        final_sql = f"WITH {with_sql} {final_sql}"
+    return final_sql, final_cols
 
 
 def _join_stage(acc: str, body: str, lookup: bool = False,

@@ -644,3 +644,74 @@ group {tier} (aggregate {n = count this})
 sort {tier}
 """)
     return out.select("tier", F.col("n").cast("long"))
+
+
+@register(
+    "kql_top_hitters_project_keep",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS approximate_count_event_type
+    FROM events
+    WHERE user_id < 40
+    GROUP BY event_type
+    ORDER BY approximate_count_event_type DESC, event_type ASC
+    LIMIT 3
+    """,
+    tags=("kql", "dialect", "top-hitters"),
+)
+def kql_top_hitters_project_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KQL `top-hitters N of col` + `project-keep` (round-7; ADX
+    tabular operators): top-hitters computes the exact grouped count
+    top-N (a superset of ADX's approximation contract, with the ADX
+    output column name `approximate_count_<col>`); project-keep retains
+    columns in their ORIGINAL schema order regardless of the listed
+    order — schema tracking via the session catalog."""
+    _view(spark, sf_dir, "events")
+    return kql_sql(spark, """
+        events
+        | where user_id < 40
+        | project-keep value, event_type, user_id
+        | project-reorder event_type
+        | top-hitters 3 of event_type
+    """)
+
+
+@register(
+    "kql_let_bindings_events",
+    oracle="""
+    WITH hot AS (
+      SELECT user_id, event_type, value FROM events WHERE value > 150
+    )
+    SELECT h.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(max(w.weight * h.value) AS DOUBLE) AS mx
+    FROM hot h
+    JOIN (VALUES ('click', CAST(2 AS BIGINT)), ('view', CAST(3 AS BIGINT)))
+         AS w(event_type, weight)
+      ON h.event_type = w.event_type
+    GROUP BY h.event_type
+    ORDER BY h.event_type
+    """,
+    tags=("kql", "dialect", "let"),
+)
+def kql_let_bindings_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KQL `let` statements (round-7; the ADX binding statement):
+    scalar lets substitute textually, tabular lets become SQL CTEs —
+    so a let-bound pipeline and a let-bound datatable compose with
+    join exactly as in ADX. max(weight*value) over double values is
+    engine-exact (same doubles, one max — no accumulation-order
+    dependence)."""
+    _view(spark, sf_dir, "events")
+    out = kql_sql(spark, """
+let cutoff = 150;
+let hot = events | where value > cutoff | project user_id, event_type, value;
+let weights = datatable(event_type:string, weight:long) ["click", 2, "view", 3];
+hot
+| join kind=inner (weights) on event_type
+| extend wv = weight * value
+| summarize n = count(), mx = max(wv) by event_type
+| order by event_type asc
+""")
+    return out.select(
+        "event_type", F.col("n").cast("long"), F.col("mx").cast("double")
+    )

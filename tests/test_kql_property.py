@@ -234,7 +234,17 @@ def join_stage(draw):
 def pipeline(draw):
     cols = ["k", "v", "s"]
     kql_stages = []
-    sql = "SELECT * FROM T"
+    # round-7 let dimension: a scalar binding substituted inside a
+    # tabular binding that then heads the pipeline (CTE route)
+    use_let = draw(st.booleans())
+    if use_let:
+        klo = draw(st.integers(-1, 2))
+        head = (f"let klo = {klo};\n"
+                "let src = T | where k >= klo;\nsrc")
+        sql = f"SELECT * FROM T WHERE k >= {klo}"
+    else:
+        head = "T"
+        sql = "SELECT * FROM T"
     n = draw(st.integers(1, 4))
     for _ in range(n):
         kind = draw(st.sampled_from(
@@ -289,7 +299,7 @@ def pipeline(draw):
     if not kql_stages:
         kql_stages.append("where k >= 0")
         sql = f"SELECT * FROM ({sql}) WHERE k >= 0"
-    return "T | " + " | ".join(kql_stages), sql, cols
+    return head + " | " + " | ".join(kql_stages), sql, cols
 
 
 # ---------------------------------------------------------------------------
