@@ -1081,6 +1081,70 @@ def system_quotas(spark: SparkSession) -> DataFrame:
     )
 
 
+def system_parts_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """system.parts on the SQL route (round-7; reference
+    StorageSystemParts.cpp — the user-facing core columns): one row
+    per data part across the whole catalog. Flat parquet tables are a
+    single always-active part; DDL-managed directory layouts
+    contribute one row per partition directory. All values come from
+    filesystem/footer metadata — never a data scan (the reference's
+    quick-stat contract)."""
+    import datetime
+    import os
+
+    import pyarrow.parquet as pq
+
+    from clickhouse_25_5_3_75_stable_spark.ddl import load_table_def
+
+    rows = []
+
+    def footer(path):
+        meta = pq.read_metadata(path)
+        return meta.num_rows, meta.num_row_groups
+
+    for name in TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if not os.path.exists(path):
+            continue
+        n_rows, marks = footer(path)
+        rows.append((
+            "default", name, "all", "all_1_1_0", "Wide", True, n_rows,
+            os.path.getsize(path), marks,
+            datetime.datetime.fromtimestamp(os.path.getmtime(path))
+            .isoformat(sep=" ", timespec="seconds"),
+        ))
+    for entry in sorted(os.listdir(sf_dir)):
+        tdir = os.path.join(sf_dir, entry)
+        if not os.path.isdir(tdir) or load_table_def(sf_dir, entry) is None:
+            continue
+        for part in sorted(os.listdir(tdir)):
+            pdir = os.path.join(tdir, part)
+            if not os.path.isdir(pdir) or part.startswith("_"):
+                continue
+            pq_files = [f for f in os.listdir(pdir) if f.endswith(".parquet")]
+            if not pq_files:
+                continue
+            n_rows = marks = 0
+            size = 0
+            for f in pq_files:
+                fr, fm = footer(os.path.join(pdir, f))
+                n_rows += fr
+                marks += fm
+                size += os.path.getsize(os.path.join(pdir, f))
+            rows.append((
+                "default", entry, part, f"{part}_1_1_0", "Wide", True,
+                n_rows, size, marks,
+                datetime.datetime.fromtimestamp(os.path.getmtime(pdir))
+                .isoformat(sep=" ", timespec="seconds"),
+            ))
+    return spark.createDataFrame(
+        rows,
+        "database string, table string, partition string, name string, "
+        "part_type string, active boolean, rows bigint, "
+        "bytes_on_disk bigint, marks bigint, modification_time string",
+    )
+
+
 # Quota resource kinds (reference src/Access/Common/QuotaDefs.h:11-26,
 # lowercased names per QuotaTypeInfo; execution_time renders as Float64
 # seconds — output_denominator 1e9 — the rest as UInt64)
@@ -1304,6 +1368,7 @@ _SQL_SYSTEM_TABLES = {
     "row_policies": (system_row_policies, False),
     "errors": (system_errors, False),
     "merges": (system_merges, False),
+    "parts": (system_parts_catalog, True),
 }
 
 _SYSTEM_REF_RE = None

@@ -675,3 +675,19 @@ def test_system_profile_elements_and_merges(spark):
         "readonly", "readonly", "1", "CONST")
     m = system_merges(spark)
     assert m.count() == 0 and "result_part_name" in m.columns
+
+
+def test_system_parts_sql_route(spark):
+    """Round-7 system.parts on the SQL route: footer-metadata part
+    rows for flat catalog tables (one active part each)."""
+    from clickhouse_25_5_3_75_stable_spark.chsql import ch_sql
+
+    rows = ch_sql(
+        spark,
+        "SELECT table, partition, active, rows FROM system.parts "
+        "WHERE table = 'nation'",
+        sf_dir="/root/testdata/sf0.001",
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.partition == "all" and r.active is True and r.rows == 25
