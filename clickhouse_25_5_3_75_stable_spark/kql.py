@@ -1493,6 +1493,26 @@ def _let_statements(text: str, columns_of):
             raise ChSqlError(
                 "KQL let-functions are out of the subset (bind scalars "
                 "or tabular expressions)")
+        # materialize(tabular): an eager-cache HINT in ADX — the CTE
+        # lowering evaluates once per reference anyway, so it unwraps
+        mm = re.match(r"^materialize\s*\((.*)\)\s*$", body,
+                      re.IGNORECASE | re.DOTALL)
+        if mm:
+            body = mm.group(1).strip()
+        # toscalar(tabular): first column of the first row -> a scalar
+        # subquery binding
+        tsm = re.match(r"^toscalar\s*\((.*)\)\s*$", body,
+                       re.IGNORECASE | re.DOTALL)
+        if tsm:
+            sql, cols = _transpile(tsm.group(1).strip(),
+                                   columns_of=wrapped_columns_of)
+            if not cols:
+                raise ChSqlError(
+                    "KQL toscalar: the inner pipeline's first column "
+                    "is not statically known — project/summarize an "
+                    "explicit column first")
+            scalars[name] = f"(SELECT {cols[0]} FROM ({sql}) LIMIT 1)"
+            continue
         is_tabular = (
             "|" in body
             or re.match(r"^(datatable|range)\b", body, re.IGNORECASE)

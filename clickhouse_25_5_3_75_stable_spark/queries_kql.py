@@ -612,7 +612,9 @@ def kql_range_datatable(spark: SparkSession, sf_dir: str) -> DataFrame:
         | project x, s, xk
         | order by x asc, s asc
     """)
-    return out.select("x", "s", F.col("xk").cast("long"))
+    return out.select(
+        F.col("x").cast("long"), "s", F.col("xk").cast("long")
+    )
 
 
 @register(

@@ -801,3 +801,29 @@ kql_let_lit_t | where a > cut and s == "a" | project a, s | order by a asc
 """).collect()]
     assert got2 == [(9, "a")]
     assert got == []
+
+
+def test_let_toscalar_and_materialize(spark):
+    """Round-7: toscalar(tabular) binds a scalar subquery (first
+    column, first row); materialize() unwraps (the CTE lowering
+    already evaluates once per reference)."""
+    from clickhouse_25_5_3_75_stable_spark.kql import kql_sql
+
+    spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30)], "k int, v int"
+    ).createOrReplaceTempView("kql_ts_t")
+    got = [tuple(r) for r in kql_sql(spark, """
+let vmax = toscalar(kql_ts_t | summarize m = max(v));
+kql_ts_t | where v == vmax | project k, v
+""").collect()]
+    assert got == [(3, 30)]
+    got = [tuple(r) for r in kql_sql(spark, """
+let cached = materialize(kql_ts_t | where v > 10);
+cached | summarize n = count()
+""").collect()]
+    assert got == [(2,)]
+    with pytest.raises(ChSqlError, match="toscalar"):
+        kql_sql(spark, """
+let x = toscalar(some_unknown_table | where v > 1);
+kql_ts_t | take 1
+""")
