@@ -27,35 +27,62 @@ the DataFrame builders (operators/); this shim is the SQL front door.
 
 from __future__ import annotations
 
+import functools
 import re
 
 __all__ = ["ch_sql_to_spark", "ch_sql", "ChSqlError"]
 
 
+def records_errors(fn):
+    """Public-API boundary decorator: a ChSqlError escaping `fn` ticks
+    system.errors exactly once (see record_chsql_error)."""
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        try:
+            return fn(*args, **kwargs)
+        except ChSqlError as e:
+            record_chsql_error(e)
+            raise
+
+    return wrapped
+
+
 class ChSqlError(ValueError):
     """A ClickHouse construct this shim refuses to guess about.
 
-    Construction feeds the session error registry behind
-    system.errors (round-7; reference src/Common/ErrorCodes.cpp
-    increments its per-code counters the same way): subset refusals
-    count as NOT_IMPLEMENTED(48), everything else as SYNTAX_ERROR(62)
-    — the two reference codes this shim's failure modes map onto."""
+    system.errors accounting happens at the PUBLIC API boundary via
+    :func:`record_chsql_error` (round-8 advisor: construction-time
+    recording over-counted — ChSqlError is also internal control flow,
+    e.g. _match_paren raised and caught inside _bridge_substitute, and
+    the reference's ErrorCodes.cpp counters only tick for errors that
+    actually surface to the client)."""
 
-    def __init__(self, *args):
-        super().__init__(*args)
-        try:
-            from clickhouse_25_5_3_75_stable_spark.sources.system_tables import (
-                record_error,
-            )
 
-            msg = str(args[0]) if args else ""
-            low = msg.lower()
-            if "subset" in low or "out of scope" in low or "not implemented" in low:
-                record_error("NOT_IMPLEMENTED", 48, msg)
-            else:
-                record_error("SYNTAX_ERROR", 62, msg)
-        except Exception:  # the registry must never mask the real error
-            pass
+def record_chsql_error(exc: BaseException) -> None:
+    """Feed system.errors for an error ESCAPING a public entry point
+    (ch_sql / kql_sql / prql_sql / the CLI): subset refusals count as
+    NOT_IMPLEMENTED(48), everything else as SYNTAX_ERROR(62) — the two
+    reference codes this shim's failure modes map onto
+    (src/Common/ErrorCodes.cpp increments per-code the same way).
+    Idempotent per exception instance so nested boundaries (kql_sql
+    delegating to ch_sql) count once."""
+    if getattr(exc, "_ch_recorded", False):
+        return
+    try:
+        from clickhouse_25_5_3_75_stable_spark.sources.system_tables import (
+            record_error,
+        )
+
+        msg = str(exc.args[0]) if exc.args else ""
+        low = msg.lower()
+        if "subset" in low or "out of scope" in low or "not implemented" in low:
+            record_error("NOT_IMPLEMENTED", 48, msg)
+        else:
+            record_error("SYNTAX_ERROR", 62, msg)
+        exc._ch_recorded = True
+    except Exception:  # the registry must never mask the real error
+        pass
 
 
 # ---------------------------------------------------------------------------
@@ -2688,6 +2715,7 @@ def substitute_query_parameters(sql: str, params: dict | None) -> str:
     return _QPARAM_RE.sub(repl, sql)
 
 
+@records_errors
 def ch_sql_to_spark(sql: str) -> str:
     """Translate a ClickHouse-dialect SELECT into Spark SQL text."""
     if re.search(r"\sINTO\s+OUTFILE\s", sql, re.IGNORECASE):
@@ -3081,6 +3109,7 @@ def _sql_with_fn_bridge(spark, translated: str):
             translated = bridged
 
 
+@records_errors
 def ch_sql(spark, sql: str, sf_dir: str | None = None,
            params: dict | None = None):
     """Run ClickHouse-dialect SQL on Spark. If sf_dir is given, the

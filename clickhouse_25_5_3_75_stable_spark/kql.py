@@ -49,7 +49,7 @@ from __future__ import annotations
 
 import re
 
-from clickhouse_25_5_3_75_stable_spark.chsql import ChSqlError
+from clickhouse_25_5_3_75_stable_spark.chsql import ChSqlError, records_errors
 
 # ---------------------------------------------------------------------------
 # tokenizer
@@ -1465,11 +1465,26 @@ def _let_statements(text: str, columns_of):
     def sub_scalars(s: str) -> str:
         if not scalars:
             return s
+        # ADX name resolution gives COLUMNS precedence over let-bound
+        # scalars inside a tabular context (round-8 advisor): when the
+        # pipeline head's schema is known, a scalar whose name collides
+        # with an input column is NOT substituted — the column wins.
+        # (If a later stage drops the column and still uses the name,
+        # the query fails loudly downstream instead of silently reading
+        # the binding — text substitution cannot be stage-aware.)
+        shadowed: set[str] = set()
+        hm = re.match(r"^\s*([A-Za-z_]\w*)\s*(?:\||$)", s)
+        if hm:
+            head_cols = wrapped_columns_of(hm.group(1))
+            if head_cols:
+                shadowed = set(head_cols) & set(scalars)
         # split out string literals so a binding never rewrites text
         # INSIDE quotes (`let a = 5; T | where s == "a"` must keep "a")
         parts = re.split(r"('(?:[^'\\]|\\.)*'|\"(?:[^\"\\]|\\.)*\")", s)
         for i in range(0, len(parts), 2):
             for nm, expr in scalars.items():
+                if nm in shadowed:
+                    continue
                 parts[i] = re.sub(
                     rf"(?<![\w.$]){re.escape(nm)}(?!\w)(?!\s*\()",
                     f"({expr})", parts[i],
@@ -1513,11 +1528,23 @@ def _let_statements(text: str, columns_of):
                     "explicit column first")
             scalars[name] = f"(SELECT {cols[0]} FROM ({sql}) LIMIT 1)"
             continue
+        # a bare identifier on the RHS is a table/CTE alias: earlier
+        # scalar bindings were already substituted away by sub_scalars,
+        # so the only things a bare name can denote are tabular. With a
+        # schema resolver we also validate it; WITHOUT one (round-8
+        # advisor) it still lowers to a CTE alias instead of falling to
+        # the scalar branch and failing later with a misleading
+        # "pipeline must start with a table name".
+        bare = re.match(r"^[A-Za-z_]\w*$", body)
+        if bare and columns_of is not None and body not in cte_cols \
+                and not wrapped_columns_of(body):
+            raise ChSqlError(
+                f"KQL let {name}: {body!r} is not a known table, CTE, "
+                "or scalar binding")
         is_tabular = (
             "|" in body
             or re.match(r"^(datatable|range)\b", body, re.IGNORECASE)
-            or (re.match(r"^[A-Za-z_]\w*$", body)
-                and wrapped_columns_of(body))
+            or bare
         )
         if is_tabular:
             sql, cols = _transpile(body, columns_of=wrapped_columns_of)
@@ -1982,6 +2009,7 @@ def spark_columns_of(spark):
     return resolver
 
 
+@records_errors
 def kql_sql(spark, text: str, params=None):
     """Execute a KQL pipeline through the chsql shim. `getschema` is
     handled here (it needs the resolved schema, which only exists at

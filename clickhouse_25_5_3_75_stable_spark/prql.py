@@ -53,7 +53,7 @@ from __future__ import annotations
 
 import re
 
-from clickhouse_25_5_3_75_stable_spark.chsql import ChSqlError
+from clickhouse_25_5_3_75_stable_spark.chsql import ChSqlError, records_errors
 
 _AGG_FNS = {
     "sum": "sum", "min": "min", "max": "max", "average": "avg",
@@ -92,16 +92,47 @@ def _split_statements(text: str) -> list[str]:
     return [s for s in out if s]
 
 
+def _find_case_head(e: str) -> tuple[int, int] | None:
+    """First `case [` occurring OUTSIDE string literals (round-8
+    advisor: the bare re.search rewrote `case [` text INSIDE a string
+    literal because _expr stashes literals after the case pass; the
+    search must skip quoted regions like the bracket scanner does).
+    Returns (start_of_case, index_of_bracket) or None."""
+    quote, esc = None, False
+    i = 0
+    while i < len(e):
+        c = e[i]
+        if quote:
+            if esc:
+                esc = False
+            elif c == "\\":
+                esc = True
+            elif c == quote:
+                quote = None
+            i += 1
+            continue
+        if c in "'\"":
+            quote = c
+            i += 1
+            continue
+        if c == "c" and (i == 0 or not (e[i - 1].isalnum() or e[i - 1] == "_")):
+            m = re.match(r"case\s*\[", e[i:])
+            if m:
+                return i, i + m.end() - 1
+        i += 1
+    return None
+
+
 def _case_rewrite(e: str) -> str:
     """`case [c1 => v1, c2 => v2, ...]` -> CASE WHEN (round-7; the
     prql-book case expression). A final `true => v` arm becomes ELSE;
     without one PRQL yields NULL for unmatched rows, which CASE
     already does. Arms recurse through :func:`_expr`."""
     while True:
-        m = re.search(r"\bcase\s*\[", e)
-        if not m:
+        found = _find_case_head(e)
+        if not found:
             return e
-        start = m.end() - 1
+        case_start, start = found
         depth, quote, esc = 0, None, False
         end = None
         for i in range(start, len(e)):
@@ -143,7 +174,7 @@ def _case_rewrite(e: str) -> str:
         if else_sql is not None:
             sql += f" ELSE {else_sql}"
         sql += " END)"
-        e = e[:m.start()] + sql + e[end + 1:]
+        e = e[:case_start] + sql + e[end + 1:]
 
 
 def _expr(e: str) -> str:
@@ -164,20 +195,26 @@ def _expr(e: str) -> str:
         lits.append(sql)
         return f"\x00{len(lits) - 1}\x00"
 
-    # s-strings FIRST (round-7; previously refused): s"RAW SQL with
-    # {prql_expr} interpolations" — the prql-book escape hatch. The
-    # braces take a full PRQL sub-expression (recursively translated);
-    # the rest passes through verbatim and is placeholder-protected so
-    # the ==/&&/?? rewrites below can never touch it.
-    def s_string(m):
-        content = m.group(1).replace('\\"', '"')
-        sql = re.sub(
-            r"\{([^{}]+)\}", lambda im: _expr(im.group(1)), content
-        )
-        return stash_raw(sql)
+    # s-strings and plain literals stash in ONE left-to-right pass
+    # (round-8 advisor: two passes let the s-string regex match `s"..."`
+    # text INSIDE an earlier plain literal). s-string: s"RAW SQL with
+    # {prql_expr} interpolations" — the prql-book escape hatch; braces
+    # take a full PRQL sub-expression (recursively translated); the
+    # rest passes through verbatim and is placeholder-protected so the
+    # ==/&&/?? rewrites below can never touch it.
+    def one_literal(m):
+        if m.group(1) is not None:
+            content = m.group(1).replace('\\"', '"')
+            sql = re.sub(
+                r"\{([^{}]+)\}", lambda im: _expr(im.group(1)), content
+            )
+            return stash_raw(sql)
+        return stash(m)
 
-    e = re.sub(r'\bs"((?:[^"\\]|\\.)*)"', s_string, e)
-    e = re.sub(r'"(?:[^"\\]|\\.)*"|\'(?:[^\'\\]|\\.)*\'', stash, e)
+    e = re.sub(
+        r'\bs"((?:[^"\\]|\\.)*)"|"(?:[^"\\]|\\.)*"|\'(?:[^\'\\]|\\.)*\'',
+        one_literal, e,
+    )
     if re.search(r"\bf\s*\x00", e):
         raise ChSqlError("PRQL f-strings are out of the subset "
                          "(s-strings are supported)")
@@ -573,6 +610,7 @@ def _window_fn(raw: str, partition: str, order: str) -> str:
         "count col")
 
 
+@records_errors
 def prql_sql(spark, text: str, params=None):
     """Execute a PRQL pipeline through the chsql shim. ``loop`` is
     handled here — it needs runtime iteration, which SQL text alone

@@ -630,7 +630,13 @@ def text_vocab_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_int8_quantize",
     # symmetric per-vector int8: scale = 127/max|x|, q_i = floor(x_i *
     # scale + 0.5) (round-half-toward-+inf — identical in both engines
-    # on identical doubles); max|x| via list_max of abs
+    # on identical doubles); max|x| via list_max of abs.
+    # GATE IS INTEGER-ONLY (round-8): the r07 driver hash went red on
+    # the former float-derived `scale`/`max_err` columns (double→VARCHAR
+    # / double→DECIMAL rendering differs across environments — the same
+    # class as the r06 geo reds, fixed the same way). floor() of
+    # bit-identical IEEE doubles IS deterministic, so we gate on
+    # fixed-point BIGINT views; float tolerance checks live in pytest.
     oracle="""
     WITH prep AS (
         SELECT vec_id,
@@ -638,14 +644,14 @@ def text_vocab_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM embeddings
     )
     SELECT e.vec_id,
-           CAST(CAST(CAST(127.0 / p.amax AS VARCHAR) AS DECIMAL(25,9)) AS VARCHAR) AS scale,
+           CAST(floor((127.0 / p.amax) * 1e9) AS BIGINT) AS scale_fp9,
            COALESCE(array_to_string(list_transform(e.embedding,
                x -> CAST(CAST(floor(CAST(x AS DOUBLE) * (127.0 / p.amax) + 0.5)
                     AS BIGINT) AS VARCHAR)), ','), '') AS q8,
-           CAST(list_max(list_transform(e.embedding,
+           CAST(floor(list_max(list_transform(e.embedding,
                x -> abs(CAST(x AS DOUBLE)
                     - floor(CAST(x AS DOUBLE) * (127.0 / p.amax) + 0.5)
-                      / (127.0 / p.amax)))) AS DECIMAL(18,9)) AS max_err
+                      / (127.0 / p.amax)))) * 1e12) AS BIGINT) AS max_err_fp12
     FROM embeddings e JOIN prep p USING (vec_id)
     ORDER BY e.vec_id
     """,
@@ -672,9 +678,9 @@ def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return emb.select(
         "vec_id",
-        scale.cast("string").cast("decimal(25,9)").cast("string").alias("scale"),
+        F.floor(scale * F.lit(1e9)).cast("bigint").alias("scale_fp9"),
         F.concat_ws(",", F.transform(q, lambda v: v.cast("string"))).alias("q8"),
-        err.cast("decimal(18,9)").alias("max_err"),
+        F.floor(err * F.lit(1e12)).cast("bigint").alias("max_err_fp12"),
     ).orderBy("vec_id")
 
 

@@ -1161,7 +1161,9 @@ _ERROR_COUNTERS: dict[str, list] = {}
 
 
 def record_error(name: str, code: int, message: str) -> None:
-    """Feed system.errors (called by ChSqlError construction)."""
+    """Feed system.errors (called by record_chsql_error at the public
+    API boundary — round-8: construction-time recording over-counted
+    internal control-flow errors)."""
     ent = _ERROR_COUNTERS.setdefault(name, [code, 0, None, ""])
     ent[1] += 1
     ent[2] = _dt.now().isoformat(sep=" ", timespec="seconds")

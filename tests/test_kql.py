@@ -827,3 +827,45 @@ cached | summarize n = count()
 let x = toscalar(some_unknown_table | where v > 1);
 kql_ts_t | take 1
 """)
+
+
+def test_let_scalar_column_precedence(spark):
+    """Round-8 advisor: ADX name resolution gives COLUMNS precedence
+    over let-bound scalars in a tabular context — `let v = 5; T |
+    where v > 3` must read column v of T, not the binding."""
+    from clickhouse_25_5_3_75_stable_spark.kql import kql_sql
+
+    spark.createDataFrame(
+        [(1, 1), (2, 4), (3, 9)], "k int, v int"
+    ).createOrReplaceTempView("kql_shadow_t")
+    got = [tuple(r) for r in kql_sql(spark, """
+let v = 5;
+kql_shadow_t | where v > 3 | project k | order by k asc
+""").collect()]
+    assert got == [(2,), (3,)]  # column v wins: rows with v in {4, 9}
+    # a NON-colliding binding still substitutes
+    got = [tuple(r) for r in kql_sql(spark, """
+let cut = 3;
+kql_shadow_t | where v > cut | project k | order by k asc
+""").collect()]
+    assert got == [(2,), (3,)]
+
+
+def test_let_bare_identifier_tabular_alias(spark):
+    """Round-8 advisor: `let t2 = sometable; t2 | ...` is a tabular
+    alias even without schema info — it must lower to a CTE, not fall
+    to the scalar branch and fail with a misleading error. With a
+    resolver, an unknown name refuses BY NAME."""
+    from clickhouse_25_5_3_75_stable_spark.kql import kql_sql, kql_to_chsql
+
+    sql = kql_to_chsql("let t2 = sometable; t2 | count")  # no resolver
+    assert "WITH t2 AS" in sql and "FROM sometable" in sql
+
+    spark.createDataFrame([(1,)], "x int").createOrReplaceTempView("kql_alias_t")
+    got = [tuple(r) for r in kql_sql(spark, """
+let t2 = kql_alias_t;
+t2 | summarize n = count()
+""").collect()]
+    assert got == [(1,)]
+    with pytest.raises(ChSqlError, match="no_such_tbl"):
+        kql_sql(spark, "let t2 = no_such_tbl; t2 | count")

@@ -419,3 +419,36 @@ def test_duplicated_span_stats(spark):
     plan = duplicated_span_stats(docs, n=8)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Python" not in plan and "BatchEvalPython" not in plan
+
+
+def test_int8_quantize_float_semantics(spark):
+    """Float tolerance anchor for the quantize query (round-8): the
+    driver gate is integer-only (scale_fp9/max_err_fp12 fixed-point —
+    double→string/decimal rendering diverges across environments), so
+    the real float semantics are pinned here instead: scale must equal
+    127/max|x| and the reconstruction error bound |x - q/scale| must
+    hold with q in [-127, 127]."""
+    import numpy as np
+
+    rows = REGISTRY["embedding_int8_quantize"].fn(spark, SF_SMOKE).limit(50).collect()
+    emb = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        .limit(200).collect()
+    }
+    checked = 0
+    for r in rows:
+        x = emb.get(r["vec_id"])
+        if x is None:
+            continue
+        scale = r["scale_fp9"] / 1e9
+        expect = 127.0 / np.abs(x).max()
+        assert abs(scale - expect) <= 2e-9  # fp9 floor quantization
+        q = np.array([int(v) for v in r["q8"].split(",")], dtype=np.int64)
+        assert q.min() >= -127 and q.max() <= 127
+        err = np.abs(x - q / expect).max()
+        assert abs(r["max_err_fp12"] / 1e12 - err) <= 2e-12
+        # int8 round-trip error is bounded by half a quantization step
+        assert err <= 0.5 / expect * (1 + 1e-9)
+        checked += 1
+    assert checked >= 20

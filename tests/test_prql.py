@@ -240,3 +240,27 @@ def test_case_expression():
     assert "(CASE WHEN k = 1 THEN UPPER(s) END) AS z" in sql2
     with pytest.raises(ChSqlError, match="case arm"):
         prql_to_sql("from t\nderive {z = case [v 10]}")
+
+
+def test_case_text_inside_string_literal_not_rewritten():
+    """Round-8 advisor: `case [` INSIDE a string literal must pass
+    through verbatim — the case pass runs before literal stashing, so
+    its search must be quote-aware."""
+    from clickhouse_25_5_3_75_stable_spark.prql import _expr
+
+    assert _expr('s == "case [x => y]"') == "s = 'case [x => y]'"
+    # a REAL case around a literal containing `case [` still lowers
+    out = _expr('case [a == 1 => "case [inner]", true => "z"]')
+    assert out == "(CASE WHEN a = 1 THEN 'case [inner]' ELSE 'z' END)"
+
+
+def test_sstring_inside_plain_literal_not_interpolated():
+    """Round-8 advisor: `s"..."` text inside an earlier plain string
+    literal must not be treated as an s-string (single left-to-right
+    literal pass)."""
+    from clickhouse_25_5_3_75_stable_spark.prql import _expr
+
+    out = _expr('t == "has s\\"x\\" inside"')
+    assert out == "t = 'has s\"x\" inside'"
+    # real s-string still interpolates
+    assert _expr('s"round({x}, 2)"') == "round(x, 2)"

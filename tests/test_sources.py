@@ -691,3 +691,28 @@ def test_system_parts_sql_route(spark):
     assert len(rows) == 1
     r = rows[0]
     assert r.partition == "all" and r.active is True and r.rows == 25
+
+
+def test_system_errors_internal_control_flow_not_counted():
+    """Round-8 advisor: ChSqlError raised AND caught internally (e.g.
+    speculative parsing inside the expression bridge) must not tick
+    system.errors — only errors escaping the public API count."""
+    from clickhouse_25_5_3_75_stable_spark.chsql import (
+        ChSqlError,
+        ch_sql_to_spark,
+    )
+    from clickhouse_25_5_3_75_stable_spark.sources.system_tables import (
+        _ERROR_COUNTERS,
+    )
+
+    base = _ERROR_COUNTERS.get("SYNTAX_ERROR", [62, 0])[1]
+    try:
+        raise ChSqlError("speculative internal parse")
+    except ChSqlError:
+        pass
+    assert _ERROR_COUNTERS.get("SYNTAX_ERROR", [62, 0])[1] == base
+
+    import pytest as _pytest
+    with _pytest.raises(ChSqlError):
+        ch_sql_to_spark("SELECT x INTO OUTFILE 'f'")
+    assert _ERROR_COUNTERS["SYNTAX_ERROR"][1] == base + 1
