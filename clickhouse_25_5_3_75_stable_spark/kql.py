@@ -39,10 +39,19 @@ Summarize output naming follows the reference's fixed rules
   by <expression>    -> Columns1..N
   alias = anything   -> alias
 
-Out of scope (documented): join/union/lookup/make-series/mv-apply
-stages, the dynamic() literal type, parse/scan operators — the
-refusal names the stage. KQL ``order by`` null placement (asc = nulls
-first) follows CH/our NULLS LAST instead; divergence documented here.
+let statements (round 7/8): scalar bindings substitute textually
+(columns take precedence on collision — ADX resolution order),
+tabular bindings lower to CTEs, ``toscalar``/``materialize`` unwrap,
+and let-FUNCTIONS (round 8) expand as hygienic macros — scalar
+`let f = (x: long) { expr }` at call sites, tabular
+`let g = (T: (*), a: long) { T | ... }` through `| invoke g(...)`
+with the piped input bound via a synthetic CTE.
+
+Out of scope (documented): the dynamic() literal type, evaluate
+plugins beyond pivot/bag_unpack, multi-statement function bodies,
+recursive functions — the refusal names the construct. KQL
+``order by`` null placement (asc = nulls first) follows CH/our
+NULLS LAST instead; divergence documented here.
 """
 
 from __future__ import annotations
@@ -1461,8 +1470,14 @@ def _let_statements(text: str, columns_of):
     ctes: list[tuple[str, str, list[str] | None]] = []
     cte_cols: dict[str, list[str] | None] = {}
     scalars: dict[str, str] = {}
+    # let-functions (round-8): name -> (param_names, default_texts,
+    # first_param_is_tabular, body_text). Scalar functions expand as
+    # hygienic textual macros (each argument parenthesized); tabular
+    # ones apply through `| invoke f(...)`, binding the piped input to
+    # the `(*)` parameter via a synthetic CTE.
+    functions: dict[str, tuple[list[str], list[str | None], bool, str]] = {}
 
-    def sub_scalars(s: str) -> str:
+    def sub_scalars(s: str, exclude: tuple = ()) -> str:
         if not scalars:
             return s
         # ADX name resolution gives COLUMNS precedence over let-bound
@@ -1483,11 +1498,12 @@ def _let_statements(text: str, columns_of):
         parts = re.split(r"('(?:[^'\\]|\\.)*'|\"(?:[^\"\\]|\\.)*\")", s)
         for i in range(0, len(parts), 2):
             for nm, expr in scalars.items():
-                if nm in shadowed:
+                if nm in shadowed or nm in exclude:
                     continue
+                repl = f"({expr})"
                 parts[i] = re.sub(
                     rf"(?<![\w.$]){re.escape(nm)}(?!\w)(?!\s*\()",
-                    f"({expr})", parts[i],
+                    lambda _m: repl, parts[i],
                 )
         return "".join(parts)
 
@@ -1496,6 +1512,108 @@ def _let_statements(text: str, columns_of):
             return cte_cols[tbl]
         return columns_of(tbl) if columns_of is not None else None
 
+    def _subst_names(s: str, mapping: dict[str, str]) -> str:
+        """Replace bare identifier uses (outside string literals) per
+        `mapping` — the parameter-binding step of function expansion."""
+        parts = re.split(r"('(?:[^'\\]|\\.)*'|\"(?:[^\"\\]|\\.)*\")", s)
+        for i in range(0, len(parts), 2):
+            for nm, repl in mapping.items():
+                parts[i] = re.sub(
+                    rf"(?<![\w.$]){re.escape(nm)}(?!\w)",
+                    lambda _m, _r=repl: _r, parts[i],
+                )
+        return "".join(parts)
+
+    def _expand_scalar_fns(s: str) -> str:
+        """Expand scalar let-function CALLS textually (innermost-first
+        via restart-scan): `f(a, b)` -> `(body with x->(a), y->(b))`.
+        Missing trailing arguments fill from declared defaults."""
+        if not functions:
+            return s
+        for _ in range(25):
+            spans = [m.span() for m in re.finditer(
+                r"'(?:[^'\\]|\\.)*'|\"(?:[^\"\\]|\\.)*\"", s)]
+            changed = False
+            for m in re.finditer(r"(?<![\w.$])([A-Za-z_]\w*)\s*\(", s):
+                nm = m.group(1)
+                if nm not in functions or functions[nm][2]:
+                    continue  # unknown, or tabular (invoke-only)
+                if any(a <= m.start(1) < b for a, b in spans):
+                    continue  # inside a string literal
+                close = _find_close_paren(s, m.end() - 1)
+                args = _split_top_text(s[m.end():close], ",")
+                params, defaults, _tab, fbody = functions[nm]
+                if len(args) > len(params) or any(
+                        d is None for d in defaults[len(args):]):
+                    raise ChSqlError(
+                        f"KQL function {nm}: takes {len(params)} "
+                        f"argument(s) ({len([d for d in defaults if d is None])}"
+                        f" required), got {len(args)}")
+                binding = {p: f"({a})" for p, a in zip(params, args)}
+                for p, d in zip(params[len(args):], defaults[len(args):]):
+                    binding[p] = f"({d})"
+                s = (s[:m.start(1)] + "(" + _subst_names(fbody, binding)
+                     + ")" + s[close + 1:])
+                changed = True
+                break  # offsets shifted: restart the scan
+            if not changed:
+                return s
+        raise ChSqlError(
+            "KQL let-functions: expansion depth exceeded (recursive "
+            "functions are out of the subset)")
+
+    invoke_n = [0]
+
+    def _expand_invokes(stmt: str) -> str:
+        """`P | invoke f(args) | rest`: bind P to a synthetic CTE, then
+        substitute it for f's tabular parameter and splice f's body
+        pipeline in place (src/Parsers/Kusto: the ADX invoke operator
+        applies a lambda whose first parameter is tabular)."""
+        for _ in range(10):
+            stages = _split_top_text(stmt, "|")
+            hit = None
+            for i, st in enumerate(stages):
+                m = re.match(r"^invoke\s+([A-Za-z_]\w*)\s*\((.*)\)$",
+                             st.strip(), re.DOTALL)
+                if m:
+                    hit = (i, m)
+                    break
+            if hit is None:
+                return stmt
+            i, m = hit
+            nm = m.group(1)
+            if nm not in functions:
+                raise ChSqlError(
+                    f"KQL invoke: {nm!r} is not a let-bound function")
+            params, defaults, tabular, fbody = functions[nm]
+            if not tabular:
+                raise ChSqlError(
+                    f"KQL invoke {nm}: the function's first parameter "
+                    "must be tabular — `let f = (T: (*), ...) { ... }`")
+            if i == 0:
+                raise ChSqlError("KQL invoke must follow a tabular pipeline")
+            prefix = _expand_scalar_fns(" | ".join(stages[:i]))
+            sql, cols = _transpile(prefix, columns_of=wrapped_columns_of)
+            invoke_n[0] += 1
+            cte = f"__invoke_src_{invoke_n[0]}"
+            ctes.append((cte, sql, cols))
+            cte_cols[cte] = cols
+            args = _split_top_text(m.group(2), ",")
+            rest_params = params[1:]
+            if len(args) > len(rest_params) or any(
+                    d is None for d in defaults[1 + len(args):]):
+                raise ChSqlError(
+                    f"KQL invoke {nm}: takes {len(rest_params)} "
+                    f"argument(s), got {len(args)}")
+            binding = {params[0]: cte}
+            for p, a in zip(rest_params, args):
+                binding[p] = f"({a})"
+            for p, d in zip(rest_params[len(args):], defaults[1 + len(args):]):
+                binding[p] = f"({d})"
+            tail = stages[i + 1:]
+            stmt = " | ".join([_subst_names(fbody, binding)] + tail)
+        raise ChSqlError("KQL invoke: expansion depth exceeded")
+
     for stmt in stmts[:-1]:
         lm = re.match(r"^let\s+([A-Za-z_]\w*)\s*=\s*(.*)$", stmt,
                       re.IGNORECASE | re.DOTALL)
@@ -1503,11 +1621,63 @@ def _let_statements(text: str, columns_of):
             raise ChSqlError(
                 f"KQL: only let statements may precede the query, got "
                 f"{stmt[:60]!r}")
-        name, body = lm.group(1), sub_scalars(lm.group(2).strip())
-        if body.startswith("(") or body.startswith("{"):
+        name, raw = lm.group(1), lm.group(2).strip()
+        # function-form let (round-8): `let f = (params) { body }` —
+        # scalar when no parameter is tabular, invoke-able when the
+        # FIRST parameter is `(name: (*))`
+        if raw.startswith("("):
+            close = _find_close_paren(raw, 0)
+            rest = raw[close + 1:].strip()
+            if not rest and close == len(raw) - 1:
+                # parenthesized (tabular) expression: unwrap and fall
+                # through to the normal binding classification
+                raw = raw[1:close].strip()
+                return_to_normal = True
+            elif not (rest.startswith("{") and rest.endswith("}")):
+                raise ChSqlError(
+                    "KQL let: a `(...)` binding must be a function — "
+                    "`let f = (x: long) { expr }` — or a parenthesized "
+                    "tabular expression")
+            else:
+                return_to_normal = False
+        else:
+            return_to_normal = True
+        if not return_to_normal:
+            params: list[str] = []
+            defaults: list[str | None] = []
+            tabular = False
+            ptext = raw[1:close].strip()
+            for j, item in enumerate(
+                    _split_top_text(ptext, ",") if ptext else []):
+                pm = re.match(
+                    r"^([A-Za-z_]\w*)\s*:\s*(\(\s*\*\s*\)|[A-Za-z_]\w*)"
+                    r"\s*(?:=\s*(.+))?$", item, re.DOTALL)
+                if not pm:
+                    raise ChSqlError(
+                        f"KQL let-function parameter {item!r}: expected "
+                        "`name: type [= default]` (typed-table "
+                        "parameters other than `(*)` are out of the "
+                        "subset)")
+                if pm.group(2).startswith("("):
+                    if j != 0:
+                        raise ChSqlError(
+                            "KQL let-function: the tabular `(*)` "
+                            "parameter must come first")
+                    tabular = True
+                params.append(pm.group(1))
+                defaults.append(pm.group(3).strip() if pm.group(3) else None)
+            fbody = rest[1:-1].strip()
+            # earlier scalar lets substitute into the body EXCEPT where
+            # a parameter shadows them (the parameter wins at call time)
+            fbody = _expand_scalar_fns(
+                sub_scalars(fbody, exclude=tuple(params)))
+            functions[name] = (params, defaults, tabular, fbody)
+            continue
+        body = _expand_scalar_fns(sub_scalars(raw))
+        if body.startswith("{"):
             raise ChSqlError(
-                "KQL let-functions are out of the subset (bind scalars "
-                "or tabular expressions)")
+                "KQL parameterless let-function blocks are out of the "
+                "subset (use `let f = () { ... }`)")
         # materialize(tabular): an eager-cache HINT in ADX — the CTE
         # lowering evaluates once per reference anyway, so it unwraps
         mm = re.match(r"^materialize\s*\((.*)\)\s*$", body,
@@ -1547,13 +1717,15 @@ def _let_statements(text: str, columns_of):
             or bare
         )
         if is_tabular:
-            sql, cols = _transpile(body, columns_of=wrapped_columns_of)
+            sql, cols = _transpile(_expand_scalar_fns(_expand_invokes(body)),
+                                   columns_of=wrapped_columns_of)
             ctes.append((name, sql, cols))
             cte_cols[name] = cols
         else:
             scalars[name] = body
     final_sql, final_cols = _transpile(
-        sub_scalars(stmts[-1]), columns_of=wrapped_columns_of
+        _expand_scalar_fns(_expand_invokes(sub_scalars(stmts[-1]))),
+        columns_of=wrapped_columns_of,
     )
     if ctes:
         with_sql = ", ".join(f"{n} AS ({sql})" for n, sql, _c in ctes)
@@ -1707,6 +1879,31 @@ _SCAN_TYPES = {
     "long": "long", "int": "int", "real": "double", "double": "double",
     "string": "string", "bool": "boolean", "datetime": "timestamp",
 }
+
+
+def _find_close_paren(text: str, open_idx: int) -> int:
+    """Index of the ')' matching text[open_idx]=='(' (quote-aware).
+    Raises ChSqlError when unbalanced."""
+    depth, quote, esc = 0, None, False
+    for i in range(open_idx, len(text)):
+        c = text[i]
+        if quote:
+            if esc:
+                esc = False
+            elif c == "\\":
+                esc = True
+            elif c == quote:
+                quote = None
+            continue
+        if c in "'\"":
+            quote = c
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                return i
+    raise ChSqlError(f"KQL: unbalanced parentheses at {text[open_idx:open_idx + 40]!r}")
 
 
 def _split_top_text(text: str, sep: str) -> list[str]:

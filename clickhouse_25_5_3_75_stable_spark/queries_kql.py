@@ -717,3 +717,51 @@ hot
     return out.select(
         "event_type", F.col("n").cast("long"), F.col("mx").cast("double")
     )
+
+
+@register(
+    "kql_invoke_let_function",
+    oracle="""
+    WITH src AS (
+      SELECT user_id, value FROM events WHERE event_type = 'click'
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(CAST(sum(value * 2) AS DECIMAL(25,6)) AS VARCHAR)
+               AS doubled_sum
+    FROM src
+    WHERE value > 50
+    GROUP BY user_id
+    HAVING count(*) >= 3
+    ORDER BY user_id
+    LIMIT 50
+    """,
+    tags=("kql", "dialect", "functions"),
+)
+def kql_invoke_let_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KQL let-FUNCTIONS + invoke (round-8; src/Parsers/Kusto — the ADX
+    stored-function application operator): a scalar function expands as
+    a hygienic macro at its call site; a tabular function whose first
+    parameter is `(*)` applies through `| invoke f(...)`, binding the
+    piped input via a synthetic CTE. Double sums route through
+    decimal-accumulation for engine-exact totals."""
+    _view(spark, sf_dir, "events")
+    out = kql_sql(spark, """
+let double_it = (x: real) { x * 2 };
+let busy = (Tin: (*), minv: long, mincnt: long = 3) {
+    Tin
+    | where value > minv
+    | summarize n = count(), doubled_sum = sum(double_it(value)) by user_id
+    | where n >= mincnt
+};
+events
+| where event_type == "click"
+| project user_id, value
+| invoke busy(50)
+| order by user_id asc
+| take 50
+""")
+    return out.select(
+        "user_id", F.col("n").cast("long"),
+        F.col("doubled_sum").cast("decimal(25,6)").cast("string"),
+    )

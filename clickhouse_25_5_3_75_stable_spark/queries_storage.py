@@ -714,3 +714,53 @@ def system_access_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
         profiles.unionByName(limits).unionByName(policies)
         .orderBy("kind", "name")
     )
+
+
+@register(
+    "system_server_surface_round8",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('server_setting', 'spark.sql.adaptive.enabled', 'true'),
+      ('server_setting', 'spark.sql.execution.arrow.pyspark.enabled', 'true'),
+      ('server_setting', 'spark.sql.files.maxPartitionBytes', '134217728b'),
+      ('server_setting', 'spark.sql.parquet.compression.codec', 'snappy'),
+      ('server_setting', 'spark.sql.session.timeZone', 'UTC'),
+      ('server_setting', 'spark.sql.shuffle.partitions', '32'),
+      ('user_directory', 'users_xml', 'users_xml'),
+      ('empty_roles', 'current_roles', '0'),
+      ('empty_roles', 'enabled_roles', '0'),
+      ('empty_roles', 'role_grants', '0'),
+      ('empty_roles', 'moves', '0')
+    ) AS t(kind, name, detail) ORDER BY kind, name
+    """,
+    tags=("system", "introspection"),
+)
+def system_server_surface_round8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-8 system tables on the SQL route: server_settings (the
+    engine's process-level knobs with defaults — reference
+    StorageSystemServerSettings.cpp), user_directories (the implicit
+    users_xml source), and the role/moves family that is empty by
+    construction (no roles defined; MOVE PARTITION completes inside
+    the statement). Gate pins names + defaults; live values are
+    machine state, pinned in tests/test_sources.py."""
+    from clickhouse_25_5_3_75_stable_spark.chsql import ch_sql
+
+    settings = ch_sql(spark, """
+        SELECT 'server_setting' AS kind, name, default AS detail
+        FROM system.server_settings
+    """)
+    dirs = ch_sql(spark, """
+        SELECT 'user_directory' AS kind, name, type AS detail
+        FROM system.user_directories
+    """)
+    parts = [settings, dirs]
+    for t in ("current_roles", "enabled_roles", "role_grants", "moves"):
+        parts.append(ch_sql(spark, f"""
+            SELECT 'empty_roles' AS kind, '{t}' AS name,
+                   toString(count()) AS detail
+            FROM system.{t}
+        """))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("kind", "name")

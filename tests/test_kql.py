@@ -776,8 +776,11 @@ let labels = datatable(k:long, lbl:string) [1, "one", 2, "two"];
 big | join kind=inner (labels) on k | project k, lbl | order by k asc
 """).collect()]
     assert got == [(1, "one"), (2, "two")]
-    with pytest.raises(ChSqlError, match="let-function"):
-        kql_sql(spark, "let f = (x: long) { x * 2 };\nkql_let_t | take 1")
+    # round-8: let-functions are now IMPLEMENTED — an unused binding is
+    # legal (it was a named refusal through round 7)
+    got = [tuple(r) for r in kql_sql(
+        spark, "let f = (x: long) { x * 2 };\nkql_let_t | take 1").collect()]
+    assert len(got) == 1
     with pytest.raises(ChSqlError, match="must follow"):
         kql_sql(spark, "let a = 1;")
 
@@ -869,3 +872,76 @@ t2 | summarize n = count()
     assert got == [(1,)]
     with pytest.raises(ChSqlError, match="no_such_tbl"):
         kql_sql(spark, "let t2 = no_such_tbl; t2 | count")
+
+
+def test_let_scalar_functions(spark):
+    """Round-8 KQL let-functions: scalar functions expand as hygienic
+    macros (args parenthesized, params bound outside string literals),
+    defaults fill missing trailing args, nesting composes."""
+    from clickhouse_25_5_3_75_stable_spark.kql import kql_sql
+
+    spark.createDataFrame(
+        [(1, 3), (2, 5), (3, 10)], "k int, v int"
+    ).createOrReplaceTempView("kql_fn_t")
+    got = [tuple(r) for r in kql_sql(spark, """
+let double_it = (x: long) { x * 2 };
+let shifted = (x: long, off: long = 100) { double_it(x) + off };
+kql_fn_t | extend d = double_it(v), s = shifted(v), s2 = shifted(v, 0)
+| project k, d, s, s2 | order by k asc
+""").collect()]
+    assert got == [(1, 6, 106, 6), (2, 10, 110, 10), (3, 20, 120, 20)]
+
+
+def test_let_function_invoke_tabular(spark):
+    """Round-8 KQL invoke: a tabular let-function (first param `(*)`)
+    applies to the piped input; trailing stages continue after it."""
+    from clickhouse_25_5_3_75_stable_spark.kql import kql_sql
+
+    spark.createDataFrame(
+        [(1, 3), (2, 5), (3, 10), (4, 7)], "k int, v int"
+    ).createOrReplaceTempView("kql_inv_t")
+    got = [tuple(r) for r in kql_sql(spark, """
+let topv = (Tin: (*), thr: long) { Tin | where v > thr };
+kql_inv_t | where k > 1 | invoke topv(5) | project k, v | order by k asc
+""").collect()]
+    assert got == [(3, 10), (4, 7)]
+    # default arg + aggregation body
+    got = [tuple(r) for r in kql_sql(spark, """
+let agg = (Tin: (*), thr: long = 4) {
+    Tin | where v > thr | summarize n = count()
+};
+kql_inv_t | invoke agg()
+""").collect()]
+    assert got == [(3,)]
+
+
+def test_let_function_refusals(spark):
+    """Recursive functions, scalar-invoke, arity errors, and unknown
+    invoke targets refuse with named messages."""
+    from clickhouse_25_5_3_75_stable_spark.kql import kql_to_chsql
+
+    with pytest.raises(ChSqlError, match="depth"):
+        kql_to_chsql("let f = (x: long) { f(x) }; T | extend y = f(1)")
+    with pytest.raises(ChSqlError, match="tabular"):
+        kql_to_chsql("let f = (x: long) { x }; T | invoke f(1)")
+    with pytest.raises(ChSqlError, match="argument"):
+        kql_to_chsql("let f = (x: long, y: long) { x + y }; T | extend z = f(1)")
+    with pytest.raises(ChSqlError, match="not a let-bound function"):
+        kql_to_chsql("let a = 1; T | invoke nothere()")
+    with pytest.raises(ChSqlError, match="must come first"):
+        kql_to_chsql("let f = (x: long, T2: (*)) { T2 }; T | invoke f(1)")
+
+
+def test_let_parenthesized_tabular(spark):
+    """`let x = (T | ...)` — ADX's parenthesized tabular binding —
+    unwraps to a CTE."""
+    from clickhouse_25_5_3_75_stable_spark.kql import kql_sql
+
+    spark.createDataFrame(
+        [(1, 3), (2, 5)], "k int, v int"
+    ).createOrReplaceTempView("kql_par_t")
+    got = [tuple(r) for r in kql_sql(spark, """
+let t2 = (kql_par_t | where v > 3);
+t2 | summarize n = count()
+""").collect()]
+    assert got == [(1,)]

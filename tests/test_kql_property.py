@@ -235,12 +235,30 @@ def pipeline(draw):
     cols = ["k", "v", "s"]
     kql_stages = []
     # round-7 let dimension: a scalar binding substituted inside a
-    # tabular binding that then heads the pipeline (CTE route)
-    use_let = draw(st.booleans())
-    if use_let:
+    # tabular binding that then heads the pipeline (CTE route);
+    # round-8 adds let-FUNCTION dimensions: a scalar macro expansion
+    # (with and without the declared default) and a tabular invoke
+    use_let = draw(st.sampled_from(["none", "scalar", "fn", "invoke"]))
+    if use_let == "scalar":
         klo = draw(st.integers(-1, 2))
         head = (f"let klo = {klo};\n"
                 "let src = T | where k >= klo;\nsrc")
+        sql = f"SELECT * FROM T WHERE k >= {klo}"
+    elif use_let == "fn":
+        head = "let fmul = (x: long, m: long = 2) { x * m };\nT"
+        sql = "SELECT * FROM T"
+        if draw(st.booleans()):
+            m = draw(st.integers(-2, 3))
+            kql_stages.append(f"extend fv = fmul(v, {m})")
+            sql = f"SELECT *, (v) * ({m}) AS fv FROM ({sql})"
+        else:  # default fills the missing trailing argument
+            kql_stages.append("extend fv = fmul(v)")
+            sql = f"SELECT *, (v) * (2) AS fv FROM ({sql})"
+        cols = cols + ["fv"]
+    elif use_let == "invoke":
+        klo = draw(st.integers(-1, 2))
+        head = "let flt = (Tin: (*), lo: long) { Tin | where k >= lo };\nT"
+        kql_stages.append(f"invoke flt({klo})")
         sql = f"SELECT * FROM T WHERE k >= {klo}"
     else:
         head = "T"

@@ -716,3 +716,118 @@ def test_system_errors_internal_control_flow_not_counted():
     with _pytest.raises(ChSqlError):
         ch_sql_to_spark("SELECT x INTO OUTFILE 'f'")
     assert _ERROR_COUNTERS["SYNTAX_ERROR"][1] == base + 1
+
+
+def test_system_dropped_tables_tracks_undrop_parking(spark, tmp_path):
+    """Round-8 system.dropped_tables: a non-SYNC DROP parks the table
+    and the system table reports it; UNDROP empties it again."""
+    from clickhouse_25_5_3_75_stable_spark.chsql import ch_sql
+    from clickhouse_25_5_3_75_stable_spark.ddl import (
+        Database,
+        drop_table,
+        undrop_table,
+    )
+
+    base = str(tmp_path)
+    db = Database(spark, base)
+    db.create_table("CREATE TABLE dt8 (k Int32) ENGINE = MergeTree ORDER BY k")
+    db.insert_into("dt8", spark.createDataFrame([(1,)], "k int"))
+    drop_table(spark, base, "dt8")
+    spark.conf.set("spark.chspark.dataDir", base)
+    rows = ch_sql(spark, "SELECT * FROM system.dropped_tables").collect()
+    assert len(rows) == 1
+    assert rows[0].table == "dt8" and "_dropped" in rows[0].metadata_dropped_path
+    assert rows[0].table_dropped_time is not None
+    undrop_table(spark, base, "dt8")
+    try:
+        assert ch_sql(
+            spark, "SELECT count() AS n FROM system.dropped_tables"
+        ).collect()[0].n == 0
+    finally:
+        spark.conf.unset("spark.chspark.dataDir")
+
+
+def test_system_data_skipping_indices_reports_sidecars(spark, tmp_path):
+    """Round-8 system.data_skipping_indices: tokenbf/gin sidecar dirs
+    surface with their on-disk sizes."""
+    from clickhouse_25_5_3_75_stable_spark.chsql import ch_sql
+    from clickhouse_25_5_3_75_stable_spark.sources.text_index import (
+        build_gin_index,
+        build_token_index,
+    )
+
+    base = str(tmp_path)
+    tbl = f"{base}/docs8"
+    spark.createDataFrame(
+        [(1, "alpha beta"), (2, "beta gamma")], "id int, text string"
+    ).write.parquet(tbl)
+    build_token_index(spark, tbl, "text", f"{tbl}__tokenbf/text")
+    build_gin_index(spark, tbl, "text", f"{tbl}__gin/text", "id")
+    spark.conf.set("spark.chspark.dataDir", base)
+    try:
+        rows = ch_sql(spark, """
+            SELECT table, name, type, expr, data_uncompressed_bytes
+            FROM system.data_skipping_indices ORDER BY type
+        """).collect()
+    finally:
+        spark.conf.unset("spark.chspark.dataDir")
+    assert [(r.table, r.type, r.expr) for r in rows] == [
+        ("docs8", "gin", "text"), ("docs8", "tokenbf_v1", "text")]
+    assert all(r.data_uncompressed_bytes > 0 for r in rows)
+    assert rows[0].name == "text_gin"
+
+
+def test_system_server_settings_and_directories(spark):
+    """Round-8 system.server_settings / user_directories /
+    current_roles / enabled_roles / role_grants / moves /
+    contributors on the SQL route."""
+    from clickhouse_25_5_3_75_stable_spark.chsql import ch_sql
+
+    rows = ch_sql(spark, """
+        SELECT name, value, default, changed FROM system.server_settings
+        ORDER BY name
+    """).collect()
+    assert len(rows) == 6
+    m = {r.name: r for r in rows}
+    tz = m["spark.sql.session.timeZone"]
+    assert tz.value == "UTC" and tz.changed == 0
+    sp = m["spark.sql.shuffle.partitions"]
+    assert sp.changed == (0 if sp.value == "32" else 1)
+
+    r = ch_sql(spark, "SELECT * FROM system.user_directories").collect()
+    assert len(r) == 1 and r[0].type == "users_xml"
+
+    for t in ("current_roles", "enabled_roles", "role_grants", "moves"):
+        assert ch_sql(
+            spark, f"SELECT count() AS n FROM system.{t}").collect()[0].n == 0
+
+    names = [r.name for r in ch_sql(
+        spark, "SELECT name FROM system.contributors").collect()]
+    assert len(names) >= 1
+
+
+def test_system_view_refreshes_tracks_live_views(spark):
+    """Round-8 system.view_refreshes: LIVE VIEW registry state —
+    Scheduled while dirty, Disabled after a read materializes it."""
+    from clickhouse_25_5_3_75_stable_spark.chsql import ch_sql
+    from clickhouse_25_5_3_75_stable_spark.streaming.liveview import (
+        LiveView,
+        drop_live_view,
+    )
+
+    spark.createDataFrame([(1,)], "x int").createOrReplaceTempView("lv8_src")
+    lv = LiveView("lv8", lambda s: s.sql("SELECT count(*) AS n FROM lv8_src"),
+                  source_tables=("lv8_src",))
+    try:
+        rows = ch_sql(spark, """
+            SELECT view, status FROM system.view_refreshes WHERE view = 'lv8'
+        """).collect()
+        assert rows[0].status == "Scheduled"
+        lv.read(spark).collect()
+        rows = ch_sql(spark, """
+            SELECT view, status, refresh_count FROM system.view_refreshes
+            WHERE view = 'lv8'
+        """).collect()
+        assert rows[0].status == "Disabled" and rows[0].refresh_count == 1
+    finally:
+        drop_live_view("lv8")
