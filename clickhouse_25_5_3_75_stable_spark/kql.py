@@ -48,8 +48,8 @@ and let-FUNCTIONS (round 8) expand as hygienic macros — scalar
 with the piped input bound via a synthetic CTE.
 
 Out of scope (documented): the dynamic() literal type, evaluate
-plugins beyond pivot/bag_unpack, multi-statement function bodies,
-recursive functions — the refusal names the construct. KQL
+plugins beyond pivot/bag_unpack/narrow, multi-statement function
+bodies, recursive functions — the refusal names the construct. KQL
 ``order by`` null placement (asc = nulls first) follows CH/our
 NULLS LAST instead; divergence documented here.
 """
@@ -2274,6 +2274,46 @@ def kql_sql(spark, text: str, params=None):
                 f"SELECT * EXCEPT ({col}){', ' if cols else ''}{cols} "
                 f"FROM ({prefix_sql})"
             )
+    # `evaluate narrow()`: ADX transposes the input into
+    # (Row, Column, Value-as-string). Row ordinals demand a
+    # deterministic order, so the subset REQUIRES an explicit
+    # `order by`/`sort by` immediately before it.
+    for k, st in enumerate(stages):
+        if not re.match(r"^\s*evaluate\s+narrow\s*\(\s*\)\s*$", st,
+                        re.IGNORECASE):
+            continue
+        if k != len(stages) - 1:
+            raise ChSqlError("KQL evaluate narrow subset must be the last stage")
+        prev = stages[k - 1].strip() if k > 0 else ""
+        om = re.match(r"^(?:order|sort)\s+by\s+(.+)$", prev,
+                      re.IGNORECASE | re.DOTALL)
+        if not om:
+            raise ChSqlError(
+                "KQL evaluate narrow needs an explicit `order by` / "
+                "`sort by` immediately before it (row ordinals demand "
+                "a deterministic order)")
+        keys = []
+        for item in om.group(1).split(","):
+            im = re.match(r"^\s*([A-Za-z_]\w*)\s*(asc|desc)?\s*$", item,
+                          re.IGNORECASE)
+            if not im:
+                raise ChSqlError(
+                    f"KQL evaluate narrow order key {item!r}: subset "
+                    "takes bare columns [asc|desc]")
+            d = (im.group(2) or "asc").upper()
+            keys.append(f"{im.group(1)} {d} NULLS "
+                        f"{'LAST' if d == 'ASC' else 'FIRST'}")
+        prefix_sql = kql_to_chsql(" | ".join(stages[:k]),
+                                  columns_of=spark_columns_of(spark))
+        cols = spark.sql(f"SELECT * FROM ({prefix_sql}) LIMIT 0").columns
+        stack_args = ", ".join(
+            f"'{c}', CAST(`{c}` AS STRING)" for c in cols)
+        return spark.sql(
+            f"SELECT Row, stack({len(cols)}, {stack_args}) AS "
+            f"(Column, Value) FROM (SELECT row_number() OVER "
+            f"(ORDER BY {', '.join(keys)}) - 1 AS Row, * "
+            f"FROM ({prefix_sql}))"
+        )
     ev = None
     for k, st in enumerate(stages):
         if re.match(r"^\s*evaluate\s+pivot\s*\(", st, re.IGNORECASE):

@@ -104,7 +104,7 @@ def lsh_band_keys(sig: Column, bands: int, rows_per_band: int) -> Column:
     return F.array(*entries)
 
 
-def minhash_lsh_pairs(
+def lsh_banded(
     docs: DataFrame,
     id_col: str,
     text_col: str,
@@ -112,11 +112,9 @@ def minhash_lsh_pairs(
     bands: int = 4,
     fast: bool = False,
 ) -> DataFrame:
-    """Candidate near-dup pairs (id_a < id_b) sharing >= 1 LSH band.
-
-    One explode + one equi-join shuffle on (band, key); at 1000
-    executors this is the shape that survives — the exact-Jaccard
-    verify join afterwards only touches candidates."""
+    """(doc, band, key) exploded LSH band keys — the shared front end
+    of in-corpus pairing (minhash_lsh_pairs) and cross-snapshot
+    incremental dedup (dedup_against_corpus)."""
     rows_per_band = num_hashes // bands
     shingled = docs.select(
         F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("__toks")
@@ -132,9 +130,65 @@ def minhash_lsh_pairs(
         sig = shingled.select(
             "doc", minhash_from_shingles(F.col("__sh"), num_hashes).alias("sig")
         )
-    banded = sig.select(
+    return sig.select(
         "doc", F.explode(lsh_band_keys(F.col("sig"), bands, rows_per_band)).alias("bk")
     ).select("doc", "bk.band", "bk.key")
+
+
+def dedup_against_corpus(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    bands: int = 4,
+    fast: bool = False,
+) -> DataFrame:
+    """Incremental-ingestion dedup (round-8): mark each NEW document
+    that near-duplicates the EXISTING corpus — any shared LSH band key
+    — without re-pairing the corpus against itself. The shape a 100 TB
+    pipeline ingests with daily: the corpus side reduces to DISTINCT
+    (band, key) (in production, a persisted signature store appended
+    per batch), the new batch joins against it once.
+
+    Returns new_docs' ids with an `is_dup` flag. One (band, key)
+    shuffle per side, a semi-join, zero corpus self-pairing."""
+    new_keys = lsh_banded(new_docs, id_col, text_col, num_hashes, bands, fast)
+    corpus_keys = (
+        lsh_banded(corpus_docs, id_col, text_col, num_hashes, bands, fast)
+        .select("band", "key")
+        .distinct()
+    )
+    hit_ids = (
+        new_keys.join(corpus_keys, ["band", "key"], "left_semi")
+        .select("doc")
+        .distinct()
+        .withColumn("is_dup", F.lit(True))
+    )
+    return (
+        new_docs.select(F.col(id_col).alias("doc"))
+        .join(hit_ids, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            F.coalesce("is_dup", F.lit(False)).alias("is_dup"),
+        )
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    bands: int = 4,
+    fast: bool = False,
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) sharing >= 1 LSH band.
+
+    One explode + one equi-join shuffle on (band, key); at 1000
+    executors this is the shape that survives — the exact-Jaccard
+    verify join afterwards only touches candidates."""
+    banded = lsh_banded(docs, id_col, text_col, num_hashes, bands, fast)
     # group-then-pair, not a self-join: ONE shuffle of the
     # tokenize->shingle->minhash stream on the band key (a self-join
     # shuffles it twice — ReuseExchange does not fire across the two
@@ -374,6 +428,43 @@ def dedup_keepers(pairs: DataFrame, a_col: str = "id_a", b_col: str = "id_b") ->
     component; docs with keeper != doc_id are the drop set."""
     comp = connected_components(pairs, a_col, b_col)
     return comp.select(F.col("node").alias("doc_id"), F.col("component").alias("keeper"))
+
+
+def dedup_keep_best(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+) -> DataFrame:
+    """Quality-aware cluster retention (round-8): within each near-dup
+    component keep the HIGHEST-scoring document (tie → lowest id)
+    instead of the arbitrary min-id keeper — the policy a real training
+    pipeline wants (keep the best copy, drop the rest). Singletons keep
+    themselves.
+
+    Returns one row per cluster: the kept document's columns plus
+    `cluster` (the component label) and `n_docs` (cluster size).
+
+    Scale shape: components are O(log n) label-propagation rounds on
+    8-byte ids (connected_components); the selection adds ONE window
+    over `cluster` — no self-joins, no driver-side state."""
+    from pyspark.sql import Window
+
+    comp = connected_components(pairs, a_col, b_col).withColumnRenamed(
+        "node", id_col)
+    labeled = (
+        docs.join(comp, id_col, "left")
+        .withColumn("cluster", F.coalesce(F.col("component"), F.col(id_col)))
+        .drop("component")
+    )
+    w = Window.partitionBy("cluster")
+    ranked = labeled.withColumn(
+        "__rn",
+        F.row_number().over(w.orderBy(F.desc(score_col), F.asc(id_col))),
+    ).withColumn("n_docs", F.count(F.lit(1)).over(w))
+    return ranked.filter(F.col("__rn") == 1).drop("__rn")
 
 
 def connected_components_star(

@@ -44,9 +44,17 @@ PARTITION BY the group keys.
 ``case [cond => val, ...]`` (round 7) lowers to CASE WHEN (a final
 ``true =>`` arm becomes ELSE; unmatched rows are NULL in both).
 
-Out of scope (refusals name the feature): f-strings,
-let-functions, modules, remove/intersect
-(the compiler's set-op lowering mixes DISTINCT/anti-join semantics).
+``let`` bindings (round 8; the prql-book Variables chapter):
+``let rel = (from ...)`` relation variables lower to CTEs,
+``let f = p1 p2:default -> expr`` functions expand as hygienic
+textual macros at ``(f a b)`` call sites (parenthesized
+space-application), and ``let x = <expr>`` constants substitute at
+bare uses.
+
+Out of scope (refusals name the feature): f-strings, modules,
+remove/intersect (the compiler's set-op lowering mixes
+DISTINCT/anti-join semantics), recursive or multi-statement
+let-functions, bare (unparenthesized) user-function application.
 """
 
 from __future__ import annotations
@@ -322,9 +330,164 @@ def _sort_items(body: str) -> str:
     return ", ".join(rendered)
 
 
+def _split_top_spaces(s: str) -> list[str]:
+    """Split on whitespace at depth 0 outside string literals — the
+    operand splitter for PRQL space-application."""
+    out, cur, depth, quote, esc = [], [], 0, None, False
+    for c in s:
+        if quote:
+            cur.append(c)
+            if esc:
+                esc = False
+            elif c == "\\":
+                esc = True
+            elif c == quote:
+                quote = None
+            continue
+        if c in "'\"":
+            quote = c
+            cur.append(c)
+        elif c in "([{":
+            depth += 1
+            cur.append(c)
+        elif c in ")]}":
+            depth -= 1
+            cur.append(c)
+        elif c.isspace() and depth == 0:
+            if cur:
+                out.append("".join(cur))
+                cur = []
+        else:
+            cur.append(c)
+    if cur:
+        out.append("".join(cur))
+    return out
+
+
+def _subst_idents(s: str, mapping: dict[str, str]) -> str:
+    """Replace bare identifiers (outside string literals) per mapping."""
+    parts = re.split(r"('(?:[^'\\]|\\.)*'|\"(?:[^\"\\]|\\.)*\")", s)
+    for i in range(0, len(parts), 2):
+        for nm, repl in mapping.items():
+            parts[i] = re.sub(
+                rf"(?<![\w.]){re.escape(nm)}(?!\w)",
+                lambda _m, _r=repl: _r, parts[i],
+            )
+    return "".join(parts)
+
+
+def _extract_lets(stmts: list[str]):
+    """Leading `let` statements (round-8; the prql-book Variables
+    chapter): `let rel = (from ...)` relation variables become CTEs,
+    `let f = p1 p2:default -> expr` functions become textual macros,
+    `let x = <literal/expr>` constants substitute like 0-param macros.
+    Returns (functions, consts, ctes, remaining_stmts)."""
+    fns: dict[str, tuple[list[str], list[str | None], str]] = {}
+    consts: dict[str, str] = {}
+    ctes: list[tuple[str, str]] = []
+    i = 0
+    for i, st in enumerate(stmts):
+        lm = re.match(r"^let\s+([A-Za-z_]\w*)\s*=\s*(.+)$", st, re.DOTALL)
+        if not lm:
+            break
+        name, body = lm.group(1), lm.group(2).strip()
+        if body.startswith("(") and re.match(r"^\(\s*from\b", body):
+            inner = body[1:-1].strip() if body.endswith(")") else None
+            if inner is None:
+                raise ChSqlError(f"PRQL let {name}: unbalanced relation binding")
+            # earlier constants/functions are in scope inside the binding
+            ctes.append((name, prql_to_sql(
+                _expand_prql_fns(inner, dict(fns), dict(consts)))))
+        elif "->" in body:
+            head, _, fexpr = body.partition("->")
+            params, defaults = [], []
+            for tok in _split_top_spaces(head):
+                pname, _, dflt = tok.partition(":")
+                if not re.match(r"^[A-Za-z_]\w*$", pname):
+                    raise ChSqlError(
+                        f"PRQL let-function {name}: parameter {tok!r} "
+                        "out of the subset (bare or name:default)")
+                params.append(pname)
+                defaults.append(dflt or None)
+            fns[name] = (params, defaults, fexpr.strip())
+        else:
+            consts[name] = body
+    else:
+        i += 1
+    rest = stmts[i:]
+    if not rest:
+        raise ChSqlError("PRQL: a query must follow the let binding(s)")
+    return fns, consts, ctes, rest
+
+
+def _expand_prql_fns(s: str, fns: dict, consts: dict) -> str:
+    """Expand function APPLICATIONS `(f a b)` (parenthesized
+    space-application, the prql-book call form) and bare constant
+    uses. Textual macro expansion, literal-safe, depth-capped."""
+    if consts:
+        s = _subst_idents(s, {n: f"({v})" for n, v in consts.items()})
+    if not fns:
+        return s
+    for _ in range(25):
+        spans = [m.span() for m in re.finditer(
+            r"'(?:[^'\\]|\\.)*'|\"(?:[^\"\\]|\\.)*\"", s)]
+        changed = False
+        for m in re.finditer(r"\(\s*([A-Za-z_]\w*)", s):
+            nm = m.group(1)
+            if nm not in fns or any(a <= m.start() < b for a, b in spans):
+                continue
+            # find the matching close paren
+            depth, quote, esc, close = 0, None, False, None
+            for j in range(m.start(), len(s)):
+                c = s[j]
+                if quote:
+                    if esc:
+                        esc = False
+                    elif c == "\\":
+                        esc = True
+                    elif c == quote:
+                        quote = None
+                    continue
+                if c in "'\"":
+                    quote = c
+                elif c == "(":
+                    depth += 1
+                elif c == ")":
+                    depth -= 1
+                    if depth == 0:
+                        close = j
+                        break
+            if close is None:
+                raise ChSqlError(f"PRQL: unbalanced parens at {s[m.start():m.start() + 30]!r}")
+            toks = _split_top_spaces(s[m.start() + 1:close])
+            args = toks[1:]
+            # `(f + 2)` is an EXPRESSION over a column f, not a call
+            if args and re.match(r"^[-+*/%<>=!&|,.]", args[0]):
+                continue
+            params, defaults, fexpr = fns[nm]
+            if len(args) > len(params) or any(
+                    d is None for d in defaults[len(args):]):
+                raise ChSqlError(
+                    f"PRQL function {nm}: takes {len(params)} "
+                    f"argument(s), got {len(args)}")
+            binding = {p: f"({a})" for p, a in zip(params, args)}
+            for p, d in zip(params[len(args):], defaults[len(args):]):
+                binding[p] = f"({d})"
+            s = s[:m.start()] + "(" + _subst_idents(fexpr, binding) + ")" + s[close + 1:]
+            changed = True
+            break
+        if not changed:
+            return s
+    raise ChSqlError("PRQL let-functions: expansion depth exceeded "
+                     "(recursive functions are out of the subset)")
+
+
 def prql_to_sql(text: str) -> str:
     """Transpile a PRQL pipeline into SQL text for the chsql shim."""
     stmts = _split_statements(text.strip().rstrip(";"))
+    fns, consts, let_ctes, stmts = _extract_lets(stmts)
+    if fns or consts:
+        stmts = [_expand_prql_fns(st, fns, consts) for st in stmts]
     if not stmts or not re.match(r"^from\b", stmts[0]):
         raise ChSqlError("PRQL: the pipeline must start with `from <table>`")
     table = stmts[0][4:].strip()
@@ -531,6 +694,9 @@ def prql_to_sql(text: str) -> str:
                 "(from/derive/select/filter/group/aggregate/sort/take/join/"
                 "append; window functions via group (sort + derive); "
                 f"loop via prql_sql){hint}")
+    if let_ctes:
+        with_sql = ", ".join(f"{n} AS ({sql})" for n, sql in let_ctes)
+        acc = f"WITH {with_sql} {acc}"
     return acc
 
 

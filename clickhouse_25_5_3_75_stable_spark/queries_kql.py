@@ -765,3 +765,85 @@ events
         "user_id", F.col("n").cast("long"),
         F.col("doubled_sum").cast("decimal(25,6)").cast("string"),
     )
+
+
+@register(
+    "prql_let_function_orders",
+    oracle="""
+    WITH pri AS (
+      SELECT o_orderpriority, o_totalprice
+      FROM orders WHERE o_orderkey < 800
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(CAST(sum(CAST(CAST(o_totalprice * 0.9 + 5 AS DECIMAL(25,6))
+                AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS VARCHAR) AS adj
+    FROM pri
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("prql", "dialect", "let", "functions"),
+)
+def prql_let_function_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRQL let bindings (round-8; prql-book Variables): a scalar
+    function with a default parameter expands at its parenthesized
+    application site, a constant substitutes at bare uses, and a
+    relation variable lowers to a CTE. Decimal arithmetic keeps the
+    engines bit-identical."""
+    from clickhouse_25_5_3_75_stable_spark.prql import prql_sql
+
+    _view(spark, sf_dir, "orders")
+    out = prql_sql(spark, """
+let keylim = 800
+let adjust = p rate:0.9 -> p * rate + 5
+let pri = (from orders | filter o_orderkey < keylim | select {o_orderpriority, o_totalprice})
+from pri
+derive adj1 = (adjust o_totalprice)
+group {o_orderpriority} (aggregate {n = count this, adj = sum adj1})
+sort o_orderpriority
+""")
+    return out.select(
+        "o_orderpriority", F.col("n").cast("long"),
+        F.col("adj").cast("decimal(25,6)").cast("string").alias("adj"),
+    )
+
+
+@register(
+    "kql_evaluate_narrow_events",
+    # integer/string columns only: narrow renders every value AS STRING
+    # and double->string rendering is environment-sensitive (the
+    # round-7/8 gate lesson)
+    oracle="""
+    WITH src AS (
+      SELECT event_id, event_type, user_id,
+             ROW_NUMBER() OVER (ORDER BY event_id) - 1 AS rn
+      FROM events WHERE event_id < 12
+    )
+    SELECT rn AS "Row", "Column", "Value" FROM (
+      SELECT rn, 'event_id' AS "Column", CAST(event_id AS VARCHAR) AS "Value" FROM src
+      UNION ALL
+      SELECT rn, 'event_type', event_type FROM src
+      UNION ALL
+      SELECT rn, 'user_id', CAST(user_id AS VARCHAR) FROM src
+    )
+    ORDER BY "Row", "Column"
+    """,
+    tags=("kql", "dialect", "evaluate", "narrow"),
+)
+def kql_evaluate_narrow_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KQL `evaluate narrow()` (round-8; the ADX transpose plugin):
+    (Row, Column, Value-as-string) with row ordinals from the REQUIRED
+    explicit sort. Gate uses integer/string source columns only —
+    narrow stringifies every value and double rendering is
+    environment-sensitive."""
+    _view(spark, sf_dir, "events")
+    out = kql_sql(spark, """
+events
+| where event_id < 12
+| project event_id, event_type, user_id
+| order by event_id asc
+| evaluate narrow()
+""")
+    return out.select(
+        F.col("Row").cast("long").alias("Row"), "Column", "Value"
+    ).orderBy("Row", "Column")

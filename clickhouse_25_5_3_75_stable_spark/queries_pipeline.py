@@ -759,3 +759,116 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the shuffle carries one 16-byte key per DISTINCT window."""
     docs = t(spark, sf_dir, "documents")
     return D.duplicated_span_stats(docs, n=8).orderBy("doc_id")
+
+
+@register(
+    "dedup_keep_best_quality",
+    # same md5-minhash LSH closure as dedup_minhash_clusters (same
+    # id-prefix subsample + MATERIALIZED pinning), then keep-best:
+    # highest n_tokens per component, tie -> lowest doc_id; singletons
+    # keep themselves via the COALESCE cluster label
+    oracle=f"""
+    WITH RECURSIVE banded AS MATERIALIZED (
+        SELECT doc_id, band, key FROM (
+            SELECT doc_id,
+                   unnest(range(0, 4)) AS band,
+                   unnest([{', '.join(_lsh_bands_sql(8, 4))}]) AS key
+            FROM documents WHERE doc_id < 1500)
+    ), pairs AS MATERIALIZED (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    ), edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b AS src, id_a AS dst FROM pairs
+    ), reach AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        WHERE r.src <> e.dst
+    ), comp AS (
+        SELECT src AS doc_id, least(src, min(dst)) AS cluster
+        FROM reach GROUP BY src
+    ), scored AS MATERIALIZED (
+        SELECT d.doc_id, COALESCE(c.cluster, d.doc_id) AS cluster,
+               {_QF_SQL['n_tokens']} AS n_tokens
+        FROM (SELECT doc_id, text FROM documents WHERE doc_id < 1500) d
+        LEFT JOIN comp c USING (doc_id)
+    ), ranked AS (
+        SELECT *,
+               ROW_NUMBER() OVER (PARTITION BY cluster
+                                  ORDER BY n_tokens DESC, doc_id) AS rn,
+               COUNT(*) OVER (PARTITION BY cluster) AS n_docs
+        FROM scored
+    )
+    SELECT cluster, doc_id AS kept_doc,
+           CAST(n_docs AS BIGINT) AS n_docs, n_tokens AS kept_n_tokens
+    FROM ranked WHERE rn = 1
+    ORDER BY cluster
+    """,
+    tags=("dedup", "minhash", "keep-best", "quality"),
+)
+def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware near-dup retention (round-8; the policy step after
+    clustering a real training pipeline needs): per near-dup component
+    keep the doc with the most tokens (tie -> lowest id) rather than
+    the arbitrary min-id keeper. Components via the same
+    min-label-propagation as dedup_minhash_clusters; the selection is
+    ONE window over the cluster label — scale shape unchanged."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 1500)
+    scored = docs.select(
+        "doc_id", "text",
+        T.quality_features(F.col("text"))["n_tokens"].alias("n_tokens"),
+    )
+    pairs = D.minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=8, bands=4)
+    best = D.dedup_keep_best(
+        scored.drop("text"), pairs, id_col="doc_id", score_col="n_tokens")
+    return best.select(
+        "cluster", F.col("doc_id").alias("kept_doc"),
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("n_tokens").alias("kept_n_tokens"),
+    ).orderBy("cluster")
+
+
+@register(
+    "dedup_incremental_ingest",
+    # new batch = doc_id in [700, 1400); existing corpus = doc_id < 700.
+    # A new doc is a dup iff it shares ANY md5-minhash LSH band key
+    # with the corpus — the corpus side collapses to DISTINCT keys
+    # (never self-pairs).
+    oracle=f"""
+    WITH banded AS MATERIALIZED (
+        SELECT doc_id, band, key FROM (
+            SELECT doc_id,
+                   unnest(range(0, 4)) AS band,
+                   unnest([{', '.join(_lsh_bands_sql(8, 4))}]) AS key
+            FROM documents WHERE doc_id < 1400)
+    ), corpus_keys AS (
+        SELECT DISTINCT band, key FROM banded WHERE doc_id < 700
+    ), hits AS (
+        SELECT DISTINCT b.doc_id
+        FROM banded b JOIN corpus_keys c USING (band, key)
+        WHERE b.doc_id >= 700
+    )
+    SELECT d.doc_id, (h.doc_id IS NOT NULL) AS is_dup
+    FROM (SELECT doc_id FROM documents
+          WHERE doc_id >= 700 AND doc_id < 1400) d
+    LEFT JOIN hits h USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+    tags=("dedup", "minhash", "incremental"),
+)
+def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot incremental dedup (round-8;
+    operators/dedup.py dedup_against_corpus): flag new-batch docs that
+    near-duplicate the EXISTING corpus via shared LSH band keys —
+    the daily-ingest shape at 100 TB, where the corpus side is a
+    persisted DISTINCT (band, key) signature store and is never
+    self-paired."""
+    docs = t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") < 700)
+    new_batch = docs.filter((F.col("doc_id") >= 700) & (F.col("doc_id") < 1400))
+    return D.dedup_against_corpus(
+        new_batch, corpus, "doc_id", "text", num_hashes=8, bands=4
+    ).orderBy("doc_id")

@@ -764,3 +764,45 @@ def system_server_surface_round8(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("kind", "name")
+
+
+@register(
+    "chsql_with_recursive_chain",
+    oracle="""
+    WITH RECURSIVE chain AS (
+      SELECT CAST(o_orderkey AS BIGINT) AS k, 0 AS depth
+      FROM orders WHERE o_orderkey = 1
+      UNION ALL
+      SELECT o.o_orderkey, c.depth + 1
+      FROM chain c JOIN orders o ON o.o_orderkey = c.k * 2
+      WHERE c.depth < 8
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(max(depth) AS BIGINT) AS max_depth,
+           CAST(sum(k) AS BIGINT) AS key_sum
+    FROM chain
+    """,
+    tags=("chsql", "dialect", "recursive"),
+)
+def chsql_with_recursive_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE on the SQL route (round-8; the reference's
+    recursive CTE support, src/Analyzer — Spark 4 executes natively as
+    a bounded UnionLoop): a doubling key chain walked over orders
+    (1 → 2 → 4 → ...) with per-level depth — the canonical
+    hierarchy-walk shape a migrating user runs."""
+    from clickhouse_25_5_3_75_stable_spark.chsql import ch_sql
+
+    return ch_sql(spark, """
+        WITH RECURSIVE chain AS (
+            SELECT toInt64(o_orderkey) AS k, 0 AS depth
+            FROM orders WHERE o_orderkey = 1
+            UNION ALL
+            SELECT toInt64(o.o_orderkey), c.depth + 1
+            FROM chain c JOIN orders o ON o.o_orderkey = c.k * 2
+            WHERE c.depth < 8
+        )
+        SELECT toInt64(count()) AS n_nodes,
+               toInt64(max(depth)) AS max_depth,
+               toInt64(sum(k)) AS key_sum
+        FROM chain
+    """, sf_dir=sf_dir)

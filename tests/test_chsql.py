@@ -1391,3 +1391,34 @@ def test_system_numbers_zeros_and_mapfilter(spark):
         "SELECT mapFilter((k, v) -> v > 1, map('a', 1, 'b', 2)) AS a",
     ).collect()[0].a
     assert m == {"b": 2}
+
+
+def test_with_recursive_passthrough(spark):
+    """Round-8: WITH RECURSIVE (reference supports recursive CTEs since
+    24.4; Spark 4 natively) passes through the shim with CH dialect
+    rewrites applied inside (count() -> count(*))."""
+    from clickhouse_25_5_3_75_stable_spark.chsql import ch_sql
+
+    rows = ch_sql(spark, """
+        WITH RECURSIVE t AS (
+            SELECT 1 AS n
+            UNION ALL
+            SELECT n + 1 FROM t WHERE n < 10
+        )
+        SELECT sum(n) AS s, count() AS c FROM t
+    """).collect()
+    assert rows == [(55, 10)]
+    # graph reachability: the canonical recursive shape
+    spark.createDataFrame(
+        [(1, 2), (2, 3), (2, 4), (4, 5)], "src int, dst int"
+    ).createOrReplaceTempView("rc_edges")
+    rows = ch_sql(spark, """
+        WITH RECURSIVE reach AS (
+            SELECT dst AS node, 1 AS depth FROM rc_edges WHERE src = 1
+            UNION ALL
+            SELECT e.dst, r.depth + 1
+            FROM reach r JOIN rc_edges e ON e.src = r.node
+        )
+        SELECT node, depth FROM reach ORDER BY depth, node
+    """).collect()
+    assert [tuple(r) for r in rows] == [(2, 1), (3, 2), (4, 2), (5, 3)]

@@ -687,13 +687,18 @@ def test_evaluate_plugin_refusals(spark):
 
     spark.createDataFrame([(1,)], "x int").createOrReplaceTempView("kql_ref_t")
     for q in (
-        "kql_ref_t | evaluate narrow()",
         "kql_ref_t | evaluate autocluster()",
         "kql_ref_t | evaluate basket()",
-        "kql_ref_t | invoke somefunc()",
     ):
         with pytest.raises(ChSqlError, match="not in the implemented subset"):
             kql_sql(spark, q)
+    # round-8: narrow is IMPLEMENTED but requires a deterministic order;
+    # invoke is IMPLEMENTED and names an unknown function when no let
+    # binds it
+    with pytest.raises(ChSqlError, match="order by"):
+        kql_sql(spark, "kql_ref_t | evaluate narrow()")
+    with pytest.raises(ChSqlError, match="not a let-bound function"):
+        kql_sql(spark, "let a = 1; kql_ref_t | invoke somefunc()")
     # implemented plugins refuse non-terminal placement rather than
     # computing a wrong prefix
     with pytest.raises(ChSqlError, match="last stage"):
@@ -945,3 +950,23 @@ let t2 = (kql_par_t | where v > 3);
 t2 | summarize n = count()
 """).collect()]
     assert got == [(1,)]
+
+
+def test_evaluate_narrow(spark):
+    """Round-8 `evaluate narrow()`: transpose into (Row, Column,
+    Value-string); requires an explicit sort before it (deterministic
+    row ordinals); refuses without one."""
+    from clickhouse_25_5_3_75_stable_spark.kql import kql_sql
+
+    spark.createDataFrame(
+        [(2, "b", 1.5), (1, "a", None)], "k int, s string, v double"
+    ).createOrReplaceTempView("kql_narrow_t")
+    got = [tuple(r) for r in kql_sql(
+        spark, "kql_narrow_t | order by k asc | evaluate narrow()").collect()]
+    assert got == [
+        (0, "k", "1"), (0, "s", "a"), (0, "v", None),
+        (1, "k", "2"), (1, "s", "b"), (1, "v", "1.5")]
+    with pytest.raises(ChSqlError, match="order by"):
+        kql_sql(spark, "kql_narrow_t | evaluate narrow()")
+    with pytest.raises(ChSqlError, match="last stage"):
+        kql_sql(spark, "kql_narrow_t | order by k asc | evaluate narrow() | take 1")

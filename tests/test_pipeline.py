@@ -452,3 +452,52 @@ def test_int8_quantize_float_semantics(spark):
         assert err <= 0.5 / expect * (1 + 1e-9)
         checked += 1
     assert checked >= 20
+
+
+def test_dedup_keep_best_semantics(spark):
+    """Round-8 keep-best retention: highest score per component wins
+    (tie -> lowest id); singletons keep themselves; n_docs = cluster
+    size; no Python in the plan."""
+    from clickhouse_25_5_3_75_stable_spark.operators.dedup import (
+        dedup_keep_best,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 30), (4, 5), (9, 7)],
+        "doc_id int, score int",
+    )
+    # components: {1,2,3} (chain), {4}, {9} (no pair rows)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "id_a int, id_b int")
+    rows = {r.cluster: r for r in dedup_keep_best(
+        docs, pairs, id_col="doc_id", score_col="score").collect()}
+    assert rows[1].doc_id == 2 and rows[1].n_docs == 3  # 30-tie -> id 2
+    assert rows[4].doc_id == 4 and rows[4].n_docs == 1
+    assert rows[9].doc_id == 9 and rows[9].n_docs == 1
+    plan = dedup_keep_best(docs, pairs, id_col="doc_id", score_col="score") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+
+
+def test_dedup_against_corpus_semantics(spark):
+    """Round-8 incremental dedup: a new doc flags iff it shares an LSH
+    band key with the corpus; the corpus never self-pairs; disjoint
+    docs pass clean."""
+    from clickhouse_25_5_3_75_stable_spark.operators.dedup import (
+        dedup_against_corpus,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today"),
+         (2, "completely different corpus content about spark engines")],
+        "doc_id int, text string",
+    )
+    new = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog today"),   # exact dup
+         (11, "unrelated fresh text that matches nothing in corpus here"),
+         (12, "completely different corpus content about spark engines")],
+        "doc_id int, text string",
+    )
+    got = {r.doc_id: r.is_dup for r in dedup_against_corpus(
+        new, corpus, "doc_id", "text").collect()}
+    assert got == {10: True, 11: False, 12: True}

@@ -264,3 +264,64 @@ def test_sstring_inside_plain_literal_not_interpolated():
     assert out == "t = 'has s\"x\" inside'"
     # real s-string still interpolates
     assert _expr('s"round({x}, 2)"') == "round(x, 2)"
+
+
+def test_let_functions_and_constants(spark):
+    """Round-8 PRQL let bindings: functions expand at parenthesized
+    application sites with defaults, constants substitute at bare
+    uses, `(f + 2)` stays an expression over column f."""
+    from clickhouse_25_5_3_75_stable_spark.prql import prql_sql, prql_to_sql
+
+    spark.createDataFrame(
+        [(1, 4), (2, 6), (3, 11)], "k int, v int"
+    ).createOrReplaceTempView("prql_fn_t")
+    got = [tuple(r) for r in prql_sql(spark, """
+let double = x -> x * 2
+let cut = 5
+from prql_fn_t
+filter v > cut
+derive d = (double v)
+select {k, d}
+sort k
+""").collect()]
+    assert got == [(2, 12), (3, 22)]
+    # default parameter
+    got = [tuple(r) for r in prql_sql(spark, """
+let addn = x n:100 -> x + n
+from prql_fn_t
+derive {a = (addn v), b = (addn v 1)}
+select {k, a, b}
+sort k
+""").collect()]
+    assert got == [(1, 104, 5), (2, 106, 7), (3, 111, 12)]
+    # `(f + 2)`: f resolves to a COLUMN, not the function
+    sql = prql_to_sql("let f = x -> x * 2\nfrom t\nderive y = (f + 2)")
+    assert "(f + 2)" in sql
+
+
+def test_let_relation_variable(spark):
+    """Round-8 PRQL relation variables: `let rel = (from ...)` lowers
+    to a CTE the main pipeline reads with `from rel`."""
+    from clickhouse_25_5_3_75_stable_spark.prql import prql_sql
+
+    spark.createDataFrame(
+        [(1, 4), (2, 6), (3, 11)], "k int, v int"
+    ).createOrReplaceTempView("prql_rel_t")
+    got = [tuple(r) for r in prql_sql(spark, """
+let big = (from prql_rel_t | filter v > 4)
+from big
+aggregate {n = count this, s = sum v}
+""").collect()]
+    assert got == [(2, 17)]
+
+
+def test_let_function_refusals():
+    from clickhouse_25_5_3_75_stable_spark.chsql import ChSqlError
+    from clickhouse_25_5_3_75_stable_spark.prql import prql_to_sql
+
+    with pytest.raises(ChSqlError, match="depth"):
+        prql_to_sql("let f = x -> (f x)\nfrom t\nderive y = (f v)")
+    with pytest.raises(ChSqlError, match="argument"):
+        prql_to_sql("let f = x y -> x + y\nfrom t\nderive z = (f v)")
+    with pytest.raises(ChSqlError, match="must follow"):
+        prql_to_sql("let f = x -> x * 2")

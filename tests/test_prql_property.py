@@ -187,6 +187,29 @@ def pipeline(draw):
     cols = ["k", "v", "s"]
     prql_stages = ["from T"]
     sql = "SELECT * FROM T"
+    # round-8 let dimension: a constant, a function applied at a
+    # parenthesized call site (with/without its default), or a
+    # relation variable heading the pipeline
+    let_kind = draw(st.sampled_from(["none", "const", "fn", "rel"]))
+    if let_kind == "const":
+        cut = draw(st.integers(-2, 2))
+        prql_stages = [f"let cut = {cut}", "from T", "filter k >= cut"]
+        sql = f"SELECT * FROM (SELECT * FROM T) WHERE k >= ({cut})"
+    elif let_kind == "fn":
+        m = draw(st.integers(-2, 3))
+        use_default = draw(st.booleans())
+        call = "(fmul v)" if use_default else f"(fmul v {m})"
+        mult = 2 if use_default else m
+        prql_stages = ["let fmul = x n:2 -> x * n", "from T",
+                       f"derive fv = {call}"]
+        sql = f"SELECT *, (v) * ({mult}) AS fv FROM (SELECT * FROM T)"
+        cols = cols + ["fv"]
+    elif let_kind == "rel":
+        klo = draw(st.integers(-1, 2))
+        prql_stages = [f"let src = (from T | filter k >= {klo})",
+                       "from src"]
+        sql = (f"WITH src AS (SELECT * FROM (SELECT * FROM T) "
+               f"WHERE k >= {klo}) SELECT * FROM src")
     n = draw(st.integers(1, 4))
     for _ in range(n):
         kind = draw(st.sampled_from(
