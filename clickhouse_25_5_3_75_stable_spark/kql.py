@@ -47,9 +47,15 @@ and let-FUNCTIONS (round 8) expand as hygienic macros — scalar
 `let g = (T: (*), a: long) { T | ... }` through `| invoke g(...)`
 with the piped input bound via a synthetic CTE.
 
-Out of scope (documented): the dynamic() literal type, evaluate
-plugins beyond pivot/bag_unpack/narrow, multi-statement function
-bodies, recursive functions — the refusal names the construct. KQL
+dynamic() literals (round 8): array form -> array(...), property-bag
+form -> a canonicalized JSON string literal (composes with bag_unpack
+/ JSON extraction exactly like a stored props column), scalar form
+passes through.
+
+Out of scope (documented): evaluate plugins beyond
+pivot/bag_unpack/narrow, multi-statement function bodies, recursive
+functions, dynamic path access (a.b on bags) — the refusal names the
+construct. KQL
 ``order by`` null placement (asc = nulls first) follows CH/our
 NULLS LAST instead; divergence documented here.
 """
@@ -179,7 +185,10 @@ _FN_RENAMES = {
     "string_size": "length", "reverse": "reverse",
     "base64_encode_tostring": "base64Encode",
     "base64_decode_tostring": "base64Decode",
-    "hash_sha256": "hexSHA256__kqlna", "hash_md5": "hexMD5__kqlna",
+    # round-8 additions (each validated to resolve end-to-end)
+    "array_sum": "arraySum", "strcat_array": "arrayStringConcat",
+    "pack_array": "array", "new_guid": "generateUUIDv4",
+    "make_datetime": "makeDateTime",
 }
 # names mapped above with a __kqlna suffix have no single-call CH
 # equivalent and are dropped back to refusals at lowering time
@@ -216,6 +225,112 @@ _HAS_KEYWORDS = {"has": (True, False), "!has": (True, True),
 
 _BOUNDARIES = {"and", "or", "not", "(", ","}
 _TS_RE = re.compile(r"^(\d+(?:\.\d+)?)(d|h|m|s|ms)$")
+
+# ---------------------------------------------------------------------------
+# Arg-form scalar lowerings (round-8): ADX names whose translation
+# needs argument rearrangement or composition, keyed by lowercase name.
+# Each callable takes (lowered_args, raw_token_parts) -> SQL text.
+# ---------------------------------------------------------------------------
+
+_DT_UNITS = {"year", "quarter", "month", "week", "day", "hour",
+             "minute", "second"}
+
+
+def _af_need(args, n, sig):
+    if len(args) != n:
+        raise ChSqlError(f"KQL {sig}: got {len(args)} argument(s)")
+
+
+def _af_unit(raw_parts, idx, fname):
+    p = raw_parts[idx]
+    if len(p) != 1 or not p[0].startswith("'"):
+        raise ChSqlError(f"KQL {fname}: the period must be a string literal")
+    u = _decode_kql_string(p[0]).lower()
+    if u not in _DT_UNITS:
+        raise ChSqlError(f"KQL {fname}: unsupported period {u!r} "
+                         f"(subset: {sorted(_DT_UNITS)})")
+    return u
+
+
+def _af_array_index_of(a, r):
+    _af_need(a, 2, "array_index_of(arr, value)")
+    return f"(indexOf({a[0]}, {a[1]}) - 1)"  # ADX is 0-based, -1 absent
+
+
+def _af_endof(period):
+    def f(a, r, _p=period):
+        _af_need(a, 1, f"endof{_p}(ts)")
+        # ADX end-of-period = next period start minus 1 tick (100 ns);
+        # this engine's timestamps are µs, so minus 1 µs — documented
+        # truncation, same calendar day/instant ordering
+        return (f"(toStartOf{_p.capitalize()}(CAST({a[0]} AS TIMESTAMP) "
+                f"+ INTERVAL 1 {_p.upper()}) - INTERVAL 1 MICROSECOND)")
+    return f
+
+
+def _af_datetime_add(a, r):
+    _af_need(a, 3, "datetime_add(period, amount, datetime)")
+    u = _af_unit(r, 0, "datetime_add")
+    return f"({a[2]} + ({a[1]}) * INTERVAL 1 {u.upper()})"
+
+
+def _af_datetime_diff(a, r):
+    _af_need(a, 3, "datetime_diff(period, datetime1, datetime2)")
+    u = _af_unit(r, 0, "datetime_diff")
+    # ADX: boundaries in d1 - d2; Spark timestampdiff(unit, start, end)
+    return f"timestampdiff({u.upper()}, {a[2]}, {a[1]})"
+
+
+def _af_tohex(a, r):
+    _af_need(a, 1, "tohex(int)")
+    return f"lower(conv(CAST({a[0]} AS STRING), 10, 16))"
+
+
+def _af_hash_sha256(a, r):
+    _af_need(a, 1, "hash_sha256(source)")
+    return f"sha2(CAST({a[0]} AS STRING), 256)"  # lowercase hex, like ADX
+
+
+def _af_hash_md5(a, r):
+    _af_need(a, 1, "hash_md5(source)")
+    return f"md5(CAST({a[0]} AS STRING))"
+
+
+def _af_gettype(a, r):
+    _af_need(a, 1, "gettype(value)")
+    x = a[0]
+    return (f"CASE typeof({x}) WHEN 'bigint' THEN 'long' "
+            f"WHEN 'int' THEN 'int' WHEN 'smallint' THEN 'int' "
+            f"WHEN 'tinyint' THEN 'int' WHEN 'double' THEN 'real' "
+            f"WHEN 'float' THEN 'real' WHEN 'boolean' THEN 'bool' "
+            f"WHEN 'date' THEN 'datetime' WHEN 'timestamp' THEN 'datetime' "
+            f"ELSE typeof({x}) END")
+
+
+def _af_pack(a, r):
+    if len(a) < 2 or len(a) % 2:
+        raise ChSqlError("KQL pack/bag_pack: alternating 'key', value pairs")
+    for k in range(0, len(r), 2):
+        if len(r[k]) != 1 or not r[k][0].startswith("'"):
+            raise ChSqlError("KQL pack/bag_pack subset: literal keys")
+    # a JSON bag under the dynamic-as-JSON-string model
+    return f"to_json(named_struct({', '.join(a)}))"
+
+
+_ARGFORM_FNS = {
+    "array_index_of": _af_array_index_of,
+    "endofday": _af_endof("day"),
+    "endofmonth": _af_endof("month"),
+    "endofyear": _af_endof("year"),
+    "datetime_add": _af_datetime_add,
+    "datetime_diff": _af_datetime_diff,
+    "tohex": _af_tohex,
+    "hash_sha256": _af_hash_sha256,
+    "hash_md5": _af_hash_md5,
+    "gettype": _af_gettype,
+    "pack": _af_pack,
+    "bag_pack": _af_pack,
+}
 
 
 def _is_timespan_pair(toks: list[str], i: int) -> str | None:
@@ -303,6 +418,89 @@ def _lower_expr(toks: list[str]) -> str:
             out.append(f"NOT ({expr})" if neg else expr)
             i = i2
             continue
+        if low in ("has_any", "has_all"):
+            # ADX set-form term search (round-8): OR/AND of the
+            # single-term whole-token `has` lowerings
+            lhs = _pop_operand(out)
+            rhs, i2 = _take_primary(toks, i + 1)
+            if not rhs.startswith("("):
+                raise ChSqlError(
+                    "KQL has_any/has_all take a parenthesized term list")
+            items = [_join_tokens(p)
+                     for p in _split_top_tokens(_tokenize(rhs[1:-1].strip()))]
+            exprs = []
+            for it in items:
+                if not (it.startswith("'") and it.endswith("'")):
+                    raise ChSqlError(
+                        "KQL has_any/has_all subset needs literal terms")
+                pat = re.escape(_decode_kql_string(it).lower())
+                exprs.append(
+                    f"match(lower({lhs}), "
+                    f"{_sql_string(f'(^|[^a-zA-Z0-9_]){pat}($|[^a-zA-Z0-9_])')})")
+            joiner = " OR " if low == "has_any" else " AND "
+            out.append("(" + joiner.join(exprs) + ")")
+            i = i2
+            continue
+        if low == "format_datetime" and i + 1 < len(toks) and toks[i + 1] == "(":
+            # ADX format tokens largely coincide with Java/Spark
+            # date_format letters; fraction runs f/F map to S, tt -> a
+            depth, j = 1, i + 2
+            while j < len(toks) and depth:
+                depth += toks[j] == "("
+                depth -= toks[j] == ")"
+                j += 1
+            parts = _split_top_tokens(toks[i + 2:j - 1])
+            if len(parts) != 2 or len(parts[1]) != 1 \
+                    or not parts[1][0].startswith("'"):
+                raise ChSqlError(
+                    "KQL format_datetime(expr, 'format-literal')")
+            fmt = _decode_kql_string(parts[1][0])
+            fmt = re.sub(r"[fF]+", lambda m: "S" * len(m.group(0)), fmt)
+            fmt = fmt.replace("tt", "a")
+            bad = set(re.findall(r"[A-Za-z]", fmt)) - set("yMdHmsSa")
+            if bad:
+                raise ChSqlError(
+                    f"KQL format_datetime subset: unsupported format "
+                    f"letter(s) {sorted(bad)}")
+            out.append(f"date_format({_lower_expr(parts[0])}, "
+                       f"{_sql_string(fmt)})")
+            i = j
+            continue
+        if low == "ipv4_is_private" and i + 1 < len(toks) and toks[i + 1] == "(":
+            # RFC1918 blocks via the engine's isIPAddressInRange
+            arg, i2 = _take_primary(toks, i + 1)
+            x = _lower_expr(_tokenize(arg[1:-1]))
+            out.append(
+                f"(isIPAddressInRange({x}, '10.0.0.0/8') OR "
+                f"isIPAddressInRange({x}, '172.16.0.0/12') OR "
+                f"isIPAddressInRange({x}, '192.168.0.0/16'))")
+            i = i2
+            continue
+        if low == "bin_at" and i + 1 < len(toks) and toks[i + 1] == "(":
+            # bin_at(v, size, fixed) = fixed + floor((v-fixed)/size)*size
+            depth, j = 1, i + 2
+            while j < len(toks) and depth:
+                depth += toks[j] == "("
+                depth -= toks[j] == ")"
+                j += 1
+            parts = _split_top_tokens(toks[i + 2:j - 1])
+            if len(parts) != 3:
+                raise ChSqlError("KQL bin_at(value, binSize, fixedPoint)")
+            v, b, f0 = (_lower_expr(p) for p in parts)
+            out.append(f"(({f0}) + floor((({v}) - ({f0})) / ({b})) * ({b}))")
+            i = j
+            continue
+        if low in _ARGFORM_FNS and i + 1 < len(toks) and toks[i + 1] == "(":
+            depth, j = 1, i + 2
+            while j < len(toks) and depth:
+                depth += toks[j] == "("
+                depth -= toks[j] == ")"
+                j += 1
+            parts = _split_top_tokens(toks[i + 2:j - 1])
+            out.append(_ARGFORM_FNS[low](
+                [_lower_expr(p) for p in parts], parts))
+            i = j
+            continue
         if low == "matches" and i + 1 < len(toks) and toks[i + 1].lower() == "regex":
             lhs = _pop_operand(out)
             rhs, i2 = _take_primary(toks, i + 2)
@@ -353,10 +551,18 @@ def _lower_expr(toks: list[str]) -> str:
                 depth -= toks[j] == ")"
                 j += 1
             inner = toks[i + 2:j - 1]
-            if not inner or inner[0] != "[" or inner[-1] != "]":
-                raise ChSqlError("KQL dynamic subset takes an array literal")
-            items = _split_top_tokens(inner[1:-1])
-            out.append("array(" + ", ".join(_lower_expr(p) for p in items) + ")")
+            if inner and inner[0] == "[" and inner[-1] == "]":
+                items = _split_top_tokens(inner[1:-1])
+                out.append("array(" + ", ".join(_lower_expr(p) for p in items) + ")")
+            elif len(inner) == 1 or (len(inner) == 2 and inner[0] == "-"):
+                # dynamic(<scalar literal>): the wrapper is a typing
+                # hint in ADX — the scalar passes through (bags are
+                # handled pre-tokenizer by _dynamic_bags)
+                out.append("".join(inner))
+            else:
+                raise ChSqlError(
+                    "KQL dynamic subset takes an array literal, a JSON "
+                    "bag, or a scalar literal")
             i = j
             continue
         if low == "ago" and i + 1 < len(toks) and toks[i + 1] == "(":
@@ -494,6 +700,32 @@ def _lower_expr(toks: list[str]) -> str:
             i = j
             continue
 
+        if low in ("parse_json", "parsejson", "todynamic") \
+                and i + 1 < len(toks) and toks[i + 1] == "(":
+            # identity under the JSON-string dynamic model (round-8):
+            # a parsed bag IS its canonical JSON text here, exactly
+            # what bag_unpack / extraction read
+            arg, i2 = _take_primary(toks, i + 1)
+            out.append("(" + _lower_expr(_tokenize(arg[1:-1])) + ")")
+            i = i2
+            continue
+        if low in ("extractjson", "extract_json") \
+                and i + 1 < len(toks) and toks[i + 1] == "(":
+            # ADX extractjson(jsonPath, doc) -> JSON_VALUE(doc, path)
+            depth, j = 1, i + 2
+            while j < len(toks) and depth:
+                depth += toks[j] == "("
+                depth -= toks[j] == ")"
+                j += 1
+            parts = _split_top_tokens(toks[i + 2:j - 1])
+            if len(parts) != 2:
+                raise ChSqlError(
+                    "KQL extractjson subset: extractjson(path, doc) — "
+                    "the typeof(...) third argument is out of the subset")
+            out.append(f"get_json_object({_lower_expr(parts[1])}, "
+                       f"{_lower_expr(parts[0])})")
+            i = j
+            continue
         if low in _FN_RENAMES and i + 1 < len(toks) and toks[i + 1] == "(":
             out.append(_FN_RENAMES[low])
             i += 1
@@ -713,9 +945,86 @@ def kql_to_chsql(text: str, columns_of=None) -> str:
     return _transpile(text, columns_of)[0]
 
 
+def _dynamic_bags(text: str) -> str:
+    """Rewrite `dynamic({...})` property-bag LITERALS to JSON string
+    literals before tokenization (round-8; the CH tokenizer has no
+    brace tokens). ADX dynamic bag syntax IS JSON, so the bag is
+    validated and canonicalized through json — downstream the string
+    composes with bag_unpack / get_json_object exactly like a stored
+    props column. Quote-aware: `dynamic({` inside a string literal
+    passes through untouched; idempotent (the emitted JSON lives
+    inside a string literal the scan skips)."""
+    if "dynamic" not in text:
+        return text
+    import json
+
+    out: list[str] = []
+    i, n = 0, len(text)
+    quote, esc = None, False
+    while i < n:
+        c = text[i]
+        if quote:
+            out.append(c)
+            if esc:
+                esc = False
+            elif c == "\\":
+                esc = True
+            elif c == quote:
+                quote = None
+            i += 1
+            continue
+        if c in "'\"":
+            quote = c
+            out.append(c)
+            i += 1
+            continue
+        m = re.match(r"dynamic\s*\(\s*\{", text[i:])
+        if m and (i == 0 or not (text[i - 1].isalnum() or text[i - 1] == "_")):
+            j = i + m.end() - 1  # index of '{'
+            depth, q, e2, k = 0, None, False, j
+            while k < n:
+                ch = text[k]
+                if q:
+                    if e2:
+                        e2 = False
+                    elif ch == "\\":
+                        e2 = True
+                    elif ch == q:
+                        q = None
+                elif ch == '"':
+                    q = ch
+                elif ch == "{":
+                    depth += 1
+                elif ch == "}":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                k += 1
+            if k >= n:
+                raise ChSqlError("KQL dynamic: unbalanced braces")
+            k2 = k + 1
+            while k2 < n and text[k2].isspace():
+                k2 += 1
+            if k2 >= n or text[k2] != ")":
+                raise ChSqlError("KQL dynamic({...}): expected ')'")
+            try:
+                canon = json.dumps(json.loads(text[j:k + 1]),
+                                   separators=(",", ":"))
+            except ValueError:
+                raise ChSqlError(
+                    "KQL dynamic({...}) subset takes a valid JSON bag")
+            lit = canon.replace("\\", "\\\\").replace("'", "\\'")
+            out.append(f"'{lit}'")
+            i = k2 + 1
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
 def _transpile(text: str, columns_of=None) -> tuple[str, list[str] | None]:
     """kql_to_chsql worker: returns (sql, output_columns_or_None)."""
-    text = text.strip().rstrip(";")
+    text = _dynamic_bags(text.strip().rstrip(";"))
     if re.match(r"^\s*let\b", text, re.IGNORECASE):
         return _let_statements(text, columns_of)
     stages = _split_pipeline(text)

@@ -847,3 +847,38 @@ events
     return out.select(
         F.col("Row").cast("long").alias("Row"), "Column", "Value"
     ).orderBy("Row", "Column")
+
+
+@register(
+    "kql_dynamic_json_extract",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(
+             '{"t":"' || event_type || '","u":' || CAST(user_id AS VARCHAR) || '}',
+             '$.t') AS t,
+           json_extract_string(
+             '{"t":"' || event_type || '","u":' || CAST(user_id AS VARCHAR) || '}',
+             '$.u') AS u,
+           json_extract_string('{"tag":"corpus-v2"}', '$.tag') AS tag
+    FROM events WHERE event_id < 60
+    ORDER BY event_id
+    """,
+    tags=("kql", "dialect", "dynamic", "json"),
+)
+def kql_dynamic_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KQL dynamic()/JSON surface (round-8): a dynamic({...}) bag
+    literal canonicalizes to JSON text, parse_json/todynamic are
+    identity over the JSON-string model, and extractjson(path, doc)
+    maps to get_json_object with swapped args — the ADX property-bag
+    workflow end-to-end on JVM expressions."""
+    _view(spark, sf_dir, "events")
+    out = kql_sql(spark, """
+events
+| where event_id < 60
+| extend j = parse_json(strcat('{"t":"', event_type, '","u":', tostring(user_id), '}'))
+| extend tagbag = dynamic({"tag": "corpus-v2"})
+| project event_id, t = extractjson("$.t", j), u = extractjson("$.u", j),
+          tag = extractjson("$.tag", tagbag)
+| order by event_id asc
+""")
+    return out.select(F.col("event_id").cast("long"), "t", "u", "tag")

@@ -970,3 +970,145 @@ def test_evaluate_narrow(spark):
         kql_sql(spark, "kql_narrow_t | evaluate narrow()")
     with pytest.raises(ChSqlError, match="last stage"):
         kql_sql(spark, "kql_narrow_t | order by k asc | evaluate narrow() | take 1")
+
+
+def test_dynamic_bag_literals(spark):
+    """Round-8 dynamic({...}) property-bag literals: canonicalized to a
+    JSON string literal (composing with bag_unpack / JSON extraction
+    like a stored props column); array form unchanged; invalid bags
+    refuse; `dynamic({` INSIDE a string literal passes through."""
+    from clickhouse_25_5_3_75_stable_spark.kql import kql_sql, kql_to_chsql
+
+    spark.createDataFrame([(1,)], "k int").createOrReplaceTempView("kql_dyn_t")
+    got = [tuple(r) for r in kql_sql(spark, """
+kql_dyn_t | extend j = dynamic({"a": 1, "b": "x"}) | evaluate bag_unpack(j)
+""").collect()]
+    assert got == [(1, "1", "x")]
+    out = kql_to_chsql('T | where s == "dynamic({not a bag})"')
+    assert "dynamic({not a bag})" in out
+    with pytest.raises(ChSqlError, match="JSON bag"):
+        kql_to_chsql("T | extend j = dynamic({oops})")
+
+
+def test_parse_json_identity_and_extractjson(spark):
+    """Round-8 JSON model: parse_json/todynamic are IDENTITY over the
+    JSON-string dynamic model (composing with bag_unpack), extractjson
+    maps to get_json_object with swapped args, typeof-arity refuses."""
+    from clickhouse_25_5_3_75_stable_spark.kql import kql_sql
+
+    spark.createDataFrame(
+        [('{"a": 3, "b": "x"}',)], "s string"
+    ).createOrReplaceTempView("kql_json_t")
+    got = [tuple(r) for r in kql_sql(spark, """
+kql_json_t | extend j = parse_json(s) | evaluate bag_unpack(j)
+""").collect()]
+    assert got == [('{"a": 3, "b": "x"}', "3", "x")]
+    got = [tuple(r) for r in kql_sql(spark, """
+kql_json_t | project v = extractjson("$.a", todynamic(s))
+""").collect()]
+    assert got == [("3",)]
+    with pytest.raises(ChSqlError, match="typeof"):
+        kql_sql(spark, 'kql_json_t | project v = extractjson("$.a", s, typeof(long))')
+
+
+def test_dynamic_scalar_literals():
+    from clickhouse_25_5_3_75_stable_spark.kql import kql_to_chsql
+
+    out = kql_to_chsql('T | extend a = dynamic(5), b = dynamic(-2), c = dynamic("s")')
+    assert "5 AS a" in out and "-2 AS b" in out and "'s' AS c" in out
+
+
+def test_has_any_has_all_and_misc_round8(spark):
+    """Round-8 lowerings: has_any/has_all (OR/AND of whole-token `has`
+    matches), format_datetime (ADX tokens -> date_format), bin_at,
+    ipv4_is_private (RFC1918 via isIPAddressInRange)."""
+    from clickhouse_25_5_3_75_stable_spark.kql import kql_sql
+
+    spark.createDataFrame(
+        [("alpha beta", "10.0.0.1", 5), ("gamma", "8.8.8.8", 11),
+         ("alphabet", "172.20.1.2", 7)],
+        "s string, ip string, x int",
+    ).createOrReplaceTempView("kql_misc8_t")
+    got = [r.s for r in kql_sql(
+        spark, "kql_misc8_t | where s has_any ('alpha', 'zz') | project s"
+    ).collect()]
+    assert got == ["alpha beta"]  # 'alphabet' is NOT a whole-token hit
+    got = [r.s for r in kql_sql(
+        spark, "kql_misc8_t | where s has_all ('alpha', 'beta') | project s"
+    ).collect()]
+    assert got == ["alpha beta"]
+    got = [r.ip for r in kql_sql(
+        spark, "kql_misc8_t | where ipv4_is_private(ip) | project ip | order by ip asc"
+    ).collect()]
+    assert got == ["10.0.0.1", "172.20.1.2"]
+    got = [tuple(r) for r in kql_sql(
+        spark, "kql_misc8_t | project b = bin_at(x, 3, 1) | order by b asc"
+    ).collect()]
+    assert got == [(4,), (7,), (10,)]
+    spark.sql(
+        "SELECT TIMESTAMP'2024-03-05 10:07:00' AS ts"
+    ).createOrReplaceTempView("kql_misc8_ts")
+    got = [r.t for r in kql_sql(
+        spark,
+        "kql_misc8_ts | project t = format_datetime(ts, 'yyyy-MM-dd HH:mm:ss')"
+    ).collect()]
+    assert got == ["2024-03-05 10:07:00"]
+    with pytest.raises(ChSqlError, match="format letter"):
+        kql_sql(spark, "kql_misc8_ts | project t = format_datetime(ts, 'QQ')")
+    with pytest.raises(ChSqlError, match="literal terms"):
+        kql_sql(spark, "kql_misc8_t | where s has_any (x)")
+
+
+def test_argform_scalar_lowerings_round8(spark):
+    """Round-8 arg-form scalars: array ops, endof*/datetime_add/diff,
+    tohex, hash_sha256/md5, gettype, pack -> JSON bag, renames."""
+    from clickhouse_25_5_3_75_stable_spark.kql import kql_sql
+
+    spark.createDataFrame(
+        [("a b", 5, 2.5)], "s string, x int, d double"
+    ).createOrReplaceTempView("kql_af_t")
+    spark.sql(
+        "SELECT *, TIMESTAMP'2024-03-05 10:07:00' AS ts, ARRAY(3,1,2) AS arr "
+        "FROM kql_af_t"
+    ).createOrReplaceTempView("kql_af2_t")
+
+    r = kql_sql(spark, """
+kql_af2_t | project
+  asum = array_sum(arr),
+  aidx = array_index_of(arr, 1),
+  amiss = array_index_of(arr, 99),
+  scat = strcat_array(arr, ','),
+  hx = tohex(255),
+  h2 = hash_sha256('x'),
+  hm = hash_md5('x'),
+  ty1 = gettype(x), ty2 = gettype(d), ty3 = gettype(s),
+  bag = pack('a', 1, 'b', s),
+  pa = pack_array(1, 2)
+""").collect()[0]
+    assert r.asum == 6.0 and r.aidx == 1 and r.amiss == -1
+    assert r.scat == "3,1,2" and r.hx == "ff"
+    assert r.h2 == "2d711642b726b04401627ca9fbac32f5c8530fb1903cc4db02258717921a4881"
+    assert r.hm == "9dd4e461268c8034f5c8564e155c67a6"
+    assert (r.ty1, r.ty2, r.ty3) == ("int", "real", "string")
+    assert r.bag == '{"a":1,"b":"a b"}'
+    assert list(r.pa) == [1, 2]
+
+    import datetime as dt
+    r = kql_sql(spark, """
+kql_af2_t | project
+  eom = endofmonth(ts), eod = endofday(ts),
+  add3 = datetime_add('day', 3, ts),
+  dif = datetime_diff('hour', datetime(2024-01-01 06:00:00),
+                      datetime(2024-01-01 01:00:00)),
+  mk = make_datetime(2024, 1, 2, 3, 4, 5)
+""").collect()[0]
+    assert r.eom == dt.datetime(2024, 3, 31, 23, 59, 59, 999999)
+    assert r.eod == dt.datetime(2024, 3, 5, 23, 59, 59, 999999)
+    assert r.add3 == dt.datetime(2024, 3, 8, 10, 7)
+    assert r.dif == 5
+    assert r.mk == dt.datetime(2024, 1, 2, 3, 4, 5)
+
+    with pytest.raises(ChSqlError, match="period"):
+        kql_sql(spark, "kql_af2_t | project v = datetime_add('fortnight', 1, ts)")
+    with pytest.raises(ChSqlError, match="literal keys"):
+        kql_sql(spark, "kql_af_t | project v = pack(s, 1)")

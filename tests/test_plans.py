@@ -313,3 +313,42 @@ def test_polygon_dictionary_bbox_bnlj_plan(spark):
     hash_ex = [l for l in plan.splitlines()
                if "Exchange hashpartitioning" in l]
     assert len(hash_ex) == 1 and "__pg_rowid" in hash_ex[0]
+
+
+def test_incremental_dedup_semi_join_no_corpus_pairing(spark):
+    """dedup_against_corpus plan contract (round-8): the corpus reduces
+    to DISTINCT (band, key) feeding a semi join — NO self-join of the
+    corpus, no Python, no cartesian."""
+    from clickhouse_25_5_3_75_stable_spark.operators.dedup import (
+        dedup_against_corpus,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"text body number {i % 17} with shared tokens {i % 5}")
+         for i in range(200)],
+        "doc_id int, text string",
+    )
+    out = dedup_against_corpus(
+        docs.filter("doc_id < 100"), docs.filter("doc_id >= 100"),
+        "doc_id", "text")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SemiJoin" in plan or "LeftSemi" in plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_keep_best_single_cluster_window(spark):
+    """dedup_keep_best plan contract: ONE window pass over the cluster
+    label (row_number + count share the partition), no Python."""
+    from clickhouse_25_5_3_75_stable_spark.operators.dedup import (
+        dedup_keep_best,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, i % 7) for i in range(100)], "doc_id int, score int")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 50, 2)], "id_a int, id_b int")
+    out = dedup_keep_best(docs, pairs, id_col="doc_id", score_col="score")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert plan.count("Window") <= 2  # row_number + count, same partition
