@@ -499,8 +499,10 @@ _IF_COMBINATORS = {
     "countif": "count",
 }
 
-# parametric aggregates f(params)(args)
-_PARAMETRIC = {"quantile", "quantiles", "median"}
+# parametric aggregates f(params)(args); the *exact variants lower to
+# Spark's exact percentile (round-8)
+_PARAMETRIC = {"quantile", "quantiles", "median",
+               "quantileexact", "quantilesexact"}
 
 _REFUSED = {
     "topk",
@@ -1385,6 +1387,30 @@ def _literal_int_tuple(arg: list[str]) -> list[int] | None:
     return vals or None
 
 
+def _quantile_exact_tokens(x: list[str], p: list[str], fname: str) -> list[str]:
+    """CH quantileExact as Spark tokens (round-8; reference
+    QuantileExact.h:96): level < 1 -> sorted-array element at 0-based
+    index floor(level * n); level >= 1 -> max. The level must be a
+    numeric literal so the branch resolves at transpile time."""
+    if len(p) == 1 or (len(p) == 2 and p[0] in "+-"):
+        txt = "".join(p)
+        try:
+            level = float(txt)
+        except ValueError:
+            raise ChSqlError(
+                f"{fname}: the level must be a numeric literal")
+    else:
+        raise ChSqlError(f"{fname}: the level must be a numeric literal")
+    if not 0 <= level <= 1:
+        raise ChSqlError(f"{fname}: level {level} out of [0, 1]")
+    xt = " ".join(x)
+    if level >= 1:
+        return _tokenize(f"max({xt})")
+    return _tokenize(
+        f"element_at(array_sort(collect_list({xt})), "
+        f"CAST(floor({level!r} * count({xt})) AS INT) + 1)")
+
+
 def _rewrite_functions(toks: list[str]) -> list[str]:
     out: list[str] = []
     i = 0
@@ -1415,7 +1441,21 @@ def _rewrite_functions(toks: list[str]) -> list[str]:
             close2 = _call_end(toks, close_i + 1)
             real = [_rewrite_functions(a) for a in _split_args(toks, close_i + 1, close2)]
             x = real[0]
-            if low in ("quantile", "median"):
+            if low in ("quantileexact", "quantilesexact"):
+                # reference QuantileExact.h:96 — the element at index
+                # floor(level * size) of the sorted array (0-based),
+                # NOT an interpolated percentile
+                exprs = [_quantile_exact_tokens(x, p, tk) for p in args]
+                if low == "quantileexact":
+                    out += exprs[0]
+                else:
+                    out += ["array", "("]
+                    for k, e in enumerate(exprs):
+                        if k:
+                            out.append(",")
+                        out += e
+                    out += [")"]
+            elif low in ("quantile", "median"):
                 p = args[0] if low == "quantile" else [["0.5"]][0]
                 out += ["percentile_approx", "("] + x + [","] + p + [")"]
             else:  # quantiles(p1, p2, ...)(x)
@@ -1432,6 +1472,10 @@ def _rewrite_functions(toks: list[str]) -> list[str]:
             out += ["percentile_approx", "(", *args[0], ",", "0.5", ")"]
             i = close_i + 1
             continue
+        if low == "medianexact":
+            out += _quantile_exact_tokens(args[0], ["0.5"], tk)
+            i = close_i + 1
+            continue
 
         if low in _IF_COMBINATORS:
             base = _IF_COMBINATORS[low]
@@ -1440,6 +1484,77 @@ def _rewrite_functions(toks: list[str]) -> list[str]:
             else:
                 val, cond = args[0], args[1]
             out += [base, "(", "CASE", "WHEN", *cond, "THEN", *val, "END", ")"]
+            i = close_i + 1
+            continue
+        if low in ("anyif", "anylastif"):
+            # -If over any/anyLast (round-8): ignoreNulls flag skips the
+            # CASE's non-matching NULLs so an arbitrary MATCHING row wins
+            fn = "any_value" if low == "anyif" else "last"
+            out += [fn, "(", "CASE", "WHEN", *args[1], "THEN", *args[0],
+                    "END", ",", "true", ")"]
+            i = close_i + 1
+            continue
+        if low.endswith("ornull") and low[:-6] in (
+                "sum", "avg", "min", "max", "any", "anylast", "count"):
+            # -OrNull combinator (round-8): Spark aggregates already
+            # yield NULL on empty/all-NULL input; count needs nullif
+            base = low[:-6]
+            if base == "count":
+                out += ["nullif", "(", "count", "(", *args[0], ")", ",", "0", ")"]
+            else:
+                spark_fn = {"any": "any_value", "anylast": "last"}.get(base, base)
+                out += [spark_fn, "(", *args[0], ")"]
+            i = close_i + 1
+            continue
+        if low == "countdistinct":
+            out += ["count", "(", "DISTINCT"]
+            for k, a in enumerate(args):
+                if k:
+                    out.append(",")
+                out += a
+            out += [")"]
+            i = close_i + 1
+            continue
+        if low == "transform" and len(args) in (3, 4):
+            # CH transform(x, from_arr, to_arr[, default]) — a value
+            # mapping; array_position=0 (absent) routes to the default
+            # via nullif->NULL->coalesce. (The 2-arg Spark HOF form
+            # passes through untouched.)
+            x, frm, to = args[0], args[1], args[2]
+            dflt = args[3] if len(args) == 4 else args[0]
+            # explicit CASE, not coalesce(element_at(...,nullif(...)))
+            # — Catalyst types element_at over a literal array as
+            # non-nullable and PRUNES the coalesce (round-8 found)
+            pos = ["CAST", "(", "array_position", "(", *frm, ",", *x,
+                   ")", "AS", "INT", ")"]
+            out += ["CASE", "WHEN", *pos, "=", "0", "THEN", *dflt,
+                    "ELSE", "element_at", "(", *to, ",", *pos, ")", "END"]
+            i = close_i + 1
+            continue
+        if low == "age" and len(args) == 3:
+            # CH age(unit, a, b) = COMPLETE units between a and b
+            # (dateDiff counts boundary crossings instead)
+            unit_tok = args[0]
+            if len(unit_tok) != 1 or not unit_tok[0].startswith("'"):
+                raise ChSqlError("age(unit, a, b): unit must be a string literal")
+            u = unit_tok[0].strip("'").lower()
+            a_txt = " ".join(args[1])
+            b_txt = " ".join(args[2])
+            secs = {"second": 1, "minute": 60, "hour": 3600,
+                    "day": 86400, "week": 604800}
+            if u in secs:
+                rendered = (
+                    f"CAST(floor((unix_micros(CAST({b_txt} AS TIMESTAMP)) - "
+                    f"unix_micros(CAST({a_txt} AS TIMESTAMP))) / "
+                    f"({secs[u]} * 1000000.0)) AS BIGINT)")
+            elif u in ("month", "quarter", "year"):
+                div = {"month": 1, "quarter": 3, "year": 12}[u]
+                rendered = (
+                    f"CAST(floor(months_between(CAST({b_txt} AS TIMESTAMP), "
+                    f"CAST({a_txt} AS TIMESTAMP)) / {div}) AS BIGINT)")
+            else:
+                raise ChSqlError(f"age: unsupported unit {u!r}")
+            out += _tokenize(rendered)
             i = close_i + 1
             continue
 

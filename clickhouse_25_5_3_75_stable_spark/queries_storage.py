@@ -806,3 +806,39 @@ def chsql_with_recursive_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
                toInt64(sum(k)) AS key_sum
         FROM chain
     """, sf_dir=sf_dir)
+
+
+@register(
+    "chsql_quantile_exact_combinators",
+    # quantileExact = the sorted-array ELEMENT at floor(level*n)
+    # (reference QuantileExact.h:96) — an actual data value, so the
+    # decimal transport is engine-exact; anyIf pins the deterministic
+    # min via the filtered subset's single value
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(CAST((array_agg(o_totalprice ORDER BY o_totalprice))
+                [CAST(floor(0.5 * count(o_totalprice)) AS INT) + 1]
+                AS DECIMAL(25,6)) AS VARCHAR) AS med,
+           CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS nst,
+           CAST(CAST(min(o_totalprice) AS DECIMAL(25,6)) AS VARCHAR) AS mn
+    FROM orders WHERE o_orderkey < 2000
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("chsql", "dialect", "quantile", "combinators"),
+)
+def chsql_quantile_exact_combinators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-8 SQL-route aggregates: quantileExact (element semantics,
+    NOT interpolation), countDistinct, minOrNull — over orders."""
+    from clickhouse_25_5_3_75_stable_spark.chsql import ch_sql
+
+    out = ch_sql(spark, """
+        SELECT o_orderpriority,
+               toString(CAST(quantileExact(0.5)(o_totalprice) AS DECIMAL(25,6))) AS med,
+               toInt64(countDistinct(o_orderstatus)) AS nst,
+               toString(CAST(minOrNull(o_totalprice) AS DECIMAL(25,6))) AS mn
+        FROM orders WHERE o_orderkey < 2000
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """, sf_dir=sf_dir)
+    return out

@@ -1422,3 +1422,49 @@ def test_with_recursive_passthrough(spark):
         SELECT node, depth FROM reach ORDER BY depth, node
     """).collect()
     assert [tuple(r) for r in rows] == [(2, 1), (3, 2), (4, 2), (5, 3)]
+
+
+def test_round8_aggregate_combinators_and_scalars(spark):
+    """Round-8 SQL-route additions: quantileExact/quantilesExact/
+    medianExact (exact percentile), anyIf/anyLastIf, -OrNull over
+    plain aggregates, countDistinct, CH 3/4-arg transform (value
+    mapping, optimizer-safe default path), age (complete units)."""
+    from clickhouse_25_5_3_75_stable_spark.chsql import ch_sql
+
+    spark.createDataFrame(
+        [(1, "a", 2.5), (2, "b", 1.0), (2, "c", 3.0)],
+        "k int, s string, v double",
+    ).createOrReplaceTempView("r8_t")
+
+    r = ch_sql(spark, """
+        SELECT quantileExact(0.5)(v) AS q50,
+               medianExact(v) AS med,
+               anyIf(s, k = 2) AS ai,
+               sumOrNull(v) AS so,
+               countDistinct(s) AS cd
+        FROM r8_t
+    """).collect()[0]
+    assert r.q50 == 2.5 and r.med == 2.5
+    assert r.ai in ("b", "c") and r.so == 6.5 and r.cd == 3
+
+    r = ch_sql(spark, """
+        SELECT countOrNull(v) AS co, sumOrNull(v) AS so FROM r8_t WHERE k > 99
+    """).collect()[0]
+    assert r.co is None and r.so is None
+
+    r = ch_sql(spark, """
+        SELECT transform(2, [1,2,3], ['a','b','c'], 'z') AS hit,
+               transform(9, [1,2,3], ['a','b','c'], 'z') AS miss,
+               transform(9, [1,2,3], [10,20,30]) AS keep,
+               age('hour', toDateTime('2024-01-01 00:00:00'),
+                   toDateTime('2024-01-01 05:30:00')) AS ah,
+               age('month', toDate('2024-01-15'), toDate('2024-03-14')) AS am,
+               age('year', toDate('2020-03-01'), toDate('2024-02-28')) AS ay
+    """).collect()[0]
+    assert (r.hit, r.miss, r.keep) == ("b", "z", 9)
+    assert (r.ah, r.am, r.ay) == (5, 1, 3)
+
+    got = ch_sql(
+        spark, "SELECT quantilesExact(0.0, 1.0)(v) AS q FROM r8_t"
+    ).collect()[0].q
+    assert list(got) == [1.0, 3.0]
