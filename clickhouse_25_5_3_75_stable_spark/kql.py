@@ -1321,12 +1321,37 @@ def _transpile(text: str, columns_of=None) -> tuple[str, list[str] | None]:
             cur_cols = ["Count"]
         elif op == "union":
             rhs = body.strip()
-            kindm = re.match(r"^kind\s*=\s*(\w+)\s+(.*)$", rhs, re.DOTALL)
-            if kindm:  # inner/outer affect column union; subset is positional
-                rhs = kindm.group(2).strip()
-            rhs_sql = (kql_to_chsql(rhs[1:-1], columns_of=columns_of)
-                       if rhs.startswith("(") else f"SELECT * FROM {rhs}")
-            acc = f"SELECT * FROM ({acc}) UNION ALL {rhs_sql}"
+            src_col = None
+            # withsource=Col and kind=... may appear in either order
+            for _ in range(2):
+                wm = re.match(r"^withsource\s*=\s*([A-Za-z_]\w*)\s+(.*)$",
+                              rhs, re.DOTALL | re.IGNORECASE)
+                if wm:
+                    src_col, rhs = wm.group(1), wm.group(2).strip()
+                    continue
+                kindm = re.match(r"^kind\s*=\s*(\w+)\s+(.*)$", rhs, re.DOTALL)
+                if kindm:  # inner/outer affect column union; subset is positional
+                    rhs = kindm.group(2).strip()
+            if rhs.startswith("("):
+                rhs_sql = kql_to_chsql(rhs[1:-1], columns_of=columns_of)
+                rm_ = re.match(r"^\(\s*([A-Za-z_]\w*)", rhs)
+                rhs_name = rm_.group(1) if rm_ else "union_arg"
+            else:
+                if not re.match(r"^[A-Za-z_]\w*$", rhs):
+                    raise ChSqlError(
+                        f"KQL union subset: table name or (pipeline), got {rhs[:40]!r}")
+                rhs_sql = f"SELECT * FROM {rhs}"
+                rhs_name = rhs
+            if src_col:
+                # ADX withsource: each row labeled with its source
+                # table's name (round-8; previously mis-translated)
+                acc = (f"SELECT *, '{first}' AS {src_col} FROM ({acc}) "
+                       f"UNION ALL SELECT *, '{rhs_name}' AS {src_col} "
+                       f"FROM ({rhs_sql})")
+                if cur_cols is not None:
+                    cur_cols = cur_cols + [src_col]
+            else:
+                acc = f"SELECT * FROM ({acc}) UNION ALL {rhs_sql}"
         elif op in ("join", "lookup"):
             acc, cur_cols = _join_stage(acc, body, lookup=op == "lookup",
                                         columns_of=columns_of,

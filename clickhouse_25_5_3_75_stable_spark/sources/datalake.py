@@ -427,6 +427,38 @@ def iceberg_snapshots(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def iceberg_history(spark: SparkSession, path: str) -> DataFrame:
+    """system.iceberg_history with the REFERENCE's column set (round-8;
+    src/Storages/System/StorageSystemIcebergHistory.cpp: database,
+    table, made_current_at, snapshot_id, parent_id,
+    is_current_ancestor) — is_current_ancestor walks the parent chain
+    from the current snapshot, exactly the reference's ancestry test."""
+    import datetime as dt
+    import os
+
+    meta, _snap, _schema = _ice_metadata(path)
+    snaps = meta.get("snapshots") or []
+    by_id = {s["snapshot-id"]: s for s in snaps}
+    ancestors: set = set()
+    sid = meta.get("current-snapshot-id")
+    while sid in by_id:
+        ancestors.add(sid)
+        sid = by_id[sid].get("parent-snapshot-id")
+    rows = [
+        ("default", os.path.basename(path.rstrip("/")),
+         dt.datetime.utcfromtimestamp(s["timestamp-ms"] / 1000.0)
+         if s.get("timestamp-ms") else None,
+         s["snapshot-id"], s.get("parent-snapshot-id"),
+         s["snapshot-id"] in ancestors)
+        for s in snaps
+    ]
+    return spark.createDataFrame(
+        rows,
+        "database string, table string, made_current_at timestamp, "
+        "snapshot_id long, parent_id long, is_current_ancestor boolean",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Hudi copy-on-write WITHOUT the connector: timeline replay from the
 # public layout (hudi.apache.org/docs — .hoodie/<instant>.commit

@@ -1112,3 +1112,25 @@ kql_af2_t | project
         kql_sql(spark, "kql_af2_t | project v = datetime_add('fortnight', 1, ts)")
     with pytest.raises(ChSqlError, match="literal keys"):
         kql_sql(spark, "kql_af_t | project v = pack(s, 1)")
+
+
+def test_union_withsource(spark):
+    """Round-8 `union withsource=Col`: each row labeled with its source
+    table's name (previously a silent mis-translation); composes with
+    kind= in either order."""
+    from clickhouse_25_5_3_75_stable_spark.kql import kql_sql
+
+    spark.createDataFrame([(1,)], "x int").createOrReplaceTempView("kql_u1")
+    spark.createDataFrame([(2,)], "x int").createOrReplaceTempView("kql_u2")
+    got = sorted(tuple(r) for r in kql_sql(
+        spark, "kql_u1 | union withsource=Src (kql_u2)").collect())
+    assert got == [(1, "kql_u1"), (2, "kql_u2")]
+    got = [tuple(r) for r in kql_sql(
+        spark, "kql_u1 | union withsource=Src kql_u2 | where Src == 'kql_u2'"
+    ).collect()]
+    assert got == [(2, "kql_u2")]
+    got = sorted(tuple(r) for r in kql_sql(
+        spark,
+        "kql_u1 | union kind=outer withsource=T (kql_u2 | where x > 0)"
+    ).collect())
+    assert got == [(1, "kql_u1"), (2, "kql_u2")]

@@ -651,7 +651,7 @@ def test_system_errors_counts_chsql_refusals(spark):
 
     spark.createDataFrame([(1,)], "x int").createOrReplaceTempView("err_t")
     with pytest.raises(ChSqlError):
-        kql_sql(spark, "err_t | evaluate narrow()")  # subset refusal
+        kql_sql(spark, "err_t | evaluate autocluster()")  # subset refusal
     m = {r.name: r for r in system_errors(spark).collect()}
     assert "NOT_IMPLEMENTED" in m
     assert m["NOT_IMPLEMENTED"].code == 48 and m["NOT_IMPLEMENTED"].value >= 1
@@ -831,3 +831,42 @@ def test_system_view_refreshes_tracks_live_views(spark):
         assert rows[0].status == "Disabled" and rows[0].refresh_count == 1
     finally:
         drop_live_view("lv8")
+
+
+def test_iceberg_history_reference_columns(spark, tmp_path):
+    """Round-8 iceberg_history: the reference's column set
+    (StorageSystemIcebergHistory.cpp) with is_current_ancestor from the
+    parent-chain walk — a dead branch (snapshot off the current chain)
+    must report False."""
+    import json
+    import os
+
+    from clickhouse_25_5_3_75_stable_spark.sources.datalake import (
+        iceberg_history,
+    )
+
+    root = str(tmp_path / "t")
+    os.makedirs(os.path.join(root, "metadata"))
+    meta = {
+        "format-version": 1,
+        "current-snapshot-id": 3,
+        "schema": {"type": "struct", "fields": []},
+        "snapshots": [
+            {"snapshot-id": 1, "timestamp-ms": 1700000000000},
+            # dead branch: child of 1 but NOT an ancestor of current
+            {"snapshot-id": 2, "parent-snapshot-id": 1,
+             "timestamp-ms": 1700000001000},
+            {"snapshot-id": 3, "parent-snapshot-id": 1,
+             "timestamp-ms": 1700000002000},
+        ],
+    }
+    json.dump(meta, open(os.path.join(root, "metadata", "v1.metadata.json"), "w"))
+    open(os.path.join(root, "metadata", "version-hint.text"), "w").write("1")
+
+    rows = {r.snapshot_id: r for r in iceberg_history(spark, root).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1].is_current_ancestor and rows[3].is_current_ancestor
+    assert not rows[2].is_current_ancestor  # the dead branch
+    assert rows[3].parent_id == 1 and rows[1].parent_id is None
+    assert rows[1].made_current_at is not None
+    assert rows[1].table == "t" and rows[1].database == "default"
