@@ -171,7 +171,7 @@ _FN_RENAMES = {
     "tostring": "toString", "toint": "toInt32", "tolong": "toInt64",
     "todouble": "toFloat64", "toreal": "toFloat64", "tobool": "toBool",
     "todatetime": "toDateTime", "countof": "countSubstrings",
-    "array_length": "length", "tolowercase": "lower", "touppercase": "upper",
+    "tolowercase": "lower", "touppercase": "upper",
     "trim_start": "trimLeft", "trim_end": "trimRight",
     "replace_string": "replaceAll", "replace_regex": "replaceRegexpAll",
     "strcat_delim": "concatWithSeparator", "case": "multiIf",
@@ -199,6 +199,7 @@ _AGG_RENAMES = {
     "dcount": "uniqExact", "countif": "countIf", "sumif": "sumIf",
     "avgif": "avgIf", "minif": "minIf", "maxif": "maxIf",
     "make_list": "groupArray", "make_set": "groupUniqArray",
+    "take_any": "any", "take_anyif": "anyIf",
     "stdev": "stddevSamp", "variance": "varSamp",
 }
 
@@ -317,7 +318,54 @@ def _af_pack(a, r):
     return f"to_json(named_struct({', '.join(a)}))"
 
 
+def _af_dcountif(a, r):
+    _af_need(a, 2, "dcountif(expr, predicate)")
+    return f"count(DISTINCT CASE WHEN {a[1]} THEN {a[0]} END)"
+
+
+def _af_agg_if(ch_name, sig):
+    def f(a, r, _n=ch_name, _s=sig):
+        _af_need(a, 2, _s)
+        return f"{_n}(CASE WHEN {a[1]} THEN {a[0]} END)"
+    return f
+
+
+def _af_percentiles(a, r):
+    if len(a) < 2:
+        raise ChSqlError("KQL percentiles(expr, p1[, p2, ...])")
+    levels = []
+    for p in r[1:]:
+        try:
+            levels.append(float("".join(p)) / 100.0)
+        except ValueError:
+            raise ChSqlError("KQL percentiles: levels must be numeric literals")
+    return f"quantiles({', '.join(repr(v) for v in levels)})({a[0]})"
+
+
+def _af_bitagg(fn):
+    def f(a, r, _f=fn):
+        _af_need(a, 1, f"binary_all_{_f[4:]}(expr)")
+        return f"{_f}({a[0]})"
+    return f
+
+
+def _af_array_length(a, r):
+    _af_need(a, 1, "array_length(arr)")
+    # NOT the length->octet_length byte convention (round-8 fix: the
+    # old rename broke arrays — CH length() is polymorphic, the shim's
+    # string-bytes mapping is not)
+    return f"cardinality({a[0]})"
+
+
 _ARGFORM_FNS = {
+    "array_length": _af_array_length,
+    "dcountif": _af_dcountif,
+    "make_list_if": _af_agg_if("groupArray", "make_list_if(expr, predicate)"),
+    "make_set_if": _af_agg_if("groupUniqArray", "make_set_if(expr, predicate)"),
+    "percentiles": _af_percentiles,
+    "binary_all_or": _af_bitagg("bit_or"),
+    "binary_all_and": _af_bitagg("bit_and"),
+    "binary_all_xor": _af_bitagg("bit_xor"),
     "array_index_of": _af_array_index_of,
     "endofday": _af_endof("day"),
     "endofmonth": _af_endof("month"),

@@ -1134,3 +1134,36 @@ def test_union_withsource(spark):
         "kql_u1 | union kind=outer withsource=T (kql_u2 | where x > 0)"
     ).collect())
     assert got == [(1, "kql_u1"), (2, "kql_u2")]
+
+
+def test_aggregate_breadth_round8(spark):
+    """Round-8 aggregates: dcountif, make_list_if/make_set_if,
+    percentiles (multi-level), binary_all_or/and, take_any[if]; and
+    array_length fixed to cardinality (the old length rename meant
+    BYTES and broke arrays)."""
+    from clickhouse_25_5_3_75_stable_spark.kql import kql_sql
+
+    spark.createDataFrame(
+        [(1, "a", 2.5), (2, "b", 1.0), (2, "c", 3.0)],
+        "k int, s string, v double",
+    ).createOrReplaceTempView("kql_agg8_t")
+    r = kql_sql(spark, """
+kql_agg8_t | summarize
+  dci = dcountif(s, v > 1),
+  nl = array_length(make_list_if(s, v > 1)),
+  ns = array_length(make_set_if(s, v > 1)),
+  bo = binary_all_or(k),
+  ta = take_any(k)
+""").collect()[0]
+    assert (r.dci, r.nl, r.ns, r.bo) == (2, 2, 2, 3)
+    assert r.ta in (1, 2)
+    got = kql_sql(spark, """
+kql_agg8_t | summarize p = percentiles(v, 0, 100)
+| project lo = p[1], hi = p[2]
+""").collect()[0]
+    assert (got.lo, got.hi) == (1.0, 3.0)
+    got = kql_sql(
+        spark,
+        "kql_agg8_t | extend a = pack_array(1,2,3) | project n = array_length(a) | take 1"
+    ).collect()[0]
+    assert got.n == 3
