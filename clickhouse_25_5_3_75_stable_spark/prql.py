@@ -420,21 +420,50 @@ def _extract_lets(stmts: list[str]):
     return fns, consts, ctes, rest
 
 
+# prql-book standard library (round-8): module-qualified space
+# application lowered to SQL templates. Argument order follows the
+# prql convention (the piped/main operand LAST).
+_PRQL_BUILTINS: dict[str, tuple[str, int]] = {
+    "math.abs": ("abs({0})", 1),
+    "math.floor": ("floor({0})", 1),
+    "math.ceil": ("ceil({0})", 1),
+    "math.sqrt": ("sqrt({0})", 1),
+    "math.exp": ("exp({0})", 1),
+    "math.ln": ("ln({0})", 1),
+    "math.log10": ("log10({0})", 1),
+    "math.round": ("round({1}, {0})", 2),   # round n_digits x
+    "math.pow": ("power({0}, {1})", 2),
+    "text.lower": ("lower({0})", 1),
+    "text.upper": ("upper({0})", 1),
+    "text.ltrim": ("ltrim({0})", 1),
+    "text.rtrim": ("rtrim({0})", 1),
+    "text.trim": ("trim({0})", 1),
+    "text.length": ("length({0})", 1),       # chars; Spark length = chars
+    "text.starts_with": ("startswith({1}, {0})", 2),
+    "text.ends_with": ("endswith({1}, {0})", 2),
+    "text.contains": ("contains({1}, {0})", 2),
+    "text.replace": ("replace({2}, {0}, {1})", 3),
+    "text.extract": ("substring({2}, {0}, {1})", 3),  # offset length s
+}
+
+
 def _expand_prql_fns(s: str, fns: dict, consts: dict) -> str:
     """Expand function APPLICATIONS `(f a b)` (parenthesized
-    space-application, the prql-book call form) and bare constant
-    uses. Textual macro expansion, literal-safe, depth-capped."""
+    space-application, the prql-book call form) — user let-functions
+    and the `math.*`/`text.*` stdlib — and bare constant uses.
+    Textual macro expansion, literal-safe, depth-capped."""
     if consts:
         s = _subst_idents(s, {n: f"({v})" for n, v in consts.items()})
-    if not fns:
+    if not fns and "." not in s:
         return s
     for _ in range(25):
         spans = [m.span() for m in re.finditer(
             r"'(?:[^'\\]|\\.)*'|\"(?:[^\"\\]|\\.)*\"", s)]
         changed = False
-        for m in re.finditer(r"\(\s*([A-Za-z_]\w*)", s):
+        for m in re.finditer(r"\(\s*([A-Za-z_][\w.]*)", s):
             nm = m.group(1)
-            if nm not in fns or any(a <= m.start() < b for a, b in spans):
+            if (nm not in fns and nm not in _PRQL_BUILTINS) \
+                    or any(a <= m.start() < b for a, b in spans):
                 continue
             # find the matching close paren
             depth, quote, esc, close = 0, None, False, None
@@ -464,6 +493,17 @@ def _expand_prql_fns(s: str, fns: dict, consts: dict) -> str:
             # `(f + 2)` is an EXPRESSION over a column f, not a call
             if args and re.match(r"^[-+*/%<>=!&|,.]", args[0]):
                 continue
+            if nm not in fns:  # stdlib builtin
+                tmpl, arity = _PRQL_BUILTINS[nm]
+                if len(args) != arity:
+                    raise ChSqlError(
+                        f"PRQL {nm}: takes {arity} argument(s), "
+                        f"got {len(args)}")
+                s = (s[:m.start()]
+                     + tmpl.format(*[f"({a})" for a in args])
+                     + s[close + 1:])
+                changed = True
+                break
             params, defaults, fexpr = fns[nm]
             if len(args) > len(params) or any(
                     d is None for d in defaults[len(args):]):
@@ -486,8 +526,9 @@ def prql_to_sql(text: str) -> str:
     """Transpile a PRQL pipeline into SQL text for the chsql shim."""
     stmts = _split_statements(text.strip().rstrip(";"))
     fns, consts, let_ctes, stmts = _extract_lets(stmts)
-    if fns or consts:
-        stmts = [_expand_prql_fns(st, fns, consts) for st in stmts]
+    # always run: stdlib builtins (math.*/text.*) expand with or
+    # without user lets
+    stmts = [_expand_prql_fns(st, fns, consts) for st in stmts]
     if not stmts or not re.match(r"^from\b", stmts[0]):
         raise ChSqlError("PRQL: the pipeline must start with `from <table>`")
     table = stmts[0][4:].strip()

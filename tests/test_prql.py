@@ -325,3 +325,33 @@ def test_let_function_refusals():
         prql_to_sql("let f = x y -> x + y\nfrom t\nderive z = (f v)")
     with pytest.raises(ChSqlError, match="must follow"):
         prql_to_sql("let f = x -> x * 2")
+
+
+def test_stdlib_math_text_builtins(spark):
+    """Round-8 prql-book stdlib: math.*/text.* module functions at
+    parenthesized application sites (piped/main operand LAST, the prql
+    convention); `(math.floor + 2)`-style expressions untouched."""
+    from clickhouse_25_5_3_75_stable_spark.prql import prql_sql
+
+    spark.createDataFrame(
+        [(1, "Ab", 2.7), (2, "cd", 1.0)], "k int, s string, v double"
+    ).createOrReplaceTempView("prql_std_t")
+    got = [tuple(r) for r in prql_sql(spark, """
+from prql_std_t
+derive {lo = (math.floor v), r = (math.round 1 v), t = (text.upper s),
+        n = (text.length s), e = (text.extract 1 1 s)}
+select {k, lo, r, t, n, e}
+sort k
+""").collect()]
+    assert got == [(1, 2.0, 2.7, "AB", 2, "A"), (2, 1.0, 1.0, "CD", 2, "c")]
+    got = [tuple(r) for r in prql_sql(spark, """
+from prql_std_t
+filter (text.starts_with "A" s)
+select {k}
+""").collect()]
+    assert got == [(1,)]
+    import pytest as _p
+
+    from clickhouse_25_5_3_75_stable_spark.chsql import ChSqlError
+    with _p.raises(ChSqlError, match="argument"):
+        prql_sql(spark, "from prql_std_t\nderive x = (math.floor v 2)")
