@@ -76,6 +76,22 @@ def _probe_timings(spark) -> dict[str, float]:
     return out
 
 
+def robust_best(samples: list[float], k: int = 5) -> float:
+    """Pin the per-query ratchet baseline as the MEDIAN of the k
+    smallest historical samples, not the min-ever (round-9). With
+    best-of-2 sampling appended every round, the min-ever is an
+    extreme-value statistic that only ratchets DOWN: after ~16 runs of
+    q5's steady-state 0.72..1.32s distribution the min pinned at 0.72
+    while the median run is ~0.95, so a typical healthy run sat at
+    1.3x its 'best' and flagged whenever probe drift read low (the
+    r08 q5 flag: 1.47x on unchanged code). The median-of-5-smallest
+    is a consistent low-quantile estimate — it converges instead of
+    drifting — while a real plan regression (every new sample worse)
+    still exceeds it by the true ratio."""
+    smallest = sorted(samples)[:k]
+    return smallest[len(smallest) // 2]
+
+
 def compute_drift_and_regressions(
     timings: dict[str, float],
     best: dict[str, float],
@@ -155,8 +171,8 @@ def main() -> None:
     # query). Loaded BEFORE timing so a flagged query can earn extra
     # confirmation runs below.
     hist_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_HISTORY.jsonl")
-    best: dict[str, float] = {}
-    probe_best: dict[str, float] = {}
+    hist_q: dict[str, list[float]] = {}
+    hist_p: dict[str, list[float]] = {}
     if os.path.exists(hist_path):
         with open(hist_path) as fh:
             for line in fh:
@@ -166,15 +182,13 @@ def main() -> None:
                     continue
                 if rec.get("sf") == sf_val:
                     for name, t in rec.get("queries", {}).items():
-                        if isinstance(t, (int, float)) and (
-                            name not in best or t < best[name]
-                        ):
-                            best[name] = float(t)
+                        if isinstance(t, (int, float)):
+                            hist_q.setdefault(name, []).append(float(t))
                 for name, t in rec.get("probes", {}).items():
-                    if isinstance(t, (int, float)) and (
-                        name not in probe_best or t < probe_best[name]
-                    ):
-                        probe_best[name] = float(t)
+                    if isinstance(t, (int, float)):
+                        hist_p.setdefault(name, []).append(float(t))
+    best = {name: robust_best(v) for name, v in hist_q.items()}
+    probe_best = {name: robust_best(v) for name, v in hist_p.items()}
 
     # calibration probes run FIRST (after warm-up, before the judged
     # set) so their reading reflects the same machine state the

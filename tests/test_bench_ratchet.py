@@ -15,7 +15,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from bench import compute_drift_and_regressions  # noqa: E402
+from bench import compute_drift_and_regressions, robust_best  # noqa: E402
 
 BEST = {"qa": 1.0, "qb": 0.8, "qc": 2.0}
 PROBE_BEST = {"probe_jvm": 1.0, "probe_pandas": 0.5}
@@ -79,3 +79,36 @@ def test_absolute_delta_guard_suppresses_subsecond_noise():
         timings, best, PROBE_BEST, PROBE_BEST
     )
     assert regressions == {}
+
+
+def test_robust_best_resists_extreme_value_fluke():
+    """Round-9: the min-ever pin is an extreme-value statistic — one
+    lucky 0.72s sample in a steady 0.95s-median distribution pinned
+    q5's 'best' at 0.72 and flagged a typical healthy run at 1.47x
+    (BENCH_r08, code unchanged since round 7). The robust pin (median
+    of 5 smallest) must sit near the distribution's low quantile so a
+    typical sample does NOT flag, while a real 1.5x plan regression
+    (EVERY new sample worse) still does."""
+    # q5's actual post-plan-change history shape: median ~0.95, one fluke min
+    samples = [0.72, 0.9, 0.87, 0.97, 0.88, 0.89, 0.91, 1.03, 0.84,
+               1.13, 1.32, 1.05, 0.88, 1.05, 1.06, 0.76]
+    pin = robust_best(samples)
+    assert pin >= 0.84  # not the fluke min
+    best = {"q5": pin}
+    # typical healthy run on a slightly slow machine
+    drift, regressions = compute_drift_and_regressions(
+        {"q5": 1.06}, best, {k: v * 1.08 for k, v in PROBE_BEST.items()},
+        PROBE_BEST,
+    )
+    assert regressions == {}
+    # a REAL 1.5x plan regression still flags
+    drift, regressions = compute_drift_and_regressions(
+        {"q5": pin * 1.55}, best, dict(PROBE_BEST), PROBE_BEST
+    )
+    assert set(regressions) == {"q5"}
+
+
+def test_robust_best_short_history_uses_what_exists():
+    assert robust_best([1.0]) == 1.0
+    assert robust_best([2.0, 1.0]) == 2.0  # median of 2 smallest = upper
+    assert robust_best([3.0, 1.0, 2.0]) == 2.0
