@@ -3326,7 +3326,20 @@ def ch_sql(spark, sql: str, sf_dir: str | None = None,
         ))
     _, settings = _split_suffix_clauses(_tokenize(sql))
     if settings:
-        apply_settings(spark, settings)
+        restore = apply_settings(spark, settings)
+        # statement-level `SETTINGS use_query_cache=1` is per-QUERY in
+        # the reference (Settings.cpp — the clause scopes to the
+        # statement; session scope is the SET statement). The cache
+        # routing below reads the statement's settings dict directly,
+        # so the session conf must not keep the statement's value —
+        # a persisted '1' made every later ch_sql silently serve
+        # cached results (stale volatile system tables, round-9 find).
+        if "use_query_cache" in settings:
+            prev = restore.get("spark.chspark.useQueryCache")
+            if prev is None:
+                spark.conf.unset("spark.chspark.useQueryCache")
+            else:
+                spark.conf.set("spark.chspark.useQueryCache", prev)
     translated = ch_sql_to_spark(sql)
     from clickhouse_25_5_3_75_stable_spark.sources.system_tables import record_query
 
@@ -3349,8 +3362,13 @@ def ch_sql(spark, sql: str, sf_dir: str | None = None,
             from clickhouse_25_5_3_75_stable_spark.operators.result_cache import (
                 default_cache,
             )
+            from clickhouse_25_5_3_75_stable_spark.sources.system_tables import (
+                current_query_id,
+            )
 
-            df = default_cache().get_or_cache(df)
+            df = default_cache().get_or_cache(
+                df, query=sql, query_id=current_query_id()
+            )
         # tag the result with ITS query id so a later deferred
         # explain_analyze attributes QueryFinish to this query, not to
         # whatever transpiled last (review-found attribution bug).

@@ -842,3 +842,130 @@ def chsql_quantile_exact_combinators(spark: SparkSession, sf_dir: str) -> DataFr
         ORDER BY o_orderpriority
     """, sf_dir=sf_dir)
     return out
+
+
+@register(
+    "system_tables_round9_batch",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('dashboard', 'overview:Error counts', ''),
+      ('dashboard', 'overview:Profile events', ''),
+      ('dashboard', 'overview:Queries over time', ''),
+      ('dashboard', 'storage:Part sizes', ''),
+      ('named_collection', 'nc_r9', '[HIDDEN]'),
+      ('query_cache', 'entries_after_cached_query', '1'),
+      ('async_inserts', 'pending_then_flushed', '1:0'),
+      ('stack_trace', 'has_live_threads', 'true'),
+      ('empty_tier', 'certificates', '0'),
+      ('empty_tier', 'distribution_queue', '0'),
+      ('empty_tier', 'dns_cache', '0'),
+      ('empty_tier', 'filesystem_cache', '0'),
+      ('empty_tier', 'kafka_consumers', '0'),
+      ('empty_tier', 'models', '0'),
+      ('empty_tier', 'part_moves_between_shards', '0'),
+      ('empty_tier', 'query_condition_cache', '0'),
+      ('empty_tier', 'remote_data_paths', '0'),
+      ('empty_tier', 'replicas', '0'),
+      ('empty_tier', 'replicated_fetches', '0'),
+      ('empty_tier', 'replication_queue', '0'),
+      ('empty_tier', 'schema_inference_cache', '0'),
+      ('empty_tier', 'transactions', '0'),
+      ('empty_tier', 'zookeeper_connection', '0')
+    ) AS t(kind, name, detail) ORDER BY kind, name
+    """,
+    tags=("system", "introspection"),
+)
+def system_tables_round9_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-9 system tables on the SQL route (reference
+    src/Storages/System/attachSystemTables.cpp registrations):
+    dashboards (our monitoring set over served tables), named
+    collections with the reference's sensitive-value masking
+    (StorageSystemNamedCollections.cpp), system.query_cache fed by a
+    real `SETTINGS use_query_cache=1` round trip
+    (StorageSystemQueryResultCache.cpp columns), asynchronous_inserts
+    fed by a live Buffer engine's unflushed state, stack_trace over
+    the process's real Python threads, and the replication/keeper/
+    cache tier that is empty by construction in a single-process
+    library engine (the semantics the reference shows on a
+    replica-less server)."""
+    import tempfile
+
+    from clickhouse_25_5_3_75_stable_spark.chsql import ch_sql
+    from clickhouse_25_5_3_75_stable_spark.operators.result_cache import (
+        default_cache,
+    )
+    from clickhouse_25_5_3_75_stable_spark.sources.engines import (
+        BUFFER_TABLES,
+        BufferTable,
+    )
+    from clickhouse_25_5_3_75_stable_spark.sources.system_tables import (
+        create_named_collection,
+        drop_named_collection,
+    )
+
+    parts = []
+    parts.append(ch_sql(spark, """
+        SELECT 'dashboard' AS kind,
+               concat(dashboard, ':', title) AS name, '' AS detail
+        FROM system.dashboards
+    """))
+
+    create_named_collection("nc_r9", {"host": "db.internal", "password": "x"})
+    parts.append(ch_sql(spark, """
+        SELECT 'named_collection' AS kind, name,
+               collection['password'] AS detail
+        FROM system.named_collections WHERE name = 'nc_r9'
+    """))
+
+    # query_cache: exactly one entry after one cached query
+    default_cache().clear()
+    ch_sql(spark,
+           "SELECT count() AS n FROM numbers(10) SETTINGS use_query_cache=1"
+           ).collect()
+    parts.append(ch_sql(spark, """
+        SELECT 'query_cache' AS kind,
+               'entries_after_cached_query' AS name,
+               toString(count()) AS detail
+        FROM system.query_cache
+    """))
+
+    # asynchronous_inserts: one pending buffer, then flushed -> none
+    with tempfile.TemporaryDirectory() as tmp:
+        buf = BufferTable(spark, tmp + "/buffered", max_rows=10_000)
+        buf.insert(spark.range(5).selectExpr("id AS v"))
+        n_pending = ch_sql(
+            spark, "SELECT count() AS n FROM system.asynchronous_inserts"
+        ).collect()[0][0]
+        buf.flush()
+        n_after = ch_sql(
+            spark, "SELECT count() AS n FROM system.asynchronous_inserts"
+        ).collect()[0][0]
+        BUFFER_TABLES.remove(buf)
+    parts.append(spark.createDataFrame(
+        [("async_inserts", "pending_then_flushed",
+          f"{n_pending}:{n_after}")],
+        "kind string, name string, detail string"))
+
+    parts.append(ch_sql(spark, """
+        SELECT 'stack_trace' AS kind, 'has_live_threads' AS name,
+               toString(count() > 0) AS detail
+        FROM system.stack_trace
+    """))
+
+    for tname in ("certificates", "distribution_queue", "dns_cache",
+                  "filesystem_cache", "kafka_consumers", "models",
+                  "part_moves_between_shards", "query_condition_cache",
+                  "remote_data_paths", "replicas", "replicated_fetches",
+                  "replication_queue", "schema_inference_cache",
+                  "transactions", "zookeeper_connection"):
+        parts.append(ch_sql(spark, f"""
+            SELECT 'empty_tier' AS kind, '{tname}' AS name,
+                   toString(count()) AS detail
+            FROM system.{tname}
+        """))
+
+    drop_named_collection("nc_r9")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("kind", "name")

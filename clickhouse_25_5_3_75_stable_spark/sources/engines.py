@@ -79,6 +79,11 @@ class JoinTable:
         return df.join(lookup, key_expr == F.col("__jt_key"), how).drop("__jt_key")
 
 
+# live registry feeding system.asynchronous_inserts (the Buffer engine
+# is the library-mode analogue of the reference's async-insert queue)
+BUFFER_TABLES: list["BufferTable"] = []
+
+
 class BufferTable:
     """ENGINE = Buffer(target): RAM-buffered inserts, threshold flush
     (StorageBuffer.h:34 — min/max rows before pushing to the target)."""
@@ -89,15 +94,22 @@ class BufferTable:
         self.max_rows = max_rows
         self._pending: list[DataFrame] = []
         self._pending_rows = 0
+        self._first_pending_at = None
+        BUFFER_TABLES.append(self)
 
     def insert(self, df: DataFrame) -> None:
+        import datetime
+
         n = df.count()
+        if not self._pending:
+            self._first_pending_at = datetime.datetime.now()
         self._pending.append(df)
         self._pending_rows += n
         if self._pending_rows >= self.max_rows:
             self.flush()
 
     def flush(self) -> None:
+        self._first_pending_at = None
         if not self._pending:
             return
         out = self._pending[0]

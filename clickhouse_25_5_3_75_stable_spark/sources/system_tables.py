@@ -1515,6 +1515,516 @@ def system_view_refreshes(spark: SparkSession) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-9 batch. Real content where the engine has the state; the
+# replication/keeper/cache tier serves the REFERENCE column sets with
+# zero rows — semantically true in a single-process library engine
+# (no replicas, no zookeeper, no interserver fetches), the same class
+# as the always-empty system.moves.
+# ---------------------------------------------------------------------------
+
+
+def system_detached_parts_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """system.detached_parts on the SQL route: the reference column
+    set (system_detached_parts_full) unioned across every DDL-managed
+    table in the catalog dir."""
+    import os
+
+    from clickhouse_25_5_3_75_stable_spark.ddl import load_table_def
+
+    out = None
+    for entry in sorted(os.listdir(sf_dir)):
+        tdir = os.path.join(sf_dir, entry)
+        if not os.path.isdir(tdir) or load_table_def(sf_dir, entry) is None:
+            continue
+        df = system_detached_parts_full(spark, tdir, entry)
+        out = df if out is None else out.unionByName(df)
+    if out is None:
+        return system_detached_parts_full(spark, os.path.join(sf_dir, "__none__"))
+    return out
+
+
+def system_parts_columns_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """system.parts_columns on the SQL route (reference
+    StorageSystemPartsColumns.cpp core: per-part per-column footer
+    stats): database/table prepended, unioned across DDL tables."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from clickhouse_25_5_3_75_stable_spark.ddl import load_table_def
+
+    out = None
+    for entry in sorted(os.listdir(sf_dir)):
+        tdir = os.path.join(sf_dir, entry)
+        if not os.path.isdir(tdir) or load_table_def(sf_dir, entry) is None:
+            continue
+        df = system_parts_columns(spark, tdir).select(
+            F.lit("default").alias("database"), F.lit(entry).alias("table"), "*"
+        )
+        out = df if out is None else out.unionByName(df)
+    if out is None:
+        return spark.createDataFrame(
+            [],
+            "database string, table string, partition string, file string, "
+            "row_group int, column string, min_value string, "
+            "max_value string, null_count long",
+        )
+    return out
+
+
+def system_projection_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """system.projection_parts (reference
+    StorageSystemProjectionParts.cpp, user-facing core columns): one
+    row per materialized projection per table — the `_projection_*`
+    dirs ddl.add_projection writes beside the data. Footer metadata
+    only, never a data scan."""
+    import datetime
+    import os
+
+    import pyarrow.parquet as pq
+
+    from clickhouse_25_5_3_75_stable_spark.ddl import load_table_def
+
+    rows = []
+    for entry in sorted(os.listdir(sf_dir)):
+        tdir = os.path.join(sf_dir, entry)
+        if not os.path.isdir(tdir) or load_table_def(sf_dir, entry) is None:
+            continue
+        for d in sorted(os.listdir(tdir)):
+            if not d.startswith("_projection_"):
+                continue
+            pdir = os.path.join(tdir, d)
+            if not os.path.isdir(pdir):
+                continue
+            n_rows = 0
+            size = 0
+            for f in os.listdir(pdir):
+                if f.endswith(".parquet"):
+                    n_rows += pq.read_metadata(os.path.join(pdir, f)).num_rows
+                    size += os.path.getsize(os.path.join(pdir, f))
+            rows.append((
+                d[len("_projection_"):], "all_1_1_0", "default", entry, "all",
+                True, n_rows, size,
+                datetime.datetime.fromtimestamp(os.path.getmtime(pdir)),
+            ))
+    return spark.createDataFrame(
+        rows,
+        "name string, parent_name string, database string, table string, "
+        "partition string, active boolean, rows bigint, "
+        "bytes_on_disk bigint, modification_time timestamp",
+    )
+
+
+def system_projection_parts_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """system.projection_parts_columns (reference
+    StorageSystemProjectionPartsColumns.cpp core): per-projection
+    per-column footer stats."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from clickhouse_25_5_3_75_stable_spark.ddl import load_table_def
+
+    out = None
+    for entry in sorted(os.listdir(sf_dir)):
+        tdir = os.path.join(sf_dir, entry)
+        if not os.path.isdir(tdir) or load_table_def(sf_dir, entry) is None:
+            continue
+        for d in sorted(os.listdir(tdir)):
+            if not d.startswith("_projection_") or not os.path.isdir(
+                os.path.join(tdir, d)
+            ):
+                continue
+            # reuse the parts_columns footer walker over the projection
+            # dir by treating it as a single-part layout
+            df = _footer_columns_of_dir(spark, os.path.join(tdir, d)).select(
+                F.lit("default").alias("database"),
+                F.lit(entry).alias("table"),
+                F.lit(d[len("_projection_"):]).alias("name"),
+                "*",
+            )
+            out = df if out is None else out.unionByName(df)
+    if out is None:
+        return spark.createDataFrame(
+            [],
+            "database string, table string, name string, column string, "
+            "min_value string, max_value string, null_count long",
+        )
+    return out
+
+
+def _footer_columns_of_dir(spark: SparkSession, pdir: str) -> DataFrame:
+    import os
+
+    import pyarrow.parquet as pq
+
+    rows = []
+    for fname in sorted(os.listdir(pdir)):
+        if not fname.endswith(".parquet"):
+            continue
+        meta = pq.read_metadata(os.path.join(pdir, fname))
+        for rg in range(meta.num_row_groups):
+            g = meta.row_group(rg)
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                st = col.statistics
+                rows.append((
+                    col.path_in_schema,
+                    str(st.min) if st and st.has_min_max else None,
+                    str(st.max) if st and st.has_min_max else None,
+                    int(st.null_count) if st and st.null_count is not None else None,
+                ))
+    return spark.createDataFrame(
+        rows, "column string, min_value string, max_value string, null_count long"
+    )
+
+
+def system_query_result_cache_table(spark: SparkSession) -> DataFrame:
+    """system.query_cache (reference
+    StorageSystemQueryResultCache.cpp column set): live entries of the
+    process-wide result cache (operators/result_cache.py) that
+    `SETTINGS use_query_cache=1` populates. result_size is the
+    optimizer-estimated plan size (the engine persists plans, not
+    serialized blocks); key_hash is sipHash64 of the canonical plan
+    key — the same keying idea as the reference's AST hash."""
+    import datetime
+    from decimal import Decimal
+
+    from clickhouse_25_5_3_75_stable_spark.functions.siphash import siphash64_py
+    from clickhouse_25_5_3_75_stable_spark.operators.result_cache import (
+        default_cache,
+    )
+
+    cache = default_cache()
+    rows = []
+    now = datetime.datetime.now()
+    for key, df in cache.entries():
+        meta = cache.entry_meta(key)
+        est = 0
+        try:
+            est = int(
+                df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            )
+        except Exception:
+            pass
+        expires = meta["inserted_at"] + datetime.timedelta(seconds=60)
+        rows.append((
+            meta.get("query", ""), meta.get("query_id", ""), est, "",
+            now > expires, True, False, expires,
+            Decimal(siphash64_py(key.encode())),
+        ))
+    return spark.createDataFrame(
+        rows,
+        "query string, query_id string, result_size bigint, tag string, "
+        "stale boolean, shared boolean, compressed boolean, "
+        "expires_at timestamp, key_hash decimal(20,0)",
+    )
+
+
+# session registry for CREATE NAMED COLLECTION (reference
+# src/Common/NamedCollections/; StorageSystemNamedCollections.cpp)
+NAMED_COLLECTIONS: dict[str, dict[str, str]] = {}
+
+
+def create_named_collection(name: str, kv: dict[str, str]) -> None:
+    NAMED_COLLECTIONS[name] = dict(kv)
+
+
+def drop_named_collection(name: str) -> None:
+    NAMED_COLLECTIONS.pop(name, None)
+
+
+def system_named_collections(spark: SparkSession) -> DataFrame:
+    """system.named_collections (reference column set): the session's
+    named-collection registry. Values are masked like the reference
+    masks sensitive keys ([HIDDEN] for password-ish names)."""
+    rows = []
+    for name, kv in sorted(NAMED_COLLECTIONS.items()):
+        masked = {
+            k: ("[HIDDEN]" if any(s in k.lower() for s in
+                                  ("password", "secret", "key", "token"))
+                else v)
+            for k, v in kv.items()
+        }
+        create = "CREATE NAMED COLLECTION " + name + " AS " + ", ".join(
+            f"{k} = '{v}'" for k, v in sorted(kv.items())
+        )
+        rows.append((name, masked, "SQL", create))
+    return spark.createDataFrame(
+        rows,
+        "name string, collection map<string,string>, source string, "
+        "create_query string",
+    )
+
+
+def system_asynchronous_inserts(spark: SparkSession) -> DataFrame:
+    """system.asynchronous_inserts (reference column set): pending
+    RAM-buffered inserts. In this engine the Buffer engine
+    (sources/engines.py BufferTable) is the async-insert analogue —
+    each registered buffer with unflushed rows is one row here."""
+    import datetime
+    import os
+
+    from clickhouse_25_5_3_75_stable_spark.sources.engines import BUFFER_TABLES
+
+    rows = []
+    for buf in BUFFER_TABLES:
+        if buf._pending_rows <= 0:
+            continue
+        rows.append((
+            "", "default",
+            os.path.basename(buf.target.rstrip("/")).removesuffix(".parquet"),
+            "Native",
+            buf._first_pending_at or datetime.datetime.now(),
+            int(buf._pending_rows),
+        ))
+    return spark.createDataFrame(
+        rows,
+        "query string, database string, table string, format string, "
+        "first_update timestamp, total_bytes bigint",
+    )
+
+
+def system_user_processes(spark: SparkSession) -> DataFrame:
+    """system.user_processes (reference column set): one row for the
+    library process's user with real RSS readings."""
+    import getpass
+    import resource
+
+    peak_kb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    try:
+        with open("/proc/self/statm") as fh:
+            rss_pages = int(fh.read().split()[1])
+        rss = rss_pages * resource.getpagesize()
+    except OSError:
+        rss = peak_kb * 1024
+    return spark.createDataFrame(
+        [(getpass.getuser(), rss, peak_kb * 1024)],
+        "user string, memory_usage bigint, peak_memory_usage bigint",
+    )
+
+
+def system_dashboards(spark: SparkSession) -> DataFrame:
+    """system.dashboards (reference StorageSystemDashboards.cpp shape:
+    dashboard/title/query): this engine's own monitoring set over the
+    system tables it actually serves."""
+    rows = [
+        ("overview", "Queries over time",
+         "SELECT event_time, query_duration_ms FROM system.query_log"),
+        ("overview", "Error counts",
+         "SELECT name, value FROM system.errors"),
+        ("overview", "Profile events",
+         "SELECT event, value FROM system.events"),
+        ("storage", "Part sizes",
+         "SELECT table, name, bytes_on_disk FROM system.parts"),
+    ]
+    return spark.createDataFrame(
+        rows, "dashboard string, title string, query string"
+    )
+
+
+def system_stack_trace(spark: SparkSession) -> DataFrame:
+    """system.stack_trace (reference serves per-thread server stacks;
+    here: REAL per-thread Python stacks of the driver process via
+    sys._current_frames — thread_name/thread_id/query_id/trace as the
+    reference lays it out, trace rendered as frame strings)."""
+    import sys
+    import threading
+
+    names = {t.ident: t.name for t in threading.enumerate()}
+    rows = []
+    for tid, frame in sys._current_frames().items():
+        trace = []
+        f = frame
+        while f is not None and len(trace) < 64:
+            trace.append(f"{f.f_code.co_filename}:{f.f_lineno} "
+                         f"{f.f_code.co_name}")
+            f = f.f_back
+        rows.append((names.get(tid, ""), int(tid), "", trace))
+    return spark.createDataFrame(
+        rows,
+        "thread_name string, thread_id bigint, query_id string, "
+        "trace array<string>",
+    )
+
+
+def _empty(spark: SparkSession, schema: str) -> DataFrame:
+    return spark.createDataFrame([], schema)
+
+
+def system_dns_cache(spark: SparkSession) -> DataFrame:
+    """Empty: the library resolves via the OS, keeping no cache."""
+    return _empty(spark, "hostname string, ip_address string, "
+                         "cached_at timestamp")
+
+
+def system_transactions(spark: SparkSession) -> DataFrame:
+    """Empty: no experimental transactions in library mode."""
+    return _empty(spark, "tid string, tid_hash decimal(20,0), "
+                         "elapsed double, is_readonly boolean, state string")
+
+
+def system_replicas(spark: SparkSession) -> DataFrame:
+    """Empty: single-process engine, no Replicated* tables (reference
+    StorageSystemReplicas.cpp column core)."""
+    return _empty(
+        spark,
+        "database string, table string, engine string, is_leader boolean, "
+        "can_become_leader boolean, is_readonly boolean, "
+        "is_session_expired boolean, future_parts int, parts_to_check int, "
+        "zookeeper_name string, zookeeper_path string, replica_name string, "
+        "replica_path string, columns_version int, queue_size int, "
+        "inserts_in_queue int, merges_in_queue int, "
+        "part_mutations_in_queue int, queue_oldest_time timestamp, "
+        "inserts_oldest_time timestamp, merges_oldest_time timestamp, "
+        "part_mutations_oldest_time timestamp, oldest_part_to_get string, "
+        "total_replicas int, active_replicas int",
+    )
+
+
+def system_replication_queue(spark: SparkSession) -> DataFrame:
+    return _empty(
+        spark,
+        "database string, table string, replica_name string, position int, "
+        "node_name string, type string, create_time timestamp, "
+        "required_quorum int, source_replica string, new_part_name string, "
+        "parts_to_merge array<string>, is_detach boolean, "
+        "is_currently_executing boolean, num_tries int, "
+        "last_exception string, last_exception_time timestamp, "
+        "last_attempt_time timestamp, num_postponed int, "
+        "postpone_reason string, last_postpone_time timestamp, "
+        "merge_type string",
+    )
+
+
+def system_replicated_fetches(spark: SparkSession) -> DataFrame:
+    return _empty(
+        spark,
+        "database string, table string, elapsed double, progress double, "
+        "result_part_name string, result_part_path string, "
+        "partition_id string, total_size_bytes_compressed bigint, "
+        "bytes_read_compressed bigint, source_replica_path string, "
+        "source_replica_hostname string, source_replica_port int, "
+        "interserver_scheme string, to_detached boolean, thread_id bigint",
+    )
+
+
+def system_distribution_queue(spark: SparkSession) -> DataFrame:
+    return _empty(
+        spark,
+        "database string, table string, data_path string, "
+        "is_blocked boolean, error_count bigint, data_files bigint, "
+        "data_compressed_bytes bigint, broken_data_files bigint, "
+        "broken_data_compressed_bytes bigint, last_exception string, "
+        "last_exception_time timestamp",
+    )
+
+
+def system_part_moves_between_shards(spark: SparkSession) -> DataFrame:
+    return _empty(
+        spark,
+        "database string, table string, task_name string, task_uuid string, "
+        "create_time timestamp, part_name string, part_uuid string, "
+        "to_shard string, dst_part_name string, update_time timestamp, "
+        "state string, rollback boolean, num_tries int, "
+        "last_exception string",
+    )
+
+
+def system_zookeeper_connection(spark: SparkSession) -> DataFrame:
+    return _empty(
+        spark,
+        "name string, host string, port int, index int, "
+        "connected_time timestamp, session_uptime_elapsed_seconds bigint, "
+        "is_expired boolean, keeper_api_version int, client_id bigint, "
+        "xid bigint, enabled_feature_flags array<string>, "
+        "availability_zone string",
+    )
+
+
+def system_kafka_consumers(spark: SparkSession) -> DataFrame:
+    """Empty unless the jar-gated Kafka shim is active (environmental)."""
+    return _empty(
+        spark,
+        "database string, table string, consumer_id string, "
+        "assignments_topic array<string>, assignments_partition_id array<int>, "
+        "assignments_current_offset array<bigint>, "
+        "last_poll_time timestamp, num_messages_read bigint, "
+        "last_commit_time timestamp, num_commits bigint, "
+        "last_rebalance_time timestamp, num_rebalance_revocations bigint, "
+        "num_rebalance_assignments bigint, is_currently_used boolean, "
+        "last_used timestamp, rdkafka_stat string",
+    )
+
+
+def system_filesystem_cache(spark: SparkSession) -> DataFrame:
+    return _empty(
+        spark,
+        "cache_name string, cache_base_path string, cache_path string, "
+        "key string, file_segment_range_begin bigint, "
+        "file_segment_range_end bigint, size bigint, state string, "
+        "cache_hits bigint, references bigint, downloaded_size bigint, "
+        "kind string, unbound boolean, user_id string, file_size bigint",
+    )
+
+
+def system_certificates(spark: SparkSession) -> DataFrame:
+    return _empty(
+        spark,
+        "version int, serial_number string, signature_algo string, "
+        "issuer string, not_before string, not_after string, "
+        "subject string, pkey_algo string, path string, default boolean",
+    )
+
+
+def system_models(spark: SparkSession) -> DataFrame:
+    return _empty(
+        spark,
+        "model_path string, type string, loading_start_time timestamp, "
+        "loading_duration float",
+    )
+
+
+def system_remote_data_paths(spark: SparkSession) -> DataFrame:
+    return _empty(
+        spark,
+        "disk_name string, path string, cache_base_path string, "
+        "local_path string, remote_path string, size bigint, "
+        "common_prefix_for_blobs string, cache_paths array<string>",
+    )
+
+
+def system_query_condition_cache(spark: SparkSession) -> DataFrame:
+    return _empty(
+        spark,
+        "table_uuid string, part_name string, condition string, "
+        "condition_hash decimal(20,0), entry_size bigint, "
+        "matching_marks string",
+    )
+
+
+def system_schema_inference_cache(spark: SparkSession) -> DataFrame:
+    return _empty(
+        spark,
+        "storage string, source string, format string, "
+        "additional_format_info string, registration_time timestamp, "
+        "schema string, number_of_rows bigint, "
+        "schema_inference_mode string",
+    )
+
+
+def system_quotas_usage(spark: SparkSession) -> DataFrame:
+    """system.quotas_usage: the per-user view over the same quota
+    registry system.quota_usage serves (reference
+    StorageSystemQuotasUsage.cpp adds is_current)."""
+    from pyspark.sql import functions as F
+
+    return system_quota_usage(spark).select(
+        "*", F.lit(True).alias("is_current")
+    )
+
+
+# ---------------------------------------------------------------------------
 # SQL-text access: `SELECT ... FROM system.<name>` (round-6). Spark temp
 # views have no schema qualifier, so ch_sql rewrites `system.X` to
 # `__system_X` and calls materialize_system_views to back each
@@ -1583,6 +2093,33 @@ _SQL_SYSTEM_TABLES = {
     "role_grants": (system_role_grants, False),
     "moves": (system_moves, False),
     "view_refreshes": (system_view_refreshes, False),
+    # round-9 batch
+    "detached_parts": (system_detached_parts_catalog, True),
+    "parts_columns": (system_parts_columns_catalog, True),
+    "projection_parts": (system_projection_parts, True),
+    "projection_parts_columns": (system_projection_parts_columns, True),
+    "query_cache": (system_query_result_cache_table, False),
+    "named_collections": (system_named_collections, False),
+    "asynchronous_inserts": (system_asynchronous_inserts, False),
+    "user_processes": (system_user_processes, False),
+    "dashboards": (system_dashboards, False),
+    "stack_trace": (system_stack_trace, False),
+    "dns_cache": (system_dns_cache, False),
+    "transactions": (system_transactions, False),
+    "replicas": (system_replicas, False),
+    "replication_queue": (system_replication_queue, False),
+    "replicated_fetches": (system_replicated_fetches, False),
+    "distribution_queue": (system_distribution_queue, False),
+    "part_moves_between_shards": (system_part_moves_between_shards, False),
+    "zookeeper_connection": (system_zookeeper_connection, False),
+    "kafka_consumers": (system_kafka_consumers, False),
+    "filesystem_cache": (system_filesystem_cache, False),
+    "certificates": (system_certificates, False),
+    "models": (system_models, False),
+    "remote_data_paths": (system_remote_data_paths, False),
+    "query_condition_cache": (system_query_condition_cache, False),
+    "schema_inference_cache": (system_schema_inference_cache, False),
+    "quotas_usage": (system_quotas_usage, False),
 }
 
 _SYSTEM_REF_RE = None

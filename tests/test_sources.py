@@ -870,3 +870,149 @@ def test_iceberg_history_reference_columns(spark, tmp_path):
     assert rows[3].parent_id == 1 and rows[1].parent_id is None
     assert rows[1].made_current_at is not None
     assert rows[1].table == "t" and rows[1].database == "default"
+
+
+def test_system_detached_and_projection_parts_sql_route(spark, tmp_path):
+    """Round-9: system.detached_parts / projection_parts /
+    parts_columns on the SQL route serve real DDL-layout state."""
+    import os
+
+    from clickhouse_25_5_3_75_stable_spark.chsql import ch_sql
+    from clickhouse_25_5_3_75_stable_spark.ddl import Database, add_projection
+    from clickhouse_25_5_3_75_stable_spark.sources.layout import detach_partition
+
+    base = str(tmp_path)
+    db = Database(spark, base)
+    db.create_table(
+        "CREATE TABLE r9t (k Int32, grp String, v Int64) "
+        "ENGINE = MergeTree PARTITION BY grp ORDER BY k"
+    )
+    db.insert_into("r9t", spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], "k int, grp string, v long"))
+    add_projection(spark, base, "r9t", "by_grp", ["grp"], ["v"], [])
+    detach_partition(os.path.join(base, "r9t"), "grp", "a")
+    spark.conf.set("spark.chspark.dataDir", base)
+    try:
+        det = ch_sql(spark, """
+            SELECT table, partition_id, reason FROM system.detached_parts
+        """).collect()
+        assert len(det) == 1 and det[0].table == "r9t"
+        assert det[0].partition_id.endswith("a") and det[0].reason is None
+        proj = ch_sql(spark, """
+            SELECT name, table, rows FROM system.projection_parts
+        """).collect()
+        assert len(proj) == 1
+        assert proj[0].name == "by_grp" and proj[0].table == "r9t"
+        pc = ch_sql(spark, """
+            SELECT count() AS n FROM system.parts_columns
+            WHERE table = 'r9t' AND column = 'k'
+        """).collect()
+        assert pc[0].n >= 1
+        ppc = ch_sql(spark, """
+            SELECT count() AS n FROM system.projection_parts_columns
+            WHERE name = 'by_grp'
+        """).collect()
+        assert ppc[0].n >= 1
+    finally:
+        spark.conf.unset("spark.chspark.dataDir")
+
+
+def test_system_query_cache_entry_metadata(spark):
+    """Round-9 system.query_cache: a cached query's entry carries the
+    query text, its query_id, and a sipHash64 key hash; DROP QUERY
+    CACHE empties the table. Statement-level SETTINGS use_query_cache
+    must NOT persist into the session (the round-9 stale-read fix)."""
+    from clickhouse_25_5_3_75_stable_spark.chsql import ch_sql
+    from clickhouse_25_5_3_75_stable_spark.operators.result_cache import (
+        default_cache,
+    )
+
+    default_cache().clear()
+    ch_sql(spark,
+           "SELECT count() AS n FROM numbers(7) SETTINGS use_query_cache=1"
+           ).collect()
+    assert spark.conf.get("spark.chspark.useQueryCache", None) in (None, "0")
+    rows = ch_sql(spark, """
+        SELECT query, query_id, key_hash, stale FROM system.query_cache
+    """).collect()
+    assert len(rows) == 1
+    assert "numbers(7)" in rows[0].query
+    assert rows[0].query_id != "" and int(rows[0].key_hash) > 0
+    assert rows[0].stale is False
+    default_cache().clear()
+    assert ch_sql(
+        spark, "SELECT count() AS n FROM system.query_cache"
+    ).collect()[0].n == 0
+
+
+def test_statement_settings_use_query_cache_does_not_leak(spark):
+    """The regression shape that found the bug: two identical count
+    queries over a VOLATILE system table around a state change must
+    see different values even after an unrelated use_query_cache=1
+    statement ran earlier in the session."""
+    from clickhouse_25_5_3_75_stable_spark.chsql import ch_sql
+    from clickhouse_25_5_3_75_stable_spark.sources.system_tables import (
+        NAMED_COLLECTIONS,
+        create_named_collection,
+        drop_named_collection,
+    )
+
+    ch_sql(spark,
+           "SELECT 1 AS x SETTINGS use_query_cache=1").collect()
+    q = "SELECT count() AS n FROM system.named_collections"
+    before = ch_sql(spark, q).collect()[0].n
+    create_named_collection("leak_probe", {"a": "b"})
+    try:
+        after = ch_sql(spark, q).collect()[0].n
+        assert after == before + 1  # a stale cached read would repeat `before`
+    finally:
+        drop_named_collection("leak_probe")
+        assert "leak_probe" not in NAMED_COLLECTIONS
+
+
+def test_system_named_collections_masking(spark):
+    from clickhouse_25_5_3_75_stable_spark.chsql import ch_sql
+    from clickhouse_25_5_3_75_stable_spark.sources.system_tables import (
+        create_named_collection,
+        drop_named_collection,
+    )
+
+    create_named_collection("nc_mask", {
+        "host": "db", "password": "p", "secret_key": "s", "access_token": "t",
+    })
+    try:
+        row = ch_sql(spark, """
+            SELECT collection['host'] AS h, collection['password'] AS pw,
+                   collection['secret_key'] AS sk,
+                   collection['access_token'] AS tok,
+                   create_query
+            FROM system.named_collections WHERE name = 'nc_mask'
+        """).collect()[0]
+        assert row.h == "db"
+        assert row.pw == row.sk == row.tok == "[HIDDEN]"
+        assert row.create_query.startswith("CREATE NAMED COLLECTION nc_mask")
+    finally:
+        drop_named_collection("nc_mask")
+
+
+def test_system_asynchronous_inserts_buffer_state(spark, tmp_path):
+    from clickhouse_25_5_3_75_stable_spark.chsql import ch_sql
+    from clickhouse_25_5_3_75_stable_spark.sources.engines import (
+        BUFFER_TABLES,
+        BufferTable,
+    )
+
+    buf = BufferTable(spark, str(tmp_path / "buffered"), max_rows=1000)
+    try:
+        buf.insert(spark.range(3).selectExpr("id AS v"))
+        rows = ch_sql(spark, """
+            SELECT table, total_bytes FROM system.asynchronous_inserts
+        """).collect()
+        assert len(rows) == 1
+        assert rows[0].table == "buffered" and rows[0].total_bytes == 3
+        buf.flush()
+        assert ch_sql(
+            spark, "SELECT count() AS n FROM system.asynchronous_inserts"
+        ).collect()[0].n == 0
+    finally:
+        BUFFER_TABLES.remove(buf)
