@@ -492,3 +492,93 @@ def ivf_topk(
         .orderBy(F.desc("cosine"), F.col(id_col))
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — semantic deduplication over an embedding column
+# (Abbas et al. 2023, arXiv:2303.09540: k-means-cluster the embedding
+# space, then prune within-cluster pairs above a cosine threshold).
+# The reference's building blocks are its vector-distance functions +
+# vector index (src/Functions/array/arrayDistance.cpp,
+# src/Storages/MergeTree/MergeTreeIndexVectorSimilarity.h); the
+# composed pipeline is the training-data-curation shape this engine
+# treats as first-class.
+# ---------------------------------------------------------------------------
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    centroids: list[list[float]],
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exact: bool = True,
+) -> DataFrame:
+    """Flag within-cluster semantic duplicates: assign every vector to
+    its nearest centroid (JVM argmin, no UDF), generate same-cluster
+    pairs, and mark the LARGER id of every pair with cosine >=
+    threshold as a duplicate (deterministic keep-lowest-id policy —
+    the keep-best-quality variant is operators/dedup.py
+    dedup_keep_best's policy applied to the same labels).
+
+    Returns (id_col, cluster, is_dup).
+
+    Scale shape: clustering bounds the pair stage to O(sum c_i²)
+    instead of O(n²) — with balanced k-means (ivf_lloyd_refine) and
+    nlist ∝ n/cap, per-cluster work is capped the same way
+    capped_buckets caps LSH buckets. exact=True scores pairs on the
+    DECIMAL cosine path (oracle-portable, bitwise-reproducible in
+    DuckDB); exact=False ships each vector across the shuffle once
+    and scores each cluster with one numpy Gram matmul
+    (lsh_cosine_pairs' fast tier keyed on the cluster id)."""
+    assigned = vectors.withColumn(
+        "__c", ivf_assign(F.col(vec_col), centroids)
+    )
+    if exact:
+        pairs = cosine_pairs(
+            assigned, threshold, id_col=id_col, vec_col=vec_col,
+            block_col="__c",
+        )
+    else:
+        b = assigned.select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+            F.col("__c").cast("string").alias("blk"),
+        )
+
+        def gram_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+            n = len(pdf)
+            if n < 2:
+                return pd.DataFrame(
+                    {"id_a": [], "id_b": [], "cosine": []}
+                ).astype({"id_a": "int64", "id_b": "int64",
+                          "cosine": "float64"})
+            ids = pdf["id"].to_numpy()
+            m = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            norms = np.sqrt(np.einsum("ij,ij->i", m, m))
+            cos = (m @ m.T) / np.outer(norms, norms)
+            iu, ju = np.triu_indices(n, k=1)
+            keep = cos[iu, ju] >= threshold
+            ia, ib = ids[iu[keep]], ids[ju[keep]]
+            lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
+            return pd.DataFrame(
+                {"id_a": lo, "id_b": hi, "cosine": cos[iu, ju][keep]}
+            )
+
+        pairs = b.groupBy("blk").applyInPandas(
+            gram_pairs, "id_a long, id_b long, cosine double"
+        )
+    # no broadcast hint: the dup set scales with the corpus's dup rate
+    # (can be a large fraction of n at 100 TB) — AQE broadcasts it
+    # when runtime stats say it fits
+    dups = pairs.select(F.col("id_b").alias("__dup_id")).distinct()
+    return (
+        assigned.join(
+            dups,
+            F.col(id_col) == F.col("__dup_id"), "left",
+        )
+        .select(
+            F.col(id_col),
+            F.col("__c").alias("cluster"),
+            F.col("__dup_id").isNotNull().alias("is_dup"),
+        )
+    )

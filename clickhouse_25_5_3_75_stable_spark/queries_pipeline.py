@@ -872,3 +872,131 @@ def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.dedup_against_corpus(
         new_batch, corpus, "doc_id", "text", num_hashes=8, bands=4
     ).orderBy("doc_id")
+
+
+_SEM_RN = ("row_number() OVER "
+           "(ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)")
+
+
+@register(
+    "semantic_dedup_clusters",
+    # vec_id < 800: the deterministic id-prefix subsample covering
+    # EVERY sf0.01 row (the dedup_minhash_clusters convention) so the
+    # DuckDB pair stage stays bounded at larger SFs. Assignment uses
+    # the same l2sq/row_number argmin the similarity_ivf_ann oracle
+    # gates; the pair stage uses the factored DECIMAL cosine (norms
+    # once per vector) so both engines compare bitwise-identical
+    # values against the threshold. AS MATERIALIZED throughout —
+    # sub/asg are each read 2-3 times.
+    oracle=f"""
+    WITH sub AS MATERIALIZED (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id < 800
+    ), cents AS MATERIALIZED (
+        SELECT embedding AS cvec, {_SEM_RN} - 1 AS ci
+        FROM sub QUALIFY {_SEM_RN} <= 8
+    ), ad AS MATERIALIZED (
+        SELECT s.vec_id, c.ci,
+               row_number() OVER (
+                   PARTITION BY s.vec_id
+                   ORDER BY {S.l2sq_sql('s.embedding', 'c.cvec')}, c.ci
+               ) AS rnk
+        FROM sub s, cents c
+    ), asg AS MATERIALIZED (
+        SELECT vec_id, ci FROM ad WHERE rnk = 1
+    ), nrm AS MATERIALIZED (
+        SELECT a.vec_id, a.ci, s.embedding,
+               sqrt({S.dot_dec_sql('s.embedding', 's.embedding')}) AS n
+        FROM asg a JOIN sub s USING (vec_id)
+    ), pairs AS MATERIALIZED (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM nrm a JOIN nrm b ON a.ci = b.ci AND a.vec_id < b.vec_id
+        WHERE {S.dot_dec_sql('a.embedding', 'b.embedding')} / (a.n * b.n)
+              >= 0.42
+    ), dups AS (
+        SELECT DISTINCT id_b FROM pairs
+    )
+    SELECT a.ci AS cluster,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(sum(CASE WHEN d.id_b IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dups,
+           CAST(coalesce(min(CASE WHEN d.id_b IS NOT NULL
+                                  THEN a.vec_id END), -1)
+                AS BIGINT) AS first_pruned
+    FROM asg a LEFT JOIN dups d ON d.id_b = a.vec_id
+    GROUP BY a.ci ORDER BY a.ci
+    """,
+    tags=("similarity", "dedup", "semantic"),
+)
+def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means-cluster the embedding
+    space (the IVF coarse quantizer: deterministic md5-sampled
+    centroids + JVM argmin assignment), then prune within-cluster
+    pairs with DECIMAL cosine >= 0.42, keeping the lowest id. Gate
+    output is integer-only per cluster (the round-7 geo-gate policy:
+    members, dup count, first pruned id). Reference building blocks:
+    cosineDistance (src/Functions/array/arrayDistance.cpp) + the
+    vector index route (MergeTreeIndexVectorSimilarity.h)."""
+    emb = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 800)
+    cents = S.ivf_centroids(emb, nlist=8)
+    flagged = S.semantic_dedup(emb, cents, threshold=0.42, exact=True)
+    return (
+        flagged.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum(F.col("is_dup").cast("long")).alias("n_dups"),
+            F.coalesce(
+                F.min(F.when(F.col("is_dup"), F.col("vec_id"))), F.lit(-1)
+            ).alias("first_pruned"),
+        )
+        .orderBy("cluster")
+    )
+
+
+@register(
+    "semantic_dedup_fast",
+    # same semantics as semantic_dedup_clusters but the numpy-Gram
+    # pair stage (one applyInPandas per cluster, each vector crossing
+    # the shuffle once) — the 100 TB tier. Gate: the flag SET must
+    # equal the decimal tier's (cosines far from the threshold at
+    # double precision; the exact tier gates values).
+    oracle=f"""
+    WITH sub AS MATERIALIZED (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id < 800
+    ), cents AS MATERIALIZED (
+        SELECT embedding AS cvec, {_SEM_RN} - 1 AS ci
+        FROM sub QUALIFY {_SEM_RN} <= 8
+    ), ad AS MATERIALIZED (
+        SELECT s.vec_id, c.ci,
+               row_number() OVER (
+                   PARTITION BY s.vec_id
+                   ORDER BY {S.l2sq_sql('s.embedding', 'c.cvec')}, c.ci
+               ) AS rnk
+        FROM sub s, cents c
+    ), asg AS MATERIALIZED (
+        SELECT vec_id, ci FROM ad WHERE rnk = 1
+    ), nrm AS MATERIALIZED (
+        SELECT a.vec_id, a.ci, s.embedding,
+               sqrt({S.dot_dec_sql('s.embedding', 's.embedding')}) AS n
+        FROM asg a JOIN sub s USING (vec_id)
+    ), pairs AS MATERIALIZED (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM nrm a JOIN nrm b ON a.ci = b.ci AND a.vec_id < b.vec_id
+        WHERE {S.dot_dec_sql('a.embedding', 'b.embedding')} / (a.n * b.n)
+              >= 0.42
+    )
+    SELECT CAST(count(DISTINCT id_b) AS BIGINT) AS n_pruned,
+           CAST(coalesce(sum(DISTINCT id_b), 0) AS BIGINT) AS pruned_id_sum
+    FROM pairs
+    """,
+    bucket="heavy",
+    tags=("similarity", "dedup", "semantic"),
+)
+def semantic_dedup_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup fast tier: numpy-Gram per-cluster pair scoring."""
+    emb = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 800)
+    cents = S.ivf_centroids(emb, nlist=8)
+    flagged = S.semantic_dedup(emb, cents, threshold=0.42, exact=False)
+    return flagged.filter(F.col("is_dup")).agg(
+        F.count(F.lit(1)).alias("n_pruned"),
+        F.coalesce(F.sum("vec_id"), F.lit(0)).alias("pruned_id_sum"),
+    )

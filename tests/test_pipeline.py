@@ -501,3 +501,50 @@ def test_dedup_against_corpus_semantics(spark):
     got = {r.doc_id: r.is_dup for r in dedup_against_corpus(
         new, corpus, "doc_id", "text").collect()}
     assert got == {10: True, 11: False, 12: True}
+
+
+def test_semantic_dedup_policy_and_tiers(spark):
+    """SemDeDup on a controlled fixture: two near-identical vectors in
+    one cluster -> the LARGER id is flagged; a same-cluster distant
+    vector and another cluster's vectors are not; the decimal and
+    numpy-Gram tiers agree."""
+    import clickhouse_25_5_3_75_stable_spark.operators.similarity as S
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0, 0.0]),   # near-dup of 1
+        (3, [0.6, 0.8, 0.0, 0.0]),      # same half-space, not a dup
+        (4, [-1.0, 0.0, 0.0, 0.0]),
+        (5, [-0.999, -0.02, 0.0, 0.0]), # near-dup of 4
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = [[1.0, 0.0, 0.0, 0.0], [-1.0, 0.0, 0.0, 0.0]]
+    for exact in (True, False):
+        out = {
+            r.vec_id: (r.cluster, r.is_dup)
+            for r in S.semantic_dedup(emb, cents, threshold=0.95,
+                                      exact=exact).collect()
+        }
+        assert out[1] == (0, False)
+        assert out[2] == (0, True)      # keep-lowest-id policy
+        assert out[3] == (0, False)
+        assert out[4] == (1, False)
+        assert out[5] == (1, True)
+
+
+def test_semantic_dedup_exact_matches_fast_on_data(spark, sf_dir):
+    """Both tiers flag the IDENTICAL set on the real embeddings table
+    (values differ only in decimal-vs-double cosine rounding, far from
+    the threshold)."""
+    import clickhouse_25_5_3_75_stable_spark.operators.similarity as S
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("vec_id") < 800
+    )
+    cents = S.ivf_centroids(emb, nlist=8)
+    a = {r.vec_id for r in S.semantic_dedup(emb, cents, 0.42, exact=True)
+         .filter("is_dup").collect()}
+    b = {r.vec_id for r in S.semantic_dedup(emb, cents, 0.42, exact=False)
+         .filter("is_dup").collect()}
+    assert a == b and len(a) > 0
