@@ -3259,6 +3259,77 @@ def ch_sql(spark, sql: str, sf_dir: str | None = None,
         materialize_system_views(spark, _sys_names, sf_dir)
     if params or _QPARAM_RE.search(sql):
         sql = substitute_query_parameters(sql, params)
+    # EXISTS [TABLE] t (src/Interpreters/InterpreterExistsQuery.cpp:
+    # one UInt8 column named `result`)
+    exists_m = re.match(
+        r"^\s*EXISTS\s+(?:TABLE\s+|VIEW\s+)?([A-Za-z_]\w*)\s*;?\s*$",
+        sql, re.IGNORECASE,
+    )
+    if exists_m is not None:
+        try:
+            spark.table(exists_m.group(1))
+            found = 1
+        except Exception:
+            found = 0
+        return spark.createDataFrame([(found,)], "result tinyint")
+    # SHOW PROCESSLIST (InterpreterShowProcesslistQuery.cpp: SELECT *
+    # FROM system.processes)
+    if re.match(r"^\s*SHOW\s+PROCESSLIST\s*;?\s*$", sql, re.IGNORECASE):
+        from clickhouse_25_5_3_75_stable_spark.sources.system_tables import (
+            system_processes,
+        )
+
+        return system_processes(spark)
+    # SHOW [CHANGED] SETTINGS [LIKE|ILIKE 'p']
+    # (InterpreterShowSettingQuery rewrite onto system.settings)
+    show_set = re.match(
+        r"^\s*SHOW\s+(CHANGED\s+)?SETTINGS(?:\s+(I?LIKE)\s+('[^']*'))?\s*;?\s*$",
+        sql, re.IGNORECASE,
+    )
+    if show_set is not None:
+        # over the engine's RECOGNIZED settings (the reference shows
+        # its Settings.cpp registry): current effective value from the
+        # conf key apply_settings maps each name to
+        conf_of = {
+            "max_threads": "spark.sql.shuffle.partitions",
+            "max_result_rows": "spark.chspark.maxResultRows",
+            "result_overflow_mode": "spark.chspark.resultOverflowMode",
+            "use_query_cache": "spark.chspark.useQueryCache",
+        }
+        defaults = {
+            "max_result_rows": "0", "result_overflow_mode": "throw",
+            "use_query_cache": "0", "dialect": "clickhouse",
+        }
+        rows = []
+        for s in sorted(_KNOWN_SETTINGS):
+            cur = None
+            if s in conf_of:
+                try:
+                    cur = spark.conf.get(conf_of[s])
+                except Exception:
+                    cur = None
+            val = cur if cur is not None else defaults.get(s, "")
+            changed = cur is not None and cur != defaults.get(s, cur)
+            rows.append((s, str(val), bool(changed)))
+        df = spark.createDataFrame(
+            rows, "name string, value string, changed boolean")
+        if show_set.group(1):
+            df = df.filter("changed")
+        if show_set.group(3):
+            op = show_set.group(2).upper()
+            df = df.filter(f"name {op} {show_set.group(3)}")
+        return df
+    # SHOW CREATE TABLE t (InterpreterShowCreateQuery.cpp: one String
+    # column `statement`). DDL-managed tables replay their stored
+    # definition; plain catalog parquet views synthesize one from the
+    # schema with reference type names.
+    show_create = re.match(
+        r"^\s*SHOW\s+CREATE\s+(?:TABLE\s+|VIEW\s+)?([A-Za-z_]\w*)\s*;?\s*$",
+        sql, re.IGNORECASE,
+    )
+    if show_create is not None:
+        return _show_create_table(spark, show_create.group(1), sf_dir)
+    sql = _expand_view_table_function(sql)
     sql = _materialize_table_functions(spark, sql)
     sql = _expand_column_transformers(spark, sql)
     fill = re.search(
@@ -3436,10 +3507,160 @@ _TX_ITEM_RE = re.compile(
 )
 
 
+_SPARK_TO_CH_TYPE = {
+    "tinyint": "Int8", "smallint": "Int16", "int": "Int32",
+    "bigint": "Int64", "float": "Float32", "double": "Float64",
+    "string": "String", "boolean": "Bool", "date": "Date",
+    "timestamp": "DateTime", "timestamp_ntz": "DateTime", "binary": "String",
+}
+
+
+def _ch_type_name(spark_type: str) -> str:
+    t = spark_type.lower()
+    if t.startswith("decimal"):
+        return "Decimal" + t[len("decimal"):]
+    if t.startswith("array<") and t.endswith(">"):
+        return f"Array({_ch_type_name(t[6:-1])})"
+    if t.startswith("map<") and t.endswith(">"):
+        k, _, v = t[4:-1].partition(",")
+        return f"Map({_ch_type_name(k.strip())}, {_ch_type_name(v.strip())})"
+    return _SPARK_TO_CH_TYPE.get(t, "String")
+
+
+def _show_create_table(spark, name: str, sf_dir):
+    if sf_dir is None:
+        sf_dir = spark.conf.get("spark.chspark.dataDir", None)
+    td = None
+    if sf_dir is not None:
+        from clickhouse_25_5_3_75_stable_spark.ddl import load_table_def
+
+        try:
+            td = load_table_def(sf_dir, name)
+        except Exception:
+            td = None
+    if td is not None:
+        cols = ", ".join(f"{c} {t}" for c, t in td.columns)
+        stmt = f"CREATE TABLE {td.name} ({cols}) ENGINE = {td.engine}"
+        if td.partition_by:
+            stmt += f" PARTITION BY {td.partition_by}"
+        if td.order_by:
+            ob = td.order_by if isinstance(td.order_by, str) else \
+                ", ".join(td.order_by)
+            stmt += f" ORDER BY {ob}"
+        if td.ttl:
+            stmt += f" TTL {td.ttl}"
+    else:
+        try:
+            fields = spark.table(name).schema.fields
+        except Exception:
+            raise ChSqlError(f"SHOW CREATE TABLE: unknown table {name!r}")
+        cols = ", ".join(
+            f"{f.name} "
+            + (f"Nullable({_ch_type_name(f.dataType.simpleString())})"
+               if f.nullable and not f.dataType.simpleString()
+               .startswith(("array", "map"))
+               else _ch_type_name(f.dataType.simpleString()))
+            for f in fields
+        )
+        stmt = (f"CREATE TABLE {name} ({cols}) ENGINE = MergeTree "
+                "ORDER BY tuple()")
+    return spark.createDataFrame([(stmt,)], "statement string")
+
+
+def _expand_view_table_function(sql: str) -> str:
+    """view(SELECT ...) table function → a plain aliased subquery
+    (src/TableFunctions/TableFunctionView.cpp — the TF is literally a
+    subquery wrapper). Balanced-paren scan so nested parens inside the
+    inner query survive; only FROM/JOIN position rewrites."""
+    out = []
+    i = 0
+    n = 0
+    pat = re.compile(r"\b(FROM|JOIN)\s+view\s*\(", re.IGNORECASE)
+    while True:
+        m = pat.search(sql, i)
+        if m is None:
+            out.append(sql[i:])
+            break
+        start = m.end()  # position after the opening paren
+        depth = 1
+        j = start
+        while j < len(sql) and depth:
+            if sql[j] == "(":
+                depth += 1
+            elif sql[j] == ")":
+                depth -= 1
+            j += 1
+        if depth:
+            raise ChSqlError("view(: unbalanced parentheses")
+        n += 1
+        out.append(sql[i:m.start()])
+        # keep the user's own alias if one follows (`... view(...) v`);
+        # only synthesize one when the subquery would be bare
+        tail = re.match(
+            r"\s*(?:AS\s+)?([A-Za-z_]\w*)", sql[j:], re.IGNORECASE
+        )
+        keywords = {
+            "on", "where", "group", "order", "limit", "having", "join",
+            "inner", "left", "right", "full", "cross", "union", "settings",
+            "qualify", "using", "asof", "semi", "anti", "paste", "global",
+        }
+        has_alias = tail is not None and tail.group(1).lower() not in keywords
+        alias = "" if has_alias else f" __view_{n}"
+        inner = _expand_view_table_function(sql[start:j - 1])  # nested view()
+        out.append(f"{m.group(1)} ({inner}){alias}")
+        i = j
+    return "".join(out)
+
+
+_BARE_APPLY_RE = re.compile(
+    r"^(\s*SELECT\s+)(?P<items>(?:[^()']|\((?:[^()']|\([^()]*\)|'[^']*')*\)|'[^']*')+?)"
+    r"(?P<tx>(?:\s+APPLY\s*\(\s*\w+\s*\))+)"
+    r"(?P<rest>\s+FROM\b.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _expand_bare_apply(sql: str) -> str:
+    """`SELECT a, b APPLY(f) FROM ...` — the reference applies the
+    transformer to EVERY item of a plain select list, not only to
+    */COLUMNS (ParserTablesInSelectQuery transformer grammar). Result
+    names follow the */COLUMNS path: f(col)."""
+    m = _BARE_APPLY_RE.match(sql)
+    if m is None:
+        return sql
+    items_text = m.group("items").strip()
+    if items_text == "*" or re.match(r"(?is)^COLUMNS\s*\(", items_text):
+        return sql  # the */COLUMNS path owns these
+    # split on top-level commas
+    items, depth, cur = [], 0, []
+    for ch in items_text:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            items.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    items.append("".join(cur).strip())
+    if any(re.search(r"(?is)\sAS\s", it) for it in items):
+        return sql  # aliased items: out of the transformer subset
+    fns = [t.group(2).strip() for t in _TX_ITEM_RE.finditer(m.group("tx"))]
+    exprs = []
+    for it in items:
+        expr = name = it
+        for fn in fns:
+            expr = f"{fn}({expr})"
+            name = f"{fn}({name})"
+        exprs.append(f"{expr} AS `{name}`")
+    return m.group(1) + ", ".join(exprs) + m.group("rest")
+
+
 def _expand_column_transformers(spark, sql: str) -> str:
     m = _SELECT_TX_RE.match(sql)
     if m is None:
-        return sql
+        return _expand_bare_apply(sql)
     uses_columns = m.group(2) != "*"
     tx = m.group("tx") or ""
     if not uses_columns and not tx.strip():

@@ -366,3 +366,61 @@ def chsql_system_numbers_generator(spark: SparkSession, sf_dir: str) -> DataFram
         FROM (SELECT number FROM system.numbers LIMIT 10000)
         """,
     )
+
+
+@register(
+    "chsql_view_tf_apply_exists",
+    oracle="""
+    WITH base AS (
+        SELECT v.c_nationkey AS nk,
+               CAST(count(*) AS BIGINT) AS cnt,
+               avg(o.o_totalprice) AS avg_p
+        FROM orders o
+        JOIN (SELECT c_custkey, c_nationkey FROM customer
+              WHERE c_custkey < 200) v
+          ON o.o_custkey = v.c_custkey
+        GROUP BY v.c_nationkey
+    )
+    SELECT CAST(round(abs(nk)) AS BIGINT) AS nk_r,
+           CAST(round(abs(cnt)) AS BIGINT) AS cnt_r,
+           round(abs(avg_p)) AS avg_r,
+           1 AS orders_exists, 0 AS ghost_exists
+    FROM base ORDER BY nk_r
+    """,
+    tags=("chsql", "dialect", "table_function", "transformers"),
+)
+def chsql_view_tf_apply_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-9 SQL-route closures: the view(...) table function
+    (src/TableFunctions/TableFunctionView.cpp — a subquery wrapper,
+    user alias preserved), the bare-select-list APPLY transformer
+    (`a, b APPLY(f) APPLY(g)` applies to EVERY list item, reference
+    transformer grammar), and EXISTS TABLE
+    (src/Interpreters/InterpreterExistsQuery.cpp — one UInt8
+    `result`)."""
+    agg = ch_sql(spark, """
+        SELECT nk, cnt, avg_p APPLY(abs) APPLY(round)
+        FROM view(
+            SELECT v.c_nationkey AS nk,
+                   toInt64(count()) AS cnt,
+                   avg(o.o_totalprice) AS avg_p
+            FROM orders o
+            JOIN view(SELECT c_custkey, c_nationkey FROM customer
+                      WHERE c_custkey < 200) v
+              ON o.o_custkey = v.c_custkey
+            GROUP BY v.c_nationkey
+        ) b
+        ORDER BY nk
+    """, sf_dir=sf_dir)
+    agg = agg.select(
+        F.col("`round(abs(nk))`").alias("nk_r"),
+        F.col("`round(abs(cnt))`").alias("cnt_r"),
+        F.col("`round(abs(avg_p))`").alias("avg_r"),
+    )
+    e1 = ch_sql(spark, "EXISTS TABLE orders", sf_dir=sf_dir).collect()[0][0]
+    e2 = ch_sql(spark, "EXISTS TABLE no_such_table_r9",
+                sf_dir=sf_dir).collect()[0][0]
+    return agg.select(
+        "*",
+        F.lit(int(e1)).alias("orders_exists"),
+        F.lit(int(e2)).alias("ghost_exists"),
+    )

@@ -1468,3 +1468,71 @@ def test_round8_aggregate_combinators_and_scalars(spark):
         spark, "SELECT quantilesExact(0.0, 1.0)(v) AS q FROM r8_t"
     ).collect()[0].q
     assert list(got) == [1.0, 3.0]
+
+
+def test_view_table_function(spark, sf_dir):
+    """view(...) TF = subquery wrapper (TableFunctionView.cpp): bare,
+    aliased, AS-aliased, nested, and join positions."""
+    assert ch_sql(spark, "SELECT x FROM view(SELECT 1 AS x)").collect()[0].x == 1
+    assert ch_sql(spark, "SELECT v.x FROM view(SELECT 2 AS x) AS v"
+                  ).collect()[0].x == 2
+    r = ch_sql(spark, """
+        SELECT n FROM view(
+            SELECT count() AS n FROM view(SELECT 1 AS a UNION ALL SELECT 2) q
+        ) WHERE n = 2
+    """).collect()
+    assert r[0].n == 2
+    joined = ch_sql(spark, """
+        SELECT count() AS n
+        FROM orders o JOIN view(SELECT c_custkey FROM customer) v
+          ON o.o_custkey = v.c_custkey
+    """, sf_dir=sf_dir).collect()
+    assert joined[0].n > 0
+
+
+def test_bare_select_list_apply(spark, sf_dir):
+    """`a, b APPLY(f) APPLY(g)` applies the chain to every list item
+    and names results f(g(col)) like the */COLUMNS transformer path."""
+    row = ch_sql(spark, """
+        SELECT o_custkey, o_totalprice APPLY(abs) APPLY(round)
+        FROM orders WHERE o_orderkey = 1
+    """, sf_dir=sf_dir).collect()[0]
+    d = row.asDict()
+    assert "round(abs(o_custkey))" in d and "round(abs(o_totalprice))" in d
+    # strings containing APPLY stay untouched
+    s = ch_sql(spark, "SELECT 'x APPLY(round) y' AS s").collect()[0].s
+    assert s == "x APPLY(round) y"
+
+
+def test_exists_table_statement(spark, sf_dir):
+    assert ch_sql(spark, "EXISTS TABLE orders", sf_dir=sf_dir
+                  ).collect()[0].result == 1
+    assert ch_sql(spark, "EXISTS no_such_r9", sf_dir=sf_dir
+                  ).collect()[0].result == 0
+
+
+def test_show_statements_round9(spark, sf_dir, tmp_path):
+    """SHOW PROCESSLIST / SHOW [CHANGED] SETTINGS [LIKE] / SHOW CREATE
+    TABLE (InterpreterShow*Query.cpp): processlist = system.processes;
+    settings filters; create-statement replay for DDL tables and
+    schema synthesis for catalog views."""
+    from clickhouse_25_5_3_75_stable_spark.ddl import Database
+
+    assert "status" in ch_sql(spark, "SHOW PROCESSLIST").columns
+    names = [r.name for r in
+             ch_sql(spark, "SHOW SETTINGS LIKE 'max_result%'").collect()]
+    assert "max_result_rows" in names
+    stmt = ch_sql(spark, "SHOW CREATE TABLE orders",
+                  sf_dir=sf_dir).collect()[0].statement
+    assert stmt.startswith("CREATE TABLE orders (o_orderkey Nullable(Int64)")
+    assert "ENGINE = MergeTree" in stmt
+    db = Database(spark, str(tmp_path))
+    db.create_table("CREATE TABLE sc9 (k Int32, v String) "
+                    "ENGINE = ReplacingMergeTree PARTITION BY v ORDER BY k")
+    spark.conf.set("spark.chspark.dataDir", str(tmp_path))
+    try:
+        stmt = ch_sql(spark, "SHOW CREATE TABLE sc9").collect()[0].statement
+        assert stmt == ("CREATE TABLE sc9 (k Int32, v String) ENGINE = "
+                        "ReplacingMergeTree PARTITION BY v ORDER BY k")
+    finally:
+        spark.conf.unset("spark.chspark.dataDir")

@@ -131,10 +131,16 @@ def array_ops(children):
             "THEN 1 ELSE 0 END)",
         )
     )
+    # COALESCE on the duck side only: CH arraySum SKIPS NULL elements
+    # (an all-NULL array sums to 0 — FunctionArrayAggregation), while
+    # duckdb list_sum returns NULL. The literal arrays here are never
+    # NULL themselves, so the 0-default matches exactly. (Found by this
+    # fuzz in round 9 — all-NULL arrays arise from out-of-range
+    # subscripts composed into arraySum.)
     asum = arr3.map(
         lambda a: (
             f"CAST(arraySum({render_arr(a)[0]}) AS BIGINT)",
-            f"CAST(list_sum({render_arr(a)[1]}) AS BIGINT)",
+            f"CAST(COALESCE(list_sum({render_arr(a)[1]}), 0) AS BIGINT)",
         )
     )
     return st.one_of(subscript, has, asum)
