@@ -1430,6 +1430,42 @@ def _transpile(text: str, columns_of=None) -> tuple[str, list[str] | None]:
         elif op == "partition":
             acc = _partition(acc, body)
             cur_cols = None
+        elif op == "search":
+            # ADX search (src/Parsers/Kusto operator set): term match
+            # across every column — `search [kind=...] [in (cols)]
+            # 'term'`. Lowers to an OR-chain of position() > 0 over
+            # toString(col); default is case-insensitive like ADX.
+            sm = re.match(
+                r"^(?:kind\s*=\s*(case_sensitive|case_insensitive)\s+)?"
+                r"(?:in\s*\(([^)]*)\)\s+)?"
+                r"('(?:[^'\\]|\\.)*'|\"(?:[^\"\\]|\\.)*\")\s*$",
+                body, re.IGNORECASE,
+            )
+            if sm is None:
+                raise ChSqlError(
+                    "KQL search subset: search [kind=case_sensitive] "
+                    "[in (col, ...)] 'term'")
+            kind, incols, lit = sm.groups()
+            if incols:
+                cols = [c.strip() for c in incols.split(",") if c.strip()]
+                bad = [c for c in cols if not re.match(r"^[A-Za-z_]\w*$", c)]
+                if bad:
+                    raise ChSqlError(f"KQL search in(...): bare column "
+                                     f"names only, got {bad[0]!r}")
+            else:
+                cols = cur_cols
+            if not cols:
+                raise ChSqlError(
+                    "KQL search: the source column list is unresolved — "
+                    "run through kql_sql(spark, ...) so the session "
+                    "catalog resolves the schema, or name columns with "
+                    "`search in (col, ...)`")
+            fn = ("position" if (kind or "").lower() == "case_sensitive"
+                  else "positionCaseInsensitive")
+            cond = " OR ".join(
+                f"{fn}(toString({c}), {lit}) > 0" for c in cols
+            )
+            acc = f"SELECT * FROM ({acc}) WHERE {cond}"
         elif op == "mv-expand":
             col = body.strip()
             if not re.match(r"^[A-Za-z_]\w*$", col):
@@ -1467,7 +1503,7 @@ def _transpile(text: str, columns_of=None) -> tuple[str, list[str] | None]:
                 "summarize/order/sort/take/limit/top/top-hitters/distinct/"
                 "count/sample[-distinct]/mv-expand/print/join/lookup/union/"
                 "render/make-series/parse/mv-apply/top-nested/facet/"
-                "partition/serialize, sources range/datatable; evaluate "
+                "partition/serialize/search, sources range/datatable; evaluate "
                 "pivot/bag_unpack and scan via kql_sql)"
                 f"{hint}")
     return acc, cur_cols

@@ -223,6 +223,29 @@ def _expr(e: str) -> str:
         r'\bs"((?:[^"\\]|\\.)*)"|"(?:[^"\\]|\\.)*"|\'(?:[^\'\\]|\\.)*\'',
         one_literal, e,
     )
+    # PRQL date/time literals (prql-book: @2024-01-01, @14:30:00,
+    # @2024-01-01T14:30:00) — after the literal stash so @ inside
+    # strings is untouched; rendered as the engine's to* constructors
+    e = re.sub(
+        r"@(\d{4}-\d{2}-\d{2})T(\d{2}:\d{2}(?::\d{2})?)",
+        lambda m: stash_raw(
+            f"toDateTime('{m.group(1)} "
+            f"{m.group(2) if m.group(2).count(':') == 2 else m.group(2) + ':00'}')"
+        ),
+        e,
+    )
+    e = re.sub(
+        r"@(\d{4}-\d{2}-\d{2})",
+        lambda m: stash_raw(f"toDate('{m.group(1)}')"), e,
+    )
+    e = re.sub(
+        r"@(\d{2}:\d{2}(?::\d{2})?)",
+        lambda m: stash_raw(
+            "'" + (m.group(1) if m.group(1).count(":") == 2
+                   else m.group(1) + ":00") + "'"
+        ),
+        e,
+    )
     if re.search(r"\bf\s*\x00", e):
         raise ChSqlError("PRQL f-strings are out of the subset "
                          "(s-strings are supported)")
@@ -289,7 +312,14 @@ def _named(item: str) -> tuple[str | None, str]:
 
 def _agg_expr(e: str) -> str:
     """Space-application aggregate: `sum x`, `average y`, `count this`,
-    `sum (a + b)`."""
+    `sum (a + b)`; the parenthesized-application form `(sum x)` is the
+    same call (PRQL parenthesizes applications inside tuples)."""
+    e = e.strip()
+    if e.startswith("(") and e.endswith(")"):
+        inner = e[1:-1].strip()
+        m0 = re.match(r"^([A-Za-z_]\w*)\s+", inner)
+        if m0 and m0.group(1) in _AGG_FNS:
+            e = inner
     m = re.match(r"^([A-Za-z_]\w*)\s+(.+)$", e.strip(), re.DOTALL)
     if m and m.group(1) in _AGG_FNS:
         arg = m.group(2).strip()
@@ -703,8 +733,12 @@ def prql_to_sql(text: str) -> str:
             elif pm:
                 # whole-qualifier match only (review-found: a bare
                 # substring replace mangled identifiers like myleft.a)
-                l = re.sub(r"^left\.", "__prql_l.", pm.group(1))
-                r = re.sub(r"^right\.", "__prql_r.", pm.group(2))
+                # accepted qualifiers: left/this (piped input), right /
+                # the joined table's own name (prql-book spells
+                # `(employees.id == managers.id)` with table names)
+                l = re.sub(r"^(left|this)\.", "__prql_l.", pm.group(1))
+                r = re.sub(rf"^(right|that|{rtable})\.", "__prql_r.",
+                           pm.group(2))
                 if "." not in l:
                     l = f"__prql_l.{l}"
                 if "." not in r:

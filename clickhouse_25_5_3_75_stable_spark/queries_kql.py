@@ -882,3 +882,73 @@ events
 | order by event_id asc
 """)
     return out.select(F.col("event_id").cast("long"), "t", "u", "tag")
+
+
+@register(
+    "kql_search_documents",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_any,
+           (SELECT CAST(count(*) AS BIGINT) FROM documents
+            WHERE contains(text, 'merge')) AS n_cs,
+           (SELECT CAST(count(*) AS BIGINT) FROM documents
+            WHERE contains(lower(source), 'src1')) AS n_in
+    FROM documents
+    WHERE contains(lower(text), 'merge') OR contains(lower(lang), 'merge')
+       OR contains(lower(source), 'merge')
+       OR contains(lower(CAST(doc_id AS VARCHAR)), 'merge')
+       OR contains(lower(CAST(n_chars AS VARCHAR)), 'merge')
+    """,
+    tags=("kql", "dialect", "search"),
+)
+def kql_search_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KQL search operator (round-9; the ADX cross-column term match):
+    default case-insensitive across EVERY column (non-strings via
+    toString), kind=case_sensitive, and the `in (cols)` restriction —
+    each an OR-chain of position()>0 predicates the optimizer keeps
+    JVM-side."""
+    _view(spark, sf_dir, "documents")
+    n_any = kql_sql(spark, """
+        documents | search 'merge' | count
+    """).collect()[0][0]
+    n_cs = kql_sql(spark, """
+        documents | search kind=case_sensitive in (text) 'merge' | count
+    """).collect()[0][0]
+    n_in = kql_sql(spark, """
+        documents | search in (source) 'src1' | count
+    """).collect()[0][0]
+    return spark.createDataFrame(
+        [(int(n_any), int(n_cs), int(n_in))],
+        "n_any bigint, n_cs bigint, n_in bigint",
+    )
+
+
+@register(
+    "prql_date_literal_join",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT c_nationkey) AS BIGINT) AS nations,
+           CAST(min(o_orderkey) AS BIGINT) AS first_key
+    FROM orders
+    LEFT JOIN customer ON o_custkey = c_custkey
+    WHERE o_orderdate > DATE '1997-06-01'
+    """,
+    tags=("prql", "dialect", "dates", "join"),
+)
+def prql_date_literal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRQL round-9 surface: @date literals (prql-book) and the
+    table-name join qualifier (`customer.c_custkey`), over a
+    left join + filtered aggregate."""
+    for name in ("orders", "customer"):
+        _view(spark, sf_dir, name)
+    from clickhouse_25_5_3_75_stable_spark.prql import prql_sql
+
+    return prql_sql(spark, """
+        from orders
+        | filter o_orderdate > @1997-06-01
+        | join side:left customer (o_custkey == customer.c_custkey)
+        | aggregate {
+            n = count this,
+            nations = count_distinct c_nationkey,
+            first_key = min o_orderkey,
+          }
+    """)

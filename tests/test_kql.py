@@ -1167,3 +1167,32 @@ kql_agg8_t | summarize p = percentiles(v, 0, 100)
         "kql_agg8_t | extend a = pack_array(1,2,3) | project n = array_length(a) | take 1"
     ).collect()[0]
     assert got.n == 3
+
+
+def test_search_operator(spark, sf_dir):
+    """ADX search: cross-column case-insensitive term match; kind=
+    case_sensitive; in(cols) restriction; unresolvable-schema refusal."""
+    from clickhouse_25_5_3_75_stable_spark.chsql import ChSqlError, ch_sql
+    from clickhouse_25_5_3_75_stable_spark.kql import kql_sql, kql_to_chsql
+
+    ch_sql(spark, "SELECT 1", sf_dir=sf_dir)  # register views
+    n = kql_sql(spark, "documents | search 'ZzZnope' | count").collect()[0][0]
+    assert n == 0
+    # case-insensitive: 'EN' matches lang='en' via the lang column
+    n_ci = kql_sql(spark, "documents | search in (lang) 'EN' | count"
+                   ).collect()[0][0]
+    n_cs = kql_sql(spark,
+                   "documents | search kind=case_sensitive in (lang) 'EN' "
+                   "| count").collect()[0][0]
+    assert n_ci > 0 and n_cs == 0
+    # numeric columns match via toString
+    one = kql_sql(spark,
+                  "documents | search in (doc_id) '123' | project doc_id "
+                  "| order by doc_id asc | take 1").collect()
+    assert one and one[0].doc_id == 123
+    # without a resolver the column list is unknown -> pointed refusal
+    try:
+        kql_to_chsql("documents | search 'x'")
+        raise AssertionError("expected refusal")
+    except ChSqlError as e:
+        assert "search" in str(e)

@@ -355,3 +355,43 @@ select {k}
     from clickhouse_25_5_3_75_stable_spark.chsql import ChSqlError
     with _p.raises(ChSqlError, match="argument"):
         prql_sql(spark, "from prql_std_t\nderive x = (math.floor v 2)")
+
+
+def test_prql_date_literals_and_paren_agg(spark, sf_dir):
+    """Round-9: @date/@datetime literals (prql-book) and the
+    parenthesized aggregate application `(stddev x)`."""
+    from clickhouse_25_5_3_75_stable_spark.prql import prql_sql
+    from clickhouse_25_5_3_75_stable_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    n = prql_sql(spark, """
+        from orders | filter o_orderdate > @1997-06-01 | aggregate {n = count this}
+    """).collect()[0].n
+    m = prql_sql(spark, """
+        from orders | filter o_orderdate > @1997-06-01T00:00 | aggregate {n = count this}
+    """).collect()[0].n
+    assert n == m and n > 0
+    # @ inside a string literal is untouched
+    s = prql_sql(spark, 'from orders | derive lbl = "@1997-01-01" | take 1'
+                 ).collect()[0].lbl
+    assert s == "@1997-01-01"
+    row = prql_sql(spark, """
+        from orders | aggregate {s = (stddev o_totalprice), n = count this}
+    """).collect()[0]
+    assert row.s > 0 and row.n > 0
+
+
+def test_prql_join_table_name_qualifier(spark, sf_dir):
+    from clickhouse_25_5_3_75_stable_spark.prql import prql_sql
+    from clickhouse_25_5_3_75_stable_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    a = prql_sql(spark, """
+        from orders | join side:left customer (o_custkey == customer.c_custkey)
+        | aggregate {n = count this}
+    """).collect()[0].n
+    b = prql_sql(spark, """
+        from orders | join side:left customer (this.o_custkey == that.c_custkey)
+        | aggregate {n = count this}
+    """).collect()[0].n
+    assert a == b and a > 0
