@@ -412,8 +412,8 @@ def chsql_view_tf_apply_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY nk
     """, sf_dir=sf_dir)
     agg = agg.select(
-        F.col("`round(abs(nk))`").alias("nk_r"),
-        F.col("`round(abs(cnt))`").alias("cnt_r"),
+        F.col("`round(abs(nk))`").cast("long").alias("nk_r"),
+        F.col("`round(abs(cnt))`").cast("long").alias("cnt_r"),
         F.col("`round(abs(avg_p))`").alias("avg_r"),
     )
     e1 = ch_sql(spark, "EXISTS TABLE orders", sf_dir=sf_dir).collect()[0][0]

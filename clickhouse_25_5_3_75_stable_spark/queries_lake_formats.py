@@ -686,3 +686,162 @@ def storage_projection_auto_route(spark: SparkSession, sf_dir: str) -> DataFrame
     if routed is None:
         raise RuntimeError("projection router declined a covered GROUP BY")
     return routed
+
+
+@register(
+    "lake_iceberg_v2_mor_read",
+    # position deletes remove every EVEN nationkey row; only exact
+    # (file_path, pos) anti-join replay reproduces the odd rows
+    oracle=_NATION_ORACLE + " WHERE n_nationkey % 2 = 1",
+    bucket="light",
+    tags=("datalake", "iceberg", "merge_on_read"),
+)
+def lake_iceberg_v2_mor_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg v2 merge-on-read, end-to-end (round-9): a delete
+    manifest (content=1) points at a position-delete parquet of
+    (file_path, pos) rows deleting every even-keyed row across two
+    data files; the replay anti-joins on Spark's vectorized
+    _metadata.row_index (reference positional-delete support,
+    src/Storages/ObjectStorage/DataLakes/Iceberg)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from clickhouse_25_5_3_75_stable_spark.sources.avro_fmt import _encode_container
+    from clickhouse_25_5_3_75_stable_spark.sources.datalake import read_iceberg
+
+    rows = _nation_pydict(sf_dir)
+    root = os.path.join(tempfile.mkdtemp(prefix="chspark_icemor_"), "t")
+    os.makedirs(os.path.join(root, "metadata"))
+    os.makedirs(os.path.join(root, "data"))
+
+    f0 = [r for r in rows if r["n_regionkey"] <= 2]
+    f1 = [r for r in rows if r["n_regionkey"] > 2]
+    _write_rows_parquet(f0, os.path.join(root, "data", "f0.parquet"))
+    _write_rows_parquet(f1, os.path.join(root, "data", "f1.parquet"))
+    dels = [
+        {"file_path": f"file://{root}/data/{rel}", "pos": i}
+        for rel, part in (("f0.parquet", f0), ("f1.parquet", f1))
+        for i, r in enumerate(part) if r["n_nationkey"] % 2 == 0
+    ]
+    pq.write_table(
+        pa.Table.from_pylist(dels, schema=pa.schema(
+            [("file_path", pa.string()), ("pos", pa.int64())])),
+        os.path.join(root, "data", "del0.parquet"),
+    )
+
+    man_schema = {
+        "type": "record", "name": "manifest_entry", "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "data_file", "type": {
+                "type": "record", "name": "r2", "fields": [
+                    {"name": "content", "type": "int"},
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {"name": "record_count", "type": "long"},
+                ]}},
+        ]}
+    mlist_schema = {
+        "type": "record", "name": "manifest_file", "fields": [
+            {"name": "manifest_path", "type": "string"},
+            {"name": "manifest_length", "type": "long"},
+            {"name": "content", "type": "int"},
+        ]}
+
+    def entry(rel: str, n: int, content: int = 0) -> dict:
+        return {"status": 1, "data_file": {
+            "content": content, "file_path": f"file://{root}/data/{rel}",
+            "file_format": "PARQUET", "record_count": n}}
+
+    open(os.path.join(root, "metadata", "m_data.avro"), "wb").write(
+        _encode_container(
+            [entry("f0.parquet", len(f0)), entry("f1.parquet", len(f1))],
+            man_schema))
+    open(os.path.join(root, "metadata", "m_del.avro"), "wb").write(
+        _encode_container([entry("del0.parquet", len(dels), content=1)],
+                          man_schema))
+    open(os.path.join(root, "metadata", "ml.avro"), "wb").write(
+        _encode_container(
+            [{"manifest_path": f"file://{root}/metadata/m_data.avro",
+              "manifest_length": 1, "content": 0},
+             {"manifest_path": f"file://{root}/metadata/m_del.avro",
+              "manifest_length": 1, "content": 1}], mlist_schema))
+
+    meta = {
+        "format-version": 2, "table-uuid": "nation-mor-fixture",
+        "location": f"file://{root}", "current-snapshot-id": 1,
+        "schemas": [{"schema-id": 0, "type": "struct", "fields": [
+            {"id": 1, "name": "n_nationkey", "required": False, "type": "long"},
+            {"id": 2, "name": "n_name", "required": False, "type": "string"},
+            {"id": 3, "name": "n_regionkey", "required": False, "type": "long"},
+        ]}],
+        "current-schema-id": 0,
+        "snapshots": [{"snapshot-id": 1, "timestamp-ms": 1700000000000,
+                       "manifest-list": f"file://{root}/metadata/ml.avro",
+                       "summary": {"operation": "overwrite"}}],
+    }
+    json.dump(meta, open(os.path.join(root, "metadata", "v1.metadata.json"), "w"))
+    open(os.path.join(root, "metadata", "version-hint.text"), "w").write("1")
+    return read_iceberg(spark, root).select(
+        "n_nationkey", "n_name", "n_regionkey")
+
+
+@register(
+    "lake_delta_column_mapping",
+    # physical parquet names are opaque col-<n> ids; only columnMapping
+    # resolution (PROTOCOL.md; DeltaLakeMetadata.cpp:366 reads physical
+    # names the same way) reproduces the logical nation projection
+    oracle=_NATION_ORACLE,
+    bucket="light",
+    tags=("datalake", "delta", "column_mapping"),
+)
+def lake_delta_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta columnMapping=name, end-to-end (round-9): data parquet
+    stores columns under physicalName ids; the log's schemaString maps
+    them to the logical names; partitionValues are keyed by physical
+    name."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from clickhouse_25_5_3_75_stable_spark.sources.datalake import read_delta
+
+    rows = _nation_pydict(sf_dir)
+    root = os.path.join(tempfile.mkdtemp(prefix="chspark_dlcm_"), "t")
+    os.makedirs(os.path.join(root, "_delta_log"))
+
+    sch = pa.schema([
+        pa.field("col-1f0a", pa.int64()),
+        pa.field("col-2b1c", pa.string()),
+        pa.field("col-3c2d", pa.int64()),
+    ])
+    pq.write_table(
+        pa.Table.from_pylist(
+            [{"col-1f0a": r["n_nationkey"], "col-2b1c": r["n_name"],
+              "col-3c2d": r["n_regionkey"]} for r in rows],
+            schema=sch),
+        os.path.join(root, "part0.parquet"))
+
+    schema_string = json.dumps({"type": "struct", "fields": [
+        {"name": "n_nationkey", "type": "long", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 1,
+                      "delta.columnMapping.physicalName": "col-1f0a"}},
+        {"name": "n_name", "type": "string", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 2,
+                      "delta.columnMapping.physicalName": "col-2b1c"}},
+        {"name": "n_regionkey", "type": "long", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 3,
+                      "delta.columnMapping.physicalName": "col-3c2d"}},
+    ]})
+    actions = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {"id": "cm-fixture", "schemaString": schema_string,
+                      "partitionColumns": [],
+                      "format": {"provider": "parquet"},
+                      "configuration": {
+                          "delta.columnMapping.mode": "name"}}},
+        {"add": {"path": "part0.parquet", "partitionValues": {},
+                 "size": 1, "modificationTime": 0, "dataChange": True}},
+    ]
+    with open(os.path.join(root, "_delta_log", f"{0:020d}.json"), "w") as fh:
+        fh.write("\n".join(json.dumps(a) for a in actions))
+    return read_delta(spark, root).select(
+        "n_nationkey", "n_name", "n_regionkey")

@@ -940,7 +940,7 @@ def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = S.ivf_centroids(emb, nlist=8)
     flagged = S.semantic_dedup(emb, cents, threshold=0.42, exact=True)
     return (
-        flagged.groupBy("cluster")
+        flagged.groupBy(F.col("cluster").cast("long").alias("cluster"))
         .agg(
             F.count(F.lit(1)).alias("n_members"),
             F.sum(F.col("is_dup").cast("long")).alias("n_dups"),

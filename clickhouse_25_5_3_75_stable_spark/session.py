@@ -54,6 +54,11 @@ def get_spark(
         # indexes (src/Storages/MergeTree/MergeTreeWhereOptimizer.h:26).
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
+        # Iceberg-spec column resolution: when a requested schema
+        # carries parquet.field.id metadata (sources/datalake.py
+        # read_iceberg), match parquet columns by FIELD ID so renamed
+        # columns read correctly; inert for all other reads
+        .config("spark.sql.parquet.fieldId.read.enabled", "true")
         # 128 MB split target — analogous to mark-granularity scan
         # parallelism (src/Storages/MergeTree/MergeTreeSettings.cpp:66).
         .config("spark.sql.files.maxPartitionBytes", "134217728")

@@ -18,11 +18,14 @@ the same approach the reference's own C++ lake readers take:
 - :func:`read_delta` replays the Delta transaction log (JSON commits
   + checkpoint parquet; adds minus removes; schema from metaData;
   partition columns restored from partitionValues; VERSION AS OF) —
-  correct under deletes/updates/OPTIMIZE, refusing protocol features
-  beyond reader v1 (deletion vectors, column mapping).
+  correct under deletes/updates/OPTIMIZE; round-9 adds columnMapping
+  (name + id modes). Deletion vectors refuse (the reference also
+  lacks them at this snapshot).
 - :func:`read_iceberg` replays Iceberg metadata (metadata JSON →
   manifest-list Avro → manifest Avro via sources/avro_fmt.py →
-  live data files; snapshot time travel) — refusing v2 delete files.
+  live data files; snapshot time travel). Round-9: v2 POSITION
+  deletes replay exactly and parquet columns resolve by FIELD ID
+  (schema evolution); equality deletes refuse.
 - :func:`read_lake_fallback` remains the last-resort RAW parquet scan,
   correct ONLY for never-mutated tables, and says so.
 """
@@ -84,7 +87,8 @@ def read_lake_fallback(spark: SparkSession, path: str) -> DataFrame:
 
 class DeltaProtocolError(RuntimeError):
     """The table needs reader features this replay doesn't implement
-    (deletion vectors, column mapping, protocol v2+)."""
+    (deletion vectors; nested column mapping; reader v3 features
+    beyond columnMapping/timestampNtz)."""
 
 
 def _delta_snapshot(path: str, version: int | None = None):
@@ -130,6 +134,10 @@ def _delta_snapshot(path: str, version: int | None = None):
         nonlocal metadata, protocol
         if "add" in action and action["add"]:
             a = action["add"]
+            if a.get("deletionVector"):
+                raise DeltaProtocolError(
+                    "add action carries a deletionVector — needs the "
+                    "delta-spark connector (read_lake)")
             files[a["path"]] = a.get("partitionValues") or {}
         elif "remove" in action and action["remove"]:
             files.pop(action["remove"]["path"], None)
@@ -157,19 +165,20 @@ def _delta_snapshot(path: str, version: int | None = None):
                 if line:
                     apply(json.loads(line))
 
-    if protocol and protocol.get("minReaderVersion", 1) > 1:
-        feats = protocol.get("readerFeatures") or []
-        raise DeltaProtocolError(
-            f"Delta table needs minReaderVersion="
-            f"{protocol['minReaderVersion']} (features {feats}) — deletion "
-            "vectors/column mapping need the delta-spark connector "
-            "(read_lake)")
+    if protocol:
+        mrv = protocol.get("minReaderVersion", 1)
+        feats = set(protocol.get("readerFeatures") or [])
+        # round-9: columnMapping is implemented (the reference reads
+        # physical names too — DeltaLakeMetadata.cpp:366); reader v2
+        # exists FOR column mapping, v3 gates by feature list
+        unsupported = feats - {"columnMapping", "timestampNtz"}
+        if mrv > 3 or (mrv == 3 and unsupported):
+            raise DeltaProtocolError(
+                f"Delta table needs minReaderVersion={mrv} "
+                f"(features {sorted(unsupported) or feats}) — needs the "
+                "delta-spark connector (read_lake)")
     if metadata is None:
         raise ValueError(f"{path}: no metaData action found in the log")
-    if (metadata.get("configuration") or {}).get(
-            "delta.columnMapping.mode", "none") != "none":
-        raise DeltaProtocolError(
-            "delta.columnMapping.mode != none needs the connector")
     return files, metadata, protocol, target
 
 
@@ -183,8 +192,11 @@ def read_delta(
     schema from metaData.schemaString, partition columns restored from
     each add's partitionValues. `version` = time travel (VERSION AS OF).
     Correct under deletes/updates/OPTIMIZE — the cases the raw-parquet
-    fallback rejects; refuses tables whose protocol needs reader
-    features beyond v1 (deletion vectors, column mapping)."""
+    fallback rejects. Round-9: columnMapping (name and id modes) reads
+    exactly — physical-name aliasing / parquet-field-id matching, the
+    same resolution the reference does (DeltaLakeMetadata.cpp:366).
+    Still refuses deletion vectors (a capability the reference also
+    lacks at this snapshot)."""
     import json
     import os
     from decimal import Decimal
@@ -193,19 +205,70 @@ def read_delta(
     from pyspark.sql.types import StructType
 
     files, metadata, _proto, _v = _delta_snapshot(path, version)
-    schema = StructType.fromJson(json.loads(metadata["schemaString"]))
+    schema_json = json.loads(metadata["schemaString"])
+    schema = StructType.fromJson(schema_json)
     part_cols = metadata.get("partitionColumns") or []
+
+    # Column mapping (round-9; the protocol's delta.columnMapping.mode
+    # — the reference resolves physical names the same way,
+    # DeltaLakeMetadata.cpp:366): 'name' mode stores parquet columns
+    # under physicalName (read physical, alias logical); 'id' mode
+    # resolves by parquet field id (the same native field-id read path
+    # as read_iceberg). Top-level columns only — nested mapped structs
+    # refuse with the connector recipe.
+    cm_mode = (metadata.get("configuration") or {}).get(
+        "delta.columnMapping.mode", "none")
+    phys_of: dict[str, str] = {}
+    fid_of: dict[str, int] = {}
+    if cm_mode != "none":
+        for fj in schema_json.get("fields", []):
+            md = fj.get("metadata") or {}
+            phys_of[fj["name"]] = md.get(
+                "delta.columnMapping.physicalName", fj["name"])
+            if "delta.columnMapping.id" in md:
+                fid_of[fj["name"]] = int(md["delta.columnMapping.id"])
+            if isinstance(fj.get("type"), dict) and \
+                    fj["type"].get("type") == "struct":
+                raise DeltaProtocolError(
+                    "column mapping over NESTED struct fields needs the "
+                    "delta-spark connector (read_lake)")
+    else:
+        phys_of = {f.name: f.name for f in schema.fields}
+
     data_fields = [f for f in schema.fields if f.name not in part_cols]
-    data_schema = StructType(data_fields)
+
+    from pyspark.sql.types import StructField
+
+    if cm_mode == "id" and all(f.name in fid_of for f in data_fields):
+        # logical names directly; parquet columns matched by field id
+        data_schema = StructType([
+            StructField(f.name, f.dataType, True,
+                        {"parquet.field.id": fid_of[f.name]})
+            for f in data_fields
+        ])
+        rename_after = {}
+    else:
+        data_schema = StructType([
+            StructField(phys_of.get(f.name, f.name), f.dataType, True)
+            for f in data_fields
+        ])
+        rename_after = {
+            phys_of[f.name]: f.name for f in data_fields
+            if phys_of.get(f.name, f.name) != f.name
+        }
 
     if not files:
         return spark.createDataFrame([], schema)
 
     # group files by partition tuple; one scan per group with literal
-    # partition columns (robust even for non-hive file layouts)
+    # partition columns (robust even for non-hive file layouts).
+    # partitionValues keys are PHYSICAL names under column mapping.
     groups: dict[tuple, list[str]] = {}
     for rel, pvals in files.items():
-        key = tuple((c, pvals.get(c)) for c in part_cols)
+        key = tuple(
+            (c, pvals.get(phys_of.get(c, c), pvals.get(c)))
+            for c in part_cols
+        )
         groups.setdefault(key, []).append(os.path.join(path, rel))
 
     def lit_cast(name: str, raw):
@@ -220,6 +283,8 @@ def read_delta(
     parts = []
     for key, paths in groups.items():
         df = spark.read.schema(data_schema).parquet(*paths)
+        for phys, logical in rename_after.items():
+            df = df.withColumnRenamed(phys, logical)
         for c, raw in key:
             df = df.withColumn(c, lit_cast(c, raw))
         parts.append(df.select(*[f.name for f in schema.fields]))
@@ -366,12 +431,19 @@ def read_iceberg(
     """Iceberg snapshot read by pure metadata replay: metadata JSON →
     manifest-list Avro → manifest Avro → live data files (status != 2)
     → parquet scan with the Iceberg schema. `snapshot_id` = time
-    travel. Refuses tables with delete manifests (v2 merge-on-read
-    needs the connector), like the reference's Iceberg reader did
-    before it grew positional-delete support."""
+    travel. Round 9: v2 merge-on-read POSITION deletes replay exactly
+    (delete manifests → (file_path, pos) parquet rows → anti-join on
+    Spark's vectorized `_metadata.row_index`), implemented from the
+    public Iceberg spec — a capability SUPERSET of the reference,
+    which refuses all v2 deletes
+    (src/Storages/ObjectStorage/DataLakes/Iceberg/ManifestFile.cpp:190).
+    EQUALITY deletes (content=2) still refuse — their sequence-number
+    scoping needs the connector."""
     from clickhouse_25_5_3_75_stable_spark.sources.avro_fmt import (
         _decode_container,
     )
+
+    from pyspark.sql import functions as F
 
     _meta, snap, schema = _ice_metadata(path, snapshot_id)
     ddl = ", ".join(
@@ -382,11 +454,9 @@ def read_iceberg(
     mlist_path = _ice_resolve(path, snap["manifest-list"])
     _, mlist_rows = _decode_container(open(mlist_path, "rb").read())
     data_files: list[str] = []
-    for m in mlist_rows:
-        if (m.get("content") or 0) == 1:
-            raise IcebergProtocolError(
-                "table has DELETE manifests (v2 merge-on-read) — needs the "
-                "iceberg-spark-runtime connector (read_lake)")
+    pos_delete_files: list[str] = []
+
+    def _scan_manifest(m):
         man_path = _ice_resolve(path, m["manifest_path"].decode()
                                 if isinstance(m["manifest_path"], bytes)
                                 else m["manifest_path"])
@@ -395,9 +465,7 @@ def read_iceberg(
             if e["status"] == 2:  # DELETED
                 continue
             df_info = e["data_file"]
-            if (df_info.get("content") or 0) != 0:
-                raise IcebergProtocolError(
-                    "delete files present — needs the connector")
+            content = df_info.get("content") or 0
             fp = df_info["file_path"]
             fp = fp.decode() if isinstance(fp, bytes) else fp
             fmt = df_info.get("file_format", "PARQUET")
@@ -405,10 +473,97 @@ def read_iceberg(
             if fmt.upper() != "PARQUET":
                 raise IcebergProtocolError(
                     f"data file format {fmt} unsupported without the connector")
-            data_files.append(_ice_resolve(path, fp))
+            if content == 0:
+                data_files.append(_ice_resolve(path, fp))
+            elif content == 1:
+                # POSITION deletes (spec v2 §Position Delete Files:
+                # rows of (file_path, pos)). A delete row names an
+                # immutable data-file path, so unconditional
+                # application is exact — sequence-number scoping only
+                # matters for equality deletes.
+                pos_delete_files.append(_ice_resolve(path, fp))
+            else:
+                raise IcebergProtocolError(
+                    "EQUALITY delete files present (content=2) — their "
+                    "sequence-number scoping needs the "
+                    "iceberg-spark-runtime connector (read_lake)")
+
+    for m in mlist_rows:
+        _scan_manifest(m)
     if not data_files:
         return spark.createDataFrame([], ddl)
-    return spark.read.schema(ddl).parquet(*data_files)
+
+    # Schema evolution (Iceberg spec: parquet columns resolve by FIELD
+    # ID, so renames are metadata-only): files that carry
+    # PARQUET:field_id read through Spark's native field-id matching
+    # (a StructType whose fields carry parquet.field.id metadata +
+    # spark.sql.parquet.fieldId.read.enabled, set in session.py);
+    # id-less files (e.g. migrated tables without a name mapping) fall
+    # back to by-name resolution. The reference refuses neither nor —
+    # it resolves by id via its SchemaProcessor
+    # (Iceberg/SchemaProcessor cited in IcebergMetadata.h).
+    import pyarrow.parquet as pq
+    from pyspark.sql.types import StructField, StructType
+    from pyspark.sql.types import _parse_datatype_string
+
+    id_schema = StructType([
+        StructField(
+            f["name"],
+            _parse_datatype_string(_ice_type_to_spark(f["type"])),
+            True,
+            {"parquet.field.id": int(f["id"])},
+        )
+        for f in schema["fields"]
+    ])
+
+    def _has_field_ids(fp: str) -> bool:
+        try:
+            sch = pq.read_schema(fp)
+        except Exception:
+            return False
+        return all(
+            f.metadata is not None and b"PARQUET:field_id" in f.metadata
+            for f in sch
+        )
+
+    id_files = [f for f in data_files if _has_field_ids(f)]
+    name_files = [f for f in data_files if f not in set(id_files)]
+    norm = lambda c: F.regexp_replace(c, "^file:/*", "/")  # noqa: E731
+
+    def _scan(files, read_schema):
+        r = spark.read.schema(read_schema).parquet(*files)
+        if pos_delete_files:
+            r = r.select(
+                "*",
+                norm(F.col("_metadata.file_path")).alias("__ice_fp"),
+                F.col("_metadata.row_index").alias("__ice_pos"),
+            )
+        return r
+
+    parts = []
+    if id_files:
+        parts.append(_scan(id_files, id_schema))
+    if name_files:
+        parts.append(_scan(name_files, ddl))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    if pos_delete_files:
+        # merge-on-read: anti-join on (file, row position). Spark's
+        # _metadata.row_index gives the exact in-file position from the
+        # vectorized reader — no UDF, no per-file collect; the delete
+        # set shuffles once and broadcasts when small (AQE).
+        dels = (
+            spark.read.parquet(*pos_delete_files)
+            .select(
+                norm(F.col("file_path")).alias("__ice_fp"),
+                F.col("pos").cast("long").alias("__ice_pos"),
+            )
+        )
+        out = out.join(dels, ["__ice_fp", "__ice_pos"], "left_anti").drop(
+            "__ice_fp", "__ice_pos"
+        )
+    return out
 
 
 def iceberg_snapshots(spark: SparkSession, path: str) -> DataFrame:

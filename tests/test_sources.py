@@ -1016,3 +1016,263 @@ def test_system_asynchronous_inserts_buffer_state(spark, tmp_path):
         ).collect()[0].n == 0
     finally:
         BUFFER_TABLES.remove(buf)
+
+
+def test_iceberg_v2_positional_deletes(spark, tmp_path):
+    """Round-9 Iceberg v2 merge-on-read: a delete manifest whose
+    position-delete parquet removes exact (file_path, pos) rows; the
+    replay anti-joins on Spark's _metadata.row_index. Equality deletes
+    (content=2) still refuse with the connector recipe."""
+    import glob
+    import json
+    import os
+    import shutil
+
+    from clickhouse_25_5_3_75_stable_spark.sources.datalake import (
+        IcebergProtocolError,
+        read_iceberg,
+    )
+
+    root = str(tmp_path / "itable2")
+    os.makedirs(f"{root}/metadata")
+    os.makedirs(f"{root}/data")
+
+    def write_file(rel, rows, ddl):
+        df = spark.createDataFrame(rows, ddl)
+        df.coalesce(1).write.mode("overwrite").parquet(f"{root}/_tmp")
+        src = glob.glob(f"{root}/_tmp/part-*.parquet")[0]
+        shutil.copy(src, f"{root}/{rel}")
+        shutil.rmtree(f"{root}/_tmp")
+
+    write_file("data/f0.parquet",
+               [(1, "a"), (2, "b"), (3, "c")], "id long, name string")
+    write_file("data/f1.parquet", [(4, "d"), (5, "e")], "id long, name string")
+    # position deletes: f0 row 1 ('b') and f1 row 0 ('d')
+    write_file("data/del0.parquet",
+               [(f"file://{root}/data/f0.parquet", 1),
+                (f"file://{root}/data/f1.parquet", 0)],
+               "file_path string, pos long")
+
+    man_schema = {
+        "type": "record", "name": "manifest_entry", "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "data_file", "type": {
+                "type": "record", "name": "r2", "fields": [
+                    {"name": "content", "type": "int"},
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {"name": "record_count", "type": "long"},
+                ]}},
+        ]}
+    mlist_schema = {
+        "type": "record", "name": "manifest_file", "fields": [
+            {"name": "manifest_path", "type": "string"},
+            {"name": "manifest_length", "type": "long"},
+            {"name": "content", "type": "int"},
+        ]}
+
+    def entry(rel, n, content=0):
+        return {"status": 1, "data_file": {
+            "content": content, "file_path": f"file://{root}/data/{rel}",
+            "file_format": "PARQUET", "record_count": n}}
+
+    open(f"{root}/metadata/m_data.avro", "wb").write(_avro_blob(
+        [entry("f0.parquet", 3), entry("f1.parquet", 2)], man_schema))
+    open(f"{root}/metadata/m_del.avro", "wb").write(_avro_blob(
+        [entry("del0.parquet", 2, content=1)], man_schema))
+    open(f"{root}/metadata/ml.avro", "wb").write(_avro_blob(
+        [{"manifest_path": f"file://{root}/metadata/m_data.avro",
+          "manifest_length": 1, "content": 0},
+         {"manifest_path": f"file://{root}/metadata/m_del.avro",
+          "manifest_length": 1, "content": 1}], mlist_schema))
+
+    meta = {
+        "format-version": 2, "table-uuid": "u-2",
+        "location": f"file://{root}", "current-snapshot-id": 1,
+        "schemas": [{"schema-id": 0, "type": "struct", "fields": [
+            {"id": 1, "name": "id", "required": False, "type": "long"},
+            {"id": 2, "name": "name", "required": False, "type": "string"},
+        ]}],
+        "current-schema-id": 0,
+        "snapshots": [{"snapshot-id": 1, "timestamp-ms": 1700000000000,
+                       "manifest-list": f"file://{root}/metadata/ml.avro",
+                       "summary": {"operation": "overwrite"}}],
+    }
+    json.dump(meta, open(f"{root}/metadata/v1.metadata.json", "w"))
+    open(f"{root}/metadata/version-hint.text", "w").write("1")
+
+    rows = sorted((r.id, r.name) for r in read_iceberg(spark, root).collect())
+    assert rows == [(1, "a"), (3, "c"), (5, "e")]
+
+    # equality deletes still refuse
+    open(f"{root}/metadata/m_del.avro", "wb").write(_avro_blob(
+        [entry("del0.parquet", 2, content=2)], man_schema))
+    try:
+        read_iceberg(spark, root).collect()
+        raise AssertionError("expected refusal")
+    except IcebergProtocolError as e:
+        assert "EQUALITY" in str(e)
+
+
+def test_iceberg_schema_evolution_rename(spark, tmp_path):
+    """Iceberg resolves parquet columns by FIELD ID (spec §Schemas):
+    a file written under the OLD column name must read under the
+    CURRENT name when it carries PARQUET:field_id metadata; id-less
+    files fall back to by-name resolution in the same table."""
+    import json
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from clickhouse_25_5_3_75_stable_spark.sources.datalake import read_iceberg
+
+    root = str(tmp_path / "itable3")
+    os.makedirs(f"{root}/metadata")
+    os.makedirs(f"{root}/data")
+
+    # f0: written when field 2 was named 'wage', WITH field ids
+    sch_ids = pa.schema([
+        pa.field("id", pa.int64(), metadata={b"PARQUET:field_id": b"1"}),
+        pa.field("wage", pa.int64(), metadata={b"PARQUET:field_id": b"2"}),
+    ])
+    pq.write_table(pa.Table.from_pylist(
+        [{"id": 1, "wage": 100}, {"id": 2, "wage": 200}], schema=sch_ids),
+        f"{root}/data/f0.parquet")
+    # f1: id-less file already using the current name (name fallback)
+    sch_plain = pa.schema([("id", pa.int64()), ("salary", pa.int64())])
+    pq.write_table(pa.Table.from_pylist(
+        [{"id": 3, "salary": 300}], schema=sch_plain),
+        f"{root}/data/f1.parquet")
+
+    man_schema = {
+        "type": "record", "name": "manifest_entry", "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "data_file", "type": {
+                "type": "record", "name": "r2", "fields": [
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {"name": "record_count", "type": "long"},
+                ]}},
+        ]}
+    mlist_schema = {
+        "type": "record", "name": "manifest_file", "fields": [
+            {"name": "manifest_path", "type": "string"},
+            {"name": "manifest_length", "type": "long"},
+        ]}
+    open(f"{root}/metadata/m.avro", "wb").write(_avro_blob(
+        [{"status": 1, "data_file": {
+            "file_path": f"file://{root}/data/f0.parquet",
+            "file_format": "PARQUET", "record_count": 2}},
+         {"status": 1, "data_file": {
+            "file_path": f"file://{root}/data/f1.parquet",
+            "file_format": "PARQUET", "record_count": 1}}], man_schema))
+    open(f"{root}/metadata/ml.avro", "wb").write(_avro_blob(
+        [{"manifest_path": f"file://{root}/metadata/m.avro",
+          "manifest_length": 1}], mlist_schema))
+
+    meta = {
+        "format-version": 2, "table-uuid": "u-3",
+        "location": f"file://{root}", "current-snapshot-id": 1,
+        # CURRENT schema: field 2 renamed wage -> salary
+        "schemas": [{"schema-id": 0, "type": "struct", "fields": [
+            {"id": 1, "name": "id", "required": False, "type": "long"},
+            {"id": 2, "name": "salary", "required": False, "type": "long"},
+        ]}],
+        "current-schema-id": 0,
+        "snapshots": [{"snapshot-id": 1, "timestamp-ms": 1700000000000,
+                       "manifest-list": f"file://{root}/metadata/ml.avro",
+                       "summary": {"operation": "append"}}],
+    }
+    json.dump(meta, open(f"{root}/metadata/v1.metadata.json", "w"))
+    open(f"{root}/metadata/version-hint.text", "w").write("1")
+
+    rows = sorted((r.id, r.salary)
+                  for r in read_iceberg(spark, root).collect())
+    assert rows == [(1, 100), (2, 200), (3, 300)]
+
+
+def _delta_cm_fixture(spark, root, mode):
+    """Hand-built Delta table with columnMapping per PROTOCOL.md:
+    parquet columns live under physicalName (col-uuid-ish), the
+    logical schema maps via field metadata; partitionValues keys are
+    physical names."""
+    import json
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(f"{root}/_delta_log")
+    sch = pa.schema([
+        pa.field("col-aaa1", pa.int64(),
+                 metadata={b"PARQUET:field_id": b"1"}),
+        pa.field("col-bbb2", pa.string(),
+                 metadata={b"PARQUET:field_id": b"2"}),
+    ])
+    pq.write_table(pa.Table.from_pylist(
+        [{"col-aaa1": 1, "col-bbb2": "x"},
+         {"col-aaa1": 2, "col-bbb2": "y"}], schema=sch),
+        f"{root}/part0.parquet")
+    schema_string = json.dumps({"type": "struct", "fields": [
+        {"name": "id", "type": "long", "nullable": True, "metadata": {
+            "delta.columnMapping.id": 1,
+            "delta.columnMapping.physicalName": "col-aaa1"}},
+        {"name": "label", "type": "string", "nullable": True, "metadata": {
+            "delta.columnMapping.id": 2,
+            "delta.columnMapping.physicalName": "col-bbb2"}},
+        {"name": "part", "type": "string", "nullable": True, "metadata": {
+            "delta.columnMapping.id": 3,
+            "delta.columnMapping.physicalName": "col-ccc3"}},
+    ]})
+    actions = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {
+            "id": "m-1", "schemaString": schema_string,
+            "partitionColumns": ["part"], "format": {"provider": "parquet"},
+            "configuration": {"delta.columnMapping.mode": mode}}},
+        {"add": {"path": "part0.parquet",
+                 "partitionValues": {"col-ccc3": "p0"},
+                 "size": 1, "modificationTime": 0, "dataChange": True}},
+    ]
+    with open(f"{root}/_delta_log/{0:020d}.json", "w") as fh:
+        fh.write("\n".join(json.dumps(a) for a in actions))
+
+
+def test_delta_column_mapping_name_and_id_modes(spark, tmp_path):
+    """Round-9 Delta columnMapping: logical names come back from
+    physical parquet columns in BOTH modes; partition values resolve
+    through physical keys; deletion vectors still refuse."""
+    import json
+
+    from clickhouse_25_5_3_75_stable_spark.sources.datalake import (
+        DeltaProtocolError,
+        read_delta,
+    )
+
+    for mode in ("name", "id"):
+        root = str(tmp_path / f"dl_{mode}")
+        _delta_cm_fixture(spark, root, mode)
+        rows = sorted(
+            (r.id, r.label, r.part)
+            for r in read_delta(spark, root).collect()
+        )
+        assert rows == [(1, "x", "p0"), (2, "y", "p0")], mode
+
+    # deletion vectors refuse with the connector recipe
+    root = str(tmp_path / "dl_dv")
+    _delta_cm_fixture(spark, root, "name")
+    log = f"{root}/_delta_log/{0:020d}.json"
+    actions = [json.loads(line) for line in open(log)]
+    actions.append({"add": {
+        "path": "part0.parquet", "partitionValues": {"col-ccc3": "p1"},
+        "size": 1, "modificationTime": 0, "dataChange": True,
+        "deletionVector": {"storageType": "u", "pathOrInlineDv": "x",
+                            "offset": 1, "sizeInBytes": 1,
+                            "cardinality": 1}}})
+    open(log, "w").write("\n".join(json.dumps(a) for a in actions))
+    try:
+        read_delta(spark, root).collect()
+        raise AssertionError("expected refusal")
+    except DeltaProtocolError as e:
+        assert "deletionVector" in str(e)
