@@ -969,3 +969,125 @@ def system_tables_round9_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("kind", "name")
+
+
+@register(
+    "system_tables_final_batch",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('dropped_parts', 'parked_rows_parts', '7:2'),
+      ('empty_tier', 'asynchronous_loader', '0'),
+      ('empty_tier', 'distributed_ddl_queue', '0'),
+      ('empty_tier', 'filesystem_cache_settings', '0'),
+      ('empty_tier', 'graphite_retentions', '0'),
+      ('empty_tier', 'histogram_metrics', '0'),
+      ('empty_tier', 'jemalloc_bins', '0'),
+      ('empty_tier', 'resources', '0'),
+      ('empty_tier', 'rocksdb', '0'),
+      ('empty_tier', 'scheduler', '0'),
+      ('empty_tier', 'symbols', '0'),
+      ('empty_tier', 'workloads', '0'),
+      ('empty_tier', 'zookeeper', '0'),
+      ('generator', 'numbers_mt_sum10', '45'),
+      ('generator', 'zeros_mt_5', '0:5'),
+      ('iceberg', 'history_rows_ancestors', '3:2'),
+      ('latency', 'n_events', '14'),
+      ('latency', 's3connect_bounds', '9:100:1500000')
+    ) AS t(kind, name, detail) ORDER BY kind, name
+    """,
+    tags=("system", "introspection"),
+)
+def system_tables_final_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-9 FINAL system-tables batch — with these, EVERY table the
+    reference registers in attachSystemTables.cpp resolves on the SQL
+    route (100/100). Real-content tier: numbers_mt/zeros_mt
+    generators, latency_buckets (APPLY_FOR_LATENCY_EVENTS bounds),
+    dropped_tables_parts over a parked DROP fixture, iceberg_history
+    parent-chain ancestry over a metadata fixture; empty tier
+    (asynchronous_loader, distributed_ddl_queue,
+    filesystem_cache_settings, graphite_retentions, histogram_metrics,
+    jemalloc_bins, resources, rocksdb, scheduler, symbols, workloads,
+    zookeeper) is empty by construction in a single-process library
+    engine, with the reference column sets."""
+    import json
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from clickhouse_25_5_3_75_stable_spark.chsql import ch_sql
+    from clickhouse_25_5_3_75_stable_spark.sources.system_tables import (
+        system_dropped_tables_parts,
+        system_iceberg_history_catalog,
+    )
+
+    rows = []
+    z = ch_sql(spark, """
+        SELECT sum(zero) AS s, count() AS c
+        FROM (SELECT zero FROM system.zeros_mt LIMIT 5)
+    """).collect()[0]
+    n = ch_sql(spark, """
+        SELECT sum(number) AS s
+        FROM (SELECT number FROM system.numbers_mt LIMIT 10)
+    """).collect()[0][0]
+    rows.append(("generator", "numbers_mt_sum10", str(n)))
+    rows.append(("generator", "zeros_mt_5", f"{z[0]}:{z[1]}"))
+
+    lat = ch_sql(spark, "SELECT * FROM system.latency_buckets").collect()[0]
+    s3c = lat["LatencyEvent_S3ConnectMicroseconds"]
+    rows.append(("latency", "n_events", str(len(lat))))
+    rows.append(("latency", "s3connect_bounds",
+                 f"{len(s3c)}:{s3c[0]}:{s3c[-1]}"))
+
+    with tempfile.TemporaryDirectory() as tmp:
+        park = os.path.join(tmp, "_dropped", "t1.1700000000000000000")
+        os.makedirs(park)
+        spark.range(3).coalesce(1).write.parquet(os.path.join(park, "p0"))
+        spark.range(4).coalesce(1).write.parquet(os.path.join(park, "p1"))
+        # direct builder call: the fixture lives in tmp, not the
+        # catalog dir the SQL route registers views over
+        got = system_dropped_tables_parts(spark, tmp).agg(
+            F.sum("rows").alias("r"), F.count(F.lit(1)).alias("p")
+        ).collect()[0]
+        rows.append(("dropped_parts", "parked_rows_parts",
+                     f"{got[0]}:{got[1]}"))
+
+        ice = os.path.join(tmp, "ice_t", "metadata")
+        os.makedirs(ice)
+        meta = {
+            "format-version": 2, "table-uuid": "hist-fixture",
+            "location": f"file://{tmp}/ice_t", "current-snapshot-id": 3,
+            "schemas": [{"schema-id": 0, "type": "struct", "fields": []}],
+            "current-schema-id": 0,
+            "snapshots": [
+                {"snapshot-id": 1, "timestamp-ms": 1700000000000},
+                {"snapshot-id": 2, "timestamp-ms": 1700000001000,
+                 "parent-snapshot-id": 1},
+                # snapshot 3 descends from 1: 2 is NOT a current ancestor
+                {"snapshot-id": 3, "timestamp-ms": 1700000002000,
+                 "parent-snapshot-id": 1},
+            ],
+        }
+        json.dump(meta, open(os.path.join(ice, "v1.metadata.json"), "w"))
+        open(os.path.join(ice, "version-hint.text"), "w").write("1")
+        hist = system_iceberg_history_catalog(spark, tmp).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("is_current_ancestor").cast("long")).alias("anc"),
+        ).collect()[0]
+        rows.append(("iceberg", "history_rows_ancestors",
+                     f"{hist[0]}:{hist[1]}"))
+
+    for tname in ("asynchronous_loader", "distributed_ddl_queue",
+                  "filesystem_cache_settings", "graphite_retentions",
+                  "histogram_metrics", "jemalloc_bins", "resources",
+                  "rocksdb", "scheduler", "symbols", "workloads",
+                  "zookeeper"):
+        c = ch_sql(
+            spark, f"SELECT count() AS n FROM system.{tname}"
+        ).collect()[0][0]
+        rows.append(("empty_tier", tname, str(c)))
+
+    return (
+        spark.createDataFrame(rows, "kind string, name string, detail string")
+        .orderBy("kind", "name")
+    )

@@ -2025,6 +2025,300 @@ def system_quotas_usage(spark: SparkSession) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-9 FINAL batch: the last 17 names from the reference's
+# attachSystemTables.cpp registration list. With these, every table
+# the reference registers at startup resolves on the SQL route.
+# ---------------------------------------------------------------------------
+
+
+def system_iceberg_history_catalog(spark: SparkSession, base_dir: str) -> DataFrame:
+    """system.iceberg_history (reference
+    src/Storages/System/StorageSystemIcebergHistory.cpp): snapshot
+    history of every Iceberg table in the catalog. REAL content: any
+    directory under the data dir with metadata/version-hint.text is an
+    Iceberg table; each is replayed via datalake.iceberg_history
+    (parent-chain ancestry included)."""
+    from clickhouse_25_5_3_75_stable_spark.sources.datalake import (
+        iceberg_history,
+    )
+
+    out = None
+    if os.path.isdir(base_dir):
+        for entry in sorted(os.listdir(base_dir)):
+            hint = os.path.join(base_dir, entry, "metadata",
+                                "version-hint.text")
+            if os.path.exists(hint):
+                df = iceberg_history(spark, os.path.join(base_dir, entry))
+                out = df if out is None else out.unionByName(df)
+    if out is not None:
+        return out
+    return _empty(
+        spark,
+        "database string, table string, made_current_at timestamp, "
+        "snapshot_id long, parent_id long, is_current_ancestor boolean",
+    )
+
+
+def system_dropped_tables_parts(spark: SparkSession, base_dir: str) -> DataFrame:
+    """system.dropped_tables_parts (reference
+    src/Storages/System/StorageSystemDroppedTablesParts.h — the
+    system.parts column core over dropped-but-parked tables). REAL
+    content: parquet footers of parts inside the `_dropped/<name>.<ns>`
+    parking area ddl.drop_table writes (awaiting UNDROP/GC)."""
+    import datetime
+
+    import pyarrow.parquet as pq
+
+    rows = []
+    park = os.path.join(base_dir, "_dropped")
+    if os.path.isdir(park):
+        for d in sorted(os.listdir(park)):
+            name = d.rpartition(".")[0] or d
+            tdir = os.path.join(park, d)
+            parts = []
+            for root, _dirs, fnames in os.walk(tdir):
+                parts.extend(
+                    os.path.join(root, f) for f in fnames
+                    if f.endswith(".parquet"))
+            for i, p in enumerate(sorted(parts)):
+                meta = pq.read_metadata(p)
+                rel = os.path.relpath(p, tdir)
+                partition = (os.path.dirname(rel) or "all").replace(
+                    os.sep, "/")
+                rows.append((
+                    "default", name, partition, f"{partition}_{i+1}_{i+1}_0",
+                    "Wide", True, meta.num_rows, os.path.getsize(p),
+                    meta.num_row_groups,
+                    datetime.datetime.fromtimestamp(os.path.getmtime(p))
+                    .isoformat(sep=" ", timespec="seconds"),
+                ))
+    return spark.createDataFrame(
+        rows,
+        "database string, table string, partition string, name string, "
+        "part_type string, active boolean, rows bigint, "
+        "bytes_on_disk bigint, marks int, modification_time string",
+    )
+
+
+# The reference's bucket-bound tables for every latency event
+# (src/Common/LatencyBuckets.cpp APPLY_FOR_LATENCY_EVENTS): columns
+# are LatencyEvent_<name> Array(UInt64), one row of bounds.
+_LATENCY_EVENTS = {
+    name: bounds
+    for name, bounds in (
+        [(f"S3FirstByte{rw}Attempt{att}Microseconds",
+          [100, 1000, 10000, 100000, 300000, 500000, 1000000, 2000000,
+           5000000, 10000000, 15000000, 20000000, 25000000, 30000000,
+           35000000])
+         for rw in ("Read", "Write") for att in ("1", "2", "N")]
+        + [("S3ConnectMicroseconds",
+            [100, 1000, 10000, 100000, 200000, 300000, 500000, 1000000,
+             1500000])]
+        + [(f"DiskS3FirstByte{rw}Attempt{att}Microseconds",
+            [100, 1000, 10000, 100000, 300000, 500000, 1000000, 2000000,
+             5000000, 10000000, 15000000, 20000000, 25000000, 30000000,
+             35000000])
+           for rw in ("Read", "Write") for att in ("1", "2", "N")]
+        + [("DiskS3ConnectMicroseconds",
+            [100, 1000, 10000, 100000, 200000, 300000, 500000, 1000000,
+             1500000])]
+    )
+}
+
+
+def system_latency_buckets(spark: SparkSession) -> DataFrame:
+    """system.latency_buckets (reference
+    src/Storages/System/StorageSystemLatencyBuckets.cpp): ONE row whose
+    columns are the configured bucket bounds per latency event —
+    transcribed from the APPLY_FOR_LATENCY_EVENTS defaults."""
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    schema = StructType([
+        StructField(f"LatencyEvent_{name}", ArrayType(LongType()), False)
+        for name in _LATENCY_EVENTS
+    ])
+    return spark.createDataFrame(
+        [tuple(_LATENCY_EVENTS.values())], schema)
+
+
+def system_numbers_mt(spark: SparkSession) -> DataFrame:
+    """system.numbers_mt (attachSystemTables.cpp:131): multithreaded
+    numbers — order not guaranteed; here the same distributed range
+    (Spark ranges are already parallel)."""
+    return system_numbers_unbounded(spark)
+
+
+def system_zeros_mt(spark: SparkSession) -> DataFrame:
+    """system.zeros_mt (attachSystemTables.cpp:133)."""
+    return system_zeros_unbounded(spark)
+
+
+def system_asynchronous_loader(spark: SparkSession) -> DataFrame:
+    """Empty (semantically true: tables load eagerly in library mode —
+    no async loader jobs). Reference StorageSystemAsyncLoader.cpp
+    column set, arrays as CSV per repo convention."""
+    return _empty(
+        spark,
+        "job string, job_id decimal(20,0), dependencies string, "
+        "dependencies_left decimal(20,0), status string, "
+        "is_executing boolean, is_blocked boolean, is_ready boolean, "
+        "elapsed double, pool_id decimal(20,0), pool string, "
+        "priority bigint, execution_pool_id decimal(20,0), "
+        "execution_pool string, execution_priority bigint, "
+        "ready_seqno decimal(20,0), waiters decimal(20,0), "
+        "exception string, schedule_time timestamp, "
+        "enqueue_time timestamp, start_time timestamp, "
+        "finish_time timestamp",
+    )
+
+
+def system_distributed_ddl_queue(spark: SparkSession) -> DataFrame:
+    """Empty: no ON CLUSTER coordination in a single-process engine
+    (reference StorageSystemDDLWorkerQueue.cpp columns)."""
+    return _empty(
+        spark,
+        "entry string, entry_version tinyint, initiator_host string, "
+        "initiator_port int, cluster string, query string, "
+        "settings map<string,string>, query_create_time timestamp, "
+        "host string, port int, status string, exception_code int, "
+        "exception_text string, query_finish_time timestamp, "
+        "query_duration_ms decimal(20,0)",
+    )
+
+
+def system_filesystem_cache_settings(spark: SparkSession) -> DataFrame:
+    """Empty: no filesystem cache configured (reference
+    StorageSystemFilesystemCacheSettings.cpp — columns are
+    FileCacheSettings::getColumnsDescription(): cache_name + every
+    cache setting + runtime size gauges)."""
+    return _empty(
+        spark,
+        "cache_name string, path string, max_size decimal(20,0), "
+        "max_elements decimal(20,0), max_file_segment_size decimal(20,0), "
+        "boundary_alignment decimal(20,0), "
+        "cache_on_write_operations boolean, cache_policy string, "
+        "slru_size_ratio double, background_download_threads decimal(20,0), "
+        "background_download_queue_size_limit decimal(20,0), "
+        "background_download_max_file_segment_size decimal(20,0), "
+        "load_metadata_threads decimal(20,0), "
+        "load_metadata_asynchronously boolean, "
+        "keep_free_space_size_ratio double, "
+        "keep_free_space_elements_ratio double, "
+        "keep_free_space_remove_batch decimal(20,0), "
+        "enable_filesystem_query_cache_limit boolean, "
+        "cache_hits_threshold decimal(20,0), "
+        "enable_bypass_cache_with_threshold boolean, "
+        "bypass_cache_threshold decimal(20,0), "
+        "write_cache_per_user_id_directory boolean, "
+        "allow_dynamic_cache_resize boolean, "
+        "max_size_ratio_to_total_space double, is_initialized boolean, "
+        "current_size decimal(20,0), current_elements_num decimal(20,0)",
+    )
+
+
+def system_graphite_retentions(spark: SparkSession) -> DataFrame:
+    """Empty: no graphite_rollup config (reference
+    StorageSystemGraphite.cpp; Tables.* arrays as CSV)."""
+    return _empty(
+        spark,
+        "config_name string, rule_type string, regexp string, "
+        "function string, age decimal(20,0), precision decimal(20,0), "
+        "priority int, is_default boolean, tables_database string, "
+        "tables_table string",
+    )
+
+
+def system_histogram_metrics(spark: SparkSession) -> DataFrame:
+    """Empty: no keeper, so no histogram metrics are exported
+    (reference StorageSystemHistogramMetrics.cpp)."""
+    return _empty(
+        spark,
+        "metric string, value bigint, description string, "
+        "labels map<string,string>",
+    )
+
+
+def system_jemalloc_bins(spark: SparkSession) -> DataFrame:
+    """Empty: CPython/JVM allocators, not jemalloc (reference
+    StorageSystemJemalloc.cpp)."""
+    return _empty(
+        spark,
+        "index int, large boolean, size decimal(20,0), "
+        "allocations bigint, deallocations bigint",
+    )
+
+
+def system_resources(spark: SparkSession) -> DataFrame:
+    """Empty: no CREATE RESOURCE objects (reference
+    StorageSystemResources.cpp; disk arrays as CSV)."""
+    return _empty(
+        spark,
+        "name string, read_disks string, write_disks string, "
+        "unit string, create_query string",
+    )
+
+
+def system_workloads(spark: SparkSession) -> DataFrame:
+    """Empty: no CREATE WORKLOAD objects (reference
+    StorageSystemWorkloads.cpp)."""
+    return _empty(spark, "name string, parent string, create_query string")
+
+
+def system_scheduler(spark: SparkSession) -> DataFrame:
+    """Empty: Spark's own scheduler replaces the IO scheduling
+    hierarchy; no nodes without resources/workloads (reference
+    StorageSystemScheduler.cpp column core)."""
+    return _empty(
+        spark,
+        "resource string, path string, type string, weight double, "
+        "priority bigint, is_active boolean, "
+        "active_children decimal(20,0), dequeued_requests decimal(20,0), "
+        "canceled_requests decimal(20,0), dequeued_cost bigint, "
+        "throughput double, canceled_cost bigint, "
+        "busy_periods decimal(20,0), vruntime double, "
+        "system_vruntime double, queue_length decimal(20,0), "
+        "queue_cost bigint, budget bigint, is_satisfied boolean, "
+        "inflight_requests bigint, inflight_cost bigint, "
+        "max_requests bigint, max_cost bigint, max_speed double, "
+        "max_burst double, throttling_us bigint, tokens double",
+    )
+
+
+def system_rocksdb(spark: SparkSession) -> DataFrame:
+    """Empty: no EmbeddedRocksDB tables (reference
+    src/Storages/RocksDB/StorageSystemRocksDB.cpp)."""
+    return _empty(
+        spark,
+        "database string, table string, name string, "
+        "value decimal(20,0)",
+    )
+
+
+def system_symbols(spark: SparkSession) -> DataFrame:
+    """Empty: a Python/JVM engine has no native symbol table to walk
+    (reference StorageSystemSymbols.cpp reads the ELF of the running
+    binary)."""
+    return _empty(
+        spark,
+        "symbol string, address_begin decimal(20,0), "
+        "address_end decimal(20,0)",
+    )
+
+
+def system_zookeeper_nodes(spark: SparkSession) -> DataFrame:
+    """Empty: no [Zoo]Keeper (reference StorageSystemZooKeeper.cpp;
+    the reference additionally REQUIRES a WHERE path = ... filter —
+    with no keeper every path resolves to zero rows)."""
+    return _empty(
+        spark,
+        "name string, value string, czxid bigint, mzxid bigint, "
+        "ctime timestamp, mtime timestamp, version int, cversion int, "
+        "aversion int, ephemeralOwner bigint, dataLength int, "
+        "numChildren int, pzxid bigint, path string",
+    )
+
+
+# ---------------------------------------------------------------------------
 # SQL-text access: `SELECT ... FROM system.<name>` (round-6). Spark temp
 # views have no schema qualifier, so ch_sql rewrites `system.X` to
 # `__system_X` and calls materialize_system_views to back each
@@ -2120,6 +2414,24 @@ _SQL_SYSTEM_TABLES = {
     "query_condition_cache": (system_query_condition_cache, False),
     "schema_inference_cache": (system_schema_inference_cache, False),
     "quotas_usage": (system_quotas_usage, False),
+    # round-9 FINAL batch — completes the attachSystemTables.cpp list
+    "numbers_mt": (system_numbers_mt, False),
+    "zeros_mt": (system_zeros_mt, False),
+    "iceberg_history": (system_iceberg_history_catalog, True),
+    "dropped_tables_parts": (system_dropped_tables_parts, True),
+    "latency_buckets": (system_latency_buckets, False),
+    "asynchronous_loader": (system_asynchronous_loader, False),
+    "distributed_ddl_queue": (system_distributed_ddl_queue, False),
+    "filesystem_cache_settings": (system_filesystem_cache_settings, False),
+    "graphite_retentions": (system_graphite_retentions, False),
+    "histogram_metrics": (system_histogram_metrics, False),
+    "jemalloc_bins": (system_jemalloc_bins, False),
+    "resources": (system_resources, False),
+    "workloads": (system_workloads, False),
+    "scheduler": (system_scheduler, False),
+    "rocksdb": (system_rocksdb, False),
+    "symbols": (system_symbols, False),
+    "zookeeper": (system_zookeeper_nodes, False),
 }
 
 _SYSTEM_REF_RE = None

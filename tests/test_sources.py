@@ -1276,3 +1276,56 @@ def test_delta_column_mapping_name_and_id_modes(spark, tmp_path):
         raise AssertionError("expected refusal")
     except DeltaProtocolError as e:
         assert "deletionVector" in str(e)
+
+
+def test_system_tables_complete_vs_attach_list(spark):
+    """Round-9 FINAL: every table the reference registers in
+    attachSystemTables.cpp resolves on the SQL route (100/100)."""
+    import os
+    import re
+
+    import pytest
+
+    from clickhouse_25_5_3_75_stable_spark.sources.system_tables import (
+        _SQL_SYSTEM_TABLES,
+    )
+
+    ref = "/root/reference/src/Storages/System/attachSystemTables.cpp"
+    if not os.path.exists(ref):
+        pytest.skip("reference snapshot absent")
+    names = set(re.findall(
+        r'attach\w*<[^>]+>\(context, \w+, "([^"]+)"', open(ref).read()))
+    assert len(names) >= 100
+    missing = sorted(names - set(_SQL_SYSTEM_TABLES))
+    assert not missing, f"system tables not on the SQL route: {missing}"
+
+
+def test_system_tables_final_batch_builders(spark, tmp_path):
+    """The round-9 final-batch builders: latency_buckets serves the
+    APPLY_FOR_LATENCY_EVENTS bounds; dropped_tables_parts reads parked
+    parquet footers; iceberg_history walks the parent chain; the empty
+    tier serves the reference column sets with zero rows."""
+    from clickhouse_25_5_3_75_stable_spark.sources.system_tables import (
+        system_dropped_tables_parts,
+        system_latency_buckets,
+        system_scheduler,
+        system_zookeeper_nodes,
+    )
+
+    lat = system_latency_buckets(spark)
+    assert len(lat.columns) == 14
+    row = lat.collect()[0]
+    assert row["LatencyEvent_S3ConnectMicroseconds"] == [
+        100, 1000, 10000, 100000, 200000, 300000, 500000, 1000000, 1500000]
+    assert len(row["LatencyEvent_DiskS3FirstByteReadAttempt1Microseconds"]) == 15
+
+    park = tmp_path / "_dropped" / "t9.1700000000000000000"
+    park.mkdir(parents=True)
+    spark.range(6).coalesce(1).write.parquet(str(park / "p0"))
+    parts = system_dropped_tables_parts(spark, str(tmp_path)).collect()
+    assert len(parts) == 1 and parts[0]["rows"] == 6
+    assert parts[0]["table"] == "t9" and parts[0]["active"]
+
+    assert system_scheduler(spark).count() == 0
+    zk = system_zookeeper_nodes(spark)
+    assert zk.count() == 0 and "ephemeralOwner" in zk.columns
