@@ -845,3 +845,112 @@ def lake_delta_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
         fh.write("\n".join(json.dumps(a) for a in actions))
     return read_delta(spark, root).select(
         "n_nationkey", "n_name", "n_regionkey")
+
+
+@register(
+    "lake_iceberg_equality_deletes",
+    # a seq-2 equality delete on n_name removes FRANCE/GERMANY/CHINA
+    # from the seq-1 file; a seq-3 file re-adds FRANCE (nationkey+100)
+    # and must survive the strictly-older scoping
+    oracle=_NATION_ORACLE
+    + " WHERE n_name NOT IN ('FRANCE','GERMANY','CHINA') "
+      "UNION ALL SELECT CAST(n_nationkey AS BIGINT)+100, n_name, "
+      "CAST(n_regionkey AS BIGINT) FROM nation WHERE n_name='FRANCE'",
+    bucket="light",
+    tags=("datalake", "iceberg", "merge_on_read"),
+)
+def lake_iceberg_equality_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg v2 equality deletes end-to-end (round-9): an equality
+    delete file (content=2, equality_ids=[n_name's field id]) at
+    sequence 2 removes matching rows from the seq-1 data file but not
+    from the seq-3 file that re-adds one of the names — the spec's
+    strictly-older scan scoping (capability SUPERSET of the reference,
+    which refuses all v2 deletes: DataLakes/Iceberg/ManifestFile.cpp:190)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from clickhouse_25_5_3_75_stable_spark.sources.avro_fmt import _encode_container
+    from clickhouse_25_5_3_75_stable_spark.sources.datalake import read_iceberg
+
+    rows = _nation_pydict(sf_dir)
+    gone = ("FRANCE", "GERMANY", "CHINA")
+    readd = [
+        {**r, "n_nationkey": r["n_nationkey"] + 100}
+        for r in rows if r["n_name"] == "FRANCE"
+    ]
+    root = os.path.join(tempfile.mkdtemp(prefix="chspark_iceeq_"), "t")
+    os.makedirs(os.path.join(root, "metadata"))
+    os.makedirs(os.path.join(root, "data"))
+
+    _write_rows_parquet(rows, os.path.join(root, "data", "f0.parquet"))
+    _write_rows_parquet(readd, os.path.join(root, "data", "f1.parquet"))
+    pq.write_table(
+        pa.Table.from_pylist(
+            [{"n_name": n} for n in gone],
+            schema=pa.schema([("n_name", pa.string())])),
+        os.path.join(root, "data", "eq0.parquet"))
+
+    man_schema = {
+        "type": "record", "name": "manifest_entry", "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "sequence_number", "type": ["null", "long"]},
+            {"name": "data_file", "type": {
+                "type": "record", "name": "r2", "fields": [
+                    {"name": "content", "type": "int"},
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {"name": "record_count", "type": "long"},
+                    {"name": "equality_ids",
+                     "type": ["null", {"type": "array", "items": "int"}]},
+                ]}},
+        ]}
+    mlist_schema = {
+        "type": "record", "name": "manifest_file", "fields": [
+            {"name": "manifest_path", "type": "string"},
+            {"name": "manifest_length", "type": "long"},
+            {"name": "content", "type": "int"},
+            {"name": "sequence_number", "type": "long"},
+        ]}
+
+    def entry(rel, n, content=0, seq=None, eq_ids=None):
+        return {"status": 1, "sequence_number": seq, "data_file": {
+            "content": content, "file_path": f"file://{root}/data/{rel}",
+            "file_format": "PARQUET", "record_count": n,
+            "equality_ids": eq_ids}}
+
+    open(os.path.join(root, "metadata", "m_d1.avro"), "wb").write(
+        _encode_container([entry("f0.parquet", len(rows))], man_schema))
+    open(os.path.join(root, "metadata", "m_d3.avro"), "wb").write(
+        _encode_container([entry("f1.parquet", len(readd), seq=3)],
+                          man_schema))
+    open(os.path.join(root, "metadata", "m_eq.avro"), "wb").write(
+        _encode_container(
+            [entry("eq0.parquet", len(gone), content=2, seq=2, eq_ids=[2])],
+            man_schema))
+    open(os.path.join(root, "metadata", "ml.avro"), "wb").write(
+        _encode_container(
+            [{"manifest_path": f"file://{root}/metadata/m_d1.avro",
+              "manifest_length": 1, "content": 0, "sequence_number": 1},
+             {"manifest_path": f"file://{root}/metadata/m_d3.avro",
+              "manifest_length": 1, "content": 0, "sequence_number": 3},
+             {"manifest_path": f"file://{root}/metadata/m_eq.avro",
+              "manifest_length": 1, "content": 1, "sequence_number": 2}],
+            mlist_schema))
+
+    meta = {
+        "format-version": 2, "table-uuid": "nation-eq-fixture",
+        "location": f"file://{root}", "current-snapshot-id": 1,
+        "schemas": [{"schema-id": 0, "type": "struct", "fields": [
+            {"id": 1, "name": "n_nationkey", "required": False, "type": "long"},
+            {"id": 2, "name": "n_name", "required": False, "type": "string"},
+            {"id": 3, "name": "n_regionkey", "required": False, "type": "long"},
+        ]}],
+        "current-schema-id": 0,
+        "snapshots": [{"snapshot-id": 1, "timestamp-ms": 1700000000000,
+                       "manifest-list": f"file://{root}/metadata/ml.avro",
+                       "summary": {"operation": "overwrite"}}],
+    }
+    json.dump(meta, open(os.path.join(root, "metadata", "v1.metadata.json"), "w"))
+    open(os.path.join(root, "metadata", "version-hint.text"), "w").write("1")
+    return read_iceberg(spark, root).select(
+        "n_nationkey", "n_name", "n_regionkey")

@@ -433,12 +433,15 @@ def read_iceberg(
     → parquet scan with the Iceberg schema. `snapshot_id` = time
     travel. Round 9: v2 merge-on-read POSITION deletes replay exactly
     (delete manifests → (file_path, pos) parquet rows → anti-join on
-    Spark's vectorized `_metadata.row_index`), implemented from the
-    public Iceberg spec — a capability SUPERSET of the reference,
-    which refuses all v2 deletes
+    Spark's vectorized `_metadata.row_index`), and EQUALITY deletes
+    (content=2) replay for unpartitioned tables with exact
+    sequence-number scoping (a delete removes matching rows only from
+    data files STRICTLY older than it — spec v2 §Scan Planning); both
+    implemented from the public Iceberg spec — a capability SUPERSET
+    of the reference, which refuses all v2 deletes
     (src/Storages/ObjectStorage/DataLakes/Iceberg/ManifestFile.cpp:190).
-    EQUALITY deletes (content=2) still refuse — their sequence-number
-    scoping needs the connector."""
+    Partition-SCOPED equality deletes still refuse (they apply only
+    within their partition; global application would over-delete)."""
     from clickhouse_25_5_3_75_stable_spark.sources.avro_fmt import (
         _decode_container,
     )
@@ -453,13 +456,27 @@ def read_iceberg(
 
     mlist_path = _ice_resolve(path, snap["manifest-list"])
     _, mlist_rows = _decode_container(open(mlist_path, "rb").read())
-    data_files: list[str] = []
+    data_files: list[tuple[str, int]] = []  # (path, data sequence number)
     pos_delete_files: list[str] = []
+    # (path, sequence number, tuple of equality field ids)
+    eq_delete_files: list[tuple[str, int, tuple[int, ...]]] = []
+
+    # Partition-SCOPED equality deletes apply only within their
+    # partition; applying them globally would over-delete. Refuse when
+    # the table is partitioned and equality deletes are present.
+    partitioned = any(
+        (spec.get("fields") or [])
+        for spec in _meta.get("partition-specs") or []
+    )
 
     def _scan_manifest(m):
         man_path = _ice_resolve(path, m["manifest_path"].decode()
                                 if isinstance(m["manifest_path"], bytes)
                                 else m["manifest_path"])
+        # v2 manifest-list rows carry the manifest's sequence number,
+        # inherited by ADDED entries whose own field is null (spec
+        # §Sequence Number Inheritance)
+        man_seq = m.get("sequence_number") or 0
         _, entries = _decode_container(open(man_path, "rb").read())
         for e in entries:
             if e["status"] == 2:  # DELETED
@@ -470,11 +487,13 @@ def read_iceberg(
             fp = fp.decode() if isinstance(fp, bytes) else fp
             fmt = df_info.get("file_format", "PARQUET")
             fmt = fmt.decode() if isinstance(fmt, bytes) else fmt
+            seq = e.get("sequence_number")
+            seq = man_seq if seq is None else seq
             if fmt.upper() != "PARQUET":
                 raise IcebergProtocolError(
                     f"data file format {fmt} unsupported without the connector")
             if content == 0:
-                data_files.append(_ice_resolve(path, fp))
+                data_files.append((_ice_resolve(path, fp), seq))
             elif content == 1:
                 # POSITION deletes (spec v2 §Position Delete Files:
                 # rows of (file_path, pos)). A delete row names an
@@ -483,10 +502,22 @@ def read_iceberg(
                 # matters for equality deletes.
                 pos_delete_files.append(_ice_resolve(path, fp))
             else:
-                raise IcebergProtocolError(
-                    "EQUALITY delete files present (content=2) — their "
-                    "sequence-number scoping needs the "
-                    "iceberg-spark-runtime connector (read_lake)")
+                # EQUALITY deletes (content=2; spec v2 §Equality Delete
+                # Files): delete every row matching the equality_ids
+                # columns in data files STRICTLY OLDER than the delete
+                # (data_seq < delete_seq). Round-9: replayed exactly
+                # for unpartitioned tables — a capability SUPERSET of
+                # the reference, which refuses all v2 deletes
+                # (DataLakes/Iceberg/ManifestFile.cpp:190).
+                if partitioned:
+                    raise IcebergProtocolError(
+                        "partition-scoped EQUALITY deletes need the "
+                        "iceberg-spark-runtime connector (read_lake)")
+                ids = tuple(int(i) for i in df_info.get("equality_ids") or ())
+                if not ids:
+                    raise IcebergProtocolError(
+                        "equality delete file without equality_ids")
+                eq_delete_files.append((_ice_resolve(path, fp), seq, ids))
 
     for m in mlist_rows:
         _scan_manifest(m)
@@ -526,11 +557,9 @@ def read_iceberg(
             for f in sch
         )
 
-    id_files = [f for f in data_files if _has_field_ids(f)]
-    name_files = [f for f in data_files if f not in set(id_files)]
     norm = lambda c: F.regexp_replace(c, "^file:/*", "/")  # noqa: E731
 
-    def _scan(files, read_schema):
+    def _scan(files, read_schema, seq):
         r = spark.read.schema(read_schema).parquet(*files)
         if pos_delete_files:
             r = r.select(
@@ -538,13 +567,20 @@ def read_iceberg(
                 norm(F.col("_metadata.file_path")).alias("__ice_fp"),
                 F.col("_metadata.row_index").alias("__ice_pos"),
             )
+        if eq_delete_files:
+            r = r.withColumn("__ice_seq", F.lit(seq).cast("long"))
         return r
 
+    # group by (sequence number, id-vs-name resolution): one scan per
+    # group — seq is constant within a group, so it rides a literal
+    # column, never a per-file lookup join
+    groups: dict[tuple[int, bool], list[str]] = {}
+    for fp, seq in data_files:
+        key = (seq if eq_delete_files else 0, _has_field_ids(fp))
+        groups.setdefault(key, []).append(fp)
     parts = []
-    if id_files:
-        parts.append(_scan(id_files, id_schema))
-    if name_files:
-        parts.append(_scan(name_files, ddl))
+    for (seq, has_ids), files in sorted(groups.items()):
+        parts.append(_scan(files, id_schema if has_ids else ddl, seq))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -563,6 +599,37 @@ def read_iceberg(
         out = out.join(dels, ["__ice_fp", "__ice_pos"], "left_anti").drop(
             "__ice_fp", "__ice_pos"
         )
+    if eq_delete_files:
+        # merge-on-read equality deletes: for each distinct
+        # equality_ids set, one anti-join on null-safe column equality
+        # plus STRICT sequence ordering (data rows older than the
+        # delete). Delete sets are manifest-bounded and broadcast; each
+        # data row crosses the join once.
+        name_of = {int(f["id"]): f["name"] for f in schema["fields"]}
+        by_ids: dict[tuple[int, ...], list[tuple[str, int]]] = {}
+        for fp, seq, ids in eq_delete_files:
+            by_ids.setdefault(ids, []).append((fp, seq))
+        for ids, files in sorted(by_ids.items()):
+            try:
+                cols = [name_of[i] for i in ids]
+            except KeyError as e:
+                raise IcebergProtocolError(
+                    f"equality_ids reference unknown field id {e}")
+            dels = None
+            for fp, seq in files:
+                d = (
+                    spark.read.parquet(fp)
+                    .select(*cols)
+                    .withColumn("__del_seq", F.lit(seq).cast("long"))
+                )
+                dels = d if dels is None else dels.unionByName(d)
+            dels = dels.select(
+                *[F.col(c).alias(f"__del_{c}") for c in cols], "__del_seq")
+            cond = F.col("__ice_seq") < F.col("__del_seq")
+            for c in cols:
+                cond = cond & F.col(c).eqNullSafe(F.col(f"__del_{c}"))
+            out = out.join(dels, cond, "left_anti")
+        out = out.drop("__ice_seq")
     return out
 
 

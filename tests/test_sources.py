@@ -1104,14 +1104,123 @@ def test_iceberg_v2_positional_deletes(spark, tmp_path):
     rows = sorted((r.id, r.name) for r in read_iceberg(spark, root).collect())
     assert rows == [(1, "a"), (3, "c"), (5, "e")]
 
-    # equality deletes still refuse
+    # a content=2 entry without equality_ids is malformed and refuses
     open(f"{root}/metadata/m_del.avro", "wb").write(_avro_blob(
         [entry("del0.parquet", 2, content=2)], man_schema))
     try:
         read_iceberg(spark, root).collect()
         raise AssertionError("expected refusal")
     except IcebergProtocolError as e:
-        assert "EQUALITY" in str(e)
+        assert "equality_ids" in str(e)
+
+
+def test_iceberg_v2_equality_deletes(spark, tmp_path):
+    """Round-9 Iceberg v2 equality deletes with sequence-number
+    scoping: a delete at seq 2 removes matching rows from seq-1 data
+    but NOT from a seq-3 file that re-adds the value; partition-scoped
+    equality deletes refuse."""
+    import glob
+    import json
+    import os
+    import shutil
+
+    from clickhouse_25_5_3_75_stable_spark.sources.datalake import (
+        IcebergProtocolError,
+        read_iceberg,
+    )
+
+    root = str(tmp_path / "itable_eq")
+    os.makedirs(f"{root}/metadata")
+    os.makedirs(f"{root}/data")
+
+    def write_file(rel, rows, ddl):
+        df = spark.createDataFrame(rows, ddl)
+        df.coalesce(1).write.mode("overwrite").parquet(f"{root}/_tmp")
+        src = glob.glob(f"{root}/_tmp/part-*.parquet")[0]
+        shutil.copy(src, f"{root}/{rel}")
+        shutil.rmtree(f"{root}/_tmp")
+
+    write_file("data/f0.parquet",
+               [(1, "a"), (2, "b"), (3, "c")], "id long, name string")
+    write_file("data/f1.parquet", [(4, "b")], "id long, name string")
+    write_file("data/eq0.parquet", [("b",), ("c",)], "name string")
+
+    man_schema = {
+        "type": "record", "name": "manifest_entry", "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "sequence_number", "type": ["null", "long"]},
+            {"name": "data_file", "type": {
+                "type": "record", "name": "r2", "fields": [
+                    {"name": "content", "type": "int"},
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {"name": "record_count", "type": "long"},
+                    {"name": "equality_ids",
+                     "type": ["null",
+                              {"type": "array", "items": "int"}]},
+                ]}},
+        ]}
+    mlist_schema = {
+        "type": "record", "name": "manifest_file", "fields": [
+            {"name": "manifest_path", "type": "string"},
+            {"name": "manifest_length", "type": "long"},
+            {"name": "content", "type": "int"},
+            {"name": "sequence_number", "type": "long"},
+        ]}
+
+    def entry(rel, n, content=0, seq=None, eq_ids=None):
+        return {"status": 1, "sequence_number": seq, "data_file": {
+            "content": content, "file_path": f"file://{root}/data/{rel}",
+            "file_format": "PARQUET", "record_count": n,
+            "equality_ids": eq_ids}}
+
+    # seq inheritance: f0's entry seq is null -> inherits manifest's 1
+    open(f"{root}/metadata/m_d1.avro", "wb").write(_avro_blob(
+        [entry("f0.parquet", 3)], man_schema))
+    open(f"{root}/metadata/m_d3.avro", "wb").write(_avro_blob(
+        [entry("f1.parquet", 1, seq=3)], man_schema))
+    open(f"{root}/metadata/m_eq.avro", "wb").write(_avro_blob(
+        [entry("eq0.parquet", 2, content=2, seq=2, eq_ids=[2])],
+        man_schema))
+    open(f"{root}/metadata/ml.avro", "wb").write(_avro_blob(
+        [{"manifest_path": f"file://{root}/metadata/m_d1.avro",
+          "manifest_length": 1, "content": 0, "sequence_number": 1},
+         {"manifest_path": f"file://{root}/metadata/m_d3.avro",
+          "manifest_length": 1, "content": 0, "sequence_number": 3},
+         {"manifest_path": f"file://{root}/metadata/m_eq.avro",
+          "manifest_length": 1, "content": 1, "sequence_number": 2}],
+        mlist_schema))
+
+    meta = {
+        "format-version": 2, "table-uuid": "u-eq",
+        "location": f"file://{root}", "current-snapshot-id": 1,
+        "schemas": [{"schema-id": 0, "type": "struct", "fields": [
+            {"id": 1, "name": "id", "required": False, "type": "long"},
+            {"id": 2, "name": "name", "required": False, "type": "string"},
+        ]}],
+        "current-schema-id": 0,
+        "snapshots": [{"snapshot-id": 1, "timestamp-ms": 1700000000000,
+                       "manifest-list": f"file://{root}/metadata/ml.avro",
+                       "summary": {"operation": "overwrite"}}],
+    }
+    json.dump(meta, open(f"{root}/metadata/v1.metadata.json", "w"))
+    open(f"{root}/metadata/version-hint.text", "w").write("1")
+
+    rows = sorted((r.id, r.name) for r in read_iceberg(spark, root).collect())
+    # 'b'@seq1 and 'c'@seq1 deleted by the seq-2 delete; 'b'@seq3
+    # survives (strictly-older scoping)
+    assert rows == [(1, "a"), (4, "b")]
+
+    # partition-scoped equality deletes refuse
+    meta["partition-specs"] = [{"spec-id": 0, "fields": [
+        {"name": "name", "transform": "identity",
+         "source-id": 2, "field-id": 1000}]}]
+    json.dump(meta, open(f"{root}/metadata/v1.metadata.json", "w"))
+    try:
+        read_iceberg(spark, root).collect()
+        raise AssertionError("expected refusal")
+    except IcebergProtocolError as e:
+        assert "partition-scoped" in str(e).lower()
 
 
 def test_iceberg_schema_evolution_rename(spark, tmp_path):
