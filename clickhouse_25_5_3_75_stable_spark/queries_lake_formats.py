@@ -954,3 +954,80 @@ def lake_iceberg_equality_deletes(spark: SparkSession, sf_dir: str) -> DataFrame
     open(os.path.join(root, "metadata", "version-hint.text"), "w").write("1")
     return read_iceberg(spark, root).select(
         "n_nationkey", "n_name", "n_regionkey")
+
+
+@register(
+    "lake_delta_deletion_vectors",
+    # a UUID-file DV deletes every even nationkey from f0; an inline
+    # DV deletes row 0 of f1 (the lowest odd key, FRANCE's partition
+    # slice) — only real roaring replay reproduces the survivors
+    oracle=_NATION_ORACLE + " WHERE n_nationkey % 2 = 1 AND n_nationkey <> 1",
+    bucket="light",
+    tags=("datalake", "delta", "deletion_vectors"),
+)
+def lake_delta_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta deletion vectors end-to-end (round-9): the log's add
+    actions carry DV descriptors ('u' UUID-named .bin with Z85 uuid +
+    offset framing + CRC, and 'i' inline Z85); sources/roaring.py
+    decodes the 64-bit RoaringBitmapArray portable format
+    executor-side and the read anti-joins _metadata.row_index. The
+    reference refuses DV tables (no DV path in its DeltaLakeMetadata
+    replay) — capability superset."""
+    import uuid
+
+    from clickhouse_25_5_3_75_stable_spark.sources.datalake import read_delta
+    from clickhouse_25_5_3_75_stable_spark.sources.roaring import (
+        dv_file_blob,
+        rbm_array_serialize,
+        z85_encode,
+    )
+
+    rows = sorted(_nation_pydict(sf_dir), key=lambda r: r["n_nationkey"])
+    root = os.path.join(tempfile.mkdtemp(prefix="chspark_dldv_"), "t")
+    os.makedirs(os.path.join(root, "_delta_log"))
+
+    f0, f1 = rows[2:], rows[:2]  # f1 holds keys 0 and 1
+    _write_rows_parquet(f0, os.path.join(root, "f0.parquet"))
+    _write_rows_parquet(f1, os.path.join(root, "f1.parquet"))
+
+    # 'u' DV over f0: positions of even nationkeys
+    u = uuid.uuid4()
+    even_pos = [i for i, r in enumerate(f0) if r["n_nationkey"] % 2 == 0]
+    blob, offsets = dv_file_blob([rbm_array_serialize(even_pos)])
+    open(os.path.join(root, f"deletion_vector_{u}.bin"), "wb").write(blob)
+    dv_u = {"storageType": "u", "pathOrInlineDv": z85_encode(u.bytes),
+            "offset": offsets[0], "sizeInBytes": len(blob) - 9,
+            "cardinality": len(even_pos)}
+    # inline DV over f1: delete BOTH rows' evens and key 1 (positions
+    # of nationkey 0 and 1 -> 0 and 1)
+    inline = rbm_array_serialize([0, 1])
+    dv_i = {"storageType": "i", "pathOrInlineDv": z85_encode(inline),
+            "sizeInBytes": len(inline), "cardinality": 2}
+
+    schema_string = json.dumps({"type": "struct", "fields": [
+        {"name": "n_nationkey", "type": "long", "nullable": True,
+         "metadata": {}},
+        {"name": "n_name", "type": "string", "nullable": True,
+         "metadata": {}},
+        {"name": "n_regionkey", "type": "long", "nullable": True,
+         "metadata": {}},
+    ]})
+    actions = [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors"],
+                      "writerFeatures": ["deletionVectors"]}},
+        {"metaData": {"id": "dv-nation", "schemaString": schema_string,
+                      "partitionColumns": [],
+                      "format": {"provider": "parquet"},
+                      "configuration": {}}},
+        {"add": {"path": "f0.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True,
+                 "deletionVector": dv_u}},
+        {"add": {"path": "f1.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True,
+                 "deletionVector": dv_i}},
+    ]
+    with open(os.path.join(root, "_delta_log", f"{0:020d}.json"), "w") as fh:
+        fh.write("\n".join(json.dumps(a) for a in actions))
+    return read_delta(spark, root).select(
+        "n_nationkey", "n_name", "n_regionkey")

@@ -396,13 +396,15 @@ def test_delta_checkpoint_and_protocol_guard(spark, tmp_path):
     got = sorted((r.id, r.p) for r in read_delta(spark, root).collect())
     assert got == [(1, 1), (2, 1), (3, 1), (10, 2)]
 
-    # protocol guard: v2 reader features must refuse, naming the jar
+    # protocol guard: reader features beyond
+    # columnMapping/timestampNtz/deletionVectors (all implemented)
+    # must refuse, naming the jar
     import pytest as _pytest
 
     with open(f"{root}/_delta_log/{3:020d}.json", "w") as fh:
         fh.write(json.dumps({"protocol": {
-            "minReaderVersion": 3, "readerFeatures": ["deletionVectors"]}}))
-    with _pytest.raises(DeltaProtocolError, match="deletion"):
+            "minReaderVersion": 3, "readerFeatures": ["v2Checkpoint"]}}))
+    with _pytest.raises(DeltaProtocolError, match="v2Checkpoint"):
         read_delta(spark, root)
 
 
@@ -1368,7 +1370,9 @@ def test_delta_column_mapping_name_and_id_modes(spark, tmp_path):
         )
         assert rows == [(1, "x", "p0"), (2, "y", "p0")], mode
 
-    # deletion vectors refuse with the connector recipe
+    # an unknown DV storage type fails with a clear protocol error
+    # (deletion vectors themselves READ since round 9 — see
+    # test_delta_deletion_vectors)
     root = str(tmp_path / "dl_dv")
     _delta_cm_fixture(spark, root, "name")
     log = f"{root}/_delta_log/{0:020d}.json"
@@ -1376,15 +1380,111 @@ def test_delta_column_mapping_name_and_id_modes(spark, tmp_path):
     actions.append({"add": {
         "path": "part0.parquet", "partitionValues": {"col-ccc3": "p1"},
         "size": 1, "modificationTime": 0, "dataChange": True,
-        "deletionVector": {"storageType": "u", "pathOrInlineDv": "x",
+        "deletionVector": {"storageType": "z", "pathOrInlineDv": "x",
                             "offset": 1, "sizeInBytes": 1,
                             "cardinality": 1}}})
     open(log, "w").write("\n".join(json.dumps(a) for a in actions))
     try:
         read_delta(spark, root).collect()
-        raise AssertionError("expected refusal")
-    except DeltaProtocolError as e:
-        assert "deletionVector" in str(e)
+        raise AssertionError("expected failure")
+    except Exception as e:
+        assert "storageType" in str(e)
+
+
+def test_delta_deletion_vectors(spark, tmp_path):
+    """Round-9 Delta deletion vectors: inline ('i'), UUID-file ('u')
+    and absolute-path ('p') descriptors replay as merge-on-read; a
+    re-add without a DV clears the earlier one."""
+    import glob
+    import json
+    import os
+    import shutil
+    import uuid
+
+    from clickhouse_25_5_3_75_stable_spark.sources.datalake import read_delta
+    from clickhouse_25_5_3_75_stable_spark.sources.roaring import (
+        dv_file_blob,
+        rbm_array_serialize,
+        z85_encode,
+    )
+
+    root = str(tmp_path / "dl_dvs")
+    os.makedirs(f"{root}/_delta_log")
+
+    def write_file(rel, rows, ddl):
+        df = spark.createDataFrame(rows, ddl)
+        df.coalesce(1).write.mode("overwrite").parquet(f"{root}/_tmp")
+        src = glob.glob(f"{root}/_tmp/part-*.parquet")[0]
+        shutil.copy(src, f"{root}/{rel}")
+        shutil.rmtree(f"{root}/_tmp")
+
+    write_file("f0.parquet",
+               [(i, chr(97 + i)) for i in range(6)], "id long, name string")
+    write_file("f1.parquet",
+               [(10 + i, f"x{i}") for i in range(4)], "id long, name string")
+
+    # 'u' DV for f0: delete rows 1, 3, 4
+    u = uuid.uuid4()
+    blob, offsets = dv_file_blob([rbm_array_serialize([1, 3, 4])])
+    open(f"{root}/deletion_vector_{u}.bin", "wb").write(blob)
+    dv_u = {"storageType": "u", "pathOrInlineDv": z85_encode(u.bytes),
+            "offset": offsets[0], "sizeInBytes": len(blob) - 9,
+            "cardinality": 3}
+    # inline DV for f1: delete row 0 (Z85 zero-pads; sizeInBytes
+    # carries the true length)
+    inline_data = rbm_array_serialize([0])
+    dv_i = {"storageType": "i",
+            "pathOrInlineDv": z85_encode(inline_data),
+            "sizeInBytes": len(inline_data), "cardinality": 1}
+
+    schema_string = json.dumps({"type": "struct", "fields": [
+        {"name": "id", "type": "long", "nullable": True, "metadata": {}},
+        {"name": "name", "type": "string", "nullable": True, "metadata": {}},
+    ]})
+    actions = [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors"],
+                      "writerFeatures": ["deletionVectors"]}},
+        {"metaData": {"id": "dv-fixture", "schemaString": schema_string,
+                      "partitionColumns": [],
+                      "format": {"provider": "parquet"},
+                      "configuration": {}}},
+        {"add": {"path": "f0.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True,
+                 "deletionVector": dv_u}},
+        {"add": {"path": "f1.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True,
+                 "deletionVector": dv_i}},
+    ]
+    open(f"{root}/_delta_log/{0:020d}.json", "w").write(
+        "\n".join(json.dumps(a) for a in actions))
+
+    rows = sorted((r.id, r.name) for r in read_delta(spark, root).collect())
+    assert rows == [(0, "a"), (2, "c"), (5, "f"),
+                    (11, "x1"), (12, "x2"), (13, "x3")]
+
+    # 'p' storage type: absolute path to the same bin file
+    actions[2]["add"]["deletionVector"] = {
+        "storageType": "p",
+        "pathOrInlineDv": f"{root}/deletion_vector_{u}.bin",
+        "offset": offsets[0], "sizeInBytes": len(blob) - 9,
+        "cardinality": 3}
+    open(f"{root}/_delta_log/{0:020d}.json", "w").write(
+        "\n".join(json.dumps(a) for a in actions))
+    rows_p = sorted((r.id, r.name) for r in read_delta(spark, root).collect())
+    assert rows_p == rows
+
+    # version 1 re-adds f0 WITHOUT a DV: all 6 rows return
+    open(f"{root}/_delta_log/{1:020d}.json", "w").write(json.dumps(
+        {"add": {"path": "f0.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}}))
+    rows2 = sorted((r.id, r.name) for r in read_delta(spark, root).collect())
+    assert len(rows2) == 9
+    # and time travel back to version 0 re-applies the DV
+    rows0 = sorted(
+        (r.id, r.name)
+        for r in read_delta(spark, root, version=0).collect())
+    assert rows0 == rows
 
 
 def test_system_tables_complete_vs_attach_list(spark):
