@@ -99,3 +99,160 @@ def stratified_sample_sql(
     )
     rate = f"(CASE {cases} ELSE {float(default_rate)!r} END)"
     return f"(({h} % {denominator} + {denominator}) % {denominator}) < CAST({rate} * {denominator} AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# Round-9 training-pipeline batch: stable splits, target-proportion
+# mixtures, epoch upsampling, seeded global shuffle. All derive from
+# the portable md5 hash ring (operators/text.portable_hash64) so the
+# SAME rows land in the SAME splits on any engine, any cluster size,
+# any run — the reproducibility contract a 100 TB corpus build needs.
+# ---------------------------------------------------------------------------
+
+
+def split_stable(
+    df: DataFrame,
+    key: str | Column,
+    weights: dict[str, int],
+    seed: str = "",
+    out_col: str = "split",
+) -> DataFrame:
+    """Stable train/val/test assignment: each row lands in one named
+    split with probability weight/sum(weights), decided by its key's
+    position on the hash ring — adding rows later never moves existing
+    ones between splits, and re-running with a different `seed` draws
+    an independent assignment. One scan, zero shuffles; integer
+    cumulative bounds, no float boundaries."""
+    from clickhouse_25_5_3_75_stable_spark.operators.text import portable_hash64
+
+    c = F.col(key) if isinstance(key, str) else key
+    total = sum(weights.values())
+    bucket = F.pmod(
+        portable_hash64(F.concat(c.cast("string"), F.lit(f":{seed}"))),
+        F.lit(total))
+    expr = None
+    acc = 0
+    for name, w in weights.items():  # caller order defines the ring
+        acc += int(w)
+        expr = (F.when(bucket < acc, F.lit(name)) if expr is None
+                else expr.when(bucket < acc, F.lit(name)))
+    return df.withColumn(out_col, expr)
+
+
+def split_stable_sql(
+    key_expr: str, weights: dict[str, int], seed: str = ""
+) -> str:
+    """DuckDB CASE expression mirroring :func:`split_stable`."""
+    from clickhouse_25_5_3_75_stable_spark.operators.text import portable_hash64_sql
+
+    total = sum(weights.values())
+    h = portable_hash64_sql(
+        f"(CAST({key_expr} AS VARCHAR) || ':{seed}')")
+    b = f"(({h} % {total} + {total}) % {total})"
+    acc = 0
+    whens = []
+    for name, w in weights.items():
+        acc += int(w)
+        whens.append(f"WHEN {b} < {acc} THEN '{name}'")
+    return "(CASE " + " ".join(whens) + " END)"
+
+
+def mixture_to_target(
+    df: DataFrame,
+    stratum_col: str,
+    key: str | Column,
+    target_parts: dict[str, int],
+) -> DataFrame:
+    """Down-sample per stratum so the OUTPUT hits exact target
+    proportions (the corpus-mixing step of a training build: "make
+    the kept corpus 70% en / 20% fr / 10% de"): the largest feasible
+    total is T = min_d floor(n_d * P / p_d), each stratum keeps
+    quota_d = floor(T * p_d / P) rows — all integer arithmetic, so
+    every engine agrees. Rows kept are the stratum's smallest portable
+    hashes (stable under reruns). Strata outside `target_parts` drop.
+    Plan: one bounded groupBy count (D rows to the driver) + one
+    window shuffle partitioned by stratum."""
+    from pyspark.sql import Window
+
+    from clickhouse_25_5_3_75_stable_spark.operators.text import portable_hash64
+
+    c = F.col(key) if isinstance(key, str) else key
+    P = sum(target_parts.values())
+    counts = {
+        r[0]: r[1]
+        for r in df.filter(F.col(stratum_col).isin(*target_parts))
+        .groupBy(stratum_col).count().collect()
+    }
+    if not counts or any(s not in counts for s in target_parts):
+        missing = sorted(set(target_parts) - set(counts))
+        raise ValueError(f"strata absent from the data: {missing}")
+    T = min(counts[s] * P // p for s, p in target_parts.items())
+    quotas = {s: T * p // P for s, p in target_parts.items()}
+    w = Window.partitionBy(stratum_col).orderBy(
+        portable_hash64(c.cast("string")), c.cast("string"))
+    quota = None
+    for s, q in sorted(quotas.items()):
+        quota = (F.when(F.col(stratum_col) == s, q) if quota is None
+                 else quota.when(F.col(stratum_col) == s, q))
+    return (
+        df.filter(F.col(stratum_col).isin(*target_parts))
+        .withColumn("__mx_rank", F.row_number().over(w))
+        .filter(F.col("__mx_rank") <= quota)
+        .drop("__mx_rank")
+    )
+
+
+def upsample_epochs(
+    df: DataFrame,
+    stratum_col: str,
+    key: str | Column,
+    epochs: dict[str, float],
+    default_epochs: float = 1.0,
+    denominator: int = 10_000,
+    out_col: str = "epoch_idx",
+) -> DataFrame:
+    """Per-stratum FRACTIONAL epoch replication (the LLaMA-style
+    "high-quality sources see >1 epoch" step): a stratum with
+    epochs=2.3 emits every row twice and a stable 30% hash-cut of rows
+    a third time. Output carries `epoch_idx` (0-based copy index).
+    Pure per-row explode — zero shuffles; the fractional cut rides the
+    same integer hash ring as stratified_sample."""
+    from clickhouse_25_5_3_75_stable_spark.operators.text import portable_hash64
+
+    c = F.col(key) if isinstance(key, str) else key
+    bucket = F.pmod(
+        portable_hash64(F.concat(c.cast("string"), F.lit(":epoch"))),
+        F.lit(denominator))
+    whole = F.lit(int(default_epochs))
+    frac_b = F.lit(int(round((default_epochs % 1) * denominator)))
+    for s, e in sorted(epochs.items()):
+        whole = F.when(F.col(stratum_col) == s, int(e)).otherwise(whole)
+        frac_b = F.when(
+            F.col(stratum_col) == s,
+            int(round((e % 1) * denominator))).otherwise(frac_b)
+    n_copies = whole + (bucket < frac_b).cast("int")
+    return (
+        df.withColumn("__n_copies", n_copies)
+        .filter(F.col("__n_copies") > 0)
+        .withColumn(
+            out_col,
+            F.explode(F.sequence(F.lit(0), F.col("__n_copies") - 1)))
+        .drop("__n_copies")
+    )
+
+
+def shuffle_stable(
+    df: DataFrame, key: str | Column, seed: str = ""
+) -> DataFrame:
+    """Seeded deterministic GLOBAL shuffle — the final ordering pass
+    of a corpus build (decorrelate adjacent documents before
+    sharding). A total sort on the portable hash: Spark executes it
+    as sample-based range partitioning, the scalable way to totally
+    order 100 TB; different `seed` → independent order, same seed →
+    byte-identical order on any cluster."""
+    from clickhouse_25_5_3_75_stable_spark.operators.text import portable_hash64
+
+    c = F.col(key) if isinstance(key, str) else key
+    return df.orderBy(
+        portable_hash64(F.concat(c.cast("string"), F.lit(f":{seed}"))),
+        c.cast("string"))

@@ -1000,3 +1000,197 @@ def semantic_dedup_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_pruned"),
         F.coalesce(F.sum("vec_id"), F.lit(0)).alias("pruned_id_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-9 corpus-build batch: stable splits, target mixtures, epoch
+# upsampling, seeded global shuffle (operators/sampling.py)
+# ---------------------------------------------------------------------------
+
+_H_DOC = ("CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':{seed}'), "
+          "1, 15)) AS BIGINT)")
+
+
+@register(
+    "pipeline_split_stable",
+    oracle="""
+    WITH assigned AS (
+      SELECT doc_id,
+             (CASE
+                WHEN b < 80 THEN 'train'
+                WHEN b < 90 THEN 'val'
+                WHEN b < 100 THEN 'test' END) AS split
+      FROM (
+        SELECT doc_id,
+               ((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':r9'),
+                       1, 15)) AS BIGINT) % 100) + 100) % 100 AS b
+        FROM documents
+      )
+    )
+    SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS first_doc,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum
+    FROM assigned GROUP BY split ORDER BY split
+    """,
+    tags=("pipeline", "sampling", "split"),
+)
+def pipeline_split_stable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable 80/10/10 train/val/test split on the portable hash ring
+    (operators/sampling.split_stable): adding documents later never
+    moves existing ones between splits. Zero shuffles before the
+    3-row aggregate."""
+    from clickhouse_25_5_3_75_stable_spark.operators.sampling import split_stable
+
+    docs = t(spark, sf_dir, "documents")
+    out = split_stable(
+        docs, "doc_id", {"train": 80, "val": 10, "test": 10}, seed="r9")
+    return (
+        out.groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.min("doc_id").alias("first_doc"),
+             F.sum("doc_id").alias("id_sum"))
+        .orderBy("split")
+    )
+
+
+@register(
+    "pipeline_mixture_to_target",
+    # the same integer quota math in DuckDB: T = min(n_d*P/p_d),
+    # quota_d = T*p_d/P, keep each lang's smallest portable hashes
+    oracle="""
+    WITH targets(lang, parts) AS (VALUES ('en', 70), ('fr', 20), ('de', 10)),
+    hashed AS (
+      SELECT d.doc_id, d.lang, t.parts,
+             CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS h
+      FROM documents d JOIN targets t USING (lang)
+    ),
+    counts AS (SELECT lang, count(*) AS n FROM hashed GROUP BY lang),
+    feasible AS (
+      SELECT min(n * 100 // parts) AS t_total
+      FROM counts JOIN targets USING (lang)
+    ),
+    ranked AS (
+      SELECT doc_id, lang, parts,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY h, CAST(doc_id AS VARCHAR)) AS rk
+      FROM hashed
+    ),
+    kept AS (
+      SELECT r.doc_id, r.lang
+      FROM ranked r, feasible f
+      WHERE r.rk <= (f.t_total * r.parts) // 100
+    )
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum
+    FROM kept GROUP BY lang ORDER BY lang
+    """,
+    tags=("pipeline", "sampling", "mixture"),
+)
+def pipeline_mixture_to_target(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact target-proportion corpus mixing (70% en / 20% fr / 10%
+    de) via operators/sampling.mixture_to_target: integer quota math
+    (every engine agrees), per-stratum smallest-hash selection (stable
+    under reruns). One bounded count + one window shuffle."""
+    from clickhouse_25_5_3_75_stable_spark.operators.sampling import (
+        mixture_to_target,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    kept = mixture_to_target(
+        docs, "lang", "doc_id", {"en": 70, "fr": 20, "de": 10})
+    return (
+        kept.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"),
+             F.sum("doc_id").alias("id_sum"))
+        .orderBy("lang")
+    )
+
+
+@register(
+    "pipeline_upsample_epochs",
+    # the same whole+fractional replication in DuckDB via
+    # generate_series; bucket from the ':epoch'-salted portable hash
+    oracle="""
+    WITH sized AS (
+      SELECT doc_id, lang,
+             (CASE lang WHEN 'en' THEN 1 WHEN 'de' THEN 2
+                        WHEN 'zh' THEN 0 ELSE 1 END)
+             + CASE WHEN
+                 ((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                         || ':epoch'), 1, 15)) AS BIGINT) % 10000)
+                  + 10000) % 10000
+                 < (CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 0
+                              WHEN 'zh' THEN 2500 ELSE 0 END)
+               THEN 1 ELSE 0 END AS n_copies
+      FROM documents
+    ),
+    exploded AS (
+      SELECT doc_id, lang, unnest(range(0, n_copies)) AS epoch_idx
+      FROM sized WHERE n_copies > 0
+    )
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(sum(epoch_idx) AS BIGINT) AS epoch_idx_sum
+    FROM exploded GROUP BY lang ORDER BY lang
+    """,
+    tags=("pipeline", "sampling", "epochs"),
+)
+def pipeline_upsample_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fractional per-source epoch replication (en 1.5 epochs, de 2.0,
+    zh 0.25, others 1.0) via operators/sampling.upsample_epochs: whole
+    copies plus a stable hash-cut extra copy; pure explode, zero
+    shuffles before the aggregate."""
+    from clickhouse_25_5_3_75_stable_spark.operators.sampling import (
+        upsample_epochs,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    out = upsample_epochs(
+        docs, "lang", "doc_id", {"en": 1.5, "de": 2.0, "zh": 0.25})
+    return (
+        out.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_rows"),
+             F.countDistinct("doc_id").alias("n_docs"),
+             F.sum("epoch_idx").alias("epoch_idx_sum"))
+        .orderBy("lang")
+    )
+
+
+@register(
+    "pipeline_shuffle_stable",
+    oracle="""
+    SELECT CAST(row_number() OVER (
+             ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                            || ':mix1'), 1, 15)) AS BIGINT),
+                      CAST(doc_id AS VARCHAR)) AS BIGINT) AS pos,
+           doc_id, lang
+    FROM documents
+    ORDER BY pos LIMIT 15
+    """,
+    tags=("pipeline", "sampling", "shuffle"),
+)
+def pipeline_shuffle_stable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded deterministic global shuffle
+    (operators/sampling.shuffle_stable): a total sort on the salted
+    portable hash — Spark range-partitions the sort, the scalable way
+    to order 100 TB; same seed → identical order on any cluster."""
+    from pyspark.sql import Window
+
+    from clickhouse_25_5_3_75_stable_spark.operators.sampling import (
+        shuffle_stable,
+    )
+    from clickhouse_25_5_3_75_stable_spark.operators.text import portable_hash64
+
+    docs = t(spark, sf_dir, "documents")
+    # sort+limit lowers to TakeOrdered (scalable); the rank window
+    # then runs over 15 rows, never a global single-partition window
+    top15 = shuffle_stable(docs, "doc_id", seed="mix1").limit(15)
+    h = portable_hash64(
+        F.concat(F.col("doc_id").cast("string"), F.lit(":mix1")))
+    w = Window.orderBy(h, F.col("doc_id").cast("string"))
+    return (
+        top15.withColumn("pos", F.row_number().over(w))
+        .select("pos", "doc_id", "lang")
+        .orderBy("pos")
+    )

@@ -548,3 +548,92 @@ def test_semantic_dedup_exact_matches_fast_on_data(spark, sf_dir):
     b = {r.vec_id for r in S.semantic_dedup(emb, cents, 0.42, exact=False)
          .filter("is_dup").collect()}
     assert a == b and len(a) > 0
+
+
+def test_split_stable_properties(spark):
+    """split_stable: total partition of rows, stable under appends,
+    independent across seeds."""
+    from clickhouse_25_5_3_75_stable_spark.operators.sampling import split_stable
+
+    df = spark.range(500).selectExpr("id AS doc_id")
+    w = {"train": 80, "val": 10, "test": 10}
+    a = {r.doc_id: r.split for r in split_stable(df, "doc_id", w).collect()}
+    assert set(a.values()) == {"train", "val", "test"}
+    assert len(a) == 500
+    # appending rows never moves existing assignments
+    df2 = spark.range(1000).selectExpr("id AS doc_id")
+    b = {r.doc_id: r.split for r in split_stable(df2, "doc_id", w).collect()}
+    assert all(b[k] == v for k, v in a.items())
+    # a different seed draws a different assignment
+    c = {r.doc_id: r.split
+         for r in split_stable(df, "doc_id", w, seed="other").collect()}
+    assert any(c[k] != v for k, v in a.items())
+    # rough proportions
+    n_train = sum(1 for v in a.values() if v == "train")
+    assert 350 < n_train < 450
+
+
+def test_mixture_to_target_exact_quotas(spark):
+    """mixture_to_target: output proportions hit the integer quotas
+    exactly; kept rows are the per-stratum smallest hashes."""
+    from clickhouse_25_5_3_75_stable_spark.operators.sampling import (
+        mixture_to_target,
+    )
+
+    rows = ([("en", i) for i in range(300)]
+            + [("fr", 1000 + i) for i in range(50)]
+            + [("de", 2000 + i) for i in range(80)]
+            + [("xx", 9000 + i) for i in range(10)])
+    df = spark.createDataFrame(rows, "lang string, doc_id long")
+    out = mixture_to_target(df, "lang", "doc_id",
+                            {"en": 70, "fr": 20, "de": 10})
+    got = {r.lang: r.n for r in
+           out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    # T = min(300*100/70, 50*100/20, 80*100/10) = 250
+    assert got == {"en": 175, "fr": 50, "de": 25}
+    # dropped stratum absent
+    assert "xx" not in got
+    # missing stratum raises
+    try:
+        mixture_to_target(df, "lang", "doc_id", {"en": 1, "zz": 1})
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "zz" in str(e)
+
+
+def test_upsample_epochs_copies(spark):
+    """upsample_epochs: whole copies exact, fractional cut stable,
+    zero-epoch strata can vanish."""
+    from clickhouse_25_5_3_75_stable_spark.operators.sampling import (
+        upsample_epochs,
+    )
+
+    rows = [("a", i) for i in range(200)] + [("b", 1000 + i) for i in range(100)]
+    df = spark.createDataFrame(rows, "src string, doc_id long")
+    out = upsample_epochs(df, "src", "doc_id", {"a": 2.5, "b": 1.0})
+    per = {r.src: (r.n, r.mx) for r in out.groupBy("src").agg(
+        F.count("*").alias("n"), F.max("epoch_idx").alias("mx")).collect()}
+    n_a, mx_a = per["a"]
+    assert per["b"] == (100, 0)
+    assert 400 <= n_a <= 600 and mx_a == 2  # 2 whole + ~50% third copy
+    # deterministic across runs
+    out2 = upsample_epochs(df, "src", "doc_id", {"a": 2.5, "b": 1.0})
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, out2.collect()))
+
+
+def test_shuffle_stable_order(spark):
+    """shuffle_stable: same seed same order on any partitioning;
+    different seed different order."""
+    from clickhouse_25_5_3_75_stable_spark.operators.sampling import (
+        shuffle_stable,
+    )
+
+    df = spark.range(300).selectExpr("id AS doc_id")
+    o1 = [r.doc_id for r in shuffle_stable(df, "doc_id", "s").collect()]
+    o2 = [r.doc_id for r in
+          shuffle_stable(df.repartition(13), "doc_id", "s").collect()]
+    o3 = [r.doc_id for r in shuffle_stable(df, "doc_id", "t").collect()]
+    assert o1 == o2
+    assert o1 != o3
+    assert sorted(o1) == list(range(300))
+    assert o1 != list(range(300))  # actually shuffled
