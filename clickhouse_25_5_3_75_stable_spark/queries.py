@@ -2655,62 +2655,75 @@ from clickhouse_25_5_3_75_stable_spark import queries_kql as _queries_kql  # noq
 # dictionaries, kql scan, prql window/loop, then the TPC-H long tail
 # and every remaining never-sampled family). All green in the local
 # full-registry harness.
+# Round-9 rotation: after r08 the ever-sampled set is 205 of 267
+# registry names. This block keeps 4 stable anchors and fills the
+# other 46 slots with never-officially-sampled names — every round-9
+# addition (lake DV/equality-delete/columnMapping/MoR, the corpus
+# sampling batch, SemDeDup, the system-table completions, KQL/PRQL
+# round-9 surface) plus the never-sampled long tail (agg extras,
+# chsql statement surface, hash-exactness families, KQL breadth).
+# The 17 still-never-sampled names (mostly same-family agg variants)
+# roll to the r10 block. All 50 verified green in the local
+# driver-sim at sf0.01 and the new ones also at sf0.1.
 _GATE_BLOCK = [
-    # -- retained anchors + round-7 gate-policy proofs --
+    # -- retained anchors --
     "q1_pricing_summary",            # TPC-H hash agg flagship
-    "func_s2_cell_family",           # r05/r06 red -> r7 integer-only gate
-    "func_h3_geo_family",            # r06 red -> r7 integer-only gate
-    "func_geo_env_probe",            # r7 diagnostic: names any divergence
-    # -- new in round 7 (first ever gate exposure) --
-    "func_h3_edge_family",
-    "q7_trade_flows_live",
-    "kql_evaluate_pivot_events",
-    "kql_evaluate_bag_unpack_events",
-    "prql_sstring_orders",
-    "prql_group_window_lineitem",
-    "system_settings_changes_quotas",
-    "system_async_metrics_names",
-    # -- judge-priority never-sampled (round-6 ask #2 list) --
-    "dict_ip_trie_zones",
-    "dict_polygon_zones",
-    "kql_scan_price_runs",
-    "prql_window_rank_orders",
-    "prql_loop_region_chain",
-    # -- TPC-H long tail, never sampled --
-    "q2_min_cost_supplier",
-    "q4_order_priority_exists",
-    "q8_market_share",
-    "q11_important_stock",
-    "q12_shipping_delay",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_part_supplier_counts",
-    "q17_small_quantity_revenue",
-    "q19_discounted_revenue",
-    "q20_potential_promotion",
-    "q22_global_sales_opportunity",
-    # -- never-sampled family spread --
-    "mergetree_aggregating_final",
-    "window_hop_30min",
-    "window_running_difference_neighbor",
-    "window_non_negative_derivative",
-    "window_exp_time_decayed_family",
-    "join_asof_forward_next_purchase",
-    "table_function_numbers",
-    "table_function_generate_series",
-    "dedup_substring_spans",
-    "agg_histogram_values",
-    "agg_entropy_event_types",
-    "agg_sparkbar_hourly",
-    "text_pii_redaction",
-    "text_repetition_metrics",
-    "text_vocab_top20",
-    "dedup_minhash_clusters",
-    "embedding_int8_quantize",
-    "corpus_stratified_mixture",
-    "sequence_count_view_click",
-    "retention_signup_view_purchase",
-    "multimodal_metadata",
+    "q3_shipping_priority",          # TPC-H join+topk anchor
+    "dedup_minhash_lsh_pairs",       # pipeline flagship (oracled tier)
+    "func_h3_geo_family",            # geo gate policy stays visible
+    # -- round-9 additions (first gate exposure) --
+    "lake_iceberg_v2_mor_read",
+    "lake_iceberg_equality_deletes",
+    "lake_delta_column_mapping",
+    "lake_delta_deletion_vectors",
+    "pipeline_split_stable",
+    "pipeline_mixture_to_target",
+    "pipeline_upsample_epochs",
+    "pipeline_shuffle_stable",
+    "semantic_dedup_clusters",
+    "semantic_dedup_fast",
+    "system_tables_round9_batch",
+    "system_tables_final_batch",
+    "chsql_view_tf_apply_exists",
+    "kql_search_documents",
+    "prql_date_literal_join",
+    # -- never-sampled long tail: aggregates --
+    "agg_categorical_iv",
+    "agg_foreach_centroid",
+    "agg_max_intersections",
+    "agg_mean_z_anova",
+    "agg_rank_corr_value_time",
+    "agg_sequence_next_node",
+    "agg_topk_event_types",
+    # -- chsql statement/expression surface --
+    "chsql_bridge_function_tail",
+    "chsql_distinct_on_latest_order",
+    "chsql_lag_lead_in_frame",
+    "chsql_multi_array_join_collate",
+    "chsql_quantile_exact_combinators",
+    "chsql_system_numbers_generator",
+    "chsql_with_recursive_chain",
+    # -- pipeline/dedup/similarity --
+    "chunk_documents_windows",
+    "dedup_incremental_ingest",
+    "dedup_keep_best_quality",
+    "agg_moving_sum_avg",
+    "chsql_limit_by_buckets",
+    # -- function families (hash exactness etc.) --
+    "func_array_enumerate_family",
+    "func_cityhash_exact",
+    "func_hash64_family_exact",
+    # -- KQL breadth --
+    "kql_dynamic_json_extract",
+    "kql_evaluate_narrow_events",
+    "kql_invoke_let_function",
+    "kql_range_datatable",
+    "kql_top_hitters_project_keep",
+    # -- PRQL / fill / system --
+    "prql_let_function_orders",
+    "with_fill_interpolate_daily_max",
+    "system_access_entities",
+    "system_server_surface_round8",
 ]
 
 _missing_gate = [n for n in _GATE_BLOCK if n not in REGISTRY]
