@@ -3259,6 +3259,36 @@ def ch_sql(spark, sql: str, sf_dir: str | None = None,
         materialize_system_views(spark, _sys_names, sf_dir)
     if params or _QPARAM_RE.search(sql):
         sql = substitute_query_parameters(sql, params)
+    # CREATE/DROP DICTIONARY + dictGet family (round-9;
+    # dictionary_sql.py — InterpreterCreateQuery dictionary branch,
+    # FunctionsExternalDictionaries.h)
+    if re.match(r"^\s*CREATE\s+DICTIONARY\b", sql, re.IGNORECASE):
+        from clickhouse_25_5_3_75_stable_spark.dictionary_sql import (
+            parse_create_dictionary,
+            register_dictionary,
+        )
+
+        d = parse_create_dictionary(sql)
+        register_dictionary(spark, d)
+        return spark.createDataFrame([("OK",)], "created string")
+    drop_dict = re.match(
+        r"^\s*DROP\s+DICTIONARY\s+(IF\s+EXISTS\s+)?([A-Za-z_]\w*)\s*;?\s*$",
+        sql, re.IGNORECASE,
+    )
+    if drop_dict is not None:
+        from clickhouse_25_5_3_75_stable_spark.dictionary_sql import (
+            drop_dictionary,
+        )
+
+        drop_dictionary(spark, drop_dict.group(2),
+                        bool(drop_dict.group(1)))
+        return spark.createDataFrame([("OK",)], "dropped string")
+    if re.search(r"\bdict(Get|Has)", sql):
+        from clickhouse_25_5_3_75_stable_spark.dictionary_sql import (
+            rewrite_dict_calls,
+        )
+
+        sql = rewrite_dict_calls(sql)
     # EXISTS [TABLE] t (src/Interpreters/InterpreterExistsQuery.cpp:
     # one UInt8 column named `result`)
     exists_m = re.match(

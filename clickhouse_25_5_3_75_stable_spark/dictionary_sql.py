@@ -1,0 +1,378 @@
+"""CREATE DICTIONARY + dictGet on the SQL-text surface.
+
+Reference: `src/Interpreters/InterpreterCreateQuery.cpp` (dictionary
+branch), `src/Dictionaries/getDictionaryConfigurationFromAST.cpp`
+(the CREATE DICTIONARY grammar: attribute list with DEFAULT, PRIMARY
+KEY, SOURCE(...), LAYOUT(...), LIFETIME(...), RANGE(MIN .. MAX ..)),
+`src/Functions/FunctionsExternalDictionaries.h` (dictGet /
+dictGetOrDefault / dictGetOrNull / dictHas and the typed
+dictGet<Type> family).
+
+Spark mapping: a dictionary over a catalog table is a broadcast-side
+lookup — dictGet rewrites to a CORRELATED SCALAR AGGREGATE SUBQUERY
+against a `__dict_<name>` temp view; Catalyst decorrelates it into a
+left outer join and broadcasts the dictionary side (dimension-sized by
+construction), which is exactly the hash-lookup plan the reference's
+HashedDictionary executes. No driver-side map literal, no UDF: at
+100 TB the fact side streams once past a broadcast dict.
+
+Subset notes (each refusal names the builder API that covers it):
+- SOURCE(CLICKHOUSE(TABLE 't')) reads the session catalog table `t`
+  (any registered view — testdata, DDL tables, lake reads). Other
+  sources (HTTP/MYSQL/FILE...) refuse toward sources/external.py.
+- LAYOUT FLAT/HASHED/SPARSE_HASHED/COMPLEX_KEY_HASHED/DIRECT share
+  the same Spark plan (one equi-lookup); RANGE_HASHED adds the
+  BETWEEN predicate from RANGE(MIN .. MAX ..). IP_TRIE and POLYGON
+  need the specialized operators (operators/dictionary.py) — refuse
+  by name there.
+- Duplicate source keys: the reference's build keeps one arbitrary
+  row; this engine resolves with max() per attribute (deterministic
+  everywhere), documented divergence.
+"""
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import SparkSession
+
+
+@dataclass
+class SqlDictionary:
+    name: str
+    source_table: str
+    keys: list[str]
+    # attr name -> (ch_type, default SQL literal or None)
+    attrs: dict[str, tuple[str, str | None]] = field(default_factory=dict)
+    layout: str = "hashed"
+    range_min: str | None = None
+    range_max: str | None = None
+
+
+SQL_DICTIONARIES: dict[str, SqlDictionary] = {}
+
+_NUMERIC_T = re.compile(
+    r"^(U?Int(8|16|32|64)|Float(32|64)|Decimal.*|Bool)$", re.IGNORECASE)
+
+_LAYOUTS_OK = {
+    "flat", "hashed", "sparse_hashed", "complex_key_hashed",
+    "complex_key_sparse_hashed", "direct", "range_hashed", "hashed_array",
+}
+_LAYOUTS_SPECIAL = {
+    "ip_trie": "operators/dictionary.IPTrieDictionary",
+    "polygon": "operators/dictionary.PolygonDictionary",
+    "polygon_simple": "operators/dictionary.PolygonDictionary",
+}
+
+
+def type_default_sql(ch_type: str) -> str:
+    """The reference's zero default for an attribute type (absent
+    DEFAULT clause): 0 for numerics, '' for strings, the epoch for
+    date/datetime."""
+    t = ch_type.strip()
+    if _NUMERIC_T.match(t):
+        return "0"
+    if t.lower().startswith("datetime"):
+        return "toDateTime(0)"
+    if t.lower().startswith("date"):
+        return "toDate(0)"
+    return "''"
+
+
+def parse_create_dictionary(sql: str):
+    """Parse CREATE DICTIONARY; returns SqlDictionary or None when the
+    statement is something else."""
+    m = re.match(
+        r"^\s*CREATE\s+DICTIONARY\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+        r"([A-Za-z_]\w*)\s*\((?P<attrs>.*?)\)\s*"
+        r"PRIMARY\s+KEY\s+(?P<keys>[\w\s,]+?)\s*"
+        r"SOURCE\s*\(\s*(?P<src_kind>\w+)\s*\((?P<src>[^)]*)\)\s*\)\s*"
+        r"(?P<tail>.*?);?\s*$",
+        sql, re.IGNORECASE | re.DOTALL,
+    )
+    if m is None:
+        if re.match(r"^\s*CREATE\s+DICTIONARY\b", sql, re.IGNORECASE):
+            from clickhouse_25_5_3_75_stable_spark.chsql import ChSqlError
+
+            raise ChSqlError(
+                "CREATE DICTIONARY: expected `CREATE DICTIONARY name "
+                "(attr Type [DEFAULT lit], ...) PRIMARY KEY k "
+                "SOURCE(CLICKHOUSE(TABLE 't')) LAYOUT(...) "
+                "[RANGE(MIN c MAX c)] [LIFETIME(...)]`")
+        return None
+    from clickhouse_25_5_3_75_stable_spark.chsql import ChSqlError
+
+    name = m.group(1)
+    if m.group("src_kind").upper() != "CLICKHOUSE":
+        raise ChSqlError(
+            f"SOURCE({m.group('src_kind').upper()}(...)): only "
+            "SOURCE(CLICKHOUSE(TABLE 't')) reads the session catalog; "
+            "external sources go through sources/external.py")
+    tm = re.search(r"TABLE\s+'([^']+)'", m.group("src"), re.IGNORECASE)
+    if tm is None:
+        raise ChSqlError("SOURCE(CLICKHOUSE(...)): expected TABLE 'name'")
+    source_table = tm.group(1)
+
+    tail = m.group("tail")
+    lm = re.search(r"LAYOUT\s*\(\s*(\w+)\s*\(", tail, re.IGNORECASE)
+    layout = (lm.group(1).lower() if lm else "hashed")
+    if layout in _LAYOUTS_SPECIAL:
+        raise ChSqlError(
+            f"LAYOUT({layout.upper()}): use the specialized builder "
+            f"({_LAYOUTS_SPECIAL[layout]}) — the SQL route serves the "
+            "equi-lookup layouts")
+    if layout not in _LAYOUTS_OK:
+        raise ChSqlError(f"LAYOUT({layout.upper()}): unknown layout")
+
+    range_min = range_max = None
+    rm = re.search(r"RANGE\s*\(\s*MIN\s+(\w+)\s+MAX\s+(\w+)\s*\)",
+                   tail, re.IGNORECASE)
+    if rm is not None:
+        range_min, range_max = rm.group(1), rm.group(2)
+    if layout == "range_hashed" and range_min is None:
+        raise ChSqlError("LAYOUT(RANGE_HASHED()) needs RANGE(MIN c MAX c)")
+
+    keys = [k.strip() for k in m.group("keys").split(",") if k.strip()]
+    attrs: dict[str, tuple[str, str | None]] = {}
+    for part in _split_top_commas(m.group("attrs")):
+        am = re.match(
+            r"^\s*([A-Za-z_]\w*)\s+([\w()0-9, ]+?)"
+            r"(?:\s+DEFAULT\s+(.+?))?\s*$",
+            part, re.IGNORECASE | re.DOTALL,
+        )
+        if am is None:
+            raise ChSqlError(f"CREATE DICTIONARY: bad attribute {part!r}")
+        attrs[am.group(1)] = (am.group(2).strip(), am.group(3))
+    for k in keys:
+        attrs.pop(k, None)  # keys are not gettable attributes
+    for r in (range_min, range_max):
+        if r:
+            attrs.pop(r, None)
+    if not attrs:
+        raise ChSqlError("CREATE DICTIONARY: no non-key attributes")
+    return SqlDictionary(
+        name=name, source_table=source_table, keys=keys, attrs=attrs,
+        layout=layout, range_min=range_min, range_max=range_max,
+    )
+
+
+def _split_top_commas(s: str) -> list[str]:
+    out, depth, cur = [], 0, []
+    for ch in s:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if "".join(cur).strip():
+        out.append("".join(cur))
+    return out
+
+
+def register_dictionary(spark: SparkSession, d: SqlDictionary) -> None:
+    """Validate the source and publish: the SQL registry (dictGet
+    rewrites), the live-object registry (system.dictionaries), and the
+    `__dict_<name>` temp view the scalar subqueries read."""
+    from clickhouse_25_5_3_75_stable_spark.chsql import ChSqlError
+    from clickhouse_25_5_3_75_stable_spark.operators.dictionary import (
+        DICTIONARY_REGISTRY,
+    )
+
+    try:
+        src = spark.table(d.source_table)
+    except Exception:
+        raise ChSqlError(
+            f"CREATE DICTIONARY {d.name}: source table "
+            f"{d.source_table!r} is not in the session catalog")
+    missing = [c for c in (*d.keys, *d.attrs,
+                           *(r for r in (d.range_min, d.range_max) if r))
+               if c not in src.columns]
+    if missing:
+        raise ChSqlError(
+            f"CREATE DICTIONARY {d.name}: source {d.source_table!r} "
+            f"lacks columns {missing}")
+    SQL_DICTIONARIES[d.name] = d
+    src.createOrReplaceTempView(f"__dict_{d.name}")
+
+    # live-object registry entry (system.dictionaries): a thin shim
+    # with the attributes the system table reads
+    class _LiveDict:
+        pass
+
+    live = _LiveDict()
+    live.name = d.name
+    live.layout = d.layout
+    live.key = ",".join(d.keys)
+    live.source = src.select(*d.keys, *d.attrs)
+    DICTIONARY_REGISTRY[d.name] = live
+
+
+def drop_dictionary(spark: SparkSession, name: str, if_exists: bool) -> None:
+    from clickhouse_25_5_3_75_stable_spark.chsql import ChSqlError
+    from clickhouse_25_5_3_75_stable_spark.operators.dictionary import (
+        DICTIONARY_REGISTRY,
+    )
+
+    if name not in SQL_DICTIONARIES:
+        if if_exists:
+            return
+        raise ChSqlError(f"DROP DICTIONARY: unknown dictionary {name!r}")
+    del SQL_DICTIONARIES[name]
+    DICTIONARY_REGISTRY.pop(name, None)
+    spark.catalog.dropTempView(f"__dict_{name}")
+
+
+_DICT_FN_RE = re.compile(
+    r"\bdict(Get|GetOrDefault|GetOrNull|Has|GetString|GetInt8|GetInt16"
+    r"|GetInt32|GetInt64|GetUInt8|GetUInt16|GetUInt32|GetUInt64"
+    r"|GetFloat32|GetFloat64|GetDate|GetDateTime)\s*\(",
+)
+
+_TYPED_CAST = {
+    "getstring": "toString", "getint8": "toInt8", "getint16": "toInt16",
+    "getint32": "toInt32", "getint64": "toInt64", "getuint8": "toUInt8",
+    "getuint16": "toUInt16", "getuint32": "toUInt32",
+    "getuint64": "toUInt64", "getfloat32": "toFloat32",
+    "getfloat64": "toFloat64", "getdate": "toDate",
+    "getdatetime": "toDateTime",
+}
+
+
+def rewrite_dict_calls(sql: str) -> str:
+    """Rewrite dictGet-family calls to correlated scalar aggregate
+    subqueries over `__dict_<name>` views (still CH-dialect text — the
+    normal transpile runs afterwards). Processes innermost-first so
+    nested dictGet chains compose."""
+    from clickhouse_25_5_3_75_stable_spark.chsql import ChSqlError
+
+    changed = True
+    guard = 0
+    while changed and guard < 50:
+        changed = False
+        guard += 1
+        for m in list(_DICT_FN_RE.finditer(sql)):
+            inner = _DICT_FN_RE.search(sql, m.start() + 1)
+            if inner and inner.start() < _match_paren_str(sql, m.end() - 1):
+                continue  # rewrite the innermost call first
+            close = _match_paren_str(sql, m.end() - 1)
+            args = _split_top_commas(sql[m.end():close])
+            kind = m.group(1).lower()
+            repl = _render_dict_call(kind, [a.strip() for a in args],
+                                     ChSqlError)
+            sql = sql[:m.start()] + repl + sql[close + 1:]
+            changed = True
+            break
+    return sql
+
+
+def _match_paren_str(s: str, open_i: int) -> int:
+    depth = 0
+    in_str = False
+    for i in range(open_i, len(s)):
+        ch = s[i]
+        if in_str:
+            if ch == "'":
+                in_str = False
+            continue
+        if ch == "'":
+            in_str = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return i
+    raise ValueError("unbalanced parentheses in dictGet call")
+
+
+def _render_dict_call(kind: str, args: list[str], ChSqlError) -> str:
+    def lit_name(a: str, what: str) -> str:
+        lm = re.match(r"^'([^']+)'$", a)
+        if lm is None:
+            raise ChSqlError(f"dict{kind}: {what} must be a string literal")
+        return lm.group(1)
+
+    if len(args) < (2 if kind == "has" else 3):
+        raise ChSqlError(f"dict{kind.capitalize()}: too few arguments")
+    dname = lit_name(args[0], "dictionary name")
+    d = SQL_DICTIONARIES.get(dname)
+    if d is None:
+        raise ChSqlError(
+            f"unknown dictionary {dname!r} — CREATE DICTIONARY first "
+            f"(known: {sorted(SQL_DICTIONARIES)})")
+    if any("__dict_" in a for a in args[1:]):
+        # a dictGet nested inside another's arguments would correlate
+        # the fact column TWO subquery levels deep — Spark cannot
+        # decorrelate that. One level per derived table works:
+        raise ChSqlError(
+            "nested dictGet chains: compute the inner lookup in a "
+            "derived table first — SELECT dictGet('outer_dict', 'attr', x) "
+            "FROM (SELECT dictGet('inner_dict', 'attr', k) AS x FROM t)")
+
+    view = f"__dict_{dname}"
+
+    def key_pred(key_expr: str) -> str:
+        if len(d.keys) == 1:
+            return f"{view}.{d.keys[0]} = ({key_expr})"
+        tm = re.match(r"^\s*(?:tuple\s*)?\((.*)\)\s*$",
+                      key_expr, re.IGNORECASE | re.DOTALL)
+        parts = (_split_top_commas(tm.group(1)) if tm else None)
+        if not parts or len(parts) != len(d.keys):
+            raise ChSqlError(
+                f"dictionary {dname!r} has composite key "
+                f"({', '.join(d.keys)}) — pass tuple(...) with "
+                f"{len(d.keys)} elements")
+        return " AND ".join(
+            f"{view}.{k} = ({p.strip()})" for k, p in zip(d.keys, parts))
+
+    if kind == "has":
+        return (f"(CASE WHEN (SELECT count(*) FROM {view} "
+                f"WHERE {key_pred(args[1])}) > 0 THEN 1 ELSE 0 END)")
+
+    attr = lit_name(args[1], "attribute name")
+    if attr not in d.attrs:
+        raise ChSqlError(
+            f"dictionary {dname!r} has no attribute {attr!r} "
+            f"(attributes: {sorted(d.attrs)})")
+    ch_type, default = d.attrs[attr]
+
+    range_arg = None
+    default_arg = None
+    if d.range_min:
+        if len(args) < 4:
+            raise ChSqlError(
+                f"dictionary {dname!r} is RANGE_HASHED — dictGet needs "
+                "a 4th range-point argument")
+        range_arg = args[3]
+        if kind == "getordefault":
+            if len(args) < 5:
+                raise ChSqlError("dictGetOrDefault(range dict): 5 args")
+            default_arg = args[4]
+    elif kind == "getordefault":
+        if len(args) < 4:
+            raise ChSqlError("dictGetOrDefault: 4 arguments")
+        default_arg = args[3]
+
+    pred = key_pred(args[2])
+    if range_arg is not None:
+        # reference RangeHashedDictionary: range_min <= x <= range_max
+        pred += (f" AND {view}.{d.range_min} <= ({range_arg})"
+                 f" AND ({range_arg}) <= {view}.{d.range_max}")
+    # max() resolves duplicate keys deterministically (documented);
+    # single-key dictionaries built from clean dims see one row anyway
+    sub = f"(SELECT max({view}.{attr}) FROM {view} WHERE {pred})"
+    if kind == "getornull":
+        out = sub
+    elif kind == "getordefault":
+        out = f"coalesce({sub}, ({default_arg}))"
+    else:
+        fallback = default if default is not None else type_default_sql(ch_type)
+        out = f"coalesce({sub}, {fallback})"
+    cast = _TYPED_CAST.get(kind)
+    if cast:
+        out = f"{cast}({out})"
+    return out

@@ -424,3 +424,64 @@ def chsql_view_tf_apply_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(int(e1)).alias("orders_exists"),
         F.lit(int(e2)).alias("ghost_exists"),
     )
+
+
+@register(
+    "chsql_create_dictionary_dictget",
+    # plain joins reproduce the dictionary lookups in DuckDB
+    oracle="""
+    WITH enriched AS (
+      SELECT s.s_suppkey,
+             coalesce(n.n_name, 'unknown') AS nation,
+             coalesce(r.r_name, '') AS region,
+             CASE WHEN n.n_nationkey IS NOT NULL THEN 1 ELSE 0 END AS has_n
+      FROM supplier s
+      LEFT JOIN nation n ON n.n_nationkey = s.s_nationkey
+      LEFT JOIN region r ON r.r_regionkey = n.n_regionkey
+    )
+    SELECT region, CAST(count(*) AS BIGINT) AS n_sup,
+           CAST(sum(has_n) AS BIGINT) AS n_matched,
+           min(nation) AS first_nation
+    FROM enriched GROUP BY region ORDER BY region
+    """,
+    tags=("chsql", "dictionary"),
+)
+def chsql_create_dictionary_dictget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE DICTIONARY + dictGet on the SQL-text surface (round-9;
+    dictionary_sql.py — InterpreterCreateQuery's dictionary branch,
+    FunctionsExternalDictionaries.h): hashed + flat layouts over
+    catalog tables, attribute DEFAULTs, dictHas, and a two-level
+    lookup chain through a derived table. Each dictGet plans as a
+    correlated scalar aggregate subquery that Catalyst decorrelates
+    into a BROADCAST join — the reference's hash-lookup shape, fact
+    side streams once."""
+    ch_sql(spark, """
+        CREATE DICTIONARY nation_dict_q (
+            n_name String DEFAULT 'unknown',
+            n_regionkey UInt64
+        ) PRIMARY KEY n_nationkey
+        SOURCE(CLICKHOUSE(TABLE 'nation')) LAYOUT(HASHED()) LIFETIME(300)
+    """, sf_dir=sf_dir).collect()
+    ch_sql(spark, """
+        CREATE DICTIONARY region_dict_q (r_name String)
+        PRIMARY KEY r_regionkey
+        SOURCE(CLICKHOUSE(TABLE 'region')) LAYOUT(FLAT()) LIFETIME(300)
+    """, sf_dir=sf_dir).collect()
+    return ch_sql(spark, """
+        SELECT dictGet('region_dict_q', 'r_name', toUInt64(rk)) AS region,
+               count() AS n_sup,
+               sum(has_n) AS n_matched,
+               min(nation) AS first_nation
+        FROM (
+            SELECT dictGet('nation_dict_q', 'n_regionkey', s_nationkey) AS rk,
+                   dictGet('nation_dict_q', 'n_name', s_nationkey) AS nation,
+                   dictHas('nation_dict_q', s_nationkey) AS has_n
+            FROM supplier
+        )
+        GROUP BY region ORDER BY region
+    """, sf_dir=sf_dir).select(
+        "region",
+        F.col("n_sup").cast("long").alias("n_sup"),
+        F.col("n_matched").cast("long").alias("n_matched"),
+        "first_nation",
+    )

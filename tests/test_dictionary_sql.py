@@ -1,0 +1,147 @@
+"""CREATE DICTIONARY + dictGet family on the SQL route
+(dictionary_sql.py; reference InterpreterCreateQuery dictionary
+branch + FunctionsExternalDictionaries.h)."""
+import pytest
+
+from clickhouse_25_5_3_75_stable_spark.chsql import ChSqlError, ch_sql
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture()
+def nation_dict(spark):
+    ch_sql(spark, """
+        CREATE DICTIONARY t_nation_dict (
+            n_name String DEFAULT 'unknown',
+            n_regionkey UInt64
+        ) PRIMARY KEY n_nationkey
+        SOURCE(CLICKHOUSE(TABLE 'nation')) LAYOUT(HASHED()) LIFETIME(60)
+    """, sf_dir=SF_SMOKE).collect()
+    yield "t_nation_dict"
+    ch_sql(spark, "DROP DICTIONARY IF EXISTS t_nation_dict").collect()
+
+
+def test_dictget_hit_miss_defaults(spark, nation_dict):
+    r = ch_sql(spark, """
+        SELECT dictGet('t_nation_dict', 'n_name', toUInt64(3)) AS hit,
+               dictGet('t_nation_dict', 'n_name', toUInt64(999)) AS attr_def,
+               dictGet('t_nation_dict', 'n_regionkey', toUInt64(999)) AS zero_def,
+               dictGetOrDefault('t_nation_dict', 'n_name', toUInt64(999),
+                                'fb') AS fb,
+               dictGetOrNull('t_nation_dict', 'n_name', toUInt64(999)) AS nul,
+               dictHas('t_nation_dict', toUInt64(3)) AS has3,
+               dictHas('t_nation_dict', toUInt64(999)) AS has999,
+               dictGetString('t_nation_dict', 'n_name', toUInt64(3)) AS typed
+    """).collect()[0]
+    assert r.hit.startswith("NATION_") or len(r.hit) > 0
+    assert r.attr_def == "unknown"      # DEFAULT clause
+    assert r.zero_def == 0              # type zero default
+    assert r.fb == "fb"
+    assert r.nul is None
+    assert (r.has3, r.has999) == (1, 0)
+    assert r.typed == r.hit
+
+
+def test_dict_fact_enrichment_is_broadcast(spark, nation_dict):
+    import contextlib
+    import io
+
+    df = ch_sql(spark, """
+        SELECT dictGet('t_nation_dict', 'n_name', s_nationkey) AS nat,
+               count() AS n
+        FROM supplier GROUP BY nat ORDER BY nat
+    """, sf_dir=SF_SMOKE)
+    rows = df.collect()
+    assert len(rows) > 3 and all(r.n > 0 for r in rows)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain()
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_range_hashed_dictionary(spark):
+    rows = [(1, "2020-01-01", "2020-06-30", 10.0),
+            (1, "2020-07-01", "2020-12-31", 20.0)]
+    (spark.createDataFrame(rows, "id long, f string, t string, rate double")
+     .selectExpr("id", "CAST(f AS DATE) f", "CAST(t AS DATE) t", "rate")
+     .createOrReplaceTempView("t_rates_src"))
+    ch_sql(spark, """
+        CREATE DICTIONARY t_rate_dict (rate Float64)
+        PRIMARY KEY id SOURCE(CLICKHOUSE(TABLE 't_rates_src'))
+        LAYOUT(RANGE_HASHED()) RANGE(MIN f MAX t)
+    """).collect()
+    try:
+        r = ch_sql(spark, """
+            SELECT dictGet('t_rate_dict', 'rate', toUInt64(1),
+                           toDate('2020-06-30')) AS edge,
+                   dictGet('t_rate_dict', 'rate', toUInt64(1),
+                           toDate('2020-07-01')) AS next_range,
+                   dictGet('t_rate_dict', 'rate', toUInt64(1),
+                           toDate('2021-01-01')) AS miss,
+                   dictGetOrDefault('t_rate_dict', 'rate', toUInt64(1),
+                                    toDate('2021-01-01'), -1.0) AS miss_fb
+        """).collect()[0]
+        # inclusive both ends (reference RangeHashedDictionary)
+        assert (r.edge, r.next_range, r.miss, r.miss_fb) == (10.0, 20.0, 0.0, -1.0)
+        # range dict without the range point argument refuses
+        with pytest.raises(ChSqlError, match="range-point"):
+            ch_sql(spark, "SELECT dictGet('t_rate_dict', 'rate', toUInt64(1))")
+    finally:
+        ch_sql(spark, "DROP DICTIONARY t_rate_dict").collect()
+
+
+def test_complex_key_dictionary(spark):
+    rows = [("a", 1, 10.0), ("a", 2, 20.0), ("b", 1, 30.0)]
+    spark.createDataFrame(rows, "k1 string, k2 long, v double") \
+        .createOrReplaceTempView("t_ck_src")
+    ch_sql(spark, """
+        CREATE DICTIONARY t_ck_dict (v Float64)
+        PRIMARY KEY k1, k2 SOURCE(CLICKHOUSE(TABLE 't_ck_src'))
+        LAYOUT(COMPLEX_KEY_HASHED())
+    """).collect()
+    try:
+        r = ch_sql(spark, """
+            SELECT dictGet('t_ck_dict', 'v', tuple('a', 2)) AS hit,
+                   dictGet('t_ck_dict', 'v', ('b', 9)) AS miss
+        """).collect()[0]
+        assert (r.hit, r.miss) == (20.0, 0.0)
+        with pytest.raises(ChSqlError, match="composite key"):
+            ch_sql(spark, "SELECT dictGet('t_ck_dict', 'v', 'a')")
+    finally:
+        ch_sql(spark, "DROP DICTIONARY t_ck_dict").collect()
+
+
+def test_dictionary_errors_and_registry(spark, nation_dict):
+    with pytest.raises(ChSqlError, match="unknown dictionary"):
+        ch_sql(spark, "SELECT dictGet('nope', 'a', 1)")
+    with pytest.raises(ChSqlError, match="no attribute"):
+        ch_sql(spark, "SELECT dictGet('t_nation_dict', 'bogus', 1)")
+    with pytest.raises(ChSqlError, match="IPTrieDictionary"):
+        ch_sql(spark, """
+            CREATE DICTIONARY t_ip (zone String) PRIMARY KEY cidr
+            SOURCE(CLICKHOUSE(TABLE 'nation')) LAYOUT(IP_TRIE())
+        """)
+    with pytest.raises(ChSqlError, match="not in the session catalog"):
+        ch_sql(spark, """
+            CREATE DICTIONARY t_missing (a String) PRIMARY KEY k
+            SOURCE(CLICKHOUSE(TABLE 'no_such_table_xyz')) LAYOUT(HASHED())
+        """)
+    with pytest.raises(ChSqlError, match="derived table"):
+        ch_sql(spark, """
+            SELECT dictGet('t_nation_dict', 'n_name',
+                           dictGet('t_nation_dict', 'n_regionkey', 1))
+        """)
+    # registry surfaces in system.dictionaries
+    rows = ch_sql(spark, """
+        SELECT name, type, key FROM system.dictionaries
+        WHERE name = 't_nation_dict'
+    """).collect()
+    assert rows and rows[0].type == "hashed"
+    assert rows[0].key == "n_nationkey"
+    # DROP removes it; unknown DROP refuses unless IF EXISTS
+    ch_sql(spark, "DROP DICTIONARY t_nation_dict").collect()
+    with pytest.raises(ChSqlError, match="unknown dictionary"):
+        ch_sql(spark, "DROP DICTIONARY t_nation_dict")
+    ch_sql(spark, "DROP DICTIONARY IF EXISTS t_nation_dict").collect()
+    with pytest.raises(ChSqlError, match="unknown dictionary"):
+        ch_sql(spark, "SELECT dictGet('t_nation_dict', 'n_name', 1)")
