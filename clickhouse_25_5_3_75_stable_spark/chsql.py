@@ -3283,6 +3283,26 @@ def ch_sql(spark, sql: str, sf_dir: str | None = None,
         drop_dictionary(spark, drop_dict.group(2),
                         bool(drop_dict.group(1)))
         return spark.createDataFrame([("OK",)], "dropped string")
+    if re.match(r"^\s*SHOW\s+DICTIONARIES\s*;?\s*$", sql, re.IGNORECASE):
+        # InterpreterShowTablesQuery dictionary branch: name column
+        from clickhouse_25_5_3_75_stable_spark.dictionary_sql import (
+            SQL_DICTIONARIES,
+        )
+
+        return spark.createDataFrame(
+            [(n,) for n in sorted(SQL_DICTIONARIES)], "name string")
+    exists_dict = re.match(
+        r"^\s*EXISTS\s+DICTIONARY\s+([A-Za-z_]\w*)\s*;?\s*$",
+        sql, re.IGNORECASE,
+    )
+    if exists_dict is not None:
+        from clickhouse_25_5_3_75_stable_spark.dictionary_sql import (
+            SQL_DICTIONARIES,
+        )
+
+        return spark.createDataFrame(
+            [(1 if exists_dict.group(1) in SQL_DICTIONARIES else 0,)],
+            "result tinyint")
     if re.search(r"\bdict(Get|Has)", sql):
         from clickhouse_25_5_3_75_stable_spark.dictionary_sql import (
             rewrite_dict_calls,

@@ -145,3 +145,10 @@ def test_dictionary_errors_and_registry(spark, nation_dict):
     ch_sql(spark, "DROP DICTIONARY IF EXISTS t_nation_dict").collect()
     with pytest.raises(ChSqlError, match="unknown dictionary"):
         ch_sql(spark, "SELECT dictGet('t_nation_dict', 'n_name', 1)")
+
+
+def test_show_and_exists_dictionary(spark, nation_dict):
+    names = [r.name for r in ch_sql(spark, "SHOW DICTIONARIES").collect()]
+    assert "t_nation_dict" in names
+    assert ch_sql(spark, "EXISTS DICTIONARY t_nation_dict").collect()[0][0] == 1
+    assert ch_sql(spark, "EXISTS DICTIONARY nope_xyz").collect()[0][0] == 0
