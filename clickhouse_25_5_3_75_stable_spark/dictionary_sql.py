@@ -47,6 +47,7 @@ class SqlDictionary:
     layout: str = "hashed"
     range_min: str | None = None
     range_max: str | None = None
+    hier_attr: str | None = None  # the HIERARCHICAL parent-key attribute
 
 
 SQL_DICTIONARIES: dict[str, SqlDictionary] = {}
@@ -134,15 +135,22 @@ def parse_create_dictionary(sql: str):
 
     keys = [k.strip() for k in m.group("keys").split(",") if k.strip()]
     attrs: dict[str, tuple[str, str | None]] = {}
+    hier_attr = None
     for part in _split_top_commas(m.group("attrs")):
         am = re.match(
             r"^\s*([A-Za-z_]\w*)\s+([\w()0-9, ]+?)"
-            r"(?:\s+DEFAULT\s+(.+?))?\s*$",
+            r"(?:\s+DEFAULT\s+(?P<dflt>.+?))?"
+            r"(?P<hier>\s+HIERARCHICAL)?\s*$",
             part, re.IGNORECASE | re.DOTALL,
         )
         if am is None:
             raise ChSqlError(f"CREATE DICTIONARY: bad attribute {part!r}")
-        attrs[am.group(1)] = (am.group(2).strip(), am.group(3))
+        attrs[am.group(1)] = (am.group(2).strip(), am.group("dflt"))
+        if am.group("hier"):
+            if hier_attr is not None:
+                raise ChSqlError(
+                    "CREATE DICTIONARY: at most one HIERARCHICAL attribute")
+            hier_attr = am.group(1)
     for k in keys:
         attrs.pop(k, None)  # keys are not gettable attributes
     for r in (range_min, range_max):
@@ -150,9 +158,12 @@ def parse_create_dictionary(sql: str):
             attrs.pop(r, None)
     if not attrs:
         raise ChSqlError("CREATE DICTIONARY: no non-key attributes")
+    if hier_attr and len(keys) != 1:
+        raise ChSqlError("HIERARCHICAL needs a single-column key")
     return SqlDictionary(
         name=name, source_table=source_table, keys=keys, attrs=attrs,
         layout=layout, range_min=range_min, range_max=range_max,
+        hier_attr=hier_attr,
     )
 
 
@@ -197,6 +208,8 @@ def register_dictionary(spark: SparkSession, d: SqlDictionary) -> None:
             f"lacks columns {missing}")
     SQL_DICTIONARIES[d.name] = d
     src.createOrReplaceTempView(f"__dict_{d.name}")
+    if d.hier_attr:
+        _build_hierarchy_view(spark, d, src)
 
     # live-object registry entry (system.dictionaries): a thin shim
     # with the attributes the system table reads
@@ -211,6 +224,64 @@ def register_dictionary(spark: SparkSession, d: SqlDictionary) -> None:
     DICTIONARY_REGISTRY[d.name] = live
 
 
+def _build_hierarchy_view(spark: SparkSession, d: SqlDictionary, src) -> None:
+    """Precompute the hierarchy closure for HIERARCHICAL dictionaries
+    (reference HierarchyDictionariesUtils.h walks parent pointers at
+    query time over the in-memory dict): ancestors chain (key first,
+    walk stops at 0/NULL/missing/cycle), direct children, and all
+    descendants, one row per key in a `__dict_<name>__hier` view.
+    Dictionaries are broadcast-sized by contract, so the closure
+    builds driver-side from one bounded collect — the same memory
+    class as the reference's in-memory hierarchy."""
+    key, parent = d.keys[0], d.hier_attr
+    pairs = {r[0]: r[1] for r in src.select(key, parent).collect()}
+
+    ancestors: dict = {}
+    for k in pairs:
+        chain = [k]
+        seen = {k}
+        cur = pairs.get(k)
+        while cur is not None and cur != 0 and cur in pairs and cur not in seen:
+            chain.append(cur)
+            seen.add(cur)
+            cur = pairs.get(cur)
+        if cur is not None and cur != 0 and cur not in pairs:
+            chain.append(cur)  # parent outside the dict still reported
+        ancestors[k] = chain
+
+    children: dict = {k: [] for k in pairs}
+    for k, p in pairs.items():
+        if p is not None and p != 0 and p in children:
+            children[p].append(k)
+    descendants: dict = {}
+
+    def desc(k, guard=None):
+        if k in descendants:
+            return descendants[k]
+        guard = guard or set()
+        if k in guard:
+            return []
+        guard.add(k)
+        out = []
+        for c in sorted(children.get(k, [])):
+            out.append(c)
+            out.extend(desc(c, guard))
+        descendants[k] = out
+        return out
+
+    for k in pairs:
+        desc(k)
+    rows = [
+        (k, ancestors[k], sorted(children[k]), descendants[k])
+        for k in sorted(pairs)
+    ]
+    spark.createDataFrame(
+        rows,
+        f"__k long, ancestors array<long>, children array<long>, "
+        f"descendants array<long>",
+    ).createOrReplaceTempView(f"__dict_{d.name}__hier")
+
+
 def drop_dictionary(spark: SparkSession, name: str, if_exists: bool) -> None:
     from clickhouse_25_5_3_75_stable_spark.chsql import ChSqlError
     from clickhouse_25_5_3_75_stable_spark.operators.dictionary import (
@@ -221,15 +292,18 @@ def drop_dictionary(spark: SparkSession, name: str, if_exists: bool) -> None:
         if if_exists:
             return
         raise ChSqlError(f"DROP DICTIONARY: unknown dictionary {name!r}")
-    del SQL_DICTIONARIES[name]
+    d = SQL_DICTIONARIES.pop(name)
     DICTIONARY_REGISTRY.pop(name, None)
     spark.catalog.dropTempView(f"__dict_{name}")
+    if d.hier_attr:
+        spark.catalog.dropTempView(f"__dict_{name}__hier")
 
 
 _DICT_FN_RE = re.compile(
-    r"\bdict(Get|GetOrDefault|GetOrNull|Has|GetString|GetInt8|GetInt16"
+    r"\bdict(GetHierarchy|GetChildren|GetDescendants|GetOrDefault"
+    r"|GetOrNull|GetString|GetInt8|GetInt16"
     r"|GetInt32|GetInt64|GetUInt8|GetUInt16|GetUInt32|GetUInt64"
-    r"|GetFloat32|GetFloat64|GetDate|GetDateTime)\s*\(",
+    r"|GetFloat32|GetFloat64|GetDate|GetDateTime|Get|Has|IsIn)\s*\(",
 )
 
 _TYPED_CAST = {
@@ -296,7 +370,9 @@ def _render_dict_call(kind: str, args: list[str], ChSqlError) -> str:
             raise ChSqlError(f"dict{kind}: {what} must be a string literal")
         return lm.group(1)
 
-    if len(args) < (2 if kind == "has" else 3):
+    min_args = {"has": 2, "gethierarchy": 2, "getchildren": 2,
+                "getdescendants": 2, "isin": 3}.get(kind, 3)
+    if len(args) < min_args:
         raise ChSqlError(f"dict{kind.capitalize()}: too few arguments")
     dname = lit_name(args[0], "dictionary name")
     d = SQL_DICTIONARIES.get(dname)
@@ -332,6 +408,33 @@ def _render_dict_call(kind: str, args: list[str], ChSqlError) -> str:
     if kind == "has":
         return (f"(CASE WHEN (SELECT count(*) FROM {view} "
                 f"WHERE {key_pred(args[1])}) > 0 THEN 1 ELSE 0 END)")
+
+    if kind in ("gethierarchy", "getchildren", "getdescendants", "isin"):
+        # reference FunctionsExternalDictionaries.h hierarchy family
+        # over the precomputed closure view (_build_hierarchy_view)
+        if d.hier_attr is None:
+            raise ChSqlError(
+                f"dictionary {dname!r} has no HIERARCHICAL attribute")
+        hview = f"__dict_{dname}__hier"
+        if kind == "isin":
+            # child is (or descends from) ancestor; missing child: only
+            # child == ancestor holds (the self chain)
+            child, anc = args[1], args[2]
+            return (
+                f"(CASE WHEN coalesce((SELECT CASE WHEN "
+                f"has({hview}.ancestors, ({anc})) THEN 1 ELSE 0 END "
+                f"FROM {hview} WHERE {hview}.__k = ({child})), "
+                f"CASE WHEN ({child}) = ({anc}) THEN 1 ELSE 0 END) = 1 "
+                f"THEN 1 ELSE 0 END)")
+        col = {"gethierarchy": "ancestors", "getchildren": "children",
+               "getdescendants": "descendants"}[kind]
+        sub = (f"(SELECT {hview}.{col} FROM {hview} "
+               f"WHERE {hview}.__k = ({args[1]}))")
+        if kind == "gethierarchy":
+            # missing key: the walk reports just the key itself
+            return f"coalesce({sub}, array(({args[1]})))"
+        # missing key: no children/descendants — typed empty array
+        return f"coalesce({sub}, arraySlice(array(({args[1]})), 1, 0))"
 
     attr = lit_name(args[1], "attribute name")
     if attr not in d.attrs:

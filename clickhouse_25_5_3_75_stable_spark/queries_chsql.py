@@ -485,3 +485,80 @@ def chsql_create_dictionary_dictget(spark: SparkSession, sf_dir: str) -> DataFra
         F.col("n_matched").cast("long").alias("n_matched"),
         "first_nation",
     )
+
+
+@register(
+    "chsql_dict_hierarchy_org",
+    # DuckDB reproduces the closure with recursive CTEs
+    oracle="""
+    WITH RECURSIVE org(id, parent) AS (
+      SELECT * FROM (VALUES (1, 0), (2, 1), (3, 1), (4, 2), (5, 4),
+                            (6, 2), (7, 3), (8, 7), (9, 7), (10, 9)
+                    ) AS t(id, parent)
+    ),
+    chains(id, node, depth) AS (
+      SELECT id, id, 0 FROM org
+      UNION ALL
+      SELECT c.id, o.parent, c.depth + 1
+      FROM chains c JOIN org o ON o.id = c.node
+      WHERE o.parent <> 0
+    ),
+    anc AS (
+      SELECT id,
+             string_agg(CAST(node AS VARCHAR), ',' ORDER BY depth) AS chain,
+             count(*) - 1 AS n_ancestors
+      FROM chains GROUP BY id
+    ),
+    kid AS (SELECT parent AS id, count(*) AS n_children
+            FROM org WHERE parent <> 0 GROUP BY parent),
+    descs AS (
+      SELECT node AS id, count(*) AS n_desc
+      FROM chains WHERE depth > 0 GROUP BY node
+    )
+    SELECT o.id,
+           a.chain AS ancestors_csv,
+           CAST(coalesce(k.n_children, 0) AS BIGINT) AS n_children,
+           CAST(coalesce(d.n_desc, 0) AS BIGINT) AS n_descendants,
+           CASE WHEN a.chain LIKE '%,1' OR o.id = 1 THEN 1 ELSE 0
+           END AS under_root
+    FROM org o
+    JOIN anc a USING (id)
+    LEFT JOIN kid k USING (id)
+    LEFT JOIN descs d ON d.id = o.id
+    ORDER BY o.id
+    """,
+    tags=("chsql", "dictionary", "hierarchy"),
+)
+def chsql_dict_hierarchy_org(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HIERARCHICAL dictionary family on the SQL route (round-9;
+    FunctionsExternalDictionaries.h dictGetHierarchy / dictGetChildren
+    / dictGetDescendants / dictIsIn): the closure precomputes at
+    CREATE over the broadcast-sized dict
+    (dictionary_sql._build_hierarchy_view), each lookup is one
+    broadcast scalar subquery."""
+    from clickhouse_25_5_3_75_stable_spark.queries import arr_csv
+
+    rows = [(1, 0), (2, 1), (3, 1), (4, 2), (5, 4),
+            (6, 2), (7, 3), (8, 7), (9, 7), (10, 9)]
+    spark.createDataFrame(rows, "id long, parent long") \
+        .createOrReplaceTempView("org_hier_src")
+    ch_sql(spark, """
+        CREATE DICTIONARY org_hier_dict (parent UInt64 HIERARCHICAL)
+        PRIMARY KEY id SOURCE(CLICKHOUSE(TABLE 'org_hier_src'))
+        LAYOUT(HASHED())
+    """).collect()
+    out = ch_sql(spark, """
+        SELECT id,
+               dictGetHierarchy('org_hier_dict', id) AS chain,
+               dictGetChildren('org_hier_dict', id) AS kids,
+               dictGetDescendants('org_hier_dict', id) AS descs,
+               dictIsIn('org_hier_dict', id, toUInt64(1)) AS under_root
+        FROM org_hier_src ORDER BY id
+    """)
+    return out.select(
+        "id",
+        arr_csv(F.col("chain")).alias("ancestors_csv"),
+        F.size("kids").cast("long").alias("n_children"),
+        F.size("descs").cast("long").alias("n_descendants"),
+        F.col("under_root").cast("int").alias("under_root"),
+    )

@@ -152,3 +152,42 @@ def test_show_and_exists_dictionary(spark, nation_dict):
     assert "t_nation_dict" in names
     assert ch_sql(spark, "EXISTS DICTIONARY t_nation_dict").collect()[0][0] == 1
     assert ch_sql(spark, "EXISTS DICTIONARY nope_xyz").collect()[0][0] == 0
+
+
+def test_hierarchical_dictionary(spark):
+    rows = [(1, 0, "root"), (2, 1, "a"), (3, 1, "b"),
+            (4, 2, "a1"), (5, 4, "a1x")]
+    spark.createDataFrame(rows, "id long, parent long, label string") \
+        .createOrReplaceTempView("t_org_src")
+    ch_sql(spark, """
+        CREATE DICTIONARY t_org_dict (label String,
+                                      parent UInt64 HIERARCHICAL)
+        PRIMARY KEY id SOURCE(CLICKHOUSE(TABLE 't_org_src'))
+        LAYOUT(HASHED())
+    """).collect()
+    try:
+        r = ch_sql(spark, """
+            SELECT dictGetHierarchy('t_org_dict', toUInt64(5)) AS c5,
+                   dictGetHierarchy('t_org_dict', toUInt64(99)) AS c99,
+                   dictGetChildren('t_org_dict', toUInt64(1)) AS k1,
+                   dictGetDescendants('t_org_dict', toUInt64(2)) AS d2,
+                   dictGetChildren('t_org_dict', toUInt64(99)) AS k99,
+                   dictIsIn('t_org_dict', toUInt64(5), toUInt64(1)) AS i51,
+                   dictIsIn('t_org_dict', toUInt64(3), toUInt64(2)) AS i32,
+                   dictIsIn('t_org_dict', toUInt64(5), toUInt64(5)) AS i55,
+                   dictIsIn('t_org_dict', toUInt64(99), toUInt64(1)) AS i991
+        """).collect()[0]
+        assert r.c5 == [5, 4, 2, 1]
+        assert r.c99 == [99]
+        assert r.k1 == [2, 3] and r.d2 == [4, 5] and r.k99 == []
+        assert (r.i51, r.i32, r.i55, r.i991) == (1, 0, 1, 0)
+        # hierarchy functions on a non-hierarchical dict refuse
+        ch_sql(spark, """
+            CREATE DICTIONARY t_flat_d (label String) PRIMARY KEY id
+            SOURCE(CLICKHOUSE(TABLE 't_org_src')) LAYOUT(FLAT())
+        """).collect()
+        with pytest.raises(ChSqlError, match="HIERARCHICAL"):
+            ch_sql(spark, "SELECT dictGetHierarchy('t_flat_d', 1)")
+        ch_sql(spark, "DROP DICTIONARY t_flat_d").collect()
+    finally:
+        ch_sql(spark, "DROP DICTIONARY t_org_dict").collect()
