@@ -339,6 +339,7 @@ _RENAMES = {
     "arrayintersect": "array_intersect",
     "arraysort": "arraysort__",
     "arrayreversesort": "arrayreversesort__",
+    "arrayfold": "arrayfold__",
     "arraymin": "array_min",
     "arraymax": "array_max",
     "extractall": "extractall__",
@@ -2029,6 +2030,17 @@ def _rewrite_functions(toks: list[str]) -> list[str]:
                 )
             out += ["sort_array", "(", *args[0]]
             out += [",", "false", ")"] if new == "arrayreversesort__" else [")"]
+        elif new == "arrayfold__":
+            # CH arrayFold(lambda, arr, init) -> Spark
+            # aggregate(arr, init, lambda) (round-9; arrayFold.cpp —
+            # left fold, accumulator first in the lambda both sides)
+            if len(args) != 3:
+                raise ChSqlError(
+                    "arrayFold: the SQL shim folds ONE array — "
+                    "arrayFold(lambda, arr, init); zip arrays first "
+                    "(arrayZip) or use the DataFrame builder")
+            out += ["aggregate", "(", *args[1], ",", *args[2], ",",
+                    *args[0], ")"]
         elif new == "extract__":
             # standard SQL EXTRACT(unit FROM x) must pass through
             if any(a and a[0].upper() in _EXTRACT_UNITS for a in args[:1]) and any(

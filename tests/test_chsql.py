@@ -1536,3 +1536,23 @@ def test_show_statements_round9(spark, sf_dir, tmp_path):
                         "ReplacingMergeTree PARTITION BY v ORDER BY k")
     finally:
         spark.conf.unset("spark.chspark.dataDir")
+
+
+def test_arrayfold_sql_translation(spark):
+    """round-9: arrayFold(lambda, arr, init) -> aggregate(arr, init,
+    lambda); left fold, accumulator-first lambda both sides."""
+    from clickhouse_25_5_3_75_stable_spark.chsql import ChSqlError, ch_sql
+
+    r = ch_sql(spark, """
+        SELECT arrayFold((acc, x) -> acc + x, [1,2,3], toInt64(10)) AS s,
+               arrayFold((acc, x) -> concat(acc, toString(x)),
+                         [1,2,3], '') AS cat,
+               arrayFold((acc, x) -> acc * 2 + x,
+                         arrayMap(i -> i + 1, [0,1,2]), toInt64(0)) AS horner
+    """).collect()[0]
+    assert (r.s, r.cat, r.horner) == (16, "123", 11)
+    try:
+        ch_sql(spark, "SELECT arrayFold((a,x,y) -> a, [1], [2], 0)")
+        raise AssertionError("expected refusal")
+    except ChSqlError as e:
+        assert "ONE array" in str(e)
