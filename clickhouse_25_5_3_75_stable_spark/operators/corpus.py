@@ -358,3 +358,130 @@ def pack_token_shards(
             F.floor(F.col("__cum_excl") / F.lit(budget)).alias("shard_id"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Round-9: n-gram LM perplexity scoring (the CCNet quality-filter
+# recipe: train a small LM on a high-quality reference slice, keep
+# documents whose perplexity under it is low). Here a bigram model
+# with add-alpha smoothing — vocabulary-bounded, so the whole model
+# broadcasts and scoring is two broadcast joins + one per-doc
+# aggregate; at 100 TB the corpus streams once, nothing corpus-sized
+# ever shuffles.
+# --------------------------------------------------------------------------
+
+
+def _space_tokens(text_col):
+    """Whitespace tokenization, lowercased — matches the oracle's
+    string_split so both engines count identically."""
+    return F.split(F.lower(text_col), " ")
+
+
+def bigram_lm(
+    train: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = 1000,
+) -> dict:
+    """Train the model: top-`vocab_size` tokens by (count DESC, token
+    ASC — a total order, so every engine picks the same vocabulary),
+    everything else folds to '<unk>'; bigram and unigram counts over
+    the mapped stream. Two bounded shuffles (token counts, bigram
+    counts); all three outputs are vocabulary-sized DataFrames."""
+    toks = train.select(
+        F.explode(_space_tokens(F.col(text_col))).alias("tok"))
+    vocab = (
+        toks.groupBy("tok").count()
+        .orderBy(F.col("count").desc(), F.col("tok"))
+        .limit(vocab_size)
+        .select("tok", F.col("count").alias("tok_count"))
+    )
+    # map to <unk> via ONE broadcast left join on the exploded stream
+    # (a semi/anti union would evaluate the id-bearing subtree twice —
+    # the monotonically_increasing_id hazard tests/sweep pin)
+    with_pos = (
+        train.select(F.monotonically_increasing_id().alias("__tid"),
+                     _space_tokens(F.col(text_col)).alias("ts"))
+        .select("__tid", F.posexplode("ts").alias("pos", "raw"))
+    )
+    v = vocab.select(F.col("tok").alias("v_tok"))
+    mapped = (
+        with_pos.join(F.broadcast(v), with_pos.raw == v.v_tok, "left")
+        .select("__tid", "pos",
+                F.coalesce("v_tok", F.lit("<unk>")).alias("tok"))
+    )
+    w = Window.partitionBy("__tid").orderBy("pos")
+    bigrams = (
+        mapped.select("__tid", "pos", "tok",
+                      F.lead("tok").over(w).alias("tok2"))
+        .filter(F.col("tok2").isNotNull())
+        .groupBy("tok", "tok2").count()
+        .select(F.col("tok").alias("w1"), F.col("tok2").alias("w2"),
+                F.col("count").alias("pair_count"))
+    )
+    unigrams = (
+        mapped.groupBy("tok").count()
+        .select(F.col("tok").alias("w1"),
+                F.col("count").alias("uni_count"))
+    )
+    return {"vocab": vocab, "unigrams": unigrams, "bigrams": bigrams,
+            "vocab_size": vocab_size}
+
+
+def lm_score(
+    docs: DataFrame,
+    model: dict,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Score documents under the model: per doc, the bigram count,
+    the OOV-bigram count (either side '<unk>'), the smoothed total
+    log-probability and perplexity. Model sides broadcast; the corpus
+    explodes once and aggregates per doc — one shuffle on `id_col`."""
+    vocab = model["vocab"].select("tok")
+    V = model["vocab_size"]
+    toks = docs.select(
+        F.col(id_col), F.posexplode(_space_tokens(F.col(text_col)))
+        .alias("pos", "raw"))
+    mapped = (
+        toks.join(F.broadcast(vocab), toks.raw == vocab.tok, "left")
+        .select(id_col, "pos",
+                F.coalesce("tok", F.lit("<unk>")).alias("tok"),
+                (F.col("tok").isNull()).alias("is_oov"))
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    pairs = (
+        mapped.select(
+            id_col, "tok", "is_oov",
+            F.lead("tok").over(w).alias("tok2"),
+            F.lead("is_oov").over(w).alias("is_oov2"))
+        .filter(F.col("tok2").isNotNull())
+    )
+    joined = (
+        pairs.join(F.broadcast(model["bigrams"]),
+                   (pairs.tok == F.col("w1")) & (pairs.tok2 == F.col("w2")),
+                   "left")
+        .drop("w1", "w2")
+        .join(F.broadcast(model["unigrams"]),
+              pairs.tok == model["unigrams"].w1, "left")
+        .drop("w1")
+    )
+    logp = F.log(
+        (F.coalesce(F.col("pair_count"), F.lit(0)) + F.lit(alpha))
+        / (F.coalesce(F.col("uni_count"), F.lit(0)) + F.lit(alpha * (V + 1)))
+    )
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum((F.col("is_oov") | F.col("is_oov2")).cast("long"))
+            .alias("n_oov"),
+            F.sum(F.coalesce(F.col("pair_count"), F.lit(0)))
+            .alias("model_hits"),
+            F.sum(logp).alias("logprob"),
+        )
+        .withColumn(
+            "perplexity",
+            F.exp(-F.col("logprob") / F.greatest(F.col("n_bigrams"),
+                                                 F.lit(1))))
+    )

@@ -1194,3 +1194,86 @@ def pipeline_shuffle_stable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("pos", "doc_id", "lang")
         .orderBy("pos")
     )
+
+
+@register(
+    "text_lm_perplexity_counts",
+    # the same vocab/map/bigram pipeline in DuckDB; integer outputs
+    # only (log/exp floats stay in pytest with tolerance — geo-gate
+    # float policy)
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, lang, string_split(lower(text), ' ') AS ts
+      FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, lang, ts[i] AS raw, i
+      FROM (SELECT doc_id, lang, ts, unnest(range(1, len(ts) + 1)) AS i
+            FROM base)
+    ),
+    vocab AS (
+      SELECT raw AS tok FROM tok WHERE lang = 'en'
+      GROUP BY raw ORDER BY count(*) DESC, raw LIMIT 300
+    ),
+    mapped AS (
+      SELECT t.doc_id, t.lang, t.i,
+             coalesce(v.tok, '<unk>') AS tok,
+             v.tok IS NULL AS is_oov
+      FROM tok t LEFT JOIN vocab v ON t.raw = v.tok
+    ),
+    pairs AS (
+      SELECT doc_id, lang, tok, is_oov,
+             lead(tok) OVER w AS tok2,
+             lead(is_oov) OVER w AS is_oov2
+      FROM mapped WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+      QUALIFY tok2 IS NOT NULL
+    ),
+    train_uni AS (
+      SELECT tok AS w1, count(*) AS uni_count FROM mapped
+      WHERE lang = 'en' GROUP BY tok
+    ),
+    train_bi AS (
+      SELECT tok AS w1, tok2 AS w2, count(*) AS pair_count FROM pairs
+      WHERE lang = 'en' GROUP BY tok, tok2
+    ),
+    scored AS (
+      SELECT p.doc_id, p.lang,
+             count(*) AS n_bigrams,
+             sum(CASE WHEN p.is_oov OR p.is_oov2 THEN 1 ELSE 0 END) AS n_oov,
+             sum(coalesce(b.pair_count, 0)) AS model_hits
+      FROM pairs p
+      LEFT JOIN train_bi b ON p.tok = b.w1 AND p.tok2 = b.w2
+      GROUP BY p.doc_id, p.lang
+    )
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_bigrams) AS BIGINT) AS total_bigrams,
+           CAST(sum(n_oov) AS BIGINT) AS total_oov,
+           CAST(sum(model_hits) AS BIGINT) AS total_hits
+    FROM scored GROUP BY lang ORDER BY lang
+    """,
+    bucket="heavy",
+    tags=("pipeline", "text", "quality", "lm"),
+)
+def text_lm_perplexity_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scoring (operators/corpus.bigram_lm +
+    lm_score): train a 300-token bigram model on the English slice,
+    score every document; gate on the integer signals (bigram, OOV,
+    model-hit counts per language) — perplexity floats are
+    pytest-gated. Model sides broadcast; the corpus streams once."""
+    from clickhouse_25_5_3_75_stable_spark.operators.corpus import (
+        bigram_lm,
+        lm_score,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    model = bigram_lm(docs.filter(F.col("lang") == "en"), vocab_size=300)
+    scored = lm_score(docs, model)
+    return (
+        scored.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_bigrams").alias("total_bigrams"),
+             F.sum("n_oov").alias("total_oov"),
+             F.sum("model_hits").alias("total_hits"))
+        .orderBy("lang")
+    )

@@ -637,3 +637,27 @@ def test_shuffle_stable_order(spark):
     assert o1 != o3
     assert sorted(o1) == list(range(300))
     assert o1 != list(range(300))  # actually shuffled
+
+
+def test_bigram_lm_perplexity_semantics(spark):
+    """CCNet-style scorer: in-domain text scores lower perplexity than
+    OOV gibberish; counts are exact; determinism across runs."""
+    from clickhouse_25_5_3_75_stable_spark.operators.corpus import (
+        bigram_lm,
+        lm_score,
+    )
+
+    train_rows = [(i, "the cat sat on the mat " * 5) for i in range(20)]
+    train = spark.createDataFrame(train_rows, "doc_id long, text string")
+    model = bigram_lm(train, vocab_size=50)
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat"),
+         (2, "zzq qqz xxw wwx vvy yyv")],
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in lm_score(docs, model).collect()}
+    assert got[1].n_bigrams == 5 and got[1].n_oov == 0
+    assert got[2].n_bigrams == 5 and got[2].n_oov == 5
+    assert got[1].perplexity < got[2].perplexity
+    assert got[1].model_hits > 0 and got[2].model_hits == 0
+    again = {r.doc_id: r for r in lm_score(docs, model).collect()}
+    assert again[1].logprob == got[1].logprob
