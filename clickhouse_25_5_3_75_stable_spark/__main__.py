@@ -463,6 +463,17 @@ def run_local(sql: str, data_dir: str, spark=None, out=sys.stdout,
             text = ch_explain(spark, em.group(2), (em.group(1) or "PLAN").upper())
             _emit([(ln,) for ln in text.splitlines()], ["explain"], fmt, out)
             return 0
+        if (len(head) > 1 and head[1].upper() == "DICTIONARY"
+                and kw in ("CREATE", "DROP", "EXISTS")) or (
+                kw == "SHOW" and len(head) > 1
+                and head[1].upper().startswith("DICTIONAR")):
+            # dictionary DDL/introspection routes through ch_sql
+            # (round-9; dictionary_sql.py)
+            from clickhouse_25_5_3_75_stable_spark.chsql import ch_sql
+
+            ddf = ch_sql(spark, sql)
+            _emit([tuple(r) for r in ddf.collect()], ddf.columns, fmt, out)
+            return 0
         if kw == "EXISTS":
             tname = head[-1].rstrip(";")
             _emit([(1 if tname in names else 0,)], ["result"], fmt, out)
