@@ -1031,3 +1031,38 @@ def lake_delta_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         fh.write("\n".join(json.dumps(a) for a in actions))
     return read_delta(spark, root).select(
         "n_nationkey", "n_name", "n_regionkey")
+
+
+@register(
+    "lake_delta_write_roundtrip",
+    # create (partitioned) + append replay: nation plus the re-keyed
+    # ASIA slice
+    oracle=_NATION_ORACLE
+    + " UNION ALL SELECT CAST(n_nationkey AS BIGINT)+200, n_name, "
+      "CAST(n_regionkey AS BIGINT) FROM nation WHERE n_regionkey = 2",
+    bucket="light",
+    tags=("datalake", "delta", "write"),
+)
+def lake_delta_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta WRITE path end-to-end (round-9; write_delta — the
+    reference's DeltaLake storage is read-only, so this is a
+    capability superset): create a partitioned table (version 0 with
+    protocol+metaData), append a second commit, replay through
+    read_delta with partition columns restored from the hive dirs."""
+    from clickhouse_25_5_3_75_stable_spark.sources.datalake import (
+        read_delta,
+        write_delta,
+    )
+
+    root = os.path.join(tempfile.mkdtemp(prefix="chspark_dlw_"), "t")
+    nation = _nation_df(spark, sf_dir)
+    v0 = write_delta(nation, root, partition_by=["n_regionkey"])
+    extra = (
+        nation.filter(F.col("n_regionkey") == 2)
+        .withColumn("n_nationkey", F.col("n_nationkey") + 200)
+    )
+    v1 = write_delta(extra, root)
+    if (v0, v1) != (0, 1):
+        raise RuntimeError(f"unexpected versions {(v0, v1)}")
+    return read_delta(spark, root).select(
+        "n_nationkey", "n_name", "n_regionkey")

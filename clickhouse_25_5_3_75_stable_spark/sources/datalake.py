@@ -835,3 +835,115 @@ def read_hudi(spark: SparkSession, path: str) -> DataFrame:
     # reads by dropping only when present
     meta = [c for c in df.columns if c.startswith("_hoodie_")]
     return df.drop(*meta) if meta else df
+
+
+def write_delta(
+    df: DataFrame,
+    path: str,
+    mode: str = "append",
+    partition_by: list[str] | None = None,
+) -> int:
+    """Write a DataFrame as a Delta commit WITHOUT the connector
+    (round-9; the exact inverse of read_delta's log replay, from the
+    public PROTOCOL.md): data files land under the table root, then
+    ONE commit json appends atomically (O_EXCL create — a concurrent
+    writer of the same version fails cleanly rather than corrupting
+    the log; single-writer semantics, documented). Returns the
+    committed version.
+
+    - new table: version 0 carries protocol (1/2) + metaData
+      (schemaString from the Spark schema, partitionColumns)
+    - mode='append': add actions only
+    - mode='overwrite': remove actions for every live file + adds
+    - partitioned tables: hive-style dirs; partitionValues recovered
+      from the directory names (read_delta restores them as columns)
+
+    The reference's DeltaLake storage is READ-only
+    (registerStorageDeltaLake) — the write path is a capability
+    superset, and it round-trips through both read_delta and the real
+    delta-spark connector (same public layout)."""
+    import glob as _glob
+    import json
+    import os
+    import time
+    import uuid as _uuid
+
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"write_delta mode {mode!r}: append|overwrite")
+    partition_by = partition_by or []
+    log_dir = os.path.join(path, "_delta_log")
+    exists = os.path.isdir(log_dir)
+    if exists:
+        files, _dvs, metadata, _proto, version = _delta_snapshot(path)
+        prev_parts = metadata.get("partitionColumns") or []
+        if partition_by and partition_by != prev_parts:
+            raise ValueError(
+                f"table is partitioned by {prev_parts}, got {partition_by}")
+        partition_by = prev_parts
+        next_version = version + 1
+    else:
+        files, next_version = {}, 0
+        os.makedirs(log_dir)
+
+    # stage data files under a unique prefix, then move into place
+    txn = _uuid.uuid4().hex[:12]
+    stage = os.path.join(path, f"_staging_{txn}")
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(stage)
+
+    adds = []
+    now_ms = int(time.time() * 1000)
+    for p in sorted(_glob.glob(os.path.join(stage, "**", "*.parquet"),
+                               recursive=True)):
+        rel_in_stage = os.path.relpath(p, stage)
+        pvals = {}
+        parts = rel_in_stage.split(os.sep)
+        for seg in parts[:-1]:
+            k, _, v = seg.partition("=")
+            pvals[k] = v
+        fname = f"part-{txn}-{len(adds):05d}.parquet"
+        rel = os.path.join(*parts[:-1], fname) if len(parts) > 1 else fname
+        dst = os.path.join(path, rel)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        os.rename(p, dst)
+        adds.append({"add": {
+            "path": rel.replace(os.sep, "/"), "partitionValues": pvals,
+            "size": os.path.getsize(dst), "modificationTime": now_ms,
+            "dataChange": True}})
+    import shutil as _shutil
+
+    _shutil.rmtree(stage, ignore_errors=True)
+
+    actions = [{"commitInfo": {
+        "timestamp": now_ms,
+        "operation": "WRITE" if mode == "append" or next_version == 0
+        else "OVERWRITE",
+        "operationParameters": {"mode": mode},
+    }}]
+    if next_version == 0:
+        schema_json = json.loads(df.schema.json())
+        for f in schema_json.get("fields", []):
+            f.setdefault("metadata", {})
+        actions.append({"protocol": {"minReaderVersion": 1,
+                                     "minWriterVersion": 2}})
+        actions.append({"metaData": {
+            "id": _uuid.uuid4().hex, "format": {"provider": "parquet",
+                                                "options": {}},
+            "schemaString": json.dumps(schema_json),
+            "partitionColumns": partition_by,
+            "configuration": {}, "createdTime": now_ms}})
+    elif mode == "overwrite":
+        for rel in sorted(files):
+            actions.append({"remove": {
+                "path": rel, "deletionTimestamp": now_ms,
+                "dataChange": True}})
+    actions.extend(adds)
+
+    commit = os.path.join(log_dir, f"{next_version:020d}.json")
+    # O_EXCL: exactly one writer wins a version
+    fd = os.open(commit, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    with os.fdopen(fd, "w") as fh:
+        fh.write("\n".join(json.dumps(a) for a in actions) + "\n")
+    return next_version

