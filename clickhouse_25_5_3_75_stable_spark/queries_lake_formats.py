@@ -1066,3 +1066,38 @@ def lake_delta_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise RuntimeError(f"unexpected versions {(v0, v1)}")
     return read_delta(spark, root).select(
         "n_nationkey", "n_name", "n_regionkey")
+
+
+@register(
+    "lake_iceberg_write_roundtrip",
+    # snapshot 1 = nation; snapshot 2 appends the re-keyed EUROPE
+    # slice; the replay reads the union
+    oracle=_NATION_ORACLE
+    + " UNION ALL SELECT CAST(n_nationkey AS BIGINT)+300, n_name, "
+      "CAST(n_regionkey AS BIGINT) FROM nation WHERE n_regionkey = 3",
+    bucket="light",
+    tags=("datalake", "iceberg", "write"),
+)
+def lake_iceberg_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg WRITE path end-to-end (round-9; write_iceberg — the
+    reference's Iceberg storage is read-only, capability superset):
+    snapshot 1 creates the v2 table (manifest Avro via the repo's own
+    codec, parquet field ids embedded), snapshot 2 appends; replay
+    through read_iceberg."""
+    from clickhouse_25_5_3_75_stable_spark.sources.datalake import (
+        read_iceberg,
+        write_iceberg,
+    )
+
+    root = os.path.join(tempfile.mkdtemp(prefix="chspark_icw_"), "t")
+    nation = _nation_df(spark, sf_dir)
+    s1 = write_iceberg(nation, root)
+    extra = (
+        nation.filter(F.col("n_regionkey") == 3)
+        .withColumn("n_nationkey", F.col("n_nationkey") + 300)
+    )
+    s2 = write_iceberg(extra, root)
+    if (s1, s2) != (1, 2):
+        raise RuntimeError(f"unexpected snapshots {(s1, s2)}")
+    return read_iceberg(spark, root).select(
+        "n_nationkey", "n_name", "n_regionkey")

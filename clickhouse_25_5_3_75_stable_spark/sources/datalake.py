@@ -26,8 +26,13 @@ the same approach the reference's own C++ lake readers take:
 - :func:`read_iceberg` replays Iceberg metadata (metadata JSON →
   manifest-list Avro → manifest Avro via sources/avro_fmt.py →
   live data files; snapshot time travel). Round-9: v2 POSITION
-  deletes replay exactly and parquet columns resolve by FIELD ID
-  (schema evolution); equality deletes refuse.
+  deletes replay exactly, EQUALITY deletes replay for unpartitioned
+  tables with strict sequence-number scoping, and parquet columns
+  resolve by FIELD ID (schema evolution).
+- :func:`write_delta` / :func:`write_iceberg` (round-9) write REAL
+  commits/snapshots in the public layouts — the reference's lake
+  storages are read-only, so the write paths are a capability
+  superset.
 - :func:`read_lake_fallback` remains the last-resort RAW parquet scan,
   correct ONLY for never-mutated tables, and says so.
 """
@@ -947,3 +952,197 @@ def write_delta(
     with os.fdopen(fd, "w") as fh:
         fh.write("\n".join(json.dumps(a) for a in actions) + "\n")
     return next_version
+
+
+_SPARK_TO_ICE = {
+    "boolean": "boolean", "int": "int", "bigint": "long", "float": "float",
+    "double": "double", "date": "date", "string": "string",
+    "binary": "binary", "timestamp_ntz": "timestamp",
+    "timestamp": "timestamptz",
+}
+
+
+def write_iceberg(
+    df: DataFrame,
+    path: str,
+    mode: str = "append",
+) -> int:
+    """Write a DataFrame as an Iceberg v2 snapshot WITHOUT the
+    connector (round-9; the exact inverse of read_iceberg's replay,
+    from the public table spec): parquet data files (with PARQUET
+    field ids, so schema evolution reads back through the native
+    field-id path), ONE new manifest Avro (via the repo's own codec),
+    a new manifest list, a new metadata json, and version-hint.text
+    last — readers following the hint atomically see either the old
+    or the new complete snapshot. Returns the new snapshot id.
+
+    append keeps prior manifests in the new manifest list; overwrite
+    starts an empty one. Unpartitioned tables only (partition specs
+    change file layout AND delete scoping — the connector or
+    write_delta cover partitioned writes). The reference's Iceberg
+    storage is READ-only — capability superset; round-trips through
+    read_iceberg incl. snapshot time travel, and iceberg_history shows
+    the real parent chain."""
+    import json
+    import os
+    import time
+    import uuid as _uuid
+
+    from clickhouse_25_5_3_75_stable_spark.sources.avro_fmt import (
+        _decode_container,
+        _encode_container,
+    )
+
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"write_iceberg mode {mode!r}: append|overwrite")
+
+    meta_dir = os.path.join(path, "metadata")
+    data_dir = os.path.join(path, "data")
+    exists = os.path.isdir(meta_dir) and any(
+        f.endswith(".metadata.json") for f in os.listdir(meta_dir))
+    now_ms = int(time.time() * 1000)
+    txn = _uuid.uuid4().hex[:12]
+
+    ice_fields = []
+    for i, f in enumerate(df.schema.fields, start=1):
+        t = _SPARK_TO_ICE.get(f.dataType.simpleString())
+        if t is None and f.dataType.simpleString().startswith("decimal"):
+            t = f.dataType.simpleString()
+        if t is None:
+            raise ValueError(
+                f"write_iceberg: no Iceberg mapping for column "
+                f"{f.name} : {f.dataType.simpleString()}")
+        ice_fields.append({"id": i, "name": f.name, "required": False,
+                           "type": t})
+
+    if exists:
+        meta, snap, schema = _ice_metadata(path)
+        if any((spec.get("fields") or [])
+               for spec in meta.get("partition-specs") or []):
+            raise ValueError(
+                "write_iceberg: partitioned tables need the "
+                "iceberg-spark-runtime connector")
+        if [f["name"] for f in schema["fields"]] != \
+                [f.name for f in df.schema.fields]:
+            raise ValueError(
+                f"schema mismatch: table has "
+                f"{[f['name'] for f in schema['fields']]}")
+        ice_fields = schema["fields"]  # keep the table's field ids
+        seq = meta.get("last-sequence-number", len(meta.get("snapshots") or [])) + 1
+        snap_id = max(s["snapshot-id"] for s in meta["snapshots"]) + 1
+        parent_id = meta.get("current-snapshot-id")
+        prev_manifests = []
+        if mode == "append":
+            mlist = _ice_resolve(path, snap["manifest-list"])
+            _, prev_manifests = _decode_container(open(mlist, "rb").read())
+    else:
+        os.makedirs(meta_dir, exist_ok=True)
+        os.makedirs(data_dir, exist_ok=True)
+        meta = None
+        seq, snap_id, parent_id, prev_manifests = 1, 1, None, []
+
+    stage = os.path.join(path, f"_staging_{txn}")
+    # withMetadata attaches the field ids column-by-column (df.to()
+    # reconciles types but drops metadata); the parquet writer embeds
+    # PARQUET:field_id (spark.sql.parquet.fieldId.write.enabled,
+    # default on)
+    out_df = df
+    for f in ice_fields:
+        out_df = out_df.withMetadata(
+            f["name"], {"parquet.field.id": int(f["id"])})
+    out_df.write.mode("overwrite").parquet(stage)
+    staged = sorted(
+        os.path.join(stage, f) for f in os.listdir(stage)
+        if f.endswith(".parquet"))
+    data_files = []
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    for j, p in enumerate(staged):
+        fname = f"data-{txn}-{j:05d}.parquet"
+        dst = os.path.join(data_dir, fname)
+        os.rename(p, dst)
+        data_files.append((f"file://{os.path.abspath(dst)}",
+                           pq.read_metadata(dst).num_rows))
+    import shutil as _shutil
+
+    _shutil.rmtree(stage, ignore_errors=True)
+
+    man_schema = {
+        "type": "record", "name": "manifest_entry", "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "sequence_number", "type": ["null", "long"]},
+            {"name": "data_file", "type": {
+                "type": "record", "name": "r2", "fields": [
+                    {"name": "content", "type": "int"},
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {"name": "record_count", "type": "long"},
+                ]}},
+        ]}
+    mlist_schema = {
+        "type": "record", "name": "manifest_file", "fields": [
+            {"name": "manifest_path", "type": "string"},
+            {"name": "manifest_length", "type": "long"},
+            {"name": "content", "type": "int"},
+            {"name": "sequence_number", "type": "long"},
+        ]}
+    man_rel = f"m-{txn}.avro"
+    man_abs = os.path.join(meta_dir, man_rel)
+    open(man_abs, "wb").write(_encode_container(
+        [{"status": 1, "sequence_number": seq,
+          "data_file": {"content": 0, "file_path": fp,
+                        "file_format": "PARQUET", "record_count": n}}
+         for fp, n in data_files], man_schema))
+
+    mlist_rows = [dict(m) for m in prev_manifests]
+    mlist_rows.append({
+        "manifest_path": f"file://{os.path.abspath(man_abs)}",
+        "manifest_length": os.path.getsize(man_abs),
+        "content": 0, "sequence_number": seq})
+    mlist_rel = f"ml-{txn}.avro"
+    open(os.path.join(meta_dir, mlist_rel), "wb").write(
+        _encode_container(mlist_rows, mlist_schema))
+
+    snapshot = {
+        "snapshot-id": snap_id, "timestamp-ms": now_ms,
+        "sequence-number": seq,
+        "manifest-list":
+            f"file://{os.path.abspath(os.path.join(meta_dir, mlist_rel))}",
+        "summary": {"operation":
+                    "append" if mode == "append" else "overwrite"},
+    }
+    if parent_id is not None:
+        snapshot["parent-snapshot-id"] = parent_id
+    if meta is None:
+        new_meta = {
+            "format-version": 2, "table-uuid": _uuid.uuid4().hex,
+            "location": f"file://{os.path.abspath(path)}",
+            "last-sequence-number": seq,
+            "schemas": [{"schema-id": 0, "type": "struct",
+                         "fields": ice_fields}],
+            "current-schema-id": 0,
+            "partition-specs": [{"spec-id": 0, "fields": []}],
+            "default-spec-id": 0,
+            "snapshots": [snapshot], "current-snapshot-id": snap_id,
+        }
+        new_v = 1
+    else:
+        new_meta = dict(meta)
+        new_meta["last-sequence-number"] = seq
+        new_meta["snapshots"] = list(meta.get("snapshots") or []) + [snapshot]
+        new_meta["current-snapshot-id"] = snap_id
+        versions = [
+            int(f[1:].split(".")[0])
+            for f in os.listdir(meta_dir)
+            if f.endswith(".metadata.json") and f.startswith("v")
+            and f[1:].split(".")[0].isdigit()
+        ]
+        new_v = (max(versions) + 1) if versions else 1
+    json.dump(new_meta, open(
+        os.path.join(meta_dir, f"v{new_v}.metadata.json"), "w"))
+    # the hint write is the atomic publish point
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write(str(new_v))
+    return snap_id
