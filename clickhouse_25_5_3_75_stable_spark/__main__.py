@@ -1173,7 +1173,20 @@ def run_local(sql: str, data_dir: str, spark=None, out=sys.stdout,
                 spark.conf.set("spark.chspark.mergesStopped", "false")
             elif cmd in ("FLUSH LOGS", "RELOAD DICTIONARIES") or \
                     cmd.startswith("RELOAD DICTIONARY"):
-                pass  # logs are synchronous; dictionaries rebuild per use
+                # logs are synchronous; view-backed lookups already see
+                # live data, but SQL dictionaries' precomputed
+                # hierarchy closures must rebuild (round-9)
+                from clickhouse_25_5_3_75_stable_spark.dictionary_sql import (
+                    SQL_DICTIONARIES,
+                    register_dictionary,
+                )
+
+                target = (cmd.split("RELOAD DICTIONARY", 1)[1].strip()
+                          .strip("'\"").lower()
+                          if cmd.startswith("RELOAD DICTIONARY ") else None)
+                for dn, dd in list(SQL_DICTIONARIES.items()):
+                    if target is None or dn.lower() == target:
+                        register_dictionary(spark, dd)
             elif cmd.startswith("UNFREEZE WITH NAME"):
                 # reference InterpreterSystemQuery UNFREEZE: remove the
                 # named FREEZE snapshot from every table's _shadow/

@@ -191,3 +191,34 @@ def test_hierarchical_dictionary(spark):
         ch_sql(spark, "DROP DICTIONARY t_flat_d").collect()
     finally:
         ch_sql(spark, "DROP DICTIONARY t_org_dict").collect()
+
+
+def test_system_reload_dictionary_rebuilds_closure(spark, tmp_path):
+    """SYSTEM RELOAD DICTIONARY rebuilds the precomputed hierarchy
+    closure against the live source (round-9 CLI wiring)."""
+    from clickhouse_25_5_3_75_stable_spark.__main__ import run_local
+
+    spark.createDataFrame([(1, 0), (2, 1)], "id long, parent long") \
+        .createOrReplaceTempView("t_rl_src")
+    ch_sql(spark, """
+        CREATE DICTIONARY t_rl_dict (parent UInt64 HIERARCHICAL)
+        PRIMARY KEY id SOURCE(CLICKHOUSE(TABLE 't_rl_src'))
+        LAYOUT(HASHED())
+    """).collect()
+    try:
+        r = ch_sql(spark,
+                   "SELECT dictGetHierarchy('t_rl_dict', toUInt64(2)) AS c"
+                   ).collect()[0]
+        assert r.c == [2, 1]
+        # the source view changes; closure is stale until RELOAD
+        spark.createDataFrame([(1, 0), (2, 1), (3, 2)],
+                              "id long, parent long") \
+            .createOrReplaceTempView("t_rl_src")
+        run_local("SYSTEM RELOAD DICTIONARY t_rl_dict",
+                  str(tmp_path), spark=spark)
+        r2 = ch_sql(spark,
+                    "SELECT dictGetHierarchy('t_rl_dict', toUInt64(3)) AS c"
+                    ).collect()[0]
+        assert r2.c == [3, 2, 1]
+    finally:
+        ch_sql(spark, "DROP DICTIONARY t_rl_dict").collect()
