@@ -495,6 +495,15 @@ def run_local(sql: str, data_dir: str, spark=None, out=sys.stdout,
             sync = toks[-1].upper() == "SYNC"
             if sync:
                 toks = toks[:-1]
+            from clickhouse_25_5_3_75_stable_spark.sources.datalake import (
+                detach_lake_table,
+            )
+
+            if detach_lake_table(spark, toks[-1]):
+                # lake tables DETACH from the catalog; files stay (the
+                # log/snapshots are the table of record)
+                _emit([(toks[-1], "Ok")], ["table", "status"], fmt, out)
+                return 0
             # last token handles DROP TABLE [IF EXISTS] t
             if toks[-1] in LIVE_VIEWS:
                 # a zombie registry entry would shadow same-named
@@ -941,6 +950,40 @@ def run_local(sql: str, data_dir: str, spark=None, out=sys.stdout,
                     vdf.createOrReplaceTempView(vname)
                 _emit([(vname, "Ok")], ["table", "status"], fmt, out)
                 return 0
+            # lake ENGINEs (round-9; reference registerStorages.cpp
+            # DeltaLake/Iceberg/Hudi): CREATE TABLE t ENGINE =
+            # DeltaLake('path') attaches an existing table via the
+            # metadata-replay readers; `... AS SELECT` CREATES the
+            # table through the write path (Delta/Iceberg; the
+            # reference is read-only — superset). INSERT INTO appends.
+            lake = _re.match(
+                r"CREATE\s+TABLE\s+(\w+)\s+ENGINE\s*=\s*"
+                r"(DeltaLake|Iceberg|Hudi)\s*\(\s*'([^']+)'\s*\)"
+                r"(?:\s+AS\s+(SELECT\b.*))?\s*;?\s*$",
+                sql, _re.IGNORECASE | _re.DOTALL,
+            )
+            if lake:
+                from clickhouse_25_5_3_75_stable_spark.sources import (
+                    datalake as _dl,
+                )
+
+                tname, eng, lpath, body = lake.groups()
+                eng = {"deltalake": "delta", "iceberg": "iceberg",
+                       "hudi": "hudi"}[eng.lower()]
+                if body:
+                    if eng == "hudi":
+                        raise ValueError(
+                            "ENGINE = Hudi is read-only (attach an "
+                            "existing table); writes need the "
+                            "hudi-spark-bundle connector")
+                    wdf = spark.sql(ch_sql_to_spark(body))
+                    if eng == "delta":
+                        _dl.write_delta(wdf, lpath)
+                    else:
+                        _dl.write_iceberg(wdf, lpath)
+                _dl.attach_lake_table(spark, tname, eng, lpath)
+                _emit([(tname, "Ok")], ["table", "status"], fmt, out)
+                return 0
             # CTAS: CREATE TABLE t [ENGINE = ...] AS SELECT ... —
             # schema inferred from the query (reference
             # InterpreterCreateQuery create-as-select path)
@@ -1102,6 +1145,33 @@ def run_local(sql: str, data_dir: str, spark=None, out=sys.stdout,
                     )
             else:
                 df = spark.sql(ch_sql_to_spark("SELECT " + rest))
+            from clickhouse_25_5_3_75_stable_spark.sources.datalake import (
+                LAKE_TABLES,
+                refresh_lake_table,
+                write_delta,
+                write_iceberg,
+            )
+
+            if tname in LAKE_TABLES:
+                # round-9: INSERT appends a lake commit/snapshot
+                lfmt, lpath = LAKE_TABLES[tname]
+                from pyspark.sql import functions as F
+
+                df = df.select(*[
+                    F.col(c).cast(f_.dataType).alias(f_.name)
+                    for c, f_ in zip(df.columns, target.schema.fields)
+                ])
+                if lfmt == "delta":
+                    write_delta(df, lpath)
+                elif lfmt == "iceberg":
+                    write_iceberg(df, lpath)
+                else:
+                    raise ValueError(
+                        "ENGINE = Hudi is read-only; writes need the "
+                        "hudi-spark-bundle connector")
+                refresh_lake_table(spark, tname)
+                _emit([(tname, "Ok")], ["table", "status"], fmt, out)
+                return 0
             path = os.path.join(data_dir, tname)
             if not os.path.isdir(path):
                 raise ValueError(

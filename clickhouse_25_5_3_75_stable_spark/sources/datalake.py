@@ -1146,3 +1146,43 @@ def write_iceberg(
     with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
         fh.write(str(new_v))
     return snap_id
+
+
+# CLI lake-table registry (round-9): CREATE TABLE t ENGINE =
+# DeltaLake('p')/Iceberg('p')/Hudi('p') attaches here; SELECT reads
+# the refreshed replay view, INSERT INTO appends via the write path.
+LAKE_TABLES: dict[str, tuple[str, str]] = {}  # name -> (fmt, path)
+
+_LAKE_READERS = {
+    "delta": lambda spark, p: read_delta(spark, p),
+    "iceberg": lambda spark, p: read_iceberg(spark, p),
+}
+
+
+def attach_lake_table(spark: SparkSession, name: str, fmt: str,
+                      path: str) -> None:
+    """Register `name` as a live view over the lake table at `path`
+    (metadata replay at attach time; refresh_lake_table re-replays
+    after writes)."""
+    if fmt == "hudi":
+        df = read_hudi(spark, path)
+    else:
+        df = _LAKE_READERS[fmt](spark, path)
+    df.createOrReplaceTempView(name)
+    LAKE_TABLES[name] = (fmt, path)
+
+
+def refresh_lake_table(spark: SparkSession, name: str) -> None:
+    fmt, path = LAKE_TABLES[name]
+    attach_lake_table(spark, name, fmt, path)
+
+
+def detach_lake_table(spark: SparkSession, name: str) -> bool:
+    if name not in LAKE_TABLES:
+        return False
+    del LAKE_TABLES[name]
+    try:
+        spark.catalog.dropTempView(name)
+    except Exception:
+        pass
+    return True

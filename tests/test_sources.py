@@ -1639,3 +1639,51 @@ def test_write_iceberg_roundtrip(spark, tmp_path):
         raise AssertionError("expected ValueError")
     except ValueError as e:
         assert "schema mismatch" in str(e)
+
+
+def test_cli_lake_engine_tables(spark, tmp_path):
+    """Round-9 CLI lake engines: CREATE TABLE ... ENGINE =
+    DeltaLake/Iceberg('path') [AS SELECT], INSERT INTO appends a real
+    commit/snapshot, SELECT reads the refreshed replay, DROP detaches
+    leaving files; Hudi writes refuse."""
+    import io
+
+    from clickhouse_25_5_3_75_stable_spark.__main__ import run_local
+
+    data_dir = SF_SMOKE
+    dpath = str(tmp_path / "dl")
+    ipath = str(tmp_path / "ic")
+
+    def run(sql):
+        out = io.StringIO()
+        rc = run_local(sql, data_dir, spark=spark, out=out)
+        assert rc == 0
+        return out.getvalue().strip().splitlines()
+
+    run(f"CREATE TABLE t_dl ENGINE = DeltaLake('{dpath}') AS "
+        "SELECT n_nationkey, n_name FROM nation WHERE n_nationkey < 3")
+    assert run("SELECT count() FROM t_dl") == ["3"]
+    run("INSERT INTO t_dl SELECT n_nationkey + 50, n_name FROM nation "
+        "WHERE n_nationkey < 2")
+    assert run("SELECT count() FROM t_dl") == ["5"]
+
+    run(f"CREATE TABLE t_ic ENGINE = Iceberg('{ipath}') AS "
+        "SELECT n_nationkey, n_name FROM nation WHERE n_nationkey < 4")
+    run("INSERT INTO t_ic SELECT n_nationkey + 70, n_name FROM nation "
+        "WHERE n_nationkey < 1")
+    assert run("SELECT count() FROM t_ic") == ["5"]
+
+    # DROP detaches; the delta log survives and re-attaches
+    run("DROP TABLE t_dl")
+    run(f"CREATE TABLE t_dl2 ENGINE = DeltaLake('{dpath}')")
+    assert run("SELECT count() FROM t_dl2") == ["5"]
+    run("DROP TABLE t_dl2")
+    run("DROP TABLE t_ic")
+
+    # Hudi is read-only
+    try:
+        run(f"CREATE TABLE t_h ENGINE = Hudi('{tmp_path}/h') AS "
+            "SELECT 1 AS x")
+        raise AssertionError("expected refusal")
+    except ValueError as e:
+        assert "read-only" in str(e)
