@@ -116,14 +116,21 @@ def _delta_snapshot(path: str, version: int | None = None):
         for f in os.listdir(log_dir)
         if f.endswith(".json") and f.split(".")[0].isdigit()
     )
-    if not commits:
+    ckpt_versions = [
+        int(f.split(".")[0]) for f in os.listdir(log_dir)
+        if f.endswith(".checkpoint.parquet")
+    ]
+    if not commits and not ckpt_versions:
         raise FileNotFoundError(f"{log_dir}: no commit json files")
-    target = commits[-1] if version is None else version
+    # vacuumed logs: a checkpoint alone replays (round-9 writer)
+    latest = max(commits[-1] if commits else -1,
+                 max(ckpt_versions) if ckpt_versions else -1)
+    target = latest if version is None else version
     if target not in commits:
         # the commit may be subsumed by a checkpoint; allow if ≤ max
-        if version is not None and version > commits[-1]:
+        if version is not None and version > latest:
             raise ValueError(
-                f"versionAsOf {version} > latest version {commits[-1]}")
+                f"versionAsOf {version} > latest version {latest}")
 
     # newest checkpoint at or below the target version
     ckpt_version = None
@@ -161,11 +168,21 @@ def _delta_snapshot(path: str, version: int | None = None):
     if ckpt_version is not None:
         import pyarrow.parquet as pq
 
+        def _norm(v):
+            # pyarrow MAP columns round-trip as [(k, v), ...] — the
+            # protocol's partitionValues/configuration are dicts
+            if isinstance(v, list) and all(
+                    isinstance(e, tuple) and len(e) == 2 for e in v):
+                return dict(v)
+            if isinstance(v, dict):
+                return {k: _norm(x) for k, x in v.items() if x is not None}
+            return v
+
         ck = pq.read_table(
             os.path.join(log_dir, f"{ckpt_version:020d}.checkpoint.parquet")
         ).to_pylist()
         for row in ck:
-            apply({k: v for k, v in row.items() if v is not None})
+            apply({k: _norm(v) for k, v in row.items() if v is not None})
 
     start = (ckpt_version + 1) if ckpt_version is not None else commits[0]
     for v in commits:
@@ -1186,3 +1203,82 @@ def detach_lake_table(spark: SparkSession, name: str) -> bool:
     except Exception:
         pass
     return True
+
+
+def checkpoint_delta(path: str) -> int:
+    """Write a Delta CHECKPOINT for the current version (round-9;
+    PROTOCOL.md §Checkpoints): one parquet file
+    `<v>.checkpoint.parquet` holding the reconciled snapshot state —
+    protocol + metaData + one add row per live file (partitionValues
+    and any deletionVector preserved) — plus `_last_checkpoint`.
+    Replay cost drops from O(commits) json parses to one parquet read
+    + the tail commits: the scale lever for long-lived tables. Earlier
+    commit jsons MAY then be vacuumed; read_delta replays
+    checkpoint-only logs. Returns the checkpointed version."""
+    import json
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    files, dvs, metadata, protocol, version = _delta_snapshot(path)
+    dv_type = pa.struct([
+        ("storageType", pa.string()), ("pathOrInlineDv", pa.string()),
+        ("offset", pa.int64()), ("sizeInBytes", pa.int64()),
+        ("cardinality", pa.int64()),
+    ])
+    schema = pa.schema([
+        ("protocol", pa.struct([
+            ("minReaderVersion", pa.int32()),
+            ("minWriterVersion", pa.int32()),
+            ("readerFeatures", pa.list_(pa.string())),
+            ("writerFeatures", pa.list_(pa.string())),
+        ])),
+        ("metaData", pa.struct([
+            ("id", pa.string()), ("schemaString", pa.string()),
+            ("partitionColumns", pa.list_(pa.string())),
+            ("configuration", pa.map_(pa.string(), pa.string())),
+        ])),
+        ("add", pa.struct([
+            ("path", pa.string()),
+            ("partitionValues", pa.map_(pa.string(), pa.string())),
+            ("size", pa.int64()), ("modificationTime", pa.int64()),
+            ("dataChange", pa.bool_()),
+            ("deletionVector", dv_type),
+        ])),
+    ])
+    rows = []
+    if protocol:
+        rows.append({"protocol": {
+            "minReaderVersion": protocol.get("minReaderVersion", 1),
+            "minWriterVersion": protocol.get("minWriterVersion", 2),
+            "readerFeatures": protocol.get("readerFeatures"),
+            "writerFeatures": protocol.get("writerFeatures"),
+        }})
+    rows.append({"metaData": {
+        "id": metadata.get("id", ""),
+        "schemaString": metadata["schemaString"],
+        "partitionColumns": metadata.get("partitionColumns") or [],
+        "configuration": list(
+            (metadata.get("configuration") or {}).items()),
+    }})
+    for rel in sorted(files):
+        dv = dvs.get(rel)
+        rows.append({"add": {
+            "path": rel, "partitionValues": list(files[rel].items()),
+            "size": 0, "modificationTime": 0, "dataChange": True,
+            "deletionVector": {
+                "storageType": dv["storageType"],
+                "pathOrInlineDv": dv["pathOrInlineDv"],
+                "offset": int(dv.get("offset") or 0),
+                "sizeInBytes": int(dv["sizeInBytes"]),
+                "cardinality": int(dv.get("cardinality") or 0),
+            } if dv else None,
+        }})
+    log_dir = os.path.join(path, "_delta_log")
+    pq.write_table(
+        pa.Table.from_pylist(rows, schema=schema),
+        os.path.join(log_dir, f"{version:020d}.checkpoint.parquet"))
+    json.dump({"version": version, "size": len(rows)},
+              open(os.path.join(log_dir, "_last_checkpoint"), "w"))
+    return version

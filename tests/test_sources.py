@@ -1687,3 +1687,44 @@ def test_cli_lake_engine_tables(spark, tmp_path):
         raise AssertionError("expected refusal")
     except ValueError as e:
         assert "read-only" in str(e)
+
+
+def test_delta_checkpoint_writer_and_vacuum(spark, tmp_path):
+    """Round-9 checkpoint_delta: the written checkpoint reconciles
+    protocol/metaData/adds (partitionValues as a real MAP); replay is
+    identical before and after, and still works after the pre-checkpoint
+    commit jsons are vacuumed."""
+    import os
+
+    from clickhouse_25_5_3_75_stable_spark.sources.datalake import (
+        checkpoint_delta,
+        read_delta,
+        write_delta,
+    )
+
+    root = str(tmp_path / "ckpt")
+    for i in range(4):
+        write_delta(
+            spark.createDataFrame([(i, f"v{i}", f"p{i % 2}")],
+                                  "id long, v string, part string"),
+            root, partition_by=["part"])
+    before = sorted(tuple(r) for r in read_delta(spark, root).collect())
+    assert len(before) == 4
+
+    v = checkpoint_delta(root)
+    assert v == 3
+    assert os.path.exists(f"{root}/_delta_log/{3:020d}.checkpoint.parquet")
+    after = sorted(tuple(r) for r in read_delta(spark, root).collect())
+    assert after == before
+
+    # vacuum every pre-checkpoint commit json: checkpoint-only replay
+    for i in range(4):
+        os.remove(f"{root}/_delta_log/{i:020d}.json")
+    vacuumed = sorted(tuple(r) for r in read_delta(spark, root).collect())
+    assert vacuumed == before
+
+    # appends after the checkpoint replay on top of it
+    write_delta(
+        spark.createDataFrame([(9, "z", "p0")],
+                              "id long, v string, part string"), root)
+    assert read_delta(spark, root).count() == 5
