@@ -2039,6 +2039,7 @@ def system_iceberg_history_catalog(spark: SparkSession, base_dir: str) -> DataFr
     Iceberg table; each is replayed via datalake.iceberg_history
     (parent-chain ancestry included)."""
     from clickhouse_25_5_3_75_stable_spark.sources.datalake import (
+        LAKE_TABLES,
         iceberg_history,
     )
 
@@ -2050,6 +2051,11 @@ def system_iceberg_history_catalog(spark: SparkSession, base_dir: str) -> DataFr
             if os.path.exists(hint):
                 df = iceberg_history(spark, os.path.join(base_dir, entry))
                 out = df if out is None else out.unionByName(df)
+    # CLI-attached ENGINE = Iceberg tables (round-9) report too
+    for _name, (fmt, lpath) in sorted(LAKE_TABLES.items()):
+        if fmt == "iceberg":
+            df = iceberg_history(spark, lpath)
+            out = df if out is None else out.unionByName(df)
     if out is not None:
         return out
     return _empty(
