@@ -1219,6 +1219,33 @@ def run_local(sql: str, data_dir: str, spark=None, out=sys.stdout,
                           sql)
             if not dm:
                 raise ValueError("unsupported DELETE shape (need DELETE FROM t WHERE p)")
+            from clickhouse_25_5_3_75_stable_spark.sources.datalake import (
+                LAKE_TABLES,
+                delete_delta,
+                refresh_lake_table,
+            )
+
+            if dm.group(1) in LAKE_TABLES:
+                # round-9: Delta tables delete via DELETION VECTORS —
+                # no data-file rewrite (Iceberg/Hudi need the
+                # connector's delete-file writer)
+                lfmt, lpath = LAKE_TABLES[dm.group(1)]
+                if lfmt != "delta":
+                    raise ValueError(
+                        f"DELETE on ENGINE = {lfmt}: position-delete "
+                        "writes need the connector (Delta tables "
+                        "delete natively via deletion vectors)")
+                from clickhouse_25_5_3_75_stable_spark.chsql import (
+                    ch_sql_to_spark,
+                )
+
+                pred = ch_sql_to_spark(
+                    f"SELECT * FROM __x WHERE {dm.group(2)}"
+                ).split("WHERE", 1)[1]
+                delete_delta(spark, lpath, pred)
+                refresh_lake_table(spark, dm.group(1))
+                _emit([(dm.group(1), "Ok")], ["table", "status"], fmt, out)
+                return 0
             mutate_table(spark, data_dir, dm.group(1), "delete", dm.group(2))
             _emit([(dm.group(1), "Ok")], ["table", "status"], fmt, out)
             return 0

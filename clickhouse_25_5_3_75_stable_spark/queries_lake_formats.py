@@ -849,13 +849,13 @@ def lake_delta_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "lake_iceberg_equality_deletes",
-    # a seq-2 equality delete on n_name removes FRANCE/GERMANY/CHINA
-    # from the seq-1 file; a seq-3 file re-adds FRANCE (nationkey+100)
-    # and must survive the strictly-older scoping
+    # a seq-2 equality delete on n_name removes three names from the
+    # seq-1 file; a seq-3 file re-adds NATION_3 (nationkey+100) and
+    # must survive the strictly-older scoping
     oracle=_NATION_ORACLE
-    + " WHERE n_name NOT IN ('FRANCE','GERMANY','CHINA') "
+    + " WHERE n_name NOT IN ('NATION_3','NATION_8','NATION_15') "
       "UNION ALL SELECT CAST(n_nationkey AS BIGINT)+100, n_name, "
-      "CAST(n_regionkey AS BIGINT) FROM nation WHERE n_name='FRANCE'",
+      "CAST(n_regionkey AS BIGINT) FROM nation WHERE n_name='NATION_3'",
     bucket="light",
     tags=("datalake", "iceberg", "merge_on_read"),
 )
@@ -873,11 +873,13 @@ def lake_iceberg_equality_deletes(spark: SparkSession, sf_dir: str) -> DataFrame
     from clickhouse_25_5_3_75_stable_spark.sources.datalake import read_iceberg
 
     rows = _nation_pydict(sf_dir)
-    gone = ("FRANCE", "GERMANY", "CHINA")
+    gone = ("NATION_3", "NATION_8", "NATION_15")
     readd = [
         {**r, "n_nationkey": r["n_nationkey"] + 100}
-        for r in rows if r["n_name"] == "FRANCE"
+        for r in rows if r["n_name"] == "NATION_3"
     ]
+    if not readd:
+        raise RuntimeError("fixture precondition: NATION_3 must exist")
     root = os.path.join(tempfile.mkdtemp(prefix="chspark_iceeq_"), "t")
     os.makedirs(os.path.join(root, "metadata"))
     os.makedirs(os.path.join(root, "data"))
@@ -1100,4 +1102,36 @@ def lake_iceberg_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     if (s1, s2) != (1, 2):
         raise RuntimeError(f"unexpected snapshots {(s1, s2)}")
     return read_iceberg(spark, root).select(
+        "n_nationkey", "n_name", "n_regionkey")
+
+
+@register(
+    "lake_delta_lightweight_delete",
+    # two DV deletes (evens, then two odd names) merge; survivors only
+    oracle=_NATION_ORACLE
+    + " WHERE n_nationkey % 2 = 1 AND n_name NOT IN "
+      "('NATION_3','NATION_7')",
+    bucket="light",
+    tags=("datalake", "delta", "delete", "deletion_vectors"),
+)
+def lake_delta_lightweight_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lightweight DELETE on Delta via deletion vectors, end-to-end
+    (round-9; delete_delta): write nation, delete even keys, then
+    delete FRANCE/GERMANY — the second DV merges with the first,
+    executor-side roaring serialization, no data-file rewrite. The
+    reference's lightweight DELETE exists only on MergeTree; on lake
+    tables it refuses — capability superset."""
+    from clickhouse_25_5_3_75_stable_spark.sources.datalake import (
+        delete_delta,
+        read_delta,
+        write_delta,
+    )
+
+    root = os.path.join(tempfile.mkdtemp(prefix="chspark_dld_"), "t")
+    write_delta(_nation_df(spark, sf_dir), root)
+    v1 = delete_delta(spark, root, "n_nationkey % 2 = 0")
+    v2 = delete_delta(spark, root, "n_name IN ('NATION_3', 'NATION_7')")
+    if (v1, v2) != (1, 2):
+        raise RuntimeError(f"unexpected versions {(v1, v2)}")
+    return read_delta(spark, root).select(
         "n_nationkey", "n_name", "n_regionkey")

@@ -216,6 +216,7 @@ def read_delta(
     spark: SparkSession,
     path: str,
     version: int | None = None,
+    _with_positions: bool = False,
 ) -> DataFrame:
     """Delta snapshot read by pure transaction-log replay: adds minus
     removes from the newest checkpoint parquet (if any) + JSON commits,
@@ -312,7 +313,7 @@ def read_delta(
 
     norm = lambda c: F.regexp_replace(c, "^file:/*", "/")  # noqa: E731
     meta_cols = []
-    if dvs:
+    if dvs or _with_positions:
         meta_cols = [
             norm(F.col("_metadata.file_path")).alias("__dl_fp"),
             F.col("_metadata.row_index").alias("__dl_pos"),
@@ -329,12 +330,14 @@ def read_delta(
     for p in parts[1:]:
         out = out.unionByName(p)
     if dvs:
-        out = _apply_deletion_vectors(spark, out, path, dvs)
+        out = _apply_deletion_vectors(
+            spark, out, path, dvs, keep_positions=_with_positions)
     return out
 
 
 def _apply_deletion_vectors(
-    spark: SparkSession, out: DataFrame, path: str, dvs: dict
+    spark: SparkSession, out: DataFrame, path: str, dvs: dict,
+    keep_positions: bool = False,
 ) -> DataFrame:
     """Merge-on-read for Delta deletion vectors (round-9;
     delta.io PROTOCOL.md §Deletion Vectors): each add action's DV
@@ -405,8 +408,8 @@ def _apply_deletion_vectors(
         .repartition(min(len(desc_rows), 64))
         .mapInPandas(_decode, "__dl_fp string, __dl_pos long")
     )
-    return out.join(dels, ["__dl_fp", "__dl_pos"], "left_anti").drop(
-        "__dl_fp", "__dl_pos")
+    out = out.join(dels, ["__dl_fp", "__dl_pos"], "left_anti")
+    return out if keep_positions else out.drop("__dl_fp", "__dl_pos")
 
 
 def delta_history(spark: SparkSession, path: str) -> DataFrame:
@@ -1282,3 +1285,130 @@ def checkpoint_delta(path: str) -> int:
     json.dump({"version": version, "size": len(rows)},
               open(os.path.join(log_dir, "_last_checkpoint"), "w"))
     return version
+
+
+def delete_delta(spark: SparkSession, path: str, predicate: str) -> int:
+    """Lightweight DELETE on a Delta table via DELETION VECTORS
+    (round-9; the Delta-native analogue of the reference's lightweight
+    DELETE — MutationsInterpreter's _row_exists mask — using the same
+    public DV format read_delta replays): rows matching `predicate`
+    (a Spark SQL boolean over the table's columns) are marked deleted
+    WITHOUT rewriting data files. Per affected file, matching row
+    positions merge with any existing DV and serialize into a
+    `deletion_vector_<uuid>.bin` (roaring portable + CRC framing); one
+    commit re-adds the file with the new descriptor (remove+add pair).
+    Returns the committed version.
+
+    Scale shape: the position scan is the normal distributed read with
+    `_metadata.row_index`; per-file positions aggregate executor-side
+    and only O(affected files) descriptor rows reach the driver —
+    bounded like every other lake-commit path. (Bitmap serialization
+    happens where the groups land; files are on shared storage by the
+    same contract as the data itself.)"""
+    import json
+    import os
+    import time
+
+    files, dvs, metadata, protocol, version = _delta_snapshot(path)
+    live = read_delta(spark, path, _with_positions=True)
+    matches = live.filter(predicate)
+
+    abs_path = os.path.abspath(path)
+    old_dvs = {
+        os.path.abspath(os.path.join(path, rel)): dv
+        for rel, dv in dvs.items()
+    }
+
+    def _write_dv(pdf):
+        # one group per affected data file, executed on the executor
+        # that received the group: positions merge with any existing
+        # DV, serialize, and land as a new .bin; only the descriptor
+        # row returns
+        import os as _os
+        import uuid as _u
+
+        import pandas as _pd
+
+        from clickhouse_25_5_3_75_stable_spark.sources import roaring
+
+        fp = pdf["__dl_fp"].iloc[0]
+        positions = set(int(x) for x in pdf["__dl_pos"])
+        old_dv = old_dvs.get(fp)
+        if old_dv:
+            if old_dv["storageType"] == "i":
+                positions |= set(roaring.rbm_array_deserialize(
+                    roaring.z85_decode(old_dv["pathOrInlineDv"],
+                                       int(old_dv["sizeInBytes"]))))
+            else:
+                if old_dv["storageType"] == "u":
+                    enc = old_dv["pathOrInlineDv"]
+                    prefix, enc = enc[:-20], enc[-20:]
+                    uu = _u.UUID(bytes=roaring.z85_decode(enc))
+                    dv_path = _os.path.join(
+                        abs_path, prefix, f"deletion_vector_{uu}.bin")
+                else:
+                    dv_path = old_dv["pathOrInlineDv"]
+                with open(dv_path, "rb") as fh:
+                    positions |= set(roaring.dv_read_at(
+                        fh.read(), int(old_dv.get("offset") or 0)))
+        data = roaring.rbm_array_serialize(sorted(positions))
+        blob, offsets = roaring.dv_file_blob([data])
+        uu = _u.uuid4()
+        with open(_os.path.join(abs_path, f"deletion_vector_{uu}.bin"),
+                  "wb") as fh:
+            fh.write(blob)
+        return _pd.DataFrame([{
+            "fp": fp, "dv_b85": roaring.z85_encode(uu.bytes),
+            "offset": offsets[0], "size": len(data),
+            "cardinality": len(positions)}])
+
+    per_file = (
+        matches.select("__dl_fp", "__dl_pos")
+        .groupBy("__dl_fp")
+        .applyInPandas(
+            _write_dv,
+            "fp string, dv_b85 string, offset long, size long, "
+            "cardinality long")
+        .collect()
+    )
+    if not per_file:
+        return version  # nothing to do; no empty commit
+
+    abs_of = {
+        os.path.abspath(os.path.join(path, rel)): rel for rel in files
+    }
+    now_ms = int(time.time() * 1000)
+    actions = [{"commitInfo": {
+        "timestamp": now_ms, "operation": "DELETE",
+        "operationParameters": {"predicate": predicate}}}]
+    # the table may predate DV support: upgrade the protocol in-commit
+    feats = set((protocol or {}).get("readerFeatures") or [])
+    if (protocol or {}).get("minReaderVersion", 1) < 3 or \
+            "deletionVectors" not in feats:
+        actions.append({"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": sorted(feats | {"deletionVectors"}),
+            "writerFeatures": sorted(
+                set((protocol or {}).get("writerFeatures") or [])
+                | {"deletionVectors"})}})
+
+    for row in per_file:
+        rel = abs_of.get(row["fp"])
+        if rel is None:
+            raise RuntimeError(f"unknown data file {row['fp']}")
+        dv = {"storageType": "u", "pathOrInlineDv": row["dv_b85"],
+              "offset": int(row["offset"]), "sizeInBytes": int(row["size"]),
+              "cardinality": int(row["cardinality"])}
+        actions.append({"remove": {
+            "path": rel, "deletionTimestamp": now_ms, "dataChange": True}})
+        actions.append({"add": {
+            "path": rel, "partitionValues": files[rel],
+            "size": os.path.getsize(os.path.join(path, rel)),
+            "modificationTime": now_ms, "dataChange": True,
+            "deletionVector": dv}})
+
+    commit = os.path.join(path, "_delta_log", f"{version + 1:020d}.json")
+    fd = os.open(commit, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    with os.fdopen(fd, "w") as fh:
+        fh.write("\n".join(json.dumps(a) for a in actions) + "\n")
+    return version + 1

@@ -1728,3 +1728,51 @@ def test_delta_checkpoint_writer_and_vacuum(spark, tmp_path):
         spark.createDataFrame([(9, "z", "p0")],
                               "id long, v string, part string"), root)
     assert read_delta(spark, root).count() == 5
+
+
+def test_delete_delta_deletion_vectors(spark, tmp_path):
+    """Round-9 lightweight DELETE on Delta: rows vanish without file
+    rewrites (DVs merge on repeated deletes); time travel shows the
+    pre-delete data; the protocol upgrades to reader v3."""
+    import json
+    import os
+
+    from clickhouse_25_5_3_75_stable_spark.sources.datalake import (
+        delete_delta,
+        read_delta,
+        write_delta,
+    )
+
+    root = str(tmp_path / "deld")
+    df = spark.createDataFrame(
+        [(i, "even" if i % 2 == 0 else "odd") for i in range(10)],
+        "id long, par string")
+    write_delta(df, root)
+    v1 = delete_delta(spark, root, "id % 2 = 0")
+    assert v1 == 1
+    rest = sorted(r.id for r in read_delta(spark, root).collect())
+    assert rest == [1, 3, 5, 7, 9]
+    # no data-file rewrite happened: the original parquet files remain
+    assert any(f.startswith("part-") for f in os.listdir(root))
+
+    # second delete merges with the existing DV
+    v2 = delete_delta(spark, root, "id IN (1, 3)")
+    assert v2 == 2
+    assert sorted(r.id for r in read_delta(spark, root).collect()) \
+        == [5, 7, 9]
+    # time travel: v0 has all rows, v1 has the odd rows
+    assert read_delta(spark, root, version=0).count() == 10
+    assert sorted(r.id
+                  for r in read_delta(spark, root, version=1).collect()) \
+        == [1, 3, 5, 7, 9]
+
+    # protocol upgraded in the delete commit
+    acts = [json.loads(line)
+            for line in open(f"{root}/_delta_log/{1:020d}.json")
+            if line.strip()]
+    protos = [a["protocol"] for a in acts if "protocol" in a]
+    assert protos and protos[0]["minReaderVersion"] == 3
+    assert "deletionVectors" in protos[0]["readerFeatures"]
+
+    # deleting nothing commits nothing
+    assert delete_delta(spark, root, "id = 12345") == 2
