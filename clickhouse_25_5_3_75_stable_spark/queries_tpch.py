@@ -98,8 +98,8 @@ def q4_order_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE s.s_suppkey = l.l_suppkey AND o.o_orderkey = l.l_orderkey
           AND c.c_custkey = o.o_custkey AND s.s_nationkey = n1.n_nationkey
           AND c.c_nationkey = n2.n_nationkey
-          AND ((n1.n_name = 'FRANCE' AND n2.n_name = 'GERMANY')
-            OR (n1.n_name = 'GERMANY' AND n2.n_name = 'FRANCE'))
+          AND ((n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_12')
+            OR (n1.n_name = 'NATION_12' AND n2.n_name = 'NATION_7'))
     ) shipping
     GROUP BY supp_nation, cust_nation, l_year
     ORDER BY supp_nation, cust_nation, l_year
@@ -109,7 +109,7 @@ def q4_order_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q7_nation_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q7: two-nation trade volume. The disjunctive pair predicate
-    ((FR,DE) OR (DE,FR)) implies each SIDE is in {FRANCE, GERMANY} —
+    ((A,B) OR (B,A)) implies each SIDE is in the nation pair —
     a conjunct Catalyst cannot derive on its own — so supplier and
     customer are each pre-filtered to the two nations BEFORE the fact
     joins (round-7, judge ask #4): lineitem joins the 2/25-nation
@@ -120,7 +120,7 @@ def q7_nation_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
     two big shuffles from full-fact-size into ~8%-of-fact-size."""
     li = t(spark, sf_dir, "lineitem")
     o = t(spark, sf_dir, "orders")
-    two = ["FRANCE", "GERMANY"]
+    two = ["NATION_7", "NATION_12"]
     n1 = (
         t(spark, sf_dir, "nation")
         .filter(F.col("n_name").isin(two))
@@ -144,8 +144,10 @@ def q7_nation_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", "cust_nation")
     )
     pair = (
-        (F.col("supp_nation") == "FRANCE") & (F.col("cust_nation") == "GERMANY")
-    ) | ((F.col("supp_nation") == "GERMANY") & (F.col("cust_nation") == "FRANCE"))
+        (F.col("supp_nation") == "NATION_7")
+        & (F.col("cust_nation") == "NATION_12")
+    ) | ((F.col("supp_nation") == "NATION_12")
+         & (F.col("cust_nation") == "NATION_7"))
     return (
         li.join(F.broadcast(s2), li.l_suppkey == s2.s_suppkey)
         .join(o, li.l_orderkey == o.o_orderkey)
@@ -186,10 +188,11 @@ def q7_nation_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q7_trade_flows_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q7 against nations that EXIST in the synthetic tables (round-7):
-    the canonical q7 filters on FRANCE/GERMANY, which the generated
-    nation table does not contain, so its gate hash compared two empty
-    results and its bench timing measured a degenerate all-pruned
-    plan. This variant runs the identical shape on NATION_7/NATION_12
+    the canonical q7 used to filter a nation pair absent from the
+    generated table, so its gate hash compared two empty results and
+    its bench timing measured a degenerate all-pruned plan (round-9
+    repointed the canonical query at the same live pair).
+    This variant runs the identical shape on NATION_7/NATION_12
     (the q8 convention, queries_tpch2.py) so the driver gate hashes
     real revenue values and the bench measures real shuffle work.
     Same pre-filtered join order as q7 — each side's nation slice
@@ -431,7 +434,7 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
                       WHERE l3.l_orderkey = l1.l_orderkey
                         AND l3.l_suppkey <> l1.l_suppkey
                         AND l3.l_shipdate > l1.l_shipdate)
-      AND s_nationkey = n_nationkey AND n_name = 'CHINA'
+      AND s_nationkey = n_nationkey AND n_name = 'NATION_18'
     GROUP BY s_name
     ORDER BY numwait DESC, s_name
     LIMIT 100
@@ -458,7 +461,7 @@ def q21_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                           WHERE l3.l_orderkey = l1.l_orderkey
                             AND l3.l_suppkey <> l1.l_suppkey
                             AND l3.l_shipdate > l1.l_shipdate)
-          AND s_nationkey = n_nationkey AND n_name = 'CHINA'
+          AND s_nationkey = n_nationkey AND n_name = 'NATION_18'
         GROUP BY s_name
         ORDER BY numwait DESC, s_name
         LIMIT 100

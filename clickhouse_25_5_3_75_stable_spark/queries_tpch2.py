@@ -279,7 +279,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
            AND p_size BETWEEN 1 AND 5)
        OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20
            AND p_size BETWEEN 1 AND 10)
-       OR (p_brand = 'Brand#34' AND l_quantity BETWEEN 20 AND 30
+       OR (p_brand = 'Brand#24' AND l_quantity BETWEEN 20 AND 30
            AND p_size BETWEEN 1 AND 15)
     """,
     tags=("tpch", "disjunctive"),
@@ -294,7 +294,7 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     cond = (
         ((brand == "Brand#12") & q.between(1, 11) & size.between(1, 5))
         | ((brand == "Brand#23") & q.between(10, 20) & size.between(1, 10))
-        | ((brand == "Brand#34") & q.between(20, 30) & size.between(1, 15))
+        | ((brand == "Brand#24") & q.between(20, 30) & size.between(1, 15))
     )
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
