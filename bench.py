@@ -76,6 +76,37 @@ def _probe_timings(spark) -> dict[str, float]:
     return out
 
 
+# Queries whose DEFINITION changed before per-record def-hash tracking
+# existed (2026-08-16: dead literal predicates repointed at values that
+# exist in the synthetic data — the old samples timed degenerate
+# all-pruned plans). Their pre-defs history must not pin the ratchet.
+_LEGACY_DEF_CHANGED = {
+    "q7_nation_trade_flows",
+    "q21_waiting_orders",
+    "q19_discounted_revenue",
+}
+
+
+def query_def_hash(name: str) -> str:
+    """8-hex fingerprint of a query's DEFINITION (function source +
+    oracle text): the ratchet pin only uses historical samples taken
+    under the same definition, so a legitimate query change resets its
+    baseline instead of false-flagging against timings of a different
+    plan (round-9: the repointed q7/q21 would otherwise compare real
+    work against their old degenerate no-op timings)."""
+    import hashlib
+    import inspect
+
+    spec = REGISTRY[name]
+    try:
+        src = inspect.getsource(spec.fn)
+    except OSError:
+        src = name
+    return hashlib.sha1(
+        (src + "\x00" + (spec.oracle or "")).encode()
+    ).hexdigest()[:8]
+
+
 def robust_best(samples: list[float], k: int = 5) -> float:
     """Pin the per-query ratchet baseline as the MEDIAN of the k
     smallest historical samples, not the min-ever (round-9). With
@@ -171,6 +202,7 @@ def main() -> None:
     # query). Loaded BEFORE timing so a flagged query can earn extra
     # confirmation runs below.
     hist_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_HISTORY.jsonl")
+    cur_defs = {name: query_def_hash(name) for name in HEADLINE}
     hist_q: dict[str, list[float]] = {}
     hist_p: dict[str, list[float]] = {}
     if os.path.exists(hist_path):
@@ -181,9 +213,18 @@ def main() -> None:
                 except json.JSONDecodeError:
                     continue
                 if rec.get("sf") == sf_val:
+                    rec_defs = rec.get("defs")
                     for name, t in rec.get("queries", {}).items():
-                        if isinstance(t, (int, float)):
-                            hist_q.setdefault(name, []).append(float(t))
+                        if not isinstance(t, (int, float)):
+                            continue
+                        # def-hash gate: drop samples taken under a
+                        # DIFFERENT definition of the query
+                        if rec_defs is not None:
+                            if rec_defs.get(name) != cur_defs.get(name):
+                                continue
+                        elif name in _LEGACY_DEF_CHANGED:
+                            continue  # pre-defs record of a changed query
+                        hist_q.setdefault(name, []).append(float(t))
                 for name, t in rec.get("probes", {}).items():
                     if isinstance(t, (int, float)):
                         hist_p.setdefault(name, []).append(float(t))
@@ -250,7 +291,8 @@ def main() -> None:
     }
     with open(hist_path, "a") as fh:
         fh.write(
-            json.dumps({"sf": sf_val, "queries": timings, "probes": probes})
+            json.dumps({"sf": sf_val, "queries": timings,
+                        "probes": probes, "defs": cur_defs})
             + "\n"
         )
     print(json.dumps(result))

@@ -112,3 +112,16 @@ def test_robust_best_short_history_uses_what_exists():
     assert robust_best([1.0]) == 1.0
     assert robust_best([2.0, 1.0]) == 2.0  # median of 2 smallest = upper
     assert robust_best([3.0, 1.0, 2.0]) == 2.0
+
+
+def test_query_def_hash_gates_history():
+    """Round-9: the ratchet pin only uses samples taken under the
+    CURRENT query definition — a changed query resets its baseline
+    (the repointed q7/q21 must not compare real work against their old
+    degenerate no-op timings)."""
+    import bench
+
+    h = bench.query_def_hash("q7_nation_trade_flows")
+    assert len(h) == 8 and h == bench.query_def_hash("q7_nation_trade_flows")
+    assert h != bench.query_def_hash("q21_waiting_orders")
+    assert "q7_nation_trade_flows" in bench._LEGACY_DEF_CHANGED
