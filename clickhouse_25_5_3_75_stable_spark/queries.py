@@ -343,15 +343,19 @@ def join_semi_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFra
     "join_anti_customers_without_orders",
     oracle="""
     SELECT c_custkey, c_name FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderdate >= DATE '1999-01-01')
     ORDER BY c_custkey
     """,
     tags=("join", "anti"),
 )
 def join_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LEFT ANTI (/root/reference/src/Core/Joins.h:52) -> how='left_anti'."""
+    """LEFT ANTI (/root/reference/src/Core/Joins.h:52) -> how='left_anti'.
+    Anti-joins against RECENT orders: the unrestricted form matched
+    nothing in the synthetic data (round-9 degenerate-gate audit)."""
     cust = t(spark, sf_dir, "customer")
-    orders = t(spark, sf_dir, "orders")
+    orders = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("date"))
     return (
         cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
         .select("c_custkey", "c_name")
@@ -707,14 +711,19 @@ def setop_intersect_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_nationkey AS nationkey FROM customer
     EXCEPT
-    SELECT s_nationkey FROM supplier
+    SELECT s_nationkey FROM supplier WHERE s_nationkey < 20
     ORDER BY nationkey
     """,
     tags=("setop",),
 )
 def setop_except_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT with a NON-empty result: customers cover every nation
+    and so do suppliers, so the unrestricted difference gated empty
+    for eight rounds (round-9 degenerate-gate audit); the filtered
+    supplier side leaves nations >= 20 in the difference."""
     cust = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
-    supp = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    supp = t(spark, sf_dir, "supplier").filter(
+        F.col("s_nationkey") < 20).select(F.col("s_nationkey").alias("nationkey"))
     return cust.subtract(supp).orderBy("nationkey")
 
 

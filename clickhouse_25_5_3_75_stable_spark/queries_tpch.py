@@ -477,7 +477,8 @@ def q21_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM customer
     WHERE c_acctbal > (SELECT {davg_sql('c_acctbal', 'a').replace(' AS a', '')}
                        FROM customer WHERE c_acctbal > 0)
-      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderdate >= DATE '1999-01-01')
     GROUP BY cntrycode
     ORDER BY cntrycode
     """,
@@ -497,8 +498,12 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     rich = c.join(F.broadcast(avg_bal)).filter(F.col("c_acctbal") > F.col("a"))
+    # "no orders since 1999" — the unrestricted anti join matched
+    # nothing (every synthetic customer has SOME order), gating an
+    # empty result for eight rounds (round-9 degenerate-gate audit)
+    recent = o.filter(F.col("o_orderdate") >= F.lit("1999-01-01").cast("date"))
     return (
-        rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+        rich.join(recent, rich.c_custkey == recent.o_custkey, "left_anti")
         .groupBy(F.substring("c_name", 10, 1).alias("cntrycode"))
         .agg(F.count(F.lit(1)).alias("numcust"), dsum("c_acctbal", "totacctbal"))
         .orderBy("cntrycode")

@@ -143,7 +143,8 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT l_partkey, value FROM part_value
     WHERE value > (SELECT {dsum_sql('l_extendedprice * (1 - l_discount)', 'x')}
-                   FROM lineitem) * 0.001
+                   FROM lineitem)
+                  * 1.5 / (SELECT COUNT(DISTINCT l_partkey) FROM lineitem)
     ORDER BY value DESC, l_partkey
     """,
     tags=("tpch", "scalar_subquery"),
@@ -155,10 +156,17 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
     value = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     per_part = li.groupBy("l_partkey").agg(dsum(value, "value"))
-    total = li.agg(dsum(value, "total"))
+    # the canonical q11 scales its share threshold by 1/SF; here the
+    # equivalent data-derived form (1.5x the mean per-part share) so
+    # the filter BITES at every SF — a fixed 0.001 matched nothing
+    # (max share is 0.0009 at sf0.01, 0.00009 at sf0.1) and gated an
+    # empty result for eight rounds (round-9 degenerate-gate audit)
+    total = li.agg(
+        dsum(value, "total"),
+        F.countDistinct("l_partkey").alias("n_parts"))
     return (
         per_part.join(F.broadcast(total))
-        .filter(F.col("value") > F.col("total") * 0.001)
+        .filter(F.col("value") > F.col("total") * 1.5 / F.col("n_parts"))
         .select("l_partkey", "value")
         .orderBy(F.desc("value"), "l_partkey")
     )
