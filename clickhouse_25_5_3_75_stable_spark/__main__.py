@@ -616,6 +616,46 @@ def run_local(sql: str, data_dir: str, spark=None, out=sys.stdout,
                 raise ValueError("unsupported ALTER shape")
             tname, action = am.group(1), am.group(2).strip()
             up = action.upper()
+            from clickhouse_25_5_3_75_stable_spark.sources.datalake import (
+                LAKE_TABLES as _LAKE,
+            )
+
+            if tname in _LAKE and (up.startswith("DELETE")
+                                   or up.startswith("UPDATE")):
+                # round-9 lake DML: DELETE via deletion vectors,
+                # UPDATE copy-on-write (Delta only)
+                from clickhouse_25_5_3_75_stable_spark.sources.datalake import (
+                    delete_delta,
+                    refresh_lake_table,
+                    update_delta,
+                )
+
+                lfmt, lpath = _LAKE[tname]
+                if lfmt != "delta":
+                    raise ValueError(
+                        f"ALTER on ENGINE = {lfmt}: mutations need the "
+                        "connector (Delta tables mutate natively)")
+                if up.startswith("DELETE"):
+                    dm = re.match(r"(?is)DELETE\s+WHERE\s+(.+)$", action)
+                    if not dm:
+                        raise ValueError("ALTER DELETE needs WHERE")
+                    delete_delta(spark, lpath, dm.group(1))
+                else:
+                    um = re.match(r"(?is)UPDATE\s+(.+?)\s+WHERE\s+(.+)$",
+                                  action)
+                    if not um:
+                        raise ValueError("ALTER UPDATE needs WHERE")
+                    assigns = {}
+                    for part in re.split(r",(?![^()]*\))", um.group(1)):
+                        k, _, v = part.partition("=")
+                        if not _:
+                            raise ValueError(
+                                f"bad UPDATE assignment: {part!r}")
+                        assigns[k.strip()] = v.strip()
+                    update_delta(spark, lpath, um.group(2), assigns)
+                refresh_lake_table(spark, tname)
+                _emit([(tname, "Ok")], ["table", "status"], fmt, out)
+                return 0
             if up.startswith("ADD COLUMN"):
                 cm = re.match(
                     r"(?is)ADD\s+COLUMN\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s+"

@@ -1412,3 +1412,98 @@ def delete_delta(spark: SparkSession, path: str, predicate: str) -> int:
     with os.fdopen(fd, "w") as fh:
         fh.write("\n".join(json.dumps(a) for a in actions) + "\n")
     return version + 1
+
+
+def update_delta(
+    spark: SparkSession,
+    path: str,
+    predicate: str,
+    assignments: dict[str, str],
+) -> int:
+    """UPDATE on a Delta table, copy-on-write (round-9; the lake
+    analogue of the reference's ALTER TABLE ... UPDATE mutation —
+    MutationsInterpreter rewrites parts, this rewrites exactly the
+    affected files): files containing matching rows are re-written
+    with each assignment applied as CASE WHEN predicate THEN expr
+    ELSE old END (post-DV rows, so prior lightweight deletes hold);
+    untouched files stay in place. One commit: removes for the
+    rewritten files + adds for their replacements. Returns the
+    committed version.
+
+    Scale shape: only affected files rewrite (the distinct-file list
+    is manifest-bounded); the rewrite is a normal distributed write of
+    those files' rows."""
+    import glob as _glob
+    import json
+    import os
+    import shutil as _shutil
+    import time
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    files, _dvs, metadata, _protocol, version = _delta_snapshot(path)
+    part_cols = metadata.get("partitionColumns") or []
+    live = read_delta(spark, path, _with_positions=True)
+    affected = [
+        r[0] for r in
+        live.filter(predicate).select("__dl_fp").distinct().collect()
+    ]
+    if not affected:
+        return version
+    abs_of = {os.path.abspath(os.path.join(path, rel)): rel for rel in files}
+    rel_affected = []
+    for fp in affected:
+        rel = abs_of.get(fp)
+        if rel is None:
+            raise RuntimeError(f"unknown data file {fp}")
+        rel_affected.append(rel)
+
+    rows = live.filter(F.col("__dl_fp").isin(*affected))
+    updated = rows
+    pred_c = F.expr(predicate)
+    for col, expr in assignments.items():
+        if col not in live.columns:
+            raise ValueError(f"UPDATE: unknown column {col!r}")
+        updated = updated.withColumn(
+            col, F.when(pred_c, F.expr(expr)).otherwise(F.col(col)))
+    updated = updated.drop("__dl_fp", "__dl_pos")
+
+    txn = _uuid.uuid4().hex[:12]
+    stage = os.path.join(path, f"_staging_{txn}")
+    writer = updated.write.mode("overwrite")
+    if part_cols:
+        writer = writer.partitionBy(*part_cols)
+    writer.parquet(stage)
+
+    now_ms = int(time.time() * 1000)
+    actions = [{"commitInfo": {
+        "timestamp": now_ms, "operation": "UPDATE",
+        "operationParameters": {"predicate": predicate}}}]
+    for rel in sorted(rel_affected):
+        actions.append({"remove": {
+            "path": rel, "deletionTimestamp": now_ms, "dataChange": True}})
+    for p in sorted(_glob.glob(os.path.join(stage, "**", "*.parquet"),
+                               recursive=True)):
+        rel_in_stage = os.path.relpath(p, stage)
+        parts = rel_in_stage.split(os.sep)
+        pvals = {}
+        for seg in parts[:-1]:
+            k, _, v = seg.partition("=")
+            pvals[k] = v
+        fname = f"part-{txn}-{len(actions):05d}.parquet"
+        rel = os.path.join(*parts[:-1], fname) if len(parts) > 1 else fname
+        dst = os.path.join(path, rel)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        os.rename(p, dst)
+        actions.append({"add": {
+            "path": rel.replace(os.sep, "/"), "partitionValues": pvals,
+            "size": os.path.getsize(dst), "modificationTime": now_ms,
+            "dataChange": True}})
+    _shutil.rmtree(stage, ignore_errors=True)
+
+    commit = os.path.join(path, "_delta_log", f"{version + 1:020d}.json")
+    fd = os.open(commit, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    with os.fdopen(fd, "w") as fh:
+        fh.write("\n".join(json.dumps(a) for a in actions) + "\n")
+    return version + 1

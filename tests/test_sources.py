@@ -1776,3 +1776,42 @@ def test_delete_delta_deletion_vectors(spark, tmp_path):
 
     # deleting nothing commits nothing
     assert delete_delta(spark, root, "id = 12345") == 2
+
+
+def test_update_delta_copy_on_write(spark, tmp_path):
+    """Round-9 UPDATE on Delta: only affected files rewrite; prior
+    DV deletes hold; time travel shows pre-update values."""
+    import glob
+    import os
+
+    from clickhouse_25_5_3_75_stable_spark.sources.datalake import (
+        delete_delta,
+        read_delta,
+        update_delta,
+        write_delta,
+    )
+
+    root = str(tmp_path / "upd")
+    write_delta(
+        spark.createDataFrame([(1, 10.0, "a"), (2, 20.0, "a")],
+                              "id long, v double, part string"),
+        root, partition_by=["part"])
+    write_delta(
+        spark.createDataFrame([(3, 30.0, "b")],
+                              "id long, v double, part string"), root)
+    n_files_before = len(glob.glob(f"{root}/**/*.parquet", recursive=True))
+
+    delete_delta(spark, root, "id = 2")
+    v = update_delta(spark, root, "id = 1", {"v": "v * 10"})
+    got = sorted(tuple(r) for r in read_delta(spark, root)
+                 .select("id", "v", "part").collect())
+    assert got == [(1, 100.0, "a"), (3, 30.0, "b")]
+    # the untouched partition-b file was not rewritten
+    assert any("part=b" in f
+               for f in glob.glob(f"{root}/**/*.parquet", recursive=True))
+    # time travel: pre-update still shows 10.0 (and the DV delete)
+    prev = sorted(tuple(r) for r in read_delta(spark, root, version=v - 1)
+                  .select("id", "v").collect())
+    assert prev == [(1, 10.0), (3, 30.0)]
+    # updating nothing commits nothing
+    assert update_delta(spark, root, "id = 999", {"v": "0.0"}) == v
