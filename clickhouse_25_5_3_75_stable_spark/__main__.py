@@ -897,6 +897,25 @@ def run_local(sql: str, data_dir: str, spark=None, out=sys.stdout,
             _emit([(tname, "Ok")], ["table", "status"], fmt, out)
             return 0
         if kw == "OPTIMIZE":
+            from clickhouse_25_5_3_75_stable_spark.sources.datalake import (
+                LAKE_TABLES as _LAKE2,
+            )
+
+            om0 = re.match(r"(?is)^\s*OPTIMIZE\s+TABLE\s+(\w+)", sql)
+            if om0 and om0.group(1) in _LAKE2:
+                from clickhouse_25_5_3_75_stable_spark.sources.datalake import (
+                    optimize_delta,
+                    refresh_lake_table,
+                )
+
+                lfmt, lpath = _LAKE2[om0.group(1)]
+                if lfmt != "delta":
+                    raise ValueError(
+                        f"OPTIMIZE on ENGINE = {lfmt} needs the connector")
+                optimize_delta(spark, lpath)
+                refresh_lake_table(spark, om0.group(1))
+                _emit([(om0.group(1), "Ok")], ["table", "status"], fmt, out)
+                return 0
             from clickhouse_25_5_3_75_stable_spark.ddl import optimize_table
 
             parts = sql.strip().rstrip(";").split()

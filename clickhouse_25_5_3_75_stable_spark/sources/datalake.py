@@ -1507,3 +1507,65 @@ def update_delta(
     with os.fdopen(fd, "w") as fh:
         fh.write("\n".join(json.dumps(a) for a in actions) + "\n")
     return version + 1
+
+
+def optimize_delta(spark: SparkSession, path: str) -> int:
+    """OPTIMIZE (compaction) for a Delta table (round-9; the lake
+    analogue of the reference's OPTIMIZE TABLE FINAL part rewrite):
+    every live file rewrites into a compacted set — deletion vectors
+    MATERIALIZE (deleted rows drop from the data files and the new
+    adds carry no DVs), small files merge through the normal
+    distributed write. One commit: removes for every old file + adds
+    for the compacted set (dataChange false — no logical rows change,
+    so incremental consumers skip it). Returns the committed version."""
+    import glob as _glob
+    import json
+    import os
+    import shutil as _shutil
+    import time
+    import uuid as _uuid
+
+    files, _dvs, metadata, _protocol, version = _delta_snapshot(path)
+    if not files:
+        return version
+    part_cols = metadata.get("partitionColumns") or []
+    live = read_delta(spark, path)
+
+    txn = _uuid.uuid4().hex[:12]
+    stage = os.path.join(path, f"_staging_{txn}")
+    writer = live.write.mode("overwrite")
+    if part_cols:
+        writer = writer.partitionBy(*part_cols)
+    writer.parquet(stage)
+
+    now_ms = int(time.time() * 1000)
+    actions = [{"commitInfo": {
+        "timestamp": now_ms, "operation": "OPTIMIZE",
+        "operationParameters": {}}}]
+    for rel in sorted(files):
+        actions.append({"remove": {
+            "path": rel, "deletionTimestamp": now_ms, "dataChange": False}})
+    for p in sorted(_glob.glob(os.path.join(stage, "**", "*.parquet"),
+                               recursive=True)):
+        rel_in_stage = os.path.relpath(p, stage)
+        parts = rel_in_stage.split(os.sep)
+        pvals = {}
+        for seg in parts[:-1]:
+            k, _, v = seg.partition("=")
+            pvals[k] = v
+        fname = f"part-{txn}-{len(actions):05d}.parquet"
+        rel = os.path.join(*parts[:-1], fname) if len(parts) > 1 else fname
+        dst = os.path.join(path, rel)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        os.rename(p, dst)
+        actions.append({"add": {
+            "path": rel.replace(os.sep, "/"), "partitionValues": pvals,
+            "size": os.path.getsize(dst), "modificationTime": now_ms,
+            "dataChange": False}})
+    _shutil.rmtree(stage, ignore_errors=True)
+
+    commit = os.path.join(path, "_delta_log", f"{version + 1:020d}.json")
+    fd = os.open(commit, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    with os.fdopen(fd, "w") as fh:
+        fh.write("\n".join(json.dumps(a) for a in actions) + "\n")
+    return version + 1

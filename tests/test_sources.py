@@ -1815,3 +1815,42 @@ def test_update_delta_copy_on_write(spark, tmp_path):
     assert prev == [(1, 10.0), (3, 30.0)]
     # updating nothing commits nothing
     assert update_delta(spark, root, "id = 999", {"v": "0.0"}) == v
+
+
+def test_optimize_delta_compaction(spark, tmp_path):
+    """Round-9 OPTIMIZE: deletion vectors materialize (new adds carry
+    no DVs), many commits compact to one file set, logical rows
+    unchanged; time travel still replays pre-optimize versions."""
+    import json
+    import os
+
+    from clickhouse_25_5_3_75_stable_spark.sources.datalake import (
+        _delta_snapshot,
+        delete_delta,
+        optimize_delta,
+        read_delta,
+        write_delta,
+    )
+
+    root = str(tmp_path / "opt")
+    for i in range(3):
+        write_delta(
+            spark.createDataFrame([(i, f"v{i}")], "id long, v string"), root)
+    delete_delta(spark, root, "id = 1")
+    before = sorted(tuple(r) for r in read_delta(spark, root).collect())
+    v = optimize_delta(spark, root)
+    after = sorted(tuple(r) for r in read_delta(spark, root).collect())
+    assert after == before == [(0, "v0"), (2, "v2")]
+    # DVs are gone from the live snapshot
+    _files, dvs, _m, _p, _v = _delta_snapshot(root)
+    assert dvs == {}
+    # the optimize commit is dataChange=false throughout
+    acts = [json.loads(line)
+            for line in open(f"{root}/_delta_log/{v:020d}.json")
+            if line.strip()]
+    flags = [a[k]["dataChange"] for a in acts for k in ("add", "remove")
+             if k in a]
+    assert flags and not any(flags)
+    # pre-optimize version still replays with the DV applied
+    assert sorted(r.id for r in read_delta(spark, root, version=v - 1)
+                  .collect()) == [0, 2]
