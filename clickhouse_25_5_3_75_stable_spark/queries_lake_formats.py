@@ -1135,3 +1135,43 @@ def lake_delta_lightweight_delete(spark: SparkSession, sf_dir: str) -> DataFrame
         raise RuntimeError(f"unexpected versions {(v1, v2)}")
     return read_delta(spark, root).select(
         "n_nationkey", "n_name", "n_regionkey")
+
+
+@register(
+    "lake_delta_dml_cycle",
+    # create -> UPDATE (+1000 on region-2 keys) -> DELETE (evens) ->
+    # OPTIMIZE; survivors carry the update
+    oracle="""
+    SELECT CAST(CASE WHEN n_regionkey = 2 THEN n_nationkey + 1000
+                     ELSE n_nationkey END AS BIGINT) AS n_nationkey,
+           n_name, CAST(n_regionkey AS BIGINT) AS n_regionkey
+    FROM nation
+    WHERE (CASE WHEN n_regionkey = 2 THEN n_nationkey + 1000
+                ELSE n_nationkey END) % 2 = 1
+    ORDER BY n_nationkey
+    """,
+    bucket="light",
+    tags=("datalake", "delta", "dml"),
+)
+def lake_delta_dml_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full Delta DML cycle without any connector (round-9):
+    write_delta CREATE -> update_delta copy-on-write -> delete_delta
+    deletion-vectors -> optimize_delta compaction (DVs materialize) ->
+    read_delta replay. The reference's lake engines are read-only —
+    this is the complete mutation surface as a capability superset."""
+    from clickhouse_25_5_3_75_stable_spark.sources.datalake import (
+        delete_delta,
+        optimize_delta,
+        read_delta,
+        update_delta,
+        write_delta,
+    )
+
+    root = os.path.join(tempfile.mkdtemp(prefix="chspark_dmlc_"), "t")
+    write_delta(_nation_df(spark, sf_dir), root)
+    update_delta(spark, root, "n_regionkey = 2",
+                 {"n_nationkey": "n_nationkey + 1000"})
+    delete_delta(spark, root, "n_nationkey % 2 = 0")
+    optimize_delta(spark, root)
+    return read_delta(spark, root).select(
+        "n_nationkey", "n_name", "n_regionkey").orderBy("n_nationkey")
