@@ -307,22 +307,32 @@ def pack_token_shards(
     driver (n_buckets rows — bounded), turned into bucket base offsets,
     broadcast back, and each bucket computes its intra-bucket cumsum
     independently. No single-task global window anywhere."""
+    return (
+        _exclusive_prefix_sum(df, id_col, weight_col, n_buckets)
+        .select(
+            id_col,
+            F.col(weight_col),
+            F.floor(F.col("__cum_excl") / F.lit(budget)).alias("shard_id"),
+        )
+    )
+
+
+def _exclusive_prefix_sum(
+    df: DataFrame, id_col: str, weight_col: str, n_buckets: int
+) -> DataFrame:
+    """(id, weight, __cum_excl) with the exclusive prefix sum of
+    weight in id order — the textbook two-phase distributed form:
+    contiguous buckets from a range partition (sorted ranges =>
+    ordered partition ids), per-bucket totals collected to the driver
+    (n_buckets rows — bounded), bucket base offsets broadcast back,
+    each bucket cumsums independently. No single-task global window.
+    localCheckpoint (eager) pins the bucket layout across the three
+    passes (the PASTE-JOIN nondeterminism class) and frees with the
+    DataFrame (a bare persist() leaked — review finding)."""
     spark = df.sparkSession
-    # contiguous buckets in id order: range-partition by id, tag with
-    # the partition id (sorted ranges => partition ids are ordered).
-    # Persisted because three passes consume it (range sampling,
-    # per-bucket totals, final cumsum) — the relation is only
-    # (id, weight), tiny relative to the documents it came from, and
-    # at cluster scale this is exactly the "checkpoint the weights"
-    # step a production packer runs.
     ranged = df.select(id_col, weight_col).repartitionByRange(
         n_buckets, F.col(id_col)
     )
-    # localCheckpoint (eager) instead of persist(): computed once for
-    # the three passes, and the blocks are freed by the ContextCleaner
-    # when the returned DataFrame is garbage-collected — a bare
-    # persist() leaked one cached relation per call for the session's
-    # lifetime (review finding)
     tagged = ranged.withColumn("__bucket", F.spark_partition_id()).localCheckpoint(
         eager=True
     )
@@ -352,11 +362,45 @@ def pack_token_shards(
                 F.lit(0),
             ),
         )
-        .select(
-            id_col,
-            F.col(weight_col),
-            F.floor(F.col("__cum_excl") / F.lit(budget)).alias("shard_id"),
-        )
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    seq_len: int,
+    id_col: str = "doc_id",
+    weight_col: str = "n_tokens",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """GPT-style concat-and-chunk sequence packing (round-9): the
+    corpus is one virtual token stream in ``id_col`` order, cut into
+    fixed ``seq_len`` training sequences; a document maps to every
+    sequence its tokens land in, with the placement metadata a
+    data-loader needs — (seq_id, seq_offset, doc_token_start,
+    doc_token_end). Documents SPLIT across sequence boundaries
+    (the standard causal-LM packing; no padding waste).
+
+    Same scale shape as pack_token_shards: the two-phase prefix sum
+    plus a per-row explode over the (usually 1-2) sequences a doc
+    touches — zero extra shuffles, never a global window."""
+    pos = _exclusive_prefix_sum(df, id_col, weight_col, n_buckets)
+    start = F.col("__cum_excl")
+    end = start + F.col(weight_col)
+    first_seq = F.floor(start / seq_len)
+    last_seq = F.floor((end - F.lit(1)) / seq_len)
+    out = (
+        pos.filter(F.col(weight_col) > 0)
+        .withColumn("seq_id", F.explode(F.sequence(first_seq, last_seq)))
+    )
+    seq_base = F.col("seq_id") * seq_len
+    piece_start = F.greatest(start, seq_base)
+    piece_end = F.least(end, seq_base + seq_len)
+    return out.select(
+        "seq_id",
+        F.col(id_col),
+        (piece_start - seq_base).alias("seq_offset"),
+        (piece_start - start).alias("doc_token_start"),
+        (piece_end - start).alias("doc_token_end"),
     )
 
 

@@ -1277,3 +1277,56 @@ def text_lm_perplexity_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.sum("model_hits").alias("total_hits"))
         .orderBy("lang")
     )
+
+
+@register(
+    "pack_sequences_spans",
+    # the same concat-and-chunk layout in DuckDB: window prefix sum +
+    # range unnest
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, n,
+             coalesce(sum(n) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+      FROM w
+    ),
+    pieces AS (
+      SELECT doc_id, n, s,
+             unnest(range(CAST(s // 512 AS BIGINT),
+                          CAST((s + n - 1) // 512 + 1 AS BIGINT))) AS seq_id
+      FROM pos WHERE n > 0
+    )
+    SELECT CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+           CAST(greatest(s, seq_id * 512) - seq_id * 512 AS BIGINT)
+             AS seq_offset,
+           CAST(greatest(s, seq_id * 512) - s AS BIGINT) AS doc_token_start,
+           CAST(least(s + n, (seq_id + 1) * 512) - s AS BIGINT)
+             AS doc_token_end
+    FROM pieces ORDER BY seq_id, doc_id
+    """,
+    bucket="heavy",
+    tags=("pipeline", "packing", "sequences"),
+)
+def pack_sequences_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-and-chunk packing into 512-token sequences
+    (operators/corpus.pack_sequences): each document's placement rows
+    — sequence id, offset in the sequence, token span within the doc;
+    docs split across boundaries. Two-phase prefix sum + per-row
+    explode; no global window."""
+    from clickhouse_25_5_3_75_stable_spark.operators.corpus import (
+        pack_sequences,
+    )
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens"))
+    return (
+        pack_sequences(docs, seq_len=512)
+        .select("seq_id", "doc_id",
+                F.col("seq_offset").cast("long").alias("seq_offset"),
+                F.col("doc_token_start").cast("long").alias("doc_token_start"),
+                F.col("doc_token_end").cast("long").alias("doc_token_end"))
+        .orderBy("seq_id", "doc_id")
+    )

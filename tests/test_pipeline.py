@@ -661,3 +661,41 @@ def test_bigram_lm_perplexity_semantics(spark):
     assert got[1].model_hits > 0 and got[2].model_hits == 0
     again = {r.doc_id: r for r in lm_score(docs, model).collect()}
     assert again[1].logprob == got[1].logprob
+
+
+def test_pack_sequences_spans(spark):
+    """pack_sequences: docs tile the virtual token stream exactly —
+    spans partition each doc, sequences fill to seq_len, split docs
+    carry correct offsets."""
+    from clickhouse_25_5_3_75_stable_spark.operators.corpus import (
+        pack_sequences,
+    )
+
+    rows = [(1, 3), (2, 5), (3, 9), (4, 2), (5, 0), (6, 4)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = pack_sequences(df, seq_len=8, n_buckets=4).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 5 (0 tokens) contributes nothing
+    assert 5 not in by_doc
+    # every doc's spans partition [0, n_tokens)
+    for doc_id, n in rows:
+        if n == 0:
+            continue
+        spans = sorted((r.doc_token_start, r.doc_token_end)
+                       for r in by_doc[doc_id])
+        assert spans[0][0] == 0 and spans[-1][1] == n
+        for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+            assert e1 == s2
+    # stream layout: total 23 tokens -> sequences 0..2; seq 0 and 1
+    # full (8 tokens), seq 2 holds the tail 7
+    per_seq = {}
+    for r in out:
+        per_seq.setdefault(r.seq_id, 0)
+        per_seq[r.seq_id] += r.doc_token_end - r.doc_token_start
+    assert per_seq == {0: 8, 1: 8, 2: 7}
+    # doc 3 (9 tokens, starting at offset 8) spans seqs 1..2
+    d3 = sorted((r.seq_id, r.seq_offset, r.doc_token_start, r.doc_token_end)
+                for r in by_doc[3])
+    assert d3 == [(1, 0, 0, 8), (2, 0, 8, 9)]
