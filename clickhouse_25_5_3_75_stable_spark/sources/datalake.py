@@ -1569,3 +1569,54 @@ def optimize_delta(spark: SparkSession, path: str) -> int:
     with os.fdopen(fd, "w") as fh:
         fh.write("\n".join(json.dumps(a) for a in actions) + "\n")
     return version + 1
+
+
+def vacuum_delta(path: str, dry_run: bool = False) -> list[str]:
+    """VACUUM: delete data/DV files no longer referenced by the
+    CURRENT snapshot (round-9; the delta-spark maintenance op —
+    time travel to versions whose files are vacuumed stops working,
+    which is the documented contract there too). Never touches
+    _delta_log. Returns the deleted (or would-delete) relative
+    paths."""
+    import os
+
+    files, dvs, _meta, _proto, _v = _delta_snapshot(path)
+    live = {os.path.normpath(rel) for rel in files}
+    live_dv_files = set()
+    for dv in dvs.values():
+        if dv["storageType"] == "u":
+            import uuid as _uuid
+
+            from clickhouse_25_5_3_75_stable_spark.sources.roaring import (
+                z85_decode,
+            )
+
+            enc = dv["pathOrInlineDv"]
+            prefix, enc20 = enc[:-20], enc[-20:]
+            u = _uuid.UUID(bytes=z85_decode(enc20))
+            live_dv_files.add(os.path.normpath(
+                os.path.join(prefix, f"deletion_vector_{u}.bin")))
+        elif dv["storageType"] == "p":
+            live_dv_files.add(os.path.normpath(
+                os.path.relpath(dv["pathOrInlineDv"], os.path.abspath(path))))
+
+    doomed = []
+    for root, dirs, names in os.walk(path):
+        dirs[:] = [d for d in dirs
+                   if d != "_delta_log" and not d.startswith("_staging_")]
+        for n in names:
+            rel = os.path.normpath(
+                os.path.relpath(os.path.join(root, n), path))
+            if rel in live or rel in live_dv_files:
+                continue
+            if n.endswith(".parquet") or n.startswith("deletion_vector_"):
+                doomed.append(rel)
+    if not dry_run:
+        for rel in doomed:
+            os.remove(os.path.join(path, rel))
+        # prune now-empty partition dirs
+        for root, dirs, names in os.walk(path, topdown=False):
+            if root != path and not dirs and not names \
+                    and "_delta_log" not in root:
+                os.rmdir(root)
+    return sorted(doomed)

@@ -1854,3 +1854,40 @@ def test_optimize_delta_compaction(spark, tmp_path):
     # pre-optimize version still replays with the DV applied
     assert sorted(r.id for r in read_delta(spark, root, version=v - 1)
                   .collect()) == [0, 2]
+
+
+def test_vacuum_delta(spark, tmp_path):
+    """Round-9 VACUUM: files outside the current snapshot (overwritten
+    data, superseded DV bins) delete; live data and DVs survive; the
+    current snapshot still reads."""
+    import os
+
+    from clickhouse_25_5_3_75_stable_spark.sources.datalake import (
+        delete_delta,
+        optimize_delta,
+        read_delta,
+        vacuum_delta,
+        write_delta,
+    )
+
+    root = str(tmp_path / "vac")
+    write_delta(spark.createDataFrame(
+        [(i, f"v{i}") for i in range(6)], "id long, v string"), root)
+    delete_delta(spark, root, "id < 2")
+    before = sorted(tuple(r) for r in read_delta(spark, root).collect())
+    # optimize rewrites everything -> old files + DV become garbage
+    optimize_delta(spark, root)
+    doomed = vacuum_delta(root, dry_run=True)
+    assert any(d.startswith("deletion_vector_") for d in doomed)
+    assert any(d.endswith(".parquet") for d in doomed)
+    deleted = vacuum_delta(root)
+    assert deleted == doomed
+    assert sorted(tuple(r) for r in read_delta(spark, root).collect()) \
+        == before
+    # a live DV is never vacuumed
+    delete_delta(spark, root, "id = 2")
+    n_dv = sum(1 for f in os.listdir(root)
+               if f.startswith("deletion_vector_"))
+    assert n_dv == 1
+    assert vacuum_delta(root, dry_run=True) == []
+    assert read_delta(spark, root).count() == len(before) - 1
