@@ -1289,11 +1289,10 @@ def run_local(sql: str, data_dir: str, spark=None, out=sys.stdout,
                 # no data-file rewrite (Iceberg/Hudi need the
                 # connector's delete-file writer)
                 lfmt, lpath = LAKE_TABLES[dm.group(1)]
-                if lfmt != "delta":
+                if lfmt == "hudi":
                     raise ValueError(
-                        f"DELETE on ENGINE = {lfmt}: position-delete "
-                        "writes need the connector (Delta tables "
-                        "delete natively via deletion vectors)")
+                        "DELETE on ENGINE = Hudi needs the "
+                        "hudi-spark-bundle connector")
                 from clickhouse_25_5_3_75_stable_spark.chsql import (
                     ch_sql_to_spark,
                 )
@@ -1301,7 +1300,14 @@ def run_local(sql: str, data_dir: str, spark=None, out=sys.stdout,
                 pred = ch_sql_to_spark(
                     f"SELECT * FROM __x WHERE {dm.group(2)}"
                 ).split("WHERE", 1)[1]
-                delete_delta(spark, lpath, pred)
+                if lfmt == "delta":
+                    delete_delta(spark, lpath, pred)
+                else:
+                    from clickhouse_25_5_3_75_stable_spark.sources.datalake import (
+                        delete_iceberg,
+                    )
+
+                    delete_iceberg(spark, lpath, pred)
                 refresh_lake_table(spark, dm.group(1))
                 _emit([(dm.group(1), "Ok")], ["table", "status"], fmt, out)
                 return 0

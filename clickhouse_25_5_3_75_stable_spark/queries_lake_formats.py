@@ -1175,3 +1175,31 @@ def lake_delta_dml_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     optimize_delta(spark, root)
     return read_delta(spark, root).select(
         "n_nationkey", "n_name", "n_regionkey").orderBy("n_nationkey")
+
+
+@register(
+    "lake_iceberg_lightweight_delete",
+    oracle=_NATION_ORACLE
+    + " WHERE n_nationkey % 2 = 1 AND n_nationkey NOT IN (3, 7)",
+    bucket="light",
+    tags=("datalake", "iceberg", "delete"),
+)
+def lake_iceberg_lightweight_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg lightweight DELETE end-to-end (round-9; delete_iceberg
+    position-delete files — the Iceberg side of the lake-DML
+    symmetry): write nation, delete evens, delete keys 3 and 7 in a
+    second snapshot; both replay through the vectorized row_index
+    anti-join. The reference's Iceberg storage is read-only —
+    capability superset."""
+    from clickhouse_25_5_3_75_stable_spark.sources.datalake import (
+        delete_iceberg,
+        read_iceberg,
+        write_iceberg,
+    )
+
+    root = os.path.join(tempfile.mkdtemp(prefix="chspark_icdel_"), "t")
+    write_iceberg(_nation_df(spark, sf_dir), root)
+    delete_iceberg(spark, root, "n_nationkey % 2 = 0")
+    delete_iceberg(spark, root, "n_nationkey IN (3, 7)")
+    return read_iceberg(spark, root).select(
+        "n_nationkey", "n_name", "n_regionkey")

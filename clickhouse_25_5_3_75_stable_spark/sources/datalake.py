@@ -545,6 +545,7 @@ def read_iceberg(
     spark: SparkSession,
     path: str,
     snapshot_id: int | None = None,
+    _with_positions: bool = False,
 ) -> DataFrame:
     """Iceberg snapshot read by pure metadata replay: metadata JSON →
     manifest-list Avro → manifest Avro → live data files (status != 2)
@@ -679,7 +680,7 @@ def read_iceberg(
 
     def _scan(files, read_schema, seq):
         r = spark.read.schema(read_schema).parquet(*files)
-        if pos_delete_files:
+        if pos_delete_files or _with_positions:
             r = r.select(
                 "*",
                 norm(F.col("_metadata.file_path")).alias("__ice_fp"),
@@ -714,9 +715,9 @@ def read_iceberg(
                 F.col("pos").cast("long").alias("__ice_pos"),
             )
         )
-        out = out.join(dels, ["__ice_fp", "__ice_pos"], "left_anti").drop(
-            "__ice_fp", "__ice_pos"
-        )
+        out = out.join(dels, ["__ice_fp", "__ice_pos"], "left_anti")
+        if not _with_positions:
+            out = out.drop("__ice_fp", "__ice_pos")
     if eq_delete_files:
         # merge-on-read equality deletes: for each distinct
         # equality_ids set, one anti-join on null-safe column equality
@@ -1620,3 +1621,128 @@ def vacuum_delta(path: str, dry_run: bool = False) -> list[str]:
                     and "_delta_log" not in root:
                 os.rmdir(root)
     return sorted(doomed)
+
+
+def delete_iceberg(spark: SparkSession, path: str, predicate: str) -> int:
+    """Lightweight DELETE on an Iceberg v2 table via POSITION-delete
+    files (round-9; the Iceberg side of the lake-DML symmetry with
+    delete_delta): matching rows' (file_path, pos) pairs write to a
+    position-delete parquet, registered through a delete manifest
+    (content=1) in a new snapshot — no data-file rewrite; read_iceberg
+    replays it with the vectorized row_index anti-join. Returns the
+    new snapshot id. Unpartitioned tables (the write_iceberg
+    contract)."""
+    import json
+    import os
+    import time
+    import uuid as _uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    from clickhouse_25_5_3_75_stable_spark.sources.avro_fmt import (
+        _decode_container,
+        _encode_container,
+    )
+
+    meta, snap, _schema = _ice_metadata(path)
+    if any((spec.get("fields") or [])
+           for spec in meta.get("partition-specs") or []):
+        raise ValueError(
+            "delete_iceberg: partitioned tables need the connector")
+    live = read_iceberg(spark, path, _with_positions=True)
+    matches = (
+        live.filter(predicate)
+        .select(
+            F.concat(F.lit("file://"), F.col("__ice_fp")).alias("file_path"),
+            F.col("__ice_pos").cast("long").alias("pos"))
+        .orderBy("file_path", "pos")
+        .collect()
+    )
+    cur_snap_id = snap["snapshot-id"]
+    if not matches:
+        return cur_snap_id
+
+    now_ms = int(time.time() * 1000)
+    txn = _uuid.uuid4().hex[:12]
+    meta_dir = os.path.join(path, "metadata")
+    data_dir = os.path.join(path, "data")
+    del_rel = f"del-{txn}.parquet"
+    pq.write_table(
+        pa.Table.from_pylist(
+            [{"file_path": r["file_path"], "pos": r["pos"]}
+             for r in matches],
+            schema=pa.schema([("file_path", pa.string()),
+                              ("pos", pa.int64())])),
+        os.path.join(data_dir, del_rel))
+
+    seq = meta.get("last-sequence-number",
+                   len(meta.get("snapshots") or [])) + 1
+    snap_id = max(s["snapshot-id"] for s in meta["snapshots"]) + 1
+
+    man_schema = {
+        "type": "record", "name": "manifest_entry", "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "sequence_number", "type": ["null", "long"]},
+            {"name": "data_file", "type": {
+                "type": "record", "name": "r2", "fields": [
+                    {"name": "content", "type": "int"},
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {"name": "record_count", "type": "long"},
+                ]}},
+        ]}
+    mlist_schema = {
+        "type": "record", "name": "manifest_file", "fields": [
+            {"name": "manifest_path", "type": "string"},
+            {"name": "manifest_length", "type": "long"},
+            {"name": "content", "type": "int"},
+            {"name": "sequence_number", "type": "long"},
+        ]}
+    man_rel = f"m-del-{txn}.avro"
+    man_abs = os.path.join(meta_dir, man_rel)
+    open(man_abs, "wb").write(_encode_container(
+        [{"status": 1, "sequence_number": seq,
+          "data_file": {
+              "content": 1,
+              "file_path":
+                  f"file://{os.path.abspath(os.path.join(data_dir, del_rel))}",
+              "file_format": "PARQUET", "record_count": len(matches)}}],
+        man_schema))
+
+    mlist_path = _ice_resolve(path, snap["manifest-list"])
+    _, prev_manifests = _decode_container(open(mlist_path, "rb").read())
+    rows = [dict(m) for m in prev_manifests]
+    for m in rows:
+        m.setdefault("sequence_number", 0)
+    rows.append({
+        "manifest_path": f"file://{os.path.abspath(man_abs)}",
+        "manifest_length": os.path.getsize(man_abs),
+        "content": 1, "sequence_number": seq})
+    mlist_rel = f"ml-{txn}.avro"
+    open(os.path.join(meta_dir, mlist_rel), "wb").write(
+        _encode_container(rows, mlist_schema))
+
+    new_meta = dict(meta)
+    new_meta["last-sequence-number"] = seq
+    new_meta["snapshots"] = list(meta.get("snapshots") or []) + [{
+        "snapshot-id": snap_id, "parent-snapshot-id": cur_snap_id,
+        "timestamp-ms": now_ms, "sequence-number": seq,
+        "manifest-list":
+            f"file://{os.path.abspath(os.path.join(meta_dir, mlist_rel))}",
+        "summary": {"operation": "delete"},
+    }]
+    new_meta["current-snapshot-id"] = snap_id
+    versions = [
+        int(f[1:].split(".")[0]) for f in os.listdir(meta_dir)
+        if f.endswith(".metadata.json") and f.startswith("v")
+        and f[1:].split(".")[0].isdigit()
+    ]
+    new_v = (max(versions) + 1) if versions else 1
+    json.dump(new_meta, open(
+        os.path.join(meta_dir, f"v{new_v}.metadata.json"), "w"))
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write(str(new_v))
+    return snap_id

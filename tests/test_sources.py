@@ -1891,3 +1891,30 @@ def test_vacuum_delta(spark, tmp_path):
     assert n_dv == 1
     assert vacuum_delta(root, dry_run=True) == []
     assert read_delta(spark, root).count() == len(before) - 1
+
+
+def test_delete_iceberg_position_deletes(spark, tmp_path):
+    """Round-9 Iceberg lightweight DELETE: position-delete files in a
+    new snapshot, no data rewrite; repeated deletes stack; snapshot
+    time travel shows pre-delete data."""
+    from clickhouse_25_5_3_75_stable_spark.sources.datalake import (
+        delete_iceberg,
+        read_iceberg,
+        write_iceberg,
+    )
+
+    root = str(tmp_path / "idel")
+    write_iceberg(spark.createDataFrame(
+        [(i, f"v{i}") for i in range(8)], "id long, v string"), root)
+    s2 = delete_iceberg(spark, root, "id % 2 = 0")
+    assert sorted(r.id for r in read_iceberg(spark, root).collect()) \
+        == [1, 3, 5, 7]
+    s3 = delete_iceberg(spark, root, "id = 3")
+    assert sorted(r.id for r in read_iceberg(spark, root).collect()) \
+        == [1, 5, 7]
+    assert read_iceberg(spark, root, snapshot_id=1).count() == 8
+    assert sorted(
+        r.id for r in read_iceberg(spark, root, snapshot_id=s2).collect()
+    ) == [1, 3, 5, 7]
+    # no-match delete is a no-op snapshot-wise
+    assert delete_iceberg(spark, root, "id = 99") == s3
