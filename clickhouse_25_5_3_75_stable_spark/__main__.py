@@ -463,6 +463,20 @@ def run_local(sql: str, data_dir: str, spark=None, out=sys.stdout,
             text = ch_explain(spark, em.group(2), (em.group(1) or "PLAN").upper())
             _emit([(ln,) for ln in text.splitlines()], ["explain"], fmt, out)
             return 0
+        if (kw in ("GRANT", "REVOKE")
+                or (len(head) > 1 and head[1].upper() in ("USER", "ROLE")
+                    and kw in ("CREATE", "DROP"))
+                or (kw == "SHOW" and len(head) > 1
+                    and head[1].upper() in ("GRANTS", "USERS", "ROLES"))):
+            # access statements route through ch_sql (round-9;
+            # access.py)
+            from clickhouse_25_5_3_75_stable_spark.chsql import (
+                ch_sql as _acc_sql,
+            )
+
+            adf = _acc_sql(spark, sql)
+            _emit([tuple(r) for r in adf.collect()], adf.columns, fmt, out)
+            return 0
         if (len(head) > 1 and head[1].upper() == "DICTIONARY"
                 and kw in ("CREATE", "DROP", "EXISTS")) or (
                 kw == "SHOW" and len(head) > 1

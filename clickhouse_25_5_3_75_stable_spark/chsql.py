@@ -3271,6 +3271,18 @@ def ch_sql(spark, sql: str, sf_dir: str | None = None,
         materialize_system_views(spark, _sys_names, sf_dir)
     if params or _QPARAM_RE.search(sql):
         sql = substitute_query_parameters(sql, params)
+    # access entities (round-9; access.py — CREATE/DROP USER/ROLE,
+    # GRANT/REVOKE, SHOW GRANTS/USERS/ROLES)
+    if re.match(r"^\s*(CREATE\s+(USER|ROLE)|DROP\s+(USER|ROLE)|GRANT\s|"
+                r"REVOKE\s|SHOW\s+(GRANTS|USERS|ROLES))\b",
+                sql, re.IGNORECASE):
+        from clickhouse_25_5_3_75_stable_spark.access import (
+            handle_access_statement,
+        )
+
+        adf = handle_access_statement(spark, sql)
+        if adf is not None:
+            return adf
     # CREATE/DROP DICTIONARY + dictGet family (round-9;
     # dictionary_sql.py — InterpreterCreateQuery dictionary branch,
     # FunctionsExternalDictionaries.h)

@@ -1091,3 +1091,56 @@ def system_tables_final_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.createDataFrame(rows, "kind string, name string, detail string")
         .orderBy("kind", "name")
     )
+
+
+@register(
+    "access_grants_roundtrip",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('grant', 'GRANT INSERT ON default.orders TO etl'),
+      ('grant', 'GRANT SELECT ON *.* TO reader_role'),
+      ('grant', 'GRANT SHOW ON *.* TO reader_role'),
+      ('grant', 'GRANT reader_role TO etl WITH ADMIN OPTION'),
+      ('role', 'reader_role'),
+      ('user', 'default'),
+      ('user', 'etl'),
+      ('users_after_drop', '1')
+    ) AS t(kind, detail) ORDER BY kind, detail
+    """,
+    tags=("access", "introspection"),
+)
+def access_grants_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Access entities on the SQL surface (round-9; access.py —
+    InterpreterCreateUserQuery / InterpreterGrantQuery /
+    InterpreterShowGrantsQuery): CREATE USER/ROLE, privilege and role
+    GRANTs, SHOW GRANTS rendering, system.users/roles reflection, and
+    DROP cascading grants away."""
+    from clickhouse_25_5_3_75_stable_spark import access
+    from clickhouse_25_5_3_75_stable_spark.chsql import ch_sql
+
+    access.reset()
+    for stmt in (
+        "CREATE USER etl",
+        "CREATE ROLE reader_role",
+        "GRANT SELECT, SHOW ON *.* TO reader_role",
+        "GRANT reader_role TO etl WITH ADMIN OPTION",
+        "GRANT INSERT ON default.orders TO etl",
+    ):
+        ch_sql(spark, stmt).collect()
+    rows = []
+    for r in ch_sql(spark, "SHOW GRANTS FOR etl").collect():
+        rows.append(("grant", r[0]))
+    for r in ch_sql(spark, "SHOW GRANTS FOR reader_role").collect():
+        rows.append(("grant", r[0]))
+    for r in ch_sql(spark, "SHOW USERS").collect():
+        rows.append(("user", r[0]))
+    for r in ch_sql(spark, "SHOW ROLES").collect():
+        rows.append(("role", r[0]))
+    ch_sql(spark, "DROP USER etl").collect()
+    ch_sql(spark, "DROP ROLE reader_role").collect()
+    n = ch_sql(spark, "SELECT count() AS n FROM system.users").collect()[0][0]
+    rows.append(("users_after_drop", str(n)))
+    return (
+        spark.createDataFrame(rows, "kind string, detail string")
+        .orderBy("kind", "detail")
+    )

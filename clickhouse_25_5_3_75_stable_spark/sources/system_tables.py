@@ -659,25 +659,41 @@ def system_storage_policies(spark: SparkSession) -> DataFrame:
 
 
 def system_users(spark: SparkSession) -> DataFrame:
-    """system.users (StorageSystemUsers.cpp): the engine is a library —
-    one implicit user, like the reference's fresh-install default."""
+    """system.users (StorageSystemUsers.cpp): the live access registry
+    (round-9 access.py — CREATE USER adds rows); the implicit default
+    user matches the reference's fresh install."""
+    from clickhouse_25_5_3_75_stable_spark.access import REGISTRY
+
     return spark.createDataFrame(
-        [("default", "no_password", 1)],
+        [(u.name, u.auth_type, 1 if u.name == "default" else 0)
+         for u in (REGISTRY.users[n] for n in sorted(REGISTRY.users))],
         "name string, auth_type string, is_default int",
     )
 
 
 def system_roles(spark: SparkSession) -> DataFrame:
-    """system.roles (StorageSystemRoles.cpp): none defined — the
-    library engine delegates access control to the lakehouse catalog."""
-    return spark.createDataFrame([], "name string, id string")
+    """system.roles (StorageSystemRoles.cpp): the live access registry
+    (round-9 access.py — CREATE ROLE adds rows)."""
+    from clickhouse_25_5_3_75_stable_spark.access import REGISTRY
+
+    return spark.createDataFrame(
+        [(n, n) for n in sorted(REGISTRY.roles)], "name string, id string")
 
 
 def system_grants(spark: SparkSession) -> DataFrame:
-    """system.grants (StorageSystemGrants.cpp): the implicit default
-    user holds ALL on *.* (fresh-install reference semantics)."""
+    """system.grants (StorageSystemGrants.cpp): the live GRANT
+    registry; the implicit default user holds ALL on *.*
+    (fresh-install reference semantics)."""
+    from clickhouse_25_5_3_75_stable_spark.access import REGISTRY
+
+    rows = [("default", "ALL", "*", "*", 1)]
+    rows += [
+        (g.grantee, g.access_type, g.database, g.table,
+         1 if g.grant_option else 0)
+        for g in REGISTRY.grants
+    ]
     return spark.createDataFrame(
-        [("default", "ALL", "*", "*", 1)],
+        sorted(rows),
         "user_name string, access_type string, database string, "
         "table string, grant_option int",
     )
@@ -1472,11 +1488,16 @@ def system_enabled_roles(spark: SparkSession) -> DataFrame:
 
 def system_role_grants(spark: SparkSession) -> DataFrame:
     """system.role_grants (reference StorageSystemRoleGrants.cpp):
-    empty — no roles are defined."""
+    the live GRANT <role> TO <user> registry (round-9 access.py)."""
+    from clickhouse_25_5_3_75_stable_spark.access import REGISTRY
+
     return spark.createDataFrame(
-        [], "user_name string, role_name string, granted_role_name string, "
-            "granted_role_id string, granted_role_is_default boolean, "
-            "with_admin_option boolean")
+        [(rg.user, None, rg.role, rg.role, True, rg.admin_option)
+         for rg in sorted(REGISTRY.role_grants,
+                          key=lambda r: (r.user, r.role))],
+        "user_name string, role_name string, granted_role_name string, "
+        "granted_role_id string, granted_role_is_default boolean, "
+        "with_admin_option boolean")
 
 
 def system_moves(spark: SparkSession) -> DataFrame:
