@@ -3307,6 +3307,33 @@ def ch_sql(spark, sql: str, sf_dir: str | None = None,
         drop_dictionary(spark, drop_dict.group(2),
                         bool(drop_dict.group(1)))
         return spark.createDataFrame([("OK",)], "dropped string")
+    show_create_dict = re.match(
+        r"^\s*SHOW\s+CREATE\s+DICTIONARY\s+([A-Za-z_]\w*)\s*;?\s*$",
+        sql, re.IGNORECASE)
+    if show_create_dict is not None:
+        # InterpreterShowCreateQuery dictionary branch: one String
+        # column `statement`, replayed from the stored definition
+        from clickhouse_25_5_3_75_stable_spark.dictionary_sql import (
+            SQL_DICTIONARIES,
+        )
+
+        dname = show_create_dict.group(1)
+        d = SQL_DICTIONARIES.get(dname)
+        if d is None:
+            raise ChSqlError(f"SHOW CREATE DICTIONARY: unknown "
+                             f"dictionary {dname!r}")
+        attrs = ", ".join(
+            f"{a} {t}"
+            + (f" DEFAULT {dflt}" if dflt is not None else "")
+            + (" HIERARCHICAL" if a == d.hier_attr else "")
+            for a, (t, dflt) in d.attrs.items())
+        stmt = (f"CREATE DICTIONARY {d.name} ({attrs}) "
+                f"PRIMARY KEY {', '.join(d.keys)} "
+                f"SOURCE(CLICKHOUSE(TABLE '{d.source_table}')) "
+                f"LAYOUT({d.layout.upper()}())")
+        if d.range_min:
+            stmt += f" RANGE(MIN {d.range_min} MAX {d.range_max})"
+        return spark.createDataFrame([(stmt,)], "statement string")
     if re.match(r"^\s*SHOW\s+DICTIONARIES\s*;?\s*$", sql, re.IGNORECASE):
         # InterpreterShowTablesQuery dictionary branch: name column
         from clickhouse_25_5_3_75_stable_spark.dictionary_sql import (

@@ -222,3 +222,15 @@ def test_system_reload_dictionary_rebuilds_closure(spark, tmp_path):
         assert r2.c == [3, 2, 1]
     finally:
         ch_sql(spark, "DROP DICTIONARY t_rl_dict").collect()
+
+
+def test_show_create_dictionary(spark, nation_dict):
+    stmt = ch_sql(spark, "SHOW CREATE DICTIONARY t_nation_dict"
+                  ).collect()[0][0]
+    assert stmt.startswith("CREATE DICTIONARY t_nation_dict (")
+    assert "n_name String DEFAULT 'unknown'" in stmt
+    assert "PRIMARY KEY n_nationkey" in stmt
+    assert "SOURCE(CLICKHOUSE(TABLE 'nation'))" in stmt
+    assert "LAYOUT(HASHED())" in stmt
+    with pytest.raises(ChSqlError, match="unknown"):
+        ch_sql(spark, "SHOW CREATE DICTIONARY nope_x")
