@@ -3327,9 +3327,14 @@ def ch_sql(spark, sql: str, sf_dir: str | None = None,
             + (f" DEFAULT {dflt}" if dflt is not None else "")
             + (" HIERARCHICAL" if a == d.hier_attr else "")
             for a, (t, dflt) in d.attrs.items())
+        if d.source_file is not None:
+            src_txt = (f"FILE(PATH '{d.source_file[0]}' "
+                       f"FORMAT '{d.source_file[1]}')")
+        else:
+            src_txt = f"CLICKHOUSE(TABLE '{d.source_table}')"
         stmt = (f"CREATE DICTIONARY {d.name} ({attrs}) "
                 f"PRIMARY KEY {', '.join(d.keys)} "
-                f"SOURCE(CLICKHOUSE(TABLE '{d.source_table}')) "
+                f"SOURCE({src_txt}) "
                 f"LAYOUT({d.layout.upper()}())")
         if d.range_min:
             stmt += f" RANGE(MIN {d.range_min} MAX {d.range_max})"

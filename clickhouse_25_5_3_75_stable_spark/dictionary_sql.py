@@ -40,7 +40,7 @@ from pyspark.sql import SparkSession
 @dataclass
 class SqlDictionary:
     name: str
-    source_table: str
+    source_table: str | None
     keys: list[str]
     # attr name -> (ch_type, default SQL literal or None)
     attrs: dict[str, tuple[str, str | None]] = field(default_factory=dict)
@@ -48,6 +48,7 @@ class SqlDictionary:
     range_min: str | None = None
     range_max: str | None = None
     hier_attr: str | None = None  # the HIERARCHICAL parent-key attribute
+    source_file: tuple[str, str] | None = None  # (path, format)
 
 
 SQL_DICTIONARIES: dict[str, SqlDictionary] = {}
@@ -104,15 +105,28 @@ def parse_create_dictionary(sql: str):
     from clickhouse_25_5_3_75_stable_spark.chsql import ChSqlError
 
     name = m.group(1)
-    if m.group("src_kind").upper() != "CLICKHOUSE":
+    src_kind = m.group("src_kind").upper()
+    source_table = None
+    source_file = None
+    if src_kind == "CLICKHOUSE":
+        tm = re.search(r"TABLE\s+'([^']+)'", m.group("src"), re.IGNORECASE)
+        if tm is None:
+            raise ChSqlError("SOURCE(CLICKHOUSE(...)): expected TABLE 'name'")
+        source_table = tm.group(1)
+    elif src_kind == "FILE":
+        # reference FileDictionarySource: SOURCE(FILE(PATH 'p'
+        # FORMAT 'CSVWithNames'))
+        pm = re.search(r"PATH\s+'([^']+)'", m.group("src"), re.IGNORECASE)
+        fm = re.search(r"FORMAT\s+'([^']+)'", m.group("src"), re.IGNORECASE)
+        if pm is None:
+            raise ChSqlError("SOURCE(FILE(...)): expected PATH 'path'")
+        source_file = (pm.group(1),
+                       (fm.group(1) if fm else "CSVWithNames").lower())
+    else:
         raise ChSqlError(
-            f"SOURCE({m.group('src_kind').upper()}(...)): only "
-            "SOURCE(CLICKHOUSE(TABLE 't')) reads the session catalog; "
-            "external sources go through sources/external.py")
-    tm = re.search(r"TABLE\s+'([^']+)'", m.group("src"), re.IGNORECASE)
-    if tm is None:
-        raise ChSqlError("SOURCE(CLICKHOUSE(...)): expected TABLE 'name'")
-    source_table = tm.group(1)
+            f"SOURCE({src_kind}(...)): CLICKHOUSE (catalog table) and "
+            "FILE (local file) are served; other sources go through "
+            "sources/external.py")
 
     tail = m.group("tail")
     lm = re.search(r"LAYOUT\s*\(\s*(\w+)\s*\(", tail, re.IGNORECASE)
@@ -163,7 +177,7 @@ def parse_create_dictionary(sql: str):
     return SqlDictionary(
         name=name, source_table=source_table, keys=keys, attrs=attrs,
         layout=layout, range_min=range_min, range_max=range_max,
-        hier_attr=hier_attr,
+        hier_attr=hier_attr, source_file=source_file,
     )
 
 
@@ -193,12 +207,15 @@ def register_dictionary(spark: SparkSession, d: SqlDictionary) -> None:
         DICTIONARY_REGISTRY,
     )
 
-    try:
-        src = spark.table(d.source_table)
-    except Exception:
-        raise ChSqlError(
-            f"CREATE DICTIONARY {d.name}: source table "
-            f"{d.source_table!r} is not in the session catalog")
+    if d.source_file is not None:
+        src = _read_file_source(spark, d)
+    else:
+        try:
+            src = spark.table(d.source_table)
+        except Exception:
+            raise ChSqlError(
+                f"CREATE DICTIONARY {d.name}: source table "
+                f"{d.source_table!r} is not in the session catalog")
     missing = [c for c in (*d.keys, *d.attrs,
                            *(r for r in (d.range_min, d.range_max) if r))
                if c not in src.columns]
@@ -222,6 +239,66 @@ def register_dictionary(spark: SparkSession, d: SqlDictionary) -> None:
     live.key = ",".join(d.keys)
     live.source = src.select(*d.keys, *d.attrs)
     DICTIONARY_REGISTRY[d.name] = live
+
+
+_CH_TO_SPARK_T = {
+    "uint8": "int", "uint16": "int", "uint32": "bigint",
+    "uint64": "bigint", "int8": "tinyint", "int16": "smallint",
+    "int32": "int", "int64": "bigint", "float32": "float",
+    "float64": "double", "string": "string", "date": "date",
+    "datetime": "timestamp", "bool": "boolean",
+}
+
+
+def _read_file_source(spark: SparkSession, d: SqlDictionary):
+    """SOURCE(FILE(PATH .. FORMAT ..)) — reference FileDictionarySource
+    (src/Dictionaries/FileDictionarySource.cpp): the file reads through
+    the matching format path and every declared column casts to its
+    declared type (the dict definition IS the schema, like the
+    reference's attribute list)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from clickhouse_25_5_3_75_stable_spark.chsql import ChSqlError
+
+    path, fmt = d.source_file
+    if not os.path.exists(path):
+        raise ChSqlError(
+            f"CREATE DICTIONARY {d.name}: source file {path!r} not found")
+    if fmt in ("csv", "csvwithnames"):
+        src = (spark.read.option("header", fmt == "csvwithnames")
+               .csv(path))
+    elif fmt in ("tsv", "tabseparated", "tsvwithnames",
+                 "tabseparatedwithnames"):
+        src = (spark.read.option("header", fmt.endswith("withnames"))
+               .option("sep", "\t").csv(path))
+    elif fmt in ("jsoneachrow", "ndjson"):
+        src = spark.read.json(path)
+    elif fmt == "parquet":
+        src = spark.read.parquet(path)
+    else:
+        raise ChSqlError(
+            f"SOURCE(FILE(... FORMAT '{fmt}')): CSV[WithNames], "
+            "TSV[WithNames], JSONEachRow and Parquet are served")
+    declared = {**{k: None for k in d.keys}, **d.attrs}
+    for col in declared:
+        if col not in src.columns:
+            raise ChSqlError(
+                f"CREATE DICTIONARY {d.name}: file lacks column {col!r} "
+                f"(has {src.columns})")
+    casts = []
+    for col in src.columns:
+        if col in d.attrs:
+            ch_t = d.attrs[col][0]
+            spark_t = _CH_TO_SPARK_T.get(ch_t.lower(), "string")
+            casts.append(F.col(col).cast(spark_t).alias(col))
+        elif col in d.keys or col in (d.range_min, d.range_max):
+            casts.append(F.col(col).cast("bigint").alias(col)
+                         if col in d.keys else F.col(col))
+        else:
+            casts.append(F.col(col))
+    return src.select(*casts)
 
 
 def _build_hierarchy_view(spark: SparkSession, d: SqlDictionary, src) -> None:

@@ -234,3 +234,41 @@ def test_show_create_dictionary(spark, nation_dict):
     assert "LAYOUT(HASHED())" in stmt
     with pytest.raises(ChSqlError, match="unknown"):
         ch_sql(spark, "SHOW CREATE DICTIONARY nope_x")
+
+
+def test_file_source_dictionary(spark, tmp_path):
+    """SOURCE(FILE(PATH .. FORMAT ..)) — reference
+    FileDictionarySource: CSVWithNames and JSONEachRow files back a
+    dictionary; declared types cast; unknown format/missing file
+    refuse."""
+    csv = tmp_path / "zones.csv"
+    csv.write_text("zone_id,zone_name,rate\n1,north,1.5\n2,south,2.5\n")
+    ch_sql(spark, f"""
+        CREATE DICTIONARY t_file_dict (zone_name String,
+                                       rate Float64)
+        PRIMARY KEY zone_id
+        SOURCE(FILE(PATH '{csv}' FORMAT 'CSVWithNames'))
+        LAYOUT(FLAT())
+    """).collect()
+    try:
+        r = ch_sql(spark, """
+            SELECT dictGet('t_file_dict', 'zone_name', toUInt64(2)) AS nm,
+                   dictGet('t_file_dict', 'rate', toUInt64(1)) AS rt,
+                   dictGet('t_file_dict', 'rate', toUInt64(9)) AS miss
+        """).collect()[0]
+        assert (r.nm, r.rt, r.miss) == ("south", 1.5, 0.0)
+        stmt = ch_sql(spark, "SHOW CREATE DICTIONARY t_file_dict"
+                      ).collect()[0][0]
+        assert "SOURCE(FILE(PATH" in stmt and "csvwithnames" in stmt
+    finally:
+        ch_sql(spark, "DROP DICTIONARY t_file_dict").collect()
+    with pytest.raises(ChSqlError, match="not found"):
+        ch_sql(spark, """
+            CREATE DICTIONARY t_f2 (a String) PRIMARY KEY k
+            SOURCE(FILE(PATH '/no/such.csv')) LAYOUT(HASHED())
+        """)
+    with pytest.raises(ChSqlError, match="sources/external"):
+        ch_sql(spark, """
+            CREATE DICTIONARY t_f3 (a String) PRIMARY KEY k
+            SOURCE(MYSQL(HOST 'h')) LAYOUT(HASHED())
+        """)
