@@ -1148,6 +1148,61 @@ def _transpile(text: str, columns_of=None) -> tuple[str, list[str] | None]:
                f"AS __kql_dt({', '.join(cols)})")
         rest = stages[1:]
         cur_cols = list(cols)
+    elif re.match(r"^externaldata\b", first, re.IGNORECASE):
+        # ADX `externaldata (col:type, ...) [@"path"] with(format=..)`
+        # (round-9): local files through Spark SQL's file-path FROM
+        # (csv.`p` / json.`p` / parquet.`p`) with declared-type casts —
+        # the ADX blob-URI form needs cloud credentials and refuses
+        em = re.match(
+            r'^externaldata\s*\(([^)]*)\)\s*'
+            r'\[\s*@?"([^"]+)"\s*\]\s*'
+            r'(?:with\s*\(\s*format\s*=\s*"?(\w+)"?\s*\))?\s*$',
+            first, re.IGNORECASE | re.DOTALL,
+        )
+        if not em:
+            raise ChSqlError(
+                'KQL externaldata: expected `externaldata (col:type, ...) '
+                '[@"path"] [with(format="csv|json|parquet")]`')
+        path, fmt = em.group(2), (em.group(3) or "csv").lower()
+        if re.match(r"^[a-z][a-z0-9+.-]*://", path) and \
+                not path.startswith("file://"):
+            raise ChSqlError(
+                "KQL externaldata: cloud URIs need storage credentials — "
+                "local paths (or file://) are the served subset")
+        typemap = {"long": "BIGINT", "int": "INT", "real": "DOUBLE",
+                   "string": "STRING", "bool": "BOOLEAN",
+                   "boolean": "BOOLEAN", "datetime": "TIMESTAMP",
+                   "decimal": "DECIMAL(38,9)"}
+        cols, types = [], []
+        for decl in em.group(1).split(","):
+            cm = re.match(r"^\s*([A-Za-z_]\w*)\s*:\s*(\w+)\s*$", decl)
+            if not cm or cm.group(2).lower() not in typemap:
+                raise ChSqlError(
+                    f"KQL externaldata declaration {decl.strip()!r}: "
+                    f"subset types {sorted(typemap)}")
+            cols.append(cm.group(1))
+            types.append(typemap[cm.group(2).lower()])
+        if "`" in path:
+            raise ChSqlError("KQL externaldata: backtick in path")
+        if fmt == "csv":
+            sel = ", ".join(
+                f"CAST(_c{i} AS {ty}) AS {c}"
+                for i, (c, ty) in enumerate(zip(cols, types)))
+            acc = f"SELECT {sel} FROM csv.`{path}`"
+        elif fmt in ("json", "multijson", "jsonl"):
+            sel = ", ".join(
+                f"CAST({c} AS {ty}) AS {c}" for c, ty in zip(cols, types))
+            acc = f"SELECT {sel} FROM json.`{path}`"
+        elif fmt == "parquet":
+            sel = ", ".join(
+                f"CAST({c} AS {ty}) AS {c}" for c, ty in zip(cols, types))
+            acc = f"SELECT {sel} FROM parquet.`{path}`"
+        else:
+            raise ChSqlError(
+                f"KQL externaldata format {fmt!r}: csv/json/parquet are "
+                "the served subset")
+        rest = stages[1:]
+        cur_cols = list(cols)
     else:
         m = re.match(r"^[A-Za-z_]\w*$", first)
         if not m:

@@ -1196,3 +1196,42 @@ def test_search_operator(spark, sf_dir):
         raise AssertionError("expected refusal")
     except ChSqlError as e:
         assert "search" in str(e)
+
+
+def test_externaldata_sources(spark, tmp_path):
+    """Round-9 `externaldata (col:type,...) [@"path"] with(format=..)`:
+    csv (positional _c casts), json (by name), parquet; cloud URIs and
+    unknown formats refuse."""
+    import pytest as _pytest
+
+    from clickhouse_25_5_3_75_stable_spark.chsql import ChSqlError
+    from clickhouse_25_5_3_75_stable_spark.kql import kql_sql
+
+    p = tmp_path / "e.csv"
+    p.write_text("1,north,1.5\n2,south,2.25\n3,east,0.5\n")
+    rows = kql_sql(spark, f'externaldata (zid:long, zname:string, '
+                          f'rate:real) [@"{p}"] with(format="csv") '
+                          f'| where rate > 1 | project zname, rate '
+                          f'| order by zname asc').collect()
+    assert [tuple(r) for r in rows] == [("north", 1.5), ("south", 2.25)]
+
+    j = tmp_path / "e.json"
+    j.write_text('{"a": 1, "b": "x"}\n{"a": 2, "b": "y"}\n')
+    got = kql_sql(spark, f'externaldata (a:long, b:string) [@"{j}"] '
+                         f'with(format="json") | summarize s = sum(a)'
+                  ).collect()
+    assert got[0][0] == 3
+
+    pq_path = tmp_path / "e.parquet"
+    spark.createDataFrame([(5, "z")], "a long, b string") \
+        .coalesce(1).write.mode("overwrite").parquet(str(pq_path))
+    got2 = kql_sql(spark, f'externaldata (a:long, b:string) '
+                          f'[@"{pq_path}"] with(format="parquet") '
+                          f'| project a').collect()
+    assert [r[0] for r in got2] == [5]
+
+    with _pytest.raises(ChSqlError, match="credentials"):
+        kql_sql(spark, 'externaldata (a:long) [@"https://blob/x.csv"]')
+    with _pytest.raises(ChSqlError, match="subset"):
+        kql_sql(spark, f'externaldata (a:long) [@"{p}"] '
+                       f'with(format="orc")')
