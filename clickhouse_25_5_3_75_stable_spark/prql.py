@@ -559,16 +559,78 @@ def prql_to_sql(text: str) -> str:
     # always run: stdlib builtins (math.*/text.*) expand with or
     # without user lets
     stmts = [_expand_prql_fns(st, fns, consts) for st in stmts]
-    if not stmts or not re.match(r"^from\b", stmts[0]):
+    if stmts and re.match(r"^from_text\b", stmts[0]):
+        # PRQL std `from_text` (round-9): inline csv (default) / json
+        # relation literal — headers from the first line, column types
+        # inferred int < float < string like the prql-compiler
+        ftm = re.match(
+            r'^from_text\s+(?:format:(\w+)\s+)?"""(.*?)"""\s*$',
+            stmts[0], re.DOTALL,
+        )
+        if not ftm:
+            raise ChSqlError(
+                'PRQL from_text: expected `from_text [format:csv|json] '
+                '""" ... """`')
+        fmt = (ftm.group(1) or "csv").lower()
+        body = ftm.group(2).strip("\n")
+        if fmt == "csv":
+            lines = [ln for ln in body.splitlines() if ln.strip()]
+            if len(lines) < 2:
+                raise ChSqlError("PRQL from_text csv: header + rows")
+            headers = [h.strip() for h in lines[0].split(",")]
+            data = [[c.strip() for c in ln.split(",")] for ln in lines[1:]]
+        elif fmt == "json":
+            import json as _json
+
+            recs = [_json.loads(ln) for ln in body.splitlines()
+                    if ln.strip()]
+            if not recs:
+                raise ChSqlError("PRQL from_text json: no rows")
+            headers = list(recs[0])
+            data = [[r.get(h) for h in headers] for r in recs]
+        else:
+            raise ChSqlError(
+                f"PRQL from_text format {fmt!r}: csv/json are served")
+        if any(len(r) != len(headers) for r in data):
+            raise ChSqlError("PRQL from_text: ragged rows")
+
+        def _infer(col_vals):
+            if all(v is not None and re.match(r"^-?\d+$", str(v))
+                   for v in col_vals):
+                return "BIGINT"
+            if all(v is not None
+                   and re.match(r"^-?\d+(\.\d+)?([eE][+-]?\d+)?$", str(v))
+                   for v in col_vals):
+                return "DOUBLE"
+            return "STRING"
+
+        col_types = [_infer([r[i] for r in data])
+                     for i in range(len(headers))]
+
+        def _cell(v, ty):
+            if v is None:
+                return f"CAST(NULL AS {ty})"
+            if ty in ("BIGINT", "DOUBLE"):
+                return f"CAST({v} AS {ty})"
+            return "'" + str(v).replace("'", "''") + "'"
+
+        rows_sql = ", ".join(
+            "(" + ", ".join(_cell(v, t) for v, t in zip(r, col_types)) + ")"
+            for r in data)
+        acc = (f"SELECT * FROM (VALUES {rows_sql}) "
+               f"AS __prql_text({', '.join(headers)})")
+    elif not stmts or not re.match(r"^from\b", stmts[0]):
         raise ChSqlError("PRQL: the pipeline must start with `from <table>`")
-    table = stmts[0][4:].strip()
-    am = re.match(r"^([A-Za-z_]\w*)\s*=\s*([A-Za-z_]\w*)$", table)
-    if am:  # from e = employees
-        acc = f"SELECT * FROM {am.group(2)} AS {am.group(1)}"
-    elif re.match(r"^[A-Za-z_][\w.]*$", table):
-        acc = f"SELECT * FROM {table}"
     else:
-        raise ChSqlError(f"PRQL from: expected a table name, got {table!r}")
+        table = stmts[0][4:].strip()
+        am = re.match(r"^([A-Za-z_]\w*)\s*=\s*([A-Za-z_]\w*)$", table)
+        if am:  # from e = employees
+            acc = f"SELECT * FROM {am.group(2)} AS {am.group(1)}"
+        elif re.match(r"^[A-Za-z_][\w.]*$", table):
+            acc = f"SELECT * FROM {table}"
+        else:
+            raise ChSqlError(
+                f"PRQL from: expected a table name, got {table!r}")
 
     last_sort = None  # the established row order, consumed by `window`
     for stmt in stmts[1:]:

@@ -395,3 +395,42 @@ def test_prql_join_table_name_qualifier(spark, sf_dir):
         | aggregate {n = count this}
     """).collect()[0].n
     assert a == b and a > 0
+
+
+def test_from_text_relation_literal(spark):
+    """Round-9 `from_text`: inline csv (header + typed inference) and
+    json relation literals compose with the pipeline; bad shapes
+    refuse."""
+    import pytest as _pytest
+
+    from clickhouse_25_5_3_75_stable_spark.chsql import ChSqlError
+    from clickhouse_25_5_3_75_stable_spark.prql import prql_sql
+
+    df = prql_sql(spark, '''
+from_text """
+id,name,score
+1,alice,9.5
+2,bob,7.25
+3,carol,8
+"""
+filter score > 7.5
+sort name
+select {name, score}
+''')
+    assert [tuple(r) for r in df.collect()] == [("alice", 9.5),
+                                                ("carol", 8.0)]
+    assert dict(df.dtypes)["score"] == "double"
+
+    got = prql_sql(spark, '''
+from_text format:json """
+{"a": 1, "b": "x"}
+{"a": 2, "b": "y"}
+"""
+aggregate {s = sum a}
+''').collect()
+    assert got[0][0] == 3
+
+    with _pytest.raises(ChSqlError, match="header"):
+        prql_sql(spark, 'from_text """\nonlyheader\n"""')
+    with _pytest.raises(ChSqlError, match="csv/json"):
+        prql_sql(spark, 'from_text format:xml """\na\n1\n"""')
