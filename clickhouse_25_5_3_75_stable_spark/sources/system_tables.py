@@ -840,15 +840,26 @@ def system_dictionaries(spark: SparkSession) -> DataFrame:
             f.dataType.simpleString() for f in fields if f.name != d.key)
         key_type = next(
             (f.dataType.simpleString() for f in fields if f.name == d.key), "")
+        # round-9: SQL-created dictionaries carry their origin
+        # (SOURCE clause) so the reference's `source` column renders
+        src = ""
+        from clickhouse_25_5_3_75_stable_spark.dictionary_sql import (
+            SQL_DICTIONARIES,
+        )
+
+        sd = SQL_DICTIONARIES.get(nm)
+        if sd is not None:
+            src = (f"File: {sd.source_file[0]}" if sd.source_file
+                   else f"ClickHouse: {sd.source_table}")
         rows.append((
             "default", nm, "LOADED", d.layout, d.key, key_type,
-            attr_names, attr_types, d.source.count(),
+            attr_names, attr_types, d.source.count(), src,
         ))
     return spark.createDataFrame(
         rows or [],
         "database string, name string, status string, type string, "
         "key string, key_type string, attribute_names string, "
-        "attribute_types string, element_count bigint",
+        "attribute_types string, element_count bigint, source string",
     )
 
 
