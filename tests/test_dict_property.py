@@ -76,3 +76,55 @@ def test_dictget_matches_join_oracle(spark, duck, pairs, lookups, dflt):
         assert got == want
     finally:
         ch_sql(spark, "DROP DICTIONARY fz_dict").collect()
+
+
+forest_st = st.lists(
+    st.integers(min_value=0, max_value=10),  # parent = value % (i+1)
+    min_size=2, max_size=10,
+)
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.data_too_large])
+@given(shape=forest_st, probe=st.integers(min_value=1, max_value=12))
+def test_hierarchy_closure_matches_recursive_cte(spark, duck, shape, probe):
+    """dictGetHierarchy/dictIsIn vs a DuckDB recursive CTE over a
+    random forest (parent < child, so acyclic; parent 0 = root)."""
+    # node i+1 gets parent in [0, i] — guaranteed acyclic forest
+    pairs = [(i + 1, v % (i + 1)) for i, v in enumerate(shape)]
+    spark.createDataFrame(pairs, "id long, parent long") \
+        .createOrReplaceTempView("fz_h_src")
+    ch_sql(spark, """
+        CREATE DICTIONARY fz_h (parent UInt64 HIERARCHICAL)
+        PRIMARY KEY id SOURCE(CLICKHOUSE(TABLE 'fz_h_src'))
+        LAYOUT(HASHED())
+    """).collect()
+    try:
+        got = ch_sql(spark, f"""
+            SELECT id,
+                   dictGetHierarchy('fz_h', id) AS chain,
+                   dictIsIn('fz_h', id, toUInt64({probe})) AS under
+            FROM fz_h_src ORDER BY id
+        """).collect()
+        duck.execute(
+            "CREATE OR REPLACE TABLE h AS SELECT * FROM (VALUES "
+            + ",".join(f"({k},{v})" for k, v in pairs) + ") t(id, parent)")
+        want = {r[0]: (r[1], r[2]) for r in duck.execute(f"""
+            WITH RECURSIVE chains(id, node, depth) AS (
+              SELECT id, id, 0 FROM h
+              UNION ALL
+              SELECT c.id, o.parent, c.depth + 1
+              FROM chains c JOIN h o ON o.id = c.node WHERE o.parent <> 0
+            )
+            SELECT id, list(node ORDER BY depth) AS chain,
+                   CASE WHEN list_contains(list(node), {probe})
+                        THEN 1 ELSE 0 END AS under
+            FROM chains GROUP BY id
+        """).fetchall()}
+        for r in got:
+            w_chain, w_under = want[r.id]
+            assert r.chain == w_chain, (r.id, r.chain, w_chain)
+            assert r.under == w_under, (r.id, r.under, w_under)
+    finally:
+        ch_sql(spark, "DROP DICTIONARY fz_h").collect()
