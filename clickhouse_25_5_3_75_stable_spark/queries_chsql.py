@@ -492,9 +492,10 @@ def chsql_create_dictionary_dictget(spark: SparkSession, sf_dir: str) -> DataFra
     # DuckDB reproduces the closure with recursive CTEs
     oracle="""
     WITH RECURSIVE org(id, parent) AS (
-      SELECT * FROM (VALUES (1, 0), (2, 1), (3, 1), (4, 2), (5, 4),
-                            (6, 2), (7, 3), (8, 7), (9, 7), (10, 9)
-                    ) AS t(id, parent)
+      SELECT CAST(id AS BIGINT), CAST(parent AS BIGINT)
+      FROM (VALUES (1, 0), (2, 1), (3, 1), (4, 2), (5, 4),
+                   (6, 2), (7, 3), (8, 7), (9, 7), (10, 9)
+           ) AS t(id, parent)
     ),
     chains(id, node, depth) AS (
       SELECT id, id, 0 FROM org

@@ -1190,7 +1190,7 @@ def pipeline_shuffle_stable(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.col("doc_id").cast("string"), F.lit(":mix1")))
     w = Window.orderBy(h, F.col("doc_id").cast("string"))
     return (
-        top15.withColumn("pos", F.row_number().over(w))
+        top15.withColumn("pos", F.row_number().over(w).cast("long"))
         .select("pos", "doc_id", "lang")
         .orderBy("pos")
     )
