@@ -1203,3 +1203,47 @@ def lake_iceberg_lightweight_delete(spark: SparkSession, sf_dir: str) -> DataFra
     delete_iceberg(spark, root, "n_nationkey IN (3, 7)")
     return read_iceberg(spark, root).select(
         "n_nationkey", "n_name", "n_regionkey")
+
+
+@register(
+    "lake_delta_merge_upsert",
+    # upsert: region-2 rows take price-like rekeys from the source,
+    # two brand-new nations insert
+    oracle="""
+    SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+           CAST(CASE WHEN n_regionkey = 2 THEN 99 ELSE n_regionkey END
+                AS BIGINT) AS n_regionkey
+    FROM nation
+    UNION ALL SELECT * FROM (VALUES
+      (CAST(900 AS BIGINT), 'NEWLAND', CAST(9 AS BIGINT)),
+      (CAST(901 AS BIGINT), 'OLDLAND', CAST(9 AS BIGINT)))
+    """,
+    bucket="light",
+    tags=("datalake", "delta", "merge"),
+)
+def lake_delta_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE (upsert) into Delta end-to-end (round-9; merge_delta —
+    the delta-spark MERGE INTO verb; the reference has no lake DML):
+    matched target rows update from source columns, unmatched source
+    rows insert, only affected files rewrite."""
+    from clickhouse_25_5_3_75_stable_spark.sources.datalake import (
+        merge_delta,
+        read_delta,
+        write_delta,
+    )
+
+    root = os.path.join(tempfile.mkdtemp(prefix="chspark_mrg_"), "t")
+    nation = _nation_df(spark, sf_dir)
+    write_delta(nation, root)
+    src = (
+        nation.filter(F.col("n_regionkey") == 2)
+        .select("n_nationkey", "n_name",
+                F.lit(99).cast("bigint").alias("n_regionkey"))
+        .unionByName(spark.createDataFrame(
+            [(900, "NEWLAND", 9), (901, "OLDLAND", 9)],
+            "n_nationkey long, n_name string, n_regionkey long"))
+    )
+    merge_delta(spark, root, src, on=["n_nationkey"],
+                update={"n_regionkey": "src_n_regionkey"})
+    return read_delta(spark, root).select(
+        "n_nationkey", "n_name", "n_regionkey")

@@ -1746,3 +1746,141 @@ def delete_iceberg(spark: SparkSession, path: str, predicate: str) -> int:
     with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
         fh.write(str(new_v))
     return snap_id
+
+
+def merge_delta(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    on: list[str],
+    update: dict[str, str] | None = None,
+    insert: bool = True,
+    delete_matched: bool = False,
+) -> int:
+    """MERGE (upsert) into a Delta table, copy-on-write (round-9; the
+    delta-spark MERGE INTO verb — the reference has no lake DML at
+    all): rows of `source` matching target rows on the `on` key
+    columns either UPDATE them (each assignment evaluated with source
+    columns visible as src_<name>) or DELETE them
+    (delete_matched=True); unmatched source rows INSERT
+    (insert=True). Exactly the affected target files rewrite; inserts
+    append. One commit. Returns the committed version.
+
+    Semantics guard: more than one source row matching the same target
+    row raises (the delta-spark multiple-matches error)."""
+    import glob as _glob
+    import json
+    import os
+    import shutil as _shutil
+    import time
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    if update and delete_matched:
+        raise ValueError("merge_delta: update and delete_matched are "
+                         "mutually exclusive")
+    files, _dvs, metadata, _protocol, version = _delta_snapshot(path)
+    part_cols = metadata.get("partitionColumns") or []
+    live = read_delta(spark, path, _with_positions=True)
+    data_cols = [c for c in live.columns
+                 if c not in ("__dl_fp", "__dl_pos")]
+    src = source.select(
+        *[F.col(c).alias(f"src_{c}") for c in source.columns],
+        F.lit(1).alias("__src_matched"))
+    cond = None
+    for k in on:
+        c = F.col(k).eqNullSafe(F.col(f"src_{k}"))
+        cond = c if cond is None else cond & c
+
+    # duplicate-match guard (the delta-spark error): any target row
+    # matched by >1 source row is ambiguous
+    dup = (
+        live.join(src, cond, "inner")
+        .groupBy("__dl_fp", "__dl_pos").count()
+        .filter(F.col("count") > 1).limit(1).collect()
+    )
+    if dup:
+        raise ValueError(
+            "merge_delta: a target row matches multiple source rows")
+
+    matched = live.join(src, cond, "inner")
+    affected = [r[0] for r in
+                matched.select("__dl_fp").distinct().collect()]
+    inserts = (src.join(live, cond, "left_anti")
+               .select(*[F.col(f"src_{c}").alias(c) for c in source.columns])
+               if insert else None)
+    if not affected and (inserts is None or not inserts.head(1)):
+        return version
+
+    abs_of = {os.path.abspath(os.path.join(path, rel)): rel
+              for rel in files}
+    rel_affected = [abs_of[fp] for fp in affected]
+
+    txn = _uuid.uuid4().hex[:12]
+    now_ms = int(time.time() * 1000)
+    actions = [{"commitInfo": {
+        "timestamp": now_ms, "operation": "MERGE",
+        "operationParameters": {"on": ",".join(on)}}}]
+
+    def _stage_out(df, tag):
+        stage = os.path.join(path, f"_staging_{txn}{tag}")
+        w = df.write.mode("overwrite")
+        if part_cols:
+            w = w.partitionBy(*part_cols)
+        w.parquet(stage)
+        for p in sorted(_glob.glob(os.path.join(stage, "**", "*.parquet"),
+                                   recursive=True)):
+            parts = os.path.relpath(p, stage).split(os.sep)
+            pvals = {}
+            for seg in parts[:-1]:
+                k, _, v = seg.partition("=")
+                pvals[k] = v
+            fname = f"part-{txn}{tag}-{len(actions):05d}.parquet"
+            rel = (os.path.join(*parts[:-1], fname)
+                   if len(parts) > 1 else fname)
+            dst = os.path.join(path, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            os.rename(p, dst)
+            actions.append({"add": {
+                "path": rel.replace(os.sep, "/"), "partitionValues": pvals,
+                "size": os.path.getsize(dst), "modificationTime": now_ms,
+                "dataChange": True}})
+        _shutil.rmtree(stage, ignore_errors=True)
+
+    if affected:
+        rows = live.filter(F.col("__dl_fp").isin(*affected)) \
+                   .join(src, cond, "left")
+        # NULL-key-safe match marker (eqNullSafe can match NULL keys,
+        # where src_<key> IS NULL would misclassify)
+        match_flag = F.col("__src_matched").isNotNull()
+        if delete_matched:
+            out = rows.filter(~match_flag).select(*data_cols)
+        else:
+            out = rows
+            for col, expr in (update or {}).items():
+                if col not in data_cols:
+                    raise ValueError(f"merge update: unknown column {col!r}")
+                out = out.withColumn(
+                    col, F.when(match_flag, F.expr(expr))
+                    .otherwise(F.col(col)))
+            out = out.select(*data_cols)
+        for rel in sorted(rel_affected):
+            actions.append({"remove": {
+                "path": rel, "deletionTimestamp": now_ms,
+                "dataChange": True}})
+        _stage_out(out, "m")
+    if inserts is not None:
+        missing = [c for c in data_cols if c not in source.columns]
+        if missing:
+            raise ValueError(
+                f"merge insert: source lacks target columns {missing}")
+        ins = inserts.select(*data_cols)
+        if ins.head(1):
+            _stage_out(ins, "i")
+
+    commit = os.path.join(path, "_delta_log", f"{version + 1:020d}.json")
+    fd = os.open(commit, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    with os.fdopen(fd, "w") as fh:
+        fh.write("\n".join(json.dumps(a) for a in actions) + "\n")
+    return version + 1

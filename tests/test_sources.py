@@ -1918,3 +1918,51 @@ def test_delete_iceberg_position_deletes(spark, tmp_path):
     ) == [1, 3, 5, 7]
     # no-match delete is a no-op snapshot-wise
     assert delete_iceberg(spark, root, "id = 99") == s3
+
+
+def test_merge_delta_upsert(spark, tmp_path):
+    """Round-9 MERGE: matched rows update (source columns visible),
+    unmatched insert, only affected files rewrite; delete_matched
+    variant; duplicate source matches refuse."""
+    from clickhouse_25_5_3_75_stable_spark.sources.datalake import (
+        merge_delta,
+        read_delta,
+        write_delta,
+    )
+
+    root = str(tmp_path / "mrg")
+    write_delta(spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "id long, v double"), root)
+    src = spark.createDataFrame(
+        [(2, 99.0), (9, 90.0)], "id long, v double")
+    v = merge_delta(spark, root, src, on=["id"],
+                    update={"v": "src_v"})
+    got = sorted(tuple(r) for r in read_delta(spark, root).collect())
+    assert got == [(1, 10.0), (2, 99.0), (3, 30.0), (9, 90.0)]
+    assert read_delta(spark, root, version=v - 1).count() == 3
+
+    # delete-matched variant
+    merge_delta(spark, root,
+                spark.createDataFrame([(1,)], "id long"),
+                on=["id"], delete_matched=True, insert=False)
+    assert sorted(r.id for r in read_delta(spark, root).collect()) \
+        == [2, 3, 9]
+
+    # duplicate source matches refuse
+    dup = spark.createDataFrame([(2, 1.0), (2, 2.0)], "id long, v double")
+    try:
+        merge_delta(spark, root, dup, on=["id"], update={"v": "src_v"})
+        raise AssertionError("expected refusal")
+    except ValueError as e:
+        assert "multiple source rows" in str(e)
+
+    # no-op merge commits nothing
+    v_now = merge_delta(
+        spark, root,
+        spark.createDataFrame([], "id long, v double"),
+        on=["id"], update={"v": "src_v"})
+    assert read_delta(spark, root).count() == 3
+    assert merge_delta(
+        spark, root,
+        spark.createDataFrame([], "id long, v double"),
+        on=["id"], update={"v": "src_v"}) == v_now
