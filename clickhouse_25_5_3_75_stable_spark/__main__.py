@@ -397,6 +397,33 @@ def run_local(sql: str, data_dir: str, spark=None, out=sys.stdout,
         head = sql.strip().split(None, 2)
         kw = head[0].upper() if head else ""
 
+        # lake time travel (round-9): `FROM <lake table> VERSION AS OF
+        # n` (Delta versions) / `SNAPSHOT AS OF id` (Iceberg) rewrites
+        # to a view over the historical replay
+        tt = re.search(
+            r"(?is)\bFROM\s+(\w+)\s+(VERSION|SNAPSHOT)\s+AS\s+OF\s+(\d+)",
+            sql)
+        if tt is not None:
+            from clickhouse_25_5_3_75_stable_spark.sources import (
+                datalake as _dl_tt,
+            )
+
+            tname = tt.group(1)
+            if tname in _dl_tt.LAKE_TABLES:
+                lfmt, lpath = _dl_tt.LAKE_TABLES[tname]
+                n = int(tt.group(3))
+                if lfmt == "delta":
+                    hist = _dl_tt.read_delta(spark, lpath, version=n)
+                elif lfmt == "iceberg":
+                    hist = _dl_tt.read_iceberg(spark, lpath, snapshot_id=n)
+                else:
+                    raise ValueError(
+                        "time travel on ENGINE = Hudi needs the connector")
+                view = f"__tt_{tname}_{n}"
+                hist.createOrReplaceTempView(view)
+                sql = sql[:tt.start()] + f"FROM {view}" + sql[tt.end():]
+                head = sql.strip().split(None, 2)
+
         if kw == "SHOW" and len(head) > 1 and head[1].upper().startswith("TABLE"):
             _emit([(n,) for n in sorted(names)], ["name"], fmt, out)
             return 0

@@ -1966,3 +1966,33 @@ def test_merge_delta_upsert(spark, tmp_path):
         spark, root,
         spark.createDataFrame([], "id long, v double"),
         on=["id"], update={"v": "src_v"}) == v_now
+
+
+def test_cli_lake_time_travel(spark, tmp_path):
+    """Round-9: FROM <lake table> VERSION AS OF n (Delta) / SNAPSHOT
+    AS OF id (Iceberg) on the CLI reads the historical replay."""
+    import io
+
+    from clickhouse_25_5_3_75_stable_spark.__main__ import run_local
+
+    def run(sql):
+        out = io.StringIO()
+        assert run_local(sql, SF_SMOKE, spark=spark, out=out) == 0
+        return out.getvalue().strip().splitlines()
+
+    dpath, ipath = str(tmp_path / "d"), str(tmp_path / "i")
+    run(f"CREATE TABLE tt_d ENGINE = DeltaLake('{dpath}') AS "
+        "SELECT n_nationkey AS id FROM nation WHERE n_nationkey < 3")
+    run("INSERT INTO tt_d SELECT n_nationkey + 10 FROM nation "
+        "WHERE n_nationkey < 2")
+    assert run("SELECT count() FROM tt_d") == ["5"]
+    assert run("SELECT count() FROM tt_d VERSION AS OF 0") == ["3"]
+
+    run(f"CREATE TABLE tt_i ENGINE = Iceberg('{ipath}') AS "
+        "SELECT n_nationkey AS id FROM nation WHERE n_nationkey < 4")
+    run("INSERT INTO tt_i SELECT n_nationkey + 20 FROM nation "
+        "WHERE n_nationkey < 1")
+    assert run("SELECT count() FROM tt_i") == ["5"]
+    assert run("SELECT count() FROM tt_i SNAPSHOT AS OF 1") == ["4"]
+    run("DROP TABLE tt_d")
+    run("DROP TABLE tt_i")
