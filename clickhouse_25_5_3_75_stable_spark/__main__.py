@@ -425,7 +425,12 @@ def run_local(sql: str, data_dir: str, spark=None, out=sys.stdout,
                 head = sql.strip().split(None, 2)
 
         if kw == "SHOW" and len(head) > 1 and head[1].upper().startswith("TABLE"):
-            _emit([(n,) for n in sorted(names)], ["name"], fmt, out)
+            from clickhouse_25_5_3_75_stable_spark.sources.datalake import (
+                LAKE_TABLES as _LAKE_SHOW,
+            )
+
+            _emit([(n,) for n in sorted({*names, *_LAKE_SHOW})],
+                  ["name"], fmt, out)
             return 0
         if kw == "SHOW" and len(head) > 1 and head[1].upper().startswith("DATABASE"):
             from clickhouse_25_5_3_75_stable_spark.sources.system_tables import (
