@@ -2671,9 +2671,13 @@ from clickhouse_25_5_3_75_stable_spark import queries_kql as _queries_kql  # noq
 # sampling batch, SemDeDup, the system-table completions, KQL/PRQL
 # round-9 surface) plus the never-sampled long tail (agg extras,
 # chsql statement surface, hash-exactness families, KQL breadth).
-# The 17 still-never-sampled names (mostly same-family agg variants)
-# roll to the r10 block. All 50 verified green in the local
-# driver-sim at sf0.01 and the new ones also at sf0.1.
+# Late-session refresh: ten slots swapped to the newest marquee work
+# (the complete Delta DML cycle incl. MERGE and deletion vectors, the
+# Iceberg write/delete paths, SQL dictionaries + hierarchy, access
+# entities, the LM scorer, sequence packing) — also first-time
+# samples; the displaced never-sampled long tail rolls to the r10
+# block. All 50 verified green in the local driver-sim at sf0.01 and
+# every round-9 addition also at sf0.1.
 _GATE_BLOCK = [
     # -- retained anchors --
     "q1_pricing_summary",            # TPC-H hash agg flagship
@@ -2698,39 +2702,39 @@ _GATE_BLOCK = [
     "prql_date_literal_join",
     # -- never-sampled long tail: aggregates --
     "agg_categorical_iv",
-    "agg_foreach_centroid",
-    "agg_max_intersections",
+    "lake_delta_dml_cycle",
+    "lake_delta_merge_upsert",
     "agg_mean_z_anova",
-    "agg_rank_corr_value_time",
+    "lake_iceberg_lightweight_delete",
     "agg_sequence_next_node",
     "agg_topk_event_types",
     # -- chsql statement/expression surface --
     "chsql_bridge_function_tail",
     "chsql_distinct_on_latest_order",
     "chsql_lag_lead_in_frame",
-    "chsql_multi_array_join_collate",
+    "chsql_create_dictionary_dictget",
     "chsql_quantile_exact_combinators",
-    "chsql_system_numbers_generator",
+    "chsql_dict_hierarchy_org",
     "chsql_with_recursive_chain",
     # -- pipeline/dedup/similarity --
     "chunk_documents_windows",
     "dedup_incremental_ingest",
     "dedup_keep_best_quality",
-    "agg_moving_sum_avg",
+    "lake_iceberg_write_roundtrip",
     "chsql_limit_by_buckets",
     # -- function families (hash exactness etc.) --
-    "func_array_enumerate_family",
+    "pack_sequences_spans",
     "func_cityhash_exact",
     "func_hash64_family_exact",
     # -- KQL breadth --
     "kql_dynamic_json_extract",
     "kql_evaluate_narrow_events",
     "kql_invoke_let_function",
-    "kql_range_datatable",
-    "kql_top_hitters_project_keep",
+    "access_grants_roundtrip",
+    "text_lm_perplexity_counts",
     # -- PRQL / fill / system --
     "prql_let_function_orders",
-    "with_fill_interpolate_daily_max",
+    "lake_delta_write_roundtrip",
     "system_access_entities",
     "system_server_surface_round8",
 ]
