@@ -643,6 +643,16 @@ def run_local(sql: str, data_dir: str, spark=None, out=sys.stdout,
             attach_table(spark, data_dir, tname)
             _emit([(tname, "Ok")], ["table", "status"], fmt, out)
             return 0
+        if kw == "KILL":
+            # KILL QUERY WHERE ... (InterpreterKillQueryQuery.cpp):
+            # statements execute synchronously in library mode, so
+            # there is never a running query to kill — the reference's
+            # response shape with zero rows
+            if len(head) > 1 and head[1].upper() == "QUERY":
+                _emit([], ["kill_status", "query_id", "user", "query"],
+                      fmt, out)
+                return 0
+            raise ValueError("KILL: only KILL QUERY is recognized")
         if kw == "TRUNCATE":
             from clickhouse_25_5_3_75_stable_spark.ddl import truncate_table
 
