@@ -38,7 +38,6 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from clickhouse_25_5_3_75_stable_spark.operators.text import (
-    portable_hash64,
     tokens,
     word_shingles_from_tokens,
 )
@@ -62,16 +61,21 @@ def contamination_report(
     distinct shingle count. Downstream filters on
     ``n_contaminated / n_shingles`` (or on any-hit).
 
-    Shingles compare by portable 64-bit hash — 8-byte join keys, never
-    strings, so the shuffle (if the test side is too big to broadcast)
-    moves minimal bytes."""
+    Shingles compare by 64-bit hash — 8-byte join keys, never strings,
+    so the shuffle (if the test side is too big to broadcast) moves
+    minimal bytes. The hash is xxhash64 (round-9 optimization): these
+    keys never leave the plan — the report's outputs are counts — so
+    the md5-hex-conv portable hash bought oracle portability nothing
+    while costing an md5 + string conv per shingle; xxhash64 is a JVM
+    intrinsic with the same ~1e-12 collision budget the jaccard
+    operator already accepts for internal 64-bit keys."""
     test_sh = (
         test.select(
             F.explode(
                 word_shingles_from_tokens(tokens(F.col(text_col)), k)
             ).alias("sh")
         )
-        .select(portable_hash64(F.col("sh")).alias("sh_hash"))
+        .select(F.xxhash64(F.col("sh")).alias("sh_hash"))
         .distinct()
     )
     if broadcast_test:
@@ -80,7 +84,7 @@ def contamination_report(
     train_sh = train.select(
         F.col(id_col),
         F.explode(word_shingles_from_tokens(tokens(F.col(text_col)), k)).alias("sh"),
-    ).select(F.col(id_col), portable_hash64(F.col("sh")).alias("sh_hash"))
+    ).select(F.col(id_col), F.xxhash64(F.col("sh")).alias("sh_hash"))
 
     # One pass over the exploded train stream: mark each shingle by a
     # left join against the (distinct) test hashes, then a single
@@ -116,8 +120,17 @@ def tfidf_scores(
 ) -> DataFrame:
     """TF-IDF per (doc, term): ``tf * ln(N / df)`` (raw-count tf,
     plain idf). N and df are exact counts, so the only float op is the
-    final ln — round before any cross-engine hash compare."""
-    tf = doc_term_freq(df, id_col, text_col)
+    final ln — round before any cross-engine hash compare.
+
+    Round-9 optimization: the (doc, term, tf) relation is materialized
+    (localCheckpoint) before the df aggregation. dfreq sits under a
+    broadcast exchange, and a broadcast side is an independent plan
+    subtree — the old shape re-ran the FULL tokenize+explode+groupBy
+    corpus pass to build it (two corpus scans per query). Materializing
+    tf once costs one write of the aggregated relation and removes the
+    second scan at every scale; at 100 TB tf is the classic
+    "shuffle the proxy, not the payload" table (ids+terms+counts)."""
+    tf = doc_term_freq(df, id_col, text_col).localCheckpoint(eager=True)
     n_docs = df.agg(F.count_distinct(F.col(id_col)).alias("n"))
     dfreq = tf.groupBy("term").agg(F.count_distinct(F.col(id_col)).alias("df"))
     return (
@@ -187,11 +200,17 @@ def bm25_scores(
         F.count(F.lit(1)).alias("n_docs"),
     )
     q = [t for t in query_terms]
+    # Materialize the query-term tf relation (≤|q| rows per matching
+    # doc — tiny) before deriving dfreq: dfreq sits under a broadcast
+    # exchange whose independent subtree would otherwise re-run the
+    # whole tokenize+explode+filter corpus pass a second time
+    # (round-9; same fix as tfidf_scores).
     tf = (
         toks.select(F.col(id_col), F.col("dl"), F.explode("__toks").alias("term"))
         .filter(F.col("term").isin(q))
         .groupBy(id_col, "dl", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
     )
     dfreq = tf.groupBy("term").agg(F.count_distinct(F.col(id_col)).alias("df"))
     scored = (
@@ -328,11 +347,21 @@ def _exclusive_prefix_sum(
     each bucket cumsums independently. No single-task global window.
     localCheckpoint (eager) pins the bucket layout across the three
     passes (the PASTE-JOIN nondeterminism class) and frees with the
-    DataFrame (a bare persist() leaked — review finding)."""
+    DataFrame (a bare persist() leaked — review finding).
+
+    Round-9 optimization: the NARROW (id, weight) projection is
+    materialized FIRST. repartitionByRange's range-boundary sampling
+    executes the child plan, so with the old order the expensive
+    upstream (tokenize / dedup aggregation) ran TWICE — once for the
+    sampling pass, once for the bucket checkpoint. Checkpointing the
+    two-column projection up front runs the upstream exactly once;
+    the sampling pass and the (still pinned) bucket checkpoint then
+    read cheap materialized rows. Same guide-§2 rule as shuffling
+    proxies instead of payloads: every pass after the first touches
+    ~16 bytes/row."""
     spark = df.sparkSession
-    ranged = df.select(id_col, weight_col).repartitionByRange(
-        n_buckets, F.col(id_col)
-    )
+    narrow = df.select(id_col, weight_col).localCheckpoint(eager=True)
+    ranged = narrow.repartitionByRange(n_buckets, F.col(id_col))
     tagged = ranged.withColumn("__bucket", F.spark_partition_id()).localCheckpoint(
         eager=True
     )
@@ -429,46 +458,85 @@ def bigram_lm(
     """Train the model: top-`vocab_size` tokens by (count DESC, token
     ASC — a total order, so every engine picks the same vocabulary),
     everything else folds to '<unk>'; bigram and unigram counts over
-    the mapped stream. Two bounded shuffles (token counts, bigram
-    counts); all three outputs are vocabulary-sized DataFrames."""
-    toks = train.select(
-        F.explode(_space_tokens(F.col(text_col))).alias("tok"))
-    vocab = (
-        toks.groupBy("tok").count()
-        .orderBy(F.col("count").desc(), F.col("tok"))
+    the mapped stream.
+
+    Round-9 optimization — two passes over the reference slice, no
+    window shuffle, vocabulary-bounded materialized outputs:
+
+    - The old shape re-evaluated the tokenize+explode subtree under
+      every broadcast exchange that consumed a model table (the vocab
+      mapping join here, bigrams and unigrams each broadcast again in
+      lm_score): every consumer re-ran a full training-slice scan.
+    - Pass 1 tokenizes once and COLLECTS the top-V vocabulary
+      (bounded: vocab_size rows — the ivf_centroids collect class).
+      The <unk> fold becomes a literal IN-set expression, so the
+      mapping join (and its broadcast build) disappears entirely.
+    - Pass 2 tokenizes once more and aggregates ONE
+      (tok, tok2-or-NULL) pair-count table (checkpointed, ≤(V+1)²
+      rows). Token adjacency is read from the token ARRAY itself
+      (zip_with against the 1-shifted array), which removes the
+      monotonically_increasing_id + per-doc window sort+shuffle of
+      the whole token stream — adjacency was already local to the
+      row. bigrams = pairs with tok2 NOT NULL; unigrams = per-tok sum
+      (each token instance is w1 of exactly one pair, terminal tokens
+      in the NULL-tok2 row, so the sums equal the old direct counts).
+    """
+    spark = train.sparkSession
+    toks_arr = train.select(_space_tokens(F.col(text_col)).alias("ts"))
+    vocab_rows = (
+        toks_arr.select(F.explode("ts").alias("tok"))
+        .groupBy("tok").agg(F.count(F.lit(1)).alias("tok_count"))
+        .orderBy(F.col("tok_count").desc(), F.col("tok"))
         .limit(vocab_size)
-        .select("tok", F.col("count").alias("tok_count"))
+        .collect()
     )
-    # map to <unk> via ONE broadcast left join on the exploded stream
-    # (a semi/anti union would evaluate the id-bearing subtree twice —
-    # the monotonically_increasing_id hazard tests/sweep pin)
-    with_pos = (
-        train.select(F.monotonically_increasing_id().alias("__tid"),
-                     _space_tokens(F.col(text_col)).alias("ts"))
-        .select("__tid", F.posexplode("ts").alias("pos", "raw"))
+    vocab_list = [r.tok for r in vocab_rows]
+    vocab = spark.createDataFrame(
+        [(r.tok, r.tok_count) for r in vocab_rows],
+        "tok string, tok_count long",
     )
-    v = vocab.select(F.col("tok").alias("v_tok"))
-    mapped = (
-        with_pos.join(F.broadcast(v), with_pos.raw == v.v_tok, "left")
-        .select("__tid", "pos",
-                F.coalesce("v_tok", F.lit("<unk>")).alias("tok"))
+
+    def fold(c):
+        # empty-vocab guard: isin([]) yields NULL, not False
+        if not vocab_list:
+            return F.lit("<unk>")
+        return F.when(c.isin(vocab_list), c).otherwise(F.lit("<unk>"))
+
+    # ts zipped with its own 1-shift + a trailing NULL: n pairs per
+    # doc, the last being (last_tok, NULL) — exactly the old
+    # lead()-over-(doc, pos) stream, without the shuffle
+    shifted = F.concat(
+        F.slice(F.col("ts"), 2, F.size("ts") - 1),
+        F.array(F.lit(None).cast("string")),
     )
-    w = Window.partitionBy("__tid").orderBy("pos")
+    pairs_all = (
+        toks_arr.select(
+            F.explode(
+                F.zip_with(
+                    F.col("ts"),
+                    shifted,
+                    lambda a, b: F.struct(
+                        fold(a).alias("tok"),
+                        F.when(b.isNotNull(), fold(b)).alias("tok2"),
+                    ),
+                )
+            ).alias("p")
+        )
+        .select("p.tok", "p.tok2")
+        .groupBy("tok", "tok2").agg(F.count(F.lit(1)).alias("__n"))
+        .localCheckpoint(eager=True)
+    )
     bigrams = (
-        mapped.select("__tid", "pos", "tok",
-                      F.lead("tok").over(w).alias("tok2"))
-        .filter(F.col("tok2").isNotNull())
-        .groupBy("tok", "tok2").count()
+        pairs_all.filter(F.col("tok2").isNotNull())
         .select(F.col("tok").alias("w1"), F.col("tok2").alias("w2"),
-                F.col("count").alias("pair_count"))
+                F.col("__n").alias("pair_count"))
     )
     unigrams = (
-        mapped.groupBy("tok").count()
-        .select(F.col("tok").alias("w1"),
-                F.col("count").alias("uni_count"))
+        pairs_all.groupBy(F.col("tok").alias("w1"))
+        .agg(F.sum("__n").alias("uni_count"))
     )
     return {"vocab": vocab, "unigrams": unigrams, "bigrams": bigrams,
-            "vocab_size": vocab_size}
+            "vocab_size": vocab_size, "vocab_list": vocab_list}
 
 
 def lm_score(
@@ -481,25 +549,47 @@ def lm_score(
     """Score documents under the model: per doc, the bigram count,
     the OOV-bigram count (either side '<unk>'), the smoothed total
     log-probability and perplexity. Model sides broadcast; the corpus
-    explodes once and aggregates per doc — one shuffle on `id_col`."""
-    vocab = model["vocab"].select("tok")
+    explodes once and aggregates per doc — one shuffle on `id_col`.
+
+    Round-9 optimization: consecutive-token pairs come from zipping
+    the token ARRAY with its own 1-shift (adjacency is local to the
+    row), replacing the per-doc window over the exploded token stream
+    — that window shuffled and sorted every token of the corpus. The
+    vocab fold is a literal IN-set (model["vocab_list"]), removing the
+    mapping broadcast join; the model tables the two remaining
+    broadcast joins consume are materialized by bigram_lm, so neither
+    re-runs training. Values (pair stream, OOV flags, counts, logp)
+    are unchanged."""
     V = model["vocab_size"]
-    toks = docs.select(
-        F.col(id_col), F.posexplode(_space_tokens(F.col(text_col)))
-        .alias("pos", "raw"))
-    mapped = (
-        toks.join(F.broadcast(vocab), toks.raw == vocab.tok, "left")
-        .select(id_col, "pos",
-                F.coalesce("tok", F.lit("<unk>")).alias("tok"),
-                (F.col("tok").isNull()).alias("is_oov"))
+    vocab_list = model.get("vocab_list")
+    if vocab_list is None:
+        vocab_list = [r.tok for r in model["vocab"].select("tok").collect()]
+
+    def fold(c):
+        # empty-vocab guard: isin([]) yields NULL, not False
+        if not vocab_list:
+            return F.lit("<unk>")
+        return F.when(c.isin(vocab_list), c).otherwise(F.lit("<unk>"))
+
+    def oov(c):
+        if not vocab_list:
+            return F.lit(True)
+        return ~c.isin(vocab_list)
+
+    ts = docs.select(F.col(id_col), _space_tokens(F.col(text_col)).alias("ts"))
+    raw_pairs = F.zip_with(
+        F.slice(F.col("ts"), 1, F.size("ts") - 1),
+        F.slice(F.col("ts"), 2, F.size("ts") - 1),
+        lambda a, b: F.struct(a.alias("r1"), b.alias("r2")),
     )
-    w = Window.partitionBy(id_col).orderBy("pos")
-    pairs = (
-        mapped.select(
-            id_col, "tok", "is_oov",
-            F.lead("tok").over(w).alias("tok2"),
-            F.lead("is_oov").over(w).alias("is_oov2"))
-        .filter(F.col("tok2").isNotNull())
+    pairs = ts.select(
+        F.col(id_col), F.explode(raw_pairs).alias("p")
+    ).select(
+        id_col,
+        fold(F.col("p.r1")).alias("tok"),
+        oov(F.col("p.r1")).alias("is_oov"),
+        fold(F.col("p.r2")).alias("tok2"),
+        oov(F.col("p.r2")).alias("is_oov2"),
     )
     joined = (
         pairs.join(F.broadcast(model["bigrams"]),

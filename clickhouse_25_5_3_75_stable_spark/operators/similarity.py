@@ -251,20 +251,28 @@ def lsh_cosine_pairs_exact(
 
 def hyperplane_bucket(vec: Column, planes: list[list[float]]) -> Column:
     """Random-hyperplane LSH bucket id: bit p = sign(vec · plane_p).
-    Planes are fixed literals → deterministic, no training pass."""
-    bits = []
-    for p, plane in enumerate(planes):
-        arr = F.array(*[F.lit(float(v)) for v in plane])
-        dot = F.aggregate(
-            F.zip_with(vec, arr, lambda x, y: x.cast("double") * y),
+    Planes are fixed literals → deterministic, no training pass.
+
+    Round-9 optimization: one `transform` lambda over the 2-D plane
+    literal instead of |planes| inlined copies of the dot-product fold
+    — generated code stays O(1) in the plane count (the ivf_assign
+    codegen fix). Per-plane arithmetic (same fold, same IEEE order)
+    and the bit weights are unchanged, so bucket ids are identical —
+    and stay aligned with hyperplane_bucket_sql."""
+    planes2d = F.array(*[F.array(*[F.lit(float(v)) for v in p]) for p in planes])
+    weights = F.array(*[F.lit(1 << p) for p in range(len(planes))])
+    dots = F.transform(
+        planes2d,
+        lambda plane: F.aggregate(
+            F.zip_with(vec, plane, lambda x, y: x.cast("double") * y),
             F.lit(0.0),
             lambda acc, v: acc + v,
-        )
-        bits.append(F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0)))
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
-    return out.cast("int")
+        ),
+    )
+    bits = F.zip_with(
+        dots, weights, lambda d, wt: F.when(d > 0, wt).otherwise(F.lit(0))
+    )
+    return F.aggregate(bits, F.lit(0), lambda acc, b: acc + b).cast("int")
 
 
 def hyperplane_bucket_sql(vec: str, planes: list[list[float]]) -> str:
@@ -433,23 +441,44 @@ def ivf_lloyd_refine(
 
 def _l2sq_to_lit(vec: Column, cent: list[float]) -> Column:
     arr = F.array(*[F.lit(float(v)) for v in cent])
+    return _l2sq_cols(vec, arr)
+
+
+def _l2sq_cols(vec: Column, cent: Column) -> Column:
+    """Seedless left-fold L2² between two double arrays — the exact
+    element order / IEEE op sequence of the original per-centroid form,
+    so values are bitwise-unchanged."""
     return F.aggregate(
-        F.zip_with(vec, arr, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+        F.zip_with(vec, cent, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
 
 
+def _cent_lit(centroids: list[list[float]]) -> Column:
+    return F.array(*[F.array(*[F.lit(float(v)) for v in c]) for c in centroids])
+
+
+def ivf_dist_structs(vec: Column, centroids: list[list[float]]) -> Column:
+    """Array of (d=l2sq, i=list index) structs against every centroid.
+
+    One `transform` lambda over a 2-D centroid literal instead of
+    `nlist` inlined copies of the fold (round-9 optimization): the
+    generated code carries the fold ONCE, so whole-stage-codegen
+    compile time and method size stay O(1) in nlist — at nlist=8,
+    dim=64 the per-centroid form compiled ~8× the fold body per plan
+    evaluation site. Arithmetic (element order, IEEE ops, int index
+    type) is identical, so distances and argmin ties are bitwise
+    unchanged."""
+    idx = F.array(*[F.lit(i) for i in range(len(centroids))])
+    dists = F.transform(_cent_lit(centroids), lambda c: _l2sq_cols(vec, c))
+    return F.zip_with(dists, idx, lambda d, i: F.struct(d.alias("d"), i.alias("i")))
+
+
 def ivf_assign(vec: Column, centroids: list[list[float]]) -> Column:
     """Index of the nearest centroid (L2): array of (dist, idx) structs,
     array_min picks lexicographically — pure codegen, no UDF."""
-    pairs = F.array(
-        *[
-            F.struct(_l2sq_to_lit(vec, c).alias("d"), F.lit(i).alias("i"))
-            for i, c in enumerate(centroids)
-        ]
-    )
-    return F.array_min(pairs)["i"]
+    return F.array_min(ivf_dist_structs(vec, centroids))["i"]
 
 
 def ivf_topk(
@@ -470,12 +499,7 @@ def ivf_topk(
     qq = F.broadcast(
         query.select(
             F.col(vec_col).alias("__qvec"),
-            F.array(
-                *[
-                    F.struct(_l2sq_to_lit(F.col(vec_col), c).alias("d"), F.lit(i).alias("i"))
-                    for i, c in enumerate(centroids)
-                ]
-            ).alias("__dists"),
+            ivf_dist_structs(F.col(vec_col), centroids).alias("__dists"),
         ).select(
             "__qvec",
             F.transform(
@@ -539,46 +563,60 @@ def semantic_dedup(
             assigned, threshold, id_col=id_col, vec_col=vec_col,
             block_col="__c",
         )
-    else:
-        b = assigned.select(
-            F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
-            F.col("__c").cast("string").alias("blk"),
-        )
-
-        def gram_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-            n = len(pdf)
-            if n < 2:
-                return pd.DataFrame(
-                    {"id_a": [], "id_b": [], "cosine": []}
-                ).astype({"id_a": "int64", "id_b": "int64",
-                          "cosine": "float64"})
-            ids = pdf["id"].to_numpy()
-            m = np.stack(pdf["v"].to_numpy()).astype(np.float64)
-            norms = np.sqrt(np.einsum("ij,ij->i", m, m))
-            cos = (m @ m.T) / np.outer(norms, norms)
-            iu, ju = np.triu_indices(n, k=1)
-            keep = cos[iu, ju] >= threshold
-            ia, ib = ids[iu[keep]], ids[ju[keep]]
-            lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
-            return pd.DataFrame(
-                {"id_a": lo, "id_b": hi, "cosine": cos[iu, ju][keep]}
+        # no broadcast hint: the dup set scales with the corpus's dup
+        # rate (can be a large fraction of n at 100 TB) — AQE
+        # broadcasts it when runtime stats say it fits
+        dups = pairs.select(F.col("id_b").alias("__dup_id")).distinct()
+        return (
+            assigned.join(
+                dups,
+                F.col(id_col) == F.col("__dup_id"), "left",
             )
+            .select(
+                F.col(id_col),
+                F.col("__c").alias("cluster"),
+                F.col("__dup_id").isNotNull().alias("is_dup"),
+            )
+        )
 
-        pairs = b.groupBy("blk").applyInPandas(
-            gram_pairs, "id_a long, id_b long, cosine double"
+    # Fast tier (round-9 optimization): the per-cluster pandas pass
+    # emits (id, cluster, is_dup) DIRECTLY instead of candidate pairs.
+    # The old shape (pairs -> DISTINCT id_b -> join back onto a second
+    # evaluation of the assignment subtree) cost one extra shuffle, a
+    # distinct, a join, and a full second scan+argmin pass over the
+    # vectors; here each vector crosses the one cluster shuffle once
+    # and the flag computation is the same Gram matmul — a row is a
+    # dup iff some SMALLER id in its cluster has cosine >= threshold,
+    # exactly the old max-of-pair rule, so the flag set is identical.
+    b = assigned.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+        F.col("__c").alias("c"),
+    )
+
+    def flag_rows(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(
+                {"id": pdf["id"].to_numpy(),
+                 "cluster": pdf["c"].to_numpy(),
+                 "is_dup": np.zeros(n, dtype=bool)}
+            )
+        ids = pdf["id"].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids_s = ids[order]
+        m = np.stack(pdf["v"].to_numpy())[order].astype(np.float64)
+        norms = np.sqrt(np.einsum("ij,ij->i", m, m))
+        cos = (m @ m.T) / np.outer(norms, norms)
+        # column j flagged iff any row i<j (smaller id) clears the
+        # threshold — the strict upper triangle, any() per column
+        hit = np.triu(cos >= threshold, k=1).any(axis=0)
+        return pd.DataFrame(
+            {"id": ids_s, "cluster": pdf["c"].to_numpy()[order],
+             "is_dup": hit}
         )
-    # no broadcast hint: the dup set scales with the corpus's dup rate
-    # (can be a large fraction of n at 100 TB) — AQE broadcasts it
-    # when runtime stats say it fits
-    dups = pairs.select(F.col("id_b").alias("__dup_id")).distinct()
+
     return (
-        assigned.join(
-            dups,
-            F.col(id_col) == F.col("__dup_id"), "left",
-        )
-        .select(
-            F.col(id_col),
-            F.col("__c").alias("cluster"),
-            F.col("__dup_id").isNotNull().alias("is_dup"),
-        )
+        b.groupBy("c")
+        .applyInPandas(flag_rows, "id long, cluster int, is_dup boolean")
+        .select(F.col("id").alias(id_col), "cluster", "is_dup")
     )
