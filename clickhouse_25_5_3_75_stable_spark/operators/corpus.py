@@ -122,19 +122,19 @@ def tfidf_scores(
     plain idf). N and df are exact counts, so the only float op is the
     final ln — round before any cross-engine hash compare.
 
-    Round-9 optimization: the (doc, term, tf) relation is materialized
-    (localCheckpoint) before the df aggregation. dfreq sits under a
-    broadcast exchange, and a broadcast side is an independent plan
-    subtree — the old shape re-ran the FULL tokenize+explode+groupBy
-    corpus pass to build it (two corpus scans per query). Materializing
-    tf once costs one write of the aggregated relation and removes the
-    second scan at every scale; at 100 TB tf is the classic
-    "shuffle the proxy, not the payload" table (ids+terms+counts)."""
-    tf = doc_term_freq(df, id_col, text_col).localCheckpoint(eager=True)
+    Round-9 optimization: df comes from a window COUNT over `term` on
+    the tf relation instead of a separate aggregate joined back via
+    broadcast. A broadcast build side is an independent plan subtree,
+    so the old shape re-ran the FULL tokenize+explode+groupBy corpus
+    pass to compute dfreq — two corpus scans per query. (doc, term) is
+    unique in tf, so COUNT(*) OVER (PARTITION BY term) IS the distinct
+    document frequency — identical values, one corpus pass, one extra
+    narrow shuffle of the (doc, term, tf) proxy rows."""
+    tf = doc_term_freq(df, id_col, text_col)
     n_docs = df.agg(F.count_distinct(F.col(id_col)).alias("n"))
-    dfreq = tf.groupBy("term").agg(F.count_distinct(F.col(id_col)).alias("df"))
+    w_term = Window.partitionBy("term")
     return (
-        tf.join(F.broadcast(dfreq), "term")
+        tf.withColumn("df", F.count(F.lit(1)).over(w_term))
         .crossJoin(F.broadcast(n_docs))
         .select(
             F.col(id_col),
@@ -200,21 +200,19 @@ def bm25_scores(
         F.count(F.lit(1)).alias("n_docs"),
     )
     q = [t for t in query_terms]
-    # Materialize the query-term tf relation (≤|q| rows per matching
-    # doc — tiny) before deriving dfreq: dfreq sits under a broadcast
-    # exchange whose independent subtree would otherwise re-run the
-    # whole tokenize+explode+filter corpus pass a second time
-    # (round-9; same fix as tfidf_scores).
     tf = (
         toks.select(F.col(id_col), F.col("dl"), F.explode("__toks").alias("term"))
         .filter(F.col("term").isin(q))
         .groupBy(id_col, "dl", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint(eager=True)
     )
-    dfreq = tf.groupBy("term").agg(F.count_distinct(F.col(id_col)).alias("df"))
+    # df via a window COUNT over `term` on the (unique-per-doc) tf
+    # relation instead of a broadcast-joined aggregate: the broadcast
+    # build side is an independent subtree that re-ran the whole
+    # tokenize+explode+filter corpus pass (round-9; same fix as
+    # tfidf_scores — identical counts, one fewer corpus scan)
     scored = (
-        tf.join(F.broadcast(dfreq), "term")
+        tf.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("term")))
         .crossJoin(F.broadcast(stats))
         .select(
             F.col(id_col),
