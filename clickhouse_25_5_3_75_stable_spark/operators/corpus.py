@@ -339,56 +339,55 @@ def _exclusive_prefix_sum(
 ) -> DataFrame:
     """(id, weight, __cum_excl) with the exclusive prefix sum of
     weight in id order — the textbook two-phase distributed form:
-    contiguous buckets from a range partition (sorted ranges =>
-    ordered partition ids), per-bucket totals collected to the driver
-    (n_buckets rows — bounded), bucket base offsets broadcast back,
-    each bucket cumsums independently. No single-task global window.
-    localCheckpoint (eager) pins the bucket layout across the three
-    passes (the PASTE-JOIN nondeterminism class) and frees with the
-    DataFrame (a bare persist() leaked — review finding).
+    contiguous id-range buckets, per-bucket totals collected to the
+    driver (n_buckets rows — bounded), bucket base offsets rebroadcast
+    as literals, each bucket cumsums independently. No single-task
+    global window.
 
-    Round-9 optimization: the NARROW (id, weight) projection is
-    materialized FIRST. repartitionByRange's range-boundary sampling
-    executes the child plan, so with the old order the expensive
-    upstream (tokenize / dedup aggregation) ran TWICE — once for the
-    sampling pass, once for the bucket checkpoint. Checkpointing the
-    two-column projection up front runs the upstream exactly once;
-    the sampling pass and the (still pinned) bucket checkpoint then
-    read cheap materialized rows. Same guide-§2 rule as shuffling
-    proxies instead of payloads: every pass after the first touches
-    ~16 bytes/row."""
-    spark = df.sparkSession
+    Round-9 shape: buckets come from LITERAL id cut points
+    (approxQuantile over the materialized narrow projection), so the
+    bucket of a row is a pure function of its id — monotone in id,
+    hence contiguous ranges, and the exclusive prefix sum is invariant
+    to WHERE the cuts fall, so the 1% quantile error only affects
+    balance, never values. That replaces the old
+    repartitionByRange + spark_partition_id layout, which (a) paid a
+    full range-exchange of the data, (b) needed a SECOND eager
+    checkpoint to pin partition ids across passes (the PASTE-JOIN
+    nondeterminism class), and (c) joined offsets back via a broadcast.
+    Now: one checkpoint of the narrow (id, weight) projection — the
+    single evaluation of the expensive upstream — one bounded quantile
+    job, one bounded totals collect, and the only remaining exchange
+    is the hash-by-bucket shuffle the per-bucket window inherently
+    needs. Offsets attach as a literal map lookup, no join at all."""
     narrow = df.select(id_col, weight_col).localCheckpoint(eager=True)
-    ranged = narrow.repartitionByRange(n_buckets, F.col(id_col))
-    tagged = ranged.withColumn("__bucket", F.spark_partition_id()).localCheckpoint(
-        eager=True
-    )
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts = sorted(set(narrow.approxQuantile(id_col, probs, 0.01)))
+    if cuts:
+        carr = F.array(*[F.lit(float(c)) for c in cuts])
+        idv = F.col(id_col).cast("double")
+        bucket = F.size(F.filter(carr, lambda c: c <= idv))
+    else:
+        bucket = F.lit(0)
+    tagged = narrow.withColumn("__bucket", bucket)
     per_bucket = (
         tagged.groupBy("__bucket").agg(F.sum(weight_col).alias("__total"))
     ).collect()  # bounded: n_buckets rows
     per_bucket.sort(key=lambda r: r["__bucket"])
-    offsets, running = {}, 0
+    offsets, running = [], 0
     for r in per_bucket:
-        offsets[r["__bucket"]] = running
+        offsets.extend((F.lit(r["__bucket"]), F.lit(running).cast("long")))
         running += r["__total"]
-    off_df = F.broadcast(
-        spark.createDataFrame(
-            [(b, o) for b, o in offsets.items()], "__bucket int, __offset long"
-        )
-    )
+    off_map = F.create_map(*offsets)
     w = Window.partitionBy("__bucket").orderBy(id_col)
-    return (
-        tagged.join(off_df, "__bucket")
-        .withColumn(
-            "__cum_excl",
-            F.col("__offset")
-            + F.coalesce(
-                F.sum(weight_col).over(
-                    w.rowsBetween(Window.unboundedPreceding, -1)
-                ),
-                F.lit(0),
+    return tagged.withColumn(
+        "__cum_excl",
+        F.element_at(off_map, F.col("__bucket")).cast("long")
+        + F.coalesce(
+            F.sum(weight_col).over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
             ),
-        )
+            F.lit(0),
+        ),
     )
 
 

@@ -93,13 +93,25 @@ def minhash_signature_sql(expr: str, num_hashes: int = 8) -> str:
     return "[" + ", ".join(mins) + "]"
 
 
-def lsh_band_keys(sig: Column, bands: int, rows_per_band: int) -> Column:
-    """Array of (band_id, band_key) structs: band_key is the md5 of the
-    joined signature slice — docs agreeing on any full band collide."""
+def lsh_band_keys(
+    sig: Column, bands: int, rows_per_band: int, fast: bool = False
+) -> Column:
+    """Array of (band_id, band_key) structs: docs agreeing on any full
+    band collide. The portable key is the md5 hex of the joined
+    signature slice (DuckDB-reproducible); fast=True hashes the slice
+    array with xxhash64 instead (round-9) — identical slices still
+    produce identical keys, so the candidate set is unchanged, but the
+    per-band work drops an array-of-string render + md5 and the
+    (band, key) shuffle carries 8-byte longs instead of 32-char hex
+    strings. Band keys never leave the plan (downstream output is doc
+    pairs), so portability buys nothing on the fast tier."""
     entries = []
     for b in range(bands):
         sl = F.slice(sig, b * rows_per_band + 1, rows_per_band)
-        key = F.md5(F.concat_ws(",", F.transform(sl, lambda x: x.cast("string"))))
+        if fast:
+            key = F.xxhash64(sl)
+        else:
+            key = F.md5(F.concat_ws(",", F.transform(sl, lambda x: x.cast("string"))))
         entries.append(F.struct(F.lit(b).alias("band"), key.alias("key")))
     return F.array(*entries)
 
@@ -131,7 +143,10 @@ def lsh_banded(
             "doc", minhash_from_shingles(F.col("__sh"), num_hashes).alias("sig")
         )
     return sig.select(
-        "doc", F.explode(lsh_band_keys(F.col("sig"), bands, rows_per_band)).alias("bk")
+        "doc",
+        F.explode(
+            lsh_band_keys(F.col("sig"), bands, rows_per_band, fast=fast)
+        ).alias("bk"),
     ).select("doc", "bk.band", "bk.key")
 
 
