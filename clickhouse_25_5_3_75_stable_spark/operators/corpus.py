@@ -457,39 +457,59 @@ def bigram_lm(
     everything else folds to '<unk>'; bigram and unigram counts over
     the mapped stream.
 
-    Round-9 optimization — two passes over the reference slice, no
+    Round-9 optimization — ONE pass over the reference slice, no
     window shuffle, vocabulary-bounded materialized outputs:
 
     - The old shape re-evaluated the tokenize+explode subtree under
-      every broadcast exchange that consumed a model table (the vocab
-      mapping join here, bigrams and unigrams each broadcast again in
-      lm_score): every consumer re-ran a full training-slice scan.
-    - Pass 1 tokenizes once and COLLECTS the top-V vocabulary
-      (bounded: vocab_size rows — the ivf_centroids collect class).
-      The <unk> fold becomes a literal IN-set expression, so the
-      mapping join (and its broadcast build) disappears entirely.
-    - Pass 2 tokenizes once more and aggregates ONE
-      (tok, tok2-or-NULL) pair-count table (checkpointed, ≤(V+1)²
-      rows). Token adjacency is read from the token ARRAY itself
-      (zip_with against the 1-shifted array), which removes the
-      monotonically_increasing_id + per-doc window sort+shuffle of
-      the whole token stream — adjacency was already local to the
-      row. bigrams = pairs with tok2 NOT NULL; unigrams = per-tok sum
-      (each token instance is w1 of exactly one pair, terminal tokens
-      in the NULL-tok2 row, so the sums equal the old direct counts).
-    """
+      every broadcast exchange that consumed a model table: every
+      consumer re-ran a full training-slice scan; the first fix cut
+      that to two passes (vocab collect + folded-pair aggregate).
+    - Now there is a single corpus pass: the RAW adjacent-pair counts
+      (tok, tok2-or-NULL, n) are aggregated and checkpointed once.
+      Token adjacency comes from the token ARRAY itself (zip_with
+      against the 1-shifted array — no window shuffle), and each token
+      instance is w1 of exactly one pair (terminals pair with NULL),
+      so per-token sums of the pair counts ARE the unigram counts.
+      The top-V vocabulary is therefore derived from the aggregated
+      pair table (count DESC, token ASC — identical totals, identical
+      total order), and the <unk> fold + re-aggregation runs over
+      DISTINCT raw pairs (≪ token instances), not the corpus stream.
+    - bigrams = folded pairs with tok2 NOT NULL; unigrams = per-tok
+      sum — equal to the old direct counts by the same w1 argument.
+      The folded table is checkpointed too (≤(V+1)² rows) so the two
+      broadcast consumers in lm_score don't re-run the fold."""
     spark = train.sparkSession
     toks_arr = train.select(_space_tokens(F.col(text_col)).alias("ts"))
+    # ts zipped with its own 1-shift + a trailing NULL: n pairs per
+    # doc, the last being (last_tok, NULL) — exactly the old
+    # lead()-over-(doc, pos) stream, without the shuffle
+    shifted = F.concat(
+        F.slice(F.col("ts"), 2, F.size("ts") - 1),
+        F.array(F.lit(None).cast("string")),
+    )
+    pairs_raw = (
+        toks_arr.select(
+            F.explode(
+                F.zip_with(
+                    F.col("ts"),
+                    shifted,
+                    lambda a, b: F.struct(a.alias("tok"), b.alias("tok2")),
+                )
+            ).alias("p")
+        )
+        .select("p.tok", "p.tok2")
+        .groupBy("tok", "tok2").agg(F.count(F.lit(1)).alias("__n"))
+        .localCheckpoint(eager=True)
+    )
     vocab_rows = (
-        toks_arr.select(F.explode("ts").alias("tok"))
-        .groupBy("tok").agg(F.count(F.lit(1)).alias("tok_count"))
+        pairs_raw.groupBy("tok").agg(F.sum("__n").alias("tok_count"))
         .orderBy(F.col("tok_count").desc(), F.col("tok"))
         .limit(vocab_size)
         .collect()
     )
     vocab_list = [r.tok for r in vocab_rows]
     vocab = spark.createDataFrame(
-        [(r.tok, r.tok_count) for r in vocab_rows],
+        [(r.tok, int(r.tok_count)) for r in vocab_rows],
         "tok string, tok_count long",
     )
 
@@ -499,28 +519,13 @@ def bigram_lm(
             return F.lit("<unk>")
         return F.when(c.isin(vocab_list), c).otherwise(F.lit("<unk>"))
 
-    # ts zipped with its own 1-shift + a trailing NULL: n pairs per
-    # doc, the last being (last_tok, NULL) — exactly the old
-    # lead()-over-(doc, pos) stream, without the shuffle
-    shifted = F.concat(
-        F.slice(F.col("ts"), 2, F.size("ts") - 1),
-        F.array(F.lit(None).cast("string")),
-    )
     pairs_all = (
-        toks_arr.select(
-            F.explode(
-                F.zip_with(
-                    F.col("ts"),
-                    shifted,
-                    lambda a, b: F.struct(
-                        fold(a).alias("tok"),
-                        F.when(b.isNotNull(), fold(b)).alias("tok2"),
-                    ),
-                )
-            ).alias("p")
+        pairs_raw.select(
+            fold(F.col("tok")).alias("tok"),
+            F.when(F.col("tok2").isNotNull(), fold(F.col("tok2"))).alias("tok2"),
+            F.col("__n"),
         )
-        .select("p.tok", "p.tok2")
-        .groupBy("tok", "tok2").agg(F.count(F.lit(1)).alias("__n"))
+        .groupBy("tok", "tok2").agg(F.sum("__n").alias("__n"))
         .localCheckpoint(eager=True)
     )
     bigrams = (
