@@ -392,7 +392,15 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("tpch", "in_subquery"),
 )
 def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q18: IN-subquery over a grouped HAVING → semi join."""
+    """Q18: IN-subquery over a grouped HAVING → semi join in the SQL
+    form. Round-9: the HAVING accumulator and the output sum_qty are
+    the SAME per-order decimal(25,6) quantity sum, and o_orderkey /
+    c_custkey are unique in their tables, so the semi join back into
+    the fact and the second fact-wide aggregation collapse into the
+    first aggregate: one fact shuffle, then the >250 survivor set
+    (tiny at every scale) joins orders and customer directly. sum_qty
+    = the decimal sum cast to double — bitwise what dsum over the
+    semi-joined lines produced; the unchanged oracle re-proves it."""
     c = t(spark, sf_dir, "customer")
     o = t(spark, sf_dir, "orders")
     li = t(spark, sf_dir, "lineitem")
@@ -404,17 +412,16 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("sq") > 250)
     )
     return (
-        li.join(big.select("l_orderkey"), "l_orderkey", "left_semi")
-        .join(o, li.l_orderkey == o.o_orderkey)
+        big.join(o, big.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
-        .groupBy(
+        .select(
             "c_name",
             "c_custkey",
             "o_orderkey",
             F.col("o_orderdate").cast("date").alias("orderdate"),
             "o_totalprice",
+            F.col("sq").cast("double").alias("sum_qty"),
         )
-        .agg(dsum("l_quantity", "sum_qty"))
         .orderBy(F.desc("o_totalprice"), "o_orderkey")
         .limit(100)
     )
