@@ -593,9 +593,17 @@ def duplicated_span_stats(
             ).alias("g"),
         )
     )
-    counts = grams.groupBy("g").agg(F.count(F.lit(1)).alias("c"))
+    # corpus-wide window frequency per window-hash instead of a
+    # separate aggregate joined back: the join's aggregate side was an
+    # independent plan subtree that re-ran the whole
+    # split+slice+md5+explode corpus pass (round-9; the tfidf df fix) —
+    # COUNT(*) OVER (PARTITION BY g) sees every instance of g, which IS
+    # the corpus-wide occurrence count. One corpus pass, one shuffle of
+    # the 16-byte (g, doc) proxy rows.
+    from pyspark.sql.window import Window
+
     per_doc = (
-        grams.join(counts, "g")
+        grams.withColumn("c", F.count(F.lit(1)).over(Window.partitionBy("g")))
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_spans"),

@@ -151,7 +151,12 @@ def q7_nation_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(s2), li.l_suppkey == s2.s_suppkey)
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(c2, o.o_custkey == c2.c_custkey)
+        # the 2/25-nation customer slice is dim-class after the
+        # implied-conjunct prefilter, but Catalyst's post-join/filter
+        # size estimate balloons and it planned a SortMergeJoin —
+        # an explicit broadcast removes the custkey re-shuffle of the
+        # joined fact (round-9; the supplier slice was already hinted)
+        .join(F.broadcast(c2), o.o_custkey == c2.c_custkey)
         .filter(pair)
         .select(
             "supp_nation",
@@ -232,7 +237,12 @@ def q7_trade_flows_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(s2), li.l_suppkey == s2.s_suppkey)
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(c2, o.o_custkey == c2.c_custkey)
+        # the 2/25-nation customer slice is dim-class after the
+        # implied-conjunct prefilter, but Catalyst's post-join/filter
+        # size estimate balloons and it planned a SortMergeJoin —
+        # an explicit broadcast removes the custkey re-shuffle of the
+        # joined fact (round-9; the supplier slice was already hinted)
+        .join(F.broadcast(c2), o.o_custkey == c2.c_custkey)
         .filter(pair)
         .select(
             "supp_nation",
