@@ -361,7 +361,8 @@ def _exclusive_prefix_sum(
     needs. Offsets attach as a literal map lookup, no join at all."""
     narrow = df.select(id_col, weight_col).localCheckpoint(eager=True)
     probs = [i / n_buckets for i in range(1, n_buckets)]
-    cuts = sorted(set(narrow.approxQuantile(id_col, probs, 0.01)))
+    # n_buckets=1 -> no cuts (approxQuantile rejects an empty list)
+    cuts = sorted(set(narrow.approxQuantile(id_col, probs, 0.01))) if probs else []
     if cuts:
         carr = F.array(*[F.lit(float(c)) for c in cuts])
         idv = F.col(id_col).cast("double")
