@@ -477,8 +477,23 @@ def bigram_lm(
       DISTINCT raw pairs (≪ token instances), not the corpus stream.
     - bigrams = folded pairs with tok2 NOT NULL; unigrams = per-tok
       sum — equal to the old direct counts by the same w1 argument.
-      The folded table is checkpointed too (≤(V+1)² rows) so the two
-      broadcast consumers in lm_score don't re-run the fold."""
+    - Continuation-session optimization: the folded unigram counts are
+      BOUNDED METADATA (≤ V+1 rows, derivable from the vocab collect +
+      one scalar sum over the checkpointed raw-pair table), so the
+      model also carries them as a plain dict (`uni_counts`) —
+      lm_score then replaces its unigram broadcast JOIN with a literal
+      map lookup (guide §2.4: remove the join outright; the q5
+      IN-list bounded-metadata class). Scope of the win, measured
+      honestly: consumers that read the SMOOTHED columns
+      (logprob/perplexity) drop one broadcast exchange + build; the
+      integer-counts-only gate query never paid that join at all —
+      Catalyst prunes logprob and join-eliminates the unused unigram
+      LEFT join (verified in the committed plan) — so its bench
+      timing is a wash. With the unigram join gone the folded pair
+      table has exactly ONE plan consumer (the bigram broadcast
+      build), so its eager checkpoint is dropped: the 90k-row
+      materialization job becomes a scalar-sum collect, and the fold
+      re-derives in-plan from the checkpointed raw-pair aggregate."""
     spark = train.sparkSession
     toks_arr = train.select(_space_tokens(F.col(text_col)).alias("ts"))
     # ts zipped with its own 1-shift + a trailing NULL: n pairs per
@@ -527,7 +542,6 @@ def bigram_lm(
             F.col("__n"),
         )
         .groupBy("tok", "tok2").agg(F.sum("__n").alias("__n"))
-        .localCheckpoint(eager=True)
     )
     bigrams = (
         pairs_all.filter(F.col("tok2").isNotNull())
@@ -538,8 +552,18 @@ def bigram_lm(
         pairs_all.groupBy(F.col("tok").alias("w1"))
         .agg(F.sum("__n").alias("uni_count"))
     )
+    # folded unigram counts as bounded metadata (≤ V+1 entries): each
+    # vocab token keeps its collected count; everything else folds to
+    # '<unk>' — whose count is total minus the vocab's share, ADDED to
+    # a literal '<unk>' token's own count if one made the vocabulary
+    # (the same merge the grouped fold performs)
+    total_tokens = int(pairs_raw.agg(F.sum("__n")).collect()[0][0] or 0)
+    uni_counts = {r.tok: int(r.tok_count) for r in vocab_rows}
+    unk_extra = total_tokens - sum(uni_counts.values())
+    uni_counts["<unk>"] = uni_counts.get("<unk>", 0) + unk_extra
     return {"vocab": vocab, "unigrams": unigrams, "bigrams": bigrams,
-            "vocab_size": vocab_size, "vocab_list": vocab_list}
+            "vocab_size": vocab_size, "vocab_list": vocab_list,
+            "uni_counts": uni_counts, "total_tokens": total_tokens}
 
 
 def lm_score(
@@ -559,10 +583,17 @@ def lm_score(
     row), replacing the per-doc window over the exploded token stream
     — that window shuffled and sorted every token of the corpus. The
     vocab fold is a literal IN-set (model["vocab_list"]), removing the
-    mapping broadcast join; the model tables the two remaining
-    broadcast joins consume are materialized by bigram_lm, so neither
-    re-runs training. Values (pair stream, OOV flags, counts, logp)
-    are unchanged."""
+    mapping broadcast join. Continuation session: the UNIGRAM lookup
+    is a literal (V+1)-entry map (model["uni_counts"], constant-folded
+    by the optimizer) instead of a second broadcast join — one fewer
+    broadcast exchange + build for consumers that read logprob/
+    perplexity (counts-only consumers never paid it: Catalyst
+    join-eliminates the pruned LEFT join); the single remaining
+    broadcast join (bigrams) re-derives from bigram_lm's checkpointed
+    raw-pair aggregate. Values (pair stream, OOV flags, counts, logp)
+    are unchanged — the map carries exactly the counts the joined
+    aggregate produced (pinned by
+    tests/test_r09_optimizations.py::test_lm_score_literal_unigram_map)."""
     V = model["vocab_size"]
     vocab_list = model.get("vocab_list")
     if vocab_list is None:
@@ -599,13 +630,27 @@ def lm_score(
                    (pairs.tok == F.col("w1")) & (pairs.tok2 == F.col("w2")),
                    "left")
         .drop("w1", "w2")
-        .join(F.broadcast(model["unigrams"]),
-              pairs.tok == model["unigrams"].w1, "left")
-        .drop("w1")
     )
+    uni_counts = model.get("uni_counts")
+    if uni_counts is not None:
+        # literal map: every folded token is in vocab ∪ {'<unk>'}, all
+        # present in uni_counts; coalesce guards the degenerate case
+        uni_map = F.create_map(
+            *[x for tok, n in uni_counts.items()
+              for x in (F.lit(tok), F.lit(int(n)))]
+        )
+        uni_count = F.coalesce(
+            F.element_at(uni_map, F.col("tok")), F.lit(0)
+        )
+    else:  # models built before uni_counts existed: the join path
+        joined = joined.join(
+            F.broadcast(model["unigrams"]),
+            pairs.tok == model["unigrams"].w1, "left"
+        ).drop("w1")
+        uni_count = F.coalesce(F.col("uni_count"), F.lit(0))
     logp = F.log(
         (F.coalesce(F.col("pair_count"), F.lit(0)) + F.lit(alpha))
-        / (F.coalesce(F.col("uni_count"), F.lit(0)) + F.lit(alpha * (V + 1)))
+        / (uni_count + F.lit(alpha * (V + 1)))
     )
     return (
         joined.groupBy(id_col)

@@ -97,6 +97,47 @@ def test_fast_band_keys_produce_same_candidate_pairs(spark):
     assert (1, 4) in fast_pairs  # exact dups must always collide
 
 
+def test_lm_score_literal_unigram_map(spark):
+    """The literal-map unigram lookup (continuation session) must
+    produce the EXACT per-doc scores of the broadcast-join path it
+    replaced — including when the corpus contains a literal '<unk>'
+    token that makes the vocabulary (its own count and the OOV fold
+    merge, exactly as the grouped fold merged them)."""
+    from clickhouse_25_5_3_75_stable_spark.operators.corpus import (
+        bigram_lm,
+        lm_score,
+    )
+
+    texts = [
+        "a b a <unk> a b",       # literal <unk> token in the corpus
+        "b b a q z",             # q/z fold to <unk>
+        "c a a b x <unk>",
+        "x y a b c",
+        "a",
+    ]
+    train = spark.createDataFrame([(t,) for t in texts], "text string")
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts + ["zz <unk> a never seen"])],
+        "doc_id long, text string",
+    )
+    model = bigram_lm(train, vocab_size=4)
+    assert "uni_counts" in model
+    # uni_counts must equal the joined-aggregate unigram table exactly
+    from_df = {r.w1: r.uni_count for r in model["unigrams"].collect()}
+    assert model["uni_counts"] == from_df
+
+    got_map = {
+        r.doc_id: (r.n_bigrams, r.n_oov, r.model_hits, r.logprob, r.perplexity)
+        for r in lm_score(docs, model).collect()
+    }
+    legacy = {k: v for k, v in model.items() if k != "uni_counts"}
+    got_join = {
+        r.doc_id: (r.n_bigrams, r.n_oov, r.model_hits, r.logprob, r.perplexity)
+        for r in lm_score(docs, legacy).collect()
+    }
+    assert got_map == got_join
+
+
 def test_bigram_lm_single_pass_equals_direct_recount(spark):
     """The single-pass model (vocab + folded counts derived from the
     raw-pair aggregate) must equal a direct recount: explode tokens,
