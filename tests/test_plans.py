@@ -215,8 +215,19 @@ def test_pack_shards_has_no_global_window(spark):
 
 def test_bm25_filters_query_terms_before_shuffle(spark):
     """The IN-filter on the literal query terms must sit below the
-    aggregation exchange, so the shuffle carries <=|q| rows per doc."""
-    plan = _plan(spark, "retrieval_bm25_topk", mode="simple")
+    aggregation exchange, so the shuffle carries <=|q| rows per doc.
+    (materialize=False: the round-10 production path checkpoints the
+    tf relation, which truncates the visible lineage — the un-
+    materialized plan is the same logical shape with lineage intact.)"""
+    from clickhouse_25_5_3_75_stable_spark.operators.corpus import bm25_scores
+    from clickhouse_25_5_3_75_stable_spark.queries import t as _t
+
+    docs = _t(spark, SF_SMOKE, "documents")
+    df = bm25_scores(docs, ["spark", "hash", "merge"], materialize=False)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("simple")
+    plan = buf.getvalue()
     lines = plan.splitlines()
     filt = [i for i, l in enumerate(lines) if "Filter" in l and "spark" in l]
     assert filt, "expected a Filter on the literal query terms"

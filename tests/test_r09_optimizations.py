@@ -12,11 +12,12 @@ from pyspark.sql import functions as F
 
 @pytest.mark.parametrize("n_buckets", [1, 3, 16])
 def test_prefix_sum_quantile_buckets_match_naive_cumsum(spark, n_buckets):
-    """The literal-quantile bucketing is an implementation detail: the
-    exclusive prefix sum must equal the naive single-window cumsum for
-    ANY contiguous cut placement — exercised across bucket counts on a
-    skewed, gappy id distribution (where approxQuantile cuts land
-    unevenly and some buckets stay empty)."""
+    """The bucketing is an implementation detail (round-9: literal
+    quantile cuts; round-10: range-partition ids): the exclusive
+    prefix sum must equal the naive single-window cumsum for ANY
+    contiguous bucket placement — exercised across bucket counts on a
+    skewed, gappy id distribution (where boundaries land unevenly and
+    some buckets stay empty)."""
     from clickhouse_25_5_3_75_stable_spark.operators.corpus import (
         _exclusive_prefix_sum,
     )
@@ -126,6 +127,26 @@ def test_lm_score_literal_unigram_map(spark):
     from_df = {r.w1: r.uni_count for r in model["unigrams"].collect()}
     assert model["uni_counts"] == from_df
 
+    # no-OOV corpus (round-10, per round-9 advice): the fold produces
+    # no '<unk>' group, so the dict must not carry a synthetic zero
+    # entry the unigrams DataFrame does not have
+    tiny = spark.createDataFrame([("a b a",), ("b a",)], "text string")
+    m2 = bigram_lm(tiny, vocab_size=4)
+    assert m2["uni_counts"] == {
+        r.w1: r.uni_count for r in m2["unigrams"].collect()
+    }
+    assert "<unk>" not in m2["uni_counts"]
+    # scoring an OOV doc under the no-OOV model: map miss degrades to
+    # the join-miss 0 count (try_element_at under ANSI), same scores
+    oov_docs = spark.createDataFrame([(0, "a zz b")], "doc_id long, text string")
+    s_map = lm_score(oov_docs, m2).collect()[0]
+    s_join = lm_score(
+        oov_docs, {k: v for k, v in m2.items() if k != "uni_counts"}
+    ).collect()[0]
+    assert (s_map.n_bigrams, s_map.n_oov, s_map.model_hits) == (
+        s_join.n_bigrams, s_join.n_oov, s_join.model_hits)
+    assert s_map.logprob == pytest.approx(s_join.logprob, rel=1e-12)
+
     got_map = {
         r.doc_id: (r.n_bigrams, r.n_oov, r.model_hits, r.logprob, r.perplexity)
         for r in lm_score(docs, model).collect()
@@ -135,7 +156,14 @@ def test_lm_score_literal_unigram_map(spark):
         r.doc_id: (r.n_bigrams, r.n_oov, r.model_hits, r.logprob, r.perplexity)
         for r in lm_score(docs, legacy).collect()
     }
-    assert got_map == got_join
+    # integer columns exact; float sums approx (aggregation order is
+    # only incidentally identical between the two plans — round-9
+    # advice: don't pin partitioning/AQE accidents)
+    assert set(got_map) == set(got_join)
+    for d in got_map:
+        assert got_map[d][:3] == got_join[d][:3]
+        assert got_map[d][3] == pytest.approx(got_join[d][3], rel=1e-12)
+        assert got_map[d][4] == pytest.approx(got_join[d][4], rel=1e-12)
 
 
 def test_bigram_lm_single_pass_equals_direct_recount(spark):
