@@ -114,6 +114,53 @@ def test_robust_best_short_history_uses_what_exists():
     assert robust_best([3.0, 1.0, 2.0]) == 2.0
 
 
+def test_def_changed_regression_still_flags():
+    """Round-10 (judge ask #5a): a REWRITTEN query that regresses 2x
+    must still produce a flag — annotated as def-changed — instead of
+    silently resetting its baseline (the r09 q21 blind spot)."""
+    from bench import detect_def_changed_regressions
+
+    best_any = {"q21": 0.8, "qb": 1.0}
+    timings = {"q21": 1.6, "qb": 1.0}
+    out = detect_def_changed_regressions(
+        timings, best_any, {"q21"}, flagged={}, drift=1.0
+    )
+    assert out == {"q21": 2.0}
+
+
+def test_def_changed_flag_respects_drift_and_guards():
+    from bench import detect_def_changed_regressions
+
+    # uniform machine drift explains the ratio -> no flag
+    assert (
+        detect_def_changed_regressions(
+            {"q": 1.6}, {"q": 0.8}, {"q"}, flagged={}, drift=1.7
+        )
+        == {}
+    )
+    # below the absolute-delta guard -> no flag
+    assert (
+        detect_def_changed_regressions(
+            {"q": 0.40}, {"q": 0.28}, {"q"}, flagged={}, drift=1.0
+        )
+        == {}
+    )
+    # already flagged by the def-gated ratchet -> not double-reported
+    assert (
+        detect_def_changed_regressions(
+            {"q": 1.6}, {"q": 0.8}, {"q"}, flagged={"q": 2.0}, drift=1.0
+        )
+        == {}
+    )
+    # a query whose def never changed is not this detector's business
+    assert (
+        detect_def_changed_regressions(
+            {"q": 1.6}, {"q": 0.8}, set(), flagged={}, drift=1.0
+        )
+        == {}
+    )
+
+
 def test_query_def_hash_gates_history():
     """Round-9: the ratchet pin only uses samples taken under the
     CURRENT query definition — a changed query resets its baseline
