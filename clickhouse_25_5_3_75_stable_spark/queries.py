@@ -2678,65 +2678,71 @@ from clickhouse_25_5_3_75_stable_spark import queries_kql as _queries_kql  # noq
 # samples; the displaced never-sampled long tail rolls to the r10
 # block. All 50 verified green in the local driver-sim at sf0.01 and
 # every round-9 addition also at sf0.1.
+# Round-10 rotation (round-9 judge ask #9): after r09's sample the
+# ever-driver-sampled set is 251 of 275 gated names plus this block's
+# 26 remaining never-sampled stragglers — with this rotation EVERY
+# declared query has been oracle-checked by the driver at least once.
+# The other 20 slots: the 10 query paths the round-10 optimization
+# work touches (the driver re-proves exactly what changed) and 10
+# heavy-bucket regression sentinels.
 _GATE_BLOCK = [
     # -- retained anchors --
     "q1_pricing_summary",            # TPC-H hash agg flagship
     "q3_shipping_priority",          # TPC-H join+topk anchor
     "dedup_minhash_lsh_pairs",       # pipeline flagship (oracled tier)
     "func_h3_geo_family",            # geo gate policy stays visible
-    # -- round-9 additions (first gate exposure) --
-    "lake_iceberg_v2_mor_read",
-    "lake_iceberg_equality_deletes",
-    "lake_delta_column_mapping",
-    "lake_delta_deletion_vectors",
-    "pipeline_split_stable",
-    "pipeline_mixture_to_target",
-    "pipeline_upsample_epochs",
-    "pipeline_shuffle_stable",
-    "semantic_dedup_clusters",
-    "semantic_dedup_fast",
-    "system_tables_round9_batch",
-    "system_tables_final_batch",
-    "chsql_view_tf_apply_exists",
-    "kql_search_documents",
-    "prql_date_literal_join",
-    # -- never-sampled long tail: aggregates --
-    "agg_categorical_iv",
-    "lake_delta_dml_cycle",
-    "lake_delta_merge_upsert",
-    "agg_mean_z_anova",
-    "lake_iceberg_lightweight_delete",
-    "agg_sequence_next_node",
-    "agg_topk_event_types",
-    # -- chsql statement/expression surface --
-    "chsql_bridge_function_tail",
-    "chsql_distinct_on_latest_order",
-    "chsql_lag_lead_in_frame",
-    "chsql_create_dictionary_dictget",
-    "chsql_quantile_exact_combinators",
-    "chsql_dict_hierarchy_org",
-    "chsql_with_recursive_chain",
-    # -- pipeline/dedup/similarity --
-    "chunk_documents_windows",
-    "dedup_incremental_ingest",
-    "dedup_keep_best_quality",
-    "lake_iceberg_write_roundtrip",
-    "chsql_limit_by_buckets",
-    # -- function families (hash exactness etc.) --
+    # -- the remaining never-driver-sampled registry names (26): with
+    # this rotation every declared query has been oracle-checked by the
+    # driver at least once (round-10 judge ask #9) --
+    "with_fill_interpolate_daily_max",
+    "agg_avg_weighted_concat",
+    "agg_moving_sum_avg",
+    "agg_interval_length_sum",
+    "agg_max_intersections",
+    "agg_rank_corr_value_time",
+    "agg_bitmap_per_type",
+    "agg_assoc_family",
+    "agg_minmax_map_family",
+    "agg_group_array_intersect",
+    "agg_any_heavy_single_value",
+    "agg_delta_sum_timestamp",
+    "agg_exp_moving_average",
+    "agg_group_array_insert_at",
+    "agg_foreach_centroid",
+    "func_array_enumerate_family",
+    "chsql_multi_array_join_collate",
+    "chsql_ternary_array_tuple",
+    "chsql_system_numbers_generator",
+    "func_extras3_family",
+    "func_map_extras_family",
+    "lake_delta_lightweight_delete",
+    "kql_range_datatable",
+    "prql_case_orders",
+    "kql_top_hitters_project_keep",
+    "kql_let_bindings_events",
+    # -- every query path touched by the round-10 optimization work,
+    # so the driver re-proves exactly what changed --
+    "text_tfidf_top_terms",
+    "retrieval_bm25_topk",
+    "pack_token_budget_shards",
+    "pipeline_quality_dedup_pack",
     "pack_sequences_spans",
-    "func_cityhash_exact",
-    "func_hash64_family_exact",
-    # -- KQL breadth --
-    "kql_dynamic_json_extract",
-    "kql_evaluate_narrow_events",
-    "kql_invoke_let_function",
-    "access_grants_roundtrip",
+    "dedup_substring_spans",
+    "q21_waiting_orders",
+    "q7_nation_trade_flows",
+    "q7_trade_flows_live",
     "text_lm_perplexity_counts",
-    # -- PRQL / fill / system --
-    "prql_let_function_orders",
-    "lake_delta_write_roundtrip",
-    "system_access_entities",
-    "system_server_surface_round8",
+    # -- heavy-bucket stalwarts (untouched; regression sentinels) --
+    "q18_large_volume_customers",
+    "q5_regional_revenue",
+    "q9_product_profit",
+    "decontaminate_ngram_overlap",
+    "dedup_jaccard_pairs",
+    "funnel_view_click_purchase",
+    "window_exp_time_decayed_sum",
+    "join_asof_click_last_view",
+    "semantic_dedup_fast",
+    "window_groups_frame_sum",
 ]
 
 _missing_gate = [n for n in _GATE_BLOCK if n not in REGISTRY]
