@@ -548,7 +548,14 @@ def bigram_lm(
         )
         .select("p.tok", "p.tok2")
         .groupBy("tok", "tok2").agg(F.count(F.lit(1)).alias("__n"))
-        .localCheckpoint(eager=True)
+        # round-10: eager=False — the vocab collect below is the first
+        # consumer and its groupBy computes every partition, so the
+        # raw-pair aggregate materializes in passing and the later
+        # consumers (total collect, bigram broadcast build) read the
+        # pinned blocks; the eager variant's dedicated materialization
+        # job cost ~10% of the gated query (interleaved A/B min/med:
+        # eager 2.17/2.39 s vs lazy 1.89/2.16 s on the same machine)
+        .localCheckpoint(eager=False)
     )
     vocab_rows = (
         pairs_raw.groupBy("tok").agg(F.sum("__n").alias("tok_count"))
